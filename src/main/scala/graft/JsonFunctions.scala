@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions._
+import graft.plans.{JsonCallUnnest, JsonCastElision}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.GraftSqlShim
+
+/**
+ * Public façade of the engine: the 13 JSON functions as a typed Column API,
+ * SQL registration (all names + aliases, mirroring the reference's
+ * `register_all` in src/lib.rs:69-96), the two optimizer rewrites, and the
+ * PostgreSQL-operator DSL (`->`, `->>`, `?` — reference src/rewrite.rs:105-144;
+ * Spark SQL has no such operators, so they're Scala Column methods).
+ */
+object JsonFunctions {
+
+  /** name → expression builder, including aliases json_len / json_keys /
+    * scalar_to_json (reference src/json_length.rs:29,
+    * src/json_object_keys.rs:29, src/json_from_scalar.rs:31). */
+  val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "json_get" -> (JsonGet(_)),
+    "json_get_str" -> (JsonGetStr(_)),
+    "json_get_int" -> (JsonGetInt(_)),
+    "json_get_float" -> (JsonGetFloat(_)),
+    "json_get_bool" -> (JsonGetBool(_)),
+    "json_get_json" -> (JsonGetJson(_)),
+    "json_get_array" -> (JsonGetArray(_)),
+    "json_as_text" -> (JsonAsText(_)),
+    "json_contains" -> (JsonContains(_)),
+    "json_length" -> (JsonLength(_)),
+    "json_len" -> (JsonLength(_)),
+    "json_object_keys" -> (JsonObjectKeys(_)),
+    "json_keys" -> (JsonObjectKeys(_)),
+    "json_from_scalar" -> (es => JsonFromScalar(es.head)),
+    "scalar_to_json" -> (es => JsonFromScalar(es.head)),
+    "json_union_to_text" -> (es => JsonUnionToText(es.head)))
+
+  val optimizerRules = Seq(JsonCastElision, JsonCallUnnest)
+
+  /** Register everything on a live session (idempotent). The alternative,
+    * config-driven path is `spark.sql.extensions=graft.GraftExtensions`. */
+  def registerAll(spark: SparkSession): Unit = {
+    registry.foreach { case (name, builder) =>
+      GraftSqlShim.register(spark, name, builder)
+    }
+    val existing = spark.experimental.extraOptimizations
+    val missing = optimizerRules.filterNot(existing.contains)
+    if (missing.nonEmpty) {
+      spark.experimental.extraOptimizations = existing ++ missing
+    }
+  }
+
+  // ---- typed Column API (entry point 2 of the reference, src/lib.rs:28-42) ----
+
+  private def ex(c: Column): Expression = GraftSqlShim.expression(c)
+  private def col(e: Expression): Column = GraftSqlShim.column(e)
+  private def build(json: Column, path: Seq[Column])(
+      f: Seq[Expression] => Expression): Column =
+    col(f(ex(json) +: path.map(ex)))
+
+  def json_get(json: Column, path: Column*): Column = build(json, path)(JsonGet(_))
+  def json_get_str(json: Column, path: Column*): Column = build(json, path)(JsonGetStr(_))
+  def json_get_int(json: Column, path: Column*): Column = build(json, path)(JsonGetInt(_))
+  def json_get_float(json: Column, path: Column*): Column = build(json, path)(JsonGetFloat(_))
+  def json_get_bool(json: Column, path: Column*): Column = build(json, path)(JsonGetBool(_))
+  def json_get_json(json: Column, path: Column*): Column = build(json, path)(JsonGetJson(_))
+  def json_get_array(json: Column, path: Column*): Column = build(json, path)(JsonGetArray(_))
+  def json_as_text(json: Column, path: Column*): Column = build(json, path)(JsonAsText(_))
+  def json_contains(json: Column, path: Column*): Column = build(json, path)(JsonContains(_))
+  def json_length(json: Column, path: Column*): Column = build(json, path)(JsonLength(_))
+  def json_object_keys(json: Column, path: Column*): Column =
+    build(json, path)(JsonObjectKeys(_))
+  def json_from_scalar(v: Column): Column = col(JsonFromScalar(ex(v)))
+  def json_union_to_text(v: Column): Column = col(JsonUnionToText(ex(v)))
+
+  // ---- operator DSL ----
+
+  /** Literal-ish path argument: Int/Long indices and String keys, or a
+    * Column for column-valued lookups. */
+  private def pathCol(p: Any): Column = p match {
+    case c: Column => c
+    case s: String => org.apache.spark.sql.functions.lit(s)
+    case i: Int    => org.apache.spark.sql.functions.lit(i)
+    case l: Long   => org.apache.spark.sql.functions.lit(l)
+    case other     => org.apache.spark.sql.functions.lit(other)
+  }
+
+  /** Pretty operator-style output naming, mirroring the reference's alias
+    * rule for `a -> 'b'` headers (src/rewrite.rs:146-171). */
+  private def opAlias(op: String, json: Column, p: Any): String = {
+    val rhs = p match {
+      case s: String => s"'$s'"
+      case other     => other.toString
+    }
+    s"$json $op $rhs"
+  }
+
+  implicit class JsonColumnOps(private val c: Column) extends AnyVal {
+
+    /** Postgres `json -> path`: json_get. */
+    def ->(p: Any): Column =
+      json_get(c, pathCol(p)).alias(opAlias("->", c, p))
+
+    /** Postgres `json ->> path`: json_as_text. */
+    def ->>(p: Any): Column =
+      json_as_text(c, pathCol(p)).alias(opAlias("->>", c, p))
+
+    /** Postgres `json ? key`: json_contains. */
+    def ?(p: Any): Column =
+      json_contains(c, pathCol(p)).alias(opAlias("?", c, p))
+
+    def jsonGet(path: Any*): Column = json_get(c, path.map(pathCol): _*)
+    def jsonAsText(path: Any*): Column = json_as_text(c, path.map(pathCol): _*)
+    def jsonContains(path: Any*): Column = json_contains(c, path.map(pathCol): _*)
+  }
+}
