@@ -1,13 +1,189 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.JsonFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry pairs a Spark query (built on the graft JSON functions /
+  * operators) with a DuckDB-SQL oracle over the same parquet tables; the
+  * driver hash-compares them at sf0.01. Column names and row order are
+  * kept identical on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark only reads with
+    * the nanosAsLong legacy conf; set it on whatever session we're given. */
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Synthesised nested-JSON column over events — gives the flat
+    * `props` column ({"k": N}) richer structure (nested object, array,
+    * strings) so every function is exercised on real data. Built with the
+    * exact same string concatenation in the DuckDB oracle. */
+  private def jdoc: Column = concat(
+    lit("{\"et\":\""), col("event_type"),
+    lit("\",\"uid\":"), col("user_id").cast("string"),
+    lit(",\"arr\":["), col("user_id").cast("string"), lit(","),
+    col("event_id").cast("string"),
+    lit("],\"obj\":{\"v\":"), col("event_id").cast("string"), lit("}}"))
+
+  private val jdocSql: String =
+    """'{"et":"' || event_type || '","uid":' || CAST(user_id AS VARCHAR) ||
+      | ',"arr":[' || CAST(user_id AS VARCHAR) || ',' || CAST(event_id AS VARCHAR) ||
+      | '],"obj":{"v":' || CAST(event_id AS VARCHAR) || '}}'"""
+      .stripMargin.replaceAll("\\s*\\n\\s*", "")
+
+  /** {"flag":true|false} driven by the value column. */
+  private def jbool: Column = concat(
+    lit("{\"flag\":"), when(col("value") > 50, "true").otherwise("false"), lit("}"))
+
+  private val jboolSql: String =
+    "'{\"flag\":' || (CASE WHEN value > 50 THEN 'true' ELSE 'false' END) || '}'"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_filter_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- flagship: json functions driving filter + aggregation --
+    "q_filter_agg" -> ((s, dir) =>
+      table(s, dir, "events")
+        .where(json_contains(col("props"), lit("k")) &&
+          json_get_int(col("props"), lit("k")) > 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(json_get_int(col("props"), lit("k"))).as("sum_k"))
+        .orderBy(col("event_type"))),
+
+    "q_get_str" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), json_get_str(jdoc, lit("et")).as("et"))
+        .orderBy(col("event_id"))),
+
+    "q_get_int" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), json_get_int(col("props"), lit("k")).as("k_int"))
+        .orderBy(col("event_id"))),
+
+    "q_get_float" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), json_get_float(col("props"), lit("k")).as("k_float"))
+        .orderBy(col("event_id"))),
+
+    "q_get_bool" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), json_get_bool(jbool, lit("flag")).as("flag"))
+        .orderBy(col("event_id"))),
+
+    "q_contains" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          json_contains(col("props"), lit("k")).as("has_k"),
+          json_contains(col("props"), lit("missing")).as("has_m"))
+        .orderBy(col("event_id"))),
+
+    "q_length" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          json_length(jdoc, lit("arr")).as("arr_len"),
+          json_length(jdoc).as("n_keys"))
+        .orderBy(col("event_id"))),
+
+    "q_object_keys" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), JsonFunctions.json_object_keys(jdoc).as("ks"))
+        .orderBy(col("event_id"))),
+
+    "q_as_text" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          json_as_text(jdoc, lit("uid")).as("uid_txt"),
+          json_as_text(jdoc, lit("et")).as("et_txt"))
+        .orderBy(col("event_id"))),
+
+    "q_get_json" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), json_get_json(jdoc, lit("obj")).as("obj_raw"))
+        .orderBy(col("event_id"))),
+
+    "q_get_array" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), json_get_array(jdoc, lit("arr")).as("arr_els"))
+        .orderBy(col("event_id"))),
+
+    // json_get → union → to_text round trip (nested object passthrough)
+    "q_union_text" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          json_union_to_text(json_get(jdoc, lit("obj"))).as("obj_txt"))
+        .orderBy(col("event_id"))),
+
+    // json_from_scalar over string + int columns
+    "q_from_scalar" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          json_union_to_text(json_from_scalar(col("event_type"))).as("et_json"),
+          json_union_to_text(json_from_scalar(col("user_id"))).as("uid_json"))
+        .orderBy(col("event_id"))),
+
+    // chained lookup: json_get(json_get(j,'obj'),'v') — exercises the
+    // unnest rewrite path and typed extraction at depth
+    "q_nested_get" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          json_get_int(json_get(jdoc, lit("obj")), lit("v")).as("v"))
+        .orderBy(col("event_id")))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_agg" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         | FROM events
+         | WHERE json_extract(props, '$$.k') IS NOT NULL
+         |   AND CAST(json_extract_string(props, '$$.k') AS BIGINT) > 50
+         | GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    "q_get_str" ->
+      s"SELECT event_id, json_extract_string($jdocSql, '$$.et') AS et FROM events ORDER BY event_id",
+    "q_get_int" ->
+      s"SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_int FROM events ORDER BY event_id",
+    "q_get_float" ->
+      s"SELECT event_id, CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS k_float FROM events ORDER BY event_id",
+    "q_get_bool" ->
+      s"SELECT event_id, CAST(json_extract_string($jboolSql, '$$.flag') AS BOOLEAN) AS flag FROM events ORDER BY event_id",
+    "q_contains" ->
+      s"""SELECT event_id, json_extract(props, '$$.k') IS NOT NULL AS has_k,
+         | json_extract(props, '$$.missing') IS NOT NULL AS has_m
+         | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q_length" ->
+      s"""SELECT event_id, CAST(json_array_length($jdocSql, '$$.arr') AS BIGINT) AS arr_len,
+         | CAST(len(json_keys($jdocSql)) AS BIGINT) AS n_keys
+         | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q_object_keys" ->
+      s"SELECT event_id, json_keys($jdocSql) AS ks FROM events ORDER BY event_id",
+    "q_as_text" ->
+      s"""SELECT event_id, json_extract_string($jdocSql, '$$.uid') AS uid_txt,
+         | json_extract_string($jdocSql, '$$.et') AS et_txt
+         | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q_get_json" ->
+      s"SELECT event_id, CAST(json_extract($jdocSql, '$$.obj') AS VARCHAR) AS obj_raw FROM events ORDER BY event_id",
+    "q_get_array" ->
+      s"""SELECT event_id, [json_extract_string($jdocSql, '$$.arr[0]'),
+         | json_extract_string($jdocSql, '$$.arr[1]')] AS arr_els
+         | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q_union_text" ->
+      s"SELECT event_id, CAST(json_extract($jdocSql, '$$.obj') AS VARCHAR) AS obj_txt FROM events ORDER BY event_id",
+    "q_from_scalar" ->
+      s"""SELECT event_id, '"' || event_type || '"' AS et_json,
+         | CAST(user_id AS VARCHAR) AS uid_json
+         | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q_nested_get" ->
+      s"SELECT event_id, CAST(json_extract_string($jdocSql, '$$.obj.v') AS BIGINT) AS v FROM events ORDER BY event_id"
+  )
 }
