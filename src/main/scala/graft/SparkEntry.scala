@@ -136,7 +136,105 @@ object SparkEntry {
       table(s, dir, "events")
         .select(col("event_id"),
           json_get_int(json_get(jdoc, lit("obj")), lit("v")).as("v"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // ---- training-data pipeline operators (documents / embeddings) ----
+
+    "q_dedup_exact" -> ((s, dir) =>
+      operators.Dedup.exactDuplicates(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("h"))),
+
+    "q_text_stats" -> ((s, dir) =>
+      operators.TextOps.documentStats(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "q_lang_stats" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))),
+
+    // token-set Jaccard between consecutive doc pairs (exact n-gram dedup
+    // verification kernel, oracle-checkable)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = d.as("a")
+      val b = d.as("b")
+      a.join(b, col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          operators.Dedup.jaccard(col("a.toks"), col("b.toks")).as("jac"))
+        .orderBy(col("id_a"))
+    }),
+
+    // language-ID heuristic (marker-lexicon argmax; deterministic)
+    "q_langid" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), operators.TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    // FNV-1a 64 content fingerprint (native expression)
+    "q_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), operators.TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // 64-bit SimHash over token hashes (native expression)
+    "q_simhash" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), operators.Dedup.simhash(col("text")).as("sh"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash+LSH near-dup candidate pairs (shingle→sig→band→bucket-join)
+    "q_minhash_lsh" -> ((s, dir) =>
+      operators.Dedup.minhashCandidatePairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // embedding cosine near-dup pairs via SRP-LSH buckets (the synthetic
+    // embeddings have no true near-dups — max pairwise cos ≈ 0.51 — so the
+    // demo threshold is set below that to exercise the pipeline end-to-end)
+    "q_embed_neardup" -> ((s, dir) =>
+      operators.Dedup.embeddingNearDupPairs(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          planes = 4, dim = 64, minCosine = 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // exact brute-force cosine top-20 around the vec_id=0 embedding
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      emb.select(col("vec_id"),
+          round(operators.Similarity.cosine(col("embedding"),
+            typedlit(q)), 6).as("cos"))
+        .orderBy(desc("cos"), col("vec_id"))
+        .limit(20)
+    }),
+
+    // SRP-LSH-bucketed approximate neighbor search (scale path; rows-only)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.lshTopK(emb, "vec_id", "embedding", q, 20)
+    }),
+
+    // multimodal decode plumbing: binary blobs → metadata (stub codec)
+    "q_mm_meta" -> ((s, dir) =>
+      operators.Multimodal.decodeFeatures(s,
+          operators.Multimodal.documentBlobs(table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+        .orderBy(col("doc_id"))),
+
+    // full feature extraction incl. the stubbed feature vector (rows-only)
+    "q_mm_features" -> ((s, dir) =>
+      operators.Multimodal.decodeFeatures(s,
+          operators.Multimodal.documentBlobs(table(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,6 +282,47 @@ object SparkEntry {
          | CAST(user_id AS VARCHAR) AS uid_json
          | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q_nested_get" ->
-      s"SELECT event_id, CAST(json_extract_string($jdocSql, '$$.obj.v') AS BIGINT) AS v FROM events ORDER BY event_id"
+      s"SELECT event_id, CAST(json_extract_string($jdocSql, '$$.obj.v') AS BIGINT) AS v FROM events ORDER BY event_id",
+
+    // ---- training-data pipeline oracles ----
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
+        | FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin.replaceAll("\n", " "),
+    "q_text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+        |   / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS stopword_ratio,
+        | CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q_lang_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", " "),
+    "q_ngram_jaccard" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_filter(list_distinct(string_split(a.text, ' ')),
+        |   t -> list_contains(list_distinct(string_split(b.text, ' ')), t))) AS DOUBLE)
+        |  / CAST(len(list_distinct(list_concat(string_split(a.text, ' '),
+        |   string_split(b.text, ' ')))) AS DOUBLE) AS jac
+        | FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        | ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    "q_ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        | SELECT e.vec_id,
+        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
+        | FROM embeddings e, q
+        | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(16 + (ascii(substr(text, 1, 1)) & 63) AS INT) AS width,
+        | CAST(16 + (ascii(substr(text, 2, 1)) & 63) AS INT) AS height
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

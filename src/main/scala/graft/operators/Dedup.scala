@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale deduplication operators for training-data pipelines.
+ *
+ * All of these are pure declarative DataFrame pipelines: every stage is a
+ * map-side expression or a key-partitioned shuffle, so they scale linearly
+ * with executors — no driver-side collection anywhere. The LSH design is
+ * the standard shingle → minhash → band → bucket-join pipeline (Broder '97;
+ * Leskovec/Rajaraman/Ullman "Mining of Massive Datasets" ch.3).
+ *
+ * Scale notes (100 TB design point):
+ *  - exact dedup: one hash-partitioned aggregation; map-side partial
+ *    aggregation keeps the shuffle at one row per distinct digest.
+ *  - minhash: signatures are computed with ONE xxhash64 pass per shingle;
+ *    the k hash family is derived affinely (a_i*h+b_i) from that single
+ *    hash, so signature cost is O(shingles), not O(shingles*k).
+ *  - candidate pairs: explode to (band, bucket) keys — a self-equi-join on
+ *    the bucket key, which AQE can skew-split; no cross join ever happens.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. One shuffle on the digest. */
+  def exactDuplicates(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.select(md5(col(contentCol).cast("binary")).as("h"), col(idCol))
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Whitespace tokens → n-token shingles (distinct). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature (array<long> of length k) over a shingle array:
+    * one xxhash64 per shingle, then the native MinHashSig kernel derives
+    * all k components in a single pass (wraparound affine family — done
+    * natively because ANSI mode forbids overflowing multiply in SQL). */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShim
+    GraftSqlShim.column(
+      MinHashSig(GraftSqlShim.expression(transform(shingleCol, s => xxhash64(s))), k))
+  }
+
+  /** LSH band keys: k = bands * rowsPerBand; one struct(band, bucket) per
+    * band, bucket = hash of the band's signature slice. */
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((0 until rowsPerBand)
+          .map(r => element_at(sigCol, b * rowsPerBand + r + 1)): _*).as("bucket"))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via banded LSH over minhash signatures.
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    * fraction of matching signature components. `threshold` filters on the
+    * estimate. Input df must have an id column and a text column.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val exploded = sigs
+      .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (aggregate(
+          zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Exact n-gram (token-shingle) Jaccard similarity between two shingle
+    * array columns — the verification stage after LSH candidates, or a
+    * direct measure for small joins. */
+  def jaccard(aShingles: Column, bShingles: Column): Column =
+    (size(array_intersect(aShingles, bShingles)).cast("double") /
+      size(array_union(aShingles, bShingles)).cast("double"))
+
+  /** SimHash near-dup bucket key per document (see TextExprs.SimHash64):
+    * documents whose simhash differs in few bits are near-duplicates. */
+  def simhash(textCol: Column): Column =
+    graft.operators.simhash64(transform(split(textCol, " "), t => xxhash64(t)))
+
+  /** Embedding near-duplicate pairs: sign-random-projection LSH buckets,
+    * then exact cosine within each bucket. Pure shuffle-join on the bucket
+    * key — scales like the minhash pipeline. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 8,
+      dim: Int = 64,
+      minCosine: Double = 0.95): DataFrame = {
+    val bucketed = df.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.srpBucket(col(vecCol), planes, dim).as("bucket"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+}

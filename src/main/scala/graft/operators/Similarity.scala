@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlShim
+
+/**
+ * Approximate-nearest-neighbor search over embedding columns
+ * (`array<float>`).
+ *
+ * Two tiers:
+ *  - `bruteForceTopK`: exact cosine top-k — a single narrow map + TakeOrdered.
+ *    On a cluster this is a full scan but NO shuffle of vectors: each
+ *    partition computes its local top-k and only k rows per partition reach
+ *    the driver-side merge. The baseline and the correctness oracle.
+ *  - `lshTopK`: sign-random-projection bucketing; only the query's bucket
+ *    (plus optional multi-probe neighbors at Hamming distance 1) is scanned.
+ *    The scale path: the bucket column can be precomputed and the table
+ *    bucketed/partitioned by it, turning a 100 TB scan into a partition-pruned
+ *    lookup.
+ */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column = cosine_similarity(a, b)
+
+  /** Deterministic hyperplanes for SRP-LSH (fixed xorshift seed — stable
+    * across runs, sessions, and engines). */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 0x5dee_ce66d13L): Seq[Seq[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(planes)(Seq.fill(dim)(next()))
+  }
+
+  def srpBucket(vec: Column, planes: Int, dim: Int): Column =
+    GraftSqlShim.column(SrpBucket(GraftSqlShim.expression(vec), hyperplanes(planes, dim)))
+
+  /** Exact cosine top-k against a literal query vector. */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int): DataFrame = {
+    val qLit = typedlit(query)
+    df.select(col(idCol), cosine(col(vecCol), qLit).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** SRP-LSH-bucketed approximate top-k: scan only rows whose bucket matches
+    * the query's bucket or differs by one bit (multi-probe). */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      planes: Int = 8): DataFrame = {
+    val dim = query.length
+    val hp = hyperplanes(planes, dim)
+    // query bucket computed driver-side with the same planes
+    var qBucket = 0L
+    for (p <- 0 until planes) {
+      var dot = 0.0
+      for (i <- 0 until dim) dot += query(i) * hp(p)(i)
+      if (dot >= 0.0) qBucket |= (1L << p)
+    }
+    val probes = qBucket +: (0 until planes).map(b => qBucket ^ (1L << b))
+    val qLit = typedlit(query)
+    df.select(col(idCol), col(vecCol),
+        srpBucket(col(vecCol), planes, dim).as("bucket"))
+      .where(col("bucket").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), qLit).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+}

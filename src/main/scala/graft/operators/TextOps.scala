@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data curation: token statistics,
+ * quality scoring, n-gram language identification, and fingerprinting.
+ * Everything is a narrow per-row expression — no shuffles except where an
+ * aggregation is explicitly requested — so these run at scan speed on
+ * arbitrary data sizes.
+ */
+object TextOps {
+
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  def tokenCount(textCol: Column): Column = size(tokens(textCol)).cast("long")
+
+  def charLength(textCol: Column): Column = length(textCol).cast("long")
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(textCol: Column): Column =
+    (charLength(textCol) -
+      length(regexp_replace(textCol, "[\\p{Punct}]", "")).cast("long"))
+      .cast("double") / greatest(charLength(textCol), lit(1L)).cast("double")
+
+  private val stopwords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are (English) stopwords — a classic quality
+    * signal: natural prose has ~0.3+, keyword soup near 0. */
+  def stopwordRatio(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Mean token length — detects tokenization breakage / binary junk. */
+  def meanTokenLen(textCol: Column): Column =
+    (charLength(textCol) - tokenCount(textCol) + 1L).cast("double") /
+      greatest(tokenCount(textCol), lit(1L)).cast("double")
+
+  /** Composite quality score in [0,1]: length in a sane band, some
+    * stopwords, plausible mean token length, low punctuation noise. */
+  def qualityScore(textCol: Column): Column = {
+    val lenOk = when(charLength(textCol).between(20, 100000), 1.0).otherwise(0.0)
+    val stopOk = least(stopwordRatio(textCol) * lit(5.0), lit(1.0))
+    val tokOk = when(meanTokenLen(textCol).between(2.0, 12.0), 1.0).otherwise(0.0)
+    val punctOk = lit(1.0) - least(punctRatio(textCol) * lit(4.0), lit(1.0))
+    (lenOk + stopOk + tokOk + punctOk) / lit(4.0)
+  }
+
+  /** Tiny per-language marker lexicons (public-knowledge function words).
+    * An n-gram-free heuristic language ID: score = matching tokens per
+    * language, argmax wins, ties → "und". */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "en", "que", "por"))
+
+  def langId(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val scores = langMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit FNV-1a content fingerprint (see Fnv1a64). */
+  def fingerprint(textCol: Column): Column = fnv1a64(textCol)
+
+  /** Per-document stats frame used by the pipeline queries. */
+  def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      charLength(col(textCol)).as("n_chars_calc"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      stopwordRatio(col(textCol)).as("stopword_ratio"),
+      punctRatio(col(textCol)).as("punct_ratio"))
+}

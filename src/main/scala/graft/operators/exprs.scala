@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.GraftSqlShim
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the vector/text kernels where composing
+ * built-ins would either lose numeric determinism (float summation order)
+ * or do O(k·n) work for an O(n) job. All are single-pass, allocation-free
+ * per row, and deterministic — the properties that matter when the same
+ * kernel runs on 10^11 rows.
+ */
+
+/** Cosine similarity between two float/double array columns, accumulated in
+  * double in element order (deterministic, oracle-comparable). NULL if
+  * either side is NULL, lengths differ, or a norm is zero. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity expects array<float|double> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  @transient private lazy val leftIsFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightIsFloat = elemType(right).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over an array of 64-bit token hashes: per bit position,
+  * sum +1/-1 across tokens and keep the sign bit. Near-duplicate documents
+  * have small Hamming distance. Empty/NULL input → NULL. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<bigint> of token hashes, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature over an array of 64-bit base hashes: sig[i] =
+  * min_h(a_i*h + b_i) with Java wraparound arithmetic (an affine family
+  * over Z/2^64; odd multipliers are bijective). One pass over the hashes
+  * for all k components — O(n·k) cheap long ops, no per-component array
+  * traversals, and immune to ANSI overflow checking (wraparound is the
+  * point). Empty/NULL input → NULL. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint> of base hashes, got ${other.sql}")
+  }
+
+  // Deterministic affine family, seeded with a fixed LCG so signatures are
+  // reproducible across runs and sessions.
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    (Array.fill(k)(next() | 1L), Array.fill(k)(next()))
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData]
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val m = as(j) * h + bs(j)
+        if (m < sig(j)) sig(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** FNV-1a 64-bit rolling hash over a string's UTF-8 bytes — a cheap,
+  * deterministic document fingerprint. */
+case class Fnv1a64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fnv1a64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fnv1a64 expects a string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sign-random-projection LSH bucket: one bit per hyperplane = sign of
+  * dot(vec, plane); the packed bits are the bucket key. Planes are passed
+  * as literal data baked into the expression (deterministic across runs). */
+case class SrpBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "srp_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_bucket expects array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < planeArr.length) {
+      val plane = planeArr(p)
+      var dot = 0.0
+      var i = 0
+      val m = math.min(n, plane.length)
+      while (i < m) {
+        val xv = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        dot += xv * plane(i)
+        i += 1
+      }
+      if (dot >= 0.0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.GraftSqlShim
+
+package object operators {
+  /** Column wrappers for the native kernel expressions. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    GraftSqlShim.column(CosineSimilarity(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  def simhash64(tokenHashes: Column): Column =
+    GraftSqlShim.column(SimHash64(GraftSqlShim.expression(tokenHashes)))
+
+  def fnv1a64(s: Column): Column =
+    GraftSqlShim.column(Fnv1a64(GraftSqlShim.expression(s)))
+}

@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tests for the training-pipeline operators: dedup family, similarity
+  * search, text analysis, multimodal plumbing. */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-operators-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("exact dedup groups identical content") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDuplicates(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L), (2L, 1L))) // keep_id → dup_cnt
+  }
+
+  test("cosine_similarity exact on known vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f))
+    ).toDF("a", "b")
+    val got = df.select(cosine_similarity(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+    // zero vector and length mismatch → NULL
+    val nulls = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(cosine_similarity(col("a"), col("b"))).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
+  test("fnv1a64 known test vectors") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("", "a", "hello").toDF("t")
+      .select(fnv1a64(col("t"))).collect().map(_.getLong(0))
+    // published FNV-1a 64 vectors
+    assert(got(0) == 0xcbf29ce484222325L)
+    assert(got(1) == 0xaf63dc4c8601ec8cL)
+    assert(got(2) == 0xa430d84680aabd0bL)
+  }
+
+  test("simhash: identical docs equal, near docs close, far docs far") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("dog", "cat")
+    val far = "completely different words appear here nothing shared at all today"
+    val got = Seq(base, base, near, far).toDF("text")
+      .select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(got(0) == got(1))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(got(0), got(2)) < hamming(got(0), got(3)))
+  }
+
+  test("minhash signature estimates jaccard") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 30).map(i => s"tok$i").mkString(" ") + " " +
+      (100 to 109).map(i => s"tok$i").mkString(" ") // true J = 30/50 = 0.6
+    val df = Seq(a, b).toDF("text")
+      .select(Dedup.minhashSignature(Dedup.shingles(col("text"), 1), 64).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == 64)
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 64.0
+    assert(est > 0.3 && est < 0.9, s"estimate $est")
+    // determinism across evaluations
+    val again = df.collect().map(_.getSeq[Long](0))
+    assert(again(0) == sigs(0))
+  }
+
+  test("minhash LSH candidate pairs find planted near-dups") {
+    val s = spark
+    import s.implicits._
+    val doc = (1 to 50).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 48).map(i => s"w$i").mkString(" ") + " x y"
+    val other = (200 to 250).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(df, "doc_id", "text",
+      shingleSize = 2, numHashes = 16, bands = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), pairs.toSeq)
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), pairs.toSeq)
+  }
+
+  test("jaccard exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("brute force and LSH topk agree on the top hit") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(7)._2
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5).collect()
+    assert(bf(0).getLong(0) == 7L) // self is nearest
+    assert(math.abs(bf(0).getDouble(1) - 1.0) < 1e-9)
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", q, 5, planes = 6).collect()
+    assert(lsh(0).getLong(0) == 7L)
+  }
+
+  test("text stats + quality + langid") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "the cat sat on the mat and it is nice",
+      "der hund und die katze sind nicht da",
+      "le chat est dans la maison pour une heure",
+      "el perro y la casa es una cosa que")
+      .toDF("text")
+    val langs = df.select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "de", "fr", "es"), langs.toSeq)
+
+    val stats = df.limit(1).select(
+      TextOps.tokenCount(col("text")),
+      TextOps.stopwordRatio(col("text")),
+      TextOps.qualityScore(col("text"))).collect()(0)
+    assert(stats.getLong(0) == 10L)
+    assert(stats.getDouble(1) > 0.3)
+    assert(stats.getDouble(2) > 0.5)
+  }
+
+  test("multimodal decode stub: schema, determinism, metadata") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "hello world this is a blob"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.decodeFeatures(s, Multimodal.documentBlobs(df))
+      .collect().sortBy(_.doc_id)
+    assert(out.length == 2)
+    assert(out(0).n_bytes == 26L)
+    assert(out(0).features.length == Multimodal.FeatureDim)
+    assert(out(0).width == 16 + ('h' & 0x3f))
+    assert(out(1).n_bytes == 0L)
+    // deterministic
+    val again = Multimodal.decodeFeatures(s, Multimodal.documentBlobs(df))
+      .collect().sortBy(_.doc_id)
+    assert(again(0).features.toSeq == out(0).features.toSeq)
+  }
+}
