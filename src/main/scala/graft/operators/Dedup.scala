@@ -38,25 +38,26 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** MinHash signature (array<long> of length k) over a shingle array:
-    * one xxhash64 per shingle, then the native MinHashSig kernel derives
-    * all k components in a single pass (wraparound affine family — done
-    * natively because ANSI mode forbids overflowing multiply in SQL). */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
+  /** MinHash signature (array<long> of length k) over a text column: the
+    * fused MinHashSignature kernel shingles, hashes, and min-hashes the
+    * token array in one pass (see exprs.scala for why fusion matters). */
+  def minhashSignature(textCol: Column, shingleSize: Int, k: Int): Column = {
     import org.apache.spark.sql.graft.GraftSqlShim
     GraftSqlShim.column(
-      MinHashSig(GraftSqlShim.expression(transform(shingleCol, s => xxhash64(s))), k))
+      MinHashSignature(GraftSqlShim.expression(split(textCol, " ")), shingleSize, k))
   }
 
-  /** LSH band keys: k = bands * rowsPerBand; one struct(band, bucket) per
-    * band, bucket = hash of the band's signature slice. */
-  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64((0 until rowsPerBand)
-          .map(r => element_at(sigCol, b * rowsPerBand + r + 1)): _*).as("bucket"))
-    }: _*)
+  private def bandBuckets(sigCol: Column, bands: Int, rowsPerBand: Int): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShim
+    GraftSqlShim.column(
+      BandBuckets(GraftSqlShim.expression(sigCol), bands, rowsPerBand))
+  }
+
+  private def sigAgreement(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.GraftSqlShim
+    GraftSqlShim.column(
+      SigAgreement(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+  }
 
   /** Candidate near-duplicate pairs via banded LSH over minhash signatures.
     *
@@ -75,19 +76,17 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sigs = df.select(
       col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("sig"))
+      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
     val exploded = sigs
-      .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+      .select(col("id"), col("sig"),
+        posexplode(bandBuckets(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(
-          zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes).as("est_jaccard"))
+        sigAgreement(col("a.sig"), col("b.sig")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()
   }
@@ -99,10 +98,10 @@ object Dedup {
     (size(array_intersect(aShingles, bShingles)).cast("double") /
       size(array_union(aShingles, bShingles)).cast("double"))
 
-  /** SimHash near-dup bucket key per document (see TextExprs.SimHash64):
-    * documents whose simhash differs in few bits are near-duplicates. */
+  /** SimHash near-dup bucket key per document (see SimHash64): documents
+    * whose simhash differs in few bits are near-duplicates. */
   def simhash(textCol: Column): Column =
-    graft.operators.simhash64(transform(split(textCol, " "), t => xxhash64(t)))
+    graft.operators.simhash64(split(textCol, " "))
 
   /** Embedding near-duplicate pairs: sign-random-projection LSH buckets,
     * then exact cosine within each bucket. Pure shuffle-join on the bucket

@@ -68,28 +68,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** 64-bit SimHash over an array of 64-bit token hashes: per bit position,
-  * sum +1/-1 across tokens and keep the sign bit. Near-duplicate documents
-  * have small Hamming distance. Empty/NULL input → NULL. */
+/** 64-bit SimHash over a token array: hash each token (FNV-1a 64), then
+  * per bit position sum +1/-1 across tokens and keep the sign bit.
+  * Near-duplicate documents have small Hamming distance. Token hashing is
+  * fused in (same interpreted-child rationale as MinHashSignature).
+  * Empty/NULL input → NULL. */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 expects array<bigint> of token hashes, got ${other.sql}")
+      s"simhash64 expects array<string> of tokens, got ${other.sql}")
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val hashes = v.asInstanceOf[ArrayData]
-    val n = hashes.numElements()
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
     if (n == 0) return null
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
+      val h = if (toks.isNullAt(i)) 0L
+        else HashKernels.mix(HashKernels.fnv1a(toks.getUTF8String(i)))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -109,39 +112,84 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** MinHash signature over an array of 64-bit base hashes: sig[i] =
-  * min_h(a_i*h + b_i) with Java wraparound arithmetic (an affine family
-  * over Z/2^64; odd multipliers are bijective). One pass over the hashes
-  * for all k components — O(n·k) cheap long ops, no per-component array
-  * traversals, and immune to ANSI overflow checking (wraparound is the
-  * point). Empty/NULL input → NULL. */
-case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+private[operators] object HashKernels {
+  /** FNV-1a 64 over a UTF8String's bytes. */
+  def fnv1a(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — decorrelates combined hashes. */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** Fused MinHash-signature kernel: token array → n-token shingle hashes →
+  * k-component signature, all in one JVM pass (no intermediate shingle
+  * strings, no per-component array traversals). The k hash family is
+  * affine with Java wraparound arithmetic (a_j odd → bijective over
+  * Z/2^64) — done natively partly BECAUSE ANSI SQL forbids overflowing
+  * multiply. Duplicate shingles need no dedup: min over a multiset equals
+  * min over its set. Empty/NULL input → NULL.
+  *
+  * Fusing matters: a CodegenFallback parent forces its child tree into
+  * interpreted eval, so a compositional transform()/slice()/concat_ws()
+  * shingle pipeline underneath pays per-element lambda-binding costs —
+  * measured ~20× slower than this kernel at sf0.1. */
+case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "minhash_sig"
+  override def prettyName: String = "minhash_signature"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig expects array<bigint> of base hashes, got ${other.sql}")
+      s"minhash_signature expects array<string> of tokens, got ${other.sql}")
   }
 
   // Deterministic affine family, seeded with a fixed LCG so signatures are
   // reproducible across runs and sessions.
-  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+  @transient private lazy val family: (Array[Long], Array[Long]) = {
     var s = 0x9e3779b97f4a7c15L
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
     (Array.fill(k)(next() | 1L), Array.fill(k)(next()))
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val hashes = v.asInstanceOf[ArrayData]
-    val n = hashes.numElements()
+    val (as, bs) = family
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
     if (n == 0) return null
-    val sig = Array.fill(k)(Long.MaxValue)
+    // rolling window of token hashes → combined shingle hash
+    val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
+      th(i) = if (toks.isNullAt(i)) 0L else HashKernels.fnv1a(toks.getUTF8String(i))
+      i += 1
+    }
+    val sig = Array.fill(k)(Long.MaxValue)
+    val nShingles = math.max(1, n - shingleSize + 1)
+    i = 0
+    while (i < nShingles) {
+      var h = 0L
+      var w = 0
+      while (w < shingleSize && i + w < n) {
+        h = h * 0x100000001b3L + th(i + w)
+        w += 1
+      }
+      h = HashKernels.mix(h)
       var j = 0
       while (j < k) {
         val m = as(j) * h + bs(j)
@@ -154,6 +202,76 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with Co
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH band buckets from a minhash signature: bucket b = hash of signature
+  * components [b*rowsPerBand, (b+1)*rowsPerBand). Output array<long> of
+  * length `bands`, position = band index (pair with posexplode). */
+case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "band_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"band_buckets expects array<bigint> signature, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData]
+    if (sig.numElements() < bands * rowsPerBand) return null
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong // band id folded in: same values in different bands ≠ same bucket
+      var r = 0
+      while (r < rowsPerBand) {
+        h = h * 0x100000001b3L + sig.getLong(b * rowsPerBand + r)
+        r += 1
+      }
+      out(b) = HashKernels.mix(h)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fraction of equal components between two equal-length signatures — the
+  * MinHash Jaccard estimate. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sig_agreement"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sig_agreement expects two array<bigint> signatures, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0 || n != y.numElements()) return null
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** FNV-1a 64-bit rolling hash over a string's UTF-8 bytes — a cheap,

@@ -8,8 +8,8 @@ package object operators {
   def cosine_similarity(a: Column, b: Column): Column =
     GraftSqlShim.column(CosineSimilarity(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
-  def simhash64(tokenHashes: Column): Column =
-    GraftSqlShim.column(SimHash64(GraftSqlShim.expression(tokenHashes)))
+  def simhash64(tokens: Column): Column =
+    GraftSqlShim.column(SimHash64(GraftSqlShim.expression(tokens)))
 
   def fnv1a64(s: Column): Column =
     GraftSqlShim.column(Fnv1a64(GraftSqlShim.expression(s)))

@@ -80,7 +80,7 @@ class OperatorsSpec extends AnyFunSuite {
     val b = (1 to 30).map(i => s"tok$i").mkString(" ") + " " +
       (100 to 109).map(i => s"tok$i").mkString(" ") // true J = 30/50 = 0.6
     val df = Seq(a, b).toDF("text")
-      .select(Dedup.minhashSignature(Dedup.shingles(col("text"), 1), 64).as("sig"))
+      .select(Dedup.minhashSignature(col("text"), 1, 64).as("sig"))
     val sigs = df.collect().map(_.getSeq[Long](0))
     assert(sigs(0).length == 64)
     val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 64.0
