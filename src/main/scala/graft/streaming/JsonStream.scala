@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.JsonFunctions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured-Streaming entry points: the JSON functions are ordinary
+ * Catalyst expressions, so they compose with watermarks, windows, and
+ * stateful operators with no extra work — this module packages the
+ * common shapes.
+ *
+ * The reference library has no streaming of its own (SURVEY.md §2.3);
+ * these exist so a pipeline consuming a JSON event stream can run the
+ * same extractions incrementally.
+ */
+object JsonStream {
+
+  /** events-shaped streaming source over a parquet path (the test tables'
+    * ts column is TIMESTAMP(NANOS) → read as nanos long, convert). */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Windowed aggregation driven by JSON extractions: count + sum(k) per
+    * (window, event_type), late data bounded by the watermark. */
+  def windowedJsonAgg(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(json_get_int(col("props"), lit("k"))).as("sum_k"))
+
+  case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)
+
+  /** Custom streaming state: running per-user event count and k-sum via
+    * flatMapGroupsWithState (the arbitrary-state API; one state row per
+    * user, emitted on every update). */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"),
+        coalesce(json_get_int(col("props"), lit("k")), lit(0L)).as("k"))
+      .as[(Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[UserAgg]) => {
+          var agg = state.getOption.getOrElse(UserAgg(userId, 0L, 0L))
+          rows.foreach { case (_, k) =>
+            agg = UserAgg(userId, agg.n_events + 1, agg.sum_k + k)
+          }
+          state.update(agg)
+          Iterator.single(agg)
+        })
+  }
+}

