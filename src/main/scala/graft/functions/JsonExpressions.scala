@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - any parse error, missing key, index out of bounds, negative index, or
  *    type mismatch → NULL (json_contains → false), never an error.
  */
-abstract class JsonPathExpression extends Expression with CodegenFallback {
+abstract class JsonPathExpression extends Expression {
 
   protected def jsonChild: Expression = children.head
   protected def pathChildren: Seq[Expression] = children.tail
@@ -69,16 +70,69 @@ abstract class JsonPathExpression extends Expression with CodegenFallback {
 
   override def eval(input: InternalRow): Any = {
     val j = jsonChild.eval(input)
-    val json: String = j match {
-      case null           => null
-      case s: UTF8String  => s.toString
-      case r: InternalRow => JsonUnionType.toJsonText(r) // chained json_get
-      case other          => other.toString
-    }
     val path =
       if (staticPath != null) staticPath
       else buildPath(pathChildren.map(_.eval(input)))
-    compute(json, path)
+    compute(toJsonString(j), path)
+  }
+
+  private def toJsonString(j: Any): String = j match {
+    case null           => null
+    case s: UTF8String  => s.toString
+    case r: InternalRow => JsonUnionType.toJsonText(r) // chained json_get
+    case other          => other.toString
+  }
+
+  /** Entry point for generated code: boxed json child value + boxed path
+    * values (null when the path is all-literal and precomputed). */
+  def computeFromCodegen(json: Object, pathVals: Array[Object]): Any = {
+    val path =
+      if (pathVals == null) staticPath
+      else buildPath(scala.collection.immutable.ArraySeq.unsafeWrapArray(pathVals))
+    compute(toJsonString(json), path)
+  }
+
+  /** Children are evaluated with their own generated code (pipelines stay
+    * inside WholeStageCodegen — no InternalRow materialization, unlike
+    * CodegenFallback); only the navigation kernel itself is a virtual call
+    * on the bound expression reference. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftJsonExpr", this,
+      classOf[JsonPathExpression].getName)
+    val jsonEv = jsonChild.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxedType = CodeGenerator.boxedType(dataType)
+    val res = ctx.freshName("graftRes")
+    val jsonVal = ctx.freshName("graftJson")
+
+    val (pathSetup, pathArg) =
+      if (pathChildren.forall(_.foldable)) {
+        ("", "null")
+      } else {
+        val arr = ctx.freshName("graftPath")
+        val evs = pathChildren.map(_.genCode(ctx))
+        val fill = evs.zipWithIndex.map { case (e, i) =>
+          s"""${e.code}
+             |$arr[$i] = ${e.isNull} ? null : (Object) ${e.value};""".stripMargin
+        }.mkString("\n")
+        (s"Object[] $arr = new Object[${pathChildren.size}];\n$fill", arr)
+      }
+
+    val unbox = dataType match {
+      case LongType    => s"(($boxedType) $res).longValue()"
+      case DoubleType  => s"(($boxedType) $res).doubleValue()"
+      case BooleanType => s"(($boxedType) $res).booleanValue()"
+      case _           => s"($javaType) $res"
+    }
+
+    ev.copy(code = code"""
+      ${jsonEv.code}
+      Object $jsonVal = ${jsonEv.isNull} ? null : (Object) ${jsonEv.value};
+      $pathSetup
+      Object $res = $ref.computeFromCodegen($jsonVal, $pathArg);
+      boolean ${ev.isNull} = ($res == null);
+      $javaType ${ev.value} = ${ev.isNull}
+        ? ${CodeGenerator.defaultValue(dataType)} : $unbox;""")
   }
 
   protected def compute(json: String, path: Array[JsonNav.PathElem]): Any
