@@ -12,19 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class JsonFunctionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    JsonFunctions.registerAll(s)
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   import JsonFunctions._
 

@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.JsonNav
+import graft.functions.JsonNav._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests of the navigation core (no Spark session — pure kernel).
+  * Mirrors the reference's jiter_json_find semantics
+  * (reference src/common.rs:525-557). */
+class JsonNavSpec extends AnyFunSuite {
+
+  private def p(elems: Any*): Array[PathElem] = elems.map {
+    case s: String => Key(s)
+    case i: Int    => Index(i.toLong)
+    case e: PathElem => e
+  }.toArray
+
+  test("lazy navigation ignores garbage after the found value") {
+    val v = JsonNav.find("""{"a": 1} trailing garbage""", p("a"))
+    assert(v.kind == KLong && v.longV == 1L)
+  }
+
+  test("incomplete documents resolve paths that lie before the break") {
+    // jiter-style: find succeeds if the value START is reachable
+    assert(JsonNav.contains("[1,2,3", p(2)))
+    assert(!JsonNav.contains("[1,2", p(2)))
+    assert(JsonNav.find("""{"a": {"b"}""", p("x")).kind == KMissing)
+  }
+
+  test("strings containing brackets and escaped quotes are skipped intact") {
+    val json = """{"a": "}{][", "b": "x\"y", "c": 7}"""
+    assert(JsonNav.find(json, p("c")).longV == 7L)
+    assert(JsonNav.find(json, p("b")).strV == "x\"y")
+  }
+
+  test("empty-string key and unicode keys") {
+    assert(JsonNav.find("""{"": 1}""", p("")).longV == 1L)
+    assert(JsonNav.find("""{"ключ": "значение"}""", p("ключ")).strV == "значение")
+  }
+
+  test("surrogate-pair unicode escapes decode") {
+    val v = JsonNav.find("\"\\ud83d\\ude00\"", p())
+    assert(v.kind == KStr && v.strV == "😀")
+  }
+
+  test("number forms") {
+    assert(JsonNav.find("-0", p()).kind == KLong)
+    assert(JsonNav.find("-0", p()).longV == 0L)
+    assert(JsonNav.find("9223372036854775807", p()).longV == Long.MaxValue)
+    // i64 overflow degrades to double (reference panics — deliberate divergence)
+    assert(JsonNav.find("9223372036854775808", p()).kind == KDouble)
+    assert(JsonNav.find("1e3", p()).kind == KDouble)
+    assert(JsonNav.find("1e3", p()).doubleV == 1000.0)
+    assert(JsonNav.find("0.5", p()).doubleV == 0.5)
+    assert(JsonNav.find("01", p()).kind == KMissing) // leading zero
+    assert(JsonNav.find("1.", p()).kind == KMissing)
+    assert(JsonNav.find(".5", p()).kind == KMissing)
+    assert(JsonNav.find("1e", p()).kind == KMissing)
+    assert(JsonNav.find("trueX", p()).kind == KMissing)
+  }
+
+  test("mixed key/index paths") {
+    val json = """{"a": [{"b": [10, 20]}, {"b": [30]}]}"""
+    assert(JsonNav.find(json, p("a", 1, "b", 0)).longV == 30L)
+    assert(JsonNav.find(json, p("a", 0, "b", 1)).longV == 20L)
+    assert(JsonNav.find(json, p("a", 2)).kind == KMissing)
+    assert(JsonNav.find(json, p("a", 0, "c")).kind == KMissing)
+    assert(JsonNav.find(json, p(JsonNav.NoMatch)).kind == KMissing)
+  }
+
+  test("raw slices preserve interior text verbatim") {
+    val json = """{"a": [ 1 ,  {"x": "\n"} ], "b": 4.2E+1}"""
+    assert(JsonNav.find(json, p("a")).raw == """[ 1 ,  {"x": "\n"} ]""")
+    assert(JsonNav.find(json, p("b")).raw == "4.2E+1")
+    val els = JsonNav.elements(json, p("a"))
+    assert(els.toSeq == Seq("1", """{"x": "\n"}"""))
+  }
+
+  test("length and keys on edge shapes") {
+    assert(JsonNav.length("{}", p()) == 0L)
+    assert(JsonNav.length("[]", p()) == 0L)
+    assert(JsonNav.length("\"str\"", p()) == -1L)
+    assert(JsonNav.objectKeys("""{"snake_case": 1, "camelCase": 2}""", p())
+      .toSeq == Seq("snake_case", "camelCase"))
+    assert(JsonNav.objectKeys("[1]", p()) == null)
+  }
+
+  test("whitespace tolerance everywhere") {
+    assert(JsonNav.find("   {  \"a\"  :   [ 1 , 2 ]  }  ", p("a", 1)).longV == 2L)
+    assert(JsonNav.contains("\t\n {\"k\": null} ", p("k")))
+  }
+
+  test("json quoting round trip") {
+    assert(JsonNav.quote("a\"b\\c\nde") == "\"a\\\"b\\\\c\\nd\\u0001e\"")
+  }
+
+  test("rust-style double formatting") {
+    assert(JsonNav.formatDouble(1.0) == "1")
+    assert(JsonNav.formatDouble(-2.0) == "-2")
+    assert(JsonNav.formatDouble(1.5) == "1.5")
+    assert(JsonNav.formatDouble(0.42) == "0.42")
+  }
+}

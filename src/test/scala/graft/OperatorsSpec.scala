@@ -9,16 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * search, text analysis, multimodal plumbing. */
 class OperatorsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-operators-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   test("exact dedup groups identical content") {
     val s = spark

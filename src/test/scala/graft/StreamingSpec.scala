@@ -8,16 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * processAllAvailable against a memory sink (spark_guide.md pattern). */
 class StreamingSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-streaming-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   /** FileStreamSource wants a directory — stage the single events file. */
   lazy val eventsPath: String = {
