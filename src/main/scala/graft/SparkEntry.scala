@@ -138,6 +138,31 @@ object SparkEntry {
           json_get_int(json_get(jdoc, lit("obj")), lit("v")).as("v"))
         .orderBy(col("event_id"))),
 
+    // json extraction composed with a broadcast dimension join + agg —
+    // the shape that must never shuffle the fact side's payloads
+    "q_enrich_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      ev.where(json_contains(col("props"), lit("k")))
+        .join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(json_get_int(col("props"), lit("k"))).as("sum_k"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // TPC-H Q1-ish pricing summary (integer sums — l_quantity is integral;
+    // exact across engines regardless of aggregation order)
+    "q_pricing" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
     // ---- training-data pipeline operators (documents / embeddings) ----
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -283,6 +308,20 @@ object SparkEntry {
          | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q_nested_get" ->
       s"SELECT event_id, CAST(json_extract_string($jdocSql, '$$.obj.v') AS BIGINT) AS v FROM events ORDER BY event_id",
+
+    "q_enrich_join" ->
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         | FROM events JOIN customer ON user_id = c_custkey
+         | WHERE json_extract(props, '$$.k') IS NOT NULL
+         | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replaceAll("\n", " "),
+    "q_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         | CAST(count(*) AS BIGINT) AS n
+         | FROM lineitem WHERE l_shipdate <= '1998-09-02'
+         | GROUP BY l_returnflag, l_linestatus
+         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " "),
 
     // ---- training-data pipeline oracles ----
     "q_dedup_exact" ->

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape assertions — the properties that decide 100 TB behavior:
+ * column pruning reaching the scan, broadcast joins for small dims,
+ * whole-stage codegen covering the json hot path, and shuffle-free joins
+ * between co-bucketed tables.
+ */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("json filter+project: scan reads only referenced columns") {
+    val df = SparkEntry.queries("q_get_int")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // events has 6 columns; only event_id + props may be read
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,props:string>"), plan)
+  }
+
+  test("json expressions run inside WholeStageCodegen") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(JsonFunctions.json_contains(col("props"), lit("k")))
+      .select(JsonFunctions.json_get_int(col("props"), lit("k")).as("k"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the Filter and Project lines carry the codegen-stage star
+    assert(plan.contains("*(1) Filter"), plan)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("dimension join broadcasts (no shuffle of the fact side)") {
+    val df = SparkEntry.queries("q_enrich_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("co-bucketed tables join with zero exchanges") {
+    val s = spark
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val li = s.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = s.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    graft.sources.Tables.writeBucketed(li, "li_b", "l_orderkey", 8, Some("l_orderkey"))
+    graft.sources.Tables.writeBucketed(ord, "ord_b", "o_orderkey", 8, Some("o_orderkey"))
+    try {
+      // disable broadcast so the bucketed layout is what avoids the shuffle
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("li_b")
+        .join(s.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS li_b")
+      s.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("minhash LSH plan: equi-join on bucket keys, no cartesian") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
