@@ -259,6 +259,14 @@ object SparkEntry {
       operators.Multimodal.decodeFeatures(s,
           operators.Multimodal.documentBlobs(table(s, dir, "documents")))
         .toDF()
+        .orderBy(col("doc_id"))),
+
+    // full curation composition: annotate → exact dedup → LSH near-dedup →
+    // quality filter (rows-only: fingerprints/minhash are engine hashes)
+    "q_curation" -> ((s, dir) =>
+      operators.Curation.curate(table(s, dir, "documents"), "doc_id", "text",
+          minQuality = 0.2, nearDupThreshold = 0.8)
+        .drop("text")
         .orderBy(col("doc_id")))
   )
 

@@ -155,4 +155,22 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().sortBy(_.doc_id)
     assert(again(0).features.toSeq == out(0).features.toSeq)
   }
+
+  test("curation pipeline: exact dup, near dup, and junk removed") {
+    val s = spark
+    import s.implicits._
+    val good = (1 to 30).map(i => s"w$i the of and is it").mkString(" ")
+    val nearGood = (1 to 29).map(i => s"w$i the of and is it").mkString(" ") + " z1 z2"
+    val junk = "%%% !!! ###"
+    val df = Seq(
+      (1L, good), (2L, good),       // exact dup: keep 1, drop 2
+      (3L, nearGood),               // near dup of 1: dropped
+      (4L, junk),                   // low quality: dropped
+      (5L, "the sun and the moon rise over it all and this is a calm evening of light")
+    ).toDF("doc_id", "text")
+    val kept = Curation.curate(df, "doc_id", "text",
+      minQuality = 0.3, nearDupThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 5L), kept.toSeq)
+  }
 }
