@@ -73,14 +73,16 @@ abstract class JsonPathExpression extends Expression {
     val path =
       if (staticPath != null) staticPath
       else buildPath(pathChildren.map(_.eval(input)))
-    compute(toJsonString(j), path)
+    compute(toJsonUtf8(j), path)
   }
 
-  private def toJsonString(j: Any): String = j match {
+  private def toJsonUtf8(j: Any): UTF8String = j match {
     case null           => null
-    case s: UTF8String  => s.toString
-    case r: InternalRow => JsonUnionType.toJsonText(r) // chained json_get
-    case other          => other.toString
+    case s: UTF8String  => s // no decode: the scanner reads the UTF-8 bytes
+    case r: InternalRow => // chained json_get
+      val t = JsonUnionType.toJsonText(r)
+      if (t == null) null else UTF8String.fromString(t)
+    case other          => UTF8String.fromString(other.toString)
   }
 
   /** Entry point for generated code: boxed json child value + boxed path
@@ -89,7 +91,7 @@ abstract class JsonPathExpression extends Expression {
     val path =
       if (pathVals == null) staticPath
       else buildPath(scala.collection.immutable.ArraySeq.unsafeWrapArray(pathVals))
-    compute(toJsonString(json), path)
+    compute(toJsonUtf8(json), path)
   }
 
   /** Children are evaluated with their own generated code (pipelines stay
@@ -135,14 +137,14 @@ abstract class JsonPathExpression extends Expression {
         ? ${CodeGenerator.defaultValue(dataType)} : $unbox;""")
   }
 
-  protected def compute(json: String, path: Array[JsonNav.PathElem]): Any
+  protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any
 }
 
 /** `json_get(json, *path) → json union struct`. Reference src/json_get.rs:16-151. */
 case class JsonGet(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = JsonUnionType.sparkType
   override def prettyName: String = "json_get"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any =
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any =
     JsonUnionType.fromValue(JsonNav.find(json, path))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
@@ -152,9 +154,9 @@ case class JsonGet(children: Seq[Expression]) extends JsonPathExpression {
 case class JsonGetStr(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "json_get_str"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any = {
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
     val v = JsonNav.find(json, path)
-    if (v.kind == JsonNav.KStr) UTF8String.fromString(v.strV) else null
+    if (v.kind == JsonNav.KStr) v.strU else null
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
@@ -165,12 +167,12 @@ case class JsonGetStr(children: Seq[Expression]) extends JsonPathExpression {
 case class JsonGetInt(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "json_get_int"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any = {
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
     val v = JsonNav.find(json, path)
     v.kind match {
       case JsonNav.KLong => v.longV
       case JsonNav.KStr =>
-        try java.lang.Long.parseLong(v.strV)
+        try java.lang.Long.parseLong(v.strU.toString)
         catch { case _: NumberFormatException => null }
       case _ => null
     }
@@ -184,12 +186,12 @@ case class JsonGetInt(children: Seq[Expression]) extends JsonPathExpression {
 case class JsonGetFloat(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "json_get_float"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any = {
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
     val v = JsonNav.find(json, path)
     v.kind match {
       case JsonNav.KDouble => v.doubleV
       case JsonNav.KLong   => v.longV.toDouble
-      case JsonNav.KStr    => JsonGetFloat.parseF64(v.strV)
+      case JsonNav.KStr    => JsonGetFloat.parseF64(v.strU.toString)
       case _               => null
     }
   }
@@ -227,12 +229,13 @@ object JsonGetFloat {
 case class JsonGetBool(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "json_get_bool"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any = {
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
     val v = JsonNav.find(json, path)
     v.kind match {
       case JsonNav.KBool => v.boolV
       case JsonNav.KStr =>
-        if (v.strV == "true") true else if (v.strV == "false") false else null
+        if (v.strV == "true") true
+        else if (v.strV == "false") false else null
       case _ => null
     }
   }
@@ -246,9 +249,9 @@ case class JsonGetBool(children: Seq[Expression]) extends JsonPathExpression {
 case class JsonGetJson(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "json_get_json"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any = {
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
     val v = JsonNav.find(json, path)
-    if (v.kind == JsonNav.KMissing) null else UTF8String.fromString(v.raw)
+    if (v.kind == JsonNav.KMissing) null else v.rawU
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
@@ -259,10 +262,10 @@ case class JsonGetJson(children: Seq[Expression]) extends JsonPathExpression {
 case class JsonGetArray(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "json_get_array"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any = {
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
     val els = JsonNav.elements(json, path)
     if (els == null) null
-    else new GenericArrayData(els.map(e => UTF8String.fromString(e): Any))
+    else new GenericArrayData(els.map(e => e: Any))
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
@@ -273,12 +276,12 @@ case class JsonGetArray(children: Seq[Expression]) extends JsonPathExpression {
 case class JsonAsText(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "json_as_text"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any = {
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
     val v = JsonNav.find(json, path)
     v.kind match {
       case JsonNav.KMissing | JsonNav.KNull => null
-      case JsonNav.KStr                     => UTF8String.fromString(v.strV)
-      case _                                => UTF8String.fromString(v.raw)
+      case JsonNav.KStr                     => v.strU
+      case _                                => v.rawU
     }
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
@@ -297,7 +300,7 @@ case class JsonContains(children: Seq[Expression]) extends JsonPathExpression {
       TypeCheckResult.TypeCheckFailure("json_contains requires at least 2 arguments")
     } else super.checkInputDataTypes()
   }
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any =
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any =
     JsonNav.contains(json, path)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
@@ -308,7 +311,7 @@ case class JsonContains(children: Seq[Expression]) extends JsonPathExpression {
 case class JsonLength(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "json_length"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any = {
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
     val l = JsonNav.length(json, path)
     if (l < 0) null else l
   }
@@ -321,10 +324,10 @@ case class JsonLength(children: Seq[Expression]) extends JsonPathExpression {
 case class JsonObjectKeys(children: Seq[Expression]) extends JsonPathExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "json_object_keys"
-  override protected def compute(json: String, path: Array[JsonNav.PathElem]): Any = {
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
     val ks = JsonNav.objectKeys(json, path)
     if (ks == null) null
-    else new GenericArrayData(ks.map(k => UTF8String.fromString(k): Any))
+    else new GenericArrayData(ks.map(k => k: Any))
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(children = c)
@@ -371,7 +374,7 @@ case class JsonFromScalar(child: Expression) extends UnaryExpression with Codege
         doubleUnion(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
       case _: StringType =>
         JsonUnionType.fromValue(
-          new JsonNav.Value(JsonNav.KStr, false, 0L, 0.0, v.asInstanceOf[UTF8String].toString, null))
+          new JsonNav.Value(JsonNav.KStr, false, 0L, 0.0, v.asInstanceOf[UTF8String], null))
       case _ => null
     }
   }

@@ -1,27 +1,35 @@
 package graft.functions
 
+import org.apache.spark.unsafe.types.UTF8String
+
 /**
  * Streaming JSON path navigator — the engine's equivalent of the reference's
- * `jiter_json_find` (reference: src/common.rs:525-557). Scans the raw JSON
- * text of a string column lazily: object keys are linearly scanned (first
- * match wins, reference src/common.rs:531-539), array elements are skipped
- * up to the requested index, and nothing after the found value is validated
- * (lazy semantics). Any structural error before/at the target yields
- * `Missing` — never an exception (reference src/common.rs:304,409 maps all
- * `GetError`s to NULL).
+ * `jiter_json_find` (reference: src/common.rs:525-557). Operates directly on
+ * the column's UTF-8 bytes (no UTF-16 decode of the document — Spark strings
+ * are UTF8String): object keys are linearly scanned (first match wins,
+ * reference src/common.rs:531-539) comparing raw byte ranges, array elements
+ * are skipped up to the requested index, and nothing after the found value
+ * is validated (lazy semantics). Any structural error before/at the target
+ * yields `Missing` — never an exception (reference src/common.rs:304,409
+ * maps all `GetError`s to NULL).
  *
- * Values are extracted together with their verbatim raw text slice so that
+ * Values are extracted together with their verbatim raw byte slice so that
  * `json_get_json` / `json_as_text` / the union's array/object members can
  * return the original notation unchanged (e.g. `4.2e-1` stays `4.2e-1`,
- * reference src/json_get.rs:131-143).
+ * reference src/json_get.rs:131-143) — a zero-decode `UTF8String.fromBytes`
+ * view. All JSON structural bytes are ASCII; UTF-8 continuation bytes only
+ * occur inside strings, where the scanner only matches '"' and '\\', so
+ * byte-level scanning is exact.
  */
 object JsonNav {
 
   /** Path element. Mirrors reference `JsonPath` (src/common.rs:84-103):
-   *  string key, non-negative index, or None (never matches — produced by
-   *  negative indices, SQL NULL path args, unsupported types). */
+   *  string key, non-negative index, or NoMatch (never matches — produced
+   *  by negative indices, SQL NULL path args, unsupported types). */
   sealed trait PathElem
-  final case class Key(k: String) extends PathElem
+  final case class Key(k: String) extends PathElem {
+    val bytes: Array[Byte] = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
   final case class Index(i: Long) extends PathElem
   case object NoMatch extends PathElem
 
@@ -36,63 +44,81 @@ object JsonNav {
   final val KArray   = 5
   final val KObject  = 6
 
-  /** Parsed value at a path. `raw` is the verbatim slice of the input text
-   *  (for strings: still quoted/escaped); `strV` is the unescaped string
+  /** Parsed value at a path. `rawU` is the verbatim byte slice of the input
+   *  (for strings: still quoted/escaped); `strU` is the unescaped string
    *  value (KStr only). */
   final class Value(
       val kind: Int,
       val boolV: Boolean,
       val longV: Long,
       val doubleV: Double,
-      val strV: String,
-      val raw: String)
+      val strU: UTF8String,
+      val rawU: UTF8String) {
+    def strV: String = if (strU == null) null else strU.toString
+    def raw: String = if (rawU == null) null else rawU.toString
+  }
 
   val Missing = new Value(KMissing, false, 0L, 0.0, null, null)
-  private val JNull = new Value(KNull, false, 0L, 0.0, null, "null")
-  private val JTrue = new Value(KBool, true, 0L, 0.0, null, "true")
-  private val JFalse = new Value(KBool, false, 0L, 0.0, null, "false")
+  private val RawNull = UTF8String.fromString("null")
+  private val RawTrue = UTF8String.fromString("true")
+  private val RawFalse = UTF8String.fromString("false")
+  private val JNull = new Value(KNull, false, 0L, 0.0, null, RawNull)
+  private val JTrue = new Value(KBool, true, 0L, 0.0, null, RawTrue)
+  private val JFalse = new Value(KBool, false, 0L, 0.0, null, RawFalse)
 
   /** Navigate `path` inside `json` and parse the value found there. */
-  def find(json: String, path: Array[PathElem]): Value = {
+  def find(json: UTF8String, path: Array[PathElem]): Value = {
     if (json == null) return Missing
-    val sc = new Scanner(json)
+    val sc = new Scanner(json.getBytes)
     if (!sc.navigate(path)) Missing else sc.readValue()
   }
 
   /** Raw-JSON element slices of the array at `path`, or null if the value
    *  there is not an array (reference src/json_get_array.rs:119-144). */
-  def elements(json: String, path: Array[PathElem]): Array[String] = {
+  def elements(json: UTF8String, path: Array[PathElem]): Array[UTF8String] = {
     if (json == null) return null
-    val sc = new Scanner(json)
+    val sc = new Scanner(json.getBytes)
     if (!sc.navigate(path)) return null
     sc.readArrayElements()
   }
 
   /** Keys of the object at `path` in document order, or null
    *  (reference src/json_object_keys.rs:122-141). */
-  def objectKeys(json: String, path: Array[PathElem]): Array[String] = {
+  def objectKeys(json: UTF8String, path: Array[PathElem]): Array[UTF8String] = {
     if (json == null) return null
-    val sc = new Scanner(json)
+    val sc = new Scanner(json.getBytes)
     if (!sc.navigate(path)) return null
     sc.readObjectKeys()
   }
 
   /** Array element count / object key count at `path`; -1 → SQL NULL
    *  (scalars, strings, missing: reference src/json_length.rs:99-128). */
-  def length(json: String, path: Array[PathElem]): Long = {
+  def length(json: UTF8String, path: Array[PathElem]): Long = {
     if (json == null) return -1L
-    val sc = new Scanner(json)
+    val sc = new Scanner(json.getBytes)
     if (!sc.navigate(path)) return -1L
     sc.countAt()
   }
 
   /** True iff `path` resolves to any value — including a JSON null
    *  (reference src/json_contains.rs:103-106: `find(...).is_some()`). */
-  def contains(json: String, path: Array[PathElem]): Boolean = {
+  def contains(json: UTF8String, path: Array[PathElem]): Boolean = {
     if (json == null) return false
-    val sc = new Scanner(json)
+    val sc = new Scanner(json.getBytes)
     sc.navigate(path) && sc.peekIsValueStart()
   }
+
+  // String-input conveniences (tests, chained-union path).
+  def find(json: String, path: Array[PathElem]): Value =
+    find(if (json == null) null else UTF8String.fromString(json), path)
+  def elements(json: String, path: Array[PathElem]): Array[UTF8String] =
+    elements(if (json == null) null else UTF8String.fromString(json), path)
+  def objectKeys(json: String, path: Array[PathElem]): Array[UTF8String] =
+    objectKeys(if (json == null) null else UTF8String.fromString(json), path)
+  def length(json: String, path: Array[PathElem]): Long =
+    length(if (json == null) null else UTF8String.fromString(json), path)
+  def contains(json: String, path: Array[PathElem]): Boolean =
+    contains(if (json == null) null else UTF8String.fromString(json), path)
 
   /** JSON-quote + escape a string per RFC 8259 (matches serde_json's
    *  escaping, used by json_union_to_text's string arm:
@@ -128,25 +154,30 @@ object JsonNav {
     else d.toString
   }
 
-  /** One pass over a JSON string. Not thread-safe; one instance per call. */
-  private final class Scanner(s: String) {
-    private val n = s.length
+  /** One pass over a JSON document's UTF-8 bytes. Not thread-safe; one
+   *  instance per call. */
+  private final class Scanner(bytes: Array[Byte]) {
+    private val n = bytes.length
     private var pos = 0
     private var failed = false
 
+    // ASCII byte constants
+    private final val QUOTE = '"'.toByte
+    private final val BACKSLASH = '\\'.toByte
+
     private def skipWs(): Unit = {
       while (pos < n) {
-        val c = s.charAt(pos)
-        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        val b = bytes(pos)
+        if (b == ' ' || b == '\t' || b == '\n' || b == '\r') pos += 1
         else return
       }
     }
 
     def peekIsValueStart(): Boolean = {
       if (failed || pos >= n) return false
-      val c = s.charAt(pos)
-      c == '{' || c == '[' || c == '"' || c == 't' || c == 'f' || c == 'n' ||
-        c == '-' || (c >= '0' && c <= '9')
+      val b = bytes(pos)
+      b == '{' || b == '[' || b == QUOTE || b == 't' || b == 'f' || b == 'n' ||
+        b == '-' || (b >= '0' && b <= '9')
     }
 
     /** Position the scanner at the start of the value addressed by `path`.
@@ -158,8 +189,8 @@ object JsonNav {
       while (i < path.length) {
         if (failed || pos >= n) return false
         val ok = path(i) match {
-          case Key(k)   => s.charAt(pos) == '{' && seekKey(k)
-          case Index(j) => s.charAt(pos) == '[' && seekIndex(j)
+          case k: Key   => bytes(pos) == '{' && seekKey(k)
+          case Index(j) => bytes(pos) == '[' && seekIndex(j)
           case NoMatch  => false
         }
         if (!ok || failed) return false
@@ -170,24 +201,24 @@ object JsonNav {
 
     /** pos at '{': scan keys linearly; first match wins. Leaves pos at the
      *  matched key's value start. */
-    private def seekKey(k: String): Boolean = {
+    private def seekKey(k: Key): Boolean = {
       pos += 1
       skipWs()
-      if (pos < n && s.charAt(pos) == '}') return false
+      if (pos < n && bytes(pos) == '}') return false
       while (true) {
-        if (pos >= n || s.charAt(pos) != '"') { failed = true; return false }
-        val key = readString()
+        if (pos >= n || bytes(pos) != QUOTE) { failed = true; return false }
+        val m = matchKey(k)
         if (failed) return false
         skipWs()
-        if (pos >= n || s.charAt(pos) != ':') { failed = true; return false }
+        if (pos >= n || bytes(pos) != ':') { failed = true; return false }
         pos += 1
         skipWs()
-        if (key == k) return true
+        if (m) return true
         skipValue()
         if (failed) return false
         skipWs()
         if (pos >= n) { failed = true; return false }
-        s.charAt(pos) match {
+        bytes(pos) match {
           case ',' => pos += 1; skipWs()
           case '}' => return false
           case _   => failed = true; return false
@@ -196,19 +227,49 @@ object JsonNav {
       false
     }
 
+    /** pos at '"': advance past the key; true iff it equals k. Clean keys
+     *  (no escapes) compare as raw byte ranges — zero allocation. */
+    private def matchKey(k: Key): Boolean = {
+      pos += 1
+      val start = pos
+      while (pos < n) {
+        val b = bytes(pos)
+        if (b == QUOTE) {
+          val len = pos - start
+          pos += 1
+          return len == k.bytes.length && regionEquals(start, k.bytes)
+        } else if (b == BACKSLASH) {
+          val s = readStringSlowFrom(start)
+          return !failed && s != null && s.toString == k.k
+        } else if ((b & 0xff) < 0x20) { failed = true; return false }
+        else pos += 1
+      }
+      failed = true
+      false
+    }
+
+    private def regionEquals(start: Int, target: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < target.length) {
+        if (bytes(start + i) != target(i)) return false
+        i += 1
+      }
+      true
+    }
+
     /** pos at '[': skip `idx` elements; leaves pos at element idx's start. */
     private def seekIndex(idx: Long): Boolean = {
       if (idx < 0) return false
       pos += 1
       skipWs()
-      if (pos < n && s.charAt(pos) == ']') return false
+      if (pos < n && bytes(pos) == ']') return false
       var i = 0L
       while (i < idx) {
         skipValue()
         if (failed) return false
         skipWs()
         if (pos >= n) { failed = true; return false }
-        s.charAt(pos) match {
+        bytes(pos) match {
           case ',' => pos += 1; skipWs()
           case ']' => return false
           case _   => failed = true; return false
@@ -218,31 +279,38 @@ object JsonNav {
       pos < n
     }
 
-    /** Unescape the string starting at pos (must be '"'). Fast path:
-     *  substring when no escapes. */
-    private def readString(): String = {
+    /** Unescape the string starting at pos (must be '"'). Fast path: a
+     *  zero-decode byte-slice view when no escapes are present. */
+    private def readStringU(): UTF8String = {
       pos += 1
       val start = pos
       while (pos < n) {
-        val c = s.charAt(pos)
-        if (c == '"') { val r = s.substring(start, pos); pos += 1; return r }
-        else if (c == '\\' || c < ' ') return readStringSlow(start)
+        val b = bytes(pos)
+        if (b == QUOTE) {
+          val r = UTF8String.fromBytes(bytes, start, pos - start)
+          pos += 1
+          return r
+        } else if (b == BACKSLASH) return readStringSlowFrom(start)
+        else if ((b & 0xff) < 0x20) { failed = true; return null }
         else pos += 1
       }
       failed = true
       null
     }
 
-    private def readStringSlow(start: Int): String = {
+    /** Escape-bearing string: decode into UTF-16 then back (rare path).
+     *  `start` is the first content byte; pos sits at the first backslash. */
+    private def readStringSlowFrom(start: Int): UTF8String = {
       val sb = new java.lang.StringBuilder(16)
-      sb.append(s, start, pos)
+      sb.append(new String(bytes, start, pos - start,
+        java.nio.charset.StandardCharsets.UTF_8))
       while (pos < n) {
-        val c = s.charAt(pos)
-        if (c == '"') { pos += 1; return sb.toString }
-        else if (c == '\\') {
+        val b = bytes(pos)
+        if (b == QUOTE) { pos += 1; return UTF8String.fromString(sb.toString) }
+        else if (b == BACKSLASH) {
           pos += 1
           if (pos >= n) { failed = true; return null }
-          (s.charAt(pos): @annotation.switch) match {
+          (bytes(pos): @annotation.switch) match {
             case '"'  => sb.append('"'); pos += 1
             case '\\' => sb.append('\\'); pos += 1
             case '/'  => sb.append('/'); pos += 1
@@ -254,14 +322,27 @@ object JsonNav {
             case 'u'  =>
               pos += 1
               if (pos + 4 > n) { failed = true; return null }
-              try {
-                sb.append(Integer.parseInt(s.substring(pos, pos + 4), 16).toChar)
-              } catch { case _: NumberFormatException => failed = true; return null }
+              var cp = 0
+              var i = 0
+              while (i < 4) {
+                val d = Character.digit(bytes(pos + i), 16)
+                if (d < 0) { failed = true; return null }
+                cp = (cp << 4) | d
+                i += 1
+              }
+              sb.append(cp.toChar)
               pos += 4
             case _ => failed = true; return null
           }
-        } else if (c < ' ') { failed = true; return null }
-        else { sb.append(c); pos += 1 }
+        } else if ((b & 0xff) < 0x20) { failed = true; return null }
+        else {
+          // copy a clean run (may contain multi-byte UTF-8)
+          val runStart = pos
+          while (pos < n && bytes(pos) != QUOTE && bytes(pos) != BACKSLASH &&
+            (bytes(pos) & 0xff) >= 0x20) pos += 1
+          sb.append(new String(bytes, runStart, pos - runStart,
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
       }
       failed = true
       null
@@ -272,16 +353,16 @@ object JsonNav {
      *  (lazy, like jiter's skip). */
     private def skipValue(): Unit = {
       if (pos >= n) { failed = true; return }
-      val c = s.charAt(pos)
-      if (c == '"') skipString()
-      else if (c == '{' || c == '[') {
+      val b = bytes(pos)
+      if (b == QUOTE) skipString()
+      else if (b == '{' || b == '[') {
         var depth = 0
         while (pos < n) {
-          val ch = s.charAt(pos)
-          if (ch == '"') skipString()
+          val c = bytes(pos)
+          if (c == QUOTE) skipString()
           else {
-            if (ch == '{' || ch == '[') depth += 1
-            else if (ch == '}' || ch == ']') depth -= 1
+            if (c == '{' || c == '[') depth += 1
+            else if (c == '}' || c == ']') depth -= 1
             pos += 1
           }
           if (depth == 0) return
@@ -291,9 +372,9 @@ object JsonNav {
       } else {
         // scalar: run to a structural boundary
         while (pos < n) {
-          val ch = s.charAt(pos)
-          if (ch == ',' || ch == '}' || ch == ']' || ch == ' ' || ch == '\t' ||
-              ch == '\n' || ch == '\r') return
+          val c = bytes(pos)
+          if (c == ',' || c == '}' || c == ']' || c == ' ' || c == '\t' ||
+              c == '\n' || c == '\r') return
           pos += 1
         }
       }
@@ -302,49 +383,62 @@ object JsonNav {
     private def skipString(): Unit = {
       pos += 1
       while (pos < n) {
-        val c = s.charAt(pos)
-        if (c == '\\') pos += 2
-        else if (c == '"') { pos += 1; return }
+        val b = bytes(pos)
+        if (b == BACKSLASH) pos += 2
+        else if (b == QUOTE) { pos += 1; return }
         else pos += 1
       }
       failed = true
     }
 
-    /** After a literal/number: the next char must terminate the value. */
+    /** After a literal/number: the next byte must terminate the value. */
     private def validEnd(): Boolean = {
       if (pos >= n) return true
-      val c = s.charAt(pos)
-      c == ',' || c == '}' || c == ']' || c == ' ' || c == '\t' ||
-        c == '\n' || c == '\r'
+      val b = bytes(pos)
+      b == ',' || b == '}' || b == ']' || b == ' ' || b == '\t' ||
+        b == '\n' || b == '\r'
+    }
+
+    private def raw(start: Int): UTF8String =
+      UTF8String.fromBytes(bytes, start, pos - start)
+
+    private def literalAt(start: Int, lit: String): Boolean = {
+      if (start + lit.length > n) return false
+      var i = 0
+      while (i < lit.length) {
+        if (bytes(start + i) != lit.charAt(i).toByte) return false
+        i += 1
+      }
+      true
     }
 
     /** Parse the value at pos into a typed result with its raw slice. */
     def readValue(): Value = {
       if (failed || pos >= n) return Missing
       val start = pos
-      s.charAt(pos) match {
-        case '"' =>
-          val v = readString()
+      bytes(pos) match {
+        case QUOTE =>
+          val v = readStringU()
           if (failed) Missing
-          else new Value(KStr, false, 0L, 0.0, v, s.substring(start, pos))
+          else new Value(KStr, false, 0L, 0.0, v, raw(start))
         case '{' =>
           skipValue()
           if (failed) Missing
-          else new Value(KObject, false, 0L, 0.0, null, s.substring(start, pos))
+          else new Value(KObject, false, 0L, 0.0, null, raw(start))
         case '[' =>
           skipValue()
           if (failed) Missing
-          else new Value(KArray, false, 0L, 0.0, null, s.substring(start, pos))
+          else new Value(KArray, false, 0L, 0.0, null, raw(start))
         case 't' =>
-          if (s.startsWith("true", pos)) { pos += 4; if (validEnd()) JTrue else Missing }
+          if (literalAt(pos, "true")) { pos += 4; if (validEnd()) JTrue else Missing }
           else Missing
         case 'f' =>
-          if (s.startsWith("false", pos)) { pos += 5; if (validEnd()) JFalse else Missing }
+          if (literalAt(pos, "false")) { pos += 5; if (validEnd()) JFalse else Missing }
           else Missing
         case 'n' =>
-          if (s.startsWith("null", pos)) { pos += 4; if (validEnd()) JNull else Missing }
+          if (literalAt(pos, "null")) { pos += 4; if (validEnd()) JNull else Missing }
           else Missing
-        case c if c == '-' || (c >= '0' && c <= '9') => readNumber(start)
+        case b if b == '-' || (b >= '0' && b <= '9') => readNumber(start)
         case _ => Missing
       }
     }
@@ -352,56 +446,70 @@ object JsonNav {
     /** Strict-ish JSON number: no leading zeros, digits required around
      *  '.', and after 'e'. Ints that overflow Long fall back to double
      *  (the reference panics on BigInt, src/json_get.rs:147 — we degrade
-     *  gracefully instead). */
+     *  gracefully instead). Longs parse straight off the bytes. */
     private def readNumber(start: Int): Value = {
       var isFloat = false
-      if (s.charAt(pos) == '-') pos += 1
-      if (pos >= n || !isDigit(s.charAt(pos))) return Missing
-      if (s.charAt(pos) == '0' && pos + 1 < n && isDigit(s.charAt(pos + 1))) return Missing
-      while (pos < n && isDigit(s.charAt(pos))) pos += 1
-      if (pos < n && s.charAt(pos) == '.') {
-        isFloat = true
+      var neg = false
+      if (bytes(pos) == '-') { neg = true; pos += 1 }
+      if (pos >= n || !isDigit(bytes(pos))) return Missing
+      if (bytes(pos) == '0' && pos + 1 < n && isDigit(bytes(pos + 1))) return Missing
+      val digitsStart = pos
+      var acc = 0L
+      while (pos < n && isDigit(bytes(pos))) {
+        acc = acc * 10 + (bytes(pos) - '0')
         pos += 1
-        if (pos >= n || !isDigit(s.charAt(pos))) return Missing
-        while (pos < n && isDigit(s.charAt(pos))) pos += 1
       }
-      if (pos < n && (s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) {
+      val intDigits = pos - digitsStart
+      if (pos < n && bytes(pos) == '.') {
         isFloat = true
         pos += 1
-        if (pos < n && (s.charAt(pos) == '+' || s.charAt(pos) == '-')) pos += 1
-        if (pos >= n || !isDigit(s.charAt(pos))) return Missing
-        while (pos < n && isDigit(s.charAt(pos))) pos += 1
+        if (pos >= n || !isDigit(bytes(pos))) return Missing
+        while (pos < n && isDigit(bytes(pos))) pos += 1
+      }
+      if (pos < n && (bytes(pos) == 'e' || bytes(pos) == 'E')) {
+        isFloat = true
+        pos += 1
+        if (pos < n && (bytes(pos) == '+' || bytes(pos) == '-')) pos += 1
+        if (pos >= n || !isDigit(bytes(pos))) return Missing
+        while (pos < n && isDigit(bytes(pos))) pos += 1
       }
       if (!validEnd()) return Missing
-      val raw = s.substring(start, pos)
+      val text = raw(start)
       if (!isFloat) {
-        try new Value(KLong, false, java.lang.Long.parseLong(raw), 0.0, null, raw)
-        catch {
-          case _: NumberFormatException =>
-            new Value(KDouble, false, 0L, java.lang.Double.parseDouble(raw), null, raw)
+        if (intDigits <= 18) {
+          // fits a Long for sure — parsed during the scan
+          new Value(KLong, false, if (neg) -acc else acc, 0.0, null, text)
+        } else {
+          val s = text.toString
+          try new Value(KLong, false, java.lang.Long.parseLong(s), 0.0, null, text)
+          catch {
+            case _: NumberFormatException =>
+              new Value(KDouble, false, 0L, java.lang.Double.parseDouble(s), null, text)
+          }
         }
       } else {
-        new Value(KDouble, false, 0L, java.lang.Double.parseDouble(raw), null, raw)
+        new Value(KDouble, false, 0L,
+          java.lang.Double.parseDouble(text.toString), null, text)
       }
     }
 
-    private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+    private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
 
     /** pos at a value start: if '[', slice each element verbatim. */
-    def readArrayElements(): Array[String] = {
-      if (failed || pos >= n || s.charAt(pos) != '[') return null
+    def readArrayElements(): Array[UTF8String] = {
+      if (failed || pos >= n || bytes(pos) != '[') return null
       pos += 1
       skipWs()
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (pos < n && s.charAt(pos) == ']') return out.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      if (pos < n && bytes(pos) == ']') return out.toArray
       while (pos < n) {
         val start = pos
         skipValue()
         if (failed) return null
-        out += s.substring(start, pos)
+        out += raw(start)
         skipWs()
         if (pos >= n) return null
-        s.charAt(pos) match {
+        bytes(pos) match {
           case ',' => pos += 1; skipWs()
           case ']' => return out.toArray
           case _   => return null
@@ -411,26 +519,26 @@ object JsonNav {
     }
 
     /** pos at a value start: if '{', collect keys in document order. */
-    def readObjectKeys(): Array[String] = {
-      if (failed || pos >= n || s.charAt(pos) != '{') return null
+    def readObjectKeys(): Array[UTF8String] = {
+      if (failed || pos >= n || bytes(pos) != '{') return null
       pos += 1
       skipWs()
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (pos < n && s.charAt(pos) == '}') return out.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+      if (pos < n && bytes(pos) == '}') return out.toArray
       while (pos < n) {
-        if (s.charAt(pos) != '"') return null
-        val key = readString()
+        if (bytes(pos) != QUOTE) return null
+        val key = readStringU()
         if (failed) return null
         out += key
         skipWs()
-        if (pos >= n || s.charAt(pos) != ':') return null
+        if (pos >= n || bytes(pos) != ':') return null
         pos += 1
         skipWs()
         skipValue()
         if (failed) return null
         skipWs()
         if (pos >= n) return null
-        s.charAt(pos) match {
+        bytes(pos) match {
           case ',' => pos += 1; skipWs()
           case '}' => return out.toArray
           case _   => return null
@@ -442,7 +550,7 @@ object JsonNav {
     /** pos at a value start: array element count, object key count, else -1. */
     def countAt(): Long = {
       if (failed || pos >= n) return -1L
-      s.charAt(pos) match {
+      bytes(pos) match {
         case '[' =>
           val els = readArrayElements()
           if (els == null) -1L else els.length.toLong

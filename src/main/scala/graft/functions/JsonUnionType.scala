@@ -52,11 +52,11 @@ object JsonUnionType {
       case KDouble =>
         row(TypeIdFloat, 3, v.doubleV)
       case KStr =>
-        row(TypeIdStr, 4, UTF8String.fromString(v.strV))
+        row(TypeIdStr, 4, v.strU)
       case KArray =>
-        row(TypeIdArray, 5, UTF8String.fromString(v.raw))
+        row(TypeIdArray, 5, v.rawU)
       case KObject =>
-        row(TypeIdObject, 6, UTF8String.fromString(v.raw))
+        row(TypeIdObject, 6, v.rawU)
       case _ => null // KMissing, KNull
     }
   }

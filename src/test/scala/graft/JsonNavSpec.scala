@@ -73,7 +73,7 @@ class JsonNavSpec extends AnyFunSuite {
     assert(JsonNav.find(json, p("a")).raw == """[ 1 ,  {"x": "\n"} ]""")
     assert(JsonNav.find(json, p("b")).raw == "4.2E+1")
     val els = JsonNav.elements(json, p("a"))
-    assert(els.toSeq == Seq("1", """{"x": "\n"}"""))
+    assert(els.map(_.toString).toSeq == Seq("1", """{"x": "\n"}"""))
   }
 
   test("length and keys on edge shapes") {
@@ -81,7 +81,7 @@ class JsonNavSpec extends AnyFunSuite {
     assert(JsonNav.length("[]", p()) == 0L)
     assert(JsonNav.length("\"str\"", p()) == -1L)
     assert(JsonNav.objectKeys("""{"snake_case": 1, "camelCase": 2}""", p())
-      .toSeq == Seq("snake_case", "camelCase"))
+      .map(_.toString).toSeq == Seq("snake_case", "camelCase"))
     assert(JsonNav.objectKeys("[1]", p()) == null)
   }
 
