@@ -13,11 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    JsonFunctions.registry.foreach { case (name, builder) =>
-      e.injectFunction(
-        (FunctionIdentifier(name),
-          new ExpressionInfo("graft", name),
-          builder))
+    (JsonFunctions.registry ++ JsonFunctions.operatorRegistry).foreach {
+      case (name, builder) =>
+        e.injectFunction(
+          (FunctionIdentifier(name),
+            new ExpressionInfo("graft", name),
+            builder))
     }
     // Cast elision must run during analysis: Spark's CheckAnalysis would
     // reject CAST(<union struct> AS INT) before an optimizer rule could

@@ -36,12 +36,31 @@ object JsonFunctions {
     "scalar_to_json" -> (es => JsonFromScalar(es.head)),
     "json_union_to_text" -> (es => JsonUnionToText(es.head)))
 
+  /** Kernel expressions from the pipeline-operator layer, exposed to SQL
+    * as well (int parameters must be literals). */
+  val operatorRegistry: Seq[(String, Seq[Expression] => Expression)] = {
+    import graft.operators._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def litInt(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    Seq(
+      "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+      "simhash64" -> (es => SimHash64(es.head)),
+      "fnv1a64" -> (es => Fnv1a64(es.head)),
+      "minhash_signature" -> (es => MinHashSignature(es(0),
+        litInt(es(1), "shingle size"), litInt(es(2), "num hashes"))),
+      "sig_agreement" -> (es => SigAgreement(es(0), es(1))))
+  }
+
   val optimizerRules = Seq(JsonCastElision, JsonCallUnnest)
 
   /** Register everything on a live session (idempotent). The alternative,
     * config-driven path is `spark.sql.extensions=graft.GraftExtensions`. */
   def registerAll(spark: SparkSession): Unit = {
-    registry.foreach { case (name, builder) =>
+    (registry ++ operatorRegistry).foreach { case (name, builder) =>
       GraftSqlShim.register(spark, name, builder)
     }
     val existing = spark.experimental.extraOptimizations

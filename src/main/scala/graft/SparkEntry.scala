@@ -246,6 +246,16 @@ object SparkEntry {
       operators.Similarity.lshTopK(emb, "vec_id", "embedding", q, 20)
     }),
 
+    // IVF-cell approximate neighbor search (partition-pruning scale path;
+    // rows-only)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20,
+        nCells = 16, nProbe = 4)
+    }),
+
     // multimodal decode plumbing: binary blobs → metadata (stub codec)
     "q_mm_meta" -> ((s, dir) =>
       operators.Multimodal.decodeFeatures(s,

@@ -50,6 +50,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) approximate top-k: vectors are assigned to their
+    * nearest centroid's cell; a query probes only the `nProbe` cells whose
+    * centroids are closest to it. Centroids here are a deterministic sample
+    * of the data (ids 0..C-1) — one k-means sweep would refine them, but
+    * cell assignment, probing, and pruning behave identically.
+    *
+    * Scale path: `cellOf` is a narrow map; persisting the table partitioned
+    * by cell turns every query into a partition-pruned read of nProbe/C of
+    * the data. Centroids are driver-held (C×dim floats — tiny) and ship to
+    * executors inside the expression, i.e. an implicit broadcast. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids: Array[(Int, Array[Float])] = df
+      .where(col(idCol) < nCells)
+      .select(col(idCol).cast("int"), col(vecCol))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = centroids.sortBy { case (_, c) => -cos(query, c) }
+      .take(nProbe).map(_._1)
+    // cell assignment: argmax cosine against each centroid (expression tree
+    // of C cosine kernels; C is small by construction)
+    val cellCol = {
+      val scored = centroids.map { case (id, c) =>
+        struct(coalesce(cosine(col(vecCol), typedlit(c)), lit(-2.0)).as("score"),
+          lit(id).as("cell"))
+      }
+      greatest(scored.toIndexedSeq: _*).getField("cell")
+    }
+    val qLit = typedlit(query)
+    df.select(col(idCol), col(vecCol), cellCol.as("cell"))
+      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col(idCol), cosine(col(vecCol), qLit).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** SRP-LSH-bucketed approximate top-k: scan only rows whose bucket matches
     * the query's bucket or differs by one bit (multi-probe). */
   def lshTopK(

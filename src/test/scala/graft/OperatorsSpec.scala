@@ -173,4 +173,32 @@ class OperatorsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(1L, 5L), kept.toSeq)
   }
+
+  test("IVF topk probes nearest cells and finds the neighbor") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 13 + d * 5).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(23)._2
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q, 5, nCells = 8, nProbe = 4)
+      .collect()
+    assert(ivf(0).getLong(0) == 23L) // self is nearest and must be probed
+    assert(math.abs(ivf(0).getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("kernel expressions usable from SQL") {
+    JsonFunctions.registerAll(spark)
+    val r = spark.sql(
+      """select cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) c,
+        |       fnv1a64('hello') f,
+        |       simhash64(array('a', 'b')) s,
+        |       sig_agreement(minhash_signature(array('a','b','c'), 1, 16),
+        |                     minhash_signature(array('a','b','c'), 1, 16)) j
+        |""".stripMargin.replaceAll("\n", " ")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == 0xa430d84680aabd0bL)
+    assert(r.getDouble(3) == 1.0)
+  }
 }
