@@ -34,7 +34,8 @@ object JsonFunctions {
     "json_keys" -> (JsonObjectKeys(_)),
     "json_from_scalar" -> (es => JsonFromScalar(es.head)),
     "scalar_to_json" -> (es => JsonFromScalar(es.head)),
-    "json_union_to_text" -> (es => JsonUnionToText(es.head)))
+    "json_union_to_text" -> (es => JsonUnionToText(es.head)),
+    "json_union_display" -> (es => JsonUnionDisplay(es.head)))
 
   /** Kernel expressions from the pipeline-operator layer, exposed to SQL
     * as well (int parameters must be literals). */
@@ -92,6 +93,7 @@ object JsonFunctions {
     build(json, path)(JsonObjectKeys(_))
   def json_from_scalar(v: Column): Column = col(JsonFromScalar(ex(v)))
   def json_union_to_text(v: Column): Column = col(JsonUnionToText(ex(v)))
+  def json_union_display(v: Column): Column = col(JsonUnionDisplay(ex(v)))
 
   // ---- operator DSL ----
 

@@ -163,6 +163,21 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // BASELINE.md bench-parity shapes: two-key literal paths over the
+    // constructed doc (mirrors the reference's criterion benches)
+    "q_contains2" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          json_contains(jdoc, lit("obj"), lit("v")).as("has_ov"),
+          json_contains(jdoc, lit("obj"), lit("w")).as("has_ow"))
+        .orderBy(col("event_id"))),
+
+    "q_as_text2" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          json_as_text(jdoc, lit("obj"), lit("v")).as("ov_txt"))
+        .orderBy(col("event_id"))),
+
     // ---- training-data pipeline operators (documents / embeddings) ----
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -340,6 +355,13 @@ object SparkEntry {
          | FROM lineitem WHERE l_shipdate <= '1998-09-02'
          | GROUP BY l_returnflag, l_linestatus
          | ORDER BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", " "),
+
+    "q_contains2" ->
+      s"""SELECT event_id, json_extract($jdocSql, '$$.obj.v') IS NOT NULL AS has_ov,
+         | json_extract($jdocSql, '$$.obj.w') IS NOT NULL AS has_ow
+         | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q_as_text2" ->
+      s"SELECT event_id, json_extract_string($jdocSql, '$$.obj.v') AS ov_txt FROM events ORDER BY event_id",
 
     // ---- training-data pipeline oracles ----
     "q_dedup_exact" ->

@@ -386,6 +386,29 @@ case class JsonFromScalar(child: Expression) extends UnaryExpression with Codege
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `json_union_display`: the reference's union display form (`{str=abc}`,
+ *  `{int=5}`, `{null=}` — tests/main.rs:77-91), for golden-output parity. */
+case class JsonUnionDisplay(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "json_union_display"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case st: StructType if JsonUnionType.isUnionType(st) => TypeCheckResult.TypeCheckSuccess
+    case NullType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"json_union_display expects a json union struct, got ${other.sql}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    UTF8String.fromString(
+      JsonUnionType.displayForm(if (v == null) null else v.asInstanceOf[InternalRow]))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `json_union_to_text`: flatten a json union struct to canonical JSON text
  *  (strings re-quoted + escaped, array/object raw passthrough, JSON null →
  *  SQL NULL). Exists because Parquet can't store unions.

@@ -68,6 +68,24 @@ object JsonUnionType {
     new GenericInternalRow(arr)
   }
 
+  /** Reference-style display form of a union value: `{str=abc}`, `{int=5}`,
+    * `{null=}` … (the format the reference's golden tests print, e.g.
+    * tests/main.rs:77-91). SQL NULL renders as `{null=}` to match the
+    * non-dict display of both missing and JSON-null. */
+  def displayForm(r: InternalRow): String = {
+    if (r == null) return "{null=}"
+    r.getByte(0) match {
+      case TypeIdNull   => "{null=}"
+      case TypeIdBool   => s"{bool=${r.getBoolean(1)}}"
+      case TypeIdInt    => s"{int=${r.getLong(2)}}"
+      case TypeIdFloat  => s"{float=${JsonNav.formatDouble(r.getDouble(3))}}"
+      case TypeIdStr    => s"{str=${r.getUTF8String(4)}}"
+      case TypeIdArray  => s"{array=${r.getUTF8String(5)}}"
+      case TypeIdObject => s"{object=${r.getUTF8String(6)}}"
+      case _            => "{null=}"
+    }
+  }
+
   /** Flatten a union struct back to JSON text (the canonical form used both
    *  by `json_union_to_text` — reference src/json_union_to_text.rs:82-118 —
    *  and when a union value is fed back into a path function as its JSON

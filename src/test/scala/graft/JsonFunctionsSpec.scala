@@ -188,6 +188,17 @@ class JsonFunctionsSpec extends AnyFunSuite {
     assert(one("""select json_union_to_text(json_get('{"a": 2.0}', 'a'))""") == "2")
   }
 
+  test("json_union_display reference golden form (tests/main.rs:77-91)") {
+    assert(one("""select json_union_display(json_get('{"a": "abc"}', 'a'))""") == "{str=abc}")
+    assert(one("""select json_union_display(json_get('{"a": 5}', 'a'))""") == "{int=5}")
+    assert(one("""select json_union_display(json_get('{"a": 1.5}', 'a'))""") == "{float=1.5}")
+    assert(one("""select json_union_display(json_get('{"a": true}', 'a'))""") == "{bool=true}")
+    assert(one("""select json_union_display(json_get('{"a": [1]}', 'a'))""") == "{array=[1]}")
+    // both JSON-null and missing display as {null=} in the non-dict form
+    assert(one("""select json_union_display(json_get('{"a": null}', 'a'))""") == "{null=}")
+    assert(one("""select json_union_display(json_get('{"a": 1}', 'b'))""") == "{null=}")
+  }
+
   test("json_from_scalar sweep (tests/main.rs:2261-2906)") {
     assert(one("select json_union_to_text(json_from_scalar(42))") == "42")
     assert(one("select json_union_to_text(json_from_scalar(true))") == "true")

@@ -75,4 +75,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("directory-partitioned writes prune at the scan") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type", "props")
+    graft.sources.Tables.writePartitioned(ev, out, "event_type")
+    val back = s.read.parquet(out).where(col("event_type") === "click")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(back.count() > 0)
+    assert(back.count() == ev.where(col("event_type") === "click").count())
+  }
 }
