@@ -70,4 +70,61 @@ object Multimodal {
     * table for this container (no real image data ships with the tests). */
   def documentBlobs(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("text").cast("binary").as("blob"))
+
+  /** One resized "image": same record shape, target dimensions, and a
+    * deterministic resampled payload digest standing in for pixel data. */
+  case class ResizedMedia(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** STUB resize — stands in for a real resampling kernel. Deterministic:
+    * strided byte selection down to (targetW*targetH/16) bytes. The
+    * partition-local batching, fixed output shape, and binary payload are
+    * the production plumbing. */
+  def resize(spark: SparkSession, blobs: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val outLen = math.max(1, targetW * targetH / 16)
+        it.map { case (id, bytes) =>
+          val in = if (bytes == null) Array.emptyByteArray else bytes
+          val out = new Array[Byte](outLen)
+          if (in.nonEmpty) {
+            var i = 0
+            while (i < outLen) {
+              out(i) = in((i.toLong * in.length / outLen).toInt)
+              i += 1
+            }
+          }
+          ResizedMedia(id, targetW, targetH, out)
+        }
+      }
+  }
+
+  /** One sampled "frame" of a pseudo-video blob. */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
+
+  /** STUB frame sampler — treats the blob as a fixed-rate byte stream and
+    * emits every `stride`-th chunk (flatMap: one input row → many frames,
+    * the real cardinality shape of video decode). */
+  def sampleFrames(
+      spark: SparkSession,
+      blobs: DataFrame,
+      frameBytes: Int = 32,
+      stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val in = if (bytes == null) Array.emptyByteArray else bytes
+        val nFrames = in.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val off = f * frameBytes
+          Frame(id, f, off.toLong, java.util.Arrays.copyOfRange(in, off, off + frameBytes))
+        }
+      }
+  }
 }

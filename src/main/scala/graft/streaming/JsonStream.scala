@@ -39,6 +39,18 @@ object JsonStream {
         count(lit(1)).as("n"),
         sum(json_get_int(col("props"), lit("k"))).as("sum_k"))
 
+  /** Streaming exact dedup: drop events whose id was already seen, with
+    * state bounded by the watermark (the streaming face of Dedup —
+    * duplicates older than the watermark horizon are already filtered by
+    * their first occurrence having been emitted). */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .dropDuplicates(idCols :+ "event_ts")
+
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)
 
   /** Custom streaming state: running per-user event count and k-sum via

@@ -201,4 +201,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 0xa430d84680aabd0bL)
     assert(r.getDouble(3) == 1.0)
   }
+
+  test("multimodal resize + frame sampling plumbing") {
+    val s = spark
+    import s.implicits._
+    val blob = ("x" * 256)
+    val df = Seq((1L, blob)).toDF("doc_id", "text")
+    val resized = Multimodal.resize(s, Multimodal.documentBlobs(df), 16, 16).collect()
+    assert(resized.length == 1)
+    assert(resized(0).payload.length == 16 * 16 / 16)
+    val frames = Multimodal.sampleFrames(s, Multimodal.documentBlobs(df),
+      frameBytes = 32, stride = 2).collect()
+    assert(frames.length == 4) // 256/32 = 8 frames, stride 2 -> 0,2,4,6
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
+    assert(frames.forall(_.frame.length == 32))
+  }
 }

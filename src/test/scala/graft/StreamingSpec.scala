@@ -63,4 +63,25 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamed == batch)
   }
+
+  test("streaming dedup drops repeated ids") {
+    // duplicate the events file so every event arrives twice
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = JsonStream.readEvents(spark, dir.toString)
+    val q = JsonStream.dedupStream(stream, Seq("event_id"))
+      .select("event_id").writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.sql("select count(*) from dedup_out").collect()(0).getLong(0)
+    val distinct = spark.sql("select count(distinct event_id) from dedup_out")
+      .collect()(0).getLong(0)
+    assert(n == distinct, s"emitted $n rows but only $distinct distinct ids")
+    assert(n == 1000L)
+  }
 }
