@@ -67,4 +67,46 @@ class JsonFixturesSpec extends AnyFunSuite {
     // path arg is a whole JSON doc string — just a key that doesn't exist
     assert(!df.select(json_contains(col("j"), col("j"))).collect()(0).getBoolean(0))
   }
+
+  test("json_get with no path + cast elision (tests/main.rs test_json_get_no_path)") {
+    def one(sql: String): Any = spark.sql(sql).collect()(0).get(0)
+    assert(one("""select cast(json_get('"foo"') as string)""") == "foo")
+    assert(one("""select cast(json_get('123') as bigint)""") == 123L)
+    assert(one("""select cast(json_get('true') as bigint)""") == null)
+  }
+
+  test("comparing a union to a scalar fails analysis (test_json_get_equals)") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("""select json_get('{"a": "abc"}', 'a') = 'abc'""").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("data type mismatch") ||
+      e.getMessage.toLowerCase.contains("cannot resolve"), e.getMessage)
+  }
+
+  test("double-nested chain with column keys (test_json_get_union_array_skip_double_nested)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (""" {"foo": {"bar": [0]}} """, "foo", "bar", 0L),
+      (""" {"foo": {"bar": [1]}} """, "foo", "spam", 0L),
+      (""" {"foo": {"bar": null}} """, "foo", "bar", 0L)
+    ).toDF("json_data", "str_key1", "str_key2", "int_key")
+    val got = df.select(
+      json_get_int(
+        json_get(json_get(col("json_data"), col("str_key1")), col("str_key2")),
+        col("int_key")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+    assert(got == Seq(0L, null, null))
+  }
+
+  test("multiple column path args are supported (superset of the reference)") {
+    // the reference ERRORS on >1 array path arg (tests/main.rs:1095-1103,
+    // a kernel-dispatch limitation); row-at-a-time evaluation has no such
+    // restriction, so this engine deliberately accepts it
+    val s = spark
+    import s.implicits._
+    val df = Seq((""" {"a": {"b": 7}} """, "a", "b")).toDF("j", "k1", "k2")
+    val got = df.select(json_get_int(col("j"), col("k1"), col("k2"))).collect()(0)
+    assert(got.getLong(0) == 7L)
+  }
 }
