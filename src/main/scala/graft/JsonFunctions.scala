@@ -32,10 +32,21 @@ object JsonFunctions {
     "json_len" -> (JsonLength(_)),
     "json_object_keys" -> (JsonObjectKeys(_)),
     "json_keys" -> (JsonObjectKeys(_)),
-    "json_from_scalar" -> (es => JsonFromScalar(es.head)),
-    "scalar_to_json" -> (es => JsonFromScalar(es.head)),
-    "json_union_to_text" -> (es => JsonUnionToText(es.head)),
-    "json_union_display" -> (es => JsonUnionDisplay(es.head)))
+    "json_from_scalar" -> (es => JsonFromScalar(exactlyOne("json_from_scalar", es))),
+    "scalar_to_json" -> (es => JsonFromScalar(exactlyOne("scalar_to_json", es))),
+    "json_union_to_text" -> (es => JsonUnionToText(exactlyOne("json_union_to_text", es))),
+    "json_union_display" -> (es => JsonUnionDisplay(exactlyOne("json_union_display", es))))
+
+  /** Reference: json_from_scalar takes exactly one argument — zero or many
+    * is a planning error (tests/main.rs test_json_from_scalar_no_args /
+    * _too_many_args). */
+  private def exactlyOne(name: String, es: Seq[Expression]): Expression = {
+    if (es.length != 1) {
+      throw new IllegalArgumentException(
+        s"$name requires exactly 1 argument, got ${es.length}")
+    }
+    es.head
+  }
 
   /** Kernel expressions from the pipeline-operator layer, exposed to SQL
     * as well (int parameters must be literals). */

@@ -148,9 +148,14 @@ object JsonNav {
 
   /** Serialize a double the way Rust's `Display` does for the common cases:
    *  integral finite values print without a fractional part ("1", not
-   *  "1.0"). Mirrors json_union_to_text's float arm. */
+   *  "1.0"), infinities as "inf"/"-inf" (reference {float=inf} displays,
+   *  tests/main.rs test_json_from_scalar_float_infinity). Mirrors
+   *  json_union_to_text's float arm. */
   def formatDouble(d: Double): String = {
-    if (d.isWhole && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    if (d.isNaN) "NaN"
+    else if (d == Double.PositiveInfinity) "inf"
+    else if (d == Double.NegativeInfinity) "-inf"
+    else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
   }
 

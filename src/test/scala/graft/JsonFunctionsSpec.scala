@@ -207,6 +207,18 @@ class JsonFunctionsSpec extends AnyFunSuite {
     assert(one("select json_union_to_text(json_from_scalar(cast(null as int)))") == null)
   }
 
+  test("json_from_scalar infinity/NaN display + arity errors") {
+    assert(one("select json_union_display(json_from_scalar(cast('Infinity' as double)))")
+      == "{float=inf}")
+    assert(one("select json_union_display(json_from_scalar(cast('-Infinity' as double)))")
+      == "{float=-inf}")
+    assert(one("select json_union_display(json_from_scalar(cast('NaN' as double)))")
+      == "{float=NaN}")
+    // exactly-one-argument contract (tests/main.rs test_json_from_scalar_no_args)
+    intercept[Exception] { spark.sql("select json_from_scalar()").collect() }
+    intercept[Exception] { spark.sql("select json_from_scalar(1, 2)").collect() }
+  }
+
   // ---- chained calls + union input ----
 
   test("nested json_get chain (column path → no unnest, union input path)") {
