@@ -48,7 +48,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_filter_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * NOTE on the `.orderBy` calls: they exist solely so the driver's
+    * hash-compare against the DuckDB oracle sees a deterministic row
+    * order. They are verification plumbing, not part of the operators —
+    * production pipelines run these shapes without the global sort. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- flagship: json functions driving filter + aggregation --
     "q_filter_agg" -> ((s, dir) =>
