@@ -237,6 +237,16 @@ object SparkEntry {
           shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // two-stage near-dedup (LSH candidates → exact-Jaccard verify) plus
+    // transitive closure into duplicate clusters (rows-only)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = operators.Dedup.verifiedNearDupPairs(
+        docs, "doc_id", "text", shingleSize = 3, threshold = 0.7)
+      operators.Dedup.duplicateClusters(docs.select(col("doc_id")), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // embedding cosine near-dup pairs via SRP-LSH buckets (the synthetic
     // embeddings have no true near-dups — max pairwise cos ≈ 0.51 — so the
     // demo threshold is set below that to exercise the pipeline end-to-end)

@@ -98,6 +98,69 @@ object Dedup {
     (size(array_intersect(aShingles, bShingles)).cast("double") /
       size(array_union(aShingles, bShingles)).cast("double"))
 
+  /** Two-stage near-dup detection: LSH candidates re-checked with EXACT
+    * token-set Jaccard (joins the documents back only for the candidate
+    * pairs — the join is on ids, and candidates are a tiny fraction of the
+    * corpus, so the texts of non-candidates never shuffle). */
+  def verifiedNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val candidates = minhashCandidatePairs(df, idCol, textCol,
+      shingleSize = shingleSize, threshold = math.max(0.0, threshold - 0.2))
+    val sh = df.select(col(idCol).as("vid"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    candidates
+      .join(sh.withColumnRenamed("vid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("vid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Transitive duplicate clusters from a pair list: iterative min-label
+    * propagation (the DataFrame form of connected components — the
+    * small-star/large-star family). Returns (id, cluster_id) where
+    * cluster_id is the smallest id reachable through pair edges; rows not
+    * in any pair keep themselves as cluster_id via the caller's ids frame.
+    *
+    * Each iteration is one shuffle on id; label counts shrink
+    * geometrically, and `maxIter` bounds worst-case chains (a chain of
+    * length 2^maxIter resolves — 20 iterations cover any realistic dup
+    * graph). Keep-one-per-cluster = `cluster_id === id`.
+    */
+  def duplicateClusters(
+      ids: DataFrame,      // one column: the id universe
+      pairs: DataFrame,    // columns id_a, id_b
+      maxIter: Int = 10): DataFrame = {
+    val idName = ids.columns.head
+    // undirected edges both ways + self loops
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(ids.select(col(idName).as("src"), col(idName).as("dst")))
+      .distinct()
+    var labels = ids.select(col(idName).as("id"), col(idName).as("label"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // each node takes the min label among itself and its neighbors
+      val next = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("label")).as("next_label"))
+      val updated = labels.join(next, labels("id") === col("id2"))
+        .select(col("id"), col("next_label").as("label"),
+          (col("next_label") =!= col("label")).as("changed"))
+      // convergence check drives the loop — an aggregate, not a collect
+      val anyChanged = updated.where(col("changed")).limit(1).count() > 0
+      labels = updated.select(col("id"), col("label")).localCheckpoint()
+      converged = !anyChanged
+      i += 1
+    }
+    labels.select(col("id").as(idName), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup bucket key per document (see SimHash64): documents
     * whose simhash differs in few bits are near-duplicates. */
   def simhash(textCol: Column): Column =

@@ -216,4 +216,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
     assert(frames.forall(_.frame.length == 32))
   }
+
+  test("verified near-dup pairs: exact jaccard confirms LSH candidates") {
+    val s = spark
+    import s.implicits._
+    val doc = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = (1 to 47).map(i => s"w$i").mkString(" ") + " x y z"
+    val borderline = (1 to 30).map(i => s"w$i").mkString(" ") +
+      " " + (300 to 319).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, near), (3L, borderline)).toDF("doc_id", "text")
+    val verified = Dedup.verifiedNearDupPairs(df, "doc_id", "text",
+      shingleSize = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(verified.toSeq == Seq((1L, 2L)), verified.toSeq)
+  }
+
+  test("duplicate clusters: transitive closure via label propagation") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 8L).toDF("doc_id")
+    // chain 1-2-3, pair 5-6, singletons 4,7,8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(ids, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L), clusters)
+  }
 }
