@@ -135,16 +135,22 @@ object Dedup {
       pairs: DataFrame,    // columns id_a, id_b
       maxIter: Int = 10): DataFrame = {
     val idName = ids.columns.head
-    // undirected edges both ways + self loops
+    // undirected edges both ways + self loops; materialized ONCE — the
+    // pair list is usually the output of the full LSH pipeline, and every
+    // iteration would otherwise re-execute it
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(ids.select(col(idName).as("src"), col(idName).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = ids.select(col(idName).as("id"), col(idName).as("label"))
+      .localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      // each node takes the min label among itself and its neighbors
+      // each node takes the min label among itself and its neighbors;
+      // one checkpoint materializes both the new labels and the
+      // convergence flag (aggregate-driven — no collect of the graph)
       val next = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
@@ -152,10 +158,9 @@ object Dedup {
       val updated = labels.join(next, labels("id") === col("id2"))
         .select(col("id"), col("next_label").as("label"),
           (col("next_label") =!= col("label")).as("changed"))
-      // convergence check drives the loop — an aggregate, not a collect
-      val anyChanged = updated.where(col("changed")).limit(1).count() > 0
-      labels = updated.select(col("id"), col("label")).localCheckpoint()
-      converged = !anyChanged
+        .localCheckpoint()
+      converged = updated.where(col("changed")).limit(1).count() == 0
+      labels = updated.select(col("id"), col("label"))
       i += 1
     }
     labels.select(col("id").as(idName), col("label").as("cluster_id"))
