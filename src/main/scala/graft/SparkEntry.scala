@@ -404,6 +404,23 @@ object SparkEntry {
         |   string_split(b.text, ' ')))) AS DOUBLE) AS jac
         | FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
         | ORDER BY id_a""".stripMargin.replaceAll("\n", " "),
+    // langid: argmax of marker-token counts; max_by key = score*10+rank
+    // reproduces Spark's greatest((score, lang)) because the rank order
+    // (de<en<es<fr) IS the lang string order used for tie-breaks
+    "q_langid" ->
+      """SELECT doc_id,
+        | CASE WHEN max(score) > 0 THEN max_by(lang, score*10 + rank) ELSE 'und' END AS pred_lang
+        | FROM (
+        |  SELECT d.doc_id, u.lang, u.rank,
+        |   len(list_filter(string_split(d.text,' '), t -> list_contains(u.markers, t))) AS score
+        |  FROM documents d CROSS JOIN (VALUES
+        |   ('de', 0, ['der','die','das','und','ist','nicht','mit','ein','zu','den']),
+        |   ('en', 1, ['the','and','of','to','in','is','that','it','with','for']),
+        |   ('es', 2, ['el','la','los','las','y','es','una','en','que','por']),
+        |   ('fr', 3, ['le','la','les','et','est','une','dans','que','pour','des'])
+        |  ) AS u(lang, rank, markers)
+        | ) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "q_ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         | SELECT e.vec_id,
