@@ -193,6 +193,14 @@ object SparkEntry {
       operators.TextOps.documentStats(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // whitespace vs BPE-ish-regex token counting (LLM token budgeting)
+    "q_token_counts" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextOps.tokenCount(col("text")).as("ws_tokens"),
+          operators.TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
     "q_lang_stats" -> ((s, dir) =>
       table(s, dir, "documents")
         .groupBy(col("lang"))
@@ -392,6 +400,11 @@ object SparkEntry {
         | CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
         |   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q_token_counts" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '" +
+        operators.TextOps.BpeTokenPattern.replace("'", "''") +
+        "')) AS BIGINT) AS bpe_tokens FROM documents ORDER BY doc_id"),
     "q_lang_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars

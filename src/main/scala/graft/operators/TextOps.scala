@@ -69,6 +69,18 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** GPT-2-style pre-tokenizer pattern (contractions, space-prefixed
+    * letter/digit runs, punctuation runs). Deliberately lookahead-free so
+    * the same pattern runs under both java.util.regex and RE2 (the DuckDB
+    * oracle). */
+  val BpeTokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Token count under the BPE-ish pre-tokenizer — the number an LLM data
+    * pipeline budgets by, vs the whitespace count quality heuristics use. */
+  def bpeTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** 64-bit FNV-1a content fingerprint (see Fnv1a64). */
   def fingerprint(textCol: Column): Column = fnv1a64(textCol)
 

@@ -51,6 +51,30 @@ object JsonStream {
       .withWatermark("event_ts", watermark)
       .dropDuplicates(idCols :+ "event_ts")
 
+  /** Stream-stream self-join: correlate each `leftType` event with the same
+    * user's `rightType` events in the preceding `lagMinutes`. Both sides
+    * carry watermarks so the join state is bounded — the interval condition
+    * lets Spark expire buffered rows past the watermark+lag horizon. */
+  def correlateEvents(
+      events: DataFrame,
+      leftType: String,
+      rightType: String,
+      lagMinutes: Int = 5,
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = events.where(col("event_type") === leftType)
+      .withWatermark("event_ts", watermark)
+      .select(col("user_id").as("l_user"), col("event_ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = events.where(col("event_type") === rightType)
+      .withWatermark("event_ts", watermark)
+      .select(col("user_id").as("r_user"), col("event_ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r, expr(
+      s"""l_user = r_user AND
+         | r_ts BETWEEN l_ts - interval $lagMinutes minutes AND l_ts""".stripMargin))
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)
 
   /** Custom streaming state: running per-user event count and k-sum via

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.JsonStream
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming specs: drive the parquet file source synchronously with
@@ -83,5 +84,27 @@ class StreamingSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n == distinct, s"emitted $n rows but only $distinct distinct ids")
     assert(n == 1000L)
+  }
+
+  test("stream-stream interval self-join matches the batch join") {
+    val stream = JsonStream.readEvents(spark, eventsPath)
+    val joined = JsonStream.correlateEvents(stream, "error", "click", lagMinutes = 5)
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("corr_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql("select count(*) from corr_out").collect()(0).getLong(0)
+
+    // batch equivalent over the same file
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(eventsPath)
+      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val l = ev.where(col("event_type") === "error")
+      .select(col("user_id").as("l_user"), col("event_ts").as("l_ts"))
+    val r = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("event_ts").as("r_ts"))
+    val batch = l.join(r, expr(
+      "l_user = r_user AND r_ts BETWEEN l_ts - interval 5 minutes AND l_ts")).count()
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(batch > 0)
   }
 }
