@@ -70,16 +70,18 @@ object TextOps {
   }
 
   /** GPT-2-style pre-tokenizer pattern (contractions, space-prefixed
-    * letter/digit runs, punctuation runs). Deliberately lookahead-free so
-    * the same pattern runs under both java.util.regex and RE2 (the DuckDB
-    * oracle). */
+    * letter/digit runs, punctuation runs). Deliberately lookahead-free AND
+    * \s-free so the same pattern behaves identically under java.util.regex
+    * and RE2 (the DuckDB oracle): Java's \s includes U+000B, RE2's does
+    * not, so the whitespace set is spelled out explicitly. */
   val BpeTokenPattern: String =
-    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
 
   /** Token count under the BPE-ish pre-tokenizer — the number an LLM data
-    * pipeline budgets by, vs the whitespace count quality heuristics use. */
+    * pipeline budgets by, vs the whitespace count quality heuristics use.
+    * regexp_count counts in one pass without materializing the matches. */
   def bpeTokenCount(textCol: Column): Column =
-    size(regexp_extract_all(textCol, lit(BpeTokenPattern), lit(0))).cast("long")
+    regexp_count(textCol, lit(BpeTokenPattern)).cast("long")
 
   /** 64-bit FNV-1a content fingerprint (see Fnv1a64). */
   def fingerprint(textCol: Column): Column = fnv1a64(textCol)

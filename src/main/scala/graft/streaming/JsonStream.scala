@@ -52,16 +52,17 @@ object JsonStream {
       .dropDuplicates(idCols :+ "event_ts")
 
   /** Stream-stream self-join: correlate each `leftType` event with the same
-    * user's `rightType` events in the preceding `lagMinutes`. Both sides
-    * carry watermarks so the join state is bounded — the interval condition
-    * lets Spark expire buffered rows past the watermark+lag horizon. */
+    * user's `rightType` events STRICTLY preceding it, within `lagMinutes`.
+    * Strict (r_ts < l_ts) so leftType == rightType never pairs an event
+    * with itself. Both sides carry watermarks so the join state is bounded
+    * — the interval condition lets Spark expire buffered rows past the
+    * watermark+lag horizon. */
   def correlateEvents(
       events: DataFrame,
       leftType: String,
       rightType: String,
       lagMinutes: Int = 5,
       watermark: String = "10 minutes"): DataFrame = {
-    import org.apache.spark.sql.functions.expr
     val l = events.where(col("event_type") === leftType)
       .withWatermark("event_ts", watermark)
       .select(col("user_id").as("l_user"), col("event_ts").as("l_ts"),
@@ -72,7 +73,7 @@ object JsonStream {
         col("event_id").as("r_id"))
     l.join(r, expr(
       s"""l_user = r_user AND
-         | r_ts BETWEEN l_ts - interval $lagMinutes minutes AND l_ts""".stripMargin))
+         | r_ts >= l_ts - interval $lagMinutes minutes AND r_ts < l_ts""".stripMargin))
   }
 
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)

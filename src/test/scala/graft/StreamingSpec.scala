@@ -103,7 +103,7 @@ class StreamingSpec extends AnyFunSuite {
     val r = ev.where(col("event_type") === "click")
       .select(col("user_id").as("r_user"), col("event_ts").as("r_ts"))
     val batch = l.join(r, expr(
-      "l_user = r_user AND r_ts BETWEEN l_ts - interval 5 minutes AND l_ts")).count()
+      "l_user = r_user AND r_ts >= l_ts - interval 5 minutes AND r_ts < l_ts")).count()
     assert(streamed == batch, s"streamed $streamed vs batch $batch")
     assert(batch > 0)
   }
