@@ -67,10 +67,16 @@ object JsonFunctions {
       "sig_agreement" -> (es => SigAgreement(es(0), es(1))))
   }
 
-  val optimizerRules = Seq(JsonCastElision, JsonCallUnnest)
+  val optimizerRules = Seq(JsonCallUnnest)
 
-  /** Register everything on a live session (idempotent). The alternative,
-    * config-driven path is `spark.sql.extensions=graft.GraftExtensions`. */
+  /** Register everything on a live session (idempotent).
+    *
+    * LIMITATION of this path: `CAST(json_get(...) AS T)` elision is an
+    * ANALYZER rule (CheckAnalysis rejects struct casts before any
+    * optimizer rule runs) and analyzer rules cannot be injected into a
+    * live session — SQL casts of json_get require the config path
+    * `spark.sql.extensions=graft.GraftExtensions`. The typed getters
+    * (json_get_int & co) work identically on both paths. */
   def registerAll(spark: SparkSession): Unit = {
     (registry ++ operatorRegistry).foreach { case (name, builder) =>
       GraftSqlShim.register(spark, name, builder)

@@ -40,9 +40,7 @@ object Curation {
     val annotated = annotate(docs, idCol, textCol)
 
     // exact dedup: keep the smallest id per content digest
-    val keepers = docs
-      .select(md5(col(textCol).cast("binary")).as("h"), col(idCol))
-      .groupBy("h").agg(min(col(idCol)).as("keep_id"))
+    val keepers = Dedup.exactDuplicates(docs, textCol, idCol)
       .select(col("keep_id").as(idCol))
     val exactDeduped = annotated.join(keepers, idCol)
 

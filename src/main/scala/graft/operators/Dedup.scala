@@ -111,7 +111,7 @@ object Dedup {
     val candidates = minhashCandidatePairs(df, idCol, textCol,
       shingleSize = shingleSize, threshold = math.max(0.0, threshold - 0.2))
     val sh = df.select(col(idCol).as("vid"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      shingles(col(textCol), shingleSize).as("sh")) // already distinct
     candidates
       .join(sh.withColumnRenamed("vid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("vid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -120,15 +120,16 @@ object Dedup {
   }
 
   /** Transitive duplicate clusters from a pair list: iterative min-label
-    * propagation (the DataFrame form of connected components — the
-    * small-star/large-star family). Returns (id, cluster_id) where
-    * cluster_id is the smallest id reachable through pair edges; rows not
-    * in any pair keep themselves as cluster_id via the caller's ids frame.
+    * propagation with pointer doubling (DataFrame connected components).
+    * Returns (id, cluster_id) where cluster_id is the smallest id reachable
+    * through pair edges; rows not in any pair keep themselves as cluster_id
+    * via the caller's ids frame.
     *
-    * Each iteration is one shuffle on id; label counts shrink
-    * geometrically, and `maxIter` bounds worst-case chains (a chain of
-    * length 2^maxIter resolves — 20 iterations cover any realistic dup
-    * graph). Keep-one-per-cluster = `cluster_id === id`.
+    * Each iteration does one neighbor-min hop plus one label(label)
+    * shortcut join — labels reach distance 2^k after k iterations, so
+    * `maxIter` = 10 resolves duplicate chains of length ~1000; the loop
+    * also exits as soon as a pass changes nothing. Two shuffles on id per
+    * iteration. Keep-one-per-cluster = `cluster_id === id`.
     */
   def duplicateClusters(
       ids: DataFrame,      // one column: the id universe
@@ -148,16 +149,22 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      // each node takes the min label among itself and its neighbors;
+      // hop: each node takes the min label among itself and its neighbors
+      val hopped = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("label"))
+      // jump (pointer doubling): label := label(label) — labels only ever
+      // decrease, so the mapped label is always <= the current one
+      val asMap = hopped.select(col("id").as("m_id"), col("label").as("m_label"))
+      val jumped = hopped.join(asMap, hopped("label") === col("m_id"))
+        .select(col("id"), col("m_label").as("label"))
       // one checkpoint materializes both the new labels and the
       // convergence flag (aggregate-driven — no collect of the graph)
-      val next = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("label")).as("next_label"))
-      val updated = labels.join(next, labels("id") === col("id2"))
-        .select(col("id"), col("next_label").as("label"),
-          (col("next_label") =!= col("label")).as("changed"))
+      val updated = labels.select(col("id").as("p_id"), col("label").as("p_label"))
+        .join(jumped, col("p_id") === jumped("id"))
+        .select(col("id"), col("label"),
+          (col("label") =!= col("p_label")).as("changed"))
         .localCheckpoint()
       converged = updated.where(col("changed")).limit(1).count() == 0
       labels = updated.select(col("id"), col("label"))

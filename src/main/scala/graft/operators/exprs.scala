@@ -287,17 +287,8 @@ case class Fnv1a64(child: Expression) extends UnaryExpression with CodegenFallba
       s"fnv1a64 expects a string, got ${other.sql}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.fnv1a(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

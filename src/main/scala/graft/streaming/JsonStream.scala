@@ -22,8 +22,10 @@ object JsonStream {
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
+    // integer division: epoch-nanos exceed a double's 53-bit mantissa, so
+    // `/ 1000.0` would round events across window boundaries
     spark.readStream.schema(schema).parquet(path)
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Windowed aggregation driven by JSON extractions: count + sum(k) per
@@ -39,17 +41,18 @@ object JsonStream {
         count(lit(1)).as("n"),
         sum(json_get_int(col("props"), lit("k"))).as("sum_k"))
 
-  /** Streaming exact dedup: drop events whose id was already seen, with
-    * state bounded by the watermark (the streaming face of Dedup —
-    * duplicates older than the watermark horizon are already filtered by
-    * their first occurrence having been emitted). */
+  /** Streaming exact dedup: drop events whose id was already seen within
+    * the watermark horizon — redeliveries with the SAME id but a slightly
+    * different timestamp (the at-least-once retry shape) are dropped too,
+    * which keying on (id, ts) would miss. State is bounded by the
+    * watermark. */
   def dedupStream(
       events: DataFrame,
       idCols: Seq[String],
       watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("event_ts", watermark)
-      .dropDuplicates(idCols :+ "event_ts")
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
   /** Stream-stream self-join: correlate each `leftType` event with the same
     * user's `rightType` events STRICTLY preceding it, within `lagMinutes`.

@@ -241,5 +241,13 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L), clusters)
+
+    // long chain: pointer doubling must resolve diameter >> iteration count
+    val longIds = (1L to 40L).toDF("doc_id")
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val longClusters = Dedup.duplicateClusters(longIds, chain, maxIter = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(longClusters.forall(_._2 == 1L),
+      longClusters.filter(_._2 != 1L).toSeq.toString)
   }
 }

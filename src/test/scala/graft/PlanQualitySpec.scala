@@ -43,7 +43,6 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("co-bucketed tables join with zero exchanges") {
     val s = spark
-    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val li = s.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")

@@ -97,7 +97,7 @@ class StreamingSpec extends AnyFunSuite {
     // batch equivalent over the same file
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(eventsPath)
-      .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
     val l = ev.where(col("event_type") === "error")
       .select(col("user_id").as("l_user"), col("event_ts").as("l_ts"))
     val r = ev.where(col("event_type") === "click")
