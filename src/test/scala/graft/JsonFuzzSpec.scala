@@ -155,4 +155,77 @@ class JsonFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("2k random documents through Spark execution match direct kernel calls") {
+    // exercises the generated-code path (doGenCode) end-to-end: results of
+    // the compiled expressions over a DataFrame must equal direct JsonNav
+    // calls for the same documents
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.JsonFunctions._
+
+    val r = new Random(77L)
+    val docs = (0 until 2000).map { _ =>
+      val d = gen(r, 3)
+      render(d, r)
+    }
+    val df = docs.toDF("j").repartition(4)
+    val rows = df.select(
+      col("j"),
+      json_get_str(col("j"), lit("a")).as("s"),
+      json_get_int(col("j"), lit("a")).as("i"),
+      json_length(col("j")).as("len"),
+      json_contains(col("j"), lit("a")).as("c"),
+      json_get_json(col("j"), lit("a")).as("raw")).collect()
+    rows.foreach { row =>
+      val doc = row.getString(0)
+      val path = Array[PathElem](Key("a"))
+      val v = JsonNav.find(doc, path)
+      val expS = if (v.kind == KStr) v.strV else null
+      assert(Option(row.get(1)).orNull == expS, s"str mismatch on <$doc>")
+      val expI: Any = v.kind match {
+        case KLong => v.longV
+        case KStr => try { java.lang.Long.parseLong(v.strV) } catch { case _: Exception => null }
+        case _ => null
+      }
+      assert(Option(row.get(2)).orNull == expI, s"int mismatch on <$doc>")
+      val expLen = JsonNav.length(doc, Array.empty[PathElem])
+      assert(Option(row.get(3)).map(_.asInstanceOf[Long]).getOrElse(-1L) == expLen,
+        s"len mismatch on <$doc>")
+      assert(row.getBoolean(4) == JsonNav.contains(doc, path), s"contains mismatch on <$doc>")
+      val expRaw = if (v.kind == KMissing) null else v.raw
+      assert(Option(row.get(5)).orNull == expRaw, s"raw mismatch on <$doc>")
+    }
+  }
+
+  test("duplicate keys: first match always wins (src/common.rs:531-539)") {
+    val r = new Random(31337L)
+    for (_ <- 0 until 500) {
+      val k = genString(r)
+      val v1 = gen(r, 1)
+      val v2 = gen(r, 1)
+      val filler = genString(r)
+      val doc = s"{${JsonNav.quote(k)}: ${render(v1, r)}, " +
+        s"${JsonNav.quote(filler)}: 1, ${JsonNav.quote(k)}: ${render(v2, r)}}"
+      val got = JsonNav.find(doc, Array[PathElem](Key(k)))
+      val expected = JsonNav.find(s"{${JsonNav.quote(k)}: ${render(v1, new Random(0))}}",
+        Array[PathElem](Key(k)))
+      // compare against v1 rendered the same way: re-render deterministically
+      val direct = JsonNav.find(s"{${JsonNav.quote(k)}: ${renderPlain(v1)}}",
+        Array[PathElem](Key(k)))
+      assert(got.kind == direct.kind, s"dup-key kind mismatch on <$doc>")
+    }
+  }
+
+  private def renderPlain(j: J): String = j match {
+    case JNull  => "null"
+    case JB(b)  => b.toString
+    case JI(l)  => l.toString
+    case JD(d)  => if (d == d.floor && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    case JS(s)  => JsonNav.quote(s)
+    case JA(es) => es.map(renderPlain).mkString("[", ",", "]")
+    case JO(fs) => fs.map { case (k, v) => JsonNav.quote(k) + ":" + renderPlain(v) }
+      .mkString("{", ",", "}")
+  }
 }
