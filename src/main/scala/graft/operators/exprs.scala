@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.GraftSqlShim
 import org.apache.spark.sql.types._
@@ -21,7 +20,10 @@ import org.apache.spark.sql.types._
   * double in element order (deterministic, oracle-comparable). NULL if
   * either side is NULL, lengths differ, or a norm is zero. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any =
+    nullSafeEval(args(0), args(1))
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -73,7 +75,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * Near-duplicate documents have small Hamming distance. Token hashing is
   * fused in (same interpreted-child rationale as MinHashSignature).
   * Empty/NULL input → NULL. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression with KernelCodegen {
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
@@ -148,7 +151,8 @@ private[operators] object HashKernels {
   * shingle pipeline underneath pays per-element lambda-binding costs —
   * measured ~20× slower than this kernel at sf0.1. */
 case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
@@ -208,7 +212,8 @@ case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
   * components [b*rowsPerBand, (b+1)*rowsPerBand). Output array<long> of
   * length `bands`, position = band index (pair with posexplode). */
 case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "band_buckets"
@@ -243,7 +248,10 @@ case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
 /** Fraction of equal components between two equal-length signatures — the
   * MinHash Jaccard estimate. */
 case class SigAgreement(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any =
+    nullSafeEval(args(0), args(1))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "sig_agreement"
@@ -276,7 +284,8 @@ case class SigAgreement(left: Expression, right: Expression)
 
 /** FNV-1a 64-bit rolling hash over a string's UTF-8 bytes — a cheap,
   * deterministic document fingerprint. */
-case class Fnv1a64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Fnv1a64(child: Expression) extends UnaryExpression with KernelCodegen {
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "fnv1a64"
@@ -297,7 +306,8 @@ case class Fnv1a64(child: Expression) extends UnaryExpression with CodegenFallba
   * dot(vec, plane); the packed bits are the bucket key. Planes are passed
   * as literal data baked into the expression (deterministic across runs). */
 case class SrpBucket(child: Expression, planes: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "srp_bucket"
