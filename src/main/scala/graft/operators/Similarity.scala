@@ -50,16 +50,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** Train IVF centroids with Lloyd iterations over a bounded,
+    * deterministic sample (id-ordered limit — reproducible across runs).
+    * The sample is driver-side by design: it is CAPPED, independent of
+    * corpus size, and k-means on it is microseconds; the full corpus is
+    * only ever touched by the narrow cell-assignment map. */
+  def trainCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      sampleSize: Int = 2048,
+      iters: Int = 5): Array[Array[Float]] = {
+    val sample: Array[Array[Float]] = df
+      .orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    var centroids = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestCos = -2.0
+        for (c <- centroids.indices) {
+          val cos = cosArr(v, centroids(c))
+          if (cos > bestCos) { bestCos = cos; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }.toArray
+    }
+    centroids
+  }
+
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** IVF (inverted-file) approximate top-k: vectors are assigned to their
     * nearest centroid's cell; a query probes only the `nProbe` cells whose
-    * centroids are closest to it. Centroids here are a deterministic sample
-    * of the data (ids 0..C-1) — one k-means sweep would refine them, but
-    * cell assignment, probing, and pruning behave identically.
+    * centroids are closest to it. Pass `centroids` from `trainCentroids`
+    * for refined cells, or omit to use a deterministic data sample
+    * (ids 0..C-1) — assignment, probing, and pruning behave identically.
     *
-    * Scale path: `cellOf` is a narrow map; persisting the table partitioned
-    * by cell turns every query into a partition-pruned read of nProbe/C of
-    * the data. Centroids are driver-held (C×dim floats — tiny) and ship to
-    * executors inside the expression, i.e. an implicit broadcast. */
+    * Scale path: cell assignment is a narrow map; persisting the table
+    * partitioned by cell turns every query into a partition-pruned read of
+    * nProbe/C of the data. Centroids are driver-held (C×dim floats — tiny)
+    * and ship to executors inside the expression, i.e. an implicit
+    * broadcast. */
   def ivfTopK(
       df: DataFrame,
       idCol: String,
@@ -67,22 +120,16 @@ object Similarity {
       query: Array[Float],
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val centroids: Array[(Int, Array[Float])] = df
-      .where(col(idCol) < nCells)
-      .select(col(idCol).cast("int"), col(vecCol))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-        i += 1
-      }
-      if (na == 0 || nb == 0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeCells = centroids.sortBy { case (_, c) => -cos(query, c) }
+      nProbe: Int = 4,
+      trainedCentroids: Array[Array[Float]] = null): DataFrame = {
+    val centroids: Array[(Int, Array[Float])] =
+      if (trainedCentroids != null) trainedCentroids.zipWithIndex.map(_.swap)
+      else df
+        .where(col(idCol) < nCells)
+        .select(col(idCol).cast("int"), col(vecCol))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val probeCells = centroids.sortBy { case (_, c) => -cosArr(query, c) }
       .take(nProbe).map(_._1)
     // cell assignment: argmax cosine against each centroid (expression tree
     // of C cosine kernels; C is small by construction)

@@ -174,6 +174,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 5L), kept.toSeq)
   }
 
+  test("trained IVF centroids improve recall vs brute force") {
+    val s = spark
+    import s.implicits._
+    // clustered data: 4 latent groups with noise
+    val vecs = (0 until 200).map { i =>
+      val g = i % 4
+      (i.toLong, Array.tabulate(8)(d =>
+        (math.cos(g * 17 + d) + 0.15 * math.sin(i * 13 + d * 7)).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(df, "vec_id", "embedding", 8, 128, 5)
+    assert(trained.length == 8)
+    val q = vecs(42)._2
+    val bf = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+      nCells = 8, nProbe = 3, trainedCentroids = trained)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+    assert(ivf.contains(42L))
+    // determinism: same training input -> identical centroids
+    val again = Similarity.trainCentroids(df, "vec_id", "embedding", 8, 128, 5)
+    assert(trained.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("IVF topk probes nearest cells and finds the neighbor") {
     val s = spark
     import s.implicits._
