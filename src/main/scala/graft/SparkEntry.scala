@@ -309,6 +309,22 @@ object SparkEntry {
         .toDF()
         .orderBy(col("doc_id"))),
 
+    // multimodal resize + frame-sample plumbing (deterministic stubs;
+    // rows-only — binary payloads)
+    "q_mm_resize" -> ((s, dir) =>
+      operators.Multimodal.resize(s,
+          operators.Multimodal.documentBlobs(table(s, dir, "documents")), 16, 16)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("payload"))
+        .orderBy(col("doc_id"))),
+
+    "q_mm_frames" -> ((s, dir) =>
+      operators.Multimodal.sampleFrames(s,
+          operators.Multimodal.documentBlobs(table(s, dir, "documents")),
+          frameBytes = 32, stride = 2)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // full curation composition: annotate → exact dedup → LSH near-dedup →
     // quality filter (rows-only: fingerprints/minhash are engine hashes)
     "q_curation" -> ((s, dir) =>
