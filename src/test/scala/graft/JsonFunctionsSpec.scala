@@ -207,6 +207,19 @@ class JsonFunctionsSpec extends AnyFunSuite {
     assert(one("select json_union_to_text(json_from_scalar(cast(null as int)))") == null)
   }
 
+  test("json_get union display over the 7-row fixture (tests/main.rs:77-91)") {
+    val got = testDf
+      .select(col("name"), json_union_display(json_get(col("json_data"), lit("foo"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("object_foo") == "{str=abc}")
+    assert(got("object_foo_array") == "{array=[1]}")
+    assert(got("object_foo_obj") == "{object={}}")
+    assert(got("object_foo_null") == "{null=}")
+    assert(got("object_bar") == "{null=}")
+    assert(got("list_foo") == "{null=}")
+    assert(got("invalid_json") == "{null=}")
+  }
+
   test("json_from_scalar infinity/NaN display + arity errors") {
     assert(one("select json_union_display(json_from_scalar(cast('Infinity' as double)))")
       == "{float=inf}")

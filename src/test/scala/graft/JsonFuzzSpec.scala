@@ -107,9 +107,10 @@ class JsonFuzzSpec extends AnyFunSuite {
       case NoMatch :: _ => None
     }
 
-  test("10k random documents agree with Jackson") {
-    val r = new Random(20260812L)
-    for (iter <- 0 until 10000) {
+  test("30k random documents agree with Jackson (3 seeds)") {
+    for (seed <- Seq(20260812L, 424242L, 987654321L);
+         r = new Random(seed);
+         iter <- 0 until 10000) {
       val doc = gen(r, 4)
       val text = render(doc, r)
       val path = genPath(r, doc, 3).toArray
