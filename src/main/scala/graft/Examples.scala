@@ -1,0 +1,61 @@
+package graft
+
+import graft.JsonFunctions._
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/**
+ * Runnable tour of the engine — living documentation:
+ * `sbt "runMain graft.Examples [sfDir]"`.
+ */
+object Examples {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(8)
+    import spark.implicits._
+
+    println("== 1. SQL surface (all 13 functions + aliases registered) ==")
+    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_type, count(*) AS n, sum(json_get_int(props, 'k')) AS sum_k
+        |FROM events WHERE json_contains(props, 'k')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin).show()
+
+    println("== 2. Column DSL with postgres-style operators ==")
+    val df = Seq("""{"user": {"name": "ada", "logins": [1, 2, 3]}}""").toDF("j")
+    df.select(
+      col("j") ->> "user",
+      col("j") ? "user",
+      json_get_str(json_get(col("j"), lit("user")), lit("name")).as("name"),
+      json_length(col("j"), lit("user"), lit("logins")).as("n_logins")).show(false)
+
+    println("== 3. Cast elision (runs as an analyzer rewrite) ==")
+    val cast = spark.sql("""SELECT CAST(json_get('{"pi": 3.14}', 'pi') AS DOUBLE) AS pi""")
+    println(cast.queryExecution.analyzed)
+    cast.show()
+
+    println("== 4. Dedup: exact digests, LSH candidates, clusters ==")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Dedup.exactDuplicates(docs, "text", "doc_id").show(3)
+    val pairs = Dedup.verifiedNearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+    pairs.show(3)
+    Dedup.duplicateClusters(docs.select(col("doc_id")), pairs)
+      .where(col("cluster_id") =!= col("doc_id")).show(3)
+
+    println("== 5. ANN over embeddings: brute force vs trained IVF ==")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5).show()
+    val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", 16)
+    Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5,
+      trainedCentroids = centroids).show()
+
+    println("== 6. Text analysis + curation ==")
+    Curation.annotate(docs, "doc_id", "text").drop("text").show(3)
+    println(s"curated survivors: ${Curation.curate(docs, "doc_id", "text").count()}" +
+      s" of ${docs.count()}")
+
+    spark.stop()
+  }
+}
