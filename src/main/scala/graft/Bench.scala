@@ -14,17 +14,22 @@ object Bench {
     // and the kernel paths once so measured numbers reflect steady-state
     // throughput, not first-call compilation (standard criterion-style
     // methodology; the reference's benches warm up the same way).
+    // Fixed headline set (SparkEntry.headlineQueries) so the metric stays
+    // comparable across rounds as the full query map grows.
+    val bench: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] =
+      SparkEntry.headlineQueries.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      bench.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results: Map[String, Double] = bench.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
