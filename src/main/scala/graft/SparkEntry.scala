@@ -310,6 +310,12 @@ object SparkEntry {
         nCells = 16, nProbe = 4)
     }),
 
+    // sequence packing: shard-parallel fixed-token-budget bin assignment
+    "q_seq_pack" -> ((s, dir) =>
+      operators.TextOps.packSequences(table(s, dir, "documents"),
+          "doc_id", "text", tokenBudget = 512, shards = 8)
+        .orderBy(col("doc_id"))),
+
     // multimodal decode plumbing: binary blobs → metadata (stub codec)
     "q_mm_meta" -> ((s, dir) =>
       operators.Multimodal.decodeFeatures(s,
@@ -474,6 +480,14 @@ object SparkEntry {
         |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
         | FROM embeddings e, q
         | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q_seq_pack" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(doc_id % 8 AS INT) AS shard,
+        | CAST(floor(coalesce(sum(len(string_split(text, ' ')))
+        |   OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q_mm_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -86,6 +86,30 @@ object TextOps {
   /** 64-bit FNV-1a content fingerprint (see Fnv1a64). */
   def fingerprint(textCol: Column): Column = fnv1a64(textCol)
 
+  /** Sequence packing for pretraining: assign documents to fixed
+    * token-budget bins, the offset way (a running token count per shard;
+    * bin = floor(offset / budget)), which is how packed sample files are
+    * actually laid out — a document may straddle a bin boundary, so a bin
+    * can overflow by at most one document.
+    *
+    * Scale: deterministic shards (id mod shards) keep the running-sum
+    * window partition-local — shards pack in parallel, no global sort.
+    * Output: (id, n_tokens, shard, bin). */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenBudget: Long,
+      shards: Int = 32): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"),
+        pmod(col(idCol), lit(shards)).cast("int").as("shard"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
+  }
+
   /** Per-document stats frame used by the pipeline queries. */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

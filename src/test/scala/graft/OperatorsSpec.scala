@@ -276,4 +276,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(longClusters.forall(_._2 == 1L),
       longClusters.filter(_._2 != 1L).toSeq.toString)
   }
+
+  test("sequence packing: bins respect the budget up to one straddling doc") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 100L).map(i => (i, ("tok " * (10 + (i % 37).toInt)).trim))
+      .toDF("doc_id", "text")
+    val packed = TextOps.packSequences(docs, "doc_id", "text", tokenBudget = 100, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // every doc assigned; shard is id mod 4
+    assert(packed.length == 100)
+    assert(packed.forall { case (id, _, shard, _) => shard == (id % 4) })
+    // bin token totals: at most budget + one straddling document
+    val byBin = packed.groupBy(p => (p._3, p._4)).map { case (_, ds) =>
+      (ds.map(_._2).sum, ds.map(_._2).max)
+    }
+    byBin.foreach { case (total, maxDoc) =>
+      assert(total <= 100 + maxDoc, s"bin total $total exceeds budget+maxdoc")
+    }
+    // bins are contiguous per shard (0,1,2,... no gaps)
+    packed.groupBy(_._3).foreach { case (_, ds) =>
+      val bins = ds.map(_._4).distinct.sorted
+      assert(bins == (bins.min to bins.max), bins.toSeq)
+    }
+  }
 }
