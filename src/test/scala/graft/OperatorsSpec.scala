@@ -297,7 +297,7 @@ class OperatorsSpec extends AnyFunSuite {
     // bins are contiguous per shard (0,1,2,... no gaps)
     packed.groupBy(_._3).foreach { case (_, ds) =>
       val bins = ds.map(_._4).distinct.sorted
-      assert(bins == (bins.min to bins.max), bins.toSeq)
+      assert(bins.toSeq == (bins.min to bins.max).toSeq, bins.toSeq)
     }
   }
 }
