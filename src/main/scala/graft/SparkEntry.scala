@@ -310,6 +310,15 @@ object SparkEntry {
         nCells = 16, nProbe = 4)
     }),
 
+    // deterministic weighted source mixing (training-data recipe)
+    "q_mix_sources" -> ((s, dir) =>
+      operators.Curation.mixSources(table(s, dir, "documents"),
+          "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+            "src3" -> 0.1, "src4" -> 0.0))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // sequence packing: shard-parallel fixed-token-budget bin assignment
     "q_seq_pack" -> ((s, dir) =>
       operators.TextOps.packSequences(table(s, dir, "documents"),
@@ -480,6 +489,12 @@ object SparkEntry {
         |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
         | FROM embeddings e, q
         | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q_mix_sources" ->
+      """SELECT doc_id, source FROM documents
+        | WHERE (doc_id * 2654435761 + 9973) % 1000 <
+        |   (CASE source WHEN 'src0' THEN 1000.0 WHEN 'src1' THEN 500.0
+        |     WHEN 'src2' THEN 250.0 WHEN 'src3' THEN 100.0 ELSE 0.0 END)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q_seq_pack" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -30,6 +30,28 @@ object Curation {
       TextOps.langId(col(textCol)).as("pred_lang"),
       TextOps.fingerprint(col(textCol)).as("fp"))
 
+  /** Deterministic weighted source mixing for training-data recipes: each
+    * document is kept with its source's probability, decided by a
+    * multiplicative hash of its id — NOT random sampling, so the mix is
+    * bit-reproducible across runs, engines, and partitionings (a property
+    * Bernoulli `sample()` cannot give). Weights outside [0,1] clamp.
+    *
+    * The hash stays in Long range for any id below ~3.5e9 (Knuth
+    * multiplier 2654435761); beyond that switch the id to decimal first. */
+  def mixSources(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Double],
+      salt: Long = 9973L): DataFrame = {
+    val bucket = pmod(col(idCol) * lit(2654435761L) + lit(salt), lit(1000L))
+    val keepPerMille = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(math.max(0.0, math.min(1.0, w)) * 1000.0))
+        .otherwise(acc)
+    }
+    docs.where(bucket < keepPerMille)
+  }
+
   /** Full pipeline; returns surviving documents with annotations. */
   def curate(
       docs: DataFrame,

@@ -300,4 +300,23 @@ class OperatorsSpec extends AnyFunSuite {
       assert(bins.toSeq == (bins.min to bins.max).toSeq, bins.toSeq)
     }
   }
+
+  test("deterministic source mixing keeps weighted fractions, reproducibly") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"src${i % 2}", "text")).toDF("doc_id", "source", "text")
+    val mixed = Curation.mixSources(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5))
+    val counts = mixed.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts("src0") == 500L) // weight 1.0 keeps everything
+    assert(counts("src1") > 150L && counts("src1") < 350L, counts) // ~0.5 of 500
+    // bit-reproducible
+    val again = Curation.mixSources(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5)).count()
+    assert(again == mixed.count())
+    // unknown sources default to dropped
+    val none = Curation.mixSources(docs, "doc_id", "source", Map("srcX" -> 1.0))
+    assert(none.count() == 0L)
+  }
 }
