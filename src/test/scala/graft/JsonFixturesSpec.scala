@@ -109,4 +109,52 @@ class JsonFixturesSpec extends AnyFunSuite {
     val got = df.select(json_get_int(col("j"), col("k1"), col("k2"))).collect()(0)
     assert(got.getLong(0) == 7L)
   }
+
+  test("json_get_array variants (tests/main.rs array family)") {
+    def one(sql: String): Any = spark.sql(sql).collect()(0).get(0)
+    def arr(sql: String): Seq[String] =
+      one(sql).asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(arr("""select json_get_array('[1, 2, 3]')""") == Seq("1", "2", "3"))
+    assert(arr("""select json_get_array('["hello", 42, true, null, 3.14]')""")
+      == Seq("\"hello\"", "42", "true", "null", "3.14"))
+    assert(arr("""select json_get_array('[{"a": 1}, {"b": 2}]')""")
+      == Seq("{\"a\": 1}", "{\"b\": 2}"))
+    assert(arr("""select json_get_array('[[1, 2], [3]]')""")
+      == Seq("[1, 2]", "[3]"))
+    assert(one("select json_get_array('is not json')") == null)
+    assert(one("select json_get_array('42')") == null)
+  }
+
+  test("nested collapsed + CTE chains over the fixture (tests/main.rs:2150+)") {
+    testDfFixture.createOrReplaceTempView("test_fixture")
+    // direct chain: json_get(json_get(j,'foo'), 0) — display forms
+    val direct = spark.sql(
+      """select name, json_union_display(json_get(json_get(json_data, 'foo'), 0)) v
+        |from test_fixture""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(direct("object_foo") == "{null=}")     // "abc" has no index 0
+    assert(direct("object_foo_array") == "{int=1}")
+    assert(direct("object_foo_obj") == "{null=}")
+    assert(direct("invalid_json") == "{null=}")
+    // CTE breaks the unnest rewrite; semantics must be identical
+    val cte = spark.sql(
+      """with t as (select name, json_get(json_data, 'foo') j from test_fixture)
+        |select name, json_union_display(json_get(j, 0)) v from t""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cte == direct)
+  }
+
+  lazy val testDfFixture: org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("object_foo", " {\"foo\": \"abc\"} "),
+      ("object_foo_array", " {\"foo\": [1]} "),
+      ("object_foo_obj", " {\"foo\": {}} "),
+      ("object_foo_null", " {\"foo\": null} "),
+      ("object_bar", " {\"bar\": true} "),
+      ("list_foo", " [\"foo\"] "),
+      ("invalid_json", "is not json")
+    ).toDF("name", "json_data")
+  }
 }
