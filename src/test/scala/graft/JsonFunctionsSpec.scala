@@ -327,6 +327,13 @@ class JsonFunctionsSpec extends AnyFunSuite {
     assert(byInt == Seq(null, null, 42L, null))
   }
 
+  test("json_get_array composes with explode (tests/main.rs:2181 unnest)") {
+    val got = spark.sql(
+      """select explode(json_get_array('[1, "two", {"three": 3}]')) as el""")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("1", "\"two\"", "{\"three\": 3}"))
+  }
+
   // ---- whitespace / invalid / null inputs ----
 
   test("null and invalid inputs never error") {
