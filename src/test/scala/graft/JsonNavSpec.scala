@@ -100,4 +100,28 @@ class JsonNavSpec extends AnyFunSuite {
     assert(JsonNav.formatDouble(1.5) == "1.5")
     assert(JsonNav.formatDouble(0.42) == "0.42")
   }
+
+  test("pathological inputs never throw: deep nesting, huge docs, broken escapes") {
+    // 100k-deep nesting — the scanner must be iterative, not recursive
+    val deep = "[" * 100000 + "1" + "]" * 100000
+    assert(JsonNav.find(deep, p(0, 0, 0)).kind == KArray) // 3 levels in: still an array
+    val fullPath: Array[PathElem] = Array.fill(100000)(Index(0L))
+    assert(JsonNav.find(deep, fullPath).longV == 1L) // all the way down
+    assert(JsonNav.contains(deep, p(0)))
+    assert(JsonNav.length(deep, p()) == 1L)
+
+    // 10 MB flat document, target at the end
+    val big = "{" + (0 until 100000).map(i => s""" "k$i": $i""").mkString(",") + "}"
+    assert(JsonNav.find(big, p("k99999")).longV == 99999L)
+    assert(JsonNav.length(big, p()) == 100000L)
+
+    // broken escapes / lone surrogates / truncations → Missing, no throw
+    assert(JsonNav.find("\"abc\\", p()).kind == KMissing)        // ends in backslash
+    assert(JsonNav.find("\"\\u12", p()).kind == KMissing)          // truncated \u
+    assert(JsonNav.find("\"\\ud800\"", p()).kind == KStr)         // lone surrogate decodes leniently
+    assert(JsonNav.find("\"\\q\"", p()).kind == KMissing)         // invalid escape char
+    assert(JsonNav.find("{\"a\"", p("a")).kind == KMissing)       // key then EOF
+    assert(JsonNav.find("[,]", p(0)).kind == KMissing)
+    assert(JsonNav.find("\u0000", p()).kind == KMissing)          // NUL byte doc
+  }
 }
