@@ -143,6 +143,14 @@ object SparkEntry {
           json_union_to_text(json_get(jdoc, lit("obj"))).as("obj_txt"))
         .orderBy(col("event_id"))),
 
+    // union display form over real data (reference golden format)
+    "q_union_display" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          json_union_display(json_get(jdoc, lit("obj"))).as("disp"),
+          json_union_display(json_get(jdoc, lit("nope"))).as("disp_missing"))
+        .orderBy(col("event_id"))),
+
     // json_from_scalar over string + int columns
     "q_from_scalar" -> ((s, dir) =>
       table(s, dir, "events")
@@ -405,6 +413,11 @@ object SparkEntry {
          | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q_union_text" ->
       s"SELECT event_id, CAST(json_extract($jdocSql, '$$.obj') AS VARCHAR) AS obj_txt FROM events ORDER BY event_id",
+    "q_union_display" ->
+      s"""SELECT event_id,
+         | '{object=' || CAST(json_extract($jdocSql, '$$.obj') AS VARCHAR) || '}' AS disp,
+         | '{null=}' AS disp_missing
+         | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q_from_scalar" ->
       s"""SELECT event_id, '"' || event_type || '"' AS et_json,
          | CAST(user_id AS VARCHAR) AS uid_json
