@@ -229,4 +229,31 @@ class JsonFuzzSpec extends AnyFunSuite {
     case JO(fs) => fs.map { case (k, v) => JsonNav.quote(k) + ":" + renderPlain(v) }
       .mkString("{", ",", "}")
   }
+
+  test("union round-trip: to_text(json_get(doc,path)) reparses to the same subtree") {
+    val r = new Random(5150L)
+    var checked = 0
+    for (_ <- 0 until 5000) {
+      val doc = gen(r, 3)
+      val text = render(doc, r)
+      val path = genPath(r, doc, 2).toArray
+      val v = JsonNav.find(text, path)
+      if (v.kind != KMissing && v.kind != KNull) {
+        val row = graft.functions.JsonUnionType.fromValue(v)
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val roundTrip = graft.functions.JsonUnionType.toJsonText(row)
+        val reparsed = mapper.readTree(roundTrip)
+        val original = navigate(mapper.readTree(text), path.toList).get
+        // doubles reformat (Rust style) — compare numerically there
+        if (original.isFloatingPointNumber) {
+          assert(math.abs(reparsed.doubleValue() - original.doubleValue()) <=
+            math.ulp(original.doubleValue()), s"<$text> ${path.mkString("/")}")
+        } else {
+          assert(reparsed == original, s"<$text> ${path.mkString("/")} -> $roundTrip")
+        }
+        checked += 1
+      }
+    }
+    assert(checked > 2000, s"only $checked values exercised")
+  }
 }
