@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlShim
 
 /**
  * Large-scale deduplication operators for training-data pipelines.
@@ -42,19 +43,16 @@ object Dedup {
     * fused MinHashSignature kernel shingles, hashes, and min-hashes the
     * token array in one pass (see exprs.scala for why fusion matters). */
   def minhashSignature(textCol: Column, shingleSize: Int, k: Int): Column = {
-    import org.apache.spark.sql.graft.GraftSqlShim
     GraftSqlShim.column(
       MinHashSignature(GraftSqlShim.expression(split(textCol, " ")), shingleSize, k))
   }
 
   private def bandBuckets(sigCol: Column, bands: Int, rowsPerBand: Int): Column = {
-    import org.apache.spark.sql.graft.GraftSqlShim
     GraftSqlShim.column(
       BandBuckets(GraftSqlShim.expression(sigCol), bands, rowsPerBand))
   }
 
   private def sigAgreement(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.graft.GraftSqlShim
     GraftSqlShim.column(
       SigAgreement(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
   }

@@ -29,11 +29,15 @@ object TextOps {
 
   /** Fraction of tokens that are (English) stopwords — a classic quality
     * signal: natural prose has ~0.3+, keyword soup near 0. */
-  def stopwordRatio(textCol: Column): Column = {
-    val toks = tokens(textCol)
+  def stopwordRatio(textCol: Column): Column = stopwordRatioOf(tokens(textCol))
+
+  /** Token-column variant: callers that derive several statistics should
+    * tokenize once and reuse the column (multi-referenced non-trivial
+    * expressions are not inlined by CollapseProject, so the regex split
+    * runs once per row instead of once per statistic). */
+  def stopwordRatioOf(toks: Column): Column =
     size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
       greatest(size(toks), lit(1)).cast("double")
-  }
 
   /** Mean token length — detects tokenization breakage / binary junk. */
   def meanTokenLen(textCol: Column): Column =
@@ -96,11 +100,11 @@ object TextOps {
     * window partition-local — shards pack in parallel, no global sort.
     * Output: (id, n_tokens, shard, bin). */
   def packSequences(
-      df: org.apache.spark.sql.DataFrame,
+      df: DataFrame,
       idCol: String,
       textCol: String,
       tokenBudget: Long,
-      shards: Int = 32): org.apache.spark.sql.DataFrame = {
+      shards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -110,12 +114,18 @@ object TextOps {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
   }
 
-  /** Per-document stats frame used by the pipeline queries. */
+  /** Per-document stats frame used by the pipeline queries; tokenizes
+    * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
-      col(idCol),
-      charLength(col(textCol)).as("n_chars_calc"),
-      tokenCount(col(textCol)).as("n_tokens"),
-      stopwordRatio(col(textCol)).as("stopword_ratio"),
-      punctRatio(col(textCol)).as("punct_ratio"))
+        col(idCol),
+        charLength(col(textCol)).as("n_chars_calc"),
+        tokens(col(textCol)).as("toks"),
+        punctRatio(col(textCol)).as("punct_ratio"))
+      .select(
+        col(idCol),
+        col("n_chars_calc"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        stopwordRatioOf(col("toks")).as("stopword_ratio"),
+        col("punct_ratio"))
 }
