@@ -18,17 +18,27 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
-  /** Per-document annotations used by filtering and audit. */
+  /** Per-document annotations used by filtering and audit. Tokenizes once
+    * and derives every statistic from the shared columns (see
+    * TextOps.stopwordRatioOf). */
   def annotate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
-      col(idCol),
-      col(textCol),
-      TextOps.charLength(col(textCol)).as("n_chars_calc"),
-      TextOps.tokenCount(col(textCol)).as("n_tokens"),
-      TextOps.stopwordRatio(col(textCol)).as("stopword_ratio"),
-      TextOps.qualityScore(col(textCol)).as("quality"),
-      TextOps.langId(col(textCol)).as("pred_lang"),
-      TextOps.fingerprint(col(textCol)).as("fp"))
+        col(idCol),
+        col(textCol),
+        TextOps.charLength(col(textCol)).as("n_chars_calc"),
+        TextOps.tokens(col(textCol)).as("toks"),
+        TextOps.punctRatio(col(textCol)).as("punct_ratio"),
+        TextOps.fingerprint(col(textCol)).as("fp"))
+      .select(
+        col(idCol),
+        col(textCol),
+        col("n_chars_calc"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        TextOps.stopwordRatioOf(col("toks")).as("stopword_ratio"),
+        TextOps.qualityScoreOf(col("n_chars_calc"), col("toks"),
+          col("punct_ratio")).as("quality"),
+        TextOps.langIdOf(col("toks")).as("pred_lang"),
+        col("fp"))
 
   /** Deterministic weighted source mixing for training-data recipes: each
     * document is kept with its source's probability, decided by a

@@ -41,16 +41,23 @@ object TextOps {
 
   /** Mean token length — detects tokenization breakage / binary junk. */
   def meanTokenLen(textCol: Column): Column =
-    (charLength(textCol) - tokenCount(textCol) + 1L).cast("double") /
-      greatest(tokenCount(textCol), lit(1L)).cast("double")
+    meanTokenLenOf(charLength(textCol), tokens(textCol))
+
+  def meanTokenLenOf(charLen: Column, toks: Column): Column =
+    (charLen - size(toks).cast("long") + 1L).cast("double") /
+      greatest(size(toks).cast("long"), lit(1L)).cast("double")
 
   /** Composite quality score in [0,1]: length in a sane band, some
     * stopwords, plausible mean token length, low punctuation noise. */
-  def qualityScore(textCol: Column): Column = {
-    val lenOk = when(charLength(textCol).between(20, 100000), 1.0).otherwise(0.0)
-    val stopOk = least(stopwordRatio(textCol) * lit(5.0), lit(1.0))
-    val tokOk = when(meanTokenLen(textCol).between(2.0, 12.0), 1.0).otherwise(0.0)
-    val punctOk = lit(1.0) - least(punctRatio(textCol) * lit(4.0), lit(1.0))
+  def qualityScore(textCol: Column): Column =
+    qualityScoreOf(charLength(textCol), tokens(textCol), punctRatio(textCol))
+
+  /** Precomputed-column variant (see stopwordRatioOf). */
+  def qualityScoreOf(charLen: Column, toks: Column, punct: Column): Column = {
+    val lenOk = when(charLen.between(20, 100000), 1.0).otherwise(0.0)
+    val stopOk = least(stopwordRatioOf(toks) * lit(5.0), lit(1.0))
+    val tokOk = when(meanTokenLenOf(charLen, toks).between(2.0, 12.0), 1.0).otherwise(0.0)
+    val punctOk = lit(1.0) - least(punct * lit(4.0), lit(1.0))
     (lenOk + stopOk + tokOk + punctOk) / lit(4.0)
   }
 
@@ -63,8 +70,9 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
     "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "en", "que", "por"))
 
-  def langId(textCol: Column): Column = {
-    val toks = tokens(textCol)
+  def langId(textCol: Column): Column = langIdOf(tokens(textCol))
+
+  def langIdOf(toks: Column): Column = {
     val scores = langMarkers.map { case (lang, markers) =>
       struct(size(filter(toks, t => t.isin(markers: _*))).as("score"),
         lit(lang).as("lang"))
