@@ -319,4 +319,14 @@ class OperatorsSpec extends AnyFunSuite {
     val none = Curation.mixSources(docs, "doc_id", "source", Map("srcX" -> 1.0))
     assert(none.count() == 0L)
   }
+
+  test("curation and dedup tolerate empty inputs") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.curate(empty, "doc_id", "text").count() == 0L)
+    assert(Dedup.minhashCandidatePairs(empty, "doc_id", "text").count() == 0L)
+    assert(Dedup.duplicateClusters(empty.select(col("doc_id")),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0L)
+  }
 }
