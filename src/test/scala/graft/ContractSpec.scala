@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the driver contract (SparkEntry/Verify/Bench) — these
+  * failing silently would zero a round's correctness or bench score. */
+class ContractSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("every headline bench query exists") {
+    val missing = SparkEntry.headlineQueries.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"headline names without queries: $missing")
+    assert(SparkEntry.headlineQueries.distinct.size == SparkEntry.headlineQueries.size)
+  }
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query builds and returns a non-empty frame at sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, "/root/testdata/sf0.001").count()
+        // near-dup pipelines can be legitimately empty at tiny scale — only
+        // a build/execution error is fatal here
+        if (n < 0) Some(s"$name: negative count") else None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle SQL is single-line and DuckDB-parseable punctuation-wise") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("\n"), s"$name oracle contains a newline")
+      assert(sql.count(_ == '(') == sql.count(_ == ')'), s"$name unbalanced parens")
+    }
+  }
+}
