@@ -9,13 +9,17 @@ package graft
  *
  * Deliberately CONSERVATIVE rather than a parser replacement (SURVEY §7.2:
  * Spark 4 reserves bare `?` for parameter markers and blind text rewriting
- * is unsound): only `column op literal` shapes are rewritten, where
- * column is a (possibly dotted or backquoted) identifier and literal is a
- * single-quoted string or an integer. Chains left-fold:
- * `a->'b'->>'c'` → `json_as_text(json_get(a,'b'),'c')`. Operators inside
- * string literals, and `?` in any other position (a parameter marker),
- * are left untouched. Anything the rewriter does not understand is left
- * exactly as written — Spark's parser then reports it.
+ * is unsound): only `column op literal` shapes are rewritten, where column
+ * is a (possibly dotted or backquoted) identifier. The FIRST operator on a
+ * column requires a single-quoted string path — `x -> 0` is never touched,
+ * because that shape is also a Spark lambda (`transform(arr, x -> 0)`);
+ * integer indices are allowed from the second chain step on
+ * (`j->'a'->0` works; for a leading index write `json_get(j, 0)`).
+ * Chains left-fold: `a->'b'->>'c'` → `json_as_text(json_get(a,'b'),'c')`.
+ * String literals, quoted identifiers, `--` and `/* */` comments, and `?`
+ * in any other position (a parameter marker) are left untouched. Anything
+ * the rewriter does not understand passes through verbatim — Spark's
+ * parser then reports it.
  */
 object JsonOperatorSql {
 
@@ -27,45 +31,59 @@ object JsonOperatorSql {
     val n = sql.length
     while (i < n) {
       val c = sql.charAt(i)
-      if (c == '\'') {
-        val (lit, next) = consumeString(sql, i, '\'')
-        out.append(lit); i = next
-      } else if (c == '"') {
-        val (lit, next) = consumeString(sql, i, '"')
+      if (c == '-' && sql.startsWith("--", i)) {
+        val end = sql.indexOf('\n', i)
+        val stop = if (end < 0) n else end + 1
+        out.append(sql.substring(i, stop)); i = stop
+      } else if (c == '/' && sql.startsWith("/*", i)) {
+        val end = sql.indexOf("*/", i + 2)
+        val stop = if (end < 0) n else end + 2
+        out.append(sql.substring(i, stop)); i = stop
+      } else if (c == '\'' || c == '"') {
+        val (lit, next) = consumeString(sql, i, c)
         out.append(lit); i = next
       } else if (c == '`') {
         val (lit, next) = consumeString(sql, i, '`')
-        out.append(lit); i = next
+        i = foldOps(sql, next, lit, out)
       } else if (isIdentStart(c)) {
-        // candidate LHS: identifier chain (dots allowed), maybe backquoted parts
         val startId = i
         while (i < n && isIdentPart(sql.charAt(i))) i += 1
-        var expr = sql.substring(startId, i)
-        // fold any following `op literal` sequences
-        var progressed = true
-        while (progressed) {
-          progressed = false
-          val save = i
-          val ws = consumeWs(sql, i)
-          matchOp(sql, ws) match {
-            case Some((opText, fn)) =>
-              val afterOp = consumeWs(sql, ws + opText.length)
-              consumeLiteral(sql, afterOp) match {
-                case Some((lit, next)) =>
-                  expr = s"$fn($expr, $lit)"
-                  i = next
-                  progressed = true
-                case None => i = save
-              }
-            case None => i = save
-          }
-        }
-        out.append(expr)
+        i = foldOps(sql, i, sql.substring(startId, i), out)
       } else {
         out.append(c); i += 1
       }
     }
     out.toString
+  }
+
+  /** Fold `op literal` sequences onto an LHS expression; returns the new
+    * scan position and appends the (possibly rewritten) expression. */
+  private def foldOps(sql: String, from: Int, lhs: String, out: StringBuilder): Int = {
+    var i = from
+    var expr = lhs
+    var steps = 0
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      val save = i
+      val ws = consumeWs(sql, i)
+      matchOp(sql, ws) match {
+        case Some((opText, fn)) =>
+          val afterOp = consumeWs(sql, ws + opText.length)
+          // first step: string paths only (`x -> 0` is a Spark lambda)
+          consumeLiteral(sql, afterOp, allowInt = steps > 0) match {
+            case Some((lit, next)) =>
+              expr = s"$fn($expr, $lit)"
+              i = next
+              steps += 1
+              progressed = true
+            case None => i = save
+          }
+        case None => i = save
+      }
+    }
+    out.append(expr)
+    i
   }
 
   private def isIdentStart(c: Char) = c.isLetter || c == '_'
@@ -93,13 +111,13 @@ object JsonOperatorSql {
   private def matchOp(s: String, at: Int): Option[(String, String)] =
     ops.find { case (op, _) => s.startsWith(op, at) }
 
-  /** A path literal: single-quoted string or integer. */
-  private def consumeLiteral(s: String, at: Int): Option[(String, Int)] = {
+  /** A path literal: single-quoted string, or an integer when allowed. */
+  private def consumeLiteral(s: String, at: Int, allowInt: Boolean): Option[(String, Int)] = {
     if (at >= s.length) None
     else if (s.charAt(at) == '\'') {
       val (lit, next) = consumeString(s, at, '\'')
       Some((lit, next))
-    } else if (s.charAt(at).isDigit) {
+    } else if (allowInt && s.charAt(at).isDigit) {
       var i = at
       while (i < s.length && s.charAt(i).isDigit) i += 1
       Some((s.substring(at, i), i))

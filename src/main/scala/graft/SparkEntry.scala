@@ -504,7 +504,7 @@ object SparkEntry {
         | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
     "q_mix_sources" ->
       """SELECT doc_id, source FROM documents
-        | WHERE (doc_id * 2654435761 + 9973) % 1000 <
+        | WHERE ((doc_id * 2654435761 + 9973) // 1048576) % 1000 <
         |   (CASE source WHEN 'src0' THEN 1000.0 WHEN 'src1' THEN 500.0
         |     WHEN 'src2' THEN 250.0 WHEN 'src3' THEN 100.0 ELSE 0.0 END)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),

@@ -46,7 +46,9 @@ object Curation {
     * bit-reproducible across runs, engines, and partitionings (a property
     * Bernoulli `sample()` cannot give). Weights outside [0,1] clamp.
     *
-    * The hash stays in Long range for any id below ~3.5e9 (Knuth
+    * The bucket takes HIGH bits of the product (a low-bits modulus would
+    * depend only on id mod 1000, collapsing block-allocated id schemes
+    * onto a few buckets). Stays in Long range for ids below ~3.5e9 (Knuth
     * multiplier 2654435761); beyond that switch the id to decimal first. */
   def mixSources(
       docs: DataFrame,
@@ -54,7 +56,7 @@ object Curation {
       sourceCol: String,
       weights: Map[String, Double],
       salt: Long = 9973L): DataFrame = {
-    val bucket = pmod(col(idCol) * lit(2654435761L) + lit(salt), lit(1000L))
+    val bucket = pmod(shiftright(col(idCol) * lit(2654435761L) + lit(salt), 20), lit(1000L))
     val keepPerMille = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
       when(col(sourceCol) === src, lit(math.max(0.0, math.min(1.0, w)) * 1000.0))
         .otherwise(acc)

@@ -138,7 +138,8 @@ object Similarity {
         struct(coalesce(cosine(col(vecCol), typedlit(c)), lit(-2.0)).as("score"),
           lit(id).as("cell"))
       }
-      greatest(scored.toIndexedSeq: _*).getField("cell")
+      if (scored.length == 1) scored.head.getField("cell")
+      else greatest(scored.toIndexedSeq: _*).getField("cell")
     }
     val qLit = typedlit(query)
     df.select(col(idCol), col(vecCol), cellCol.as("cell"))

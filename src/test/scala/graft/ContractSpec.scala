@@ -24,13 +24,13 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query builds and returns a non-empty frame at sf0.001") {
+  test("every query builds; all but the sparse near-dup ones return rows at sf0.001") {
+    // near-dup pair queries can be legitimately empty on 500 tiny docs
+    val mayBeEmpty = Set("q_minhash_lsh", "q_embed_neardup")
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val n = fn(spark, "/root/testdata/sf0.001").count()
-        // near-dup pipelines can be legitimately empty at tiny scale — only
-        // a build/execution error is fatal here
-        if (n < 0) Some(s"$name: negative count") else None
+        if (n == 0 && !mayBeEmpty(name)) Some(s"$name: returned 0 rows") else None
       } catch {
         case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}")
       }

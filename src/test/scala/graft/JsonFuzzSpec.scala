@@ -210,12 +210,16 @@ class JsonFuzzSpec extends AnyFunSuite {
       val doc = s"{${JsonNav.quote(k)}: ${render(v1, r)}, " +
         s"${JsonNav.quote(filler)}: 1, ${JsonNav.quote(k)}: ${render(v2, r)}}"
       val got = JsonNav.find(doc, Array[PathElem](Key(k)))
-      val expected = JsonNav.find(s"{${JsonNav.quote(k)}: ${render(v1, new Random(0))}}",
-        Array[PathElem](Key(k)))
-      // compare against v1 rendered the same way: re-render deterministically
       val direct = JsonNav.find(s"{${JsonNav.quote(k)}: ${renderPlain(v1)}}",
         Array[PathElem](Key(k)))
       assert(got.kind == direct.kind, s"dup-key kind mismatch on <$doc>")
+      got.kind match {
+        case KLong   => assert(got.longV == direct.longV, s"<$doc>")
+        case KDouble => assert(got.doubleV == direct.doubleV, s"<$doc>")
+        case KStr    => assert(got.strV == direct.strV, s"<$doc>")
+        case KBool   => assert(got.boolV == direct.boolV, s"<$doc>")
+        case _       => ()
+      }
     }
   }
 

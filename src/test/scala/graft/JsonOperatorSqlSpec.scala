@@ -15,12 +15,18 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
     assert(rewrite("select j->>'a' from t") == "select json_as_text(j, 'a') from t")
     assert(rewrite("select j?'a' from t") == "select json_contains(j, 'a') from t")
     assert(rewrite("select t.j -> 'a' from t") == "select json_get(t.j, 'a') from t")
-    assert(rewrite("select j -> 0 from t") == "select json_get(j, 0) from t")
+    assert(rewrite("select `my col` ->> 'a' from t")
+      == "select json_as_text(`my col`, 'a') from t")
+    // a leading integer RHS is ambiguous with a Spark lambda — never touched
+    assert(rewrite("select j -> 0 from t") == "select j -> 0 from t")
+    assert(rewrite("select transform(arr, x -> 0) from t")
+      == "select transform(arr, x -> 0) from t")
   }
 
   test("chains left-fold like postgres") {
     assert(rewrite("select j->'a'->>'b' from t")
       == "select json_as_text(json_get(j, 'a'), 'b') from t")
+    // integer indices allowed from the second chain step on
     assert(rewrite("select j->'a'->0->'c' from t")
       == "select json_get(json_get(json_get(j, 'a'), 0), 'c') from t")
   }
@@ -30,6 +36,11 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       == "select '-> not an op' , json_get(j, 'a') from t")
     assert(rewrite("select 'it''s ? quoted' from t")
       == "select 'it''s ? quoted' from t")
+    // apostrophes in comments must not desync the scanner
+    assert(rewrite("select j->'a' from t -- don't\nwhere j ? 'k'")
+      == "select json_get(j, 'a') from t -- don't\nwhere json_contains(j, 'k')")
+    assert(rewrite("select /* j->'x' */ j->'a' from t")
+      == "select /* j->'x' */ json_get(j, 'a') from t")
   }
 
   test("parameter markers and unknown shapes are left alone") {
