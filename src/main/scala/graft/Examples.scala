@@ -29,6 +29,11 @@ object Examples {
       json_get_str(json_get(col("j"), lit("user")), lit("name")).as("name"),
       json_length(col("j"), lit("user"), lit("logins")).as("n_logins")).show(false)
 
+    println("== 2b. Reference-style SQL via the operator translator ==")
+    spark.sql(JsonOperatorSql.rewrite(
+      """select json_data->'user'->>'name' as name from
+        | (select '{"user": {"name": "ada"}}' as json_data)""".stripMargin)).show()
+
     println("== 3. Cast elision (runs as an analyzer rewrite) ==")
     val cast = spark.sql("""SELECT CAST(json_get('{"pi": 3.14}', 'pi') AS DOUBLE) AS pi""")
     println(cast.queryExecution.analyzed)
