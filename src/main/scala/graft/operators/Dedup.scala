@@ -117,6 +117,33 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** SimHash near-dup pairs: band the 64-bit simhash into four 16-bit
+    * chunks — two hashes within Hamming distance 3 must agree on at least
+    * one chunk (pigeonhole), so chunk-equality buckets are a COMPLETE
+    * candidate set for maxHamming <= 3 and best-effort recall above that;
+    * candidates are then filtered by exact Hamming distance. Same explode
+    * + equi-join shape as MinHash LSH: one shuffle on (band, chunk). */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Transitive duplicate clusters from a pair list: iterative min-label
     * propagation with pointer doubling (DataFrame connected components).
     * Returns (id, cluster_id) where cluster_id is the smallest id reachable

@@ -329,4 +329,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.duplicateClusters(empty.select(col("doc_id")),
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0L)
   }
+
+  test("simhash banded pairs find close documents, not distant ones") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 58).map(i => s"w$i").mkString(" ") + " x y" // tiny edit
+    val far = (200 to 260).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), pairs.toSeq)
+    assert(!pairs.exists(t => t._1 == 3L || t._2 == 3L), pairs.toSeq)
+  }
 }
