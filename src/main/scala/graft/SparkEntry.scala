@@ -269,6 +269,12 @@ object SparkEntry {
           shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // simhash banded near-dup pairs (rows-only: engine-hash based)
+    "q_simhash_pairs" -> ((s, dir) =>
+      operators.Dedup.simhashNearDupPairs(
+          table(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // two-stage near-dedup (LSH candidates → exact-Jaccard verify) plus
     // transitive closure into duplicate clusters (rows-only)
     "q_dedup_clusters" -> ((s, dir) => {
