@@ -43,4 +43,24 @@ object Tables {
       .parquet(path)
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** JSON-lines interchange — the lingua franca of LLM data pipelines.
+    * Write compressed (prefer "zstd" on clusters with native Hadoop
+    * codecs — faster at similar ratios; gzip default here since text
+    * zstd needs the native library) and read back with an explicit
+    * schema — schema inference re-reads the whole dataset, which at the
+    * 100 TB design point is a full extra scan. */
+  def writeJsonl(
+      df: DataFrame,
+      path: String,
+      compression: String = "gzip"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .json(path)
+
+  def readJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

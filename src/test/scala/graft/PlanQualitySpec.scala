@@ -88,4 +88,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(back.count() > 0)
     assert(back.count() == ev.where(col("event_type") === "click").count())
   }
+
+  test("jsonl round trip preserves documents (compressed)") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    graft.sources.Tables.writeJsonl(docs, out)
+    val back = graft.sources.Tables.readJsonl(s, out, docs.schema)
+    assert(back.count() == docs.count())
+    // exact content equality both directions
+    assert(back.exceptAll(docs).isEmpty)
+    assert(docs.exceptAll(back).isEmpty)
+    // compressed files actually produced
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".gz")), files.toSeq)
+  }
 }
