@@ -157,4 +157,34 @@ class JsonFixturesSpec extends AnyFunSuite {
       ("invalid_json", "is not json")
     ).toDF("name", "json_data")
   }
+
+  test("the reference README examples run verbatim (README.md:19-82)") {
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW readme_table AS SELECT * FROM VALUES
+        |(1, '{}'), (2, '{ "a": 1 }'), (3, '{ "a": 2 }'),
+        |(4, '{ "a": 1, "b": 2 }'), (5, '{ "a": 1, "b": 2, "c": 3 }')
+        |AS t(id, json_col)""".stripMargin)
+    val contains = spark.sql(
+      "SELECT id, json_contains(json_col, 'b') as json_contains FROM readme_table")
+      .collect().map(r => (r.getInt(0), r.getBoolean(1))).toMap
+    assert(contains == Map(1 -> false, 2 -> false, 3 -> false, 4 -> true, 5 -> true))
+
+    // the `->` form through the translator, display form per the README
+    val gets = spark.sql(JsonOperatorSql.rewrite(
+      "SELECT id, json_union_display(json_col->'a') as json_col_a FROM readme_table"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(gets == Map(1 -> "{null=}", 2 -> "{int=1}", 3 -> "{int=2}",
+      4 -> "{int=1}", 5 -> "{int=1}"))
+
+    // the cast-rewrite example: json_get(..)::string = 'ham'
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW readme_foo AS SELECT * FROM VALUES
+        |('{"bar": "ham"}'), ('{"bar": "spam"}'), ('nope')
+        |AS t(attributes)""".stripMargin)
+    val filtered = spark.sql(
+      "select * from readme_foo where cast(json_get(attributes, 'bar') as string)='ham'")
+    assert(filtered.count() == 1)
+    // and the rewrite actually produced json_get_str, as the README promises
+    assert(filtered.queryExecution.analyzed.toString.contains("json_get_str"))
+  }
 }
