@@ -34,7 +34,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Duplicate the metric to a fixed file so the result survives any
+    // stdout decoration by the build tool (sbt appends "[success] ..."
+    // after the program exits; BENCH_r01 recorded parsed:null).
+    try {
+      val w = new java.io.PrintWriter("BENCH_LAST.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // Print last, after Spark's shutdown logging, so the final stdout
+    // line of the run is the bare JSON object.
+    println(line)
+    System.out.flush()
   }
 }

@@ -114,9 +114,14 @@ object SparkEntry {
           json_length(jdoc).as("n_keys"))
         .orderBy(col("event_id"))),
 
+    // json_object_keys returns array<string>; the verify projection joins
+    // it to ONE scalar column because the driver's pandas compare cannot
+    // sort array cells ("unhashable ndarray") — the array-returning shape
+    // itself is pinned by JsonFunctionsSpec.
     "q_object_keys" -> ((s, dir) =>
       table(s, dir, "events")
-        .select(col("event_id"), JsonFunctions.json_object_keys(jdoc).as("ks"))
+        .select(col("event_id"),
+          concat_ws(",", JsonFunctions.json_object_keys(jdoc)).as("ks"))
         .orderBy(col("event_id"))),
 
     "q_as_text" -> ((s, dir) =>
@@ -131,9 +136,11 @@ object SparkEntry {
         .select(col("event_id"), json_get_json(jdoc, lit("obj")).as("obj_raw"))
         .orderBy(col("event_id"))),
 
+    // scalar-joined for the same pandas-compare reason as q_object_keys
     "q_get_array" -> ((s, dir) =>
       table(s, dir, "events")
-        .select(col("event_id"), json_get_array(jdoc, lit("arr")).as("arr_els"))
+        .select(col("event_id"),
+          concat_ws(",", json_get_array(jdoc, lit("arr"))).as("arr_els"))
         .orderBy(col("event_id"))),
 
     // json_get → union → to_text round trip (nested object passthrough)
@@ -275,8 +282,18 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // two-stage near-dedup: LSH candidates re-verified with EXACT token-
+    // shingle Jaccard — oracle = brute-force all-pairs Jaccard (the LSH
+    // stage is pure recall plumbing; at these parameters it finds every
+    // pair the exact measure accepts, which the oracle comparison proves)
+    "q_neardup_pairs" -> ((s, dir) =>
+      operators.Dedup.verifiedNearDupPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // two-stage near-dedup (LSH candidates → exact-Jaccard verify) plus
-    // transitive closure into duplicate clusters (rows-only)
+    // transitive closure into duplicate clusters
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val pairs = operators.Dedup.verifiedNearDupPairs(
@@ -347,20 +364,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
         .orderBy(col("doc_id"))),
 
-    // full feature extraction incl. the stubbed feature vector (rows-only)
+    // full feature extraction: the stub features are exact-arithmetic
+    // (integer byte sums + IEEE divisions), so the floats are
+    // oracle-comparable bit-for-bit; posexplode flattens the vector to
+    // (feat_idx, feat) rows — scalar columns for the pandas compare
     "q_mm_features" -> ((s, dir) =>
       operators.Multimodal.decodeFeatures(s,
           operators.Multimodal.documentBlobs(table(s, dir, "documents")))
         .toDF()
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
 
-    // multimodal resize + frame-sample plumbing (deterministic stubs;
-    // rows-only — binary payloads)
+    // multimodal resize + frame-sample plumbing (deterministic stubs);
+    // binary payloads are md5-projected so both engines compare hex digests
     "q_mm_resize" -> ((s, dir) =>
       operators.Multimodal.resize(s,
           operators.Multimodal.documentBlobs(table(s, dir, "documents")), 16, 16)
         .toDF()
-        .select(col("doc_id"), col("width"), col("height"), col("payload"))
+        .select(col("doc_id"), col("width"), col("height"),
+          md5(col("payload")).as("payload_md5"))
         .orderBy(col("doc_id"))),
 
     "q_mm_frames" -> ((s, dir) =>
@@ -368,6 +391,8 @@ object SparkEntry {
           operators.Multimodal.documentBlobs(table(s, dir, "documents")),
           frameBytes = 32, stride = 2)
         .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("offset"),
+          md5(col("frame")).as("frame_md5"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
     // full curation composition: annotate → exact dedup → LSH near-dedup →
@@ -378,6 +403,75 @@ object SparkEntry {
         .drop("text")
         .orderBy(col("doc_id")))
   )
+
+  // ---- oracle SQL builders for the native hash kernels ----------------
+  // The FNV-1a / splitmix64 kernels are plain mod-2^64 integer arithmetic,
+  // which DuckDB reproduces exactly with HUGEINT — so even the "engine
+  // hash" queries get real value-level oracles.
+
+  private val M64 = "18446744073709551616" // 2^64
+
+  /** `a * b mod 2^64` in HUGEINT without overflowing INT128: split the
+    * constant multiplier into 32-bit halves (a < 2^64, halves < 2^32 →
+    * partial products < 2^96). */
+  private def mulModSql(a: String, b: BigInt): String = {
+    val bl = b & BigInt("ffffffff", 16)
+    val bh = b >> 32
+    s"((($a) * $bl % $M64 + (($a) * $bh % 4294967296) * 4294967296) % $M64)"
+  }
+
+  /** FNV-1a 64 over an ASCII varchar expression (HUGEINT fold). */
+  private def fnvSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), " +
+      s"[CAST(ascii(substr($e, CAST(x+1 AS INT), 1)) AS HUGEINT) " +
+      s"for x in range(octet_length(encode($e)))]), " +
+      s"(h, b) -> xor(h, b) * 1099511628211 % $M64)"
+
+  /** Reinterpret a HUGEINT in [0, 2^64) as a signed 64-bit value. */
+  private def signedSql(e: String): String =
+    s"CAST(CASE WHEN ($e) >= 9223372036854775808 THEN ($e) - $M64 " +
+      s"ELSE ($e) END AS BIGINT)"
+
+  /** splitmix64 of column `x` (HUGEINT in [0,2^64)) as chained CTE stages;
+    * returns (cteSql, finalColumnExpr) given unique stage names. */
+  private def mixStagesSql(src: String, keyCols: String): String =
+    s"""mx0 AS (SELECT $keyCols, (h0 + 11400714819323198485) % $M64 AS x FROM $src),
+       |mx1 AS (SELECT $keyCols, ${mulModSql("xor(x, x // 1073741824)", BigInt("bf58476d1ce4e5b9", 16))} AS x FROM mx0),
+       |mx2 AS (SELECT $keyCols, ${mulModSql("xor(x, x // 134217728)", BigInt("94d049bb133111eb", 16))} AS x FROM mx1),
+       |mx3 AS (SELECT $keyCols, xor(x, x // 2147483648) AS h FROM mx2)""".stripMargin
+
+  /** 3-token shingle set of a `tk` token-list column — mirror of
+    * Dedup.shingles(_, 3). */
+  private val shinglesSql =
+    "list_distinct([array_to_string(tk[x+1:x+3], ' ') " +
+      "for x in range(0, greatest(len(tk)-3, 0)+1)])"
+
+  /** Exact token-shingle Jaccard between shingle-set columns a.s / b.s. */
+  private val jaccardSql =
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)"
+
+  /** Shared CTE prefix: per-document 3-shingle sets. */
+  private val shingleCtes =
+    s"""toksq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS s FROM toksq)""".stripMargin
+
+  /** Per-token splitmix64(fnv1a64(token)) hashes + 64-bit sign-count
+    * SimHash — the full SimHash64 kernel replicated in SQL. Yields CTE
+    * `shv(doc_id, sh)` with sh signed BIGINT. */
+  private val simhashCtes: String = {
+    val powers = (0 until 64).map(b => (BigInt(1) << b).toString).mkString(", ")
+    s"""tokq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |thq AS (SELECT doc_id, ${fnvSql("t")} AS h0 FROM tokq),
+       |${mixStagesSql("thq", "doc_id")},
+       |bitsq AS (SELECT doc_id, pw.p AS p,
+       |  sum(CASE WHEN h // pw.p % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM mx3 CROSS JOIN (SELECT unnest([$powers]) AS p) pw
+       |  GROUP BY doc_id, pw.p),
+       |shu AS (SELECT doc_id, sum(CASE WHEN cnt > 0 THEN CAST(p AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u
+       |  FROM bitsq GROUP BY doc_id),
+       |shv AS (SELECT doc_id, ${signedSql("u")} AS sh FROM shu)""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -406,7 +500,7 @@ object SparkEntry {
          | CAST(len(json_keys($jdocSql)) AS BIGINT) AS n_keys
          | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q_object_keys" ->
-      s"SELECT event_id, json_keys($jdocSql) AS ks FROM events ORDER BY event_id",
+      s"SELECT event_id, array_to_string(json_keys($jdocSql), ',') AS ks FROM events ORDER BY event_id",
     "q_as_text" ->
       s"""SELECT event_id, json_extract_string($jdocSql, '$$.uid') AS uid_txt,
          | json_extract_string($jdocSql, '$$.et') AS et_txt
@@ -414,8 +508,8 @@ object SparkEntry {
     "q_get_json" ->
       s"SELECT event_id, CAST(json_extract($jdocSql, '$$.obj') AS VARCHAR) AS obj_raw FROM events ORDER BY event_id",
     "q_get_array" ->
-      s"""SELECT event_id, [json_extract_string($jdocSql, '$$.arr[0]'),
-         | json_extract_string($jdocSql, '$$.arr[1]')] AS arr_els
+      s"""SELECT event_id, json_extract_string($jdocSql, '$$.arr[0]') || ',' ||
+         | json_extract_string($jdocSql, '$$.arr[1]') AS arr_els
          | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q_union_text" ->
       s"SELECT event_id, CAST(json_extract($jdocSql, '$$.obj') AS VARCHAR) AS obj_txt FROM events ORDER BY event_id",
@@ -508,9 +602,10 @@ object SparkEntry {
         |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
         | FROM embeddings e, q
         | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    // the MixBucket kernel's mod-2^64 wraparound, replicated with HUGEINT
     "q_mix_sources" ->
-      """SELECT doc_id, source FROM documents
-        | WHERE ((doc_id * 2654435761 + 9973) // 1048576) % 1000 <
+      s"""SELECT doc_id, source FROM documents
+        | WHERE ((((CAST(doc_id AS HUGEINT) * 2654435761 + 9973) % $M64) // 1048576) % 1000) <
         |   (CASE source WHEN 'src0' THEN 1000.0 WHEN 'src1' THEN 500.0
         |     WHEN 'src2' THEN 250.0 WHEN 'src3' THEN 100.0 ELSE 0.0 END)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
@@ -527,6 +622,83 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(16 + (ascii(substr(text, 1, 1)) & 63) AS INT) AS width,
         | CAST(16 + (ascii(substr(text, 2, 1)) & 63) AS INT) AS height
-        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // stub decoder replica: per-residue integer byte sums, then the same
+    // two IEEE double divisions and float32 rounding as decodeStub
+    "q_mm_features" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+        |   unnest(range(octet_length(encode(text)))) AS i FROM documents),
+        | s AS (SELECT doc_id, CAST(i % 8 AS INT) AS feat_idx,
+        |   sum(ascii(substr(text, CAST(i+1 AS INT), 1))) AS sv
+        |   FROM b GROUP BY doc_id, feat_idx),
+        | g AS (SELECT doc_id, octet_length(encode(text)) AS n,
+        |   CAST(16 + (ascii(substr(text, 1, 1)) & 63) AS INT) AS width,
+        |   CAST(16 + (ascii(substr(text, 2, 1)) & 63) AS INT) AS height,
+        |   unnest(range(8)) AS r FROM documents)
+        | SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_bytes, g.width, g.height,
+        |  CAST(g.r AS INT) AS feat_idx,
+        |  CAST(CAST(coalesce(s.sv, 0) AS DOUBLE) / CAST(255 AS DOUBLE)
+        |    / CAST(greatest(1, g.n // 8) AS DOUBLE) AS REAL) AS feat
+        | FROM g LEFT JOIN s ON g.doc_id = s.doc_id AND CAST(g.r AS INT) = s.feat_idx
+        | ORDER BY g.doc_id, g.r""".stripMargin.replaceAll("\n", " "),
+
+    // resize stub replica: strided byte selection, md5 over the payload
+    "q_mm_resize" ->
+      """SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        | md5(array_to_string([substr(text, CAST(x * octet_length(encode(text)) // 16 AS INT) + 1, 1)
+        |   for x in range(16)], '')) AS payload_md5
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // frame sampler replica: every 2nd 32-byte chunk, md5 per frame
+    "q_mm_frames" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(f * 32 AS BIGINT) AS "offset",
+        | md5(substr(text, CAST(f * 32 + 1 AS INT), 32)) AS frame_md5
+        | FROM (SELECT doc_id, text,
+        |   unnest(range(0, octet_length(encode(text)) // 32, 2)) AS f FROM documents)
+        | ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+
+    // FNV-1a 64 replicated with HUGEINT mod-2^64 arithmetic
+    "q_fingerprint" ->
+      s"""SELECT doc_id, ${signedSql(fnvSql("text"))} AS fp
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // full SimHash64 kernel replica (token fnv1a → splitmix64 → sign bits)
+    "q_simhash" ->
+      s"""WITH $simhashCtes
+        | SELECT doc_id, sh FROM shv ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // all-pairs Hamming join over the replicated simhash — the banded
+    // candidate generation is COMPLETE for the radius (maxHamming+1
+    // chunks, pigeonhole), so it must equal the brute-force pair set
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCtes
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        | FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // brute-force all-pairs exact-Jaccard — proves the LSH candidate stage
+    // loses nothing at these parameters
+    "q_neardup_pairs" ->
+      s"""WITH $shingleCtes
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE $jaccardSql >= 0.7
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // connected components over the brute-force pair set via a recursive
+    // CTE: label every node with the smallest reachable doc_id
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCtes,
+        | prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |   FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $jaccardSql >= 0.7),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |   UNION ALL SELECT id_b, id_a FROM prs),
+        | reach AS (SELECT doc_id AS id, doc_id AS label FROM documents
+        |   UNION SELECT e.src AS id, r.label FROM reach r JOIN edges e ON r.id = e.dst)
+        | SELECT id AS doc_id, min(label) AS cluster_id
+        | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

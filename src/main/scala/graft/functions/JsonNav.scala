@@ -155,8 +155,21 @@ object JsonNav {
     if (d.isNaN) "NaN"
     else if (d == Double.PositiveInfinity) "inf"
     else if (d == Double.NegativeInfinity) "-inf"
-    else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
-    else d.toString
+    else if (d == 0.0) { if (1.0 / d < 0) "-0" else "0" }
+    else if (d.isWhole) {
+      // Rust's Display never uses an exponent: integral f64 print all their
+      // digits at any magnitude (1e15 → "1000000000000000"). new
+      // BigDecimal(d) is the exact binary value, so this is lossless.
+      new java.math.BigDecimal(d).toBigInteger.toString
+    } else {
+      val s = d.toString
+      if (s.indexOf('E') < 0) s
+      else {
+        // expand Java's scientific notation positionally (Rust prints
+        // 1e-7 as "0.0000001"), keeping Java's shortest-digits mantissa
+        new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+      }
+    }
   }
 
   /** One pass over a JSON document's UTF-8 bytes. Not thread-safe; one
@@ -335,8 +348,32 @@ object JsonNav {
                 cp = (cp << 4) | d
                 i += 1
               }
-              sb.append(cp.toChar)
               pos += 4
+              if (cp >= 0xD800 && cp <= 0xDBFF) {
+                // high surrogate: a \uDC00-\uDFFF escape MUST follow —
+                // jiter/serde reject lone surrogates, so the reference
+                // returns NULL for the whole document (parity)
+                if (pos + 6 > n || bytes(pos) != BACKSLASH || bytes(pos + 1) != 'u') {
+                  failed = true; return null
+                }
+                var lo = 0
+                var j = 0
+                while (j < 4) {
+                  val d = Character.digit(bytes(pos + 2 + j), 16)
+                  if (d < 0) { failed = true; return null }
+                  lo = (lo << 4) | d
+                  j += 1
+                }
+                if (lo < 0xDC00 || lo > 0xDFFF) { failed = true; return null }
+                sb.append(cp.toChar)
+                sb.append(lo.toChar)
+                pos += 6
+              } else if (cp >= 0xDC00 && cp <= 0xDFFF) {
+                // lone low surrogate — reject, matching the reference
+                failed = true; return null
+              } else {
+                sb.append(cp.toChar)
+              }
             case _ => failed = true; return null
           }
         } else if ((b & 0xff) < 0x20) { failed = true; return null }

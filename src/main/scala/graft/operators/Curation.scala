@@ -48,15 +48,17 @@ object Curation {
     *
     * The bucket takes HIGH bits of the product (a low-bits modulus would
     * depend only on id mod 1000, collapsing block-allocated id schemes
-    * onto a few buckets). Stays in Long range for ids below ~3.5e9 (Knuth
-    * multiplier 2654435761); beyond that switch the id to decimal first. */
+    * onto a few buckets). The multiply runs in the MixBucket kernel with
+    * mod-2^64 wraparound, so snowflake-scale ids (~10^18) are fine —
+    * in-SQL `id * 2654435761` would be an ANSI ARITHMETIC_OVERFLOW at
+    * runtime for ids above ~3.5e9 (Knuth multiplier). */
   def mixSources(
       docs: DataFrame,
       idCol: String,
       sourceCol: String,
       weights: Map[String, Double],
       salt: Long = 9973L): DataFrame = {
-    val bucket = pmod(shiftright(col(idCol) * lit(2654435761L) + lit(salt), 20), lit(1000L))
+    val bucket = mix_bucket(col(idCol).cast("long"), 2654435761L, salt, 20, 1000)
     val keepPerMille = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
       when(col(sourceCol) === src, lit(math.max(0.0, math.min(1.0, w)) * 1000.0))
         .otherwise(acc)
@@ -64,26 +66,46 @@ object Curation {
     docs.where(bucket < keepPerMille)
   }
 
-  /** Full pipeline; returns surviving documents with annotations. */
+  /** Full pipeline; returns surviving documents with annotations.
+    *
+    * ONE corpus scan: the annotations, the exact-dedup digest, and the
+    * minhash signature are all computed in the same projection; `text` is
+    * then dropped and the slim result (a few hundred bytes/doc vs the
+    * corpus' kilobytes) is persisted, so the dedup branches below re-read
+    * the cached projection, not the 100 TB parquet. Exact dedup keeps the
+    * smallest id per digest via a window min (one shuffle on the digest,
+    * no join); near dedup bands the precomputed signatures. */
   def curate(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minQuality: Double = 0.25,
-      nearDupThreshold: Double = 0.8): DataFrame = {
-    val annotated = annotate(docs, idCol, textCol)
+      nearDupThreshold: Double = 0.8,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val slim = annotate(docs, idCol, textCol)
+      .withColumn("digest", md5(col(textCol).cast("binary")))
+      .withColumn("sig",
+        Dedup.minhashSignature(col(textCol), shingleSize, numHashes))
+      .drop(textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // exact dedup: keep the smallest id per content digest
-    val keepers = Dedup.exactDuplicates(docs, textCol, idCol)
-      .select(col("keep_id").as(idCol))
-    val exactDeduped = annotated.join(keepers, idCol)
+    val exactDeduped = slim
+      .withColumn("keep_id", min(col(idCol)).over(Window.partitionBy(col("digest"))))
+      .where(col(idCol) === col("keep_id"))
+      .drop("keep_id")
 
     // near dedup: LSH candidate pairs above threshold; drop the larger id
-    val losers = Dedup.minhashCandidatePairs(
-        docs, idCol, textCol, threshold = nearDupThreshold)
+    val losers = Dedup.minhashCandidatePairsFromSigs(
+        slim.select(col(idCol).as("id"), col("sig")),
+        numHashes = numHashes, bands = bands, threshold = nearDupThreshold)
       .select(col("id_b").as(idCol)).distinct()
     val nearDeduped = exactDeduped.join(losers, Seq(idCol), "left_anti")
 
-    nearDeduped.where(col("quality") >= minQuality)
+    nearDeduped.where(col("quality") >= minQuality).drop("digest", "sig")
   }
 }

@@ -71,10 +71,28 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    minhashCandidatePairsFromSigs(sigs, numHashes, bands, threshold)
+  }
+
+  /** Candidate pairs from a precomputed `(id, sig)` frame — for pipelines
+    * that already carry signatures (e.g. Curation.curate's single-scan
+    * annotate pass) so banding does not recompute them or rescan the
+    * corpus. */
+  def minhashCandidatePairsFromSigs(
+      sigs: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    // bands > numHashes would make rowsPerBand = 0 → every bucket constant
+    // per band → the self-join silently degenerates into a full cross
+    // product; non-divisible numHashes would silently ignore trailing
+    // signature components. Both are caller bugs — fail loudly.
+    require(bands > 0 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
     val exploded = sigs
       .select(col("id"), col("sig"),
         posexplode(bandBuckets(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
@@ -117,21 +135,36 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs: band the 64-bit simhash into four 16-bit
-    * chunks — two hashes within Hamming distance 3 must agree on at least
-    * one chunk (pigeonhole), so chunk-equality buckets are a COMPLETE
-    * candidate set for maxHamming <= 3 and best-effort recall above that;
-    * candidates are then filtered by exact Hamming distance. Same explode
-    * + equi-join shape as MinHash LSH: one shuffle on (band, chunk). */
+  /** SimHash near-dup pairs: band the 64-bit simhash into `maxHamming + 1`
+    * chunks — two hashes within Hamming distance `maxHamming` must agree on
+    * at least one chunk (pigeonhole), so chunk-equality buckets are a
+    * COMPLETE candidate set at the requested radius; candidates are then
+    * filtered by exact Hamming distance. Same explode + equi-join shape as
+    * MinHash LSH: one shuffle on (band, chunk).
+    *
+    * Scale note: chunk width is 64/(maxHamming+1) bits, so bucket count
+    * shrinks as the radius grows — maxHamming = 8 means ~7-bit chunks
+    * (128 buckets/band). On a large corpus keep the radius small (≤ 5) or
+    * the per-bucket candidate lists grow quadratic; AQE skew-split keeps
+    * the join partitions bounded either way. */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in 0..63, got $maxHamming")
+    val nBands = maxHamming + 1
+    // distribute 64 bits over nBands chunks: the first (64 % nBands) chunks
+    // get an extra bit — completeness only needs the chunks to partition
+    // the 64 bit positions
+    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val hashed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val banded = hashed.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until nBands).map { b =>
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+        shiftrightunsigned(col("sh"), offsets(b)).bitwiseAND(lit(mask))
+      }: _*))
         .as(Seq("band", "chunk")))
     val a = banded.as("a")
     val b = banded.as("b")

@@ -33,21 +33,26 @@ object Multimodal {
   val FeatureDim = 8
 
   /** STUB decoder — stands in for e.g. JPEG decode + CNN featurizer.
-    * Deterministic in the input bytes so tests and oracles are stable. */
+    * Deterministic in the input bytes so tests and oracles are stable:
+    * each feature is an exact integer byte-sum per residue class followed
+    * by two IEEE double divisions and one float rounding — all fully
+    * specified operations, so any engine (the DuckDB oracle included)
+    * reproduces the floats bit-for-bit. */
   private[operators] def decodeStub(docId: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = bytes.length
     // fake "header parse": dimensions derived from content
     val width = 16 + (if (n > 0) (bytes(0) & 0x3f) else 0)
     val height = 16 + (if (n > 1) (bytes(1) & 0x3f) else 0)
-    val feats = new Array[Float](FeatureDim)
+    val sums = new Array[Long](FeatureDim)
     var i = 0
     while (i < n) {
-      feats(i % FeatureDim) += (bytes(i) & 0xff).toFloat / 255.0f
+      sums(i % FeatureDim) += (bytes(i) & 0xff)
       i += 1
     }
+    val feats = new Array[Float](FeatureDim)
     var f = 0
     while (f < FeatureDim) {
-      feats(f) = feats(f) / math.max(1, n / FeatureDim).toFloat
+      feats(f) = (sums(f).toDouble / 255.0 / math.max(1, n / FeatureDim).toDouble).toFloat
       f += 1
     }
     MediaFeatures(docId, n.toLong, width, height, feats)

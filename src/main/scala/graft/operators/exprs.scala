@@ -55,6 +55,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element would silently read as 0.0 from ArrayData — honor
+      // the "any NULL argument → NULL" kernel contract instead
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
@@ -272,6 +275,7 @@ case class SigAgreement(left: Expression, right: Expression)
     var eq = 0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       if (x.getLong(i) == y.getLong(i)) eq += 1
       i += 1
     }
@@ -298,6 +302,45 @@ case class Fnv1a64(child: Expression) extends UnaryExpression with KernelCodegen
 
   override def nullSafeEval(v: Any): Any =
     HashKernels.fnv1a(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Deterministic weighted-sampling bucket over an integral id:
+  * `((id * multiplier + salt) mod 2^64) >>> shift, mod buckets` — the Knuth
+  * multiplicative-hash construction taking HIGH bits of the product. Lives
+  * in a native kernel because the multiply must WRAP: under Spark 4's
+  * default ANSI mode an overflowing long multiply in SQL is a runtime
+  * error, and snowflake-style ids (~10^18) overflow for any useful
+  * multiplier. Java long arithmetic wraps silently, which IS mod-2^64
+  * semantics; `>>>` keeps the result non-negative so the final `%` needs
+  * no pmod. Bit-reproducible at any id magnitude (oracle: HUGEINT mod-2^64
+  * arithmetic). */
+case class MixBucket(child: Expression, multiplier: Long, salt: Long, shift: Int, buckets: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(shift > 0 && shift < 64, s"shift must be in 1..63, got $shift")
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "mix_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mix_bucket expects an integral id, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val id = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    }
+    ((id * multiplier + salt) >>> shift) % buckets
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -336,6 +379,7 @@ case class SrpBucket(child: Expression, planes: Seq[Seq[Double]])
       var i = 0
       val m = math.min(n, plane.length)
       while (i < m) {
+        if (vec.isNullAt(i)) return null
         val xv = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
         dot += xv * plane(i)
         i += 1

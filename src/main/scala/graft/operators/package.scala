@@ -13,4 +13,8 @@ package object operators {
 
   def fnv1a64(s: Column): Column =
     GraftSqlShim.column(Fnv1a64(GraftSqlShim.expression(s)))
+
+  def mix_bucket(id: Column, multiplier: Long, salt: Long, shift: Int, buckets: Int): Column =
+    GraftSqlShim.column(
+      MixBucket(GraftSqlShim.expression(id), multiplier, salt, shift, buckets))
 }

@@ -99,6 +99,15 @@ class JsonNavSpec extends AnyFunSuite {
     assert(JsonNav.formatDouble(-2.0) == "-2")
     assert(JsonNav.formatDouble(1.5) == "1.5")
     assert(JsonNav.formatDouble(0.42) == "0.42")
+    // Rust Display never uses an exponent — large integral and tiny
+    // fractional values print positionally
+    assert(JsonNav.formatDouble(1e15) == "1000000000000000")
+    assert(JsonNav.formatDouble(1e16) == "10000000000000000")
+    assert(JsonNav.formatDouble(1.23e18) == "1230000000000000000")
+    assert(JsonNav.formatDouble(123456789.5) == "123456789.5")
+    assert(JsonNav.formatDouble(1e-7) == "0.0000001")
+    assert(JsonNav.formatDouble(-0.0) == "-0")
+    assert(JsonNav.formatDouble(0.0) == "0")
   }
 
   test("pathological inputs never throw: deep nesting, huge docs, broken escapes") {
@@ -118,7 +127,12 @@ class JsonNavSpec extends AnyFunSuite {
     // broken escapes / lone surrogates / truncations → Missing, no throw
     assert(JsonNav.find("\"abc\\", p()).kind == KMissing)        // ends in backslash
     assert(JsonNav.find("\"\\u12", p()).kind == KMissing)          // truncated \u
-    assert(JsonNav.find("\"\\ud800\"", p()).kind == KStr)         // lone surrogate decodes leniently
+    // lone/mispaired surrogates are rejected (reference jiter/serde parity:
+    // the whole document reads as NULL)
+    assert(JsonNav.find("\"\\ud800\"", p()).kind == KMissing)      // lone high surrogate
+    assert(JsonNav.find("\"\\udc00\"", p()).kind == KMissing)      // lone low surrogate
+    assert(JsonNav.find("\"\\ud800\\u0041\"", p()).kind == KMissing) // high + non-low
+    assert(JsonNav.find("\"\\ud83d\\ude00\"", p()).strV == "\ud83d\ude00") // valid pair decodes
     assert(JsonNav.find("\"\\q\"", p()).kind == KMissing)         // invalid escape char
     assert(JsonNav.find("{\"a\"", p("a")).kind == KMissing)       // key then EOF
     assert(JsonNav.find("[,]", p(0)).kind == KMissing)
