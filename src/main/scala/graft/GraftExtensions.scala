@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     JsonFunctions.optimizerRules.foreach { rule =>
       e.injectOptimizerRule(_ => rule)
     }
+    // SQL-text operator support (`j -> 'k'` through plain spark.sql),
+    // one conf flag away: spark.graft.sqlOperators=true
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

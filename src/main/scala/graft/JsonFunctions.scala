@@ -90,6 +90,19 @@ object JsonFunctions {
 
   // ---- typed Column API (entry point 2 of the reference, src/lib.rs:28-42) ----
 
+  /** Field metadata the reference attaches to raw-JSON output columns
+    * (src/common_union.rs:27-34 `json_field_metadata`): the canonical
+    * `arrow.json` extension-type keys plus the legacy `is_json` marker.
+    * Spark's StructField metadata is the analogous channel; the Column API
+    * carries it (the SQL-function path cannot — Spark function registries
+    * return bare expressions, not named fields; a known divergence). */
+  val jsonFieldMetadata: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("ARROW:extension:name", "arrow.json")
+      .putString("ARROW:extension:metadata", "{}")
+      .putString("is_json", "true")
+      .build()
+
   private def ex(c: Column): Expression = GraftSqlShim.expression(c)
   private def col(e: Expression): Column = GraftSqlShim.column(e)
   private def build(json: Column, path: Seq[Column])(
@@ -101,7 +114,9 @@ object JsonFunctions {
   def json_get_int(json: Column, path: Column*): Column = build(json, path)(JsonGetInt(_))
   def json_get_float(json: Column, path: Column*): Column = build(json, path)(JsonGetFloat(_))
   def json_get_bool(json: Column, path: Column*): Column = build(json, path)(JsonGetBool(_))
-  def json_get_json(json: Column, path: Column*): Column = build(json, path)(JsonGetJson(_))
+  def json_get_json(json: Column, path: Column*): Column =
+    GraftSqlShim.columnWithMetadata(
+      JsonGetJson(ex(json) +: path.map(ex)), jsonFieldMetadata)
   def json_get_array(json: Column, path: Column*): Column = build(json, path)(JsonGetArray(_))
   def json_as_text(json: Column, path: Column*): Column = build(json, path)(JsonAsText(_))
   def json_contains(json: Column, path: Column*): Column = build(json, path)(JsonContains(_))
@@ -109,7 +124,8 @@ object JsonFunctions {
   def json_object_keys(json: Column, path: Column*): Column =
     build(json, path)(JsonObjectKeys(_))
   def json_from_scalar(v: Column): Column = col(JsonFromScalar(ex(v)))
-  def json_union_to_text(v: Column): Column = col(JsonUnionToText(ex(v)))
+  def json_union_to_text(v: Column): Column =
+    GraftSqlShim.columnWithMetadata(JsonUnionToText(ex(v)), jsonFieldMetadata)
   def json_union_display(v: Column): Column = col(JsonUnionDisplay(ex(v)))
 
   // ---- operator DSL ----

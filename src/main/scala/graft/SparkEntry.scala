@@ -331,14 +331,17 @@ object SparkEntry {
       operators.Similarity.lshTopK(emb, "vec_id", "embedding", q, 20)
     }),
 
-    // IVF-cell approximate neighbor search (partition-pruning scale path;
-    // rows-only)
+    // IVF-cell approximate neighbor search through TRAINED centroids
+    // (k-means on a capped deterministic sample — the partition-pruning
+    // scale path; rows-only)
     "q_ann_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cents = operators.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", k = 16)
       operators.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20,
-        nCells = 16, nProbe = 4)
+        nCells = 16, nProbe = 4, trainedCentroids = cents)
     }),
 
     // deterministic weighted source mixing (training-data recipe)

@@ -131,22 +131,27 @@ object Similarity {
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
     val probeCells = centroids.sortBy { case (_, c) => -cosArr(query, c) }
       .take(nProbe).map(_._1)
-    // cell assignment: argmax cosine against each centroid (expression tree
-    // of C cosine kernels; C is small by construction)
-    val cellCol = {
-      val scored = centroids.map { case (id, c) =>
-        struct(coalesce(cosine(col(vecCol), typedlit(c)), lit(-2.0)).as("score"),
-          lit(id).as("cell"))
-      }
-      if (scored.length == 1) scored.head.getField("cell")
-      else greatest(scored.toIndexedSeq: _*).getField("cell")
-    }
     val qLit = typedlit(query)
-    df.select(col(idCol), col(vecCol), cellCol.as("cell"))
+    df.select(col(idCol), col(vecCol), cellAssignment(col(vecCol), centroids).as("cell"))
       .where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
       .select(col(idCol), cosine(col(vecCol), qLit).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
+  }
+
+  /** IVF cell id (argmax-cosine centroid index) for a vector column — an
+    * expression tree of C cosine kernels; C is small by construction.
+    * This is the column to PARTITION (or bucket) a 100 TB embedding table
+    * by: `df.withColumn("cell", cellAssignment(...)).write.partitionBy
+    * ("cell")` turns every IVF probe into a partition-pruned read of
+    * nProbe/C of the data (PlanQualitySpec proves the pruning). */
+  def cellAssignment(vec: Column, centroids: Array[(Int, Array[Float])]): Column = {
+    val scored = centroids.map { case (id, c) =>
+      struct(coalesce(cosine(vec, typedlit(c)), lit(-2.0)).as("score"),
+        lit(id).as("cell"))
+    }
+    if (scored.length == 1) scored.head.getField("cell")
+    else greatest(scored.toIndexedSeq: _*).getField("cell")
   }
 
   /** SRP-LSH-bucketed approximate top-k: scan only rows whose bucket matches

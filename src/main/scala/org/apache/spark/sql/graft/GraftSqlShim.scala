@@ -17,6 +17,19 @@ object GraftSqlShim {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column carrying explicit field metadata (Spark's analogue of Arrow
+    * field metadata): an Alias with `explicitMetadata`, named like the
+    * auto-generated column so the wrapper is invisible. Re-aliasing with
+    * `.as(name)` keeps the metadata — Alias.metadata delegates to a
+    * NamedExpression child when no explicit metadata is set. */
+  def columnWithMetadata(
+      e: Expression,
+      metadata: org.apache.spark.sql.types.Metadata): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.Alias(
+        e, org.apache.spark.sql.catalyst.util.toPrettySQL(e))(
+        explicitMetadata = Some(metadata)))
+
   def register(
       spark: SparkSession,
       name: String,

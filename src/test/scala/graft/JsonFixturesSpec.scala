@@ -169,10 +169,14 @@ class JsonFixturesSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getBoolean(1))).toMap
     assert(contains == Map(1 -> false, 2 -> false, 3 -> false, 4 -> true, 5 -> true))
 
-    // the `->` form through the translator, display form per the README
-    val gets = spark.sql(JsonOperatorSql.rewrite(
-      "SELECT id, json_union_display(json_col->'a') as json_col_a FROM readme_table"))
-      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    // the `->` form through PLAIN spark.sql — one conf flag turns on the
+    // parser-level translation (no manual rewrite() call)
+    spark.conf.set(GraftSqlParser.ConfKey, "true")
+    val gets = try {
+      spark.sql(
+        "SELECT id, json_union_display(json_col->'a') as json_col_a FROM readme_table")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    } finally spark.conf.set(GraftSqlParser.ConfKey, "false")
     assert(gets == Map(1 -> "{null=}", 2 -> "{int=1}", 3 -> "{int=2}",
       4 -> "{int=1}", 5 -> "{int=1}"))
 
