@@ -1,0 +1,61 @@
+package graft
+
+import java.io.PrintWriter
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Regenerates PLANS.md: `sbt "runMain graft.Plans"` (optional args:
+ * sfDir outFile). One section per headline shape with the property to
+ * check noted above each plan.
+ */
+object Plans {
+
+  /** query → what to look for in its physical plan. */
+  val sections: Seq[(String, String)] = Seq(
+    "q_filter_agg" ->
+      "JSON filter + aggregation: pruned scan, codegen'd filter, partial agg",
+    "q_enrich_join" ->
+      "broadcast dimension join: the fact side never shuffles",
+    "q_minhash_lsh" ->
+      "LSH banding: explode to (band,bucket), equi-join on the bucket key — no cartesian anywhere",
+    "q_ann_topk" ->
+      "brute-force cosine: partition-local top-k (TakeOrderedAndProject), vectors never shuffle",
+    "q_dedup_exact" ->
+      "exact dedup: map-side partial aggregation before the one digest shuffle",
+    "q_seq_pack" ->
+      "sequence packing: window partition-local per shard, no global sort",
+    "q_mix_sources" ->
+      "source mixing: narrow mix_bucket-kernel filter at scan speed",
+    "q_curation" ->
+      ("single corpus scan: annotate+digest+signature computed in one pass into a " +
+        "persisted slim projection (the InMemoryTableScans); exact dedup is a " +
+        "window min on the digest, near-dedup bands the cached signatures — " +
+        "NO parquet scan appears in this plan because every branch reads the cache"))
+
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "PLANS.md"
+    val spark = GraftSession.local(4)
+    val w = new PrintWriter(out)
+    try {
+      w.println("# PLANS — physical plans of the headline shapes")
+      w.println()
+      w.println(s"Generated with `sbt \"runMain graft.Plans\"` (explain formatted, $sf;")
+      w.println("same plans at any scale factor — AQE adjusts partition counts at")
+      w.println("runtime). What to check is noted above each plan.")
+      sections.foreach { case (name, note) =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.count() // materializes caches so plan reuse is visible
+        w.println()
+        w.println(s"## $name")
+        w.println()
+        w.println(note)
+        w.println()
+        w.println("```")
+        w.print(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+        w.println("```")
+      }
+    } finally w.close()
+    spark.stop()
+  }
+}

@@ -104,4 +104,42 @@ class PlanQualitySpec extends AnyFunSuite {
     val files = new java.io.File(out).listFiles().map(_.getName)
     assert(files.exists(_.endsWith(".gz")), files.toSeq)
   }
+
+  test("curation reads the corpus once: every branch consumes the cached slim projection") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE wraps the tree in AdaptiveSparkPlanExec, which hides children
+    // from collect(); the scan-count property is plan-shape, not runtime
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      SparkEntry.queries("q_curation")(spark, sfDir).queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // every parquet read in the visible plan would be an extra corpus
+    // scan; the ONE real scan lives inside the persisted slim projection
+    val parquetScans = plan.collect { case s: FileSourceScanExec => s }
+    assert(parquetScans.isEmpty,
+      s"expected all branches to read the cache, found ${parquetScans.size} parquet scans")
+    // the dedup branches (window-min + LSH) both read the cache
+    val cacheReads = plan.collect { case s: InMemoryTableScanExec => s }
+    assert(cacheReads.size >= 2, plan.toString.take(2000))
+    assert(SparkEntry.queries("q_curation")(spark, sfDir).count() > 0)
+  }
+
+  test("IVF cell-partitioned layout prunes probes at the scan") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = operators.Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    emb.withColumn("cell",
+        operators.Similarity.cellAssignment(col("embedding"), cents.zipWithIndex.map(_.swap)))
+      .write.partitionBy("cell").mode("overwrite").parquet(out)
+    // probing 2 of 8 cells must become a partition-pruned read
+    val probed = s.read.parquet(out).where(col("cell").isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("cell"), plan)
+    assert(probed.count() > 0)
+    assert(probed.count() < emb.count()) // genuinely pruned, not a full scan
+  }
 }
