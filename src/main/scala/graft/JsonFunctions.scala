@@ -67,7 +67,7 @@ object JsonFunctions {
       "sig_agreement" -> (es => SigAgreement(es(0), es(1))))
   }
 
-  val optimizerRules = Seq(JsonCallUnnest)
+  val optimizerRules = Seq(JsonCallUnnest, graft.plans.JsonUnionTextFusion)
 
   /** Register everything on a live session (idempotent).
     *

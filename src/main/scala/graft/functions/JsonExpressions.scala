@@ -288,6 +288,32 @@ case class JsonAsText(children: Seq[Expression]) extends JsonPathExpression {
     copy(children = c)
 }
 
+/** Fused `json_union_to_text(json_get(json, *path))`: navigates and
+ *  canonicalizes in ONE pass without materializing the union struct, and —
+ *  unlike the CodegenFallback union pair — runs inside WholeStageCodegen
+ *  like every other JsonPathExpression. Produced by the
+ *  JsonUnionTextFusion optimizer rule, never user-facing. Formatting
+ *  matches JsonUnionType.toJsonText exactly: strings re-quoted + escaped,
+ *  ints/floats canonical (Rust-Display doubles), array/object raw slices,
+ *  JSON null → SQL NULL. */
+case class JsonGetUnionText(children: Seq[Expression]) extends JsonPathExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "json_get_union_text"
+  override protected def compute(json: UTF8String, path: Array[JsonNav.PathElem]): Any = {
+    val v = JsonNav.find(json, path)
+    v.kind match {
+      case JsonNav.KMissing | JsonNav.KNull => null
+      case JsonNav.KBool   => UTF8String.fromString(if (v.boolV) "true" else "false")
+      case JsonNav.KLong   => UTF8String.fromString(v.longV.toString)
+      case JsonNav.KDouble => UTF8String.fromString(JsonNav.formatDouble(v.doubleV))
+      case JsonNav.KStr    => UTF8String.fromString(JsonNav.quote(v.strV))
+      case _               => v.rawU // array / object: raw slice passthrough
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(children = c)
+}
+
 /** `json_contains` (Postgres `?`): true iff the path resolves — including to
  *  a JSON null value; false (never NULL) otherwise, even for SQL NULL /
  *  invalid JSON input. Reference src/json_contains.rs:43-49,103-106. */

@@ -71,3 +71,19 @@ object JsonCallUnnest extends Rule[LogicalPlan] {
     case e: JsonAsText   => flatten(e, JsonAsText)
   }
 }
+
+/**
+ * Union-text fusion: `json_union_to_text(json_get(j, p…))` →
+ * `JsonGetUnionText(j, p…)`. Both union expressions are CodegenFallback
+ * (the sparse-union struct has no codegen story), so the unfused pair
+ * interprets its whole child tree per row; the fused navigation kernel is
+ * a JsonPathExpression with real doGenCode, closing the last interpreted
+ * hop in the library (output formatting is identical —
+ * JsonUnionType.toJsonText semantics, asserted by JsonFunctionsSpec).
+ * No literal-path guard needed: only the output encoding changes.
+ */
+object JsonUnionTextFusion extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case JsonUnionToText(jg: JsonGet) => JsonGetUnionText(jg.children)
+  }
+}

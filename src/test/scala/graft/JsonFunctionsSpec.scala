@@ -334,6 +334,29 @@ class JsonFunctionsSpec extends AnyFunSuite {
     assert(got == Seq("1", "\"two\"", "{\"three\": 3}"))
   }
 
+  test("union_to_text over json_get fuses into one codegen'd kernel") {
+    import graft.JsonFunctions.{json_get, json_union_to_text}
+    import spark.implicits._
+    val df = Seq("""{"s":"a\"b","i":7,"f":1.5,"b":true,"n":null,"o":{"x":1},"a":[1, 2]}""")
+      .toDF("j")
+    def fused(key: String) =
+      df.select(json_union_to_text(json_get(col("j"), lit(key))).as("v"))
+    // the optimizer replaces the CodegenFallback pair with the fused kernel
+    // (asserted on a parquet-backed plan — local relations constant-fold)
+    assert(SparkEntry.queries("q_union_text")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString.contains("json_get_union_text"))
+    // semantics identical to JsonUnionType.toJsonText: strings re-quoted +
+    // escaped, scalars canonical, array/object raw slices, null → NULL
+    assert(fused("s").head().getString(0) == "\"a\\\"b\"")
+    assert(fused("i").head().getString(0) == "7")
+    assert(fused("f").head().getString(0) == "1.5")
+    assert(fused("b").head().getString(0) == "true")
+    assert(fused("n").head().isNullAt(0))
+    assert(fused("o").head().getString(0) == "{\"x\":1}")
+    assert(fused("a").head().getString(0) == "[1, 2]") // raw: spacing kept
+    assert(fused("missing").head().isNullAt(0))
+  }
+
   // ---- whitespace / invalid / null inputs ----
 
   test("null and invalid inputs never error") {
