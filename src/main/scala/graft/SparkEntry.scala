@@ -304,11 +304,13 @@ object SparkEntry {
 
     // embedding cosine near-dup pairs via SRP-LSH buckets (the synthetic
     // embeddings have no true near-dups — max pairwise cos ≈ 0.51 — so the
-    // demo threshold is set below that to exercise the pipeline end-to-end)
+    // demo threshold is set below that to exercise the pipeline end-to-end;
+    // cos rounded for the compare, pair selection uses the raw value)
     "q_embed_neardup" -> ((s, dir) =>
       operators.Dedup.embeddingNearDupPairs(
           table(s, dir, "embeddings"), "vec_id", "embedding",
           planes = 4, dim = 64, minCosine = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))),
 
     // exact brute-force cosine top-20 around the vec_id=0 embedding
@@ -323,12 +325,14 @@ object SparkEntry {
         .limit(20)
     }),
 
-    // SRP-LSH-bucketed approximate neighbor search (scale path; rows-only)
+    // SRP-LSH-bucketed approximate neighbor search (scale path); the
+    // deterministic hyperplanes are replicated as literals in the oracle
     "q_ann_lsh" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       operators.Similarity.lshTopK(emb, "vec_id", "embedding", q, 20)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
     // IVF-cell approximate neighbor search through TRAINED centroids
@@ -435,13 +439,13 @@ object SparkEntry {
     s"CAST(CASE WHEN ($e) >= 9223372036854775808 THEN ($e) - $M64 " +
       s"ELSE ($e) END AS BIGINT)"
 
-  /** splitmix64 of column `x` (HUGEINT in [0,2^64)) as chained CTE stages;
-    * returns (cteSql, finalColumnExpr) given unique stage names. */
-  private def mixStagesSql(src: String, keyCols: String): String =
-    s"""mx0 AS (SELECT $keyCols, (h0 + 11400714819323198485) % $M64 AS x FROM $src),
-       |mx1 AS (SELECT $keyCols, ${mulModSql("xor(x, x // 1073741824)", BigInt("bf58476d1ce4e5b9", 16))} AS x FROM mx0),
-       |mx2 AS (SELECT $keyCols, ${mulModSql("xor(x, x // 134217728)", BigInt("94d049bb133111eb", 16))} AS x FROM mx1),
-       |mx3 AS (SELECT $keyCols, xor(x, x // 2147483648) AS h FROM mx2)""".stripMargin
+  /** splitmix64 of column `h0` (HUGEINT in [0,2^64)) as chained CTE
+    * stages `<pfx>0..<pfx>3`; the mixed value is column `h` of `<pfx>3`. */
+  private def mixStagesSql(src: String, keyCols: String, pfx: String = "mx"): String =
+    s"""${pfx}0 AS (SELECT $keyCols, (h0 + 11400714819323198485) % $M64 AS x FROM $src),
+       |${pfx}1 AS (SELECT $keyCols, ${mulModSql("xor(x, x // 1073741824)", BigInt("bf58476d1ce4e5b9", 16))} AS x FROM ${pfx}0),
+       |${pfx}2 AS (SELECT $keyCols, ${mulModSql("xor(x, x // 134217728)", BigInt("94d049bb133111eb", 16))} AS x FROM ${pfx}1),
+       |${pfx}3 AS (SELECT $keyCols, xor(x, x // 2147483648) AS h FROM ${pfx}2)""".stripMargin
 
   /** 3-token shingle set of a `tk` token-list column — mirror of
     * Dedup.shingles(_, 3). */
@@ -475,6 +479,94 @@ object SparkEntry {
        |  FROM bitsq GROUP BY doc_id),
        |shv AS (SELECT doc_id, ${signedSql("u")} AS sh FROM shu)""".stripMargin
   }
+
+  /** Full MinHashSignature + BandBuckets + SigAgreement replica: token
+    * FNV-1a → rolling shingle hash → splitmix64 → 16-component affine
+    * signature (SIGNED min, like the Scala kernel's Long compare) → band
+    * folds → bucket equi-join → agreement estimate. The affine family is
+    * regenerated from the SAME LCG as the kernel
+    * (MinHashSignature.family), so the estimate values are bit-identical.
+    * Yields CTE `mhest(id_a, id_b, est_jaccard)` of DISTINCT candidate
+    * pairs (no threshold applied — callers filter). */
+  private def minhashCtes(shingleSize: Int = 3, k: Int = 16, bands: Int = 4): String = {
+    require(shingleSize == 3, "oracle replica is written for 3-token shingles")
+    val mask = (BigInt(1) << 64) - 1
+    def u(l: Long): BigInt = BigInt(l) & mask
+    val (as, bs) = operators.MinHashSignature.family(k)
+    val famRows = (0 until k).map { j =>
+      val a = u(as(j)); val b = u(bs(j))
+      s"($j, ${a & BigInt("ffffffff", 16)}, ${a >> 32}, $b)"
+    }.mkString(", ")
+    val rowsPerBand = k / bands
+    val fnvP = "1099511628211" // 0x100000001b3: shingle-fold AND fnv prime
+    def foldStep(h: String, term: String) =
+      s"CASE WHEN $term IS NULL THEN $h ELSE (($h) * $fnvP % $M64 + $term) % $M64 END"
+    val sigPivot = (0 until rowsPerBand).map(r =>
+      s"max(CASE WHEN j % $rowsPerBand = $r THEN su END) AS s$r").mkString(", ")
+    val bandFolds = (0 until rowsPerBand).map { r =>
+      val rest = (r + 1 until rowsPerBand).map(x => s"s$x").mkString(", ")
+      val restSel = if (rest.isEmpty) "" else s", $rest"
+      val outName = if (r == rowsPerBand - 1) "h0" else "h" // mix stages read h0
+      s"bh${r + 1} AS (SELECT doc_id, band, ((h * $fnvP % $M64) + s$r) % $M64 AS $outName$restSel FROM bh$r),"
+    }.mkString(" ")
+    s"""tokp AS (
+       |  SELECT doc_id, unnest(ls) AS tok, generate_subscripts(ls, 1) - 1 AS pos, len(ls) AS n
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents)),
+       |thp AS (SELECT doc_id, pos, n, ${fnvSql("tok")} AS th FROM tokp),
+       |shw AS (
+       |  SELECT a.doc_id, a.pos AS i, a.th AS th0, b.th AS th1, c.th AS th2
+       |  FROM thp a
+       |  LEFT JOIN thp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  LEFT JOIN thp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+       |  WHERE a.pos <= greatest(a.n - $shingleSize, 0)),
+       |sh2 AS (SELECT doc_id, i, ${foldStep("th0", "th1")} AS h, th2 FROM shw),
+       |sh3 AS (SELECT doc_id, i, ${foldStep("h", "th2")} AS h0 FROM sh2),
+       |${mixStagesSql("sh3", "doc_id, i", "smx")},
+       |fam(j, f_al, f_ah, f_b) AS (SELECT * FROM (VALUES $famRows)),
+       |sigs AS (
+       |  SELECT m.doc_id, f.j,
+       |    min(${signedSql(s"(((m.h * f.f_al % $M64 + ((m.h * f.f_ah) % 4294967296) * 4294967296) % $M64) + f.f_b) % $M64")}) AS sig
+       |  FROM smx3 m CROSS JOIN fam f GROUP BY m.doc_id, f.j),
+       |sigu AS (SELECT doc_id, j, CASE WHEN sig < 0 THEN CAST(sig AS HUGEINT) + $M64
+       |  ELSE CAST(sig AS HUGEINT) END AS su, sig FROM sigs),
+       |bpiv AS (
+       |  SELECT doc_id, j // $rowsPerBand AS band, $sigPivot
+       |  FROM sigu GROUP BY doc_id, j // $rowsPerBand),
+       |bh0 AS (SELECT doc_id, band, CAST(band AS HUGEINT) AS h,
+       |  ${(0 until rowsPerBand).map(r => s"s$r").mkString(", ")} FROM bpiv),
+       |$bandFolds
+       |${mixStagesSql(s"bh$rowsPerBand", "doc_id, band", "bmx")},
+       |banded AS (SELECT doc_id, band, h AS bucket FROM bmx3),
+       |mhcand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |mhest AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / $k AS est_jaccard
+       |  FROM mhcand c
+       |  JOIN sigs sa ON sa.doc_id = c.id_a
+       |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+       |  GROUP BY c.id_a, c.id_b)""".stripMargin
+  }
+
+  /** Exact decimal expansion of a binary double — parses back to the
+    * identical double in any engine. */
+  private def dLit(d: Double): String = new java.math.BigDecimal(d).toPlainString
+
+  /** SrpBucket replica: packed sign bits of dot(vec, plane_p) with the
+    * SAME deterministic hyperplanes (Similarity.hyperplanes) inlined as
+    * exact literals. */
+  private def srpBucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lit = "[" + p.map(dLit).mkString(", ") + "]"
+      s"(CASE WHEN list_inner_product($vecExpr, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** CosineSimilarity replica (element-order double accumulation). */
+  private def cosSql(a: String, b: String): String =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -690,6 +782,98 @@ object SparkEntry {
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         | WHERE $jaccardSql >= 0.7
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // SRP-LSH bucket join + exact cosine, hyperplanes inlined as literals
+    "q_embed_neardup" -> {
+      val planes = operators.Similarity.hyperplanes(4, 64)
+      val bkt = srpBucketSql("e", planes)
+      s"""WITH bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | bb AS (SELECT vec_id, e, $bkt AS bucket FROM bv)
+        | SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |  round(${cosSql("a.e", "c.e")}, 6) AS cos
+        | FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        | WHERE ${cosSql("a.e", "c.e")} >= 0.35
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // SRP-LSH probe search: query bucket + single-bit-flip multi-probe,
+    // exact cosine within the probed buckets, top-20
+    "q_ann_lsh" -> {
+      val planes = operators.Similarity.hyperplanes(8, 64)
+      val bkt = srpBucketSql("e", planes)
+      val qbkt = srpBucketSql("qe", planes)
+      val probeCond = (0 until 8).map(b => s"bb.bucket = xor(qb.v, ${1L << b})")
+        .mkString("bb.bucket = qb.v OR ", " OR ", "")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        | bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | bb AS (SELECT vec_id, e, $bkt AS bucket FROM bv),
+        | qb AS (SELECT $qbkt AS v FROM q)
+        | SELECT bb.vec_id, round(${cosSql("bb.e", "q.qe")}, 6) AS cos
+        | FROM bb, q, qb
+        | WHERE $probeCond
+        | ORDER BY ${cosSql("bb.e", "q.qe")} DESC, bb.vec_id LIMIT 20""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // full MinHash+LSH replica (shared family constants) — candidate set,
+    // banding, and agreement estimates all value-level
+    "q_minhash_lsh" ->
+      s"""WITH ${minhashCtes()}
+        | SELECT id_a, id_b, est_jaccard FROM mhest
+        | WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // the whole curation pipeline: annotations + quality + langid + fnv
+    // fingerprint + window-min exact dedup + minhash-replica near-dedup
+    "q_curation" ->
+      s"""WITH ${minhashCtes()},
+        | ann AS (
+        |  SELECT doc_id, text,
+        |   CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |   string_split(text, ' ') AS toks,
+        |   CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |     / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+        |  FROM documents),
+        | ann2 AS (
+        |  SELECT doc_id, n_chars_calc,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(toks,
+        |     t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+        |     / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+        |   punct_ratio,
+        |   ${signedSql(fnvSql("text"))} AS fp
+        |  FROM ann),
+        | qual AS (
+        |  SELECT doc_id, n_chars_calc, n_tokens, stopword_ratio, fp,
+        |   ((CASE WHEN n_chars_calc BETWEEN 20 AND 100000 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+        |     + least(stopword_ratio * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE))
+        |     + CASE WHEN (CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE))
+        |         BETWEEN CAST(2 AS DOUBLE) AND CAST(12 AS DOUBLE) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+        |     + (CAST(1 AS DOUBLE) - least(punct_ratio * CAST(4 AS DOUBLE), CAST(1 AS DOUBLE))))
+        |    / CAST(4 AS DOUBLE)) AS quality
+        |  FROM ann2),
+        | langv AS (
+        |  SELECT doc_id,
+        |   CASE WHEN max(score) > 0 THEN max_by(lang, score*10 + rank) ELSE 'und' END AS pred_lang
+        |   FROM (
+        |    SELECT d.doc_id, u.lang, u.rank,
+        |     len(list_filter(string_split(d.text,' '), t -> list_contains(u.markers, t))) AS score
+        |    FROM documents d CROSS JOIN (VALUES
+        |     ('de', 0, ['der','die','das','und','ist','nicht','mit','ein','zu','den']),
+        |     ('en', 1, ['the','and','of','to','in','is','that','it','with','for']),
+        |     ('es', 2, ['el','la','los','las','y','es','una','en','que','por']),
+        |     ('fr', 3, ['le','la','les','et','est','une','dans','que','pour','des'])
+        |    ) AS u(lang, rank, markers)
+        |   ) GROUP BY doc_id),
+        | keep AS (SELECT doc_id FROM (
+        |   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k FROM documents)
+        |  WHERE doc_id = k),
+        | losers AS (SELECT DISTINCT id_b FROM mhest WHERE est_jaccard >= 0.8)
+        | SELECT q.doc_id, q.n_chars_calc, q.n_tokens, q.stopword_ratio,
+        |  q.quality, l.pred_lang, q.fp
+        | FROM qual q
+        | JOIN keep USING (doc_id)
+        | JOIN langv l ON l.doc_id = q.doc_id
+        | WHERE q.doc_id NOT IN (SELECT id_b FROM losers) AND q.quality >= 0.2
+        | ORDER BY q.doc_id""".stripMargin.replaceAll("\n", " "),
 
     // connected components over the brute-force pair set via a recursive
     // CTE: label every node with the smallest reachable doc_id

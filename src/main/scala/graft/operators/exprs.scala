@@ -166,13 +166,8 @@ case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
       s"minhash_signature expects array<string> of tokens, got ${other.sql}")
   }
 
-  // Deterministic affine family, seeded with a fixed LCG so signatures are
-  // reproducible across runs and sessions.
-  @transient private lazy val family: (Array[Long], Array[Long]) = {
-    var s = 0x9e3779b97f4a7c15L
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
-    (Array.fill(k)(next() | 1L), Array.fill(k)(next()))
-  }
+  @transient private lazy val family: (Array[Long], Array[Long]) =
+    MinHashSignature.family(k)
 
   override def nullSafeEval(v: Any): Any = {
     val (as, bs) = family
@@ -209,6 +204,17 @@ case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSignature {
+  /** Deterministic affine family, seeded with a fixed LCG so signatures
+    * are reproducible across runs, sessions, AND engines (the DuckDB
+    * oracle regenerates the same constants — SparkEntry.minhashCtes). */
+  def family(k: Int): (Array[Long], Array[Long]) = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    (Array.fill(k)(next() | 1L), Array.fill(k)(next()))
+  }
 }
 
 /** LSH band buckets from a minhash signature: bucket b = hash of signature
