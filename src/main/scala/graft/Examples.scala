@@ -29,10 +29,16 @@ object Examples {
       json_get_str(json_get(col("j"), lit("user")), lit("name")).as("name"),
       json_length(col("j"), lit("user"), lit("logins")).as("n_logins")).show(false)
 
-    println("== 2b. Reference-style SQL via the operator translator ==")
-    spark.sql(JsonOperatorSql.rewrite(
+    println("== 2b. Reference-style SQL via the conf-flag parser path ==")
+    spark.conf.set(GraftSqlParser.ConfKey, "true")
+    spark.sql(
       """select json_data->'user'->>'name' as name from
-        | (select '{"user": {"name": "ada"}}' as json_data)""".stripMargin)).show()
+        | (select '{"user": {"name": "ada"}}' as json_data)""".stripMargin).show()
+    spark.conf.set(GraftSqlParser.ConfKey, "false")
+    // the explicit translator works without the flag:
+    spark.sql(JsonOperatorSql.rewrite(
+      "select json_data->'user'->>'name' as name from " +
+        """(select '{"user": {"name": "ada"}}' as json_data)""")).show()
 
     println("== 3. Cast elision (runs as an analyzer rewrite) ==")
     val cast = spark.sql("""SELECT CAST(json_get('{"pi": 3.14}', 'pi') AS DOUBLE) AS pi""")
