@@ -357,6 +357,28 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // PII scrubbing: the corpus has no real PII, so the verify query
+    // injects a deterministic email+phone per doc and scrubs it back out
+    "q_redact" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextOps.redactPii(
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or +1-555 123 4567"))).as("clean"))
+        .orderBy(col("doc_id"))),
+
+    // deterministic stratified sampling: cap every source at 10 docs,
+    // chosen by hash order (reproducible across engines/partitionings)
+    "q_stratified" -> ((s, dir) =>
+      operators.Curation.stratifiedSample(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", perStratum = 10)
+        .orderBy(col("doc_id"))),
+
+    // one-row corpus summary with exact token-count percentiles
+    "q_corpus_stats" -> ((s, dir) =>
+      operators.TextOps.corpusStats(table(s, dir, "documents"), "text")),
+
     // sequence packing: shard-parallel fixed-token-budget bin assignment
     "q_seq_pack" -> ((s, dir) =>
       operators.TextOps.packSequences(table(s, dir, "documents"),
@@ -704,6 +726,37 @@ object SparkEntry {
         |   (CASE source WHEN 'src0' THEN 1000.0 WHEN 'src1' THEN 500.0
         |     WHEN 'src2' THEN 250.0 WHEN 'src3' THEN 100.0 ELSE 0.0 END)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q_redact" -> {
+      val email = operators.TextOps.EmailPattern.replace("'", "''")
+      val phone = operators.TextOps.PhonePattern.replace("'", "''")
+      s"""SELECT doc_id,
+        | regexp_replace(regexp_replace(
+        |   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555 123 4567',
+        |   '$email', '[PII]', 'g'), '$phone', '[PII]', 'g') AS clean
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // splitmix64-ordered rank per stratum (HUGEINT replica of the Mix64
+    // kernel; signed compare like Spark's LongType ordering), id tie-break
+    "q_stratified" ->
+      s"""WITH sm0 AS (SELECT doc_id, source,
+        |  ((CAST(doc_id AS HUGEINT) + 7919) % $M64 + $M64) % $M64 AS h0 FROM documents),
+        | ${mixStagesSql("sm0", "doc_id, source", "stx")},
+        | ranked AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |   ORDER BY ${signedSql("h")}, doc_id) AS rk FROM stx3)
+        | SELECT doc_id, source FROM ranked
+        | WHERE rk <= 10 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_corpus_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        | quantile_cont(n_tokens, 0.9) AS p90_tokens,
+        | quantile_cont(n_tokens, 0.99) AS p99_tokens,
+        | avg(n_chars) AS mean_chars
+        | FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |   CAST(length(text) AS BIGINT) AS n_chars FROM documents)""".stripMargin.replaceAll("\n", " "),
+
     "q_seq_pack" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

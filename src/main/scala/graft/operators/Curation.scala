@@ -66,6 +66,34 @@ object Curation {
     docs.where(bucket < keepPerMille)
   }
 
+  /** Deterministic stratified sampling: keep up to `perStratum` documents
+    * per stratum, chosen by multiplicative-hash order of the id (MixBucket
+    * with a wide bucket space) with the id itself as tie-break — a
+    * reproducible pseudo-random sample per stratum, independent of
+    * partitioning and engine. One window shuffle on the stratum key;
+    * rank state is O(1) per partition. The standard "cap each source at
+    * N docs" recipe of training-data mixes, without `sample()`'s
+    * nondeterminism. */
+  def stratifiedSample(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      perStratum: Int,
+      salt: Long = 7919L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perStratum > 0, s"perStratum must be positive, got $perStratum")
+    // mix64, NOT MixBucket: multiply-high-bits is monotonic below the
+    // wraparound point, so it would pick "the first N ids" for small id
+    // ranges instead of a scrambled sample
+    val order = mix64(col(idCol).cast("long"), salt)
+    docs
+      .withColumn("graft_rank",
+        row_number().over(Window.partitionBy(col(stratumCol))
+          .orderBy(order, col(idCol))))
+      .where(col("graft_rank") <= perStratum)
+      .drop("graft_rank")
+  }
+
   /** Full pipeline; returns surviving documents with annotations.
     *
     * ONE corpus scan: the annotations, the exact-dedup digest, and the

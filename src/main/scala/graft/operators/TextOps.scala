@@ -98,6 +98,20 @@ object TextOps {
   /** 64-bit FNV-1a content fingerprint (see Fnv1a64). */
   def fingerprint(textCol: Column): Column = fnv1a64(textCol)
 
+  /** PII patterns usable under BOTH java.util.regex and RE2 (the DuckDB
+    * oracle): no lookaround, no backreferences, explicit classes. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+?[0-9]{1,3}[- ]?\\(?[0-9]{3}\\)?[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** Deterministic PII scrubbing — emails then phone numbers replaced with
+    * a marker. A narrow regexp_replace chain: codegen'd, scan-speed, no
+    * shuffle; the building block every compliance-scrub stage needs
+    * before text lands in a training corpus. */
+  def redactPii(textCol: Column, marker: String = "[PII]"): Column =
+    regexp_replace(
+      regexp_replace(textCol, EmailPattern, marker),
+      PhonePattern, marker)
+
   /** Sequence packing for pretraining: assign documents to fixed
     * token-budget bins, the offset way (a running token count per shard;
     * bin = floor(offset / budget)), which is how packed sample files are
@@ -121,6 +135,25 @@ object TextOps {
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
   }
+
+  /** One-row corpus summary: counts, exact token-count percentiles
+    * (linear interpolation — Spark `percentile`, not the approximate
+    * sketch, so the numbers are oracle-comparable), and mean length.
+    * One partial-aggregated pass; the percentile state is the only
+    * per-group buffer and the group count is 1 — fine at any corpus
+    * size where a single executor can hold the token-count column for
+    * the final merge (use approx_percentile for a sketch-only variant
+    * when even that is too much). */
+  def corpusStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(tokenCount(col(textCol)).as("n_tokens"),
+        charLength(col(textCol)).as("n_chars"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+        expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+        expr("percentile(n_tokens, 0.99)").as("p99_tokens"),
+        avg(col("n_chars")).as("mean_chars"))
 
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */

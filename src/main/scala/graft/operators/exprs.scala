@@ -351,6 +351,37 @@ case class MixBucket(child: Expression, multiplier: Long, salt: Long, shift: Int
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** splitmix64 of (id + salt): a full-avalanche deterministic permutation
+  * of Z/2^64 — unlike MixBucket's multiply-and-take-high-bits (which is
+  * MONOTONIC below the wraparound point, so it cannot scramble small id
+  * ranges), every input bit affects every output bit. The ordering
+  * primitive for reproducible pseudo-random sampling. Wrapping arithmetic
+  * lives here for the same ANSI reason as MixBucket. */
+case class Mix64(child: Expression, salt: Long) extends UnaryExpression with KernelCodegen {
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "mix64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mix64 expects an integral id, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val id = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    }
+    HashKernels.mix(id + salt)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sign-random-projection LSH bucket: one bit per hyperplane = sign of
   * dot(vec, plane); the packed bits are the bucket key. Planes are passed
   * as literal data baked into the expression (deterministic across runs). */

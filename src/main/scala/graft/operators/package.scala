@@ -17,4 +17,7 @@ package object operators {
   def mix_bucket(id: Column, multiplier: Long, salt: Long, shift: Int, buckets: Int): Column =
     GraftSqlShim.column(
       MixBucket(GraftSqlShim.expression(id), multiplier, salt, shift, buckets))
+
+  def mix64(id: Column, salt: Long): Column =
+    GraftSqlShim.column(Mix64(GraftSqlShim.expression(id), salt))
 }

@@ -330,6 +330,55 @@ class OperatorsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0L)
   }
 
+  test("redactPii scrubs emails and phone numbers, leaves prose alone") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "write to ada.lovelace+x@mail.example.org today"),
+      (2L, "call +1-555 123 4567 or 44 555 000 1234 now"),
+      (3L, "plain text with numbers 12 34 and an @ sign alone"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.redactPii(col("text")).as("clean"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "write to [PII] today")
+    assert(out(2L) == "call [PII] or [PII] now")
+    assert(out(3L) == "plain text with numbers 12 34 and an @ sign alone")
+  }
+
+  test("stratified sample caps every stratum, reproducibly, by hash order") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val sampled = Curation.stratifiedSample(docs, "doc_id", "source", perStratum = 7)
+    val bySrc = sampled.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySrc.values.toSet == Set(7L), bySrc)
+    // deterministic: identical ids chosen on a rerun
+    val ids1 = sampled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Curation.stratifiedSample(docs, "doc_id", "source", 7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+    // not just "first 7 per source": the hash order shuffles the pick
+    assert(ids1 != (0L until 21L).toSeq, ids1)
+    // a stratum smaller than the cap survives whole
+    val tiny = Seq((1L, "only")).toDF("doc_id", "source")
+    assert(Curation.stratifiedSample(tiny, "doc_id", "source", 10).count() == 1L)
+  }
+
+  test("corpusStats: exact percentiles over a known distribution") {
+    val s = spark
+    import s.implicits._
+    // token counts 1..100 → p50 = 50.5, p90 = 90.1, mean chars exact
+    val docs = (1 to 100).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextOps.corpusStats(docs, "text").head()
+    assert(r.getLong(r.fieldIndex("n_docs")) == 100L)
+    assert(r.getLong(r.fieldIndex("total_tokens")) == 5050L)
+    assert(math.abs(r.getDouble(r.fieldIndex("p50_tokens")) - 50.5) < 1e-9)
+    assert(math.abs(r.getDouble(r.fieldIndex("p90_tokens")) - 90.1) < 1e-9)
+  }
+
   test("simhash banded pairs find close documents, not distant ones") {
     val s = spark
     import s.implicits._
