@@ -54,6 +54,15 @@ object MicroBench {
       df.select(json_get_json(col("j"), lit("meta")).as("r"))
         .selectExpr("max(length(r))").collect()
     }
+    // fused union-text path (JsonUnionTextFusion rule output)
+    bench("json_union_to_text(json_get(j,'meta')) [fused]") {
+      df.select(json_union_to_text(json_get(col("j"), lit("meta"))).as("r"))
+        .selectExpr("max(length(r))").collect()
+    }
+    bench("mix64(id) sampling order") {
+      spark.range(n).select(operators.mix64(col("id"), 7919L).as("h"))
+        .selectExpr("max(h)").collect()
+    }
     spark.stop()
   }
 }
