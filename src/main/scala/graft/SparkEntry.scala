@@ -424,6 +424,15 @@ object SparkEntry {
           md5(col("frame")).as("frame_md5"))
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // the streaming layer's verify surface: a REAL incremental query
+    // (file source → watermark → windowed agg → AvailableNow) whose
+    // final answer must equal the batch aggregation the oracle computes
+    "q_stream_agg" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.windowedAggToBatch(s, s"$dir/events.parquet")
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // full curation composition: annotate → exact dedup → LSH near-dedup →
     // quality filter (rows-only: fingerprints/minhash are engine hashes)
     "q_curation" -> ((s, dir) =>
@@ -805,6 +814,14 @@ object SparkEntry {
         | FROM (SELECT doc_id, text,
         |   unnest(range(0, octet_length(encode(text)) // 32, 2)) AS f FROM documents)
         | ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+
+    // streaming windowed agg == batch agg on bounded input; window start
+    // = event micros floored to the 5-minute boundary, in epoch seconds
+    "q_stream_agg" ->
+      """SELECT CAST((epoch_ns(ts) // 1000) // 300000000 * 300 AS BIGINT) AS w_start,
+        | event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
 
     // FNV-1a 64 replicated with HUGEINT mod-2^64 arithmetic
     "q_fingerprint" ->

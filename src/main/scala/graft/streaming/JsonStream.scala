@@ -79,6 +79,36 @@ object JsonStream {
          | r_ts >= l_ts - interval $lagMinutes minutes AND r_ts < l_ts""".stripMargin))
   }
 
+  /** Run the windowed JSON aggregation as a REAL streaming query over a
+    * bounded input (Trigger.AvailableNow + complete-mode memory sink) and
+    * return the final result as a batch frame. This is the streaming
+    * layer's verify surface: for bounded input the incremental answer
+    * must equal the equivalent batch aggregation, which the DuckDB
+    * oracle asserts value-for-value. Window start is flattened to epoch
+    * seconds so the result is engine-neutral. */
+  def windowedAggToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // FileStreamSource requires a DIRECTORY; stage a bare file into one
+    val p = java.nio.file.Paths.get(path)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+        dir.toString
+      } else path
+    val sink = s"graft_stream_agg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val agg = windowedJsonAgg(readEvents(spark, srcPath))
+      .select(col("window.start").cast("long").as("w_start"),
+        col("event_type"), col("n"), col("sum_k"))
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)
 
   /** Custom streaming state: running per-user event count and k-sum via
