@@ -337,7 +337,7 @@ object SparkEntry {
 
     // IVF-cell approximate neighbor search through TRAINED centroids
     // (k-means on a capped deterministic sample — the partition-pruning
-    // scale path; rows-only)
+    // scale path); the oracle replays the full Lloyd iteration in SQL
     "q_ann_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
@@ -345,7 +345,8 @@ object SparkEntry {
       val cents = operators.Similarity.trainCentroids(
         emb, "vec_id", "embedding", k = 16)
       operators.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20,
-        nCells = 16, nProbe = 4, trainedCentroids = cents)
+          nCells = 16, nProbe = 4, trainedCentroids = cents)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
     // deterministic weighted source mixing (training-data recipe)
@@ -598,6 +599,70 @@ object SparkEntry {
   /** CosineSimilarity replica (element-order double accumulation). */
   private def cosSql(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  /** Full trained-IVF replica: trainCentroids' Lloyd iterations (capped
+    * id-ordered sample, argmax-cosine assignment with first-index
+    * tie-break, per-element sample-order mean accumulation, float
+    * rounding) followed by ivfTopK's probe ranking, full-table cell
+    * assignment (greatest(struct) semantics: score desc, cell DESC on
+    * ties), and top-k. Every float sum is an ORDERED list_reduce fold,
+    * so the doubles are bit-identical to the Scala trainer's
+    * element-order accumulation. */
+  private def ivfOracleSql(
+      iters: Int = 5, k: Int = 16, nProbe: Int = 4,
+      dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048): String = {
+    def zipfold(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${dim + 1}), i -> ($a)[i] * ($b)[i])), (p,q) -> p+q)"
+    def selffold(a: String): String = zipfold(a, a)
+    val toD = "list_transform(cf, v -> CAST(v AS DOUBLE))"
+    val head =
+      s"""samp AS MATERIALIZED (SELECT vec_id,
+         |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e, embedding AS ef
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleCap)),
+         |sv AS MATERIALIZED (SELECT vec_id, e, ef, ${selffold("e")} AS na FROM samp),
+         |cen0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |  ef AS cf FROM (SELECT * FROM samp ORDER BY vec_id LIMIT $k))""".stripMargin
+    val loops = (0 until iters).map { i =>
+      s"""cn$i AS MATERIALIZED (SELECT cell, cf, $toD AS cd, ${selffold(toD)} AS nb FROM cen$i),
+         |asn$i AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, c.cell, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |    CASE WHEN v.na = 0 OR c.nb = 0 THEN -2.0
+         |         ELSE ${zipfold("v.e", "c.cd")} / (sqrt(v.na) * sqrt(c.nb)) END DESC, c.cell ASC) AS rk
+         |  FROM sv v CROSS JOIN cn$i c) WHERE rk = 1),
+         |mx$i AS MATERIALIZED (SELECT a.cell, t.pos,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t.x ORDER BY t.vec_id)), (p,q) -> p+q)
+         |    / count(*) AS REAL) AS c
+         |  FROM asn$i a JOIN (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM samp) t
+         |    ON a.vec_id = t.vec_id GROUP BY a.cell, t.pos),
+         |cen${i + 1} AS MATERIALIZED (SELECT c.cell, coalesce(m.cf2, c.cf) AS cf FROM cen$i c
+         |  LEFT JOIN (SELECT cell, list(c ORDER BY pos) AS cf2 FROM mx$i GROUP BY cell) m
+         |    ON c.cell = m.cell)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""cnf AS MATERIALIZED (SELECT cell, $toD AS cd, ${selffold(toD)} AS nb FROM cen$iters),
+         |av AS MATERIALIZED (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e FROM embeddings),
+         |avn AS MATERIALIZED (SELECT vec_id, e, ${selffold("e")} AS na FROM av),
+         |qv AS MATERIALIZED (SELECT e AS qe, na AS qna FROM avn WHERE vec_id = 0),
+         |pr AS (SELECT cell FROM (
+         |  SELECT c.cell, row_number() OVER (ORDER BY
+         |    CASE WHEN q.qna = 0 OR c.nb = 0 THEN -2.0
+         |         ELSE ${zipfold("q.qe", "c.cd")} / (sqrt(q.qna) * sqrt(c.nb)) END DESC, c.cell ASC) AS rk
+         |  FROM cnf c CROSS JOIN qv q) WHERE rk <= $nProbe),
+         |vcell AS (SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, c.cell, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |    CASE WHEN v.na = 0 OR c.nb = 0 THEN -2.0
+         |         ELSE ${zipfold("v.e", "c.cd")} / (sqrt(v.na) * sqrt(c.nb)) END DESC, c.cell DESC) AS rk
+         |  FROM avn v CROSS JOIN cnf c) WHERE rk = 1),
+         |sel AS (SELECT v.vec_id, ${zipfold("v.e", "q.qe")} / (sqrt(v.na) * sqrt(q.qna)) AS rawcos
+         |  FROM avn v CROSS JOIN qv q
+         |  WHERE v.vec_id IN (SELECT vec_id FROM vcell WHERE cell IN (SELECT cell FROM pr))
+         |    AND v.na <> 0 AND q.qna <> 0)
+         |SELECT vec_id, round(rawcos, 6) AS cos FROM (
+         |  SELECT vec_id, rawcos FROM sel ORDER BY rawcos DESC, vec_id LIMIT $topK)
+         |ORDER BY rawcos DESC, vec_id""".stripMargin
+    s"WITH $head,\n$loops,\n$tail".replaceAll("\n", " ")
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -852,6 +917,10 @@ object SparkEntry {
         | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         | WHERE $jaccardSql >= 0.7
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // trained-IVF: Lloyd iterations + probe + top-k replayed in SQL with
+    // ordered float folds (see ivfOracleSql)
+    "q_ann_ivf" -> ivfOracleSql(),
 
     // SRP-LSH bucket join + exact cosine, hyperplanes inlined as literals
     "q_embed_neardup" -> {
