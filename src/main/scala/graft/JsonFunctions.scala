@@ -58,13 +58,22 @@ object JsonFunctions {
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }
+    def litLong(e: Expression, what: String): Long = e match {
+      case Literal(v: Long, _) => v
+      case Literal(v: Int, _) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     Seq(
       "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
       "simhash64" -> (es => SimHash64(es.head)),
       "fnv1a64" -> (es => Fnv1a64(es.head)),
       "minhash_signature" -> (es => MinHashSignature(es(0),
         litInt(es(1), "shingle size"), litInt(es(2), "num hashes"))),
-      "sig_agreement" -> (es => SigAgreement(es(0), es(1))))
+      "sig_agreement" -> (es => SigAgreement(es(0), es(1))),
+      "mix_bucket" -> (es => MixBucket(es(0), litLong(es(1), "multiplier"),
+        litLong(es(2), "salt"), litInt(es(3), "shift"), litInt(es(4), "buckets"))),
+      "mix64" -> (es => Mix64(es(0), litLong(es(1), "salt"))))
   }
 
   val optimizerRules = Seq(JsonCallUnnest, graft.plans.JsonUnionTextFusion)

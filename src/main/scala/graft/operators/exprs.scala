@@ -118,6 +118,14 @@ case class SimHash64(child: Expression) extends UnaryExpression with KernelCodeg
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Test access to the private hash kernels (property specs pin them
+  * against BigInt models — they carry cross-engine oracle parity). */
+object HashKernelsAccess {
+  def fnv1a(s: String): Long =
+    HashKernels.fnv1a(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+  def mix(x: Long): Long = HashKernels.mix(x)
+}
+
 private[operators] object HashKernels {
   /** FNV-1a 64 over a UTF8String's bytes. */
   def fnv1a(s: org.apache.spark.unsafe.types.UTF8String): Long = {

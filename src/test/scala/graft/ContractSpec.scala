@@ -14,6 +14,14 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query has a value-level oracle (46/46 — no rows-only rows)") {
+    // Round-2 invariant: every kernel family has a DuckDB replica. A new
+    // query without an oracle silently downgrades to a rows-only check —
+    // make that a deliberate decision, not an omission.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
+
   test("every headline bench query exists") {
     val missing = SparkEntry.headlineQueries.toSet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"headline names without queries: $missing")

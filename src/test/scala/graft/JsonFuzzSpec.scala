@@ -234,6 +234,35 @@ class JsonFuzzSpec extends AnyFunSuite {
       .mkString("{", ",", "}")
   }
 
+  test("fused union-text kernel ≡ json_union_to_text ∘ json_get (10k fuzz)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val r = new Random(7777L)
+    var nonNull = 0
+    for (_ <- 0 until 10000) {
+      val doc = gen(r, 3)
+      val text = render(doc, r)
+      val path = genPath(r, doc, 2).toArray
+      // unfused semantics: union struct then flatten
+      val unfused = {
+        val u = graft.functions.JsonUnionType.fromValue(JsonNav.find(text, path))
+        if (u == null) null
+        else graft.functions.JsonUnionType.toJsonText(u.asInstanceOf[InternalRow])
+      }
+      // fused kernel on the same doc + path (as literal children)
+      val pathLits: Seq[Literal] = path.toSeq.map {
+        case Key(k)   => Literal(k)
+        case Index(i) => Literal(i)
+        case NoMatch  => Literal(-1L)
+      }
+      val fused = graft.functions.JsonGetUnionText(Literal(text) +: pathLits).eval(null)
+      assert(Option(fused).map(_.toString) == Option(unfused),
+        s"<$text> ${path.mkString("/")}")
+      if (fused != null) nonNull += 1
+    }
+    assert(nonNull > 3000, s"only $nonNull non-null results exercised")
+  }
+
   test("union round-trip: to_text(json_get(doc,path)) reparses to the same subtree") {
     val r = new Random(5150L)
     var checked = 0

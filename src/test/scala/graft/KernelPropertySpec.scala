@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{HashKernelsAccess, Mix64, MixBucket}
+import org.scalacheck.Prop
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Property tests pinning the wraparound hash kernels against BigInt
+ * mod-2^64 models for ARBITRARY 64-bit inputs — these kernels carry the
+ * cross-engine oracle parity (the DuckDB replicas implement exactly the
+ * model asserted here), so a divergence at any id magnitude would break
+ * verification silently.
+ */
+class KernelPropertySpec extends AnyFunSuite {
+
+  /** Plain-ScalaCheck runner (the scalatest bridge artifact is not on
+    * the offline classpath). */
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val M = BigInt(1) << 64
+  private def u(l: Long): BigInt = BigInt(l) & (M - 1)
+
+  private def splitmixModel(x0: Long): Long = {
+    var x = (u(x0) + BigInt("9e3779b97f4a7c15", 16)).mod(M)
+    x = ((x ^ (x >> 30)) * BigInt("bf58476d1ce4e5b9", 16)).mod(M)
+    x = ((x ^ (x >> 27)) * BigInt("94d049bb133111eb", 16)).mod(M)
+    (x ^ (x >> 31)).longValue
+  }
+
+  test("Mix64 equals the splitmix64 BigInt model for arbitrary ids and salts") {
+    check(forAll { (id: Long, salt: Long) =>
+      val got = Mix64(org.apache.spark.sql.catalyst.expressions.Literal(id), salt)
+        .eval(null).asInstanceOf[Long]
+      got == splitmixModel((u(id) + u(salt)).mod(M).longValue)
+    })
+  }
+
+  test("MixBucket equals ((id*m + salt) mod 2^64 >>> shift) % buckets for arbitrary ids") {
+    check(forAll { (id: Long) =>
+      val got = MixBucket(
+        org.apache.spark.sql.catalyst.expressions.Literal(id),
+        2654435761L, 9973L, 20, 1000).eval(null).asInstanceOf[Long]
+      val expect = (((u(id) * 2654435761L + 9973L).mod(M)) >> 20).longValue % 1000
+      got == expect
+    })
+  }
+
+  test("fnv1a64 equals the byte-fold BigInt model for arbitrary ASCII strings") {
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.choose(32.toChar, 126.toChar))
+      .map(_.mkString)
+    check(forAll(gen) { s =>
+      val got = HashKernelsAccess.fnv1a(s)
+      var h = BigInt("cbf29ce484222325", 16)
+      s.getBytes("UTF-8").foreach { b =>
+        h = ((h ^ BigInt(b & 0xff)) * BigInt("100000001b3", 16)).mod(M)
+      }
+      got == h.longValue
+    })
+  }
+}
