@@ -67,6 +67,13 @@ object Examples {
     println(s"curated survivors: ${Curation.curate(docs, "doc_id", "text").count()}" +
       s" of ${docs.count()}")
 
+    println("== 7. Sampling, scrubbing, corpus stats ==")
+    Curation.stratifiedSample(docs.select(col("doc_id"), col("source")),
+      "doc_id", "source", perStratum = 2).show(6)
+    spark.sql("""SELECT 'mail me at a@b.io or +1-555 123 4567' AS t""")
+      .select(TextOps.redactPii(col("t")).as("clean")).show(false)
+    TextOps.corpusStats(docs, "text").show(false)
+
     spark.stop()
   }
 }

@@ -30,7 +30,12 @@ object Plans {
       ("single corpus scan: annotate+digest+signature computed in one pass into a " +
         "persisted slim projection (the InMemoryTableScans); exact dedup is a " +
         "window min on the digest, near-dedup bands the cached signatures — " +
-        "NO parquet scan appears in this plan because every branch reads the cache"))
+        "NO parquet scan appears in this plan because every branch reads the cache"),
+    "q_stratified" ->
+      ("stratified sampling: one window shuffle on the stratum key, rank over the " +
+        "codegen'd mix64 order — no join, no global sort"),
+    "q_redact" ->
+      "PII scrubbing: narrow regexp chain at scan speed, zero shuffles")
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
