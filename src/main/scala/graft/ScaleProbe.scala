@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Reproducible scale probes behind SURVEY §8.2: synthetic data at 20-200×
+ * the bench scale factor, timing the operator families whose behavior at
+ * 100 TB depends on shuffle shape rather than kernel speed.
+ * `sbt "runMain graft.ScaleProbe [docs]"` (default 100k documents).
+ */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val spark = GraftSession.local(32)
+    import spark.implicits._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // synthetic corpus: 1-in-20 documents are near-duplicates (3 words
+    // changed out of ~60) of the preceding doc — the planted signal the
+    // LSH pipeline must find
+    val words = (0 until 500).map(i => s"w$i")
+    val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 60).map(j =>
+          element_at(typedlit(words),
+            (pmod(operators.mix64(col("id") * 61 + j, 17L), lit(500)) + 1).cast("int"))): _*)
+          .as("text"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(20)) === 1,
+          // near-dup of doc_id-1: same word choices except the last 3 slots
+          concat_ws(" ", (0 until 57).map(j =>
+            element_at(typedlit(words),
+              (pmod(operators.mix64((col("doc_id") - 1) * 61 + j, 17L), lit(500)) + 1).cast("int"))) ++
+            Seq(lit("x"), lit("y"), lit("z")): _*))
+          .otherwise(col("text")))
+      .cache()
+    println(s"corpus: ${docs.count()} docs")
+
+    val pairs = time(s"minhash LSH candidate pairs, $nDocs docs") {
+      operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5).count()
+    }
+    println(s"  pairs found: $pairs (planted: ~${nDocs / 20})")
+
+    time(s"verified near-dup + clusters, $nDocs docs") {
+      val p = operators.Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.7)
+      operators.Dedup.duplicateClusters(docs.select(col("doc_id")), p).count()
+    }
+
+    time(s"single-scan curation, $nDocs docs") {
+      operators.Curation.curate(docs, "doc_id", "text").count()
+    }
+
+    time(s"PII redaction, $nDocs docs") {
+      docs.select(operators.TextOps.redactPii(
+          concat(col("text"), lit(" user"), col("doc_id"), lit("@example.com"))).as("c"))
+        .selectExpr("max(length(c))").collect()
+    }
+
+    val big = nDocs.toLong * 100
+    time(s"stratified sample, $big ids x 20 strata") {
+      operators.Curation.stratifiedSample(
+        spark.range(big).select(col("id").as("doc_id"),
+          concat(lit("s"), pmod(col("id"), lit(20))).as("source")),
+        "doc_id", "source", perStratum = 1000).count()
+    }
+
+    spark.stop()
+  }
+}
