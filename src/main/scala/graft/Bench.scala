@@ -30,7 +30,8 @@ object Bench {
     // query's cost with one-shot JIT/page-cache/GC noise — observed
     // run-to-run drift of ±30% on identical code; the min is the
     // reproducible floor.
-    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    val samples = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").flatMap(_.toIntOption).getOrElse(3))
     val results: Map[String, Double] = bench.map { case (name, fn) =>
       val times = (1 to samples).map { _ =>
         val t0 = System.nanoTime()

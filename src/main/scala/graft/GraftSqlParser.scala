@@ -29,10 +29,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
  */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  private def maybeRewrite(sqlText: String): String =
-    if (SQLConf.get.getConfString(GraftSqlParser.ConfKey, "false").toBoolean) {
-      JsonOperatorSql.rewrite(sqlText)
-    } else sqlText
+  private def maybeRewrite(sqlText: String): String = {
+    // tolerant parse: only a case-insensitive "true" enables the rewrite.
+    // String.toBoolean would THROW for any other value, bricking every
+    // subsequent spark.sql() call in the session over a typo'd conf.
+    val v = SQLConf.get.getConfString(GraftSqlParser.ConfKey, "false")
+    if (v != null && v.trim.equalsIgnoreCase("true")) JsonOperatorSql.rewrite(sqlText)
+    else sqlText
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(maybeRewrite(sqlText))

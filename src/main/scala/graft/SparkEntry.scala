@@ -696,8 +696,10 @@ object SparkEntry {
       s"""SELECT event_id, CAST(json_array_length($jdocSql, '$$.arr') AS BIGINT) AS arr_len,
          | CAST(len(json_keys($jdocSql)) AS BIGINT) AS n_keys
          | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    // coalesce: Spark's concat_ws never returns NULL (NULL array → ''),
+    // so the oracle mirrors that for any-input parity
     "q_object_keys" ->
-      s"SELECT event_id, array_to_string(json_keys($jdocSql), ',') AS ks FROM events ORDER BY event_id",
+      s"SELECT event_id, coalesce(array_to_string(json_keys($jdocSql), ','), '') AS ks FROM events ORDER BY event_id",
     "q_as_text" ->
       s"""SELECT event_id, json_extract_string($jdocSql, '$$.uid') AS uid_txt,
          | json_extract_string($jdocSql, '$$.et') AS et_txt
@@ -705,8 +707,8 @@ object SparkEntry {
     "q_get_json" ->
       s"SELECT event_id, CAST(json_extract($jdocSql, '$$.obj') AS VARCHAR) AS obj_raw FROM events ORDER BY event_id",
     "q_get_array" ->
-      s"""SELECT event_id, json_extract_string($jdocSql, '$$.arr[0]') || ',' ||
-         | json_extract_string($jdocSql, '$$.arr[1]') AS arr_els
+      s"""SELECT event_id, coalesce(json_extract_string($jdocSql, '$$.arr[0]') || ',' ||
+         | json_extract_string($jdocSql, '$$.arr[1]'), '') AS arr_els
          | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q_union_text" ->
       s"SELECT event_id, CAST(json_extract($jdocSql, '$$.obj') AS VARCHAR) AS obj_txt FROM events ORDER BY event_id",

@@ -86,12 +86,15 @@ object Curation {
     // wraparound point, so it would pick "the first N ids" for small id
     // ranges instead of a scrambled sample
     val order = mix64(col(idCol).cast("long"), salt)
+    // collision-free internal name: a caller's own "graft_rank" column
+    // must survive untouched
+    val rankCol = s"graft_rank_${java.util.UUID.randomUUID().toString.take(8)}"
     docs
-      .withColumn("graft_rank",
+      .withColumn(rankCol,
         row_number().over(Window.partitionBy(col(stratumCol))
           .orderBy(order, col(idCol))))
-      .where(col("graft_rank") <= perStratum)
-      .drop("graft_rank")
+      .where(col(rankCol) <= perStratum)
+      .drop(rankCol)
   }
 
   /** Full pipeline; returns surviving documents with annotations.
@@ -112,6 +115,31 @@ object Curation {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
+    val (slim, result) = curatePipeline(docs, idCol, textCol, minQuality,
+      nearDupThreshold, shingleSize, numHashes, bands)
+    // materialize the survivors ONCE (the corpus scan + both dedup
+    // branches run here, reading the cached slim projection), then
+    // release the cache immediately: a persist() left behind would pin
+    // one cached copy per curate() call for the session's lifetime
+    // (CacheManager holds strong references); the checkpointed result's
+    // blocks are ContextCleaner-managed and freed on GC.
+    val out = result.localCheckpoint(true)
+    slim.unpersist(blocking = true)
+    out
+  }
+
+  /** The lazy curation pipeline; separated so plan-shape tests can
+    * inspect the pre-materialization plan. Returns (cached slim
+    * projection, lazy result) — callers own the unpersist. */
+  private[graft] def curatePipeline(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minQuality: Double,
+      nearDupThreshold: Double,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val slim = annotate(docs, idCol, textCol)
@@ -134,6 +162,6 @@ object Curation {
       .select(col("id_b").as(idCol)).distinct()
     val nearDeduped = exactDeduped.join(losers, Seq(idCol), "left_anti")
 
-    nearDeduped.where(col("quality") >= minQuality).drop("digest", "sig")
+    (slim, nearDeduped.where(col("quality") >= minQuality).drop("digest", "sig"))
   }
 }

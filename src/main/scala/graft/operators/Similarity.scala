@@ -133,7 +133,7 @@ object Similarity {
       .take(nProbe).map(_._1)
     val qLit = typedlit(query)
     df.select(col(idCol), col(vecCol), cellAssignment(col(vecCol), centroids).as("cell"))
-      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .where(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .select(col(idCol), cosine(col(vecCol), qLit).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)

@@ -106,7 +106,16 @@ object JsonStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink)
+    // detach the result from the memory sink so the temp view and staged
+    // dir can be cleaned up immediately — repeated calls would otherwise
+    // accumulate sink tables (each holding the full result on the driver)
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    if (srcPath != path) {
+      val d = new java.io.File(srcPath)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    result
   }
 
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)

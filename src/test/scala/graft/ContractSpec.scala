@@ -46,6 +46,21 @@ class ContractSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("documents corpus is ASCII — the byte-fold oracles assume it") {
+    // fnvSql/simhash/mm_* oracles index DuckDB VARCHARs by CHARACTER while
+    // the Scala kernels fold BYTES; those agree only for ASCII. The test
+    // corpora are ASCII by construction — if a future regen ever isn't,
+    // fail HERE loudly instead of as a mysterious oracle hash mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val nonAscii = docs
+        .where(org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")) !==
+          org.apache.spark.sql.functions.octet_length(org.apache.spark.sql.functions.col("text")))
+        .count()
+      assert(nonAscii == 0, s"$sf has $nonAscii non-ASCII documents")
+    }
+  }
+
   test("oracle SQL is single-line and DuckDB-parseable punctuation-wise") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains("\n"), s"$name oracle contains a newline")

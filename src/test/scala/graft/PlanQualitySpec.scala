@@ -108,21 +108,34 @@ class PlanQualitySpec extends AnyFunSuite {
   test("curation reads the corpus once: every branch consumes the cached slim projection") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
     // AQE wraps the tree in AdaptiveSparkPlanExec, which hides children
     // from collect(); the scan-count property is plan-shape, not runtime
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val plan = try {
-      SparkEntry.queries("q_curation")(spark, sfDir).queryExecution.executedPlan
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    // every parquet read in the visible plan would be an extra corpus
-    // scan; the ONE real scan lives inside the persisted slim projection
-    val parquetScans = plan.collect { case s: FileSourceScanExec => s }
-    assert(parquetScans.isEmpty,
-      s"expected all branches to read the cache, found ${parquetScans.size} parquet scans")
-    // the dedup branches (window-min + LSH) both read the cache
-    val cacheReads = plan.collect { case s: InMemoryTableScanExec => s }
-    assert(cacheReads.size >= 2, plan.toString.take(2000))
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val (slim, plan) = try {
+      val (sl, lazyResult) =
+        operators.Curation.curatePipeline(docs, "doc_id", "text", 0.2, 0.8, 3, 16, 4)
+      (sl, lazyResult.queryExecution.executedPlan) // resolve while AQE is off
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // every parquet read in the visible plan would be an extra corpus
+      // scan; the ONE real scan lives inside the cached slim projection
+      val parquetScans = plan.collect { case p: FileSourceScanExec => p }
+      assert(parquetScans.isEmpty,
+        s"expected all branches to read the cache, found ${parquetScans.size} parquet scans")
+      // the dedup branches (window-min + LSH) both read the cache
+      val cacheReads = plan.collect { case p: InMemoryTableScanExec => p }
+      assert(cacheReads.size >= 2, plan.toString.take(2000))
+    } finally slim.unpersist(blocking = false)
+    // the public API materializes then releases the cache — no cached
+    // copies may linger after the call
+    val before = s.sparkContext.getPersistentRDDs.size
     assert(SparkEntry.queries("q_curation")(spark, sfDir).count() > 0)
+    System.gc() // checkpointed result blocks are GC-managed; cache must not grow
+    val after = s.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"cached RDDs grew from $before to $after")
   }
 
   test("IVF cell-partitioned layout prunes probes at the scan") {
