@@ -246,7 +246,9 @@ object JsonNav {
     }
 
     /** pos at '"': advance past the key; true iff it equals k. Clean keys
-     *  (no escapes) compare as raw byte ranges — zero allocation. */
+     *  (no escapes) compare as raw byte ranges — zero allocation; keys
+     *  with escapes stream-compare their DECODED UTF-8 bytes against the
+     *  key, also allocation-free (matchKeyEscaped). */
     private def matchKey(k: Key): Boolean = {
       pos += 1
       val start = pos
@@ -257,10 +259,104 @@ object JsonNav {
           pos += 1
           return len == k.bytes.length && regionEquals(start, k.bytes)
         } else if (b == BACKSLASH) {
-          val s = readStringSlowFrom(start)
-          return !failed && s != null && s.toString == k.k
+          return matchKeyEscaped(start, k)
         } else if ((b & 0xff) < 0x20) { failed = true; return false }
         else pos += 1
+      }
+      failed = true
+      false
+    }
+
+    /** Escape-bearing key: decode and compare INCREMENTALLY against the
+     *  target key's UTF-8 bytes — no StringBuilder/String allocation.
+     *  Validation is identical to readStringSlowFrom (invalid escapes and
+     *  lone surrogates fail the whole document, even mid-mismatch — the
+     *  reference's parser validates every key it scans past). `start` is
+     *  the first content byte; pos sits at the first backslash. Equal
+     *  decoded strings ⟺ equal UTF-8 byte sequences (escapes decode to
+     *  valid scalars only, so the encoding is injective). */
+    private def matchKeyEscaped(start: Int, k: Key): Boolean = {
+      val kb = k.bytes
+      var ki = 0
+      var ok = true
+      // clean prefix scanned so far
+      val prefixLen = pos - start
+      if (prefixLen > kb.length) ok = false
+      else {
+        var i = 0
+        while (ok && i < prefixLen) {
+          if (bytes(start + i) != kb(i)) ok = false
+          i += 1
+        }
+        if (ok) ki = prefixLen
+      }
+      // consume one decoded byte of the document key
+      def take(b: Int): Unit = {
+        if (ok && ki < kb.length && (kb(ki) & 0xff) == b) ki += 1 else ok = false
+      }
+      // UTF-8-encode a code point into take()
+      def takeCp(cp: Int): Unit = {
+        if (cp < 0x80) take(cp)
+        else if (cp < 0x800) {
+          take(0xc0 | (cp >> 6)); take(0x80 | (cp & 0x3f))
+        } else if (cp < 0x10000) {
+          take(0xe0 | (cp >> 12)); take(0x80 | ((cp >> 6) & 0x3f)); take(0x80 | (cp & 0x3f))
+        } else {
+          take(0xf0 | (cp >> 18)); take(0x80 | ((cp >> 12) & 0x3f))
+          take(0x80 | ((cp >> 6) & 0x3f)); take(0x80 | (cp & 0x3f))
+        }
+      }
+      def hex4(at: Int): Int = {
+        var cp = 0
+        var i = 0
+        while (i < 4) {
+          val d = Character.digit(bytes(at + i), 16)
+          if (d < 0) return -1
+          cp = (cp << 4) | d
+          i += 1
+        }
+        cp
+      }
+      while (pos < n) {
+        val b = bytes(pos)
+        if (b == QUOTE) { pos += 1; return ok && ki == kb.length }
+        else if (b == BACKSLASH) {
+          pos += 1
+          if (pos >= n) { failed = true; return false }
+          (bytes(pos): @annotation.switch) match {
+            case '"'  => take('"'); pos += 1
+            case '\\' => take('\\'); pos += 1
+            case '/'  => take('/'); pos += 1
+            case 'b'  => take('\b'); pos += 1
+            case 'f'  => take('\f'); pos += 1
+            case 'n'  => take('\n'); pos += 1
+            case 'r'  => take('\r'); pos += 1
+            case 't'  => take('\t'); pos += 1
+            case 'u'  =>
+              pos += 1
+              if (pos + 4 > n) { failed = true; return false }
+              val cp = hex4(pos)
+              if (cp < 0) { failed = true; return false }
+              pos += 4
+              if (cp >= 0xD800 && cp <= 0xDBFF) {
+                // high surrogate: a low-surrogate escape MUST follow
+                if (pos + 6 > n || bytes(pos) != BACKSLASH || bytes(pos + 1) != 'u') {
+                  failed = true; return false
+                }
+                val lo = hex4(pos + 2)
+                if (lo < 0 || lo < 0xDC00 || lo > 0xDFFF) { failed = true; return false }
+                pos += 6
+                takeCp(0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00))
+              } else if (cp >= 0xDC00 && cp <= 0xDFFF) {
+                failed = true; return false
+              } else takeCp(cp)
+            case _ => failed = true; return false
+          }
+        } else if ((b & 0xff) < 0x20) { failed = true; return false }
+        else {
+          take(b & 0xff)
+          pos += 1
+        }
       }
       failed = true
       false

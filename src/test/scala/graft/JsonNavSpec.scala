@@ -38,6 +38,31 @@ class JsonNavSpec extends AnyFunSuite {
     assert(JsonNav.find("""{"ключ": "значение"}""", p("ключ")).strV == "значение")
   }
 
+  test("escape-bearing keys stream-match without allocation (all escape forms)") {
+    // simple escapes
+    assert(JsonNav.find("{\"a\\nb\": 1}", p("a\nb")).longV == 1L)
+    assert(JsonNav.find("{\"a\\tb\": 2}", p("a\tb")).longV == 2L)
+    assert(JsonNav.find("{\"q\\\"x\": 3}", p("q\"x")).longV == 3L)
+    assert(JsonNav.find("{\"s\\\\t\": 4}", p("s\\t")).longV == 4L)
+    assert(JsonNav.find("{\"a\\/b\": 5}", p("a/b")).longV == 5L)
+    // \u escapes at every UTF-8 width: 1-byte, 2-byte, 3-byte, 4-byte pair
+    assert(JsonNav.find("{\"\\u0041x\": 6}", p("Ax")).longV == 6L)
+    assert(JsonNav.find("{\"caf\\u00e9\": 7}", p("café")).longV == 7L)
+    assert(JsonNav.find("{\"\\u4e2d\": 8}", p("中")).longV == 8L)
+    assert(JsonNav.find("{\"\\ud83d\\ude00\": 9}", p("\ud83d\ude00")).longV == 9L)
+    // escaped key mismatch must still skip correctly to later keys
+    assert(JsonNav.find("{\"a\\nb\": 1, \"c\": 10}", p("c")).longV == 10L)
+    assert(JsonNav.find("{\"a\\u0041verylongkey\": 1, \"c\": 11}", p("c")).longV == 11L)
+    // prefix relationships are not equality
+    assert(JsonNav.find("{\"ab\\n\": 1}", p("ab")).kind == KMissing)
+    assert(JsonNav.find("{\"a\\n\": 1}", p("a\nb")).kind == KMissing)
+    // invalid escape / lone surrogate in a SCANNED key fails the document
+    // even when looking for a different key (reference parser validates
+    // everything it reads past)
+    assert(JsonNav.find("{\"a\\qb\": 1, \"c\": 2}", p("c")).kind == KMissing)
+    assert(JsonNav.find("{\"a\\ud800x\": 1, \"c\": 2}", p("c")).kind == KMissing)
+  }
+
   test("surrogate-pair unicode escapes decode") {
     val v = JsonNav.find("\"\\ud83d\\ude00\"", p())
     assert(v.kind == KStr && v.strV == "😀")
