@@ -48,6 +48,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_filter_agg")(spark, "/root/testdata/sf0.001")
 
+  /** documents.text with a '\n' injected after every 8th token — the
+    * corpus has no real newlines, so the line-based operators
+    * (dedupLines, repetitionStats) are exercised on deterministically
+    * re-lined text; the DuckDB oracles rebuild the identical line list
+    * from the same token split. Total char count is unchanged (one
+    * separator per boundary either way). */
+  private def relined: Column = {
+    val toks = split(col("text"), " ")
+    concat_ws("\n",
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / lit(8)).cast("int")),
+        i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))
+  }
+
   /** The FIXED benchmark set. Pinned so the bench metric stays comparable
     * across rounds as `queries` grows: every json parity shape (incl. the
     * reference's two-key criterion shapes) plus one representative of each
@@ -386,6 +400,40 @@ object SparkEntry {
           "doc_id", "text", tokenBudget = 512, shards = 8)
         .orderBy(col("doc_id"))),
 
+    // line-level corpus dedup (CCNet-style): lines in >=2 distinct docs
+    // are boilerplate, removed everywhere; text re-lined every 8 tokens
+    "q_line_dedup" -> ((s, dir) =>
+      operators.Dedup.dedupLines(
+          table(s, dir, "documents").select(col("doc_id"), relined.as("t2")),
+          "doc_id", "t2", lineSep = "\n", minDocs = 2)
+        .orderBy(col("doc_id"))),
+
+    // Gopher repetition signals over the re-lined text (narrow, one pass)
+    "q_repetition" -> ((s, dir) =>
+      operators.TextOps.repetitionStats(
+          table(s, dir, "documents").select(col("doc_id"), relined.as("t2")),
+          "doc_id", "t2")
+        .orderBy(col("doc_id"))),
+
+    // benchmark decontamination: eval set = every 20th doc; a training doc
+    // sharing any word 4-gram with it is flagged (broadcast gram join)
+    "q_decontam" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      operators.Curation.decontaminate(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic shard assignment + within-shard order key (the
+    // reproducible global shuffle; mix64 replicated in the oracle)
+    "q_shards" -> ((s, dir) =>
+      operators.Curation.assignShards(
+          table(s, dir, "documents").select(col("doc_id")),
+          "doc_id", numShards = 8)
+        .orderBy(col("doc_id"))),
+
     // multimodal decode plumbing: binary blobs → metadata (stub codec)
     "q_mm_meta" -> ((s, dir) =>
       operators.Multimodal.decodeFeatures(s,
@@ -500,6 +548,29 @@ object SparkEntry {
        |shex AS (SELECT doc_id, unnest(s) AS g FROM sh),
        |cnd AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM shex a JOIN shex b ON a.g = b.g AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Re-lined documents (mirror of `relined`): token list `tk` plus the
+    * 8-token line list `ls`. */
+  private val relinedCtes =
+    """relq AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      |llq AS (SELECT doc_id, text, tk,
+      |  [array_to_string(tk[x*8+1:x*8+8], ' ') for x in range((len(tk)-1)//8 + 1)] AS ls
+      |  FROM relq)""".stripMargin
+
+  /** Strict sliding n-gram list over token-list column `tk` (mirror of
+    * TextOps.slidingGrams). NOTE: the oracle replicates the Spark-side
+    * sorted-run-length fold as explode + GROUP BY occurrence counts —
+    * mathematically identical (run length over a sorted list = gram
+    * occurrence count; tie → lexicographically smallest = min(gram)
+    * among max-count grams) — because DuckDB's `list_reduce` with a
+    * struct accumulator returns wrong values when the fold is evaluated
+    * over a multi-row vector (verified: correct with one row, wrong in
+    * batch — an executor bug, so the lambda-fold form is unusable as an
+    * oracle). */
+  private def gramsSql(n: Int): String =
+    s"CASE WHEN len(tk) >= $n THEN " +
+      s"[array_to_string(tk[x+1:x+$n], ' ') for x in range(0, len(tk)-$n+1)] " +
+      s"ELSE CAST([] AS VARCHAR[]) END"
 
   /** Per-token splitmix64(fnv1a64(token)) hashes + 64-bit sign-count
     * SimHash — the full SimHash64 kernel replicated in SQL. Yields CTE
@@ -847,6 +918,81 @@ object SparkEntry {
         |   OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // line-level corpus dedup: distinct-doc line counts, drop lines in
+    // >=2 docs, reassemble in position order (empty docs kept as '')
+    "q_line_dedup" ->
+      s"""WITH $relinedCtes,
+        | exq AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM llq),
+        | cmq AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM exq)
+        |   GROUP BY line HAVING count(*) >= 2),
+        | keptq AS (SELECT doc_id, pos, line FROM exq
+        |   WHERE line NOT IN (SELECT line FROM cmq)),
+        | rebq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+        |   array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+        |   FROM keptq GROUP BY doc_id)
+        | SELECT l.doc_id, coalesce(r.clean, '') AS clean,
+        |  coalesce(r.kept, 0) AS kept_lines,
+        |  CAST(len(l.ls) - coalesce(r.kept, 0) AS BIGINT) AS dropped_lines
+        | FROM llq l LEFT JOIN rebq r USING (doc_id)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // Gopher repetition signals: line dup fractions + gram occurrence
+    // counts (see gramsSql note), every division exact-int/exact-int
+    "q_repetition" ->
+      s"""WITH $relinedCtes,
+        | g2c AS (SELECT doc_id, g, count(*) AS c
+        |   FROM (SELECT doc_id, unnest(${gramsSql(2)}) AS g FROM llq) GROUP BY doc_id, g),
+        | b1 AS (SELECT doc_id, max(c) AS bestrun FROM g2c GROUP BY doc_id),
+        | b2 AS (SELECT g.doc_id, b.bestrun, length(min(g.g)) AS bestlen
+        |   FROM g2c g JOIN b1 b ON g.doc_id = b.doc_id AND g.c = b.bestrun
+        |   GROUP BY g.doc_id, b.bestrun),
+        | g5c AS (SELECT doc_id, g, count(*) AS c
+        |   FROM (SELECT doc_id, unnest(${gramsSql(5)}) AS g FROM llq) GROUP BY doc_id, g),
+        | d5 AS (SELECT doc_id, sum((c - 1) * length(g)) AS dupchars
+        |   FROM g5c GROUP BY doc_id),
+        | frq AS (SELECT l.doc_id,
+        |   CAST(len(l.ls) AS BIGINT) AS n_lines,
+        |   CAST(len(l.ls) - len(list_distinct(l.ls)) AS DOUBLE)
+        |     / CAST(greatest(len(l.ls), 1) AS DOUBLE) AS dup_line_frac,
+        |   CAST(length(array_to_string(l.ls, '')) - length(array_to_string(list_distinct(l.ls), '')) AS DOUBLE)
+        |     / CAST(greatest(length(array_to_string(l.ls, '')), 1) AS DOUBLE) AS dup_line_char_frac,
+        |   CAST(coalesce(b2.bestrun, 0) * coalesce(b2.bestlen, 0) AS DOUBLE)
+        |     / CAST(greatest(length(l.text), 1) AS DOUBLE) AS top2gram_char_frac,
+        |   CAST(coalesce(d5.dupchars, 0) AS DOUBLE)
+        |     / CAST(greatest(length(l.text), 1) AS DOUBLE) AS dup5gram_char_frac
+        |   FROM llq l LEFT JOIN b2 ON l.doc_id = b2.doc_id
+        |   LEFT JOIN d5 ON l.doc_id = d5.doc_id)
+        | SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+        |  top2gram_char_frac, dup5gram_char_frac,
+        |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        |   AND top2gram_char_frac <= 0.20 AND dup5gram_char_frac <= 0.15) AS gopher_ok
+        | FROM frq ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // decontamination: distinct 4-gram shingles (whole-doc degenerate for
+    // short docs, like Dedup.shingles), benchmark = every 20th doc
+    "q_decontam" ->
+      """WITH toksq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        | shq AS (SELECT doc_id, list_distinct([array_to_string(tk[x+1:x+4], ' ')
+        |   for x in range(0, greatest(len(tk)-4, 0)+1)]) AS s FROM toksq),
+        | bgq AS (SELECT DISTINCT unnest(s) AS gram FROM shq WHERE doc_id % 20 = 0),
+        | tgq AS (SELECT doc_id, unnest(s) AS gram FROM shq WHERE doc_id % 20 <> 0),
+        | hitq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tgq
+        |   JOIN bgq USING (gram) GROUP BY doc_id)
+        | SELECT t.doc_id, coalesce(h.n, 0) AS n_hit_grams,
+        |  coalesce(h.n, 0) > 0 AS contaminated
+        | FROM (SELECT doc_id FROM shq WHERE doc_id % 20 <> 0) t
+        | LEFT JOIN hitq h USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // shard assignment: mix64(id+salt) replica, signed pmod + order key
+    "q_shards" ->
+      s"""WITH sh0 AS (SELECT doc_id,
+        |   ((CAST(doc_id AS HUGEINT) + 4243) % $M64 + $M64) % $M64 AS h0 FROM documents),
+        | ${mixStagesSql("sh0", "doc_id", "shx")}
+        | SELECT doc_id,
+        |  CAST(((${signedSql("h")}) % 8 + 8) % 8 AS INT) AS shard,
+        |  ${signedSql("h")} AS shard_ord
+        | FROM shx3 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "q_mm_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -128,6 +128,82 @@ object Curation {
     out
   }
 
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one word n-gram with any benchmark (eval-set) document —
+    * the standard exact-overlap check run before a pretraining corpus
+    * ships (GPT-3 App. C / PaLM-style n-gram collision). Shingling uses
+    * Dedup.shingles (distinct, whole-doc degenerate for docs shorter than
+    * `n`) so one oracle pattern covers both the LSH and decontamination
+    * pipelines. Returns one row per training document:
+    * `(id, n_hit_grams, contaminated)`.
+    *
+    * Scale (100 TB corpus vs ~10⁴-10⁵-doc benchmark suite): the
+    * benchmark gram set is tiny — it is DISTINCT-ed and hash-joined with
+    * an explicit broadcast, so the corpus side never shuffles its grams;
+    * the only corpus shuffle is the groupBy(id) over the HIT rows, a
+    * vanishing fraction of the corpus. The id-universe frame is a
+    * column-pruned single-column scan. */
+  def decontaminate(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      // shingles are distinct within a doc, so plain count = distinct count
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic training-shard assignment: shard = splitmix64(id+salt)
+    * mod `numShards`, plus the signed mixed hash itself as the
+    * within-shard sort key (`shard_ord`). This is the reproducible
+    * "global shuffle" every pretraining run needs — the same corpus
+    * always lands in the same shard in the same order, independent of
+    * partitioning, cluster size, or engine (Bernoulli `repartition` and
+    * `rand()` sorts give neither). Narrow: one kernel evaluation per
+    * row, no shuffle until the caller repartitions on `shard`. */
+  def assignShards(
+      docs: DataFrame,
+      idCol: String,
+      numShards: Int,
+      salt: Long = 4243L): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val h = mix64(col(idCol).cast("long"), salt)
+    docs.withColumn("shard", pmod(h, lit(numShards.toLong)).cast("int"))
+      .withColumn("shard_ord", h)
+  }
+
+  /** Materialize the shard layout: one directory per shard
+    * (`shard=K/`), rows inside each shard sorted by (shard_ord, id).
+    * `repartition(col("shard"))` puts each shard's rows in exactly one
+    * task, so each shard directory gets one sorted file per write —
+    * at scale, raise `spark.sql.shuffle.partitions` past `numShards`
+    * and each shard still maps to a single task (hash on the shard
+    * value). Sorting is per-partition (`sortWithinPartitions`), never a
+    * global sort. */
+  def writeShards(
+      docs: DataFrame,
+      idCol: String,
+      numShards: Int,
+      path: String,
+      salt: Long = 4243L): Unit =
+    assignShards(docs, idCol, numShards, salt)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_ord"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** The lazy curation pipeline; separated so plan-shape tests can
     * inspect the pre-materialization plan. Returns (cached slim
     * projection, lazy result) — callers own the unpersist. */

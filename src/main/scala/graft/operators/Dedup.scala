@@ -231,6 +231,53 @@ object Dedup {
     labels.select(col("id").as(idName), col("label").as("cluster_id"))
   }
 
+  /** Line-level corpus deduplication (the CCNet / RefinedWeb recipe):
+    * a line that occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate — navigation bars, cookie banners, license headers — and
+    * is removed from EVERY document; the surviving lines keep their
+    * original order. Returns one row per input document:
+    * `(id, clean, kept_lines, dropped_lines)`, with `clean = ""` when
+    * every line was boilerplate (the caller decides whether to drop
+    * empties).
+    *
+    * Scale (100 TB): one scan of the corpus; one aggregation shuffle
+    * keyed on the line text (Spark's two-phase distinct-count rewrite
+    * gives map-side partials); one join of the exploded lines against the
+    * common-line set — which is the Zipf HEAD of the line distribution,
+    * orders of magnitude smaller than the corpus, so AQE broadcasts it;
+    * one groupBy(id) shuffle to reassemble. No driver-side state.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lineSep: String = "\n",
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val exploded = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), lineSep)).as(Seq("pos", "line")))
+    val common = exploded
+      .groupBy(col("line"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("line"), lit(true).as("is_common"))
+    // tag-then-regroup (not an anti-join) so documents whose EVERY line is
+    // boilerplate still come back, as empty strings
+    exploded
+      .join(common, Seq("line"), "left")
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("pos"), col("line"),
+        coalesce(col("is_common"), lit(false)).as("is_common"))).as("arr"))
+      .select(
+        col("id").as(idCol),
+        concat_ws(lineSep,
+          transform(
+            filter(array_sort(col("arr")), s => !s.getField("is_common")),
+            s => s.getField("line"))).as("clean"),
+        size(filter(col("arr"), s => !s.getField("is_common"))).cast("long").as("kept_lines"),
+        size(filter(col("arr"), s => s.getField("is_common"))).cast("long").as("dropped_lines"))
+  }
+
   /** SimHash near-dup bucket key per document (see SimHash64): documents
     * whose simhash differs in few bits are near-duplicates. */
   def simhash(textCol: Column): Column =

@@ -155,6 +155,93 @@ object TextOps {
         expr("percentile(n_tokens, 0.99)").as("p99_tokens"),
         avg(col("n_chars")).as("mean_chars"))
 
+  /** Strict sliding word n-grams (every window of exactly `n` tokens;
+    * docs shorter than `n` yield an empty list — unlike Dedup.shingles,
+    * which degrades to one whole-doc shingle, matching its LSH role). */
+  def slidingGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Run-length fold over a SORTED gram list: returns a struct with
+    * `bestrun` (occurrence count of the most frequent gram — ties go to
+    * the lexicographically smallest, deterministically, because the list
+    * is sorted and only strictly-longer runs replace the champion),
+    * `bestlen` (char length of that gram) and `dupchars` (total chars of
+    * occurrences beyond each gram's first — the "characters inside
+    * duplicated n-grams" numerator). One narrow pass, no shuffle. */
+  private def gramRunStats(sortedGrams: Column): Column =
+    aggregate(
+      sortedGrams,
+      struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("bestrun"), lit(0).as("bestlen"), lit(0).as("dupchars")),
+      (s, e) => {
+        val newrun = when(e === s.getField("prev"), s.getField("run") + 1).otherwise(lit(1))
+        struct(
+          e.as("prev"),
+          newrun.as("run"),
+          when(newrun > s.getField("bestrun"), newrun)
+            .otherwise(s.getField("bestrun")).as("bestrun"),
+          when(newrun > s.getField("bestrun"), length(e))
+            .otherwise(s.getField("bestlen")).as("bestlen"),
+          (s.getField("dupchars") +
+            when(e === s.getField("prev"), length(e)).otherwise(lit(0))).as("dupchars"))
+      })
+
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models" §A1.1 — the public repetition-filter family): per document,
+    *  - dup_line_frac: fraction of lines that are repeats of an earlier
+    *    line in the same document,
+    *  - dup_line_char_frac: fraction of line characters inside those
+    *    repeated occurrences,
+    *  - top2gram_char_frac: chars covered by the most frequent word
+    *    2-gram / total text chars,
+    *  - dup5gram_char_frac: chars inside beyond-first occurrences of
+    *    duplicated word 5-grams / total text chars,
+    *  - gopher_ok: all four under the paper's thresholds (0.30 / 0.20 /
+    *    0.20 / 0.15).
+    * Lines split on `lineSep`, words on space-or-`lineSep`. Every signal
+    * is a narrow per-row expression over one tokenization — scan speed,
+    * zero shuffles, and every division is exact-int / exact-int so the
+    * doubles are bit-reproducible across engines. */
+  def repetitionStats(
+      df: DataFrame, idCol: String, textCol: String,
+      lineSep: String = "\n"): DataFrame = {
+    val base = df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars_rep"),
+      split(col(textCol), lineSep).as("ls"),
+      split(col(textCol), s"[ $lineSep]").as("toks"))
+    val sorted = base.select(
+      col(idCol), col("n_chars_rep"), col("ls"),
+      array_distinct(col("ls")).as("dls"),
+      array_sort(slidingGrams(col("toks"), 2)).as("g2"),
+      array_sort(slidingGrams(col("toks"), 5)).as("g5"))
+    val folded = sorted.select(
+      col(idCol), col("n_chars_rep"),
+      size(col("ls")).as("n_lines_i"),
+      (size(col("ls")) - size(col("dls"))).as("dup_lines_i"),
+      length(array_join(col("ls"), "")).as("line_chars_i"),
+      (length(array_join(col("ls"), "")) - length(array_join(col("dls"), ""))).as("dup_line_chars_i"),
+      gramRunStats(col("g2")).as("st2"),
+      gramRunStats(col("g5")).as("st5"))
+    val stats = folded.select(
+      col(idCol),
+      col("n_lines_i").cast("long").as("n_lines"),
+      (col("dup_lines_i").cast("double") /
+        greatest(col("n_lines_i"), lit(1)).cast("double")).as("dup_line_frac"),
+      (col("dup_line_chars_i").cast("double") /
+        greatest(col("line_chars_i"), lit(1)).cast("double")).as("dup_line_char_frac"),
+      ((col("st2").getField("bestrun") * col("st2").getField("bestlen")).cast("double") /
+        greatest(col("n_chars_rep"), lit(1)).cast("double")).as("top2gram_char_frac"),
+      (col("st5").getField("dupchars").cast("double") /
+        greatest(col("n_chars_rep"), lit(1)).cast("double")).as("dup5gram_char_frac"))
+    stats.withColumn("gopher_ok",
+      col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+        col("top2gram_char_frac") <= 0.20 && col("dup5gram_char_frac") <= 0.15)
+  }
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

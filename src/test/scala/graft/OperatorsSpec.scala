@@ -379,6 +379,103 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(r.fieldIndex("p90_tokens")) - 90.1) < 1e-9)
   }
 
+  test("dedupLines removes cross-doc boilerplate, keeps order, keeps empties") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "header\nunique one\nfooter"),
+      (2L, "header\nunique two\nfooter"),
+      (3L, "header\nfooter"), // all lines boilerplate → empty doc survives
+      (4L, "solo line\nanother solo")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, "unique one", 1L, 2L)))
+    assert(got(1) == ((2L, "unique two", 1L, 2L)))
+    assert(got(2) == ((3L, "", 0L, 2L)))
+    assert(got(3) == ((4L, "solo line\nanother solo", 2L, 0L)))
+    // a line repeated WITHIN one doc is not boilerplate (distinct-doc count)
+    val within = Seq((1L, "rep\nrep\nbody"), (2L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.dedupLines(within, "doc_id", "text", minDocs = 2)
+      .where(col("doc_id") === 1L).head()
+    assert(kept.getString(1) == "rep\nrep\nbody")
+  }
+
+  test("repetitionStats matches a hand-computed doc; ties break smallest") {
+    val s = spark
+    import s.implicits._
+    // tokens: a b a b a c  → 2-grams: (a b)x2 (b a)x2 (a c)x1
+    // top gram by count, tie (a b)/(b a) → lexicographic "a b", len 3
+    // lines: "a b a" and "b a c" distinct → no dup lines
+    val df = Seq((1L, "a b a\nb a c")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(df, "doc_id", "text").head()
+    assert(r.getLong(r.fieldIndex("n_lines")) == 2L)
+    assert(r.getDouble(r.fieldIndex("dup_line_frac")) == 0.0)
+    // n_chars = 11 → top2 = 2*3/11
+    assert(math.abs(r.getDouble(r.fieldIndex("top2gram_char_frac")) - 6.0 / 11.0) < 1e-12)
+    assert(r.getDouble(r.fieldIndex("dup5gram_char_frac")) == 0.0)
+    // duplicated lines + duplicated 5-grams in one doc
+    val rep = Seq((1L, "x y z w v\nx y z w v\nx y z w v")).toDF("doc_id", "text")
+    val r2 = TextOps.repetitionStats(rep, "doc_id", "text").head()
+    assert(math.abs(r2.getDouble(r2.fieldIndex("dup_line_frac")) - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r2.getDouble(r2.fieldIndex("dup_line_char_frac")) - 2.0 / 3.0) < 1e-12)
+    assert(!r2.getBoolean(r2.fieldIndex("gopher_ok")))
+    // doc shorter than the gram width → zero fractions, no crash
+    val short = Seq((1L, "one")).toDF("doc_id", "text")
+    val r3 = TextOps.repetitionStats(short, "doc_id", "text").head()
+    assert(r3.getDouble(r3.fieldIndex("top2gram_char_frac")) == 0.0)
+    assert(r3.getBoolean(r3.fieldIndex("gopher_ok")))
+  }
+
+  test("decontaminate flags n-gram overlap with the benchmark set only") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "the secret eval answer is here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "totally unrelated training document text"),
+      (2L, "prefix words the secret eval answer is here suffix"), // contains a bench 4-gram
+      (3L, "secret answer eval the")                              // same words, no shared 4-gram
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got(0) == ((1L, 0L, false)))
+    assert(got(1)._1 == 2L && got(1)._2 >= 1L && got(1)._3)
+    assert(got(2) == ((3L, 0L, false)))
+  }
+
+  test("assignShards is deterministic, covers all shards, and writes sorted layout") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 256L).toDF("doc_id")
+    val a = Curation.assignShards(docs, "doc_id", numShards = 8)
+    val b = Curation.assignShards(docs.repartition(7), "doc_id", numShards = 8)
+    // partitioning-independent and reproducible
+    assert(a.orderBy("doc_id").collect().toSeq == b.orderBy("doc_id").collect().toSeq)
+    val byShard = a.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet == (0 until 8).toSet) // every shard populated
+    assert(byShard.values.min > 8) // roughly balanced (256/8 = 32 expected)
+    // write path: one directory per shard, rows sorted by shard_ord within
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      Curation.writeShards(docs, "doc_id", numShards = 8, path = tmp)
+      val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs.toSeq == (0 until 8).map(i => s"shard=$i").sorted)
+      val back = s.read.parquet(tmp)
+      assert(back.count() == 256L)
+      for (d <- dirs.take(2)) {
+        val ords = s.read.parquet(s"$tmp/$d").select("shard_ord")
+          .collect().map(_.getLong(0)).toSeq
+        assert(ords == ords.sorted, s"$d not sorted")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("simhash banded pairs find close documents, not distant ones") {
     val s = spark
     import s.implicits._
