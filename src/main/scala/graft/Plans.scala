@@ -35,7 +35,18 @@ object Plans {
       ("stratified sampling: one window shuffle on the stratum key, rank over the " +
         "codegen'd mix64 order — no join, no global sort"),
     "q_redact" ->
-      "PII scrubbing: narrow regexp chain at scan speed, zero shuffles")
+      "PII scrubbing: narrow regexp chain at scan speed, zero shuffles",
+    "q_line_dedup" ->
+      ("line-level corpus dedup: the common-line set (Zipf head) is computed by a " +
+        "keyed distinct-count and BROADCAST back against the exploded corpus — " +
+        "corpus lines shuffle only for the per-document reassembly groupBy"),
+    "q_repetition" ->
+      "Gopher repetition signals: one pruned scan, narrow project chain, zero shuffles",
+    "q_decontam" ->
+      ("decontamination: benchmark grams distinct-ed then BROADCAST; the corpus side " +
+        "never shuffles its grams — only the hit rows reach the per-doc groupBy"),
+    "q_shards" ->
+      "shard assignment: narrow mix64 kernel projection — no Exchange until a caller repartitions on shard")
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

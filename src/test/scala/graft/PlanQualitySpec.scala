@@ -75,6 +75,49 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("decontaminate: benchmark grams broadcast; corpus grams never shuffle") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Curation.decontaminate(
+      d.where(col("doc_id") % 20 =!= 0), d.where(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    // both joins are broadcast (gram match + id-universe attach); the only
+    // Exchanges are the tiny bench-gram distinct and the hit-row groupBy
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("shard assignment is narrow; repetition stats are one-scan narrow") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val shards = graft.operators.Curation.assignShards(
+      d.select(col("doc_id")), "doc_id", numShards = 8)
+    val shardPlan = shards.queryExecution.executedPlan.toString
+    assert(!shardPlan.contains("Exchange"), shardPlan) // no shuffle at all
+    val rep = graft.operators.TextOps.repetitionStats(d, "doc_id", "text")
+    val repPlan = rep.queryExecution.executedPlan.toString
+    assert(!repPlan.contains("Exchange"), repPlan)
+    // exactly one corpus scan feeds all repetition signals
+    assert("Scan parquet".r.findAllIn(repPlan).size == 1, repPlan)
+  }
+
+  test("dedupLines: common-line set broadcasts back against the corpus") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), regexp_replace(col("text"), " (\\w+ \\w+ \\w+) ", " $1\n").as("t2"))
+    val df = graft.operators.Dedup.dedupLines(d, "doc_id", "t2", minDocs = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // the boilerplate set (Zipf head) joins via broadcast — the exploded
+    // corpus lines are never shuffled for the tagging join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("directory-partitioned writes prune at the scan") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
