@@ -73,7 +73,8 @@ object JsonFunctions {
       "sig_agreement" -> (es => SigAgreement(es(0), es(1))),
       "mix_bucket" -> (es => MixBucket(es(0), litLong(es(1), "multiplier"),
         litLong(es(2), "salt"), litInt(es(3), "shift"), litInt(es(4), "buckets"))),
-      "mix64" -> (es => Mix64(es(0), litLong(es(1), "salt"))))
+      "mix64" -> (es => Mix64(es(0), litLong(es(1), "salt"))),
+      "gram_rep_stats" -> (es => GramRepStats(es(0), litInt(es(1), "gram size"))))
   }
 
   val optimizerRules = Seq(JsonCallUnnest, graft.plans.JsonUnionTextFusion)

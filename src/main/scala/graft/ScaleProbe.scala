@@ -65,6 +65,32 @@ object ScaleProbe {
         .selectExpr("max(length(c))").collect()
     }
 
+    // line dedup probe: re-line every 8 tokens; the planted near-dups
+    // share 7 of 8 aligned lines with their source doc, so the common-line
+    // set is ~nDocs/20 * 7 lines — the broadcast side the plan relies on
+    val toksP = split(col("text"), " ")
+    val relinedDocs = docs.select(col("doc_id"),
+      concat_ws("\n",
+        transform(sequence(lit(0), floor((size(toksP) - 1) / lit(8)).cast("int")),
+          i => concat_ws(" ", slice(toksP, i * 8 + 1, lit(8))))).as("t2"))
+    time(s"line-level corpus dedup, $nDocs docs") {
+      operators.Dedup.dedupLines(relinedDocs, "doc_id", "t2", minDocs = 2)
+        .selectExpr("sum(dropped_lines)", "sum(kept_lines)").collect()
+    }
+
+    time(s"Gopher repetition stats, $nDocs docs") {
+      operators.TextOps.repetitionStats(relinedDocs, "doc_id", "t2")
+        .where(col("gopher_ok")).count()
+    }
+
+    time(s"decontamination vs ${nDocs / 50}-doc benchmark, $nDocs docs") {
+      operators.Curation.decontaminate(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 8)
+        .where(col("contaminated")).count()
+    }
+
     val big = nDocs.toLong * 100
     time(s"stratified sample, $big ids x 20 strata") {
       operators.Curation.stratifiedSample(

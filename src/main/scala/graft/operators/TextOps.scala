@@ -164,30 +164,11 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Run-length fold over a SORTED gram list: returns a struct with
-    * `bestrun` (occurrence count of the most frequent gram — ties go to
-    * the lexicographically smallest, deterministically, because the list
-    * is sorted and only strictly-longer runs replace the champion),
-    * `bestlen` (char length of that gram) and `dupchars` (total chars of
-    * occurrences beyond each gram's first — the "characters inside
-    * duplicated n-grams" numerator). One narrow pass, no shuffle. */
-  private def gramRunStats(sortedGrams: Column): Column =
-    aggregate(
-      sortedGrams,
-      struct(lit("").as("prev"), lit(0).as("run"),
-        lit(0).as("bestrun"), lit(0).as("bestlen"), lit(0).as("dupchars")),
-      (s, e) => {
-        val newrun = when(e === s.getField("prev"), s.getField("run") + 1).otherwise(lit(1))
-        struct(
-          e.as("prev"),
-          newrun.as("run"),
-          when(newrun > s.getField("bestrun"), newrun)
-            .otherwise(s.getField("bestrun")).as("bestrun"),
-          when(newrun > s.getField("bestrun"), length(e))
-            .otherwise(s.getField("bestlen")).as("bestlen"),
-          (s.getField("dupchars") +
-            when(e === s.getField("prev"), length(e)).otherwise(lit(0))).as("dupchars"))
-      })
+  // gram statistics run in the native GramRepStats kernel (exprs.scala):
+  // the declarative equivalent (transform → array_sort → aggregate fold)
+  // interprets three lambdas per gram and measured ~60× slower at 100k
+  // docs. Semantics pinned by the repetitionStats spec: occurrence count
+  // of the most frequent gram, ties → binary-smallest gram.
 
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     * Models" §A1.1 — the public repetition-filter family): per document,
@@ -214,18 +195,16 @@ object TextOps {
       split(col(textCol), lineSep).as("ls"),
       split(col(textCol), s"[ $lineSep]").as("toks"))
     val sorted = base.select(
-      col(idCol), col("n_chars_rep"), col("ls"),
-      array_distinct(col("ls")).as("dls"),
-      array_sort(slidingGrams(col("toks"), 2)).as("g2"),
-      array_sort(slidingGrams(col("toks"), 5)).as("g5"))
+      col(idCol), col("n_chars_rep"), col("ls"), col("toks"),
+      array_distinct(col("ls")).as("dls"))
     val folded = sorted.select(
       col(idCol), col("n_chars_rep"),
       size(col("ls")).as("n_lines_i"),
       (size(col("ls")) - size(col("dls"))).as("dup_lines_i"),
       length(array_join(col("ls"), "")).as("line_chars_i"),
       (length(array_join(col("ls"), "")) - length(array_join(col("dls"), ""))).as("dup_line_chars_i"),
-      gramRunStats(col("g2")).as("st2"),
-      gramRunStats(col("g5")).as("st5"))
+      gram_rep_stats(col("toks"), 2).as("st2"),
+      gram_rep_stats(col("toks"), 5).as("st5"))
     val stats = folded.select(
       col(idCol),
       col("n_lines_i").cast("long").as("n_lines"),

@@ -20,4 +20,7 @@ package object operators {
 
   def mix64(id: Column, salt: Long): Column =
     GraftSqlShim.column(Mix64(GraftSqlShim.expression(id), salt))
+
+  def gram_rep_stats(tokens: Column, n: Int): Column =
+    GraftSqlShim.column(GramRepStats(GraftSqlShim.expression(tokens), n))
 }
