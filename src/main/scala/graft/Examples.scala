@@ -74,6 +74,20 @@ object Examples {
       .select(TextOps.redactPii(col("t")).as("clean")).show(false)
     TextOps.corpusStats(docs, "text").show(false)
 
+    println("== 8. Corpus hygiene: line dedup, repetition filters, decontamination, shards ==")
+    val lined = spark.createDataFrame(Seq(
+      (1L, "shared header\nunique body one\nshared footer"),
+      (2L, "shared header\nunique body two\nshared footer"),
+      (3L, "shared header\nrep line\nrep line\nshared footer"))).toDF("doc_id", "text")
+    Dedup.dedupLines(lined, "doc_id", "text", minDocs = 2).show(false)
+    TextOps.repetitionStats(lined, "doc_id", "text").show(false)
+    Curation.decontaminate(
+      docs.where(col("doc_id") % 20 =!= 0), docs.where(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 4)
+      .where(col("contaminated")).show(3)
+    Curation.assignShards(docs.select(col("doc_id")), "doc_id", numShards = 4)
+      .groupBy("shard").count().orderBy("shard").show()
+
     spark.stop()
   }
 }

@@ -62,4 +62,33 @@ class KernelPropertySpec extends AnyFunSuite {
       got == h.longValue
     })
   }
+
+  test("GramRepStats equals the count-map model for arbitrary token lists") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // small vocab so repeats actually occur; include multi-char tokens
+    val tokGen = org.scalacheck.Gen.oneOf("a", "b", "cc", "ddd", "e f")
+    val docGen = org.scalacheck.Gen.listOf(tokGen)
+    val nGen = org.scalacheck.Gen.choose(1, 4)
+    check(forAll(docGen, nGen) { (toks, n) =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val row = graft.operators.GramRepStats(
+          Literal.create(arr, ArrayType(StringType)), n)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList
+      val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+      val (bestrun, bestlen) =
+        if (counts.isEmpty) (0, 0)
+        else {
+          val mx = counts.values.max
+          // tie → binary-smallest gram (ASCII vocab: String order == UTF8 order)
+          val g = counts.filter(_._2 == mx).keys.min
+          (mx, g.length)
+        }
+      val dupchars = counts.collect { case (g, c) if c > 1 => (c - 1) * g.length }.sum
+      row.getInt(0) == bestrun && row.getInt(1) == bestlen && row.getInt(2) == dupchars
+    })
+  }
 }
