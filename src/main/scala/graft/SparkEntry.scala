@@ -363,6 +363,16 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // PQ-compressed ANN: per-subspace trained codebooks, narrow encode,
+    // ADC table-lookup scoring; the oracle replays the whole thing in SQL
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.pqTopK(emb, "vec_id", "embedding", q, 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // deterministic weighted source mixing (training-data recipe)
     "q_mix_sources" -> ((s, dir) =>
       operators.Curation.mixSources(table(s, dir, "documents"),
@@ -741,6 +751,69 @@ object SparkEntry {
     s"WITH $head,\n$loops,\n$tail".replaceAll("\n", " ")
   }
 
+  /** Full PQ replica: per-subspace Lloyd iterations (L2 argmin, ties →
+    * smallest code, per-element sample-order mean accumulation with float
+    * rounding — mirrors trainPqCodebooks), full-table encoding, ADC
+    * lookup-table scoring in subspace order, top-k. Every float sum is an
+    * ORDERED fold, so the doubles are bit-identical to the Scala kernels. */
+  private def pqOracleSql(
+      m: Int = 16, k: Int = 16, iters: Int = 3,
+      dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048): String = {
+    val sub = dim / m
+    def l2(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${sub + 1}), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (p,q) -> p+q)"
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${sub + 1}), i -> ($a)[i] * ($b)[i])), (p,q) -> p+q)"
+    val head =
+      s"""samp AS MATERIALIZED (SELECT vec_id, embedding AS ef
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleCap)),
+         |avq AS MATERIALIZED (SELECT vec_id, embedding AS ef FROM embeddings)""".stripMargin
+    val subspaces = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      val train = (0 until iters).map { i =>
+        s"""p${s}cn$i AS MATERIALIZED (SELECT code, cf, list_transform(cf, v -> CAST(v AS DOUBLE)) AS cd FROM p${s}cen$i),
+           |p${s}asn$i AS MATERIALIZED (SELECT vec_id, code FROM (
+           |  SELECT v.vec_id, c.code, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY ${l2("v.sd", "c.cd")} ASC, c.code ASC) AS rk
+           |  FROM p${s}v v CROSS JOIN p${s}cn$i c) WHERE rk = 1),
+           |p${s}mx$i AS MATERIALIZED (SELECT a.code, t.pos,
+           |  CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t.x ORDER BY t.vec_id)), (p,q) -> p+q)
+           |    / count(*) AS REAL) AS c
+           |  FROM p${s}asn$i a JOIN (SELECT vec_id, generate_subscripts(sd, 1) AS pos, unnest(sd) AS x FROM p${s}v) t
+           |    ON a.vec_id = t.vec_id GROUP BY a.code, t.pos),
+           |p${s}cen${i + 1} AS MATERIALIZED (SELECT c.code, coalesce(m2.cf2, c.cf) AS cf FROM p${s}cen$i c
+           |  LEFT JOIN (SELECT code, list(c ORDER BY pos) AS cf2 FROM p${s}mx$i GROUP BY code) m2
+           |    ON c.code = m2.code)""".stripMargin
+      }.mkString(",\n")
+      s"""p${s}v AS MATERIALIZED (SELECT vec_id, ef[$lo:$hi] AS sf,
+         |  list_transform(ef[$lo:$hi], v -> CAST(v AS DOUBLE)) AS sd FROM samp),
+         |p${s}cen0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         |  sf AS cf FROM (SELECT * FROM p${s}v ORDER BY vec_id LIMIT $k)),
+         |$train,
+         |p${s}cn$iters AS MATERIALIZED (SELECT code, cf, list_transform(cf, v -> CAST(v AS DOUBLE)) AS cd FROM p${s}cen$iters),
+         |a${s}v AS (SELECT vec_id, list_transform(ef[$lo:$hi], v -> CAST(v AS DOUBLE)) AS sd FROM avq),
+         |e$s AS MATERIALIZED (SELECT vec_id, code FROM (
+         |  SELECT v.vec_id, c.code, row_number() OVER (PARTITION BY v.vec_id
+         |    ORDER BY ${l2("v.sd", "c.cd")} ASC, c.code ASC) AS rk
+         |  FROM a${s}v v CROSS JOIN p${s}cn$iters c) WHERE rk = 1),
+         |q$s AS (SELECT sd AS qd FROM a${s}v WHERE vec_id = 0),
+         |t$s AS (SELECT c.code, ${dot("q.qd", "c.cd")} AS t FROM p${s}cn$iters c CROSS JOIN q$s q)""".stripMargin
+    }.mkString(",\n")
+    val scoreSum = (0 until m).map(s => s"t$s.t").mkString(" + ")
+    val joins = (1 until m).map(s => s"e$s.vec_id = e0.vec_id") ++
+      (0 until m).map(s => s"t$s.code = e$s.code")
+    val froms = ((0 until m).map(s => s"e$s") ++ (0 until m).map(s => s"t$s")).mkString(", ")
+    val tail =
+      s"""sc AS (SELECT e0.vec_id, $scoreSum AS rawscore FROM $froms WHERE ${joins.mkString(" AND ")})
+         |SELECT vec_id, round(rawscore, 6) AS score FROM (
+         |  SELECT vec_id, rawscore FROM sc ORDER BY rawscore DESC, vec_id LIMIT $topK)
+         |ORDER BY rawscore DESC, vec_id""".stripMargin
+    s"WITH $head,\n$subspaces,\n$tail".replaceAll("\n", " ")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1075,6 +1148,9 @@ object SparkEntry {
     // trained-IVF: Lloyd iterations + probe + top-k replayed in SQL with
     // ordered float folds (see ivfOracleSql)
     "q_ann_ivf" -> ivfOracleSql(),
+
+    // PQ: per-subspace k-means + encode + ADC lookup replayed in SQL
+    "q_ann_pq" -> pqOracleSql(),
 
     // SRP-LSH bucket join + exact cosine, hyperplanes inlined as literals
     "q_embed_neardup" -> {

@@ -154,6 +154,113 @@ object Similarity {
     else greatest(scored.toIndexedSeq: _*).getField("cell")
   }
 
+  /** Squared L2 distance, double accumulation in element order. */
+  private def l2Arr(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) {
+      val diff = a(i).toDouble - b(i).toDouble
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Train product-quantization codebooks: the vector space is split into
+    * `m` equal subspaces and each gets its own `k`-entry codebook from
+    * Lloyd iterations (L2, ties → smallest code) over the same capped
+    * id-ordered sample trainCentroids uses — driver-side by design
+    * (sample is bounded; the corpus is only ever touched by the narrow
+    * encode map). Returns codebooks(s)(j) = subspace-s centroid j. */
+  def trainPqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 16,
+      k: Int = 16,
+      sampleSize: Int = 2048,
+      iters: Int = 3): Array[Array[Array[Float]]] = {
+    val sample: Array[Array[Float]] = df
+      .orderBy(col(idCol)).limit(sampleSize)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val svecs = sample.map(v => v.slice(s * sub, (s + 1) * sub))
+      var cents = Array.tabulate(math.min(k, svecs.length))(i => svecs(i).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Int](cents.length)
+        svecs.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          for (c <- cents.indices) {
+            val d = l2Arr(v, cents(c))
+            if (d < bestD) { bestD = d; best = c }
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(sub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** PQ-compressed approximate top-k by asymmetric distance computation:
+    * vectors are encoded to `m` codebook indices (16-32× compression);
+    * a query builds an m×k dot-product lookup table driver-side and the
+    * scan scores every row with m table lookups — no float vector is
+    * read after encoding.
+    *
+    * Scale path: persist the CODE column once
+    * (`df.withColumn("pq_codes", pq_encode(...))` → parquet); a 100 TB
+    * float corpus becomes ~3 TB of codes that stay in memory, and every
+    * query is a narrow scan of the codes plus a driver-side top-k merge
+    * (TakeOrderedAndProject — same no-vector-shuffle property as
+    * bruteForceTopK). Recall is tunable via m/k; re-rank the top
+    * candidates with exact cosine when the raw vectors are retained. */
+  def pqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      m: Int = 16,
+      codesPerSub: Int = 16,
+      trainedCodebooks: Array[Array[Array[Float]]] = null,
+      sampleSize: Int = 2048,
+      iters: Int = 3): DataFrame = {
+    val cb =
+      if (trainedCodebooks != null) trainedCodebooks
+      else trainPqCodebooks(df, idCol, vecCol, m, codesPerSub, sampleSize, iters)
+    val sub = query.length / cb.length
+    require(query.length == cb.length * sub, "query dim must divide into subspaces")
+    // ADC lookup table: t(s)(j) = dot(query subspace s, codebook(s)(j)),
+    // double accumulation in element order (oracle-replicable)
+    val table: Seq[Seq[Double]] = cb.toIndexedSeq.zipWithIndex.map { case (cents, s) =>
+      cents.toIndexedSeq.map { c =>
+        var dot = 0.0
+        var i = 0
+        while (i < sub) { dot += query(s * sub + i).toDouble * c(i).toDouble; i += 1 }
+        dot
+      }
+    }
+    val cbSeq: Seq[Seq[Seq[Float]]] = cb.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))
+    df.select(col(idCol), pq_encode(col(vecCol), cbSeq).as("pq_codes"))
+      .select(col(idCol), pq_adc_score(col("pq_codes"), table).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** SRP-LSH-bucketed approximate top-k: scan only rows whose bucket matches
     * the query's bucket or differs by one bit (multi-probe). */
   def lshTopK(

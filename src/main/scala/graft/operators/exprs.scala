@@ -512,3 +512,111 @@ case class GramRepStats(child: Expression, n: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Product-quantization encoder: split the vector into `m` equal
+  * subspaces and emit, per subspace, the index of the L2-nearest codebook
+  * entry (ties → smallest index). Codebooks are trained driver-side on a
+  * capped sample (Similarity.trainPqCodebooks) and baked into the
+  * expression — an implicit broadcast, like SrpBucket's planes. The
+  * output is `m` small ints per vector: at 100 TB this is the 16-32×
+  * compression that lets an embedding corpus live in executor memory for
+  * ADC scans. Codebook values are kept as the trained floats so the
+  * distance arithmetic is bit-identical to the trainer and the oracle. */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression with KernelCodegen {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must have at least one subspace with at least one code")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cb: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val sub = cb(0)(0).length
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val m = cb.length
+    if (vec.numElements() < m * sub) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb(s).length) {
+        val c = cb(s)(j)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          if (vec.isNullAt(off + i)) return null
+          val xv = if (isFloat) vec.getFloat(off + i).toDouble else vec.getDouble(off + i)
+          val diff = xv - c(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Asymmetric-distance-computation score: given a PQ code array and the
+  * per-subspace lookup table t(s)(j) = dot(query_subspace, codebook(s)(j)),
+  * the approximate dot(query, vector) is the sum of m table lookups in
+  * subspace order — no vector access, no multiply. The table (m×k doubles)
+  * is baked into the expression; the scan touches only the tiny code
+  * column. */
+case class PqAdcScore(child: Expression, table: Seq[Seq[Double]])
+    extends UnaryExpression with KernelCodegen {
+  require(table.nonEmpty, "lookup table must have at least one subspace")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score expects array<int> of PQ codes, got ${other.sql}")
+  }
+
+  @transient private lazy val tab: Array[Array[Double]] = table.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[ArrayData]
+    if (codes.numElements() != tab.length) return null
+    var score = 0.0
+    var s = 0
+    while (s < tab.length) {
+      if (codes.isNullAt(s)) return null
+      val j = codes.getInt(s)
+      if (j < 0 || j >= tab(s).length) return null
+      score += tab(s)(j)
+      s += 1
+    }
+    score
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -23,4 +23,10 @@ package object operators {
 
   def gram_rep_stats(tokens: Column, n: Int): Column =
     GraftSqlShim.column(GramRepStats(GraftSqlShim.expression(tokens), n))
+
+  def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
+    GraftSqlShim.column(PqEncode(GraftSqlShim.expression(vec), codebooks))
+
+  def pq_adc_score(codes: Column, table: Seq[Seq[Double]]): Column =
+    GraftSqlShim.column(PqAdcScore(GraftSqlShim.expression(codes), table))
 }

@@ -476,6 +476,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ADC top-k approximates brute-force cosine ranking") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // ADC approximates the DOT product — compare against the exact dot
+    // ranking (cosine differs on unnormalized vectors by design)
+    val exactDot = emb.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var d = 0.0
+        var i = 0
+        while (i < q.length) { d += q(i).toDouble * v(i).toDouble; i += 1 }
+        (r.getLong(0), d)
+      }
+      .sortBy { case (id, d) => (-d, id) }.take(20).map(_._1).toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0))
+    // the query vector itself must rank first (its codes reconstruct it
+    // best), and recall vs the exact-dot top-20 should be well above chance
+    assert(pq.head == 0L, pq.toSeq)
+    val recall = pq.count(exactDot.contains) / 20.0
+    assert(recall >= 0.5, s"PQ recall vs exact dot: $recall")
+    // deterministic across partitioning
+    val again = Similarity.pqTopK(emb.repartition(7), "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0))
+    assert(pq.toSeq == again.toSeq)
+  }
+
   test("simhash banded pairs find close documents, not distant ones") {
     val s = spark
     import s.implicits._
