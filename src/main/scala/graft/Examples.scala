@@ -61,6 +61,8 @@ object Examples {
     val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding", 16)
     Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5,
       trainedCentroids = centroids).show()
+    println("-- PQ-compressed ADC scan (16x compression, approximate dot) --")
+    Similarity.pqTopK(emb, "vec_id", "embedding", q, 5).show()
 
     println("== 6. Text analysis + curation ==")
     Curation.annotate(docs, "doc_id", "text").drop("text").show(3)

@@ -105,6 +105,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(repPlan).size == 1, repPlan)
   }
 
+  test("PQ ADC scan: narrow encode+score, top-k merge, no vector shuffle") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val df = graft.operators.Similarity.pqTopK(emb, "vec_id", "embedding", q, 20)
+    val plan = df.queryExecution.executedPlan.toString
+    // encode + score are projections over one scan; the only wide op is
+    // the partition-local top-k merge (no Exchange at all)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("dedupLines: common-line set broadcasts back against the corpus") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
