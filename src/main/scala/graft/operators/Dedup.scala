@@ -254,8 +254,11 @@ object Dedup {
       lineSep: String = "\n",
       minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // lineSep is a LITERAL separator (it is also the rejoin string), so
+    // regex-quote it for the split
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
     val exploded = df
-      .select(col(idCol).as("id"), posexplode(split(col(textCol), lineSep)).as(Seq("pos", "line")))
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
     val common = exploded
       .groupBy(col("line"))
       .agg(count_distinct(col("id")).as("n_docs"))

@@ -189,11 +189,14 @@ object TextOps {
   def repetitionStats(
       df: DataFrame, idCol: String, textCol: String,
       lineSep: String = "\n"): DataFrame = {
+    // lineSep is a literal separator — regex-quote it (words split on
+    // space OR the separator)
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
     val base = df.select(
       col(idCol),
       length(col(textCol)).as("n_chars_rep"),
-      split(col(textCol), lineSep).as("ls"),
-      split(col(textCol), s"[ $lineSep]").as("toks"))
+      split(col(textCol), sepRe).as("ls"),
+      split(col(textCol), s"(?: |$sepRe)").as("toks"))
     val sorted = base.select(
       col(idCol), col("n_chars_rep"), col("ls"), col("toks"),
       array_distinct(col("ls")).as("dls"))

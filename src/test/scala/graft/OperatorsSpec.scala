@@ -400,6 +400,11 @@ class OperatorsSpec extends AnyFunSuite {
     val kept = Dedup.dedupLines(within, "doc_id", "text", minDocs = 2)
       .where(col("doc_id") === 1L).head()
     assert(kept.getString(1) == "rep\nrep\nbody")
+    // regex-special separators are treated literally
+    val piped = Seq((1L, "common|keep one"), (2L, "common|keep two")).toDF("doc_id", "text")
+    val p = Dedup.dedupLines(piped, "doc_id", "text", lineSep = "|", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(p(0).getString(1) == "keep one" && p(1).getString(1) == "keep two")
   }
 
   test("repetitionStats matches a hand-computed doc; ties break smallest") {
