@@ -373,6 +373,17 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // composed IVF+PQ ANN (FAISS IVFPQ shape): coarse cells + residual
+    // codebooks from one sample; probe-pruned ADC scan; the oracle
+    // replays coarse k-means, residual PQ training, encode, and scoring
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     // deterministic weighted source mixing (training-data recipe)
     "q_mix_sources" -> ((s, dir) =>
       operators.Curation.mixSources(table(s, dir, "documents"),
@@ -687,20 +698,29 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
-  /** Full trained-IVF replica: trainCentroids' Lloyd iterations (capped
-    * id-ordered sample, argmax-cosine assignment with first-index
-    * tie-break, per-element sample-order mean accumulation, float
-    * rounding) followed by ivfTopK's probe ranking, full-table cell
-    * assignment (greatest(struct) semantics: score desc, cell DESC on
-    * ties), and top-k. Every float sum is an ORDERED list_reduce fold,
-    * so the doubles are bit-identical to the Scala trainer's
-    * element-order accumulation. */
-  private def ivfOracleSql(
-      iters: Int = 5, k: Int = 16, nProbe: Int = 4,
-      dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048): String = {
-    def zipfold(a: String, b: String): String =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(range(1, ${dim + 1}), i -> ($a)[i] * ($b)[i])), (p,q) -> p+q)"
+  /** dot(a,b) over the first n elements as an ORDERED double fold —
+    * bit-identical to the Scala kernels' element-order accumulation. */
+  private def foldDot(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${n + 1}), i -> ($a)[i] * ($b)[i])), (p,q) -> p+q)"
+
+  /** Σ(a[i]−b[i])² over the first n elements as an ORDERED double fold. */
+  private def foldL2(a: String, b: String, n: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${n + 1}), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (p,q) -> p+q)"
+
+  /** Coarse-IVF Lloyd replica shared by the q_ann_ivf and q_ann_ivfpq
+    * oracles: trainCentroids' exact arithmetic (capped id-ordered sample,
+    * argmax-cosine assignment with first-index tie-break, per-element
+    * sample-order mean accumulation, float rounding). Yields CTEs
+    * `sv(vec_id, e, ef, na)` (sample), `cnf(cell, cd, nb)` (final
+    * centroids), `avn(vec_id, e, na)` (full table), `qv(qe, qna)` (the
+    * vec_id=0 query), `pr(cell)` (probe set — score desc, tie cell ASC:
+    * the stable-sort probe ranking) and `vcell(vec_id, cell)` (full-table
+    * assignment via greatest(struct): score desc, tie cell DESC). */
+  private def ivfCoarseCtes(
+      iters: Int, k: Int, nProbe: Int, dim: Int, sampleCap: Int): String = {
+    def zipfold(a: String, b: String): String = foldDot(a, b, dim)
     def selffold(a: String): String = zipfold(a, a)
     val toD = "list_transform(cf, v -> CAST(v AS DOUBLE))"
     val head =
@@ -740,15 +760,106 @@ object SparkEntry {
          |  SELECT v.vec_id, c.cell, row_number() OVER (PARTITION BY v.vec_id ORDER BY
          |    CASE WHEN v.na = 0 OR c.nb = 0 THEN -2.0
          |         ELSE ${zipfold("v.e", "c.cd")} / (sqrt(v.na) * sqrt(c.nb)) END DESC, c.cell DESC) AS rk
-         |  FROM avn v CROSS JOIN cnf c) WHERE rk = 1),
-         |sel AS (SELECT v.vec_id, ${zipfold("v.e", "q.qe")} / (sqrt(v.na) * sqrt(q.qna)) AS rawcos
+         |  FROM avn v CROSS JOIN cnf c) WHERE rk = 1)""".stripMargin
+    s"$head,\n$loops,\n$tail"
+  }
+
+  /** Full trained-IVF replica: the shared coarse Lloyd CTEs followed by
+    * ivfTopK's probe-pruned exact-cosine scan and top-k. */
+  private def ivfOracleSql(
+      iters: Int = 5, k: Int = 16, nProbe: Int = 4,
+      dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048): String = {
+    def zipfold(a: String, b: String): String = foldDot(a, b, dim)
+    val tail =
+      s"""sel AS (SELECT v.vec_id, ${zipfold("v.e", "q.qe")} / (sqrt(v.na) * sqrt(q.qna)) AS rawcos
          |  FROM avn v CROSS JOIN qv q
          |  WHERE v.vec_id IN (SELECT vec_id FROM vcell WHERE cell IN (SELECT cell FROM pr))
          |    AND v.na <> 0 AND q.qna <> 0)
          |SELECT vec_id, round(rawcos, 6) AS cos FROM (
          |  SELECT vec_id, rawcos FROM sel ORDER BY rawcos DESC, vec_id LIMIT $topK)
          |ORDER BY rawcos DESC, vec_id""".stripMargin
-    s"WITH $head,\n$loops,\n$tail".replaceAll("\n", " ")
+    s"WITH ${ivfCoarseCtes(iters, k, nProbe, dim, sampleCap)},\n$tail".replaceAll("\n", " ")
+  }
+
+  /** Full IVF+PQ replica (the composed index trainIvfPq/ivfPqTopK runs):
+    * shared coarse Lloyd CTEs, then (a) sample residuals against the
+    * FINAL centroids (assignment tie → first cell, components rounded to
+    * float — `CAST(x − c AS REAL)` = the kernel's `.toFloat`), (b)
+    * per-subspace residual-PQ Lloyd iterations (pqOracleSql's exact
+    * blocks, source = residuals), (c) probe-restricted full-table
+    * residual encode (argmin L2, ties → smallest code), (d) per-cell ADC
+    * tables over the UNROUNDED double query residual plus the coarse
+    * dot(query, centroid) term, summed in the kernel's association order:
+    * d + ((t0 + t1) + …). */
+  private def ivfPqOracleSql(
+      coarseIters: Int = 5, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 16, k: Int = 16, pqIters: Int = 3,
+      dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048): String = {
+    require(dim % m == 0, "dim must divide into subspaces")
+    val sub = dim / m
+    def zipfold(a: String, b: String): String = foldDot(a, b, dim)
+    val sampleRes =
+      s"""sasn AS (SELECT vec_id, cell FROM (
+         |  SELECT v.vec_id, c.cell, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |    CASE WHEN v.na = 0 OR c.nb = 0 THEN -2.0
+         |         ELSE ${zipfold("v.e", "c.cd")} / (sqrt(v.na) * sqrt(c.nb)) END DESC, c.cell ASC) AS rk
+         |  FROM sv v CROSS JOIN cnf c) WHERE rk = 1),
+         |sres AS MATERIALIZED (SELECT v.vec_id,
+         |  list_transform(range(1, ${dim + 1}), i -> CAST(v.e[i] - c.cd[i] AS REAL)) AS rf
+         |  FROM sv v JOIN sasn a ON v.vec_id = a.vec_id JOIN cnf c ON c.cell = a.cell)""".stripMargin
+    val fullRes =
+      s"""pv AS MATERIALIZED (SELECT w.vec_id, w.cell FROM vcell w
+         |  WHERE w.cell IN (SELECT cell FROM pr)),
+         |ares AS MATERIALIZED (SELECT v.vec_id, w.cell,
+         |  list_transform(range(1, ${dim + 1}), i -> CAST(v.e[i] - c.cd[i] AS REAL)) AS rf
+         |  FROM avn v JOIN pv w ON v.vec_id = w.vec_id JOIN cnf c ON c.cell = w.cell),
+         |qres AS (SELECT c.cell, list_transform(range(1, ${dim + 1}), i -> q.qe[i] - c.cd[i]) AS qd
+         |  FROM cnf c CROSS JOIN qv q WHERE c.cell IN (SELECT cell FROM pr)),
+         |cdot AS (SELECT c.cell, ${zipfold("q.qe", "c.cd")} AS d
+         |  FROM cnf c CROSS JOIN qv q WHERE c.cell IN (SELECT cell FROM pr))""".stripMargin
+    val subspaces = (0 until m).map { s =>
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      val train = (0 until pqIters).map { i =>
+        s"""p${s}cn$i AS MATERIALIZED (SELECT code, cf, list_transform(cf, v -> CAST(v AS DOUBLE)) AS cd FROM p${s}cen$i),
+           |p${s}asn$i AS MATERIALIZED (SELECT vec_id, code FROM (
+           |  SELECT v.vec_id, c.code, row_number() OVER (PARTITION BY v.vec_id
+           |    ORDER BY ${foldL2("v.sd", "c.cd", sub)} ASC, c.code ASC) AS rk
+           |  FROM p${s}v v CROSS JOIN p${s}cn$i c) WHERE rk = 1),
+           |p${s}mx$i AS MATERIALIZED (SELECT a.code, t.pos,
+           |  CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t.x ORDER BY t.vec_id)), (p,q) -> p+q)
+           |    / count(*) AS REAL) AS c
+           |  FROM p${s}asn$i a JOIN (SELECT vec_id, generate_subscripts(sd, 1) AS pos, unnest(sd) AS x FROM p${s}v) t
+           |    ON a.vec_id = t.vec_id GROUP BY a.code, t.pos),
+           |p${s}cen${i + 1} AS MATERIALIZED (SELECT c.code, coalesce(m2.cf2, c.cf) AS cf FROM p${s}cen$i c
+           |  LEFT JOIN (SELECT code, list(c ORDER BY pos) AS cf2 FROM p${s}mx$i GROUP BY code) m2
+           |    ON c.code = m2.code)""".stripMargin
+      }.mkString(",\n")
+      s"""p${s}v AS MATERIALIZED (SELECT vec_id, rf[$lo:$hi] AS sf,
+         |  list_transform(rf[$lo:$hi], v -> CAST(v AS DOUBLE)) AS sd FROM sres),
+         |p${s}cen0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+         |  sf AS cf FROM (SELECT * FROM p${s}v ORDER BY vec_id LIMIT $k)),
+         |$train,
+         |p${s}cnf AS MATERIALIZED (SELECT code, list_transform(cf, v -> CAST(v AS DOUBLE)) AS cd FROM p${s}cen$pqIters),
+         |a${s}v AS (SELECT vec_id, list_transform(rf[$lo:$hi], v -> CAST(v AS DOUBLE)) AS sd FROM ares),
+         |e$s AS MATERIALIZED (SELECT vec_id, code FROM (
+         |  SELECT v.vec_id, c.code, row_number() OVER (PARTITION BY v.vec_id
+         |    ORDER BY ${foldL2("v.sd", "c.cd", sub)} ASC, c.code ASC) AS rk
+         |  FROM a${s}v v CROSS JOIN p${s}cnf c) WHERE rk = 1),
+         |t$s AS (SELECT r.cell, c.code, ${foldDot(s"r.qd[$lo:$hi]", "c.cd", sub)} AS t
+         |  FROM p${s}cnf c CROSS JOIN qres r)""".stripMargin
+    }.mkString(",\n")
+    val adcSum = (0 until m).map(s => s"t$s.t").mkString(" + ")
+    val eJoins = (0 until m).map(s => s"JOIN e$s ON e$s.vec_id = p.vec_id").mkString(" ")
+    val tJoins = (0 until m).map(s => s"JOIN t$s ON t$s.cell = p.cell AND t$s.code = e$s.code").mkString(" ")
+    val tail =
+      s"""sc AS (SELECT p.vec_id, cd2.d + ($adcSum) AS rawscore
+         |  FROM pv p $eJoins JOIN cdot cd2 ON cd2.cell = p.cell $tJoins)
+         |SELECT vec_id, round(rawscore, 6) AS score FROM (
+         |  SELECT vec_id, rawscore FROM sc ORDER BY rawscore DESC, vec_id LIMIT $topK)
+         |ORDER BY rawscore DESC, vec_id""".stripMargin
+    s"WITH ${ivfCoarseCtes(coarseIters, nCells, nProbe, dim, sampleCap)},\n$sampleRes,\n$fullRes,\n$subspaces,\n$tail"
+      .replaceAll("\n", " ")
   }
 
   /** Full PQ replica: per-subspace Lloyd iterations (L2 argmin, ties →
@@ -1151,6 +1262,10 @@ object SparkEntry {
 
     // PQ: per-subspace k-means + encode + ADC lookup replayed in SQL
     "q_ann_pq" -> pqOracleSql(),
+
+    // IVF+PQ: coarse k-means + residual-PQ training + probe-pruned ADC
+    // replayed in SQL (see ivfPqOracleSql)
+    "q_ann_ivfpq" -> ivfPqOracleSql(),
 
     // SRP-LSH bucket join + exact cosine, hyperplanes inlined as literals
     "q_embed_neardup" -> {

@@ -62,11 +62,26 @@ object Similarity {
       k: Int,
       sampleSize: Int = 2048,
       iters: Int = 5): Array[Array[Float]] = {
+    val sample = sampleVectors(df, idCol, vecCol, sampleSize)
+    kmeansCosine(sample, k, iters)
+  }
+
+  /** Capped, deterministic (id-ordered) training sample. */
+  private def sampleVectors(
+      df: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Float]] = {
     val sample: Array[Array[Float]] = df
-      .orderBy(col(idCol)).limit(sampleSize)
+      .orderBy(col(idCol)).limit(n)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training sample")
+    sample
+  }
+
+  /** Lloyd iterations with argmax-cosine assignment (ties → first index),
+    * sample-order mean accumulation, float rounding — the exact arithmetic
+    * the SQL oracles replay. */
+  private def kmeansCosine(
+      sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
     val dim = sample(0).length
     var centroids = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
     for (_ <- 0 until iters) {
@@ -181,11 +196,14 @@ object Similarity {
       k: Int = 16,
       sampleSize: Int = 2048,
       iters: Int = 3): Array[Array[Array[Float]]] = {
-    val sample: Array[Array[Float]] = df
-      .orderBy(col(idCol)).limit(sampleSize)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "empty training sample")
+    val sample = sampleVectors(df, idCol, vecCol, sampleSize)
+    pqCodebooksOf(sample, m, k, iters)
+  }
+
+  /** Per-subspace L2 Lloyd iterations over an in-memory sample (ties →
+    * smallest code, sample-order mean accumulation, float rounding). */
+  private def pqCodebooksOf(
+      sample: Array[Array[Float]], m: Int, k: Int, iters: Int): Array[Array[Array[Float]]] = {
     val dim = sample(0).length
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
@@ -257,6 +275,122 @@ object Similarity {
     val cbSeq: Seq[Seq[Seq[Float]]] = cb.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))
     df.select(col(idCol), pq_encode(col(vecCol), cbSeq).as("pq_codes"))
       .select(col(idCol), pq_adc_score(col("pq_codes"), table).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Train the composed IVF+PQ index (the FAISS IVFPQ shape) from ONE
+    * capped id-ordered sample: coarse argmax-cosine centroids via Lloyd
+    * iterations, then per-subspace L2 codebooks over the RESIDUALS
+    * (sample vector minus its assigned centroid, each component rounded
+    * to float — the stored-residual semantics). Residual quantization is
+    * what makes the composition beat flat PQ: within a cell the residuals
+    * are centered near zero, so the same code budget spends its precision
+    * on the local neighborhood instead of the whole space.
+    * Driver-side by design — the sample is bounded and independent of
+    * corpus size; the corpus is only ever touched by the narrow
+    * assign+encode map. */
+  def trainIvfPq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16,
+      m: Int = 16,
+      codesPerSub: Int = 16,
+      sampleSize: Int = 2048,
+      coarseIters: Int = 5,
+      pqIters: Int = 3): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val sample = sampleVectors(df, idCol, vecCol, sampleSize)
+    val dim = sample(0).length
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val cents = kmeansCosine(sample, nCells, coarseIters)
+    val residuals = sample.map { v =>
+      var best = 0
+      var bestCos = -2.0
+      for (c <- cents.indices) {
+        val cos = cosArr(v, cents(c))
+        if (cos > bestCos) { bestCos = cos; best = c }
+      }
+      val cent = cents(best)
+      Array.tabulate(dim)(i => (v(i).toDouble - cent(i).toDouble).toFloat)
+    }
+    (cents, pqCodebooksOf(residuals, m, codesPerSub, pqIters))
+  }
+
+  /** IVF+PQ approximate top-k by inner product: probe the `nProbe` cells
+    * whose coarse centroids are closest to the query; within a probed
+    * cell, score each row as dot(query, centroid) + ADC over the row's
+    * residual PQ codes — dot(q,v) = dot(q,c) + dot(q,v−c), with the
+    * second term approximated by m table lookups. No float vector is
+    * touched after the fused assign+encode projection, and no Exchange
+    * appears anywhere (TakeOrderedAndProject merges per-partition top-k).
+    *
+    * Scale path: persist `cell` + `pq_codes` once (partitionBy(cell) —
+    * the same pruned layout ivfTopK uses, plus PQ's 16-32× compression);
+    * a query then reads nProbe/nCells of a code-sized corpus. Tune
+    * recall with nProbe and m; re-rank the top candidates with exact
+    * cosine when the raw vectors are retained. */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 16,
+      codesPerSub: Int = 16,
+      sampleSize: Int = 2048,
+      coarseIters: Int = 5,
+      pqIters: Int = 3,
+      trained: (Array[Array[Float]], Array[Array[Array[Float]]]) = null): DataFrame = {
+    val (cents, cb) =
+      if (trained != null) trained
+      else trainIvfPq(df, idCol, vecCol, nCells, m, codesPerSub, sampleSize,
+        coarseIters, pqIters)
+    val dim = query.length
+    require(dim == cb.length * (dim / cb.length) && dim % cb.length == 0,
+      "query dim must divide into subspaces")
+    val sub = dim / cb.length
+    // probe ranking: cos(query, centroid) desc, ties keep ascending cell
+    // order (stable sortBy — same rule as ivfTopK)
+    val probeCells: Seq[Int] = cents.zipWithIndex
+      .sortBy { case (c, _) => -cosArr(query, c) }
+      .take(nProbe).map(_._2).toIndexedSeq
+    def coarseDot(c: Int): Double = {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < dim) { d += query(i).toDouble * cent(i).toDouble; i += 1 }
+      d
+    }
+    // per-cell ADC table over the QUERY residual (kept in full double —
+    // only the stored data-side residual is rounded to float)
+    def adcTable(c: Int): Seq[Seq[Double]] = {
+      val cent = cents(c)
+      val qr = Array.tabulate(dim)(i => query(i).toDouble - cent(i).toDouble)
+      cb.toIndexedSeq.zipWithIndex.map { case (codes, s) =>
+        codes.toIndexedSeq.map { e =>
+          var dot = 0.0
+          var i = 0
+          while (i < sub) { dot += qr(s * sub + i) * e(i).toDouble; i += 1 }
+          dot
+        }
+      }
+    }
+    val centPairs = cents.zipWithIndex.map(_.swap)
+    val centSeq: Seq[Seq[Float]] = cents.toIndexedSeq.map(_.toIndexedSeq)
+    val cbSeq: Seq[Seq[Seq[Float]]] = cb.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))
+    val score = probeCells.foldLeft(lit(null).cast("double")) { (acc, c) =>
+      when(col("cell") === c,
+        lit(coarseDot(c)) + pq_adc_score(col("pq_codes"), adcTable(c))).otherwise(acc)
+    }
+    df.select(col(idCol), col(vecCol),
+        cellAssignment(col(vecCol), centPairs).as("cell"))
+      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col(idCol), col("cell"),
+        ivf_pq_encode(col(vecCol), col("cell"), centSeq, cbSeq).as("pq_codes"))
+      .select(col(idCol), score.as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }

@@ -620,3 +620,94 @@ case class PqAdcScore(child: Expression, table: Seq[Seq[Double]])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Fused IVF-residual PQ encoder (the FAISS IVFPQ data path): subtracts
+  * the row's coarse centroid `centroids(cell)` element-wise — each
+  * residual component rounded to float, the stored-residual semantics the
+  * oracle replicates with `CAST(x - c AS REAL)` — and emits the
+  * per-subspace L2-argmin codebook index (ties → smallest code) in one
+  * pass with no intermediate residual column. Centroids and codebooks are
+  * trained driver-side (Similarity.trainIvfPq) and baked in — an implicit
+  * broadcast, like PqEncode's codebooks. Out-of-range cell, short vector,
+  * or a NULL element → NULL. */
+case class IvfPqEncode(
+    vec: Expression,
+    cell: Expression,
+    centroids: Seq[Seq[Float]],
+    codebooks: Seq[Seq[Seq[Float]]])
+    extends BinaryExpression with KernelCodegen {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must have at least one subspace with at least one code")
+
+  override def left: Expression = vec
+  override def right: Expression = cell
+  override protected def kernelEval(args: Array[Any]): Any =
+    nullSafeEval(args(0), args(1))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cell.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, c) => TypeCheckResult.TypeCheckFailure(
+        s"ivf_pq_encode expects (array<float|double>, int), got ${v.sql} and ${c.sql}")
+    }
+
+  @transient private lazy val isFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val cb: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val sub = cb(0)(0).length
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val cellId = c.asInstanceOf[Int]
+    if (cellId < 0 || cellId >= cents.length) return null
+    val cent = cents(cellId)
+    val m = cb.length
+    val dim = m * sub
+    if (arr.numElements() < dim || cent.length < dim) return null
+    // residual, each component rounded to float (stored-residual semantics)
+    val resid = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return null
+      val xv = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      resid(i) = (xv - cent(i).toDouble).toFloat
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb(s).length) {
+        val e = cb(s)(j)
+        var d = 0.0
+        var k = 0
+        while (k < sub) {
+          val diff = resid(off + k).toDouble - e(k).toDouble
+          d += diff * diff
+          k += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, cell = r)
+}

@@ -29,4 +29,9 @@ package object operators {
 
   def pq_adc_score(codes: Column, table: Seq[Seq[Double]]): Column =
     GraftSqlShim.column(PqAdcScore(GraftSqlShim.expression(codes), table))
+
+  def ivf_pq_encode(vec: Column, cell: Column,
+      centroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]]): Column =
+    GraftSqlShim.column(IvfPqEncode(
+      GraftSqlShim.expression(vec), GraftSqlShim.expression(cell), centroids, codebooks))
 }

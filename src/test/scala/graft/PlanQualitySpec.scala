@@ -120,6 +120,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("IVF+PQ scan: fused assign+encode projection, pruned filter, no Exchange") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val df = graft.operators.Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, 20)
+    val plan = df.queryExecution.executedPlan.toString
+    // cell assignment + probe filter + residual encode + ADC score are all
+    // projections/filters over ONE scan; the only wide op is the
+    // partition-local top-k merge — no Exchange, no vector shuffle
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("ivf_pq_encode"), plan)
+  }
+
   test("dedupLines: common-line set broadcasts back against the corpus") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
