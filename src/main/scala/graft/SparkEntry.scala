@@ -271,6 +271,22 @@ object SparkEntry {
         .select(col("doc_id"), operators.TextOps.langId(col("text")).as("pred_lang"))
         .orderBy(col("doc_id"))),
 
+    // char-n-gram profile language ID (Cavnar–Trenkle-style; replace-
+    // shrinkage counting makes it SQL-replicable value-exactly)
+    "q_langid_ngram" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextOps.langIdNgram(col("text")).as("ng_lang"))
+        .orderBy(col("doc_id"))),
+
+    // temperature-scaled source mixing (alpha=0.5 → IEEE-sqrt rates,
+    // value-exact thresholds; selection = the MixBucket id hash)
+    "q_mix_temperature" -> ((s, dir) =>
+      operators.Curation.mixSourcesTemperature(
+          table(s, dir, "documents"), "doc_id", "source")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // FNV-1a 64 content fingerprint (native expression)
     "q_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -1047,6 +1063,37 @@ object SparkEntry {
         |   ('fr', 3, ['le','la','les','et','est','une','dans','que','pour','des'])
         |  ) AS u(lang, rank, markers)
         | ) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // char-n-gram langid: the same profile rows (generated from the ONE
+    // shared constant) as a VALUES table; replace-shrinkage counts and
+    // integer rank-weighted scores are exact in both engines; tie rule
+    // score*10 + rank = greatest(struct) because rank order IS the lang
+    // string order
+    "q_langid_ngram" -> {
+      val rows = operators.TextOps.LangNgramProfiles.zipWithIndex.flatMap {
+        case ((lang, grams), rank) =>
+          grams.map { case (g, w) => s"('$lang', $rank, '$g', $w)" }
+      }.mkString(", ")
+      s"""WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+         | prof(lang, rank, g, w) AS (SELECT * FROM (VALUES $rows)),
+         | scored AS (SELECT p.doc_id, pr.lang, pr.rank,
+         |   sum(((length(p.t) - length(replace(p.t, pr.g, ''))) // length(pr.g)) * pr.w) AS score
+         |   FROM padded p CROSS JOIN prof pr GROUP BY 1, 2, 3)
+         | SELECT doc_id,
+         |  CASE WHEN max(score) > 0 THEN max_by(lang, score*10 + rank) ELSE 'und' END AS ng_lang
+         | FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // temperature mixing: per-source counts → sqrt(n_min/n) keep rates
+    // (IEEE-exact both engines) over the same MixBucket hash replica
+    "q_mix_temperature" ->
+      s"""WITH cnts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         | mn AS (SELECT min(n) AS nmin FROM cnts),
+         | rates AS (SELECT c.source, sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE)) * 1000.0 AS thr
+         |   FROM cnts c CROSS JOIN mn m)
+         | SELECT d.doc_id, d.source FROM documents d JOIN rates r ON d.source = r.source
+         | WHERE ((((CAST(d.doc_id AS HUGEINT) * 2654435761 + 9973) % $M64) // 1048576) % 1000) < r.thr
+         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_ann_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)

@@ -66,6 +66,42 @@ object Curation {
     docs.where(bucket < keepPerMille)
   }
 
+  /** Temperature-scaled source mixing (the multilingual/multi-source
+    * rebalancing recipe of XLM-R / mT5-style pipelines): sampling
+    * probability per source ∝ (n_s/N)^alpha, normalized so the SMALLEST
+    * source keeps everything — keep-rate_s = (n_min/n_s)^(1−alpha).
+    * alpha = 1 reproduces natural proportions (keep all); alpha → 0
+    * approaches uniform over sources. Selection reuses mixSources'
+    * deterministic id-hash, so the sampled corpus is bit-reproducible.
+    *
+    * The per-source counts are a tiny bounded-cardinality aggregate
+    * (sources are a dimension, like centroids) collected driver-side;
+    * the corpus itself is touched only by mixSources' narrow filter.
+    * At alpha = 0.5 (the common T=2 recipe, and the default) the rate is
+    * sqrt(n_min/n_s): IEEE sqrt and division are correctly rounded in
+    * every engine, so the thresholds — and therefore the kept set — are
+    * value-exact against the SQL oracle. Other alphas go through
+    * math.pow, whose last-ulp rounding is libm-specific (fine in
+    * production, not oracle-pinned). */
+  def mixSourcesTemperature(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double = 0.5,
+      salt: Long = 9973L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts: Map[String, Long] = docs
+      .groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no sources to mix")
+    val nMin = counts.values.min
+    val weights = counts.map { case (src, n) =>
+      val ratio = nMin.toDouble / n.toDouble
+      src -> (if (alpha == 0.5) math.sqrt(ratio) else math.pow(ratio, 1.0 - alpha))
+    }
+    mixSources(docs, idCol, sourceCol, weights, salt)
+  }
+
   /** Deterministic stratified sampling: keep up to `perStratum` documents
     * per stratum, chosen by multiplicative-hash order of the id (MixBucket
     * with a wide bucket space) with the id itself as tie-break — a

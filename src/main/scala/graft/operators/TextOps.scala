@@ -81,6 +81,45 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Per-language weighted character-n-gram profiles (Cavnar–Trenkle 1994
+    * style: the public-knowledge most-frequent char trigrams of each
+    * language, space-padded for word boundaries, rank-weighted). ASCII
+    * only so the literals survive every transport identically. Shared
+    * with the verify oracle, which inlines these rows as a VALUES table. */
+  val LangNgramProfiles: Seq[(String, Seq[(String, Int)])] = Seq(
+    "de" -> Seq("der" -> 12, " de" -> 11, "ie " -> 10, "ein" -> 9, "ich" -> 8,
+      "sch" -> 7, "und" -> 6, "che" -> 5, "ung" -> 4, "nde" -> 3, "die" -> 2, " un" -> 1),
+    "en" -> Seq("the" -> 12, " th" -> 11, "he " -> 10, "ing" -> 9, "and" -> 8,
+      " an" -> 7, " of" -> 6, "of " -> 5, "ion" -> 4, "ed " -> 3, " to" -> 2, "to " -> 1),
+    "es" -> Seq(" de" -> 12, "de " -> 11, "os " -> 10, " la" -> 9, "la " -> 8,
+      "el " -> 7, " el" -> 6, "que" -> 5, " qu" -> 4, "cion" -> 3, "ado" -> 2, "ent" -> 1),
+    "fr" -> Seq(" de" -> 12, "es " -> 11, "de " -> 10, "ent" -> 9, "le " -> 8,
+      " le" -> 7, "nt " -> 6, " la" -> 5, "la " -> 4, "que" -> 3, " qu" -> 2, "eur" -> 1))
+
+  /** Character-n-gram language ID: score(lang) = Σ over profile grams of
+    * (non-overlapping occurrence count × rank weight) in the space-padded
+    * lowercased text; argmax wins (score ties → later language string —
+    * greatest(struct) semantics), all-zero → "und". Counting is the
+    * replace-shrinkage identity count(g) = (len(t) − len(replace(t,g,'')))
+    * / len(g) — pure integer arithmetic over codegen'd string built-ins,
+    * so the whole classifier is a narrow scan-speed expression with a
+    * value-exact SQL replica (DuckDB `replace` removes the same
+    * left-to-right non-overlapping occurrences). Catches what the marker
+    * lexicon (langId) misses: inflected forms, subword signals, and text
+    * where function words are rare. */
+  def langIdNgram(textCol: Column): Column = {
+    val padded = concat(lit(" "), lower(textCol), lit(" "))
+    val scores = LangNgramProfiles.map { case (lang, grams) =>
+      val score = grams.map { case (g, w) =>
+        ((length(padded) - length(replace(padded, lit(g), lit("")))) / lit(g.length))
+          .cast("int") * lit(w)
+      }.reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
   /** GPT-2-style pre-tokenizer pattern (contractions, space-prefixed
     * letter/digit runs, punctuation runs). Deliberately lookahead-free AND
     * \s-free so the same pattern behaves identically under java.util.regex

@@ -139,6 +139,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stats.getDouble(2) > 0.5)
   }
 
+  test("char-n-gram langid: classifies samples, und on no signal") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "The weather is changing and the evening brings things to the garden",
+      "Der Hund und die Katze gingen durch einen schoenen deutschen Wald",
+      "Le chat est dans le jardin et les fleurs sont pour les enfants",
+      "Los perros estaban en la casa y que los gatos hacen cosas de ellos",
+      "zzz qqq xxx",
+      "")
+      .toDF("text")
+    val langs = df.select(TextOps.langIdNgram(col("text"))).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "de", "fr", "es", "und", "und"), langs.toSeq)
+    // case-insensitive: uppercase text classifies identically
+    val upper = Seq("THE WEATHER IS CHANGING AND THE EVENING BRINGS THINGS")
+      .toDF("text").select(TextOps.langIdNgram(col("text"))).head().getString(0)
+    assert(upper == "en")
+  }
+
+  test("temperature mixing: smallest source kept whole, big ones at sqrt rate") {
+    val s = spark
+    import s.implicits._
+    // 1000 docs in src_big, 40 in src_small → keep rates 0.2 and 1.0
+    val df = (0 until 1040).map { i =>
+      (i.toLong, if (i < 1000) "src_big" else "src_small")
+    }.toDF("doc_id", "source")
+    val kept = Curation.mixSourcesTemperature(df, "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // alpha=0.5: rate_small = 1.0 (all 40), rate_big = sqrt(40/1000) ≈ 0.2
+    assert(bySource("src_small") == 40, bySource)
+    val bigRate = bySource("src_big") / 1000.0
+    assert(bigRate > 0.12 && bigRate < 0.28, s"big-source keep rate $bigRate")
+    // alpha=1 → natural proportions: keep everything
+    val all = Curation.mixSourcesTemperature(df, "doc_id", "source", alpha = 1.0)
+    assert(all.count() == 1040)
+    // deterministic across partitionings
+    val again = Curation.mixSourcesTemperature(df.repartition(13), "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("multimodal decode stub: schema, determinism, metadata") {
     val s = spark
     import s.implicits._
