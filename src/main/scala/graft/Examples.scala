@@ -63,6 +63,8 @@ object Examples {
       trainedCentroids = centroids).show()
     println("-- PQ-compressed ADC scan (16x compression, approximate dot) --")
     Similarity.pqTopK(emb, "vec_id", "embedding", q, 5).show()
+    println("-- composed IVF+PQ: probe-pruned residual-code ADC scan --")
+    Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, 5).show()
 
     println("== 6. Text analysis + curation ==")
     Curation.annotate(docs, "doc_id", "text").drop("text").show(3)
@@ -72,6 +74,11 @@ object Examples {
     println("== 7. Sampling, scrubbing, corpus stats ==")
     Curation.stratifiedSample(docs.select(col("doc_id"), col("source")),
       "doc_id", "source", perStratum = 2).show(6)
+    println("-- temperature-scaled source mixing (alpha=0.5) --")
+    Curation.mixSourcesTemperature(docs, "doc_id", "source")
+      .groupBy("source").count().orderBy("source").show()
+    println("-- char-n-gram language ID --")
+    docs.select(col("doc_id"), TextOps.langIdNgram(col("text")).as("ng_lang")).show(3)
     spark.sql("""SELECT 'mail me at a@b.io or +1-555 123 4567' AS t""")
       .select(TextOps.redactPii(col("t")).as("clean")).show(false)
     TextOps.corpusStats(docs, "text").show(false)

@@ -46,13 +46,23 @@ object Plans {
       ("decontamination: benchmark grams distinct-ed then BROADCAST; the corpus side " +
         "never shuffles its grams — only the hit rows reach the per-doc groupBy"),
     "q_shards" ->
-      "shard assignment: narrow mix64 kernel projection — no Exchange until a caller repartitions on shard")
+      "shard assignment: narrow mix64 kernel projection — no Exchange until a caller repartitions on shard",
+    "q_ann_ivfpq" ->
+      ("IVF+PQ composed ANN: cell assignment, probe filter, fused residual " +
+        "encode (ivf_pq_encode), and ADC scoring are one narrow projection " +
+        "chain over ONE scan — zero Exchanges; TakeOrderedAndProject merges " +
+        "the per-partition top-k"),
+    "q_mix_temperature" ->
+      ("temperature mixing: the per-source count aggregate is a tiny " +
+        "bounded-cardinality groupBy; the corpus itself sees only the " +
+        "narrow mix_bucket filter"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "PLANS.md"
     val spark = GraftSession.local(4)
-    val w = new PrintWriter(out)
+    // explicit UTF-8: the JVM default charset mangles the notes' em-dashes
+    val w = new PrintWriter(out, "UTF-8")
     try {
       w.println("# PLANS — physical plans of the headline shapes")
       w.println()

@@ -91,17 +91,30 @@ object ScaleProbe {
         .where(col("contaminated")).count()
     }
 
-    // PQ probe: 10× the doc count in synthetic 64-dim vectors (mix64-
-    // derived, deterministic); train + encode + ADC top-20 end-to-end
+    time(s"char-n-gram langid, $nDocs docs") {
+      docs.groupBy(operators.TextOps.langIdNgram(col("text")).as("l"))
+        .count().collect()
+    }
+
+    time(s"temperature mixing (alpha=0.5), $nDocs docs x 20 sources") {
+      operators.Curation.mixSourcesTemperature(docs, "doc_id", "source").count()
+    }
+
+    // ANN probes: 10× the doc count in synthetic 64-dim vectors (mix64-
+    // derived, deterministic); train + encode + scan end-to-end
     val nVec = nDocs.toLong * 10
+    val emb = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => (operators.mix64(col("id") * 64 + j, 23L).cast("double") /
+          lit(9.223372036854776e18)).cast("float")).as("embedding"))
+    val qv = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
     time(s"PQ ADC train+encode+scan, $nVec synthetic 64-dim vectors") {
-      val emb = spark.range(nVec).select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(63)),
-          j => (operators.mix64(col("id") * 64 + j, 23L).cast("double") /
-            lit(9.223372036854776e18)).cast("float")).as("embedding"))
-      val q = emb.where(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).toArray
-      operators.Similarity.pqTopK(emb, "vec_id", "embedding", q, 20).count()
+      operators.Similarity.pqTopK(emb, "vec_id", "embedding", qv, 20).count()
+    }
+
+    time(s"IVF+PQ train+assign+encode+scan, $nVec synthetic 64-dim vectors") {
+      operators.Similarity.ivfPqTopK(emb, "vec_id", "embedding", qv, 20).count()
     }
 
     val big = nDocs.toLong * 100

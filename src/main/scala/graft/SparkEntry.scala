@@ -400,6 +400,17 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // two-stage IVF+PQ with exact re-rank: ADC shortlist of 100, raw
+    // vectors fetched only for the shortlist (broadcast semi-join),
+    // exact-cosine final ranking
+    "q_ann_ivfpq_rerank" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.ivfPqRerankTopK(emb, "vec_id", "embedding", q, 20)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
     // deterministic weighted source mixing (training-data recipe)
     "q_mix_sources" -> ((s, dir) =>
       operators.Curation.mixSources(table(s, dir, "documents"),
@@ -806,11 +817,12 @@ object SparkEntry {
     * residual encode (argmin L2, ties → smallest code), (d) per-cell ADC
     * tables over the UNROUNDED double query residual plus the coarse
     * dot(query, centroid) term, summed in the kernel's association order:
-    * d + ((t0 + t1) + …). */
-  private def ivfPqOracleSql(
+    * d + ((t0 + t1) + …). Ends at `sc(vec_id, rawscore)` — shared by the
+    * plain (q_ann_ivfpq) and re-ranked (q_ann_ivfpq_rerank) oracles. */
+  private def ivfPqScoreCtes(
       coarseIters: Int = 5, nCells: Int = 16, nProbe: Int = 4,
       m: Int = 16, k: Int = 16, pqIters: Int = 3,
-      dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048): String = {
+      dim: Int = 64, sampleCap: Int = 2048): String = {
     require(dim % m == 0, "dim must divide into subspaces")
     val sub = dim / m
     def zipfold(a: String, b: String): String = foldDot(a, b, dim)
@@ -868,14 +880,32 @@ object SparkEntry {
     val adcSum = (0 until m).map(s => s"t$s.t").mkString(" + ")
     val eJoins = (0 until m).map(s => s"JOIN e$s ON e$s.vec_id = p.vec_id").mkString(" ")
     val tJoins = (0 until m).map(s => s"JOIN t$s ON t$s.cell = p.cell AND t$s.code = e$s.code").mkString(" ")
-    val tail =
+    val score =
       s"""sc AS (SELECT p.vec_id, cd2.d + ($adcSum) AS rawscore
-         |  FROM pv p $eJoins JOIN cdot cd2 ON cd2.cell = p.cell $tJoins)
-         |SELECT vec_id, round(rawscore, 6) AS score FROM (
-         |  SELECT vec_id, rawscore FROM sc ORDER BY rawscore DESC, vec_id LIMIT $topK)
-         |ORDER BY rawscore DESC, vec_id""".stripMargin
-    s"WITH ${ivfCoarseCtes(coarseIters, nCells, nProbe, dim, sampleCap)},\n$sampleRes,\n$fullRes,\n$subspaces,\n$tail"
-      .replaceAll("\n", " ")
+         |  FROM pv p $eJoins JOIN cdot cd2 ON cd2.cell = p.cell $tJoins)""".stripMargin
+    s"${ivfCoarseCtes(coarseIters, nCells, nProbe, dim, sampleCap)},\n$sampleRes,\n$fullRes,\n$subspaces,\n$score"
+  }
+
+  /** Plain IVF+PQ oracle: ADC score → top-k. */
+  private def ivfPqOracleSql(topK: Int = 20): String =
+    s"""WITH ${ivfPqScoreCtes()}
+       |SELECT vec_id, round(rawscore, 6) AS score FROM (
+       |  SELECT vec_id, rawscore FROM sc ORDER BY rawscore DESC, vec_id LIMIT $topK)
+       |ORDER BY rawscore DESC, vec_id""".stripMargin.replaceAll("\n", " ")
+
+  /** Re-ranked IVF+PQ oracle: top-`shortlist` by ADC score, exact cosine
+    * over only those rows, then top-k — mirror of ivfPqRerankTopK. */
+  private def ivfPqRerankOracleSql(
+      shortlist: Int = 100, topK: Int = 20, dim: Int = 64): String = {
+    def zipfold(a: String, b: String): String = foldDot(a, b, dim)
+    s"""WITH ${ivfPqScoreCtes()},
+       |shortq AS (SELECT vec_id FROM sc ORDER BY rawscore DESC, vec_id LIMIT $shortlist),
+       |rr AS (SELECT v.vec_id, ${zipfold("v.e", "q.qe")} / (sqrt(v.na) * sqrt(q.qna)) AS rawcos
+       |  FROM avn v CROSS JOIN qv q
+       |  WHERE v.vec_id IN (SELECT vec_id FROM shortq) AND v.na <> 0 AND q.qna <> 0)
+       |SELECT vec_id, round(rawcos, 6) AS cos FROM (
+       |  SELECT vec_id, rawcos FROM rr ORDER BY rawcos DESC, vec_id LIMIT $topK)
+       |ORDER BY rawcos DESC, vec_id""".stripMargin.replaceAll("\n", " ")
   }
 
   /** Full PQ replica: per-subspace Lloyd iterations (L2 argmin, ties →
@@ -1311,8 +1341,11 @@ object SparkEntry {
     "q_ann_pq" -> pqOracleSql(),
 
     // IVF+PQ: coarse k-means + residual-PQ training + probe-pruned ADC
-    // replayed in SQL (see ivfPqOracleSql)
+    // replayed in SQL (see ivfPqScoreCtes)
     "q_ann_ivfpq" -> ivfPqOracleSql(),
+
+    // two-stage: ADC shortlist → exact-cosine re-rank, same CTE chain
+    "q_ann_ivfpq_rerank" -> ivfPqRerankOracleSql(),
 
     // SRP-LSH bucket join + exact cosine, hyperplanes inlined as literals
     "q_embed_neardup" -> {

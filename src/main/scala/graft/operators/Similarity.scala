@@ -395,6 +395,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage IVF+PQ search with exact re-rank — the production
+    * recall-recovery pattern: the compressed ADC scan picks a `shortlist`
+    * of candidates (typically 5-10× k), then ONLY those rows' raw vectors
+    * are fetched (broadcast semi-join on the tiny id list — the corpus
+    * never shuffles) and re-scored with exact cosine. Within the probed
+    * cells the final ranking is exact; quantization error only affects
+    * which candidates make the shortlist.
+    *
+    * Scale path: codes and raw vectors live in separate tables at 100 TB
+    * (codes in memory, vectors on disk); stage 1 reads only codes, stage
+    * 2 reads shortlist-many vector rows — pointed lookups if the vector
+    * table is bucketed by id. */
+  def ivfPqRerankTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      shortlist: Int = 100,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 16,
+      codesPerSub: Int = 16,
+      sampleSize: Int = 2048,
+      coarseIters: Int = 5,
+      pqIters: Int = 3,
+      trained: (Array[Array[Float]], Array[Array[Array[Float]]]) = null): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val tr =
+      if (trained != null) trained
+      else trainIvfPq(df, idCol, vecCol, nCells, m, codesPerSub, sampleSize,
+        coarseIters, pqIters)
+    val short = ivfPqTopK(df, idCol, vecCol, query, shortlist,
+      nCells, nProbe, m, codesPerSub, sampleSize, coarseIters, pqIters, tr)
+    val qLit = typedlit(query)
+    df.join(broadcast(short.select(col(idCol))), Seq(idCol))
+      .select(col(idCol), cosine(col(vecCol), qLit).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** SRP-LSH-bucketed approximate top-k: scan only rows whose bucket matches
     * the query's bucket or differs by one bit (multi-probe). */
   def lshTopK(

@@ -583,6 +583,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ids.toSeq == again.toSeq)
   }
 
+  test("IVF+PQ exact re-rank recovers recall lost to quantization") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val exactDot = emb.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var d = 0.0
+        var i = 0
+        while (i < q.length) { d += q(i).toDouble * v(i).toDouble; i += 1 }
+        (r.getLong(0), d)
+      }
+      .sortBy { case (id, d) => (-d, id) }.take(20).map(_._1).toSet
+    val trained = Similarity.trainIvfPq(emb, "vec_id", "embedding")
+    val adc = Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, 20,
+      trained = trained).collect().map(_.getLong(0))
+    val rr = Similarity.ivfPqRerankTopK(emb, "vec_id", "embedding", q, 20,
+      trained = trained).collect()
+    val rrIds = rr.map(_.getLong(0))
+    assert(rrIds.head == 0L, rrIds.toSeq)
+    assert(math.abs(rr.head.getDouble(1) - 1.0) < 1e-9) // exact self-cosine
+    // the exact pass can only improve on the ADC-only ranking (same
+    // probed cells, shortlist ⊇ any top-20 the ADC scan would return)
+    val adcRecall = adc.count(exactDot.contains) / 20.0
+    val rrRecall = rrIds.count(exactDot.contains) / 20.0
+    assert(rrRecall >= adcRecall, s"rerank $rrRecall < adc $adcRecall")
+    // shortlist fetch must broadcast, never shuffle the corpus
+    val plan = Similarity.ivfPqRerankTopK(emb, "vec_id", "embedding", q, 20,
+      trained = trained).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("residual PQ beats flat PQ on clustered data at equal code budget") {
     val s = spark
     import s.implicits._
