@@ -530,6 +530,15 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // streaming dedup under at-least-once redelivery: every event
+    // arrives twice (source file staged twice); the watermarked
+    // incremental dedup must emit each id exactly once == the batch table
+    "q_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.dedupToBatch(s, s"$dir/events.parquet")
+        .orderBy(col("event_id"))
+    }),
+
     // full curation composition: annotate → exact dedup → LSH near-dedup →
     // quality filter (rows-only: fingerprints/minhash are engine hashes)
     "q_curation" -> ((s, dir) =>
@@ -1302,6 +1311,12 @@ object SparkEntry {
         | event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+
+    // streaming dedup of a doubled input == the batch table (ids unique)
+    "q_stream_dedup" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
 
     // FNV-1a 64 replicated with HUGEINT mod-2^64 arithmetic
     "q_fingerprint" ->

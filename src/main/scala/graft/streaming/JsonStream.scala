@@ -118,6 +118,38 @@ object JsonStream {
     result
   }
 
+  /** Run the watermarked streaming dedup as a REAL incremental query over
+    * a bounded AT-LEAST-ONCE replay — the same events file staged TWICE
+    * into the source directory, so every event is redelivered — and
+    * return the final appended result. Whether the copies land in one
+    * micro-batch (within-batch dedup) or two (state hit, or
+    * late-past-watermark drop), exactly one row per event id survives:
+    * the result must equal the batch table itself, which the DuckDB
+    * oracle asserts value-for-value. */
+  def dedupToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = java.nio.file.Paths.get(path)
+    require(java.nio.file.Files.isRegularFile(p), s"expected a parquet file: $path")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    java.nio.file.Files.copy(p, dir.resolve("copy_a.parquet"))
+    java.nio.file.Files.copy(p, dir.resolve("copy_b.parquet"))
+    val sink = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val deduped = dedupStream(readEvents(spark, dir.toString), Seq("event_id"))
+      .select(col("event_id"), col("event_type"),
+        json_get_int(col("props"), lit("k")).as("k"))
+    val q = deduped.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    val d = new java.io.File(dir.toString)
+    d.listFiles().foreach(_.delete()); d.delete()
+    result
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)
 
   /** Custom streaming state: running per-user event count and k-sum via

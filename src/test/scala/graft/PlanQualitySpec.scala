@@ -213,6 +213,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(after <= before + 1, s"cached RDDs grew from $before to $after")
   }
 
+  test("IVF+PQ code table: cell-partitioned codes, pruned probe, vectors never read") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cents, cb) = operators.Similarity.trainIvfPq(emb, "vec_id", "embedding",
+      nCells = 8)
+    val centSeq: Seq[Seq[Float]] = cents.toIndexedSeq.map(_.toIndexedSeq)
+    val cbSeq: Seq[Seq[Seq[Float]]] = cb.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    // persist ONCE: the 100 TB float corpus becomes a code table
+    // (m bytes-ish per row) laid out by coarse cell
+    val withCell = emb.select(col("vec_id"), col("embedding"),
+      operators.Similarity.cellAssignment(col("embedding"),
+        cents.zipWithIndex.map(_.swap)).as("cell"))
+    withCell.select(col("vec_id"), col("cell"),
+        operators.ivf_pq_encode(col("embedding"), col("cell"), centSeq, cbSeq)
+          .as("pq_codes"))
+      .write.partitionBy("cell").mode("overwrite").parquet(out)
+    // a query probing 2 of 8 cells: partition-pruned scan of the CODE
+    // table only — no float vector column anywhere in the plan
+    val probed = s.read.parquet(out).where(col("cell").isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(!plan.contains("embedding"), plan)
+    assert(probed.count() > 0)
+    assert(probed.count() < emb.count())
+    // the persisted codes are exactly what the live encode computes
+    val live = withCell
+      .select(col("vec_id"),
+        operators.ivf_pq_encode(col("embedding"), col("cell"), centSeq, cbSeq)
+          .as("pq_codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val persisted = s.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(persisted.size == live.size)
+    assert(persisted.forall { case (id, codes) => live(id) == codes })
+  }
+
   test("IVF cell-partitioned layout prunes probes at the scan") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
