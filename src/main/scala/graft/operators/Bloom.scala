@@ -1,0 +1,187 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic Bloom filter: a distributed build aggregate plus a narrow
+ * membership kernel. The design point is benchmark decontamination and
+ * URL/id blocklists at 100 TB: the small side (benchmark grams, blocked
+ * domains) folds into a few-MB bit array with NO shuffle — partial filters
+ * are OR-merged map-side like any partial aggregate — and the corpus side
+ * then tests membership in a narrow, codegen'd filter with NO join at all.
+ * Compare `Curation.decontaminate`, which must distinct + broadcast the
+ * gram SET (tens of GB at 10^9 grams, and a shuffle to distinct it);
+ * the Bloom path trades a deterministic, tunable false-positive rate for
+ * a corpus scan that never touches an Exchange.
+ *
+ * Hashing is the repo's oracle-replicable kernel family (FNV-1a 64 →
+ * splitmix64), double-hashed Kirsch–Mitzenmacher style:
+ *   h1 = splitmix64(fnv1a64(bytes)),  h2 = splitmix64(h1) | 1  (odd)
+ *   bit_i = (h1 + i·h2)  mod 2^64  mod numBits,  i = 0..k−1
+ * Every step is mod-2^64 integer arithmetic, so DuckDB replays the exact
+ * bit positions with HUGEINT (see SparkEntry's q_bloom_decontam oracle) —
+ * even the false positives are value-pinned.
+ */
+object BloomKernel {
+
+  /** Self-describing filter layout (big-endian):
+    * [int32 numHashes][int64 numBits][int64 words...] */
+  def toBytes(numHashes: Int, numBits: Long, words: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + 8 * words.length)
+    bb.putInt(numHashes)
+    bb.putLong(numBits)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def parse(bytes: Array[Byte]): (Int, Long, Array[Long]) = {
+    val bb = ByteBuffer.wrap(bytes)
+    val k = bb.getInt()
+    val m = bb.getLong()
+    val words = new Array[Long]((bytes.length - 12) / 8)
+    var i = 0
+    while (i < words.length) { words(i) = bb.getLong(); i += 1 }
+    (k, m, words)
+  }
+
+  def h1Of(s: UTF8String): Long = HashKernels.mix(HashKernels.fnv1a(s))
+
+  def h2Of(h1: Long): Long = HashKernels.mix(h1) | 1L
+
+  /** Bit index of probe i — unsigned mod keeps parity with the HUGEINT
+    * oracle at any hash value. */
+  def position(h1: Long, h2: Long, i: Int, numBits: Long): Long =
+    java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, numBits)
+
+  def set(words: Array[Long], bit: Long): Unit =
+    words((bit >>> 6).toInt) |= (1L << (bit & 63L))
+
+  def get(words: Array[Long], bit: Long): Boolean =
+    (words((bit >>> 6).toInt) & (1L << (bit & 63L))) != 0L
+}
+
+/** Distributed Bloom build over a string column. Each task folds its rows
+  * into a local bit array; partials are OR-merged (map-side combine, then
+  * one tiny final merge) — the inserted values themselves never shuffle.
+  * Output is the self-describing binary of BloomKernel.toBytes. NULL
+  * inputs are skipped (a filter over the non-null domain). */
+case class BloomBuildAgg(
+    child: Expression,
+    numBits: Long,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(numBits > 0 && numBits % 64 == 0,
+    s"numBits must be a positive multiple of 64, got $numBits")
+  require(numBits <= (1L << 33),
+    s"numBits must be <= 2^33 (1 GiB filter), got $numBits")
+  require(numHashes > 0 && numHashes <= 32,
+    s"numHashes must be in 1..32, got $numHashes")
+
+  override def prettyName: String = "bloom_build"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_build expects a string column, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long]((numBits / 64).toInt)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h1 = BloomKernel.h1Of(v.asInstanceOf[UTF8String])
+      val h2 = BloomKernel.h2Of(h1)
+      var i = 0
+      while (i < numHashes) {
+        BloomKernel.set(buffer, BloomKernel.position(h1, h2, i, numBits))
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) |= other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    BloomKernel.toBytes(numHashes, numBits, buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] =
+    BloomKernel.toBytes(numHashes, numBits, buffer)
+
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] =
+    BloomKernel.parse(storageFormat)._3
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Membership test against a built filter. The filter side is typically a
+  * Literal (the collected build result baked into the plan — an implicit
+  * broadcast, like the ANN centroids); the parsed words are cached once
+  * per expression instance, so the per-row cost is k bit probes. A
+  * non-foldable filter column is parsed per row (correct, slower). Never
+  * NULL for non-NULL inputs; false positives possible at the configured
+  * rate, false negatives never. */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any =
+    nullSafeEval(args(0), args(1))
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects (string, binary filter), got ${l.sql}, ${r.sql}")
+    }
+
+  @transient private lazy val staticFilter: (Int, Long, Array[Long]) =
+    if (right.foldable) {
+      val v = right.eval(null)
+      if (v == null) null else BloomKernel.parse(v.asInstanceOf[Array[Byte]])
+    } else null
+
+  override def nullSafeEval(item: Any, filter: Any): Any = {
+    val (k, m, words) =
+      if (staticFilter != null) staticFilter
+      else BloomKernel.parse(filter.asInstanceOf[Array[Byte]])
+    val h1 = BloomKernel.h1Of(item.asInstanceOf[UTF8String])
+    val h2 = BloomKernel.h2Of(h1)
+    var i = 0
+    while (i < k) {
+      if (!BloomKernel.get(words, BloomKernel.position(h1, h2, i, m))) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
