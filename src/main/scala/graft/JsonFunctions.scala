@@ -74,7 +74,12 @@ object JsonFunctions {
       "mix_bucket" -> (es => MixBucket(es(0), litLong(es(1), "multiplier"),
         litLong(es(2), "salt"), litInt(es(3), "shift"), litInt(es(4), "buckets"))),
       "mix64" -> (es => Mix64(es(0), litLong(es(1), "salt"))),
-      "gram_rep_stats" -> (es => GramRepStats(es(0), litInt(es(1), "gram size"))))
+      "gram_rep_stats" -> (es => GramRepStats(es(0), litInt(es(1), "gram size"))),
+      // aggregate: the analyzer wraps a bare AggregateFunction from the
+      // registry in an AggregateExpression during function resolution
+      "bloom_build" -> (es => BloomBuildAgg(es(0),
+        litLong(es(1), "numBits"), litInt(es(2), "numHashes"))),
+      "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
   }
 
   val optimizerRules = Seq(JsonCallUnnest, graft.plans.JsonUnionTextFusion)

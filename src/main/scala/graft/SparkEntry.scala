@@ -474,6 +474,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter decontamination screen: same gram contract as
+    // q_decontam, but the benchmark grams fold into a 2^20-bit filter
+    // (no shuffle) and the corpus side is one narrow scan — per-row gram
+    // arrays membership-tested in place, zero Exchange/Join. The oracle
+    // replays every probe position in HUGEINT mod-2^64 SQL, so even the
+    // filter's false positives are value-pinned.
+    "q_bloom_decontam" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      operators.Bloom.decontaminate(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4, numBits = 1L << 20, numHashes = 7)
+        .orderBy(col("doc_id"))
+    }),
+
+    // backward as-of join: each non-click event picks up the latest click
+    // by the same user at or before it (ties on time → greatest click_id);
+    // union-and-carry shape — one Exchange, no Join operator at all.
+    // Time is floored to MICROSECONDS (ts div 1000) because DuckDB's
+    // parquet reader floors TIMESTAMP(NANOS) to µs — the oracle can only
+    // ever see µs, so the query is defined at µs on both sides.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      operators.Joins.asofJoin(
+          ev.where(col("event_type") =!= "click"),
+          ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_us"),
+              col("event_id").as("click_id"), col("value").as("click_value")),
+          keyCol = "user_id", timeCol = "ts_us",
+          rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // deterministic shard assignment + within-shard order key (the
     // reproducible global shuffle; mix64 replicated in the oracle)
     "q_shards" -> ((s, dir) =>
@@ -1252,6 +1287,54 @@ object SparkEntry {
         |  coalesce(h.n, 0) > 0 AS contaminated
         | FROM (SELECT doc_id FROM shq WHERE doc_id % 20 <> 0) t
         | LEFT JOIN hitq h USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // Bloom decontamination screen: the filter's bit positions are pure
+    // mod-2^64 arithmetic (h1 = splitmix64(fnv1a64(gram)), h2 =
+    // splitmix64(h1)|1, bit_i = (h1 + i*h2) mod 2^64 mod 2^20), so the
+    // oracle rebuilds the EXACT bit set from the benchmark grams and
+    // replays all 7 probes per training gram — a gram is flagged iff
+    // every probe position is in the set, false positives included
+    "q_bloom_decontam" ->
+      s"""WITH toksq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        | shq AS (SELECT doc_id, list_distinct([array_to_string(tk[x+1:x+4], ' ')
+        |   for x in range(0, greatest(len(tk)-4, 0)+1)]) AS s FROM toksq),
+        | gq AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM shq),
+        | g0 AS (SELECT doc_id, g, ${fnvSql("g")} AS h0 FROM gq),
+        | ${mixStagesSql("g0", "doc_id, g", "ba")},
+        | b0 AS (SELECT doc_id, g, h AS h1, h AS h0 FROM ba3),
+        | ${mixStagesSql("b0", "doc_id, g, h1", "bb")},
+        | gh AS (SELECT doc_id, g, h1, h // 2 * 2 + 1 AS h2 FROM bb3),
+        | gpos AS MATERIALIZED (SELECT doc_id, g,
+        |   (h1 + CAST(iv.i AS HUGEINT) * h2) % $M64 % 1048576 AS pos
+        |   FROM gh CROSS JOIN (SELECT unnest(range(7)) AS i) iv),
+        | bits AS (SELECT DISTINCT pos FROM gpos WHERE doc_id % 20 = 0),
+        | hitq AS (SELECT p.doc_id, p.g, count(*) AS nh FROM gpos p
+        |   JOIN bits b ON p.pos = b.pos WHERE p.doc_id % 20 <> 0
+        |   GROUP BY p.doc_id, p.g),
+        | flagq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM hitq
+        |   WHERE nh = 7 GROUP BY doc_id)
+        | SELECT t.doc_id, coalesce(f.n, 0) AS n_flagged_grams,
+        |  coalesce(f.n, 0) > 0 AS maybe_contaminated
+        | FROM (SELECT doc_id FROM shq WHERE doc_id % 20 <> 0) t
+        | LEFT JOIN flagq f USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // backward as-of join: the tie rule (greatest right time, then
+    // greatest click_id) is explicit in the window order, so the oracle
+    // is deterministic regardless of DuckDB's own ASOF implementation
+    "q_asof_join" ->
+      """WITH evq AS (SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id,
+        |   event_type, value FROM events),
+        | lq AS (SELECT * FROM evq WHERE event_type <> 'click'),
+        | rq AS (SELECT user_id, ts_us, event_id AS click_id, value AS click_value
+        |   FROM evq WHERE event_type = 'click'),
+        | cnd AS (SELECT l.event_id, r.ts_us AS asof_ts_us, r.click_id, r.click_value,
+        |   row_number() OVER (PARTITION BY l.event_id
+        |     ORDER BY r.ts_us DESC, r.click_id DESC) AS rn
+        |   FROM lq l JOIN rq r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us)
+        | SELECT l.event_id, l.ts_us, l.user_id, l.event_type, l.value,
+        |  c.asof_ts_us, c.click_id, c.click_value
+        | FROM lq l LEFT JOIN (SELECT * FROM cnd WHERE rn = 1) c USING (event_id)
+        | ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
 
     // shard assignment: mix64(id+salt) replica, signed pmod + order key
     "q_shards" ->

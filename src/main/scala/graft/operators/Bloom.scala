@@ -2,11 +2,14 @@ package graft.operators
 
 import java.nio.ByteBuffer
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlShim
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -184,4 +187,64 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Column API + pipeline entry points for the Bloom path (SQL names
+  * `bloom_build` / `bloom_might_contain` are registered by
+  * `JsonFunctions.registerAll` / the extension path alongside the other
+  * kernels). */
+object Bloom {
+
+  /** Aggregate Column: build a filter over a string column. */
+  def bloomBuild(c: Column, numBits: Long, numHashes: Int): Column =
+    GraftSqlShim.column(
+      BloomBuildAgg(GraftSqlShim.expression(c), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Membership test Column; `filter` is typically `lit(bytes)` of a
+    * built filter. */
+  def bloomMightContain(c: Column, filter: Column): Column =
+    GraftSqlShim.column(
+      BloomMightContain(GraftSqlShim.expression(c), GraftSqlShim.expression(filter)))
+
+  /** Run the build aggregate and return the filter bytes (numBits/8 + 12
+    * bytes on the driver — a few MB at most by the numBits cap; the
+    * inserted values never leave their tasks). */
+  def buildFilter(df: DataFrame, c: Column, numBits: Long, numHashes: Int): Array[Byte] =
+    df.select(bloomBuild(c, numBits, numHashes).as("filter"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Bloom-filter benchmark decontamination: same contract as
+    * `Curation.decontaminate` (word n-gram overlap against an eval set,
+    * shingling via `Dedup.shingles`) but the benchmark gram SET never
+    * materializes — it folds into a `numBits`-bit filter with no shuffle,
+    * and the corpus side is then a single narrow projection: the per-row
+    * gram array is membership-tested in place (`aggregate` over the
+    * array), so the corpus never explodes its grams, never joins, and
+    * never touches an Exchange (PlanQualitySpec pins zero Exchange/Join).
+    * The price is a tunable false-positive rate on `n_flagged_grams` —
+    * hence `maybe_contaminated`: a screening pass; route the flagged
+    * sliver through `Curation.decontaminate` when exactness matters.
+    * Returns `(id, n_flagged_grams, maybe_contaminated)` per train row. */
+  def decontaminate(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      numBits: Long = 1L << 27,
+      numHashes: Int = 7): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val filter = buildFilter(
+      benchmark.select(explode(Dedup.shingles(col(textCol), n)).as("gram")),
+      col("gram"), numBits, numHashes)
+    val flagged = aggregate(
+      Dedup.shingles(col(textCol), n), lit(0L),
+      (acc, g) => acc + when(bloomMightContain(g, lit(filter)), 1L).otherwise(0L))
+    // two-step select: the count is multi-referenced, so CollapseProject
+    // keeps one evaluation of the membership fold per row
+    train.select(col(idCol), flagged.as("n_flagged_grams"))
+      .select(col(idCol), col("n_flagged_grams"),
+        (col("n_flagged_grams") > 0).as("maybe_contaminated"))
+  }
 }
