@@ -91,6 +91,50 @@ object ScaleProbe {
         .where(col("contaminated")).count()
     }
 
+    // Bloom vs exact decontamination on the SAME input, with a benchmark
+    // side big enough to matter (20% of the corpus ≈ nDocs/5 × ~53 grams,
+    // >1M grams at the default size): the exact path must distinct +
+    // broadcast that gram set; the Bloom path folds it into a 2 MiB
+    // filter with no shuffle and scans the corpus with no join
+    val bigBenchTrain = docs.where(col("doc_id") % 5 =!= 0)
+    val bigBench = docs.where(col("doc_id") % 5 === 0)
+    time(s"exact decontamination vs ${nDocs / 5}-doc benchmark (distinct+broadcast)") {
+      operators.Curation.decontaminate(bigBenchTrain, bigBench, "doc_id", "text", n = 8)
+        .where(col("contaminated")).count()
+    }
+    time(s"bloom decontamination vs ${nDocs / 5}-doc benchmark (filter screen)") {
+      operators.Bloom.decontaminate(bigBenchTrain, bigBench, "doc_id", "text",
+          n = 8, numBits = 1L << 24, numHashes = 7)
+        .where(col("maybe_contaminated")).count()
+    }
+
+    // as-of join at 10× the doc count per side: union-and-carry = one
+    // Exchange + one sort regardless of key distribution
+    val nEv = nDocs.toLong * 10
+    val asofLeft = spark.range(nEv).select(
+      col("id").as("event_id"),
+      pmod(operators.mix64(col("id"), 31L), lit(1000)).as("user_id"),
+      operators.mix64(col("id"), 7L).as("t"))
+    val asofRight = spark.range(nEv).select(
+      pmod(operators.mix64(col("id"), 57L), lit(1000)).as("user_id"),
+      operators.mix64(col("id"), 11L).as("t"),
+      col("id").as("quote_id"))
+    time(s"asof join, $nEv x $nEv rows, 1000 uniform keys") {
+      operators.Joins.asofJoin(asofLeft, asofRight, "user_id", "t", "quote_id").count()
+    }
+    // skew probe: one key holds 50% of BOTH sides. The operator's cost
+    // model is sort-dominated; a hot key concentrates one sorted run in
+    // one task (windows cannot split a partition), so this measures the
+    // realistic worst case rather than hiding it
+    time(s"asof join, $nEv x $nEv rows, one key holding 50% of rows") {
+      operators.Joins.asofJoin(
+        asofLeft.withColumn("user_id",
+          when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))),
+        asofRight.withColumn("user_id",
+          when(col("quote_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))),
+        "user_id", "t", "quote_id").count()
+    }
+
     time(s"char-n-gram langid, $nDocs docs") {
       docs.groupBy(operators.TextOps.langIdNgram(col("text")).as("l"))
         .count().collect()

@@ -76,7 +76,8 @@ object SparkEntry {
     "q_dedup_exact", "q_minhash_lsh", "q_ngram_jaccard",
     "q_ann_topk", "q_ann_lsh",
     "q_text_stats", "q_langid", "q_fingerprint", "q_simhash",
-    "q_mm_meta", "q_curation")
+    "q_mm_meta", "q_curation",
+    "q_bloom_decontam", "q_asof_join")
 
   /** One entry per implemented operator from SURVEY.md §2.
     *

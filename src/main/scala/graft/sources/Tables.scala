@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  *
  *  - `writeBucketed`: hash-bucket a table by its join key at write time.
  *    Two tables bucketed on the same key with the same bucket count join
- *    with ZERO exchanges (verified in SourcesSpec) — on a cluster this
+ *    with ZERO exchanges (verified in PlanQualitySpec) — on a cluster this
  *    turns the nightly fact-to-fact join from a full-network shuffle into
  *    a local merge per bucket.
  *  - `writePartitioned`: directory-partition by a low-cardinality column

@@ -63,6 +63,67 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Bloom probe positions equal the HUGEINT double-hash model for arbitrary strings") {
+    import graft.operators.BloomKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    val strGen = org.scalacheck.Gen.listOf(
+      org.scalacheck.Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val mGen = org.scalacheck.Gen.oneOf(64L, 1L << 10, 1L << 20)
+    check(forAll(strGen, mGen) { (s, m) =>
+      // model: h1 = splitmix64(fnv1a64(s)), h2 = splitmix64(h1) | 1,
+      // bit_i = (h1 + i*h2) mod 2^64 mod m — exactly what the DuckDB
+      // oracle for q_bloom_decontam replays in HUGEINT SQL
+      var h = BigInt("cbf29ce484222325", 16)
+      s.getBytes("UTF-8").foreach { b =>
+        h = ((h ^ BigInt(b & 0xff)) * BigInt("100000001b3", 16)).mod(M)
+      }
+      val mh1 = splitmixModel(h.longValue)
+      val mh2 = splitmixModel(mh1) | 1L
+      val h1 = BloomKernel.h1Of(UTF8String.fromString(s))
+      val h2 = BloomKernel.h2Of(h1)
+      h1 == mh1 && h2 == mh2 && (0 until 7).forall { i =>
+        BloomKernel.position(h1, h2, i, m) ==
+          (u(mh1) + BigInt(i) * u(mh2)).mod(M).mod(BigInt(m)).longValue
+      }
+    })
+  }
+
+  test("Bloom filter: split-build OR-merges to the whole-build; no false negatives") {
+    import graft.operators.BloomKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = 1L << 12
+    val k = 5
+    def insert(words: Array[Long], s: String): Unit = {
+      val h1 = BloomKernel.h1Of(UTF8String.fromString(s))
+      val h2 = BloomKernel.h2Of(h1)
+      (0 until k).foreach(i => BloomKernel.set(words, BloomKernel.position(h1, h2, i, m)))
+    }
+    def contains(words: Array[Long], s: String): Boolean = {
+      val h1 = BloomKernel.h1Of(UTF8String.fromString(s))
+      val h2 = BloomKernel.h2Of(h1)
+      (0 until k).forall(i => BloomKernel.get(words, BloomKernel.position(h1, h2, i, m)))
+    }
+    def build(items: Seq[String]): Array[Long] = {
+      val w = new Array[Long]((m / 64).toInt)
+      items.foreach(insert(w, _))
+      w
+    }
+    val strGen = org.scalacheck.Gen.listOf(
+      org.scalacheck.Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    val itemsGen = org.scalacheck.Gen.listOf(strGen)
+    check(forAll(itemsGen, itemsGen) { (as, bs) =>
+      // partial-aggregate correctness: building per-partition filters and
+      // OR-merging them (BloomBuildAgg.merge) equals one whole build
+      val merged = build(as).zip(build(bs)).map { case (x, y) => x | y }
+      val whole = build(as ++ bs)
+      // serialization roundtrip preserves layout and words exactly
+      val (pk, pm, pw) = BloomKernel.parse(BloomKernel.toBytes(k, m, whole))
+      java.util.Arrays.equals(whole, merged) &&
+        pk == k && pm == m && java.util.Arrays.equals(pw, whole) &&
+        (as ++ bs).forall(contains(whole, _)) // false negatives never
+    })
+  }
+
   test("GramRepStats equals the count-map model for arbitrary token lists") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -646,6 +646,112 @@ class OperatorsSpec extends AnyFunSuite {
     assert(composed >= 0.5, s"IVF+PQ recall on clustered data: $composed")
   }
 
+  test("asofJoin: backward match, equal-ts inclusive, ties pick greatest right id") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "k1", 100L), // equal-ts right exists → matches it ("at or before")
+      (2L, "k1", 205L), // two rights tie at t=200 → greatest rid wins
+      (3L, "k1", 50L),  // nothing at or before → nulls
+      (4L, "k2", 100L), // only right is AFTER → nulls
+      (5L, "k3", 10L)   // key has no right rows at all → nulls
+    ).toDF("event_id", "key", "t")
+    val right = Seq(
+      ("k1", 100L, 10L, "a"),
+      ("k1", 200L, 11L, "b"),
+      ("k1", 200L, 12L, "c"),
+      ("k2", 150L, 13L, "d")
+    ).toDF("key", "t", "rid", "rv")
+    val got = Joins.asofJoin(left, right, "key", "t", "rid", Seq("rv"))
+      .orderBy("event_id").collect()
+    def m(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(3)) null else (r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(got.map(m).toSeq == Seq(
+      (1L, (100L, 10L, "a")),
+      (2L, (200L, 12L, "c")),
+      (3L, null), (4L, null), (5L, null)), got.mkString("\n"))
+  }
+
+  test("asofJoin: tolerance boundary is inclusive; NULL times never match; empty right") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "k1", Some(205L)), (2L, "k1", None))
+      .toDF("event_id", "key", "t")
+    val right = Seq(("k1", Some(200L), 10L), ("k1", None: Option[Long], 99L))
+      .toDF("key", "t", "rid")
+    // gap is exactly 5: tolerance 5 keeps the match, 4 drops it
+    // output layout: (event_id, key, t, asof_t, rid)
+    val at5 = Joins.asofJoin(left, right, "key", "t", "rid", tolerance = 5L)
+      .orderBy("event_id").collect()
+    assert(at5(0).getLong(3) == 200L && at5(0).getLong(4) == 10L, at5.toSeq)
+    assert(at5(1).isNullAt(3), "NULL left time must not match")
+    val at4 = Joins.asofJoin(left, right, "key", "t", "rid", tolerance = 4L)
+      .orderBy("event_id").collect()
+    assert(at4(0).isNullAt(3), "tolerance 4 must drop a gap of 5")
+    // a NULL-time right row never carries (rid 99 appears nowhere)
+    val unbounded = Joins.asofJoin(left, right, "key", "t", "rid")
+      .orderBy("event_id").collect()
+    assert(unbounded(0).getLong(4) == 10L && unbounded(1).isNullAt(3))
+    // empty right side: every left row comes back with NULL right fields
+    val none = Joins.asofJoin(left, right.where(lit(false)), "key", "t", "rid")
+      .orderBy("event_id").collect()
+    assert(none.length == 2 && none.forall(_.isNullAt(3)))
+    // clashing right column names are rejected up front
+    val clash = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right.withColumnRenamed("rid", "event_id"),
+        "key", "t", "event_id")
+    }
+    assert(clash.getMessage.contains("clash"))
+  }
+
+  test("bloom filter: build+membership end-to-end, no false negatives, SQL path") {
+    val s = spark
+    import s.implicits._
+    val items = (0 until 200).map(i => s"item$i")
+    val bytes = Bloom.buildFilter(
+      items.toDF("g"), col("g"), numBits = 1L << 16, numHashes = 7)
+    val probes = (items ++ (0 until 1000).map(i => s"absent$i")).toDF("g")
+    val got = probes
+      .select(col("g"), Bloom.bloomMightContain(col("g"), lit(bytes)).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(items.forall(got(_)), "false negatives must never occur")
+    // m=65536, n=200, k=7 → theoretical fp rate ~1e-15; allow a hair
+    val fps = (0 until 1000).count(i => got(s"absent$i"))
+    assert(fps <= 2, s"$fps false positives out of 1000 disjoint probes")
+    // SQL-registered names work end-to-end (scalar subquery carries the
+    // built filter into the membership call)
+    JsonFunctions.registerAll(s)
+    items.toDF("g").createOrReplaceTempView("bloom_items")
+    probes.createOrReplaceTempView("bloom_probes")
+    val viaSql = s.sql(
+      """SELECT g, bloom_might_contain(
+        |  g, (SELECT bloom_build(g, 65536, 7) FROM bloom_items)) AS hit
+        |FROM bloom_probes""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(viaSql == got, "SQL path must agree with the Column path")
+  }
+
+  test("bloom decontaminate flags a superset of exact decontamination") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = d.where(col("doc_id") % 20 =!= 0)
+    val bench = d.where(col("doc_id") % 20 === 0)
+    val exact = Curation.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val screened = Bloom.decontaminate(train, bench, "doc_id", "text", n = 4,
+        numBits = 1L << 20, numHashes = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(screened.keySet == exact.keySet, "one row per training doc on both paths")
+    // a Bloom filter can overcount (false positives) but NEVER undercount
+    assert(exact.forall { case (id, n) => screened(id) >= n },
+      "bloom must flag at least every exactly-hit gram")
+    // at 2^20 bits over ~25k benchmark grams the fp inflation is tiny:
+    // the screen is usable, not just sound
+    assert(screened.values.sum <= exact.values.sum + 5,
+      s"fp inflation too high: exact=${exact.values.sum} bloom=${screened.values.sum}")
+  }
+
   test("simhash banded pairs find close documents, not distant ones") {
     val s = spark
     import s.implicits._

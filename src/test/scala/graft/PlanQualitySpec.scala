@@ -251,6 +251,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(persisted.forall { case (id, codes) => live(id) == codes })
   }
 
+  test("asof join: union-and-carry plan has one Exchange and zero Join operators") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    val df = graft.operators.Joins.asofJoin(
+      ev.where(col("event_type") =!= "click"),
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("value").as("click_value")),
+      keyCol = "user_id", timeCol = "ts_us",
+      rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole operator is one hash partition on the key + one sort —
+    // the same price as a single shuffle join, with no pair explosion
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("bloom decontamination: corpus side is one narrow scan, zero Exchange/Join") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Bloom.decontaminate(
+      d.where(col("doc_id") % 20 =!= 0), d.where(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 4, numBits = 1L << 16, numHashes = 7)
+    val plan = df.queryExecution.executedPlan.toString
+    // the filter bytes are a plan literal (implicit broadcast); per-row
+    // gram arrays are membership-tested in place — the corpus never
+    // explodes grams, never joins, never shuffles
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("IVF cell-partitioned layout prunes probes at the scan") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
