@@ -1,6 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Force FULL evaluation of every output column. A bare `count()` lets
+    * the optimizer prune unused projections — for projection-only queries
+    * (the 13 json scalar getters, q_asof_join's carried columns, the
+    * bloom membership count) that collapsed the measurement to a bare
+    * parquet scan count. Hashing all columns into one aggregated value
+    * makes every operator column load-bearing at ~ns/row overhead, while
+    * the order-agnostic aggregate still lets the optimizer drop the
+    * verification-only global `orderBy` each query carries for the
+    * driver's hash compare (measuring the operator, not the test
+    * plumbing). */
+  private def force(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    // bit_xor, not sum: a sum of 2^63-scale hashes overflows under ANSI
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(expr("bit_xor(h)")).head()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,7 +40,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       bench.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { force(fn(spark, warmDir)) } catch { case _: Throwable => () }
       }
     }
     // Min of 3 measured samples per query (after the warmup pass):
@@ -35,7 +53,7 @@ object Bench {
     val results: Map[String, Double] = bench.map { case (name, fn) =>
       val times = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         // a crashed query must read as broken (-1), not as a fast run
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }

@@ -79,7 +79,9 @@ object JsonFunctions {
       // registry in an AggregateExpression during function resolution
       "bloom_build" -> (es => BloomBuildAgg(es(0),
         litLong(es(1), "numBits"), litInt(es(2), "numHashes"))),
-      "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
+      "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
+      "bloom_count_contained" -> (es => BloomCountContained(es(0), es(1),
+        litInt(es(2), "shingle size"))))
   }
 
   val optimizerRules = Seq(JsonCallUnnest, graft.plans.JsonUnionTextFusion)

@@ -119,8 +119,11 @@ object ScaleProbe {
       pmod(operators.mix64(col("id"), 57L), lit(1000)).as("user_id"),
       operators.mix64(col("id"), 11L).as("t"),
       col("id").as("quote_id"))
+    // aggregate OVER the matched column: a bare count() would let the
+    // optimizer prune the unused Window and measure only the union scan
     time(s"asof join, $nEv x $nEv rows, 1000 uniform keys") {
-      operators.Joins.asofJoin(asofLeft, asofRight, "user_id", "t", "quote_id").count()
+      operators.Joins.asofJoin(asofLeft, asofRight, "user_id", "t", "quote_id")
+        .agg(count(col("asof_t")), sum(col("quote_id"))).collect()
     }
     // skew probe: one key holds 50% of BOTH sides. The operator's cost
     // model is sort-dominated; a hot key concentrates one sorted run in
@@ -132,7 +135,8 @@ object ScaleProbe {
           when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))),
         asofRight.withColumn("user_id",
           when(col("quote_id") % 2 === 0, lit(0L)).otherwise(col("user_id"))),
-        "user_id", "t", "quote_id").count()
+        "user_id", "t", "quote_id")
+        .agg(count(col("asof_t")), sum(col("quote_id"))).collect()
     }
 
     time(s"char-n-gram langid, $nDocs docs") {

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -289,9 +289,10 @@ case class JsonAsText(children: Seq[Expression]) extends JsonPathExpression {
 }
 
 /** Fused `json_union_to_text(json_get(json, *path))`: navigates and
- *  canonicalizes in ONE pass without materializing the union struct, and —
- *  unlike the CodegenFallback union pair — runs inside WholeStageCodegen
- *  like every other JsonPathExpression. Produced by the
+ *  canonicalizes in ONE pass without materializing the union struct,
+ *  inside WholeStageCodegen like every other JsonPathExpression
+ *  (the unfused pair also runs codegen'd now, but still builds and
+ *  re-reads the intermediate union struct). Produced by the
  *  JsonUnionTextFusion optimizer rule, never user-facing. Formatting
  *  matches JsonUnionType.toJsonText exactly: strings re-quoted + escaped,
  *  ints/floats canonical (Rust-Display doubles), array/object raw slices,
@@ -360,8 +361,13 @@ case class JsonObjectKeys(children: Seq[Expression]) extends JsonPathExpression 
 }
 
 /** `json_from_scalar` / `scalar_to_json`: wrap a typed SQL scalar into the
- *  json union struct. Reference src/json_from_scalar.rs:91-221. */
-case class JsonFromScalar(child: Expression) extends UnaryExpression with CodegenFallback {
+ *  json union struct. Reference src/json_from_scalar.rs:91-221.
+ *  Null-intolerant (null scalar → SQL NULL union, collapsed), so the
+ *  KernelCodegen bridge keeps the surrounding pipeline inside
+ *  WholeStageCodegen instead of the old CodegenFallback row
+ *  materialization. */
+case class JsonFromScalar(child: Expression) extends UnaryExpression
+    with graft.operators.KernelCodegen {
   override def dataType: DataType = JsonUnionType.sparkType
   override def nullable: Boolean = true
   override def prettyName: String = "json_from_scalar"
@@ -375,9 +381,8 @@ case class JsonFromScalar(child: Expression) extends UnaryExpression with Codege
         s"json_from_scalar does not support type ${other.sql}")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return null // null scalar → SQL NULL union (collapsed)
+  override protected def kernelEval(args: Array[Any]): Any = {
+    val v = args(0)
     child.dataType match {
       case BooleanType =>
         JsonUnionType.fromValue(
@@ -413,8 +418,11 @@ case class JsonFromScalar(child: Expression) extends UnaryExpression with Codege
 }
 
 /** `json_union_display`: the reference's union display form (`{str=abc}`,
- *  `{int=5}`, `{null=}` — tests/main.rs:77-91), for golden-output parity. */
-case class JsonUnionDisplay(child: Expression) extends UnaryExpression with CodegenFallback {
+ *  `{int=5}`, `{null=}` — tests/main.rs:77-91), for golden-output parity.
+ *  NULL-tolerant (a missing value still has a display form), so it can't
+ *  reuse the null-intolerant KernelCodegen bridge — the custom doGenCode
+ *  below passes the boxed value-or-null straight through. */
+case class JsonUnionDisplay(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   override def prettyName: String = "json_union_display"
@@ -427,19 +435,38 @@ case class JsonUnionDisplay(child: Expression) extends UnaryExpression with Code
         s"json_union_display expects a json union struct, got ${other.sql}")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any =
+    displayBoxed(child.eval(input).asInstanceOf[Object])
+
+  /** Bridge for generated code (boxed, null-tolerant). */
+  def displayBoxed(v: Object): UTF8String =
     UTF8String.fromString(
       JsonUnionType.displayForm(if (v == null) null else v.asInstanceOf[InternalRow]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftDisplay", this, classOf[JsonUnionDisplay].getName)
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} =
+          $ref.displayBoxed(${c.isNull} ? null : (Object) ${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `json_union_to_text`: flatten a json union struct to canonical JSON text
  *  (strings re-quoted + escaped, array/object raw passthrough, JSON null →
  *  SQL NULL). Exists because Parquet can't store unions.
- *  Reference src/json_union_to_text.rs:82-118. */
-case class JsonUnionToText(child: Expression) extends UnaryExpression with CodegenFallback {
+ *  Reference src/json_union_to_text.rs:82-118.
+ *  Null-intolerant (NULL union → NULL), so the KernelCodegen bridge
+ *  applies — the hot composed form json_union_to_text(json_get(...)) is
+ *  additionally fused by JsonUnionTextFusion into one kernel call. */
+case class JsonUnionToText(child: Expression) extends UnaryExpression
+    with graft.operators.KernelCodegen {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_union_to_text"
@@ -452,13 +479,9 @@ case class JsonUnionToText(child: Expression) extends UnaryExpression with Codeg
         s"json_union_to_text expects a json union struct, got ${other.sql}")
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null
-    else {
-      val s = JsonUnionType.toJsonText(v.asInstanceOf[InternalRow])
-      if (s == null) null else UTF8String.fromString(s)
-    }
+  override protected def kernelEval(args: Array[Any]): Any = {
+    val s = JsonUnionType.toJsonText(args(0).asInstanceOf[InternalRow])
+    if (s == null) null else UTF8String.fromString(s)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -189,10 +189,86 @@ case class BloomMightContain(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused membership count: whitespace tokens → distinct n-token shingles →
+  * Bloom probes, one kernel call per row. Replaces the declarative
+  * `aggregate(shingles(...), ...)` fold in the decontamination scan:
+  * higher-order functions are CodegenFallback in Spark, so the fold paid
+  * per-element lambda binding AND pushed the whole projection out of
+  * WholeStageCodegen (the MinHashSignature lesson, exprs.scala:160-163).
+  * Shingle semantics are exactly `Dedup.shingles` (slice caps at the end,
+  * concat_ws skips NULL tokens, distinct by string content), so the
+  * HUGEINT oracle for q_bloom_decontam replays unchanged. Input is the
+  * token array (`split(text, " ")` — codegen'd); NULL array → NULL. */
+case class BloomCountContained(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with KernelCodegen {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override protected def kernelEval(args: Array[Any]): Any =
+    nullSafeEval(args(0), args(1))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_count_contained"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_count_contained expects (array<string> tokens, binary filter), " +
+          s"got ${l.sql}, ${r.sql}")
+    }
+
+  @transient private lazy val staticFilter: (Int, Long, Array[Long]) =
+    if (right.foldable) {
+      val v = right.eval(null)
+      if (v == null) null else BloomKernel.parse(v.asInstanceOf[Array[Byte]])
+    } else null
+
+  override def nullSafeEval(toksAny: Any, filterAny: Any): Any = {
+    val (k, m, words) =
+      if (staticFilter != null) staticFilter
+      else BloomKernel.parse(filterAny.asInstanceOf[Array[Byte]])
+    val toks = toksAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sz = toks.numElements()
+    if (sz == 0) return 0L
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.HashSet[UTF8String]()
+    var count = 0L
+    val nPos = math.max(sz - n, 0) + 1
+    var i = 0
+    while (i < nPos) {
+      val end = math.min(i + n, sz)
+      val parts = new java.util.ArrayList[UTF8String](n)
+      var j = i
+      while (j < end) {
+        if (!toks.isNullAt(j)) parts.add(toks.getUTF8String(j))
+        j += 1
+      }
+      val gram = UTF8String.concatWs(sep, parts.toArray(new Array[UTF8String](parts.size())): _*)
+      if (seen.add(gram)) {
+        val h1 = BloomKernel.h1Of(gram)
+        val h2 = BloomKernel.h2Of(h1)
+        var p = 0
+        var all = true
+        while (all && p < k) {
+          all = BloomKernel.get(words, BloomKernel.position(h1, h2, p, m))
+          p += 1
+        }
+        if (all) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column API + pipeline entry points for the Bloom path (SQL names
-  * `bloom_build` / `bloom_might_contain` are registered by
-  * `JsonFunctions.registerAll` / the extension path alongside the other
-  * kernels). */
+  * `bloom_build` / `bloom_might_contain` / `bloom_count_contained` are
+  * registered by `JsonFunctions.registerAll` / the extension path
+  * alongside the other kernels). */
 object Bloom {
 
   /** Aggregate Column: build a filter over a string column. */
@@ -206,6 +282,12 @@ object Bloom {
   def bloomMightContain(c: Column, filter: Column): Column =
     GraftSqlShim.column(
       BloomMightContain(GraftSqlShim.expression(c), GraftSqlShim.expression(filter)))
+
+  /** Fused count of distinct n-token shingles of `tokens` present in the
+    * filter (see BloomCountContained). */
+  def bloomCountContained(tokens: Column, filter: Column, n: Int): Column =
+    GraftSqlShim.column(BloomCountContained(
+      GraftSqlShim.expression(tokens), GraftSqlShim.expression(filter), n))
 
   /** Run the build aggregate and return the filter bytes (numBits/8 + 12
     * bytes on the driver — a few MB at most by the numBits cap; the
@@ -238,11 +320,11 @@ object Bloom {
     val filter = buildFilter(
       benchmark.select(explode(Dedup.shingles(col(textCol), n)).as("gram")),
       col("gram"), numBits, numHashes)
-    val flagged = aggregate(
-      Dedup.shingles(col(textCol), n), lit(0L),
-      (acc, g) => acc + when(bloomMightContain(g, lit(filter)), 1L).otherwise(0L))
+    // fused kernel: tokenize (codegen'd split) → in-kernel distinct
+    // shingles → k probes each; one call per row, no per-gram lambdas
+    val flagged = bloomCountContained(split(col(textCol), " "), lit(filter), n)
     // two-step select: the count is multi-referenced, so CollapseProject
-    // keeps one evaluation of the membership fold per row
+    // keeps one evaluation of the membership kernel per row
     train.select(col(idCol), flagged.as("n_flagged_grams"))
       .select(col(idCol), col("n_flagged_grams"),
         (col("n_flagged_grams") > 0).as("maybe_contaminated"))

@@ -74,12 +74,11 @@ object JsonCallUnnest extends Rule[LogicalPlan] {
 
 /**
  * Union-text fusion: `json_union_to_text(json_get(j, p…))` →
- * `JsonGetUnionText(j, p…)`. Both union expressions are CodegenFallback
- * (the sparse-union struct has no codegen story), so the unfused pair
- * interprets its whole child tree per row; the fused navigation kernel is
- * a JsonPathExpression with real doGenCode, closing the last interpreted
- * hop in the library (output formatting is identical —
- * JsonUnionType.toJsonText semantics, asserted by JsonFunctionsSpec).
+ * `JsonGetUnionText(j, p…)`. The unfused pair navigates once to BUILD
+ * the sparse-union struct and then re-reads it to format text; the fused
+ * navigation kernel does both in one pass with no intermediate struct
+ * (output formatting is identical — JsonUnionType.toJsonText semantics,
+ * asserted by JsonFunctionsSpec).
  * No literal-path guard needed: only the output encoding changes.
  */
 object JsonUnionTextFusion extends Rule[LogicalPlan] {

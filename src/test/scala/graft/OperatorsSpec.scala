@@ -731,6 +731,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaSql == got, "SQL path must agree with the Column path")
   }
 
+  test("bloom_count_contained equals the declarative shingles fold it replaced") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val filter = Bloom.buildFilter(
+      d.where(col("doc_id") % 20 === 0)
+        .select(explode(Dedup.shingles(col("text"), 4)).as("g")),
+      col("g"), numBits = 1L << 20, numHashes = 7)
+    val both = d.select(
+        Bloom.bloomCountContained(split(col("text"), " "), lit(filter), 4).as("fused"),
+        aggregate(Dedup.shingles(col("text"), 4), lit(0L),
+          (acc, g) => acc +
+            when(Bloom.bloomMightContain(g, lit(filter)), 1L).otherwise(0L)).as("folded"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("bloom decontaminate flags a superset of exact decontamination") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

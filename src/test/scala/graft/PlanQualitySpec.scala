@@ -34,6 +34,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("union trio (from_scalar / display / to_text) runs inside WholeStageCodegen") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        JsonFunctions.json_union_display(
+          JsonFunctions.json_get(col("props"), lit("k"))).as("disp"),
+        JsonFunctions.json_union_to_text(
+          JsonFunctions.json_from_scalar(col("event_id"))).as("txt"))
+    val plan = df.queryExecution.executedPlan.toString
+    // formerly CodegenFallback: the Project must now carry the codegen star
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.where(col("disp").isNotNull && col("txt").isNotNull).count() > 0)
+  }
+
   test("dimension join broadcasts (no shuffle of the fact side)") {
     val df = SparkEntry.queries("q_enrich_join")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
@@ -281,11 +295,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "doc_id", "text", n = 4, numBits = 1L << 16, numHashes = 7)
     val plan = df.queryExecution.executedPlan.toString
     // the filter bytes are a plan literal (implicit broadcast); per-row
-    // gram arrays are membership-tested in place — the corpus never
-    // explodes grams, never joins, never shuffles
+    // token arrays are membership-counted in one fused kernel call — the
+    // corpus never explodes grams, never joins, never shuffles
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    // and the whole scan→filter→project pipeline is codegen'd (the old
+    // higher-order-function fold was CodegenFallback)
+    assert(plan.contains("*(1)"), plan)
   }
 
   test("IVF cell-partitioned layout prunes probes at the scan") {
