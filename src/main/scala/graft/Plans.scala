@@ -55,7 +55,18 @@ object Plans {
     "q_mix_temperature" ->
       ("temperature mixing: the per-source count aggregate is a tiny " +
         "bounded-cardinality groupBy; the corpus itself sees only the " +
-        "narrow mix_bucket filter"))
+        "narrow mix_bucket filter"),
+    "q_bloom_decontam" ->
+      ("Bloom decontamination screen: the benchmark grams fold into a " +
+        "bit-array literal (built by the OR-merged bloom_build aggregate " +
+        "in a separate tiny job); the corpus side is ONE narrow codegen'd " +
+        "scan with the fused bloom_count_contained kernel — zero " +
+        "Exchange, zero Join (the verification orderBy is the only sort)"),
+    "q_asof_join" ->
+      ("backward as-of join: union-and-carry — tag both sides, ONE " +
+        "Exchange hash-partitioned on the key, one sort, a running " +
+        "last(ignoreNulls) window; no Join operator, no pair explosion " +
+        "(the final sort is verification plumbing)"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -78,7 +89,12 @@ object Plans {
         w.println(note)
         w.println()
         w.println("```")
-        w.print(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+        // elide giant binary literals (e.g. the baked-in Bloom filter
+        // bytes) — the plan SHAPE is the document, not the constant
+        val explained = df.queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+          .replaceAll("0x[0-9A-Fa-f]{129,}", "0x<...binary literal elided...>")
+        w.print(explained)
         w.println("```")
       }
     } finally w.close()
