@@ -30,13 +30,13 @@ object MicroBench {
       .cache()
     df.count()
 
-    def bench(name: String, rounds: Int = 3)(f: => Unit): Unit = {
+    def bench(name: String, rows: Long = n, rounds: Int = 3)(f: => Unit): Unit = {
       f // warmup
       val times = (1 to rounds).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
       val best = times.min
-      println(f"MICROBENCH $name: ${n / best / 1e6}%.2f M rows/s (best of $rounds, $threads thread(s))")
+      println(f"MICROBENCH $name: ${rows / best / 1e6}%.2f M rows/s (best of $rounds, $threads thread(s))")
     }
 
     bench("json_contains(j,'k')") {
@@ -59,9 +59,48 @@ object MicroBench {
       df.select(json_union_to_text(json_get(col("j"), lit("meta"))).as("r"))
         .selectExpr("max(length(r))").collect()
     }
+    // union struct build + display / canonical text — the formerly
+    // CodegenFallback arms (round 7 moved them onto real doGenCode)
+    bench("json_union_display(json_get(j,'meta'))") {
+      df.select(json_union_display(json_get(col("j"), lit("meta"))).as("r"))
+        .selectExpr("max(length(r))").collect()
+    }
+    bench("json_union_to_text(json_from_scalar(id))") {
+      spark.range(n)
+        .select(json_union_to_text(json_from_scalar(col("id"))).as("r"))
+        .selectExpr("max(length(r))").collect()
+    }
     bench("mix64(id) sampling order") {
       spark.range(n).select(operators.mix64(col("id"), 7919L).as("h"))
         .selectExpr("max(h)").collect()
+    }
+
+    // bloom membership over 12-token docs (4-gram shingles): the fused
+    // kernel vs the declarative higher-order fold it replaced — the HOF
+    // path is CodegenFallback, so this pair quantifies the fusion win
+    val words = (0 until 256).map(i => s"w$i")
+    val nT = n / 4
+    val text = spark.range(nT).select(col("id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          element_at(typedlit(words),
+            (pmod(operators.mix64(col("id") * 13 + j, 5L), lit(256)) + 1).cast("int"))): _*)
+          .as("t"))
+      .cache()
+    text.count()
+    val filt = operators.Bloom.buildFilter(
+      text.where(col("id") % 16 === 0)
+        .select(explode(operators.Dedup.shingles(col("t"), 4)).as("g")),
+      col("g"), numBits = 1L << 22, numHashes = 7)
+    bench("bloom_count_contained(split(t),filter,4) [fused kernel]", nT) {
+      text.select(operators.Bloom.bloomCountContained(
+          split(col("t"), " "), lit(filt), 4).as("c"))
+        .selectExpr("max(c)").collect()
+    }
+    bench("aggregate(shingles(t,4), might_contain) [declarative HOF]", nT) {
+      text.select(aggregate(operators.Dedup.shingles(col("t"), 4), lit(0L),
+          (acc, g) => acc +
+            when(operators.Bloom.bloomMightContain(g, lit(filt)), 1L).otherwise(0L)).as("c"))
+        .selectExpr("max(c)").collect()
     }
     spark.stop()
   }
