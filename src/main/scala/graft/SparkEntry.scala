@@ -510,6 +510,40 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // forward as-of: each non-click event picks up the EARLIEST click by
+    // the same user at or after it (ties → greatest click_id)
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      operators.Joins.asofJoinDirected(
+          ev.where(col("event_type") =!= "click"),
+          ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_us"),
+              col("event_id").as("click_id"), col("value").as("click_value")),
+          keyCol = "user_id", timeCol = "ts_us",
+          rightIdCol = "click_id", rightValueCols = Seq("click_value"),
+          direction = "forward")
+        .orderBy(col("event_id"))
+    }),
+
+    // nearest as-of with a tolerance: the closer of the backward/forward
+    // click within 10^9 µs; equal distance → the backward match
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      operators.Joins.asofJoinDirected(
+          ev.where(col("event_type") =!= "click"),
+          ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_us"),
+              col("event_id").as("click_id"), col("value").as("click_value")),
+          keyCol = "user_id", timeCol = "ts_us",
+          rightIdCol = "click_id", rightValueCols = Seq("click_value"),
+          tolerance = 1000000000L, direction = "nearest")
+        .orderBy(col("event_id"))
+    }),
+
     // deterministic shard assignment + within-shard order key (the
     // reproducible global shuffle; mix64 replicated in the oracle)
     "q_shards" -> ((s, dir) =>
@@ -1336,6 +1370,53 @@ object SparkEntry {
         |  c.asof_ts_us, c.click_id, c.click_value
         | FROM lq l LEFT JOIN (SELECT * FROM cnd WHERE rn = 1) c USING (event_id)
         | ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    // forward as-of: symmetric to q_asof_join with r.ts >= l.ts and the
+    // earliest-right tie rule made explicit in the window order
+    "q_asof_forward" ->
+      """WITH evq AS (SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id,
+        |   event_type, value FROM events),
+        | lq AS (SELECT * FROM evq WHERE event_type <> 'click'),
+        | rq AS (SELECT user_id, ts_us, event_id AS click_id, value AS click_value
+        |   FROM evq WHERE event_type = 'click'),
+        | cnd AS (SELECT l.event_id, r.ts_us AS asof_ts_us, r.click_id, r.click_value,
+        |   row_number() OVER (PARTITION BY l.event_id
+        |     ORDER BY r.ts_us ASC, r.click_id DESC) AS rn
+        |   FROM lq l JOIN rq r ON l.user_id = r.user_id AND r.ts_us >= l.ts_us)
+        | SELECT l.event_id, l.ts_us, l.user_id, l.event_type, l.value,
+        |  c.asof_ts_us, c.click_id, c.click_value
+        | FROM lq l LEFT JOIN (SELECT * FROM cnd WHERE rn = 1) c USING (event_id)
+        | ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    // nearest as-of: backward and forward candidates computed separately,
+    // then the closer one within tolerance wins (equal distance → backward)
+    "q_asof_nearest" ->
+      """WITH evq AS (SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id,
+        |   event_type, value FROM events),
+        | lq AS (SELECT * FROM evq WHERE event_type <> 'click'),
+        | rq AS (SELECT user_id, ts_us, event_id AS click_id, value AS click_value
+        |   FROM evq WHERE event_type = 'click'),
+        | cb AS (SELECT l.event_id, r.ts_us AS bt, r.click_id AS bid, r.click_value AS bv,
+        |   row_number() OVER (PARTITION BY l.event_id
+        |     ORDER BY r.ts_us DESC, r.click_id DESC) AS rn
+        |   FROM lq l JOIN rq r ON l.user_id = r.user_id AND r.ts_us <= l.ts_us
+        |     AND l.ts_us - r.ts_us <= 1000000000),
+        | cf AS (SELECT l.event_id, r.ts_us AS ft, r.click_id AS fid, r.click_value AS fv,
+        |   row_number() OVER (PARTITION BY l.event_id
+        |     ORDER BY r.ts_us ASC, r.click_id DESC) AS rn
+        |   FROM lq l JOIN rq r ON l.user_id = r.user_id AND r.ts_us >= l.ts_us
+        |     AND r.ts_us - l.ts_us <= 1000000000),
+        | j AS (SELECT l.*, b.bt, b.bid, b.bv, f.ft, f.fid, f.fv,
+        |   (b.bt IS NOT NULL AND (f.ft IS NULL OR l.ts_us - b.bt <= f.ft - l.ts_us))
+        |     AS useb
+        |   FROM lq l
+        |   LEFT JOIN (SELECT * FROM cb WHERE rn = 1) b USING (event_id)
+        |   LEFT JOIN (SELECT * FROM cf WHERE rn = 1) f USING (event_id))
+        | SELECT event_id, ts_us, user_id, event_type, value,
+        |  CASE WHEN useb THEN bt ELSE ft END AS asof_ts_us,
+        |  CASE WHEN useb THEN bid ELSE fid END AS click_id,
+        |  CASE WHEN useb THEN bv ELSE fv END AS click_value
+        | FROM j ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
 
     // shard assignment: mix64(id+salt) replica, signed pmod + order key
     "q_shards" ->

@@ -1,15 +1,17 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Temporal join operators. The headline is the backward as-of join — "for
- * each left row, the latest right row at or before it, per key" — the
+ * Temporal join operators. The headline is the as-of join — "for each
+ * left row, the single right row nearest it in time, per key" — the
  * point-in-time lookup every feature/label pipeline needs (join each
  * purchase to the last click before it, each prediction to the freshest
- * feature row, each trade to the prevailing quote).
+ * feature row, each trade to the prevailing quote). Three directions:
+ * backward (latest right at or before; the default), forward (earliest
+ * right at or after), nearest (the closer of the two; ties → backward).
  *
  * Spark has no ASOF JOIN operator, and the naive encoding
  * (equi-join on the key + `r.t <= l.t` + window argmax) materializes every
@@ -19,14 +21,16 @@ import org.apache.spark.sql.functions._
  * the key, sort each partition by (time, side), and carry the last-seen
  * right payload forward with a running window — `last(payload,
  * ignoreNulls)` over rows unbounded-preceding..current. Cost is one
- * Exchange of (left + right) and one sort — the same price as one
- * sort-merge join — with NO pair explosion, no Join operator at all, and
- * O(1) window state per partition (PlanQualitySpec pins the plan: a
- * single Exchange, zero Joins).
+ * Exchange of (left + right) and one sort per direction — backward/
+ * forward pay the same price as one sort-merge join, nearest pays one
+ * extra in-partition sort (still ONE Exchange) — with NO pair explosion
+ * and no Join operator at all (PlanQualitySpec pins the plans: a single
+ * Exchange, zero Joins).
  */
 object Joins {
 
-  /** Backward as-of join.
+  /** Backward as-of join (see [[asofJoinDirected]] with
+    * direction = "backward").
     *
     * For each `left` row: the single `right` row with the greatest
     * `timeCol <= left.timeCol` and equal `keyCol` (ties on time → the
@@ -37,10 +41,10 @@ object Joins {
     * right time as `asof_<timeCol>`. Right-side names must not clash
     * with left columns.
     *
-    * `toleranceNs >= 0` additionally requires
-    * `left.time - right.time <= tolerance` (numeric time columns; pass a
-    * negative tolerance for unbounded). Right rows with NULL time never
-    * match; left rows with NULL time get no match.
+    * `tolerance >= 0` additionally requires
+    * `|left.time - right.time| <= tolerance` (numeric time columns; pass
+    * a negative tolerance for unbounded). Right rows with NULL time
+    * never match; left rows with NULL time get no match.
     */
   def asofJoin(
       left: DataFrame,
@@ -49,7 +53,25 @@ object Joins {
       timeCol: String,
       rightIdCol: String,
       rightValueCols: Seq[String] = Seq.empty,
-      tolerance: Long = -1L): DataFrame = {
+      tolerance: Long = -1L): DataFrame =
+    asofJoinDirected(left, right, keyCol, timeCol, rightIdCol,
+      rightValueCols, tolerance, "backward")
+
+  /** As-of join with an explicit direction: "backward" (latest right at
+    * or before), "forward" (earliest right at or after), or "nearest"
+    * (the closer of the two; equal distance → the backward match).
+    * Contract otherwise identical to [[asofJoin]]. */
+  def asofJoinDirected(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      rightIdCol: String,
+      rightValueCols: Seq[String] = Seq.empty,
+      tolerance: Long = -1L,
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val carry = (rightIdCol +: rightValueCols).distinct
     val leftCols = left.columns.toSeq
     val clash = carry.filter(leftCols.contains)
@@ -73,28 +95,60 @@ object Joins {
           if (c == keyCol || c == timeCol) col(c)
           else lit(null).cast(leftSchema(c).dataType).as(c)) ++
           Seq(lit(0).as("__side"), rv.as("__rv")): _*)
+    val unioned = lTagged.unionByName(rTagged)
 
-    // right rows sort BEFORE left rows at equal time ("at or before"
-    // includes equal ts); among equal-time right rows the carry window
-    // ends on the greatest rightIdCol. Left rows have a NULL sort tail
-    // (nulls-first keeps them adjacent; their carried value is identical
-    // so relative order is immaterial).
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol).asc_nulls_first, col("__side").asc,
+    // Windows share ONE hash partitioning on the key (one Exchange);
+    // each direction is an in-partition sort. Right rows sort BEFORE
+    // left rows at equal time in both directions ("at or before" /
+    // "at or after" include equal ts); among equal-time right rows the
+    // carry ends on the greatest rightIdCol. Left rows carry a NULL
+    // sort tail (their relative order is immaterial — the carried value
+    // is identical), and NULL left times are masked below.
+    def w(timeOrder: Column) = Window.partitionBy(col(keyCol))
+      .orderBy(timeOrder, col("__side").asc,
         col("__rv").getField(rightIdCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: ascending time — last-seen right = greatest time <= t.
+    // forward: descending time — last-seen right = smallest time >= t.
+    val wBack = w(col(timeCol).asc_nulls_first)
+    val wFwd = w(col(timeCol).desc_nulls_last)
 
-    val carried = lTagged.unionByName(rTagged)
-      .withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    val carried = direction match {
+      case "backward" =>
+        unioned.withColumn("__cb", last(col("__rv"), ignoreNulls = true).over(wBack))
+      case "forward" =>
+        unioned.withColumn("__cf", last(col("__rv"), ignoreNulls = true).over(wFwd))
+      case "nearest" =>
+        unioned
+          .withColumn("__cb", last(col("__rv"), ignoreNulls = true).over(wBack))
+          .withColumn("__cf", last(col("__rv"), ignoreNulls = true).over(wFwd))
+    }
+    val onlyLeft = carried.where(col("__side") === 1)
 
-    val withinTol =
-      if (tolerance < 0) col("__carried").isNotNull
-      else col("__carried").isNotNull &&
-        col("__carried").getField(matchedTime) >= col(timeCol) - lit(tolerance)
-    val outFields = (matchedTime +: carry).map(c =>
-      when(withinTol, col("__carried").getField(c)).as(c))
-
-    carried.select(leftCols.map(col) ++ outFields: _*)
+    // a candidate matches if it exists, the left time is non-NULL, and
+    // the (direction-signed, always >= 0) gap is within tolerance
+    def ok(c: Column, gap: Column): Column = {
+      val base = c.isNotNull && col(timeCol).isNotNull
+      if (tolerance < 0) base else base && gap <= lit(tolerance)
+    }
+    val chosen: Column = direction match {
+      case "backward" =>
+        val c = col("__cb")
+        when(ok(c, col(timeCol) - c.getField(matchedTime)), c)
+      case "forward" =>
+        val c = col("__cf")
+        when(ok(c, c.getField(matchedTime) - col(timeCol)), c)
+      case "nearest" =>
+        val b = col("__cb")
+        val f = col("__cf")
+        val dB = col(timeCol) - b.getField(matchedTime)
+        val dF = f.getField(matchedTime) - col(timeCol)
+        val bOk = ok(b, dB)
+        val fOk = ok(f, dF)
+        // equal distance → backward (the conventional tie rule)
+        when(bOk && (!fOk || dB <= dF), b).when(fOk, f)
+    }
+    val outFields = (matchedTime +: carry).map(c => chosen.getField(c).as(c))
+    onlyLeft.select(leftCols.map(col) ++ outFields: _*)
   }
 }

@@ -704,6 +704,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clash.getMessage.contains("clash"))
   }
 
+  test("asofJoin forward: earliest at-or-after, equal-ts inclusive, tie → greatest rid") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "k1", 100L), // equal-ts right → matches it ("at or after")
+      (2L, "k1", 205L), // nothing at or after → nulls
+      (3L, "k1", 50L),  // earliest after is t=100
+      (4L, "k2", 100L), // right at 150 qualifies forward
+      (5L, "k3", 10L),  // no right rows for the key
+      (6L, "k1", 150L)  // two rights tie at t=200 → greatest rid wins
+    ).toDF("event_id", "key", "t")
+    val right = Seq(
+      ("k1", 100L, 10L, "a"),
+      ("k1", 200L, 11L, "b"),
+      ("k1", 200L, 12L, "c"),
+      ("k2", 150L, 13L, "d")
+    ).toDF("key", "t", "rid", "rv")
+    val got = Joins.asofJoinDirected(left, right, "key", "t", "rid", Seq("rv"),
+        direction = "forward")
+      .orderBy("event_id").collect()
+    def m(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(3)) null else (r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(got.map(m).toSeq == Seq(
+      (1L, (100L, 10L, "a")),
+      (2L, null),
+      (3L, (100L, 10L, "a")),
+      (4L, (150L, 13L, "d")),
+      (5L, null),
+      (6L, (200L, 12L, "c"))), got.mkString("\n"))
+  }
+
+  test("asofJoin nearest: closer side wins, equal distance → backward, tolerance masks both") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "k1", 100L), // backward at distance 0 wins
+      (2L, "k1", 205L), // only backward (d=5) exists
+      (3L, "k1", 50L),  // only forward (d=50) exists
+      (4L, "k2", 100L), // only forward (d=50) exists
+      (5L, "k3", 10L),  // no rights
+      (6L, "k1", 150L)  // backward d=50 vs forward d=50 → backward
+    ).toDF("event_id", "key", "t")
+    val right = Seq(
+      ("k1", 100L, 10L, "a"),
+      ("k1", 200L, 11L, "b"),
+      ("k1", 200L, 12L, "c"),
+      ("k2", 150L, 13L, "d")
+    ).toDF("key", "t", "rid", "rv")
+    def run(tol: Long) =
+      Joins.asofJoinDirected(left, right, "key", "t", "rid", Seq("rv"),
+          tolerance = tol, direction = "nearest")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) null else (r.getLong(3), r.getLong(4), r.getString(5)))).toSeq
+    assert(run(-1L) == Seq(
+      (1L, (100L, 10L, "a")),
+      (2L, (200L, 12L, "c")),
+      (3L, (100L, 10L, "a")),
+      (4L, (150L, 13L, "d")),
+      (5L, null),
+      (6L, (100L, 10L, "a"))), run(-1L).mkString("\n")) // tie → backward
+    // tolerance 49 keeps only the distance-5 backward match
+    assert(run(49L) == Seq(
+      (1L, (100L, 10L, "a")),
+      (2L, (200L, 12L, "c")),
+      (3L, null), (4L, null), (5L, null), (6L, null)), run(49L).mkString("\n"))
+  }
+
   test("bloom filter: build+membership end-to-end, no false negatives, SQL path") {
     val s = spark
     import s.implicits._

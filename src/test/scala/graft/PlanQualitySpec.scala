@@ -284,6 +284,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Join"), plan)
     assert(df.count() > 0)
+    // nearest direction: both windows share the one partitioning — still
+    // a single Exchange (one extra in-partition sort), still no Join
+    val near = graft.operators.Joins.asofJoinDirected(
+      ev.where(col("event_type") =!= "click"),
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("value").as("click_value")),
+      keyCol = "user_id", timeCol = "ts_us",
+      rightIdCol = "click_id", rightValueCols = Seq("click_value"),
+      direction = "nearest")
+    val nearPlan = near.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(nearPlan).size == 1, nearPlan)
+    assert(!nearPlan.contains("Join"), nearPlan)
   }
 
   test("bloom decontamination: corpus side is one narrow scan, zero Exchange/Join") {
