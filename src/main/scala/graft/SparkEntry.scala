@@ -544,6 +544,42 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // broadcast backward as-of: same semantics as q_asof_join (shared
+    // oracle text), but the clicks side collapses into per-key sorted
+    // arrays inside one narrow expression — the event side never
+    // shuffles, never sorts; values arrive via a broadcast hash join
+    "q_asof_broadcast" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      operators.Joins.asofJoinBroadcast(
+          ev.where(col("event_type") =!= "click"),
+          ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_us"),
+              col("event_id").as("click_id"), col("value").as("click_value")),
+          keyCol = "user_id", timeCol = "ts_us",
+          rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // streaming point-in-time enrichment: the broadcast as-of runs
+    // statelessly inside a real incremental query; bounded replay must
+    // equal the batch q_asof_join answer (shared oracle text)
+    "q_stream_asof" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.asofEnrichToBatch(s, s"$dir/events.parquet")
+        .orderBy(col("event_id"))
+    }),
+
+    // streaming decontamination screen: the batch-built Bloom filter is
+    // a plan literal, so the streamed corpus runs the same stateless
+    // fused kernel; bounded replay == batch (shared oracle text)
+    "q_stream_bloom" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.bloomScreenToBatch(s, s"$dir/documents.parquet")
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic shard assignment + within-shard order key (the
     // reproducible global shuffle; mix64 replicated in the oracle)
     "q_shards" -> ((s, dir) =>
@@ -1052,7 +1088,19 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // physically-different paths with identical semantics share oracle
+    // text verbatim: the broadcast as-of and the streaming as-of must
+    // equal the union-and-carry answer; the streaming bloom screen must
+    // equal the batch screen
+    base ++ Map(
+      "q_asof_broadcast" -> base("q_asof_join"),
+      "q_stream_asof" -> base("q_asof_join"),
+      "q_stream_bloom" -> base("q_bloom_decontam"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_filter_agg" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k

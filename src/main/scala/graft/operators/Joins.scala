@@ -1,8 +1,14 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Temporal join operators. The headline is the as-of join — "for each
@@ -150,5 +156,141 @@ object Joins {
     }
     val outFields = (matchedTime +: carry).map(c => chosen.getField(c).as(c))
     onlyLeft.select(leftCols.map(col) ++ outFields: _*)
+  }
+
+  /** Broadcast backward as-of join for a SMALL right side: the right
+    * (key, time, id) triples collapse into per-key sorted arrays carried
+    * inside one narrow expression (an implicit broadcast, like the ANN
+    * centroids), so each left row is a binary search — the left side
+    * NEVER shuffles and NEVER sorts. At 100 TB this inverts the cost
+    * model of [[asofJoin]]: union-and-carry must Exchange the full
+    * left + right on the key; here the fact stream stays narrow and only
+    * the value columns arrive via a broadcast hash join on the matched
+    * right id (PlanQualitySpec pins: zero shuffle Exchanges, no
+    * SortMergeJoin). The same expression is stateless, so it composes
+    * with Structured Streaming (stream-side point-in-time enrichment —
+    * JsonStream.asofEnrichToBatch), where the window-based shape cannot
+    * run at all.
+    *
+    * Semantics are IDENTICAL to backward [[asofJoin]] (equal-ts
+    * inclusive, ties → greatest rightIdCol, NULL times never match,
+    * inclusive tolerance) — q_asof_broadcast shares q_asof_join's
+    * oracle text verbatim. Key must be string/int/long; time and
+    * rightIdCol must be long. `maxRightRows` guards the driver collect
+    * (~24 B/row; the default 10M ≈ 240 MB — size to executor memory). */
+  def asofJoinBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      rightIdCol: String,
+      rightValueCols: Seq[String] = Seq.empty,
+      tolerance: Long = -1L,
+      maxRightRows: Int = 10000000): DataFrame = {
+    val carry = (rightIdCol +: rightValueCols).distinct
+    val leftCols = left.columns.toSeq
+    val clash = carry.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"right columns ${clash.mkString(", ")} clash with left columns — rename them first")
+    val matchedTime = s"asof_$timeCol"
+    require(!leftCols.contains(matchedTime) && !carry.contains(matchedTime),
+      s"$matchedTime is reserved for the matched right time")
+
+    val triples = right
+      .where(col(timeCol).isNotNull && col(keyCol).isNotNull && col(rightIdCol).isNotNull)
+      .select(col(keyCol), col(timeCol).cast("long"), col(rightIdCol).cast("long"))
+      .limit(maxRightRows + 1)
+      .collect()
+    require(triples.length <= maxRightRows,
+      s"right side exceeds maxRightRows=$maxRightRows — use asofJoin (union-and-carry) instead")
+    val rids = triples.map(_.getLong(2))
+    require(rids.distinct.length == rids.length,
+      s"$rightIdCol must be unique on the right side")
+    val table: Map[Any, (Array[Long], Array[Long])] = triples
+      .groupBy(r => AsofPickBroadcast.internalKey(r.get(0)))
+      .map { case (k, rows) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(identity)
+        k -> (sorted.map(_._1), sorted.map(_._2))
+      }
+    val pick = GraftSqlShim.column(AsofPickBroadcast(
+      GraftSqlShim.expression(col(keyCol)),
+      GraftSqlShim.expression(col(timeCol).cast("long")),
+      table, tolerance))
+
+    // two-step select: the pick is multi-referenced, so CollapseProject
+    // keeps one evaluation (and one copy of the broadcast table) per row
+    val picked = left
+      .select(leftCols.map(col) :+ pick.as("__pick"): _*)
+      .select(leftCols.map(col) ++ Seq(
+        col("__pick").getField("t").as(matchedTime),
+        col("__pick").getField("rid").as(rightIdCol)): _*)
+    if (rightValueCols.isEmpty) picked
+    else {
+      // value columns arrive via an explicit broadcast on the matched id:
+      // the left side still never shuffles
+      val payload = right.select((rightIdCol +: rightValueCols).distinct.map(col): _*)
+      picked.join(broadcast(payload), Seq(rightIdCol), "left")
+        .select((leftCols :+ matchedTime).map(col) ++ carry.map(col): _*)
+    }
+  }
+}
+
+/** Per-row backward as-of lookup against broadcast per-key sorted arrays:
+  * rightmost right time <= left time (ties pre-resolved to the greatest
+  * right id by the (time, id) sort), inclusive tolerance. NULL key or
+  * time → NULL (KernelCodegen is null-intolerant). Output struct
+  * (t: matched right time, rid: matched right id); the lookup table is
+  * deliberately excluded from toString so plans stay readable. */
+case class AsofPickBroadcast(
+    left: Expression,
+    right: Expression,
+    table: Map[Any, (Array[Long], Array[Long])],
+    tolerance: Long)
+  extends BinaryExpression with KernelCodegen {
+
+  override def prettyName: String = "asof_pick"
+  override def toString: String = s"asof_pick($left, $right)"
+  override def dataType: DataType = StructType(Seq(
+    StructField("t", LongType, nullable = false),
+    StructField("rid", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType | IntegerType | LongType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"asof_pick expects (string|int|long key, long time), got ${l.sql}, ${r.sql}")
+    }
+
+  override protected def kernelEval(args: Array[Any]): Any = {
+    val t = args(1).asInstanceOf[Long]
+    table.get(args(0)) match {
+      case None => null
+      case Some((times, ids)) =>
+        // rightmost index with times(i) <= t
+        var lo = 0
+        var hi = times.length - 1
+        var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        if (ans < 0) null
+        else if (tolerance >= 0 && t - times(ans) > tolerance) null
+        else InternalRow(times(ans), ids(ans))
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object AsofPickBroadcast {
+  /** External collected value → the internal form `eval` will see
+    * (strings arrive as UTF8String at runtime). */
+  def internalKey(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
   }
 }

@@ -150,6 +150,99 @@ object JsonStream {
     result
   }
 
+  /** Streaming point-in-time enrichment over a bounded replay: each
+    * streamed non-click event picks up the latest click at or before it
+    * (backward as-of) via the BROADCAST as-of shape — the sorted per-key
+    * lookup tables ride inside a stateless narrow expression, which is
+    * the only as-of encoding Structured Streaming can run (the
+    * union-and-carry window is unsupported on streams, and stream-stream
+    * joins cannot express "latest at or before" without unbounded
+    * state). The static right side is read in batch from the same
+    * input; AvailableNow + memory sink returns the final frame, which
+    * must equal the batch q_asof_join answer — the oracle asserts it
+    * value-for-value. */
+  def asofEnrichToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = java.nio.file.Paths.get(path)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-asof")
+        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+        dir.toString
+      } else path
+    def shape(df: DataFrame): DataFrame = df
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    val stream = shape(readEvents(spark, srcPath).drop("event_ts"))
+      .where(col("event_type") =!= "click")
+    val clicks = shape(spark.read.parquet(path))
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    val enriched = graft.operators.Joins.asofJoinBroadcast(
+      stream, clicks, keyCol = "user_id", timeCol = "ts_us",
+      rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+    val sink = s"graft_stream_asof_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = enriched.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    if (srcPath != path) {
+      val d = new java.io.File(srcPath)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    result
+  }
+
+  /** Streaming benchmark-decontamination screen: the Bloom filter built
+    * (in batch) over the benchmark grams is a plan literal, so the
+    * streamed corpus side is the same stateless fused
+    * bloom_count_contained scan as the batch path — no state, no
+    * watermark, no shuffle. Bounded replay == batch answer
+    * (q_bloom_decontam's oracle text verbatim). */
+  def bloomScreenToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = java.nio.file.Paths.get(path)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-bloom")
+        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+        dir.toString
+      } else path
+    val docs = spark.read.parquet(path)
+    val filter = graft.operators.Bloom.buildFilter(
+      docs.where(col("doc_id") % 20 === 0)
+        .select(explode(graft.operators.Dedup.shingles(col("text"), 4)).as("g")),
+      col("g"), numBits = 1L << 20, numHashes = 7)
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+      .where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"),
+        graft.operators.Bloom.bloomCountContained(
+          split(col("text"), " "), lit(filter), 4).as("n_flagged_grams"))
+      .select(col("doc_id"), col("n_flagged_grams"),
+        (col("n_flagged_grams") > 0).as("maybe_contaminated"))
+    val sink = s"graft_stream_bloom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    if (srcPath != path) {
+      val d = new java.io.File(srcPath)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    result
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)
 
   /** Custom streaming state: running per-user event count and k-sum via

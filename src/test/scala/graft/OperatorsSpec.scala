@@ -772,6 +772,41 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, null), (4L, null), (5L, null), (6L, null)), run(49L).mkString("\n"))
   }
 
+  test("asofJoinBroadcast agrees with union-and-carry on every edge case") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "k1", Some(100L)), (2L, "k1", Some(205L)), (3L, "k1", Some(50L)),
+      (4L, "k2", Some(100L)), (5L, "k3", Some(10L)), (6L, "k1", Some(150L)),
+      (7L, "k1", None: Option[Long]) // NULL left time → no match on both paths
+    ).toDF("event_id", "key", "t")
+    val right = Seq(
+      ("k1", Some(100L), 10L, "a"),
+      ("k1", Some(200L), 11L, "b"),
+      ("k1", Some(200L), 12L, "c"),
+      ("k2", Some(150L), 13L, "d"),
+      ("k1", None: Option[Long], 99L, "z") // NULL right time never matches
+    ).toDF("key", "t", "rid", "rv")
+    for (tol <- Seq(-1L, 0L, 5L, 49L, 1000L)) {
+      val window = Joins.asofJoin(left, right, "key", "t", "rid", Seq("rv"), tol)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      val bcast = Joins.asofJoinBroadcast(left, right, "key", "t", "rid", Seq("rv"), tol)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(bcast == window, s"tolerance=$tol:\n$bcast\nvs\n$window")
+    }
+    // right side over the cap is rejected up front, pointing at asofJoin
+    val tooBig = intercept[IllegalArgumentException] {
+      Joins.asofJoinBroadcast(left, right, "key", "t", "rid", maxRightRows = 2)
+    }
+    assert(tooBig.getMessage.contains("maxRightRows"))
+    // duplicate right ids are rejected (the tie rule needs unique ids)
+    val dup = intercept[IllegalArgumentException] {
+      Joins.asofJoinBroadcast(left,
+        right.withColumn("rid", lit(7L)), "key", "t", "rid")
+    }
+    assert(dup.getMessage.contains("unique"))
+  }
+
   test("bloom filter: build+membership end-to-end, no false negatives, SQL path") {
     val s = spark
     import s.implicits._

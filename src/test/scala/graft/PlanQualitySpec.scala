@@ -297,6 +297,20 @@ class PlanQualitySpec extends AnyFunSuite {
     val nearPlan = near.queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(nearPlan).size == 1, nearPlan)
     assert(!nearPlan.contains("Join"), nearPlan)
+    // broadcast variant: the left side never shuffles and never sorts —
+    // the ONLY exchange is the broadcast of the small payload side
+    val bcast = graft.operators.Joins.asofJoinBroadcast(
+      ev.where(col("event_type") =!= "click"),
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("value").as("click_value")),
+      keyCol = "user_id", timeCol = "ts_us",
+      rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+    val bPlan = bcast.queryExecution.executedPlan.toString
+    assert(!bPlan.contains("Exchange hashpartitioning"), bPlan)
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    assert(!bPlan.contains("SortMergeJoin"), bPlan)
+    assert(!bPlan.contains("Window"), bPlan)
   }
 
   test("bloom decontamination: corpus side is one narrow scan, zero Exchange/Join") {
