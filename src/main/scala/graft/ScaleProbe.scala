@@ -139,6 +139,28 @@ object ScaleProbe {
         .agg(count(col("asof_t")), sum(col("quote_id"))).collect()
     }
 
+    // broadcast as-of vs union-and-carry on the SAME input: a big left
+    // (10× docs) against a SMALL right (docs/10 quotes over 1000 keys).
+    // union-and-carry must exchange + sort left+right on the key; the
+    // broadcast path binary-searches per-key sorted arrays in a narrow
+    // expression — the left side never shuffles
+    val bigLeft = spark.range(nEv).select(
+      col("id").as("event_id"),
+      pmod(operators.mix64(col("id"), 31L), lit(1000)).as("user_id"),
+      operators.mix64(col("id"), 7L).as("t"))
+    val smallRight = spark.range(nDocs.toLong / 10).select(
+      pmod(operators.mix64(col("id"), 57L), lit(1000)).as("user_id"),
+      operators.mix64(col("id"), 11L).as("t"),
+      col("id").as("quote_id"))
+    time(s"asof union-and-carry, $nEv left x ${nDocs / 10} right") {
+      operators.Joins.asofJoin(bigLeft, smallRight, "user_id", "t", "quote_id")
+        .agg(count(col("asof_t")), sum(col("quote_id"))).collect()
+    }
+    time(s"asof broadcast, $nEv left x ${nDocs / 10} right (left never shuffles)") {
+      operators.Joins.asofJoinBroadcast(bigLeft, smallRight, "user_id", "t", "quote_id")
+        .agg(count(col("asof_t")), sum(col("quote_id"))).collect()
+    }
+
     time(s"char-n-gram langid, $nDocs docs") {
       docs.groupBy(operators.TextOps.langIdNgram(col("text")).as("l"))
         .count().collect()
