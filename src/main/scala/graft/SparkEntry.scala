@@ -571,6 +571,16 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // STATEFUL streaming as-of: the right side is part of the stream —
+    // per-key sorted click state in flatMapGroupsWithState, lefts binary-
+    // search the state built so far; bounded replay == batch (shared
+    // oracle text)
+    "q_stream_asof_state" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.asofStatefulToBatch(s, s"$dir/events.parquet")
+        .orderBy(col("event_id"))
+    }),
+
     // streaming decontamination screen: the batch-built Bloom filter is
     // a plan literal, so the streamed corpus runs the same stateless
     // fused kernel; bounded replay == batch (shared oracle text)
@@ -1097,6 +1107,7 @@ object SparkEntry {
     base ++ Map(
       "q_asof_broadcast" -> base("q_asof_join"),
       "q_stream_asof" -> base("q_asof_join"),
+      "q_stream_asof_state" -> base("q_asof_join"),
       "q_stream_bloom" -> base("q_bloom_decontam"))
   }
 

@@ -243,6 +243,106 @@ object JsonStream {
     result
   }
 
+  case class AsofTagged(
+      event_id: Long, ts_us: Long, user_id: Long, event_type: String,
+      value: Double, is_right: Boolean)
+  case class AsofMatch(
+      event_id: Long, ts_us: Long, user_id: Long, event_type: String,
+      value: Double, asof_ts_us: Option[Long], click_id: Option[Long],
+      click_value: Option[Double])
+  /** Per-key sorted right-side buffer: (time, id, value) ascending by
+    * (time, id), so the rightmost entry with time <= t IS the backward
+    * match with the greatest-id tie rule. */
+  case class AsofBuffer(rows: List[(Long, Long, Double)])
+
+  /** STATEFUL streaming backward as-of: unlike the broadcast shape (whose
+    * right side is fixed up front), here the right side is itself part of
+    * the stream — each key's right rows accumulate in
+    * flatMapGroupsWithState state as sorted arrays, and each left row
+    * binary-searches the state built so far. Within a micro-batch, right
+    * rows are absorbed BEFORE any left row matches (batch iterators have
+    * no time order), so for input where a left's right-matches never
+    * arrive in a later batch than the left itself — trivially true for
+    * the bounded single-file replay the verify query runs — the answer
+    * equals the batch backward as-of, value-for-value (q_asof_join's
+    * oracle). In production the state is bounded by pruning entries older
+    * than (max left time − tolerance) per key once a tolerance is set;
+    * unbounded tolerance keeps the full right history (the price of
+    * point-in-time correctness over an unbounded stream). */
+  def asofStateful(
+      spark: SparkSession,
+      events: DataFrame,
+      tolerance: Long = -1L): Dataset[AsofMatch] = {
+    import spark.implicits._
+    val tagged = events
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"),
+        (col("event_type") === "click").as("is_right"))
+      .as[AsofTagged]
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[AsofTagged], state: GroupState[AsofBuffer]) => {
+          val batch = rows.toVector
+          val (rights, lefts) = batch.partition(_.is_right)
+          // absorb this batch's rights first, keep (t, id) ascending
+          var buf = (state.getOption.map(_.rows).getOrElse(Nil) ++
+            rights.map(r => (r.ts_us, r.event_id, r.value))).sorted.toArray
+          // bound the state once a tolerance exists: entries older than
+          // every future left's reach (lefts at or after this batch's max)
+          if (tolerance >= 0 && lefts.nonEmpty) {
+            val horizon = lefts.map(_.ts_us).max - tolerance
+            val keep = buf.dropWhile(_._1 < horizon)
+            state.update(AsofBuffer(keep.toList))
+          } else {
+            state.update(AsofBuffer(buf.toList))
+          }
+          lefts.iterator.map { l =>
+            // rightmost buffer index with time <= l.ts_us
+            var lo = 0; var hi = buf.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (buf(mid)._1 <= l.ts_us) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (ans < 0 || (tolerance >= 0 && l.ts_us - buf(ans)._1 > tolerance))
+              AsofMatch(l.event_id, l.ts_us, l.user_id, l.event_type, l.value,
+                None, None, None)
+            else
+              AsofMatch(l.event_id, l.ts_us, l.user_id, l.event_type, l.value,
+                Some(buf(ans)._1), Some(buf(ans)._2), Some(buf(ans)._3))
+          }
+        })
+  }
+
+  /** Run the stateful streaming as-of over a bounded replay and return
+    * the final frame (the q_stream_asof_state verify surface — must
+    * equal the batch q_asof_join answer). */
+  def asofStatefulToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = java.nio.file.Paths.get(path)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-asofstate")
+        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+        dir.toString
+      } else path
+    val out = asofStateful(spark, readEvents(spark, srcPath).drop("event_ts"))
+    val sink = s"graft_stream_asofstate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.toDF().writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    if (srcPath != path) {
+      val d = new java.io.File(srcPath)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    result
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)
 
   /** Custom streaming state: running per-user event count and k-sum via

@@ -107,4 +107,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed $streamed vs batch $batch")
     assert(batch > 0)
   }
+
+  test("stateful streaming as-of: rights from an EARLIER batch match later lefts") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    // (event_id, ts nanos, user_id, event_type, value)
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sink = "asof_state_test"
+    val q = JsonStream.asofStateful(s, events).toDF().writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // batch 1: clicks only — nothing emitted, state accumulates
+      ms.addData((10L, 100000L, 1L, "click", 1.5), (11L, 200000L, 1L, "click", 2.5))
+      q.processAllAvailable()
+      assert(s.table(sink).count() == 0, "right-only batch must emit nothing")
+      // batch 2: lefts — must match against batch-1 state
+      ms.addData((1L, 150000L, 1L, "view", 0.0), (2L, 250000L, 1L, "view", 0.0),
+        (3L, 50000L, 1L, "view", 0.0))
+      q.processAllAvailable()
+      val got = s.table(sink).orderBy("event_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(5)) null else (r.getLong(5), r.getLong(6), r.getDouble(7)))).toSeq
+      assert(got == Seq(
+        (1L, (100L, 10L, 1.5)),  // latest click at/before 150 µs is t=100
+        (2L, (200L, 11L, 2.5)),  // latest at/before 250 is t=200
+        (3L, null)),             // nothing at/before 50
+        got.mkString("\n"))
+    } finally q.stop()
+  }
 }
