@@ -590,6 +590,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // range (point-in-interval) join: every order pairs with every
+    // priority band whose [min,max] totalprice interval contains it —
+    // genuinely many-to-many (bands overlap); binned to a hash equi-join,
+    // never a cartesian
+    "q_range_join" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val bands = o.groupBy(col("o_orderpriority").as("band"))
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      operators.Joins.rangeJoin(
+          o.select(col("o_orderkey"), col("o_totalprice")),
+          bands, pointCol = "o_totalprice", loCol = "lo", hiCol = "hi",
+          binWidth = 10000.0)
+        .orderBy(col("o_orderkey"), col("band"))
+    }),
+
     // deterministic shard assignment + within-shard order key (the
     // reproducible global shuffle; mix64 replicated in the oracle)
     "q_shards" -> ((s, dir) =>
@@ -1476,6 +1491,16 @@ object SparkEntry {
         |  CASE WHEN useb THEN bid ELSE fid END AS click_id,
         |  CASE WHEN useb THEN bv ELSE fv END AS click_value
         | FROM j ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    // range join: plain BETWEEN theta-join — DuckDB handles the small
+    // scale directly; the Spark side must produce the identical pair set
+    "q_range_join" ->
+      """WITH bands AS (SELECT o_orderpriority AS band,
+        |   min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |   FROM orders GROUP BY 1)
+        | SELECT o.o_orderkey, o.o_totalprice, b.band, b.lo, b.hi
+        | FROM orders o JOIN bands b ON o.o_totalprice BETWEEN b.lo AND b.hi
+        | ORDER BY o_orderkey, band""".stripMargin.replaceAll("\n", " "),
 
     // shard assignment: mix64(id+salt) replica, signed pmod + order key
     "q_shards" ->

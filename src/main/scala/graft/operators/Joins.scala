@@ -158,6 +158,51 @@ object Joins {
     onlyLeft.select(leftCols.map(col) ++ outFields: _*)
   }
 
+  /** Range (point-in-interval) join: each left row pairs with every right
+    * row whose `[loCol, hiCol]` interval contains `left.pointCol`
+    * (boundaries inclusive), optionally also matching on `keyCols`.
+    *
+    * The naive encoding is a non-equi theta-join — Spark plans it as
+    * BroadcastNestedLoopJoin or a cartesian product, O(n_l · n_r): a
+    * blow-up at scale. This implementation bins the number line at
+    * `binWidth`: each right interval explodes to the bins it overlaps,
+    * each left point lands in exactly ONE bin, and the match becomes a
+    * plain hash equi-join on (keyCols, bin) + a residual between-filter.
+    * Every qualifying (left, right) pair meets in exactly the left
+    * point's bin, so no dedup is needed. Cost: right side inflates by
+    * (span/binWidth + 1) per interval — pick binWidth near the TYPICAL
+    * interval length so the inflation is a small constant; the join
+    * itself is shuffle-hash/SMJ on the bin key, AQE-skew-splittable,
+    * never cartesian (PlanQualitySpec pins it).
+    *
+    * NULL point or NULL/inverted interval never matches. Right columns
+    * must not clash with left columns (keyCols excepted). */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double,
+      keyCols: Seq[String] = Seq.empty): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val clash = right.columns.filter(c => left.columns.contains(c) && !keyCols.contains(c))
+    require(clash.isEmpty,
+      s"right columns ${clash.mkString(", ")} clash with left columns — rename them first")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "__bin is reserved")
+    def binOf(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val rBinned = right
+      .where(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
+      .withColumn("__bin", explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+    val lBinned = left
+      .where(col(pointCol).isNotNull)
+      .withColumn("__bin", binOf(col(pointCol)))
+    lBinned.join(rBinned, (keyCols :+ "__bin").toSeq)
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** Broadcast backward as-of join for a SMALL right side: the right
     * (key, time, id) triples collapse into per-key sorted arrays carried
     * inside one narrow expression (an implicit broadcast, like the ANN

@@ -807,6 +807,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("unique"))
   }
 
+  test("rangeJoin: inclusive boundaries, bin edges, keys, degenerate intervals") {
+    val s = spark
+    import s.implicits._
+    val points = Seq(
+      (1L, "a", 10.0),  // on lo boundary of [10,20] AND a bin edge
+      (2L, "a", 20.0),  // on hi boundary
+      (3L, "a", 9.999), // just outside
+      (4L, "a", 15.0),  // interior; also inside the overlapping [12,30]
+      (5L, "b", 15.0),  // same value, other key — must NOT match key 'a' ranges
+      (6L, "a", -5.0),  // negative point inside [-10,-1] (floor-negative bins)
+      (7L, "a", 35.0)   // matches nothing
+    ).toDF("id", "k", "p")
+    val ranges = Seq(
+      ("a", 10.0, 20.0, "r1"),
+      ("a", 12.0, 30.0, "r2"),
+      ("a", -10.0, -1.0, "rneg"),
+      ("b", 14.0, 16.0, "rb"),
+      ("a", 50.0, 40.0, "rinv"), // inverted — never matches
+      ("a", Double.NaN, 60.0, "rnan") // NaN lo: lo<=hi false → dropped
+    ).toDF("k", "lo", "hi", "name")
+    val got = Joins.rangeJoin(points, ranges, "p", "lo", "hi",
+        binWidth = 10.0, keyCols = Seq("k"))
+      .select(col("id"), col("name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "r1"), (2L, "r1"), (2L, "r2"), (4L, "r1"), (4L, "r2"),
+      (5L, "rb"), (6L, "rneg")), got)
+    // unkeyed: the same value matches ranges regardless of key column
+    val unkeyed = Joins.rangeJoin(
+        points.select(col("id"), col("p")),
+        ranges.select(col("lo"), col("hi"), col("name")),
+        "p", "lo", "hi", binWidth = 10.0)
+      .select(col("id"), col("name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(unkeyed.contains((5L, "r1")) && unkeyed.contains((4L, "rb")), unkeyed)
+  }
+
   test("bloom filter: build+membership end-to-end, no false negatives, SQL path") {
     val s = spark
     import s.implicits._

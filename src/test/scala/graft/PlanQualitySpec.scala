@@ -313,6 +313,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!bPlan.contains("Window"), bPlan)
   }
 
+  test("range join plans as an equi-join on the bin key — never cartesian") {
+    val df = SparkEntry.queries("q_range_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(df.count() > 0)
+  }
+
   test("bloom decontamination: corpus side is one narrow scan, zero Exchange/Join") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
