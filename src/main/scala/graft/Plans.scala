@@ -66,7 +66,17 @@ object Plans {
       ("backward as-of join: union-and-carry — tag both sides, ONE " +
         "Exchange hash-partitioned on the key, one sort, a running " +
         "last(ignoreNulls) window; no Join operator, no pair explosion " +
-        "(the final sort is verification plumbing)"))
+        "(the final sort is verification plumbing)"),
+    "q_asof_broadcast" ->
+      ("broadcast as-of join: per-key sorted right arrays inside one " +
+        "narrow asof_pick expression — the left side has NO shuffle " +
+        "Exchange and no sort; the only join is the broadcast hash join " +
+        "fetching the matched value columns"),
+    "q_range_join" ->
+      ("range (point-in-interval) join: right intervals explode to the " +
+        "bins they overlap, the match is a hash equi-join on the bin " +
+        "key + a residual between filter — no CartesianProduct, no " +
+        "BroadcastNestedLoopJoin anywhere"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -161,6 +161,25 @@ object ScaleProbe {
         .agg(count(col("asof_t")), sum(col("quote_id"))).collect()
     }
 
+    // range join: binned equi-join vs the naive theta-join Spark would
+    // otherwise plan (BroadcastNestedLoopJoin — O(points × ranges), so
+    // the naive side gets 100× fewer ranges and still loses)
+    val nRange = nDocs // 100k ranges at default size
+    val rangePts = spark.range(nEv).select(col("id").as("pt_id"),
+      pmod(operators.mix64(col("id"), 3L), lit(1000000)).cast("double").as("p"))
+    val ranges = spark.range(nRange).select(col("id").as("range_id"),
+      pmod(operators.mix64(col("id"), 5L), lit(1000000)).cast("double").as("lo"))
+      .withColumn("hi", col("lo") + lit(50.0) +
+        pmod(operators.mix64(col("range_id"), 7L), lit(100)).cast("double"))
+    time(s"range join binned, $nEv points x $nRange ranges (width 50-150, bin 100)") {
+      operators.Joins.rangeJoin(rangePts, ranges, "p", "lo", "hi", binWidth = 100.0)
+        .count()
+    }
+    time(s"range join naive theta, $nEv points x ${nRange / 100} ranges (nested loop)") {
+      rangePts.join(ranges.limit(nRange / 100),
+        col("p") >= col("lo") && col("p") <= col("hi")).count()
+    }
+
     time(s"char-n-gram langid, $nDocs docs") {
       docs.groupBy(operators.TextOps.langIdNgram(col("text")).as("l"))
         .count().collect()
