@@ -605,6 +605,21 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("band"))
     }),
 
+    // interval-overlap join: priority price bands × status price bands —
+    // which (priority, status) segments of the price spectrum intersect;
+    // binned meet-in-one-bin dedup, never a cartesian
+    "q_interval_join" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val pr = o.groupBy(col("o_orderpriority").as("band"))
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      val st = o.groupBy(col("o_orderstatus").as("status"))
+        .agg(min(col("o_totalprice")).as("lo2"), max(col("o_totalprice")).as("hi2"))
+      operators.Joins.intervalJoin(pr, st,
+          lLoCol = "lo", lHiCol = "hi", rLoCol = "lo2", rHiCol = "hi2",
+          binWidth = 50000.0)
+        .orderBy(col("band"), col("status"))
+    }),
+
     // deterministic shard assignment + within-shard order key (the
     // reproducible global shuffle; mix64 replicated in the oracle)
     "q_shards" -> ((s, dir) =>
@@ -1501,6 +1516,18 @@ object SparkEntry {
         | SELECT o.o_orderkey, o.o_totalprice, b.band, b.lo, b.hi
         | FROM orders o JOIN bands b ON o.o_totalprice BETWEEN b.lo AND b.hi
         | ORDER BY o_orderkey, band""".stripMargin.replaceAll("\n", " "),
+
+    // interval-overlap join: plain overlap theta-join in DuckDB
+    "q_interval_join" ->
+      """WITH pr AS (SELECT o_orderpriority AS band,
+        |   min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |   FROM orders GROUP BY 1),
+        | st AS (SELECT o_orderstatus AS status,
+        |   min(o_totalprice) AS lo2, max(o_totalprice) AS hi2
+        |   FROM orders GROUP BY 1)
+        | SELECT pr.band, pr.lo, pr.hi, st.status, st.lo2, st.hi2
+        | FROM pr JOIN st ON pr.lo <= st.hi2 AND st.lo2 <= pr.hi
+        | ORDER BY band, status""".stripMargin.replaceAll("\n", " "),
 
     // shard assignment: mix64(id+salt) replica, signed pmod + order key
     "q_shards" ->

@@ -203,6 +203,43 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval-overlap join (range × range): each left interval
+    * `[lLoCol, lHiCol]` pairs with every right interval `[rLoCol, rHiCol]`
+    * it overlaps — `lLo <= rHi AND rLo <= lHi`, boundaries inclusive —
+    * optionally also matching on `keyCols`. Same binning frame as
+    * [[rangeJoin]]: both sides explode to the bins they cover and meet in
+    * a hash equi-join on (keyCols, bin). An overlapping pair shares
+    * SEVERAL bins, so it is kept only where the overlap STARTS — the bin
+    * of `greatest(lLo, rLo)`, which both sides necessarily cover — making
+    * the output exactly one row per qualifying pair with no distinct.
+    * Inflation is (span/binWidth + 1) per row on BOTH sides; never a
+    * cartesian. NULL or inverted intervals never match. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lLoCol: String,
+      lHiCol: String,
+      rLoCol: String,
+      rHiCol: String,
+      binWidth: Double,
+      keyCols: Seq[String] = Seq.empty): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val clash = right.columns.filter(c => left.columns.contains(c) && !keyCols.contains(c))
+    require(clash.isEmpty,
+      s"right columns ${clash.mkString(", ")} clash with left columns — rename them first")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "__bin is reserved")
+    def binOf(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .where(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .withColumn("__bin", explode(sequence(binOf(col(lo)), binOf(col(hi)))))
+    binned(left, lLoCol, lHiCol)
+      .join(binned(right, rLoCol, rHiCol), (keyCols :+ "__bin").toSeq)
+      .where(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
+      .where(col("__bin") === binOf(greatest(col(lLoCol), col(rLoCol))))
+      .drop("__bin")
+  }
+
   /** Broadcast backward as-of join for a SMALL right side: the right
     * (key, time, id) triples collapse into per-key sorted arrays carried
     * inside one narrow expression (an implicit broadcast, like the ANN

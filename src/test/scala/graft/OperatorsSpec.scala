@@ -844,6 +844,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(unkeyed.contains((5L, "r1")) && unkeyed.contains((4L, "rb")), unkeyed)
   }
 
+  test("intervalJoin: one row per overlapping pair even across many shared bins") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      ("L1", 5.0, 35.0),   // spans bins 0-3
+      ("L2", 100.0, 105.0),
+      ("L3", 0.0, 2.0)
+    ).toDF("lname", "lo", "hi")
+    val right = Seq(
+      ("R1", 15.0, 28.0), // overlaps L1 with TWO shared bins → exactly one row
+      ("R2", 34.0, 50.0), // overlaps L1 only at [34,35]
+      ("R3", 36.0, 40.0), // shares bin 3 with L1 but does NOT overlap
+      ("R4", 2.0, 3.0),   // overlaps L3 at [2,2]; not L1
+      ("R5", 35.0, 40.0)  // touches L1 exactly at 35 (inclusive)
+    ).toDF("rname", "lo2", "hi2")
+    val got = Joins.intervalJoin(left, right, "lo", "hi", "lo2", "hi2", binWidth = 10.0)
+      .select(col("lname"), col("rname")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.length == got.distinct.length, s"duplicate pairs: ${got.toSeq}")
+    assert(got.toSet == Set(
+      ("L1", "R1"), ("L1", "R2"), ("L1", "R5"), ("L3", "R4")), got.toSeq)
+    // equivalence sweep vs the naive overlap theta-join on denser data
+    val la = (0 until 60).map(i => (i.toLong, (i * 7 % 90).toDouble, (i * 7 % 90 + i % 13).toDouble))
+      .toDF("lid", "lo", "hi")
+    val ra = (0 until 60).map(i => (i.toLong, (i * 11 % 95).toDouble, (i * 11 % 95 + i % 9).toDouble))
+      .toDF("rid", "lo2", "hi2")
+    val binned = Joins.intervalJoin(la, ra, "lo", "hi", "lo2", "hi2", binWidth = 8.0)
+      .select(col("lid"), col("rid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = la.join(ra, col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+      .select(col("lid"), col("rid")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.length == binned.distinct.length)
+    assert(binned.toSet == naive.toSet,
+      s"missing=${(naive.toSet -- binned.toSet).take(5)} extra=${(binned.toSet -- naive.toSet).take(5)}")
+  }
+
   test("bloom filter: build+membership end-to-end, no false negatives, SQL path") {
     val s = spark
     import s.implicits._

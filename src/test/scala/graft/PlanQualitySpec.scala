@@ -319,6 +319,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(df.count() > 0)
+    val ij = SparkEntry.queries("q_interval_join")(spark, sfDir)
+    val ijPlan = ij.queryExecution.executedPlan.toString
+    assert(!ijPlan.contains("CartesianProduct"), ijPlan)
+    assert(!ijPlan.contains("BroadcastNestedLoopJoin"), ijPlan)
+    assert(ij.count() > 0)
   }
 
   test("bloom decontamination: corpus side is one narrow scan, zero Exchange/Join") {
