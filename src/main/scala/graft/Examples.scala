@@ -97,6 +97,36 @@ object Examples {
     Curation.assignShards(docs.select(col("doc_id")), "doc_id", numShards = 4)
       .groupBy("shard").count().orderBy("shard").show()
 
+    println("== 9. Temporal joins: as-of (backward/forward/nearest/broadcast), range, interval ==")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    val lefts = ev.where(col("event_type") =!= "click")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    println("-- backward as-of: latest click at or before each event --")
+    Joins.asofJoin(lefts, clicks, "user_id", "ts_us", "click_id", Seq("click_value")).show(3)
+    println("-- nearest as-of within 1s tolerance --")
+    Joins.asofJoinDirected(lefts, clicks, "user_id", "ts_us", "click_id",
+      Seq("click_value"), tolerance = 1000000L, direction = "nearest").show(3)
+    println("-- broadcast as-of: the event side never shuffles --")
+    Joins.asofJoinBroadcast(lefts, clicks, "user_id", "ts_us", "click_id",
+      Seq("click_value")).show(3)
+    println("-- binned range join: orders into overlapping price bands --")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val bands = orders.groupBy(col("o_orderpriority").as("band"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    Joins.rangeJoin(orders.select(col("o_orderkey"), col("o_totalprice")),
+      bands, "o_totalprice", "lo", "hi", binWidth = 10000.0).show(3)
+
+    println("== 10. Bloom decontamination screen (no shuffle, no join) ==")
+    Bloom.decontaminate(
+        docs.where(col("doc_id") % 20 =!= 0), docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 4)
+      .where(col("maybe_contaminated")).show(3)
+
     spark.stop()
   }
 }
