@@ -77,7 +77,8 @@ object SparkEntry {
     "q_ann_topk", "q_ann_lsh",
     "q_text_stats", "q_langid", "q_fingerprint", "q_simhash",
     "q_mm_meta", "q_curation",
-    "q_bloom_decontam", "q_asof_join")
+    "q_bloom_decontam", "q_asof_join",
+    "q_asof_broadcast", "q_range_join", "q_interval_join")
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
