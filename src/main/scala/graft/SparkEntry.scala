@@ -621,6 +621,14 @@ object SparkEntry {
         .orderBy(col("band"), col("status"))
     }),
 
+    // overlapping token-window chunking (context-length prep): windows
+    // start every stride=16 tokens, 24-token windows, last may be short;
+    // pure integer chunk-count arithmetic so the oracle replays exactly
+    "q_chunk_docs" -> ((s, dir) =>
+      operators.TextOps.chunkDocs(table(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 24, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // deterministic shard assignment + within-shard order key (the
     // reproducible global shuffle; mix64 replicated in the oracle)
     "q_shards" -> ((s, dir) =>
@@ -1529,6 +1537,18 @@ object SparkEntry {
         | SELECT pr.band, pr.lo, pr.hi, st.status, st.lo2, st.hi2
         | FROM pr JOIN st ON pr.lo <= st.hi2 AND st.lo2 <= pr.hi
         | ORDER BY band, status""".stripMargin.replaceAll("\n", " "),
+
+    // chunking: integer chunk count + 1-based inclusive list slices
+    // (tk[a : a+len-1] == Spark slice(toks, a, len))
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        | c AS (SELECT doc_id, tk, len(tk) AS n,
+        |   greatest(1, (len(tk) - 8 + 15) // 16) AS nc FROM t),
+        | e AS (SELECT doc_id, tk, n, unnest(range(nc)) AS ci FROM c)
+        | SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  array_to_string(tk[ci*16+1 : ci*16+24], ' ') AS chunk_text,
+        |  CAST(least(24, n - ci*16) AS BIGINT) AS chunk_tokens
+        | FROM e ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " "),
 
     // shard assignment: mix64(id+salt) replica, signed pmod + order key
     "q_shards" ->

@@ -175,6 +175,41 @@ object TextOps {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
   }
 
+  /** Split documents into overlapping token-window chunks — the standard
+    * pretraining/RAG prep step (context-length windows with an overlap so
+    * no boundary information is lost). Windows start every
+    * `chunkSize - overlap` tokens; the last window may be shorter; a doc
+    * shorter than one chunk yields itself as its only chunk. The chunk
+    * count is pure integer arithmetic
+    * (`max(1, (n_tokens - overlap + stride - 1) div stride)`), so the
+    * DuckDB oracle replays the exact chunk set. Narrow explode: output
+    * size is corpus size × (1 + overlap fraction), no shuffle.
+    * Output: (id, chunk_idx, chunk_text, chunk_tokens). */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = greatest(lit(1L),
+      ((n - lit(overlap) + lit(stride) - lit(1)) / lit(stride)).cast("long"))
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__nc") - lit(1L))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize.toLong), col("__n") - col("chunk_idx") * stride)
+          .cast("long").as("chunk_tokens"))
+  }
+
   /** One-row corpus summary: counts, exact token-count percentiles
     * (linear interpolation — Spark `percentile`, not the approximate
     * sketch, so the numbers are oracle-comparable), and mean length.

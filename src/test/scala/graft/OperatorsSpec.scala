@@ -879,6 +879,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"missing=${(naive.toSet -- binned.toSet).take(5)} extra=${(binned.toSet -- naive.toSet).take(5)}")
   }
 
+  test("chunkDocs: full coverage with overlap, short tail, short-doc identity") {
+    val s = spark
+    import s.implicits._
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val eleven = (1 to 11).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, ten), (2L, eleven), (3L, "a b"), (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      // stride 3: [1-4], [4-7], [7-10] — covers all 10, boundaries shared
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      // 11 tokens → 4th short tail chunk of 2
+      (2L, 0L, "t1 t2 t3 t4", 4L),
+      (2L, 1L, "t4 t5 t6 t7", 4L),
+      (2L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 3L, "t10 t11", 2L),
+      // shorter than one chunk → the doc itself
+      (3L, 0L, "a b", 2L),
+      (4L, 0L, "", 1L)), got.mkString("\n")) // split("") = [""] — one empty token
+    // invalid configs rejected
+    intercept[IllegalArgumentException](TextOps.chunkDocs(df, "doc_id", "text", 4, 4))
+    intercept[IllegalArgumentException](TextOps.chunkDocs(df, "doc_id", "text", 0))
+  }
+
   test("bloom filter: build+membership end-to-end, no false negatives, SQL path") {
     val s = spark
     import s.implicits._
