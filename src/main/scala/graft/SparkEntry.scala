@@ -621,6 +621,16 @@ object SparkEntry {
         .orderBy(col("band"), col("status"))
     }),
 
+    // gap-based sessionization: a new session per user whenever the gap
+    // since the previous event exceeds 1 hour; event_id breaks ties
+    "q_sessionize" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      operators.Joins.sessionize(ev, "user_id", "ts_us", "event_id",
+          gap = 3600000000L)
+        .orderBy(col("event_id"))
+    }),
+
     // overlapping token-window chunking (context-length prep): windows
     // start every stride=16 tokens, 24-token windows, last may be short;
     // pure integer chunk-count arithmetic so the oracle replays exactly
@@ -1537,6 +1547,19 @@ object SparkEntry {
         | SELECT pr.band, pr.lo, pr.hi, st.status, st.lo2, st.hi2
         | FROM pr JOIN st ON pr.lo <= st.hi2 AND st.lo2 <= pr.hi
         | ORDER BY band, status""".stripMargin.replaceAll("\n", " "),
+
+    // sessionization: identical window arithmetic in DuckDB
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id
+        |   FROM events),
+        | l AS (SELECT *, lag(ts_us) OVER
+        |   (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        | f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 3600000000
+        |   THEN 1 ELSE 0 END AS brk FROM l)
+        | SELECT event_id, ts_us, user_id,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        | FROM f ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
 
     // chunking: integer chunk count + 1-based inclusive list slices
     // (tk[a : a+len-1] == Spark slice(toks, a, len))

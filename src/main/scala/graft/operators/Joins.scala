@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * Temporal join operators. The headline is the as-of join — "for each
+ * Temporal operators: the as-of join family, range/interval joins, and
+ * gap-based sessionization. The headline is the as-of join — "for each
  * left row, the single right row nearest it in time, per key" — the
  * point-in-time lookup every feature/label pipeline needs (join each
  * purchase to the last click before it, each prediction to the freshest
@@ -156,6 +157,37 @@ object Joins {
     }
     val outFields = (matchedTime +: carry).map(c => chosen.getField(c).as(c))
     onlyLeft.select(leftCols.map(col) ++ outFields: _*)
+  }
+
+  /** Gap-based sessionization: assign each row a per-key session index —
+    * a new session starts whenever the time since the key's previous row
+    * exceeds `gap` (strictly greater; equal-to-gap continues the
+    * session). The classic event-log shape (user sessions, device
+    * activity bursts, trade bursts). `idCol` breaks equal-timestamp ties
+    * so the assignment is deterministic at any parallelism. One Exchange
+    * on the key + one in-partition sort — the same price as any grouped
+    * window; AQE handles key skew by splitting reducers, and the output
+    * adds one long column. NULL times sort first and join the first
+    * session of their key. Output: input columns + `session_idx`
+    * (0-based per key). */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      idCol: String,
+      gap: Long): DataFrame = {
+    require(gap >= 0, s"gap must be >= 0, got $gap")
+    require(!df.columns.contains("session_idx"), "session_idx is reserved")
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc_nulls_first, col(idCol).asc)
+    val prev = lag(col(timeCol), 1).over(order)
+    val isBreak = when(prev.isNull || col(timeCol) - prev > lit(gap), 1L).otherwise(0L)
+    val running = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).asc_nulls_first, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__brk", isBreak)
+      .withColumn("session_idx", sum(col("__brk")).over(running) - lit(1L))
+      .drop("__brk")
   }
 
   /** Range (point-in-interval) join: each left row pairs with every right

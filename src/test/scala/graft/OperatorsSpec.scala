@@ -879,6 +879,24 @@ class OperatorsSpec extends AnyFunSuite {
       s"missing=${(naive.toSet -- binned.toSet).take(5)} extra=${(binned.toSet -- naive.toSet).take(5)}")
   }
 
+  test("sessionize: gap breaks, equal-to-gap continues, per-key indices, tie order") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, "u1", 100L),  // session 0
+      (2L, "u1", 150L),  // gap 50 <= 50 → continues session 0
+      (3L, "u1", 201L),  // gap 51 > 50 → session 1
+      (4L, "u1", 201L),  // equal ts, higher id → same instant, session 1
+      (5L, "u2", 100L),  // separate key → its own session 0
+      (6L, "u2", 1000L)  // gap 900 → session 1
+    ).toDF("event_id", "key", "t")
+    val got = Joins.sessionize(ev, "key", "t", "event_id", gap = 50L)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 0L), (6L, 1L)), got)
+  }
+
   test("chunkDocs: full coverage with overlap, short tail, short-doc identity") {
     val s = spark
     import s.implicits._
