@@ -309,9 +309,24 @@ object Joins {
     val matchedTime = s"asof_$timeCol"
     require(!leftCols.contains(matchedTime) && !carry.contains(matchedTime),
       s"$matchedTime is reserved for the matched right time")
+    // asofJoin's semantics never truncate times — fail loudly on a
+    // double/decimal/timestamp time or id instead of silently casting
+    def requireIntegral(df: DataFrame, c: String, side: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+        s"asofJoinBroadcast needs an integral $side.$c, got ${dt.simpleString}")
+    }
+    requireIntegral(left, timeCol, "left")
+    requireIntegral(right, timeCol, "right")
+    requireIntegral(right, rightIdCol, "right")
 
-    val triples = right
+    // the SAME filtered right feeds both the triples and the value
+    // payload, so a rightIdCol duplicated only by an invalid (NULL
+    // key/time/id) row can neither dodge the uniqueness check nor
+    // fan out matched left rows in the payload join below
+    val rightValid = right
       .where(col(timeCol).isNotNull && col(keyCol).isNotNull && col(rightIdCol).isNotNull)
+    val triples = rightValid
       .select(col(keyCol), col(timeCol).cast("long"), col(rightIdCol).cast("long"))
       .limit(maxRightRows + 1)
       .collect()
@@ -342,7 +357,7 @@ object Joins {
     else {
       // value columns arrive via an explicit broadcast on the matched id:
       // the left side still never shuffles
-      val payload = right.select((rightIdCol +: rightValueCols).distinct.map(col): _*)
+      val payload = rightValid.select((rightIdCol +: rightValueCols).distinct.map(col): _*)
       picked.join(broadcast(payload), Seq(rightIdCol), "left")
         .select((leftCols :+ matchedTime).map(col) ++ carry.map(col): _*)
     }

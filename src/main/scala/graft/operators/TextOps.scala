@@ -184,6 +184,8 @@ object TextOps {
     * (`max(1, (n_tokens - overlap + stride - 1) div stride)`), so the
     * DuckDB oracle replays the exact chunk set. Narrow explode: output
     * size is corpus size × (1 + overlap fraction), no shuffle.
+    * NULL-text docs yield no chunks (matching the oracle, whose
+    * range(NULL) unnests to zero rows — there is nothing to chunk).
     * Output: (id, chunk_idx, chunk_text, chunk_tokens). */
   def chunkDocs(
       df: DataFrame,
@@ -199,7 +201,8 @@ object TextOps {
     val n = size(toks)
     val nChunks = greatest(lit(1L),
       ((n - lit(overlap) + lit(stride) - lit(1)) / lit(stride)).cast("long"))
-    df.select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__nc"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__nc"))
       .select(col(idCol), col("__toks"), col("__n"),
         explode(sequence(lit(0L), col("__nc") - lit(1L))).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),

@@ -252,8 +252,12 @@ object JsonStream {
       click_value: Option[Double])
   /** Per-key sorted right-side buffer: (time, id, value) ascending by
     * (time, id), so the rightmost entry with time <= t IS the backward
-    * match with the greatest-id tie rule. */
-  case class AsofBuffer(rows: List[(Long, Long, Double)])
+    * match with the greatest-id tie rule. `maxLeftTs` is the MONOTONIC
+    * maximum left event time seen across every micro-batch so far
+    * (Long.MinValue before the first left) — the pruning horizon is
+    * computed from it, never from a single batch's lefts, so an
+    * out-of-order batch can never regress the horizon. */
+  case class AsofBuffer(rows: List[(Long, Long, Double)], maxLeftTs: Long)
 
   /** STATEFUL streaming backward as-of: unlike the broadcast shape (whose
     * right side is fixed up front), here the right side is itself part of
@@ -266,9 +270,16 @@ object JsonStream {
     * the bounded single-file replay the verify query runs — the answer
     * equals the batch backward as-of, value-for-value (q_asof_join's
     * oracle). In production the state is bounded by pruning entries older
-    * than (max left time − tolerance) per key once a tolerance is set;
-    * unbounded tolerance keeps the full right history (the price of
-    * point-in-time correctness over an unbounded stream). */
+    * than (max left time − tolerance) per key once a tolerance is set,
+    * where "max left time" is tracked MONOTONICALLY across micro-batches
+    * in the state itself — nothing (no watermark) forces lefts to arrive
+    * in event-time order, so the horizon must never be derived from one
+    * batch alone. A left that arrives BELOW an already-applied horizon
+    * (out-of-order beyond tolerance) may have had its matches pruned;
+    * such lefts are DROPPED from the output (documented, loud-by-schema)
+    * rather than silently emitted with a wrong/absent match. Unbounded
+    * tolerance keeps the full right history and never drops a left (the
+    * price of point-in-time correctness over an unbounded stream). */
   def asofStateful(
       spark: SparkSession,
       events: DataFrame,
@@ -285,19 +296,33 @@ object JsonStream {
         (_: Long, rows: Iterator[AsofTagged], state: GroupState[AsofBuffer]) => {
           val batch = rows.toVector
           val (rights, lefts) = batch.partition(_.is_right)
+          val prev = state.getOption
+          val prevMaxLeft = prev.map(_.maxLeftTs).getOrElse(Long.MinValue)
           // absorb this batch's rights first, keep (t, id) ascending
-          var buf = (state.getOption.map(_.rows).getOrElse(Nil) ++
+          val buf = (prev.map(_.rows).getOrElse(Nil) ++
             rights.map(r => (r.ts_us, r.event_id, r.value))).sorted.toArray
+          // monotonic max left time across ALL batches — the only safe
+          // horizon base when lefts may arrive out of event-time order
+          val maxLeft =
+            if (lefts.isEmpty) prevMaxLeft
+            else math.max(prevMaxLeft, lefts.map(_.ts_us).max)
           // bound the state once a tolerance exists: entries older than
-          // every future left's reach (lefts at or after this batch's max)
-          if (tolerance >= 0 && lefts.nonEmpty) {
-            val horizon = lefts.map(_.ts_us).max - tolerance
-            val keep = buf.dropWhile(_._1 < horizon)
-            state.update(AsofBuffer(keep.toList))
+          // (monotonic max left − tolerance) can never match a left we
+          // still emit (older lefts are dropped below)
+          if (tolerance >= 0 && maxLeft != Long.MinValue) {
+            val keep = buf.dropWhile(_._1 < maxLeft - tolerance)
+            state.update(AsofBuffer(keep.toList, maxLeft))
           } else {
-            state.update(AsofBuffer(buf.toList))
+            state.update(AsofBuffer(buf.toList, maxLeft))
           }
-          lefts.iterator.map { l =>
+          // a left below the horizon ALREADY APPLIED in earlier batches
+          // may have lost its matches to pruning — drop it rather than
+          // emit a silently wrong answer (scaladoc'd contract)
+          val emitFloor =
+            if (tolerance >= 0 && prevMaxLeft != Long.MinValue)
+              prevMaxLeft - tolerance
+            else Long.MinValue
+          lefts.iterator.filter(_.ts_us >= emitFloor).map { l =>
             // rightmost buffer index with time <= l.ts_us
             var lo = 0; var hi = buf.length - 1; var ans = -1
             while (lo <= hi) {

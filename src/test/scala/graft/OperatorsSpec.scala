@@ -805,6 +805,27 @@ class OperatorsSpec extends AnyFunSuite {
         right.withColumn("rid", lit(7L)), "key", "t", "rid")
     }
     assert(dup.getMessage.contains("unique"))
+    // a rid duplicated ONLY by an invalid (NULL-time) row must neither
+    // trip the uniqueness check nor fan out matched lefts via the
+    // value-payload join — the payload reads the same filtered right
+    val dupInvalid = right.unionByName(
+      Seq(("k1", None: Option[Long], 10L, "ghost")).toDF("key", "t", "rid", "rv"))
+    val fanned = Joins.asofJoinBroadcast(left, dupInvalid, "key", "t", "rid", Seq("rv"))
+      .orderBy("event_id").collect()
+    assert(fanned.length == left.count(),
+      s"payload join fanned out rows: ${fanned.length}")
+    assert(!fanned.exists(r => !r.isNullAt(5) && r.getString(5) == "ghost"))
+    // non-integral time/id columns fail loudly instead of truncating
+    val badTime = intercept[IllegalArgumentException] {
+      Joins.asofJoinBroadcast(left.withColumn("t", col("t").cast("double")),
+        right.withColumn("t", col("t").cast("double")), "key", "t", "rid")
+    }
+    assert(badTime.getMessage.contains("integral"))
+    val badId = intercept[IllegalArgumentException] {
+      Joins.asofJoinBroadcast(left, right.withColumn("rid", col("rid").cast("decimal(10,0)")),
+        "key", "t", "rid")
+    }
+    assert(badId.getMessage.contains("integral"))
   }
 
   test("rangeJoin: inclusive boundaries, bin edges, keys, degenerate intervals") {
@@ -902,7 +923,8 @@ class OperatorsSpec extends AnyFunSuite {
     import s.implicits._
     val ten = (1 to 10).map(i => s"t$i").mkString(" ")
     val eleven = (1 to 11).map(i => s"t$i").mkString(" ")
-    val df = Seq((1L, ten), (2L, eleven), (3L, "a b"), (4L, "")).toDF("doc_id", "text")
+    val df = Seq((1L, Some(ten)), (2L, Some(eleven)), (3L, Some("a b")),
+      (4L, Some("")), (5L, None: Option[String])).toDF("doc_id", "text")
     val got = TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 1)
       .orderBy("doc_id", "chunk_idx").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
@@ -919,6 +941,8 @@ class OperatorsSpec extends AnyFunSuite {
       // shorter than one chunk → the doc itself
       (3L, 0L, "a b", 2L),
       (4L, 0L, "", 1L)), got.mkString("\n")) // split("") = [""] — one empty token
+    // NULL text → zero chunks (doc_id 5 absent), matching the oracle's
+    // range(NULL) behavior — never a phantom full-size chunk
     // invalid configs rejected
     intercept[IllegalArgumentException](TextOps.chunkDocs(df, "doc_id", "text", 4, 4))
     intercept[IllegalArgumentException](TextOps.chunkDocs(df, "doc_id", "text", 0))

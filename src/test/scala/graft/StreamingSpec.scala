@@ -138,4 +138,36 @@ class StreamingSpec extends AnyFunSuite {
         got.mkString("\n"))
     } finally q.stop()
   }
+
+  test("stateful as-of pruning: monotonic horizon, out-of-order lefts dropped not mis-matched") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sink = "asof_state_prune_test"
+    // tolerance 100 µs — state prunes rights older than (max left − 100)
+    val q = JsonStream.asofStateful(s, events, tolerance = 100L).toDF().writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // batch 1 (ts in ns; /1000 → µs): rights at 100 and 1000 µs, left at
+      // 1050 µs → matches right@1000 (gap 50); horizon 950 prunes right@100
+      ms.addData((10L, 100000L, 1L, "click", 1.0), (11L, 1000000L, 1L, "click", 2.0),
+        (1L, 1050000L, 1L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: left at 120 µs is BELOW the applied horizon (950) — its
+      // true match (right@100, gap 20) was pruned, so it must be DROPPED,
+      // not emitted as a false no-match; left at 1080 µs still matches
+      ms.addData((2L, 120000L, 1L, "view", 0.0), (3L, 1080000L, 1L, "view", 0.0))
+      q.processAllAvailable()
+      val got = s.table(sink).orderBy("event_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(5)) null else (r.getLong(5), r.getLong(6)))).toSeq
+      assert(got == Seq(
+        (1L, (1000L, 11L)),
+        (3L, (1000L, 11L))), // event 2 absent: dropped, never a wrong answer
+        got.mkString("\n"))
+    } finally q.stop()
+  }
 }
