@@ -139,6 +139,25 @@ object ScaleProbe {
         .agg(count(col("asof_t")), sum(col("quote_id"))).collect()
     }
 
+    // extreme-skew probe: 90% of BOTH sides on one key. The unsalted
+    // carry concentrates that key's entire left+right run in ONE window
+    // task (windows cannot split a partition — at 100 TB that task IS
+    // the job); the salted variant caps per-task volume at ~1/64 of the
+    // key via (key, time-bin) partitioning + a tiny boundary fix-up.
+    // Both answers are identical (OperatorsSpec sweeps them).
+    val skew90L = asofLeft.withColumn("user_id",
+      when(pmod(col("event_id"), lit(10)) < 9, lit(0L)).otherwise(col("user_id")))
+    val skew90R = asofRight.withColumn("user_id",
+      when(pmod(col("quote_id"), lit(10)) < 9, lit(0L)).otherwise(col("user_id")))
+    time(s"asof join UNSALTED, $nEv x $nEv rows, one key holding 90%") {
+      operators.Joins.asofJoin(skew90L, skew90R, "user_id", "t", "quote_id")
+        .agg(count(col("asof_t")), sum(col("quote_id"))).collect()
+    }
+    time(s"asof join SALTED(64 bins), $nEv x $nEv rows, one key holding 90%") {
+      operators.Joins.asofJoinSalted(skew90L, skew90R, "user_id", "t", "quote_id")
+        .agg(count(col("asof_t")), sum(col("quote_id"))).collect()
+    }
+
     // broadcast as-of vs union-and-carry on the SAME input: a big left
     // (10× docs) against a SMALL right (docs/10 quotes over 1000 keys).
     // union-and-carry must exchange + sort left+right on the key; the

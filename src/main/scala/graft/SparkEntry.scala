@@ -563,6 +563,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // skew-safe (salted) backward as-of: same semantics as q_asof_join
+    // (shared oracle text), but the carry is partitioned by (key,
+    // time-bin) + a tiny per-bin boundary fix-up, so one hot key can
+    // never concentrate its volume in a single window task
+    "q_asof_salted" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      operators.Joins.asofJoinSalted(
+          ev.where(col("event_type") =!= "click"),
+          ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_us"),
+              col("event_id").as("click_id"), col("value").as("click_value")),
+          keyCol = "user_id", timeCol = "ts_us",
+          rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // streaming point-in-time enrichment: the broadcast as-of runs
     // statelessly inside a real incremental query; bounded replay must
     // equal the batch q_asof_join answer (shared oracle text)
@@ -1155,6 +1173,7 @@ object SparkEntry {
     // equal the batch screen
     base ++ Map(
       "q_asof_broadcast" -> base("q_asof_join"),
+      "q_asof_salted" -> base("q_asof_join"),
       "q_stream_asof" -> base("q_asof_join"),
       "q_stream_asof_state" -> base("q_asof_join"),
       "q_stream_bloom" -> base("q_bloom_decontam"))

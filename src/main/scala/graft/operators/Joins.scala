@@ -131,30 +131,183 @@ object Joins {
           .withColumn("__cf", last(col("__rv"), ignoreNulls = true).over(wFwd))
     }
     val onlyLeft = carried.where(col("__side") === 1)
+    val chosen = asofChoose(direction, timeCol, matchedTime, tolerance,
+      col("__cb"), col("__cf"))
+    val outFields = (matchedTime +: carry).map(c => chosen.getField(c).as(c))
+    onlyLeft.select(leftCols.map(col) ++ outFields: _*)
+  }
 
-    // a candidate matches if it exists, the left time is non-NULL, and
-    // the (direction-signed, always >= 0) gap is within tolerance
+  /** The direction/tolerance chooser shared by the carry-based as-of
+    * variants: a candidate matches if it exists, the left time is
+    * non-NULL, and the (direction-signed, always >= 0) gap is within
+    * tolerance; nearest ties at equal distance go backward. */
+  private def asofChoose(
+      direction: String, timeCol: String, matchedTime: String,
+      tolerance: Long, cb: => Column, cf: => Column): Column = {
     def ok(c: Column, gap: Column): Column = {
       val base = c.isNotNull && col(timeCol).isNotNull
       if (tolerance < 0) base else base && gap <= lit(tolerance)
     }
-    val chosen: Column = direction match {
+    direction match {
       case "backward" =>
-        val c = col("__cb")
-        when(ok(c, col(timeCol) - c.getField(matchedTime)), c)
+        when(ok(cb, col(timeCol) - cb.getField(matchedTime)), cb)
       case "forward" =>
-        val c = col("__cf")
-        when(ok(c, c.getField(matchedTime) - col(timeCol)), c)
+        when(ok(cf, cf.getField(matchedTime) - col(timeCol)), cf)
       case "nearest" =>
-        val b = col("__cb")
-        val f = col("__cf")
-        val dB = col(timeCol) - b.getField(matchedTime)
-        val dF = f.getField(matchedTime) - col(timeCol)
-        val bOk = ok(b, dB)
-        val fOk = ok(f, dF)
+        val dB = col(timeCol) - cb.getField(matchedTime)
+        val dF = cf.getField(matchedTime) - col(timeCol)
+        val bOk = ok(cb, dB)
+        val fOk = ok(cf, dF)
         // equal distance → backward (the conventional tie rule)
-        when(bOk && (!fOk || dB <= dF), b).when(fOk, f)
+        when(bOk && (!fOk || dB <= dF), cb).when(fOk, cf)
     }
+  }
+
+  /** Skew-safe as-of join: semantics IDENTICAL to [[asofJoinDirected]]
+    * (all three directions, same tie rule, same tolerance contract —
+    * the spec sweeps them against each other), but the carry window is
+    * partitioned by (key, time-bin) instead of key alone, so one
+    * pathological hot key can no longer concentrate its entire
+    * left+right volume in a single task (Spark windows cannot split a
+    * partition; at 100 TB a 50%-hot key makes the unsalted shape a
+    * single-task straggler). Two passes:
+    *
+    *  1. WITHIN-BIN: the same union-and-carry window over (key, bin),
+    *     where bin = the left/right row's time clamped into `numBins`
+    *     equal-width slices of the observed time range — a monotone
+    *     function of time, so earlier bins hold strictly-not-later
+    *     rows. The hot key's volume splits across numBins tasks,
+    *     bounding per-task volume at ~1/numBins of the key.
+    *  2. BOUNDARY FIX-UP: a per-(key, bin) aggregate (≤ numBins rows
+    *     per key, partial-aggregated before its Exchange) computes each
+    *     bin's closing carry — latest right of the bin (backward) /
+    *     earliest right (forward) — and a per-key running window over
+    *     that TINY frame derives the carry ENTERING each bin, coalesced
+    *     wherever the within-bin carry found nothing.
+    *
+    * The full-width data crosses the wire ONCE (the window Exchange on
+    * (key, bin)); the fix-up join is hinted shuffle-hash so the big
+    * side REUSES that partitioning — no re-sort, no second big-side
+    * Exchange (PlanQualitySpec pins exactly one full-data Exchange and
+    * zero SortMergeJoins). Extra costs vs the unsalted shape: one
+    * min/max scan for the bin boundaries, a distinct-(key, bin) scan,
+    * and the small-frame machinery — worth it exactly when a key is hot
+    * enough to straggle (ScaleProbe measures the 90%-hot-key case);
+    * prefer [[asofJoinDirected]] for well-distributed keys and
+    * [[asofJoinBroadcast]] for small right sides. Numeric time columns
+    * only; times near Long.MinValue unsupported (negation in the
+    * forward boundary aggregate). */
+  def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      rightIdCol: String,
+      rightValueCols: Seq[String] = Seq.empty,
+      tolerance: Long = -1L,
+      direction: String = "backward",
+      numBins: Int = 64): DataFrame = {
+    require(numBins >= 1, s"numBins must be >= 1, got $numBins")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val carry = (rightIdCol +: rightValueCols).distinct
+    val leftCols = left.columns.toSeq
+    val clash = carry.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"right columns ${clash.mkString(", ")} clash with left columns — rename them first")
+    val matchedTime = s"asof_$timeCol"
+    require(!leftCols.contains(matchedTime) && !carry.contains(matchedTime),
+      s"$matchedTime is reserved for the matched right time")
+    require(!leftCols.contains("__bin") && !right.columns.contains("__bin"),
+      "__bin is reserved")
+
+    // bin boundaries: min/max time over both sides — a partial-aggregated
+    // scan collapsing to one driver row (bounded at any scale). Bins only
+    // steer PARTITIONING; every correctness decision still reads the raw
+    // time column, so double precision at the edges is harmless (the bin
+    // function just has to be monotone in time, and floor of a monotone
+    // affine map clamped to [0, numBins) is).
+    val range = left.select(col(timeCol).cast("double").as("__t"))
+      .unionByName(right.select(col(timeCol).cast("double").as("__t")))
+      .agg(min(col("__t")).as("lo"), max(col("__t")).as("hi")).head()
+    if (range.isNullAt(0)) // no non-NULL time anywhere: nothing can match
+      return asofJoinDirected(left, right, keyCol, timeCol, rightIdCol,
+        rightValueCols, tolerance, direction)
+    val loT = range.getDouble(0)
+    val width0 = (range.getDouble(1) - loT) / numBins
+    val width = if (width0 > 0) width0 else 1.0
+    def binOf(t: Column): Column = least(lit(numBins - 1L),
+      greatest(lit(0L), floor((t.cast("double") - lit(loT)) / lit(width)).cast("long")))
+
+    val rv = struct((col(timeCol).as(matchedTime) +: carry.map(col)): _*)
+    val rvType = right.select(rv.as("__rv")).schema("__rv").dataType
+    val leftSchema = left.schema
+    val lBin = left.select(
+      leftCols.map(col) ++ Seq(lit(1).as("__side"), lit(null).cast(rvType).as("__rv"),
+        binOf(col(timeCol)).as("__bin")): _*)
+    val rBin = right
+      .where(col(timeCol).isNotNull)
+      .select(
+        leftCols.map(c =>
+          if (c == keyCol || c == timeCol) col(c)
+          else lit(null).cast(leftSchema(c).dataType).as(c)) ++
+          Seq(lit(0).as("__side"), rv.as("__rv"), binOf(col(timeCol)).as("__bin")): _*)
+    val unioned = lBin.unionByName(rBin)
+
+    // pass 1: the union-and-carry windows, per (key, bin) — same ordering
+    // contract as asofJoinDirected, partition volume capped by the binning
+    def w(timeOrder: Column) = Window.partitionBy(col(keyCol), col("__bin"))
+      .orderBy(timeOrder, col("__side").asc,
+        col("__rv").getField(rightIdCol).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBack = w(col(timeCol).asc_nulls_first)
+    val wFwd = w(col(timeCol).desc_nulls_last)
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    var carried = unioned
+    if (needB) carried = carried.withColumn("__wb",
+      last(col("__rv"), ignoreNulls = true).over(wBack))
+    if (needF) carried = carried.withColumn("__wf",
+      last(col("__rv"), ignoreNulls = true).over(wFwd))
+
+    // pass 2: per-(key, bin) closing/opening rights (partial-aggregated,
+    // ≤ numBins rows per key), then the carry entering each bin — the
+    // latest closing among EARLIER bins / earliest opening among LATER
+    // bins — via a per-key running window over the tiny frame. The frame
+    // covers every (key, bin) present on either side, so a bin holding
+    // only rights still relays its carry to later left-only bins.
+    val ridIn = col("__rv").getField(rightIdCol)
+    val closingAggs =
+      (if (needB) Seq(max_by(col("__rv"), struct(col(timeCol), ridIn)).as("__closeB"))
+       else Nil) ++
+      (if (needF) Seq(max_by(col("__rv"), struct(col(timeCol) * -1, ridIn)).as("__openF"))
+       else Nil)
+    val closing = rBin.groupBy(col(keyCol), col("__bin"))
+      .agg(closingAggs.head, closingAggs.tail: _*)
+    val pairs = lBin.select(col(keyCol), col("__bin"))
+      .unionByName(rBin.select(col(keyCol), col("__bin")))
+      .distinct()
+    val wIncB = Window.partitionBy(col(keyCol)).orderBy(col("__bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncF = Window.partitionBy(col(keyCol)).orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var incoming = pairs.join(closing, Seq(keyCol, "__bin"), "left")
+    if (needB) incoming = incoming.withColumn("__incB",
+      last(col("__closeB"), ignoreNulls = true).over(wIncB))
+    if (needF) incoming = incoming.withColumn("__incF",
+      last(col("__openF"), ignoreNulls = true).over(wIncF))
+    incoming = incoming.select(
+      Seq(col(keyCol), col("__bin")) ++
+        (if (needB) Seq(col("__incB")) else Nil) ++
+        (if (needF) Seq(col("__incF")) else Nil): _*)
+
+    // shuffle-hash (not SMJ): the big carried side reuses the window's
+    // (key, bin) partitioning and is never re-sorted; only the tiny
+    // incoming frame builds hash tables
+    val fixed = carried.join(incoming.hint("shuffle_hash"), Seq(keyCol, "__bin"), "left")
+    val onlyLeft = fixed.where(col("__side") === 1)
+    val chosen = asofChoose(direction, timeCol, matchedTime, tolerance,
+      coalesce(col("__wb"), col("__incB")), coalesce(col("__wf"), col("__incF")))
     val outFields = (matchedTime +: carry).map(c => chosen.getField(c).as(c))
     onlyLeft.select(leftCols.map(col) ++ outFields: _*)
   }

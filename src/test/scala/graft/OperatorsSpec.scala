@@ -828,6 +828,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(badId.getMessage.contains("integral"))
   }
 
+  test("asofJoinSalted agrees with asofJoinDirected: directions x tolerances x bin counts") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "k1", Some(100L)), (2L, "k1", Some(205L)), (3L, "k1", Some(50L)),
+      (4L, "k2", Some(100L)), (5L, "k3", Some(10L)), (6L, "k1", Some(150L)),
+      (7L, "k1", None: Option[Long]) // NULL left time → no match
+    ).toDF("event_id", "key", "t")
+    val right = Seq(
+      ("k1", Some(100L), 10L, "a"),
+      ("k1", Some(200L), 11L, "b"),
+      ("k1", Some(200L), 12L, "c"), // equal-ts tie → greatest rid
+      ("k2", Some(150L), 13L, "d"),
+      ("k1", None: Option[Long], 99L, "z") // NULL right time never matches
+    ).toDF("key", "t", "rid", "rv")
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(-1L, 0L, 5L, 49L, 1000L);
+         bins <- Seq(1, 2, 3, 64)) {
+      val want = Joins.asofJoinDirected(left, right, "key", "t", "rid", Seq("rv"), tol, dir)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      val got = Joins.asofJoinSalted(left, right, "key", "t", "rid", Seq("rv"), tol, dir, bins)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(got == want, s"direction=$dir tolerance=$tol numBins=$bins:\n$got\nvs\n$want")
+    }
+    // randomized sweep: hot-key distribution (70% of rows on one key) with
+    // duplicated timestamps, so bin boundaries land INSIDE runs of equal
+    // times and between left/right rows of the same instant
+    val rnd = new scala.util.Random(7)
+    val rl = (0 until 400).map { i =>
+      (i.toLong, if (rnd.nextInt(10) < 7) "hot" else s"k${rnd.nextInt(5)}",
+        Some(rnd.nextInt(50).toLong * 10))
+    }.toDF("event_id", "key", "t")
+    val rr = (0 until 300).map { i =>
+      (if (rnd.nextInt(10) < 7) "hot" else s"k${rnd.nextInt(5)}",
+        Some(rnd.nextInt(50).toLong * 10), i.toLong + 1000L, s"v$i")
+    }.toDF("key", "t", "rid", "rv")
+    for (dir <- Seq("backward", "forward", "nearest"); bins <- Seq(1, 5, 64)) {
+      val want = Joins.asofJoinDirected(rl, rr, "key", "t", "rid", Seq("rv"), 70L, dir)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      val got = Joins.asofJoinSalted(rl, rr, "key", "t", "rid", Seq("rv"), 70L, dir, bins)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(got == want, s"sweep direction=$dir numBins=$bins diverged")
+    }
+  }
+
   test("rangeJoin: inclusive boundaries, bin edges, keys, degenerate intervals") {
     val s = spark
     import s.implicits._

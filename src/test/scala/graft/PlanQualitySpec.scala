@@ -313,6 +313,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!bPlan.contains("Window"), bPlan)
   }
 
+  test("salted as-of: carry partitions on (key, bin); big side never re-exchanged or re-sorted") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    val df = graft.operators.Joins.asofJoinSalted(
+      ev.where(col("event_type") =!= "click"),
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("value").as("click_value")),
+      keyCol = "user_id", timeCol = "ts_us",
+      rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the carry window partitions on (key, bin) — the skew-split claim
+    assert("windowspecdefinition\\(user_id#\\d+L, __bin".r.findFirstIn(plan).isDefined, plan)
+    // exactly one Exchange moves the full-width union (the window's);
+    // its partitioning includes the bin column
+    assert("Exchange hashpartitioning\\([^)]*__bin[^)]*\\)[^\n]*\n[\\s:]*\\+- Union".r
+      .findAllIn(plan).size == 1, plan)
+    // the fix-up join is shuffle-hash: the big carried side streams
+    // straight from Window → Filter → Project into the join with NO
+    // re-sort and NO second Exchange (SMJ would re-sort it on the keys)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(("ShuffledHashJoin[^\n]*\n[^\n]*:- Project[^\n]*\n[^\n]*\\+- Filter " +
+      "\\(__side[^\n]*\n[^\n]*\\+- Window").r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(df.count() > 0)
+    // and the answer equals the unsalted operator on the same real data
+    val want = graft.operators.Joins.asofJoin(
+      ev.where(col("event_type") =!= "click"),
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("value").as("click_value")),
+      keyCol = "user_id", timeCol = "ts_us",
+      rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+    assert(df.orderBy("event_id").collect().map(_.toSeq).toSeq ==
+      want.orderBy("event_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("range join plans as an equi-join on the bin key — never cartesian") {
     val df = SparkEntry.queries("q_range_join")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
