@@ -685,6 +685,28 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // REAL image decode: deterministic synthetic PNGs (pixel formula of
+    // doc_id) decoded by javax.imageio — width/height from the actual
+    // PNG header; the oracle recomputes them from the generator formula,
+    // so a silent fall-back to the stub decoder would hash-mismatch
+    "q_img_meta" -> ((s, dir) =>
+      operators.Multimodal.decodeFeatures(s,
+          operators.Multimodal.syntheticImageBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"))
+        .orderBy(col("doc_id"))),
+
+    // real-pixel features: exact-integer channel/quadrant/luma sums over
+    // the DECODED pixels + IEEE divisions — the oracle replays them from
+    // the pixel formula (PNG is lossless, decoded pixels == formula)
+    "q_img_features" -> ((s, dir) =>
+      operators.Multimodal.decodeFeatures(s,
+          operators.Multimodal.syntheticImageBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
     // multimodal resize + frame-sample plumbing (deterministic stubs);
     // binary payloads are md5-projected so both engines compare hex digests
     "q_mm_resize" -> ((s, dir) =>
@@ -1627,6 +1649,45 @@ object SparkEntry {
         |    / CAST(greatest(1, g.n // 8) AS DOUBLE) AS REAL) AS feat
         | FROM g LEFT JOIN s ON g.doc_id = s.doc_id AND CAST(g.r AS INT) = s.feat_idx
         | ORDER BY g.doc_id, g.r""".stripMargin.replaceAll("\n", " "),
+
+    // real image decode replica WITHOUT decoding PNG: the synthetic
+    // images' dimensions are a pure formula of doc_id
+    "q_img_meta" ->
+      """SELECT doc_id,
+        | CAST(16 + doc_id % 17 AS INT) AS width,
+        | CAST(16 + (doc_id * 7) % 13 AS INT) AS height
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // real-pixel feature replica: regenerate every pixel from the
+    // generator formula (PNG is lossless, so decoded pixels == formula),
+    // integer channel/quadrant/luma sums, then the same IEEE double
+    // divisions and float32 rounding as decodeImage
+    "q_img_features" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h
+        |   FROM documents),
+        | xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
+        | px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
+        | pc AS (SELECT doc_id, w, h, x, y,
+        |   (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+        |   (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
+        |   (doc_id * 13 + x * 5 + y * 29) % 256 AS b
+        |  FROM px),
+        | sums AS (SELECT doc_id, w, h,
+        |   sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+        |   sum(CASE WHEN (y*2)//h = 0 AND (x*2)//w = 0 THEN r+g+b ELSE 0 END) AS q0,
+        |   sum(CASE WHEN (y*2)//h = 0 AND (x*2)//w = 1 THEN r+g+b ELSE 0 END) AS q1,
+        |   sum(CASE WHEN (y*2)//h = 1 AND (x*2)//w = 0 THEN r+g+b ELSE 0 END) AS q2,
+        |   sum(CASE WHEN (y*2)//h = 1 AND (x*2)//w = 1 THEN r+g+b ELSE 0 END) AS q3,
+        |   sum((299*r + 587*g + 114*b) // 1000) AS sl
+        |  FROM pc GROUP BY doc_id, w, h)
+        | SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(f AS INT) AS feat_idx,
+        |  CAST(CAST(CASE CAST(f AS INT) WHEN 0 THEN sr WHEN 1 THEN sg WHEN 2 THEN sb
+        |    WHEN 3 THEN q0 WHEN 4 THEN q1 WHEN 5 THEN q2 WHEN 6 THEN q3 ELSE sl END AS DOUBLE)
+        |    / CAST(CASE WHEN CAST(f AS INT) BETWEEN 3 AND 6 THEN 765 ELSE 255 END AS DOUBLE)
+        |    / CAST(w * h AS DOUBLE) AS REAL) AS feat
+        | FROM sums, (SELECT unnest(range(8)) AS f) fr
+        | ORDER BY doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
 
     // resize stub replica: strided byte selection, md5 over the payload
     "q_mm_resize" ->

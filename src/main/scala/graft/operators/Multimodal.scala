@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
  * runs as a partition-local batch kernel (`mapPartitions`) — the Scala
  * analogue of a vectorized Python `mapInPandas` stage.
  *
- * The actual codec step is STUBBED: this container has no image/audio
- * libraries, so `decodeStub` derives a deterministic fake header + feature
- * vector from the bytes. Everything around it — the binary schema, the
- * batched per-partition execution, the fixed-width feature output — is the
- * real production shape: swap `decodeStub` for a JNI/codec call and the
- * pipeline is unchanged.
+ * IMAGE decode is REAL: `decodeImage` runs `javax.imageio` (PNG, JPEG,
+ * GIF, BMP — pure JVM, no external codec libraries), reads width/height
+ * from the actual header and features from the actual pixels. The
+ * feature math is exact-integer channel sums followed by fully-specified
+ * IEEE divisions, so the DuckDB oracle replays the floats bit-for-bit
+ * from the known pixel content of [[syntheticPng]] images (PNG is
+ * lossless — decoded pixels ARE the generator formula). Blobs no
+ * registered reader recognizes (audio/video/arbitrary bytes — the JVM
+ * ships no audio/video codecs) fall back to `decodeStub`, a
+ * deterministic fake with the same record shape: swap it for a JNI
+ * codec call and the pipeline is unchanged.
  *
  * Scale note: decode is the classic CPU-heavy narrow stage — no shuffle,
  * scales with executors; `repartition(n)` upstream only to even out skewed
@@ -32,7 +37,8 @@ object Multimodal {
 
   val FeatureDim = 8
 
-  /** STUB decoder — stands in for e.g. JPEG decode + CNN featurizer.
+  /** STUB decoder — the fallback for blobs no image reader recognizes
+    * (audio/video stand-in; the JVM ships no audio/video codecs).
     * Deterministic in the input bytes so tests and oracles are stable:
     * each feature is an exact integer byte-sum per residue class followed
     * by two IEEE double divisions and one float rounding — all fully
@@ -58,17 +64,113 @@ object Multimodal {
     MediaFeatures(docId, n.toLong, width, height, feats)
   }
 
-  /** Batched partition-local decode over (id, blob) rows. */
+  /** REAL image decode via `javax.imageio`: None when no registered
+    * reader recognizes the bytes (not an image). Width/height come from
+    * the decoded header; the 8 features are exact-integer pixel sums
+    * followed by IEEE double divisions and one float32 rounding — fully
+    * specified, so any engine replays them from known pixel content:
+    *  - f0/f1/f2: mean R/G/B           = sum(c) / 255 / n
+    *  - f3..f6: quadrant mass (r+g+b) / 765 / n, quadrant index
+    *    (y*2 div h)*2 + (x*2 div w) — row-major TL,TR,BL,BR
+    *  - f7: mean integer luma          = sum((299r+587g+114b) div 1000) / 255 / n
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 4) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null } // truncated/corrupt image → stub path
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w.toLong * h
+    val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk fetch, any source format
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+    val quad = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      val qRow = (y * 2 / h) * 2
+      var x = 0
+      while (x < w) {
+        val rgb = px(y * w + x)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        sl += (299 * r + 587 * g + 114 * b) / 1000
+        quad(qRow + x * 2 / w) += r + g + b
+        x += 1
+      }
+      y += 1
+    }
+    val feats = new Array[Float](FeatureDim)
+    feats(0) = (sr.toDouble / 255.0 / n.toDouble).toFloat
+    feats(1) = (sg.toDouble / 255.0 / n.toDouble).toFloat
+    feats(2) = (sb.toDouble / 255.0 / n.toDouble).toFloat
+    var qi = 0
+    while (qi < 4) {
+      feats(3 + qi) = (quad(qi).toDouble / 765.0 / n.toDouble).toFloat
+      qi += 1
+    }
+    feats(7) = (sl.toDouble / 255.0 / n.toDouble).toFloat
+    Some(MediaFeatures(docId, bytes.length.toLong, w, h, feats))
+  }
+
+  /** Batched partition-local decode over (id, blob) rows: real image
+    * decode where the bytes are a recognized image, stub otherwise. */
   def decodeFeatures(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // partition-local batch loop — codec state would be reused here
+        // partition-local batch loop — reader instances are per-call, and
+        // the ImageIO disk cache is off so decode never touches /tmp
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes)
+          decodeImage(id, bytes).getOrElse(
+            decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes))
         }
       }
+  }
+
+  /** Deterministic synthetic PNG: dimensions and every pixel are a pure
+    * integer formula of `docId`, encoded losslessly — so a decoder-side
+    * oracle can recompute the decoded pixels WITHOUT decoding PNG:
+    *   w = 16 + docId mod 17, h = 16 + (7*docId) mod 13
+    *   r = (31*docId + 7x + 13y) mod 256
+    *   g = (17*docId + 11x + 3y) mod 256
+    *   b = (13*docId + 5x + 29y) mod 256
+    * (PNG byte size is encoder-dependent and deliberately excluded from
+    * oracle-checked outputs.) */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(docId, 17L).toInt
+    val h = 16 + java.lang.Math.floorMod(docId * 7, 13L).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = java.lang.Math.floorMod(docId * 31 + x * 7 + y * 13, 256L).toInt
+        val g = java.lang.Math.floorMod(docId * 17 + x * 11 + y * 3, 256L).toInt
+        val b = java.lang.Math.floorMod(docId * 13 + x * 5 + y * 29, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (doc_id, blob) table of [[syntheticPng]] images for the given ids —
+    * the deterministic image corpus the img queries decode. Narrow
+    * mapPartitions; blob generation is partition-local CPU. */
+  def syntheticImageBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "blob")
   }
 
   /** documents.text reinterpreted as a blob column — the stand-in media

@@ -196,6 +196,68 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Multimodal.decodeFeatures(s, Multimodal.documentBlobs(df))
       .collect().sortBy(_.doc_id)
     assert(again(0).features.toSeq == out(0).features.toSeq)
+    // text bytes are NOT a recognized image: the decode must be the
+    // stub's answer exactly (the image path returned None)
+    assert(out(0).width == 16 + ('h' & 0x3f)) // stub "header", not a real one
+  }
+
+  test("real image decode: PNG round-trip matches the pixel formula exactly") {
+    val s = spark
+    import s.implicits._
+    // expected features computed straight from the generator formula —
+    // independent of any decode path
+    def expected(id: Long): (Int, Int, Array[Float]) = {
+      val w = 16 + java.lang.Math.floorMod(id, 17L).toInt
+      val h = 16 + java.lang.Math.floorMod(id * 7, 13L).toInt
+      val n = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+      val q = new Array[Long](4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+        val g = java.lang.Math.floorMod(id * 17 + x * 11 + y * 3, 256L).toInt
+        val b = java.lang.Math.floorMod(id * 13 + x * 5 + y * 29, 256L).toInt
+        sr += r; sg += g; sb += b
+        sl += (299 * r + 587 * g + 114 * b) / 1000
+        q((y * 2 / h) * 2 + x * 2 / w) += r + g + b
+      }
+      val f = new Array[Float](8)
+      f(0) = (sr.toDouble / 255.0 / n.toDouble).toFloat
+      f(1) = (sg.toDouble / 255.0 / n.toDouble).toFloat
+      f(2) = (sb.toDouble / 255.0 / n.toDouble).toFloat
+      for (i <- 0 until 4) f(3 + i) = (q(i).toDouble / 765.0 / n.toDouble).toFloat
+      f(7) = (sl.toDouble / 255.0 / n.toDouble).toFloat
+      (w, h, f)
+    }
+    val ids = Seq(0L, 1L, 7L, 123L, 9999L)
+    val got = Multimodal.decodeFeatures(s,
+        Multimodal.syntheticImageBlobs(s, ids.toDF("doc_id")))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- ids) {
+      val (w, h, f) = expected(id)
+      val m = got(id)
+      assert(m.width == w && m.height == h, s"id=$id got ${m.width}x${m.height}, want ${w}x$h")
+      assert(m.features.toSeq == f.toSeq, s"id=$id features diverged from formula")
+    }
+  }
+
+  test("real image decode: JPEG header is read; unrecognized bytes fall back to stub") {
+    // JPEG: real width/height from the header (pixel values are lossy, so
+    // only the header is asserted — oracle queries stick to lossless PNG)
+    val img = new java.awt.image.BufferedImage(37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 23; x <- 0 until 37) img.setRGB(x, y, (x * 7 % 256 << 16) | (y * 11 % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val m = Multimodal.decodeImage(42L, bos.toByteArray)
+    assert(m.isDefined)
+    assert(m.get.width == 37 && m.get.height == 23)
+    assert(m.get.features.forall(f => !f.isNaN && f >= 0f && f <= 2f))
+    // arbitrary bytes: no reader claims them → None → decodeFeatures stubs
+    assert(Multimodal.decodeImage(1L, Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+    assert(Multimodal.decodeImage(1L, null).isEmpty)
+    assert(Multimodal.decodeImage(1L, "plain text".getBytes).isEmpty)
+    // truncated PNG (valid magic, cut body) must not throw — stub path
+    val png = Multimodal.syntheticPng(5L)
+    assert(Multimodal.decodeImage(5L, java.util.Arrays.copyOf(png, 20)).isEmpty)
   }
 
   test("curation pipeline: exact dup, near dup, and junk removed") {
