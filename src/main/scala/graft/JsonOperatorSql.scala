@@ -39,7 +39,13 @@ object JsonOperatorSql {
         val end = sql.indexOf("*/", i + 2)
         val stop = if (end < 0) n else end + 2
         out.append(sql.substring(i, stop)); i = stop
-      } else if (c == '\'' || c == '"') {
+      } else if (c == '\'') {
+        // a string literal is a valid operator LHS in the reference's SQL
+        // (`'{"a": "b"}'->>'a'` — reference tests/main.rs:1533); foldOps
+        // appends it verbatim when no operator follows
+        val (lit, next) = consumeString(sql, i, c)
+        i = foldOps(sql, next, lit, out)
+      } else if (c == '"') {
         val (lit, next) = consumeString(sql, i, c)
         out.append(lit); i = next
       } else if (c == '`') {
@@ -111,7 +117,11 @@ object JsonOperatorSql {
   private def matchOp(s: String, at: Int): Option[(String, String)] =
     ops.find { case (op, _) => s.startsWith(op, at) }
 
-  /** A path literal: single-quoted string, or an integer when allowed. */
+  /** A path literal: single-quoted string, an integer when allowed, or a
+    * parenthesised text-cast of a string literal — the reference plans
+    * `j ->> ('foo'::text)` identically to `j ->> 'foo'` (tests/main.rs
+    * test_arrow_cast_key_text); the cast is identity on a string literal
+    * so it is dropped. */
   private def consumeLiteral(s: String, at: Int, allowInt: Boolean): Option[(String, Int)] = {
     if (at >= s.length) None
     else if (s.charAt(at) == '\'') {
@@ -121,6 +131,22 @@ object JsonOperatorSql {
       var i = at
       while (i < s.length && s.charAt(i).isDigit) i += 1
       Some((s.substring(at, i), i))
+    } else if (s.charAt(at) == '(') {
+      val i0 = consumeWs(s, at + 1)
+      if (i0 < s.length && s.charAt(i0) == '\'') {
+        val (lit, afterLit) = consumeString(s, i0, '\'')
+        var i = consumeWs(s, afterLit)
+        // optional `::text`-family cast (identity on a string literal)
+        if (s.startsWith("::", i)) {
+          val t0 = consumeWs(s, i + 2)
+          var t = t0
+          while (t < s.length && (s.charAt(t).isLetterOrDigit || s.charAt(t) == '_')) t += 1
+          val typ = s.substring(t0, t).toLowerCase
+          if (!Set("text", "varchar", "string", "char").contains(typ)) return None
+          i = consumeWs(s, t)
+        }
+        if (i < s.length && s.charAt(i) == ')') Some((lit, i + 1)) else None
+      } else None
     } else None
   }
 }
