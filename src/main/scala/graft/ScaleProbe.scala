@@ -6,19 +6,26 @@ import org.apache.spark.sql.functions._
  * Reproducible scale probes behind SURVEY §8.2: synthetic data at 20-200×
  * the bench scale factor, timing the operator families whose behavior at
  * 100 TB depends on shuffle shape rather than kernel speed.
- * `sbt "runMain graft.ScaleProbe [docs]"` (default 100k documents).
+ * `sbt "runMain graft.ScaleProbe [docs] [filter]"` (default 100k
+ * documents; the optional second arg runs only probes whose name contains
+ * the substring — e.g. `ScaleProbe 1000000 curation` for the 1M-doc
+ * curation memory-cliff probe without the unrelated families).
  */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
+    val only = args.lift(1)
     val spark = GraftSession.local(32)
     import spark.implicits._
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      r
+    def time[T](name: String)(f: => T): Option[T] = {
+      if (only.exists(s => !name.contains(s))) None
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        Some(r)
+      }
     }
 
     // synthetic corpus: 1-in-20 documents are near-duplicates (3 words
@@ -47,7 +54,7 @@ object ScaleProbe {
       operators.Dedup.minhashCandidatePairs(docs, "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5).count()
     }
-    println(s"  pairs found: $pairs (planted: ~${nDocs / 20})")
+    pairs.foreach(p => println(s"  pairs found: $p (planted: ~${nDocs / 20})"))
 
     time(s"verified near-dup + clusters, $nDocs docs") {
       val p = operators.Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
@@ -215,7 +222,7 @@ object ScaleProbe {
       transform(sequence(lit(0), lit(63)),
         j => (operators.mix64(col("id") * 64 + j, 23L).cast("double") /
           lit(9.223372036854776e18)).cast("float")).as("embedding"))
-    val qv = emb.where(col("vec_id") === 0)
+    lazy val qv = emb.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     time(s"PQ ADC train+encode+scan, $nVec synthetic 64-dim vectors") {
       operators.Similarity.pqTopK(emb, "vec_id", "embedding", qv, 20).count()
@@ -224,6 +231,87 @@ object ScaleProbe {
     time(s"IVF+PQ train+assign+encode+scan, $nVec synthetic 64-dim vectors") {
       operators.Similarity.ivfPqTopK(emb, "vec_id", "embedding", qv, 20).count()
     }
+
+    // IVF+PQ recall sweep (SURVEY §8.2 parameter table): recall@20 of the
+    // ADC scan (vs the exact inner-product top-20 — ADC approximates the
+    // dot) and of the exact re-rank (vs the exact COSINE top-20 — the
+    // re-rank ranks by cosine), across nProbe and m at fixed nCells=16.
+    // The corpus is CLUSTERED — 2048 latent centroids × ~25 members, the
+    // regime real embeddings live in and the one PQ is built for: the
+    // true top-20 is essentially the query's own small cluster, separated
+    // from the rest by far more than the quantization error. Two regimes
+    // that make recall@20 meaningless were probed and rejected: uniform
+    // random vectors (no structure — recall pinned at 0.45/0.70 even
+    // probing ALL cells: pure quantization noise) and few big clusters
+    // (ranking WITHIN ~800 near-identical members is decided by noise
+    // below the quantization floor — recall ~0 by construction).
+    if (only.forall(s => "ivfpq recall sweep".contains(s))) {
+      val nSweep = math.max(nDocs / 2, 10000).toLong
+      val sweepEmb = spark.range(nSweep).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => ((operators.mix64(pmod(col("id"), lit(2048)) * 64 + j, 101L).cast("double") /
+              lit(9.223372036854776e18)) +
+            (operators.mix64(col("id") * 64 + j, 23L).cast("double") /
+              lit(9.223372036854776e18)) * lit(0.15)).cast("float")).as("embedding")).cache()
+      sweepEmb.count()
+      val q = sweepEmb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      val scored = sweepEmb.select(col("vec_id"), col("embedding")).collect()
+        .map { r =>
+          val v = r.getSeq[Float](1)
+          var d = 0.0; var n = 0.0; var i = 0
+          while (i < q.length) {
+            d += q(i).toDouble * v(i).toDouble
+            n += v(i).toDouble * v(i).toDouble
+            i += 1
+          }
+          (r.getLong(0), d, d / (qNorm * math.sqrt(n)))
+        }
+      val exactDot = scored.sortBy { case (id, d, _) => (-d, id) }.take(20).map(_._1).toSet
+      val exactCos = scored.sortBy { case (id, _, c) => (-c, id) }.take(20).map(_._1).toSet
+      println(s"IVFPQ RECALL SWEEP ($nSweep vectors, 64-dim, 2048 clusters, nCells=16, k=20, shortlist=100)")
+      println("  m  nProbe  recall@20(ADC vs dot)  recall@20(rerank vs cosine)")
+      for (m <- Seq(8, 16)) {
+        val trained = operators.Similarity.trainIvfPq(
+          sweepEmb, "vec_id", "embedding", nCells = 16, m = m)
+        for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+          val adc = operators.Similarity.ivfPqTopK(sweepEmb, "vec_id", "embedding",
+              q, 20, nCells = 16, nProbe = nProbe, m = m, trained = trained)
+            .collect().map(_.getLong(0))
+          val rr = operators.Similarity.ivfPqRerankTopK(sweepEmb, "vec_id", "embedding",
+              q, 20, nCells = 16, nProbe = nProbe, m = m, trained = trained)
+            .collect().map(_.getLong(0))
+          println(f"  $m%2d  $nProbe%6d  ${adc.count(exactDot.contains) / 20.0}%21.2f  ${rr.count(exactCos.contains) / 20.0}%27.2f")
+        }
+      }
+      sweepEmb.unpersist()
+    }
+
+    // sessionize (two window passes over one sort) vs Spark's native
+    // session_window aggregate on the SAME input, per-session counts both
+    // ways. Both merge on diff <= gap (the native merge is inclusive:
+    // probed with a planted diff of exactly 3601 under a "3601 seconds"
+    // gap — it merged), so identical gaps must agree exactly.
+    val sessEv = spark.range(nEv).select(
+      col("id").as("event_id"),
+      pmod(operators.mix64(col("id"), 31L), lit(1000)).as("user_id"),
+      pmod(operators.mix64(col("id"), 13L), lit(100000000L)).as("t"))
+    val nSessLabeled = time(s"sessionize two-pass window → per-session counts, $nEv rows") {
+      operators.Joins.sessionize(sessEv, "user_id", "t", "event_id", gap = 3600L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), sum(col("n"))).collect()(0).getLong(0)
+    }
+    val nSessNative = time(s"native session_window aggregate → per-session counts, $nEv rows") {
+      sessEv
+        .groupBy(col("user_id"),
+          session_window(timestamp_seconds(col("t")), "3600 seconds"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), sum(col("n"))).collect()(0).getLong(0)
+    }
+    for (a <- nSessLabeled; b <- nSessNative)
+      println(s"  sessions: two-pass=$a native=$b ${if (a == b) "EQUAL" else "MISMATCH"}")
 
     val big = nDocs.toLong * 100
     time(s"stratified sample, $big ids x 20 strata") {

@@ -600,6 +600,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // WATERMARK-CORRECT event-time as-of: lefts wait in state until the
+    // watermark proves no matching right can still arrive, so late
+    // rights within the delay are matched exactly (StreamingSpec pins
+    // the late-data case); bounded replay with a final watermark pusher
+    // == batch (shared oracle text)
+    "q_stream_asof_et" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.asofStatefulEventTimeToBatch(s, s"$dir/events.parquet")
+        .where(col("event_id") >= 0)
+        .orderBy(col("event_id"))
+    }),
+
     // streaming decontamination screen: the batch-built Bloom filter is
     // a plan literal, so the streamed corpus runs the same stateless
     // fused kernel; bounded replay == batch (shared oracle text)
@@ -1198,6 +1210,7 @@ object SparkEntry {
       "q_asof_salted" -> base("q_asof_join"),
       "q_stream_asof" -> base("q_asof_join"),
       "q_stream_asof_state" -> base("q_asof_join"),
+      "q_stream_asof_et" -> base("q_asof_join"),
       "q_stream_bloom" -> base("q_bloom_decontam"))
   }
 

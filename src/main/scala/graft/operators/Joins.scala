@@ -322,7 +322,19 @@ object Joins {
     * window; AQE handles key skew by splitting reducers, and the output
     * adds one long column. NULL times sort first and join the first
     * session of their key. Output: input columns + `session_idx`
-    * (0-based per key). */
+    * (0-based per key).
+    *
+    * vs Spark's native `session_window` aggregate: the native operator
+    * merges on the same INCLUSIVE rule (diff <= gap — probed with a
+    * planted diff of exactly gap+1 under a gap+1 window, which merged)
+    * but produces per-SESSION rows, not per-row labels — it cannot tag
+    * each event with its session without a join back. For pure
+    * per-session aggregates it is the better plan (~12% faster at 10M
+    * rows: 7.2 s vs 8.1 s, ScaleProbe `session` section, identical
+    * session counts); for per-row labeling (the shape this operator
+    * serves — dedup keys, feature joins, downstream grouping) the
+    * two-window form is the one that exists. OperatorsSpec pins the
+    * boundary-rule agreement against the native aggregate. */
   def sessionize(
       df: DataFrame,
       keyCol: String,

@@ -339,6 +339,101 @@ object JsonStream {
         })
   }
 
+  case class AsofTaggedT(
+      event_id: Long, ts_us: Long, user_id: Long, event_type: String,
+      value: Double, is_right: Boolean, event_time: java.sql.Timestamp)
+  /** Event-time state: sorted rights plus the lefts still awaiting the
+    * watermark; a left finalizes only once no matching right can still
+    * arrive. `pending` lefts are (ts_us, event_id, event_type, value). */
+  case class AsofEtState(
+      rights: List[(Long, Long, Double)],
+      pending: List[(Long, Long, String, Double)])
+
+  /** Watermark-correct stateful streaming backward as-of. Unlike
+    * [[asofStateful]] — which emits each left in its arrival batch and is
+    * exact only when a left's matching rights never arrive in a LATER
+    * batch — this variant holds every left in state until the watermark
+    * passes its event time. A right for a pending left `l` must satisfy
+    * `r.ts <= l.ts`; once `watermark > l.ts`, any such right would be
+    * late beyond the watermark and Spark drops it before the operator, so
+    * finalizing `l` is safe: out-of-order lefts AND rights within the
+    * `delay` bound are matched exactly, and rows later than that are
+    * dropped by the engine (the standard watermark contract), never
+    * silently mis-matched.
+    *
+    * State stays bounded without any tolerance: every still-possible left
+    * has `ts >= watermark`, so among rights at or below the watermark
+    * only the LATEST can ever be a backward match — the rest are
+    * dominated and dropped each batch (plus a `tolerance` cut when set).
+    * Emission is driven by `EventTimeTimeout`, so pending lefts drain on
+    * watermark advance even in a batch with no rows for the key.
+    *
+    * The cost of exactness is latency: output trails the data by `delay`
+    * (plus one micro-batch). Verified against batch semantics with late
+    * data in StreamingSpec. */
+  def asofStatefulEventTime(
+      spark: SparkSession,
+      events: DataFrame,
+      delay: String = "10 seconds",
+      tolerance: Long = -1L): Dataset[AsofMatch] = {
+    import spark.implicits._
+    val tagged = events
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"), col("value"),
+        (col("event_type") === "click").as("is_right"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .withWatermark("event_time", delay)
+      .as[AsofTaggedT]
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[AsofTaggedT], state: GroupState[AsofEtState]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // rows beyond the watermark are dropped HERE as well as by the
+          // engine's late filter: a left below wm would otherwise emit
+          // instantly against a rights buffer whose older entries were
+          // already compressed away — a wrong answer, not a late one
+          val batch = rows.toVector.filter(_.ts_us >= wmUs)
+          val (r, l) = batch.partition(_.is_right)
+          val prev = state.getOption.getOrElse(AsofEtState(Nil, Nil))
+          val rights = (prev.rights ++
+            r.map(x => (x.ts_us, x.event_id, x.value))).sorted.toArray
+          val pendingAll = prev.pending ++
+            l.map(x => (x.ts_us, x.event_id, x.event_type, x.value))
+          // finalize strictly below the watermark: a row AT the watermark
+          // is still accepted by the engine, so a right at exactly wm
+          // could yet arrive for a left at wm
+          val (ready, still) = pendingAll.partition(_._1 < wmUs)
+          // dominated-right compression: future lefts have ts >= wm, so
+          // of the rights at or below wm only the latest can match
+          val live =
+            if (tolerance >= 0) rights.dropWhile(_._1 < wmUs - tolerance)
+            else rights
+          val (below, above) = live.partition(_._1 <= wmUs)
+          val keep = below.lastOption.toList ++ above.toList
+          if (still.isEmpty && keep.isEmpty) state.remove()
+          else {
+            state.update(AsofEtState(keep, still))
+            // re-fire this key when the watermark passes the oldest
+            // pending left (must be > current watermark: min still >= wm)
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(still.map(_._1).min / 1000L + 1L)
+          }
+          ready.sorted.iterator.map { case (ts, id, et, v) =>
+            var lo = 0; var hi = rights.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (rights(mid)._1 <= ts) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (ans < 0 || (tolerance >= 0 && ts - rights(ans)._1 > tolerance))
+              AsofMatch(id, ts, key, et, v, None, None, None)
+            else
+              AsofMatch(id, ts, key, et, v,
+                Some(rights(ans)._1), Some(rights(ans)._2), Some(rights(ans)._3))
+          }
+        })
+  }
+
   /** Run the stateful streaming as-of over a bounded replay and return
     * the final frame (the q_stream_asof_state verify surface — must
     * equal the batch q_asof_join answer). */
@@ -365,6 +460,48 @@ object JsonStream {
       val d = new java.io.File(srcPath)
       d.listFiles().foreach(_.delete()); d.delete()
     }
+    result
+  }
+
+  /** Bounded replay of the watermark-correct event-time as-of
+    * (q_stream_asof_et verify surface). The stream dir gets one synthetic
+    * far-future "click" for a key no real row uses (user_id = -1), so the
+    * final watermark passes every real left and the pending state drains
+    * in the closing no-data batch — the output then equals the batch
+    * backward as-of exactly (q_asof_join's oracle, shared verbatim). */
+  def asofStatefulEventTimeToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = java.nio.file.Paths.get(path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-asofet")
+    if (java.nio.file.Files.isRegularFile(p))
+      java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+    else
+      new java.io.File(path).listFiles().filter(_.isFile).foreach(f =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
+    val batchDf = spark.read.parquet(dir.toString)
+    val maxTs = batchDf.agg(max(col("ts"))).head().getLong(0)
+    // one watermark-pusher right, one hour past the last real event
+    batchDf.limit(1)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(maxTs + 3600L * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(0.0))
+      .write.mode("append").parquet(dir.toString)
+    val out = asofStatefulEventTime(spark,
+      readEvents(spark, dir.toString).drop("event_ts"), delay = "1 second")
+    val sink = s"graft_stream_asofet_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.toDF().writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    val d = new java.io.File(dir.toString)
+    d.listFiles().foreach(_.delete()); d.delete()
     result
   }
 

@@ -680,6 +680,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("IVF+PQ re-rank at DEFAULT parameters recovers >=0.95 recall@20 on clustered vectors") {
+    // the ScaleProbe sweep corpus at spec scale: 2048 latent centroids ×
+    // 20 members in 64-dim, noise 0.15 — the regime real embeddings live
+    // in; the true cosine top-20 is essentially the query's own cluster,
+    // separated from the rest by far more than the quantization error.
+    // (On uniform random vectors recall is quantization-bound ~0.7 even
+    // probing all cells — structureless data is not the operator's
+    // contract; the sweep table in SURVEY §8.2 documents both regimes.)
+    val s = spark
+    val n = 40960L
+    val emb = s.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => ((graft.operators.mix64(pmod(col("id"), lit(2048)) * 64 + j, 101L).cast("double") /
+            lit(9.223372036854776e18)) +
+          (graft.operators.mix64(col("id") * 64 + j, 23L).cast("double") /
+            lit(9.223372036854776e18)) * lit(0.15)).cast("float")).as("embedding"))
+      .cache()
+    try {
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      val exactCos = emb.select(col("vec_id"), col("embedding")).collect()
+        .map { r =>
+          val v = r.getSeq[Float](1)
+          var d = 0.0; var nn = 0.0; var i = 0
+          while (i < q.length) {
+            d += q(i).toDouble * v(i).toDouble; nn += v(i).toDouble * v(i).toDouble
+            i += 1
+          }
+          (r.getLong(0), d / (qn * math.sqrt(nn)))
+        }.sortBy { case (id, c) => (-c, id) }.take(20).map(_._1).toSet
+      val rr = Similarity.ivfPqRerankTopK(emb, "vec_id", "embedding", q, 20)
+        .collect().map(_.getLong(0))
+      val recall = rr.count(exactCos.contains) / 20.0
+      assert(recall >= 0.95, s"default-config rerank recall@20 = $recall")
+    } finally emb.unpersist()
+  }
+
   test("residual PQ beats flat PQ on clustered data at equal code budget") {
     val s = spark
     import s.implicits._
@@ -1023,6 +1061,28 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
       (5L, 0L), (6L, 1L)), got)
+  }
+
+  test("sessionize agrees with Spark's native session_window (inclusive gap)") {
+    val s = spark
+    import s.implicits._
+    // planted boundaries: diff == gap (merges, BOTH rules are inclusive)
+    // and diff == gap+1 (breaks); plus a pseudo-random tail
+    val planted = Seq((1L, "u1", 100L), (2L, "u1", 150L), (3L, "u1", 201L))
+    val rnd = (10 to 200).map(i =>
+      (i.toLong, s"u${i % 5}", ((i * 2654435761L) % 5000L)))
+    val ev = (planted ++ rnd).toDF("event_id", "key", "t")
+    val ours = Joins.sessionize(ev, "key", "t", "event_id", gap = 50L)
+      .groupBy(col("key"), col("session_idx"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .select(col("key"), col("t0"), col("t1"), col("n"))
+      .orderBy(col("key"), col("t0")).collect().toSeq
+    val native = ev
+      .groupBy(col("key"), session_window(timestamp_seconds(col("t")), "50 seconds"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .select(col("key"), col("t0"), col("t1"), col("n"))
+      .orderBy(col("key"), col("t0")).collect().toSeq
+    assert(ours == native, s"ours=$ours native=$native")
   }
 
   test("chunkDocs: full coverage with overlap, short tail, short-doc identity") {

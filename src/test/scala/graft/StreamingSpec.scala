@@ -139,6 +139,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time stateful as-of: late rights within the watermark match exactly") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sink = "asof_et_test"
+    val q = JsonStream.asofStatefulEventTime(s, events, delay = "5 seconds")
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // ts in ns; µs = ts/1000. batch 1: right at 1s, left l1 at 10s.
+      // Watermark is still 0 during the batch → l1 stays pending.
+      ms.addData((10L, 1000000000L, 1L, "click", 1.0),
+        (1L, 10000000000L, 1L, "view", 0.0))
+      q.processAllAvailable()
+      assert(s.table(sink).count() == 0, "nothing may finalize before the watermark")
+      // batch 2: LATE rights at 6s and 8s (behind l1, ahead of the 5s
+      // watermark → accepted) plus a pusher right at 30s. Watermark
+      // advances to 25s; the event-time timeout drains l1, which must
+      // match the late 8s right — the exact case asofStateful gets wrong.
+      ms.addData((11L, 6000000000L, 1L, "click", 2.0),
+        (12L, 8000000000L, 1L, "click", 3.0),
+        (13L, 30000000000L, 1L, "click", 4.0))
+      q.processAllAvailable()
+      val got1 = s.table(sink).orderBy("event_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(5)) null else (r.getLong(5), r.getLong(6)))).toSeq
+      assert(got1 == Seq((1L, (8000000L, 12L))), got1.mkString("\n"))
+      // batch 3: a left at 3s is beyond the 25s watermark → dropped (its
+      // true match was compressed away; emitting would be wrong, not
+      // late). A fresh left at 26s matches the compressed 8s right (the
+      // dominated 1s/6s rights can never be a backward match for any
+      // left at/after the watermark). A 40s right pushes the watermark.
+      ms.addData((2L, 3000000000L, 1L, "view", 0.0),
+        (3L, 26000000000L, 1L, "view", 0.0),
+        (14L, 40000000000L, 1L, "click", 5.0))
+      q.processAllAvailable()
+      val got2 = s.table(sink).orderBy("event_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(5)) null else (r.getLong(5), r.getLong(6)))).toSeq
+      assert(got2 == Seq(
+        (1L, (8000000L, 12L)),
+        (3L, (8000000L, 12L))), // event 2 absent: beyond-watermark drop
+        got2.mkString("\n"))
+    } finally q.stop()
+  }
+
   test("stateful as-of pruning: monotonic horizon, out-of-order lefts dropped not mis-matched") {
     val s = spark
     import s.implicits._
