@@ -76,7 +76,23 @@ object Plans {
       ("range (point-in-interval) join: right intervals explode to the " +
         "bins they overlap, the match is a hash equi-join on the bin " +
         "key + a residual between filter — no CartesianProduct, no " +
-        "BroadcastNestedLoopJoin anywhere"))
+        "BroadcastNestedLoopJoin anywhere"),
+    "q_asof_salted" ->
+      ("SKEW-SAFE salted as-of join: the carry windows partition on " +
+        "(key, time-bin) so one hot key spreads over numBins tasks — " +
+        "per-task volume is capped at ~1/numBins of the key at ANY " +
+        "skew; the boundary fix-up joins the tiny per-(key,bin) " +
+        "closing-carry frame back with a shuffle-hash join that REUSES " +
+        "the window's (key,bin) partitioning (no re-sort of the big " +
+        "side, no SortMergeJoin); same answer as q_asof_join " +
+        "(shared oracle verbatim)"),
+    "q_knn_join" ->
+      ("batch kNN join: every query row retrieves its exact cosine " +
+        "top-k in ONE corpus scan — the query matrix is a broadcast, " +
+        "the M×N pairing happens inside a per-partition bounded-heap " +
+        "fold (MapPartitions), and the only Exchange carries the " +
+        "candidate set (numPartitions × M × k rows): NO join operator " +
+        "of any kind, the corpus vectors never shuffle"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -357,6 +357,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // batch kNN JOIN: each of the 5 lowest-id embeddings retrieves its
+    // exact cosine top-10 in ONE corpus scan — per-partition bounded
+    // heaps, only candidates shuffle (never the M×N cross product)
+    "q_knn_join" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.knnJoin(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), desc("cos"), col("vec_id"))
+    }),
+
     // SRP-LSH-bucketed approximate neighbor search (scale path); the
     // deterministic hyperplanes are replicated as literals in the oracle
     "q_ann_lsh" -> ((s, dir) => {
@@ -1374,6 +1384,19 @@ object SparkEntry {
         |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
         | FROM embeddings e, q
         | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q_knn_join" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
+        | scored AS (SELECT q.qid, e.vec_id,
+        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
+        |  FROM embeddings e, q)
+        | SELECT qid, vec_id, cos FROM (
+        |  SELECT qid, vec_id, cos,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        | WHERE rn <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin.replaceAll("\n", " "),
+
     // the MixBucket kernel's mod-2^64 wraparound, replicated with HUGEINT
     "q_mix_sources" ->
       s"""SELECT doc_id, source FROM documents

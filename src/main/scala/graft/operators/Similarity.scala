@@ -50,6 +50,101 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-nearest-neighbor JOIN: for EACH query row, the top-k corpus
+    * rows by cosine — the batch-retrieval shape (semantic dedup against a
+    * seed set, eval-set retrieval, hard-negative mining) that the
+    * single-query ops don't cover.
+    *
+    * Scale design: the query side is collected to the driver (guarded by
+    * `maxQueries` with a loud failure — it is the SMALL side by contract)
+    * and broadcast as a dense matrix; the corpus is scanned ONCE with a
+    * per-partition bounded heap per query (`mapPartitions` — a cross-row
+    * bounded-state fold that no Expression or built-in aggregate
+    * expresses), so the only shuffled rows are the candidates:
+    * numPartitions × M × k, never the M × N cross product a
+    * crossJoin+window plan would exchange. A final window top-k over the
+    * tiny candidate set settles ranks. Ranking is (cosine ROUNDED to 6
+    * decimals DESC, corpus id ASC) — rounded so the DuckDB oracle's
+    * float folds agree bit-for-bit with the JVM's (q_knn_join).
+    * Zero-norm and NULL vectors on either side never match (cosine is
+    * undefined there; skipped, not NaN-ranked). Output: `qid` (the query
+    * id — fixed name so corpus and queries may share an id column name),
+    * `idCol`, `cos`, one row per (query, neighbor). */
+  def knnJoin(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      maxQueries: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .where(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"query side exceeds maxQueries=$maxQueries rows — knnJoin broadcasts " +
+        "the queries by design; raise maxQueries only if they fit the driver")
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    val qNorms = qVecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+    val data = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+    // per-partition worst-first heaps: head = lowest cos, then highest id
+    val worstFirst = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val cands = data.mapPartitions { it =>
+      val (ids, vecs, norms) = bc.value
+      val m = ids.length
+      val heaps = Array.fill(m)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+      it.foreach { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        val norm = math.sqrt(n)
+        if (norm > 0.0) {
+          var qi = 0
+          while (qi < m) {
+            if (norms(qi) > 0.0) {
+              val qv = vecs(qi)
+              val d = math.min(qv.length, v.length)
+              var dot = 0.0
+              var j = 0
+              while (j < d) { dot += qv(j).toDouble * v(j); j += 1 }
+              val cos = dot / (norm * norms(qi))
+              val cand = (cos, id)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue(cand)
+              else if (worstFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+            }
+            qi += 1
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (cos, id) => (ids(qi), id, cos) }
+      }
+    }
+    cands.toDF("qid", idCol, "cos_exact")
+      .withColumn("cos", round(col("cos_exact"), 6))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(desc("cos"), col(idCol))))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("cos"))
+  }
+
   /** Train IVF centroids with Lloyd iterations over a bounded,
     * deterministic sample (id-ordered limit — reproducible across runs).
     * The sample is driver-side by design: it is CAPPED, independent of

@@ -680,6 +680,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("knnJoin: batch top-k equals per-query brute force, deterministic, guarded") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val got = Similarity.knnJoin(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), desc("cos"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == 15, s"3 queries x k=5, got ${got.size}")
+    // each query's block equals the single-query brute force (same
+    // rounded-cos ranking the oracle uses)
+    for (qid <- 0L to 2L) {
+      val q = emb.where(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val bf = emb.select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), typedlit(q)), 6).as("cos"))
+        .orderBy(desc("cos"), col("vec_id")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got.filter(_._1 == qid).map(_._2) == bf, s"query $qid")
+      // self is its own nearest neighbor
+      assert(got.filter(_._1 == qid).head._2 == qid)
+    }
+    // deterministic across partitioning
+    val again = Similarity.knnJoin(emb.repartition(7), "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), desc("cos"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == again)
+    // the query side is broadcast by contract — a too-big side fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, maxQueries = 10)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+  }
+
   test("IVF+PQ re-rank at DEFAULT parameters recovers >=0.95 recall@20 on clustered vectors") {
     // the ScaleProbe sweep corpus at spec scale: 2048 latent centroids ×
     // 20 members in 64-dim, noise 0.15 — the regime real embeddings live

@@ -227,6 +227,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(after <= before + 1, s"cached RDDs grew from $before to $after")
   }
 
+  test("knnJoin: no join operator anywhere — candidates-only exchange") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = operators.Similarity.knnJoin(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the M×N pairing happens inside the per-partition heap fold; the
+    // plan must contain NO join of any kind and the corpus vectors must
+    // never shuffle — the only exchange carries the tiny candidate set
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 candidate exchange, got $exchanges:\n$plan")
+    assert(df.count() == 50)
+  }
+
   test("IVF+PQ code table: cell-partitioned codes, pruned probe, vectors never read") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
