@@ -218,8 +218,12 @@ object Joins {
     val matchedTime = s"asof_$timeCol"
     require(!leftCols.contains(matchedTime) && !carry.contains(matchedTime),
       s"$matchedTime is reserved for the matched right time")
-    require(!leftCols.contains("__bin") && !right.columns.contains("__bin"),
-      "__bin is reserved")
+    val reserved = Seq("__bin", "__k", "__side", "__rv", "__wb", "__wf",
+      "__incB", "__incF")
+    val reservedClash = reserved.filter(c =>
+      leftCols.contains(c) || right.columns.contains(c))
+    require(reservedClash.isEmpty,
+      s"${reservedClash.mkString(", ")} reserved by asofJoinSalted — rename first")
 
     // bin boundaries: min/max time over both sides — a partial-aggregated
     // scan collapsing to one driver row (bounded at any scale). Bins only
@@ -242,9 +246,15 @@ object Joins {
     val rv = struct((col(timeCol).as(matchedTime) +: carry.map(col)): _*)
     val rvType = right.select(rv.as("__rv")).schema("__rv").dataType
     val leftSchema = left.schema
+    // `__k` wraps the key in a single-field struct: Spark treats NULLs
+    // inside complex types as EQUAL in grouping, distinct, and equi-joins,
+    // so NULL keys flow through the boundary fix-up join exactly as they
+    // flow through the windows — a bare-key equi-join would drop them
+    // (null != null) and silently lose cross-bin carries for the NULL key
     val lBin = left.select(
       leftCols.map(col) ++ Seq(lit(1).as("__side"), lit(null).cast(rvType).as("__rv"),
         binOf(col(timeCol)).as("__bin")): _*)
+      .withColumn("__k", struct(col(keyCol)))
     val rBin = right
       .where(col(timeCol).isNotNull)
       .select(
@@ -252,11 +262,12 @@ object Joins {
           if (c == keyCol || c == timeCol) col(c)
           else lit(null).cast(leftSchema(c).dataType).as(c)) ++
           Seq(lit(0).as("__side"), rv.as("__rv"), binOf(col(timeCol)).as("__bin")): _*)
+      .withColumn("__k", struct(col(keyCol)))
     val unioned = lBin.unionByName(rBin)
 
     // pass 1: the union-and-carry windows, per (key, bin) — same ordering
     // contract as asofJoinDirected, partition volume capped by the binning
-    def w(timeOrder: Column) = Window.partitionBy(col(keyCol), col("__bin"))
+    def w(timeOrder: Column) = Window.partitionBy(col("__k"), col("__bin"))
       .orderBy(timeOrder, col("__side").asc,
         col("__rv").getField(rightIdCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -282,29 +293,29 @@ object Joins {
        else Nil) ++
       (if (needF) Seq(max_by(col("__rv"), struct(col(timeCol) * -1, ridIn)).as("__openF"))
        else Nil)
-    val closing = rBin.groupBy(col(keyCol), col("__bin"))
+    val closing = rBin.groupBy(col("__k"), col("__bin"))
       .agg(closingAggs.head, closingAggs.tail: _*)
-    val pairs = lBin.select(col(keyCol), col("__bin"))
-      .unionByName(rBin.select(col(keyCol), col("__bin")))
+    val pairs = lBin.select(col("__k"), col("__bin"))
+      .unionByName(rBin.select(col("__k"), col("__bin")))
       .distinct()
-    val wIncB = Window.partitionBy(col(keyCol)).orderBy(col("__bin").asc)
+    val wIncB = Window.partitionBy(col("__k")).orderBy(col("__bin").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wIncF = Window.partitionBy(col(keyCol)).orderBy(col("__bin").desc)
+    val wIncF = Window.partitionBy(col("__k")).orderBy(col("__bin").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    var incoming = pairs.join(closing, Seq(keyCol, "__bin"), "left")
+    var incoming = pairs.join(closing, Seq("__k", "__bin"), "left")
     if (needB) incoming = incoming.withColumn("__incB",
       last(col("__closeB"), ignoreNulls = true).over(wIncB))
     if (needF) incoming = incoming.withColumn("__incF",
       last(col("__openF"), ignoreNulls = true).over(wIncF))
     incoming = incoming.select(
-      Seq(col(keyCol), col("__bin")) ++
+      Seq(col("__k"), col("__bin")) ++
         (if (needB) Seq(col("__incB")) else Nil) ++
         (if (needF) Seq(col("__incF")) else Nil): _*)
 
     // shuffle-hash (not SMJ): the big carried side reuses the window's
     // (key, bin) partitioning and is never re-sorted; only the tiny
     // incoming frame builds hash tables
-    val fixed = carried.join(incoming.hint("shuffle_hash"), Seq(keyCol, "__bin"), "left")
+    val fixed = carried.join(incoming.hint("shuffle_hash"), Seq("__k", "__bin"), "left")
     val onlyLeft = fixed.where(col("__side") === 1)
     val chosen = asofChoose(direction, timeCol, matchedTime, tolerance,
       coalesce(col("__wb"), col("__incB")), coalesce(col("__wf"), col("__incF")))

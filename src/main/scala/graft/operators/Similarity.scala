@@ -65,7 +65,11 @@ object Similarity {
     * crossJoin+window plan would exchange. A final window top-k over the
     * tiny candidate set settles ranks. Ranking is (cosine ROUNDED to 6
     * decimals DESC, corpus id ASC) — rounded so the DuckDB oracle's
-    * float folds agree bit-for-bit with the JVM's (q_knn_join).
+    * float folds agree bit-for-bit with the JVM's (q_knn_join). The
+    * rounding happens BEFORE heap insertion (HALF_UP, same as Spark's
+    * `round`): ranking exact values inside the heap but rounded ones in
+    * the final window would evict rounded-tied rows in id-DESC order at
+    * the k boundary — a partitioning-dependent, oracle-diverging order.
     * Zero-norm and NULL vectors on either side never match (cosine is
     * undefined there; skipped, not NaN-ranked). Output: `qid` (the query
     * id — fixed name so corpus and queries may share an id column name),
@@ -122,7 +126,8 @@ object Similarity {
               var dot = 0.0
               var j = 0
               while (j < d) { dot += qv(j).toDouble * v(j); j += 1 }
-              val cos = dot / (norm * norms(qi))
+              val cos = java.math.BigDecimal.valueOf(dot / (norm * norms(qi)))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
               val cand = (cos, id)
               val h = heaps(qi)
               if (h.size < k) h.enqueue(cand)
@@ -136,8 +141,7 @@ object Similarity {
         h.iterator.map { case (cos, id) => (ids(qi), id, cos) }
       }
     }
-    cands.toDF("qid", idCol, "cos_exact")
-      .withColumn("cos", round(col("cos_exact"), 6))
+    cands.toDF("qid", idCol, "cos")
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(desc("cos"), col(idCol))))

@@ -274,12 +274,15 @@ object JsonStream {
     * where "max left time" is tracked MONOTONICALLY across micro-batches
     * in the state itself — nothing (no watermark) forces lefts to arrive
     * in event-time order, so the horizon must never be derived from one
-    * batch alone. A left that arrives BELOW an already-applied horizon
-    * (out-of-order beyond tolerance) may have had its matches pruned;
-    * such lefts are DROPPED from the output (documented, loud-by-schema)
-    * rather than silently emitted with a wrong/absent match. Unbounded
-    * tolerance keeps the full right history and never drops a left (the
-    * price of point-in-time correctness over an unbounded stream). */
+    * batch alone. A left that arrives below the max left time an EARLIER
+    * batch reached may have had its matches pruned (its in-tolerance
+    * window can dip below the prune line even when the left itself is
+    * within tolerance of the horizon); such lefts are DROPPED from the
+    * output (documented, loud-by-schema) rather than silently emitted
+    * with a wrong/absent match. For out-of-order-tolerant exactness use
+    * [[asofStatefulEventTime]]. Unbounded tolerance keeps the full right
+    * history and never drops a left (the price of point-in-time
+    * correctness over an unbounded stream). */
   def asofStateful(
       spark: SparkSession,
       events: DataFrame,
@@ -315,12 +318,19 @@ object JsonStream {
           } else {
             state.update(AsofBuffer(buf.toList, maxLeft))
           }
-          // a left below the horizon ALREADY APPLIED in earlier batches
-          // may have lost its matches to pruning — drop it rather than
-          // emit a silently wrong answer (scaladoc'd contract)
+          // a left below the PREVIOUS max left may have lost its matches
+          // to pruning — drop it rather than emit a silently wrong
+          // answer. The floor is prevMaxLeft itself, NOT prevMaxLeft −
+          // tolerance: earlier batches pruned rights below
+          // (prevMaxLeft − tolerance), and a left at ts in
+          // [prevMaxLeft − tolerance, prevMaxLeft) can have a true match
+          // in exactly that pruned band (its in-tolerance window
+          // [ts − tolerance, ts] dips below the prune line) — emitting
+          // it would fabricate a no-match. Only lefts at or above
+          // prevMaxLeft have their whole tolerance window provably
+          // unpruned.
           val emitFloor =
-            if (tolerance >= 0 && prevMaxLeft != Long.MinValue)
-              prevMaxLeft - tolerance
+            if (tolerance >= 0 && prevMaxLeft != Long.MinValue) prevMaxLeft
             else Long.MinValue
           lefts.iterator.filter(_.ts_us >= emitFloor).map { l =>
             // rightmost buffer index with time <= l.ts_us
@@ -479,30 +489,39 @@ object JsonStream {
     else
       new java.io.File(path).listFiles().filter(_.isFile).foreach(f =>
         java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
-    val batchDf = spark.read.parquet(dir.toString)
-    val maxTs = batchDf.agg(max(col("ts"))).head().getLong(0)
-    // one watermark-pusher right, one hour past the last real event
-    batchDf.limit(1)
-      .withColumn("event_id", lit(-1L))
-      .withColumn("ts", lit(maxTs + 3600L * 1000000000L))
-      .withColumn("user_id", lit(-1L))
-      .withColumn("event_type", lit("click"))
-      .withColumn("value", lit(0.0))
-      .write.mode("append").parquet(dir.toString)
-    val out = asofStatefulEventTime(spark,
-      readEvents(spark, dir.toString).drop("event_ts"), delay = "1 second")
-    val sink = s"graft_stream_asofet_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = out.toDF().writeStream
-      .format("memory").queryName(sink)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = spark.table(sink).localCheckpoint(true)
-    spark.catalog.dropTempView(sink)
-    val d = new java.io.File(dir.toString)
-    d.listFiles().foreach(_.delete()); d.delete()
-    result
+    try {
+      val batchDf = spark.read.parquet(dir.toString)
+      val maxRow = batchDf.agg(max(col("ts"))).head()
+      // empty input: nothing to replay, nothing will ever emit
+      if (maxRow.isNullAt(0)) {
+        import spark.implicits._
+        return Seq.empty[AsofMatch].toDS().toDF()
+      }
+      val maxTs = maxRow.getLong(0)
+      // one watermark-pusher right, one hour past the last real event
+      batchDf.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", lit(maxTs + 3600L * 1000000000L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(0.0))
+        .write.mode("append").parquet(dir.toString)
+      val out = asofStatefulEventTime(spark,
+        readEvents(spark, dir.toString).drop("event_ts"), delay = "1 second")
+      val sink = s"graft_stream_asofet_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.toDF().writeStream
+        .format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = spark.table(sink).localCheckpoint(true)
+      spark.catalog.dropTempView(sink)
+      result
+    } finally {
+      val d = new java.io.File(dir.toString)
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
   }
 
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)

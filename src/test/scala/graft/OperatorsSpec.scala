@@ -1010,6 +1010,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinSalted: NULL keys carry across bins like asofJoinDirected") {
+    val s = spark
+    import s.implicits._
+    // the window partitioning groups NULL keys, so the boundary fix-up
+    // join must too (struct-wrapped key: NULLs inside complex types are
+    // equal in equi-joins) — a bare-key join would drop the carry
+    val left = Seq(
+      (1L, Option.empty[String], Some(1000L)),
+      (2L, Some("k1"), Some(1000L))
+    ).toDF("event_id", "key", "t")
+    val right = Seq(
+      (Option.empty[String], Some(10L), 50L, "n"),
+      (Some("k1"), Some(10L), 60L, "k")
+    ).toDF("key", "t", "rid", "rv")
+    for (dir <- Seq("backward", "forward", "nearest"); bins <- Seq(4, 64)) {
+      val want = Joins.asofJoinDirected(left, right, "key", "t", "rid", Seq("rv"), -1L, dir)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      val got = Joins.asofJoinSalted(left, right, "key", "t", "rid", Seq("rv"), -1L, dir, bins)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(got == want, s"direction=$dir numBins=$bins:\n$got\nvs\n$want")
+    }
+    // and the NULL-key match is REAL, not a vacuous both-sides-missing
+    // agreement: right@10 and left@1000 land in different bins at 64
+    // bins, so this exercises the cross-bin incoming carry
+    val got = Joins.asofJoinSalted(left, right, "key", "t", "rid", Seq("rv"),
+        -1L, "backward", 64)
+      .where(col("event_id") === 1L).collect()(0)
+    assert(got.getLong(got.fieldIndex("rid")) == 50L, got.toString)
+  }
+
   test("rangeJoin: inclusive boundaries, bin edges, keys, degenerate intervals") {
     val s = spark
     import s.implicits._

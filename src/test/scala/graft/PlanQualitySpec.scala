@@ -344,8 +344,10 @@ class PlanQualitySpec extends AnyFunSuite {
       keyCol = "user_id", timeCol = "ts_us",
       rightIdCol = "click_id", rightValueCols = Seq("click_value"))
     val plan = df.queryExecution.executedPlan.toString
-    // the carry window partitions on (key, bin) — the skew-split claim
-    assert("windowspecdefinition\\(user_id#\\d+L, __bin".r.findFirstIn(plan).isDefined, plan)
+    // the carry window partitions on (key, bin) — the skew-split claim;
+    // the key rides in the struct-wrapped __k (null-safe for the
+    // boundary fix-up join)
+    assert("windowspecdefinition\\(__k#\\d+, __bin".r.findFirstIn(plan).isDefined, plan)
     // exactly one Exchange moves the full-width union (the window's);
     // its partitioning includes the bin column
     assert("Exchange hashpartitioning\\([^)]*__bin[^)]*\\)[^\n]*\n[\\s:]*\\+- Union".r

@@ -27,7 +27,7 @@ class ReferenceCoverageSpec extends AnyFunSuite {
   private val refMain = new File("/root/reference/tests/main.rs")
 
   private lazy val referenceTests: Seq[String] =
-    "async fn (test_[a-z0-9_]+)".r
+    "(?:async )?fn (test_[a-z0-9_]+)".r
       .findAllMatchIn(new String(Files.readAllBytes(refMain.toPath), "UTF-8"))
       .map(_.group(1)).toSeq
 
@@ -210,6 +210,12 @@ class ReferenceCoverageSpec extends AnyFunSuite {
     "test_json_from_scalar_large_utf8_column" -> naLarge,
     "test_json_from_scalar_utf8_view_column" -> naLarge,
     "test_json_from_scalar_null_column" -> "JsonFunctionsSpec: json_from_scalar sweep",
+    // -- direct-UDF invocation tests (non-async; tests/main.rs:690-822) --
+    "test_json_get_utf8" -> "JsonNavSpec: incomplete documents resolve paths that lie before the break",
+    "test_json_get_large_utf8" -> naLarge,
+    "test_json_as_text_null_array_scalar_path" -> "JsonFunctionsSpec: null and invalid inputs never error",
+    "test_json_get_int_null_array_array_path" -> "JsonFunctionsSpec: null and invalid inputs never error",
+    "test_json_get_null_array_union_return" -> "JsonFunctionsSpec: null and invalid inputs never error",
     // -- json_union_to_text --
     "test_json_union_to_text" -> "JsonFunctionsSpec: json_union_to_text arms",
     "test_json_union_to_text_arms" -> "JsonFunctionsSpec: json_union_to_text arms")

@@ -139,6 +139,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful as-of: a left in the tolerance band below prevMaxLeft is dropped, not no-matched") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sink = "asof_state_band_test"
+    val q = JsonStream.asofStateful(s, events, tolerance = 100L).toDF().writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // batch 1: right at 880 µs, left at 1000 µs — gap 120 > 100, so the
+      // left emits a TRUE no-match; the prune line becomes 1000-100 = 900
+      // and discards the 880 right
+      ms.addData((10L, 880000L, 1L, "click", 2.0), (1L, 1000000L, 1L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: a left at 950 µs sits in [prevMaxLeft - tolerance,
+      // prevMaxLeft) = [900, 1000). Its true match is the PRUNED right at
+      // 880 (gap 70 <= 100) — emitting it would fabricate a no-match, so
+      // it must be DROPPED entirely
+      ms.addData((2L, 950000L, 1L, "view", 0.0))
+      q.processAllAvailable()
+      val got = s.table(sink).orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.isNullAt(5))).toSeq
+      assert(got == Seq((1L, true)), got.mkString("\n"))
+    } finally q.stop()
+  }
+
   test("event-time stateful as-of: late rights within the watermark match exactly") {
     val s = spark
     import s.implicits._
