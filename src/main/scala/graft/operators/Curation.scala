@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -235,10 +235,58 @@ object Curation {
       numShards: Int,
       path: String,
       salt: Long = 4243L): Unit =
+    shardWriter(docs, idCol, numShards, salt).mode("overwrite").parquet(path)
+
+  /** Incremental variant of [[writeShards]]: APPEND a new batch of docs
+    * into an existing shard layout (same salt → the same id always lands
+    * in the same shard). Each append adds one file per touched shard —
+    * after many appends the small files dominate scan cost; run
+    * [[compactShards]] to restore the one-sorted-file-per-shard
+    * invariant. */
+  def appendShards(
+      docs: DataFrame,
+      idCol: String,
+      numShards: Int,
+      path: String,
+      salt: Long = 4243L): Unit =
+    shardWriter(docs, idCol, numShards, salt).mode("append").parquet(path)
+
+  private def shardWriter(
+      docs: DataFrame,
+      idCol: String,
+      numShards: Int,
+      salt: Long) =
     assignShards(docs, idCol, numShards, salt)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_ord"), col(idCol))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      .write.partitionBy("shard")
+
+  /** Compact an appended shard layout back to ONE globally-sorted file
+    * per shard: read the whole layout, re-sort each shard by
+    * (shard_ord, id), rewrite, then atomically swap directories. The
+    * cost is one shuffle of the layout (hash on the shard value — each
+    * shard is exactly one task at any `spark.sql.shuffle.partitions`),
+    * the same price as the original write; small-file accumulation from
+    * incremental appends otherwise degrades every downstream scan
+    * (footer reads + non-contiguous IO dominate at 100 TB). The swap is
+    * delete-then-rename on the filesystem — run it when no reader holds
+    * the layout open (object stores: prefer writing to a new versioned
+    * path and flipping a pointer). */
+  def compactShards(spark: SparkSession, path: String, idCol: String): Unit = {
+    val src = spark.read.parquet(path)
+    require(src.columns.contains("shard") && src.columns.contains("shard_ord"),
+      s"$path is not a shard layout (missing shard/shard_ord)")
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    src.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_ord"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val dstPath = new org.apache.hadoop.fs.Path(path)
+    val fs = tmpPath.getFileSystem(conf)
+    fs.delete(dstPath, true)
+    require(fs.rename(tmpPath, dstPath), s"rename $tmp -> $path failed")
+  }
 
   /** The lazy curation pipeline; separated so plan-shape tests can
     * inspect the pre-materialization plan. Returns (cached slim

@@ -580,6 +580,35 @@ class OperatorsSpec extends AnyFunSuite {
           .collect().map(_.getLong(0)).toSeq
         assert(ords == ords.sorted, s"$d not sorted")
       }
+      // incremental append: a second batch lands in the same shards (same
+      // salt), adding files; compaction restores one sorted file per shard
+      // with all rows intact
+      Curation.appendShards((256L until 512L).toDF("doc_id"), "doc_id",
+        numShards = 8, path = tmp)
+      assert(s.read.parquet(tmp).count() == 512L)
+      def filesIn(d: String): Int = new java.io.File(s"$tmp/$d").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(dirs.exists(d => filesIn(d) > 1), "append should add files")
+      Curation.compactShards(s, tmp, "doc_id")
+      val dirs2 = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs2.toSeq == (0 until 8).map(i => s"shard=$i").sorted)
+      assert(dirs2.forall(d => filesIn(d) == 1), "compaction must leave one file per shard")
+      assert(s.read.parquet(tmp).count() == 512L)
+      // the per-shard sort invariant holds over the merged data
+      for (d <- dirs2) {
+        val ords = s.read.parquet(s"$tmp/$d").select("shard_ord")
+          .collect().map(_.getLong(0)).toSeq
+        assert(ords == ords.sorted, s"$d not sorted after compaction")
+      }
+      // assignment unchanged: every row still in its deterministic shard
+      val reassigned = Curation.assignShards(
+        s.read.parquet(tmp).select("doc_id"), "doc_id", numShards = 8)
+        .withColumnRenamed("shard", "expected_shard").select("doc_id", "expected_shard")
+      val moved = s.read.parquet(tmp).select(col("doc_id"), col("shard"))
+        .join(reassigned, "doc_id")
+        .where(col("shard") =!= col("expected_shard")).count()
+      assert(moved == 0L)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
