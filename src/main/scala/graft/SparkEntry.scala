@@ -367,6 +367,20 @@ object SparkEntry {
         .orderBy(col("qid"), desc("cos"), col("vec_id"))
     }),
 
+    // IVF-pruned batch kNN join: the scale path — each query scores only
+    // its 4 nearest of 16 trained cells (pushed cell filter; over a
+    // cell-partitioned layout, a partition-pruned read). The oracle
+    // replays training, per-query probes, and assignment value-level
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = operators.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", k = 16)
+      operators.Similarity.knnJoinIvf(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          nCells = 16, nProbe = 4, trainedCentroids = cents)
+        .orderBy(col("qid"), desc("cos"), col("vec_id"))
+    }),
+
     // SRP-LSH-bucketed approximate neighbor search (scale path); the
     // deterministic hyperplanes are replicated as literals in the oracle
     "q_ann_lsh" -> ((s, dir) => {
@@ -1029,6 +1043,39 @@ object SparkEntry {
 
   /** Full trained-IVF replica: the shared coarse Lloyd CTEs followed by
     * ivfTopK's probe-pruned exact-cosine scan and top-k. */
+  /** Multi-query IVF kNN-join replica: the shared coarse-training CTEs
+    * (ivfCoarseCtes — Lloyd loops, final centroids `cnf`, full-table
+    * assignment `vcell`), then per-QUERY probe sets and a probe-restricted
+    * top-k per query. Selection ranks by RAW cosine (both engines fold
+    * doubles in the same order), display rounds to 6 — the exact
+    * convention q_ann_ivf pins. */
+  private def knnIvfOracleSql(
+      iters: Int = 5, k: Int = 16, nProbe: Int = 4,
+      dim: Int = 64, topK: Int = 10, sampleCap: Int = 2048,
+      nQueries: Int = 5): String = {
+    def zipfold(a: String, b: String): String = foldDot(a, b, dim)
+    val tail =
+      s"""qvm AS MATERIALIZED (SELECT vec_id AS qid, e AS qe, na AS qna
+         |  FROM avn WHERE vec_id < $nQueries),
+         |prm AS (SELECT qid, cell FROM (
+         |  SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid ORDER BY
+         |    CASE WHEN q.qna = 0 OR c.nb = 0 THEN -2.0
+         |         ELSE ${zipfold("q.qe", "c.cd")} / (sqrt(q.qna) * sqrt(c.nb)) END DESC, c.cell ASC) AS rk
+         |  FROM cnf c CROSS JOIN qvm q) WHERE rk <= $nProbe),
+         |selm AS (SELECT q.qid, v.vec_id,
+         |  ${zipfold("v.e", "q.qe")} / (sqrt(v.na) * sqrt(q.qna)) AS rawcos
+         |  FROM avn v JOIN vcell w ON v.vec_id = w.vec_id
+         |  JOIN prm p ON w.cell = p.cell
+         |  JOIN qvm q ON q.qid = p.qid
+         |  WHERE v.na <> 0 AND q.qna <> 0)
+         |SELECT qid, vec_id, cos FROM (
+         |  SELECT qid, vec_id, round(rawcos, 6) AS cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rawcos DESC, vec_id) AS rn
+         |  FROM selm) WHERE rn <= $topK
+         |ORDER BY qid, cos DESC, vec_id""".stripMargin
+    s"WITH ${ivfCoarseCtes(iters, k, nProbe, dim, sampleCap)},\n$tail".replaceAll("\n", " ")
+  }
+
   private def ivfOracleSql(
       iters: Int = 5, k: Int = 16, nProbe: Int = 4,
       dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048): String = {
@@ -1787,6 +1834,9 @@ object SparkEntry {
     // trained-IVF: Lloyd iterations + probe + top-k replayed in SQL with
     // ordered float folds (see ivfOracleSql)
     "q_ann_ivf" -> ivfOracleSql(),
+
+    // IVF-pruned kNN join: shared coarse CTEs + per-query probes
+    "q_knn_ivf" -> knnIvfOracleSql(),
 
     // PQ: per-subspace k-means + encode + ADC lookup replayed in SQL
     "q_ann_pq" -> pqOracleSql(),

@@ -149,6 +149,126 @@ object Similarity {
       .select(col("qid"), col(idCol), col("cos"))
   }
 
+  /** IVF-pruned batch kNN join — [[knnJoin]]'s scale path: each query
+    * scores ONLY the corpus rows in its `nProbe` nearest coarse cells.
+    * Conventions mirror the single-query IVF search exactly (q_ann_ivf's
+    * oracle replays them value-level): Lloyd training over the capped
+    * id-ordered sample, probe ties → smallest cell, assignment ties →
+    * largest cell ([[cellAssignment]]), RAW-cosine selection (rounded
+    * only for display), zero-norm vectors excluded outright.
+    *
+    * Scale design: on top of [[knnJoin]]'s candidates-only shuffle, the
+    * corpus scan carries a pushed `cell IN (union of probed cells)`
+    * filter — over a corpus persisted `partitionBy("cell")` (see
+    * [[cellAssignment]]) that is a partition-pruned read of at most
+    * nProbe·M/nCells of the data, and each row is scored only against
+    * the queries that probed its cell. Output: `qid`, `idCol`, `cos`
+    * (top-k per query among its probed cells — approximate exactly where
+    * IVF is: a true neighbor outside the probed cells is missed;
+    * [[knnJoin]] is the exact oracle). */
+  def knnJoinIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      sampleSize: Int = 2048,
+      iters: Int = 5,
+      maxQueries: Int = 4096,
+      trainedCentroids: Array[Array[Float]] = null): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, $nCells], got $nProbe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents0 =
+      if (trainedCentroids != null) trainedCentroids
+      else trainCentroids(corpus, idCol, vecCol, nCells, sampleSize, iters)
+    val cents = cents0.zipWithIndex.map(_.swap)
+    val centNorms = cents0.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .where(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"query side exceeds maxQueries=$maxQueries rows — knnJoinIvf broadcasts " +
+        "the queries by design; raise maxQueries only if they fit the driver")
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    val qNorms = qVecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    // per-query probe masks: top-nProbe cells by guarded cosine, ties →
+    // smallest cell (the oracle's `pr` CTE ordering)
+    val probeMask: Array[Array[Boolean]] = qVecs.zip(qNorms).map { case (qv, qn) =>
+      val keep = cents.map { case (cell, c) =>
+        val cn = centNorms(cell)
+        val s = if (qn == 0.0 || cn == 0.0) -2.0 else {
+          val d = math.min(qv.length, c.length)
+          var dot = 0.0; var i = 0
+          while (i < d) { dot += qv(i).toDouble * c(i); i += 1 }
+          dot / (qn * cn)
+        }
+        (s, cell)
+      }.sortBy { case (s, cell) => (-s, cell) }.take(nProbe).map(_._2).toSet
+      Array.tabulate(nCells)(keep.contains)
+    }
+    val unionCells = probeMask.flatMap(m => m.indices.filter(m)).distinct.sorted
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms, probeMask))
+    val worstFirst = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val data = corpus
+      .select(col(idCol).cast("long"), col(vecCol),
+        cellAssignment(col(vecCol), cents).as("__cell"))
+      .where(col("__cell").isin(unionCells.toIndexedSeq.map(Integer.valueOf): _*))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float], Int)]
+    val cands = data.mapPartitions { it =>
+      val (ids, vecs, norms, masks) = bc.value
+      val m = ids.length
+      val heaps = Array.fill(m)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+      it.foreach { case (id, v, cell) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        val norm = math.sqrt(n)
+        if (norm > 0.0) {
+          var qi = 0
+          while (qi < m) {
+            if (norms(qi) > 0.0 && masks(qi)(cell)) {
+              val qv = vecs(qi)
+              val d = math.min(qv.length, v.length)
+              var dot = 0.0
+              var j = 0
+              while (j < d) { dot += qv(j).toDouble * v(j); j += 1 }
+              val cand = (dot / (norm * norms(qi)), id)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue(cand)
+              else if (worstFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+            }
+            qi += 1
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (cos, id) => (ids(qi), id, cos) }
+      }
+    }
+    cands.toDF("qid", idCol, "cos_raw")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(desc("cos_raw"), col(idCol))))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col(idCol), round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** Train IVF centroids with Lloyd iterations over a bounded,
     * deterministic sample (id-ordered limit — reproducible across runs).
     * The sample is driver-side by design: it is CAPPED, independent of

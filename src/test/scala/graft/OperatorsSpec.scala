@@ -746,6 +746,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxQueries"))
   }
 
+  test("knnJoinIvf: probed-cell pruning, high recall vs exact knnJoin, deterministic") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val exact = Similarity.knnJoin(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing ALL cells = the same candidate set as exact; selection only
+    // differs at raw-vs-rounded boundary ties, so recall must be ~total
+    val allCells = Similarity.knnJoinIvf(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 8, trainedCentroids = cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact intersect allCells).size >= 13,
+      s"all-cell probe should nearly match exact: ${(exact diff allCells)}")
+    // the default pruned probe keeps most of the true neighbors
+    val pruned = Similarity.knnJoinIvf(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 3, trainedCentroids = cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pruned).size.toDouble / exact.size
+    assert(recall >= 0.6, s"pruned recall $recall")
+    // each query's own vector is its top hit (it lives in a probed cell
+    // by construction — the cell it is nearest to is probed first)
+    val top = Similarity.knnJoinIvf(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 3, trainedCentroids = cents)
+      .orderBy(col("qid"), desc("cos"), col("vec_id"))
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.head.getLong(1) }
+    assert(top == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), top.toString)
+    // deterministic across partitioning (trained index fixed)
+    val again = Similarity.knnJoinIvf(emb.repartition(7), "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 3, trainedCentroids = cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == again)
+  }
+
   test("IVF+PQ re-rank at DEFAULT parameters recovers >=0.95 recall@20 on clustered vectors") {
     // the ScaleProbe sweep corpus at spec scale: 2048 latent centroids ×
     // 20 members in 64-dim, noise 0.15 — the regime real embeddings live
