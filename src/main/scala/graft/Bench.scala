@@ -78,20 +78,35 @@ object Bench {
     val extResults: Map[String, Double] = time(extended, math.min(2, samples))
     def json(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Compact per-query encoding: 0.1 ms resolution. The driver captures
+    // only a fixed-size TAIL of stdout (~3 KB — BENCH_r08 recorded
+    // parsed:null because the full-precision line with the 40-query
+    // extended map grew past the window and lost its front). The final
+    // printed line must stay well under that budget; full precision and
+    // the extended map live in BENCH_LAST.json.
+    def jsonCompact(m: Map[String, Double]): String =
+      m.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.4f")
+      }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val extTotal = extResults.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"extended_total":$extTotal,"extended":${json(extResults)},"sf":"$sfDir"}"""
-    // Duplicate the metric to a fixed file so the result survives any
-    // stdout decoration by the build tool (sbt appends "[success] ..."
-    // after the program exits; BENCH_r01 recorded parsed:null).
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"extended_total":$extTotal,"extended":${json(extResults)},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":${jsonCompact(results)},"extended_total":${f"$extTotal%.4f"},"sf":"$sfDir"}"""
+    // Full detail to a fixed file: survives any stdout decoration or
+    // truncation by the build tool / driver capture.
     try {
       val w = new java.io.PrintWriter("BENCH_LAST.json")
-      try w.println(line) finally w.close()
+      try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
+    // Also print the full line EARLY (before Spark shutdown logging) for
+    // anyone reading complete stdout; the driver's tail-window parse uses
+    // the compact final line below.
+    println(full)
     spark.stop()
     // Print last, after Spark's shutdown logging, so the final stdout
-    // line of the run is the bare JSON object.
-    println(line)
+    // line of the run is a bare JSON object small enough to survive a
+    // tail-window capture whole.
+    println(compact)
     System.out.flush()
   }
 }

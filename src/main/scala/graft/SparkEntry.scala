@@ -1431,13 +1431,18 @@ object SparkEntry {
         |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
         | FROM embeddings e, q
         | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    // zero-norm guards pin the JVM's skip-zero-vectors convention (cosine
+    // undefined there; knnJoin drops them outright) — without them a zero
+    // vector in the table would divide by zero here and diverge
     "q_knn_join" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |   WHERE vec_id < 5 AND list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) <> 0),
         | scored AS (SELECT q.qid, e.vec_id,
         |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
         |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
         |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
-        |  FROM embeddings e, q)
+        |  FROM embeddings e, q
+        |  WHERE list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) <> 0)
         | SELECT qid, vec_id, cos FROM (
         |  SELECT qid, vec_id, cos,
         |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn

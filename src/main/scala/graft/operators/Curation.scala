@@ -269,9 +269,14 @@ object Curation {
     * the same price as the original write; small-file accumulation from
     * incremental appends otherwise degrades every downstream scan
     * (footer reads + non-contiguous IO dominate at 100 TB). The swap is
-    * delete-then-rename on the filesystem — run it when no reader holds
-    * the layout open (object stores: prefer writing to a new versioned
-    * path and flipping a pointer). */
+    * rename-to-backup, rename-tmp-into-place, delete-backup: the layout
+    * is present at either the canonical or the backup path at every
+    * instant, so a crash mid-swap never loses the canonical copy (a
+    * stale `__compact_bak` from a prior crash is cleared first; recovery
+    * = rename it back if the canonical path is missing). Concurrent
+    * readers still see a brief window where the canonical path is absent
+    * — run it when no reader holds the layout open (object stores:
+    * prefer writing to a new versioned path and flipping a pointer). */
   def compactShards(spark: SparkSession, path: String, idCol: String): Unit = {
     val src = spark.read.parquet(path)
     require(src.columns.contains("shard") && src.columns.contains("shard_ord"),
@@ -283,9 +288,12 @@ object Curation {
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val dstPath = new org.apache.hadoop.fs.Path(path)
+    val bakPath = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_bak")
     val fs = tmpPath.getFileSystem(conf)
-    fs.delete(dstPath, true)
+    fs.delete(bakPath, true)
+    require(fs.rename(dstPath, bakPath), s"rename $path -> $bakPath failed")
     require(fs.rename(tmpPath, dstPath), s"rename $tmp -> $path failed")
+    fs.delete(bakPath, true)
   }
 
   /** The lazy curation pipeline; separated so plan-shape tests can

@@ -188,22 +188,57 @@ object Dedup {
     * `maxIter` = 10 resolves duplicate chains of length ~1000; the loop
     * also exits as soon as a pass changes nothing. Two shuffles on id per
     * iteration. Keep-one-per-cluster = `cluster_id === id`.
+    *
+    * Iteration state must be MATERIALIZED each pass (an iterative plan
+    * otherwise re-executes the whole lineage tree every iteration —
+    * exponential). Two modes, identical results (OperatorsSpec pins the
+    * equivalence):
+    *  - `checkpointDir = null` (default): `localCheckpoint()` —
+    *    executor-local blocks, the fast path for local mode and for
+    *    clusters where re-running the job on executor loss is acceptable.
+    *    NOT fault-tolerant: at 100 TB a lost executor kills the whole
+    *    iterative job tree.
+    *  - `checkpointDir` set: each iteration's labels are written to
+    *    parquet under the dir and read back — any-FS durable, so an
+    *    executor loss recomputes at most one iteration from files.
+    *    Intermediate iterations are deleted as they are superseded; the
+    *    final labels stay on disk and the returned frame READS FROM THEM
+    *    LAZILY — consume (or persist) the result before deleting the dir.
     */
   def duplicateClusters(
       ids: DataFrame,      // one column: the id universe
       pairs: DataFrame,    // columns id_a, id_b
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10,
+      checkpointDir: String = null): DataFrame = {
     val idName = ids.columns.head
+    val spark = ids.sparkSession
+    val runDir =
+      if (checkpointDir == null) null
+      else checkpointDir.stripSuffix("/") + "/cc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      if (runDir == null) df.localCheckpoint()
+      else {
+        val p = s"$runDir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    def drop(name: String): Unit =
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/$name")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     // undirected edges both ways + self loops; materialized ONCE — the
     // pair list is usually the output of the full LSH pipeline, and every
     // iteration would otherwise re-execute it
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .union(ids.select(col(idName).as("src"), col(idName).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = ids.select(col(idName).as("id"), col(idName).as("label"))
-      .localCheckpoint()
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .union(ids.select(col(idName).as("src"), col(idName).as("dst")))
+        .distinct(),
+      "edges")
+    var labels = materialize(
+      ids.select(col(idName).as("id"), col(idName).as("label")), "labels_0")
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -217,17 +252,20 @@ object Dedup {
       val asMap = hopped.select(col("id").as("m_id"), col("label").as("m_label"))
       val jumped = hopped.join(asMap, hopped("label") === col("m_id"))
         .select(col("id"), col("m_label").as("label"))
-      // one checkpoint materializes both the new labels and the
+      // one materialization covers both the new labels and the
       // convergence flag (aggregate-driven — no collect of the graph)
-      val updated = labels.select(col("id").as("p_id"), col("label").as("p_label"))
-        .join(jumped, col("p_id") === jumped("id"))
-        .select(col("id"), col("label"),
-          (col("label") =!= col("p_label")).as("changed"))
-        .localCheckpoint()
+      val updated = materialize(
+        labels.select(col("id").as("p_id"), col("label").as("p_label"))
+          .join(jumped, col("p_id") === jumped("id"))
+          .select(col("id"), col("label"),
+            (col("label") =!= col("p_label")).as("changed")),
+        s"labels_${i + 1}")
       converged = updated.where(col("changed")).limit(1).count() == 0
       labels = updated.select(col("id"), col("label"))
+      drop(s"labels_$i")
       i += 1
     }
+    drop("edges")
     labels.select(col("id").as(idName), col("label").as("cluster_id"))
   }
 

@@ -466,8 +466,15 @@ object Joins {
     * inclusive, ties → greatest rightIdCol, NULL times never match,
     * inclusive tolerance) — q_asof_broadcast shares q_asof_join's
     * oracle text verbatim. Key must be string/int/long; time and
-    * rightIdCol must be long. `maxRightRows` guards the driver collect
-    * (~24 B/row; the default 10M ≈ 240 MB — size to executor memory). */
+    * rightIdCol must be long. `maxRightRows` guards the driver collect.
+    * Memory math for the default 1M: the collected triples are GenericRows
+    * (~80-100 B each with object headers + boxed fields) → ~100 MB
+    * transient on the driver, and the broadcast table itself is three
+    * long/ref arrays per key ≈ 24 B/row ≈ 24 MB resident per executor —
+    * safe on a stock 4 GiB driver. Raise it only after sizing BOTH the
+    * driver (100 B/row during collect) and the executors (24 B/row
+    * resident, one copy per JVM); past ~10M rows use [[asofJoin]]
+    * (union-and-carry) or [[asofJoinSalted]] instead. */
   def asofJoinBroadcast(
       left: DataFrame,
       right: DataFrame,
@@ -476,7 +483,7 @@ object Joins {
       rightIdCol: String,
       rightValueCols: Seq[String] = Seq.empty,
       tolerance: Long = -1L,
-      maxRightRows: Int = 10000000): DataFrame = {
+      maxRightRows: Int = 1000000): DataFrame = {
     val carry = (rightIdCol +: rightValueCols).distinct
     val leftCols = left.columns.toSeq
     val clash = carry.filter(leftCols.contains)
@@ -537,6 +544,130 @@ object Joins {
       picked.join(broadcast(payload), Seq(rightIdCol), "left")
         .select((leftCols :+ matchedTime).map(col) ++ carry.map(col): _*)
     }
+  }
+
+  /** Minimum sampled rows before the skew probe trusts its estimate: below
+    * this the top-key share is statistical noise and [[asof]] routes to
+    * the unsalted carry (the safe default — salting only ever costs the
+    * small-frame machinery, but routing on noise would flap). */
+  val AsofSkewProbeMinSample = 1000L
+
+  /** The one front door for the as-of family: routes to the cheapest
+    * variant whose preconditions hold, so callers no longer need the cost
+    * model spread across three scaladocs.
+    *
+    * `strategy` = `"broadcast"` | `"salted"` | `"carry"` forces that
+    * variant ([[asofJoinBroadcast]] / [[asofJoinSalted]] /
+    * [[asofJoinDirected]]); `"auto"` (the default) decides:
+    *
+    *  1. BROADCAST when it is statically eligible (backward direction;
+    *     integral time and right-id; string/integral key) and a
+    *     limit-bounded probe shows the valid right side fits
+    *     `maxBroadcastRightRows` with a unique `rightIdCol` — the probe
+    *     reads at most `maxBroadcastRightRows + 1` right rows, never the
+    *     full side. Cheapest by far: the big left NEVER shuffles.
+    *  2. SALTED when a sampled top-key frequency probe (fraction
+    *     `skewProbeFraction` over both sides' keys, trusted only past
+    *     [[AsofSkewProbeMinSample]] sampled rows) shows one key holding
+    *     >= `skewThreshold` of the data — the regime where the unsalted
+    *     window's single-task hot key straggles. Callers who already know
+    *     their skew should pass strategy = "salted" and skip the probe.
+    *  3. CARRY (union-and-carry, one Exchange) otherwise — the
+    *     well-distributed default.
+    *
+    * Probe costs in auto mode: one ≤(maxBroadcastRightRows+1)-row agg on
+    * the right (skipped when statically ineligible) and one sampled
+    * key-frequency agg (skipped when broadcast already won). Both are
+    * driver-bounded jobs; on a 100 TB input the sample scan is the only
+    * full-data touch and is a narrow single-column read. Semantics of the
+    * result are identical across all three routes (the variant specs
+    * sweep them against each other). */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      rightIdCol: String,
+      rightValueCols: Seq[String] = Seq.empty,
+      tolerance: Long = -1L,
+      direction: String = "backward",
+      strategy: String = "auto",
+      maxBroadcastRightRows: Int = 1000000,
+      skewThreshold: Double = 0.25,
+      skewProbeFraction: Double = 0.001,
+      numBins: Int = 64): DataFrame = {
+    val route = strategy match {
+      case "auto" =>
+        chooseAsofRoute(left, right, keyCol, timeCol, rightIdCol, direction,
+          maxBroadcastRightRows, skewThreshold, skewProbeFraction)
+      case s @ ("broadcast" | "salted" | "carry") => s
+      case other =>
+        throw new IllegalArgumentException(
+          s"strategy must be auto|broadcast|salted|carry, got $other")
+    }
+    route match {
+      case "broadcast" =>
+        require(direction == "backward",
+          s"asofJoinBroadcast is backward-only, got direction=$direction")
+        asofJoinBroadcast(left, right, keyCol, timeCol, rightIdCol,
+          rightValueCols, tolerance, maxBroadcastRightRows)
+      case "salted" =>
+        asofJoinSalted(left, right, keyCol, timeCol, rightIdCol,
+          rightValueCols, tolerance, direction, numBins)
+      case _ =>
+        asofJoinDirected(left, right, keyCol, timeCol, rightIdCol,
+          rightValueCols, tolerance, direction)
+    }
+  }
+
+  /** [[asof]]'s auto routing decision, separated so the routing spec can
+    * pin each regime without materializing the joined result. */
+  private[graft] def chooseAsofRoute(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      rightIdCol: String,
+      direction: String,
+      maxBroadcastRightRows: Int,
+      skewThreshold: Double,
+      skewProbeFraction: Double): String = {
+    def integral(df: DataFrame, c: String): Boolean = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val keyOk = left.schema(keyCol).dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val bcastEligible = direction == "backward" && keyOk &&
+      integral(left, timeCol) && integral(right, timeCol) &&
+      integral(right, rightIdCol)
+    if (bcastEligible) {
+      // limit-bounded: reads at most maxBroadcastRightRows + 1 rows however
+      // large the right side is, and checks rightIdCol uniqueness on the
+      // same bounded slice (a duplicate id would make asofJoinBroadcast
+      // throw where carry succeeds — auto must not route into a failure)
+      val probe = right
+        .where(col(timeCol).isNotNull && col(keyCol).isNotNull &&
+          col(rightIdCol).isNotNull)
+        .select(col(rightIdCol))
+        .limit(maxBroadcastRightRows + 1)
+        .agg(count(lit(1)).as("n"), countDistinct(col(rightIdCol)).as("d"))
+        .head()
+      if (probe.getLong(0) <= maxBroadcastRightRows &&
+        probe.getLong(1) == probe.getLong(0)) return "broadcast"
+    }
+    val sampled = left.select(col(keyCol).as("__key"))
+      .unionByName(right.select(col(keyCol).as("__key")))
+      .sample(withReplacement = false, skewProbeFraction, seed = 7L)
+      .groupBy(col("__key")).count()
+      .agg(max(col("count")).as("m"), sum(col("count")).as("n"))
+      .head()
+    val skewed = !sampled.isNullAt(0) &&
+      sampled.getLong(1) >= AsofSkewProbeMinSample &&
+      sampled.getLong(0).toDouble / sampled.getLong(1) >= skewThreshold
+    if (skewed) "salted" else "carry"
   }
 }
 

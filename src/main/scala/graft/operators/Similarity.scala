@@ -101,17 +101,31 @@ object Similarity {
       .select(col(idCol).cast("long"), col(vecCol))
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
-    // per-partition worst-first heaps: head = lowest cos, then highest id
-    val worstFirst = new Ordering[(Double, Long)] {
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      }
+    knnTopK(knnCandidateScan(data, bc, k), idCol, k)
+  }
+
+  /** head = lowest cos, then highest id — the per-partition bounded-heap
+    * eviction order shared by the kNN joins. */
+  private val knnWorstFirst = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
     }
-    val cands = data.mapPartitions { it =>
+  }
+
+  /** One corpus pass scoring every row against the broadcast query matrix
+    * with per-partition bounded heaps (the [[knnJoin]] kernel, factored so
+    * [[knnJoinBatched]] reuses it per batch). Emits (qid, corpus id, cos)
+    * candidates: numPartitions × M × k rows, never M × N. */
+  private def knnCandidateScan(
+      data: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]], Array[Double])],
+      k: Int): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import data.sparkSession.implicits._
+    data.mapPartitions { it =>
       val (ids, vecs, norms) = bc.value
       val m = ids.length
-      val heaps = Array.fill(m)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+      val heaps = Array.fill(m)(new scala.collection.mutable.PriorityQueue[(Double, Long)]()(knnWorstFirst))
       it.foreach { case (id, v) =>
         var n = 0.0
         var i = 0
@@ -131,7 +145,7 @@ object Similarity {
               val cand = (cos, id)
               val h = heaps(qi)
               if (h.size < k) h.enqueue(cand)
-              else if (worstFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+              else if (knnWorstFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
             }
             qi += 1
           }
@@ -141,12 +155,77 @@ object Similarity {
         h.iterator.map { case (cos, id) => (ids(qi), id, cos) }
       }
     }
+  }
+
+  /** Settle final per-query ranks over the tiny candidate set. */
+  private def knnTopK(
+      cands: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      idCol: String,
+      k: Int): DataFrame =
     cands.toDF("qid", idCol, "cos")
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(desc("cos"), col(idCol))))
       .where(col("__rn") <= k)
       .select(col("qid"), col(idCol), col("cos"))
+
+  /** [[knnJoin]] without the driver cap: the query side is streamed to the
+    * driver ONE PARTITION AT A TIME (`toLocalIterator` — the full query
+    * set is never resident) and broadcast in `batchSize`-row batches; each
+    * batch is one [[knnCandidateScan]] corpus pass, all batches union into
+    * ONE plan with a single final per-qid top-k window. Results are
+    * row-identical to [[knnJoin]] at any batchSize (OperatorsSpec pins the
+    * equivalence at 20k queries against a raised-cap knnJoin).
+    *
+    * Cost model at scale: ceil(M / batchSize) corpus scans — cache or
+    * co-locate the corpus when M >> batchSize — against per-executor
+    * memory of batchSize × (dim × 4 B broadcast + k × 24 B heap state)
+    * per concurrently-running scan; the default 65536 at dim = 128,
+    * k = 10 is ~34 MB + ~16 MB, comfortable on a stock executor. The
+    * corpus side still never shuffles and carries zero Join operators
+    * (candidates-only exchange, PlanQualitySpec); for query sets so large
+    * that even batched rescans dominate, use [[knnJoinIvf]]'s
+    * cell-pruned variant instead. */
+  def knnJoinBatched(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      batchSize: Int = 65536): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val data = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+    val qIt = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .where(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .toLocalIterator()
+    var union: org.apache.spark.sql.Dataset[(Long, Long, Double)] = null
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    def flush(): Unit = if (buf.nonEmpty) {
+      val qIds = buf.map(_._1).toArray
+      val qVecs = buf.map(_._2).toArray
+      val qNorms = qVecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+      val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+      val scan = knnCandidateScan(data, bc, k)
+      union = if (union == null) scan else union.union(scan)
+      buf.clear()
+    }
+    while (qIt.hasNext) {
+      buf += qIt.next()
+      if (buf.size >= batchSize) flush()
+    }
+    flush()
+    if (union == null) spark.emptyDataset[(Long, Long, Double)].toDF("qid", idCol, "cos")
+    else knnTopK(union, idCol, k)
   }
 
   /** IVF-pruned batch kNN join — [[knnJoin]]'s scale path: each query
@@ -158,11 +237,17 @@ object Similarity {
     * only for display), zero-norm vectors excluded outright.
     *
     * Scale design: on top of [[knnJoin]]'s candidates-only shuffle, the
-    * corpus scan carries a pushed `cell IN (union of probed cells)`
-    * filter — over a corpus persisted `partitionBy("cell")` (see
-    * [[cellAssignment]]) that is a partition-pruned read of at most
-    * nProbe·M/nCells of the data, and each row is scored only against
-    * the queries that probed its cell. Output: `qid`, `idCol`, `cos`
+    * corpus scan carries a `cell IN (union of probed cells)` filter.
+    * With the default (cellCol = null) the cell is recomputed from
+    * `vecCol` as an expression — that filter saves SCORING work only; a
+    * derived-expression predicate cannot prune a `cell=`-partitioned
+    * parquet read. To get a genuinely partition-pruned read (at most
+    * nProbe·M/nCells of the data touched on disk), persist the corpus
+    * `partitionBy("cell")` with [[cellAssignment]] over the SAME trained
+    * centroids and pass that column name as `cellCol`: the `IN` then
+    * lands on a partition column and Spark prunes directories before IO.
+    * Each surviving row is scored only against the queries that probed
+    * its cell. Output: `qid`, `idCol`, `cos`
     * (top-k per query among its probed cells — approximate exactly where
     * IVF is: a true neighbor outside the probed cells is missed;
     * [[knnJoin]] is the exact oracle). */
@@ -179,10 +264,15 @@ object Similarity {
       sampleSize: Int = 2048,
       iters: Int = 5,
       maxQueries: Int = 4096,
-      trainedCentroids: Array[Array[Float]] = null): DataFrame = {
+      trainedCentroids: Array[Array[Float]] = null,
+      cellCol: String = null): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1 && nProbe <= nCells,
       s"nProbe must be in [1, $nCells], got $nProbe")
+    require(cellCol == null || trainedCentroids != null,
+      "cellCol requires trainedCentroids: a persisted cell layout is only " +
+        "valid for the exact centroids it was assigned with — retraining " +
+        "here would silently probe the wrong cells")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents0 =
@@ -224,9 +314,11 @@ object Similarity {
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     }
+    val cellExpr =
+      if (cellCol != null) col(cellCol).cast("int")
+      else cellAssignment(col(vecCol), cents)
     val data = corpus
-      .select(col(idCol).cast("long"), col(vecCol),
-        cellAssignment(col(vecCol), cents).as("__cell"))
+      .select(col(idCol).cast("long"), col(vecCol), cellExpr.as("__cell"))
       .where(col("__cell").isin(unionCells.toIndexedSeq.map(Integer.valueOf): _*))
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float], Int)]

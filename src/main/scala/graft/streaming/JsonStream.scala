@@ -428,6 +428,20 @@ object JsonStream {
             // pending left (must be > current watermark: min still >= wm)
             if (still.nonEmpty)
               state.setTimeoutTimestamp(still.map(_._1).min / 1000L + 1L)
+            else if (tolerance >= 0)
+              // idle-key GC: no pending lefts, only compressed rights.
+              // Re-fire once the watermark provably expires the newest
+              // retained right (wm - tolerance > max right ts) — the
+              // compression above then empties `keep` and the state is
+              // removed. Without this, a key that stops sending lefts
+              // holds its right forever and total state grows with
+              // dead-key cardinality. (With tolerance < 0 the latest
+              // right must be kept indefinitely: any future left may
+              // still backward-match it — that retention is the batch
+              // semantics, not a leak. Every retained right satisfies
+              // ts >= wm - tolerance, so this timestamp is > wm as the
+              // API requires.)
+              state.setTimeoutTimestamp((keep.map(_._1).max + tolerance) / 1000L + 1L)
           }
           ready.sorted.iterator.map { case (ts, id, et, v) =>
             var lo = 0; var hi = rights.length - 1; var ans = -1

@@ -1034,6 +1034,112 @@ class OperatorsSpec extends AnyFunSuite {
     assert(badId.getMessage.contains("integral"))
   }
 
+  test("asof front door: auto routing lands each regime on the pinned variant") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "k1", Some(100L)), (2L, "k1", Some(205L)), (3L, "k2", Some(50L)),
+      (4L, "k2", None: Option[Long])).toDF("event_id", "key", "t")
+    val right = Seq(
+      ("k1", Some(100L), 10L, "a"), ("k1", Some(200L), 11L, "b"),
+      ("k2", Some(40L), 12L, "c")).toDF("key", "t", "rid", "rv")
+    def route(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+        direction: String = "backward", maxB: Int = 1000000,
+        frac: Double = 1.0): String =
+      Joins.chooseAsofRoute(l, r, "key", "t", "rid", direction, maxB,
+        skewThreshold = 0.25, skewProbeFraction = frac)
+    // small integral right with unique rid → broadcast
+    assert(route(left, right) == "broadcast")
+    // broadcast is backward-only → falls through (tiny sample → carry)
+    assert(route(left, right, direction = "forward") == "carry")
+    // right over the cap → falls through
+    assert(route(left, right, maxB = 2) == "carry")
+    // duplicate right ids would make asofJoinBroadcast throw → falls through
+    assert(route(left, right.withColumn("rid", lit(7L))) == "carry")
+    // non-integral time → statically ineligible
+    assert(route(left.withColumn("t", col("t").cast("double")),
+      right.withColumn("t", col("t").cast("double"))) == "carry")
+    // skew: one key holds 90% of 2000 rows; right side forced past the
+    // broadcast gate with a duplicate rid so the skew probe decides
+    val skewLeft = (0L until 2000L)
+      .map(i => (i, if (i < 1800) "hot" else s"k${i % 50}", Some(i)))
+      .toDF("event_id", "key", "t")
+    val dupRight = Seq(("hot", Some(1L), 1L, "x"), ("hot", Some(2L), 1L, "y"))
+      .toDF("key", "t", "rid", "rv")
+    assert(route(skewLeft, dupRight) == "salted")
+    // same shape below the probe's minimum sample → the safe carry default
+    val smallSkew = (0L until 100L).map(i => (i, "hot", Some(i)))
+      .toDF("event_id", "key", "t")
+    assert(route(smallSkew, dupRight) == "carry")
+    // the front door's answer matches the direct variant on every route
+    val want = Joins.asofJoin(left, right, "key", "t", "rid", Seq("rv"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    for (strategy <- Seq("auto", "broadcast", "salted", "carry")) {
+      val got = Joins.asof(left, right, "key", "t", "rid", Seq("rv"),
+          strategy = strategy)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(got == want, s"strategy=$strategy:\n$got\nvs\n$want")
+    }
+    val bad = intercept[IllegalArgumentException] {
+      Joins.asof(left, right, "key", "t", "rid", strategy = "sorted")
+    }
+    assert(bad.getMessage.contains("strategy"))
+  }
+
+  test("duplicateClusters: reliable checkpoint mode equals localCheckpoint mode") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val ids = (1L to 40L).toDF("doc_id")
+    // chain 1..20 plus pair 30-31: exercises multiple iterations
+    val chain = (1L until 20L).map(i => (i, i + 1)) :+ (30L, 31L)
+    val pairs = chain.toDF("id_a", "id_b")
+    val local = Dedup.duplicateClusters(ids, pairs, maxIter = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val reliable = Dedup.duplicateClusters(ids, pairs, maxIter = 8,
+      checkpointDir = dir)
+    val got = reliable.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == local, s"$got\nvs\n$local")
+    assert(got(20L) == 1L && got(31L) == 30L && got(25L) == 25L)
+    // superseded iterations and the edge list are cleaned up; only the
+    // final labels remain (the returned frame reads them lazily)
+    val run = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cc_"))
+    assert(run.length == 1, run.mkString(", "))
+    val kept = run.head.listFiles().map(_.getName).filter(!_.startsWith("."))
+    assert(kept.length == 1 && kept.head.startsWith("labels_"), kept.mkString(", "))
+  }
+
+  test("knnJoinBatched equals knnJoin at 20k queries, across batch boundaries") {
+    val s = spark
+    import s.implicits._
+    val dim = 4
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 2654435761L + j * 40503L) % 1000L).toFloat - 500f) / 100f)
+    val corpus = (0L until 500L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0L until 20000L).map(i => (i, vec(i + 777L))).toDF("qid0", "qv")
+    val exact = Similarity.knnJoin(corpus, "vec_id", "embedding",
+        queries, "qid0", "qv", k = 5, maxQueries = 20000)
+      .collect().map(_.toSeq).toSet
+    // batchSize far below the query count: 14 batches, no driver-resident
+    // full query set, results identical including rank tie-breaks
+    val batched = Similarity.knnJoinBatched(corpus, "vec_id", "embedding",
+      queries, "qid0", "qv", k = 5, batchSize = 1536)
+    assert(batched.collect().map(_.toSeq).toSet == exact)
+    // corpus side never joins: candidates-only exchange into the final
+    // per-qid window, zero Join operators anywhere in the plan
+    val plan = batched.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // batch composition is partitioning-dependent; results must not be
+    val reparted = Similarity.knnJoinBatched(corpus, "vec_id", "embedding",
+      queries.repartition(7), "qid0", "qv", k = 5, batchSize = 1536)
+    assert(reparted.collect().map(_.toSeq).toSet == exact)
+    // empty query side → empty frame with the contract schema
+    val none = Similarity.knnJoinBatched(corpus, "vec_id", "embedding",
+      queries.where(lit(false)), "qid0", "qv", k = 5)
+    assert(none.columns.toSeq == Seq("qid", "vec_id", "cos"))
+    assert(none.count() == 0L)
+  }
+
   test("asofJoinSalted agrees with asofJoinDirected: directions x tolerances x bin counts") {
     val s = spark
     import s.implicits._
