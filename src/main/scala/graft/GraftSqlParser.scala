@@ -22,9 +22,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
  *
  * OFF by default and gated per-statement on the session conf: Spark
  * reserves bare `?` for positional parameter markers, so a session must
- * opt in knowingly (the translator is conservative — column-op-literal
- * chains only — but `col ? 'text'` is genuinely ambiguous with a marker
- * compared against a string). Only whole-statement entry points rewrite;
+ * opt in knowingly (the translator is conservative — literal and
+ * column-identifier paths on column chains, lambda positions excluded —
+ * but `col ? 'text'` is genuinely ambiguous with a marker compared
+ * against a string). Only whole-statement entry points rewrite;
  * identifier/schema parsing passes through untouched.
  */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {

@@ -9,12 +9,29 @@ package graft
  *
  * Deliberately CONSERVATIVE rather than a parser replacement (SURVEY §7.2:
  * Spark 4 reserves bare `?` for parameter markers and blind text rewriting
- * is unsound): only `column op literal` shapes are rewritten, where column
- * is a (possibly dotted or backquoted) identifier. The FIRST operator on a
- * column requires a single-quoted string path — `x -> 0` is never touched,
- * because that shape is also a Spark lambda (`transform(arr, x -> 0)`);
- * integer indices are allowed from the second chain step on
- * (`j->'a'->0` works; for a leading index write `json_get(j, 0)`).
+ * is unsound): only `column op (literal | identifier)` shapes are
+ * rewritten, where column is a (possibly dotted or backquoted)
+ * identifier. The FIRST operator on a column requires a single-quoted
+ * string path — `x -> 0` is never touched, because that shape is also a
+ * Spark lambda (`transform(arr, x -> 0)`); integer indices are allowed
+ * from the second chain step on (`j->'a'->0` works; for a leading index
+ * write `json_get(j, 0)`).
+ *
+ * A COLUMN RHS (`j -> key_col`, any chain step — the reference plans any
+ * expression RHS, src/rewrite.rs:117-130, column-path matrix
+ * tests/main.rs:2178-2259) is rewritten for the ARROW operators EXCEPT
+ * where the LHS sits where a Spark single-parameter lambda could: as the
+ * token directly after the `(` or a `,` of a call to one of Spark's
+ * builtin higher-order functions (lambdas are only legal as direct HOF
+ * arguments, and only builtins take them, so every other position is
+ * unambiguous). In that one position — `transform(arr, x -> y)` — string
+ * paths still rewrite, column paths pass through (write
+ * `json_get(x, y)`; DivergenceSpec pins this). An RHS identifier
+ * followed by `(` (a function call) never rewrites, and `?` never takes
+ * an identifier RHS (a bare `?` is a parameter marker that legitimately
+ * precedes identifiers — `SELECT ? AS p` — so a column-RHS contains must
+ * be written `json_contains(j, key_col)`).
+ *
  * Chains left-fold: `a->'b'->>'c'` → `json_as_text(json_get(a,'b'),'c')`.
  * String literals, quoted identifiers, `--` and `/* */` comments, and `?`
  * in any other position (a parameter marker) are left untouched. Anything
@@ -25,10 +42,27 @@ object JsonOperatorSql {
 
   private val ops = Seq("->>" -> "json_as_text", "->" -> "json_get", "?" -> "json_contains")
 
+  /** Spark's builtin higher-order functions — the only call sites where a
+    * bare `x -> body` lambda is legal SQL (HigherOrderFunction
+    * expressions; user functions cannot take lambdas). Inside these
+    * argument lists an identifier RHS stays untouched. */
+  private val HofNames = Set(
+    "transform", "filter", "exists", "forall", "aggregate", "reduce",
+    "zip_with", "map_zip_with", "map_filter", "transform_keys",
+    "transform_values", "array_sort")
+
   def rewrite(sql: String): String = {
     val out = new StringBuilder
     var i = 0
     val n = sql.length
+    // lambda-position tracking: prevSig is the last significant (non-ws,
+    // non-comment) char appended; lastIdent the last raw identifier (""
+    // when the last token was anything else); parens records, for each
+    // open paren, whether it is a call to a builtin HOF — the only
+    // context where a lambda parameter can follow `(` or `,`
+    var prevSig: Char = ' '
+    var lastIdent: String = ""
+    val parens = scala.collection.mutable.Stack.empty[Boolean]
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '-' && sql.startsWith("--", i)) {
@@ -39,32 +73,56 @@ object JsonOperatorSql {
         val end = sql.indexOf("*/", i + 2)
         val stop = if (end < 0) n else end + 2
         out.append(sql.substring(i, stop)); i = stop
-      } else if (c == '\'') {
-        // a string literal is a valid operator LHS in the reference's SQL
-        // (`'{"a": "b"}'->>'a'` — reference tests/main.rs:1533); foldOps
-        // appends it verbatim when no operator follows
-        val (lit, next) = consumeString(sql, i, c)
-        i = foldOps(sql, next, lit, out)
-      } else if (c == '"') {
-        val (lit, next) = consumeString(sql, i, c)
-        out.append(lit); i = next
-      } else if (c == '`') {
-        val (lit, next) = consumeString(sql, i, '`')
-        i = foldOps(sql, next, lit, out)
-      } else if (isIdentStart(c)) {
-        val startId = i
-        while (i < n && isIdentPart(sql.charAt(i))) i += 1
-        i = foldOps(sql, i, sql.substring(startId, i), out)
       } else {
-        out.append(c); i += 1
+        // a single-parameter lambda (`x -> body`) can only start directly
+        // after the `(` or a `,` of a builtin-HOF call — only there is
+        // an identifier RHS ambiguous with a lambda body
+        val lambdaPossible = (prevSig == '(' || prevSig == ',') &&
+          parens.nonEmpty && parens.top
+        if (c == '\'') {
+          // a string literal is a valid operator LHS in the reference's SQL
+          // (`'{"a": "b"}'->>'a'` — reference tests/main.rs:1533); foldOps
+          // appends it verbatim when no operator follows
+          val (lit, next) = consumeString(sql, i, c)
+          i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
+          prevSig = out.charAt(out.length - 1); lastIdent = ""
+        } else if (c == '"') {
+          val (lit, next) = consumeString(sql, i, c)
+          out.append(lit); i = next
+          prevSig = '"'; lastIdent = ""
+        } else if (c == '`') {
+          val (lit, next) = consumeString(sql, i, '`')
+          i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
+          prevSig = out.charAt(out.length - 1); lastIdent = ""
+        } else if (isIdentStart(c)) {
+          val startId = i
+          while (i < n && isIdentPart(sql.charAt(i))) i += 1
+          val ident = sql.substring(startId, i)
+          val before = out.length
+          i = foldOps(sql, i, ident, out, allowIdentRhs = !lambdaPossible)
+          prevSig = out.charAt(out.length - 1)
+          // only an identifier appended verbatim can name a following call
+          lastIdent = if (out.length - before == ident.length) ident else ""
+        } else {
+          if (c == '(') {
+            val callee = lastIdent.substring(lastIdent.lastIndexOf('.') + 1)
+            parens.push(isIdentPart(prevSig) && HofNames.contains(callee.toLowerCase))
+          } else if (c == ')' && parens.nonEmpty) parens.pop()
+          out.append(c); i += 1
+          if (!c.isWhitespace) { prevSig = c; lastIdent = "" }
+        }
       }
     }
     out.toString
   }
 
-  /** Fold `op literal` sequences onto an LHS expression; returns the new
-    * scan position and appends the (possibly rewritten) expression. */
-  private def foldOps(sql: String, from: Int, lhs: String, out: StringBuilder): Int = {
+  /** Fold `op (literal | identifier)` sequences onto an LHS expression;
+    * returns the new scan position and appends the (possibly rewritten)
+    * expression. `allowIdentRhs` is false exactly where the LHS could be
+    * a lambda parameter (chain steps past the first are always safe — a
+    * folded call is no longer a bare parameter). */
+  private def foldOps(sql: String, from: Int, lhs: String, out: StringBuilder,
+      allowIdentRhs: Boolean): Int = {
     var i = from
     var expr = lhs
     var steps = 0
@@ -83,13 +141,47 @@ object JsonOperatorSql {
               i = next
               steps += 1
               progressed = true
-            case None => i = save
+            case None =>
+              // identifier RHS for the arrow ops only: a bare `?` is a
+              // parameter marker and legitimately precedes identifiers in
+              // parameterized SQL (`SELECT ? AS p`, `LIMIT ? OFFSET ?`) —
+              // use json_contains(j, key_col) for a column-RHS contains
+              consumeIdentRhs(sql, afterOp,
+                allowed = opText != "?" && (allowIdentRhs || steps > 0)) match {
+                case Some((rhs, next)) =>
+                  expr = s"$fn($expr, $rhs)"
+                  i = next
+                  steps += 1
+                  progressed = true
+                case None => i = save
+              }
           }
         case None => i = save
       }
     }
     out.append(expr)
     i
+  }
+
+  /** A column RHS: a plain/dotted or backquoted identifier NOT followed
+    * by `(` (that would be a function call — out of scope for the
+    * conservative rewriter). */
+  private def consumeIdentRhs(
+      s: String, at: Int, allowed: Boolean): Option[(String, Int)] = {
+    if (!allowed || at >= s.length) return None
+    val (rhs, next) =
+      if (s.charAt(at) == '`') consumeString(s, at, '`')
+      else if (isIdentStart(s.charAt(at))) {
+        var i = at
+        while (i < s.length && isIdentPart(s.charAt(i))) i += 1
+        (s.substring(at, i), i)
+      } else return None
+    if (rhs.isEmpty) None
+    else {
+      val after = consumeWs(s, next)
+      if (after < s.length && s.charAt(after) == '(') None
+      else Some((rhs, next))
+    }
   }
 
   private def isIdentStart(c: Char) = c.isLetter || c == '_'

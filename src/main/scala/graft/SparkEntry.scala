@@ -743,6 +743,23 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // real RIFF/WAV parse of synthetic PCM clips: header metadata and
+    // sample-stat features, both formula-replayed by the oracle
+    "q_audio_meta" -> ((s, dir) =>
+      operators.Multimodal.decodeAudioFeatures(s,
+          operators.Multimodal.syntheticAudioBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+          col("channels"), col("bits_per_sample"), col("n_frames"))
+        .orderBy(col("doc_id"))),
+
+    "q_audio_features" -> ((s, dir) =>
+      operators.Multimodal.decodeAudioFeatures(s,
+          operators.Multimodal.syntheticAudioBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
     // multimodal resize + frame-sample plumbing (deterministic stubs);
     // binary payloads are md5-projected so both engines compare hex digests
     "q_mm_resize" -> ((s, dir) =>
@@ -1776,6 +1793,59 @@ object SparkEntry {
         |    / CAST(w * h AS DOUBLE) AS REAL) AS feat
         | FROM sums, (SELECT unnest(range(8)) AS f) fr
         | ORDER BY doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
+
+    // WAV decode replica WITHOUT parsing WAV: the synthetic clips'
+    // header fields are a pure formula of doc_id, and the canonical
+    // 44-byte-header layout fixes n_bytes exactly
+    "q_audio_meta" ->
+      """SELECT doc_id,
+        | CAST(44 + (256 + (doc_id * 3) % 200) * (1 + doc_id % 2) * 2 AS BIGINT) AS n_bytes,
+        | CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
+        | CAST(1 + doc_id % 2 AS INT) AS channels,
+        | CAST(16 AS INT) AS bits_per_sample,
+        | CAST(256 + (doc_id * 3) % 200 AS BIGINT) AS n_frames
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // real-sample feature replica: regenerate every PCM sample from the
+    // generator formula (PCM is raw — decoded samples == formula),
+    // exact-integer sums, then the same IEEE double divisions and
+    // float32 rounding as decodeWav
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 256 + (doc_id * 3) % 200 AS nf
+        |   FROM documents),
+        | fr AS (SELECT doc_id, ch, nf, unnest(range(nf)) AS f FROM d),
+        | sm AS (SELECT doc_id, ch, nf, f, unnest(range(ch)) AS c FROM fr),
+        | v AS (SELECT doc_id, ch, nf, f * ch + c AS i,
+        |   ((doc_id * 7919 + f * 31 + c * 17) % 2048) - 1024 AS v
+        |  FROM sm),
+        | sums AS (SELECT doc_id, nf, nf * ch AS n,
+        |   sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS ma, sum(v * v) AS sq,
+        |   sum(CASE WHEN (i * 3) // (nf * ch) = 0 THEN abs(v) ELSE 0 END) AS a0,
+        |   sum(CASE WHEN (i * 3) // (nf * ch) = 1 THEN abs(v) ELSE 0 END) AS a1,
+        |   sum(CASE WHEN (i * 3) // (nf * ch) = 2 THEN abs(v) ELSE 0 END) AS a2,
+        |   sum(CASE WHEN (i * 3) // (nf * ch) = 0 THEN 1 ELSE 0 END) AS n0,
+        |   sum(CASE WHEN (i * 3) // (nf * ch) = 1 THEN 1 ELSE 0 END) AS n1,
+        |   sum(CASE WHEN (i * 3) // (nf * ch) = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM v GROUP BY doc_id, nf, ch),
+        | zx AS (SELECT doc_id, sum(CASE WHEN
+        |    ((((doc_id * 7919 + f * 31) % 2048) - 1024 < 0) <>
+        |     (((doc_id * 7919 + (f - 1) * 31) % 2048) - 1024 < 0))
+        |    THEN 1 ELSE 0 END) AS zc
+        |  FROM fr WHERE f >= 1 GROUP BY doc_id)
+        | SELECT s.doc_id, CAST(ft AS INT) AS feat_idx,
+        |  CAST(CASE CAST(ft AS INT)
+        |   WHEN 0 THEN CAST(sv AS DOUBLE) / 32768 / CAST(n AS DOUBLE)
+        |   WHEN 1 THEN CAST(sa AS DOUBLE) / 32768 / CAST(n AS DOUBLE)
+        |   WHEN 2 THEN CAST(ma AS DOUBLE) / 32768
+        |   WHEN 3 THEN CAST(z.zc AS DOUBLE) / CAST(s.nf AS DOUBLE)
+        |   WHEN 4 THEN CAST(sq AS DOUBLE) / 32768 / 32768 / CAST(n AS DOUBLE)
+        |   WHEN 5 THEN CASE WHEN n0 = 0 THEN 0 ELSE CAST(a0 AS DOUBLE) / 32768 / CAST(n0 AS DOUBLE) END
+        |   WHEN 6 THEN CASE WHEN n1 = 0 THEN 0 ELSE CAST(a1 AS DOUBLE) / 32768 / CAST(n1 AS DOUBLE) END
+        |   ELSE CASE WHEN n2 = 0 THEN 0 ELSE CAST(a2 AS DOUBLE) / 32768 / CAST(n2 AS DOUBLE) END
+        |  END AS REAL) AS feat
+        | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
+        |  (SELECT unnest(range(8)) AS ft) fs
+        | ORDER BY s.doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
 
     // resize stub replica: strided byte selection, md5 over the payload
     "q_mm_resize" ->

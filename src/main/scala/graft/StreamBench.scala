@@ -13,7 +13,18 @@ import org.apache.spark.sql.functions._
  * [rocksdb]"` — the optional 4th arg flips the state store to RocksDB
  * (the production choice once per-key state exceeds executor heap; the
  * default HDFS-backed store keeps every version in memory).
- */
+ *
+ * A 5th arg `statescale` runs the BEYOND-HEAP probe instead: the
+ * watermark-correct as-of with a delay the replay never reaches, so
+ * every left row pends in state — state grows linearly with input and
+ * the probe is meant to be run in a heap-capped JVM
+ * (`spark-submit --driver-memory 700m --class graft.StreamBench <jar>
+ * 500000 20 8 [rocksdb|hdfs] statescale`): the in-memory HDFS store
+ * dies of OOM once serialized state + its version retention outgrow the
+ * heap, RocksDB (off-heap block cache + disk) keeps going — the
+ * measured crossover behind SURVEY §8.2's RocksDB claim. Input comes
+ * from `rate-micro-batch` (MemoryStream would retain every fed batch on
+ * the same heap and OOM both configs) and lands in a `noop` sink. */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val rowsPer = args.headOption.map(_.toInt).getOrElse(200000)
@@ -32,6 +43,42 @@ object StreamBench {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    if (args.lift(4).contains("statescale")) {
+      // Beyond-heap state probe: delay = 100 days, so the watermark never
+      // passes any left — all ~75% non-click rows pend per key forever.
+      // Expected serialized state: rows*0.75 pending x ~40 B, held as ONE
+      // value per user_id (1000 keys), rewritten each batch.
+      val events = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPer).load()
+        .select(col("value").as("event_id"),
+          (col("value") * 1000000L).as("ts"), // nanos, 1 ms apart
+          (col("value") % 1000).as("user_id"),
+          when(col("value") % 4 === 0, "click").otherwise("view").as("event_type"),
+          (col("value") % 100).cast("double").as("value"))
+      val out = streaming.JsonStream
+        .asofStatefulEventTime(spark, events, delay = "100 days").toDF()
+      val t0 = System.nanoTime()
+      val q = out.writeStream.outputMode("append").format("noop").start()
+      try {
+        while (Option(q.lastProgress).forall(_.batchId < nBatches)) {
+          if (!q.isActive) q.awaitTermination() // surface the failure loudly
+          Thread.sleep(200)
+        }
+        val s = (System.nanoTime() - t0) / 1e9
+        val p = q.lastProgress
+        val st = p.stateOperators
+        val heapMb = (Runtime.getRuntime.totalMemory -
+          Runtime.getRuntime.freeMemory) / 1e6
+        println(f"STREAMBENCH statescale[${if (rocks) "rocksdb" else "hdfs"}]: " +
+          f"${(p.batchId + 1) * rowsPer / s / 1e6}%.3f M rows/s over ${p.batchId + 1} batches x $rowsPer, " +
+          f"stateRows=${st.map(_.numRowsTotal).sum}, " +
+          f"stateMem=${st.map(_.memoryUsedBytes).sum / 1e6}%.0f MB, " +
+          f"jvmHeapUsed=$heapMb%.0f MB")
+      } finally q.stop()
+      spark.stop()
+      return
+    }
 
     // synthetic events shaped like the events table: ts in NANOS,
     // event-time mostly increasing across batches, 1000 keys, 1-in-4

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
  * feature math is exact-integer channel sums followed by fully-specified
  * IEEE divisions, so the DuckDB oracle replays the floats bit-for-bit
  * from the known pixel content of [[syntheticPng]] images (PNG is
- * lossless — decoded pixels ARE the generator formula). Blobs no
- * registered reader recognizes (audio/video/arbitrary bytes — the JVM
- * ships no audio/video codecs) fall back to `decodeStub`, a
- * deterministic fake with the same record shape: swap it for a JNI
- * codec call and the pipeline is unchanged.
+ * lossless — decoded pixels ARE the generator formula).
+ *
+ * AUDIO decode is REAL for WAV/PCM: `decodeWav` is a pure-JVM RIFF
+ * container walk + integer-PCM sample decode (public spec, no codec
+ * library), with the same exact-integer-then-IEEE feature discipline
+ * replayed by the oracle from [[syntheticWav]]. Compressed audio and
+ * video blobs fall back to `decodeStub`, a deterministic fake with the
+ * same record shape: swap it for a JNI codec call and the pipeline is
+ * unchanged.
  *
  * Scale note: decode is the classic CPU-heavy narrow stage — no shuffle,
  * scales with executors; `repartition(n)` upstream only to even out skewed
@@ -177,6 +181,179 @@ object Multimodal {
     * table for this container (no real image data ships with the tests). */
   def documentBlobs(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("text").cast("binary").as("blob"))
+
+  /** One decoded audio record: RIFF/WAV header metadata + sample-stat
+    * feature vector. `n_frames` counts per-channel sample frames. */
+  case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_frames: Long,
+      features: Array[Float])
+
+  /** REAL audio decode: a pure-JVM RIFF/WAV parser (container walk +
+    * PCM sample decode — public spec, no codec library). None unless the
+    * bytes are a well-formed RIFF/WAVE with an integer-PCM `fmt ` chunk
+    * (format 1, 8- or 16-bit) and a `data` chunk; unknown chunks (LIST,
+    * fact, …) are skipped by the standard word-aligned chunk walk.
+    *
+    * The 8 features are exact-integer sample sums followed by IEEE double
+    * divisions and one float32 rounding — fully specified, so the DuckDB
+    * oracle replays them from [[syntheticWav]]'s generator formula
+    * without parsing WAV (PCM is raw: decoded samples ARE the formula).
+    * With v = the signed sample value, F = full scale (32768 at 16-bit,
+    * 128 at 8-bit where stored bytes are unsigned, v = byte - 128),
+    * n = total samples across channels, flat index i in data order:
+    *  - f0: mean            = sum(v) / F / n
+    *  - f1: mean magnitude  = sum(|v|) / F / n
+    *  - f2: peak            = max(|v|) / F
+    *  - f3: zero-crossing rate on channel 0: count of sign(v_f) !=
+    *        sign(v_{f-1}) over frames (negative vs non-negative) / frames
+    *  - f4: energy          = sum(v*v) / F / F / n
+    *  - f5/f6/f7: mean magnitude per time third, t = i*3 div n
+    */
+  def decodeWav(docId: Long, bytes: Array[Byte]): Option[AudioFeatures] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtOk = false
+    var channels = 0; var sr = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      if (id == "fmt " && off + 24 <= bytes.length) {
+        val audioFormat = u16(off + 8)
+        channels = u16(off + 10)
+        sr = u32(off + 12).toInt
+        bits = u16(off + 22)
+        fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
+          channels >= 1 && sr > 0
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = off + 8
+        dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val bytesPerSample = bits / 8
+    val nFrames = dataLen / bytesPerSample / channels
+    val n = nFrames * channels // ignore a trailing partial frame
+    if (nFrames == 0) return None
+    def sample(i: Int): Int =
+      if (bits == 16)
+        ((bytes(dataOff + 2 * i) & 0xff) |
+          (bytes(dataOff + 2 * i + 1) << 8)).toShort.toInt
+      else (bytes(dataOff + i) & 0xff) - 128
+    val fullScale = if (bits == 16) 32768.0 else 128.0
+    var sumV = 0L; var sumAbs = 0L; var maxAbs = 0L; var sumSq = 0L
+    val thirdAbs = new Array[Long](3)
+    val thirdCnt = new Array[Long](3)
+    var i = 0
+    while (i < n) {
+      val v = sample(i)
+      val a = math.abs(v).toLong
+      sumV += v; sumAbs += a; sumSq += v.toLong * v
+      if (a > maxAbs) maxAbs = a
+      val t = (i.toLong * 3 / n).toInt
+      thirdAbs(t) += a; thirdCnt(t) += 1
+      i += 1
+    }
+    var crossings = 0L
+    var f = 1
+    while (f < nFrames) {
+      if ((sample(f * channels) < 0) != (sample((f - 1) * channels) < 0))
+        crossings += 1
+      f += 1
+    }
+    val feats = new Array[Float](FeatureDim)
+    feats(0) = (sumV.toDouble / fullScale / n.toDouble).toFloat
+    feats(1) = (sumAbs.toDouble / fullScale / n.toDouble).toFloat
+    feats(2) = (maxAbs.toDouble / fullScale).toFloat
+    feats(3) = (crossings.toDouble / nFrames.toDouble).toFloat
+    feats(4) = (sumSq.toDouble / fullScale / fullScale / n.toDouble).toFloat
+    var t = 0
+    while (t < 3) {
+      feats(5 + t) =
+        if (thirdCnt(t) == 0) 0f
+        else (thirdAbs(t).toDouble / fullScale / thirdCnt(t).toDouble).toFloat
+      t += 1
+    }
+    Some(AudioFeatures(docId, bytes.length.toLong, sr, channels, bits,
+      nFrames.toLong, feats))
+  }
+
+  /** Batched partition-local audio decode over (id, blob) rows: real WAV
+    * parse where the bytes are RIFF/WAVE PCM; otherwise the deterministic
+    * [[decodeStub]] features with zeroed audio metadata (same record
+    * shape — swap in a JNI codec for compressed formats and the pipeline
+    * is unchanged). */
+  def decodeAudioFeatures(spark: SparkSession, blobs: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWav(id, bytes).getOrElse {
+            val in = if (bytes == null) Array.emptyByteArray else bytes
+            AudioFeatures(id, in.length.toLong, 0, 0, 0, 0L,
+              decodeStub(id, in).features)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic 16-bit PCM WAV: header fields and every
+    * sample are a pure integer formula of `docId`, written canonically
+    * (44-byte header, no extra chunks) — so a decoder-side oracle
+    * recomputes everything WITHOUT parsing WAV:
+    *   channels ch = 1 + docId mod 2
+    *   sample_rate = 8000 + (docId mod 5) * 2000
+    *   frames nf   = 256 + (3*docId) mod 200
+    *   sample(frame f, channel c) = ((7919*docId + 31*f + 17*c) mod 2048) - 1024
+    *   n_bytes     = 44 + nf*ch*2
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val ch = 1 + java.lang.Math.floorMod(docId, 2L).toInt
+    val sr = 8000 + java.lang.Math.floorMod(docId, 5L).toInt * 2000
+    val nf = 256 + java.lang.Math.floorMod(docId * 3, 200L).toInt
+    val dataLen = nf * ch * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)).putInt(36 + dataLen).put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(sr)
+      .putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16)
+    buf.put("data".getBytes(ascii)).putInt(dataLen)
+    var f = 0
+    while (f < nf) {
+      var c = 0
+      while (c < ch) {
+        buf.putShort((java.lang.Math.floorMod(
+          docId * 7919 + f * 31 + c * 17, 2048L) - 1024L).toShort)
+        c += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** (doc_id, blob) table of [[syntheticWav]] clips for the given ids —
+    * the deterministic audio corpus the audio queries decode. */
+  def syntheticAudioBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticWav(id))))
+      .toDF("doc_id", "blob")
+  }
 
   /** One resized "image": same record shape, target dimensions, and a
     * deterministic resampled payload digest standing in for pixel data. */

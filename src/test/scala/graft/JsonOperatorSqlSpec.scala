@@ -215,26 +215,77 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       .getBoolean(0))
   }
 
-  test("test_arrow_nested_columns: column RHS is a PINNED DIVERGENCE (Column DSL covers it)") {
+  test("test_arrow_nested_columns: column RHS runs through plain SQL text") {
     refFixtures()
-    // The SQL-text translator only rewrites literal paths — a column RHS
-    // (`json_data->str_key1`) passes through and Spark rejects the bare
-    // lambda arrow. The Column DSL expresses the same query; golden
+    // A column RHS (`json_data->str_key1`) rewrites like the reference
+    // plans it (rewrite.rs:117-130, tests/main.rs:2178-2259); golden
     // values from reference tests/main.rs:1493-1530.
-    val sqlText = rewrite("select json_data->str_key1->str_key2 v from more_nested")
-    assert(sqlText == "select json_data->str_key1->str_key2 v from more_nested")
+    assert(rewrite("select json_data->str_key1->str_key2 v from more_nested")
+      == "select json_get(json_get(json_data, str_key1), str_key2) v from more_nested")
+    val disp = spark.sql(rewrite(
+      "select json_union_display(json_data->str_key1->str_key2) v from more_nested"))
+      .collect().map(_.getString(0)).toSeq
+    assert(disp == Seq("{array=[0]}", "{null=}", "{null=}"))
+    val disp2 = spark.sql(rewrite(
+      "select json_union_display(json_data->str_key1->str_key2->int_key) v from more_nested"))
+      .collect().map(_.getString(0)).toSeq
+    assert(disp2 == Seq("{int=0}", "{null=}", "{null=}"))
+    // the same through the Column DSL (the pre-round-9 surface)
     import org.apache.spark.sql.functions.col
-    val disp = spark.table("more_nested")
+    val dsl = spark.table("more_nested")
       .select(JsonFunctions.json_union_display(
         JsonFunctions.json_get(col("json_data"), col("str_key1"), col("str_key2"))).as("v"))
       .collect().map(_.getString(0)).toSeq
-    assert(disp == Seq("{array=[0]}", "{null=}", "{null=}"))
-    val disp2 = spark.table("more_nested")
-      .select(JsonFunctions.json_union_display(
-        JsonFunctions.json_get(col("json_data"), col("str_key1"), col("str_key2"),
-          col("int_key"))).as("v"))
+    assert(dsl == disp)
+  }
+
+  test("column RHS: lambda positions stay untouched, everything else rewrites") {
+    // HOF argument positions are the one ambiguous spot: a bare
+    // single-param lambda can only live there, so `x -> y` passes through
+    assert(rewrite("select transform(arr, x -> y) from t")
+      == "select transform(arr, x -> y) from t")
+    assert(rewrite("select aggregate(arr, 0, (acc, x) -> acc + x, acc -> acc) from t")
+      == "select aggregate(arr, 0, (acc, x) -> acc + x, acc -> acc) from t")
+    assert(rewrite("select filter(arr, x -> x) from t")
+      == "select filter(arr, x -> x) from t")
+    // non-HOF call arguments are unambiguous — column RHS rewrites there
+    assert(rewrite("select json_union_display(j -> k) from t")
+      == "select json_union_display(json_get(j, k)) from t")
+    // select list, WHERE, qualified and backquoted identifiers
+    assert(rewrite("select a, j -> kc from t where j ->> kc2 = 'x'")
+      == "select a, json_get(j, kc) from t where json_as_text(j, kc2) = 'x'")
+    assert(rewrite("select t.j -> u.k from t") == "select json_get(t.j, u.k) from t")
+    assert(rewrite("select j -> `key col` from t")
+      == "select json_get(j, `key col`) from t")
+    // mixed literal/column chains fold left like the reference's matrix
+    assert(rewrite("select j->'a'->kc->0 from t")
+      == "select json_get(json_get(json_get(j, 'a'), kc), 0) from t")
+    // an RHS that is itself a function call is out of scope — untouched
+    assert(rewrite("select j -> upper(k) from t") == "select j -> upper(k) from t")
+    // `?` never takes an identifier RHS: parameter markers stay markers
+    assert(rewrite("select ? as p from t") == "select ? as p from t")
+    assert(rewrite("select x from t limit ? offset ?")
+      == "select x from t limit ? offset ?")
+    // FILTER clause / EXISTS subquery parens are not lambda contexts for
+    // tokens past the first argument comma-free position
+    assert(rewrite("select count(*) filter (where j -> kc is not null) from t")
+      == "select count(*) filter (where json_get(j, kc) is not null) from t")
+    assert(rewrite("select * from t where exists (select j -> kc from u)")
+      == "select * from t where exists (select json_get(j, kc) from u)")
+  }
+
+  test("column RHS end-to-end through spark.sql with the conf-gated parser") {
+    refFixtures()
+    // reference tests/main.rs:2178-2259 (column-path matrix) through the
+    // injected parser: `other` has (json_data, str_key, int_key)
+    val got = spark.sql(rewrite(
+      "select json_union_display(json_data -> str_key) v from other"))
       .collect().map(_.getString(0)).toSeq
-    assert(disp2 == Seq("{int=0}", "{null=}", "{null=}"))
+    assert(got == Seq("{int=42}", "{null=}", "{null=}", "{null=}"))
+    val txt = spark.sql(rewrite(
+      "select json_data ->> str_key v from other"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(txt == Seq("42", null, null, null))
   }
 
   test("reference-style SQL runs end-to-end") {

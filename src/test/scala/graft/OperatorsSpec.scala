@@ -260,6 +260,88 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(5L, java.util.Arrays.copyOf(png, 20)).isEmpty)
   }
 
+  test("real WAV decode: header and features match the generator formula") {
+    val s = spark
+    import s.implicits._
+    // independent re-derivation of the sample stats from the formula
+    def expected(id: Long): (Int, Int, Long, Seq[Float]) = {
+      val ch = 1 + java.lang.Math.floorMod(id, 2L).toInt
+      val sr = 8000 + java.lang.Math.floorMod(id, 5L).toInt * 2000
+      val nf = 256 + java.lang.Math.floorMod(id * 3, 200L).toInt
+      def samp(f: Int, c: Int): Int =
+        (java.lang.Math.floorMod(id * 7919 + f * 31 + c * 17, 2048L) - 1024L).toInt
+      val n = nf * ch
+      var sv = 0L; var sa = 0L; var ma = 0L; var sq = 0L
+      val ta = new Array[Long](3); val tc = new Array[Long](3)
+      for (f <- 0 until nf; c <- 0 until ch) {
+        val i = f * ch + c
+        val v = samp(f, c); val a = math.abs(v).toLong
+        sv += v; sa += a; sq += v.toLong * v
+        if (a > ma) ma = a
+        val t = (i.toLong * 3 / n).toInt
+        ta(t) += a; tc(t) += 1
+      }
+      var zc = 0L
+      for (f <- 1 until nf)
+        if ((samp(f, 0) < 0) != (samp(f - 1, 0) < 0)) zc += 1
+      val F = 32768.0
+      (sr, ch, nf.toLong, Seq(
+        (sv / F / n).toFloat, (sa / F / n).toFloat, (ma / F).toFloat,
+        (zc.toDouble / nf).toFloat, (sq / F / F / n).toFloat,
+        (ta(0) / F / tc(0)).toFloat, (ta(1) / F / tc(1)).toFloat,
+        (ta(2) / F / tc(2)).toFloat))
+    }
+    val ids = Seq(0L, 1L, 7L, 123L, 9999L)
+    val got = Multimodal.decodeAudioFeatures(s,
+        Multimodal.syntheticAudioBlobs(s, ids.toDF("doc_id")))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- ids) {
+      val (sr, ch, nf, feats) = expected(id)
+      val m = got(id)
+      assert(m.sample_rate == sr && m.channels == ch && m.n_frames == nf,
+        s"id=$id header ${(m.sample_rate, m.channels, m.n_frames)}, want ${(sr, ch, nf)}")
+      assert(m.bits_per_sample == 16)
+      assert(m.n_bytes == 44 + nf * ch * 2, s"id=$id n_bytes=${m.n_bytes}")
+      assert(m.features.toSeq == feats, s"id=$id features diverged from formula")
+    }
+  }
+
+  test("WAV parser: chunk walk skips unknown chunks; 8-bit path; junk falls back") {
+    // an inserted odd-size LIST chunk before fmt must be skipped
+    // (word-aligned walk) and change nothing about the parse
+    val base = Multimodal.syntheticWav(7L)
+    val want = Multimodal.decodeWav(7L, base).get
+    val spliced = new java.io.ByteArrayOutputStream()
+    spliced.write(base, 0, 12)
+    spliced.write("LIST".getBytes("US-ASCII"))
+    spliced.write(Array[Byte](5, 0, 0, 0)) // chunk size 5 (odd → 1 pad byte)
+    spliced.write(Array[Byte](1, 2, 3, 4, 5, 0))
+    spliced.write(base, 12, base.length - 12)
+    val viaList = Multimodal.decodeWav(7L, spliced.toByteArray).get
+    assert(viaList.sample_rate == want.sample_rate &&
+      viaList.n_frames == want.n_frames &&
+      viaList.features.toSeq == want.features.toSeq)
+    // hand-built 8-bit mono clip: samples 128,255,0,128 → v = 0,127,-128,0
+    val b8 = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b8.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+    b8.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    b8.put("data".getBytes("US-ASCII")).putInt(4)
+    b8.put(Array[Byte](128.toByte, 255.toByte, 0, 128.toByte))
+    val m8 = Multimodal.decodeWav(3L, b8.array()).get
+    assert(m8.bits_per_sample == 8 && m8.channels == 1 &&
+      m8.sample_rate == 8000 && m8.n_frames == 4L)
+    assert(m8.features(2) == 1.0f)  // peak |−128| / 128
+    assert(m8.features(3) == 0.5f)  // two sign changes over four frames
+    // junk: wrong magic, nulls, truncation, float-format WAV → None
+    assert(Multimodal.decodeWav(1L, "not audio at all, just text".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(1L, null).isEmpty)
+    assert(Multimodal.decodeWav(1L, java.util.Arrays.copyOf(base, 30)).isEmpty)
+    val bf = java.util.Arrays.copyOf(base, base.length)
+    bf(20) = 3 // fmt tag: IEEE-float WAV — unsupported, must reject not garble
+    assert(Multimodal.decodeWav(1L, bf).isEmpty)
+  }
+
   test("curation pipeline: exact dup, near dup, and junk removed") {
     val s = spark
     import s.implicits._
