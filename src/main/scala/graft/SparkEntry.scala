@@ -381,6 +381,19 @@ object SparkEntry {
         .orderBy(col("qid"), desc("cos"), col("vec_id"))
     }),
 
+    // the fully distributed cogroup variant: same centroids, same probe/
+    // assignment/ranking conventions → the exact q_knn_ivf answer with
+    // no driver involvement on either data side
+    "q_knn_cells" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cents = operators.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", k = 16)
+      operators.Similarity.knnJoinByCell(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          nCells = 16, nProbe = 4, trainedCentroids = cents)
+        .orderBy(col("qid"), desc("cos"), col("vec_id"))
+    }),
+
     // SRP-LSH-bucketed approximate neighbor search (scale path); the
     // deterministic hyperplanes are replicated as literals in the oracle
     "q_ann_lsh" -> ((s, dir) => {
@@ -1912,6 +1925,9 @@ object SparkEntry {
 
     // IVF-pruned kNN join: shared coarse CTEs + per-query probes
     "q_knn_ivf" -> knnIvfOracleSql(),
+    // the cogroup variant pins row-identity with q_knn_ivf by sharing
+    // its full training-replay oracle verbatim
+    "q_knn_cells" -> knnIvfOracleSql(),
 
     // PQ: per-subspace k-means + encode + ADC lookup replayed in SQL
     "q_ann_pq" -> pqOracleSql(),

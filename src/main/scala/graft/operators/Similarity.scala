@@ -361,6 +361,148 @@ object Similarity {
       .select(col("qid"), col(idCol), round(col("cos_raw"), 6).as("cos"))
   }
 
+  /** FULLY DISTRIBUTED IVF kNN join — no driver involvement on either
+    * data side (only the capped centroid training touches the driver):
+    * queries fan out to their `nProbe` probed cells with a narrow
+    * flatMap, the corpus maps to its assigned cell, both sides
+    * hash-partition ONCE on the cell id, and a `cogroup` scores each
+    * cell's corpus rows against only the queries that probed that cell
+    * with per-query bounded heaps — candidate rows out are
+    * |probes| × k, never a pair explosion. A final window settles global
+    * top-k per query. This is the scale path past both driver caps: the
+    * broadcast variants ([[knnJoin]], [[knnJoinIvf]], [[knnJoinBatched]])
+    * bound the QUERY side by driver/executor memory; here both sides are
+    * arbitrarily large (the regime where even batched corpus rescans
+    * dominate).
+    *
+    * Results are ROW-IDENTICAL to [[knnJoinIvf]] for the same
+    * `trainedCentroids` (OperatorsSpec pins the equivalence; q_knn_cells
+    * shares q_knn_ivf's value-level training-replay oracle verbatim):
+    * same probe rule (top-nProbe guarded cosine, ties → smallest cell),
+    * same assignment ([[cellAssignment]], ties → largest cell), same
+    * RAW-cosine selection with (cos DESC, id ASC) ties, rounded only for
+    * display, zero-norm vectors on either side excluded outright.
+    *
+    * Cost model at 100 TB: one Exchange of each side keyed on cell
+    * (corpus rows cross the wire once — cache the assigned corpus to
+    * amortize across query batches), cogroup task memory = the queries
+    * probing one cell (~M × nProbe / nCells × (dim × 4 + k × 24) B) —
+    * size nCells so that holds; a hot cell is a genuine data-skew
+    * signal (retrain with more cells). Corpus rows in unprobed cells
+    * still shuffle (no IN-pushdown here); with a large query set every
+    * cell is probed anyway, and for small query sets use
+    * [[knnJoinIvf]]. */
+  def knnJoinByCell(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      sampleSize: Int = 2048,
+      iters: Int = 5,
+      trainedCentroids: Array[Array[Float]] = null,
+      cellCol: String = null): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, $nCells], got $nProbe")
+    require(cellCol == null || trainedCentroids != null,
+      "cellCol requires trainedCentroids: a persisted cell layout is only " +
+        "valid for the exact centroids it was assigned with")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents0 =
+      if (trainedCentroids != null) trainedCentroids
+      else trainCentroids(corpus, idCol, vecCol, nCells, sampleSize, iters)
+    val cents = cents0.zipWithIndex.map(_.swap)
+    val centNorms = cents0.map(c =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    val bcC = spark.sparkContext.broadcast((cents0, centNorms))
+    // query fan-out: (cell, qid, qvec) — the same probe arithmetic
+    // knnJoinIvf runs on the driver, here a narrow distributed flatMap
+    val qCells = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .where(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (cs, cns) = bcC.value
+        it.flatMap { case (qid, qv) =>
+          var n = 0.0
+          var i = 0
+          while (i < qv.length) { n += qv(i).toDouble * qv(i); i += 1 }
+          val qn = math.sqrt(n)
+          if (qn == 0.0) Iterator.empty // zero-norm query matches nothing
+          else {
+            val scored = cs.indices.map { cell =>
+              val cn = cns(cell)
+              val s = if (cn == 0.0) -2.0 else {
+                val c = cs(cell)
+                val d = math.min(qv.length, c.length)
+                var dot = 0.0; var j = 0
+                while (j < d) { dot += qv(j).toDouble * c(j); j += 1 }
+                dot / (qn * cn)
+              }
+              (s, cell)
+            }
+            scored.sortBy { case (s, cell) => (-s, cell) }.take(nProbe)
+              .iterator.map { case (_, cell) => (cell, qid, qv) }
+          }
+        }
+      }
+    val cellExpr =
+      if (cellCol != null) col(cellCol).cast("int")
+      else cellAssignment(col(vecCol), cents)
+    val data = corpus
+      .select(cellExpr.as("__cell"), col(idCol).cast("long"), col(vecCol))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Int, Long, Array[Float])]
+    val cands = data.groupByKey(_._1)
+      .cogroup(qCells.groupByKey(_._1)) { (_, corpusIt, queryIt) =>
+        val qs = queryIt.toArray // queries probing this cell — bounded
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val qNorms = qs.map { case (_, _, qv) =>
+            math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+          }
+          val heaps = Array.fill(qs.length)(
+            new scala.collection.mutable.PriorityQueue[(Double, Long)]()(knnWorstFirst))
+          corpusIt.foreach { case (_, id, v) =>
+            var n = 0.0
+            var i = 0
+            while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+            val norm = math.sqrt(n)
+            if (norm > 0.0) {
+              var qi = 0
+              while (qi < qs.length) {
+                val qv = qs(qi)._3
+                val d = math.min(qv.length, v.length)
+                var dot = 0.0
+                var j = 0
+                while (j < d) { dot += qv(j).toDouble * v(j); j += 1 }
+                val cand = (dot / (norm * qNorms(qi)), id)
+                val h = heaps(qi)
+                if (h.size < k) h.enqueue(cand)
+                else if (knnWorstFirst.compare(cand, h.head) < 0) { h.dequeue(); h.enqueue(cand) }
+                qi += 1
+              }
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            h.iterator.map { case (cos, id) => (qs(qi)._2, id, cos) }
+          }
+        }
+      }
+    cands.toDF("qid", idCol, "cos_raw")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(desc("cos_raw"), col(idCol))))
+      .where(col("__rn") <= k)
+      .select(col("qid"), col(idCol), round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** Train IVF centroids with Lloyd iterations over a bounded,
     * deterministic sample (id-ordered limit — reproducible across runs).
     * The sample is driver-side by design: it is CAPPED, independent of

@@ -1222,6 +1222,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(none.count() == 0L)
   }
 
+  test("knnJoinByCell equals knnJoinIvf: distributed cogroup, no driver, no Join") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 2654435761L + j * 40503L) % 1000L).toFloat - 500f) / 100f)
+    val corpus = (0L until 600L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0L until 2000L).map(i => (i, vec(i + 333L))).toDF("qid0", "qv")
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", 8, 256, 4)
+    val ivf = Similarity.knnJoinIvf(corpus, "vec_id", "embedding",
+        queries, "qid0", "qv", k = 5, nCells = 8, nProbe = 3,
+        maxQueries = 4096, trainedCentroids = cents)
+      .collect().map(_.toSeq).toSet
+    val byCell = Similarity.knnJoinByCell(corpus, "vec_id", "embedding",
+      queries, "qid0", "qv", k = 5, nCells = 8, nProbe = 3,
+      trainedCentroids = cents)
+    assert(byCell.collect().map(_.toSeq).toSet == ivf)
+    // plan: a CoGroup over the two cell-keyed shuffles, zero Join
+    // operators, no pair explosion anywhere
+    val plan = byCell.queryExecution.executedPlan.toString
+    assert(plan.contains("CoGroup"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // partitioning of either input must not change the answer
+    val reparted = Similarity.knnJoinByCell(corpus.repartition(7), "vec_id",
+      "embedding", queries.repartition(5), "qid0", "qv", k = 5, nCells = 8,
+      nProbe = 3, trainedCentroids = cents)
+    assert(reparted.collect().map(_.toSeq).toSet == ivf)
+    // zero-norm queries and corpus rows are excluded, not NaN-ranked
+    val zq = queries.unionByName(Seq((9999L, Array.fill(dim)(0f))).toDF("qid0", "qv"))
+    val zc = corpus.unionByName(Seq((9998L, Array.fill(dim)(0f))).toDF("vec_id", "embedding"))
+    val withZeros = Similarity.knnJoinByCell(zc, "vec_id", "embedding",
+      zq, "qid0", "qv", k = 5, nCells = 8, nProbe = 3, trainedCentroids = cents)
+      .collect()
+    assert(!withZeros.exists(r => r.getLong(0) == 9999L || r.getLong(1) == 9998L))
+    assert(withZeros.map(_.toSeq).toSet == ivf)
+  }
+
   test("asofJoinSalted agrees with asofJoinDirected: directions x tolerances x bin counts") {
     val s = spark
     import s.implicits._
