@@ -773,6 +773,17 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // REAL image resize: decode + integer nearest-neighbor resample;
+    // channel sums over the resized pixels replay from the PNG formula
+    "q_img_resize" -> ((s, dir) =>
+      operators.Multimodal.resizeImages(s,
+          operators.Multimodal.syntheticImageBlobs(s, table(s, dir, "documents")),
+          targetW = 12, targetH = 9)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("doc_id"))),
+
     // multimodal resize + frame-sample plumbing (deterministic stubs);
     // binary payloads are md5-projected so both engines compare hex digests
     "q_mm_resize" -> ((s, dir) =>
@@ -1859,6 +1870,25 @@ object SparkEntry {
         | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
         |  (SELECT unnest(range(8)) AS ft) fs
         | ORDER BY s.doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
+
+    // real-resize replica WITHOUT decoding: nearest-neighbor source
+    // indexing (x = X*w div W) over the PNG generator formula, then the
+    // same exact-integer channel sums as resizeImages
+    "q_img_resize" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h
+        |   FROM documents),
+        | xs AS (SELECT doc_id, w, h, unnest(range(12)) AS xo FROM d),
+        | po AS (SELECT doc_id, w, h, xo, unnest(range(9)) AS yo FROM xs),
+        | src AS (SELECT doc_id, (xo * w) // 12 AS x, (yo * h) // 9 AS y FROM po),
+        | pc AS (SELECT doc_id,
+        |   (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+        |   (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
+        |   (doc_id * 13 + x * 5 + y * 29) % 256 AS b
+        |  FROM src)
+        | SELECT doc_id, CAST(12 AS INT) AS width, CAST(9 AS INT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        | FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // resize stub replica: strided byte selection, md5 over the payload
     "q_mm_resize" ->

@@ -388,6 +388,89 @@ object Multimodal {
       }
   }
 
+  /** One REALLY resized image: decoded pixels resampled to the target
+    * dims, payload = raw RGB24 row-major, plus exact-integer channel
+    * sums over the resized pixels (the oracle-checked surface). */
+  case class ResizedImage(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      payload: Array[Byte],
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL image resize: decode via `javax.imageio`, NEAREST-NEIGHBOR
+    * resample to (targetW, targetH) with pure integer source indexing —
+    * output pixel (X, Y) reads source (x, y) = (X*w div W, Y*h div H) —
+    * and emit the raw RGB24 payload plus exact-integer channel sums.
+    * Every step is fully specified (header-true dims, integer index
+    * math, lossless PNG pixels), so the DuckDB oracle replays the sums
+    * from [[syntheticPng]]'s generator formula without decoding
+    * (q_img_resize). Blobs no reader recognizes fall back to the
+    * [[resize]] stub payload with zeroed sums — same record shape.
+    * Nearest-neighbor is the deliberate choice for a verifiable
+    * baseline: area/bilinear kernels blend pixels in float arithmetic
+    * whose rounding is library-defined; swap the sampler for a JNI
+    * kernel and the plumbing is unchanged. */
+  def resizeImages(
+      spark: SparkSession,
+      blobs: DataFrame,
+      targetW: Int,
+      targetH: Int): Dataset[ResizedImage] = {
+    require(targetW >= 1 && targetH >= 1, s"bad target ${targetW}x$targetH")
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            if (bytes == null || bytes.length < 4) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+          if (img == null) {
+            val in = if (bytes == null) Array.emptyByteArray else bytes
+            val outLen = math.max(1, targetW * targetH / 16)
+            val out = new Array[Byte](outLen)
+            if (in.nonEmpty) {
+              var i = 0
+              while (i < outLen) {
+                out(i) = in((i.toLong * in.length / outLen).toInt)
+                i += 1
+              }
+            }
+            ResizedImage(id, targetW, targetH, out, 0L, 0L, 0L)
+          } else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val out = new Array[Byte](targetW * targetH * 3)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var yy = 0
+            while (yy < targetH) {
+              val sy = yy * h / targetH
+              var xx = 0
+              while (xx < targetW) {
+                val sx = xx * w / targetW
+                val rgb = px(sy * w + sx)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                val o = (yy * targetW + xx) * 3
+                out(o) = r.toByte; out(o + 1) = g.toByte; out(o + 2) = b.toByte
+                sr += r; sg += g; sb += b
+                xx += 1
+              }
+              yy += 1
+            }
+            ResizedImage(id, targetW, targetH, out, sr, sg, sb)
+          }
+        }
+      }
+  }
+
   /** One sampled "frame" of a pseudo-video blob. */
   case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
 

@@ -260,6 +260,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(5L, java.util.Arrays.copyOf(png, 20)).isEmpty)
   }
 
+  test("real image resize: nearest-neighbor pixels match the formula; junk falls back") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 3L, 123L)
+    val got = Multimodal.resizeImages(s,
+        Multimodal.syntheticImageBlobs(s, ids.toDF("doc_id")), 12, 9)
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- ids) {
+      val w = 16 + java.lang.Math.floorMod(id, 17L).toInt
+      val h = 16 + java.lang.Math.floorMod(id * 7, 13L).toInt
+      val m = got(id)
+      assert(m.width == 12 && m.height == 9)
+      assert(m.payload.length == 12 * 9 * 3)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (yo <- 0 until 9; xo <- 0 until 12) {
+        val x = xo * w / 12
+        val y = yo * h / 9
+        val r = java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+        val g = java.lang.Math.floorMod(id * 17 + x * 11 + y * 3, 256L).toInt
+        val b = java.lang.Math.floorMod(id * 13 + x * 5 + y * 29, 256L).toInt
+        val o = (yo * 12 + xo) * 3
+        assert((m.payload(o) & 0xff) == r && (m.payload(o + 1) & 0xff) == g &&
+          (m.payload(o + 2) & 0xff) == b, s"id=$id pixel ($xo,$yo)")
+        sr += r; sg += g; sb += b
+      }
+      assert(m.sum_r == sr && m.sum_g == sg && m.sum_b == sb)
+    }
+    // unrecognized bytes: stub payload shape, zeroed sums
+    val junk = Multimodal.resizeImages(s,
+        Seq((7L, "not an image".getBytes)).toDF("doc_id", "blob"), 16, 16)
+      .collect()(0)
+    assert(junk.payload.length == 16 * 16 / 16 && junk.sum_r == 0L)
+  }
+
   test("real WAV decode: header and features match the generator formula") {
     val s = spark
     import s.implicits._
