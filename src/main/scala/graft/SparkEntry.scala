@@ -784,6 +784,16 @@ object SparkEntry {
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy(col("doc_id"))),
 
+    // REAL video frame sampling: every 2nd frame of a synthetic animated
+    // GIF decoded via javax.imageio; per-frame channel sums replay from
+    // the indexed-palette formula (GIF is lossless over indices)
+    "q_video_frames" -> ((s, dir) =>
+      operators.Multimodal.sampleVideoFrames(s,
+          operators.Multimodal.syntheticVideoBlobs(s, table(s, dir, "documents")),
+          stride = 2)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // multimodal resize + frame-sample plumbing (deterministic stubs);
     // binary payloads are md5-projected so both engines compare hex digests
     "q_mm_resize" -> ((s, dir) =>
@@ -1889,6 +1899,23 @@ object SparkEntry {
         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |  CAST(sum(b) AS BIGINT) AS sum_b
         | FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // real-frame replica WITHOUT decoding GIF: regenerate every sampled
+    // frame's palette indices from the generator formula and expand
+    // through the same 64-color palette
+    "q_video_frames" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+        | fr AS (SELECT doc_id, unnest(range(0, nf, 2)) AS f FROM d),
+        | xs AS (SELECT doc_id, f, unnest(range(24)) AS x FROM fr),
+        | px AS (SELECT doc_id, f, x, unnest(range(16)) AS y FROM xs),
+        | pc AS (SELECT doc_id, f,
+        |   (doc_id * 31 + f * 97 + x * 7 + y * 13) % 64 AS idx FROM px)
+        | SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(sum(85 * (idx % 4)) AS BIGINT) AS sum_r,
+        |  CAST(sum(85 * ((idx // 4) % 4)) AS BIGINT) AS sum_g,
+        |  CAST(sum(85 * ((idx // 16) % 4)) AS BIGINT) AS sum_b
+        | FROM pc GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
 
     // resize stub replica: strided byte selection, md5 over the payload
     "q_mm_resize" ->

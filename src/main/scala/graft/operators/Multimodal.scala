@@ -471,6 +471,133 @@ object Multimodal {
       }
   }
 
+  /** One REALLY decoded video frame: header-true dims + exact-integer
+    * channel sums over the frame's decoded pixels. */
+  case class VideoFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** The 64-color palette shared by [[syntheticGif]] and its oracle:
+    * index i → (r, g, b) = (85·(i mod 4), 85·(i div 4 mod 4),
+    * 85·(i div 16 mod 4)). GIF stores palettes verbatim and LZW is
+    * lossless over indices, so decoded pixels ARE this formula. */
+  private def gifPalette(): java.awt.image.IndexColorModel = {
+    val r = new Array[Byte](64); val g = new Array[Byte](64); val b = new Array[Byte](64)
+    var i = 0
+    while (i < 64) {
+      r(i) = (85 * (i % 4)).toByte
+      g(i) = (85 * (i / 4 % 4)).toByte
+      b(i) = (85 * (i / 16 % 4)).toByte
+      i += 1
+    }
+    new java.awt.image.IndexColorModel(8, 64, r, g, b)
+  }
+
+  val GifW = 24
+  val GifH = 16
+
+  /** Deterministic synthetic animated GIF: 4 + docId mod 5 frames of
+    * [[GifW]]×[[GifH]] indexed pixels, palette [[gifPalette]], pixel
+    * index(f, x, y) = (31·docId + 97·f + 7·x + 13·y) mod 64 — a real
+    * multi-frame container whose decoded pixels replay from the formula
+    * (the video analogue of [[syntheticPng]]/[[syntheticWav]]). */
+  def syntheticGif(docId: Long): Array[Byte] = {
+    val nFrames = 4 + java.lang.Math.floorMod(docId, 5L).toInt
+    val icm = gifPalette()
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(GifW, GifH,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < GifH) {
+          var x = 0
+          while (x < GifW) {
+            raster.setSample(x, y, 0,
+              java.lang.Math.floorMod(docId * 31 + f * 97 + x * 7 + y * 13, 64L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** (doc_id, blob) table of [[syntheticGif]] clips. */
+  def syntheticVideoBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticGif(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** REAL video frame sampling: decode every `stride`-th frame of an
+    * animated GIF via `javax.imageio` (pure JVM — the one multi-frame
+    * container the JDK ships a codec for) and emit header-true dims plus
+    * exact-integer channel sums per sampled frame. One input row → many
+    * frame rows (flatMap — the true cardinality shape of video decode);
+    * non-GIF blobs yield no frames. Swap the reader for a JNI codec and
+    * the plumbing (partitioning, flatMap shape, record schema) is
+    * unchanged. */
+  def sampleVideoFrames(
+      spark: SparkSession,
+      blobs: DataFrame,
+      stride: Int = 2): Dataset[VideoFrame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null || bytes.length < 6 ||
+          !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) Iterator.empty
+        else {
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          try {
+            javax.imageio.ImageIO.setUseCache(false)
+            reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes)), false)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).iterator.map { f =>
+              val img = reader.read(f)
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < px.length) {
+                sr += (px(i) >> 16) & 0xff
+                sg += (px(i) >> 8) & 0xff
+                sb += px(i) & 0xff
+                i += 1
+              }
+              VideoFrame(id, f, w, h, sr, sg, sb)
+            }.toVector.iterator // materialize before the reader is disposed
+          } catch {
+            case _: Exception => Iterator.empty // truncated/corrupt GIF
+          } finally reader.dispose()
+        }
+      }
+  }
+
   /** One sampled "frame" of a pseudo-video blob. */
   case class Frame(doc_id: Long, frame_idx: Int, offset: Long, frame: Array[Byte])
 

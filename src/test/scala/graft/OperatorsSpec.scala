@@ -294,6 +294,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(junk.payload.length == 16 * 16 / 16 && junk.sum_r == 0L)
   }
 
+  test("real GIF frame sampling: decoded frames match the palette formula") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 2L, 11L)
+    val got = Multimodal.sampleVideoFrames(s,
+        Multimodal.syntheticVideoBlobs(s, ids.toDF("doc_id")), stride = 2)
+      .collect().groupBy(_.doc_id)
+    for (id <- ids) {
+      val nf = 4 + java.lang.Math.floorMod(id, 5L).toInt
+      val frames = got(id).sortBy(_.frame_idx)
+      assert(frames.map(_.frame_idx).toSeq == (0 until nf by 2).toSeq)
+      for (fr <- frames) {
+        assert(fr.width == Multimodal.GifW && fr.height == Multimodal.GifH)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until Multimodal.GifH; x <- 0 until Multimodal.GifW) {
+          val idx = java.lang.Math.floorMod(
+            id * 31 + fr.frame_idx * 97 + x * 7 + y * 13, 64L).toInt
+          sr += 85 * (idx % 4); sg += 85 * (idx / 4 % 4); sb += 85 * (idx / 16 % 4)
+        }
+        assert(fr.sum_r == sr && fr.sum_g == sg && fr.sum_b == sb,
+          s"id=$id frame=${fr.frame_idx} sums diverged from formula")
+      }
+    }
+    // non-GIF and truncated blobs yield no frames, not garbage
+    val junk = Multimodal.sampleVideoFrames(s,
+      Seq((7L, "not a gif".getBytes),
+        (8L, java.util.Arrays.copyOf(Multimodal.syntheticGif(1L), 40)))
+        .toDF("doc_id", "blob"))
+    assert(junk.count() == 0L)
+  }
+
   test("real WAV decode: header and features match the generator formula") {
     val s = spark
     import s.implicits._
