@@ -84,14 +84,19 @@ object Bench {
     // extended map grew past the window and lost its front). The final
     // printed line must stay well under that budget; full precision and
     // the extended map live in BENCH_LAST.json.
+    // Locale.ROOT: the f"" interpolator is default-locale-dependent — a
+    // comma-decimal locale (de_DE, fr_FR) would print 12,3456 and break
+    // the JSON the driver parses
+    def fmt4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def jsonCompact(m: Map[String, Double]): String =
       m.map { case (k, v) =>
-        s"\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.4f")
+        s"\"" + k + "\":" + (if (v < 0) "-1" else fmt4(v))
       }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val extTotal = extResults.values.filter(_ >= 0).sum
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"extended_total":$extTotal,"extended":${json(extResults)},"sf":"$sfDir"}"""
-    val compact = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":${jsonCompact(results)},"extended_total":${f"$extTotal%.4f"},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":${jsonCompact(results)},"extended_total":${fmt4(extTotal)},"sf":"$sfDir"}"""
     // Full detail to a fixed file: survives any stdout decoration or
     // truncation by the build tool / driver capture.
     try {

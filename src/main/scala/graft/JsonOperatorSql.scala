@@ -92,8 +92,15 @@ object JsonOperatorSql {
           prevSig = '"'; lastIdent = ""
         } else if (c == '`') {
           val (lit, next) = consumeString(sql, i, '`')
+          val before = out.length
           i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
-          prevSig = out.charAt(out.length - 1); lastIdent = ""
+          prevSig = out.charAt(out.length - 1)
+          // a backquoted HOF name (`transform`(arr, x -> y)) is still a
+          // HOF call — track the unquoted name so its lambda stays safe
+          lastIdent =
+            if (out.length - before == lit.length && lit.length >= 2 &&
+              lit.charAt(lit.length - 1) == '`') lit.substring(1, lit.length - 1)
+            else ""
         } else if (isIdentStart(c)) {
           val startId = i
           while (i < n && isIdentPart(sql.charAt(i))) i += 1
@@ -106,7 +113,8 @@ object JsonOperatorSql {
         } else {
           if (c == '(') {
             val callee = lastIdent.substring(lastIdent.lastIndexOf('.') + 1)
-            parens.push(isIdentPart(prevSig) && HofNames.contains(callee.toLowerCase))
+            parens.push((isIdentPart(prevSig) || prevSig == '`') &&
+              HofNames.contains(callee.toLowerCase))
           } else if (c == ')' && parens.nonEmpty) parens.pop()
           out.append(c); i += 1
           if (!c.isWhitespace) { prevSig = c; lastIdent = "" }

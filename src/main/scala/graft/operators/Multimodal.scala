@@ -240,7 +240,12 @@ object Multimodal {
         dataOff = off + 8
         dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // a declared size past the end of the blob (truncated file or an
+      // adversarial 0xFFFFFFxx that would step 0 or negative after
+      // .toInt) means no further chunk can follow — stop the walk
+      // instead of spinning or indexing negatively
+      if (size > bytes.length - off - 8) off = bytes.length
+      else off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0) return None
     val bytesPerSample = bits / 8
@@ -301,11 +306,14 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          decodeWav(id, bytes).getOrElse {
-            val in = if (bytes == null) Array.emptyByteArray else bytes
-            AudioFeatures(id, in.length.toLong, 0, 0, 0, 0L,
-              decodeStub(id, in).features)
-          }
+          // belt-and-braces: a parser bug on one adversarial blob must
+          // degrade to the stub record, never kill the corpus job
+          (try decodeWav(id, bytes) catch { case _: Exception => None })
+            .getOrElse {
+              val in = if (bytes == null) Array.emptyByteArray else bytes
+              AudioFeatures(id, in.length.toLong, 0, 0, 0, 0L,
+                decodeStub(id, in).features)
+            }
         }
       }
   }

@@ -308,12 +308,7 @@ object Similarity {
     }
     val unionCells = probeMask.flatMap(m => m.indices.filter(m)).distinct.sorted
     val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms, probeMask))
-    val worstFirst = new Ordering[(Double, Long)] {
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      }
-    }
+    val worstFirst = knnWorstFirst // one shared eviction/tie-break order
     val cellExpr =
       if (cellCol != null) col(cellCol).cast("int")
       else cellAssignment(col(vecCol), cents)
@@ -457,7 +452,10 @@ object Similarity {
       else cellAssignment(col(vecCol), cents)
     val data = corpus
       .select(cellExpr.as("__cell"), col(idCol).cast("long"), col(vecCol))
-      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      // __cell can be NULL only on the cellCol path (a persisted layout
+      // with missing cells); drop such rows like knnJoinIvf's isin does
+      // instead of crashing the non-nullable tuple decode
+      .where(col("__cell").isNotNull && col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Int, Long, Array[Float])]
     val cands = data.groupByKey(_._1)
       .cogroup(qCells.groupByKey(_._1)) { (_, corpusIt, queryIt) =>

@@ -179,9 +179,13 @@ object JsonStream {
       .where(col("event_type") === "click")
       .select(col("user_id"), col("ts_us"),
         col("event_id").as("click_id"), col("value").as("click_value"))
+    // explicit cap = the (round-9-lowered) library default, stated here
+    // so a future default change cannot silently alter this surface;
+    // a bigger reference side belongs in the stateful as-of instead
     val enriched = graft.operators.Joins.asofJoinBroadcast(
       stream, clicks, keyCol = "user_id", timeCol = "ts_us",
-      rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+      rightIdCol = "click_id", rightValueCols = Seq("click_value"),
+      maxRightRows = 1000000)
     val sink = s"graft_stream_asof_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = enriched.writeStream
       .format("memory").queryName(sink)

@@ -251,6 +251,9 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
     // non-HOF call arguments are unambiguous — column RHS rewrites there
     assert(rewrite("select json_union_display(j -> k) from t")
       == "select json_union_display(json_get(j, k)) from t")
+    // a backquoted HOF name is still a HOF call — its lambda stays safe
+    assert(rewrite("select `transform`(arr, x -> y) from t")
+      == "select `transform`(arr, x -> y) from t")
     // select list, WHERE, qualified and backquoted identifiers
     assert(rewrite("select a, j -> kc from t where j ->> kc2 = 'x'")
       == "select a, json_get(j, kc) from t where json_as_text(j, kc2) = 'x'")

@@ -405,6 +405,15 @@ class OperatorsSpec extends AnyFunSuite {
     val bf = java.util.Arrays.copyOf(base, base.length)
     bf(20) = 3 // fmt tag: IEEE-float WAV — unsupported, must reject not garble
     assert(Multimodal.decodeWav(1L, bf).isEmpty)
+    // adversarial chunk sizes: 0xFFFFFFF8 steps 0 after .toInt (would
+    // spin forever), 0x7FFFFFFF overflows the offset (would index
+    // negatively) — both must terminate with None
+    for (sz <- Seq(0xFFFFFFF8, 0x7FFFFFFF, 0x80000000)) {
+      val adv = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      adv.put("RIFF".getBytes("US-ASCII")).putInt(56).put("WAVE".getBytes("US-ASCII"))
+      adv.put("JUNK".getBytes("US-ASCII")).putInt(sz)
+      assert(Multimodal.decodeWav(1L, adv.array()).isEmpty, s"size=$sz")
+    }
   }
 
   test("curation pipeline: exact dup, near dup, and junk removed") {
@@ -1323,6 +1332,21 @@ class OperatorsSpec extends AnyFunSuite {
       .collect()
     assert(!withZeros.exists(r => r.getLong(0) == 9999L || r.getLong(1) == 9998L))
     assert(withZeros.map(_.toSeq).toSet == ivf)
+    // a NULL cell in a precomputed layout drops that row, never crashes
+    // the non-nullable tuple decode
+    val centsIdx = cents.zipWithIndex.map(_.swap)
+    val layout = corpus
+      .withColumn("cell", Similarity.cellAssignment(col("embedding"), centsIdx))
+      .withColumn("cell", when(col("vec_id") === 599L, lit(null)).otherwise(col("cell")))
+    val viaCol = Similarity.knnJoinByCell(layout, "vec_id", "embedding",
+      queries, "qid0", "qv", k = 5, nCells = 8, nProbe = 3,
+      trainedCentroids = cents, cellCol = "cell")
+    val without599 = Similarity.knnJoinByCell(
+      corpus.where(col("vec_id") =!= 599L), "vec_id", "embedding",
+      queries, "qid0", "qv", k = 5, nCells = 8, nProbe = 3,
+      trainedCentroids = cents)
+    assert(viaCol.collect().map(_.toSeq).toSet ==
+      without599.collect().map(_.toSeq).toSet)
   }
 
   test("asofJoinSalted agrees with asofJoinDirected: directions x tolerances x bin counts") {
