@@ -121,11 +121,37 @@ object Examples {
     Joins.rangeJoin(orders.select(col("o_orderkey"), col("o_totalprice")),
       bands, "o_totalprice", "lo", "hi", binWidth = 10000.0).show(3)
 
+    println("-- the one front door: auto-routes broadcast / salted / carry --")
+    Joins.asof(lefts, clicks, "user_id", "ts_us", "click_id",
+      Seq("click_value")).show(3)
+
     println("== 10. Bloom decontamination screen (no shuffle, no join) ==")
     Bloom.decontaminate(
         docs.where(col("doc_id") % 20 =!= 0), docs.where(col("doc_id") % 20 === 0),
         "doc_id", "text", n = 4)
       .where(col("maybe_contaminated")).show(3)
+
+    println("== 11. Batch retrieval: kNN join (exact, batched, distributed-by-cell) ==")
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = corpus.where(col("vec_id") < 3)
+    println("-- exact: one corpus scan, broadcast query matrix --")
+    Similarity.knnJoin(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3).show(3)
+    println("-- distributed-by-cell: neither side visits the driver --")
+    Similarity.knnJoinByCell(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, nCells = 8, nProbe = 3).show(3)
+
+    println("== 12. Multimodal: real decode (PNG pixels, WAV samples, GIF frames) ==")
+    val ids = docs.select(col("doc_id")).limit(4)
+    Multimodal.decodeFeatures(spark,
+      Multimodal.syntheticImageBlobs(spark, ids)).toDF()
+      .select("doc_id", "width", "height").show(4)
+    Multimodal.decodeAudioFeatures(spark,
+      Multimodal.syntheticAudioBlobs(spark, ids)).toDF()
+      .select("doc_id", "sample_rate", "channels", "n_frames").show(4)
+    Multimodal.sampleVideoFrames(spark,
+      Multimodal.syntheticVideoBlobs(spark, ids)).toDF()
+      .select("doc_id", "frame_idx", "sum_r").show(4)
 
     spark.stop()
   }

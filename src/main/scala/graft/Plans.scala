@@ -92,7 +92,17 @@ object Plans {
         "the M×N pairing happens inside a per-partition bounded-heap " +
         "fold (MapPartitions), and the only Exchange carries the " +
         "candidate set (numPartitions × M × k rows): NO join operator " +
-        "of any kind, the corpus vectors never shuffle"))
+        "of any kind, the corpus vectors never shuffle"),
+    "q_knn_cells" ->
+      ("fully distributed IVF kNN join: corpus and queries each " +
+        "Exchange ONCE on the cell id into a CoGroup that scores a " +
+        "cell's rows against only the queries that probed it — " +
+        "neither data side ever visits the driver, no Join operator, " +
+        "candidates-only window settles global top-k"),
+    "q_video_frames" ->
+      ("real GIF frame sampling: partition-local multi-frame decode " +
+        "(flatMap — one blob row fans out to its sampled frames), " +
+        "zero Exchanges before the verification sort"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
