@@ -232,6 +232,22 @@ object ScaleProbe {
       operators.Similarity.ivfPqTopK(emb, "vec_id", "embedding", qv, 20).count()
     }
 
+    // batch retrieval at eval-set scale: a query SET of nDocs/5 against
+    // the nVec corpus — the regime the driver-capped single-batch shape
+    // cannot reach. Batched = ceil(M/batchSize) corpus scans; by-cell =
+    // one Exchange of each side on the cell id, driver never touches data
+    val knnQueries = emb.where(col("vec_id") % 50 === 0) // nVec/50 = nDocs/5
+    time(s"kNN join batched, ${nVec / 50} queries x $nVec corpus, k=10 (bs=8192)") {
+      operators.Similarity.knnJoinBatched(emb, "vec_id", "embedding",
+        knnQueries, "vec_id", "embedding", k = 10, batchSize = 8192)
+        .agg(count(lit(1)), sum(col("cos"))).collect()
+    }
+    time(s"kNN join by-cell (IVF, nCells=64, nProbe=8), ${nVec / 50} queries x $nVec corpus, k=10") {
+      operators.Similarity.knnJoinByCell(emb, "vec_id", "embedding",
+        knnQueries, "vec_id", "embedding", k = 10, nCells = 64, nProbe = 8)
+        .agg(count(lit(1)), sum(col("cos"))).collect()
+    }
+
     // IVF+PQ recall sweep (SURVEY §8.2 parameter table): recall@20 of the
     // ADC scan (vs the exact inner-product top-20 — ADC approximates the
     // dot) and of the exact re-rank (vs the exact COSINE top-20 — the
