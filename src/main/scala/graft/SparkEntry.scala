@@ -367,6 +367,17 @@ object SparkEntry {
         .orderBy(col("qid"), desc("cos"), col("vec_id"))
     }),
 
+    // the uncapped batched variant, deliberately forced across batch
+    // boundaries (batchSize=2 over 5 queries): must equal q_knn_join's
+    // oracle row-for-row
+    "q_knn_batched" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.knnJoinBatched(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          batchSize = 2)
+        .orderBy(col("qid"), desc("cos"), col("vec_id"))
+    }),
+
     // IVF-pruned batch kNN join: the scale path — each query scores only
     // its 4 nearest of 16 trained cells (pushed cell filter; over a
     // cell-partitioned layout, a partition-pruned read). The oracle
@@ -591,6 +602,23 @@ object SparkEntry {
         .select(col("event_id"), expr("ts div 1000").as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
       operators.Joins.asofJoinBroadcast(
+          ev.where(col("event_type") =!= "click"),
+          ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts_us"),
+              col("event_id").as("click_id"), col("value").as("click_value")),
+          keyCol = "user_id", timeCol = "ts_us",
+          rightIdCol = "click_id", rightValueCols = Seq("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // the auto-routing front door over the same inputs: the probes pick
+    // a regime (broadcast here — small unique-id right side) and the
+    // answer must equal q_asof_join's oracle whatever they choose
+    "q_asof_auto" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      operators.Joins.asof(
           ev.where(col("event_type") =!= "click"),
           ev.where(col("event_type") === "click")
             .select(col("user_id"), col("ts_us"),
@@ -1316,10 +1344,12 @@ object SparkEntry {
     base ++ Map(
       "q_asof_broadcast" -> base("q_asof_join"),
       "q_asof_salted" -> base("q_asof_join"),
+      "q_asof_auto" -> base("q_asof_join"),
       "q_stream_asof" -> base("q_asof_join"),
       "q_stream_asof_state" -> base("q_asof_join"),
       "q_stream_asof_et" -> base("q_asof_join"),
-      "q_stream_bloom" -> base("q_bloom_decontam"))
+      "q_stream_bloom" -> base("q_bloom_decontam"),
+      "q_knn_batched" -> base("q_knn_join"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
