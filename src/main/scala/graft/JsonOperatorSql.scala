@@ -9,13 +9,20 @@ package graft
  *
  * Deliberately CONSERVATIVE rather than a parser replacement (SURVEY §7.2:
  * Spark 4 reserves bare `?` for parameter markers and blind text rewriting
- * is unsound): only `column op (literal | identifier)` shapes are
- * rewritten, where column is a (possibly dotted or backquoted)
- * identifier. The FIRST operator on a column requires a single-quoted
- * string path — `x -> 0` is never touched, because that shape is also a
- * Spark lambda (`transform(arr, x -> 0)`); integer indices are allowed
- * from the second chain step on (`j->'a'->0` works; for a leading index
- * write `json_get(j, 0)`).
+ * is unsound): only `lhs op (literal | identifier)` shapes are rewritten,
+ * where lhs is a (possibly dotted or backquoted) identifier, a string
+ * literal, a parenthesized group (`(j->'a')->>'b'`), or a function call
+ * (`f(x) -> 'k'`) — the reference plans any expression LHS
+ * (src/rewrite.rs:105-144). The FIRST operator on a bare column requires
+ * a single-quoted string path — `x -> 0` is never touched, because that
+ * shape is also a Spark lambda (`transform(arr, x -> 0)`); integer
+ * indices are allowed from the second chain step on (`j->'a'->0` works;
+ * for a leading index write `json_get(j, 0)`). A parenthesized group
+ * that is a valid Spark lambda parameter list — `(a, b)` with two or
+ * more bare identifiers, as a direct builtin-HOF argument — never
+ * folds; the single-identifier form `(x) -> body` is a Spark syntax
+ * error (its grammar's paren lambda alternative requires two+ params),
+ * so `(x) -> 'k'` folds as the operator, matching the reference.
  *
  * A COLUMN RHS (`j -> key_col`, any chain step — the reference plans any
  * expression RHS, src/rewrite.rs:117-130, column-path matrix
@@ -51,6 +58,22 @@ object JsonOperatorSql {
     "zip_with", "map_zip_with", "map_filter", "transform_keys",
     "transform_values", "array_sort")
 
+  /** SQL keywords that can directly precede a plain grouping paren
+    * (`select (...)`, `where (...)`, `when (...)` …) — an identifier in
+    * this set never names a CALL, so a close-paren fold must reach back
+    * only to the '(' itself, not to the keyword. Genuinely functional
+    * keywords (cast, if, …) are deliberately NOT here: `cast(x as t)`
+    * must fold as a whole call. */
+  private val SqlKeywords = Set(
+    "select", "from", "where", "and", "or", "not", "in", "on", "when",
+    "then", "else", "end", "case", "join", "left", "right", "full",
+    "inner", "outer", "cross", "semi", "anti", "union", "intersect",
+    "except", "all", "distinct", "group", "by", "having", "order",
+    "limit", "offset", "as", "is", "null", "between", "like", "rlike",
+    "ilike", "escape", "over", "partition", "rows", "range", "values",
+    "with", "any", "some", "using", "lateral", "interval", "exists",
+    "filter", "window", "qualify")
+
   def rewrite(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -62,7 +85,12 @@ object JsonOperatorSql {
     // context where a lambda parameter can follow `(` or `,`
     var prevSig: Char = ' '
     var lastIdent: String = ""
-    val parens = scala.collection.mutable.Stack.empty[Boolean]
+    // start position in `out` of the last appended atom (identifier,
+    // quoted name, string literal, or closed paren group) — the LHS a
+    // call or close-paren fold reaches back to; -1 when the last token
+    // was an operator/punctuation
+    var lastExprStart: Int = -1
+    val parens = scala.collection.mutable.Stack.empty[Par]
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '-' && sql.startsWith("--", i)) {
@@ -78,16 +106,19 @@ object JsonOperatorSql {
         // after the `(` or a `,` of a builtin-HOF call — only there is
         // an identifier RHS ambiguous with a lambda body
         val lambdaPossible = (prevSig == '(' || prevSig == ',') &&
-          parens.nonEmpty && parens.top
+          parens.nonEmpty && parens.top.isHof
         if (c == '\'') {
           // a string literal is a valid operator LHS in the reference's SQL
           // (`'{"a": "b"}'->>'a'` — reference tests/main.rs:1533); foldOps
           // appends it verbatim when no operator follows
           val (lit, next) = consumeString(sql, i, c)
+          val before = out.length
           i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
           prevSig = out.charAt(out.length - 1); lastIdent = ""
+          lastExprStart = before
         } else if (c == '"') {
           val (lit, next) = consumeString(sql, i, c)
+          lastExprStart = out.length
           out.append(lit); i = next
           prevSig = '"'; lastIdent = ""
         } else if (c == '`') {
@@ -101,6 +132,7 @@ object JsonOperatorSql {
             if (out.length - before == lit.length && lit.length >= 2 &&
               lit.charAt(lit.length - 1) == '`') lit.substring(1, lit.length - 1)
             else ""
+          lastExprStart = before
         } else if (isIdentStart(c)) {
           val startId = i
           while (i < n && isIdentPart(sql.charAt(i))) i += 1
@@ -110,19 +142,66 @@ object JsonOperatorSql {
           prevSig = out.charAt(out.length - 1)
           // only an identifier appended verbatim can name a following call
           lastIdent = if (out.length - before == ident.length) ident else ""
-        } else {
-          if (c == '(') {
-            val callee = lastIdent.substring(lastIdent.lastIndexOf('.') + 1)
-            parens.push((isIdentPart(prevSig) || prevSig == '`') &&
-              HofNames.contains(callee.toLowerCase))
-          } else if (c == ')' && parens.nonEmpty) parens.pop()
+          lastExprStart = before
+        } else if (c == '(') {
+          val callee = lastIdent.substring(lastIdent.lastIndexOf('.') + 1)
+          val isHof = (isIdentPart(prevSig) || prevSig == '`') &&
+            HofNames.contains(callee.toLowerCase)
+          // where the expression this paren belongs to STARTS: the callee
+          // for a call (`f(x)` folds as a whole), the previous group for
+          // a chained call, the '(' itself for plain grouping — and a
+          // keyword before '(' is grouping (`select (...)`), never a call
+          val exprStart =
+            if (!SqlKeywords.contains(callee.toLowerCase) &&
+              (isIdentPart(prevSig) || prevSig == '`' || prevSig == ')') &&
+              lastExprStart >= 0) lastExprStart
+            else out.length
+          parens.push(Par(isHof, exprStart, lambdaPossible))
           out.append(c); i += 1
-          if (!c.isWhitespace) { prevSig = c; lastIdent = "" }
+          prevSig = c; lastIdent = ""; lastExprStart = -1
+        } else if (c == ')') {
+          val par = if (parens.nonEmpty) parens.pop() else Par(isHof = false, -1, lambdaSpot = true)
+          out.append(c); i += 1
+          prevSig = ')'; lastIdent = ""
+          // operators can bind onto a parenthesized or call LHS —
+          // `(j->'a')->>'b'`, `f(x) -> 'k'` — like the reference plans
+          // any-expression LHS (rewrite.rs:105-144). Suppressed only when
+          // the group is a parenthesized lambda PARAMETER LIST: opened
+          // where a HOF argument starts AND containing ≥2 bare
+          // identifiers (`(a, b) -> body`). Spark's grammar rejects the
+          // single-identifier form `(x) -> body` (the paren alternative
+          // of its lambda rule requires two+ params), so `(x) -> 'k'`
+          // has only the operator reading and folds.
+          val isLambdaParams = par.lambdaSpot && par.exprStart >= 0 &&
+            LambdaParamList.matches(out.substring(par.exprStart + 1, out.length - 1))
+          if (!isLambdaParams && par.exprStart >= 0) {
+            val expr = out.substring(par.exprStart)
+            out.setLength(par.exprStart)
+            i = foldOps(sql, i, expr, out, allowIdentRhs = true)
+            prevSig = out.charAt(out.length - 1)
+          }
+          lastExprStart = par.exprStart
+        } else {
+          out.append(c); i += 1
+          if (!c.isWhitespace) { prevSig = c; lastIdent = ""; lastExprStart = -1 }
         }
       }
     }
     out.toString
   }
+
+  /** One open paren's context: HOF call (lambda args legal inside), the
+    * `out` position its whole expression starts at, and whether the
+    * group itself opened where a lambda parameter list could. */
+  private final case class Par(isHof: Boolean, exprStart: Int, lambdaSpot: Boolean)
+
+  /** A comma-separated list of TWO OR MORE bare (or backquoted)
+    * identifiers — the only parenthesized shape Spark's lambda rule
+    * accepts as a parameter list. A lambda param list contains no
+    * operators, so matching against the already-rewritten group content
+    * is sound. */
+  private val LambdaParamList =
+    """\s*(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s*(?:,\s*(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\s*)+""".r
 
   /** Fold `op (literal | identifier)` sequences onto an LHS expression;
     * returns the new scan position and appends the (possibly rewritten)

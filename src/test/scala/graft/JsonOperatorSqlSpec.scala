@@ -45,8 +45,35 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
 
   test("parameter markers and unknown shapes are left alone") {
     assert(rewrite("select * from t where x = ?") == "select * from t where x = ?")
-    assert(rewrite("select f(x) -> 'a' from t") == "select f(x) -> 'a' from t") // call LHS unsupported
-    assert(rewrite("select j ? x from t") == "select j ? x from t") // non-literal RHS
+    assert(rewrite("select j ? x from t") == "select j ? x from t") // no ident RHS for ?
+  }
+
+  test("operators fold onto parenthesized and call LHS like the reference") {
+    // reference rewrite.rs plans ANY expression LHS; parens and calls
+    // now fold instead of passing through half-rewritten
+    assert(rewrite("select (j->'a')->>'b' from t")
+      == "select json_as_text((json_get(j, 'a')), 'b') from t")
+    assert(rewrite("select f(x) -> 'a' from t")
+      == "select json_get(f(x), 'a') from t")
+    assert(rewrite("select t.f(x)->'a'->>'b' from t")
+      == "select json_as_text(json_get(t.f(x), 'a'), 'b') from t")
+    assert(rewrite("select (j) ? 'k' from t")
+      == "select json_contains((j), 'k') from t")
+    // groups NOT followed by an operator are untouched
+    assert(rewrite("select (j->>'foo') = 'abc' v from t")
+      == "select (json_as_text(j, 'foo')) = 'abc' v from t")
+    assert(rewrite("select * from (select a from t) x")
+      == "select * from (select a from t) x")
+    // multi-identifier parenthesized lambda parameter lists stay lambdas
+    assert(rewrite("select aggregate(arr, 0, (acc, x) -> acc + x) from t")
+      == "select aggregate(arr, 0, (acc, x) -> acc + x) from t")
+    assert(rewrite("select map_zip_with(m1, m2, (k, v1, v2) -> v1 + v2) from t")
+      == "select map_zip_with(m1, m2, (k, v1, v2) -> v1 + v2) from t")
+    // the single-identifier form `(x) -> body` is a SPARK SYNTAX ERROR
+    // (the grammar's paren lambda alternative needs two+ params), so it
+    // has only the operator reading and folds like the reference
+    assert(rewrite("select transform(arr, (x) -> 'k') from t")
+      == "select transform(arr, json_get((x), 'k')) from t")
   }
 
   // ---------------------------------------------------------------------
