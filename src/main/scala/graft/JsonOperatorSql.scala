@@ -33,11 +33,13 @@ package graft
  * arguments, and only builtins take them, so every other position is
  * unambiguous). In that one position — `transform(arr, x -> y)` — string
  * paths still rewrite, column paths pass through (write
- * `json_get(x, y)`; DivergenceSpec pins this). An RHS identifier
- * followed by `(` (a function call) never rewrites, and `?` never takes
- * an identifier RHS (a bare `?` is a parameter marker that legitimately
- * precedes identifiers — `SELECT ? AS p` — so a column-RHS contains must
- * be written `json_contains(j, key_col)`).
+ * `json_get(x, y)`; DivergenceSpec pins this). A call RHS
+ * (`j -> upper(k)`) and a parenthesized-group RHS (`j -> (expr)`) fold
+ * too, their text recursively rewritten (so nested arrows and HOF
+ * lambdas inside stay correct); `?` never takes any of these (a bare
+ * `?` is a parameter marker that legitimately precedes identifiers —
+ * `SELECT ? AS p` — so a column-RHS contains must be written
+ * `json_contains(j, key_col)`).
  *
  * Chains left-fold: `a->'b'->>'c'` → `json_as_text(json_get(a,'b'),'c')`.
  * String literals, quoted identifiers, `--` and `/* */` comments, and `?`
@@ -229,11 +231,12 @@ object JsonOperatorSql {
               steps += 1
               progressed = true
             case None =>
-              // identifier RHS for the arrow ops only: a bare `?` is a
-              // parameter marker and legitimately precedes identifiers in
-              // parameterized SQL (`SELECT ? AS p`, `LIMIT ? OFFSET ?`) —
-              // use json_contains(j, key_col) for a column-RHS contains
-              consumeIdentRhs(sql, afterOp,
+              // expression RHS (identifier / call / paren group) for the
+              // arrow ops only: a bare `?` is a parameter marker and
+              // legitimately precedes identifiers in parameterized SQL
+              // (`SELECT ? AS p`, `LIMIT ? OFFSET ?`) — use
+              // json_contains(j, key_col) for a column-RHS contains
+              consumeExprRhs(sql, afterOp,
                 allowed = opText != "?" && (allowIdentRhs || steps > 0)) match {
                 case Some((rhs, next)) =>
                   expr = s"$fn($expr, $rhs)"
@@ -250,12 +253,18 @@ object JsonOperatorSql {
     i
   }
 
-  /** A column RHS: a plain/dotted or backquoted identifier NOT followed
-    * by `(` (that would be a function call — out of scope for the
-    * conservative rewriter). */
-  private def consumeIdentRhs(
+  /** An expression RHS — the reference plans any expression
+    * (rewrite.rs:117-130). Three shapes, in decreasing specificity:
+    * a function CALL `upper(k)` (identifier + balanced arg list, the
+    * whole fragment recursively rewritten so HOF-lambda detection and
+    * nested arrows inside the args stay correct), a parenthesized
+    * GROUP `(k || 'x')` (recursively rewritten), or a bare plain/dotted
+    * or backquoted identifier. */
+  private def consumeExprRhs(
       s: String, at: Int, allowed: Boolean): Option[(String, Int)] = {
     if (!allowed || at >= s.length) return None
+    if (s.charAt(at) == '(')
+      return consumeBalanced(s, at).map { case (grp, next) => (rewrite(grp), next) }
     val (rhs, next) =
       if (s.charAt(at) == '`') consumeString(s, at, '`')
       else if (isIdentStart(s.charAt(at))) {
@@ -266,9 +275,36 @@ object JsonOperatorSql {
     if (rhs.isEmpty) None
     else {
       val after = consumeWs(s, next)
-      if (after < s.length && s.charAt(after) == '(') None
+      if (after < s.length && s.charAt(after) == '(')
+        consumeBalanced(s, after).map { case (grp, n) => (rewrite(rhs + grp), n) }
       else Some((rhs, next))
     }
+  }
+
+  /** From a `(`: the balanced group through its matching `)`, skipping
+    * string literals, quoted identifiers, and comments. None when the
+    * text is unbalanced — the caller then leaves the input untouched. */
+  private def consumeBalanced(s: String, at: Int): Option[(String, Int)] = {
+    var i = at
+    var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = consumeString(s, i, c)._2
+      else if (c == '-' && s.startsWith("--", i)) {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && s.startsWith("/*", i)) {
+        val e = s.indexOf("*/", i + 2)
+        i = if (e < 0) s.length else e + 2
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') {
+          depth -= 1
+          if (depth == 0) return Some((s.substring(at, i + 1), i + 1))
+        }
+        i += 1
+      }
+    }
+    None
   }
 
   private def isIdentStart(c: Char) = c.isLetter || c == '_'

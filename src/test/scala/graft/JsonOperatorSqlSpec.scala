@@ -290,8 +290,28 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
     // mixed literal/column chains fold left like the reference's matrix
     assert(rewrite("select j->'a'->kc->0 from t")
       == "select json_get(json_get(json_get(j, 'a'), kc), 0) from t")
-    // an RHS that is itself a function call is out of scope — untouched
-    assert(rewrite("select j -> upper(k) from t") == "select j -> upper(k) from t")
+    // an RHS that is a function call or paren group folds too — the
+    // reference plans any expression RHS (rewrite.rs:117-130)
+    assert(rewrite("select j -> upper(k) from t")
+      == "select json_get(j, upper(k)) from t")
+    assert(rewrite("select j -> (k) from t") == "select json_get(j, (k)) from t")
+    assert(rewrite("select j -> concat(k, '_x') ->> 'a' from t")
+      == "select json_as_text(json_get(j, concat(k, '_x')), 'a') from t")
+    // nested arrows inside a call/group RHS rewrite recursively
+    assert(rewrite("select j -> upper(k->>'a') from t")
+      == "select json_get(j, upper(json_as_text(k, 'a'))) from t")
+    assert(rewrite("select j -> (k -> 'a') from t")
+      == "select json_get(j, (json_get(k, 'a'))) from t")
+    // a HOF call as RHS keeps its lambda intact through the recursion
+    assert(rewrite("select j -> element_at(transform(arr, x -> x), 1) from t")
+      == "select json_get(j, element_at(transform(arr, x -> x), 1)) from t")
+    // lambda bodies in HOF argument positions still never fold
+    assert(rewrite("select transform(arr, x -> (x + 1)) from t")
+      == "select transform(arr, x -> (x + 1)) from t")
+    assert(rewrite("select transform(arr, x -> upper(x)) from t")
+      == "select transform(arr, x -> upper(x)) from t")
+    // unbalanced text is left alone rather than mangled
+    assert(rewrite("select j -> (k from t") == "select j -> (k from t")
     // `?` never takes an identifier RHS: parameter markers stay markers
     assert(rewrite("select ? as p from t") == "select ? as p from t")
     assert(rewrite("select x from t limit ? offset ?")
