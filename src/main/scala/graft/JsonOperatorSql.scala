@@ -60,12 +60,14 @@ object JsonOperatorSql {
     "zip_with", "map_zip_with", "map_filter", "transform_keys",
     "transform_values", "array_sort")
 
-  /** SQL keywords that can directly precede a plain grouping paren
-    * (`select (...)`, `where (...)`, `when (...)` …) — an identifier in
-    * this set never names a CALL, so a close-paren fold must reach back
+  /** SQL keywords. An identifier in this set never folds operators as a
+    * bare LHS (`… end -> 'k'` passes through rather than emitting
+    * `json_get(end, …)`), and — unless it is also in [[CallableKeywords]]
+    * — a paren directly after it is plain grouping (`select (...)`,
+    * `where (...)`, `when (...)`), so a close-paren fold reaches back
     * only to the '(' itself, not to the keyword. Genuinely functional
-    * keywords (cast, if, …) are deliberately NOT here: `cast(x as t)`
-    * must fold as a whole call. */
+    * non-keywords (cast, if, …) are deliberately NOT here: `cast(x as
+    * t)` must fold as a whole call. */
   private val SqlKeywords = Set(
     "select", "from", "where", "and", "or", "not", "in", "on", "when",
     "then", "else", "end", "case", "join", "left", "right", "full",
@@ -75,6 +77,16 @@ object JsonOperatorSql {
     "ilike", "escape", "over", "partition", "rows", "range", "values",
     "with", "any", "some", "using", "lateral", "interval", "exists",
     "filter", "window", "qualify")
+
+  /** Keywords that also name real Spark functions — `left(s, 4)`,
+    * `right(s, 4)`, `any(b)`, `some(b)`, `exists(arr, pred)`,
+    * `filter(arr, pred)`, `range(10)`. A paren directly after one of
+    * these is a CALL (fold includes the callee), never plain grouping —
+    * treating it as grouping would glue the fold output onto the
+    * keyword (`leftjson_get(…)`). `filter` is disambiguated from the
+    * aggregate FILTER clause by peeking for `(where …` content. */
+  private val CallableKeywords =
+    Set("left", "right", "any", "some", "exists", "filter", "range")
 
   def rewrite(sql: String): String = {
     val out = new StringBuilder
@@ -92,6 +104,11 @@ object JsonOperatorSql {
     // call or close-paren fold reaches back to; -1 when the last token
     // was an operator/punctuation
     var lastExprStart: Int = -1
+    // true right after a clause keyword (`over`, clause `filter`) that
+    // CONTINUES the preceding expression: lastExprStart still points at
+    // the start of the windowed expression, so `expr over (…) ->> 'k'`
+    // and `expr over w ->> 'k'` fold onto the whole thing
+    var clauseCont = false
     val parens = scala.collection.mutable.Stack.empty[Par]
     while (i < n) {
       val c = sql.charAt(i)
@@ -117,12 +134,12 @@ object JsonOperatorSql {
           val before = out.length
           i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
           prevSig = out.charAt(out.length - 1); lastIdent = ""
-          lastExprStart = before
+          lastExprStart = before; clauseCont = false
         } else if (c == '"') {
           val (lit, next) = consumeString(sql, i, c)
           lastExprStart = out.length
           out.append(lit); i = next
-          prevSig = '"'; lastIdent = ""
+          prevSig = '"'; lastIdent = ""; clauseCont = false
         } else if (c == '`') {
           val (lit, next) = consumeString(sql, i, '`')
           val before = out.length
@@ -134,37 +151,72 @@ object JsonOperatorSql {
             if (out.length - before == lit.length && lit.length >= 2 &&
               lit.charAt(lit.length - 1) == '`') lit.substring(1, lit.length - 1)
             else ""
-          lastExprStart = before
+          lastExprStart = before; clauseCont = false
         } else if (isIdentStart(c)) {
           val startId = i
           while (i < n && isIdentPart(sql.charAt(i))) i += 1
           val ident = sql.substring(startId, i)
+          val lower = ident.toLowerCase
           val before = out.length
-          i = foldOps(sql, i, ident, out, allowIdentRhs = !lambdaPossible)
-          prevSig = out.charAt(out.length - 1)
-          // only an identifier appended verbatim can name a following call
-          lastIdent = if (out.length - before == ident.length) ident else ""
-          lastExprStart = before
+          if ((lower == "over" || lower == "filter") && prevSig == ')' &&
+            lastExprStart >= 0) {
+            // window OVER / aggregate FILTER clause after a call: the
+            // clause CONTINUES that expression — keep its start so the
+            // whole `expr over (…)` / `expr filter (where …)` is the
+            // LHS for any operator that follows the clause
+            out.append(ident); i = startId + ident.length
+            prevSig = out.charAt(out.length - 1); lastIdent = ident
+            clauseCont = true
+          } else if ((prevSig == '.' || clauseCont) && lastExprStart >= 0) {
+            // member access on a computed expression (`f(x).field`) or a
+            // named window (`expr over w`): fold operators onto the
+            // WHOLE expression, not the trailing identifier
+            val start0 = lastExprStart
+            val prefix = out.substring(start0)
+            out.setLength(start0)
+            i = foldOps(sql, i, prefix + ident, out, allowIdentRhs = true)
+            prevSig = out.charAt(out.length - 1)
+            lastIdent = ""; lastExprStart = start0; clauseCont = false
+          } else if (SqlKeywords.contains(lower)) {
+            // keywords never fold as a bare LHS (`… end -> 'k'` would
+            // otherwise emit json_get(end, …)); callable ones may still
+            // head a call — the '(' branch reaches back via lastExprStart
+            out.append(ident); i = startId + ident.length
+            prevSig = out.charAt(out.length - 1); lastIdent = ident
+            lastExprStart = before; clauseCont = false
+          } else {
+            i = foldOps(sql, i, ident, out, allowIdentRhs = !lambdaPossible)
+            prevSig = out.charAt(out.length - 1)
+            // only an identifier appended verbatim can name a following call
+            lastIdent = if (out.length - before == ident.length) ident else ""
+            lastExprStart = before; clauseCont = false
+          }
         } else if (c == '(') {
-          val callee = lastIdent.substring(lastIdent.lastIndexOf('.') + 1)
-          val isHof = (isIdentPart(prevSig) || prevSig == '`') &&
-            HofNames.contains(callee.toLowerCase)
-          // where the expression this paren belongs to STARTS: the callee
+          val callee = lastIdent.substring(lastIdent.lastIndexOf('.') + 1).toLowerCase
+          val afterIdent = isIdentPart(prevSig) || prevSig == '`'
+          val isHof = afterIdent && HofNames.contains(callee)
+          // where the expression this paren belongs to STARTS: the whole
+          // windowed/filtered expression for a clause group, the callee
           // for a call (`f(x)` folds as a whole), the previous group for
           // a chained call, the '(' itself for plain grouping — and a
-          // keyword before '(' is grouping (`select (...)`), never a call
+          // non-callable keyword before '(' is grouping (`select (...)`)
           val exprStart =
-            if (!SqlKeywords.contains(callee.toLowerCase) &&
-              (isIdentPart(prevSig) || prevSig == '`' || prevSig == ')') &&
-              lastExprStart >= 0) lastExprStart
+            if (afterIdent && callee == "over")
+              (if (clauseCont) lastExprStart else -1)
+            else if (afterIdent && callee == "filter" && peekWord(sql, i + 1, "where"))
+              (if (clauseCont) lastExprStart else -1)
+            else if (afterIdent && SqlKeywords.contains(callee) &&
+              !CallableKeywords.contains(callee)) out.length
+            else if ((afterIdent || prevSig == ')') && lastExprStart >= 0)
+              lastExprStart
             else out.length
           parens.push(Par(isHof, exprStart, lambdaPossible))
           out.append(c); i += 1
-          prevSig = c; lastIdent = ""; lastExprStart = -1
+          prevSig = c; lastIdent = ""; lastExprStart = -1; clauseCont = false
         } else if (c == ')') {
           val par = if (parens.nonEmpty) parens.pop() else Par(isHof = false, -1, lambdaSpot = true)
           out.append(c); i += 1
-          prevSig = ')'; lastIdent = ""
+          prevSig = ')'; lastIdent = ""; clauseCont = false
           // operators can bind onto a parenthesized or call LHS —
           // `(j->'a')->>'b'`, `f(x) -> 'k'` — like the reference plans
           // any-expression LHS (rewrite.rs:105-144). Suppressed only when
@@ -179,13 +231,23 @@ object JsonOperatorSql {
           if (!isLambdaParams && par.exprStart >= 0) {
             val expr = out.substring(par.exprStart)
             out.setLength(par.exprStart)
+            // a grouping fold directly after a keyword (`when(j->'a')`)
+            // must not glue the fold output onto the keyword; call folds
+            // carry their callee inside expr, so no space is ever needed
+            if (expr.startsWith("(") && out.nonEmpty &&
+              isIdentPart(out.charAt(out.length - 1))) out.append(' ')
             i = foldOps(sql, i, expr, out, allowIdentRhs = true)
             prevSig = out.charAt(out.length - 1)
           }
           lastExprStart = par.exprStart
         } else {
           out.append(c); i += 1
-          if (!c.isWhitespace) { prevSig = c; lastIdent = ""; lastExprStart = -1 }
+          if (!c.isWhitespace) {
+            prevSig = c; lastIdent = ""; clauseCont = false
+            // member access ('.') continues the preceding expression —
+            // keep its start so `f(x).field -> 'k'` folds as a whole
+            if (c != '.') lastExprStart = -1
+          }
         }
       }
     }
@@ -276,9 +338,34 @@ object JsonOperatorSql {
     else {
       val after = consumeWs(s, next)
       if (after < s.length && s.charAt(after) == '(')
-        consumeBalanced(s, after).map { case (grp, n) => (rewrite(rhs + grp), n) }
+        consumeBalanced(s, after).map { case (grp, n) =>
+          // a window clause attached to the call belongs to the RHS —
+          // without this, `j -> min(x) over (…)` would strand the OVER
+          // on the generated json_get call
+          val (win, end) = windowClause(s, n)
+          (rewrite(rhs + grp + win), end)
+        }
       else Some((rhs, next))
     }
+  }
+
+  /** A trailing `over (window spec)` or `over window_name` starting at
+    * `from` — returned verbatim (with leading whitespace) together with
+    * the end position; ("", from) when none. */
+  private def windowClause(s: String, from: Int): (String, Int) = {
+    if (!peekWord(s, from, "over")) return ("", from)
+    val overAt = consumeWs(s, from)
+    val afterOver = consumeWs(s, overAt + 4)
+    if (afterOver < s.length && s.charAt(afterOver) == '(')
+      consumeBalanced(s, afterOver) match {
+        case Some((_, end)) => (s.substring(from, end), end)
+        case None => ("", from)
+      }
+    else if (afterOver < s.length && isIdentStart(s.charAt(afterOver))) {
+      var i = afterOver
+      while (i < s.length && isIdentPart(s.charAt(i))) i += 1
+      (s.substring(from, i), i)
+    } else ("", from)
   }
 
   /** From a `(`: the balanced group through its matching `)`, skipping
@@ -309,6 +396,14 @@ object JsonOperatorSql {
 
   private def isIdentStart(c: Char) = c.isLetter || c == '_'
   private def isIdentPart(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
+
+  /** Whether the next word (after whitespace) at `from` is `word`,
+    * case-insensitively and at a word boundary. */
+  private def peekWord(s: String, from: Int, word: String): Boolean = {
+    val at = consumeWs(s, from)
+    s.regionMatches(true, at, word, 0, word.length) &&
+    (at + word.length >= s.length || !isIdentPart(s.charAt(at + word.length)))
+  }
 
   private def consumeWs(s: String, from: Int): Int = {
     var i = from

@@ -312,6 +312,41 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       == "select transform(arr, x -> upper(x)) from t")
     // unbalanced text is left alone rather than mangled
     assert(rewrite("select j -> (k from t") == "select j -> (k from t")
+  }
+
+  test("window, filter-clause, keyword-call, and member-access shapes") {
+    // OVER / FILTER clause groups are not expression LHS on their own —
+    // the fold wraps the WHOLE windowed/filtered expression
+    assert(rewrite("select first(j) over (order by ts) ->> 'k' from t")
+      == "select json_as_text(first(j) over (order by ts), 'k') from t")
+    assert(rewrite("select first(j) over w ->> 'k' from t window w as (order by ts)")
+      == "select json_as_text(first(j) over w, 'k') from t window w as (order by ts)")
+    assert(rewrite("select count(x) filter (where y) -> 'k' from t")
+      == "select json_get(count(x) filter (where y), 'k') from t")
+    // window specs with no trailing operator are untouched
+    assert(rewrite("select rank() over (partition by g order by ts) from t")
+      == "select rank() over (partition by g order by ts) from t")
+    assert(rewrite("select count(x) filter (where j -> kc is not null) from t")
+      == "select count(x) filter (where json_get(j, kc) is not null) from t")
+    // keywords that are also real functions fold as calls, not grouping
+    assert(rewrite("select left(s, 4) -> 'k' from t")
+      == "select json_get(left(s, 4), 'k') from t")
+    assert(rewrite("select right(s, 4) ->> 'k' from t")
+      == "select json_as_text(right(s, 4), 'k') from t")
+    assert(rewrite("select filter(arr, x -> x > 0) -> 'k' from t")
+      == "select json_get(filter(arr, x -> x > 0), 'k') from t")
+    // keyword grouping with no space no longer glues the fold output
+    assert(rewrite("select case when(j->'a')->>'b' = 'x' then 1 end from t")
+      == "select case when json_as_text((json_get(j, 'a')), 'b') = 'x' then 1 end from t")
+    // a window clause on an RHS call stays attached to it
+    assert(rewrite("select j -> min(x) over (partition by g) from t")
+      == "select json_get(j, min(x) over (partition by g)) from t")
+    // member access on a computed expression folds as a whole
+    assert(rewrite("select f(x).field -> 'k' from t")
+      == "select json_get(f(x).field, 'k') from t")
+    // bare keywords never fold as LHS — CASE … END passes through
+    assert(rewrite("select case when p then j end -> 'k' from t")
+      == "select case when p then j end -> 'k' from t")
     // `?` never takes an identifier RHS: parameter markers stay markers
     assert(rewrite("select ? as p from t") == "select ? as p from t")
     assert(rewrite("select x from t limit ? offset ?")
