@@ -388,4 +388,45 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       "select cast(json_data->'foo'->'bar' as bigint) as v from optest")).collect()(0)
     assert(r2.getLong(0) == 7L)
   }
+
+  test("generative: every supported shape parses after rewrite, idempotently") {
+    // the review passes on this translator found every defect as
+    // MANGLED OUTPUT — rewritten text Spark's parser rejects. Property:
+    // for the cross product of supported LHS shapes × operator chains ×
+    // SQL contexts, the rewrite (a) contains no arrow operators outside
+    // lambda bodies, i.e. parses, and (b) is a fixed point of rewrite.
+    val parser = spark.sessionState.sqlParser
+    val lhss = Seq(
+      "j", "t.j", "`quo ted`", "'{\"a\": 1}'", "(j)", "(j || 'x')",
+      "f(j)", "t.f(j)", "cast(j as string)", "left(j, 4)", "right(j, 4)",
+      "f(j).field", "first(j) over (order by x)",
+      "first(j) over (partition by g order by x rows between 1 preceding and current row)",
+      "first(j) filter (where x > 0)", "(j -> 'pre')", "f(j -> 'pre')")
+    val chains = Seq(
+      Seq("-> 'a'"), Seq("->> 'a'"), Seq("? 'a'"),
+      Seq("-> 'a'", "->> 'b'"), Seq("-> 'a'", "-> 0"),
+      Seq("-> kc"), Seq("-> upper(kc)"), Seq("-> (kc)"),
+      Seq("-> concat(kc, '_s')", "->> 'z'"), Seq("-> 'a'", "? 'k'"),
+      Seq("->('foo'::text)"), Seq("-> min(x) over (order by x)"))
+    val contexts = Seq[String => String](
+      e => s"select $e from t",
+      e => s"select ($e) as v from t",
+      e => s"select ($e)::int from t",
+      e => s"select f($e), transform(arr, x -> x + 1) from t",
+      e => s"select * from t where ($e) is not null",
+      e => s"select case when ($e) is null then 1 else 2 end from t",
+      e => s"select $e from t where x = ? order by 1 limit 3")
+    var checked = 0
+    for (l <- lhss; ch <- chains; ctx <- contexts) {
+      val sql = ctx(s"$l ${ch.mkString(" ")}")
+      val r = rewrite(sql)
+      withClue(s"input: $sql\nrewrite: $r\n") {
+        try parser.parsePlan(r)
+        catch { case e: Exception => fail(s"unparseable: ${e.getMessage}") }
+        assert(rewrite(r) == r, "rewrite is not idempotent")
+      }
+      checked += 1
+    }
+    assert(checked == lhss.size * chains.size * contexts.size)
+  }
 }
