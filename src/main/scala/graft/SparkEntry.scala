@@ -801,6 +801,28 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // G.711 μ-law/A-law decode (format 7 even ids / 6 odd): the stored
+    // code bytes are a formula of doc_id and the ITU expansion is pure
+    // integer arithmetic, so the oracle regenerates the decoded samples
+    // in SQL and replays the identical feature math
+    "q_audio_law" -> ((s, dir) =>
+      operators.Multimodal.decodeAudioFeatures(s,
+          operators.Multimodal.syntheticLawBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("bits_per_sample"), col("n_frames"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
+    // 24-bit PCM decode: wide samples through the 128-bit
+    // sum-of-squares path, replayed value-level from the formula
+    "q_audio_24" -> ((s, dir) =>
+      operators.Multimodal.decodeAudioFeatures(s,
+          operators.Multimodal.synthetic24Blobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("bits_per_sample"), col("n_frames"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
     // REAL image resize: decode + integer nearest-neighbor resample;
     // channel sums over the resized pixels replay from the PNG formula
     "q_img_resize" -> ((s, dir) =>
@@ -1906,6 +1928,91 @@ object SparkEntry {
         |   WHEN 5 THEN CASE WHEN n0 = 0 THEN 0 ELSE CAST(a0 AS DOUBLE) / 32768 / CAST(n0 AS DOUBLE) END
         |   WHEN 6 THEN CASE WHEN n1 = 0 THEN 0 ELSE CAST(a1 AS DOUBLE) / 32768 / CAST(n1 AS DOUBLE) END
         |   ELSE CASE WHEN n2 = 0 THEN 0 ELSE CAST(a2 AS DOUBLE) / 32768 / CAST(n2 AS DOUBLE) END
+        |  END AS REAL) AS feat
+        | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
+        |  (SELECT unnest(range(8)) AS ft) fs
+        | ORDER BY s.doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
+
+    // G.711 replica: regenerate each stored code byte from the formula,
+    // expand it with the ITU integer arithmetic (μ-law even ids, A-law
+    // odd — same formulas as muLawExpand/aLawExpand), then the shared
+    // exact-integer sums + IEEE divisions
+    "q_audio_law" ->
+      """WITH d AS (SELECT doc_id, 256 + (doc_id * 3) % 200 AS nf FROM documents),
+        | fr AS (SELECT doc_id, nf, unnest(range(nf)) AS f FROM d),
+        | cb AS (SELECT doc_id, nf, f, (doc_id * 7919 + f * 31) % 256 AS b FROM fr),
+        | mu AS (SELECT doc_id, nf, f, 255 - b AS u FROM cb WHERE doc_id % 2 = 0),
+        | muv AS (SELECT doc_id, nf, f,
+        |   CASE WHEN u >= 128 THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+        |        ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132 END AS v
+        |  FROM mu),
+        | al AS (SELECT doc_id, nf, f, xor(b, 85) AS a FROM cb WHERE doc_id % 2 = 1),
+        | alv AS (SELECT doc_id, nf, f,
+        |   CASE WHEN a >= 128 THEN 1 ELSE -1 END *
+        |   CASE WHEN ((a // 16) % 8) = 0 THEN (a % 16) * 16 + 8
+        |        ELSE ((a % 16) * 16 + 264) * (1 << (((a // 16) % 8) - 1)) END AS v
+        |  FROM al),
+        | v AS (SELECT * FROM muv UNION ALL SELECT * FROM alv),
+        | sums AS (SELECT doc_id, nf,
+        |   sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS ma, sum(v * v) AS sq,
+        |   sum(CASE WHEN (f * 3) // nf = 0 THEN abs(v) ELSE 0 END) AS a0,
+        |   sum(CASE WHEN (f * 3) // nf = 1 THEN abs(v) ELSE 0 END) AS a1,
+        |   sum(CASE WHEN (f * 3) // nf = 2 THEN abs(v) ELSE 0 END) AS a2,
+        |   sum(CASE WHEN (f * 3) // nf = 0 THEN 1 ELSE 0 END) AS n0,
+        |   sum(CASE WHEN (f * 3) // nf = 1 THEN 1 ELSE 0 END) AS n1,
+        |   sum(CASE WHEN (f * 3) // nf = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM v GROUP BY doc_id, nf),
+        | zx AS (SELECT a.doc_id, sum(CASE WHEN (a.v < 0) <> (b.v < 0)
+        |    THEN 1 ELSE 0 END) AS zc
+        |  FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.f = a.f - 1
+        |  WHERE a.f >= 1 GROUP BY a.doc_id)
+        | SELECT s.doc_id, CAST(8 AS INT) AS bits_per_sample,
+        |  CAST(s.nf AS BIGINT) AS n_frames, CAST(ft AS INT) AS feat_idx,
+        |  CAST(CASE CAST(ft AS INT)
+        |   WHEN 0 THEN CAST(sv AS DOUBLE) / 32768 / CAST(nf AS DOUBLE)
+        |   WHEN 1 THEN CAST(sa AS DOUBLE) / 32768 / CAST(nf AS DOUBLE)
+        |   WHEN 2 THEN CAST(ma AS DOUBLE) / 32768
+        |   WHEN 3 THEN CAST(z.zc AS DOUBLE) / CAST(s.nf AS DOUBLE)
+        |   WHEN 4 THEN CAST(sq AS DOUBLE) / 32768 / 32768 / CAST(nf AS DOUBLE)
+        |   WHEN 5 THEN CASE WHEN n0 = 0 THEN 0 ELSE CAST(a0 AS DOUBLE) / 32768 / CAST(n0 AS DOUBLE) END
+        |   WHEN 6 THEN CASE WHEN n1 = 0 THEN 0 ELSE CAST(a1 AS DOUBLE) / 32768 / CAST(n1 AS DOUBLE) END
+        |   ELSE CASE WHEN n2 = 0 THEN 0 ELSE CAST(a2 AS DOUBLE) / 32768 / CAST(n2 AS DOUBLE) END
+        |  END AS REAL) AS feat
+        | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
+        |  (SELECT unnest(range(8)) AS ft) fs
+        | ORDER BY s.doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
+
+    // 24-bit PCM replica: regenerate the wide samples from the formula;
+    // DuckDB's HUGEINT sum matches the engine's 128-bit accumulator
+    "q_audio_24" ->
+      """WITH d AS (SELECT doc_id, 256 + (doc_id * 3) % 200 AS nf FROM documents),
+        | fr AS (SELECT doc_id, nf, unnest(range(nf)) AS f FROM d),
+        | v AS (SELECT doc_id, nf, f,
+        |   (doc_id * 7919 + f * 131) % 8388608 - 4194304 AS v FROM fr),
+        | sums AS (SELECT doc_id, nf,
+        |   sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS ma, sum(v * v) AS sq,
+        |   sum(CASE WHEN (f * 3) // nf = 0 THEN abs(v) ELSE 0 END) AS a0,
+        |   sum(CASE WHEN (f * 3) // nf = 1 THEN abs(v) ELSE 0 END) AS a1,
+        |   sum(CASE WHEN (f * 3) // nf = 2 THEN abs(v) ELSE 0 END) AS a2,
+        |   sum(CASE WHEN (f * 3) // nf = 0 THEN 1 ELSE 0 END) AS n0,
+        |   sum(CASE WHEN (f * 3) // nf = 1 THEN 1 ELSE 0 END) AS n1,
+        |   sum(CASE WHEN (f * 3) // nf = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM v GROUP BY doc_id, nf),
+        | zx AS (SELECT a.doc_id, sum(CASE WHEN (a.v < 0) <> (b.v < 0)
+        |    THEN 1 ELSE 0 END) AS zc
+        |  FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.f = a.f - 1
+        |  WHERE a.f >= 1 GROUP BY a.doc_id)
+        | SELECT s.doc_id, CAST(24 AS INT) AS bits_per_sample,
+        |  CAST(s.nf AS BIGINT) AS n_frames, CAST(ft AS INT) AS feat_idx,
+        |  CAST(CASE CAST(ft AS INT)
+        |   WHEN 0 THEN CAST(sv AS DOUBLE) / 8388608 / CAST(nf AS DOUBLE)
+        |   WHEN 1 THEN CAST(sa AS DOUBLE) / 8388608 / CAST(nf AS DOUBLE)
+        |   WHEN 2 THEN CAST(ma AS DOUBLE) / 8388608
+        |   WHEN 3 THEN CAST(z.zc AS DOUBLE) / CAST(s.nf AS DOUBLE)
+        |   WHEN 4 THEN CAST(sq AS DOUBLE) / 8388608 / 8388608 / CAST(nf AS DOUBLE)
+        |   WHEN 5 THEN CASE WHEN n0 = 0 THEN 0 ELSE CAST(a0 AS DOUBLE) / 8388608 / CAST(n0 AS DOUBLE) END
+        |   WHEN 6 THEN CASE WHEN n1 = 0 THEN 0 ELSE CAST(a1 AS DOUBLE) / 8388608 / CAST(n1 AS DOUBLE) END
+        |   ELSE CASE WHEN n2 = 0 THEN 0 ELSE CAST(a2 AS DOUBLE) / 8388608 / CAST(n2 AS DOUBLE) END
         |  END AS REAL) AS feat
         | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
         |  (SELECT unnest(range(8)) AS ft) fs

@@ -195,17 +195,23 @@ object Multimodal {
 
   /** REAL audio decode: a pure-JVM RIFF/WAV parser (container walk +
     * PCM sample decode — public spec, no codec library). None unless the
-    * bytes are a well-formed RIFF/WAVE with an integer-PCM `fmt ` chunk
-    * (format 1, 8- or 16-bit) and a `data` chunk; unknown chunks (LIST,
-    * fact, …) are skipped by the standard word-aligned chunk walk.
+    * bytes are a well-formed RIFF/WAVE with a supported `fmt ` chunk and
+    * a `data` chunk; unknown chunks (LIST, fact, …) are skipped by the
+    * standard word-aligned chunk walk. Supported formats: integer PCM
+    * (format 1; 8-, 16-, or 24-bit), ITU-T G.711 A-law / μ-law
+    * (formats 6/7; 8-bit stored, expanded to 13/14-bit-magnitude
+    * integers by the standard arithmetic, full scale 32768), and
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) headers whose SubFormat GUID names
+    * one of those codecs.
     *
     * The 8 features are exact-integer sample sums followed by IEEE double
     * divisions and one float32 rounding — fully specified, so the DuckDB
     * oracle replays them from [[syntheticWav]]'s generator formula
     * without parsing WAV (PCM is raw: decoded samples ARE the formula).
-    * With v = the signed sample value, F = full scale (32768 at 16-bit,
-    * 128 at 8-bit where stored bytes are unsigned, v = byte - 128),
-    * n = total samples across channels, flat index i in data order:
+    * With v = the signed sample value, F = full scale (32768 at 16-bit
+    * and for G.711-expanded samples, 8388608 at 24-bit, 128 at 8-bit
+    * where stored bytes are unsigned, v = byte - 128), n = total
+    * samples across channels, flat index i in data order:
     *  - f0: mean            = sum(v) / F / n
     *  - f1: mean magnitude  = sum(|v|) / F / n
     *  - f2: peak            = max(|v|) / F
@@ -224,18 +230,26 @@ object Multimodal {
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12
     var fmtOk = false
-    var channels = 0; var sr = 0; var bits = 0
+    var channels = 0; var sr = 0; var bits = 0; var fmtCode = 0
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= bytes.length) {
       val id = tag(off)
       val size = u32(off + 4)
       if (id == "fmt " && off + 24 <= bytes.length) {
-        val audioFormat = u16(off + 8)
+        var audioFormat = u16(off + 8)
         channels = u16(off + 10)
         sr = u32(off + 12).toInt
         bits = u16(off + 22)
-        fmtOk = audioFormat == 1 && (bits == 8 || bits == 16) &&
-          channels >= 1 && sr > 0
+        // WAVE_FORMAT_EXTENSIBLE: the real codec is the first two bytes
+        // of the 16-byte SubFormat GUID at fmt offset 24 (fmt size ≥ 40)
+        if (audioFormat == 0xFFFE && size >= 40 && off + 8 + 26 <= bytes.length)
+          audioFormat = u16(off + 8 + 24)
+        fmtCode = audioFormat
+        fmtOk = (audioFormat match {
+          case 1 => bits == 8 || bits == 16 || bits == 24 // integer PCM
+          case 6 | 7 => bits == 8 // G.711 A-law / μ-law
+          case _ => false
+        }) && channels >= 1 && sr > 0
       } else if (id == "data" && dataOff < 0) {
         dataOff = off + 8
         dataLen = math.min(size, (bytes.length - dataOff).toLong).toInt
@@ -252,25 +266,49 @@ object Multimodal {
     val nFrames = dataLen / bytesPerSample / channels
     val n = nFrames * channels // ignore a trailing partial frame
     if (nFrames == 0) return None
-    def sample(i: Int): Int =
-      if (bits == 16)
+    def sample(i: Int): Int = fmtCode match {
+      case 1 if bits == 16 =>
         ((bytes(dataOff + 2 * i) & 0xff) |
           (bytes(dataOff + 2 * i + 1) << 8)).toShort.toInt
-      else (bytes(dataOff + i) & 0xff) - 128
-    val fullScale = if (bits == 16) 32768.0 else 128.0
-    var sumV = 0L; var sumAbs = 0L; var maxAbs = 0L; var sumSq = 0L
+      case 1 if bits == 24 =>
+        // signed little-endian 3-byte: sign-extend via the int shift
+        ((bytes(dataOff + 3 * i) & 0xff) |
+          ((bytes(dataOff + 3 * i + 1) & 0xff) << 8) |
+          (bytes(dataOff + 3 * i + 2) << 16))
+      case 1 => (bytes(dataOff + i) & 0xff) - 128
+      case 7 => muLawExpand(bytes(dataOff + i))
+      case _ => aLawExpand(bytes(dataOff + i))
+    }
+    val fullScale =
+      if (fmtCode != 1) 32768.0 // G.711 expands onto the 16-bit scale
+      else if (bits == 24) 8388608.0
+      else if (bits == 16) 32768.0
+      else 128.0
+    // sum of squares needs 128 bits for 24-bit audio: v² ≤ 2^46, so a
+    // Long overflows after ~2^17 samples (3 s at 44.1 kHz). Unsigned
+    // lo/hi carry keeps every format exact on one code path.
+    var sumV = 0L; var sumAbs = 0L; var maxAbs = 0L
+    var sqLo = 0L; var sqHi = 0L
     val thirdAbs = new Array[Long](3)
     val thirdCnt = new Array[Long](3)
     var i = 0
     while (i < n) {
       val v = sample(i)
       val a = math.abs(v).toLong
-      sumV += v; sumAbs += a; sumSq += v.toLong * v
+      sumV += v; sumAbs += a
+      val sq = v.toLong * v
+      val nl = sqLo + sq
+      if (java.lang.Long.compareUnsigned(nl, sqLo) < 0) sqHi += 1
+      sqLo = nl
       if (a > maxAbs) maxAbs = a
       val t = (i.toLong * 3 / n).toInt
       thirdAbs(t) += a; thirdCnt(t) += 1
       i += 1
     }
+    // exact-integer u128 → double (the value then only feeds a float32)
+    val sumSqD = sqHi.toDouble * 1.8446744073709552e19 +
+      (if (sqLo >= 0) sqLo.toDouble
+       else (sqLo >>> 1).toDouble * 2.0 + (sqLo & 1L))
     var crossings = 0L
     var f = 1
     while (f < nFrames) {
@@ -283,7 +321,7 @@ object Multimodal {
     feats(1) = (sumAbs.toDouble / fullScale / n.toDouble).toFloat
     feats(2) = (maxAbs.toDouble / fullScale).toFloat
     feats(3) = (crossings.toDouble / nFrames.toDouble).toFloat
-    feats(4) = (sumSq.toDouble / fullScale / fullScale / n.toDouble).toFloat
+    feats(4) = (sumSqD / fullScale / fullScale / n.toDouble).toFloat
     var t = 0
     while (t < 3) {
       feats(5 + t) =
@@ -293,6 +331,30 @@ object Multimodal {
     }
     Some(AudioFeatures(docId, bytes.length.toLong, sr, channels, bits,
       nFrames.toLong, feats))
+  }
+
+  /** ITU-T G.711 μ-law expansion (integer arithmetic from the spec, not
+    * a table): code byte → linear sample in [-32124, 32124]. With
+    * u = ~b, exponent e = bits 4-6 of u, mantissa m = bits 0-3:
+    * magnitude = ((m·8 + 132) << e) − 132, negative when bit 7 of u is
+    * set. Pure integer — the DuckDB oracle replays it verbatim. */
+  def muLawExpand(b: Byte): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion: code byte → linear sample in
+    * [-32256, 32256]. With a = b XOR 0x55, exponent e = bits 4-6,
+    * mantissa m = bits 0-3: magnitude = m·16 + 8 when e = 0, else
+    * (m·16 + 264) << (e−1); POSITIVE when bit 7 of a is set (A-law's
+    * sign convention is inverted relative to μ-law). */
+  def aLawExpand(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val e = (a >> 4) & 7
+    val t = (a & 0x0f) << 4
+    val mag = if (e == 0) t + 8 else (t + 0x108) << (e - 1)
+    if ((a & 0x80) != 0) mag else -mag
   }
 
   /** Batched partition-local audio decode over (id, blob) rows: real WAV
@@ -360,6 +422,70 @@ object Multimodal {
     import spark.implicits._
     df.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(it => it.map(id => (id, syntheticWav(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** A deterministic G.711 clip: mono 8 kHz, μ-law (format 7) for even
+    * doc ids, A-law (format 6) for odd; nf = 256 + (3·docId) mod 200
+    * frames; stored code byte(f) = (7919·docId + 31·f) mod 256. The
+    * expansion formulas are pure integer arithmetic, so the oracle
+    * regenerates the decoded samples from this formula in SQL. */
+  def syntheticWavLaw(docId: Long): Array[Byte] = {
+    val fmt = if (java.lang.Math.floorMod(docId, 2L) == 0L) 7 else 6
+    val nf = 256 + java.lang.Math.floorMod(docId * 3, 200L).toInt
+    val buf = java.nio.ByteBuffer.allocate(44 + nf)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)).putInt(36 + nf).put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(fmt.toShort).putShort(1).putInt(8000)
+      .putInt(8000).putShort(1).putShort(8)
+    buf.put("data".getBytes(ascii)).putInt(nf)
+    var f = 0
+    while (f < nf) {
+      buf.put(java.lang.Math.floorMod(docId * 7919 + f * 31, 256L).toByte)
+      f += 1
+    }
+    buf.array()
+  }
+
+  def syntheticLawBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticWavLaw(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** A deterministic 24-bit PCM clip: mono 12 kHz,
+    * nf = 256 + (3·docId) mod 200 frames,
+    * sample(f) = ((7919·docId + 131·f) mod 2^23) − 2^22 — signed 3-byte
+    * little-endian. Exercises the wide-sample decode and the 128-bit
+    * sum-of-squares path with a formula the oracle replays. */
+  def syntheticWav24(docId: Long): Array[Byte] = {
+    val nf = 256 + java.lang.Math.floorMod(docId * 3, 200L).toInt
+    val buf = java.nio.ByteBuffer.allocate(44 + nf * 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)).putInt(36 + nf * 3).put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(1).putInt(12000)
+      .putInt(12000 * 3).putShort(3).putShort(24)
+    buf.put("data".getBytes(ascii)).putInt(nf * 3)
+    var f = 0
+    while (f < nf) {
+      val v = (java.lang.Math.floorMod(docId * 7919 + f * 131, 1L << 23) -
+        (1L << 22)).toInt
+      buf.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+        .put(((v >> 16) & 0xff).toByte)
+      f += 1
+    }
+    buf.array()
+  }
+
+  def synthetic24Blobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticWav24(id))))
       .toDF("doc_id", "blob")
   }
 

@@ -416,6 +416,85 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV parser: G.711 law expansion, 24-bit PCM, extensible headers") {
+    // G.711 endpoints from the published tables: ±0 codes and full scale
+    assert(Multimodal.muLawExpand(0xFF.toByte) == 0)
+    assert(Multimodal.muLawExpand(0x7F.toByte) == 0)
+    assert(Multimodal.muLawExpand(0x80.toByte) == 32124)
+    assert(Multimodal.muLawExpand(0x00.toByte) == -32124)
+    assert(Multimodal.aLawExpand(0xD5.toByte) == 8)
+    assert(Multimodal.aLawExpand(0x55.toByte) == -8)
+    assert(Multimodal.aLawExpand(0xAA.toByte) == 32256)
+    assert(Multimodal.aLawExpand(0x2A.toByte) == -32256)
+    // expansion is odd-symmetric: flipping the sign bit negates
+    for (c <- 0 until 256) {
+      assert(Multimodal.muLawExpand(c.toByte) ==
+        -Multimodal.muLawExpand((c ^ 0x80).toByte), s"mu $c")
+      assert(Multimodal.aLawExpand(c.toByte) ==
+        -Multimodal.aLawExpand((c ^ 0x80).toByte), s"a $c")
+    }
+    // law clips decode with the expanded samples = formula ∘ expansion
+    for (id <- Seq(4L, 7L)) {
+      val m = Multimodal.decodeWav(id, Multimodal.syntheticWavLaw(id)).get
+      val nf = 256 + ((id * 3) % 200).toInt
+      assert(m.bits_per_sample == 8 && m.channels == 1 && m.n_frames == nf)
+      val expand: Byte => Int =
+        if (id % 2 == 0) Multimodal.muLawExpand else Multimodal.aLawExpand
+      val vs = (0 until nf).map(f =>
+        expand(java.lang.Math.floorMod(id * 7919 + f * 31, 256L).toByte))
+      assert(m.features(2) == (vs.map(v => math.abs(v)).max / 32768.0).toFloat)
+      assert(m.features(0) == (vs.map(_.toLong).sum.toDouble / 32768.0 / nf).toFloat)
+      assert(m.features(4) ==
+        (vs.map(v => v.toDouble * v).sum / 32768.0 / 32768.0 / nf).toFloat)
+    }
+    // 24-bit clip: wide samples decode exactly
+    val m24 = Multimodal.decodeWav(9L, Multimodal.syntheticWav24(9L)).get
+    val nf24 = 256 + ((9L * 3) % 200).toInt
+    assert(m24.bits_per_sample == 24 && m24.n_frames == nf24)
+    val vs24 = (0 until nf24).map(f =>
+      (java.lang.Math.floorMod(9L * 7919 + f * 131, 1L << 23) - (1L << 22)).toInt)
+    assert(m24.features(2) == (vs24.map(v => math.abs(v.toLong)).max / 8388608.0).toFloat)
+    assert(m24.features(4) ==
+      (vs24.map(v => v.toDouble * v).sum / 8388608.0 / 8388608.0 / nf24).toFloat)
+    // 128-bit sum-of-squares: 200k full-scale 24-bit samples overflow a
+    // Long (200000 · 2^46 > 2^63) — energy must still come out exactly 1
+    val big = java.nio.ByteBuffer.allocate(44 + 200000 * 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    big.put("RIFF".getBytes("US-ASCII")).putInt(36 + 200000 * 3).put("WAVE".getBytes("US-ASCII"))
+    big.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(24000).putShort(3).putShort(24)
+    big.put("data".getBytes("US-ASCII")).putInt(200000 * 3)
+    for (_ <- 0 until 200000) big.put(0.toByte).put(0.toByte).put(0x80.toByte)
+    val mBig = Multimodal.decodeWav(1L, big.array()).get
+    assert(mBig.features(4) == 1.0f, s"energy ${mBig.features(4)}")
+    assert(mBig.features(0) == -1.0f)
+    // WAVE_FORMAT_EXTENSIBLE wrapping 16-bit PCM decodes like plain PCM
+    val plain = Multimodal.syntheticWav(5L)
+    val want5 = Multimodal.decodeWav(5L, plain).get
+    val nData = plain.length - 44
+    val ext = java.nio.ByteBuffer.allocate(44 + 24 + nData)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ext.put("RIFF".getBytes("US-ASCII")).putInt(36 + 24 + nData).put("WAVE".getBytes("US-ASCII"))
+    ext.put("fmt ".getBytes("US-ASCII")).putInt(40)
+      .putShort(0xFFFE.toShort).putShort(want5.channels.toShort)
+      .putInt(want5.sample_rate).putInt(want5.sample_rate * want5.channels * 2)
+      .putShort((want5.channels * 2).toShort).putShort(16)
+      .putShort(22).putShort(16).putInt(0)
+      .putShort(1) // SubFormat GUID: first two bytes = PCM format code
+      .put(Array[Byte](0, 0, 0, 0, 0x10, 0, 0x80.toByte, 0, 0,
+        0xAA.toByte, 0, 0x38, 0x9B.toByte, 0x71))
+    ext.put("data".getBytes("US-ASCII")).putInt(nData)
+    ext.put(plain, 44, nData)
+    val mExt = Multimodal.decodeWav(5L, ext.array()).get
+    assert(mExt.features.toSeq == want5.features.toSeq)
+    assert(mExt.sample_rate == want5.sample_rate &&
+      mExt.n_frames == want5.n_frames && mExt.channels == want5.channels)
+    // an extensible header naming an unsupported codec still rejects
+    val extBad = java.util.Arrays.copyOf(ext.array(), ext.array().length)
+    extBad(44) = 3 // SubFormat first byte: IEEE float
+    assert(Multimodal.decodeWav(5L, extBad).isEmpty)
+  }
+
   test("curation pipeline: exact dup, near dup, and junk removed") {
     val s = spark
     import s.implicits._
