@@ -43,8 +43,12 @@ package graft
  *
  * Chains left-fold: `a->'b'->>'c'` → `json_as_text(json_get(a,'b'),'c')`.
  * String literals, quoted identifiers, `--` and `/* */` comments, and `?`
- * in any other position (a parameter marker) are left untouched. Anything
- * the rewriter does not understand passes through verbatim — Spark's
+ * in any other position (a parameter marker) are left untouched. A BARE
+ * KEYWORD never folds as LHS or RHS (`case … end -> 'k'` and
+ * `j -> case …` pass through whole) — a column legally NAMED by a
+ * keyword (`filter`, `left`, …) must be backquoted to participate,
+ * which also makes the query robust under plain Spark. Anything the
+ * rewriter does not understand passes through verbatim — Spark's
  * parser then reports it.
  */
 object JsonOperatorSql {
@@ -143,15 +147,28 @@ object JsonOperatorSql {
         } else if (c == '`') {
           val (lit, next) = consumeString(sql, i, '`')
           val before = out.length
-          i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
-          prevSig = out.charAt(out.length - 1)
-          // a backquoted HOF name (`transform`(arr, x -> y)) is still a
-          // HOF call — track the unquoted name so its lambda stays safe
-          lastIdent =
-            if (out.length - before == lit.length && lit.length >= 2 &&
-              lit.charAt(lit.length - 1) == '`') lit.substring(1, lit.length - 1)
-            else ""
-          lastExprStart = before; clauseCont = false
+          if ((prevSig == '.' || prevSig == ':' || clauseCont) &&
+            lastExprStart >= 0) {
+            // a backquoted member field, cast type, or named window
+            // continues the preceding expression (same as the bare-ident
+            // branch below) — fold operators onto the whole thing
+            val start0 = lastExprStart
+            val prefix = out.substring(start0)
+            out.setLength(start0)
+            i = foldOps(sql, next, prefix + lit, out, allowIdentRhs = true)
+            prevSig = out.charAt(out.length - 1)
+            lastIdent = ""; lastExprStart = start0; clauseCont = false
+          } else {
+            i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
+            prevSig = out.charAt(out.length - 1)
+            // a backquoted HOF name (`transform`(arr, x -> y)) is still a
+            // HOF call — track the unquoted name so its lambda stays safe
+            lastIdent =
+              if (out.length - before == lit.length && lit.length >= 2 &&
+                lit.charAt(lit.length - 1) == '`') lit.substring(1, lit.length - 1)
+              else ""
+            lastExprStart = before; clauseCont = false
+          }
         } else if (isIdentStart(c)) {
           val startId = i
           while (i < n && isIdentPart(sql.charAt(i))) i += 1
@@ -167,10 +184,13 @@ object JsonOperatorSql {
             out.append(ident); i = startId + ident.length
             prevSig = out.charAt(out.length - 1); lastIdent = ident
             clauseCont = true
-          } else if ((prevSig == '.' || clauseCont) && lastExprStart >= 0) {
-            // member access on a computed expression (`f(x).field`) or a
-            // named window (`expr over w`): fold operators onto the
-            // WHOLE expression, not the trailing identifier
+          } else if ((prevSig == '.' || prevSig == ':' || clauseCont) &&
+            lastExprStart >= 0) {
+            // member access on a computed expression (`f(x).field`), a
+            // `::type` cast, or a named window (`expr over w`): fold
+            // operators onto the WHOLE expression, not the trailing
+            // identifier — `(j->'a')::int ->> 'b'` wraps the cast like
+            // Postgres's tighter-binding `::`
             val start0 = lastExprStart
             val prefix = out.substring(start0)
             out.setLength(start0)
@@ -194,7 +214,11 @@ object JsonOperatorSql {
         } else if (c == '(') {
           val callee = lastIdent.substring(lastIdent.lastIndexOf('.') + 1).toLowerCase
           val afterIdent = isIdentPart(prevSig) || prevSig == '`'
-          val isHof = afterIdent && HofNames.contains(callee)
+          // `exists (select …)` is the SQL subquery predicate, not the
+          // exists(arr, pred) HOF — no lambda can live in its body, so
+          // arrows right after a `,` in the subquery select list fold
+          val isHof = afterIdent && HofNames.contains(callee) &&
+            !(callee == "exists" && peekWord(sql, i + 1, "select"))
           // where the expression this paren belongs to STARTS: the whole
           // windowed/filtered expression for a clause group, the callee
           // for a call (`f(x)` folds as a whole), the previous group for
@@ -244,9 +268,10 @@ object JsonOperatorSql {
           out.append(c); i += 1
           if (!c.isWhitespace) {
             prevSig = c; lastIdent = ""; clauseCont = false
-            // member access ('.') continues the preceding expression —
-            // keep its start so `f(x).field -> 'k'` folds as a whole
-            if (c != '.') lastExprStart = -1
+            // member access ('.') and casts ('::') continue the
+            // preceding expression — keep its start so `f(x).field ->
+            // 'k'` and `(j->'a')::int ->> 'b'` fold as a whole
+            if (c != '.' && c != ':') lastExprStart = -1
           }
         }
       }
@@ -337,13 +362,22 @@ object JsonOperatorSql {
     if (rhs.isEmpty) None
     else {
       val after = consumeWs(s, next)
+      // a bare KEYWORD is never a column RHS — consuming it would
+      // strand the rest of its construct (`j -> case when … end` must
+      // pass through whole, not become json_get(j, case) when …);
+      // keyword-named FUNCTIONS (left(…), …) stay callable below
+      if (SqlKeywords.contains(rhs.toLowerCase) &&
+        !(after < s.length && s.charAt(after) == '(')) return None
       if (after < s.length && s.charAt(after) == '(')
-        consumeBalanced(s, after).map { case (grp, n) =>
+        consumeBalanced(s, after).flatMap { case (grp, n) =>
           // a window clause attached to the call belongs to the RHS —
           // without this, `j -> min(x) over (…)` would strand the OVER
-          // on the generated json_get call
+          // on the generated json_get call. An `over` that is NOT
+          // followed by a parseable spec or window name (`… over from
+          // t`) bails the whole fold: passthrough beats restructuring
           val (win, end) = windowClause(s, n)
-          (rewrite(rhs + grp + win), end)
+          if (win.isEmpty && peekWord(s, n, "over")) None
+          else Some((rewrite(rhs + grp + win), end))
         }
       else Some((rhs, next))
     }
@@ -364,7 +398,11 @@ object JsonOperatorSql {
     else if (afterOver < s.length && isIdentStart(s.charAt(afterOver))) {
       var i = afterOver
       while (i < s.length && isIdentPart(s.charAt(i))) i += 1
-      (s.substring(from, i), i)
+      // a KEYWORD after `over` is the next clause (`… over from t`),
+      // not a window name — swallowing it would destroy the statement
+      val name = s.substring(afterOver, i)
+      if (SqlKeywords.contains(name.toLowerCase)) ("", from)
+      else (s.substring(from, i), i)
     } else ("", from)
   }
 

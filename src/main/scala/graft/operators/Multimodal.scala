@@ -395,14 +395,7 @@ object Multimodal {
     val sr = 8000 + java.lang.Math.floorMod(docId, 5L).toInt * 2000
     val nf = 256 + java.lang.Math.floorMod(docId * 3, 200L).toInt
     val dataLen = nf * ch * 2
-    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    buf.put("RIFF".getBytes(ascii)).putInt(36 + dataLen).put("WAVE".getBytes(ascii))
-    buf.put("fmt ".getBytes(ascii)).putInt(16)
-      .putShort(1).putShort(ch.toShort).putInt(sr)
-      .putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16)
-    buf.put("data".getBytes(ascii)).putInt(dataLen)
+    val buf = wavHeader(fmt = 1, ch = ch, sr = sr, bits = 16, dataLen = dataLen)
     var f = 0
     while (f < nf) {
       var c = 0
@@ -416,14 +409,35 @@ object Multimodal {
     buf.array()
   }
 
-  /** (doc_id, blob) table of [[syntheticWav]] clips for the given ids —
-    * the deterministic audio corpus the audio queries decode. */
-  def syntheticAudioBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+  /** A little-endian buffer with the canonical 44-byte RIFF/WAVE header
+    * (fmt chunk size 16) written, positioned at the start of `data`. */
+  private def wavHeader(fmt: Int, ch: Int, sr: Int, bits: Int,
+      dataLen: Int): java.nio.ByteBuffer = {
+    val blockAlign = ch * bits / 8
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)).putInt(36 + dataLen).put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(fmt.toShort).putShort(ch.toShort).putInt(sr)
+      .putInt(sr * blockAlign).putShort(blockAlign.toShort).putShort(bits.toShort)
+    buf.put("data".getBytes(ascii)).putInt(dataLen)
+    buf
+  }
+
+  /** (doc_id, blob) table of one generated clip per id. */
+  private def blobTable(spark: SparkSession, df: DataFrame,
+      gen: Long => Array[Byte]): DataFrame = {
     import spark.implicits._
     df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticWav(id))))
+      .mapPartitions(it => it.map(id => (id, gen(id))))
       .toDF("doc_id", "blob")
   }
+
+  /** [[syntheticWav]] clips for the given ids — the deterministic audio
+    * corpus the audio queries decode. */
+  def syntheticAudioBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticWav)
 
   /** A deterministic G.711 clip: mono 8 kHz, μ-law (format 7) for even
     * doc ids, A-law (format 6) for odd; nf = 256 + (3·docId) mod 200
@@ -433,14 +447,7 @@ object Multimodal {
   def syntheticWavLaw(docId: Long): Array[Byte] = {
     val fmt = if (java.lang.Math.floorMod(docId, 2L) == 0L) 7 else 6
     val nf = 256 + java.lang.Math.floorMod(docId * 3, 200L).toInt
-    val buf = java.nio.ByteBuffer.allocate(44 + nf)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    buf.put("RIFF".getBytes(ascii)).putInt(36 + nf).put("WAVE".getBytes(ascii))
-    buf.put("fmt ".getBytes(ascii)).putInt(16)
-      .putShort(fmt.toShort).putShort(1).putInt(8000)
-      .putInt(8000).putShort(1).putShort(8)
-    buf.put("data".getBytes(ascii)).putInt(nf)
+    val buf = wavHeader(fmt = fmt, ch = 1, sr = 8000, bits = 8, dataLen = nf)
     var f = 0
     while (f < nf) {
       buf.put(java.lang.Math.floorMod(docId * 7919 + f * 31, 256L).toByte)
@@ -449,12 +456,8 @@ object Multimodal {
     buf.array()
   }
 
-  def syntheticLawBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticWavLaw(id))))
-      .toDF("doc_id", "blob")
-  }
+  def syntheticLawBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticWavLaw)
 
   /** A deterministic 24-bit PCM clip: mono 12 kHz,
     * nf = 256 + (3·docId) mod 200 frames,
@@ -463,14 +466,7 @@ object Multimodal {
     * sum-of-squares path with a formula the oracle replays. */
   def syntheticWav24(docId: Long): Array[Byte] = {
     val nf = 256 + java.lang.Math.floorMod(docId * 3, 200L).toInt
-    val buf = java.nio.ByteBuffer.allocate(44 + nf * 3)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    buf.put("RIFF".getBytes(ascii)).putInt(36 + nf * 3).put("WAVE".getBytes(ascii))
-    buf.put("fmt ".getBytes(ascii)).putInt(16)
-      .putShort(1).putShort(1).putInt(12000)
-      .putInt(12000 * 3).putShort(3).putShort(24)
-    buf.put("data".getBytes(ascii)).putInt(nf * 3)
+    val buf = wavHeader(fmt = 1, ch = 1, sr = 12000, bits = 24, dataLen = nf * 3)
     var f = 0
     while (f < nf) {
       val v = (java.lang.Math.floorMod(docId * 7919 + f * 131, 1L << 23) -
@@ -482,12 +478,8 @@ object Multimodal {
     buf.array()
   }
 
-  def synthetic24Blobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticWav24(id))))
-      .toDF("doc_id", "blob")
-  }
+  def synthetic24Blobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticWav24)
 
   /** One resized "image": same record shape, target dimensions, and a
     * deterministic resampled payload digest standing in for pixel data. */

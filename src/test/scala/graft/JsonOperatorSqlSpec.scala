@@ -347,6 +347,27 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
     // bare keywords never fold as LHS — CASE … END passes through
     assert(rewrite("select case when p then j end -> 'k' from t")
       == "select case when p then j end -> 'k' from t")
+    // …nor as RHS: consuming `case` would strand the rest of the CASE
+    assert(rewrite("select j -> case when p then 'a' else 'b' end from t")
+      == "select j -> case when p then 'a' else 'b' end from t")
+    // a column legally NAMED by a keyword folds when backquoted
+    assert(rewrite("select `filter` -> 'k', j -> `left` from t")
+      == "select json_get(`filter`, 'k'), json_get(j, `left`) from t")
+    // EXISTS(SELECT …) is the subquery predicate, not the exists() HOF —
+    // arrows after a comma in its select list still fold
+    assert(rewrite("select exists (select a, j -> kc from x) from t")
+      == "select exists (select a, json_get(j, kc) from x) from t")
+    // backquoted named window continues the windowed expression
+    assert(rewrite("select first(j) over `w` ->> 'k' from t window `w` as (order by ts)")
+      == "select json_as_text(first(j) over `w`, 'k') from t window `w` as (order by ts)")
+    // `over` NOT followed by a spec or window name bails the whole fold
+    assert(rewrite("select j -> f(x) over from t")
+      == "select j -> f(x) over from t")
+    // a ::cast continues the expression — later operators wrap the cast
+    assert(rewrite("select (j -> 'a')::int ->> 'b' from t")
+      == "select json_as_text((json_get(j, 'a'))::int, 'b') from t")
+    assert(rewrite("select cast(j->'a' as string)::string -> 'c' from t")
+      == "select json_get(cast(json_get(j, 'a') as string)::string, 'c') from t")
     // `?` never takes an identifier RHS: parameter markers stay markers
     assert(rewrite("select ? as p from t") == "select ? as p from t")
     assert(rewrite("select x from t limit ? offset ?")
@@ -401,7 +422,9 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       "f(j)", "t.f(j)", "cast(j as string)", "left(j, 4)", "right(j, 4)",
       "f(j).field", "first(j) over (order by x)",
       "first(j) over (partition by g order by x rows between 1 preceding and current row)",
-      "first(j) filter (where x > 0)", "(j -> 'pre')", "f(j -> 'pre')")
+      "first(j) filter (where x > 0)", "(j -> 'pre')", "f(j -> 'pre')",
+      "first(j) over w", "first(j) over `w`", "(j -> 'pre')::string",
+      "`quo ted`.field", "exists (select jj -> kc from u)")
     val chains = Seq(
       Seq("-> 'a'"), Seq("->> 'a'"), Seq("? 'a'"),
       Seq("-> 'a'", "->> 'b'"), Seq("-> 'a'", "-> 0"),
