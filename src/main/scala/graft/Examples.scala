@@ -34,6 +34,14 @@ object Examples {
     spark.sql(
       """select json_data->'user'->>'name' as name from
         | (select '{"user": {"name": "ada"}}' as json_data)""".stripMargin).show()
+    // operators bind onto any expression — parens, calls, casts,
+    // windowed aggregates — with column or call RHS
+    spark.sql(
+      """select (json_data->'user')->>'name' as via_parens,
+        |  json_data -> concat('us', 'er') ->> 'name' as via_call_rhs,
+        |  (json_data->'user'->>'logins')::int + 1 as via_cast
+        | from (select '{"user": {"name": "ada", "logins": "41"}}' as json_data)
+        |""".stripMargin).show()
     spark.conf.set(GraftSqlParser.ConfKey, "false")
     // the explicit translator works without the flag:
     spark.sql(JsonOperatorSql.rewrite(
@@ -149,6 +157,13 @@ object Examples {
     Multimodal.decodeAudioFeatures(spark,
       Multimodal.syntheticAudioBlobs(spark, ids)).toDF()
       .select("doc_id", "sample_rate", "channels", "n_frames").show(4)
+    println("-- G.711 mu-law/A-law expansion and 24-bit PCM --")
+    Multimodal.decodeAudioFeatures(spark,
+      Multimodal.syntheticLawBlobs(spark, ids)).toDF()
+      .select("doc_id", "bits_per_sample", "n_frames").show(2)
+    Multimodal.decodeAudioFeatures(spark,
+      Multimodal.synthetic24Blobs(spark, ids)).toDF()
+      .select("doc_id", "bits_per_sample", "n_frames").show(2)
     Multimodal.sampleVideoFrames(spark,
       Multimodal.syntheticVideoBlobs(spark, ids)).toDF()
       .select("doc_id", "frame_idx", "sum_r").show(4)
