@@ -237,8 +237,38 @@ object JsonOperatorSql {
           parens.push(Par(isHof, exprStart, lambdaPossible))
           out.append(c); i += 1
           prevSig = c; lastIdent = ""; lastExprStart = -1; clauseCont = false
+        } else if (c == '[') {
+          // subscript access continues the preceding expression —
+          // `m['k'] -> 'a'` / `arr[0] ->> 'x'` fold as a whole; a `[`
+          // with no expression before it (array literal syntax error
+          // territory) gets no fold
+          val exprStart =
+            if ((isIdentPart(prevSig) || prevSig == '`' || prevSig == ')' ||
+              prevSig == ']') && lastExprStart >= 0) lastExprStart
+            else -1
+          parens.push(Par(isHof = false, exprStart, lambdaSpot = false,
+            bracket = true))
+          out.append(c); i += 1
+          prevSig = c; lastIdent = ""; lastExprStart = -1; clauseCont = false
+        } else if (c == ']') {
+          val par =
+            if (parens.nonEmpty && parens.top.bracket) parens.pop()
+            else Par(isHof = false, -1, lambdaSpot = false, bracket = true)
+          out.append(c); i += 1
+          prevSig = ']'; lastIdent = ""; clauseCont = false
+          if (par.exprStart >= 0) {
+            val expr = out.substring(par.exprStart)
+            out.setLength(par.exprStart)
+            i = foldOps(sql, i, expr, out, allowIdentRhs = true)
+            prevSig = out.charAt(out.length - 1)
+          }
+          lastExprStart = par.exprStart
         } else if (c == ')') {
-          val par = if (parens.nonEmpty) parens.pop() else Par(isHof = false, -1, lambdaSpot = true)
+          // a bracket frame on top means mismatched nesting — don't pop
+          // it, and don't fold anything for this stray paren
+          val par =
+            if (parens.nonEmpty && !parens.top.bracket) parens.pop()
+            else Par(isHof = false, -1, lambdaSpot = true)
           out.append(c); i += 1
           prevSig = ')'; lastIdent = ""; clauseCont = false
           // operators can bind onto a parenthesized or call LHS —
@@ -279,10 +309,12 @@ object JsonOperatorSql {
     out.toString
   }
 
-  /** One open paren's context: HOF call (lambda args legal inside), the
-    * `out` position its whole expression starts at, and whether the
-    * group itself opened where a lambda parameter list could. */
-  private final case class Par(isHof: Boolean, exprStart: Int, lambdaSpot: Boolean)
+  /** One open paren or bracket's context: HOF call (lambda args legal
+    * inside), the `out` position its whole expression starts at, whether
+    * the group itself opened where a lambda parameter list could, and
+    * whether it is a `[` subscript rather than a paren. */
+  private final case class Par(isHof: Boolean, exprStart: Int,
+      lambdaSpot: Boolean, bracket: Boolean = false)
 
   /** A comma-separated list of TWO OR MORE bare (or backquoted)
     * identifiers — the only parenthesized shape Spark's lambda rule

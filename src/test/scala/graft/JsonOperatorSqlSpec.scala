@@ -368,6 +368,17 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       == "select json_as_text((json_get(j, 'a'))::int, 'b') from t")
     assert(rewrite("select cast(j->'a' as string)::string -> 'c' from t")
       == "select json_get(cast(json_get(j, 'a') as string)::string, 'c') from t")
+    // subscript access continues the expression too
+    assert(rewrite("select m['k'] -> 'a' from t")
+      == "select json_get(m['k'], 'a') from t")
+    assert(rewrite("select arr[0] ->> 'x' from t")
+      == "select json_as_text(arr[0], 'x') from t")
+    assert(rewrite("select m['a']['b'] -> 'c' from t")
+      == "select json_get(m['a']['b'], 'c') from t")
+    assert(rewrite("select f(j)[0] -> 'k' ? 'has' from t")
+      == "select json_contains(json_get(f(j)[0], 'k'), 'has') from t")
+    // mismatched nesting never folds or mangles
+    assert(rewrite("select (a] -> 'k' from t") == "select (a] -> 'k' from t")
     // `?` never takes an identifier RHS: parameter markers stay markers
     assert(rewrite("select ? as p from t") == "select ? as p from t")
     assert(rewrite("select x from t limit ? offset ?")
@@ -424,7 +435,8 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       "first(j) over (partition by g order by x rows between 1 preceding and current row)",
       "first(j) filter (where x > 0)", "(j -> 'pre')", "f(j -> 'pre')",
       "first(j) over w", "first(j) over `w`", "(j -> 'pre')::string",
-      "`quo ted`.field", "exists (select jj -> kc from u)")
+      "`quo ted`.field", "exists (select jj -> kc from u)",
+      "m['k']", "arr[0]", "f(j)[0]", "m['a']['b']")
     val chains = Seq(
       Seq("-> 'a'"), Seq("->> 'a'"), Seq("? 'a'"),
       Seq("-> 'a'", "->> 'b'"), Seq("-> 'a'", "-> 0"),
