@@ -114,6 +114,9 @@ object JsonOperatorSql {
     // and `expr over w ->> 'k'` fold onto the whole thing
     var clauseCont = false
     val parens = scala.collection.mutable.Stack.empty[Par]
+    // `out` positions of open CASE keywords: END closes the innermost,
+    // making the whole `case … end` an operator LHS
+    val caseStarts = scala.collection.mutable.Stack.empty[Int]
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '-' && sql.startsWith("--", i)) {
@@ -197,9 +200,24 @@ object JsonOperatorSql {
             i = foldOps(sql, i, prefix + ident, out, allowIdentRhs = true)
             prevSig = out.charAt(out.length - 1)
             lastIdent = ""; lastExprStart = start0; clauseCont = false
+          } else if (lower == "case") {
+            caseStarts.push(before)
+            out.append(ident); i = startId + ident.length
+            prevSig = out.charAt(out.length - 1); lastIdent = ident
+            lastExprStart = before; clauseCont = false
+          } else if (lower == "end" && caseStarts.nonEmpty) {
+            // END closes the innermost CASE: the whole `case … end` is
+            // an expression — operators after it fold onto it whole
+            val start0 = caseStarts.pop()
+            val prefix = out.substring(start0)
+            out.setLength(start0)
+            i = foldOps(sql, startId + ident.length, prefix + ident, out,
+              allowIdentRhs = true)
+            prevSig = out.charAt(out.length - 1)
+            lastIdent = ""; lastExprStart = start0; clauseCont = false
           } else if (SqlKeywords.contains(lower)) {
-            // keywords never fold as a bare LHS (`… end -> 'k'` would
-            // otherwise emit json_get(end, …)); callable ones may still
+            // other keywords never fold as a bare LHS (a stray `end ->
+            // 'k'` would emit json_get(end, …)); callable ones may still
             // head a call — the '(' branch reaches back via lastExprStart
             out.append(ident); i = startId + ident.length
             prevSig = out.charAt(out.length - 1); lastIdent = ident
@@ -257,6 +275,10 @@ object JsonOperatorSql {
           out.append(c); i += 1
           prevSig = ']'; lastIdent = ""; clauseCont = false
           if (par.exprStart >= 0) {
+            // a CASE left open inside this group is malformed input —
+            // its stored position goes stale once the fold rewrites out
+            while (caseStarts.nonEmpty && caseStarts.top >= par.exprStart)
+              caseStarts.pop()
             val expr = out.substring(par.exprStart)
             out.setLength(par.exprStart)
             i = foldOps(sql, i, expr, out, allowIdentRhs = true)
@@ -283,6 +305,8 @@ object JsonOperatorSql {
           val isLambdaParams = par.lambdaSpot && par.exprStart >= 0 &&
             LambdaParamList.matches(out.substring(par.exprStart + 1, out.length - 1))
           if (!isLambdaParams && par.exprStart >= 0) {
+            while (caseStarts.nonEmpty && caseStarts.top >= par.exprStart)
+              caseStarts.pop()
             val expr = out.substring(par.exprStart)
             out.setLength(par.exprStart)
             // a grouping fold directly after a keyword (`when(j->'a')`)

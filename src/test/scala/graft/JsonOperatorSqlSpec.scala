@@ -344,12 +344,22 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
     // member access on a computed expression folds as a whole
     assert(rewrite("select f(x).field -> 'k' from t")
       == "select json_get(f(x).field, 'k') from t")
-    // bare keywords never fold as LHS — CASE … END passes through
+    // a whole CASE … END is an expression LHS like the reference plans
     assert(rewrite("select case when p then j end -> 'k' from t")
-      == "select case when p then j end -> 'k' from t")
-    // …nor as RHS: consuming `case` would strand the rest of the CASE
+      == "select json_get(case when p then j end, 'k') from t")
+    assert(rewrite("select case when p then j->'a' else o end ->> 'b' from t")
+      == "select json_as_text(case when p then json_get(j, 'a') else o end, 'b') from t")
+    // nested CASE: END closes the innermost; only the outer END folds
+    assert(rewrite("select case when p then case when q then j end end -> 'k' from t")
+      == "select json_get(case when p then case when q then j end end, 'k') from t")
+    // a stray END (no open CASE) still never folds
+    assert(rewrite("select end -> 'k' from t") == "select end -> 'k' from t")
+    // bare keywords never fold as RHS: consuming `case` would strand
+    // the rest of the CASE — write `j -> (case … end)` instead
     assert(rewrite("select j -> case when p then 'a' else 'b' end from t")
       == "select j -> case when p then 'a' else 'b' end from t")
+    assert(rewrite("select j -> (case when p then 'a' else 'b' end) from t")
+      == "select json_get(j, (case when p then 'a' else 'b' end)) from t")
     // a column legally NAMED by a keyword folds when backquoted
     assert(rewrite("select `filter` -> 'k', j -> `left` from t")
       == "select json_get(`filter`, 'k'), json_get(j, `left`) from t")
@@ -436,7 +446,9 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       "first(j) filter (where x > 0)", "(j -> 'pre')", "f(j -> 'pre')",
       "first(j) over w", "first(j) over `w`", "(j -> 'pre')::string",
       "`quo ted`.field", "exists (select jj -> kc from u)",
-      "m['k']", "arr[0]", "f(j)[0]", "m['a']['b']")
+      "m['k']", "arr[0]", "f(j)[0]", "m['a']['b']",
+      "case when x then j else jj end",
+      "case when x then j -> 'p' end")
     val chains = Seq(
       Seq("-> 'a'"), Seq("->> 'a'"), Seq("? 'a'"),
       Seq("-> 'a'", "->> 'b'"), Seq("-> 'a'", "-> 0"),
