@@ -43,13 +43,14 @@ package graft
  *
  * Chains left-fold: `a->'b'->>'c'` → `json_as_text(json_get(a,'b'),'c')`.
  * String literals, quoted identifiers, `--` and `/* */` comments, and `?`
- * in any other position (a parameter marker) are left untouched. A BARE
- * KEYWORD never folds as LHS or RHS (`case … end -> 'k'` and
- * `j -> case …` pass through whole) — a column legally NAMED by a
- * keyword (`filter`, `left`, …) must be backquoted to participate,
- * which also makes the query robust under plain Spark. Anything the
- * rewriter does not understand passes through verbatim — Spark's
- * parser then reports it.
+ * in any other position (a parameter marker) are left untouched. A whole
+ * `case … end` is an expression LHS (`case … end -> 'k'` folds), but a
+ * BARE KEYWORD on its own never folds as LHS or RHS (`j -> case …` needs
+ * parens: `j -> (case … end)`) — a column legally NAMED by a keyword
+ * (`filter`, `left`, …) must be backquoted to participate, which also
+ * makes the query robust under plain Spark. Anything the rewriter does
+ * not understand passes through verbatim — Spark's parser then reports
+ * it.
  */
 object JsonOperatorSql {
 
@@ -117,6 +118,22 @@ object JsonOperatorSql {
     // `out` positions of open CASE keywords: END closes the innermost,
     // making the whole `case … end` an operator LHS
     val caseStarts = scala.collection.mutable.Stack.empty[Int]
+    // shared close-of-group fold: extract the expression that started at
+    // exprStart, fold trailing operators onto it, and drop CASE trackers
+    // made stale by the rewrite (a CASE left open inside the group is
+    // malformed input). The space guard keeps a grouping fold directly
+    // after a keyword (`when(j->'a')`) from gluing onto the keyword;
+    // call folds carry their callee inside expr, so it never fires there.
+    def closeFold(exprStart: Int): Unit = {
+      while (caseStarts.nonEmpty && caseStarts.top >= exprStart)
+        caseStarts.pop()
+      val expr = out.substring(exprStart)
+      out.setLength(exprStart)
+      if (expr.startsWith("(") && out.nonEmpty &&
+        isIdentPart(out.charAt(out.length - 1))) out.append(' ')
+      i = foldOps(sql, i, expr, out, allowIdentRhs = true)
+      prevSig = out.charAt(out.length - 1)
+    }
     while (i < n) {
       val c = sql.charAt(i)
       if (c == '-' && sql.startsWith("--", i)) {
@@ -205,9 +222,16 @@ object JsonOperatorSql {
             out.append(ident); i = startId + ident.length
             prevSig = out.charAt(out.length - 1); lastIdent = ident
             lastExprStart = before; clauseCont = false
-          } else if (lower == "end" && caseStarts.nonEmpty) {
+          } else if (lower == "end" && caseStarts.nonEmpty &&
+            (parens.isEmpty || caseStarts.top > parens.top.openPos)) {
             // END closes the innermost CASE: the whole `case … end` is
-            // an expression — operators after it fold onto it whole
+            // an expression — operators after it fold onto it whole.
+            // The CASE must have opened INSIDE the innermost still-open
+            // group: an `end` matching a CASE from outside the group
+            // (`f(case … )` nesting gone wrong, or an end-named column)
+            // must not fold across the open frame — the fold would
+            // rewrite out below the frame's exprStart and the eventual
+            // `)` fold would slice stale positions
             val start0 = caseStarts.pop()
             val prefix = out.substring(start0)
             out.setLength(start0)
@@ -252,7 +276,7 @@ object JsonOperatorSql {
             else if ((afterIdent || prevSig == ')') && lastExprStart >= 0)
               lastExprStart
             else out.length
-          parens.push(Par(isHof, exprStart, lambdaPossible))
+          parens.push(Par(isHof, exprStart, lambdaPossible, openPos = out.length))
           out.append(c); i += 1
           prevSig = c; lastIdent = ""; lastExprStart = -1; clauseCont = false
         } else if (c == '[') {
@@ -261,36 +285,29 @@ object JsonOperatorSql {
           // with no expression before it (array literal syntax error
           // territory) gets no fold
           val exprStart =
-            if ((isIdentPart(prevSig) || prevSig == '`' || prevSig == ')' ||
-              prevSig == ']') && lastExprStart >= 0) lastExprStart
+            if ((isIdentPart(prevSig) || prevSig == '`' || prevSig == '"' ||
+              prevSig == ')' || prevSig == ']') && lastExprStart >= 0)
+              lastExprStart
             else -1
           parens.push(Par(isHof = false, exprStart, lambdaSpot = false,
-            bracket = true))
+            openPos = out.length, bracket = true))
           out.append(c); i += 1
           prevSig = c; lastIdent = ""; lastExprStart = -1; clauseCont = false
         } else if (c == ']') {
           val par =
             if (parens.nonEmpty && parens.top.bracket) parens.pop()
-            else Par(isHof = false, -1, lambdaSpot = false, bracket = true)
+            else Par(isHof = false, -1, lambdaSpot = false,
+              openPos = out.length, bracket = true)
           out.append(c); i += 1
           prevSig = ']'; lastIdent = ""; clauseCont = false
-          if (par.exprStart >= 0) {
-            // a CASE left open inside this group is malformed input —
-            // its stored position goes stale once the fold rewrites out
-            while (caseStarts.nonEmpty && caseStarts.top >= par.exprStart)
-              caseStarts.pop()
-            val expr = out.substring(par.exprStart)
-            out.setLength(par.exprStart)
-            i = foldOps(sql, i, expr, out, allowIdentRhs = true)
-            prevSig = out.charAt(out.length - 1)
-          }
+          if (par.exprStart >= 0) closeFold(par.exprStart)
           lastExprStart = par.exprStart
         } else if (c == ')') {
           // a bracket frame on top means mismatched nesting — don't pop
           // it, and don't fold anything for this stray paren
           val par =
             if (parens.nonEmpty && !parens.top.bracket) parens.pop()
-            else Par(isHof = false, -1, lambdaSpot = true)
+            else Par(isHof = false, -1, lambdaSpot = true, openPos = out.length)
           out.append(c); i += 1
           prevSig = ')'; lastIdent = ""; clauseCont = false
           // operators can bind onto a parenthesized or call LHS —
@@ -304,19 +321,7 @@ object JsonOperatorSql {
           // has only the operator reading and folds.
           val isLambdaParams = par.lambdaSpot && par.exprStart >= 0 &&
             LambdaParamList.matches(out.substring(par.exprStart + 1, out.length - 1))
-          if (!isLambdaParams && par.exprStart >= 0) {
-            while (caseStarts.nonEmpty && caseStarts.top >= par.exprStart)
-              caseStarts.pop()
-            val expr = out.substring(par.exprStart)
-            out.setLength(par.exprStart)
-            // a grouping fold directly after a keyword (`when(j->'a')`)
-            // must not glue the fold output onto the keyword; call folds
-            // carry their callee inside expr, so no space is ever needed
-            if (expr.startsWith("(") && out.nonEmpty &&
-              isIdentPart(out.charAt(out.length - 1))) out.append(' ')
-            i = foldOps(sql, i, expr, out, allowIdentRhs = true)
-            prevSig = out.charAt(out.length - 1)
-          }
+          if (!isLambdaParams && par.exprStart >= 0) closeFold(par.exprStart)
           lastExprStart = par.exprStart
         } else {
           out.append(c); i += 1
@@ -335,10 +340,13 @@ object JsonOperatorSql {
 
   /** One open paren or bracket's context: HOF call (lambda args legal
     * inside), the `out` position its whole expression starts at, whether
-    * the group itself opened where a lambda parameter list could, and
-    * whether it is a `[` subscript rather than a paren. */
+    * the group itself opened where a lambda parameter list could, the
+    * `out` position of the opening char itself (the CASE tracker uses it
+    * to tell inside-group CASEs from outside ones), and whether it is a
+    * `[` subscript rather than a paren. */
   private final case class Par(isHof: Boolean, exprStart: Int,
-      lambdaSpot: Boolean, bracket: Boolean = false)
+      lambdaSpot: Boolean, openPos: Int = Int.MaxValue,
+      bracket: Boolean = false)
 
   /** A comma-separated list of TWO OR MORE bare (or backquoted)
     * identifiers — the only parenthesized shape Spark's lambda rule
@@ -426,16 +434,29 @@ object JsonOperatorSql {
         !(after < s.length && s.charAt(after) == '(')) return None
       if (after < s.length && s.charAt(after) == '(')
         consumeBalanced(s, after).flatMap { case (grp, n) =>
-          // a window clause attached to the call belongs to the RHS —
-          // without this, `j -> min(x) over (…)` would strand the OVER
-          // on the generated json_get call. An `over` that is NOT
-          // followed by a parseable spec or window name (`… over from
-          // t`) bails the whole fold: passthrough beats restructuring
-          val (win, end) = windowClause(s, n)
-          if (win.isEmpty && peekWord(s, n, "over")) None
-          else Some((rewrite(rhs + grp + win), end))
+          // subscripts on the call result (`j -> f(x)[0]`) bind tighter
+          // than the arrows and belong to the RHS
+          val subEnd = consumeSubscripts(s, n)
+          if (subEnd > n) Some((rewrite(rhs + grp + s.substring(n, subEnd)), subEnd))
+          else {
+            // a window clause attached to the call belongs to the RHS —
+            // without this, `j -> min(x) over (…)` would strand the OVER
+            // on the generated json_get call. An `over` that is NOT
+            // followed by a parseable spec or window name (`… over from
+            // t`) bails the whole fold: passthrough beats restructuring
+            val (win, end) = windowClause(s, n)
+            if (win.isEmpty && peekWord(s, n, "over")) None
+            else Some((rewrite(rhs + grp + win), end))
+          }
         }
-      else Some((rhs, next))
+      else {
+        // subscripts on a bare identifier (`j -> m['k']`) are part of
+        // the RHS — without this the bracket would mis-bind onto the
+        // generated call's RESULT, silently changing semantics
+        val subEnd = consumeSubscripts(s, next)
+        if (subEnd > next) Some((rewrite(s.substring(at, subEnd)), subEnd))
+        else Some((rhs, next))
+      }
     }
   }
 
@@ -462,10 +483,12 @@ object JsonOperatorSql {
     } else ("", from)
   }
 
-  /** From a `(`: the balanced group through its matching `)`, skipping
-    * string literals, quoted identifiers, and comments. None when the
-    * text is unbalanced — the caller then leaves the input untouched. */
-  private def consumeBalanced(s: String, at: Int): Option[(String, Int)] = {
+  /** From an opening `(` or `[`: the balanced group through its matching
+    * close char, skipping string literals, quoted identifiers, and
+    * comments. None when the text is unbalanced — the caller then leaves
+    * the input untouched. */
+  private def consumeBalanced(s: String, at: Int, open: Char = '(',
+      close: Char = ')'): Option[(String, Int)] = {
     var i = at
     var depth = 0
     while (i < s.length) {
@@ -477,8 +500,8 @@ object JsonOperatorSql {
         val e = s.indexOf("*/", i + 2)
         i = if (e < 0) s.length else e + 2
       } else {
-        if (c == '(') depth += 1
-        else if (c == ')') {
+        if (c == open) depth += 1
+        else if (c == close) {
           depth -= 1
           if (depth == 0) return Some((s.substring(at, i + 1), i + 1))
         }
@@ -486,6 +509,25 @@ object JsonOperatorSql {
       }
     }
     None
+  }
+
+  /** Zero or more trailing `[subscript]` groups starting at `from` —
+    * returns the end position after the last balanced group. Subscripts
+    * bind tighter than the arrows, so an RHS must absorb them before
+    * the fold continues (`j -> m['k']` is json_get(j, m['k'])). */
+  private def consumeSubscripts(s: String, from: Int): Int = {
+    var i = from
+    var scanning = true
+    while (scanning) {
+      val at = consumeWs(s, i)
+      if (at < s.length && s.charAt(at) == '[')
+        consumeBalanced(s, at, '[', ']') match {
+          case Some((_, end)) => i = end
+          case None => scanning = false
+        }
+      else scanning = false
+    }
+    i
   }
 
   private def isIdentStart(c: Char) = c.isLetter || c == '_'

@@ -381,6 +381,25 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
     // subscript access continues the expression too
     assert(rewrite("select m['k'] -> 'a' from t")
       == "select json_get(m['k'], 'a') from t")
+    // …and binds TIGHTER than the arrows on the RHS: m['k'] is the key,
+    // not a subscript on the fold result
+    assert(rewrite("select j -> m['k'] ->> 'x' from t")
+      == "select json_as_text(json_get(j, m['k']), 'x') from t")
+    assert(rewrite("select j -> f(x)[0] from t")
+      == "select json_get(j, f(x)[0]) from t")
+    assert(rewrite("select j -> `m q`['k'] from t")
+      == "select json_get(j, `m q`['k']) from t")
+    // double-quoted identifiers continue through subscripts as well
+    assert(rewrite("select \"m\"['k'] -> 'a' from t")
+      == "select json_get(\"m\"['k'], 'a') from t")
+    // an END inside an open group whose CASE opened OUTSIDE the group
+    // never folds across the frame: the inner `end` stays a keyword,
+    // the call folds normally, and the outer CASE still closes — no
+    // mid-token slicing of the rewritten buffer
+    assert(rewrite("select case when p then f(end -> 'a') -> 'b' else j end from t")
+      == "select case when p then json_get(f(end -> 'a'), 'b') else j end from t")
+    assert(rewrite("select case when p then f(end) ->> 'b' else j end -> 'k' from t")
+      == "select json_get(case when p then json_as_text(f(end), 'b') else j end, 'k') from t")
     assert(rewrite("select arr[0] ->> 'x' from t")
       == "select json_as_text(arr[0], 'x') from t")
     assert(rewrite("select m['a']['b'] -> 'c' from t")
@@ -454,7 +473,8 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       Seq("-> 'a'", "->> 'b'"), Seq("-> 'a'", "-> 0"),
       Seq("-> kc"), Seq("-> upper(kc)"), Seq("-> (kc)"),
       Seq("-> concat(kc, '_s')", "->> 'z'"), Seq("-> 'a'", "? 'k'"),
-      Seq("->('foo'::text)"), Seq("-> min(x) over (order by x)"))
+      Seq("->('foo'::text)"), Seq("-> min(x) over (order by x)"),
+      Seq("-> m['k']", "->> 'x'"), Seq("-> f(x)[0]"))
     val contexts = Seq[String => String](
       e => s"select $e from t",
       e => s"select ($e) as v from t",
