@@ -160,10 +160,15 @@ object JsonOperatorSql {
           prevSig = out.charAt(out.length - 1); lastIdent = ""
           lastExprStart = before; clauseCont = false
         } else if (c == '"') {
+          // double quotes are a string literal in default Spark and an
+          // identifier under ANSI doubleQuotedIdentifiers — operators
+          // fold after either reading, exactly like the '\''/backquote
+          // branches
           val (lit, next) = consumeString(sql, i, c)
-          lastExprStart = out.length
-          out.append(lit); i = next
-          prevSig = '"'; lastIdent = ""; clauseCont = false
+          val before = out.length
+          i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
+          prevSig = out.charAt(out.length - 1); lastIdent = ""
+          lastExprStart = before; clauseCont = false
         } else if (c == '`') {
           val (lit, next) = consumeString(sql, i, '`')
           val before = out.length
@@ -434,10 +439,11 @@ object JsonOperatorSql {
         !(after < s.length && s.charAt(after) == '(')) return None
       if (after < s.length && s.charAt(after) == '(')
         consumeBalanced(s, after).flatMap { case (grp, n) =>
-          // subscripts on the call result (`j -> f(x)[0]`) bind tighter
-          // than the arrows and belong to the RHS
-          val subEnd = consumeSubscripts(s, n)
-          if (subEnd > n) Some((rewrite(rhs + grp + s.substring(n, subEnd)), subEnd))
+          // postfix continuations on the call result (`j -> f(x)[0]`,
+          // `j -> f(x).field`, `j -> f(x)::string`) bind tighter than
+          // the arrows and belong to the RHS
+          val postEnd = consumePostfix(s, n)
+          if (postEnd > n) Some((rewrite(rhs + grp + s.substring(n, postEnd)), postEnd))
           else {
             // a window clause attached to the call belongs to the RHS —
             // without this, `j -> min(x) over (…)` would strand the OVER
@@ -450,11 +456,12 @@ object JsonOperatorSql {
           }
         }
       else {
-        // subscripts on a bare identifier (`j -> m['k']`) are part of
-        // the RHS — without this the bracket would mis-bind onto the
-        // generated call's RESULT, silently changing semantics
-        val subEnd = consumeSubscripts(s, next)
-        if (subEnd > next) Some((rewrite(s.substring(at, subEnd)), subEnd))
+        // postfix continuations on a bare identifier (`j -> m['k']`,
+        // `j -> k::int`) are part of the RHS — without this they would
+        // mis-bind onto the generated call's RESULT, silently changing
+        // semantics
+        val postEnd = consumePostfix(s, next)
+        if (postEnd > next) Some((rewrite(s.substring(at, postEnd)), postEnd))
         else Some((rhs, next))
       }
     }
@@ -511,11 +518,14 @@ object JsonOperatorSql {
     None
   }
 
-  /** Zero or more trailing `[subscript]` groups starting at `from` —
-    * returns the end position after the last balanced group. Subscripts
-    * bind tighter than the arrows, so an RHS must absorb them before
-    * the fold continues (`j -> m['k']` is json_get(j, m['k'])). */
-  private def consumeSubscripts(s: String, from: Int): Int = {
+  /** Zero or more trailing postfix continuations starting at `from` —
+    * `[subscript]` groups, `::type` casts (parameterized types
+    * included), and `.member` accesses — returning the end position
+    * after the last one. All three bind tighter than the arrows, so an
+    * RHS must absorb them before the fold continues: `j -> m['k']` is
+    * json_get(j, m['k']), `j -> k::int` is json_get(j, k::int),
+    * `j -> f(x).field` is json_get(j, f(x).field). */
+  private def consumePostfix(s: String, from: Int): Int = {
     var i = from
     var scanning = true
     while (scanning) {
@@ -525,7 +535,25 @@ object JsonOperatorSql {
           case Some((_, end)) => i = end
           case None => scanning = false
         }
-      else scanning = false
+      else if (s.startsWith("::", at)) {
+        val t = consumeWs(s, at + 2)
+        if (t < s.length && isIdentStart(s.charAt(t))) {
+          var e = t
+          while (e < s.length && isIdentPart(s.charAt(e))) e += 1
+          val p = consumeWs(s, e)
+          if (p < s.length && s.charAt(p) == '(')
+            i = consumeBalanced(s, p).map(_._2).getOrElse(e) // decimal(10,2)
+          else i = e
+        } else scanning = false
+      } else if (at < s.length && s.charAt(at) == '.' &&
+        at + 1 < s.length && s.charAt(at + 1) == '`') {
+        i = consumeString(s, at + 1, '`')._2
+      } else if (at < s.length && s.charAt(at) == '.' &&
+        at + 1 < s.length && isIdentStart(s.charAt(at + 1))) {
+        var e = at + 1
+        while (e < s.length && isIdentPart(s.charAt(e))) e += 1
+        i = e
+      } else scanning = false
     }
     i
   }

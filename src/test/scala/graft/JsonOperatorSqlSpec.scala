@@ -392,6 +392,21 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
     // double-quoted identifiers continue through subscripts as well
     assert(rewrite("select \"m\"['k'] -> 'a' from t")
       == "select json_get(\"m\"['k'], 'a') from t")
+    // …and fold directly, like single-quoted and backquoted tokens
+    // (string literal in default Spark, identifier under ANSI
+    // doubleQuotedIdentifiers — either reading is a legal LHS)
+    assert(rewrite("select \"m\" -> 'a' from t")
+      == "select json_get(\"m\", 'a') from t")
+    // postfix casts and member access bind tighter than the arrows on
+    // the RHS too — they belong to the key, not the fold result
+    assert(rewrite("select j -> kc::int from t")
+      == "select json_get(j, kc::int) from t")
+    assert(rewrite("select j -> kc::decimal(10, 2) ->> 'x' from t")
+      == "select json_as_text(json_get(j, kc::decimal(10, 2)), 'x') from t")
+    assert(rewrite("select j -> f(x).field from t")
+      == "select json_get(j, f(x).field) from t")
+    assert(rewrite("select j -> m['k'].field ->> 'x' from t")
+      == "select json_as_text(json_get(j, m['k'].field), 'x') from t")
     // an END inside an open group whose CASE opened OUTSIDE the group
     // never folds across the frame: the inner `end` stays a keyword,
     // the call folds normally, and the outer CASE still closes — no
