@@ -236,6 +236,12 @@ object SparkEntry {
       operators.Dedup.exactDuplicates(table(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("h"))),
 
+    // cross-document exact duplicate-substring spans (Lee et al. 2021
+    // suffix-array dedup, set-oriented: dup 8-grams → gaps-and-islands)
+    "q_dup_spans" -> ((s, dir) =>
+      operators.Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text", width = 8)
+        .orderBy(col("doc_id"))),
+
     "q_text_stats" -> ((s, dir) =>
       operators.TextOps.documentStats(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1451,6 +1457,24 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
         | FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin.replaceAll("\n", " "),
+    // duplicate spans: identical token-gram construction (string_split
+    // parity incl. empty tokens; 1-based slice == 0-based window), same
+    // min<>max cross-doc rule, same gaps-and-islands run merge
+    "q_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | grams AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        |   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s),
+        | dupg AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        | flagged AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)),
+        | isl AS (SELECT doc_id, pos,
+        |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM flagged),
+        | runs AS (SELECT doc_id, grp, count(*) AS c, max(pos) - min(pos) + 8 AS run_len
+        |   FROM isl GROUP BY 1, 2),
+        | per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_grams, count(*) AS n_runs,
+        |   CAST(max(run_len) AS BIGINT) AS max_run FROM runs GROUP BY doc_id)
+        | SELECT d.doc_id, coalesce(p.dup_grams, 0) AS dup_grams,
+        |  coalesce(p.n_runs, 0) AS n_runs, coalesce(p.max_run, 0) AS max_run
+        | FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_calc,

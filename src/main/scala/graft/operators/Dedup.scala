@@ -344,4 +344,71 @@ object Dedup {
         Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
       .where(col("cos") >= minCosine)
   }
+
+  /** Positional token n-grams for span detection — `(pos, gram)` after a
+    * posexplode, unlike [[shingles]] (distinct sets, order-free). */
+  def posGrams(textCol: Column, width: Int): Column =
+    GraftSqlShim.column(
+      TokenGrams(GraftSqlShim.expression(split(textCol, " ")), width))
+
+  /** Cross-document exact duplicate-substring statistics, the
+    * suffix-array-style dedup signal of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better") re-expressed as a
+    * set-oriented pipeline: a token `width`-gram that occurs in more than
+    * one document marks every position it covers as duplicated, and
+    * maximal runs of consecutive duplicated positions are the duplicate
+    * spans (a shared substring of `L ≥ width` tokens appears as a run of
+    * `L - width + 1` consecutive duplicated gram starts, so `run_len =
+    * last - first + width` recovers the span's token length).
+    *
+    * Returns one row per input document: `(doc_id, dup_grams, n_runs,
+    * max_run)` — the count of duplicated gram positions, the number of
+    * maximal duplicate spans, and the longest span's token length (0s for
+    * documents with no cross-document duplicate substring).
+    *
+    * Scale shape: explode is map-side; gram doc-frequency is ONE
+    * hash-partitioned aggregation whose map-side partials collapse the
+    * Zipf head (a boilerplate gram repeated 10^6× leaves each input
+    * partition as one row); the flag join is a shuffle equi-join on the
+    * gram key, which AQE skew-splits — this is why the doc-frequency pass
+    * is a groupBy + join rather than min/max window functions over
+    * `partitionBy(gram)`, which would pin each hot gram to a single
+    * reducer that AQE cannot split. The run merge is gaps-and-islands
+    * (`pos - row_number()`) inside a per-document window — bounded by
+    * document length, never corpus-wide. Within-document repetition is
+    * deliberately out of scope (that's `TextOps.repetition`'s job): a
+    * gram is duplicated only when two DISTINCT documents share it, which
+    * `min(id) <> max(id)` decides without a count-distinct. */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(
+      col(idCol).as("id"),
+      posexplode(posGrams(col(textCol), width)).as(Seq("pos", "gram")))
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("gram"))
+    val flagged = grams.join(dupGrams, "gram")
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val runs = flagged
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("id"), col("grp"))
+      .agg(count(lit(1)).as("c"),
+        (max(col("pos")) - min(col("pos")) + width).cast("long").as("run_len"))
+    val perDoc = runs
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("dup_grams"), count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
 }

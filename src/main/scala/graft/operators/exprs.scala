@@ -320,6 +320,62 @@ case class Fnv1a64(child: Expression) extends UnaryExpression with KernelCodegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Positional token n-grams: array<string> tokens → array<string> of the
+  * space-joined grams starting at every position (length `n - width + 1`;
+  * empty when the doc has fewer than `width` tokens). Pairs with
+  * posexplode so downstream operators see `(pos, gram)` — the input to
+  * duplicate-substring detection, where positions matter (contiguous
+  * duplicated grams merge into spans), unlike the distinct shingle sets
+  * the minhash path uses. One pass, single output allocation per gram;
+  * byte-identical to DuckDB's `array_to_string(t[i:i+width-1], ' ')` so
+  * the whole span pipeline replays value-level in the oracle. NULL tokens
+  * (which `split` never produces) render as empty strings. */
+case class TokenGrams(child: Expression, width: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(width > 0, s"width must be positive, got $width")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_grams expects array<string> of tokens, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < width)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - width + 1)
+    val parts = new Array[UTF8String](2 * width - 1)
+    var w = 1
+    while (w < parts.length) { parts(w) = TokenGrams.Space; w += 2 }
+    var i = 0
+    while (i <= n - width) {
+      var k = 0
+      while (k < width) {
+        parts(2 * k) =
+          if (toks.isNullAt(i + k)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i + k)
+        k += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenGrams {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+}
+
 /** Deterministic weighted-sampling bucket over an integral id:
   * `((id * multiplier + salt) mod 2^64) >>> shift, mod buckets` — the Knuth
   * multiplicative-hash construction taking HIGH bits of the product. Lives

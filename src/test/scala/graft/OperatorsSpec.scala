@@ -21,6 +21,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L), (2L, 1L))) // keep_id → dup_cnt
   }
 
+  test("duplicate spans: planted shared substrings, runs merge, short docs zero") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),   // shares "c d e f" with 2 and "a b c" with 4
+      (2L, "x y c d e f z w"),
+      (3L, "p q r s t u v"),     // nothing shared
+      (4L, "a b c q q q a b c"), // same gram twice (two 1-gram runs)
+      (5L, "t u")                // shorter than width → no grams at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: dup gram starts {0, 2, 3} → runs [0] (3 toks) + [2,3] (4 toks)
+    assert(got(1L) == ((3L, 2L, 4L)))
+    assert(got(2L) == ((2L, 1L, 4L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+    // doc 4: "a b c" at 0 and 6 — two separate runs of the same gram
+    assert(got(4L) == ((2L, 2L, 3L)))
+    assert(got(5L) == ((0L, 0L, 0L)))
+    assert(got.size == 5)
+  }
+
+  test("token_grams: positional grams, empty-token parity with split, width edge") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a  b c", 0)).toDF("text", "i")
+    // split("a  b c", " ") = ["a", "", "b", "c"] — grams keep the empties
+    val grams = df.select(Dedup.posGrams(col("text"), 2).as("g"))
+      .collect()(0).getSeq[String](0)
+    assert(grams == Seq("a ", " b", "b c"))
+    val exact = df.select(Dedup.posGrams(col("text"), 4).as("g"))
+      .collect()(0).getSeq[String](0)
+    assert(exact == Seq("a  b c"))
+    val none = df.select(Dedup.posGrams(col("text"), 5).as("g"))
+      .collect()(0).getSeq[String](0)
+    assert(none.isEmpty)
+    val nul = df.select(Dedup.posGrams(lit(null).cast("string"), 2).as("g"))
+      .collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
   test("cosine_similarity exact on known vectors") {
     val s = spark
     import s.implicits._

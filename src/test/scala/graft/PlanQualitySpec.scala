@@ -89,6 +89,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("duplicate spans: equi-join on the gram key, no cartesian, partial agg on grams") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+    val spans = graft.operators.Dedup.duplicateSpans(docs, "doc_id", "text", width = 8)
+    val plan = spans.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the doc-frequency pass must be a partial-agg groupBy (map-side
+    // collapse of hot grams), not a window over partitionBy(gram)
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan)
+  }
+
   test("decontaminate: benchmark grams broadcast; corpus grams never shuffle") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
