@@ -242,6 +242,12 @@ object SparkEntry {
       operators.Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text", width = 8)
         .orderBy(col("doc_id"))),
 
+    // the destructive half: duplicated spans CUT from the text (the
+    // corpus edit Lee et al. apply before training)
+    "q_dup_removal" -> ((s, dir) =>
+      operators.Dedup.removeDuplicateSpans(table(s, dir, "documents"), "doc_id", "text", width = 8)
+        .orderBy(col("doc_id"))),
+
     "q_text_stats" -> ((s, dir) =>
       operators.TextOps.documentStats(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1475,6 +1481,28 @@ object SparkEntry {
         | SELECT d.doc_id, coalesce(p.dup_grams, 0) AS dup_grams,
         |  coalesce(p.n_runs, 0) AS n_runs, coalesce(p.max_run, 0) AS max_run
         | FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // span removal: token i removed iff a duplicated gram starts in
+    // [i-7, i]; rebuild = ORDER BY position string_agg (byte-identical to
+    // Spark's array_sort(collect_list(struct(pos, tok))) + array_join)
+    "q_dup_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | grams AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        |   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s),
+        | dupg AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        | cov AS (SELECT DISTINCT g.doc_id, c.ci FROM grams g JOIN dupg USING (gram),
+        |   LATERAL (SELECT unnest(generate_series(g.pos, g.pos + 7)) AS ci) c),
+        | tokpos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM toks,
+        |   LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
+        | kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        |   LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.ci = tp.pos WHERE cov.ci IS NULL),
+        | rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |   CAST(count(*) AS BIGINT) AS kept_tokens FROM kept GROUP BY doc_id),
+        | nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+        | SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  coalesce(r.kept_tokens, 0) AS kept_tokens,
+        |  coalesce(nt.n - r.kept_tokens, nt.n, 0) AS removed_tokens
+        | FROM documents d LEFT JOIN rebuilt r USING (doc_id) JOIN nt USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     "q_text_stats" ->
       """SELECT doc_id,
         | CAST(length(text) AS BIGINT) AS n_chars_calc,

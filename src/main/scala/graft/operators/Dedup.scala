@@ -411,4 +411,64 @@ object Dedup {
         coalesce(col("n_runs"), lit(0L)).as("n_runs"),
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
+
+  /** The destructive half of [[duplicateSpans]]: CUT every cross-document
+    * duplicate substring out of the corpus (Lee et al. 2021 apply exactly
+    * this edit before training). A token is removed when any duplicated
+    * gram covers it — i.e. some flagged gram start `p` satisfies
+    * `p ≤ i ≤ p + width - 1`. Returns one row per document:
+    * `(doc_id, clean_text, kept_tokens, removed_tokens)`; a fully
+    * duplicated document keeps an empty string, not a NULL, so sinks can
+    * filter on `kept_tokens > 0` without null-handling.
+    *
+    * Scale shape: the duplicated-gram flag pass is identical to
+    * [[duplicateSpans]] (partial-agg groupBy + AQE-splittable equi-join).
+    * Coverage expansion is a map-side `sequence(pos, pos+width-1)`
+    * explode of FLAGGED positions only (duplicated content is the small
+    * fraction in a healthy corpus); the kept-token anti-join and the
+    * rebuild aggregation are both keyed by (doc, position) / doc — never
+    * corpus-wide. Order is restored with a bounded per-document
+    * `array_sort(collect_list(struct(pos, tok)))`, not a window sort, so
+    * the rebuild is one aggregation whose state is capped by document
+    * length. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val grams = toks.select(
+      col("id"),
+      posexplode(GraftSqlShim.column(
+        TokenGrams(GraftSqlShim.expression(col("t")), width))).as(Seq("pos", "gram")))
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("gram"))
+    // explicit rename: both sides descend from `toks`, and a same-lineage
+    // tokPos("id") === covered("id") degenerates to a trivially-true
+    // self-comparison under Spark's ambiguous-self-join resolution
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("id").as("cid"),
+        explode(sequence(col("pos"), col("pos") + width - 1)).as("ci"))
+      .distinct()
+    val tokPos = toks.select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
+    val kept = tokPos.join(covered,
+        col("id") === col("cid") && col("pos") === col("ci"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("kept_tokens"))
+    df.select(col(idCol).as("doc_id"), size(split(col(textCol), " ")).as("n_tokens"))
+      .join(rebuilt, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("n_tokens") - col("kept_tokens"), col("n_tokens").cast("long"),
+          lit(0L)).as("removed_tokens"))
+  }
 }

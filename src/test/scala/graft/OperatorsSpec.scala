@@ -44,6 +44,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("duplicate span removal: covered tokens cut, order kept, full-dup doc empties") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),   // "c d e" + "d e f" dup with 2; "a b c" with 4
+      (2L, "x y c d e f z w"),
+      (3L, "p q r s t u v"),
+      (4L, "a b c"),             // every token covered → fully removed
+      (5L, "t u")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: covered = {0,1,2} ∪ {2..5} = 0..5 → keeps "g h"
+    assert(got(1L) == (("g h", 2L, 6L)))
+    // doc 2: covered = 2..5 → keeps "x y z w" (order preserved across the gap)
+    assert(got(2L) == (("x y z w", 4L, 4L)))
+    assert(got(3L) == (("p q r s t u v", 7L, 0L)))
+    assert(got(4L) == (("", 0L, 3L)))
+    assert(got(5L) == (("t u", 2L, 0L)))
+  }
+
   test("token_grams: positional grams, empty-token parity with split, width edge") {
     val s = spark
     import s.implicits._
