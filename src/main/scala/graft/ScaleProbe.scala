@@ -90,6 +90,20 @@ object ScaleProbe {
         .where(col("gopher_ok")).count()
     }
 
+    // duplicate spans: each planted near-dup shares its first 57 tokens
+    // with its source, a 57-token span → 50 duplicated 8-gram starts in
+    // BOTH partners, so ~nDocs/10 docs must report max_run >= 50
+    val spanHits = time(s"duplicate spans (8-gram), $nDocs docs") {
+      operators.Dedup.duplicateSpans(docs, "doc_id", "text", width = 8)
+        .where(col("max_run") >= 50).count()
+    }
+    spanHits.foreach(h => println(s"  docs with a >=50-token span: $h (planted: ~${nDocs / 10})"))
+
+    time(s"duplicate span removal, $nDocs docs") {
+      operators.Dedup.removeDuplicateSpans(docs, "doc_id", "text", width = 8)
+        .selectExpr("sum(removed_tokens)", "sum(kept_tokens)").collect()
+    }
+
     time(s"decontamination vs ${nDocs / 50}-doc benchmark, $nDocs docs") {
       operators.Curation.decontaminate(
           docs.where(col("doc_id") % 50 =!= 0),
