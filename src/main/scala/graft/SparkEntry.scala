@@ -248,6 +248,13 @@ object SparkEntry {
       operators.Dedup.removeDuplicateSpans(table(s, dir, "documents"), "doc_id", "text", width = 8)
         .orderBy(col("doc_id"))),
 
+    // keep-one-copy variant: the min-id doc sharing a gram keeps it, so
+    // the corpus retains each duplicated substring exactly once
+    "q_dup_keepfirst" -> ((s, dir) =>
+      operators.Dedup.removeDuplicateSpans(table(s, dir, "documents"), "doc_id", "text",
+          width = 8, keepFirst = true)
+        .orderBy(col("doc_id"))),
+
     "q_text_stats" -> ((s, dir) =>
       operators.TextOps.documentStats(table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1491,6 +1498,29 @@ object SparkEntry {
         | dupg AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
         | cov AS (SELECT DISTINCT g.doc_id, c.ci FROM grams g JOIN dupg USING (gram),
         |   LATERAL (SELECT unnest(generate_series(g.pos, g.pos + 7)) AS ci) c),
+        | tokpos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM toks,
+        |   LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
+        | kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        |   LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.ci = tp.pos WHERE cov.ci IS NULL),
+        | rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |   CAST(count(*) AS BIGINT) AS kept_tokens FROM kept GROUP BY doc_id),
+        | nt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+        | SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  coalesce(r.kept_tokens, 0) AS kept_tokens,
+        |  coalesce(nt.n - r.kept_tokens, nt.n, 0) AS removed_tokens
+        | FROM documents d LEFT JOIN rebuilt r USING (doc_id) JOIN nt USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // keep-first: identical pipeline, but the per-gram min(doc_id) doc
+    // does not shed its copy
+    "q_dup_keepfirst" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | grams AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+        |   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s),
+        | dupg AS (SELECT gram, min(doc_id) AS mn FROM grams GROUP BY gram
+        |   HAVING min(doc_id) <> max(doc_id)),
+        | cov AS (SELECT DISTINCT g.doc_id, c.ci FROM grams g JOIN dupg USING (gram),
+        |   LATERAL (SELECT unnest(generate_series(g.pos, g.pos + 7)) AS ci) c
+        |   WHERE g.doc_id <> dupg.mn),
         | tokpos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM toks,
         |   LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
         | kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp

@@ -430,12 +430,22 @@ object Dedup {
     * corpus-wide. Order is restored with a bounded per-document
     * `array_sort(collect_list(struct(pos, tok)))`, not a window sort, so
     * the rebuild is one aggregation whose state is capped by document
-    * length. */
+    * length.
+    *
+    * `keepFirst = true` is the paper's actual edit — ONE copy of each
+    * duplicated substring survives: the lowest-id document sharing a gram
+    * keeps its tokens, every other document sheds them (so the corpus
+    * still contains the content exactly once). `false` (the default)
+    * removes every copy — the right choice for decontamination-style
+    * scrubbing where the span itself is unwanted. The keeper rule is
+    * per-gram min(id), which is deterministic and needs no extra pass:
+    * the doc-frequency aggregate already carries min(id). */
   def removeDuplicateSpans(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      width: Int = 8): DataFrame = {
+      width: Int = 8,
+      keepFirst: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
     val grams = toks.select(
       col("id"),
@@ -445,11 +455,13 @@ object Dedup {
       .groupBy(col("gram"))
       .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
       .where(col("mn") =!= col("mx"))
-      .select(col("gram"))
+      .select(col("gram"), col("mn"))
     // explicit rename: both sides descend from `toks`, and a same-lineage
     // tokPos("id") === covered("id") degenerates to a trivially-true
     // self-comparison under Spark's ambiguous-self-join resolution
-    val covered = grams.join(dupGrams, "gram")
+    val flaggedPos = grams.join(dupGrams, "gram")
+    val shedding = if (keepFirst) flaggedPos.where(col("id") =!= col("mn")) else flaggedPos
+    val covered = shedding
       .select(col("id").as("cid"),
         explode(sequence(col("pos"), col("pos") + width - 1)).as("ci"))
       .distinct()

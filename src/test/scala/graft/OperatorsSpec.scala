@@ -66,6 +66,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == (("t u", 2L, 0L)))
   }
 
+  test("duplicate span removal keepFirst: min-id doc keeps its copy, others shed") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y c d e f z w"),
+      (3L, "p q r s t u v"),
+      (4L, "a b c"),
+      (5L, "t u")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", width = 3, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 is min-id for every gram it shares → keeps everything
+    assert(got(1L) == (("a b c d e f g h", 8L, 0L)))
+    assert(got(2L) == (("x y z w", 4L, 4L)))
+    assert(got(3L) == (("p q r s t u v", 7L, 0L)))
+    // doc 4 sheds its copy of "a b c" — doc 1 already carries it
+    assert(got(4L) == (("", 0L, 3L)))
+    assert(got(5L) == (("t u", 2L, 0L)))
+  }
+
   test("token_grams: positional grams, empty-token parity with split, width edge") {
     val s = spark
     import s.implicits._
