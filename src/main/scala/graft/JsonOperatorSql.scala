@@ -150,20 +150,13 @@ object JsonOperatorSql {
         // an identifier RHS ambiguous with a lambda body
         val lambdaPossible = (prevSig == '(' || prevSig == ',') &&
           parens.nonEmpty && parens.top.isHof
-        if (c == '\'') {
+        if (c == '\'' || c == '"') {
           // a string literal is a valid operator LHS in the reference's SQL
           // (`'{"a": "b"}'->>'a'` — reference tests/main.rs:1533); foldOps
-          // appends it verbatim when no operator follows
-          val (lit, next) = consumeString(sql, i, c)
-          val before = out.length
-          i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
-          prevSig = out.charAt(out.length - 1); lastIdent = ""
-          lastExprStart = before; clauseCont = false
-        } else if (c == '"') {
-          // double quotes are a string literal in default Spark and an
-          // identifier under ANSI doubleQuotedIdentifiers — operators
-          // fold after either reading, exactly like the '\''/backquote
-          // branches
+          // appends it verbatim when no operator follows. Double quotes
+          // are a string literal in default Spark and an identifier under
+          // ANSI doubleQuotedIdentifiers — operators fold after either
+          // reading, so one branch serves both quote characters
           val (lit, next) = consumeString(sql, i, c)
           val before = out.length
           i = foldOps(sql, next, lit, out, allowIdentRhs = !lambdaPossible)
@@ -420,7 +413,14 @@ object JsonOperatorSql {
       s: String, at: Int, allowed: Boolean): Option[(String, Int)] = {
     if (!allowed || at >= s.length) return None
     if (s.charAt(at) == '(')
-      return consumeBalanced(s, at).map { case (grp, next) => (rewrite(grp), next) }
+      // postfix continuations bind to the group exactly as they do to a
+      // bare identifier below — `j -> (k)::int` is json_get(j, (k)::int),
+      // not json_get(j, (k))::int
+      return consumeBalanced(s, at).map { case (grp, next) =>
+        val postEnd = consumePostfix(s, next)
+        if (postEnd > next) (rewrite(grp + s.substring(next, postEnd)), postEnd)
+        else (rewrite(grp), next)
+      }
     val (rhs, next) =
       if (s.charAt(at) == '`') consumeString(s, at, '`')
       else if (isIdentStart(s.charAt(at))) {
@@ -540,9 +540,16 @@ object JsonOperatorSql {
         if (t < s.length && isIdentStart(s.charAt(t))) {
           var e = t
           while (e < s.length && isIdentPart(s.charAt(e))) e += 1
+          val name = s.substring(t, e).toLowerCase
           val p = consumeWs(s, e)
           if (p < s.length && s.charAt(p) == '(')
             i = consumeBalanced(s, p).map(_._2).getOrElse(e) // decimal(10,2)
+          else if (p < s.length && s.charAt(p) == '<' &&
+            (name == "array" || name == "map" || name == "struct"))
+            // angle-parameterized complex types (`::array<int>`,
+            // `::map<string, array<int>>`); only these three names take
+            // `<…>`, so a comparison like `k::int < 5` is never absorbed
+            i = consumeBalanced(s, p, '<', '>').map(_._2).getOrElse(e)
           else i = e
         } else scanning = false
       } else if (at < s.length && s.charAt(at) == '.' &&

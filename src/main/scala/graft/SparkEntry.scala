@@ -248,8 +248,9 @@ object SparkEntry {
       operators.Dedup.removeDuplicateSpans(table(s, dir, "documents"), "doc_id", "text", width = 8)
         .orderBy(col("doc_id"))),
 
-    // keep-one-copy variant: the min-id doc sharing a gram keeps it, so
-    // the corpus retains each duplicated substring exactly once
+    // keep-one-copy variant: the min-id doc sharing a gram keeps it
+    // (keeper grams protect the positions they cover), so the corpus
+    // retains each duplicated substring at least once
     "q_dup_keepfirst" -> ((s, dir) =>
       operators.Dedup.removeDuplicateSpans(table(s, dir, "documents"), "doc_id", "text",
           width = 8, keepFirst = true)
@@ -1510,17 +1511,21 @@ object SparkEntry {
         |  coalesce(nt.n - r.kept_tokens, nt.n, 0) AS removed_tokens
         | FROM documents d LEFT JOIN rebuilt r USING (doc_id) JOIN nt USING (doc_id)
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
-    // keep-first: identical pipeline, but the per-gram min(doc_id) doc
-    // does not shed its copy
+    // keep-first: identical pipeline, but a position whose covering grams
+    // include one where this doc IS the per-gram min(doc_id) keeper is
+    // protected — removed only when covered and protected by none
     "q_dup_keepfirst" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         | grams AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
         |   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) s),
         | dupg AS (SELECT gram, min(doc_id) AS mn FROM grams GROUP BY gram
         |   HAVING min(doc_id) <> max(doc_id)),
-        | cov AS (SELECT DISTINCT g.doc_id, c.ci FROM grams g JOIN dupg USING (gram),
+        | cov AS (SELECT doc_id, ci FROM (
+        |   SELECT g.doc_id, c.ci,
+        |     max(CASE WHEN g.doc_id = dupg.mn THEN 1 ELSE 0 END) AS kf
+        |   FROM grams g JOIN dupg USING (gram),
         |   LATERAL (SELECT unnest(generate_series(g.pos, g.pos + 7)) AS ci) c
-        |   WHERE g.doc_id <> dupg.mn),
+        |   GROUP BY g.doc_id, c.ci) WHERE kf = 0),
         | tokpos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM toks,
         |   LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s),
         | kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp

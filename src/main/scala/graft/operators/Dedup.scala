@@ -388,12 +388,7 @@ object Dedup {
     val grams = df.select(
       col(idCol).as("id"),
       posexplode(posGrams(col(textCol), width)).as(Seq("pos", "gram")))
-    val dupGrams = grams
-      .groupBy(col("gram"))
-      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
-      .where(col("mn") =!= col("mx"))
-      .select(col("gram"))
-    val flagged = grams.join(dupGrams, "gram")
+    val flagged = flagDupGrams(grams)
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val runs = flagged
       .withColumn("grp", col("pos") - row_number().over(byDoc))
@@ -410,6 +405,20 @@ object Dedup {
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
         coalesce(col("n_runs"), lit(0L)).as("n_runs"),
         coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
+  /** Cross-document duplicated grams with their keeper: `(id, pos, gram)`
+    * rows joined to the `(gram, mn)` set of grams seen in 2+ distinct
+    * documents (`mn` = the gram's minimum document id). Shared flag pass
+    * of [[duplicateSpans]] and [[removeDuplicateSpans]] — a partial-agg
+    * groupBy plus an AQE-splittable equi-join on the gram key. */
+  private def flagDupGrams(grams: DataFrame): DataFrame = {
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("gram"), col("mn"))
+    grams.join(dupGrams, "gram")
   }
 
   /** The destructive half of [[duplicateSpans]]: CUT every cross-document
@@ -432,14 +441,23 @@ object Dedup {
     * the rebuild is one aggregation whose state is capped by document
     * length.
     *
-    * `keepFirst = true` is the paper's actual edit — ONE copy of each
-    * duplicated substring survives: the lowest-id document sharing a gram
-    * keeps its tokens, every other document sheds them (so the corpus
-    * still contains the content exactly once). `false` (the default)
-    * removes every copy — the right choice for decontamination-style
-    * scrubbing where the span itself is unwanted. The keeper rule is
-    * per-gram min(id), which is deterministic and needs no extra pass:
-    * the doc-frequency aggregate already carries min(id). */
+    * `keepFirst = true` is the paper's actual edit — AT LEAST one copy
+    * of each duplicated substring survives: the lowest-id document
+    * sharing a gram is its keeper, and a keeper gram PROTECTS every
+    * token position it covers. A position is removed only when it is
+    * covered by some duplicated gram and protected by none — so a
+    * keeper's occurrence stays intact even when an overlapping
+    * duplicated gram has a different (lower-id) keeper. (Removing on
+    * mere coverage-by-a-foreign-keeper-gram would let two overlapping
+    * grams with different keepers destroy each other's only protected
+    * copy.) Extra copies may also survive in non-minimum documents
+    * whose positions happen to be protected by keeper grams of
+    * overlapping duplicated content — the guarantee is "never zero
+    * copies", not "exactly one". `false` (the default) removes every
+    * copy — the right choice for decontamination-style scrubbing where
+    * the span itself is unwanted. The keeper rule is per-gram min(id),
+    * which is deterministic and needs no extra pass: the doc-frequency
+    * aggregate already carries min(id). */
   def removeDuplicateSpans(
       df: DataFrame,
       idCol: String,
@@ -451,20 +469,22 @@ object Dedup {
       col("id"),
       posexplode(GraftSqlShim.column(
         TokenGrams(GraftSqlShim.expression(col("t")), width))).as(Seq("pos", "gram")))
-    val dupGrams = grams
-      .groupBy(col("gram"))
-      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
-      .where(col("mn") =!= col("mx"))
-      .select(col("gram"), col("mn"))
+    val flaggedPos = flagDupGrams(grams)
     // explicit rename: both sides descend from `toks`, and a same-lineage
     // tokPos("id") === covered("id") degenerates to a trivially-true
     // self-comparison under Spark's ambiguous-self-join resolution
-    val flaggedPos = grams.join(dupGrams, "gram")
-    val shedding = if (keepFirst) flaggedPos.where(col("id") =!= col("mn")) else flaggedPos
-    val covered = shedding
-      .select(col("id").as("cid"),
-        explode(sequence(col("pos"), col("pos") + width - 1)).as("ci"))
-      .distinct()
+    val coveredAll = flaggedPos.select(
+      col("id").as("cid"),
+      explode(sequence(col("pos"), col("pos") + width - 1)).as("ci"),
+      (col("id") === col("mn")).as("kf"))
+    // same shuffle shape either way: one aggregation keyed by (doc, pos)
+    val covered =
+      if (keepFirst)
+        coveredAll.groupBy(col("cid"), col("ci"))
+          .agg(max(col("kf")).as("kf"))
+          .where(!col("kf"))
+          .select(col("cid"), col("ci"))
+      else coveredAll.select(col("cid"), col("ci")).distinct()
     val tokPos = toks.select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
     val kept = tokPos.join(covered,
         col("id") === col("cid") && col("pos") === col("ci"), "left_anti")
@@ -475,7 +495,10 @@ object Dedup {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           s => s.getField("tok")), " ").as("clean_text"),
         count(lit(1)).as("kept_tokens"))
-    df.select(col(idCol).as("doc_id"), size(split(col(textCol), " ")).as("n_tokens"))
+    // explicit null guard: under non-ANSI sessions size(null) is the -1
+    // sentinel, which would leak into removed_tokens via the coalesce
+    df.select(col(idCol).as("doc_id"),
+        when(col(textCol).isNotNull, size(split(col(textCol), " "))).as("n_tokens"))
       .join(rebuilt, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

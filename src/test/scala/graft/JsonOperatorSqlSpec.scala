@@ -407,6 +407,23 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       == "select json_get(j, f(x).field) from t")
     assert(rewrite("select j -> m['k'].field ->> 'x' from t")
       == "select json_as_text(json_get(j, m['k'].field), 'x') from t")
+    // angle-parameterized complex type names survive whole — the type
+    // scan must not stop at '<' and strand `<int>` outside the call
+    assert(rewrite("select j -> kc::array<int> from t")
+      == "select json_get(j, kc::array<int>) from t")
+    assert(rewrite("select j -> kc::map<string, array<int>> from t")
+      == "select json_get(j, kc::map<string, array<int>>) from t")
+    assert(rewrite("select j -> kc::struct<a:int,b:string> from t")
+      == "select json_get(j, kc::struct<a:int,b:string>) from t")
+    // …but a comparison after a simple cast is NOT a type parameter
+    assert(rewrite("select j -> kc::int < 5 from t")
+      == "select json_get(j, kc::int) < 5 from t")
+    // a parenthesized-group RHS absorbs postfix continuations exactly
+    // like a bare identifier: the cast/subscript binds to the key
+    assert(rewrite("select j -> (kc)::int from t")
+      == "select json_get(j, (kc)::int) from t")
+    assert(rewrite("select j -> (m)['k'] ->> 'x' from t")
+      == "select json_as_text(json_get(j, (m)['k']), 'x') from t")
     // an END inside an open group whose CASE opened OUTSIDE the group
     // never folds across the frame: the inner `end` stays a keyword,
     // the call folds normally, and the outer CASE still closes — no

@@ -88,6 +88,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(5L) == (("t u", 2L, 0L)))
   }
 
+  test("keepFirst: overlapping grams with different keepers never destroy all copies") {
+    val s = spark
+    import s.implicits._
+    // gram "a b" has keeper doc 1, gram "b y" has keeper doc 2; the two
+    // overlap on doc 2's token "b". A naive covered-by-a-foreign-keeper
+    // rule would shed doc 2's {0,1} for "a b" and destroy the only kept
+    // copy of "b y" — the protected-position rule must keep it intact
+    val df = Seq(
+      (1L, "x a b"),
+      (2L, "a b y"),
+      (3L, "x a b y"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", width = 2, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1 is keeper of "x a" and "a b" → fully protected
+    assert(got(1L) == (("x a b", 3L, 0L)))
+    // doc 2: pos 0 ("a") covered only by foreign-keeper "a b" → shed;
+    // pos 1 ("b") covered by both, protected by its own "b y" → kept
+    assert(got(2L) == (("b y", 2L, 1L)))
+    // doc 3 keeps nothing — every position is foreign-keeper covered
+    assert(got(3L) == (("", 0L, 4L)))
+    // a null-text doc reports 0 removed (not the non-ANSI size() -1)
+    assert(got(4L) == (("", 0L, 0L)))
+    // every duplicated substring still exists somewhere in the corpus
+    val texts = got.values.map(_._1).toSeq
+    for (gram <- Seq("x a", "a b", "b y"))
+      assert(texts.exists(_.contains(gram)), s"gram '$gram' destroyed")
+  }
+
   test("token_grams: positional grams, empty-token parity with split, width edge") {
     val s = spark
     import s.implicits._

@@ -98,8 +98,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // the doc-frequency pass must be a partial-agg groupBy (map-side
-    // collapse of hot grams), not a window over partitionBy(gram)
-    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan)
+    // collapse of hot grams), not a window over partitionBy(gram) —
+    // partial_min pins the map-side half specifically; the perDoc
+    // groupBys put HashAggregates in the plan regardless, so that
+    // string alone would be vacuous here
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.toLowerCase.contains("windowspecdefinition(gram"), plan)
   }
 
   test("decontaminate: benchmark grams broadcast; corpus grams never shuffle") {
