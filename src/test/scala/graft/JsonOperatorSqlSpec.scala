@@ -46,6 +46,12 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
   test("parameter markers and unknown shapes are left alone") {
     assert(rewrite("select * from t where x = ?") == "select * from t where x = ?")
     assert(rewrite("select j ? x from t") == "select j ? x from t") // no ident RHS for ?
+    // an angle-parameterized ::cast on the LHS is a pinned passthrough:
+    // the `<` breaks LHS-expression continuation, so the fold safely
+    // declines (never mangles) — write cast(j as array<int>) instead,
+    // which folds (see "parenthesized and call LHS")
+    assert(rewrite("select j::array<int> -> 'a' from t")
+      == "select j::array<int> -> 'a' from t")
   }
 
   test("operators fold onto parenthesized and call LHS like the reference") {
@@ -506,7 +512,11 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       Seq("-> kc"), Seq("-> upper(kc)"), Seq("-> (kc)"),
       Seq("-> concat(kc, '_s')", "->> 'z'"), Seq("-> 'a'", "? 'k'"),
       Seq("->('foo'::text)"), Seq("-> min(x) over (order by x)"),
-      Seq("-> m['k']", "->> 'x'"), Seq("-> f(x)[0]"))
+      Seq("-> m['k']", "->> 'x'"), Seq("-> f(x)[0]"),
+      Seq("-> kc::int"), Seq("-> kc::decimal(10, 2)"),
+      Seq("-> kc::array<int>"), Seq("-> kc::map<string, array<int>>"),
+      Seq("-> kc::struct<a:int,b:string>"), Seq("-> (kc)::int"),
+      Seq("-> (kc)['k']", "->> 'x'"), Seq("-> f(x)::string"))
     val contexts = Seq[String => String](
       e => s"select $e from t",
       e => s"select ($e) as v from t",
