@@ -212,7 +212,21 @@ object JsonOperatorSql {
             val start0 = lastExprStart
             val prefix = out.substring(start0)
             out.setLength(start0)
-            i = foldOps(sql, i, prefix + ident, out, allowIdentRhs = true)
+            // a ::-continued complex type name absorbs its `<…>` type
+            // parameters (`j::array<int> -> 'a'` folds whole); only
+            // array/map/struct take them, and none is a complete type
+            // bare, so a following `<` is never a comparison here
+            var identEnd = i
+            var full = ident
+            if (prevSig == ':' &&
+              (lower == "array" || lower == "map" || lower == "struct")) {
+              val p = consumeWs(sql, i)
+              if (p < n && sql.charAt(p) == '<')
+                consumeBalanced(sql, p, '<', '>').foreach { case (_, end) =>
+                  full = ident + sql.substring(i, end); identEnd = end
+                }
+            }
+            i = foldOps(sql, identEnd, prefix + full, out, allowIdentRhs = true)
             prevSig = out.charAt(out.length - 1)
             lastIdent = ""; lastExprStart = start0; clauseCont = false
           } else if (lower == "case") {

@@ -46,12 +46,19 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
   test("parameter markers and unknown shapes are left alone") {
     assert(rewrite("select * from t where x = ?") == "select * from t where x = ?")
     assert(rewrite("select j ? x from t") == "select j ? x from t") // no ident RHS for ?
-    // an angle-parameterized ::cast on the LHS is a pinned passthrough:
-    // the `<` breaks LHS-expression continuation, so the fold safely
-    // declines (never mangles) — write cast(j as array<int>) instead,
-    // which folds (see "parenthesized and call LHS")
+  }
+
+  test("angle-parameterized ::casts fold on the LHS like simple casts") {
     assert(rewrite("select j::array<int> -> 'a' from t")
-      == "select j::array<int> -> 'a' from t")
+      == "select json_get(j::array<int>, 'a') from t")
+    assert(rewrite("select j::map<string, array<int>> ->> 'k' from t")
+      == "select json_as_text(j::map<string, array<int>>, 'k') from t")
+    assert(rewrite("select (j -> 'a')::struct<a:int> ->> 'x' from t")
+      == "select json_as_text((json_get(j, 'a'))::struct<a:int>, 'x') from t")
+    // a member-access `.array` followed by a comparison is NOT a type —
+    // only a ::-continued array/map/struct absorbs angle brackets
+    assert(rewrite("select f(x).array < 5, j -> 'a' from t")
+      == "select f(x).array < 5, json_get(j, 'a') from t")
   }
 
   test("operators fold onto parenthesized and call LHS like the reference") {
@@ -504,6 +511,8 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       "first(j) over w", "first(j) over `w`", "(j -> 'pre')::string",
       "`quo ted`.field", "exists (select jj -> kc from u)",
       "m['k']", "arr[0]", "f(j)[0]", "m['a']['b']",
+      "j::array<string>", "j::map<string, array<int>>",
+      "(j -> 'pre')::struct<a:int,b:string>",
       "case when x then j else jj end",
       "case when x then j -> 'p' end")
     val chains = Seq(
