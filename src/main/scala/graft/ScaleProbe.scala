@@ -104,6 +104,15 @@ object ScaleProbe {
         .selectExpr("sum(removed_tokens)", "sum(kept_tokens)").collect()
     }
 
+    // keepFirst swaps the coverage distinct for a groupBy(doc,pos)
+    // max(protected) — same single (doc,pos)-keyed exchange, so the
+    // keep-one mode must cost ~the same as remove-all
+    time(s"duplicate span removal keepFirst, $nDocs docs") {
+      operators.Dedup.removeDuplicateSpans(docs, "doc_id", "text", width = 8,
+          keepFirst = true)
+        .selectExpr("sum(removed_tokens)", "sum(kept_tokens)").collect()
+    }
+
     time(s"decontamination vs ${nDocs / 50}-doc benchmark, $nDocs docs") {
       operators.Curation.decontaminate(
           docs.where(col("doc_id") % 50 =!= 0),
