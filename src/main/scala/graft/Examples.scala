@@ -15,7 +15,8 @@ object Examples {
     import spark.implicits._
 
     println("== 1. SQL surface (all 13 functions + aliases registered) ==")
-    spark.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events")
+    sources.Tables.readTable(spark, s"$sfDir/events.parquet")
+      .createOrReplaceTempView("events")
     spark.sql(
       """SELECT event_type, count(*) AS n, sum(json_get_int(props, 'k')) AS sum_k
         |FROM events WHERE json_contains(props, 'k')
@@ -106,8 +107,7 @@ object Examples {
       .groupBy("shard").count().orderBy("shard").show()
 
     println("== 9. Temporal joins: as-of (backward/forward/nearest/broadcast), range, interval ==")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = sources.Tables.readTable(spark, s"$sfDir/events.parquet")
       .select(col("event_id"), expr("ts div 1000").as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
     val lefts = ev.where(col("event_type") =!= "click")

@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSession
  *  - `spark.sql.files.maxPartitionBytes` (default 128 MB) bounds scan-task
  *    memory; with wide JSON payload columns keep it there or lower so a
  *    task's batch fits executor memory after decompression.
- *  - nanosAsLong: the test tables carry TIMESTAMP(NANOS) columns.
+ *  - nanosAsLong + NTZ inference off: the test tables have shipped ts as
+ *    TIMESTAMP(NANOS) and TIMESTAMP(MICROS); both confs together make
+ *    either readable with a timezone-independent value (see
+ *    sources.Tables.prepare / tsToNanos).
  */
 object GraftSession {
 
@@ -29,6 +32,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // plain parquet timestamps read as LTZ carrying the raw stored
+      // micros (no tz conversion) — see sources.Tables.prepare
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
 
   /** Local session for tools/examples. */

@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark only reads with
-    * the nanosAsLong legacy conf; set it on whatever session we're given. */
-  private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  /** The events table has shipped with ts as both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across driver rounds; [[sources.Tables.readTable]]
+    * normalizes ts to epoch-nanos long either way, so every downstream
+    * `ts div 1000` micro floor (and the oracle's `epoch_ns(ts) // 1000`)
+    * stays schema-independent. */
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    sources.Tables.readTable(spark, s"$dir/$name.parquet")
 
   /** Synthesised nested-JSON column over events — gives the flat
     * `props` column ({"k": N}) richer structure (nested object, array,

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /**
  * Source/sink helpers for the scale path. The reference library has no
@@ -63,4 +65,86 @@ object Tables {
       path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  // --------------------------------------------------------------------
+  // Schema-tolerant test-table loading. The driver has shipped events.ts
+  // under two physical parquet types across rounds:
+  //
+  //   - TIMESTAMP(NANOS) — readable only with the
+  //     `spark.sql.legacy.parquet.nanosAsLong` conf, arriving as a raw
+  //     epoch-nanos LongType;
+  //   - TIMESTAMP(MICROS, isAdjustedToUTC=false) — a plain parquet
+  //     timestamp, which Spark reads as TIMESTAMP_NTZ by default (or
+  //     TIMESTAMP_LTZ with NTZ inference disabled, in which case the
+  //     internal value IS the file's raw micros, no timezone applied).
+  //
+  // Everything downstream (as-of carries, window floors, the DuckDB
+  // oracles' `epoch_ns(ts)`) does integer arithmetic on epoch NANOS, so
+  // reads funnel through here and `ts` is normalized to an epoch-nanos
+  // LongType whichever physical type the file carries. The DuckDB side
+  // needs no switch: `epoch_ns` on a naive timestamp interprets the wall
+  // time as UTC, which is exactly what the normalization produces.
+  // --------------------------------------------------------------------
+
+  /** Read confs under which BOTH historical events schemas produce a
+    * session-timezone-independent value: nanos files arrive as raw
+    * epoch-nanos longs, micros files as TIMESTAMP_LTZ whose internal
+    * value is the raw stored micros (NTZ inference off restores the
+    * pre-3.4 read path, which applies no timezone conversion to
+    * non-UTC-adjusted parquet timestamps). */
+  def prepare(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  /** Epoch-nanos long from whatever type a `ts` read produced. The NTZ
+    * arm is field-wise (date + h/m/s + fractional seconds) so it never
+    * consults the session timezone — the naive wall time is interpreted
+    * as UTC, matching DuckDB's `epoch_ns`. */
+  private def tsNanosExpr(tsType: DataType, ts: Column): Column = tsType match {
+    case LongType      => ts
+    case TimestampType => unix_micros(ts) * 1000L
+    case TimestampNTZType =>
+      (unix_date(ts.cast("date")).cast(LongType) * 86400000000L
+        + hour(ts).cast(LongType) * 3600000000L
+        + minute(ts).cast(LongType) * 60000000L
+        + (date_part(lit("SECOND"), ts) * 1000000).cast(LongType)) * 1000L
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — expected LONG, TIMESTAMP or TIMESTAMP_NTZ")
+  }
+
+  /** `ts` → epoch-nanos LongType if the frame has a `ts` column (works
+    * on batch and streaming frames alike); no-op otherwise. */
+  def tsToNanos(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType != LongType =>
+        df.withColumn("ts", tsNanosExpr(f.dataType, col("ts")))
+      case _ => df
+    }
+
+  /** A literal `ts` value (given as epoch nanos) rendered in the same
+    * physical type as `tsType` — for writing rows back NEXT TO existing
+    * files (schema must match what a re-read of the directory sees). */
+  def tsLiteral(tsType: DataType, nanos: Long): Column = tsType match {
+    case LongType      => lit(nanos)
+    case TimestampType => timestamp_micros(lit(nanos / 1000L))
+    case TimestampNTZType =>
+      // string→NTZ casts are timezone-free; an LTZ→NTZ cast would
+      // consult the session timezone, so format the UTC wall time here
+      val micros = nanos / 1000L
+      val wall = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      lit(wall.toString).cast(TimestampNTZType)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported ts type $other")
+  }
+
+  /** Batch read with the compat confs set and `ts` normalized. */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    prepare(spark)
+    tsToNanos(spark.read.parquet(path))
+  }
 }

@@ -17,14 +17,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object JsonStream {
 
-  /** events-shaped streaming source over a parquet path (the test tables'
-    * ts column is TIMESTAMP(NANOS) → read as nanos long, convert). */
+  /** events-shaped streaming source over a parquet path (ts normalized
+    * to epoch-nanos long whichever physical timestamp type the file
+    * carries — see [[graft.sources.Tables]]). */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.prepare(spark)
     val schema = spark.read.parquet(path).schema
     // integer division: epoch-nanos exceed a double's 53-bit mantissa, so
     // `/ 1000.0` would round events across window boundaries
-    spark.readStream.schema(schema).parquet(path)
+    graft.sources.Tables.tsToNanos(spark.readStream.schema(schema).parquet(path))
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -175,7 +176,7 @@ object JsonStream {
         col("user_id"), col("event_type"), col("value"))
     val stream = shape(readEvents(spark, srcPath).drop("event_ts"))
       .where(col("event_type") =!= "click")
-    val clicks = shape(spark.read.parquet(path))
+    val clicks = shape(graft.sources.Tables.readTable(spark, path))
       .where(col("event_type") === "click")
       .select(col("user_id"), col("ts_us"),
         col("event_id").as("click_id"), col("value").as("click_value"))
@@ -210,7 +211,7 @@ object JsonStream {
     * (q_bloom_decontam's oracle text verbatim). */
   def bloomScreenToBatch(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.prepare(spark)
     val p = java.nio.file.Paths.get(path)
     val srcPath =
       if (java.nio.file.Files.isRegularFile(p)) {
@@ -499,7 +500,7 @@ object JsonStream {
     * backward as-of exactly (q_asof_join's oracle, shared verbatim). */
   def asofStatefulEventTimeToBatch(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.prepare(spark)
     val p = java.nio.file.Paths.get(path)
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-asofet")
     if (java.nio.file.Files.isRegularFile(p))
@@ -508,7 +509,8 @@ object JsonStream {
       new java.io.File(path).listFiles().filter(_.isFile).foreach(f =>
         java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
     try {
-      val batchDf = spark.read.parquet(dir.toString)
+      val raw = spark.read.parquet(dir.toString)
+      val batchDf = graft.sources.Tables.tsToNanos(raw)
       val maxRow = batchDf.agg(max(col("ts"))).head()
       // empty input: nothing to replay, nothing will ever emit
       if (maxRow.isNullAt(0)) {
@@ -516,10 +518,13 @@ object JsonStream {
         return Seq.empty[AsofMatch].toDS().toDF()
       }
       val maxTs = maxRow.getLong(0)
-      // one watermark-pusher right, one hour past the last real event
-      batchDf.limit(1)
+      // one watermark-pusher right, one hour past the last real event.
+      // Written in the file's ORIGINAL ts type — the appended file must
+      // re-read under the same schema as the copied source files.
+      raw.limit(1)
         .withColumn("event_id", lit(-1L))
-        .withColumn("ts", lit(maxTs + 3600L * 1000000000L))
+        .withColumn("ts",
+          graft.sources.Tables.tsLiteral(raw.schema("ts").dataType, maxTs + 3600L * 1000000000L))
         .withColumn("user_id", lit(-1L))
         .withColumn("event_type", lit("click"))
         .withColumn("value", lit(0.0))

@@ -301,8 +301,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("asof join: union-and-carry plan has one Exchange and zero Join operators") {
     val s = spark
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.Tables.readTable(s, s"$sfDir/events.parquet")
       .select(col("event_id"), expr("ts div 1000").as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
     val df = graft.operators.Joins.asofJoin(
@@ -349,8 +348,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("salted as-of: carry partitions on (key, bin); big side never re-exchanged or re-sorted") {
     val s = spark
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.Tables.readTable(s, s"$sfDir/events.parquet")
       .select(col("event_id"), expr("ts div 1000").as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
     val df = graft.operators.Joins.asofJoinSalted(

@@ -95,8 +95,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.sql("select count(*) from corr_out").collect()(0).getLong(0)
 
     // batch equivalent over the same file
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(eventsPath)
+    val ev = graft.sources.Tables.readTable(spark, eventsPath)
       .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
     val l = ev.where(col("event_type") === "error")
       .select(col("user_id").as("l_user"), col("event_ts").as("l_ts"))
