@@ -26,6 +26,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // date-literal comparisons against the (timestamp-typed) TPC-H date
+      // columns must not shift with the machine timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup at the smallest scale factor: JIT-compiles the generated code
