@@ -844,6 +844,18 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // COMPRESSED audio decode (IMA ADPCM, format 0x11): the nibble
+    // stream is a formula of doc_id and the decoder is a pure-integer
+    // state walk over the published step tables, so the oracle replays
+    // the walk as a recursive SQL fold and then the shared feature math
+    "q_audio_adpcm" -> ((s, dir) =>
+      operators.Multimodal.decodeAudioFeatures(s,
+          operators.Multimodal.syntheticAdpcmBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("bits_per_sample"), col("n_frames"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
     // REAL image resize: decode + integer nearest-neighbor resample;
     // channel sums over the resized pixels replay from the PNG formula
     "q_img_resize" -> ((s, dir) =>
@@ -2101,6 +2113,65 @@ object SparkEntry {
         |   WHEN 5 THEN CASE WHEN n0 = 0 THEN 0 ELSE CAST(a0 AS DOUBLE) / 8388608 / CAST(n0 AS DOUBLE) END
         |   WHEN 6 THEN CASE WHEN n1 = 0 THEN 0 ELSE CAST(a1 AS DOUBLE) / 8388608 / CAST(n1 AS DOUBLE) END
         |   ELSE CASE WHEN n2 = 0 THEN 0 ELSE CAST(a2 AS DOUBLE) / 8388608 / CAST(n2 AS DOUBLE) END
+        |  END AS REAL) AS feat
+        | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
+        |  (SELECT unnest(range(8)) AS ft) fs
+        | ORDER BY s.doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
+
+    // IMA ADPCM replica: regenerate the nibble stream from the generator
+    // formula and replay the decoder state walk (published step/index
+    // tables, pure integer arithmetic — Multimodal.decodeImaAdpcm) as a
+    // recursive fold: row j holds output sample j; the step to j+1
+    // consumes nibble j. Then the shared exact-integer feature math.
+    "q_audio_adpcm" ->
+      """WITH RECURSIVE par AS (SELECT doc_id, 100 + (doc_id % 3) * 32 AS ba,
+        |   (doc_id * 2731) % 4096 - 2048 AS p0, (doc_id * 13) % 89 AS i0 FROM documents),
+        | stab AS (SELECT unnest(range(89)) AS i, unnest([7,8,9,10,11,12,13,14,16,17,19,21,
+        |   23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |   230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,
+        |   1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+        |   6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,
+        |   24623,27086,29794,32767]) AS st),
+        | nb AS (SELECT doc_id, j, (doc_id * 7 + j * 13) % 16 AS dn FROM
+        |   (SELECT doc_id, unnest(range((ba - 4) * 2)) AS j FROM par)),
+        | dec(doc_id, j, v, ix) AS (
+        |  SELECT doc_id, 0, p0, i0 FROM par
+        |  UNION ALL
+        |  SELECT d.doc_id, d.j + 1,
+        |   greatest(-32768, least(32767, d.v
+        |     + (CASE WHEN n.dn // 8 = 1 THEN -1 ELSE 1 END)
+        |     * (s.st // 8 + CASE WHEN n.dn % 2 = 1 THEN s.st // 4 ELSE 0 END
+        |        + CASE WHEN (n.dn // 2) % 2 = 1 THEN s.st // 2 ELSE 0 END
+        |        + CASE WHEN (n.dn // 4) % 2 = 1 THEN s.st ELSE 0 END))),
+        |   greatest(0, least(88, d.ix
+        |     + CASE WHEN n.dn % 8 < 4 THEN -1 ELSE 2 * (n.dn % 8 - 3) END))
+        |  FROM dec d JOIN nb n ON n.doc_id = d.doc_id AND n.j = d.j
+        |   JOIN stab s ON s.i = d.ix),
+        | nn AS (SELECT doc_id, (ba - 4) * 2 + 1 AS n FROM par),
+        | sums AS (SELECT d.doc_id, x.n,
+        |   sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS ma, sum(v * v) AS sq,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 0 THEN abs(v) ELSE 0 END) AS a0,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 1 THEN abs(v) ELSE 0 END) AS a1,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 2 THEN abs(v) ELSE 0 END) AS a2,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 0 THEN 1 ELSE 0 END) AS n0,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 1 THEN 1 ELSE 0 END) AS n1,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM dec d JOIN nn x ON x.doc_id = d.doc_id GROUP BY d.doc_id, x.n),
+        | zx AS (SELECT a.doc_id, sum(CASE WHEN (a.v < 0) <> (b.v < 0)
+        |    THEN 1 ELSE 0 END) AS zc
+        |  FROM dec a JOIN dec b ON a.doc_id = b.doc_id AND b.j = a.j - 1
+        |  WHERE a.j >= 1 GROUP BY a.doc_id)
+        | SELECT s.doc_id, CAST(4 AS INT) AS bits_per_sample,
+        |  CAST(s.n AS BIGINT) AS n_frames, CAST(ft AS INT) AS feat_idx,
+        |  CAST(CASE CAST(ft AS INT)
+        |   WHEN 0 THEN CAST(sv AS DOUBLE) / 32768 / CAST(s.n AS DOUBLE)
+        |   WHEN 1 THEN CAST(sa AS DOUBLE) / 32768 / CAST(s.n AS DOUBLE)
+        |   WHEN 2 THEN CAST(ma AS DOUBLE) / 32768
+        |   WHEN 3 THEN CAST(z.zc AS DOUBLE) / CAST(s.n AS DOUBLE)
+        |   WHEN 4 THEN CAST(sq AS DOUBLE) / 32768 / 32768 / CAST(s.n AS DOUBLE)
+        |   WHEN 5 THEN CASE WHEN n0 = 0 THEN 0 ELSE CAST(a0 AS DOUBLE) / 32768 / CAST(n0 AS DOUBLE) END
+        |   WHEN 6 THEN CASE WHEN n1 = 0 THEN 0 ELSE CAST(a1 AS DOUBLE) / 32768 / CAST(n1 AS DOUBLE) END
+        |   ELSE CASE WHEN n2 = 0 THEN 0 ELSE CAST(a2 AS DOUBLE) / 32768 / CAST(n2 AS DOUBLE) END
         |  END AS REAL) AS feat
         | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
         |  (SELECT unnest(range(8)) AS ft) fs

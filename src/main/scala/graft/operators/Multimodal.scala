@@ -200,9 +200,10 @@ object Multimodal {
     * standard word-aligned chunk walk. Supported formats: integer PCM
     * (format 1; 8-, 16-, or 24-bit), ITU-T G.711 A-law / μ-law
     * (formats 6/7; 8-bit stored, expanded to 13/14-bit-magnitude
-    * integers by the standard arithmetic, full scale 32768), and
-    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) headers whose SubFormat GUID names
-    * one of those codecs.
+    * integers by the standard arithmetic, full scale 32768), mono IMA
+    * ADPCM (format 0x11; 4-bit nibbles decoded by [[decodeImaAdpcm]],
+    * full scale 32768), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) headers
+    * whose SubFormat GUID names one of those codecs.
     *
     * The 8 features are exact-integer sample sums followed by IEEE double
     * divisions and one float32 rounding — fully specified, so the DuckDB
@@ -231,6 +232,7 @@ object Multimodal {
     var off = 12
     var fmtOk = false
     var channels = 0; var sr = 0; var bits = 0; var fmtCode = 0
+    var blockAlign = 0
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= bytes.length) {
       val id = tag(off)
@@ -239,6 +241,7 @@ object Multimodal {
         var audioFormat = u16(off + 8)
         channels = u16(off + 10)
         sr = u32(off + 12).toInt
+        blockAlign = u16(off + 20)
         bits = u16(off + 22)
         // WAVE_FORMAT_EXTENSIBLE: the real codec is the first two bytes
         // of the 16-byte SubFormat GUID at fmt offset 24 (fmt size ≥ 40)
@@ -248,6 +251,9 @@ object Multimodal {
         fmtOk = (audioFormat match {
           case 1 => bits == 8 || bits == 16 || bits == 24 // integer PCM
           case 6 | 7 => bits == 8 // G.711 A-law / μ-law
+          // IMA ADPCM: 4-bit nibbles in self-contained blocks; mono only
+          // (stereo interleaves 4-byte channel groups — not needed here)
+          case 0x11 => bits == 4 && channels == 1 && blockAlign > 4
           case _ => false
         }) && channels >= 1 && sr > 0
       } else if (id == "data" && dataOff < 0) {
@@ -262,11 +268,18 @@ object Multimodal {
       else off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0) return None
-    val bytesPerSample = bits / 8
-    val nFrames = dataLen / bytesPerSample / channels
+    // ADPCM is block-sequential (each sample's value depends on the
+    // running predictor/step state), so it decodes eagerly to an array;
+    // every other supported format stays on the O(1) lazy accessor
+    val adpcm: Array[Int] =
+      if (fmtCode == 0x11) decodeImaAdpcm(bytes, dataOff, dataLen, blockAlign)
+      else null
+    val nFrames =
+      if (adpcm != null) adpcm.length
+      else dataLen / (bits / 8) / channels
     val n = nFrames * channels // ignore a trailing partial frame
     if (nFrames == 0) return None
-    def sample(i: Int): Int = fmtCode match {
+    def sample(i: Int): Int = if (adpcm != null) adpcm(i) else fmtCode match {
       case 1 if bits == 16 =>
         ((bytes(dataOff + 2 * i) & 0xff) |
           (bytes(dataOff + 2 * i + 1) << 8)).toShort.toInt
@@ -357,11 +370,68 @@ object Multimodal {
     if ((a & 0x80) != 0) mag else -mag
   }
 
+  /** IMA ADPCM step-size table (89 entries) and step-index adjustment
+    * table — the published IMA/DVI reference values (also in RFC 3551's
+    * DVI4 description). Both are part of the format, not tuning. */
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Mono IMA ADPCM payload → linear 16-bit samples. Each `blockAlign`
+    * bytes is a self-contained block: a 4-byte header (int16 initial
+    * predictor, uint8 step index, reserved byte) emitting the first
+    * sample, then 4-bit nibbles (low nibble of each byte first). Per
+    * nibble d with step s: diff = s/8 + d₀·s/4 + d₁·s/2 + d₂·s (bit dᵢ
+    * of d), subtracted when bit 3 is set; predictor clamps to int16 and
+    * the step index moves by the adjustment table, clamped to [0, 88].
+    * A trailing partial block is ignored (blocks are self-contained, so
+    * a truncated tail decodes to nothing rather than garbage). */
+  private[operators] def decodeImaAdpcm(
+      bytes: Array[Byte], dataOff: Int, dataLen: Int, blockAlign: Int): Array[Int] = {
+    val nBlocks = dataLen / blockAlign
+    val perBlock = 1 + (blockAlign - 4) * 2
+    val out = new Array[Int](nBlocks * perBlock)
+    var o = 0
+    var b = 0
+    while (b < nBlocks) {
+      val base = dataOff + b * blockAlign
+      var pred = ((bytes(base) & 0xff) | (bytes(base + 1) << 8)).toShort.toInt
+      var idx = math.max(0, math.min(88, bytes(base + 2) & 0xff))
+      out(o) = pred; o += 1
+      val nNibbles = (blockAlign - 4) * 2
+      var k = 0
+      while (k < nNibbles) {
+        val packed = bytes(base + 4 + (k >> 1)) & 0xff
+        val d = if ((k & 1) == 0) packed & 0x0f else (packed >> 4) & 0x0f
+        val step = ImaStepTable(idx)
+        var diff = step >> 3
+        if ((d & 1) != 0) diff += step >> 2
+        if ((d & 2) != 0) diff += step >> 1
+        if ((d & 4) != 0) diff += step
+        pred = if ((d & 8) != 0) pred - diff else pred + diff
+        if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+        idx += ImaIndexTable(d)
+        if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+        out(o) = pred; o += 1
+        k += 1
+      }
+      b += 1
+    }
+    out
+  }
+
   /** Batched partition-local audio decode over (id, blob) rows: real WAV
-    * parse where the bytes are RIFF/WAVE PCM; otherwise the deterministic
-    * [[decodeStub]] features with zeroed audio metadata (same record
-    * shape — swap in a JNI codec for compressed formats and the pipeline
-    * is unchanged). */
+    * parse where the bytes are RIFF/WAVE PCM, G.711, or IMA ADPCM;
+    * otherwise the deterministic [[decodeStub]] features with zeroed
+    * audio metadata (same record shape — swap in a JNI codec for other
+    * compressed formats and the pipeline is unchanged). */
   def decodeAudioFeatures(spark: SparkSession, blobs: DataFrame): Dataset[AudioFeatures] = {
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
@@ -410,10 +480,12 @@ object Multimodal {
   }
 
   /** A little-endian buffer with the canonical 44-byte RIFF/WAVE header
-    * (fmt chunk size 16) written, positioned at the start of `data`. */
+    * (fmt chunk size 16) written, positioned at the start of `data`.
+    * Block-based codecs (ADPCM) pass their block size explicitly —
+    * ch·bits/8 is only the PCM frame stride. */
   private def wavHeader(fmt: Int, ch: Int, sr: Int, bits: Int,
-      dataLen: Int): java.nio.ByteBuffer = {
-    val blockAlign = ch * bits / 8
+      dataLen: Int, blockAlignOverride: Int = -1): java.nio.ByteBuffer = {
+    val blockAlign = if (blockAlignOverride > 0) blockAlignOverride else ch * bits / 8
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
@@ -480,6 +552,37 @@ object Multimodal {
 
   def synthetic24Blobs(spark: SparkSession, df: DataFrame): DataFrame =
     blobTable(spark, df, syntheticWav24)
+
+  /** A deterministic IMA ADPCM clip (format 0x11): mono,
+    * sr = 8000 + (docId mod 4)·2000, ONE block of
+    * ba = 100 + (docId mod 3)·32 bytes → n = 1 + (ba−4)·2 samples.
+    * Block header: predictor p0 = (2731·docId mod 4096) − 2048, step
+    * index i0 = 13·docId mod 89; nibble j = (7·docId + 13·j) mod 16
+    * (low nibble of each byte first). The decode walk is pure integer
+    * arithmetic over the published tables, so the oracle replays it as
+    * a recursive SQL fold over the same nibble formula. */
+  def syntheticWavAdpcm(docId: Long): Array[Byte] = {
+    val ba = 100 + java.lang.Math.floorMod(docId, 3L).toInt * 32
+    val sr = 8000 + java.lang.Math.floorMod(docId, 4L).toInt * 2000
+    val buf = wavHeader(fmt = 0x11, ch = 1, sr = sr, bits = 4,
+      dataLen = ba, blockAlignOverride = ba)
+    val p0 = (java.lang.Math.floorMod(docId * 2731, 4096L) - 2048L).toInt
+    buf.putShort(p0.toShort)
+      .put(java.lang.Math.floorMod(docId * 13, 89L).toByte)
+      .put(0.toByte)
+    val nNib = (ba - 4) * 2 // ba is even, so nibbles pack in full bytes
+    var k = 0
+    while (k < nNib) {
+      val lo = java.lang.Math.floorMod(docId * 7 + k * 13, 16L).toInt
+      val hi = java.lang.Math.floorMod(docId * 7 + (k + 1) * 13, 16L).toInt
+      buf.put((lo | (hi << 4)).toByte)
+      k += 2
+    }
+    buf.array()
+  }
+
+  def syntheticAdpcmBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticWavAdpcm)
 
   /** One resized "image": same record shape, target dimensions, and a
     * deterministic resampled payload digest standing in for pixel data. */

@@ -14,7 +14,7 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every query has a value-level oracle (46/46 — no rows-only rows)") {
+  test("every query has a value-level oracle — no rows-only rows") {
     // Round-2 invariant: every kernel family has a DuckDB replica. A new
     // query without an oracle silently downgrades to a rows-only check —
     // make that a deliberate decision, not an omission.

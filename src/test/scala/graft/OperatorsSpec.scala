@@ -612,6 +612,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(5L, extBad).isEmpty)
   }
 
+  test("WAV parser: IMA ADPCM blocks decode by the published state walk") {
+    // hand-built mono ADPCM file: header + `blocks` of `ba` bytes each
+    def adpcmWav(ba: Int, blocks: Seq[(Int, Int, Seq[Int])], dataLen: Int = -1,
+        channels: Int = 1): Array[Byte] = {
+      val dl = if (dataLen >= 0) dataLen else ba * blocks.length
+      val buf = java.nio.ByteBuffer.allocate(44 + ba * blocks.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dl).put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(0x11).putShort(channels.toShort).putInt(8000)
+        .putInt(4055).putShort(ba.toShort).putShort(4)
+      buf.put("data".getBytes("US-ASCII")).putInt(dl)
+      for ((pred, idx, nibs) <- blocks) {
+        buf.putShort(pred.toShort).put(idx.toByte).put(0.toByte)
+        nibs.grouped(2).foreach(p => buf.put((p(0) | (p(1) << 4)).toByte))
+      }
+      java.util.Arrays.copyOf(buf.array(), 44 + dl) // truncation case
+    }
+    // step 7, all-8 nibbles: diff = 7>>3 = 0 subtracted — predictor never
+    // moves, so every sample is the header predictor exactly
+    val flat = Multimodal.decodeWav(1L, adpcmWav(6, Seq((1000, 0, Seq(8, 8, 8, 8))))).get
+    assert(flat.bits_per_sample == 4 && flat.channels == 1 && flat.n_frames == 5L)
+    assert(flat.features(0) == (1000.0 / 32768).toFloat) // mean = predictor
+    assert(flat.features(2) == (1000.0 / 32768).toFloat) // peak = predictor
+    assert(flat.features(3) == 0.0f)
+    // one hand-walked transition pair from step index 24 (step 73):
+    // d=4 → diff = 73>>3 + 73 = 82, pred 0→82, index 24+2=26 (step 88);
+    // d=8 → diff = 88>>3 = 11, subtract: 82−11 = 71. Samples 0, 82, 71.
+    val walk = Multimodal.decodeWav(1L, adpcmWav(5, Seq((0, 24, Seq(4, 8))))).get
+    assert(walk.n_frames == 3L)
+    assert(walk.features(2) == (82.0 / 32768).toFloat)
+    assert(walk.features(0) == ((0.0 + 82 + 71) / 32768 / 3).toFloat)
+    // positive clamp: start at 32000, max step (index 88 → 32767), all-7
+    // nibbles push +61436 per sample — every decoded sample is 32767
+    val hi = Multimodal.decodeWav(1L, adpcmWav(6, Seq((32000, 88, Seq(7, 7, 7, 7))))).get
+    assert(hi.features(2) == (32767.0 / 32768).toFloat)
+    assert(hi.features(0) == ((32000.0 + 4 * 32767) / 32768 / 5).toFloat)
+    // negative clamp: all-15 nibbles from 0 at max step floor at -32768
+    val lo = Multimodal.decodeWav(1L, adpcmWav(6, Seq((0, 88, Seq(15, 15, 15, 15))))).get
+    assert(lo.features(2) == 1.0f)
+    // a step-index byte past 88 clamps instead of indexing out of bounds
+    assert(Multimodal.decodeWav(1L, adpcmWav(6, Seq((5, 120, Seq(8, 8, 8, 8))))).isDefined)
+    // two blocks: the second block's header predictor resets the state
+    // (blocks are self-contained); frames = 2 · (1 + (ba−4)·2)
+    val two = Multimodal.decodeWav(1L,
+      adpcmWav(6, Seq((1000, 0, Seq(8, 8, 8, 8)), (-2000, 0, Seq(8, 8, 8, 8))))).get
+    assert(two.n_frames == 10L)
+    assert(two.features(2) == (2000.0 / 32768).toFloat)
+    assert(two.features(0) == ((5 * 1000.0 - 5 * 2000.0) / 32768 / 10).toFloat)
+    // a trailing partial block is ignored, not decoded as garbage
+    val cut = Multimodal.decodeWav(1L,
+      adpcmWav(6, Seq((1000, 0, Seq(8, 8, 8, 8)), (-2000, 0, Seq(8, 8, 8, 8))),
+        dataLen = 9)).get
+    assert(cut.n_frames == 5L && cut.features(2) == (1000.0 / 32768).toFloat)
+    // stereo ADPCM is out of scope and must reject, not garble
+    assert(Multimodal.decodeWav(1L,
+      adpcmWav(6, Seq((0, 0, Seq(8, 8, 8, 8))), channels = 2)).isEmpty)
+    // fixture round-trip: header fields come from the generator formulas
+    for (id <- Seq(0L, 1L, 2L, 5L)) {
+      val m = Multimodal.decodeWav(id, Multimodal.syntheticWavAdpcm(id)).get
+      val ba = 100 + (id % 3).toInt * 32
+      assert(m.n_frames == 1L + (ba - 4) * 2, s"id=$id")
+      assert(m.sample_rate == 8000 + (id % 4).toInt * 2000 && m.bits_per_sample == 4)
+    }
+  }
+
   test("curation pipeline: exact dup, near dup, and junk removed") {
     val s = spark
     import s.implicits._
