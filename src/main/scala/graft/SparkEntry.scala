@@ -366,6 +366,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SemDeDup: k-means clusters + intra-cluster cosine pruning; the
+    // oracle replays the full Lloyd training (shared IVF CTEs), the
+    // cluster assignment, and the within-cluster pair counts (threshold
+    // lowered to 0.4 — see q_embed_neardup on this corpus's cosine range)
+    "q_semdedup" -> ((s, dir) =>
+      operators.Dedup.semDedup(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 16, threshold = 0.4)
+        .orderBy(col("vec_id"))),
+
     // exact brute-force cosine top-20 around the vec_id=0 embedding
     "q_ann_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -2303,6 +2313,26 @@ object SparkEntry {
         | FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         | WHERE ${cosSql("a.e", "c.e")} >= 0.35
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // SemDeDup replica: the shared coarse-Lloyd CTEs (trainCentroids'
+    // exact arithmetic + full-table assignment `vcell`), then the
+    // within-cluster smaller-id pair count at the same ordered-fold
+    // cosine; zero-norm vectors pair with nothing (na <> 0 guards — the
+    // kernel's NULL-cosine convention)
+    "q_semdedup" -> {
+      val dot = foldDot("a.e", "b.e", 64)
+      s"""WITH ${ivfCoarseCtes(5, 16, 4, 64, 2048)},
+        | vc AS (SELECT v.vec_id, w.cell, v.e, v.na FROM avn v JOIN vcell w ON v.vec_id = w.vec_id),
+        | pc AS (SELECT a.vec_id, count(*) AS ns
+        |  FROM vc a JOIN vc b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  WHERE a.na <> 0 AND b.na <> 0
+        |    AND $dot / (sqrt(a.na) * sqrt(b.na)) >= 0.4
+        |  GROUP BY a.vec_id)
+        | SELECT v.vec_id, v.cell, coalesce(p.ns, 0) AS n_similar,
+        |  coalesce(p.ns, 0) > 0 AS is_dup
+        | FROM vc v LEFT JOIN pc p ON v.vec_id = p.vec_id
+        | ORDER BY v.vec_id""".stripMargin.replaceAll("\n", " ")
     },
 
     // SRP-LSH probe search: query bucket + single-bit-flip multi-probe,

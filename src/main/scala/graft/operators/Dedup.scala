@@ -345,6 +345,61 @@ object Dedup {
       .where(col("cos") >= minCosine)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then compare pairs only WITHIN a cluster and mark
+    * every vector that has a smaller-id cluster-mate with cosine ≥
+    * `threshold` as a semantic duplicate (keep-smallest-id, the same
+    * convention as the MinHash/SimHash pipelines). Unlike
+    * [[embeddingNearDupPairs]] (SRP buckets — recall depends on random
+    * hyperplanes), clustering gives every vector exactly one comparison
+    * set and the threshold applies to true cosine within it.
+    *
+    * Returns one row per input vector: `(idCol, cell, n_similar,
+    * is_dup)` — its cluster, how many smaller-id cluster-mates clear the
+    * threshold, and the drop flag.
+    *
+    * Scale shape: centroids are trained on a bounded sample (driver-side
+    * Lloyd on ≤ `sampleSize` rows — the exact replayable kernel IVF
+    * uses) and ride into [[Similarity.cellAssignment]] as plan literals,
+    * so assignment is a narrow scan-speed projection. The only wide op
+    * is the self equi-join on `cell`: pair work is bounded per cluster
+    * (≈ (N/k)² per cell), never all-pairs — at 100 TB, k grows with N to
+    * hold the per-cell quadratic constant (SemDeDup's own recipe), and a
+    * hot cell is AQE-skew-splittable because the join key is the cell.
+    * Zero-norm vectors have no defined cosine: they join no pairs
+    * (NULL comparison) and come back with n_similar = 0. */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      threshold: Double = 0.93,
+      sampleSize: Int = 2048,
+      iters: Int = 5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val cents = Similarity
+      .trainCentroids(df, idCol, vecCol, k, sampleSize, iters)
+      .zipWithIndex.map(_.swap)
+    val withCell = df.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.cellAssignment(col(vecCol), cents).as("cell"))
+    val a = withCell.as("a")
+    val b = withCell.as("b")
+    val dupCounts = a
+      .join(b, col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
+      .where(Similarity.cosine(col("a.vec"), col("b.vec")) >= threshold)
+      .groupBy(col("a.id").as("id"))
+      .agg(count(lit(1)).as("n_similar"))
+    withCell
+      .join(dupCounts, Seq("id"), "left")
+      .select(
+        col("id").as(idCol), col("cell"),
+        coalesce(col("n_similar"), lit(0L)).as("n_similar"),
+        (coalesce(col("n_similar"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** Positional token n-grams for span detection — `(pos, gram)` after a
     * posexplode, unlike [[shingles]] (distinct sets, order-free). */
   def posGrams(textCol: Column, width: Int): Column =

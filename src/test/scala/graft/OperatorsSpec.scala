@@ -722,6 +722,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(trained.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("semDedup: within-cluster cosine pruning keeps the smallest id") {
+    val s = spark
+    import s.implicits._
+    // two well-separated groups; ids 10/11/12 share one direction (cos=1
+    // up to float noise), id 30 is a lone member of the other group
+    def unit(base: Int, i: Int): Array[Float] =
+      Array.tabulate(8)(d => (math.cos(base * 29 + d) + 0.001 * i).toFloat)
+    val rows = Seq(
+      (10L, unit(1, 0)), (11L, unit(1, 1)), (12L, unit(1, 2)),
+      (30L, unit(2, 0)),
+      (40L, Array.fill(8)(0f))) // zero-norm: no defined cosine
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "vec_id", "embedding",
+        k = 2, threshold = 0.99, sampleSize = 16, iters = 3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    // 10 is the group's keeper; 11 and 12 each see smaller-id mates
+    assert(out.map(t => (t._1, t._3)).toSeq ==
+      Seq((10L, false), (11L, true), (12L, true), (30L, false), (40L, false)), out.toSeq)
+    assert(out(1)._2 == 1L && out(2)._2 == 2L) // n_similar counts the mates
+    // the cell join is an equi-join: never cartesian
+    val plan = Dedup.semDedup(df, "vec_id", "embedding", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("IVF topk probes nearest cells and finds the neighbor") {
     val s = spark
     import s.implicits._
