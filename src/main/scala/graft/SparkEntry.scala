@@ -555,6 +555,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style bigram-LM perplexity: model trained on the 1-in-20
+    // reference slice (the decontam convention), the rest scored by
+    // avg negative log-likelihood; n_unseen is an exact integer check,
+    // xent rounds to 4 (integer-argument ln on both engines)
+    "q_lm_ppl" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      operators.TextOps.lmPerplexity(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_scored"), col("n_unseen"),
+          round(col("xent"), 4).as("xent"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bloom-filter decontamination screen: same gram contract as
     // q_decontam, but the benchmark grams fold into a 2^20-bit filter
     // (no shuffle) and the corpus side is one narrow scan — per-row gram
@@ -1772,6 +1787,37 @@ object SparkEntry {
         |  coalesce(h.n, 0) > 0 AS contaminated
         | FROM (SELECT doc_id FROM shq WHERE doc_id % 20 <> 0) t
         | LEFT JOIN hitq h USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // bigram-LM replica: identical integer count tables, identical
+    // integer ln arguments, per-doc log sum folded in POSITION order
+    // (list ORDER BY pos + sequential reduce — never shuffle order)
+    "q_lm_ppl" ->
+      """WITH rt AS (SELECT doc_id AS rid, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id % 20 = 0)),
+        | uni AS (SELECT tok, count(*) AS c1 FROM rt GROUP BY tok),
+        | tot AS (SELECT sum(c1) AS n_total, count(*) + 1 AS vocab FROM uni),
+        | big AS (SELECT prev AS w1, tok AS w2, count(*) AS c2 FROM
+        |   (SELECT tok, lag(tok) OVER (PARTITION BY rid ORDER BY pos) AS prev FROM rt)
+        |   WHERE prev IS NOT NULL GROUP BY 1, 2),
+        | dt AS (SELECT doc_id AS id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id % 20 <> 0)),
+        | dp AS (SELECT id, pos, tok, lag(tok) OVER (PARTITION BY id ORDER BY pos) AS prev FROM dt),
+        | sc AS (SELECT d.id, d.pos,
+        |   CASE WHEN d.pos = 0
+        |    THEN ln(CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)) - ln(CAST(t.n_total + t.vocab AS DOUBLE))
+        |    ELSE ln(CAST(coalesce(g.c2, 0) + 1 AS DOUBLE)) - ln(CAST(coalesce(u1.c1, 0) + t.vocab AS DOUBLE))
+        |   END AS lp,
+        |   CASE WHEN d.pos > 0 AND g.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+        |  FROM dp d
+        |  LEFT JOIN uni u1 ON u1.tok = d.prev
+        |  LEFT JOIN big g ON g.w1 = d.prev AND g.w2 = d.tok
+        |  LEFT JOIN uni u2 ON u2.tok = d.tok
+        |  CROSS JOIN tot t)
+        | SELECT id AS doc_id, count(*) AS n_scored,
+        |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+        |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)), (p,q) -> p+q)
+        |    / count(*), 4) AS xent
+        | FROM sc GROUP BY id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // Bloom decontamination screen: the filter's bit positions are pure
     // mod-2^64 arithmetic (h1 = splitmix64(fnv1a64(gram)), h2 =

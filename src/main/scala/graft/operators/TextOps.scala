@@ -301,6 +301,77 @@ object TextOps {
         col("top2gram_char_frac") <= 0.20 && col("dup5gram_char_frac") <= 0.15)
   }
 
+  /** CCNet-style LM perplexity scoring (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * train a BIGRAM language model with add-one smoothing on a REFERENCE
+    * corpus, then score every document by the average negative
+    * log-likelihood (nats) of its token stream — improbable text
+    * (gibberish, boilerplate, wrong-language) scores high and gets
+    * filtered upstream of training. The first token scores against the
+    * unigram distribution, every later token against
+    * P(w | prev) = (c(prev, w) + 1) / (c(prev) + V), with V = distinct
+    * reference unigrams + 1 (the unseen class).
+    *
+    * Returns `(idCol, n_scored, n_unseen, xent)` — scored positions
+    * (= token count), transitions unseen in the reference (an exact
+    * integer quality signal on its own), and the raw cross-entropy.
+    *
+    * Determinism across engines: every smoothed numerator/denominator is
+    * an exact INTEGER (add-one), so both engines take `ln` of identical
+    * doubles, and the per-document sum folds in token-position order
+    * (sort_array + the sequential `aggregate` HOF — the same
+    * ordered-fold convention as the ANN oracles), never in shuffle
+    * order.
+    *
+    * Scale shape: the count tables are partial-agg groupBys (the Zipf
+    * head collapses map-side); scoring joins are shuffle equi-joins on
+    * token keys (AQE skew-splits the hot stopword keys); the totals row
+    * is a broadcast; the per-doc fold carries a document-bounded array.
+    * CCNet trains the LM on a small curated reference — `ref` models
+    * exactly that, so at 100 TB the model side of each join is the
+    * smaller relation and broadcastable when the reference is. */
+  def lmPerplexity(
+      corpus: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val refToks = ref.select(col(idCol).as("rid"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val uni = refToks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("n_total"),
+      (count(lit(1)) + 1L).as("vocab"))
+    val wRef = Window.partitionBy("rid").orderBy("pos")
+    val big = refToks.withColumn("w1", lag("tok", 1).over(wRef))
+      .where(col("w1").isNotNull)
+      .groupBy(col("w1"), col("tok").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val docToks = corpus.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy("id").orderBy("pos")
+    val scored = docToks
+      .withColumn("prev", lag("tok", 1).over(wDoc))
+      .join(uni.select(col("tok").as("prev"), col("c1").as("cp")), Seq("prev"), "left")
+      .join(big.select(col("w1").as("prev"), col("w2").as("tok"), col("c2")),
+        Seq("prev", "tok"), "left")
+      .join(uni.select(col("tok"), col("c1").as("cu")), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+    val num = when(col("pos") === 0, coalesce(col("cu"), lit(0L)) + 1L)
+      .otherwise(coalesce(col("c2"), lit(0L)) + 1L)
+    val den = when(col("pos") === 0, col("n_total") + col("vocab"))
+      .otherwise(coalesce(col("cp"), lit(0L)) + col("vocab"))
+    val lp = log(num.cast("double")) - log(den.cast("double"))
+    scored
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum(when(col("pos") > 0 && col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sort_array(collect_list(struct(col("pos"), lp.as("lp")))).as("arr"))
+      .select(col("id").as(idCol), col("n_scored"), col("n_unseen"),
+        (-aggregate(transform(col("arr"), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x) / col("n_scored")).as("xent"))
+  }
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -956,6 +956,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(p(0).getString(1) == "keep one" && p(1).getString(1) == "keep two")
   }
 
+  test("lmPerplexity matches hand-computed add-one bigram probabilities") {
+    val s = spark
+    import s.implicits._
+    // reference "a b a b": uni a:2 b:2, N=4, V = 2+1 = 3;
+    // bigrams (a,b):2, (b,a):1
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "z z")).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(docs, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ln = (x: Double) => math.log(x)
+    // "a b": P(a) = 3/7 (unigram, N+V), P(b|a) = 3/5 (c(a,b)+1 / c(a)+V)
+    val x1 = -((ln(3) - ln(7)) + (ln(3) - ln(5))) / 2
+    // "z z": P(z) = 1/7, P(z|z) = 1/3 — the (z,z) transition is unseen
+    val x2 = -((ln(1) - ln(7)) + (ln(1) - ln(3))) / 2
+    assert(out(0)._1 == 1L && out(0)._2 == 2L && out(0)._3 == 0L)
+    assert(math.abs(out(0)._4 - x1) < 1e-12, s"${out(0)._4} vs $x1")
+    assert(out(1)._1 == 2L && out(1)._2 == 2L && out(1)._3 == 1L)
+    assert(math.abs(out(1)._4 - x2) < 1e-12, s"${out(1)._4} vs $x2")
+    // common fluent text scores lower than shuffled/gibberish text
+    val ref2 = (0 until 40).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran off")).toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "mat the on sat cat the"),
+      (102L, "qq ww ee rr tt yy")).toDF("doc_id", "text")
+    val sc = TextOps.lmPerplexity(probe, ref2, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getDouble(3))
+    // fluent text scores far below both; note shuffled-but-seen words can
+    // score WORSE than all-OOV gibberish in a backoff-free add-one bigram
+    // model (unseen transition after a frequent word divides by
+    // c(prev) + V, not just V) — so only the fluent-vs-rest order is pinned
+    assert(sc(0) < sc(1) && sc(0) < sc(2), sc.toSeq)
+  }
+
   test("repetitionStats matches a hand-computed doc; ties break smallest") {
     val s = spark
     import s.implicits._
