@@ -360,6 +360,39 @@ object ScaleProbe {
         "doc_id", "source", perStratum = 1000).count()
     }
 
+    // SemDeDup at scale: 1-in-20 planted near-identical vectors (the
+    // pair members share a direction up to a 1e-4 perturbation, so they
+    // land in the same cell and clear any high threshold); pair work is
+    // bounded per cell (k=256 → ~(n/256)² cosines per cell), never n²
+    val nSem = nDocs.toLong
+    val semBase = when(pmod(col("id"), lit(20)) === 1, col("id") - 1)
+      .otherwise(col("id"))
+    val semEmb = spark.range(nSem).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        j => ((operators.mix64(semBase * 32 + j, 23L).cast("double") /
+            lit(9.223372036854776e18)) +
+          when(pmod(col("id"), lit(20)) === 1,
+            (operators.mix64(col("id") * 32 + j, 29L).cast("double") /
+              lit(9.223372036854776e18)) * lit(1e-4)).otherwise(lit(0.0)))
+          .cast("float")).as("embedding"))
+    val semDups = time(s"SemDeDup, $nSem 32-dim vectors, k=256, threshold 0.99") {
+      operators.Dedup.semDedup(semEmb, "vec_id", "embedding",
+          k = 256, threshold = 0.99)
+        .where(col("is_dup")).count()
+    }
+    semDups.foreach(d => println(s"  semantic dups: $d (planted: ~${nSem / 20})"))
+
+    // bigram-LM perplexity: model counts over the 1-in-50 reference
+    // slice, the rest scored — token-keyed shuffle joins (Zipf head
+    // collapses in the count partials) + per-doc ordered log folds
+    time(s"LM perplexity, ${nDocs - nDocs / 50} docs scored vs ${nDocs / 50}-doc reference") {
+      operators.TextOps.lmPerplexity(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text")
+        .agg(count(lit(1)), avg(col("xent")), sum(col("n_unseen"))).collect()
+    }
+
     spark.stop()
   }
 }
