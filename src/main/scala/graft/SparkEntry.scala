@@ -881,6 +881,16 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // MS ADPCM (format 2): fixed predictor coefficients + adaptive
+    // delta, again a pure-integer walk the oracle replays recursively
+    "q_audio_msadpcm" -> ((s, dir) =>
+      operators.Multimodal.decodeAudioFeatures(s,
+          operators.Multimodal.syntheticMsAdpcmBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("bits_per_sample"), col("n_frames"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
     // REAL image resize: decode + integer nearest-neighbor resample;
     // channel sums over the resized pixels replay from the PNG formula
     "q_img_resize" -> ((s, dir) =>
@@ -2216,6 +2226,66 @@ object SparkEntry {
         | zx AS (SELECT a.doc_id, sum(CASE WHEN (a.v < 0) <> (b.v < 0)
         |    THEN 1 ELSE 0 END) AS zc
         |  FROM dec a JOIN dec b ON a.doc_id = b.doc_id AND b.j = a.j - 1
+        |  WHERE a.j >= 1 GROUP BY a.doc_id)
+        | SELECT s.doc_id, CAST(4 AS INT) AS bits_per_sample,
+        |  CAST(s.n AS BIGINT) AS n_frames, CAST(ft AS INT) AS feat_idx,
+        |  CAST(CASE CAST(ft AS INT)
+        |   WHEN 0 THEN CAST(sv AS DOUBLE) / 32768 / CAST(s.n AS DOUBLE)
+        |   WHEN 1 THEN CAST(sa AS DOUBLE) / 32768 / CAST(s.n AS DOUBLE)
+        |   WHEN 2 THEN CAST(ma AS DOUBLE) / 32768
+        |   WHEN 3 THEN CAST(z.zc AS DOUBLE) / CAST(s.n AS DOUBLE)
+        |   WHEN 4 THEN CAST(sq AS DOUBLE) / 32768 / 32768 / CAST(s.n AS DOUBLE)
+        |   WHEN 5 THEN CASE WHEN n0 = 0 THEN 0 ELSE CAST(a0 AS DOUBLE) / 32768 / CAST(n0 AS DOUBLE) END
+        |   WHEN 6 THEN CASE WHEN n1 = 0 THEN 0 ELSE CAST(a1 AS DOUBLE) / 32768 / CAST(n1 AS DOUBLE) END
+        |   ELSE CASE WHEN n2 = 0 THEN 0 ELSE CAST(a2 AS DOUBLE) / 32768 / CAST(n2 AS DOUBLE) END
+        |  END AS REAL) AS feat
+        | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
+        |  (SELECT unnest(range(8)) AS ft) fs
+        | ORDER BY s.doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
+
+    // MS ADPCM replica: the same recursive-fold idea with the format-2
+    // state (two lagged samples + adaptive delta, fixed coefficient
+    // pairs). Row j of `dec` holds the state AFTER emitting sample j
+    // (s1 = that sample); sample 0 is the block's older header sample
+    // s2. `>>` is an arithmetic (floor) shift in both engines.
+    "q_audio_msadpcm" ->
+      """WITH RECURSIVE par AS (SELECT doc_id, 96 + (doc_id % 4) * 24 AS ba,
+        |   [256,512,0,192,240,460,392][CAST(doc_id % 7 AS INT) + 1] AS c1,
+        |   [0,-256,0,64,0,-208,-232][CAST(doc_id % 7 AS INT) + 1] AS c2,
+        |   16 + (doc_id * 7) % 500 AS d0,
+        |   (doc_id * 2731) % 4096 - 2048 AS s1i,
+        |   (doc_id * 1013) % 4096 - 2048 AS s2i FROM documents),
+        | nb AS (SELECT doc_id, j, dn,
+        |   CASE WHEN dn >= 8 THEN dn - 16 ELSE dn END AS sdn,
+        |   [230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230][CAST(dn AS INT) + 1] AS ad
+        |  FROM (SELECT doc_id, j, (doc_id * 11 + j * 5) % 16 AS dn FROM
+        |   (SELECT doc_id, unnest(range((ba - 7) * 2)) AS j FROM par))),
+        | dec(doc_id, j, s1, s2, dl, c1, c2, nn) AS (
+        |  SELECT doc_id, 1, s1i, s2i, d0, c1, c2, (ba - 7) * 2 FROM par
+        |  UNION ALL
+        |  SELECT d.doc_id, d.j + 1,
+        |   greatest(-32768, least(32767,
+        |     ((d.s1 * d.c1 + d.s2 * d.c2) >> 8) + n.sdn * d.dl)),
+        |   d.s1,
+        |   greatest(16, least(32767, (n.ad * d.dl) >> 8)),
+        |   d.c1, d.c2, d.nn
+        |  FROM dec d JOIN nb n ON n.doc_id = d.doc_id AND n.j = d.j - 1
+        |  WHERE d.j <= d.nn),
+        | smp AS (SELECT doc_id, 0 AS j, s2 AS v FROM dec WHERE j = 1
+        |  UNION ALL SELECT doc_id, j, s1 AS v FROM dec),
+        | nn AS (SELECT doc_id, (ba - 7) * 2 + 2 AS n FROM par),
+        | sums AS (SELECT d.doc_id, x.n,
+        |   sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS ma, sum(v * v) AS sq,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 0 THEN abs(v) ELSE 0 END) AS a0,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 1 THEN abs(v) ELSE 0 END) AS a1,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 2 THEN abs(v) ELSE 0 END) AS a2,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 0 THEN 1 ELSE 0 END) AS n0,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 1 THEN 1 ELSE 0 END) AS n1,
+        |   sum(CASE WHEN (d.j * 3) // x.n = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM smp d JOIN nn x ON x.doc_id = d.doc_id GROUP BY d.doc_id, x.n),
+        | zx AS (SELECT a.doc_id, sum(CASE WHEN (a.v < 0) <> (b.v < 0)
+        |    THEN 1 ELSE 0 END) AS zc
+        |  FROM smp a JOIN smp b ON a.doc_id = b.doc_id AND b.j = a.j - 1
         |  WHERE a.j >= 1 GROUP BY a.doc_id)
         | SELECT s.doc_id, CAST(4 AS INT) AS bits_per_sample,
         |  CAST(s.n AS BIGINT) AS n_frames, CAST(ft AS INT) AS feat_idx,

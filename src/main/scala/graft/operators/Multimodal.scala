@@ -201,9 +201,10 @@ object Multimodal {
     * (format 1; 8-, 16-, or 24-bit), ITU-T G.711 A-law / μ-law
     * (formats 6/7; 8-bit stored, expanded to 13/14-bit-magnitude
     * integers by the standard arithmetic, full scale 32768), mono IMA
-    * ADPCM (format 0x11; 4-bit nibbles decoded by [[decodeImaAdpcm]],
-    * full scale 32768), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) headers
-    * whose SubFormat GUID names one of those codecs.
+    * ADPCM (format 0x11; 4-bit nibbles decoded by [[decodeImaAdpcm]])
+    * and mono MS ADPCM (format 2; [[decodeMsAdpcm]]) — both full scale
+    * 32768 — and WAVE_FORMAT_EXTENSIBLE (0xFFFE) headers whose
+    * SubFormat GUID names one of those codecs.
     *
     * The 8 features are exact-integer sample sums followed by IEEE double
     * divisions and one float32 rounding — fully specified, so the DuckDB
@@ -251,9 +252,10 @@ object Multimodal {
         fmtOk = (audioFormat match {
           case 1 => bits == 8 || bits == 16 || bits == 24 // integer PCM
           case 6 | 7 => bits == 8 // G.711 A-law / μ-law
-          // IMA ADPCM: 4-bit nibbles in self-contained blocks; mono only
-          // (stereo interleaves 4-byte channel groups — not needed here)
+          // ADPCM: 4-bit nibbles in self-contained blocks; mono only
+          // (stereo interleaves per-channel state — not needed here)
           case 0x11 => bits == 4 && channels == 1 && blockAlign > 4
+          case 2    => bits == 4 && channels == 1 && blockAlign > 7
           case _ => false
         }) && channels >= 1 && sr > 0
       } else if (id == "data" && dataOff < 0) {
@@ -269,10 +271,11 @@ object Multimodal {
     }
     if (!fmtOk || dataOff < 0) return None
     // ADPCM is block-sequential (each sample's value depends on the
-    // running predictor/step state), so it decodes eagerly to an array;
+    // running predictor/delta state), so it decodes eagerly to an array;
     // every other supported format stays on the O(1) lazy accessor
     val adpcm: Array[Int] =
       if (fmtCode == 0x11) decodeImaAdpcm(bytes, dataOff, dataLen, blockAlign)
+      else if (fmtCode == 2) decodeMsAdpcm(bytes, dataOff, dataLen, blockAlign)
       else null
     val nFrames =
       if (adpcm != null) adpcm.length
@@ -427,8 +430,72 @@ object Multimodal {
     out
   }
 
+  /** MS ADPCM adaptation table (indexed by the unsigned nibble) and the
+    * 7 fixed predictor coefficient pairs — format constants from the
+    * published WAVE format spec. */
+  private val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+  private val MsCoeff1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  private val MsCoeff2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+
+  /** Mono MS ADPCM (format 2) payload → linear 16-bit samples. Each
+    * `blockAlign` bytes is self-contained: a 7-byte header (uint8
+    * predictor index 0..6, int16 initial delta, int16 sample1, int16
+    * sample2 — sample2 is the OLDER sample and plays first), then 4-bit
+    * nibbles HIGH nibble first (the opposite packing of IMA). Per
+    * signed nibble s (two's complement of the unsigned 4-bit value n):
+    * predicted = ((sample1·coeff1 + sample2·coeff2) >> 8) + s·delta
+    * (arithmetic shift — floor), clamped to int16; then
+    * delta = clamp((AdaptTable[n]·delta) >> 8, 16, 32767) — the upper
+    * clamp keeps the state in the int16 range its header encoding
+    * implies (see the inline note). A header predictor index past 6
+    * invalidates the block (skipped, decodes to nothing); a trailing
+    * partial block is ignored. */
+  private[operators] def decodeMsAdpcm(
+      bytes: Array[Byte], dataOff: Int, dataLen: Int, blockAlign: Int): Array[Int] = {
+    val nBlocks = dataLen / blockAlign
+    val perBlock = (blockAlign - 7) * 2 + 2
+    val out = new Array[Int](nBlocks * perBlock)
+    var o = 0
+    var b = 0
+    while (b < nBlocks) {
+      val base = dataOff + b * blockAlign
+      val predIdx = bytes(base) & 0xff
+      if (predIdx <= 6) {
+        val c1 = MsCoeff1(predIdx)
+        val c2 = MsCoeff2(predIdx)
+        var delta = ((bytes(base + 1) & 0xff) | (bytes(base + 2) << 8)).toShort.toInt
+        var s1 = ((bytes(base + 3) & 0xff) | (bytes(base + 4) << 8)).toShort.toInt
+        var s2 = ((bytes(base + 5) & 0xff) | (bytes(base + 6) << 8)).toShort.toInt
+        out(o) = s2; out(o + 1) = s1; o += 2
+        val nNibbles = (blockAlign - 7) * 2
+        var k = 0
+        while (k < nNibbles) {
+          val packed = bytes(base + 7 + (k >> 1)) & 0xff
+          val n = if ((k & 1) == 0) (packed >> 4) & 0x0f else packed & 0x0f
+          val s = if (n >= 8) n - 16 else n
+          var pred = ((s1 * c1 + s2 * c2) >> 8) + s * delta
+          if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+          s2 = s1; s1 = pred
+          // clamp the running delta to the int16 range its header
+          // encoding implies: an adversarial nibble stream (repeated
+          // high-adaptation codes) would otherwise grow it ~3× per
+          // sample and silently wrap Int — decoded garbage. Real
+          // encoder output never approaches the bound.
+          delta = (MsAdaptTable(n) * delta) >> 8
+          if (delta < 16) delta = 16 else if (delta > 32767) delta = 32767
+          out(o) = pred; o += 1
+          k += 1
+        }
+      }
+      b += 1
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
   /** Batched partition-local audio decode over (id, blob) rows: real WAV
-    * parse where the bytes are RIFF/WAVE PCM, G.711, or IMA ADPCM;
+    * parse where the bytes are RIFF/WAVE PCM, G.711, or IMA/MS ADPCM;
     * otherwise the deterministic [[decodeStub]] features with zeroed
     * audio metadata (same record shape — swap in a JNI codec for other
     * compressed formats and the pipeline is unchanged). */
@@ -583,6 +650,37 @@ object Multimodal {
 
   def syntheticAdpcmBlobs(spark: SparkSession, df: DataFrame): DataFrame =
     blobTable(spark, df, syntheticWavAdpcm)
+
+  /** A deterministic MS ADPCM clip (format 2): mono,
+    * sr = 8000 + (docId mod 3)·4000, ONE block of
+    * ba = 96 + (docId mod 4)·24 bytes → n = 2 + (ba−7)·2 samples.
+    * Header: predictor index docId mod 7, delta₀ = 16 + (7·docId mod
+    * 500), sample1 = (2731·docId mod 4096) − 2048, sample2 =
+    * (1013·docId mod 4096) − 2048; nibble j = (11·docId + 5·j) mod 16,
+    * HIGH nibble of each byte first. Pure-integer state walk — the
+    * oracle replays it as a recursive SQL fold like the IMA one. */
+  def syntheticWavMsAdpcm(docId: Long): Array[Byte] = {
+    val ba = 96 + java.lang.Math.floorMod(docId, 4L).toInt * 24
+    val sr = 8000 + java.lang.Math.floorMod(docId, 3L).toInt * 4000
+    val buf = wavHeader(fmt = 2, ch = 1, sr = sr, bits = 4,
+      dataLen = ba, blockAlignOverride = ba)
+    buf.put(java.lang.Math.floorMod(docId, 7L).toByte)
+    buf.putShort((16 + java.lang.Math.floorMod(docId * 7, 500L)).toShort)
+    buf.putShort((java.lang.Math.floorMod(docId * 2731, 4096L) - 2048L).toShort)
+    buf.putShort((java.lang.Math.floorMod(docId * 1013, 4096L) - 2048L).toShort)
+    val nNib = (ba - 7) * 2
+    var k = 0
+    while (k < nNib) {
+      val hi = java.lang.Math.floorMod(docId * 11 + k * 5, 16L).toInt
+      val lo = java.lang.Math.floorMod(docId * 11 + (k + 1) * 5, 16L).toInt
+      buf.put(((hi << 4) | lo).toByte)
+      k += 2
+    }
+    buf.array()
+  }
+
+  def syntheticMsAdpcmBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticWavMsAdpcm)
 
   /** One resized "image": same record shape, target dimensions, and a
     * deterministic resampled payload digest standing in for pixel data. */

@@ -956,6 +956,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(p(0).getString(1) == "keep one" && p(1).getString(1) == "keep two")
   }
 
+  test("WAV parser: MS ADPCM decodes by the coefficient/delta state walk") {
+    // hand-built mono MS-ADPCM file: 7-byte header then high-first nibbles
+    def msWav(ba: Int, pred: Int, delta: Int, s1: Int, s2: Int,
+        nibs: Seq[Int], channels: Int = 1): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(44 + ba)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + ba).put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(2).putShort(channels.toShort).putInt(8000)
+        .putInt(4055).putShort(ba.toShort).putShort(4)
+      buf.put("data".getBytes("US-ASCII")).putInt(ba)
+      buf.put(pred.toByte).putShort(delta.toShort).putShort(s1.toShort).putShort(s2.toShort)
+      nibs.grouped(2).foreach(p => buf.put(((p(0) << 4) | p(1)).toByte))
+      buf.array()
+    }
+    // predictor 0 (c1=256, c2=0 → base prediction = s1), delta=20:
+    // n=1 (s=+1): 100 + 20 = 120, delta' = (230·20)>>8 = 17;
+    // n=15 (s=−1): 120 − 17 = 103. Samples: 50, 100, 120, 103.
+    val m = Multimodal.decodeWav(1L, msWav(8, 0, 20, 100, 50, Seq(1, 15))).get
+    assert(m.bits_per_sample == 4 && m.channels == 1 && m.n_frames == 4L)
+    assert(m.features(2) == (120.0 / 32768).toFloat)
+    assert(m.features(0) == ((50.0 + 100 + 120 + 103) / 32768 / 4).toFloat)
+    assert(m.features(3) == 0.0f)
+    // adversarial repeated high-adaptation nibbles: the running delta
+    // clamps at 32767 instead of wrapping Int; samples floor at -32768
+    val clamp = Multimodal.decodeWav(1L,
+      msWav(57, 0, 30000, 0, 0, Seq.fill(100)(8))).get
+    assert(clamp.features(2) == 1.0f, clamp.features.toSeq)
+    // a predictor index past 6 invalidates the block → nothing decodes
+    assert(Multimodal.decodeWav(1L, msWav(8, 7, 20, 100, 50, Seq(1, 15))).isEmpty)
+    // stereo MS ADPCM is out of scope and must reject
+    assert(Multimodal.decodeWav(1L,
+      msWav(8, 0, 20, 100, 50, Seq(1, 15), channels = 2)).isEmpty)
+    // fixture round-trip: header fields come from the generator formulas
+    for (id <- Seq(0L, 1L, 2L, 3L, 6L)) {
+      val f = Multimodal.decodeWav(id, Multimodal.syntheticWavMsAdpcm(id)).get
+      val ba = 96 + (id % 4).toInt * 24
+      assert(f.n_frames == 2L + (ba - 7) * 2, s"id=$id")
+      assert(f.sample_rate == 8000 + (id % 3).toInt * 4000 && f.bits_per_sample == 4)
+    }
+  }
+
   test("lmPerplexity matches hand-computed add-one bigram probabilities") {
     val s = spark
     import s.implicits._
