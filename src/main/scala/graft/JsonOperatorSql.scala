@@ -382,10 +382,10 @@ object JsonOperatorSql {
     while (progressed) {
       progressed = false
       val save = i
-      val ws = consumeWs(sql, i)
+      val ws = consumeWsComments(sql, i)
       matchOp(sql, ws) match {
         case Some((opText, fn)) =>
-          val afterOp = consumeWs(sql, ws + opText.length)
+          val afterOp = consumeWsComments(sql, ws + opText.length)
           // first step: string paths only (`x -> 0` is a Spark lambda)
           consumeLiteral(sql, afterOp, allowInt = steps > 0) match {
             case Some((lit, next)) =>
@@ -593,6 +593,31 @@ object JsonOperatorSql {
   private def consumeWs(s: String, from: Int): Int = {
     var i = from
     while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    i
+  }
+
+  /** Whitespace AND `--`/`/* */` comments — used only in the
+    * operator-fold gaps (LHS↔op, op↔RHS, between chain steps), where a
+    * comment is inert filler; a successful fold drops it from the
+    * rebuilt expression. Everywhere else comments are copied through
+    * verbatim by the main loop. An unterminated comment runs to end of
+    * input (same convention as the main loop), where no operator can
+    * follow anyway. `-->` lexes as a line comment, matching Spark. */
+  private def consumeWsComments(s: String, from: Int): Int = {
+    var i = consumeWs(s, from)
+    var more = true
+    while (more) {
+      more = false
+      if (s.startsWith("--", i)) {
+        val end = s.indexOf('\n', i)
+        if (end < 0) return s.length
+        i = consumeWs(s, end + 1); more = true
+      } else if (s.startsWith("/*", i)) {
+        val end = s.indexOf("*/", i + 2)
+        if (end < 0) return s.length
+        i = consumeWs(s, end + 2); more = true
+      }
+    }
     i
   }
 

@@ -2247,7 +2247,11 @@ object SparkEntry {
     // state (two lagged samples + adaptive delta, fixed coefficient
     // pairs). Row j of `dec` holds the state AFTER emitting sample j
     // (s1 = that sample); sample 0 is the block's older header sample
-    // s2. `>>` is an arithmetic (floor) shift in both engines.
+    // s2. The predictor divides by 256 TRUNCATING toward zero (DuckDB
+    // `//` truncates like Java `/`; the spec's C-style division), while
+    // the delta update keeps `>>` — a negative intermediate clamps to
+    // 16 under either convention, so shift vs division is immaterial
+    // there.
     "q_audio_msadpcm" ->
       """WITH RECURSIVE par AS (SELECT doc_id, 96 + (doc_id % 4) * 24 AS ba,
         |   [256,512,0,192,240,460,392][CAST(doc_id % 7 AS INT) + 1] AS c1,
@@ -2265,7 +2269,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT d.doc_id, d.j + 1,
         |   greatest(-32768, least(32767,
-        |     ((d.s1 * d.c1 + d.s2 * d.c2) >> 8) + n.sdn * d.dl)),
+        |     (d.s1 * d.c1 + d.s2 * d.c2) // 256 + n.sdn * d.dl)),
         |   d.s1,
         |   greatest(16, least(32767, (n.ad * d.dl) >> 8)),
         |   d.c1, d.c2, d.nn

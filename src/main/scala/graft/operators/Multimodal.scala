@@ -238,7 +238,11 @@ object Multimodal {
     while (off + 8 <= bytes.length) {
       val id = tag(off)
       val size = u32(off + 4)
-      if (id == "fmt " && off + 24 <= bytes.length) {
+      // a spec-conformant fmt chunk is ≥ 16 bytes; a smaller declared
+      // size would make the reads below spill into the NEXT chunk's
+      // bytes (garbage header fields that might still pass fmtOk) —
+      // reject the chunk instead of parsing past its bound
+      if (id == "fmt " && size >= 16 && off + 24 <= bytes.length) {
         var audioFormat = u16(off + 8)
         channels = u16(off + 10)
         sr = u32(off + 12).toInt
@@ -445,9 +449,13 @@ object Multimodal {
     * sample2 — sample2 is the OLDER sample and plays first), then 4-bit
     * nibbles HIGH nibble first (the opposite packing of IMA). Per
     * signed nibble s (two's complement of the unsigned 4-bit value n):
-    * predicted = ((sample1·coeff1 + sample2·coeff2) >> 8) + s·delta
-    * (arithmetic shift — floor), clamped to int16; then
-    * delta = clamp((AdaptTable[n]·delta) >> 8, 16, 32767) — the upper
+    * predicted = ((sample1·coeff1 + sample2·coeff2) / 256) + s·delta
+    * (TRUNCATING integer division toward zero, per the published
+    * MSADPCM spec pseudocode — NOT an arithmetic shift; the two differ
+    * on negative coefficient sums), clamped to int16; then
+    * delta = clamp((AdaptTable[n]·delta) >> 8, 16, 32767) — shift vs
+    * division is immaterial here because a negative intermediate
+    * clamps to 16 under either convention — the upper
     * clamp keeps the state in the int16 range its header encoding
     * implies (see the inline note). A header predictor index past 6
     * invalidates the block (skipped, decodes to nothing); a trailing
@@ -475,7 +483,7 @@ object Multimodal {
           val packed = bytes(base + 7 + (k >> 1)) & 0xff
           val n = if ((k & 1) == 0) (packed >> 4) & 0x0f else packed & 0x0f
           val s = if (n >= 8) n - 16 else n
-          var pred = ((s1 * c1 + s2 * c2) >> 8) + s * delta
+          var pred = (s1 * c1 + s2 * c2) / 256 + s * delta
           if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
           s2 = s1; s1 = pred
           // clamp the running delta to the int16 range its header
@@ -870,12 +878,8 @@ object Multimodal {
   }
 
   /** (doc_id, blob) table of [[syntheticGif]] clips. */
-  def syntheticVideoBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticGif(id))))
-      .toDF("doc_id", "blob")
-  }
+  def syntheticVideoBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticGif)
 
   /** REAL video frame sampling: decode every `stride`-th frame of an
     * animated GIF via `javax.imageio` (pure JVM — the one multi-frame
@@ -898,10 +902,15 @@ object Multimodal {
           !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) Iterator.empty
         else {
           val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          javax.imageio.ImageIO.setUseCache(false)
+          // reader.dispose() does NOT close the input stream per the
+          // javax.imageio contract — hold it and close it explicitly,
+          // or every decoded row leaks a MemoryCacheImageInputStream
+          // until GC finalization
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
           try {
-            javax.imageio.ImageIO.setUseCache(false)
-            reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes)), false)
+            reader.setInput(iis, false)
             val n = reader.getNumImages(true)
             (0 until n by stride).iterator.map { f =>
               val img = reader.read(f)
@@ -920,7 +929,10 @@ object Multimodal {
             }.toVector.iterator // materialize before the reader is disposed
           } catch {
             case _: Exception => Iterator.empty // truncated/corrupt GIF
-          } finally reader.dispose()
+          } finally {
+            reader.dispose()
+            try iis.close() catch { case _: Exception => () }
+          }
         }
       }
   }

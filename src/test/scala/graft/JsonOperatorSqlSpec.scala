@@ -43,6 +43,28 @@ class JsonOperatorSqlSpec extends AnyFunSuite {
       == "select /* j->'x' */ json_get(j, 'a') from t")
   }
 
+  test("comments in the fold gaps are skipped (and dropped from the fold)") {
+    // between LHS and operator
+    assert(rewrite("select j /* path */ -> 'a' from t")
+      == "select json_get(j, 'a') from t")
+    // between operator and RHS
+    assert(rewrite("select j -> /* c */ 'a' from t")
+      == "select json_get(j, 'a') from t")
+    // line comment between LHS and operator
+    assert(rewrite("select j -- c\n -> 'a' from t")
+      == "select json_get(j, 'a') from t")
+    // between chain steps
+    assert(rewrite("select j->'a' /* c */ ->> 'b' from t")
+      == "select json_as_text(json_get(j, 'a'), 'b') from t")
+    // `-->` is a line comment (Spark lexing), never an operator
+    assert(rewrite("select j --> 'a'\n from t") == "select j --> 'a'\n from t")
+    // an unterminated comment after the LHS passes through verbatim
+    assert(rewrite("select j /* open") == "select j /* open")
+    // a comment NOT in a fold gap still copies through untouched
+    assert(rewrite("select /* j->'x' */ 1 from t")
+      == "select /* j->'x' */ 1 from t")
+  }
+
   test("parameter markers and unknown shapes are left alone") {
     assert(rewrite("select * from t where x = ?") == "select * from t where x = ?")
     assert(rewrite("select j ? x from t") == "select j ? x from t") // no ident RHS for ?

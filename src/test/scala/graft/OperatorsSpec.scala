@@ -531,6 +531,16 @@ class OperatorsSpec extends AnyFunSuite {
       adv.put("JUNK".getBytes("US-ASCII")).putInt(sz)
       assert(Multimodal.decodeWav(1L, adv.array()).isEmpty, s"size=$sz")
     }
+    // a fmt chunk DECLARING size < 16 must reject, not read its header
+    // fields out of the following chunk's bytes: here the 2-byte fmt
+    // payload is followed by a data chunk whose tag/size bytes would
+    // parse as a plausible PCM header if the bound were ignored
+    val small = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    small.put("RIFF".getBytes("US-ASCII")).putInt(56).put("WAVE".getBytes("US-ASCII"))
+    small.put("fmt ".getBytes("US-ASCII")).putInt(2).putShort(1)
+    // payload bytes chosen so the spill-read lands on fmtCode=1/bits=16
+    small.put("data".getBytes("US-ASCII")).putInt(8).putLong(0x0000001000010001L)
+    assert(Multimodal.decodeWav(1L, small.array()).isEmpty)
   }
 
   test("WAV parser: G.711 law expansion, 24-bit PCM, extensible headers") {
@@ -984,6 +994,13 @@ class OperatorsSpec extends AnyFunSuite {
     val clamp = Multimodal.decodeWav(1L,
       msWav(57, 0, 30000, 0, 0, Seq.fill(100)(8))).get
     assert(clamp.features(2) == 1.0f, clamp.features.toSeq)
+    // negative coefficient sum pins TRUNCATING division (spec/ffmpeg)
+    // over arithmetic shift: predictor 5 (c1=460, c2=-208), s1=1, s2=3,
+    // zero nibbles → predictions -164/256 = 0 then -208/256 = 0
+    // (a floor shift would give -1, -1 → mean 2/4 and one sign change)
+    val neg = Multimodal.decodeWav(1L, msWav(8, 5, 16, 1, 3, Seq(0, 0))).get
+    assert(neg.features(0) == (4.0 / 32768 / 4).toFloat, neg.features.toSeq)
+    assert(neg.features(3) == 0.0f)
     // a predictor index past 6 invalidates the block → nothing decodes
     assert(Multimodal.decodeWav(1L, msWav(8, 7, 20, 100, 50, Seq(1, 15))).isEmpty)
     // stereo MS ADPCM is out of scope and must reject
