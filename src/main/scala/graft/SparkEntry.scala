@@ -570,6 +570,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // fastText-style hashed-n-gram linear quality classifier: unigram +
+    // adjacent-bigram features → FNV-1a/splitmix64 bucket → deterministic
+    // integer weight; exact integer (n_feats, wsum) + two-IEEE-op score
+    "q_quality_classify" -> ((s, dir) =>
+      operators.TextOps.qualityClassify(
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Bloom-filter decontamination screen: same gram contract as
     // q_decontam, but the benchmark grams fold into a 2^20-bit filter
     // (no shuffle) and the corpus side is one narrow scan — per-row gram
@@ -1828,6 +1836,29 @@ object SparkEntry {
         |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)), (p,q) -> p+q)
         |    / count(*), 4) AS xent
         | FROM sc GROUP BY id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // hashed linear classifier replica: unigram + adjacent-bigram
+    // features, each FNV-1a'd then splitmix64-mixed to a bucket (mod
+    // 2^20), the bucket splitmix64-mixed again to an integer weight in
+    // [-1000, 1000]; exact integer (count, sum) then the same two IEEE
+    // divisions as the Scala side
+    "q_quality_classify" ->
+      s"""WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
+        | ft AS (SELECT doc_id, unnest(tk) AS f FROM d
+        |  UNION ALL
+        |  SELECT doc_id, unnest([array_to_string(tk[x+1:x+2], ' ')
+        |   for x in range(len(tk)-1)]) AS f FROM d),
+        | fh AS (SELECT doc_id, ${fnvSql("f")} AS h0 FROM ft),
+        | ${mixStagesSql("fh", "doc_id", "qf")},
+        | bk AS (SELECT doc_id, h % 1048576 AS h0 FROM qf3),
+        | ${mixStagesSql("bk", "doc_id", "qw")},
+        | wt AS (SELECT doc_id, CAST(h % 2001 AS BIGINT) - 1000 AS w FROM qw3),
+        | agg AS (SELECT doc_id, count(*) AS nf, CAST(sum(w) AS BIGINT) AS ws
+        |  FROM wt GROUP BY doc_id)
+        | SELECT doc_id, CAST(nf AS BIGINT) AS n_feats, ws AS wsum,
+        |  CAST(ws AS DOUBLE) / 1000.0 / CAST(nf AS DOUBLE) AS score,
+        |  (CAST(ws AS DOUBLE) / 1000.0 / CAST(nf AS DOUBLE) > 0.0) AS keep
+        | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // Bloom decontamination screen: the filter's bit positions are pure
     // mod-2^64 arithmetic (h1 = splitmix64(fnv1a64(gram)), h2 =

@@ -372,6 +372,41 @@ object TextOps {
           lit(0.0), (a, x) => a + x) / col("n_scored")).as("xent"))
   }
 
+  /** Model-based quality filtering, fastText-style [Joulin et al. 2016]:
+    * a hashed-n-gram LINEAR classifier over unigram + adjacent-bigram
+    * features (see [[graft.operators.HashedLinearScore]]), the shape
+    * CCNet/LLaMA-style pipelines use to keep "Wikipedia-like" pages.
+    * The bucket→weight table here is a deterministic stand-in derived
+    * from splitmix64 of the bucket id — production swaps in trained
+    * weights (a broadcast array) without changing the plumbing.
+    *
+    * Returns `(idCol, n_feats, wsum, score, keep)`: the exact integer
+    * feature count and weight sum, `score = wsum / 1000.0 / n_feats`
+    * (two IEEE divisions of exact integers — bit-comparable across
+    * engines, and the integer sum is shuffle-order-free), and
+    * `keep = score > threshold`.
+    *
+    * Scale shape: one narrow scan, one fused codegen kernel per row, no
+    * Exchange — scan-speed over any corpus size; the weight table is
+    * O(1) state (or one broadcast when trained weights replace it). */
+  def qualityClassify(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1 << 20,
+      threshold: Double = 0.0): DataFrame = {
+    val score =
+      col("st.wsum").cast("double") / lit(1000.0) / col("st.n_feats").cast("double")
+    df.select(col(idCol),
+        graft.operators.hashed_linear_score(
+          tokens(coalesce(col(textCol), lit(""))), buckets).as("st"))
+      .select(col(idCol),
+        col("st.n_feats").as("n_feats"),
+        col("st.wsum").as("wsum"),
+        score.as("score"),
+        (score > lit(threshold)).as("keep"))
+  }
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -126,19 +126,91 @@ object HashKernelsAccess {
   def mix(x: Long): Long = HashKernels.mix(x)
 }
 
+/** fastText-style hashed-n-gram linear classifier kernel [Joulin et al.
+  * 2016, "Bag of Tricks for Efficient Text Classification"]: the
+  * features of a token array are its unigrams and adjacent bigrams
+  * (joined with one space); each feature hashes
+  * FNV-1a 64 → splitmix64 → one of `buckets` buckets; each bucket
+  * carries a deterministic integer weight in [-1000, 1000] derived
+  * from splitmix64 of the bucket id — a fixed stand-in for a
+  * pretrained weight table (swap the derivation for a broadcast
+  * array lookup and the plumbing is unchanged). Returns the exact
+  * integers (n_feats, wsum): keeping the sum integral makes it
+  * shuffle-order-free and the derived double score a fixed two-IEEE-op
+  * function, so results compare bit-exactly across engines. Bigram
+  * hashing CONTINUES the FNV fold of the previous token through a
+  * space byte — one pass, no concatenated strings. Empty/NULL array →
+  * NULL; NULL tokens hash as empty strings. */
+case class HashedLinearScore(child: Expression, buckets: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("wsum", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "hashed_linear_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_linear_score expects array<string> of tokens, got ${other.sql}")
+  }
+
+  private def weightOf(rawFnv: Long): Long = {
+    val b = java.lang.Long.remainderUnsigned(HashKernels.mix(rawFnv), buckets.toLong)
+    java.lang.Long.remainderUnsigned(HashKernels.mix(b), 2001L) - 1000L
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val nt = toks.numElements()
+    if (nt == 0) return null
+    var wsum = 0L
+    var prevFnv = 0L
+    var i = 0
+    while (i < nt) {
+      val bytes = if (toks.isNullAt(i)) Array.emptyByteArray
+        else toks.getUTF8String(i).getBytes
+      val hu = HashKernels.fnv1aCont(HashKernels.FnvBasis, bytes)
+      wsum += weightOf(hu)
+      if (i > 0)
+        wsum += weightOf(
+          HashKernels.fnv1aCont(HashKernels.fnv1aByte(prevFnv, ' '.toByte), bytes))
+      prevFnv = hu
+      i += 1
+    }
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    out.setLong(0, 2L * nt - 1L)
+    out.setLong(1, wsum)
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 private[operators] object HashKernels {
-  /** FNV-1a 64 over a UTF8String's bytes. */
-  def fnv1a(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
+  val FnvBasis = 0xcbf29ce484222325L
+
+  /** One FNV-1a 64 byte step from state `h`. */
+  def fnv1aByte(h: Long, b: Byte): Long = (h ^ (b & 0xffL)) * 0x100000001b3L
+
+  /** Continue an FNV-1a 64 fold from state `h` over `bytes` — hashing a
+    * concatenation without building the concatenated string. */
+  def fnv1aCont(h0: Long, bytes: Array[Byte]): Long = {
+    var h = h0
     var i = 0
     while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
+      h = fnv1aByte(h, bytes(i))
       i += 1
     }
     h
   }
+
+  /** FNV-1a 64 over a UTF8String's bytes. */
+  def fnv1a(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    fnv1aCont(FnvBasis, s.getBytes)
 
   /** splitmix64 finalizer — decorrelates combined hashes. */
   def mix(x0: Long): Long = {

@@ -24,6 +24,9 @@ package object operators {
   def gram_rep_stats(tokens: Column, n: Int): Column =
     GraftSqlShim.column(GramRepStats(GraftSqlShim.expression(tokens), n))
 
+  def hashed_linear_score(tokens: Column, buckets: Int): Column =
+    GraftSqlShim.column(HashedLinearScore(GraftSqlShim.expression(tokens), buckets))
+
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
     GraftSqlShim.column(PqEncode(GraftSqlShim.expression(vec), codebooks))
 

@@ -63,6 +63,41 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("HashedLinearScore equals the concat-and-hash BigInt model for arbitrary token lists") {
+    val tokGen = org.scalacheck.Gen.listOf(
+      org.scalacheck.Gen.listOf(org.scalacheck.Gen.choose(32.toChar, 126.toChar))
+        .map(_.mkString))
+    def fnvModel(s: String): BigInt = {
+      var h = BigInt("cbf29ce484222325", 16)
+      s.getBytes("UTF-8").foreach { b =>
+        h = ((h ^ BigInt(b & 0xff)) * BigInt("100000001b3", 16)).mod(M)
+      }
+      h
+    }
+    val B = 1 << 20
+    // the model hashes each bigram as the CONCATENATED string — the
+    // kernel must match even though it continues the fold byte-wise
+    def weightModel(f: String): Long = {
+      val b = u(splitmixModel(fnvModel(f).longValue)).mod(BigInt(B))
+      (u(splitmixModel(b.longValue)).mod(BigInt(2001)) - 1000).longValue
+    }
+    check(forAll(tokGen) { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.operators.HashedLinearScore(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          arr, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        B).eval(null)
+      if (toks.isEmpty) got == null
+      else {
+        val row = got.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val feats = toks ++ toks.sliding(2).collect { case Seq(a, b) => s"$a $b" }
+        row.getLong(0) == 2L * toks.length - 1 &&
+          row.getLong(1) == feats.map(weightModel).sum
+      }
+    })
+  }
+
   test("Bloom probe positions equal the HUGEINT double-hash model for arbitrary strings") {
     import graft.operators.BloomKernel
     import org.apache.spark.unsafe.types.UTF8String

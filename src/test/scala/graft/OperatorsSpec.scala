@@ -1015,6 +1015,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityClassify: feature counts, score arithmetic, null-text handling") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.HashKernelsAccess.{fnv1a, mix}
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "alpha"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityClassify(docs, "doc_id", "text", buckets = 1 << 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    def w(f: String): Long = {
+      val b = java.lang.Long.remainderUnsigned(mix(fnv1a(f)), 1L << 20)
+      java.lang.Long.remainderUnsigned(mix(b), 2001L) - 1000L
+    }
+    // 3 tokens → 3 unigrams + 2 bigrams; bigram features are the
+    // space-joined strings (the kernel's byte-continued fold must equal
+    // hashing the concatenation)
+    val ws0 = Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma").map(w).sum
+    assert(out(0) == ((0L, 5L, ws0, ws0 / 1000.0 / 5.0, ws0 > 0)))
+    // single token → 1 feature, no bigram
+    assert(out(1)._2 == 1L && out(1)._3 == w("alpha"))
+    // NULL text coalesces to "" → one empty-string token, never a NULL row
+    assert(out(2)._2 == 1L && out(2)._3 == w(""))
+  }
+
   test("lmPerplexity matches hand-computed add-one bigram probabilities") {
     val s = spark
     import s.implicits._

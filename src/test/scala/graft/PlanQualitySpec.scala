@@ -136,6 +136,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(repPlan).size == 1, repPlan)
   }
 
+  test("quality classifier: one narrow scan, fused kernel, zero Exchange") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val q = graft.operators.TextOps.qualityClassify(d, "doc_id", "text")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    // the kernel projection carries the codegen-stage star
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("PQ ADC scan: narrow encode+score, top-k merge, no vector shuffle") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
