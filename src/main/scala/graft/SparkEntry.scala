@@ -889,6 +889,18 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // STEREO IMA ADPCM: two interleaved per-channel state walks (4-byte
+    // words alternating per channel); the oracle replays both channels
+    // in one recursive fold keyed (doc, channel) and re-interleaves by
+    // global frame index
+    "q_audio_ima_stereo" -> ((s, dir) =>
+      operators.Multimodal.decodeAudioFeatures(s,
+          operators.Multimodal.syntheticImaStereoBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("channels"), col("n_frames"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
     // MS ADPCM (format 2): fixed predictor coefficients + adaptive
     // delta, again a pure-integer walk the oracle replays recursively
     "q_audio_msadpcm" -> ((s, dir) =>
@@ -2265,6 +2277,68 @@ object SparkEntry {
         |   WHEN 1 THEN CAST(sa AS DOUBLE) / 32768 / CAST(s.n AS DOUBLE)
         |   WHEN 2 THEN CAST(ma AS DOUBLE) / 32768
         |   WHEN 3 THEN CAST(z.zc AS DOUBLE) / CAST(s.n AS DOUBLE)
+        |   WHEN 4 THEN CAST(sq AS DOUBLE) / 32768 / 32768 / CAST(s.n AS DOUBLE)
+        |   WHEN 5 THEN CASE WHEN n0 = 0 THEN 0 ELSE CAST(a0 AS DOUBLE) / 32768 / CAST(n0 AS DOUBLE) END
+        |   WHEN 6 THEN CASE WHEN n1 = 0 THEN 0 ELSE CAST(a1 AS DOUBLE) / 32768 / CAST(n1 AS DOUBLE) END
+        |   ELSE CASE WHEN n2 = 0 THEN 0 ELSE CAST(a2 AS DOUBLE) / 32768 / CAST(n2 AS DOUBLE) END
+        |  END AS REAL) AS feat
+        | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
+        |  (SELECT unnest(range(8)) AS ft) fs
+        | ORDER BY s.doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
+
+    // stereo IMA replica: the mono recursion with a channel dimension —
+    // two independent state walks keyed (doc_id, c), re-interleaved by
+    // jg = 2j + c for the position-dependent sums; zero-crossings count
+    // channel-0 frames only (the Scala side's sample(f·ch) convention)
+    "q_audio_ima_stereo" ->
+      """WITH RECURSIVE par AS (SELECT doc_id, 8 + 8 * (4 + doc_id % 3) AS ba FROM documents),
+        | chp AS (SELECT doc_id, ba, c,
+        |   (doc_id * 2731 + c * 911) % 4096 - 2048 AS p0,
+        |   (doc_id * 13 + c * 7) % 89 AS i0
+        |  FROM par, (SELECT unnest([0, 1]) AS c) cs),
+        | stab AS (SELECT unnest(range(89)) AS i, unnest([7,8,9,10,11,12,13,14,16,17,19,21,
+        |   23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |   230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,
+        |   1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+        |   6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,
+        |   24623,27086,29794,32767]) AS st),
+        | nb AS (SELECT doc_id, c, j, (doc_id * 7 + c * 3 + j * 13) % 16 AS dn FROM
+        |   (SELECT doc_id, c, unnest(range(ba - 8)) AS j FROM chp)),
+        | dec(doc_id, c, j, v, ix) AS (
+        |  SELECT doc_id, c, 0, p0, i0 FROM chp
+        |  UNION ALL
+        |  SELECT d.doc_id, d.c, d.j + 1,
+        |   greatest(-32768, least(32767, d.v
+        |     + (CASE WHEN n.dn // 8 = 1 THEN -1 ELSE 1 END)
+        |     * (s.st // 8 + CASE WHEN n.dn % 2 = 1 THEN s.st // 4 ELSE 0 END
+        |        + CASE WHEN (n.dn // 2) % 2 = 1 THEN s.st // 2 ELSE 0 END
+        |        + CASE WHEN (n.dn // 4) % 2 = 1 THEN s.st ELSE 0 END))),
+        |   greatest(0, least(88, d.ix
+        |     + CASE WHEN n.dn % 8 < 4 THEN -1 ELSE 2 * (n.dn % 8 - 3) END))
+        |  FROM dec d JOIN nb n ON n.doc_id = d.doc_id AND n.c = d.c AND n.j = d.j
+        |   JOIN stab s ON s.i = d.ix),
+        | nn AS (SELECT doc_id, ba - 7 AS pc, 2 * (ba - 7) AS n FROM par),
+        | smp AS (SELECT doc_id, 2 * j + c AS jg, v FROM dec),
+        | sums AS (SELECT d.doc_id, x.n, x.pc,
+        |   sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS ma, sum(v * v) AS sq,
+        |   sum(CASE WHEN (d.jg * 3) // x.n = 0 THEN abs(v) ELSE 0 END) AS a0,
+        |   sum(CASE WHEN (d.jg * 3) // x.n = 1 THEN abs(v) ELSE 0 END) AS a1,
+        |   sum(CASE WHEN (d.jg * 3) // x.n = 2 THEN abs(v) ELSE 0 END) AS a2,
+        |   sum(CASE WHEN (d.jg * 3) // x.n = 0 THEN 1 ELSE 0 END) AS n0,
+        |   sum(CASE WHEN (d.jg * 3) // x.n = 1 THEN 1 ELSE 0 END) AS n1,
+        |   sum(CASE WHEN (d.jg * 3) // x.n = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM smp d JOIN nn x ON x.doc_id = d.doc_id GROUP BY d.doc_id, x.n, x.pc),
+        | zx AS (SELECT a.doc_id, sum(CASE WHEN (a.v < 0) <> (b.v < 0)
+        |    THEN 1 ELSE 0 END) AS zc
+        |  FROM dec a JOIN dec b ON a.doc_id = b.doc_id AND b.c = 0 AND b.j = a.j - 1
+        |  WHERE a.c = 0 AND a.j >= 1 GROUP BY a.doc_id)
+        | SELECT s.doc_id, CAST(2 AS INT) AS channels,
+        |  CAST(s.pc AS BIGINT) AS n_frames, CAST(ft AS INT) AS feat_idx,
+        |  CAST(CASE CAST(ft AS INT)
+        |   WHEN 0 THEN CAST(sv AS DOUBLE) / 32768 / CAST(s.n AS DOUBLE)
+        |   WHEN 1 THEN CAST(sa AS DOUBLE) / 32768 / CAST(s.n AS DOUBLE)
+        |   WHEN 2 THEN CAST(ma AS DOUBLE) / 32768
+        |   WHEN 3 THEN CAST(z.zc AS DOUBLE) / CAST(s.pc AS DOUBLE)
         |   WHEN 4 THEN CAST(sq AS DOUBLE) / 32768 / 32768 / CAST(s.n AS DOUBLE)
         |   WHEN 5 THEN CASE WHEN n0 = 0 THEN 0 ELSE CAST(a0 AS DOUBLE) / 32768 / CAST(n0 AS DOUBLE) END
         |   WHEN 6 THEN CASE WHEN n1 = 0 THEN 0 ELSE CAST(a1 AS DOUBLE) / 32768 / CAST(n1 AS DOUBLE) END

@@ -256,9 +256,12 @@ object Multimodal {
         fmtOk = (audioFormat match {
           case 1 => bits == 8 || bits == 16 || bits == 24 // integer PCM
           case 6 | 7 => bits == 8 // G.711 A-law / μ-law
-          // ADPCM: 4-bit nibbles in self-contained blocks; mono only
-          // (stereo interleaves per-channel state — not needed here)
-          case 0x11 => bits == 4 && channels == 1 && blockAlign > 4
+          // IMA ADPCM: 4-bit nibbles in self-contained blocks; mono
+          // (flat nibble stream) or stereo (4-byte words per channel)
+          case 0x11 => bits == 4 && channels >= 1 && channels <= 2 &&
+            blockAlign > 4 * channels
+          // MS ADPCM: mono only (stereo interleaves per-nibble, a
+          // different layout — not needed here)
           case 2    => bits == 4 && channels == 1 && blockAlign > 7
           case _ => false
         }) && channels >= 1 && sr > 0
@@ -278,11 +281,11 @@ object Multimodal {
     // running predictor/delta state), so it decodes eagerly to an array;
     // every other supported format stays on the O(1) lazy accessor
     val adpcm: Array[Int] =
-      if (fmtCode == 0x11) decodeImaAdpcm(bytes, dataOff, dataLen, blockAlign)
+      if (fmtCode == 0x11) decodeImaAdpcm(bytes, dataOff, dataLen, blockAlign, channels)
       else if (fmtCode == 2) decodeMsAdpcm(bytes, dataOff, dataLen, blockAlign)
       else null
     val nFrames =
-      if (adpcm != null) adpcm.length
+      if (adpcm != null) adpcm.length / channels
       else dataLen / (bits / 8) / channels
     val n = nFrames * channels // ignore a trailing partial frame
     if (nFrames == 0) return None
@@ -391,47 +394,100 @@ object Multimodal {
   private val ImaIndexTable: Array[Int] =
     Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
-  /** Mono IMA ADPCM payload → linear 16-bit samples. Each `blockAlign`
-    * bytes is a self-contained block: a 4-byte header (int16 initial
-    * predictor, uint8 step index, reserved byte) emitting the first
-    * sample, then 4-bit nibbles (low nibble of each byte first). Per
-    * nibble d with step s: diff = s/8 + d₀·s/4 + d₁·s/2 + d₂·s (bit dᵢ
-    * of d), subtracted when bit 3 is set; predictor clamps to int16 and
-    * the step index moves by the adjustment table, clamped to [0, 88].
-    * A trailing partial block is ignored (blocks are self-contained, so
-    * a truncated tail decodes to nothing rather than garbage). */
+  /** IMA ADPCM payload → linear 16-bit samples, interleaved by channel.
+    * Each `blockAlign` bytes is a self-contained block: one 4-byte
+    * header PER CHANNEL (int16 initial predictor, uint8 step index,
+    * reserved byte) emitting that channel's first sample, then the data
+    * bytes. Mono data is a flat nibble stream (low nibble of each byte
+    * first); stereo data alternates 4-byte words per channel (4 bytes
+    * left = 8 left samples, 4 bytes right, …— the layout in the IMA/DVI
+    * WAVE registration and every mainstream decoder). Per nibble d with
+    * step s: diff = s/8 + d₀·s/4 + d₁·s/2 + d₂·s (bit dᵢ of d),
+    * subtracted when bit 3 is set; predictor clamps to int16 and the
+    * step index moves by the adjustment table, clamped to [0, 88]. A
+    * trailing partial block — and, for stereo, a trailing partial
+    * 8-byte word group — is ignored (blocks are self-contained, so a
+    * truncated tail decodes to nothing rather than garbage). */
   private[operators] def decodeImaAdpcm(
-      bytes: Array[Byte], dataOff: Int, dataLen: Int, blockAlign: Int): Array[Int] = {
+      bytes: Array[Byte], dataOff: Int, dataLen: Int, blockAlign: Int,
+      channels: Int = 1): Array[Int] = {
     val nBlocks = dataLen / blockAlign
-    val perBlock = 1 + (blockAlign - 4) * 2
-    val out = new Array[Int](nBlocks * perBlock)
-    var o = 0
-    var b = 0
-    while (b < nBlocks) {
-      val base = dataOff + b * blockAlign
-      var pred = ((bytes(base) & 0xff) | (bytes(base + 1) << 8)).toShort.toInt
-      var idx = math.max(0, math.min(88, bytes(base + 2) & 0xff))
-      out(o) = pred; o += 1
-      val nNibbles = (blockAlign - 4) * 2
-      var k = 0
-      while (k < nNibbles) {
-        val packed = bytes(base + 4 + (k >> 1)) & 0xff
-        val d = if ((k & 1) == 0) packed & 0x0f else (packed >> 4) & 0x0f
-        val step = ImaStepTable(idx)
-        var diff = step >> 3
-        if ((d & 1) != 0) diff += step >> 2
-        if ((d & 2) != 0) diff += step >> 1
-        if ((d & 4) != 0) diff += step
-        pred = if ((d & 8) != 0) pred - diff else pred + diff
-        if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
-        idx += ImaIndexTable(d)
-        if (idx < 0) idx = 0 else if (idx > 88) idx = 88
-        out(o) = pred; o += 1
-        k += 1
-      }
-      b += 1
+    def step(pred0: Int, idx0: Int, d: Int): (Int, Int) = {
+      val s = ImaStepTable(idx0)
+      var diff = s >> 3
+      if ((d & 1) != 0) diff += s >> 2
+      if ((d & 2) != 0) diff += s >> 1
+      if ((d & 4) != 0) diff += s
+      var pred = if ((d & 8) != 0) pred0 - diff else pred0 + diff
+      if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+      var idx = idx0 + ImaIndexTable(d)
+      if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+      (pred, idx)
     }
-    out
+    if (channels == 1) {
+      val perBlock = 1 + (blockAlign - 4) * 2
+      val out = new Array[Int](nBlocks * perBlock)
+      var o = 0
+      var b = 0
+      while (b < nBlocks) {
+        val base = dataOff + b * blockAlign
+        var pred = ((bytes(base) & 0xff) | (bytes(base + 1) << 8)).toShort.toInt
+        var idx = math.max(0, math.min(88, bytes(base + 2) & 0xff))
+        out(o) = pred; o += 1
+        val nNibbles = (blockAlign - 4) * 2
+        var k = 0
+        while (k < nNibbles) {
+          val packed = bytes(base + 4 + (k >> 1)) & 0xff
+          val d = if ((k & 1) == 0) packed & 0x0f else (packed >> 4) & 0x0f
+          val r = step(pred, idx, d)
+          pred = r._1; idx = r._2
+          out(o) = pred; o += 1
+          k += 1
+        }
+        b += 1
+      }
+      out
+    } else {
+      val groups = (blockAlign - 4 * channels) / (4 * channels)
+      val perChan = 1 + groups * 8
+      val out = new Array[Int](nBlocks * perChan * channels)
+      val pred = new Array[Int](channels)
+      val idx = new Array[Int](channels)
+      var b = 0
+      while (b < nBlocks) {
+        val base = dataOff + b * blockAlign
+        val fo = b * perChan * channels // this block's first output frame
+        var c = 0
+        while (c < channels) {
+          val h = base + 4 * c
+          pred(c) = ((bytes(h) & 0xff) | (bytes(h + 1) << 8)).toShort.toInt
+          idx(c) = math.max(0, math.min(88, bytes(h + 2) & 0xff))
+          out(fo + c) = pred(c)
+          c += 1
+        }
+        var g = 0
+        while (g < groups) {
+          c = 0
+          while (c < channels) {
+            val wb = base + 4 * channels + (g * channels + c) * 4
+            var k = 0
+            while (k < 8) {
+              val packed = bytes(wb + (k >> 1)) & 0xff
+              val d = if ((k & 1) == 0) packed & 0x0f else (packed >> 4) & 0x0f
+              val r = step(pred(c), idx(c), d)
+              pred(c) = r._1; idx(c) = r._2
+              // frame g*8 + k + 1 of channel c, interleaved
+              out(fo + (g * 8 + k + 1) * channels + c) = pred(c)
+              k += 1
+            }
+            c += 1
+          }
+          g += 1
+        }
+        b += 1
+      }
+      out
+    }
   }
 
   /** MS ADPCM adaptation table (indexed by the unsigned nibble) and the
@@ -658,6 +714,38 @@ object Multimodal {
 
   def syntheticAdpcmBlobs(spark: SparkSession, df: DataFrame): DataFrame =
     blobTable(spark, df, syntheticWavAdpcm)
+
+  /** A deterministic STEREO IMA ADPCM clip: one block of
+    * ba = 8 + 8·(4 + docId mod 3) bytes (two 4-byte channel headers +
+    * (ba−8)/8 word groups → perChan = 1 + (ba−8) samples per channel).
+    * Channel c header: predictor = ((2731·docId + 911·c) mod 4096) −
+    * 2048, step index = (13·docId + 7·c) mod 89; per-channel nibble
+    * k = (7·docId + 3·c + 13·k) mod 16, packed low-first into that
+    * channel's alternating 4-byte words. Pure-integer walk — the oracle
+    * replays both channels as one recursive SQL fold keyed by (doc,
+    * channel) and interleaves by global frame index. */
+  def syntheticWavImaStereo(docId: Long): Array[Byte] = {
+    val ba = 8 + 8 * (4 + java.lang.Math.floorMod(docId, 3L).toInt)
+    val sr = 8000 + java.lang.Math.floorMod(docId, 4L).toInt * 2000
+    val buf = wavHeader(fmt = 0x11, ch = 2, sr = sr, bits = 4,
+      dataLen = ba, blockAlignOverride = ba)
+    for (c <- 0 until 2) {
+      buf.putShort((java.lang.Math.floorMod(docId * 2731 + c * 911, 4096L) - 2048L).toShort)
+      buf.put(java.lang.Math.floorMod(docId * 13 + c * 7, 89L).toByte)
+      buf.put(0.toByte)
+    }
+    val groups = (ba - 8) / 8
+    for (g <- 0 until groups; c <- 0 until 2; w <- 0 until 4) {
+      val k = g * 8 + 2 * w
+      val lo = java.lang.Math.floorMod(docId * 7 + c * 3 + k * 13, 16L).toInt
+      val hi = java.lang.Math.floorMod(docId * 7 + c * 3 + (k + 1) * 13, 16L).toInt
+      buf.put((lo | (hi << 4)).toByte)
+    }
+    buf.array()
+  }
+
+  def syntheticImaStereoBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticWavImaStereo)
 
   /** A deterministic MS ADPCM clip (format 2): mono,
     * sr = 8000 + (docId mod 3)·4000, ONE block of

@@ -676,7 +676,8 @@ class OperatorsSpec extends AnyFunSuite {
       adpcmWav(6, Seq((1000, 0, Seq(8, 8, 8, 8)), (-2000, 0, Seq(8, 8, 8, 8))),
         dataLen = 9)).get
     assert(cut.n_frames == 5L && cut.features(2) == (1000.0 / 32768).toFloat)
-    // stereo ADPCM is out of scope and must reject, not garble
+    // a stereo flag with a mono-sized blockAlign (6 < 2 headers + any
+    // data) is malformed and must reject, not garble
     assert(Multimodal.decodeWav(1L,
       adpcmWav(6, Seq((0, 0, Seq(8, 8, 8, 8))), channels = 2)).isEmpty)
     // fixture round-trip: header fields come from the generator formulas
@@ -685,6 +686,56 @@ class OperatorsSpec extends AnyFunSuite {
       val ba = 100 + (id % 3).toInt * 32
       assert(m.n_frames == 1L + (ba - 4) * 2, s"id=$id")
       assert(m.sample_rate == 8000 + (id % 4).toInt * 2000 && m.bits_per_sample == 4)
+    }
+  }
+
+  test("WAV parser: stereo IMA ADPCM interleaves per-channel word groups") {
+    // two channel headers then alternating 4-byte words (8 nibbles per
+    // word, low-first), one group here
+    def stereoWav(preds: (Int, Int), idxs: (Int, Int),
+        nibsL: Seq[Int], nibsR: Seq[Int]): Array[Byte] = {
+      val groups = nibsL.length / 8
+      val ba = 8 + groups * 8
+      val buf = java.nio.ByteBuffer.allocate(44 + ba)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + ba).put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(0x11).putShort(2).putInt(8000)
+        .putInt(4055).putShort(ba.toShort).putShort(4)
+      buf.put("data".getBytes("US-ASCII")).putInt(ba)
+      buf.putShort(preds._1.toShort).put(idxs._1.toByte).put(0.toByte)
+      buf.putShort(preds._2.toShort).put(idxs._2.toByte).put(0.toByte)
+      for (g <- 0 until groups; ch <- 0 until 2) {
+        val nibs = if (ch == 0) nibsL else nibsR
+        for (w <- 0 until 4)
+          buf.put((nibs(g * 8 + 2 * w) | (nibs(g * 8 + 2 * w + 1) << 4)).toByte)
+      }
+      buf.array()
+    }
+    // step-7 all-8 nibbles freeze both predictors at their headers:
+    // frames = 1 + 8 per channel, 18 interleaved samples
+    val froze = Multimodal.decodeWav(1L,
+      stereoWav((1000, -500), (0, 0), Seq.fill(8)(8), Seq.fill(8)(8))).get
+    assert(froze.channels == 2 && froze.n_frames == 9L && froze.bits_per_sample == 4)
+    assert(froze.features(0) == ((9 * 1000.0 - 9 * 500) / 32768 / 18).toFloat)
+    assert(froze.features(2) == (1000.0 / 32768).toFloat)
+    assert(froze.features(3) == 0.0f) // channel-0 frames never cross zero
+    // each interleaved third holds 3 L + 3 R samples
+    assert(froze.features(5) == ((3 * 1000.0 + 3 * 500) / 6 / 32768).toFloat)
+    // independent per-channel state: the left walk moves (hand-walked
+    // 0→82→71→61→52→44→37→31→25 from step index 24), the right freezes
+    // at 100 — the peak must be the right's 100, not a cross-wired mix
+    val walk = Multimodal.decodeWav(1L,
+      stereoWav((0, 100), (24, 0), Seq(4, 8, 8, 8, 8, 8, 8, 8), Seq.fill(8)(8))).get
+    assert(walk.features(2) == (100.0 / 32768).toFloat)
+    val sumL = 0 + 82 + 71 + 61 + 52 + 44 + 37 + 31 + 25
+    assert(walk.features(0) == ((sumL + 9 * 100.0) / 32768 / 18).toFloat)
+    // fixture round-trip against the generator formulas
+    for (id <- Seq(0L, 1L, 2L, 4L)) {
+      val m = Multimodal.decodeWav(id, Multimodal.syntheticWavImaStereo(id)).get
+      val ba = 8 + 8 * (4 + (id % 3).toInt)
+      assert(m.channels == 2 && m.n_frames == (ba - 7).toLong, s"id=$id")
+      assert(m.sample_rate == 8000 + (id % 4).toInt * 2000)
     }
   }
 
