@@ -102,6 +102,12 @@ object MicroBench {
             when(operators.Bloom.bloomMightContain(g, lit(filt)), 1L).otherwise(0L)).as("c"))
         .selectExpr("max(c)").collect()
     }
+    // hashed linear classifier over the same 12-token docs: 23 features
+    // (12 unigrams + 11 bigrams), each FNV-1a + 2 splitmix rounds
+    bench("hashed_linear_score(split(t)) [fused kernel]", nT) {
+      text.select(operators.hashed_linear_score(split(col("t"), " "), 1 << 20).as("s"))
+        .selectExpr("max(s.wsum)").collect()
+    }
     spark.stop()
   }
 }

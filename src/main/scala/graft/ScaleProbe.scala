@@ -72,6 +72,13 @@ object ScaleProbe {
         .selectExpr("max(length(c))").collect()
     }
 
+    // hashed linear classifier: 60-token docs → 119 features each, one
+    // narrow scan — the probe pins scan-speed (linear) scaling
+    time(s"quality classifier, $nDocs docs") {
+      operators.TextOps.qualityClassify(docs, "doc_id", "text")
+        .selectExpr("sum(CASE WHEN keep THEN 1 ELSE 0 END)", "avg(score)").collect()
+    }
+
     // line dedup probe: re-line every 8 tokens; the planted near-dups
     // share 7 of 8 aligned lines with their source doc, so the common-line
     // set is ~nDocs/20 * 7 lines — the broadcast side the plan relies on
