@@ -88,6 +88,8 @@ object Examples {
       .groupBy("source").count().orderBy("source").show()
     println("-- char-n-gram language ID --")
     docs.select(col("doc_id"), TextOps.langIdNgram(col("text")).as("ng_lang")).show(3)
+    println("-- fastText-style hashed linear quality classifier --")
+    TextOps.qualityClassify(docs, "doc_id", "text").show(3)
     spark.sql("""SELECT 'mail me at a@b.io or +1-555 123 4567' AS t""")
       .select(TextOps.redactPii(col("t")).as("clean")).show(false)
     TextOps.corpusStats(docs, "text").show(false)
@@ -161,6 +163,10 @@ object Examples {
     Multimodal.decodeAudioFeatures(spark,
       Multimodal.syntheticLawBlobs(spark, ids)).toDF()
       .select("doc_id", "bits_per_sample", "n_frames").show(2)
+    println("-- stereo IMA ADPCM: interleaved per-channel state walks --")
+    Multimodal.decodeAudioFeatures(spark,
+      Multimodal.syntheticImaStereoBlobs(spark, ids)).toDF()
+      .select("doc_id", "channels", "bits_per_sample", "n_frames").show(2)
     Multimodal.decodeAudioFeatures(spark,
       Multimodal.synthetic24Blobs(spark, ids)).toDF()
       .select("doc_id", "bits_per_sample", "n_frames").show(2)
