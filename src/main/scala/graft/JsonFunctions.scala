@@ -75,6 +75,7 @@ object JsonFunctions {
         litLong(es(2), "salt"), litInt(es(3), "shift"), litInt(es(4), "buckets"))),
       "mix64" -> (es => Mix64(es(0), litLong(es(1), "salt"))),
       "gram_rep_stats" -> (es => GramRepStats(es(0), litInt(es(1), "gram size"))),
+      "hashed_linear_score" -> (es => HashedLinearScore(es(0), litInt(es(1), "buckets"))),
       // aggregate: the analyzer wraps a bare AggregateFunction from the
       // registry in an AggregateExpression during function resolution
       "bloom_build" -> (es => BloomBuildAgg(es(0),

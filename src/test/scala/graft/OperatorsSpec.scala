@@ -836,6 +836,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) == 0xa430d84680aabd0bL)
     assert(r.getDouble(3) == 1.0)
+    // hashed_linear_score from SQL equals the Column-API kernel
+    val h = spark.sql(
+      "select hashed_linear_score(array('a', 'b'), 1048576) st").collect()(0)
+      .getStruct(0)
+    val viaCol = spark.range(1)
+      .select(operators.hashed_linear_score(
+        typedlit(Seq("a", "b")), 1 << 20).as("st"))
+      .collect()(0).getStruct(0)
+    assert(h.getLong(0) == 3L && h == viaCol)
   }
 
   test("multimodal resize + frame sampling plumbing") {
