@@ -90,6 +90,12 @@ object Examples {
     docs.select(col("doc_id"), TextOps.langIdNgram(col("text")).as("ng_lang")).show(3)
     println("-- fastText-style hashed linear quality classifier --")
     TextOps.qualityClassify(docs, "doc_id", "text").show(3)
+    println("-- trained NB: distill the stopword-ratio rule into a model --")
+    TextOps.nbClassify(
+      docs.where(col("doc_id") % 2 =!= 0),
+      docs.where(col("doc_id") % 2 === 0)
+        .withColumn("y", TextOps.stopwordRatio(col("text")) >= 0.06),
+      "doc_id", "text", "y").show(3)
     spark.sql("""SELECT 'mail me at a@b.io or +1-555 123 4567' AS t""")
       .select(TextOps.redactPii(col("t")).as("clean")).show(false)
     TextOps.corpusStats(docs, "text").show(false)

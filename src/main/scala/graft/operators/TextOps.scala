@@ -407,6 +407,95 @@ object TextOps {
         (score > lit(threshold)).as("keep"))
   }
 
+  /** Hashed unigram + adjacent-bigram feature buckets of a text column:
+    * `(id, pos, b)` rows where pos enumerates the features in document
+    * order (n unigrams then n−1 bigrams) and
+    * b = splitmix64(fnv1a64(feature)) & (buckets−1) — the SAME feature
+    * space as [[qualityClassify]]'s fused kernel, exposed row-wise for
+    * operators that need per-feature access (training counts, scoring
+    * joins). `buckets` must be a power of two. */
+  private def featureBuckets(
+      df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    // sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
+    // single-token case explicitly
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), posexplode(concat(toks, bigrams)).as(Seq("pos", "f")))
+      .select(col("id"), col("pos"),
+        graft.operators.mix64(graft.operators.fnv1a64(col("f")), 0L)
+          .bitwiseAND(lit(buckets.toLong - 1)).as("b"))
+  }
+
+  /** TRAINED model-based filtering: multinomial Naive Bayes with
+    * add-one smoothing over the hashed unigram+bigram bucket space,
+    * trained on a labeled reference slice (`labelCol`: boolean on
+    * `ref`) and applied to the corpus — the classical fastText/CCNet
+    * companion where [[qualityClassify]]'s fixed weights are replaced
+    * by weights LEARNED from data. With V = distinct observed training
+    * buckets + 1 (the unseen class — the same smoothing convention as
+    * [[lmPerplexity]]; smoothing by the full bucket count B would
+    * drown small-corpus counts and degenerate to the prior), per
+    * bucket b:
+    * w(b) = (ln(pos_b+1) − ln(posN+V)) − (ln(neg_b+1) − ln(negN+V)),
+    * score = Σ_features w(bucket) + ln(nPos+1) − ln(nNeg+1),
+    * keep = round(score, 4) > 0.
+    *
+    * Determinism across engines: every ln argument is an exact integer
+    * (add-one counts), the per-document sum folds in feature-position
+    * order (sort_array + sequential `aggregate` — the q_lm_ppl
+    * convention), and the reported score rounds to 4 decimals.
+    *
+    * Scale shape: training counts are one bucket-keyed partial-agg
+    * groupBy over the (small) reference; the weight table is ≤ B rows
+    * and BROADCASTS to the corpus-side feature join (AQE would pick it
+    * anyway; pinned explicitly); the only wide operation over the
+    * corpus is the per-document groupBy, AQE-splittable. */
+  def nbClassify(
+      corpus: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int = 1 << 16): DataFrame = {
+    val labels = ref.select(col(idCol).as("id"), col(labelCol).cast("boolean").as("y"))
+    val cnt = featureBuckets(ref, idCol, textCol, buckets)
+      .join(labels, "id")
+      .groupBy("b")
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("pc"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("nc"))
+    val tot = cnt.agg(sum(col("pc")).as("pn"), sum(col("nc")).as("nn"),
+      (count(lit(1)) + lit(1L)).as("vocab"))
+    val pri = labels.agg(
+      (log((sum(when(col("y"), 1L).otherwise(0L)) + lit(1L)).cast("double")) -
+        log((sum(when(col("y"), 0L).otherwise(1L)) + lit(1L)).cast("double"))).as("prior"))
+    val w =
+      (log((coalesce(col("pc"), lit(0L)) + lit(1L)).cast("double")) -
+        log((col("pn") + col("vocab")).cast("double"))) -
+      (log((coalesce(col("nc"), lit(0L)) + lit(1L)).cast("double")) -
+        log((col("nn") + col("vocab")).cast("double")))
+    val score =
+      aggregate(transform(col("arr"), x => x.getField("w")),
+        lit(0.0), (a, x) => a + x) + col("prior")
+    featureBuckets(corpus, idCol, textCol, buckets)
+      .join(broadcast(cnt), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(pri))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sort_array(collect_list(struct(col("pos"), w.as("w")))).as("arr"),
+        max(col("prior")).as("prior"))
+      .select(col("id").as(idCol), col("n_feats"),
+        round(score, 4).as("score"),
+        (round(score, 4) > lit(0.0)).as("keep"))
+  }
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

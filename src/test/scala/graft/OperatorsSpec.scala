@@ -1099,6 +1099,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2)._2 == 1L && out(2)._3 == w(""))
   }
 
+  test("nbClassify matches hand-computed add-one log-odds") {
+    val s = spark
+    import s.implicits._
+    // training: "good good" (pos) has features {good×2, 'good good'},
+    // "bad bad" (neg) {bad×2, 'bad bad'} → pn = nn = 3, V = 4+1,
+    // prior = ln(2) − ln(2) = 0
+    val ref = Seq((1L, "good good", true), (2L, "bad bad", false))
+      .toDF("doc_id", "text", "y")
+    val docs = Seq((10L, "good"), (11L, "bad"), (12L, "new"))
+      .toDF("doc_id", "text")
+    val out = TextOps.nbClassify(docs, ref, "doc_id", "text", "y")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // "good": w = (ln 3 − ln 8) − (ln 1 − ln 8) = ln 3
+    val ln3 = BigDecimal(math.log(3.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(0) == ((10L, 1L, ln3.toDouble, true)))
+    // "bad": the mirror image — −ln 3, filtered
+    assert(out(1) == ((11L, 1L, -ln3.toDouble, false)))
+    // unseen feature: w = 0, round(0) > 0 is false
+    assert(out(2) == ((12L, 1L, 0.0, false)))
+  }
+
   test("lmPerplexity matches hand-computed add-one bigram probabilities") {
     val s = spark
     import s.implicits._

@@ -148,6 +148,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("nbClassify: weight table broadcasts to the corpus feature join") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.TextOps.nbClassify(
+      d.where(col("doc_id") % 2 =!= 0),
+      d.where(col("doc_id") % 2 === 0)
+        .withColumn("y", graft.operators.TextOps.stopwordRatio(col("text")) >= 0.06),
+      "doc_id", "text", "y")
+    val plan = out.queryExecution.executedPlan.toString
+    // the ≤B-row weight table reaches the corpus features as a broadcast
+    // (never a sort-merge shuffle of the exploded corpus side)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("PQ ADC scan: narrow encode+score, top-k merge, no vector shuffle") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
