@@ -412,7 +412,9 @@ object Multimodal {
       bytes: Array[Byte], dataOff: Int, dataLen: Int, blockAlign: Int,
       channels: Int = 1): Array[Int] = {
     val nBlocks = dataLen / blockAlign
-    def step(pred0: Int, idx0: Int, d: Int): (Int, Int) = {
+    // packed (pred << 32 | idx) return — a Tuple2 here would allocate
+    // once per decoded nibble in the hot loop
+    def step(pred0: Int, idx0: Int, d: Int): Long = {
       val s = ImaStepTable(idx0)
       var diff = s >> 3
       if ((d & 1) != 0) diff += s >> 2
@@ -422,7 +424,7 @@ object Multimodal {
       if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
       var idx = idx0 + ImaIndexTable(d)
       if (idx < 0) idx = 0 else if (idx > 88) idx = 88
-      (pred, idx)
+      (pred.toLong << 32) | idx.toLong
     }
     if (channels == 1) {
       val perBlock = 1 + (blockAlign - 4) * 2
@@ -440,7 +442,7 @@ object Multimodal {
           val packed = bytes(base + 4 + (k >> 1)) & 0xff
           val d = if ((k & 1) == 0) packed & 0x0f else (packed >> 4) & 0x0f
           val r = step(pred, idx, d)
-          pred = r._1; idx = r._2
+          pred = (r >> 32).toInt; idx = r.toInt
           out(o) = pred; o += 1
           k += 1
         }
@@ -475,7 +477,7 @@ object Multimodal {
               val packed = bytes(wb + (k >> 1)) & 0xff
               val d = if ((k & 1) == 0) packed & 0x0f else (packed >> 4) & 0x0f
               val r = step(pred(c), idx(c), d)
-              pred(c) = r._1; idx(c) = r._2
+              pred(c) = (r >> 32).toInt; idx(c) = r.toInt
               // frame g*8 + k + 1 of channel c, interleaved
               out(fo + (g * 8 + k + 1) * channels + c) = pred(c)
               k += 1

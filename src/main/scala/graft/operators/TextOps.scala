@@ -418,14 +418,9 @@ object TextOps {
       df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
-    val toks = split(coalesce(col(textCol), lit("")), " ")
-    // sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
-    // single-token case explicitly
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), posexplode(concat(toks, bigrams)).as(Seq("pos", "f")))
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    df.select(col(idCol).as("id"),
+        posexplode(concat(toks, slidingGrams(toks, 2))).as(Seq("pos", "f")))
       .select(col("id"), col("pos"),
         graft.operators.mix64(graft.operators.fnv1a64(col("f")), 0L)
           .bitwiseAND(lit(buckets.toLong - 1)).as("b"))
@@ -485,12 +480,14 @@ object TextOps {
     featureBuckets(corpus, idCol, textCol, buckets)
       .join(broadcast(cnt), Seq("b"), "left")
       .crossJoin(broadcast(tot))
-      .crossJoin(broadcast(pri))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_feats"),
-        sort_array(collect_list(struct(col("pos"), w.as("w")))).as("arr"),
-        max(col("prior")).as("prior"))
+        sort_array(collect_list(struct(col("pos"), w.as("w")))).as("arr"))
+      // the 1-row prior attaches AFTER the per-doc aggregate — carrying
+      // it through the exploded feature rows would add a column to the
+      // corpus-wide wide stage for a scalar
+      .crossJoin(broadcast(pri))
       .select(col("id").as(idCol), col("n_feats"),
         round(score, 4).as("score"),
         (round(score, 4) > lit(0.0)).as("keep"))
