@@ -79,6 +79,18 @@ object ScaleProbe {
         .selectExpr("sum(CASE WHEN keep THEN 1 ELSE 0 END)", "avg(score)").collect()
     }
 
+    // trained NB: corpus-side feature explode + broadcast weight join +
+    // per-doc ordered fold (the lmPerplexity plan shape); the label here
+    // is metadata — the probe times the plan, not model quality
+    time(s"trained NB classifier, $nDocs docs") {
+      operators.TextOps.nbClassify(
+          docs.where(col("doc_id") % 2 =!= 0),
+          docs.where(col("doc_id") % 2 === 0)
+            .withColumn("y", col("doc_id") % 3 === 0),
+          "doc_id", "text", "y")
+        .selectExpr("sum(CASE WHEN keep THEN 1 ELSE 0 END)", "avg(score)").collect()
+    }
+
     // line dedup probe: re-line every 8 tokens; the planted near-dups
     // share 7 of 8 aligned lines with their source doc, so the common-line
     // set is ~nDocs/20 * 7 lines — the broadcast side the plan relies on
