@@ -113,6 +113,11 @@ object Examples {
       .where(col("contaminated")).show(3)
     Curation.assignShards(docs.select(col("doc_id")), "doc_id", numShards = 4)
       .groupBy("shard").count().orderBy("shard").show()
+    println("-- incremental ingestion dedup: new digests only --")
+    Dedup.incrementalDedup(
+      docs.select(col("doc_id"), col("text")),
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text")
+      .orderBy(col("doc_id")).show(3)
 
     println("== 9. Temporal joins: as-of (backward/forward/nearest/broadcast), range, interval ==")
     val ev = sources.Tables.readTable(spark, s"$sfDir/events.parquet")

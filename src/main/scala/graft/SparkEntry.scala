@@ -322,6 +322,21 @@ object SparkEntry {
         .select(col("doc_id"), operators.Dedup.simhash(col("text")).as("sh"))
         .orderBy(col("doc_id"))),
 
+    // incremental ingestion dedup: the batch is the corpus unioned with
+    // an id-shifted copy of itself (planted within-batch duplicates —
+    // the window keeps the original id) and the seen side holds the
+    // 1-in-3 slice's texts (planted cross-batch collisions — the
+    // anti-join drops them)
+    "q_incr_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      operators.Dedup.incrementalDedup(
+          d.select(col("doc_id"), col("text"))
+            .unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+          d.where(col("doc_id") % 3 === 0),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup candidate pairs (shingle→sig→band→bucket-join)
     "q_minhash_lsh" -> ((s, dir) =>
       operators.Dedup.minhashCandidatePairs(
@@ -1557,6 +1572,19 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
         | FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin.replaceAll("\n", " "),
+
+    // incremental dedup replica: same planted batch (union + id shift),
+    // window keeper, NOT EXISTS anti-join against the seen digests
+    "q_incr_dedup" ->
+      """WITH inc AS (SELECT doc_id, md5(text) AS digest FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents),
+        | sn AS (SELECT md5(text) AS digest FROM documents WHERE doc_id % 3 = 0),
+        | keepb AS (SELECT doc_id, digest FROM
+        |  (SELECT doc_id, digest, min(doc_id) OVER (PARTITION BY digest) AS m FROM inc)
+        |  WHERE doc_id = m)
+        | SELECT doc_id, digest FROM keepb k
+        | WHERE NOT EXISTS (SELECT 1 FROM sn WHERE sn.digest = k.digest)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // duplicate spans: identical token-gram construction (string_split
     // parity incl. empty tokens; 1-based slice == 0-based window), same
     // min<>max cross-doc rule, same gaps-and-islands run merge

@@ -30,6 +30,39 @@ object Dedup {
       .groupBy(col("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Incremental exact dedup for append-style ingestion: of an incoming
+    * batch, keep exactly the rows whose content digest is NEW — absent
+    * from the already-ingested `seen` corpus AND not claimed by a
+    * smaller-id row of the same batch (the [[exactDuplicates]] keeper
+    * rule). Returns the surviving `(idCol, digest)` rows — ready to
+    * append to the corpus and to the persisted digest side for the next
+    * batch.
+    *
+    * Scale shape: one digest-keyed window over the incoming batch (the
+    * small side of ingestion) plus one LEFT ANTI equi-join against the
+    * seen digests — the join shuffles one digest row per seen doc,
+    * never corpus text. For very large seen sets, prescreen with
+    * [[graft.operators.Bloom]] and anti-join only the maybes, or
+    * bucket the persisted digest layout by digest so the join
+    * co-locates without an Exchange (sources.Tables bucketing). */
+  def incrementalDedup(
+      incoming: DataFrame,
+      seen: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inc = incoming.select(col(idCol),
+      md5(col(textCol).cast("binary")).as("digest"))
+    val batchKeep = inc
+      .withColumn("__min_id", min(col(idCol)).over(Window.partitionBy("digest")))
+      .where(col(idCol) === col("__min_id"))
+      .drop("__min_id")
+    batchKeep.join(
+      seen.select(md5(col(textCol).cast("binary")).as("digest")),
+      Seq("digest"), "left_anti")
+      .select(col(idCol), col("digest"))
+  }
+
   /** Whitespace tokens → n-token shingles (distinct). */
   def shingles(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")

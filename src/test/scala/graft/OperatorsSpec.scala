@@ -1099,6 +1099,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2)._2 == 1L && out(2)._3 == w(""))
   }
 
+  test("incrementalDedup keeps only new digests, smallest id within batch") {
+    val s = spark
+    import s.implicits._
+    val incoming = Seq((2L, "a"), (1L, "a"), (3L, "x"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val seen = Seq((100L, "x")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, seen, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // "a" keeps the smaller id 1; "x" is already seen; "b" is new
+    assert(out.map(_._1).toSeq == Seq(1L, 4L))
+    assert(out(0)._2 == java.security.MessageDigest.getInstance("MD5")
+      .digest("a".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("nbClassify matches hand-computed add-one log-odds") {
     val s = spark
     import s.implicits._
