@@ -965,6 +965,17 @@ object SparkEntry {
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // REAL inter-frame video: MS-RLE8 delta frames inside an AVI/RIFF
+    // container — skipped pixels retain the previous frame's content, and
+    // the oracle replays that latest-writer carry rule per (frame, row)
+    // straight from the generator formula (RLE8 is lossless over indices)
+    "q_video_rle" -> ((s, dir) =>
+      operators.Multimodal.sampleAviFrames(s,
+          operators.Multimodal.syntheticAviBlobs(s, table(s, dir, "documents")),
+          stride = 2)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // multimodal resize + frame-sample plumbing (deterministic stubs);
     // binary payloads are md5-projected so both engines compare hex digests
     "q_mm_resize" -> ((s, dir) =>
@@ -2523,6 +2534,30 @@ object SparkEntry {
         | px AS (SELECT doc_id, f, x, unnest(range(16)) AS y FROM xs),
         | pc AS (SELECT doc_id, f,
         |   (doc_id * 31 + f * 97 + x * 7 + y * 13) % 64 AS idx FROM px)
+        | SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(sum(85 * (idx % 4)) AS BIGINT) AS sum_r,
+        |  CAST(sum(85 * ((idx // 4) % 4)) AS BIGINT) AS sum_g,
+        |  CAST(sum(85 * ((idx // 16) % 4)) AS BIGINT) AS sum_b
+        | FROM pc GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+
+    // inter-frame replica WITHOUT decoding AVI: each pixel of sampled
+    // frame f shows the LATEST frame g <= f whose 4-row delta band
+    // covered its row (the keyframe g=0 if none) — the carry rule the
+    // RLE8 delta escapes implement — then expands through the palette
+    "q_video_rle" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+        | fr AS (SELECT doc_id, unnest(range(0, nf, 2)) AS f FROM d),
+        | xs AS (SELECT doc_id, f, unnest(range(24)) AS x FROM fr),
+        | px AS (SELECT doc_id, f, x, unnest(range(16)) AS y FROM xs),
+        | wr AS (SELECT p.doc_id, p.f, p.x, p.y, coalesce(max(w.g), 0) AS g
+        |   FROM px p LEFT JOIN (SELECT unnest(range(1, 8)) AS g) w
+        |     ON w.g <= p.f AND p.y - ((5 * w.g) % 13) BETWEEN 0 AND 3
+        |   GROUP BY p.doc_id, p.f, p.x, p.y),
+        | pc AS (SELECT doc_id, f,
+        |   (doc_id * 31 + g * 97
+        |    + (CASE WHEN y % 4 = 3 THEN 0 ELSE x * 7 END) + y * 13) % 64 AS idx
+        |  FROM wr)
         | SELECT doc_id, CAST(f AS INT) AS frame_idx,
         |  CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
         |  CAST(sum(85 * (idx % 4)) AS BIGINT) AS sum_r,

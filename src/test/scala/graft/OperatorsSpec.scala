@@ -442,6 +442,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(junk.count() == 0L)
   }
 
+  test("real AVI RLE8 decode: inter-frame deltas match the carry formula") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 3L, 11L)
+    val got = Multimodal.sampleAviFrames(s,
+        Multimodal.syntheticAviBlobs(s, ids.toDF("doc_id")), stride = 2)
+      .collect().groupBy(_.doc_id)
+    for (id <- ids) {
+      val nf = 4 + java.lang.Math.floorMod(id, 5L).toInt
+      val frames = got(id).sortBy(_.frame_idx)
+      assert(frames.map(_.frame_idx).toSeq == (0 until nf by 2).toSeq)
+      for (fr <- frames) {
+        assert(fr.width == Multimodal.AviW && fr.height == Multimodal.AviH)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until Multimodal.AviH; x <- 0 until Multimodal.AviW) {
+          // independent carry re-derivation: the latest frame <= f whose
+          // 4-row band covered y wrote this pixel (frame 0 covers all)
+          val g = (1 to fr.frame_idx)
+            .filter(fp => y >= (5 * fp) % 13 && y <= (5 * fp) % 13 + 3)
+            .lastOption.getOrElse(0)
+          val idx = java.lang.Math.floorMod(
+            id * 31 + g * 97 + (if (y % 4 == 3) 0 else x * 7) + y * 13, 64L).toInt
+          sr += 85 * (idx % 4); sg += 85 * (idx / 4 % 4); sb += 85 * (idx / 16 % 4)
+        }
+        assert(fr.sum_r == sr && fr.sum_g == sg && fr.sum_b == sb,
+          s"id=$id frame=${fr.frame_idx} sums diverged from the carry formula")
+      }
+      // delta frames really differ from a keyframe-only read: frame 2's
+      // sums must NOT equal a full re-render of frame 2 alone (the carry
+      // keeps older rows), unless no band ever overlapped — guard with
+      // one spot check on id=3 frame 2, y outside band(1) and band(2)
+      if (id == 3L) {
+        val fr2 = frames.find(_.frame_idx == 2).get
+        var full = 0L
+        for (y <- 0 until Multimodal.AviH; x <- 0 until Multimodal.AviW) {
+          val idx = java.lang.Math.floorMod(
+            id * 31 + 2 * 97 + (if (y % 4 == 3) 0 else x * 7) + y * 13, 64L).toInt
+          full += 85 * (idx % 4)
+        }
+        assert(fr2.sum_r != full,
+          "frame 2 should carry frame-0/1 rows, not be a full re-render")
+      }
+    }
+    // non-AVI and truncated blobs yield no frames, not garbage
+    val junk = Multimodal.sampleAviFrames(s,
+      Seq((7L, "not an avi".getBytes),
+        (8L, java.util.Arrays.copyOf(Multimodal.syntheticAviRle(1L), 60)))
+        .toDF("doc_id", "blob"))
+    assert(junk.count() == 0L)
+  }
+
   test("real WAV decode: header and features match the generator formula") {
     val s = spark
     import s.implicits._
