@@ -269,6 +269,13 @@ object SparkEntry {
           operators.TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Okapi BM25 keyword retrieval: exact top-k for a 4-term query, two
+    // corpus scans + a broadcast stats row, no inverted index; the oracle
+    // replays the identical IEEE scoring arithmetic term by term
+    "q_bm25" -> ((s, dir) =>
+      operators.TextOps.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "vector", "stream"), k = 25)),
+
     "q_lang_stats" -> ((s, dir) =>
       table(s, dir, "documents")
         .groupBy(col("lang"))
@@ -1678,6 +1685,36 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '" +
         operators.TextOps.BpeTokenPattern.replace("'", "''") +
         "')) AS BIGINT) AS bpe_tokens FROM documents ORDER BY doc_id"),
+    // BM25 replica: per-doc (dl, tf_t) from the same whitespace tokens,
+    // one corpus-stats row (N, Σdl, df_t), then the IDENTICAL IEEE
+    // arithmetic shape per term — unreduced literals like (1.2 + 1.0)
+    // keep both engines computing the same float op sequence
+    "q_bm25" -> {
+      val terms = Seq("spark", "join", "vector", "stream")
+      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(tk) - len(list_filter(tk, x -> x <> '$t')) AS BIGINT) AS tf$i"
+      }.mkString(", ")
+      val dfDefs = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(", ")
+      // idf as ln(2N+2) − ln(2df+1): integer ln arguments are the one
+      // form where JVM Math.log and libm ln agree bit-for-bit (a
+      // fractional quotient argument diverges in the last ulp)
+      val contribs = terms.indices.map { i =>
+        s"(ln(CAST(n AS DOUBLE) * 2.0 + 2.0) - ln(CAST(df$i AS DOUBLE) * 2.0 + 1.0))" +
+          s" * (CAST(tf$i AS DOUBLE) * (1.2 + 1.0)) / " +
+          s"(CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / " +
+          s"(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+      }.mkString(" + ")
+      s"WITH tq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        s"tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfDefs FROM tq), " +
+        s"st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, " +
+        s"$dfDefs FROM tf), " +
+        s"sc AS (SELECT doc_id, $contribs AS score FROM tf CROSS JOIN st) " +
+        s"SELECT doc_id, score FROM sc WHERE score > 0.0 " +
+        s"ORDER BY score DESC, doc_id LIMIT 25"
+    },
+
     "q_lang_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -151,6 +151,77 @@ object TextOps {
       regexp_replace(textCol, EmailPattern, marker),
       PhonePattern, marker)
 
+  /** Okapi BM25 keyword retrieval: the exact top-k corpus documents for a
+    * small bag of query terms — the lexical-search complement to the
+    * embedding ANN family (quality-targeted corpus selection, eval-set
+    * mining, "find me docs about X" curation queries).
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), summed in query-term
+    * order. The idf is EVALUATED as ln(2N+2) − ln(2df+1) — the same
+    * quantity, but with exact-INTEGER ln arguments: JVM Math.log and
+    * libm ln agree bit-for-bit on integer arguments in the corpus-count
+    * range (verified over 1..200000; the four disagreeing values 9170 /
+    * 136837 / 141614 / 147674 are unreachable as 2N+2 or odd 2df+1 at
+    * any oracle scale), whereas a fractional argument like
+    * 1 + 106.5/394.5 diverges in the last ulp between the two log
+    * implementations. Every other operand is an exact integer (tf, dl)
+    * or a fully-specified IEEE op, so the DuckDB oracle replays scores
+    * bit-for-bit.
+    *
+    * Scale shape: NO inverted index is materialized — one narrow
+    * codegen'd scan computes per-doc (dl, tf_t) via `array_remove` size
+    * deltas (the term list is tiny and rides in the plan), one partial
+    * aggregate reduces to a single corpus-stats row (N, Σdl, df_t) that
+    * broadcast-joins back, and the top-k is a TakeOrdered (per-partition
+    * heaps, driver merges k rows). Two passes over the corpus, zero wide
+    * shuffles — at 100 TB the cost is two scans, not an index build.
+    * Ties break by doc id, so the returned set is deterministic. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"queryTerms must be distinct, got $queryTerms")
+    val terms = queryTerms.indices
+    val tk = tokens(col(textCol))
+    val withTf = df.select(
+      col(idCol).cast("long").as("doc_id") +:
+        size(tk).cast("long").as("__dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          // occurrences of t = length drop when every copy is removed —
+          // ArrayRemove is codegen'd, unlike the higher-order filter()
+          (size(tk) - size(array_remove(tk, lit(t)))).cast("long").as(s"__tf$i")
+        }: _*)
+    val stats = withTf.agg(
+      count(lit(1)).cast("long").as("__n"),
+      sum(col("__dl")).cast("long").as("__sdl") +:
+        terms.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).cast("long")
+            .as(s"__df$i")): _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val nD = col("__n").cast("double")
+    val avgdl = col("__sdl").cast("double") / nD
+    val dlD = col("__dl").cast("double")
+    def contrib(i: Int): Column = {
+      val tf = col(s"__tf$i").cast("double")
+      val dfT = col(s"__df$i").cast("double")
+      val idf = log(nD * lit(2.0) + lit(2.0)) - log(dfT * lit(2.0) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / avgdl))
+    }
+    scored.select(col("doc_id"),
+        terms.map(contrib).reduce(_ + _).as("score"))
+      .where(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Sequence packing for pretraining: assign documents to fixed
     * token-budget bins, the offset way (a running token count per shard;
     * bin = floor(offset / budget)), which is how packed sample files are

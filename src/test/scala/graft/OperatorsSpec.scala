@@ -442,6 +442,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(junk.count() == 0L)
   }
 
+  test("bm25TopK: exact top-k matches a naive per-doc reference scorer") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "spark join join stream alpha beta"),
+      (2L, "vector vector vector gamma"),
+      (3L, "alpha beta gamma delta"), // no query term → excluded
+      (4L, "spark spark spark spark join vector stream stream"),
+      (5L, "stream"),
+      (6L, "spark join vector stream"),
+      (7L, "join join join join join join join join join join"))
+    val terms = Seq("spark", "join", "vector", "stream")
+    val k1 = 1.2; val b = 0.75
+    // independent reference: naive in-memory BM25 over the same tokens
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = terms.map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      val df = toks.values.count(_.contains(t)).toDouble
+      val idf = math.log(n * 2.0 + 2.0) - math.log(df * 2.0 + 1.0)
+      idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * toks(id).size / avgdl))
+    }.reduce(_ + _)
+    val expected = corpus.map(_._1).map(id => (id, score(id)))
+      .filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(4)
+    val got = TextOps.bm25TopK(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", terms, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected, s"got $got expected $expected")
+    // zero-match docs never appear even when k exceeds the match count
+    val all = TextOps.bm25TopK(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", terms, k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 4L, 5L, 6L, 7L))
+  }
+
   test("real AVI RLE8 decode: inter-frame deltas match the carry formula") {
     val s = spark
     import s.implicits._

@@ -196,6 +196,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("ivf_pq_encode"), plan)
   }
 
+  test("bm25TopK: two scans, broadcast stats row, top-k merge, no index shuffle") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.TextOps.bm25TopK(
+      d, "doc_id", "text", Seq("spark", "join"), k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // no inverted index: the corpus is scanned exactly twice (stats pass
+    // + scoring pass); the 1-row stats side reaches the scorer as a
+    // broadcast and the top-k is per-partition heaps merged on the driver
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedupLines: common-line set broadcasts back against the corpus") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
