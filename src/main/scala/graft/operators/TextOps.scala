@@ -134,6 +134,92 @@ object TextOps {
   def bpeTokenCount(textCol: Column): Column =
     regexp_count(textCol, lit(BpeTokenPattern)).cast("long")
 
+  /** One learned BPE merge: rank, the fused pair, and its corpus-weighted
+    * adjacency count at the time it was chosen. */
+  case class BpeMerge(merge_idx: Int, lhs: String, rhs: String, pair_count: Long)
+
+  /** Greedy left-to-right application of one merge to a symbol sequence:
+    * scan once, fuse (l, r) whenever the current two symbols match, then
+    * continue AFTER the fused pair — so a run like a,a,a under merge
+    * (a,a) becomes (aa),a, and a,a,a,a,a becomes (aa),(aa),a. This is the
+    * published BPE semantics (Sennrich et al. 2016) and the oracle
+    * replays it as even-offset selection within consecutive-match
+    * islands. */
+  private[graft] def applyMerge(
+      syms: IndexedSeq[String], l: String, r: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** DISTRIBUTED BPE tokenizer training (byte-pair encoding merge
+    * learning, Sennrich et al. 2016 re-expressed Spark-first): learn
+    * `numMerges` merges from the corpus and return the merge table.
+    *
+    * The published algorithm's key scale property is that after ONE
+    * corpus scan (word → count), every iteration runs on the DISTINCT
+    * word vocabulary, which is orders of magnitude smaller than the
+    * corpus (Heaps' law: ~millions of distinct words for 100 TB of
+    * text). Each iteration: (1) adjacent-pair counts over the vocab,
+    * weighted by word frequency — a flatMap + one small shuffle on the
+    * pair key; (2) argmax pair, ties broken (count desc, lhs asc, rhs
+    * asc) so the learned table is deterministic; (3) greedy merge applied
+    * to each word's symbol sequence — a narrow distributed map. The
+    * corpus itself is touched exactly once; driver traffic is one
+    * (pair, count) row per iteration.
+    *
+    * Iterations chain `numMerges` narrow maps onto the vocab lineage —
+    * fine for the hundreds-of-merges range; production 32k-merge runs
+    * should periodically checkpoint the vocab like
+    * [[graft.operators.Dedup.duplicateClusters]] does. */
+  def bpeTrain(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int): Seq[BpeMerge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab: org.apache.spark.sql.Dataset[(IndexedSeq[String], Long)] =
+      df.select(explode(split(col(textCol), " ")).as("__w"))
+        .where(length(col("__w")) > 0)
+        .groupBy(col("__w")).agg(count(lit(1)).cast("long").as("__c"))
+        .as[(String, Long)]
+        .map { case (w, c) => (w.map(_.toString).toIndexedSeq, c) }
+    vocab.persist()
+    val merges = scala.collection.mutable.ArrayBuffer[BpeMerge]()
+    var it = 0
+    var exhausted = false
+    while (it < numMerges && !exhausted) {
+      val top = vocab.flatMap { case (syms, c) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, c))
+        }
+        .toDF("l", "r", "c")
+        .groupBy(col("l"), col("r")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word fused to one symbol
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(it, l, r, c)
+        val prev = vocab
+        vocab = vocab.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
+        vocab.persist()
+        vocab.count() // materialize before dropping the parent's cache
+        prev.unpersist()
+        it += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
   /** 64-bit FNV-1a content fingerprint (see Fnv1a64). */
   def fingerprint(textCol: Column): Column = fnv1a64(textCol)
 

@@ -442,6 +442,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(junk.count() == 0L)
   }
 
+  test("bpeTrain: merges match a sequential reference; greedy run fusing") {
+    val s = spark
+    import s.implicits._
+    // greedy run semantics: a,a,a,a,a under (a,a) → (aa),(aa),a
+    assert(TextOps.applyMerge("aaaaa".map(_.toString).toIndexedSeq, "a", "a") ==
+      IndexedSeq("aa", "aa", "a"))
+    assert(TextOps.applyMerge(IndexedSeq("x", "y", "x", "y"), "x", "y") ==
+      IndexedSeq("xy", "xy"))
+    val corpus = Seq(
+      "low low low lower lower newest newest newest newest widest widest",
+      "aaaaa aaaaa aaa low")
+    // sequential in-memory reference (Sennrich et al. alg. 1 shape)
+    def ref(k: Int): Seq[(Int, String, String, Long)] = {
+      var vocab: Map[IndexedSeq[String], Long] = corpus.flatMap(_.split(" "))
+        .filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, ws) => (w.map(_.toString).toIndexedSeq, ws.size.toLong) }
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var i = 0
+      var go = true
+      while (i < k && go) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, c) <- vocab; j <- 0 until syms.length - 1)
+          counts((syms(j), syms(j + 1))) =
+            counts.getOrElse((syms(j), syms(j + 1)), 0L) + c
+        if (counts.isEmpty) go = false
+        else {
+          val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((i, l, r, c))
+          vocab = vocab.map { case (sy, cn) => (TextOps.applyMerge(sy, l, r), cn) }
+          i += 1
+        }
+      }
+      out.toSeq
+    }
+    val got = TextOps.bpeTrain(corpus.toDF("text"), "text", numMerges = 6)
+      .map(m => (m.merge_idx, m.lhs, m.rhs, m.pair_count))
+    assert(got == ref(6), s"got $got expected ${ref(6)}")
+    // merge learning exhausts gracefully when every word is one symbol
+    val tiny = TextOps.bpeTrain(Seq("ab ab").toDF("text"), "text", numMerges = 10)
+    assert(tiny.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")))
+  }
+
   test("bm25TopK: exact top-k matches a naive per-doc reference scorer") {
     val s = spark
     import s.implicits._
