@@ -281,6 +281,16 @@ object SparkEntry {
         .orderBy(col("merge_idx"))
     }),
 
+    // trained-tokenizer segmentation: apply the learned merge table to
+    // every document (broadcast merges, per-task word memo, no shuffle)
+    // and emit the post-merge token count a pipeline budgets by
+    "q_bpe_tokens" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = operators.TextOps.bpeTrain(docs, "text", numMerges = 6)
+      operators.TextOps.bpeSegment(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // Okapi BM25 keyword retrieval: exact top-k for a 4-term query, two
     // corpus scans + a broadcast stats row, no inverted index; the oracle
     // replays the identical IEEE scoring arithmetic term by term
@@ -1506,6 +1516,50 @@ object SparkEntry {
     s"WITH $head,\n$subspaces,\n$tail".replaceAll("\n", " ")
   }
 
+  /** Merge rounds the BPE verify queries train/replay. */
+  private val BpeOracleMerges = 6
+
+  /** The BPE oracle's CTE chain: v0 (distinct-word vocab with char
+    * symbols) and, per round i, pair counts p{i}, the deterministic
+    * argmax t{i}, and the greedily-merged vocab v{i+1}. Greedy
+    * left-to-right fusing is replayed as even-offset selection within
+    * consecutive-match islands (only a,a-style runs overlap). Every CTE
+    * referenced more than once is AS MATERIALIZED: DuckDB inlines plain
+    * CTEs, and each round reads the previous vocab three times — inlined,
+    * the chain would re-expand 3^k times and never finish. */
+  private def bpeOracleCtes(k: Int): String = {
+    val v0 =
+      "v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt, " +
+        "list_transform(range(1, length(word) + 1), i -> word[i]) AS syms " +
+        "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "WHERE word <> '' GROUP BY word)"
+    val stages = (0 until k).map { i =>
+      s"p$i AS (SELECT syms[i + 1] AS l, syms[i + 2] AS r, " +
+        s"CAST(sum(cnt) AS BIGINT) AS c " +
+        s"FROM (SELECT cnt, syms, unnest(range(len(syms) - 1)) AS i FROM v$i) " +
+        s"GROUP BY l, r), " +
+      s"t$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1), " +
+      s"m$i AS (SELECT v.word, u.i FROM v$i v, t$i t, " +
+        s"unnest(range(len(v.syms) - 1)) AS u(i) " +
+        s"WHERE v.syms[u.i + 1] = t.l AND v.syms[u.i + 2] = t.r), " +
+      s"g$i AS (SELECT word, i, row_number() OVER " +
+        s"(PARTITION BY word, i - rn ORDER BY i) AS k2 " +
+        s"FROM (SELECT word, i, row_number() OVER " +
+        s"(PARTITION BY word ORDER BY i) AS rn FROM m$i)), " +
+      s"tk$i AS MATERIALIZED (SELECT word, i FROM g$i WHERE k2 % 2 = 1), " +
+      s"e$i AS (SELECT v.word, v.cnt, u.j, v.syms[u.j] AS s " +
+        s"FROM v$i v, unnest(range(1, len(v.syms) + 1)) AS u(j)), " +
+      s"v${i + 1} AS MATERIALIZED (SELECT e.word, e.cnt, " +
+        s"list(CASE WHEN st.i IS NOT NULL THEN tt.lr ELSE e.s END " +
+        s"ORDER BY e.j) AS syms " +
+        s"FROM e$i e CROSS JOIN (SELECT l || r AS lr FROM t$i) tt " +
+        s"LEFT JOIN tk$i st ON st.word = e.word AND st.i + 1 = e.j " +
+        s"LEFT JOIN tk$i sec ON sec.word = e.word AND sec.i + 2 = e.j " +
+        s"WHERE sec.i IS NULL GROUP BY e.word, e.cnt)"
+    }.mkString(", ")
+    s"$v0, $stages"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
@@ -1697,54 +1751,30 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '" +
         operators.TextOps.BpeTokenPattern.replace("'", "''") +
         "')) AS BIGINT) AS bpe_tokens FROM documents ORDER BY doc_id"),
-    // BPE replica: chained CTE stages, one per merge round. Each stage
-    // counts adjacent symbol pairs over the distinct-word vocab (weighted
-    // by word count), picks the (count desc, lhs, rhs) argmax, and
-    // applies the greedy left-to-right merge — island even-offset
-    // selection reproduces the engine's scan-and-skip fuse exactly
+    // BPE replica: chained CTE stages, one per merge round (see
+    // bpeOracleCtes) — pair counts over the distinct-word vocab, the
+    // (count desc, lhs, rhs) argmax, greedy merge application
     "q_bpe_merges" -> {
-      val k = 6
-      // AS MATERIALIZED everywhere a CTE is referenced more than once:
-      // DuckDB inlines plain CTEs, and each stage reads the previous
-      // vocab three times — inlining would re-expand the whole chain
-      // 3^k times and the query would never finish
-      val v0 =
-        "v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt, " +
-          "list_transform(range(1, length(word) + 1), i -> word[i]) AS syms " +
-          "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
-          "WHERE word <> '' GROUP BY word)"
-      val stages = (0 until k).map { i =>
-        val pick =
-          s"p$i AS (SELECT syms[i + 1] AS l, syms[i + 2] AS r, " +
-            s"CAST(sum(cnt) AS BIGINT) AS c " +
-            s"FROM (SELECT cnt, syms, unnest(range(len(syms) - 1)) AS i FROM v$i) " +
-            s"GROUP BY l, r), " +
-          s"t$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)"
-        val apply =
-          if (i == k - 1) ""
-          else s", m$i AS (SELECT v.word, u.i FROM v$i v, t$i t, " +
-            s"unnest(range(len(v.syms) - 1)) AS u(i) " +
-            s"WHERE v.syms[u.i + 1] = t.l AND v.syms[u.i + 2] = t.r), " +
-          s"g$i AS (SELECT word, i, row_number() OVER " +
-            s"(PARTITION BY word, i - rn ORDER BY i) AS k2 " +
-            s"FROM (SELECT word, i, row_number() OVER " +
-            s"(PARTITION BY word ORDER BY i) AS rn FROM m$i)), " +
-          s"tk$i AS MATERIALIZED (SELECT word, i FROM g$i WHERE k2 % 2 = 1), " +
-          s"e$i AS (SELECT v.word, v.cnt, u.j, v.syms[u.j] AS s " +
-            s"FROM v$i v, unnest(range(1, len(v.syms) + 1)) AS u(j)), " +
-          s"v${i + 1} AS MATERIALIZED (SELECT e.word, e.cnt, " +
-            s"list(CASE WHEN st.i IS NOT NULL THEN tt.lr ELSE e.s END " +
-            s"ORDER BY e.j) AS syms " +
-            s"FROM e$i e CROSS JOIN (SELECT l || r AS lr FROM t$i) tt " +
-            s"LEFT JOIN tk$i st ON st.word = e.word AND st.i + 1 = e.j " +
-            s"LEFT JOIN tk$i sec ON sec.word = e.word AND sec.i + 2 = e.j " +
-            s"WHERE sec.i IS NULL GROUP BY e.word, e.cnt)"
-        pick + apply
-      }.mkString(", ")
-      val out = (0 until k).map(i =>
+      val out = (0 until BpeOracleMerges).map(i =>
         s"SELECT CAST($i AS INT) AS merge_idx, l AS lhs, r AS rhs, " +
           s"c AS pair_count FROM t$i").mkString(" UNION ALL ")
-      s"WITH $v0, $stages $out ORDER BY merge_idx"
+      s"WITH ${bpeOracleCtes(BpeOracleMerges)} $out ORDER BY merge_idx"
+    },
+
+    // trained-tokenizer segmentation replica: the final vocab stage v{k}
+    // holds each distinct word's post-merge symbols; per-doc token count
+    // = Σ over the doc's words of len(syms); wordless docs emit 0
+    "q_bpe_tokens" -> {
+      val k = BpeOracleMerges
+      s"WITH ${bpeOracleCtes(k)}, " +
+        s"wc AS (SELECT doc_id, word FROM (SELECT doc_id, " +
+        s"unnest(string_split(text, ' ')) AS word FROM documents) " +
+        s"WHERE word <> ''), " +
+        s"cnts AS (SELECT w.doc_id, CAST(sum(len(v.syms)) AS BIGINT) AS n " +
+        s"FROM wc w JOIN v$k v ON v.word = w.word GROUP BY w.doc_id) " +
+        s"SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS bpe_tokens " +
+        s"FROM documents d LEFT JOIN cnts c ON c.doc_id = d.doc_id " +
+        s"ORDER BY d.doc_id"
     },
 
     // BM25 replica: per-doc (dl, tf_t) from the same whitespace tokens,

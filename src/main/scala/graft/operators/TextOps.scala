@@ -220,6 +220,57 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Tokenize the corpus with a LEARNED merge table ([[bpeTrain]]'s
+    * output): per document, each whitespace word is split to characters
+    * and the merges are applied in rank order (the standard BPE encode),
+    * and the document's total post-merge symbol count is emitted — the
+    * number a pipeline budgets with once the real tokenizer is trained,
+    * vs [[bpeTokenCount]]'s pre-tokenizer estimate.
+    *
+    * Scale shape: the merge table is tiny (≤ vocab size) and rides as a
+    * broadcast; segmentation is a narrow mapPartitions with a per-task
+    * word → count memo (Zipf: a few thousand distinct words cover almost
+    * every token, so the merge loop runs once per distinct word per
+    * task, not once per occurrence). No shuffle. */
+  def bpeSegment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_.merge_idx).map(m => (m.lhs, m.rhs)).toArray
+    val bc = spark.sparkContext.broadcast(ordered)
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Long]()
+        def wordTokens(w: String): Long = {
+          val hit = memo.get(w)
+          if (hit != 0L) hit
+          else {
+            var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+            var i = 0
+            val ms = bc.value
+            while (i < ms.length) {
+              syms = applyMerge(syms, ms(i)._1, ms(i)._2); i += 1
+            }
+            val n = syms.length.toLong
+            memo.put(w, n)
+            n
+          }
+        }
+        it.map { case (id, t) =>
+          var total = 0L
+          if (t != null) {
+            for (w <- t.split(" ")) if (w.nonEmpty) total += wordTokens(w)
+          }
+          (id, total)
+        }
+      }
+      .toDF("doc_id", "bpe_tokens")
+  }
+
   /** 64-bit FNV-1a content fingerprint (see Fnv1a64). */
   def fingerprint(textCol: Column): Column = fnv1a64(textCol)
 

@@ -484,6 +484,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")))
   }
 
+  test("bpeSegment: trained merges tokenize docs; null/empty text → 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "low lower low"), (2L, "newest"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val merges = Seq(
+      TextOps.BpeMerge(0, "l", "o", 3L), TextOps.BpeMerge(1, "lo", "w", 3L))
+    val got = TextOps.bpeSegment(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // low → l,o,w → lo,w → low = 1 symbol; lower → low,e,r = 3;
+    // newest → 6 chars untouched
+    assert(got == Map(1L -> 5L, 2L -> 6L, 3L -> 0L, 4L -> 0L), got.toString)
+  }
+
   test("bm25TopK: exact top-k matches a naive per-doc reference scorer") {
     val s = spark
     import s.implicits._
