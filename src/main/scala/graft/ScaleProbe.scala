@@ -91,6 +91,32 @@ object ScaleProbe {
         .selectExpr("sum(CASE WHEN keep THEN 1 ELSE 0 END)", "avg(score)").collect()
     }
 
+    // BM25: two scans + singleton stats broadcast + TakeOrdered heap
+    // merge — the probe pins scan-dominated (linear) scaling
+    time(s"BM25 top-k retrieval, $nDocs docs") {
+      operators.TextOps.bm25TopK(docs, "doc_id", "text",
+        Seq("w11", "w42", "w123", "w321"), k = 50).count()
+    }
+
+    // BPE: ONE corpus scan to word counts, then every round runs on the
+    // distinct-word vocab (fixed 500 words here regardless of nDocs) —
+    // training cost must be corpus-scan-plus-constant, and segmentation
+    // a second narrow scan with the per-task word memo
+    time(s"BPE train (8 merges) + segment, $nDocs docs") {
+      val m = operators.TextOps.bpeTrain(docs, "text", numMerges = 8)
+      operators.TextOps.bpeSegment(docs, "doc_id", "text", m)
+        .selectExpr("sum(bpe_tokens)").collect()
+    }
+
+    // inter-frame video: every frame decodes (delta carry), every 2nd
+    // emits — narrow flatMap, scales with executors
+    time(s"AVI RLE8 inter-frame decode, ${nDocs / 10} clips") {
+      operators.Multimodal.sampleAviFrames(spark,
+        operators.Multimodal.syntheticAviBlobs(spark,
+          docs.where(col("doc_id") % 10 === 0).select(col("doc_id"))),
+        stride = 2).count()
+    }
+
     // line dedup probe: re-line every 8 tokens; the planted near-dups
     // share 7 of 8 aligned lines with their source doc, so the common-line
     // set is ~nDocs/20 * 7 lines — the broadcast side the plan relies on
