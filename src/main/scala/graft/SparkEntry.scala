@@ -563,6 +563,15 @@ object SparkEntry {
           "doc_id", "source", perStratum = 10)
         .orderBy(col("doc_id"))),
 
+    // skew-safe salted variant: identical rows to q_stratified (shared
+    // oracle), but phase-1 ranks inside (source, salt-bucket) so a hot
+    // source can never serialize into one window task
+    "q_stratified_salted" -> ((s, dir) =>
+      operators.Curation.stratifiedSampleSalted(
+          table(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", perStratum = 10, salts = 8)
+        .orderBy(col("doc_id"))),
+
     // one-row corpus summary with exact token-count percentiles
     "q_corpus_stats" -> ((s, dir) =>
       operators.TextOps.corpusStats(table(s, dir, "documents"), "text")),
@@ -1576,7 +1585,8 @@ object SparkEntry {
       "q_stream_asof_state" -> base("q_asof_join"),
       "q_stream_asof_et" -> base("q_asof_join"),
       "q_stream_bloom" -> base("q_bloom_decontam"),
-      "q_knn_batched" -> base("q_knn_join"))
+      "q_knn_batched" -> base("q_knn_join"),
+      "q_stratified_salted" -> base("q_stratified"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -133,6 +133,47 @@ object Curation {
       .drop(rankCol)
   }
 
+  /** SKEW-SAFE [[stratifiedSample]]: identical output, but a hot stratum
+    * can never serialize into one window task (at 100 TB a single domain
+    * holding 20% of the corpus would otherwise hand one task billions of
+    * rows). Phase 1 ranks within (stratum, salt-bucket) — an independent
+    * hash spreads a hot stratum over `salts` tasks — and keeps at most
+    * `perStratum` rows per bucket: the stratum-global top-perStratum by
+    * (hash, id) is a subset of the union of per-bucket winners, because
+    * any row in the global top is also within the top `perStratum` of
+    * its own bucket. Phase 2 re-ranks the ≤ salts·perStratum survivors
+    * per stratum — a bounded task no matter how skewed the input. Two
+    * Exchanges instead of one; use the plain variant when strata are
+    * known to be balanced. */
+  def stratifiedSampleSalted(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      perStratum: Int,
+      salt: Long = 7919L,
+      salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perStratum > 0, s"perStratum must be positive, got $perStratum")
+    require(salts > 0, s"salts must be positive, got $salts")
+    val order = mix64(col(idCol).cast("long"), salt)
+    // independent hash for the bucket split: reusing `order`'s hash would
+    // correlate bucket membership with rank and starve some buckets
+    val bucket = pmod(mix64(col(idCol).cast("long"), salt + 1), lit(salts.toLong))
+    val rankCol = s"graft_rank_${java.util.UUID.randomUUID().toString.take(8)}"
+    val phase1 = docs
+      .withColumn(rankCol,
+        row_number().over(Window.partitionBy(col(stratumCol), bucket)
+          .orderBy(order, col(idCol))))
+      .where(col(rankCol) <= perStratum)
+      .drop(rankCol)
+    phase1
+      .withColumn(rankCol,
+        row_number().over(Window.partitionBy(col(stratumCol))
+          .orderBy(order, col(idCol))))
+      .where(col(rankCol) <= perStratum)
+      .drop(rankCol)
+  }
+
   /** Full pipeline; returns surviving documents with annotations.
     *
     * ONE corpus scan: the annotations, the exact-dedup digest, and the

@@ -484,6 +484,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")))
   }
 
+  test("stratifiedSampleSalted: identical to the plain rank at any salts") {
+    val s = spark
+    import s.implicits._
+    // 80% of rows land in one hot stratum — the shape the salt exists for
+    val docs = s.range(0, 3000).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 < 8, lit("hot"))
+        .otherwise(concat(lit("s"), col("id") % 7)).as("source"))
+    val plain = Curation.stratifiedSample(docs, "doc_id", "source", 25)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    for (salts <- Seq(1, 3, 32)) {
+      val salted = Curation.stratifiedSampleSalted(
+          docs, "doc_id", "source", 25, salts = salts)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(salted == plain, s"salts=$salts diverged from the plain rank")
+    }
+  }
+
   test("bpeSegment: trained merges tokenize docs; null/empty text → 0") {
     val s = spark
     import s.implicits._

@@ -212,6 +212,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("stratifiedSampleSalted: two bounded windows, no single-stratum funnel") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val df = graft.operators.Curation.stratifiedSampleSalted(
+      d, "doc_id", "source", 10, salts = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    // phase 1 partitions on (source, bucket) — 8 tasks per hot stratum —
+    // and phase 2 re-ranks only the pre-capped survivors: two Windows,
+    // the first keyed by the salt bucket expression
+    assert("Window ".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("pmod"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("dedupLines: common-line set broadcasts back against the corpus") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
