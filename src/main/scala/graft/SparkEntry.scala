@@ -572,6 +572,14 @@ object SparkEntry {
           "doc_id", "source", perStratum = 10, salts = 8)
         .orderBy(col("doc_id"))),
 
+    // fixed-point integer PageRank over the event interaction graph
+    // (user→item edges via the library's own json_get_int, plus reverse
+    // edges): 5 Pregel-style join+agg rounds, all-integer arithmetic so
+    // the distributed sums replay order-independently in the oracle
+    "q_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRankEvents(s, table(s, dir, "events"), iterations = 5)
+        .orderBy(col("node"))),
+
     // one-row corpus summary with exact token-count percentiles
     "q_corpus_stats" -> ((s, dir) =>
       operators.TextOps.corpusStats(table(s, dir, "documents"), "text")),
@@ -1918,6 +1926,35 @@ object SparkEntry {
         |   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555 123 4567',
         |   '$email', '[PII]', 'g'), '$phone', '[PII]', 'g') AS clean
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // PageRank replica: the same fixed-point integer recurrence, one
+    // materialized CTE per iteration — integer sums are order-free, so
+    // no float-order pinning is needed anywhere
+    "q_pagerank" -> {
+      val iters = 5
+      val head =
+        "pr AS MATERIALIZED (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u, " +
+          "'i' || CAST(json_extract_string(props, '$.k') AS VARCHAR) AS it " +
+          "FROM events WHERE user_id IS NOT NULL " +
+          "AND json_extract_string(props, '$.k') IS NOT NULL), " +
+        "e AS MATERIALIZED (SELECT u AS src, it AS dst FROM pr " +
+          "UNION ALL SELECT it, u FROM pr), " +
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+          "FROM e GROUP BY src), " +
+        "n AS MATERIALIZED (SELECT DISTINCT node FROM " +
+          "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"
+      val rounds = (1 to iters).map { i =>
+        s"r$i AS MATERIALIZED (SELECT n.node, " +
+          s"CAST(150000 + coalesce(s.s, 0) AS BIGINT) AS rank " +
+          s"FROM n LEFT JOIN (SELECT e.dst, " +
+          s"SUM((r.rank * 85) // (100 * d.outdeg)) AS s " +
+          s"FROM e JOIN deg d ON d.src = e.src " +
+          s"JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) s " +
+          s"ON s.dst = n.node)"
+      }.mkString(", ")
+      s"WITH $head, $rounds SELECT node, rank FROM r$iters ORDER BY node"
     },
 
     // splitmix64-ordered rank per stratum (HUGEINT replica of the Mix64

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over interaction edges — the corpus-curation uses are
+ * domain-authority weighting (rank hosts by link/interaction structure,
+ * then bias source mixing toward authoritative domains) and influence
+ * scoring of user/item graphs mined from event logs. The duplicate-graph
+ * side (connected components) lives in [[Dedup.duplicateClusters]].
+ *
+ * PageRank here is FIXED-POINT INTEGER arithmetic end to end: ranks are
+ * scaled by 10^6 and every per-edge contribution is the integer division
+ * floor(rank·85 / (100·outdeg)). Two reasons. First, integer sums are
+ * order-independent, so a distributed aggregation and a single-threaded
+ * oracle get bit-identical results — float PageRank cannot be
+ * value-verified across engines without pinning every summation order.
+ * Second, the quantization error (≤ 1 per edge per iteration, against a
+ * 10^6 scale) is far below any ranking decision a pipeline would make.
+ * The damping base is floor(0.15·10^6) = 150000 added every iteration.
+ */
+object Graph {
+
+  /** Fixed-point PageRank over a directed edge list.
+    *
+    * rank_0(v) = 10^6;
+    * rank_{i+1}(v) = 150000 + Σ_{(u,v) ∈ E} (rank_i(u)·85) div (100·outdeg(u))
+    *
+    * Dangling nodes (no outgoing edges) contribute nothing — callers who
+    * need the classic redistribute-to-all behavior should add reverse
+    * edges (as [[pageRankEvents]] does), which also guarantees every
+    * node is reachable and has outdegree ≥ 1.
+    *
+    * Scale shape: the edge list is deduplicated once, joined with its
+    * outdegree, and PERSISTED pre-partitioned on `src`; every iteration
+    * is then one shuffle-hash/sort-merge join ranks⋈edges on src (the
+    * edge side reuses its partitioning) plus one aggregation shuffle on
+    * dst — the Pregel cost model, 2 exchanges per iteration on the rank
+    * table only, never the corpus. Iterations chain lineage; for
+    * hundreds of iterations checkpoint the rank table periodically
+    * (see [[Dedup.duplicateClusters]]'s checkpointDir pattern).
+    */
+  def pageRankFixed(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in 1..100, got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg), partitioned by src so each iteration's rank
+    // join reuses the layout instead of re-shuffling the edge list
+    val ew = e.join(outdeg, "src").repartition(col("src")).persist()
+    nodes.persist()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = ew
+        .join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"),
+          expr("(rank * 85) div (100 * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("rank"))
+      i += 1
+    }
+    ranks
+  }
+
+  /** The event-log authority graph: one edge user→item per distinct
+    * (user, item) interaction — the item key extracted with the
+    * library's own `json_get_int` — plus the reverse item→user edge, so
+    * the bipartite graph is strongly connected enough for PageRank (no
+    * dangling nodes: every node that appears has outdegree ≥ 1).
+    * Returns (node, rank) after `iterations` fixed-point rounds. */
+  def pageRankEvents(
+      spark: SparkSession,
+      events: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    val pairs = events.select(
+        concat(lit("u"), col("user_id").cast("long")).as("u"),
+        concat(lit("i"), graft.JsonFunctions.json_get_int(col("props"), lit("k"))).as("it"))
+      .where(col("u").isNotNull && col("it").isNotNull)
+      .distinct()
+    val fwd = pairs.select(col("u").as("src"), col("it").as("dst"))
+    val rev = pairs.select(col("it").as("src"), col("u").as("dst"))
+    pageRankFixed(fwd.union(rev), "src", "dst", iterations)
+  }
+}

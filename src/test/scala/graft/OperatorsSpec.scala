@@ -484,6 +484,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")))
   }
 
+  test("pageRankFixed: matches a sequential fixed-point reference") {
+    val s = spark
+    import s.implicits._
+    // a small directed graph with a hub, a chain, and a reverse edge
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c"), ("c", "d")).toDF("src", "dst")
+    val got = Graph.pageRankFixed(edges, "src", "dst", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent reference: same recurrence, plain Scala maps
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c"), ("c", "d"))
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val in = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) * 85L / (100L * deg(u)) }.sum
+      }
+      rank = nodes.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+    }
+    assert(got == rank, s"got $got expected $rank")
+    // duplicate edges collapse; the hub outranks the leaf
+    assert(got("c") > got("b"))
+  }
+
   test("stratifiedSampleSalted: identical to the plain rank at any salts") {
     val s = spark
     import s.implicits._
