@@ -366,6 +366,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental NEAR-dup ingestion screen: the batch holds appended-
+    // token near-dups of every 7th doc plus TWO verbatim copies of every
+    // 11th doc (so the batch has internal duplicate pairs AND corpus
+    // collisions); the oracle is brute-force exact Jaccard over the
+    // batch×(corpus ∪ smaller-id batch) pair space
+    "q_incr_neardup" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val batch = d.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" appended trailer tokens")).as("text"))
+        .unionAll(d.where(col("doc_id") % 11 === 5)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .unionAll(d.where(col("doc_id") % 11 === 5)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+        .unionAll(d.where(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(lit("novel document "), col("doc_id"),
+              lit(" fresh content alpha beta gamma delta")).as("text")))
+      // 8 bands of 2 rows: at threshold 0.7 the bucket-miss probability
+      // is (1-0.7²)^8 ≈ 0.3% per pair (4-row bands measurably lose
+      // j≈0.85 pairs — two showed up at sf0.01); the brute-force oracle
+      // comparison proves completeness at these parameters on this data
+      operators.Dedup.incrementalNearDup(batch,
+          d.select(col("doc_id"), col("text")), "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup candidate pairs (shingle→sig→band→bucket-join)
     "q_minhash_lsh" -> ((s, dir) =>
       operators.Dedup.minhashCandidatePairs(
@@ -1687,6 +1715,46 @@ object SparkEntry {
         | SELECT doc_id, digest FROM keepb k
         | WHERE NOT EXISTS (SELECT 1 FROM sn WHERE sn.digest = k.digest)
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // incremental near-dup replica: same planted batch; brute-force
+    // exact Jaccard over batch×(corpus ∪ smaller-id batch) with the
+    // lossless shared-shingle prefilter (the LSH stage is recall
+    // plumbing — the comparison proves it loses nothing here)
+    "q_incr_neardup" ->
+      s"""WITH corp AS (SELECT doc_id, text FROM documents),
+        | batch AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |   text || ' appended trailer tokens' AS text
+        |   FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 11 = 5
+        |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id % 11 = 5
+        |  UNION ALL SELECT doc_id + 400000, 'novel document ' || doc_id ||
+        |   ' fresh content alpha beta gamma delta'
+        |   FROM documents WHERE doc_id % 13 = 1),
+        | bsh AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM batch)),
+        | csh AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corp)),
+        | oth AS MATERIALIZED (SELECT 'corpus' AS src, doc_id, s FROM csh
+        |   UNION ALL SELECT 'batch', doc_id, s FROM bsh),
+        | bex AS (SELECT doc_id, unnest(s) AS g FROM bsh),
+        | oex AS (SELECT src, doc_id, unnest(s) AS g FROM oth),
+        | cnd AS MATERIALIZED (SELECT DISTINCT x.doc_id AS bid, o.src, o.doc_id AS oid
+        |   FROM bex x JOIN oex o ON x.g = o.g
+        |   WHERE o.src = 'corpus' OR o.doc_id < x.doc_id),
+        | mt AS MATERIALIZED (SELECT c.bid, c.src, c.oid, $jaccardSql AS jac
+        |   FROM cnd c JOIN bsh a ON a.doc_id = c.bid
+        |   JOIN oth b ON b.src = c.src AND b.doc_id = c.oid
+        |   WHERE $jaccardSql >= 0.7),
+        | best AS (SELECT bid, src, oid, jac FROM (
+        |   SELECT bid, src, oid, jac, row_number() OVER
+        |     (PARTITION BY bid ORDER BY jac DESC, src, oid) AS rn FROM mt) WHERE rn = 1)
+        | SELECT t.doc_id, m.bid IS NULL AS keep,
+        |  coalesce(m.src, 'none') AS match_src,
+        |  CAST(coalesce(m.oid, -1) AS BIGINT) AS match_id,
+        |  coalesce(m.jac, 0.0) AS match_jaccard
+        | FROM batch t LEFT JOIN best m ON m.bid = t.doc_id
+        | ORDER BY t.doc_id""".stripMargin.replaceAll("\n", " "),
+
     // duplicate spans: identical token-gram construction (string_split
     // parity incl. empty tokens; 1-based slice == 0-based window), same
     // min<>max cross-doc rule, same gaps-and-islands run merge

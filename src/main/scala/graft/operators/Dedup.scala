@@ -63,6 +63,85 @@ object Dedup {
       .select(col(idCol), col("digest"))
   }
 
+  /** Append-batch NEAR-duplicate dedup: the MinHash companion of
+    * [[incrementalDedup]] for production ingestion. Each incoming doc is
+    * screened against (a) the already-ingested corpus and (b) the
+    * smaller-id members of its own batch, via banded-LSH candidates
+    * verified with exact shingle Jaccard — the exact/near split every
+    * ingestion pipeline runs (byte-identical re-crawls die on the digest
+    * anti-join; boilerplate-perturbed re-crawls die here).
+    *
+    * Output: one row per incoming doc — (id, keep, match_src, match_id,
+    * match_jaccard) where the match is the BEST surviving evidence
+    * (jaccard desc, then "batch" before "corpus", then smaller id) and
+    * keep = no match ≥ `threshold`. A doc is dropped if it matches ANY
+    * smaller-id batch doc, even one itself dropped — the transitive
+    * min-id-keeper rule of [[incrementalDedup]] generalized.
+    *
+    * Scale: signatures + shingle sets are one narrow projection per
+    * side; candidates come from the banded bucket equi-join (batch
+    * buckets against corpus + batch buckets — never all-pairs, and the
+    * corpus side can be a PERSISTED signature table so re-crawls don't
+    * re-minhash the corpus); only candidate pairs' shingle sets travel
+    * to the verify join. Same cost model as [[verifiedNearDupPairs]]
+    * with the corpus×corpus quadrant never generated. */
+  def incrementalNearDup(
+      incoming: DataFrame,
+      seen: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bands > 0 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val bat = prep(incoming)
+    val cor = prep(seen)
+    def buckets(df: DataFrame): DataFrame = df.select(col("id"), col("sig"),
+      posexplode(bandBuckets(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    val bb = buckets(bat)
+    val estLow = math.max(0.0, threshold - 0.2)
+    // batch × corpus: every bucket collision is a candidate
+    val crossCand = bb.as("a").join(buckets(cor).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .where(sigAgreement(col("a.sig"), col("b.sig")) >= estLow)
+      .select(col("a.id").as("bid"), lit("corpus").as("src"), col("b.id").as("oid"))
+    // batch × batch: only smaller-id partners count as keepers
+    val selfCand = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("b.id") < col("a.id"))
+      .where(sigAgreement(col("a.sig"), col("b.sig")) >= estLow)
+      .select(col("a.id").as("bid"), lit("batch").as("src"), col("b.id").as("oid"))
+    val others = cor.select(lit("corpus").as("src"), col("id").as("oid"), col("sh").as("osh"))
+      .union(bat.select(lit("batch").as("src"), col("id").as("oid"), col("sh").as("osh")))
+    val matches = crossCand.union(selfCand).distinct()
+      .join(bat.select(col("id").as("bid"), col("sh").as("bsh")), "bid")
+      .join(others, Seq("src", "oid"))
+      .select(col("bid"), col("src"), col("oid"),
+        jaccard(col("bsh"), col("osh")).as("jac"))
+      .where(col("jac") >= threshold)
+    val best = matches
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("bid"))
+        .orderBy(col("jac").desc, col("src"), col("oid"))))
+      .where(col("__rn") === 1)
+    // sentinel instead of NULL for kept docs: keeps the columns
+    // non-nullable end to end (nullable ints degrade to floats in
+    // arrow/pandas round-trips, which breaks value-level comparison)
+    incoming.select(col(idCol).as("doc_id"))
+      .join(best, col("doc_id") === col("bid"), "left")
+      .select(col("doc_id"), col("bid").isNull.as("keep"),
+        coalesce(col("src"), lit("none")).as("match_src"),
+        coalesce(col("oid"), lit(-1L)).as("match_id"),
+        coalesce(col("jac"), lit(0.0)).as("match_jaccard"))
+  }
+
   /** Whitespace tokens → n-token shingles (distinct). */
   def shingles(textCol: Column, n: Int): Column = {
     val toks = split(textCol, " ")

@@ -484,6 +484,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")))
   }
 
+  test("incrementalNearDup: corpus screen, in-batch keeper, best-match rule") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different corpus content about spark query planning"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 1 (last token changed → 1 of 10 shingles
+      // differs on each side, exact Jaccard 9/11 ≈ 0.82)
+      (10L, "the quick brown fox jumps over the lazy dog again and more"),
+      // exact duplicate pair WITHIN the batch: 11 keeps (no smaller match),
+      // 12 drops against 11 — and 11 itself matches nothing in the corpus
+      (11L, "fresh unseen material alpha beta gamma delta epsilon zeta eta"),
+      (12L, "fresh unseen material alpha beta gamma delta epsilon zeta eta"),
+      // novel doc: kept
+      (13L, "completely novel text nothing shares shingles with this one"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got(10L) == ((false, "corpus", 1L)), got(10L).toString)
+    assert(got(11L) == ((true, "none", -1L)), got(11L).toString)
+    assert(got(12L) == ((false, "batch", 11L)), got(12L).toString)
+    assert(got(13L) == ((true, "none", -1L)), got(13L).toString)
+  }
+
   test("pageRankFixed: matches a sequential fixed-point reference") {
     val s = spark
     import s.implicits._
