@@ -83,6 +83,9 @@ object Examples {
     println("== 7. Sampling, scrubbing, corpus stats ==")
     Curation.stratifiedSample(docs.select(col("doc_id"), col("source")),
       "doc_id", "source", perStratum = 2).show(6)
+    println("-- skew-safe salted variant (identical rows, bounded tasks) --")
+    Curation.stratifiedSampleSalted(docs.select(col("doc_id"), col("source")),
+      "doc_id", "source", perStratum = 2, salts = 4).show(3)
     println("-- temperature-scaled source mixing (alpha=0.5) --")
     Curation.mixSourcesTemperature(docs, "doc_id", "source")
       .groupBy("source").count().orderBy("source").show()
@@ -184,6 +187,30 @@ object Examples {
     Multimodal.sampleVideoFrames(spark,
       Multimodal.syntheticVideoBlobs(spark, ids)).toDF()
       .select("doc_id", "frame_idx", "sum_r").show(4)
+    println("-- INTER-FRAME video: MS RLE8 deltas carry the previous framebuffer --")
+    Multimodal.sampleAviFrames(spark,
+      Multimodal.syntheticAviBlobs(spark, ids)).toDF()
+      .select("doc_id", "frame_idx", "sum_r").show(4)
+
+    println("== 13. Lexical retrieval + tokenizer training ==")
+    TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join", "vector"), k = 5).show()
+    val merges = TextOps.bpeTrain(docs, "text", numMerges = 6)
+    println(s"-- learned merges: ${merges.map(m => s"${m.lhs}+${m.rhs}").mkString(", ")} --")
+    TextOps.bpeSegment(docs, "doc_id", "text", merges).show(3)
+
+    println("== 14. Graph: fixed-point PageRank over the event graph ==")
+    Graph.pageRankEvents(spark,
+        sources.Tables.readTable(spark, s"$sfDir/events.parquet"), iterations = 3)
+      .orderBy(col("rank").desc).show(5)
+
+    println("== 15. Ingestion screens: exact + near-dup incremental dedup ==")
+    val batch = docs.limit(0).select(col("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text")))
+    Dedup.incrementalNearDup(batch, docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", bands = 8, threshold = 0.7).show(4)
 
     spark.stop()
   }
