@@ -291,6 +291,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-doc TF-IDF keyword extraction: top-3 terms per document,
+    // integer-ln idf evaluation shared with q_bm25
+    "q_tfidf" -> ((s, dir) =>
+      operators.TextOps.tfidfTopTerms(table(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // Okapi BM25 keyword retrieval: exact top-k for a 4-term query, two
     // corpus scans + a broadcast stats row, no inverted index; the oracle
     // replays the identical IEEE scoring arithmetic term by term
@@ -607,6 +614,12 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       operators.Graph.pageRankEvents(s, table(s, dir, "events"), iterations = 5)
         .orderBy(col("node"))),
+
+    // exact per-column profile (nulls + distincts in ONE Expand pass)
+    "q_profile" -> ((s, dir) =>
+      operators.Curation.profileColumns(table(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
 
     // one-row corpus summary with exact token-count percentiles
     "q_corpus_stats" -> ((s, dir) =>
@@ -1863,6 +1876,24 @@ object SparkEntry {
         s"ORDER BY d.doc_id"
     },
 
+    // TF-IDF replica: same (doc, term) counts, ln(N)-ln(df) idf with
+    // integer ln arguments, same (score desc, term) tie rule
+    "q_tfidf" ->
+      """WITH pr AS (SELECT doc_id, t AS term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |   FROM pr GROUP BY doc_id, term),
+        | dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        | sc AS (SELECT t.doc_id, t.term, t.tf,
+        |   CAST(t.tf AS DOUBLE) * (ln(CAST(nn.n AS DOUBLE)) - ln(CAST(d.df AS DOUBLE))) AS score
+        |  FROM tf t JOIN dft d ON d.term = t.term CROSS JOIN nn),
+        | rk AS (SELECT doc_id, term, tf, score, row_number() OVER
+        |   (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc)
+        | SELECT doc_id, CAST(rn AS INT) AS rank, term, tf, score
+        | FROM rk WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin.replaceAll("\n", " "),
+
     // BM25 replica: per-doc (dl, tf_t) from the same whitespace tokens,
     // one corpus-stats row (N, Σdl, df_t), then the IDENTICAL IEEE
     // arithmetic shape per term — unreduced literals like (1.2 + 1.0)
@@ -2035,6 +2066,16 @@ object SparkEntry {
         |   ORDER BY ${signedSql("h")}, doc_id) AS rk FROM stx3)
         | SELECT doc_id, source FROM ranked
         | WHERE rk <= 10 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // profile replica: per-column null + distinct counts
+    "q_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM documents")
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
 
     "q_corpus_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

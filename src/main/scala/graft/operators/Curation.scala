@@ -174,6 +174,35 @@ object Curation {
       .drop(rankCol)
   }
 
+  /** Exact per-column data-quality profile: one row per requested column
+    * with (col_name, n_rows, n_nulls, n_distinct) — the pre-flight sanity
+    * check every ingestion run wants before heavier curation (a jump in
+    * null rate or a distinct-count collapse is the classic upstream-feed
+    * breakage signal).
+    *
+    * ONE pass over the data: Spark rewrites the multi-count(DISTINCT)
+    * aggregate into a single Expand + two aggregation rounds (one scan,
+    * not one job per column); the single stat row is then unpivoted into
+    * per-column rows on the driver. n_distinct counts non-null values,
+    * SQL COUNT(DISTINCT) semantics. Exact by design — at 100 TB the
+    * Expand multiplies rows by the column count, so profile the columns
+    * you actually watch, or switch to approx_count_distinct when ±2%
+    * is acceptable (not oracle-comparable, hence not the default). */
+  def profileColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "columns must be non-empty")
+    val aggs = columns.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"__nn_$c"),
+      countDistinct(col(c)).cast("long").as(s"__nd_$c"))) :+
+      count(lit(1)).cast("long").as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    columns.map { c =>
+      (c, row.getAs[Long]("__n"), row.getAs[Long](s"__nn_$c"),
+        row.getAs[Long](s"__nd_$c"))
+    }.toDF("col_name", "n_rows", "n_nulls", "n_distinct")
+  }
+
   /** Full pipeline; returns surviving documents with annotations.
     *
     * ONE corpus scan: the annotations, the exact-dedup digest, and the

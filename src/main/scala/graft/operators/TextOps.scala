@@ -271,6 +271,48 @@ object TextOps {
       .toDF("doc_id", "bpe_tokens")
   }
 
+  /** Per-document TF-IDF keyword extraction: the top `k` terms of every
+    * document by tf·idf — the classic corpus-keyword / topic-tagging
+    * step (and the per-document complement of [[bm25TopK]]'s per-query
+    * retrieval). idf = ln(N) − ln(df): integer ln arguments, the same
+    * cross-engine-exact evaluation [[bm25TopK]] uses (exact through
+    * df, N < 9170 per the verified libm agreement range — far above any
+    * oracle scale).
+    *
+    * Scale shape: explode to (doc, term) pairs → one aggregation
+    * exchange keyed (doc, term) for tf → a term-keyed join against the
+    * document-frequency table (co-keyed shuffle; the df table is
+    * vocab-sized) → a per-doc window for the top-k. The corpus text
+    * itself travels once, into the first aggregation. Ties break
+    * (score desc, term asc) so the kept set is deterministic. */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = pairs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfT = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val n = df.select(count(lit(1)).cast("long").as("n"))
+    val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("double") *
+          (log(col("n").cast("double")) - log(col("df").cast("double"))))
+          .as("score"))
+    scored
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))))
+      .where(col("__rn") <= k)
+      .select(col("doc_id"), col("__rn").cast("int").as("rank"),
+        col("term"), col("tf"), col("score"))
+  }
+
   /** 64-bit FNV-1a content fingerprint (see Fnv1a64). */
   def fingerprint(textCol: Column): Column = fnv1a64(textCol)
 

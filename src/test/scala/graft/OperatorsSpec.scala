@@ -555,6 +555,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidfTopTerms: scores and tie order match a naive reference") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana banana cherry"),
+      (3L, "cherry date date date")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    // cherry is in every doc → idf 0 → never outranks a rarer term;
+    // rank-2 of doc 3 IS cherry (only two distinct terms scoreable)
+    val n = 3.0
+    def score(tf: Long, df: Long): Double =
+      tf.toDouble * (math.log(n) - math.log(df.toDouble))
+    assert(score(1, 3) == 0.0)
+    assert(got == Seq(
+      (1L, 1, "apple"), (1L, 2, "banana"),
+      (2L, 1, "banana"), (2L, 2, "cherry"),
+      (3L, 1, "date"), (3L, 2, "cherry")), got.toString)
+  }
+
+  test("profileColumns: exact nulls + distincts in one pass") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b")))
+      .toDF("id", "v")
+    val got = Curation.profileColumns(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("id") == ((4L, 0L, 4L)))
+    // n_distinct excludes the NULL, COUNT(DISTINCT) semantics
+    assert(got("v") == ((4L, 1L, 2L)))
+  }
+
   test("bpeSegment: trained merges tokenize docs; null/empty text → 0") {
     val s = spark
     import s.implicits._
