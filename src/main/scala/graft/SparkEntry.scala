@@ -900,6 +900,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // session-level analytics composed on top of sessionize: the per-row
+    // labels feed a per-session aggregate (map-side partials — only the
+    // session rows cross the second exchange)
+    "q_session_stats" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"))
+      operators.Joins.sessionize(ev, "user_id", "ts_us", "event_id",
+          gap = 3600000000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // overlapping token-window chunking (context-length prep): windows
     // start every stride=16 tokens, 24-token windows, last may be short;
     // pure integer chunk-count arithmetic so the oracle replays exactly
@@ -2379,6 +2395,25 @@ object SparkEntry {
         |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
         | FROM f ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    // session stats: the sessionize replica grouped per session
+    "q_session_stats" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id
+        |   FROM events),
+        | l AS (SELECT *, lag(ts_us) OVER
+        |   (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        | f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 3600000000
+        |   THEN 1 ELSE 0 END AS brk FROM l),
+        | sx AS (SELECT event_id, ts_us, user_id,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        | FROM f)
+        | SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ts_us) AS BIGINT) AS start_us,
+        |  CAST(max(ts_us) AS BIGINT) AS end_us,
+        |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+        | FROM sx GROUP BY user_id, session_idx
+        | ORDER BY user_id, session_idx""".stripMargin.replaceAll("\n", " "),
 
     // chunking: integer chunk count + 1-based inclusive list slices
     // (tk[a : a+len-1] == Spark slice(toks, a, len))
