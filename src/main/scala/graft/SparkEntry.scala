@@ -860,6 +860,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING ingestion near-dup screen: stream-static LSH join + exact
+    // Jaccard in the join condition, per-doc best match via complete-mode
+    // max(struct); must equal the batch screen's corpus quadrant
+    "q_stream_neardup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.nearDupScreenToBatch(s, s"$dir/documents.parquet")
+        .orderBy(col("doc_id"))
+    }),
+
     // range (point-in-interval) join: every order pairs with every
     // priority band whose [min,max] totalprice interval contains it —
     // genuinely many-to-many (bands overlap); binned to a hash equi-join,
@@ -1779,6 +1788,38 @@ object SparkEntry {
         |     (PARTITION BY bid ORDER BY jac DESC, src, oid) AS rn FROM mt) WHERE rn = 1)
         | SELECT t.doc_id, m.bid IS NULL AS keep,
         |  coalesce(m.src, 'none') AS match_src,
+        |  CAST(coalesce(m.oid, -1) AS BIGINT) AS match_id,
+        |  coalesce(m.jac, 0.0) AS match_jaccard
+        | FROM batch t LEFT JOIN best m ON m.bid = t.doc_id
+        | ORDER BY t.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // streaming near-dup screen replica: corpus-only brute force over
+    // the appended + novel planted batch, (jac desc, id asc) best match
+    "q_stream_neardup" ->
+      s"""WITH corp AS (SELECT doc_id, text FROM documents),
+        | batch AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |   text || ' appended trailer tokens' AS text
+        |   FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL SELECT doc_id + 400000, 'novel document ' || doc_id ||
+        |   ' fresh content alpha beta gamma delta'
+        |   FROM documents WHERE doc_id % 13 = 1),
+        | bsh AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM batch)),
+        | csh AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corp)),
+        | bex AS (SELECT doc_id, unnest(s) AS g FROM bsh),
+        | cex AS (SELECT doc_id, unnest(s) AS g FROM csh),
+        | cnd AS MATERIALIZED (SELECT DISTINCT x.doc_id AS bid, o.doc_id AS oid
+        |   FROM bex x JOIN cex o ON x.g = o.g),
+        | mt AS MATERIALIZED (SELECT c.bid, c.oid, $jaccardSql AS jac
+        |   FROM cnd c JOIN bsh a ON a.doc_id = c.bid
+        |   JOIN csh b ON b.doc_id = c.oid
+        |   WHERE $jaccardSql >= 0.7),
+        | best AS (SELECT bid, oid, jac FROM (
+        |   SELECT bid, oid, jac, row_number() OVER
+        |     (PARTITION BY bid ORDER BY jac DESC, oid) AS rn FROM mt) WHERE rn = 1)
+        | SELECT t.doc_id, m.bid IS NULL AS keep,
         |  CAST(coalesce(m.oid, -1) AS BIGINT) AS match_id,
         |  coalesce(m.jac, 0.0) AS match_jaccard
         | FROM batch t LEFT JOIN best m ON m.bid = t.doc_id

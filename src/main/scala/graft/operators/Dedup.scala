@@ -159,12 +159,12 @@ object Dedup {
       MinHashSignature(GraftSqlShim.expression(split(textCol, " ")), shingleSize, k))
   }
 
-  private def bandBuckets(sigCol: Column, bands: Int, rowsPerBand: Int): Column = {
+  private[graft] def bandBuckets(sigCol: Column, bands: Int, rowsPerBand: Int): Column = {
     GraftSqlShim.column(
       BandBuckets(GraftSqlShim.expression(sigCol), bands, rowsPerBand))
   }
 
-  private def sigAgreement(a: Column, b: Column): Column = {
+  private[graft] def sigAgreement(a: Column, b: Column): Column = {
     GraftSqlShim.column(
       SigAgreement(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
   }

@@ -248,6 +248,76 @@ object JsonStream {
     result
   }
 
+  /** STREAMING ingestion near-dup screen: incoming docs arrive as a file
+    * stream and are MinHash-LSH-screened against a STATIC already-
+    * ingested corpus — the streaming face of
+    * [[graft.operators.Dedup.incrementalNearDup]] restricted to its
+    * corpus quadrant (the within-batch screen needs cross-row state; the
+    * stateful dedup surfaces cover that shape). Everything on the stream
+    * side is stateless per-row work: signature + shingles projection,
+    * band-bucket explode, a stream-static LEFT join whose condition
+    * carries the exact-Jaccard verify (so unmatched docs survive with a
+    * NULL match), then one per-doc aggregation (complete mode) picking
+    * the best match as max(struct(jaccard, -id)) — the (jac desc, id
+    * asc) rule without a window over a stream.
+    *
+    * The planted batch mirrors q_incr_neardup minus its within-batch
+    * copies: appended-token near-dups (must be flagged against their
+    * corpus source) + novel docs (must be kept). Returns the final
+    * frame, which must equal the batch screen value-for-value. */
+  def nearDupScreenToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val numHashes = 16; val bands = 8; val rowsPerBand = numHashes / bands
+    val threshold = 0.7
+    val corpus = spark.read.parquet(path).select(col("doc_id"), col("text"))
+    val batch = corpus.where(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" appended trailer tokens")).as("text"))
+      .unionAll(corpus.where(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("novel document "), col("doc_id"),
+            lit(" fresh content alpha beta gamma delta")).as("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-neardup")
+    batch.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    def prep(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      graft.operators.Dedup.minhashSignature(col("text"), 3, numHashes).as("sig"),
+      graft.operators.Dedup.shingles(col("text"), 3).as("sh"))
+    val corB = prep(corpus).select(col("doc_id").as("oid"), col("sh").as("osh"),
+      posexplode(graft.operators.Dedup.bandBuckets(col("sig"), bands, rowsPerBand))
+        .as(Seq("oband", "obucket")))
+    val stream = prep(
+        spark.readStream.schema(batch.schema).parquet(dir.toString))
+      .select(col("doc_id").as("bid"), col("sh").as("bsh"),
+        posexplode(graft.operators.Dedup.bandBuckets(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val jac = graft.operators.Dedup.jaccard(col("bsh"), col("osh"))
+    val joined = stream.join(corB,
+        col("band") === col("oband") && col("bucket") === col("obucket") &&
+          jac >= threshold,
+        "left_outer")
+      .select(col("bid"),
+        when(col("oid").isNotNull,
+          struct(jac.as("jac"), (-col("oid")).as("noid"))).as("m"))
+    val agg = joined.groupBy(col("bid").as("doc_id"))
+      .agg(max(col("m")).as("best"))
+      .select(col("doc_id"), col("best").isNull.as("keep"),
+        coalesce(-col("best.noid"), lit(-1L)).as("match_id"),
+        coalesce(col("best.jac"), lit(0.0)).as("match_jaccard"))
+    val sink = s"graft_stream_neardup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    val d = new java.io.File(dir.toString)
+    d.listFiles().foreach(_.delete()); d.delete()
+    result
+  }
+
   case class AsofTagged(
       event_id: Long, ts_us: Long, user_id: Long, event_type: String,
       value: Double, is_right: Boolean)

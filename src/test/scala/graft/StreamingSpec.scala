@@ -246,4 +246,23 @@ class StreamingSpec extends AnyFunSuite {
         got.mkString("\n"))
     } finally q.stop()
   }
+
+  test("streaming near-dup screen: appended docs flagged, novel docs kept") {
+    val s = spark
+    val got = JsonStream.nearDupScreenToBatch(s, "/root/testdata/sf0.001/documents.parquet")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    val corpusIds = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // every appended-token doc must be flagged; its best match is USUALLY
+    // its own source (a nearer corpus near-dup may win — both are valid
+    // corpus evidence, so assert membership, not identity)
+    for (id <- corpusIds if id % 7 == 3) {
+      val (keep, matchId) = got(id + 100000L)
+      assert(!keep, s"appended doc ${id + 100000} should be flagged")
+      assert(corpusIds.contains(matchId), s"match $matchId must be a corpus doc")
+    }
+    // every novel doc must be kept with the sentinel no-match evidence
+    for (id <- corpusIds if id % 13 == 1)
+      assert(got(id + 400000L) == ((true, -1L)), s"novel doc ${id + 400000}")
+  }
 }
