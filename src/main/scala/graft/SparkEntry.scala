@@ -549,6 +549,16 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // int8 scalar quantization ANN: per-dim (min,max) training + uint8
+    // codes + INTEGER code dot ranking — order-free exact integers, so
+    // the oracle needs no float-fold pinning anywhere
+    "q_ann_sq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.sqTopK(emb, "vec_id", "embedding", q, 20)
+    }),
+
     // composed IVF+PQ ANN (FAISS IVFPQ shape): coarse cells + residual
     // codebooks from one sample; probe-pruned ADC scan; the oracle
     // replays coarse k-means, residual PQ training, encode, and scoring
@@ -2997,6 +3007,26 @@ object SparkEntry {
 
     // PQ: per-subspace k-means + encode + ADC lookup replayed in SQL
     "q_ann_pq" -> pqOracleSql(),
+
+    // SQ8: per-tensor symmetric scale (one corpus absmax), the
+    // double-arithmetic encode, and the all-integer code dot — no float
+    // folds to pin anywhere
+    "q_ann_sq" ->
+      """WITH av AS (SELECT vec_id, embedding AS e FROM embeddings),
+        | mm AS MATERIALIZED (SELECT max(abs(e[i])) AS am
+        |   FROM av, unnest(range(1, 65)) AS t(i)),
+        | enc AS MATERIALIZED (SELECT vec_id,
+        |   [CASE WHEN CAST(mm.am AS DOUBLE) <= 0 THEN 0
+        |     ELSE least(greatest(CAST(floor(
+        |       CAST(e[i] AS DOUBLE) * 127.0 / CAST(mm.am AS DOUBLE)) AS BIGINT),
+        |       -127), 127) END
+        |    FOR i IN range(1, 65)] AS c
+        |   FROM av CROSS JOIN mm),
+        | qc AS (SELECT c FROM enc WHERE vec_id = 0)
+        | SELECT a.vec_id,
+        |  CAST(list_sum([a.c[i] * q.c[i] FOR i IN range(1, 65)]) AS BIGINT) AS dot
+        | FROM enc a CROSS JOIN qc q
+        | ORDER BY dot DESC, a.vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
 
     // IVF+PQ: coarse k-means + residual-PQ training + probe-pruned ADC
     // replayed in SQL (see ivfPqScoreCtes)

@@ -730,6 +730,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** One symmetric scalar-quantized code: clamp(floor(v·127/absmax),
+    * −127, 127), every operation in double (float inputs convert
+    * exactly). The single shared definition both the [[SqEncode]] kernel
+    * and the driver-side query encode use — divergence here would
+    * silently skew ranking. absmax ≤ 0 → 0. */
+  private[operators] def sqQuantize(v: Float, absmax: Float): Int = {
+    if (absmax <= 0f) 0
+    else {
+      val d = math.floor(v.toDouble * 127.0 / absmax.toDouble)
+      if (d < -127.0) -127 else if (d > 127.0) 127 else d.toInt
+    }
+  }
+
+  /** Train per-tensor symmetric int8 scalar quantization: the one global
+    * scale absmax = max |v[i]| over the whole corpus. One narrow scan
+    * into a singleton aggregate; the model is a single float. Per-tensor
+    * (not per-dimension) on purpose: a shared scale is what lets the
+    * integer code dot rank like the true dot — per-dim offsets would
+    * require float dequantized scoring. */
+  def trainSq(df: DataFrame, vecCol: String): Float = {
+    val r = df.select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .agg(max(abs(col("__v"))).as("am")).head()
+    if (r.isNullAt(0)) 0f else r.getFloat(0)
+  }
+
+  /** SQ8 approximate top-k: corpus vectors encode to int8 codes (the
+    * fused [[SqEncode]] kernel — 4× smaller than float32, the memory
+    * lever when PQ's 16-32× is too lossy), the query encodes driver-side
+    * with the SAME arithmetic, and ranking is the INTEGER dot product of
+    * code vectors — exact integer accumulation is order-free, so
+    * distributed ranking needs no float-order pinning at all (simpler
+    * determinism story than PQ's double ADC folds). Narrow scan +
+    * TakeOrdered, zero Exchange, same plan shape as [[pqTopK]].
+    * Ties break by id. Recall recovery: re-rank the shortlist with exact
+    * cosine like [[ivfPqRerankTopK]] when raw vectors are retained. */
+  def sqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      trainedAbsmax: Float = -1f): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val absmax = if (trainedAbsmax >= 0f) trainedAbsmax else trainSq(df, vecCol)
+    val qCodes = query.map(v => sqQuantize(v, absmax))
+    val enc = GraftSqlShim.column(
+      SqEncode(GraftSqlShim.expression(col(vecCol)), absmax))
+    val dot = GraftSqlShim.column(IntDot(
+      GraftSqlShim.expression(col("__sq_codes")),
+      GraftSqlShim.expression(typedlit(qCodes.toSeq))))
+    df.select(col(idCol), enc.as("__sq_codes"))
+      .select(col(idCol), dot.as("dot"))
+      .orderBy(desc("dot"), col(idCol))
+      .limit(k)
+  }
+
   /** Train the composed IVF+PQ index (the FAISS IVFPQ shape) from ONE
     * capped id-ordered sample: coarse argmax-cosine centroids via Lloyd
     * iterations, then per-subspace L2 codebooks over the RESIDUALS

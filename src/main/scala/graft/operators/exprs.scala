@@ -839,3 +839,84 @@ case class IvfPqEncode(
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(vec = l, cell = r)
 }
+
+/** int8 scalar quantization encode, PER-TENSOR SYMMETRIC (the int8 GEMM
+  * convention): code[i] = clamp(floor(v[i] · 127 / absmax), −127, 127)
+  * with one global scale, all arithmetic in double (float inputs
+  * convert exactly, so the DuckDB oracle replays every code). The
+  * single shared scale is what keeps the INTEGER dot of codes monotone
+  * with the true float dot — per-dimension offsets/scales would distort
+  * the ranking and force float dequantized scoring. Output array<int>
+  * (1 byte/dim in practice, 4× smaller than float32). NULL for NULL
+  * input or a NULL element; absmax ≤ 0 encodes all-zero. */
+case class SqEncode(child: Expression, absmax: Float)
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sq_encode expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      out(i) = Similarity.sqQuantize(v.getFloat(i), absmax)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Integer dot product of two array<int> code vectors — the SQ8 ADC
+  * scoring primitive. Exact integer accumulation in a long: associative
+  * and order-free, so distributed ranking and a single-threaded oracle
+  * agree bit-for-bit with no float-order pinning. NULL on NULL input,
+  * NULL element, or length mismatch. */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any =
+    nullSafeEval(args(0), args(1))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"int_dot expects two array<int> code vectors, got ${l.sql}, ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

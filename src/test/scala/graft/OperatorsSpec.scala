@@ -1551,6 +1551,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pq.toSeq == again.toSeq)
   }
 
+  test("SQ8 top-k: integer code dot approximates exact dot; deterministic") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val exactDot = emb.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var d = 0.0
+        var i = 0
+        while (i < q.length) { d += q(i).toDouble * v(i).toDouble; i += 1 }
+        (r.getLong(0), d)
+      }
+      .sortBy { case (id, d) => (-d, id) }.take(20).map(_._1).toSet
+    val sq = Similarity.sqTopK(emb, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0))
+    // 8-bit/dim quantization is much finer than PQ's subspace codes —
+    // the query ranks first and recall should be near-exact
+    assert(sq.head == 0L, sq.toSeq)
+    val recall = sq.count(exactDot.contains) / 20.0
+    assert(recall >= 0.8, s"SQ8 recall vs exact dot: $recall")
+    // deterministic across partitioning (integer scores are order-free)
+    val again = Similarity.sqTopK(emb.repartition(7), "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0))
+    assert(sq.toSeq == again.toSeq)
+    // trained scale round-trip: passing it explicitly changes nothing
+    val trained = Similarity.trainSq(emb, "embedding")
+    val withTrained = Similarity
+      .sqTopK(emb, "vec_id", "embedding", q, 20, trainedAbsmax = trained)
+      .collect().map(_.getLong(0))
+    assert(sq.toSeq == withTrained.toSeq)
+  }
+
   test("IVF+PQ composed top-k: probed residual codes approximate exact dot") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

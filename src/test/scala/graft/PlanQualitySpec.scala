@@ -179,6 +179,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("SQ8 scan: fused encode + integer dot, top-k merge, no Exchange") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val df = graft.operators.Similarity.sqTopK(emb, "vec_id", "embedding", q, 20)
+    val plan = df.queryExecution.executedPlan.toString
+    // encode + code dot are projections over one scan; the only wide op
+    // is the partition-local top-k merge — no Exchange, no vector shuffle
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("sq_encode"), plan)
+  }
+
   test("IVF+PQ scan: fused assign+encode projection, pruned filter, no Exchange") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
