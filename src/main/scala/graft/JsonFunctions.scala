@@ -76,6 +76,16 @@ object JsonFunctions {
       "mix64" -> (es => Mix64(es(0), litLong(es(1), "salt"))),
       "gram_rep_stats" -> (es => GramRepStats(es(0), litInt(es(1), "gram size"))),
       "hashed_linear_score" -> (es => HashedLinearScore(es(0), litInt(es(1), "buckets"))),
+      "sq_encode" -> (es => SqEncode(es(0), es(1) match {
+        case Literal(v: Float, _) => v
+        case Literal(v: Double, _) => v.toFloat
+        case Literal(v: Int, _) => v.toFloat
+        // SQL decimal literals (2.0) arrive as Decimal, not Double
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toFloat
+        case other => throw new IllegalArgumentException(
+          s"absmax must be a numeric literal, got $other")
+      })),
+      "int_dot" -> (es => IntDot(es(0), es(1))),
       // aggregate: the analyzer wraps a bare AggregateFunction from the
       // registry in an AggregateExpression during function resolution
       "bloom_build" -> (es => BloomBuildAgg(es(0),
