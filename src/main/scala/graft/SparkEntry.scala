@@ -625,6 +625,13 @@ object SparkEntry {
       operators.Graph.pageRankEvents(s, table(s, dir, "events"), iterations = 5)
         .orderBy(col("node"))),
 
+    // deterministic train/val/test split: percent bucket of
+    // splitmix64(id + salt), stable under corpus growth — a doc's split
+    // never changes when other docs arrive
+    "q_splits" -> ((s, dir) =>
+      operators.Curation.assignSplits(table(s, dir, "documents"), "doc_id")
+        .orderBy(col("doc_id"))),
+
     // exact per-column profile (nulls + distincts in ONE Expand pass)
     "q_profile" -> ((s, dir) =>
       operators.Curation.profileColumns(table(s, dir, "documents"),
@@ -2133,6 +2140,18 @@ object SparkEntry {
         |   ORDER BY ${signedSql("h")}, doc_id) AS rk FROM stx3)
         | SELECT doc_id, source FROM ranked
         | WHERE rk <= 10 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // split replica: the Mix64 HUGEINT chain, signed pmod 100 (Spark's
+    // pmod over the signed long — DuckDB % truncates like Java), then
+    // the cumulative 80/90 thresholds
+    "q_splits" ->
+      s"""WITH sp0 AS (SELECT doc_id,
+        |  ((CAST(doc_id AS HUGEINT) + 7919) % $M64 + $M64) % $M64 AS h0 FROM documents),
+        | ${mixStagesSql("sp0", "doc_id", "spx")},
+        | bk AS (SELECT doc_id, ((${signedSql("h")} % 100) + 100) % 100 AS b FROM spx3)
+        | SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+        |   WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        | FROM bk ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // profile replica: per-column null + distinct counts
     "q_profile" -> {

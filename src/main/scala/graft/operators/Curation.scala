@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -172,6 +172,33 @@ object Curation {
           .orderBy(order, col(idCol))))
       .where(col(rankCol) <= perStratum)
       .drop(rankCol)
+  }
+
+  /** Deterministic train/val/test split assignment: split =
+    * the percent-bucket of splitmix64(id + salt) mod 100 against the
+    * cumulative fraction thresholds — reproducible across engines,
+    * partitionings, and reruns (the property `randomSplit` lacks), and
+    * stable under corpus growth: a document's split NEVER changes when
+    * other documents arrive, which is what keeps eval sets
+    * uncontaminated across dataset versions. Narrow projection, no
+    * shuffle; fractions are integer percents summing to 100 so the
+    * thresholds are exact. */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Int)] = Seq(("train", 80), ("val", 10), ("test", 10)),
+      salt: Long = 7919L): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      s"fractions must be positive, got $fractions")
+    require(fractions.map(_._2).sum == 100,
+      s"fractions must sum to 100, got $fractions")
+    val bucket = pmod(mix64(col(idCol).cast("long"), salt), lit(100L))
+    val cum = fractions.map(_._2).scanLeft(0)(_ + _).tail
+    var c: Column = null
+    for (((name, _), hi) <- fractions.zip(cum).dropRight(1))
+      c = if (c == null) when(bucket < hi, name) else c.when(bucket < hi, name)
+    val split = if (c == null) lit(fractions.last._1) else c.otherwise(fractions.last._1)
+    df.select(col(idCol), split.as("split"))
   }
 
   /** Exact per-column data-quality profile: one row per requested column

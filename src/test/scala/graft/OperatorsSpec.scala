@@ -576,6 +576,31 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 1, "date"), (3L, 2, "cherry")), got.toString)
   }
 
+  test("assignSplits: deterministic, growth-stable, distribution-sane") {
+    val s = spark
+    import s.implicits._
+    val small = s.range(0, 1000).toDF("id")
+    val a = Curation.assignSplits(small, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growth stability: adding rows never reassigns existing ids
+    val big = Curation.assignSplits(s.range(0, 5000).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (id, sp) => big(id) == sp })
+    // distribution tracks the 80/10/10 request (hash noise tolerated)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.04, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.04, frac.toString)
+    // guards: fractions must be positive and sum to 100
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(small, "id", Seq(("a", 50), ("b", 40)))
+    }
+    // single-split degenerate case works
+    val one = Curation.assignSplits(small, "id", Seq(("all", 100)))
+      .select(col("split")).distinct().collect().map(_.getString(0)).toSeq
+    assert(one == Seq("all"))
+  }
+
   test("profileColumns: exact nulls + distincts in one pass") {
     val s = spark
     import s.implicits._
