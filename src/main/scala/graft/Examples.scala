@@ -200,15 +200,14 @@ object Examples {
     TextOps.bpeSegment(docs, "doc_id", "text", merges).show(3)
 
     println("== 14. Graph: fixed-point PageRank over the event graph ==")
-    Graph.pageRankEvents(spark,
+    Graph.pageRankEvents(
         sources.Tables.readTable(spark, s"$sfDir/events.parquet"), iterations = 3)
       .orderBy(col("rank").desc).show(5)
 
     println("== 15. Ingestion screens: exact + near-dup incremental dedup ==")
-    val batch = docs.limit(0).select(col("doc_id"), col("text"))
-      .unionAll(docs.where(col("doc_id") % 7 === 3)
-        .select((col("doc_id") + 100000L).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text")))
+    val batch = docs.where(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
     Dedup.incrementalNearDup(batch, docs.select(col("doc_id"), col("text")),
       "doc_id", "text", bands = 8, threshold = 0.7).show(4)
 

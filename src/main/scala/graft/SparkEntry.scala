@@ -393,8 +393,11 @@ object SparkEntry {
               lit(" fresh content alpha beta gamma delta")).as("text")))
       // 8 bands of 2 rows: at threshold 0.7 the bucket-miss probability
       // is (1-0.7²)^8 ≈ 0.3% per pair (4-row bands measurably lose
-      // j≈0.85 pairs — two showed up at sf0.01); the brute-force oracle
-      // comparison proves completeness at these parameters on this data
+      // j≈0.85 pairs — two showed up at sf0.01), and the est ≥ 0.5
+      // prefilter adds a sub-percent miss mode for pairs hovering at
+      // j≈0.7; both modes are deterministic for the fixed hash family,
+      // and the brute-force oracle comparison proves the combination
+      // loses nothing at these parameters on this data
       operators.Dedup.incrementalNearDup(batch,
           d.select(col("doc_id"), col("text")), "doc_id", "text",
           shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.7)
@@ -549,9 +552,10 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
-    // int8 scalar quantization ANN: per-dim (min,max) training + uint8
-    // codes + INTEGER code dot ranking — order-free exact integers, so
-    // the oracle needs no float-fold pinning anywhere
+    // int8 scalar quantization ANN: ONE per-tensor symmetric absmax
+    // scale (per-dim offsets were tried and rejected — they distort dot
+    // ordering), signed int8 codes, INTEGER code-dot ranking —
+    // order-free exact integers, no float-fold pinning anywhere
     "q_ann_sq" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
@@ -622,7 +626,7 @@ object SparkEntry {
     // edges): 5 Pregel-style join+agg rounds, all-integer arithmetic so
     // the distributed sums replay order-independently in the oracle
     "q_pagerank" -> ((s, dir) =>
-      operators.Graph.pageRankEvents(s, table(s, dir, "events"), iterations = 5)
+      operators.Graph.pageRankEvents(table(s, dir, "events"), iterations = 5)
         .orderBy(col("node"))),
 
     // deterministic train/val/test split: percent bucket of

@@ -84,7 +84,16 @@ object Dedup {
     * corpus side can be a PERSISTED signature table so re-crawls don't
     * re-minhash the corpus); only candidate pairs' shingle sets travel
     * to the verify join. Same cost model as [[verifiedNearDupPairs]]
-    * with the corpus×corpus quadrant never generated. */
+    * with the corpus×corpus quadrant never generated.
+    *
+    * Recall: LSH candidates are probabilistic. The 8×2 default banding
+    * misses a true j=0.8 pair with (1−0.8²)^8 ≈ 2.8e-4 bucket
+    * probability (4-row bands were measurably worse — ~12% at the same
+    * j — and are deliberately NOT the default), and the est ≥
+    * threshold−0.2 prefilter adds a comparable sub-percent miss mode
+    * for pairs hovering at the threshold. Verify completeness against a
+    * brute-force oracle on your data when the threshold band matters
+    * (q_incr_neardup does exactly that). */
   def incrementalNearDup(
       incoming: DataFrame,
       seen: DataFrame,
@@ -92,7 +101,7 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4,
+      bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bands > 0 && numHashes >= bands && numHashes % bands == 0,

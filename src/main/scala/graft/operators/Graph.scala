@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -73,6 +73,15 @@ object Graph {
         .select(col("node"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("rank"))
       i += 1
     }
+    // materialize the final ranks, then release the iteration caches —
+    // without this every call would leak the pinned edge/node tables.
+    // The returned frame stays persisted (one small row per node);
+    // callers running many PageRanks in one session should unpersist it
+    // when done.
+    ranks.persist()
+    ranks.count()
+    ew.unpersist()
+    nodes.unpersist()
     ranks
   }
 
@@ -83,7 +92,6 @@ object Graph {
     * dangling nodes: every node that appears has outdegree ≥ 1).
     * Returns (node, rank) after `iterations` fixed-point rounds. */
   def pageRankEvents(
-      spark: SparkSession,
       events: DataFrame,
       iterations: Int = 5): DataFrame = {
     val pairs = events.select(

@@ -1211,7 +1211,9 @@ object Multimodal {
       else {
         val id = fcc(pos)
         val size = b.getInt(pos + 4)
-        if (size < 0 || pos + 8 + size > end) stack = stack.tail // malformed: stop this region
+        // overflow-safe form of pos+8+size > end: an adversarial size
+        // near Int.MaxValue must not wrap negative past the guard
+        if (size < 0 || size > end - pos - 8) stack = stack.tail // malformed: stop this region
         else {
           val next = pos + 8 + size + (size % 2)
           stack = (next, end) :: stack.tail
