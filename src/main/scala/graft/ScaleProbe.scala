@@ -117,6 +117,34 @@ object ScaleProbe {
         stride = 2).count()
     }
 
+    // incremental near-dup screen: a 10% batch (half perturbed near-dups
+    // of corpus docs, half novel) against the other 90% as corpus — the
+    // ingestion-shaped asymmetry the operator is designed for
+    time(s"incremental near-dup screen, ${nDocs / 10}-doc batch vs ${nDocs * 9 / 10}-doc corpus") {
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+        .unionAll(docs.where(col("doc_id") % 20 === 10)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(lit("novel "), col("doc_id"), lit(" "), reverse(col("text"))).as("text")))
+      operators.Dedup.incrementalNearDup(batch, corpus, "doc_id", "text",
+          threshold = 0.7)
+        .selectExpr("sum(CASE WHEN keep THEN 1 ELSE 0 END)").collect()
+    }
+
+    // fixed-point PageRank: synthetic edges from the doc graph (each doc
+    // links to 3 hash-derived peers); 5 Pregel rounds, rank table only
+    time(s"PageRank (5 rounds), $nDocs nodes x 3 edges") {
+      val edges = docs.select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            pmod(operators.mix64(col("doc_id") * 7 + j, 99L), lit(nDocs.toLong))): _*))
+            .as("dst"))
+      operators.Graph.pageRankFixed(edges, "src", "dst", iterations = 5)
+        .selectExpr("sum(rank)").collect()
+    }
+
     // line dedup probe: re-line every 8 tokens; the planted near-dups
     // share 7 of 8 aligned lines with their source doc, so the common-line
     // set is ~nDocs/20 * 7 lines — the broadcast side the plan relies on

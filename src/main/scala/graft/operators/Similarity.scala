@@ -735,7 +735,7 @@ object Similarity {
     * exactly). The single shared definition both the [[SqEncode]] kernel
     * and the driver-side query encode use — divergence here would
     * silently skew ranking. absmax ≤ 0 → 0. */
-  private[operators] def sqQuantize(v: Float, absmax: Float): Int = {
+  private[graft] def sqQuantize(v: Float, absmax: Float): Int = {
     if (absmax <= 0f) 0
     else {
       val d = math.floor(v.toDouble * 127.0 / absmax.toDouble)

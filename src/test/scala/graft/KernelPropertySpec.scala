@@ -187,4 +187,46 @@ class KernelPropertySpec extends AnyFunSuite {
       row.getInt(0) == bestrun && row.getInt(1) == bestlen && row.getInt(2) == dupchars
     })
   }
+
+  test("SqEncode: kernel == driver quantizer; range, monotonicity, zero-at-zero") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val vGen = org.scalacheck.Gen.listOfN(8,
+      org.scalacheck.Gen.choose(-100.0f, 100.0f))
+    val amGen = org.scalacheck.Gen.choose(0.1f, 100.0f)
+    check(forAll(vGen, amGen) { (vs, am) =>
+      val arr = new GenericArrayData(vs.map(Float.box).toArray[Any])
+      val got = graft.operators.SqEncode(
+          Literal.create(arr, ArrayType(FloatType)), am)
+        .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      // the kernel and the driver-side query encode MUST be the same
+      // function — a divergence silently skews every SQ ranking
+      val viaDriver = vs.map(v => graft.operators.Similarity.sqQuantize(v, am))
+      val inRange = got.forall(c => c >= -127 && c <= 127)
+      // monotone in v at fixed scale (floor of an increasing function)
+      val mono = vs.sorted.map(v => graft.operators.Similarity.sqQuantize(v, am))
+        .sliding(2).forall(p => p.size < 2 || p(0) <= p(1))
+      got == viaDriver && inRange && mono &&
+        graft.operators.Similarity.sqQuantize(0f, am) == 0
+    })
+  }
+
+  test("IntDot equals the BigInt dot model in the int8 code range") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val cGen = org.scalacheck.Gen.listOfN(16,
+      org.scalacheck.Gen.choose(-127, 127))
+    check(forAll(cGen, cGen) { (a, b) =>
+      val la = new GenericArrayData(a.map(Int.box).toArray[Any])
+      val lb = new GenericArrayData(b.map(Int.box).toArray[Any])
+      val got = graft.operators.IntDot(
+          Literal.create(la, ArrayType(IntegerType)),
+          Literal.create(lb, ArrayType(IntegerType)))
+        .eval(null).asInstanceOf[Long]
+      val model = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      BigInt(got) == model
+    })
+  }
 }

@@ -715,6 +715,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(junk.count() == 0L)
   }
 
+  test("AVI decoder is crash-proof on random and bit-flipped blobs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // random garbage of assorted sizes, including RIFF-prefixed garbage
+    val garbage = (0 until 40).map { i =>
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      if (i % 3 == 0 && b.length >= 12) {
+        "RIFF".getBytes.copyToArray(b, 0); "AVI ".getBytes.copyToArray(b, 8)
+      }
+      (i.toLong, b)
+    }
+    // valid AVIs with bytes flipped at random offsets (hits chunk sizes,
+    // palette, RLE escapes, frame payloads)
+    val mutated = (0 until 40).map { i =>
+      val b = Multimodal.syntheticAviRle(i.toLong)
+      for (_ <- 0 until 5) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      (100L + i, b)
+    }
+    // decode must complete; each doc yields either frames or nothing,
+    // never an exception (the executor-survival contract)
+    val n = Multimodal.sampleAviFrames(s,
+      (garbage ++ mutated).toDF("doc_id", "blob")).count()
+    assert(n >= 0L)
+  }
+
   test("real WAV decode: header and features match the generator formula") {
     val s = spark
     import s.implicits._
