@@ -38,6 +38,49 @@ object SparkEntry {
       | '],"obj":{"v":' || CAST(event_id AS VARCHAR) || '}}'"""
       .stripMargin.replaceAll("\\s*\\n\\s*", "")
 
+  /** DuckDB replica of [[operators.Web.syntheticUrl]] over documents —
+    * same searched-CASE order as the Spark `when` chain. */
+  private val urlGenSql: String =
+    """SELECT doc_id,
+      | CASE doc_id%3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END || '://' ||
+      | CASE doc_id%4 WHEN 0 THEN 'WWW.News-'||CAST(doc_id%7 AS VARCHAR)||'.Example.COM'
+      |  WHEN 1 THEN 'Blog'||CAST(doc_id%5 AS VARCHAR)||'.example.co.uk'
+      |  WHEN 2 THEN 'cdn'||CAST(doc_id%6 AS VARCHAR)||'.site'||CAST(doc_id%3 AS VARCHAR)||'.ORG'
+      |  ELSE 'Tracker.bad-ads.com' END ||
+      | CASE WHEN doc_id%5=0 THEN ':80' WHEN doc_id%5=1 THEN ':8080' ELSE '' END ||
+      | CASE WHEN doc_id%6=0 THEN '' ELSE '/'||lang||'/article-'||CAST(doc_id AS VARCHAR) END ||
+      | CASE WHEN doc_id%4=1 THEN '?gclid=ad'||CAST(doc_id AS VARCHAR)
+      |  WHEN doc_id%2=0 THEN '?utm_source=feed&id='||CAST(doc_id%100 AS VARCHAR)||'&utm_campaign=x&b=2&a=1'
+      |  WHEN doc_id%8=3 THEN '?z=9&a=3&fbclid=f'||CAST(doc_id%9 AS VARCHAR)
+      |  ELSE '' END ||
+      | CASE WHEN doc_id%3=2 THEN '#sec-'||CAST(doc_id%10 AS VARCHAR) ELSE '' END AS url
+      | FROM documents""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB replica of the Web.parseUrls split_part chain, as CTE text
+    * expecting a CTE `g(doc_id, url)`; yields p4 with scheme/host/port0/
+    * tl/path0/qs. */
+  private val urlParseSql: String =
+    """p1 AS (SELECT doc_id, url, lower(split_part(url,'://',1)) AS scheme,
+      |   split_part(url,'://',2) AS rest FROM g),
+      | p2 AS (SELECT *, split_part(split_part(split_part(rest,'/',1),'?',1),'#',1) AS auth FROM p1),
+      | p3 AS (SELECT *, lower(split_part(auth,':',1)) AS host,
+      |   CASE WHEN len(split_part(auth,':',2))>0 THEN CAST(split_part(auth,':',2) AS INTEGER) END AS port0,
+      |   substr(rest, len(auth)+1) AS tl FROM p2),
+      | p4 AS (SELECT *, split_part(split_part(tl,'?',1),'#',1) AS path0,
+      |   CASE WHEN contains(tl,'?') THEN split_part(split_part(tl,'?',2),'#',1) END AS qs FROM p3)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB replica of [[operators.Web.syntheticHtml]] over documents. */
+  private val htmlGenSql: String =
+    """SELECT doc_id, '<!DOCTYPE html><html><head><title> Doc &quot;'
+      | ||CAST(doc_id AS VARCHAR)||'&quot; &amp; more </title><style type="text/css">body { color: #fff; }</style>'
+      | ||'<script type="text/javascript">if (a && b < 3) { x = "</div>"; }</script>'
+      | ||'</head><body><!-- generated: id '||CAST(doc_id AS VARCHAR)
+      | ||' --><h1>Title &lt;'||CAST(doc_id%10 AS VARCHAR)
+      | ||'&gt;&nbsp;&#39;q&#39;</h1><p class="main">'||text
+      | ||'</p><div>tail</div></body></html>' AS html FROM documents"""
+      .stripMargin.replaceAll("\n", " ")
+
   /** {"flag":true|false} driven by the value column. */
   private def jbool: Column = concat(
     lit("{\"flag\":"), when(col("value") > 50, "true").otherwise("false"), lit("}"))
@@ -677,6 +720,54 @@ object SparkEntry {
           "doc_id", "text", n = 4)
         .orderBy(col("doc_id"))
     }),
+
+    // overlap-fraction decontamination (GPT-3/PaLM appendix variant):
+    // fraction of a doc's distinct 4-grams present in the benchmark set;
+    // only docs over maxOverlap drop (a single quoted sentence survives)
+    "q_decontam_frac" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      operators.Curation.decontaminateOverlap(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4, maxOverlap = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization over deterministic messy synthetic URLs
+    // (syntheticPng convention — formula of doc_id, replayed in the
+    // oracle): case folding, default-port strip, tracking-param removal,
+    // bytewise param sort, fragment drop; narrow, zero Exchange
+    "q_url_normalize" -> ((s, dir) =>
+      operators.Web.normalizeUrls(
+          table(s, dir, "documents").select(col("doc_id"),
+            operators.Web.syntheticUrl(col("doc_id"), col("lang")).as("url")),
+          "url")
+        .select(col("doc_id"), col("url"), col("scheme"), col("host"),
+          col("port"), col("path"), col("query_norm"), col("url_norm"))
+        .orderBy(col("doc_id"))),
+
+    // RefinedWeb-style per-registered-domain cap + blocklist over the
+    // same synthetic URLs: one Exchange (domain window), rank by doc_id
+    "q_domain_cap" -> ((s, dir) =>
+      operators.Web.domainCap(
+          table(s, dir, "documents").select(col("doc_id"),
+            operators.Web.syntheticUrl(col("doc_id"), col("lang")).as("url")),
+          "doc_id", "url", maxPerDomain = 300L, blocklist = Seq("bad-ads.com"))
+        .select(col("doc_id"), col("domain"),
+          col("domain_docs"), col("domain_rank").cast("long").as("domain_rank"),
+          col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // main-text extraction from synthetic HTML wrapping documents.text:
+    // script/style/comment subtrees dropped, tags stripped, entities
+    // decoded (&amp; last), whitespace collapsed; title extracted; the
+    // oracle replays the identical RE2-safe regex chain
+    "q_html_extract" -> ((s, dir) =>
+      operators.Web.htmlExtract(
+          table(s, dir, "documents").select(col("doc_id"),
+            operators.Web.syntheticHtml(col("doc_id"), col("text")).as("html")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"))),
 
     // CCNet-style bigram-LM perplexity: model trained on the 1-in-20
     // reference slice (the decontam convention), the rest scored by
@@ -2249,6 +2340,82 @@ object SparkEntry {
         |  coalesce(h.n, 0) > 0 AS contaminated
         | FROM (SELECT doc_id FROM shq WHERE doc_id % 20 <> 0) t
         | LEFT JOIN hitq h USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // overlap-fraction decontamination: same distinct-4-gram machinery as
+    // q_decontam, plus exact-integer counts and one IEEE division
+    "q_decontam_frac" ->
+      """WITH toksq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        | shq AS (SELECT doc_id, list_distinct([array_to_string(tk[x+1:x+4], ' ')
+        |   for x in range(0, greatest(len(tk)-4, 0)+1)]) AS s FROM toksq),
+        | bgq AS (SELECT DISTINCT unnest(s) AS gram FROM shq WHERE doc_id % 20 = 0),
+        | tgq AS (SELECT doc_id, unnest(s) AS gram FROM shq WHERE doc_id % 20 <> 0),
+        | hitq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tgq
+        |   JOIN bgq USING (gram) GROUP BY doc_id),
+        | base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_grams FROM shq WHERE doc_id % 20 <> 0)
+        | SELECT b.doc_id, b.n_grams,
+        |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+        |  CAST(coalesce(h.n, 0) AS DOUBLE) / CAST(greatest(b.n_grams, 1) AS DOUBLE) AS overlap_frac,
+        |  (CAST(coalesce(h.n, 0) AS DOUBLE) / CAST(greatest(b.n_grams, 1) AS DOUBLE)) <= 0.25 AS keep
+        | FROM base b LEFT JOIN hitq h USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // URL canonicalization: generator + split_part parse + normalization
+    // rules replayed step-for-step (list_filter/list_sort = the Spark
+    // filter/array_sort HOFs, bytewise string order on both engines)
+    "q_url_normalize" ->
+      (s"""WITH g AS ($urlGenSql), $urlParseSql,
+        | n1 AS (SELECT doc_id, url, scheme, host,
+        |  CASE WHEN (scheme='http' AND port0=80) OR (scheme='https' AND port0=443)
+        |    THEN NULL ELSE port0 END AS port,
+        |  CASE WHEN len(path0)=0 THEN '/' ELSE path0 END AS path,
+        |  CASE WHEN qs IS NOT NULL THEN array_to_string(list_sort(list_filter(string_split(qs,'&'),
+        |    x -> len(x)>0 AND NOT starts_with(x,'utm_')
+        |      AND split_part(x,'=',1) NOT IN ('fbclid','gclid','msclkid','ref'))),'&')
+        |  END AS q0 FROM p4),
+        | n2 AS (SELECT *, CASE WHEN q0 IS NOT NULL AND len(q0)>0 THEN q0 END AS query_norm FROM n1)
+        | SELECT doc_id, url, scheme, host, port, path, query_norm,
+        |  scheme||'://'||host||coalesce(':'||CAST(port AS VARCHAR),'')||path
+        |   ||coalesce('?'||query_norm,'') AS url_norm
+        | FROM n2 ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // per-registered-domain cap: suffix-aware domain + one window
+    "q_domain_cap" ->
+      (s"""WITH g AS ($urlGenSql), $urlParseSql,
+        | d AS (SELECT doc_id, host, string_split(host,'.') AS ls FROM p4),
+        | dd AS (SELECT doc_id,
+        |  CASE WHEN len(ls)>=3 AND (ls[-2]||'.'||ls[-1]) IN
+        |     ('co.uk','ac.uk','com.au','co.jp','com.br','co.in')
+        |   THEN ls[-3]||'.'||ls[-2]||'.'||ls[-1]
+        |   WHEN len(ls)>=2 THEN ls[-2]||'.'||ls[-1]
+        |   ELSE host END AS domain FROM d),
+        | w AS (SELECT doc_id, domain,
+        |  CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS domain_docs,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS domain_rank
+        |  FROM dd)
+        | SELECT doc_id, domain, domain_docs, domain_rank,
+        |  (domain_rank <= 300 AND domain NOT IN ('bad-ads.com')) AS keep
+        | FROM w ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // HTML extraction: identical RE2-safe regex chain + entity decode
+    // (&amp; last) + whitespace collapse, title from the raw page
+    "q_html_extract" ->
+      (s"""WITH h AS ($htmlGenSql),
+        | s1 AS (SELECT doc_id, html, regexp_replace(html, '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS t FROM h),
+        | s2 AS (SELECT doc_id, html, regexp_replace(t, '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS t FROM s1),
+        | s3 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        | s4 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+        | d AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&') AS dt,
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_extract(html,'(?is)<title[^>]*>(.*?)</title>',1),
+        |    '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&') AS dtt
+        |  FROM s4)
+        | SELECT doc_id,
+        |  trim(regexp_replace(dtt,'[ \t\r\n]+',' ','g')) AS title,
+        |  trim(regexp_replace(dt,'[ \t\r\n]+',' ','g')) AS text,
+        |  CAST(len(trim(regexp_replace(dt,'[ \t\r\n]+',' ','g'))) AS BIGINT) AS n_chars
+        | FROM d ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
 
     // bigram-LM replica: identical integer count tables, identical
     // integer ln arguments, per-doc log sum folded in POSITION order

@@ -299,6 +299,48 @@ object Curation {
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Overlap-FRACTION decontamination (the GPT-3/PaLM appendix variant of
+    * [[decontaminate]]): instead of a binary any-shared-n-gram flag,
+    * report what fraction of a document's distinct n-grams appear in the
+    * benchmark set, and drop only documents above `maxOverlap` — a long
+    * document that happens to quote one benchmark sentence survives, a
+    * near-copy does not. Returns
+    * `(idCol, n_grams, n_hit_grams, overlap_frac, keep)`; documents too
+    * short to form one n-gram have zero overlap by convention.
+    *
+    * Determinism: counts are exact integers and `overlap_frac` is one
+    * IEEE division of exact integers. Scale shape is [[decontaminate]]'s:
+    * benchmark grams broadcast (benchmarks are MBs, corpora are TBs), the
+    * corpus side is one narrow explode + partial-agg groupBy on the id. */
+  def decontaminateOverlap(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      maxOverlap: Double = 0.1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      // shingles are distinct within a doc, so plain count = distinct count
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    val frac = coalesce(col("n_hit_grams"), lit(0L)).cast("double") /
+      greatest(col("n_grams"), lit(1L)).cast("double")
+    train
+      .select(col(idCol),
+        size(Dedup.shingles(col(textCol), n)).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        frac.as("overlap_frac"),
+        (frac <= maxOverlap).as("keep"))
+  }
+
   /** Deterministic training-shard assignment: shard = splitmix64(id+salt)
     * mod `numShards`, plus the signed mixed hash itself as the
     * within-shard sort key (`shard_ord`). This is the reproducible

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-corpus curation: URL hygiene and markup extraction — the stage a
+ * CommonCrawl-scale pipeline runs BEFORE text filtering (CCNet §3.1,
+ * RefinedWeb §3.2: URL filtering + per-domain caps + text extraction are
+ * the first pass over every crawled page).
+ *
+ * Everything here is a narrow, codegen'd expression chain over one scan —
+ * zero Exchange except [[domainCap]]'s single per-domain window. All
+ * string semantics are engine-portable by construction (split_part /
+ * array_sort / RE2-safe regexes — no backreferences, no \b, no \s), so
+ * the DuckDB oracle replays every step value-for-value.
+ *
+ * URL grammar handled (documented contract, not full RFC 3986):
+ * `scheme://host[:port][/path][?query][#fragment]` with '?' before '#'.
+ * Userinfo, IPv6 bracket hosts, and relative references are out of scope
+ * (crawl frontiers normalize those upstream).
+ */
+object Web {
+
+  /** Multi-part public suffixes recognized by [[registeredDomainOf]] — a
+    * deliberately small excerpt of the public-suffix list, enough to keep
+    * `blog.example.co.uk` from collapsing to `co.uk`. Production swaps in
+    * the full PSL as a broadcast set without changing the expression. */
+  val MultiSuffixes: Seq[String] =
+    Seq("co.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in")
+
+  /** Query-parameter keys dropped by [[normalizeUrls]]: the standard
+    * click-tracking params that make otherwise-identical pages look
+    * distinct (the #1 cause of URL-level duplicate misses). */
+  val TrackingKeys: Seq[String] = Seq("fbclid", "gclid", "msclkid", "ref")
+
+  /** Scheme / host / port / path / query / fragment of a URL column under
+    * the documented grammar. Missing parts are NULL (port additionally
+    * NULL when absent); `path` is the raw path (possibly empty — see
+    * [[normalizeUrls]] for the canonical form). Pure split_part/substring
+    * chain: one kernel per row, no Exchange. */
+  def parseUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val rest = split_part(u, lit("://"), lit(2))
+    val authority =
+      split_part(split_part(split_part(rest, lit("/"), lit(1)),
+        lit("?"), lit(1)), lit("#"), lit(1))
+    val tail = rest.substr(length(authority) + 1, length(rest))
+    val portStr = split_part(authority, lit(":"), lit(2))
+    df.withColumn("scheme", lower(split_part(u, lit("://"), lit(1))))
+      .withColumn("host", lower(split_part(authority, lit(":"), lit(1))))
+      .withColumn("port",
+        when(length(portStr) > 0, portStr.cast("int")).otherwise(lit(null)))
+      .withColumn("path",
+        split_part(split_part(tail, lit("?"), lit(1)), lit("#"), lit(1)))
+      .withColumn("query",
+        when(tail.contains("?"),
+          split_part(split_part(tail, lit("?"), lit(2)), lit("#"), lit(1)))
+          .otherwise(lit(null)))
+      .withColumn("fragment",
+        when(tail.contains("#"), split_part(tail, lit("#"), lit(2)))
+          .otherwise(lit(null)))
+  }
+
+  /** Canonical URL form for dedup keys and frontier hygiene:
+    * scheme+host lowercased, default port dropped (http:80 / https:443),
+    * empty path → "/", fragment dropped, tracking params removed
+    * (`utm_*` prefixes plus [[TrackingKeys]]), remaining params sorted
+    * bytewise so `?b=2&a=1` and `?a=1&b=2` collapse. Adds the parsed
+    * columns plus `query_norm` and `url_norm`. The param list is a
+    * handful of elements, so the filter/sort HOFs stay off the
+    * per-character hot path. Narrow; zero Exchange. */
+  def normalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val parsed = parseUrls(df, urlCol)
+    val params = filter(split(col("query"), "&"), p =>
+      length(p) > 0 && !p.startsWith("utm_") &&
+        !split_part(p, lit("="), lit(1)).isin(TrackingKeys: _*))
+    val portNorm = when(
+      (col("scheme") === "http" && col("port") === 80) ||
+        (col("scheme") === "https" && col("port") === 443),
+      lit(null)).otherwise(col("port"))
+    parsed
+      .withColumn("port", portNorm)
+      .withColumn("path", when(length(col("path")) === 0, lit("/"))
+        .otherwise(col("path")))
+      .withColumn("query_norm",
+        when(col("query").isNotNull && size(params) > 0,
+          array_join(array_sort(params), "&")).otherwise(lit(null)))
+      .withColumn("url_norm", concat(
+        col("scheme"), lit("://"), col("host"),
+        when(col("port").isNotNull, concat(lit(":"), col("port").cast("string")))
+          .otherwise(lit("")),
+        col("path"),
+        when(col("query_norm").isNotNull, concat(lit("?"), col("query_norm")))
+          .otherwise(lit(""))))
+      .drop("fragment")
+  }
+
+  /** Registered (pay-level) domain of a lowercase host: last two labels,
+    * or last three when the final two form a [[MultiSuffixes]] entry —
+    * `www.news.example.co.uk` → `example.co.uk`. Hosts with one label
+    * (e.g. `localhost`) pass through. */
+  def registeredDomainOf(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
+    when(n >= 3 && last2.isin(MultiSuffixes: _*),
+        concat(element_at(labels, -3), lit("."), last2))
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** RefinedWeb-style per-domain contribution cap + blocklist: rank each
+    * document within its registered domain (by `idCol` — deterministic,
+    * not arrival order) and keep the first `maxPerDomain`, unless the
+    * domain is blocklisted. Returns
+    * `(idCol, url, domain, domain_docs, domain_rank, keep)`.
+    *
+    * Scale shape: the parse is narrow; the ONLY Exchange is the
+    * hash-partition on `domain` for the window (count + row_number share
+    * one sort). Registered domains are Zipf-heavy but bounded
+    * (~10^7 web-wide), and a hot domain is exactly what the cap
+    * truncates — at 100 TB the window sort spills fine and AQE splits
+    * nothing because the partition key IS the semantic unit. */
+  def domainCap(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      maxPerDomain: Long,
+      blocklist: Seq[String] = Nil): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    val w = Window.partitionBy(col("domain"))
+    val parsed = parseUrls(df.select(col(idCol), col(urlCol)), urlCol)
+      .withColumn("domain", registeredDomainOf(col("host")))
+    parsed.select(
+        col(idCol), col(urlCol), col("domain"),
+        count(lit(1)).over(w).as("domain_docs"),
+        row_number().over(w.orderBy(col(idCol))).as("domain_rank"))
+      .withColumn("keep",
+        col("domain_rank") <= maxPerDomain &&
+          (if (blocklist.isEmpty) lit(true) else !col("domain").isin(blocklist: _*)))
+  }
+
+  /** Main-text extraction from HTML (the WET-file step of a crawl
+    * pipeline): drop script/style subtrees, comments, then all tags;
+    * decode the common named entities (single-pass order — `&amp;` last,
+    * so `&amp;lt;` yields the literal `&lt;`); collapse whitespace runs.
+    * Also extracts the (entity-decoded) `<title>`.
+    *
+    * Regex subset chosen for engine portability: no backreferences, no
+    * `\b`, no `\s` — `(?is)` + non-greedy + explicit classes only, which
+    * Java regex and RE2 evaluate identically. A full HTML5 tree parser is
+    * out of scope; on real crawls this regex tier is the pre-filter and a
+    * DOM pass runs on the survivors. One narrow kernel chain per row,
+    * zero Exchange — scan-speed at any corpus size. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    def decode(c: Column): Column = {
+      val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      named.foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+    }
+    def clean(c: Column): Column =
+      trim(regexp_replace(c, "[ \\t\\r\\n]+", " "))
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script[^>]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style[^>]*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val title = regexp_extract(col(htmlCol), "(?is)<title[^>]*>(.*?)</title>", 1)
+    df.select(
+      col(idCol),
+      clean(decode(title)).as("title"),
+      clean(decode(noTags)).as("text"),
+      length(clean(decode(noTags))).cast("long").as("n_chars"))
+  }
+
+  /** Deterministic messy-URL generator for the verify fixtures (the
+    * syntheticPng convention: formula of the id, replayed verbatim in the
+    * oracle SQL). Exercises every normalization rule: uppercase scheme +
+    * host, default and explicit ports, empty paths, tracking-only and
+    * mixed query strings, unsorted params, fragments, a blocklisted
+    * domain, and a co.uk multi-suffix. */
+  def syntheticUrl(id: Column, lang: Column): Column = {
+    val s = (m: Int) => id % m
+    val scheme = when(s(3) === 0, "HTTP").when(s(3) === 1, "https")
+      .otherwise("http")
+    val host = when(s(4) === 0,
+        concat(lit("WWW.News-"), s(7).cast("string"), lit(".Example.COM")))
+      .when(s(4) === 1,
+        concat(lit("Blog"), s(5).cast("string"), lit(".example.co.uk")))
+      .when(s(4) === 2,
+        concat(lit("cdn"), s(6).cast("string"), lit(".site"),
+          s(3).cast("string"), lit(".ORG")))
+      .otherwise(lit("Tracker.bad-ads.com"))
+    val port = when(s(5) === 0, ":80").when(s(5) === 1, ":8080").otherwise("")
+    val path = when(s(6) === 0, "").otherwise(
+      concat(lit("/"), lang, lit("/article-"), id.cast("string")))
+    val query = when(s(4) === 1, concat(lit("?gclid=ad"), id.cast("string")))
+      .when(s(2) === 0,
+        concat(lit("?utm_source=feed&id="), s(100).cast("string"),
+          lit("&utm_campaign=x&b=2&a=1")))
+      .when(s(8) === 3,
+        concat(lit("?z=9&a=3&fbclid=f"), s(9).cast("string")))
+      .otherwise(lit(""))
+    val frag = when(s(3) === 2, concat(lit("#sec-"), s(10).cast("string")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** Deterministic HTML page around a text column (same convention):
+    * head with title/style/script (the script body contains `&&` and a
+    * fake closing-tag-free `<` to exercise the non-greedy spans), a
+    * comment, entity-bearing headline, and the body text in a classed
+    * paragraph. */
+  def syntheticHtml(id: Column, text: Column): Column =
+    concat(
+      lit("<!DOCTYPE html><html><head><title> Doc &quot;"),
+      id.cast("string"),
+      lit("&quot; &amp; more </title><style type=\"text/css\">body { color: #fff; }</style>"),
+      lit("<script type=\"text/javascript\">if (a && b < 3) { x = \"</div>\"; }</script>"),
+      lit("</head><body><!-- generated: id "),
+      id.cast("string"),
+      lit(" --><h1>Title &lt;"),
+      (id % 10).cast("string"),
+      lit("&gt;&nbsp;&#39;q&#39;</h1><p class=\"main\">"),
+      text,
+      lit("</p><div>tail</div></body></html>"))
+}

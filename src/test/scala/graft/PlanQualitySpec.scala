@@ -136,6 +136,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(repPlan).size == 1, repPlan)
   }
 
+  test("web ops: URL normalize and HTML extract are zero-Exchange single scans; domain cap is one") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.Web.syntheticUrl(col("doc_id"), col("lang")).as("url"),
+        graft.operators.Web.syntheticHtml(col("doc_id"), col("text")).as("html"))
+    val urlPlan = graft.operators.Web.normalizeUrls(d, "url")
+      .queryExecution.executedPlan.toString
+    assert(!urlPlan.contains("Exchange"), urlPlan)
+    assert("Scan parquet".r.findAllIn(urlPlan).size == 1, urlPlan)
+    assert(urlPlan.contains("*(1) Project"), urlPlan)
+    val htmlPlan = graft.operators.Web.htmlExtract(d, "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!htmlPlan.contains("Exchange"), htmlPlan)
+    assert("Scan parquet".r.findAllIn(htmlPlan).size == 1, htmlPlan)
+    // the cap's only wide operation is the per-domain window partitioning
+    // (count + row_number share it: one Exchange, however many windows)
+    val capPlan = graft.operators.Web.domainCap(d, "doc_id", "url", 300L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(capPlan).size == 1, capPlan)
+    assert(!capPlan.contains("Join"), capPlan)
+  }
+
   test("quality classifier: one narrow scan, fused kernel, zero Exchange") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

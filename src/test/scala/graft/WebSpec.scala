@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.{Curation, Web}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Web-corpus curation: URL parse/normalize, registered domains,
+  * per-domain caps, HTML extraction, overlap-fraction decontamination. */
+class WebSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def parse1(url: String): Map[String, Any] = {
+    val s = spark
+    import s.implicits._
+    val row = Web.parseUrls(Seq((1L, url)).toDF("id", "url"), "url")
+      .collect().head
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("parseUrls: grammar corners — pathless query, fragment, ports") {
+    val a = parse1("HTTP://Www.Ex.COM:8080/a/b?x=1&y=2#frag")
+    assert(a("scheme") == "http" && a("host") == "www.ex.com")
+    assert(a("port") == 8080 && a("path") == "/a/b")
+    assert(a("query") == "x=1&y=2" && a("fragment") == "frag")
+
+    val b = parse1("https://ex.com?a=1") // no path, straight to query
+    assert(b("path") == "" && b("query") == "a=1" && b("port") == null)
+
+    val c = parse1("http://ex.com/p#only-frag") // fragment, no query
+    assert(c("query") == null && c("fragment") == "only-frag")
+
+    val d = parse1("http://ex.com") // bare authority
+    assert(d("path") == "" && d("query") == null && d("fragment") == null)
+  }
+
+  test("normalizeUrls: tracking strip, param sort, default ports, idempotency") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "HTTP://Ex.COM:80/p?utm_source=x&b=2&a=1&gclid=g#f"),
+      (2L, "https://ex.com:443/p?fbclid=z"), // all params tracked
+      (3L, "https://ex.com:80/p"),           // 80 is NOT https default
+      (4L, "http://ex.com"),                 // empty path → "/"
+      (5L, "http://ex.com/p?b=2&a=1")
+    ).toDF("id", "url")
+    val got = Web.normalizeUrls(urls, "url")
+      .select("id", "url_norm", "query_norm", "port")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "http://ex.com/p?a=1&b=2")
+    assert(got(2L).getString(1) == "https://ex.com/p")
+    assert(got(2L).isNullAt(2)) // all-tracking query collapses to NULL
+    assert(got(3L).getString(1) == "https://ex.com:80/p")
+    assert(got(4L).getString(1) == "http://ex.com/")
+    assert(got(5L).getString(1) == "http://ex.com/p?a=1&b=2")
+
+    // canonical form is a fixed point: normalize(url_norm) == url_norm
+    val again = Web.normalizeUrls(
+      Web.normalizeUrls(urls, "url").select(col("id"), col("url_norm").as("url")),
+      "url").select("id", "url_norm").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, r) => assert(again(id) == r.getString(1), s"id=$id") }
+  }
+
+  test("registeredDomainOf: multi-suffix, deep subdomains, single label") {
+    val s = spark
+    import s.implicits._
+    val hosts = Seq("www.news.example.co.uk", "a.b.example.com",
+      "example.com", "localhost", "co.uk")
+    val got = hosts.toDF("h")
+      .select(Web.registeredDomainOf(col("h"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("example.co.uk", "example.com",
+      "example.com", "localhost", "co.uk"))
+  }
+
+  test("domainCap: rank by id within registered domain, blocklist kills all") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "http://a.ex.com/1"), (2L, "http://b.ex.com/2"),
+      (3L, "http://ex.com/3"),   // same registered domain ex.com
+      (4L, "http://other.org/4"),
+      (5L, "http://spam.bad.net/5"), (6L, "http://bad.net/6")
+    ).toDF("doc_id", "url")
+    val got = Web.domainCap(df, "doc_id", "url", maxPerDomain = 2L,
+        blocklist = Seq("bad.net"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == (("ex.com", 3L, 1, true)))
+    assert(got(2L) == (("ex.com", 3L, 2, true)))
+    assert(got(3L) == (("ex.com", 3L, 3, false))) // over the cap
+    assert(got(4L) == (("other.org", 1L, 1, true)))
+    assert(!got(5L)._4 && !got(6L)._4) // blocklisted at any rank
+  }
+
+  test("htmlExtract: script/style spans, entity order, whitespace, title") {
+    val s = spark
+    import s.implicits._
+    val html =
+      """<html><head><title> A &amp; B </title>
+        |<style>p { color: red; }</style>
+        |<script>if (a && b < 3) { x = "</div>"; }</script></head>
+        |<body><!-- note --><h1>H &lt;1&gt;</h1>
+        |<p class="x">T1&nbsp;T2</p>
+        |<p>&amp;lt; stays literal</p></body></html>""".stripMargin
+    val got = Web.htmlExtract(Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .collect().head
+    assert(got.getString(1) == "A & B")
+    val text = got.getString(2)
+    // script body (incl. the embedded "</div>") and style rules are gone
+    assert(!text.contains("color") && !text.contains("x ="))
+    assert(!text.contains("note")) // comment dropped
+    assert(text.contains("H <1>")) // entities decoded AFTER tag strip
+    assert(text.contains("T1 T2")) // &nbsp; → space
+    // single-pass convention: &amp;lt; → literal "&lt;", never "<"
+    assert(text.contains("&lt; stays literal"))
+    assert(got.getLong(3) == text.length.toLong)
+  }
+
+  test("decontaminateOverlap: fraction splits quote-only from near-copy") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val train = Seq(
+      // near-copy: every 3-gram is benchmark material → frac 1.0
+      (1L, "the quick brown fox jumps"),
+      // long doc quoting one benchmark 3-gram among 7 grams
+      (2L, "alpha beta gamma the quick brown delta epsilon zeta"),
+      // no overlap
+      (3L, "one two three four")
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminateOverlap(train, bench, "doc_id", "text",
+        n = 3, maxOverlap = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0, false)))
+    assert(got(2L)._1 == 7L && got(2L)._2 == 1L && got(2L)._4)
+    assert(got(3L) == ((2L, 0L, 0.0, true)))
+  }
+}
