@@ -211,6 +211,21 @@ object Examples {
     Dedup.incrementalNearDup(batch, docs.select(col("doc_id"), col("text")),
       "doc_id", "text", bands = 8, threshold = 0.7).show(4)
 
+    println("== 16. Web curation: URL hygiene, domain caps, HTML extraction ==")
+    val pages = docs.select(col("doc_id"),
+      Web.syntheticUrl(col("doc_id"), col("lang")).as("url"),
+      Web.syntheticHtml(col("doc_id"), col("text")).as("html"))
+    Web.normalizeUrls(pages.select("doc_id", "url"), "url")
+      .select("doc_id", "url", "url_norm").show(3, truncate = false)
+    Web.domainCap(pages, "doc_id", "url", maxPerDomain = 50L,
+      blocklist = Seq("bad-ads.com")).where(!col("keep")).show(3)
+    Web.htmlExtract(pages, "doc_id", "html")
+      .select("doc_id", "title", "n_chars").show(3, truncate = false)
+    Curation.decontaminateOverlap(
+      docs.where(col("doc_id") % 20 =!= 0), docs.where(col("doc_id") % 20 === 0),
+      "doc_id", "text", n = 4, maxOverlap = 0.25)
+      .where(!col("keep")).show(3)
+
     spark.stop()
   }
 }
