@@ -758,6 +758,18 @@ object SparkEntry {
           col("keep"))
         .orderBy(col("doc_id"))),
 
+    // skew-safe salted variant: identical keeps, bounded tasks at any
+    // domain skew; domain_rank is NULL past the cap by contract
+    "q_domain_cap_salted" -> ((s, dir) =>
+      operators.Web.domainCapSalted(
+          table(s, dir, "documents").select(col("doc_id"),
+            operators.Web.syntheticUrl(col("doc_id"), col("lang")).as("url")),
+          "doc_id", "url", maxPerDomain = 300L, blocklist = Seq("bad-ads.com"))
+        .select(col("doc_id"), col("domain"),
+          col("domain_docs"), col("domain_rank").cast("long").as("domain_rank"),
+          col("keep"))
+        .orderBy(col("doc_id"))),
+
     // main-text extraction from synthetic HTML wrapping documents.text:
     // script/style/comment subtrees dropped, tags stripped, entities
     // decoded (&amp; last), whitespace collapsed; title extracted; the
@@ -2394,6 +2406,25 @@ object SparkEntry {
         |  FROM dd)
         | SELECT doc_id, domain, domain_docs, domain_rank,
         |  (domain_rank <= 300 AND domain NOT IN ('bad-ads.com')) AS keep
+        | FROM w ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // salted cap: same windowed replica, rank masked past the cap
+    "q_domain_cap_salted" ->
+      (s"""WITH g AS ($urlGenSql), $urlParseSql,
+        | d AS (SELECT doc_id, host, string_split(host,'.') AS ls FROM p4),
+        | dd AS (SELECT doc_id,
+        |  CASE WHEN len(ls)>=3 AND (ls[-2]||'.'||ls[-1]) IN
+        |     ('co.uk','ac.uk','com.au','co.jp','com.br','co.in')
+        |   THEN ls[-3]||'.'||ls[-2]||'.'||ls[-1]
+        |   WHEN len(ls)>=2 THEN ls[-2]||'.'||ls[-1]
+        |   ELSE host END AS domain FROM d),
+        | w AS (SELECT doc_id, domain,
+        |  CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS domain_docs,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS rk
+        |  FROM dd)
+        | SELECT doc_id, domain, domain_docs,
+        |  CASE WHEN rk <= 300 THEN rk END AS domain_rank,
+        |  (rk <= 300 AND domain NOT IN ('bad-ads.com')) AS keep
         | FROM w ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
 
     // HTML extraction: identical RE2-safe regex chain + entity decode

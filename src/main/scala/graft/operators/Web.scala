@@ -142,6 +142,62 @@ object Web {
           (if (blocklist.isEmpty) lit(true) else !col("domain").isin(blocklist: _*)))
   }
 
+  /** SKEW-SAFE [[domainCap]] (the [[Curation.stratifiedSampleSalted]]
+    * argument applied to domain capping): on a real crawl the domain
+    * distribution is Zipf — one hot domain can hold percents of the whole
+    * corpus, and [[domainCap]]'s per-domain window would hand that
+    * domain's entire volume to ONE sort task. Here phase 1 ranks within
+    * (domain, salt-bucket) — an independent id hash spreads the hot
+    * domain over `salts` tasks — and keeps at most `maxPerDomain` rows
+    * per bucket; the domain-global top-`maxPerDomain` by id is a subset
+    * of the per-bucket winners (any globally-kept row is also in its own
+    * bucket's top), so phase 2 re-ranks only the ≤ salts·maxPerDomain
+    * survivors per domain — a bounded task at ANY skew. `domain_docs`
+    * comes from a partial-agg groupBy and rejoins on the domain key
+    * (equi-join: AQE skew-splits it, which a window sort cannot be).
+    *
+    * Same rows and `keep` decisions as [[domainCap]]; the one contract
+    * difference is that `domain_rank` is NULL for over-cap rows (their
+    * exact rank is what a bounded-task plan cannot afford, and the cap
+    * never needs it). More Exchanges than the plain variant — use this
+    * one when the domain distribution is unknown or skewed. */
+  def domainCapSalted(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      maxPerDomain: Long,
+      blocklist: Seq[String] = Nil,
+      salt: Long = 7919L,
+      salts: Int = 32): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    require(salts > 0, s"salts must be positive, got $salts")
+    val parsed = parseUrls(df.select(col(idCol), col(urlCol)), urlCol)
+      .withColumn("domain", registeredDomainOf(col("host")))
+      .select(col(idCol), col(urlCol), col("domain"))
+    val counts = parsed.groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_docs"))
+    val bucket = mix64(col(idCol).cast("long"), salt)
+    val phase1 = parsed
+      .withColumn("graft_rank", row_number().over(
+        Window.partitionBy(col("domain"), pmod(bucket, lit(salts.toLong)))
+          .orderBy(col(idCol))))
+      .where(col("graft_rank") <= maxPerDomain)
+      .drop("graft_rank")
+    val winners = phase1
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col(idCol))))
+      .where(col("domain_rank") <= maxPerDomain)
+      .select(col(idCol), col("domain_rank"))
+    parsed
+      .join(counts, Seq("domain"))
+      .join(winners, Seq(idCol), "left")
+      .select(col(idCol), col(urlCol), col("domain"),
+        col("domain_docs"), col("domain_rank"))
+      .withColumn("keep",
+        col("domain_rank").isNotNull &&
+          (if (blocklist.isEmpty) lit(true) else !col("domain").isin(blocklist: _*)))
+  }
+
   /** Main-text extraction from HTML (the WET-file step of a crawl
     * pipeline): drop script/style subtrees, comments, then all tags;
     * decode the common named entities (single-pass order — `&amp;` last,

@@ -93,6 +93,34 @@ class WebSpec extends AnyFunSuite {
     assert(!got(5L)._4 && !got(6L)._4) // blocklisted at any rank
   }
 
+  test("domainCapSalted: same keeps and winner ranks as the plain cap under skew") {
+    val s = spark
+    import s.implicits._
+    // one hot domain (80% of rows), two cold ones, a blocklisted one
+    val df = (1L to 200L).map { i =>
+      val host =
+        if (i % 10 < 8) s"h$i.hot.com"
+        else if (i % 10 == 8) "cold.org"
+        else if (i % 20 == 9) "bad.net" else "tiny.io"
+      (i, s"http://$host/p$i")
+    }.toDF("doc_id", "url")
+    val plain = Web.domainCap(df, "doc_id", "url", 5L, Seq("bad.net"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), Some(r.getInt(4).toLong), r.getBoolean(5)))).toMap
+    val salted = Web.domainCapSalted(df, "doc_id", "url", 5L, Seq("bad.net"), salts = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getInt(4).toLong), r.getBoolean(5)))).toMap
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (id, (dom, docs, rank, keep)) =>
+      val (sdom, sdocs, srank, skeep) = salted(id)
+      assert(sdom == dom && sdocs == docs && skeep == keep, s"id=$id")
+      // winner ranks agree exactly; over-cap rows have NULL rank by contract
+      if (rank.exists(_ <= 5L)) assert(srank == rank, s"id=$id")
+      else assert(srank.isEmpty, s"id=$id")
+    }
+  }
+
   test("htmlExtract: script/style spans, entity order, whitespace, title") {
     val s = spark
     import s.implicits._
