@@ -466,6 +466,36 @@ object ScaleProbe {
         .agg(count(lit(1)), avg(col("xent")), sum(col("n_unseen"))).collect()
     }
 
+    // web curation: narrow kernels (URL normalize + HTML extract) should
+    // scale linearly at scan speed; the domain cap is probed with a
+    // PLANTED 80%-hot domain — the plain window serializes that domain
+    // into one task, the salted variant bounds every task
+    val pages = docs.select(col("doc_id"),
+        operators.Web.syntheticUrl(col("doc_id"), lit("en")).as("url"),
+        operators.Web.syntheticHtml(col("doc_id"), col("text")).as("html"))
+      .withColumn("url", when(pmod(col("doc_id"), lit(5)) =!= 0,
+        concat(lit("http://h"), col("doc_id"), lit(".hotdomain.com/p")))
+        .otherwise(col("url")))
+      .cache()
+    pages.count()
+    time(s"URL normalize, $nDocs urls (narrow)") {
+      operators.Web.normalizeUrls(pages, "url")
+        .agg(count(col("url_norm")), min(length(col("url_norm")))).collect()
+    }
+    time(s"HTML extract, $nDocs pages (narrow regex chain)") {
+      operators.Web.htmlExtract(pages, "doc_id", "html")
+        .agg(count(lit(1)), sum(col("n_chars"))).collect()
+    }
+    time(s"domain cap PLAIN, $nDocs urls, 80%-hot domain (one-task window)") {
+      operators.Web.domainCap(pages, "doc_id", "url", 1000L)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()
+    }
+    time(s"domain cap SALTED, $nDocs urls, 80%-hot domain (bounded tasks)") {
+      operators.Web.domainCapSalted(pages, "doc_id", "url", 1000L)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()
+    }
+    pages.unpersist()
+
     spark.stop()
   }
 }

@@ -145,6 +145,56 @@ class WebSpec extends AnyFunSuite {
     assert(got.getLong(3) == text.length.toLong)
   }
 
+  test("generative: parse recovers components, normalize is idempotent (500 seeded URLs)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    def label() = {
+      val alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-"
+      (1 to (1 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    case class U(id: Long, scheme: String, host: String, port: Option[Int],
+        path: String, params: Seq[String], frag: Option[String]) {
+      def url: String = {
+        val cased = scheme.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+        s"$cased://$host" + port.map(":" + _).getOrElse("") + path +
+          (if (params.nonEmpty) "?" + params.mkString("&") else "") +
+          frag.map("#" + _).getOrElse("")
+      }
+    }
+    val cases = (1L to 500L).map { i =>
+      val scheme = Seq("http", "https", "ftp")(rnd.nextInt(3))
+      val host = (1 to (1 + rnd.nextInt(3))).map(_ => label().toLowerCase).mkString(".")
+      val port = if (rnd.nextBoolean()) Some(Seq(80, 443, 8080, 1 + rnd.nextInt(65535))(rnd.nextInt(4))) else None
+      val path = if (rnd.nextBoolean()) "" else "/" + (1 to (1 + rnd.nextInt(3))).map(_ => label()).mkString("/")
+      val params = (0 until rnd.nextInt(4)).map { _ =>
+        val key = if (rnd.nextInt(4) == 0) Seq("utm_x", "gclid", "ref")(rnd.nextInt(3)) else label()
+        s"$key=${label()}"
+      }
+      val frag = if (rnd.nextBoolean()) Some(label()) else None
+      U(i, scheme, host, port, path, params, frag)
+    }
+    val parsed = Web.parseUrls(cases.map(c => (c.id, c.url)).toDF("id", "url"), "url")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    cases.foreach { c =>
+      val r = parsed(c.id)
+      assert(r.getAs[String]("scheme") == c.scheme, c.url)
+      assert(r.getAs[String]("host") == c.host, c.url)
+      assert(Option(r.getAs[Integer]("port")).map(_.toInt) == c.port, c.url)
+      assert(r.getAs[String]("path") == c.path, c.url)
+      val q = Option(r.getAs[String]("query"))
+      assert(q == (if (c.params.nonEmpty) Some(c.params.mkString("&")) else None), c.url)
+      assert(Option(r.getAs[String]("fragment")) == c.frag, c.url)
+    }
+    // idempotency over the same corpus: normalize(normalize(u)) == normalize(u)
+    val urls = cases.map(c => (c.id, c.url)).toDF("id", "url")
+    val once = Web.normalizeUrls(urls, "url").select(col("id"), col("url_norm").as("url"))
+    val onceMap = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Web.normalizeUrls(once, "url").select("id", "url_norm").collect().foreach { r =>
+      assert(r.getString(1) == onceMap(r.getLong(0)))
+    }
+  }
+
   test("decontaminateOverlap: fraction splits quote-only from near-copy") {
     val s = spark
     import s.implicits._
