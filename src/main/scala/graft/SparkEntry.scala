@@ -781,6 +781,19 @@ object SparkEntry {
           "doc_id", "html")
         .orderBy(col("doc_id"))),
 
+    // content-defined chunking (FastCDC gear hash): one fused-kernel scan
+    // emits byte-offset chunks whose boundaries follow CONTENT (mask 5 →
+    // ~32B avg, 16..64 bounds); cross-doc sharing counts via one
+    // digest-keyed exchange. The oracle re-derives the rolling hash from
+    // its 64-term closed form (2^64 ≡ 0 kills older bytes), replays the
+    // greedy min/max walk as a next-cut pointer table + recursion, and
+    // re-hashes every chunk with the FNV fold
+    "q_cdc_chunks" -> ((s, dir) =>
+      operators.Dedup.cdcSharedChunks(
+          table(s, dir, "documents"), "doc_id", "text",
+          maskBits = 5, minLen = 16, maxLen = 64)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // CCNet-style bigram-LM perplexity: model trained on the 1-in-20
     // reference slice (the decontam convention), the rest scored by
     // avg negative log-likelihood; n_unseen is an exact integer check,
@@ -2447,6 +2460,56 @@ object SparkEntry {
         |  trim(regexp_replace(dt,'[ \t\r\n]+',' ','g')) AS text,
         |  CAST(len(trim(regexp_replace(dt,'[ \t\r\n]+',' ','g'))) AS BIGINT) AS n_chars
         | FROM d ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // CDC replica: gear hash via the 64-term closed-form window sum
+    // (h_i = Σ 2^(i-j)·splitmix64(byte_j) mod 2^64 — the shifted-out bits
+    // vanish because 2^64 ≡ 0), the (g mod 2^(64-d))·2^d trick keeps every
+    // partial product under INT128, and the greedy min/max walk replays as
+    // a precomputed next-cut pointer table followed by equality-join
+    // recursion (the q_audio_adpcm pattern — no aggregation in the
+    // recursive term). hh/cand/nxt are AS MATERIALIZED: the recursion
+    // re-reads nxt every level, and inlined CTEs would re-run the whole
+    // hash chain per level (measured 170 s → 10 s; the q_bpe_merges lesson)
+    "q_cdc_chunks" -> {
+      val powers = (0 until 64)
+        .map(d => s"($d, ${BigInt(1) << d}, ${BigInt(1) << (64 - d)})")
+        .mkString(", ")
+      s"""WITH RECURSIVE chd AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        | gb AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS h0
+        |  FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM chd)),
+        | ${mixStagesSql("gb", "doc_id, i", "gc")},
+        | pw(d, p, q) AS (VALUES $powers),
+        | hh AS MATERIALIZED (SELECT a.doc_id, a.i, sum((b.h % pw.q) * pw.p) % $M64 AS h
+        |  FROM gc3 a JOIN gc3 b ON b.doc_id = a.doc_id
+        |    AND b.i BETWEEN a.i - 63 AND a.i
+        |  JOIN pw ON pw.d = a.i - b.i GROUP BY a.doc_id, a.i),
+        | cand AS MATERIALIZED (SELECT doc_id, i FROM hh WHERE h % 32 = 0),
+        | nxt AS MATERIALIZED (SELECT a.doc_id, a.p,
+        |    least(coalesce(min(c.i), a.p + 64), a.n) AS np
+        |  FROM (SELECT doc_id, n, CAST(unnest(range(0, n)) AS BIGINT) AS p FROM chd) a
+        |  LEFT JOIN cand c ON c.doc_id = a.doc_id
+        |    AND c.i >= a.p + 16 AND c.i <= a.p + 64
+        |  GROUP BY a.doc_id, a.p, a.n),
+        | walk(doc_id, idx, cut, ncut) AS (
+        |  SELECT doc_id, 0, CAST(0 AS BIGINT), np FROM nxt WHERE p = 0
+        |  UNION ALL
+        |  SELECT w.doc_id, w.idx + 1, w.ncut, x.np
+        |  FROM walk w JOIN nxt x ON x.doc_id = w.doc_id AND x.p = w.ncut),
+        | chunks AS (SELECT w.doc_id, w.idx AS chunk_idx, w.cut AS start,
+        |    w.ncut - w.cut AS chunk_len,
+        |    substr(c.text, CAST(w.cut + 1 AS INT), CAST(w.ncut - w.cut AS INT)) AS ct
+        |  FROM walk w JOIN chd c ON c.doc_id = w.doc_id),
+        | dig AS (SELECT doc_id, chunk_idx, start, chunk_len,
+        |    ${signedSql(fnvSql("ct"))} AS digest FROM chunks),
+        | shr AS (SELECT digest, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM dig GROUP BY digest)
+        | SELECT d.doc_id, CAST(d.chunk_idx AS INT) AS chunk_idx,
+        |  CAST(d.start AS INT) AS start, CAST(d.chunk_len AS INT) AS chunk_len,
+        |  d.digest, s.n_docs
+        | FROM dig d JOIN shr s USING (digest)
+        | ORDER BY d.doc_id, d.chunk_idx""".stripMargin.replaceAll("\n", " ")
+    },
 
     // bigram-LM replica: identical integer count tables, identical
     // integer ln arguments, per-doc log sum folded in POSITION order

@@ -682,4 +682,49 @@ object Dedup {
         coalesce(col("n_tokens") - col("kept_tokens"), col("n_tokens").cast("long"),
           lit(0L)).as("removed_tokens"))
   }
+
+  /** Content-defined chunks of a text column (FastCDC gear-hash
+    * boundaries — see [[GearCutpoints]]): one row per chunk with its
+    * byte offset, length, and FNV-1a digest. Because boundaries follow
+    * CONTENT, a document that shares a region with another (shifted by
+    * an insertion, a prefix, a reordering) produces identical chunk
+    * digests for the shared region — the primitive behind storage-level
+    * dedup and shared-passage detection that fixed windows miss.
+    * Narrow: one fused kernel pass + posexplode, zero Exchange. */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maskBits: Int = 5,
+      minLen: Int = 16,
+      maxLen: Int = 64): DataFrame =
+    docs.select(col(idCol),
+        posexplode(GraftSqlShim.column(GearCutpoints(
+          GraftSqlShim.expression(col(textCol)), maskBits, minLen, maxLen)))
+          .as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.start").as("start"),
+        col("c.chunk_len").as("chunk_len"),
+        col("c.digest").as("digest"))
+
+  /** [[cdcChunks]] plus cross-document sharing evidence: how many
+    * DISTINCT documents contain each chunk (by digest). One digest-keyed
+    * partial-agg exchange over the chunk rows plus the join back — the
+    * standard "which regions are duplicated storage" query. */
+  def cdcSharedChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maskBits: Int = 5,
+      minLen: Int = 16,
+      maxLen: Int = 64): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, maskBits, minLen, maxLen)
+    val sharing = chunks.select(col("digest"), col(idCol))
+      .distinct()
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_docs"))
+    chunks.join(sharing, Seq("digest"))
+      .select(col(idCol), col("chunk_idx"), col("start"),
+        col("chunk_len"), col("digest"), col("n_docs"))
+  }
 }

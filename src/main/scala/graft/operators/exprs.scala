@@ -920,3 +920,87 @@ case class IntDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** FastCDC-style content-defined chunk boundaries [Xia et al. 2016,
+  * "FastCDC: a Fast and Efficient Content-Defined Chunking Approach for
+  * Data Deduplication"; gear hash from Ddelta]: walk the text's UTF-8
+  * bytes with the gear rolling hash h = (h << 1) + gear(byte) (the shift
+  * ages a byte out of the hash after 64 steps, so h at any position
+  * depends only on the last 64 bytes — content, not offset), and cut
+  * where the low `maskBits` bits of h are zero, subject to `minLen` /
+  * `maxLen` chunk bounds: after a cut, candidate boundaries closer than
+  * minLen are skipped, and maxLen forces a cut when no candidate
+  * appears (the final chunk may be shorter than minLen by convention).
+  * Because boundaries are chosen by CONTENT, inserting a prefix into a
+  * document shifts every byte offset but re-synchronizes the cut points
+  * within ~one chunk — so shared content between shifted documents
+  * yields identical chunks, which fixed-size chunking can never do.
+  *
+  * gear(b) = splitmix64(b) over the byte value — the same audited mix
+  * kernel the oracle replays in HUGEINT SQL; the per-chunk digest is the
+  * FNV-1a 64 of the chunk's bytes (the q_fingerprint kernel). One pass,
+  * no allocation beyond the output; returns
+  * array<struct<start:int, chunk_len:int, digest:long>> in document
+  * order. Empty string → empty array; NULL → NULL. Positions are BYTE
+  * offsets (the published algorithms are byte-oriented); on ASCII text
+  * they coincide with character offsets, which is what lets the DuckDB
+  * oracle re-derive digests with substr(). */
+case class GearCutpoints(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(maskBits >= 1 && maskBits <= 48, s"maskBits out of range: $maskBits")
+  require(minLen >= 1 && maxLen >= minLen,
+    s"need 1 <= minLen <= maxLen, got $minLen..$maxLen")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("start", IntegerType, nullable = false),
+      StructField("chunk_len", IntegerType, nullable = false),
+      StructField("digest", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gear_cutpoints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gear_cutpoints expects a string, got ${other.sql}")
+  }
+
+  @transient private lazy val gear: Array[Long] =
+    Array.tabulate(256)(b => HashKernels.mix(b.toLong))
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    val mask = (1L << maskBits) - 1L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var lastCut = 0
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + gear(bytes(i) & 0xff)
+      val len = i + 1 - lastCut
+      if ((len >= minLen && (h & mask) == 0L) || len == maxLen) {
+        out += chunkRow(bytes, lastCut, i + 1)
+        lastCut = i + 1
+      }
+      i += 1
+    }
+    if (lastCut < n) out += chunkRow(bytes, lastCut, n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  private def chunkRow(bytes: Array[Byte], start: Int, end: Int): Any = {
+    var h = HashKernels.FnvBasis
+    var i = start
+    while (i < end) {
+      h = HashKernels.fnv1aByte(h, bytes(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](start, end - start, h))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -229,4 +229,60 @@ class KernelPropertySpec extends AnyFunSuite {
       BigInt(got) == model
     })
   }
+
+  test("GearCutpoints matches the BigInt closed-form window-sum model (the oracle's replay form)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val (maskBits, minLen, maxLen) = (4, 8, 32)
+    val txtGen = org.scalacheck.Gen.listOfN(120,
+      org.scalacheck.Gen.frequency(
+        9 -> org.scalacheck.Gen.alphaNumChar, 3 -> org.scalacheck.Gen.const(' ')))
+      .map(_.mkString)
+    check(forAll(txtGen) { txt =>
+      val bytes = txt.getBytes("UTF-8")
+      val n = bytes.length
+      // closed form: h_i = sum_{j=max(1,i-63)}^{i} 2^(i-j)*gear(b_j) mod 2^64
+      // — only the last 64 bytes matter because 2^64 == 0 (mod 2^64).
+      // This is EXACTLY how the DuckDB oracle re-derives h without a
+      // sequential fold, so this property carries the oracle's parity.
+      def hAt(i: Int): BigInt = // i is 1-based
+        (math.max(1, i - 63) to i).map { j =>
+          (BigInt(1) << (i - j)) * u(splitmixModel0(bytes(j - 1) & 0xff))
+        }.sum.mod(M)
+      val mask = BigInt((1L << maskBits) - 1)
+      // greedy walk over the closed-form candidates
+      var cuts = List.empty[Int]
+      var last = 0
+      var i = 1
+      while (i <= n) {
+        if (((i - last) >= minLen && (hAt(i) & mask) == 0) || (i - last) == maxLen) {
+          cuts ::= i; last = i
+        }
+        i += 1
+      }
+      if (last < n) cuts ::= n
+      val expect = cuts.reverse
+      val got = graft.operators.GearCutpoints(
+          Literal.create(UTF8String.fromString(txt),
+            org.apache.spark.sql.types.StringType), maskBits, minLen, maxLen)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val ends = (0 until got.numElements()).map { k =>
+        val r = got.getStruct(k, 3)
+        r.getInt(0) + r.getInt(1) // start + len = cut end
+      }
+      // cut ends match the model; chunks tile the string; digests are the
+      // FNV of each chunk's bytes
+      ends.toList == expect &&
+        (0 until got.numElements()).forall { k =>
+          val r = got.getStruct(k, 3)
+          val start = if (k == 0) 0 else ends(k - 1)
+          r.getInt(0) == start &&
+            r.getLong(2) == HashKernelsAccess.fnv1a(txt.substring(start, ends(k)))
+        }
+    })
+  }
+
+  /** splitmix64 of a small nonneg int (gear-table entry) via the BigInt
+    * model — same as splitmixModel but taking the raw value. */
+  private def splitmixModel0(x: Int): Long = splitmixModel(x.toLong)
 }

@@ -2481,4 +2481,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), pairs.toSeq)
     assert(!pairs.exists(t => t._1 == 3L || t._2 == 3L), pairs.toSeq)
   }
+
+  test("CDC chunks: tile the doc, respect min/max, and survive a prefix shift") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shifted = "PREFIX-INSERTED-AHEAD " + base
+    val df = Seq((1L, base), (2L, shifted), (3L, "")).toDF("doc_id", "text")
+    val rows = Dedup.cdcChunks(df, "doc_id", "text", maskBits = 4, minLen = 8, maxLen = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val byDoc = rows.groupBy(_._1)
+    assert(!byDoc.contains(3L)) // empty text → no chunks
+    Seq(1L, 2L).foreach { id =>
+      val cs = byDoc(id).sortBy(_._2)
+      // chunks tile the document exactly
+      assert(cs.head._3 == 0)
+      cs.sliding(2).foreach { case Array(a, b) => assert(a._3 + a._4 == b._3); case _ => }
+      val text = if (id == 1L) base else shifted
+      assert(cs.last._3 + cs.last._4 == text.length)
+      // every chunk but the last within [minLen, maxLen]
+      cs.init.foreach(c => assert(c._4 >= 8 && c._4 <= 32, c))
+      assert(cs.last._4 <= 32)
+    }
+    // THE content-defined property: after an arbitrary-length prefix
+    // insertion, boundaries resynchronize and the shared content yields
+    // mostly identical chunk digests (fixed windows would share ~none)
+    val d1 = byDoc(1L).map(_._5).toSet
+    val d2 = byDoc(2L).map(_._5).toSet
+    val overlap = d1.intersect(d2).size.toDouble / d1.size
+    assert(overlap >= 0.7, s"resync overlap $overlap")
+
+    // sharing counts: the duplicated chunks are visible cross-document
+    val shared = Dedup.cdcSharedChunks(df, "doc_id", "text",
+        maskBits = 4, minLen = 8, maxLen = 32)
+      .where(col("n_docs") >= 2).select("digest").distinct().count()
+    assert(shared >= (d1.intersect(d2).size - 1).toLong, s"shared=$shared")
+  }
 }
