@@ -781,6 +781,18 @@ object SparkEntry {
           "doc_id", "html")
         .orderBy(col("doc_id"))),
 
+    // HyperLogLog distinct sketch (p=8) over the documents columns, with
+    // the exact count joined for error visibility: registers are the
+    // audited mix64∘fnv1a hash bucketed by low bits, rank from
+    // length(bin(w)) (integer ops, no float log2); the estimate is
+    // bit-reproducible — 2^-rho terms fold in bucket order, and the
+    // linear-counting arm is m·(ln m − ln V), integer ln arguments only
+    "q_hll" -> ((s, dir) =>
+      operators.Curation.approxDistinct(
+          table(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
+        .orderBy(col("col_name"))),
+
     // content-defined chunking (FastCDC gear hash): one fused-kernel scan
     // emits byte-offset chunks whose boundaries follow CONTENT (mask 5 →
     // ~32B avg, 16..64 bounds); cross-doc sharing counts via one
@@ -2460,6 +2472,45 @@ object SparkEntry {
         |  trim(regexp_replace(dt,'[ \t\r\n]+',' ','g')) AS text,
         |  CAST(len(trim(regexp_replace(dt,'[ \t\r\n]+',' ','g'))) AS BIGINT) AS n_chars
         | FROM d ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // HLL replica: same hash chain in HUGEINT, same bucket/rank integer
+    // ops, ordered 2^-rho fold, decimal literals CAST to DOUBLE (DuckDB
+    // parses bare 1.079 as DECIMAL — different arithmetic), integer-ln
+    // linear-counting arm — estimate compares bit-exactly, no rounding
+    "q_hll" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val vals = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM documents")
+        .mkString(" UNION ALL ")
+      val exact = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM documents")
+        .mkString(" UNION ALL ")
+      s"""WITH vals AS ($vals),
+        | nz AS (SELECT col_name, v FROM vals WHERE v IS NOT NULL),
+        | hv AS (SELECT col_name, v, ${fnvSql("v")} AS h0 FROM nz),
+        | ${mixStagesSql("hv", "col_name, v", "hm")},
+        | br AS (SELECT col_name, h % 256 AS bucket, h // 256 AS w FROM hm3),
+        | rr AS (SELECT col_name, bucket, CAST(CASE WHEN w = 0 THEN 57
+        |    ELSE 57 - len(bin(CAST(w AS BIGINT))) END AS BIGINT) AS rho FROM br),
+        | reg AS (SELECT col_name, bucket, max(rho) AS rho FROM rr GROUP BY col_name, bucket),
+        | ag AS (SELECT col_name, CAST(256 - count(*) AS BIGINT) AS v_zero,
+        |    CAST(256 - count(*) AS DOUBLE) + list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE), list(CAST(rho AS DOUBLE) ORDER BY bucket)),
+        |      (a, x) -> a + pow(CAST(2.0 AS DOUBLE), -x)) AS s
+        |  FROM reg GROUP BY col_name),
+        | raw AS (SELECT col_name, v_zero,
+        |    ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+        |      * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)) / s AS e
+        |  FROM ag),
+        | ex AS ($exact)
+        | SELECT r.col_name, CAST(256 AS INT) AS m, r.v_zero, x.n_distinct,
+        |  CASE WHEN r.v_zero > 0 AND r.e <= CAST(640 AS DOUBLE)
+        |    THEN CAST(256 AS DOUBLE) * (ln(CAST(256 AS DOUBLE)) - ln(CAST(r.v_zero AS DOUBLE)))
+        |    ELSE r.e END AS estimate
+        | FROM raw r JOIN ex x USING (col_name)
+        | ORDER BY r.col_name""".stripMargin.replaceAll("\n", " ")
+    },
 
     // CDC replica: gear hash via the 64-term closed-form window sum
     // (h_i = Σ 2^(i-j)·splitmix64(byte_j) mod 2^64 — the shifted-out bits

@@ -230,6 +230,81 @@ object Curation {
     }.toDF("col_name", "n_rows", "n_nulls", "n_distinct")
   }
 
+  /** HyperLogLog register table [Flajolet et al. 2007] for the given
+    * columns: one row per (col_name, bucket) with the max leading-zero
+    * rank observed. This is the SCALE path for cardinality that
+    * [[profileColumns]]'s exact `countDistinct` cannot walk: the state is
+    * ≤ m = 2^p longs per column however many rows stream through, the
+    * groupBy is map-side combinable (max), and two register tables MERGE
+    * by per-bucket max — persist one per shard/day and union + re-max for
+    * corpus-wide cardinality without ever re-reading data.
+    *
+    * Hash = splitmix64(FNV-1a of the value cast to string) — the audited
+    * kernel pair the oracle replays in HUGEINT SQL. bucket = low p bits;
+    * rank = leading-zero count of the remaining 64−p bits + 1, derived
+    * from `length(bin(w))` so both engines compute it with identical
+    * integer ops (no float log2). NULLs are skipped (countDistinct
+    * semantics). All columns sketch in ONE pass via a single explode. */
+  def hllRegisters(df: DataFrame, columns: Seq[String], p: Int = 8): DataFrame = {
+    require(columns.nonEmpty, "columns must be non-empty")
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val pairs = explode(array(columns.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+    val h = mix64(fnv1a64(col("pair.v")), 0L)
+    df.select(pairs.as("pair"))
+      .where(col("pair.v").isNotNull)
+      .select(col("pair.col_name").as("col_name"),
+        h.bitwiseAND(lit((m - 1).toLong)).as("bucket"),
+        shiftrightunsigned(h, p).as("w"))
+      .select(col("col_name"), col("bucket"),
+        when(col("w") === 0L, lit((64 - p + 1).toLong))
+          .otherwise(lit((64 - p + 1).toLong) - length(bin(col("w"))))
+          .as("rho"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Cardinality estimate from a [[hllRegisters]] table (possibly the
+    * max-merge of many): the standard HLL estimator with the linear-
+    * counting small-range correction. Every float step is deterministic
+    * cross-engine: the 2^-rho terms are exact powers of two summed in
+    * bucket order, absent buckets add the exact integer m − present, the
+    * raw estimate is a fixed sequence of IEEE ops on identical doubles,
+    * and the linear-counting arm evaluates ln(m) − ln(V) — INTEGER ln
+    * arguments, the one form where JVM and libm agree bit-for-bit (the
+    * q_bm25 lemma). Returns (col_name, m, v_zero, estimate). */
+  def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val s = (lit(m.toLong) - count(lit(1))).cast("double") +
+      aggregate(
+        transform(sort_array(collect_list(struct(col("bucket"), col("rho")))),
+          x => x.getField("rho")),
+        lit(0.0), (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+    registers
+      .groupBy(col("col_name"))
+      .agg((lit(m.toLong) - count(lit(1))).as("v_zero"), s.as("s"))
+      .select(col("col_name"), lit(m).as("m"), col("v_zero"),
+        when(col("v_zero") > 0 &&
+            alpha * m * m / col("s") <= lit(2.5 * m),
+          lit(m.toDouble) * (log(lit(m.toDouble)) - log(col("v_zero").cast("double"))))
+          .otherwise(alpha * m * m / col("s"))
+          .as("estimate"))
+  }
+
+  /** One-call approximate column profile: [[hllRegisters]] →
+    * [[hllEstimate]], with the exact distinct count joined back for
+    * error visibility (drop the exact side in production — it is the
+    * expensive one). */
+  def approxDistinct(df: DataFrame, columns: Seq[String], p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, columns, p), p)
+      .join(profileColumns(df, columns).select(col("col_name"), col("n_distinct")),
+        Seq("col_name"))
+      .select(col("col_name"), col("m"), col("v_zero"),
+        col("n_distinct"), col("estimate"))
+
   /** Full pipeline; returns surviving documents with annotations.
     *
     * ONE corpus scan: the annotations, the exact-dedup digest, and the

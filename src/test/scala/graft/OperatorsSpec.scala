@@ -2482,6 +2482,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(t => t._1 == 3L || t._2 == 3L), pairs.toSeq)
   }
 
+  test("HLL sketch: accurate at 20k ids, mergeable by register max, exact linear-counting arm") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(20000).select(col("id"), (col("id") % 37).as("small"))
+    val est = Curation.approxDistinct(df, Seq("id", "small"), p = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // raw-estimator arm: 20k >> 2.5m, expect ~3% stderr at m=1024
+    val (_, exactId, estId) = est("id")
+    assert(exactId == 20000L)
+    assert(math.abs(estId - 20000.0) / 20000.0 < 0.1, estId)
+    // linear-counting arm: 37 distinct values, most buckets empty
+    val (vz, exactSmall, estSmall) = est("small")
+    assert(exactSmall == 37L && vz > 900L)
+    assert(math.abs(estSmall - 37.0) < 3.0, estSmall)
+
+    // MERGE = per-bucket max: sketch(A union B) == merge(sketch A, sketch B)
+    val a = s.range(0, 12000).select(col("id"))
+    val b = s.range(8000, 20000).select(col("id")) // overlaps A
+    val whole = Curation.hllRegisters(a.union(b), Seq("id"), p = 10)
+    val merged = Curation.hllRegisters(a, Seq("id"), p = 10)
+      .union(Curation.hllRegisters(b, Seq("id"), p = 10))
+      .groupBy("col_name", "bucket").agg(max("rho").as("rho"))
+    val eWhole = Curation.hllEstimate(whole, p = 10).collect().head.getDouble(3)
+    val eMerged = Curation.hllEstimate(merged, p = 10).collect().head.getDouble(3)
+    assert(eWhole == eMerged) // bit-identical, not just close
+  }
+
   test("CDC chunks: tile the doc, respect min/max, and survive a prefix shift") {
     val s = spark
     import s.implicits._
