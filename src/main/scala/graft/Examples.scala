@@ -226,6 +226,14 @@ object Examples {
       "doc_id", "text", n = 4, maxOverlap = 0.25)
       .where(!col("keep")).show(3)
 
+    println("== 17. Sketches + content-defined chunks ==")
+    Curation.approxDistinct(docs, Seq("doc_id", "lang", "source"), p = 8).show()
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    Curation.cmEstimate(Curation.cmSketch(toks, "tok", 4, 64), toks, "tok", 4, 64)
+      .orderBy(col("est").desc, col("tok")).show(5)
+    Dedup.cdcSharedChunks(docs, "doc_id", "text")
+      .where(col("n_docs") >= 2).orderBy(col("n_docs").desc, col("digest")).show(5)
+
     spark.stop()
   }
 }

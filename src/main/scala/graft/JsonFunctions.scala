@@ -86,6 +86,8 @@ object JsonFunctions {
           s"absmax must be a numeric literal, got $other")
       })),
       "int_dot" -> (es => IntDot(es(0), es(1))),
+      "gear_cutpoints" -> (es => GearCutpoints(es(0), litInt(es(1), "maskBits"),
+        litInt(es(2), "minLen"), litInt(es(3), "maxLen"))),
       // aggregate: the analyzer wraps a bare AggregateFunction from the
       // registry in an AggregateExpression during function resolution
       "bloom_build" -> (es => BloomBuildAgg(es(0),

@@ -793,6 +793,21 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
         .orderBy(col("col_name"))),
 
+    // Count-Min token-frequency sketch (d=4, w=64): heavy hitters read
+    // exactly, light tokens absorb collisions but never undercount; the
+    // top-20 by exact count (token tiebreak) pins both the grid and the
+    // min-over-rows lookup
+    "q_cm" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sk = operators.Curation.cmSketch(toks, "tok", depth = 4, width = 64)
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      operators.Curation.cmEstimate(sk, toks, "tok", depth = 4, width = 64)
+        .join(exact, Seq("tok"))
+        .orderBy(col("exact").desc, col("tok")).limit(20)
+        .select(col("tok"), col("exact"), col("est"))
+    }),
+
     // content-defined chunking (FastCDC gear hash): one fused-kernel scan
     // emits byte-offset chunks whose boundaries follow CONTENT (mask 5 →
     // ~32B avg, 16..64 bounds); cross-doc sharing counts via one
@@ -2511,6 +2526,25 @@ object SparkEntry {
         | FROM raw r JOIN ex x USING (col_name)
         | ORDER BY r.col_name""".stripMargin.replaceAll("\n", " ")
     },
+
+    // Count-Min replica: per-(token, row) cells via the same mix64∘fnv1a
+    // HUGEINT chain, instance counts into the d×w grid, min-over-rows
+    "q_cm" ->
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        | dv AS (SELECT DISTINCT tok FROM tk),
+        | rs AS (SELECT tok, CAST(unnest(range(4)) AS BIGINT) AS r FROM dv),
+        | hv AS (SELECT tok, r, (${fnvSql("tok")} + r) % $M64 AS h0 FROM rs),
+        | ${mixStagesSql("hv", "tok, r", "cq")},
+        | cells AS (SELECT tok, r, h % 64 AS c FROM cq3),
+        | icell AS (SELECT c.r, c.c FROM tk t JOIN cells c ON c.tok = t.tok),
+        | grid AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM icell GROUP BY r, c),
+        | est AS (SELECT cl.tok, min(coalesce(g.cnt, 0)) AS est
+        |  FROM cells cl LEFT JOIN grid g USING (r, c) GROUP BY cl.tok),
+        | ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM tk GROUP BY tok)
+        | SELECT e.tok, x.exact, CAST(e.est AS BIGINT) AS est
+        | FROM est e JOIN ex x USING (tok)
+        | ORDER BY x.exact DESC, e.tok LIMIT 20""".stripMargin.replaceAll("\n", " "),
 
     // CDC replica: gear hash via the 64-term closed-form window sum
     // (h_i = Σ 2^(i-j)·splitmix64(byte_j) mod 2^64 — the shifted-out bits

@@ -305,6 +305,57 @@ object Curation {
       .select(col("col_name"), col("m"), col("v_zero"),
         col("n_distinct"), col("estimate"))
 
+  /** Count-Min frequency sketch [Cormode & Muthukrishnan 2005]: a d×w
+    * counter grid where each value increments one cell per row (cell =
+    * splitmix64(fnv1a(v) + r) masked to w). The frequency companion of
+    * [[hllRegisters]]: state is ≤ d·w longs however many rows stream
+    * through, the cell groupBy is map-side combinable (sum), and two
+    * sketches MERGE by cell-wise addition — heavy-hitter monitoring over
+    * shards/days without re-reading data. `width` must be a power of two
+    * so the mask equals the unsigned modulus on both engines. Returns
+    * `(r, c, cnt)`. NULLs are skipped. */
+  def cmSketch(
+      df: DataFrame,
+      valueCol: String,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    val fnv = fnv1a64(col(valueCol).cast("string"))
+    val cells = array((0 until depth).map(r =>
+      mix64(fnv, r.toLong).bitwiseAND(lit(width - 1L))): _*)
+    df.where(col(valueCol).isNotNull)
+      .select(posexplode(cells).as(Seq("r", "c")))
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmSketch]] (possibly the sum-
+    * merge of many): est(v) = min over rows of the value's cell counter —
+    * never below the true count, above it only through collisions
+    * (bounded by εN with ε = e/w). The sketch is ≤ d·w rows, so the
+    * lookup join broadcasts it; `items` supplies the values to query
+    * (dedup'd here). Returns `(valueCol, est)`. */
+  def cmEstimate(
+      sketch: DataFrame,
+      items: DataFrame,
+      valueCol: String,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    val fnv = fnv1a64(col(valueCol).cast("string"))
+    val cells = array((0 until depth).map(r =>
+      mix64(fnv, r.toLong).bitwiseAND(lit(width - 1L))): _*)
+    items.where(col(valueCol).isNotNull).select(col(valueCol)).distinct()
+      .select(col(valueCol), posexplode(cells).as(Seq("r", "c")))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Full pipeline; returns surviving documents with annotations.
     *
     * ONE corpus scan: the annotations, the exact-dedup digest, and the

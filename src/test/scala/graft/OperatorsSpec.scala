@@ -2509,6 +2509,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(eWhole == eMerged) // bit-identical, not just close
   }
 
+  test("Count-Min sketch: never underestimates, exact for heavy hitters, merges by sum") {
+    val s = spark
+    import s.implicits._
+    // Zipf-ish: value v appears 1000/v times
+    val rows = (1 to 50).flatMap(v => Seq.fill(1000 / v)(s"tok$v"))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sk = Curation.cmSketch(df, "v", depth = 4, width = 64)
+    val est = Curation.cmEstimate(sk, df, "v", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    exact.foreach { case (v, c) =>
+      assert(est(v) >= c, s"$v underestimated: ${est(v)} < $c")
+      assert(est(v) <= c + n / 8, s"$v overestimate too large") // loose eps bound
+    }
+    // the heaviest value dominates any collision partner in all 4 rows
+    assert(est("tok1") < 1000L + 300L)
+
+    // MERGE = cell-wise sum: sketch(A ++ B) == sum-merge(sketch A, sketch B)
+    val (a, b) = (df.where(col("id") % 2 === 0), df.where(col("id") % 2 =!= 0))
+    val merged = Curation.cmSketch(a, "v", 4, 64)
+      .union(Curation.cmSketch(b, "v", 4, 64))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+    val whole = Curation.cmSketch(df, "v", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    merged.collect().foreach { r =>
+      assert(whole((r.getInt(0), r.getLong(1))) == r.getLong(2))
+    }
+  }
+
   test("CDC chunks: tile the doc, respect min/max, and survive a prefix shift") {
     val s = spark
     import s.implicits._
