@@ -793,6 +793,17 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
         .orderBy(col("col_name"))),
 
+    // STREAMING cardinality monitor: the same HLL registers maintained by
+    // a streaming max aggregation (state = the register table, bounded by
+    // 2^p per column however long the stream runs), complete-mode
+    // snapshot → estimate; equals the batch sketch bit-for-bit
+    "q_stream_hll" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.hllMonitorToBatch(s, s"$dir/documents.parquet",
+          Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
+        .orderBy(col("col_name"))
+    }),
+
     // Count-Min token-frequency sketch (d=4, w=64): heavy hitters read
     // exactly, light tokens absorb collisions but never undercount; the
     // top-20 by exact count (token tiebreak) pins both the grid and the
@@ -1333,6 +1344,65 @@ object SparkEntry {
        |${pfx}1 AS (SELECT $keyCols, ${mulModSql("xor(x, x // 1073741824)", BigInt("bf58476d1ce4e5b9", 16))} AS x FROM ${pfx}0),
        |${pfx}2 AS (SELECT $keyCols, ${mulModSql("xor(x, x // 134217728)", BigInt("94d049bb133111eb", 16))} AS x FROM ${pfx}1),
        |${pfx}3 AS (SELECT $keyCols, xor(x, x // 2147483648) AS h FROM ${pfx}2)""".stripMargin
+
+  /** HLL replica shared by q_hll (with the exact-distinct join) and
+    * q_stream_hll (registers maintained by the streaming max agg — same
+    * sketch, so the same replica without the exact side). */
+  private def hllOracleSql(includeExact: Boolean): String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val vals = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM documents")
+      .mkString(" UNION ALL ")
+    val exact = cols.map(c =>
+      s"SELECT '$c' AS col_name, CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM documents")
+      .mkString(" UNION ALL ")
+    val (exCte, exSel, exJoin) =
+      if (includeExact) (s", ex AS ($exact)", " x.n_distinct,", " JOIN ex x USING (col_name)")
+      else ("", "", "")
+    s"""WITH vals AS ($vals),
+      | nz AS (SELECT col_name, v FROM vals WHERE v IS NOT NULL),
+      | hv AS (SELECT col_name, v, ${fnvSql("v")} AS h0 FROM nz),
+      | ${mixStagesSql("hv", "col_name, v", "hm")},
+      | br AS (SELECT col_name, h % 256 AS bucket, h // 256 AS w FROM hm3),
+      | rr AS (SELECT col_name, bucket, CAST(CASE WHEN w = 0 THEN 57
+      |    ELSE 57 - len(bin(CAST(w AS BIGINT))) END AS BIGINT) AS rho FROM br),
+      | reg AS (SELECT col_name, bucket, max(rho) AS rho FROM rr GROUP BY col_name, bucket),
+      | ag AS (SELECT col_name, CAST(256 - count(*) AS BIGINT) AS v_zero,
+      |    CAST(256 - count(*) AS DOUBLE) + list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE), list(CAST(rho AS DOUBLE) ORDER BY bucket)),
+      |      (a, x) -> a + pow(CAST(2.0 AS DOUBLE), -x)) AS s
+      |  FROM reg GROUP BY col_name),
+      | raw AS (SELECT col_name, v_zero,
+      |    ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+      |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+      |      * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)) / s AS e
+      |  FROM ag)$exCte
+      | SELECT r.col_name, CAST(256 AS INT) AS m, r.v_zero,$exSel
+      |  CASE WHEN r.v_zero > 0 AND r.e <= CAST(640 AS DOUBLE)
+      |    THEN CAST(256 AS DOUBLE) * (ln(CAST(256 AS DOUBLE)) - ln(CAST(r.v_zero AS DOUBLE)))
+      |    ELSE r.e END AS estimate
+      | FROM raw r$exJoin
+      | ORDER BY r.col_name""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** Count-Min replica: per-(token, row) cells via the same mix64∘fnv1a
+    * HUGEINT chain, instance counts into the d×w grid, min-over-rows. */
+  private def cmOracle: String =
+    s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      | dv AS (SELECT DISTINCT tok FROM tk),
+      | rs AS (SELECT tok, CAST(unnest(range(4)) AS BIGINT) AS r FROM dv),
+      | hv AS (SELECT tok, r, (${fnvSql("tok")} + r) % $M64 AS h0 FROM rs),
+      | ${mixStagesSql("hv", "tok, r", "cq")},
+      | cells AS (SELECT tok, r, h % 64 AS c FROM cq3),
+      | icell AS (SELECT c.r, c.c FROM tk t JOIN cells c ON c.tok = t.tok),
+      | grid AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM icell GROUP BY r, c),
+      | est AS (SELECT cl.tok, min(coalesce(g.cnt, 0)) AS est
+      |  FROM cells cl LEFT JOIN grid g USING (r, c) GROUP BY cl.tok),
+      | ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM tk GROUP BY tok)
+      | SELECT e.tok, x.exact, CAST(e.est AS BIGINT) AS est
+      | FROM est e JOIN ex x USING (tok)
+      | ORDER BY x.exact DESC, e.tok LIMIT 20""".stripMargin.replaceAll("\n", " ")
 
   /** 3-token shingle set of a `tk` token-list column — mirror of
     * Dedup.shingles(_, 3). */
@@ -2492,59 +2562,14 @@ object SparkEntry {
     // ops, ordered 2^-rho fold, decimal literals CAST to DOUBLE (DuckDB
     // parses bare 1.079 as DECIMAL — different arithmetic), integer-ln
     // linear-counting arm — estimate compares bit-exactly, no rounding
-    "q_hll" -> {
-      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-      val vals = cols.map(c =>
-        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM documents")
-        .mkString(" UNION ALL ")
-      val exact = cols.map(c =>
-        s"SELECT '$c' AS col_name, CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM documents")
-        .mkString(" UNION ALL ")
-      s"""WITH vals AS ($vals),
-        | nz AS (SELECT col_name, v FROM vals WHERE v IS NOT NULL),
-        | hv AS (SELECT col_name, v, ${fnvSql("v")} AS h0 FROM nz),
-        | ${mixStagesSql("hv", "col_name, v", "hm")},
-        | br AS (SELECT col_name, h % 256 AS bucket, h // 256 AS w FROM hm3),
-        | rr AS (SELECT col_name, bucket, CAST(CASE WHEN w = 0 THEN 57
-        |    ELSE 57 - len(bin(CAST(w AS BIGINT))) END AS BIGINT) AS rho FROM br),
-        | reg AS (SELECT col_name, bucket, max(rho) AS rho FROM rr GROUP BY col_name, bucket),
-        | ag AS (SELECT col_name, CAST(256 - count(*) AS BIGINT) AS v_zero,
-        |    CAST(256 - count(*) AS DOUBLE) + list_reduce(
-        |      list_prepend(CAST(0.0 AS DOUBLE), list(CAST(rho AS DOUBLE) ORDER BY bucket)),
-        |      (a, x) -> a + pow(CAST(2.0 AS DOUBLE), -x)) AS s
-        |  FROM reg GROUP BY col_name),
-        | raw AS (SELECT col_name, v_zero,
-        |    ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-        |        + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
-        |      * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)) / s AS e
-        |  FROM ag),
-        | ex AS ($exact)
-        | SELECT r.col_name, CAST(256 AS INT) AS m, r.v_zero, x.n_distinct,
-        |  CASE WHEN r.v_zero > 0 AND r.e <= CAST(640 AS DOUBLE)
-        |    THEN CAST(256 AS DOUBLE) * (ln(CAST(256 AS DOUBLE)) - ln(CAST(r.v_zero AS DOUBLE)))
-        |    ELSE r.e END AS estimate
-        | FROM raw r JOIN ex x USING (col_name)
-        | ORDER BY r.col_name""".stripMargin.replaceAll("\n", " ")
-    },
+    "q_hll" -> hllOracleSql(includeExact = true),
+
+    // streaming monitor: identical registers and estimate, no exact join
+    "q_stream_hll" -> hllOracleSql(includeExact = false),
 
     // Count-Min replica: per-(token, row) cells via the same mix64∘fnv1a
     // HUGEINT chain, instance counts into the d×w grid, min-over-rows
-    "q_cm" ->
-      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-        | dv AS (SELECT DISTINCT tok FROM tk),
-        | rs AS (SELECT tok, CAST(unnest(range(4)) AS BIGINT) AS r FROM dv),
-        | hv AS (SELECT tok, r, (${fnvSql("tok")} + r) % $M64 AS h0 FROM rs),
-        | ${mixStagesSql("hv", "tok, r", "cq")},
-        | cells AS (SELECT tok, r, h % 64 AS c FROM cq3),
-        | icell AS (SELECT c.r, c.c FROM tk t JOIN cells c ON c.tok = t.tok),
-        | grid AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM icell GROUP BY r, c),
-        | est AS (SELECT cl.tok, min(coalesce(g.cnt, 0)) AS est
-        |  FROM cells cl LEFT JOIN grid g USING (r, c) GROUP BY cl.tok),
-        | ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM tk GROUP BY tok)
-        | SELECT e.tok, x.exact, CAST(e.est AS BIGINT) AS est
-        | FROM est e JOIN ex x USING (tok)
-        | ORDER BY x.exact DESC, e.tok LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q_cm" -> cmOracle,
 
     // CDC replica: gear hash via the 64-term closed-form window sum
     // (h_i = Σ 2^(i-j)·splitmix64(byte_j) mod 2^64 — the shifted-out bits

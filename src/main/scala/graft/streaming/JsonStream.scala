@@ -248,6 +248,47 @@ object JsonStream {
     result
   }
 
+  /** Streaming cardinality monitor: the [[graft.operators.Curation.hllRegisters]]
+    * transform runs unchanged on the file stream — narrow hash/bucket
+    * projection into a streaming max aggregation whose state is the HLL
+    * register table itself (≤ 2^p rows per column, the whole point of the
+    * sketch: cardinality state that does NOT grow with the stream).
+    * Complete-mode snapshot → [[graft.operators.Curation.hllEstimate]];
+    * the result must equal the batch sketch bit-for-bit (same registers,
+    * same ordered estimate fold). */
+  def hllMonitorToBatch(
+      spark: SparkSession,
+      path: String,
+      columns: Seq[String],
+      p: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val pth = java.nio.file.Paths.get(path)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(pth)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-hll")
+        java.nio.file.Files.copy(pth, dir.resolve(pth.getFileName))
+        dir.toString
+      } else path
+    val schema = spark.read.parquet(path).schema
+    val regs = graft.operators.Curation.hllRegisters(
+      spark.readStream.schema(schema).parquet(srcPath), columns, p)
+    val sink = s"graft_stream_hll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = regs.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val snapshot = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    if (srcPath != path) {
+      val d = new java.io.File(srcPath)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    graft.operators.Curation.hllEstimate(snapshot, p)
+  }
+
   /** STREAMING ingestion near-dup screen: incoming docs arrive as a file
     * stream and are MinHash-LSH-screened against a STATIC already-
     * ingested corpus — the streaming face of
