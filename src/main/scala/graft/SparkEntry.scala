@@ -793,6 +793,18 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
         .orderBy(col("col_name"))),
 
+    // Morton/Z-order interleave of (user bucket, value bucket): the
+    // layout key behind writeZOrdered's multi-dimension file pruning;
+    // pure bit arithmetic, replayed with shifts in integer SQL
+    "q_zorder" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val zu = col("user_id").bitwiseAND(lit(255L))
+      val zb = floor(col("value")).cast("long").bitwiseAND(lit(255L))
+      ev.select(col("event_id"), zu.as("zu"), zb.as("zb"),
+          sources.Tables.zValue(Seq(zu, zb), bits = 8).as("zv"))
+        .orderBy(col("event_id"))
+    }),
+
     // STREAMING cardinality monitor: the same HLL registers maintained by
     // a streaming max aggregation (state = the register table, bounded by
     // 2^p per column however long the stream runs), complete-mode
@@ -2566,6 +2578,18 @@ object SparkEntry {
 
     // streaming monitor: identical registers and estimate, no exact join
     "q_stream_hll" -> hllOracleSql(includeExact = false),
+
+    // Morton interleave replica: bit j of column i → output bit j*2+i
+    "q_zorder" -> {
+      val terms = (0 until 8).flatMap(j => Seq(
+        s"(((zu >> $j) & 1) << ${2 * j})",
+        s"(((zb >> $j) & 1) << ${2 * j + 1})"))
+        .mkString(" + ")
+      s"""SELECT event_id, zu, zb, CAST($terms AS BIGINT) AS zv
+        | FROM (SELECT event_id, user_id & 255 AS zu,
+        |   CAST(floor(value) AS BIGINT) & 255 AS zb FROM events)
+        | ORDER BY event_id""".stripMargin.replaceAll("\n", " ")
+    },
 
     // Count-Min replica: per-(token, row) cells via the same mix64∘fnv1a
     // HUGEINT chain, instance counts into the d×w grid, min-over-rows

@@ -46,6 +46,47 @@ object Tables {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Morton (Z-order) value of k pre-bucketed nonneg int columns: bit j
+    * of column i lands at output bit j·k + i, so files sorted by the
+    * z-value cover axis-aligned boxes in ALL dimensions at once. Inputs
+    * are masked to the low `bits` bits (caller buckets raw values —
+    * ranks, floors, hashes — into that range). Pure codegen arithmetic
+    * (unrolled shift/and/or), replayed bit-for-bit in integer SQL. */
+  def zValue(cols: Seq[Column], bits: Int = 8): Column = {
+    require(cols.nonEmpty && cols.size <= 4, s"1..4 z columns, got ${cols.size}")
+    require(bits >= 1 && cols.size * bits <= 60, s"bits out of range: $bits")
+    val k = cols.size
+    val terms = for {
+      j <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)),
+      j * k + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ORDERED parquet layout (the Delta/Iceberg OPTIMIZE ZORDER idea,
+    * done with plain Spark): range-partition on the interleaved z-value
+    * and sort within partitions, so each output file's parquet min/max
+    * stats are TIGHT on every z-dimension — a filter on ANY of the
+    * dimensions then skips most files/row-groups at the scan, where a
+    * single-column sort gives selective stats on that column only. The
+    * exchange is one range partition (sampled bounds); file count =
+    * `numFiles`. At 100 TB this is the difference between "fast queries
+    * on time" and "fast queries on time AND user AND value". */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[Column],
+      bits: Int = 8,
+      numFiles: Int = 32): Unit = {
+    val zv = zValue(zCols, bits)
+    df.withColumn("__z", zv)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** JSON-lines interchange — the lingua franca of LLM data pipelines.
     * Write compressed (prefer "zstd" on clusters with native Hadoop
     * codecs — faster at similar ratios; gzip default here since text

@@ -160,6 +160,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!capPlan.contains("Join"), capPlan)
   }
 
+  test("z-ordered layout: per-file stat boxes are tight on BOTH dimensions; single sort is not") {
+    val s = spark
+    import s.implicits._
+    // uniform 256×256 grid: every (a,b) combination exactly once
+    val grid = s.range(65536).select(
+      (col("id").bitwiseAND(255L)).as("a"),
+      (shiftright(col("id"), 8).bitwiseAND(255L)).as("b"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft-asort").toString
+    graft.sources.Tables.writeZOrdered(grid, zDir,
+      Seq(col("a"), col("b")), bits = 8, numFiles = 16)
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(sDir)
+    def spans(dir: String): (Double, Double) = {
+      val rows = s.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col("a")) - min(col("a"))).as("sa"),
+          (max(col("b")) - min(col("b"))).as("sb"))
+        .agg(avg(col("sa")), avg(col("sb"))).head()
+      (rows.getDouble(0), rows.getDouble(1))
+    }
+    val (za, zb) = spans(zDir)
+    val (aa, ab) = spans(sDir)
+    // z-order: every file is a box covering a fraction of BOTH ranges —
+    // a predicate on either column can skip most files by min/max stats
+    assert(za <= 110 && zb <= 110, s"z spans $za/$zb")
+    // single-column sort: tight on the sort key, useless on the other
+    assert(aa <= 40, s"a-sorted span $aa")
+    assert(ab >= 240, s"a-sorted layout should span ~all of b, got $ab")
+  }
+
   test("quality classifier: one narrow scan, fused kernel, zero Exchange") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
