@@ -793,6 +793,19 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
         .orderBy(col("col_name"))),
 
+    // latest-wins upsert compaction (SCD-1): events as an append log of
+    // per-(user, event_type) state — one partial-aggregable max(struct)
+    // exchange, no window sort; ties on ts broken by event_id
+    "q_upsert" -> ((s, dir) =>
+      operators.Curation.upsertLatest(
+          table(s, dir, "events")
+            .select(col("user_id"), col("event_type"),
+              expr("ts div 1000").as("ts_us"), col("event_id"), col("value")),
+          keyCols = Seq("user_id", "event_type"),
+          versionCols = Seq("ts_us", "event_id"),
+          valueCols = Seq("value"))
+        .orderBy(col("user_id"), col("event_type"))),
+
     // Morton/Z-order interleave of (user bucket, value bucket): the
     // layout key behind writeZOrdered's multi-dimension file pruning;
     // pure bit arithmetic, replayed with shifts in integer SQL
@@ -2578,6 +2591,16 @@ object SparkEntry {
 
     // streaming monitor: identical registers and estimate, no exact join
     "q_stream_hll" -> hllOracleSql(includeExact = false),
+
+    // upsert replica: the window-rank formulation — same rows as the
+    // engine's max(struct) reduction (lexicographic (ts, id) winner)
+    "q_upsert" ->
+      """SELECT user_id, event_type, ts_us, event_id, value FROM (
+        | SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1
+        | ORDER BY user_id, event_type""".stripMargin.replaceAll("\n", " "),
 
     // Morton interleave replica: bit j of column i → output bit j*2+i
     "q_zorder" -> {

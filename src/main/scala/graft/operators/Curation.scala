@@ -356,6 +356,34 @@ object Curation {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Latest-wins upsert materialization (the SCD-1 / CDC-compaction
+    * step every incrementally-ingested table needs): one row per key,
+    * carrying the values of the highest `(versionCols…)` tuple —
+    * lexicographic, so pass a tiebreaker (an id) after the timestamp to
+    * make the winner total. Implemented as `max(struct(version…,
+    * values…))` — a PARTIAL-AGGREGABLE reduction (Spark plans it as a
+    * SortAggregate over the group keys, since struct max has no hash
+    * buffer), so superseded versions collapse MAP-SIDE and never cross
+    * the shuffle: the one Exchange carries at most one row per
+    * (key, input partition). The window-rank formulation computes the
+    * same rows but ships and sorts EVERY superseded version through the
+    * exchange first — at 100 TB of append history that is the
+    * difference between a merge of per-partition winners and a
+    * re-shuffle of the whole log. */
+  def upsertLatest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && versionCols.nonEmpty && valueCols.nonEmpty,
+      "keyCols, versionCols, and valueCols must be non-empty")
+    val packed = struct((versionCols ++ valueCols).map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("__latest"))
+      .select(keyCols.map(col) ++
+        (versionCols ++ valueCols).map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
   /** Full pipeline; returns surviving documents with annotations.
     *
     * ONE corpus scan: the annotations, the exact-dedup digest, and the

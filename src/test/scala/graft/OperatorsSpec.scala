@@ -2509,6 +2509,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(eWhole == eMerged) // bit-identical, not just close
   }
 
+  test("upsertLatest: latest version wins with id tiebreak; superseded rows collapse map-side") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, "a", 10L, 100L, 1.0), // superseded by ts 20
+      (1L, "a", 20L, 101L, 2.0),
+      (1L, "a", 20L, 99L, 9.0),  // same ts, lower id → loses
+      (2L, "b", 5L, 200L, 3.0)
+    ).toDF("k", "t", "ts", "id", "v")
+    val got = Curation.upsertLatest(log, Seq("k", "t"), Seq("ts", "id"), Seq("v"))
+    // read the plan BEFORE executing: post-collect AQE prints Final+Initial
+    // sections and every operator would count twice
+    val plan = got.queryExecution.executedPlan.toString
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows((1L, "a")) == ((20L, 101L, 2.0)))
+    assert(rows((2L, "b")) == ((5L, 200L, 3.0)))
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    // partial max BEFORE the exchange: superseded versions never shuffle
+    // (a window formulation would ship and sort the whole log first)
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("Count-Min sketch: never underestimates, exact for heavy hitters, merges by sum") {
     val s = spark
     import s.implicits._
