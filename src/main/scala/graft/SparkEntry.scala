@@ -523,6 +523,18 @@ object SparkEntry {
         .orderBy(col("qid"), desc("cos"), col("vec_id"))
     }),
 
+    // hard-negative mining: per query, exact top-5 nearest OPPOSITE-label
+    // vectors (label filter before the heaps — filter-after-top-k would
+    // under-fill, since near neighbors usually share the label)
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.hardNegatives(
+          emb, "vec_id", "embedding", "label",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", "label",
+          k = 5)
+        .orderBy(col("qid"), desc("cos"), col("vec_id"))
+    }),
+
     // the uncapped batched variant, deliberately forced across batch
     // boundaries (batchSize=2 over 5 queries): must equal q_knn_join's
     // oracle row-for-row
@@ -2325,6 +2337,24 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
         |  FROM scored)
         | WHERE rn <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin.replaceAll("\n", " "),
+
+    // hard negatives: the q_knn_join replica plus the label-mismatch
+    // predicate inside the scored set (before ranking)
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |   WHERE vec_id < 5 AND list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) <> 0),
+        | scored AS (SELECT q.qid, e.vec_id,
+        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
+        |  FROM embeddings e, q
+        |  WHERE e.label <> q.ql
+        |   AND list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) <> 0)
+        | SELECT qid, vec_id, cos FROM (
+        |  SELECT qid, vec_id, cos,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        | WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin.replaceAll("\n", " "),
 
     // the MixBucket kernel's mod-2^64 wraparound, replicated with HUGEINT
     "q_mix_sources" ->

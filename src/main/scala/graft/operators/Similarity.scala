@@ -104,6 +104,50 @@ object Similarity {
     knnTopK(knnCandidateScan(data, bc, k), idCol, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the exact top-k most-similar corpus vectors with a DIFFERENT
+    * label — the "closest wrong answers" a contrastive loss learns the
+    * most from. Composed from [[knnJoin]] without touching its kernel:
+    * one knnJoin per distinct query label, each against the
+    * opposite-label corpus slice, unioned into ONE plan. The label
+    * filter is applied BEFORE the heaps, so the result is exact (a
+    * filter-after-top-k would silently return fewer than k when near
+    * neighbors share the query's label — the common case, since that is
+    * what embeddings cluster by).
+    *
+    * Scale contract: the corpus is scanned once per distinct query label
+    * (`maxLabels` guards the plan width) — right for class/source/domain
+    * label cardinalities in the tens; for high-cardinality labels route
+    * through [[knnJoinByCell]] with an over-fetch and post-filter
+    * instead. Queries obey [[knnJoin]]'s broadcast contract. */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      qLabelCol: String,
+      k: Int,
+      maxQueries: Int = 4096,
+      maxLabels: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val labels = queries
+      .where(col(qLabelCol).isNotNull)
+      .select(col(qLabelCol)).distinct()
+      .limit(maxLabels + 1).collect().map(_.get(0))
+    require(labels.length <= maxLabels,
+      s"query side has more than maxLabels=$maxLabels distinct labels — " +
+        "each label adds a corpus scan; use knnJoinByCell + post-filter instead")
+    require(labels.nonEmpty, "query side has no labeled rows")
+    labels.map { l =>
+      knnJoin(corpus.where(col(labelCol) =!= lit(l)), idCol, vecCol,
+        queries.where(col(qLabelCol) === lit(l)), qIdCol, qVecCol,
+        k, maxQueries)
+    }.reduce(_ unionAll _)
+  }
+
   /** head = lowest cos, then highest id — the per-partition bounded-heap
     * eviction order shared by the kNN joins. */
   private val knnWorstFirst = new Ordering[(Double, Long)] {

@@ -2509,6 +2509,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(eWhole == eMerged) // bit-identical, not just close
   }
 
+  test("hardNegatives: same-label near neighbors excluded BEFORE the top-k, k always filled") {
+    val s = spark
+    import s.implicits._
+    // query (label 0) at (1,0); nearest overall is same-label (0.99,0.1)
+    // and must NOT appear; the k=2 negatives are the nearest label-1/2 rows
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.10f), 0), // same label, closest — excluded
+      (11L, Array(0.95f, 0.05f), 1), // best negative
+      (12L, Array(0.80f, 0.60f), 2), // second negative
+      (13L, Array(-1.0f, 0.0f), 1),  // far negative
+      (14L, Array(1.0f, 0.01f), 0)   // same label again
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus, "vec_id", "embedding", "label",
+        queries, "vec_id", "embedding", "label", k = 2)
+      .orderBy(desc("cos")).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(11L, 12L), got.mkString(","))
+    // a filter-after-top-2 over all labels would have returned only 11
+    // (10 and 11 are the global top-2) — the pre-heap filter fills k
+  }
+
   test("upsertLatest: latest version wins with id tiebreak; superseded rows collapse map-side") {
     val s = spark
     import s.implicits._
