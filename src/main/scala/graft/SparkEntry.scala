@@ -805,6 +805,17 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
         .orderBy(col("col_name"))),
 
+    // k-anonymity screen on the (user, event_type) quasi-identifier:
+    // combinations seen < 15 times are re-identifying and get flagged
+    "q_kanon" -> ((s, dir) =>
+      operators.Curation.kAnonymize(
+          table(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type")),
+          quasiCols = Seq("user_id", "event_type"), k = 15L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("group_n"), col("k_ok"))
+        .orderBy(col("event_id"))),
+
     // latest-wins upsert compaction (SCD-1): events as an append log of
     // per-(user, event_type) state — one partial-aggregable max(struct)
     // exchange, no window sort; ties on ts broken by event_id
@@ -2621,6 +2632,13 @@ object SparkEntry {
 
     // streaming monitor: identical registers and estimate, no exact join
     "q_stream_hll" -> hllOracleSql(includeExact = false),
+
+    // k-anonymity replica: per-combination window count
+    "q_kanon" ->
+      """SELECT event_id, user_id, event_type, group_n, group_n >= 15 AS k_ok
+        | FROM (SELECT event_id, user_id, event_type,
+        |  CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS group_n
+        | FROM events) ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
 
     // upsert replica: the window-rank formulation — same rows as the
     // engine's max(struct) reduction (lexicographic (ts, id) winner)

@@ -356,6 +356,28 @@ object Curation {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** k-anonymity screen over quasi-identifier columns [Sweeney 2002]:
+    * a row is safe only if at least `k` rows share its full
+    * quasi-identifier combination — rare combinations are the ones that
+    * re-identify individuals even after direct identifiers are redacted,
+    * so this is the structured-data companion of the PII regex pass.
+    * Returns the input plus `(group_n, k_ok)`; the caller drops or
+    * generalizes the `!k_ok` rows. One partial-agg groupBy on the quasi
+    * key plus the join back (both AQE-skew-splittable equi-shapes; the
+    * group count table is usually far smaller than the data and
+    * broadcasts when it fits). */
+  def kAnonymize(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+    df.join(counts, quasiCols)
+      .withColumn("k_ok", col("group_n") >= k)
+  }
+
   /** Latest-wins upsert materialization (the SCD-1 / CDC-compaction
     * step every incrementally-ingested table needs): one row per key,
     * carrying the values of the highest `(versionCols…)` tuple —
