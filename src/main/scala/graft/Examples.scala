@@ -234,6 +234,18 @@ object Examples {
     Dedup.cdcSharedChunks(docs, "doc_id", "text")
       .where(col("n_docs") >= 2).orderBy(col("n_docs").desc, col("digest")).show(5)
 
+    println("== 18. Table hygiene: upsert compaction, k-anonymity, hard negatives ==")
+    val evLog = sources.Tables.readTable(spark, s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+    Curation.upsertLatest(evLog, Seq("user_id", "event_type"),
+      Seq("ts_us", "event_id"), Seq("value")).show(3)
+    Curation.kAnonymize(evLog.select("event_id", "user_id", "event_type"),
+      Seq("user_id", "event_type"), k = 15).where(!col("k_ok")).show(3)
+    val embT = sources.Tables.readTable(spark, s"$sfDir/embeddings.parquet")
+    Similarity.hardNegatives(embT, "vec_id", "embedding", "label",
+      embT.where(col("vec_id") < 2), "vec_id", "embedding", "label", k = 3).show()
+
     spark.stop()
   }
 }

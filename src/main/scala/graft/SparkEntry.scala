@@ -64,7 +64,8 @@ object SparkEntry {
       |   split_part(url,'://',2) AS rest FROM g),
       | p2 AS (SELECT *, split_part(split_part(split_part(rest,'/',1),'?',1),'#',1) AS auth FROM p1),
       | p3 AS (SELECT *, lower(split_part(auth,':',1)) AS host,
-      |   CASE WHEN len(split_part(auth,':',2))>0 THEN CAST(split_part(auth,':',2) AS INTEGER) END AS port0,
+      |   CASE WHEN regexp_matches(split_part(auth,':',2), '^[0-9]{1,9}$')
+      |     THEN CAST(split_part(auth,':',2) AS INTEGER) END AS port0,
       |   substr(rest, len(auth)+1) AS tl FROM p2),
       | p4 AS (SELECT *, split_part(split_part(tl,'?',1),'#',1) AS path0,
       |   CASE WHEN contains(tl,'?') THEN split_part(split_part(tl,'?',2),'#',1) END AS qs FROM p3)"""

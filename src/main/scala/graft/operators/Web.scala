@@ -51,7 +51,11 @@ object Web {
     df.withColumn("scheme", lower(split_part(u, lit("://"), lit(1))))
       .withColumn("host", lower(split_part(authority, lit(":"), lit(1))))
       .withColumn("port",
-        when(length(portStr) > 0, portStr.cast("int")).otherwise(lit(null)))
+        // digit guard, not a bare cast: under ANSI mode a malformed
+        // authority ("user:pass@host", "[::1]:443") would otherwise make
+        // the cast THROW instead of degrading to NULL
+        when(portStr.rlike("^[0-9]{1,9}$"), portStr.cast("int"))
+          .otherwise(lit(null)))
       .withColumn("path",
         split_part(split_part(tail, lit("?"), lit(1)), lit("#"), lit(1)))
       .withColumn("query",
