@@ -853,6 +853,21 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // STREAMING heavy-hitter monitor: the CM grid maintained by a
+    // streaming count aggregation (state = the d×w grid, bounded for any
+    // stream length); snapshot estimates equal the batch sketch exactly
+    "q_stream_cm" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val est = streaming.JsonStream.cmMonitorToBatch(
+        s, s"$dir/documents.parquet", "text", depth = 4, width = 64)
+      val toks = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("tok"))
+        .orderBy(col("exact").desc, col("tok")).limit(20)
+        .select(col("tok"), col("exact"), col("est"))
+    }),
+
     // Count-Min token-frequency sketch (d=4, w=64): heavy hitters read
     // exactly, light tokens absorb collisions but never undercount; the
     // top-20 by exact count (token tiebreak) pins both the grid and the
@@ -2666,6 +2681,9 @@ object SparkEntry {
     // Count-Min replica: per-(token, row) cells via the same mix64∘fnv1a
     // HUGEINT chain, instance counts into the d×w grid, min-over-rows
     "q_cm" -> cmOracle,
+
+    // streaming monitor: identical integer grid and lookup
+    "q_stream_cm" -> cmOracle,
 
     // CDC replica: gear hash via the 64-term closed-form window sum
     // (h_i = Σ 2^(i-j)·splitmix64(byte_j) mod 2^64 — the shifted-out bits

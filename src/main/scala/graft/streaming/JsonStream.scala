@@ -289,6 +289,50 @@ object JsonStream {
     graft.operators.Curation.hllEstimate(snapshot, p)
   }
 
+  /** Streaming heavy-hitter monitor: [[graft.operators.Curation.cmSketch]]
+    * on the token stream — the streaming count aggregation's state is the
+    * d×w counter grid itself (≤ d·w rows for any stream length), the
+    * frequency twin of [[hllMonitorToBatch]]. Complete-mode snapshot →
+    * point estimates for the queried values; identical to the batch
+    * sketch (integer counters, no float folds at all). */
+  def cmMonitorToBatch(
+      spark: SparkSession,
+      path: String,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val pth = java.nio.file.Paths.get(path)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(pth)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-cm")
+        java.nio.file.Files.copy(pth, dir.resolve(pth.getFileName))
+        dir.toString
+      } else path
+    val schema = spark.read.parquet(path).schema
+    val grid = graft.operators.Curation.cmSketch(
+      spark.readStream.schema(schema).parquet(srcPath)
+        .select(explode(split(col(textCol), " ")).as("tok")),
+      "tok", depth, width)
+    val sink = s"graft_stream_cm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = grid.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val snapshot = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    if (srcPath != path) {
+      val d = new java.io.File(srcPath)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    graft.operators.Curation.cmEstimate(snapshot,
+      spark.read.parquet(path).select(explode(split(col(textCol), " ")).as("tok")),
+      "tok", depth, width)
+  }
+
   /** STREAMING ingestion near-dup screen: incoming docs arrive as a file
     * stream and are MinHash-LSH-screened against a STATIC already-
     * ingested corpus — the streaming face of
