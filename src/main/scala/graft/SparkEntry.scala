@@ -842,6 +842,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // the whole crawl-side pipeline in one flow: canonicalize + extract
+    // (one scan) → domain cap (Exchange 1) → canonical-URL dedup
+    // (Exchange 2) → length floor; per-page audit rows
+    "q_web_pipeline" -> ((s, dir) =>
+      operators.Web.curateWeb(
+          table(s, dir, "documents").select(col("doc_id"),
+            operators.Web.syntheticUrl(col("doc_id"), col("lang")).as("url"),
+            operators.Web.syntheticHtml(col("doc_id"), col("text")).as("html")),
+          "doc_id", "url", "html", maxPerDomain = 300L,
+          blocklist = Seq("bad-ads.com"), minChars = 400L)
+        .orderBy(col("doc_id"))),
+
     // STREAMING cardinality monitor: the same HLL registers maintained by
     // a streaming max aggregation (state = the register table, bounded by
     // 2^p per column however long the stream runs), complete-mode
@@ -2617,6 +2629,47 @@ object SparkEntry {
         | SELECT doc_id, domain, domain_docs,
         |  CASE WHEN rk <= 300 THEN rk END AS domain_rank,
         |  (rk <= 300 AND domain NOT IN ('bad-ads.com')) AS keep
+        | FROM w ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // full crawl pipeline: the q_url_normalize, q_domain_cap, and
+    // q_html_extract replicas chained, then the two ranking windows
+    "q_web_pipeline" ->
+      (s"""WITH g AS ($urlGenSql), $urlParseSql,
+        | n1 AS (SELECT doc_id, scheme, host,
+        |  CASE WHEN (scheme='http' AND port0=80) OR (scheme='https' AND port0=443)
+        |    THEN NULL ELSE port0 END AS port,
+        |  CASE WHEN len(path0)=0 THEN '/' ELSE path0 END AS path,
+        |  CASE WHEN qs IS NOT NULL THEN array_to_string(list_sort(list_filter(string_split(qs,'&'),
+        |    x -> len(x)>0 AND NOT starts_with(x,'utm_')
+        |      AND split_part(x,'=',1) NOT IN ('fbclid','gclid','msclkid','ref'))),'&')
+        |  END AS q0 FROM p4),
+        | nu AS (SELECT doc_id, host,
+        |  scheme||'://'||host||coalesce(':'||CAST(port AS VARCHAR),'')||path
+        |   ||coalesce('?'||(CASE WHEN q0 IS NOT NULL AND len(q0)>0 THEN q0 END),'') AS url_norm
+        |  FROM n1),
+        | dd AS (SELECT doc_id, url_norm,
+        |  CASE WHEN len(ls)>=3 AND (ls[-2]||'.'||ls[-1]) IN
+        |     ('co.uk','ac.uk','com.au','co.jp','com.br','co.in')
+        |   THEN ls[-3]||'.'||ls[-2]||'.'||ls[-1]
+        |   WHEN len(ls)>=2 THEN ls[-2]||'.'||ls[-1]
+        |   ELSE host END AS domain
+        |  FROM (SELECT doc_id, url_norm, host, string_split(host,'.') AS ls FROM nu)),
+        | h AS ($htmlGenSql),
+        | s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS t FROM h),
+        | s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS t FROM s1),
+        | s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        | s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+        | hc AS (SELECT doc_id, CAST(len(trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+        |    '[ \t\r\n]+',' ','g'))) AS BIGINT) AS n_chars FROM s4),
+        | w AS (SELECT d.doc_id, d.url_norm, d.domain, hc.n_chars,
+        |   CAST(row_number() OVER (PARTITION BY d.domain ORDER BY d.doc_id) AS BIGINT) AS domain_rank,
+        |   CAST(row_number() OVER (PARTITION BY d.url_norm ORDER BY d.doc_id) AS BIGINT) AS url_rank
+        |  FROM dd d JOIN hc USING (doc_id))
+        | SELECT doc_id, url_norm, domain, n_chars, domain_rank, url_rank,
+        |  (domain_rank <= 300 AND url_rank = 1 AND n_chars >= 400
+        |   AND domain NOT IN ('bad-ads.com')) AS keep
         | FROM w ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
 
     // HTML extraction: identical RE2-safe regex chain + entity decode

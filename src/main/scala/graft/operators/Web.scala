@@ -214,26 +214,73 @@ object Web {
     * out of scope; on real crawls this regex tier is the pre-filter and a
     * DOM pass runs on the survivors. One narrow kernel chain per row,
     * zero Exchange — scan-speed at any corpus size. */
-  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
-    def decode(c: Column): Column = {
-      val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      named.foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
-    }
-    def clean(c: Column): Column =
-      trim(regexp_replace(c, "[ \\t\\r\\n]+", " "))
-    val noScript = regexp_replace(col(htmlCol),
-      "(?is)<script[^>]*>.*?</script[^>]*>", " ")
-    val noStyle = regexp_replace(noScript,
-      "(?is)<style[^>]*>.*?</style[^>]*>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
-    val title = regexp_extract(col(htmlCol), "(?is)<title[^>]*>(.*?)</title>", 1)
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
     df.select(
       col(idCol),
-      clean(decode(title)).as("title"),
-      clean(decode(noTags)).as("text"),
-      length(clean(decode(noTags))).cast("long").as("n_chars"))
+      extractedTitle(col(htmlCol)).as("title"),
+      extractedText(col(htmlCol)).as("text"),
+      length(extractedText(col(htmlCol))).cast("long").as("n_chars"))
+
+  private def decodeEntities(c: Column): Column = {
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    named.foldLeft(c) { case (acc, (e, ch)) => replace(acc, lit(e), lit(ch)) }
+  }
+
+  private def collapseWs(c: Column): Column =
+    trim(regexp_replace(c, "[ \\t\\r\\n]+", " "))
+
+  /** The [[htmlExtract]] body-text chain as a reusable expression. */
+  def extractedText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script[^>]*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style[^>]*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    collapseWs(decodeEntities(regexp_replace(noComment, "(?s)<[^>]*>", " ")))
+  }
+
+  /** The [[htmlExtract]] title chain as a reusable expression. */
+  def extractedTitle(html: Column): Column =
+    collapseWs(decodeEntities(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)))
+
+  /** The whole crawl-side pipeline in ONE flow — raw (url, html) pages →
+    * clean training-corpus candidates:
+    *
+    *   URL canonicalize + HTML extract    narrow, same single scan
+    *   → per-registered-domain cap        Exchange 1 (domain window)
+    *   → canonical-URL exact dedup        Exchange 2 (url_norm window)
+    *   → length floor                     narrow
+    *
+    * The two exchanges are the two semantic keys and nothing else
+    * shuffles; both windows rank by the id (deterministic, not arrival
+    * order). Returns per-page audit rows
+    * `(idCol, url_norm, domain, domain_rank, url_rank, n_chars, keep)` —
+    * production filters `keep`, audits keep the evidence. For Zipf-hot
+    * domains swap the cap stage for [[domainCapSalted]]'s two-phase
+    * rank (same keeps). */
+  def curateWeb(
+      pages: DataFrame,
+      idCol: String,
+      urlCol: String,
+      htmlCol: String,
+      maxPerDomain: Long = 1000L,
+      blocklist: Seq[String] = Nil,
+      minChars: Long = 10L): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    val base = normalizeUrls(pages, urlCol)
+      .withColumn("domain", registeredDomainOf(col("host")))
+      .withColumn("n_chars", length(extractedText(col(htmlCol))).cast("long"))
+      .select(col(idCol), col("url_norm"), col("domain"), col("n_chars"))
+    val wDom = Window.partitionBy(col("domain")).orderBy(col(idCol))
+    val wUrl = Window.partitionBy(col("url_norm")).orderBy(col(idCol))
+    base
+      .withColumn("domain_rank", row_number().over(wDom).cast("long"))
+      .withColumn("url_rank", row_number().over(wUrl).cast("long"))
+      .withColumn("keep",
+        col("domain_rank") <= maxPerDomain &&
+          col("url_rank") === 1L &&
+          col("n_chars") >= minChars &&
+          (if (blocklist.isEmpty) lit(true) else !col("domain").isin(blocklist: _*)))
   }
 
   /** Deterministic messy-URL generator for the verify fixtures (the

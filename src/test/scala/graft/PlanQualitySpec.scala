@@ -191,6 +191,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(ab >= 240, s"a-sorted layout should span ~all of b, got $ab")
   }
 
+  test("curateWeb: one scan, exactly two Exchanges (domain + url_norm windows), no Join") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val pages = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.Web.syntheticUrl(col("doc_id"), col("lang")).as("url"),
+        graft.operators.Web.syntheticHtml(col("doc_id"), col("text")).as("html"))
+    val plan = graft.operators.Web.curateWeb(pages, "doc_id", "url", "html")
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("quality classifier: one narrow scan, fused kernel, zero Exchange") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
