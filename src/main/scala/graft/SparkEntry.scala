@@ -61,7 +61,8 @@ object SparkEntry {
     * tl/path0/qs. */
   private val urlParseSql: String =
     """p1 AS (SELECT doc_id, url, lower(split_part(url,'://',1)) AS scheme,
-      |   split_part(url,'://',2) AS rest FROM g),
+      |   CASE WHEN strpos(url,'://') > 0
+      |     THEN substr(url, strpos(url,'://') + 3) ELSE '' END AS rest FROM g),
       | p2 AS (SELECT *, split_part(split_part(split_part(rest,'/',1),'?',1),'#',1) AS auth FROM p1),
       | p3 AS (SELECT *, lower(split_part(auth,':',1)) AS host,
       |   CASE WHEN regexp_matches(split_part(auth,':',2), '^[0-9]{1,9}$')

@@ -372,9 +372,15 @@ object Curation {
       k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "quasiCols must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
+    // NULL-SAFE join back: a NULL quasi value (a missing identifier) is
+    // still a combination that must be screened — a plain equi-join
+    // would silently drop those rows from the output entirely
     val counts = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("group_n"))
-    df.join(counts, quasiCols)
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+ col("group_n"): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(counts, cond)
+      .drop(quasiCols.map(c => s"__q_$c"): _*)
       .withColumn("k_ok", col("group_n") >= k)
   }
 

@@ -119,7 +119,14 @@ object Similarity {
     * (`maxLabels` guards the plan width) — right for class/source/domain
     * label cardinalities in the tens; for high-cardinality labels route
     * through [[knnJoinByCell]] with an over-fetch and post-filter
-    * instead. Queries obey [[knnJoin]]'s broadcast contract. */
+    * instead. Queries obey [[knnJoin]]'s broadcast contract.
+    *
+    * NULL-labeled corpus rows are EXCLUDED from every negative pool, by
+    * design: an unlabeled vector's class is unknown, so using it as a
+    * negative risks pairing the query with a same-class example — the
+    * one mistake a contrastive loss cannot absorb. Label the corpus (or
+    * bucket unlabeled rows under an explicit sentinel label) to opt
+    * them in. */
   def hardNegatives(
       corpus: DataFrame,
       idCol: String,

@@ -42,7 +42,11 @@ object Web {
     * chain: one kernel per row, no Exchange. */
   def parseUrls(df: DataFrame, urlCol: String): DataFrame = {
     val u = col(urlCol)
-    val rest = split_part(u, lit("://"), lit(2))
+    // substring after the FIRST "://" — split_part's second segment would
+    // truncate URLs whose query values embed "://" (outlink/redirect
+    // params are everywhere in real crawls)
+    val sep = locate("://", u)
+    val rest = when(sep > 0, u.substr(sep + 3, length(u))).otherwise(lit(""))
     val authority =
       split_part(split_part(split_part(rest, lit("/"), lit(1)),
         lit("?"), lit(1)), lit("#"), lit(1))
@@ -164,7 +168,15 @@ object Web {
     * difference is that `domain_rank` is NULL for over-cap rows (their
     * exact rank is what a bounded-task plan cannot afford, and the cap
     * never needs it). More Exchanges than the plain variant — use this
-    * one when the domain distribution is unknown or skewed. */
+    * one when the domain distribution is unknown or skewed.
+    *
+    * Contract: `idCol` must be NUMERIC and UNIQUE. Both variants already
+    * require uniqueness semantically (the id is the ranking tiebreaker —
+    * duplicate ids make `row_number` over ties partition-order-dependent
+    * in the plain variant too), and here the winners join back on the id,
+    * so a duplicate would additionally multiply audit rows; the salt
+    * bucket hashes the id as a long, so a non-numeric id nulls the
+    * bucket and re-concentrates the hot domain. */
   def domainCapSalted(
       df: DataFrame,
       idCol: String,
@@ -215,11 +227,15 @@ object Web {
     * DOM pass runs on the survivors. One narrow kernel chain per row,
     * zero Exchange — scan-speed at any corpus size. */
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    // two projections so the regex chain runs ONCE and n_chars reads the
+    // materialized text column (CollapseProject keeps multiply-referenced
+    // non-cheap aliases in their own projection; a single select would
+    // re-run the whole chain for the length)
     df.select(
-      col(idCol),
-      extractedTitle(col(htmlCol)).as("title"),
-      extractedText(col(htmlCol)).as("text"),
-      length(extractedText(col(htmlCol))).cast("long").as("n_chars"))
+        col(idCol),
+        extractedTitle(col(htmlCol)).as("title"),
+        extractedText(col(htmlCol)).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
 
   private def decodeEntities(c: Column): Column = {
     val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",

@@ -260,33 +260,49 @@ object JsonStream {
       spark: SparkSession,
       path: String,
       columns: Seq[String],
-      p: Int = 8): DataFrame = {
+      p: Int = 8): DataFrame =
+    graft.operators.Curation.hllEstimate(
+      runStreamToSnapshot(spark, path, "hll",
+        stream => graft.operators.Curation.hllRegisters(stream, columns, p)),
+      p)
+
+  /** Shared monitor harness: file-stream `path` (single files get a temp
+    * dir), apply `transform`, run Complete/AvailableNow into a memory
+    * sink, return the materialized snapshot. Temp artifacts are cleaned
+    * in `finally` so a failed stream does not leak them. */
+  private def runStreamToSnapshot(
+      spark: SparkSession,
+      path: String,
+      tag: String,
+      transform: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     graft.sources.Tables.prepare(spark)
     val pth = java.nio.file.Paths.get(path)
     val srcPath =
       if (java.nio.file.Files.isRegularFile(pth)) {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-hll")
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-$tag")
         java.nio.file.Files.copy(pth, dir.resolve(pth.getFileName))
         dir.toString
       } else path
-    val schema = spark.read.parquet(path).schema
-    val regs = graft.operators.Curation.hllRegisters(
-      spark.readStream.schema(schema).parquet(srcPath), columns, p)
-    val sink = s"graft_stream_hll_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = regs.writeStream
-      .format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val snapshot = spark.table(sink).localCheckpoint(true)
-    spark.catalog.dropTempView(sink)
-    if (srcPath != path) {
-      val d = new java.io.File(srcPath)
-      d.listFiles().foreach(_.delete()); d.delete()
+    val sink = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try {
+      val schema = spark.read.parquet(path).schema
+      val q = transform(spark.readStream.schema(schema).parquet(srcPath))
+        .writeStream
+        .format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val snapshot = spark.table(sink).localCheckpoint(true)
+      spark.catalog.dropTempView(sink)
+      snapshot
+    } finally {
+      if (srcPath != path) {
+        val d = new java.io.File(srcPath)
+        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      }
     }
-    graft.operators.Curation.hllEstimate(snapshot, p)
   }
 
   /** Streaming heavy-hitter monitor: [[graft.operators.Curation.cmSketch]]
@@ -301,34 +317,11 @@ object JsonStream {
       textCol: String,
       depth: Int = 4,
       width: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    graft.sources.Tables.prepare(spark)
-    val pth = java.nio.file.Paths.get(path)
-    val srcPath =
-      if (java.nio.file.Files.isRegularFile(pth)) {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-cm")
-        java.nio.file.Files.copy(pth, dir.resolve(pth.getFileName))
-        dir.toString
-      } else path
-    val schema = spark.read.parquet(path).schema
-    val grid = graft.operators.Curation.cmSketch(
-      spark.readStream.schema(schema).parquet(srcPath)
-        .select(explode(split(col(textCol), " ")).as("tok")),
-      "tok", depth, width)
-    val sink = s"graft_stream_cm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = grid.writeStream
-      .format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val snapshot = spark.table(sink).localCheckpoint(true)
-    spark.catalog.dropTempView(sink)
-    if (srcPath != path) {
-      val d = new java.io.File(srcPath)
-      d.listFiles().foreach(_.delete()); d.delete()
-    }
-    graft.operators.Curation.cmEstimate(snapshot,
+    val grid = runStreamToSnapshot(spark, path, "cm", stream =>
+      graft.operators.Curation.cmSketch(
+        stream.select(explode(split(col(textCol), " ")).as("tok")),
+        "tok", depth, width))
+    graft.operators.Curation.cmEstimate(grid,
       spark.read.parquet(path).select(explode(split(col(textCol), " ")).as("tok")),
       "tok", depth, width)
   }

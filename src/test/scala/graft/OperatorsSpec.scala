@@ -2509,6 +2509,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(eWhole == eMerged) // bit-identical, not just close
   }
 
+  test("kAnonymize: NULL quasi values form a screened group, not silently dropped rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+      (4L, Some("b")),                   // rare combination
+      (5L, None), (6L, None)             // missing identifier — still a group
+    ).toDF("id", "qi")
+    val got = Curation.kAnonymize(df, Seq("qi"), k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == 6) // no row vanishes through the join-back
+    assert(got(1L) == ((3L, true)) && got(4L) == ((1L, false)))
+    assert(got(5L) == ((2L, true)) && got(6L) == ((2L, true)))
+  }
+
   test("hardNegatives: same-label near neighbors excluded BEFORE the top-k, k always filled") {
     val s = spark
     import s.implicits._

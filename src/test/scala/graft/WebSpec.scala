@@ -33,6 +33,12 @@ class WebSpec extends AnyFunSuite {
 
     val d = parse1("http://ex.com") // bare authority
     assert(d("path") == "" && d("query") == null && d("fragment") == null)
+
+    // "://" inside a query VALUE must not truncate the parse (outlink
+    // and redirect params are everywhere in real crawls)
+    val e = parse1("http://ex.com/r?url=http://a.com/x&b=1")
+    assert(e("host") == "ex.com" && e("path") == "/r")
+    assert(e("query") == "url=http://a.com/x&b=1")
   }
 
   test("normalizeUrls: tracking strip, param sort, default ports, idempotency") {
