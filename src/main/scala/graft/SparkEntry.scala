@@ -843,6 +843,16 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // page-level crawl directives: <link rel="canonical"> target (both
+    // attribute orders) and robots noindex — the page's own dedup key
+    // and its opt-out, extracted at scan speed
+    "q_page_signals" -> ((s, dir) =>
+      operators.Web.pageSignals(
+          table(s, dir, "documents").select(col("doc_id"),
+            operators.Web.syntheticPage(col("doc_id"), col("text")).as("html")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"))),
+
     // the whole crawl-side pipeline in one flow: canonicalize + extract
     // (one scan) → domain cap (Exchange 1) → canonical-URL dedup
     // (Exchange 2) → length floor; per-page audit rows
@@ -2631,6 +2641,24 @@ object SparkEntry {
         |  CASE WHEN rk <= 300 THEN rk END AS domain_rank,
         |  (rk <= 300 AND domain NOT IN ('bad-ads.com')) AS keep
         | FROM w ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // page signals: same generator + both-attribute-order regexes
+    "q_page_signals" ->
+      """WITH h AS (SELECT doc_id, '<html><head>'
+        | || CASE WHEN doc_id%3=0 THEN '<link rel="canonical" href="https://canon.example.com/c/'||CAST(doc_id AS VARCHAR)||'"/>'
+        |    WHEN doc_id%3=1 THEN '<link href="https://canon.example.com/h/'||CAST(doc_id AS VARCHAR)||'" rel="canonical"/>'
+        |    ELSE '' END
+        | || CASE WHEN doc_id%10=0 THEN '<meta name="robots" content="noindex,nofollow"/>'
+        |    WHEN doc_id%10=5 THEN '<meta content="noindex" name="robots"/>' ELSE '' END
+        | || '</head><body><p>'||text||'</p></body></html>' AS html FROM documents)
+        | SELECT doc_id,
+        |  CASE WHEN len(r1)>0 THEN r1 WHEN len(r2)>0 THEN r2 END AS canonical,
+        |  (regexp_matches(html, '(?is)<meta[^>]*name="robots"[^>]*content="[^"]*noindex')
+        |   OR regexp_matches(html, '(?is)<meta[^>]*content="[^"]*noindex[^"]*"[^>]*name="robots"')) AS noindex
+        | FROM (SELECT doc_id, html,
+        |  regexp_extract(html, '(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1) AS r1,
+        |  regexp_extract(html, '(?is)<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1) AS r2 FROM h)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // full crawl pipeline: the q_url_normalize, q_domain_cap, and
     // q_html_extract replicas chained, then the two ranking windows

@@ -299,6 +299,28 @@ object Web {
           (if (blocklist.isEmpty) lit(true) else !col("domain").isin(blocklist: _*)))
   }
 
+  /** Page-level crawl directives, regex tier (same RE2∩Java subset as
+    * [[htmlExtract]]): the `<link rel="canonical">` target — the page's
+    * OWN statement of its canonical URL, which outranks the fetch URL as
+    * a dedup key when present — and the robots `noindex` flag that
+    * removes a page from the corpus regardless of content quality.
+    * Attribute order is free in HTML, so both orders are matched and
+    * coalesced; absent signals yield NULL / false. Narrow, zero
+    * Exchange. Returns `(idCol, canonical, noindex)`. */
+  def pageSignals(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    def nonEmpty(c: Column): Column = when(length(c) > 0, c).otherwise(lit(null))
+    val canonical = coalesce(
+      nonEmpty(regexp_extract(h,
+        "(?is)<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1)),
+      nonEmpty(regexp_extract(h,
+        "(?is)<link[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\"", 1)))
+    val noindex = h.rlike(
+      "(?is)<meta[^>]*name=\"robots\"[^>]*content=\"[^\"]*noindex") ||
+      h.rlike("(?is)<meta[^>]*content=\"[^\"]*noindex[^\"]*\"[^>]*name=\"robots\"")
+    df.select(col(idCol), canonical.as("canonical"), noindex.as("noindex"))
+  }
+
   /** Deterministic messy-URL generator for the verify fixtures (the
     * syntheticPng convention: formula of the id, replayed verbatim in the
     * oracle SQL). Exercises every normalization rule: uppercase scheme +
@@ -330,6 +352,27 @@ object Web {
     val frag = when(s(3) === 2, concat(lit("#sec-"), s(10).cast("string")))
       .otherwise(lit(""))
     concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** Minimal page with crawl directives for the q_page_signals fixture:
+    * two thirds of pages declare a canonical link (half rel-first, half
+    * href-first attribute order), a fifth carry robots noindex (half
+    * with content-before-name order). */
+  def syntheticPage(id: Column, text: Column): Column = {
+    val canon = when(id % 3 === 0,
+        concat(lit("<link rel=\"canonical\" href=\"https://canon.example.com/c/"),
+          id.cast("string"), lit("\"/>")))
+      .when(id % 3 === 1,
+        concat(lit("<link href=\"https://canon.example.com/h/"),
+          id.cast("string"), lit("\" rel=\"canonical\"/>")))
+      .otherwise(lit(""))
+    val robots = when(id % 10 === 0,
+        lit("<meta name=\"robots\" content=\"noindex,nofollow\"/>"))
+      .when(id % 10 === 5,
+        lit("<meta content=\"noindex\" name=\"robots\"/>"))
+      .otherwise(lit(""))
+    concat(lit("<html><head>"), canon, robots, lit("</head><body><p>"),
+      text, lit("</p></body></html>"))
   }
 
   /** Deterministic HTML page around a text column (same convention):
