@@ -108,6 +108,12 @@ object MicroBench {
       text.select(operators.hashed_linear_score(split(col("t"), " "), 1 << 20).as("s"))
         .selectExpr("max(s.wsum)").collect()
     }
+    // CDC gear kernel over the same ~70-byte docs: one table lookup +
+    // shift-add per byte, FNV fold per emitted chunk
+    bench("gear_cutpoints(t, 5, 16, 64) [fused kernel]", nT) {
+      text.selectExpr("gear_cutpoints(t, 5, 16, 64) AS cs")
+        .selectExpr("max(size(cs))").collect()
+    }
     spark.stop()
   }
 }
