@@ -807,6 +807,25 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
         .orderBy(col("col_name"))),
 
+    // deterministic token-dropout augmentation: drop decisions are a
+    // pure function of (doc, position, salt) — reproducible noising
+    "q_augment" -> ((s, dir) =>
+      operators.TextOps.augmentDropout(
+          table(s, dir, "documents"), "doc_id", "text",
+          ratePct = 10, salt = 4242L)
+        .orderBy(col("doc_id"))),
+
+    // percentile winsorization of the value column: [p01, p99] clamp,
+    // thresholds from the exact percentile aggregate (rounded so both
+    // engines clamp on identical boundaries)
+    "q_winsorize" -> ((s, dir) =>
+      operators.Curation.winsorize(
+          table(s, dir, "events").select(col("event_id"), col("value")),
+          "value")
+        .select(col("event_id"), col("value"), col("lo"), col("hi"),
+          col("value_w"))
+        .orderBy(col("event_id"))),
+
     // k-anonymity screen on the (user, event_type) quasi-identifier:
     // combinations seen < 15 times are re-identifying and get flagged
     "q_kanon" -> ((s, dir) =>
@@ -2730,6 +2749,33 @@ object SparkEntry {
 
     // streaming monitor: identical registers and estimate, no exact join
     "q_stream_hll" -> hllOracleSql(includeExact = false),
+
+    // augmentation replica: same splitmix64 drop decisions in HUGEINT,
+    // tokens re-joined in position order
+    "q_augment" ->
+      (s"""WITH tp AS (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok,
+        |   CAST(len(ts) AS BIGINT) AS n FROM
+        |   (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+        | hv AS (SELECT doc_id, pos, tok, n,
+        |   (CAST(doc_id AS HUGEINT) * 131071 + pos + 4242) % $M64 AS h0 FROM tp),
+        | ${mixStagesSql("hv", "doc_id, pos, tok, n", "ag")},
+        | kp AS (SELECT doc_id, pos, tok, n FROM ag3
+        |   WHERE ((${signedSql("h")} % 100) + 100) % 100 >= 10),
+        | re AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS aug_text,
+        |   CAST(count(*) AS BIGINT) AS n_kept FROM kp GROUP BY doc_id),
+        | base AS (SELECT DISTINCT doc_id, n FROM tp)
+        | SELECT b.doc_id, coalesce(r.aug_text, '') AS aug_text,
+        |  b.n AS n_tokens, b.n - coalesce(r.n_kept, 0) AS n_dropped
+        | FROM base b LEFT JOIN re r USING (doc_id) ORDER BY b.doc_id""")
+        .stripMargin.replaceAll("\n", " "),
+
+    // winsorize replica: quantile_cont thresholds (same rounding), clamp
+    "q_winsorize" ->
+      """WITH th AS (SELECT round(quantile_cont(value, 0.01), 6) AS lo,
+        |  round(quantile_cont(value, 0.99), 6) AS hi FROM events)
+        | SELECT event_id, value, lo, hi,
+        |  greatest(lo, least(hi, value)) AS value_w
+        | FROM events, th ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
 
     // k-anonymity replica: per-combination window count
     "q_kanon" ->

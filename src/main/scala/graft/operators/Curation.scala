@@ -384,6 +384,32 @@ object Curation {
       .withColumn("k_ok", col("group_n") >= k)
   }
 
+  /** Percentile winsorization of a numeric column: values outside the
+    * [pLo, pHi] exact percentiles clamp to them — the standard defense
+    * against sensor glitches and log corruption skewing normalization
+    * statistics before training. Thresholds round to 6 decimals so both
+    * engines clamp with identical boundaries (the interpolation
+    * arithmetic may differ in the last ulp; data values sit far from
+    * mid-interpolation thresholds, so the rounded comparison is stable).
+    *
+    * Scale note: `percentile` is the EXACT aggregate (sorts the column
+    * in the agg buffer) — the oracle-checkable variant; at 100 TB swap
+    * in `approx_percentile` with the same plumbing (one agg row
+    * broadcast back, narrow clamp). */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0<=pLo<pHi<=1, got $pLo/$pHi")
+    val th = df.agg(
+      round(expr(s"percentile($valueCol, $pLo)"), 6).as("lo"),
+      round(expr(s"percentile($valueCol, $pHi)"), 6).as("hi"))
+    df.crossJoin(broadcast(th))
+      .withColumn(s"${valueCol}_w",
+        greatest(col("lo"), least(col("hi"), col(valueCol))))
+  }
+
   /** Latest-wins upsert materialization (the SCD-1 / CDC-compaction
     * step every incrementally-ingested table needs): one row per key,
     * carrying the values of the highest `(versionCols…)` tuple —

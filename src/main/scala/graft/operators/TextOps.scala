@@ -743,6 +743,35 @@ object TextOps {
         (round(score, 4) > lit(0.0)).as("keep"))
   }
 
+  /** Deterministic token-dropout augmentation (the word-dropout noising
+    * of denoising/robustness objectives): token j of document i drops
+    * when splitmix64(i·131071 + j + salt) mod 100 < ratePct — a pure
+    * function of (doc, position, salt), so the SAME augmented corpus
+    * reproduces on any engine, partitioning, or rerun, and different
+    * salts give independent augmentation epochs without storing any of
+    * them. The prime stride decorrelates position streams across docs.
+    * All tokens of a short doc may drop (empty aug_text) — callers
+    * filter on n_tokens if that matters. Narrow positional-lambda
+    * filter, zero Exchange; the per-token lambda is interpreted, which
+    * at ~100 ns/token is noise next to the scan. */
+  def augmentDropout(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ratePct: Int = 10,
+      salt: Long = 4242L): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct out of range: $ratePct")
+    val toks = tokens(col(textCol))
+    val kept = filter(toks, (_, i) =>
+      pmod(graft.operators.mix64(
+        col(idCol).cast("long") * 131071L + i.cast("long"), salt), lit(100L))
+        >= ratePct)
+    df.select(col(idCol),
+        array_join(kept, " ").as("aug_text"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(kept)).cast("long").as("n_dropped"))
+  }
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -2509,6 +2509,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(eWhole == eMerged) // bit-identical, not just close
   }
 
+  test("zValue round-trips: de-interleaving the Morton key recovers both coordinates") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(4096).select(
+      (col("id").bitwiseAND(63L)).as("a"),
+      (shiftright(col("id"), 6).bitwiseAND(63L)).as("b"))
+    val got = df.select(col("a"), col("b"),
+        graft.sources.Tables.zValue(Seq(col("a"), col("b")), bits = 6).as("z"))
+      .collect()
+    assert(got.length == 4096)
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // bit j of a sits at z bit 2j, bit j of b at 2j+1
+      val da = (0 until 6).map(j => ((z >> (2 * j)) & 1L) << j).sum
+      val db = (0 until 6).map(j => ((z >> (2 * j + 1)) & 1L) << j).sum
+      assert(da == a && db == b, s"z=$z a=$a b=$b")
+    }
+    // distinct inputs → distinct keys (interleave is a bijection)
+    assert(got.map(_.getLong(2)).distinct.length == 4096)
+  }
+
+  test("upsertLatest equals the window-rank formulation on random logs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    val log = (1 to 2000).map { i =>
+      (rnd.nextInt(40).toLong, s"t${rnd.nextInt(3)}",
+        rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(1000).toDouble)
+    }.toDF("k", "t", "ts", "id", "v")
+    val agg = Curation.upsertLatest(log, Seq("k", "t"), Seq("ts", "id"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "t").orderBy(desc("ts"), desc("id"))
+    val win = log.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(agg == win)
+  }
+
   test("kAnonymize: NULL quasi values form a screened group, not silently dropped rows") {
     val s = spark
     import s.implicits._
