@@ -807,6 +807,22 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
         .orderBy(col("col_name"))),
 
+    // STREAMING upsert view: the same max(struct) reduction as a
+    // streaming aggregation — per-key state is one packed struct, the
+    // snapshot equals the batch compaction (shares q_upsert's oracle)
+    "q_stream_upsert" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.upsertMonitorToBatch(
+          s, s"$dir/events.parquet",
+          keyCols = Seq("user_id", "event_type"),
+          versionCols = Seq("ts_us", "event_id"),
+          valueCols = Seq("value"),
+          prepare = st => sources.Tables.tsToNanos(st)
+            .select(col("user_id"), col("event_type"),
+              expr("ts div 1000").as("ts_us"), col("event_id"), col("value")))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // deterministic token-dropout augmentation: drop decisions are a
     // pure function of (doc, position, salt) — reproducible noising
     "q_augment" -> ((s, dir) =>
@@ -2749,6 +2765,15 @@ object SparkEntry {
 
     // streaming monitor: identical registers and estimate, no exact join
     "q_stream_hll" -> hllOracleSql(includeExact = false),
+
+    // streaming upsert view: identical winner per key
+    "q_stream_upsert" ->
+      """SELECT user_id, event_type, ts_us, event_id, value FROM (
+        | SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1
+        | ORDER BY user_id, event_type""".stripMargin.replaceAll("\n", " "),
 
     // augmentation replica: same splitmix64 drop decisions in HUGEINT,
     // tokens re-joined in position order

@@ -326,6 +326,25 @@ object JsonStream {
       "tok", depth, width)
   }
 
+  /** Streaming latest-wins upsert view:
+    * [[graft.operators.Curation.upsertLatest]]'s max(struct) reduction
+    * as a streaming aggregation — per-key state is ONE packed struct (the
+    * current winner), updated in place as upserts stream in; the
+    * complete-mode snapshot IS the compacted table, equal to the batch
+    * compaction of the same log. This is the continuously-maintained
+    * CDC materialized view, with state bounded by key cardinality, not
+    * log length. */
+  def upsertMonitorToBatch(
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      valueCols: Seq[String],
+      prepare: DataFrame => DataFrame = identity): DataFrame =
+    runStreamToSnapshot(spark, path, "upsert", stream =>
+      graft.operators.Curation.upsertLatest(
+        prepare(stream), keyCols, versionCols, valueCols))
+
   /** STREAMING ingestion near-dup screen: incoming docs arrive as a file
     * stream and are MinHash-LSH-screened against a STATIC already-
     * ingested corpus — the streaming face of
