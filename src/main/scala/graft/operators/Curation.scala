@@ -531,20 +531,19 @@ object Curation {
     val benchGrams = benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .distinct()
-    val hits = train
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"))
-      // shingles are distinct within a doc, so plain count = distinct count
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hit_grams"))
-    val frac = coalesce(col("n_hit_grams"), lit(0L)).cast("double") /
+    // ONE corpus scan: the exploded gram rows yield both the total (the
+    // shingle list is distinct within a doc, and never empty — short
+    // docs degrade to one whole-doc shingle) and, via the broadcast
+    // LEFT join, the hit count — no second scan, no id-keyed join back
+    val frac = col("n_hit_grams").cast("double") /
       greatest(col("n_grams"), lit(1L)).cast("double")
     train
-      .select(col(idCol),
-        size(Dedup.shingles(col(textCol), n)).cast("long").as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1L))), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit_grams"))
+      .select(col(idCol), col("n_grams"), col("n_hit_grams"),
         frac.as("overlap_frac"),
         (frac <= maxOverlap).as("keep"))
   }
