@@ -831,6 +831,20 @@ object SparkEntry {
           ratePct = 10, salt = 4242L)
         .orderBy(col("doc_id"))),
 
+    // corpus snapshot diff: v1 drops doc_id%17==3, v2 drops %17==5 and
+    // rewrites %11==0 — per-id added/removed/changed/unchanged audit
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      operators.Curation.corpusDiff(
+          d.where(col("doc_id") % 17 =!= 3),
+          d.where(col("doc_id") % 17 =!= 5)
+            .select(col("doc_id"),
+              when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // percentile winsorization of the value column: [p01, p99] clamp,
     // thresholds from the exact percentile aggregate (rounded so both
     // engines clamp on identical boundaries)
@@ -2793,6 +2807,21 @@ object SparkEntry {
         |  b.n AS n_tokens, b.n - coalesce(r.n_kept, 0) AS n_dropped
         | FROM base b LEFT JOIN re r USING (doc_id) ORDER BY b.doc_id""")
         .stripMargin.replaceAll("\n", " "),
+
+    // corpus diff replica: signed FNV digests + full outer join
+    "q_corpus_diff" ->
+      s"""WITH o AS (SELECT doc_id, ${signedSql(fnvSql("text"))} AS old_digest
+        |   FROM documents WHERE doc_id % 17 <> 3),
+        | nw AS (SELECT doc_id, ${signedSql(fnvSql(
+             "CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END"))} AS new_digest
+        |   FROM documents WHERE doc_id % 17 <> 5)
+        | SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id, old_digest, new_digest,
+        |  CASE WHEN old_digest IS NULL THEN 'added'
+        |   WHEN new_digest IS NULL THEN 'removed'
+        |   WHEN old_digest = new_digest THEN 'unchanged'
+        |   ELSE 'changed' END AS status
+        | FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+        | ORDER BY 1""".stripMargin.replaceAll("\n", " "),
 
     // winsorize replica: quantile_cont thresholds (same rounding), clamp
     "q_winsorize" ->

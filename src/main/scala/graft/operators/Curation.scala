@@ -384,6 +384,29 @@ object Curation {
       .withColumn("k_ok", col("group_n") >= k)
   }
 
+  /** Content diff between two corpus snapshots (dataset versioning —
+    * the audit that makes "corpus v2.1" reviewable): per id, whether
+    * the document was `added`, `removed`, `changed` (same id, different
+    * content digest), or `unchanged`. One FULL OUTER equi-join on the id
+    * over slim (id, fnv1a64(text)) projections — both sides shrink to
+    * 16 bytes/doc before the shuffle, so diffing 100 TB snapshots moves
+    * only digest tables. */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def slim(df: DataFrame, d: String) = df.select(
+      col(idCol), fnv1a64(col(textCol)).as(d))
+    slim(oldDf, "old_digest")
+      .join(slim(newDf, "new_digest"), Seq(idCol), "full_outer")
+      .select(col(idCol), col("old_digest"), col("new_digest"),
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") === col("new_digest"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Percentile winsorization of a numeric column: values outside the
     * [pLo, pHi] exact percentiles clamp to them — the standard defense
     * against sensor glitches and log corruption skewing normalization
