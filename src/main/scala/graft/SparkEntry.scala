@@ -2828,7 +2828,7 @@ object SparkEntry {
       """WITH th AS (SELECT round(quantile_cont(value, 0.01), 6) AS lo,
         |  round(quantile_cont(value, 0.99), 6) AS hi FROM events)
         | SELECT event_id, value, lo, hi,
-        |  greatest(lo, least(hi, value)) AS value_w
+        |  CASE WHEN value IS NOT NULL THEN greatest(lo, least(hi, value)) END AS value_w
         | FROM events, th ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
 
     // k-anonymity replica: per-combination window count

@@ -396,14 +396,17 @@ object Curation {
       newDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    def slim(df: DataFrame, d: String) = df.select(
-      col(idCol), fnv1a64(col(textCol)).as(d))
-    slim(oldDf, "old_digest")
-      .join(slim(newDf, "new_digest"), Seq(idCol), "full_outer")
+    // presence comes from JOIN-side markers, NOT digest nullability — a
+    // NULL-text doc present in both snapshots must read 'unchanged',
+    // not 'added' (fnv1a64(NULL) is NULL); digests compare null-safely
+    def slim(df: DataFrame, d: String, m: String) = df.select(
+      col(idCol), fnv1a64(col(textCol)).as(d), lit(true).as(m))
+    slim(oldDf, "old_digest", "__in_old")
+      .join(slim(newDf, "new_digest", "__in_new"), Seq(idCol), "full_outer")
       .select(col(idCol), col("old_digest"), col("new_digest"),
-        when(col("old_digest").isNull, "added")
-          .when(col("new_digest").isNull, "removed")
-          .when(col("old_digest") === col("new_digest"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("old_digest") <=> col("new_digest"), "unchanged")
           .otherwise("changed").as("status"))
   }
 
@@ -425,12 +428,17 @@ object Curation {
       pLo: Double = 0.01,
       pHi: Double = 0.99): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0<=pLo<pHi<=1, got $pLo/$pHi")
+    require(!df.columns.contains("lo") && !df.columns.contains("hi"),
+      "input already has a lo/hi column — rename it before winsorizing")
     val th = df.agg(
-      round(expr(s"percentile($valueCol, $pLo)"), 6).as("lo"),
-      round(expr(s"percentile($valueCol, $pHi)"), 6).as("hi"))
+      round(percentile(col(valueCol), lit(pLo)), 6).as("lo"),
+      round(percentile(col(valueCol), lit(pHi)), 6).as("hi"))
     df.crossJoin(broadcast(th))
+      // NULL passes through: least/greatest SKIP null arguments, so a
+      // bare clamp would fabricate `hi` for missing values
       .withColumn(s"${valueCol}_w",
-        greatest(col("lo"), least(col("hi"), col(valueCol))))
+        when(col(valueCol).isNotNull,
+          greatest(col("lo"), least(col("hi"), col(valueCol)))))
   }
 
   /** Latest-wins upsert materialization (the SCD-1 / CDC-compaction
@@ -537,7 +545,9 @@ object Curation {
     * document that happens to quote one benchmark sentence survives, a
     * near-copy does not. Returns
     * `(idCol, n_grams, n_hit_grams, overlap_frac, keep)`; documents too
-    * short to form one n-gram have zero overlap by convention.
+    * short to form one n-gram have zero overlap by convention. `idCol`
+    * must be unique (the repo-wide id contract): duplicate ids would
+    * merge through the per-id aggregate and dilute the fraction.
     *
     * Determinism: counts are exact integers and `overlap_frac` is one
     * IEEE division of exact integers. Scale shape is [[decontaminate]]'s:

@@ -761,7 +761,10 @@ object TextOps {
       ratePct: Int = 10,
       salt: Long = 4242L): DataFrame = {
     require(ratePct >= 0 && ratePct <= 100, s"ratePct out of range: $ratePct")
-    val toks = tokens(col(textCol))
+    // NULL text reads as "" (the qualityClassify convention): both
+    // engines then see the single empty token, instead of Spark emitting
+    // a size(NULL) = -1 row the oracle's unnest(NULL) would drop
+    val toks = tokens(coalesce(col(textCol), lit("")))
     val kept = filter(toks, (_, i) =>
       pmod(graft.operators.mix64(
         col(idCol).cast("long") * 131071L + i.cast("long"), salt), lit(100L))

@@ -2509,6 +2509,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(eWhole == eMerged) // bit-identical, not just close
   }
 
+  test("winsorize: clamps tails, passes NULL through instead of fabricating hi") {
+    val s = spark
+    import s.implicits._
+    val df = ((1 to 99).map(i => (i.toLong, Some(i.toDouble))) :+ (100L, None))
+      .toDF("id", "v")
+    val got = Curation.winsorize(df, "v", pLo = 0.1, pHi = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(100L).isEmpty) // NULL stays NULL — no fabricated p99 value
+    assert(got(1L).exists(_ > 1.0) && got(99L).exists(_ < 99.0)) // tails clamp
+    assert(got(50L).contains(50.0)) // interior untouched
+  }
+
+  test("corpusDiff: presence from join sides, NULL-text docs compare null-safely") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("gone")))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, Some("a")), (2L, Some("B2")), (3L, Option.empty[String]),
+      (5L, Some("new"))).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // present in both with NULL text — NOT "added"
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("zValue round-trips: de-interleaving the Morton key recovers both coordinates") {
     val s = spark
     import s.implicits._
