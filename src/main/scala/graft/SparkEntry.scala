@@ -795,6 +795,20 @@ object SparkEntry {
           "doc_id", "html")
         .orderBy(col("doc_id"))),
 
+    // incremental chunk-level storage dedup: the batch is SHIFTED copies
+    // of stored docs (new ids, 'PREFIX-' prepended) — content-defined
+    // boundaries re-synchronize, so most batch bytes resolve to already-
+    // stored digests; per-doc new-bytes accounting
+    "q_cdc_incr" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val batch = d.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("PREFIX-"), col("lang"), lit(" "), col("text")).as("text"))
+      operators.Dedup.cdcIncrementalDedup(
+          batch, d.select(col("doc_id"), col("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // HyperLogLog distinct sketch (p=8) over the documents columns, with
     // the exact count joined for error visibility: registers are the
     // audited mix64∘fnv1a hash bucketed by low bits, rank from
@@ -1539,6 +1553,46 @@ object SparkEntry {
       | SELECT e.tok, x.exact, CAST(e.est AS BIGINT) AS est
       | FROM est e JOIN ex x USING (tok)
       | ORDER BY x.exact DESC, e.tok LIMIT 20""".stripMargin.replaceAll("\n", " ")
+
+  /** Shared CDC replica chain (mask 5, 16..64): gear hash via the
+    * 64-term closed-form window sum, greedy walk as a materialized
+    * next-cut pointer table + equality-join recursion; yields CTE
+    * `dig(doc_id, chunk_idx, start, chunk_len, digest)` over the docs
+    * produced by `chdSql` (must select doc_id, text, n). */
+  private def cdcWalkSql(chdSql: String): String = {
+    val powers = (0 until 64)
+      .map(d => s"($d, ${BigInt(1) << d}, ${BigInt(1) << (64 - d)})")
+      .mkString(", ")
+    s"""WITH RECURSIVE chd AS ($chdSql),
+      | gb AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS h0
+      |  FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM chd)),
+      | ${mixStagesSql("gb", "doc_id, i", "gc")},
+      | pw(d, p, q) AS (VALUES $powers),
+      | hh AS MATERIALIZED (SELECT a.doc_id, a.i, sum((b.h % pw.q) * pw.p) % $M64 AS h
+      |  FROM gc3 a JOIN gc3 b ON b.doc_id = a.doc_id
+      |    AND b.i BETWEEN a.i - 63 AND a.i
+      |  JOIN pw ON pw.d = a.i - b.i GROUP BY a.doc_id, a.i),
+      | cand AS MATERIALIZED (SELECT doc_id, i FROM hh WHERE h % 32 = 0),
+      | nxt AS MATERIALIZED (SELECT a.doc_id, a.p,
+      |    least(coalesce(min(c.i), a.p + 64), a.n) AS np
+      |  FROM (SELECT doc_id, n, CAST(unnest(range(0, n)) AS BIGINT) AS p FROM chd) a
+      |  LEFT JOIN cand c ON c.doc_id = a.doc_id
+      |    AND c.i >= a.p + 16 AND c.i <= a.p + 64
+      |  GROUP BY a.doc_id, a.p, a.n),
+      | walk(doc_id, idx, cut, ncut) AS (
+      |  SELECT doc_id, 0, CAST(0 AS BIGINT), np FROM nxt WHERE p = 0
+      |  UNION ALL
+      |  SELECT w.doc_id, w.idx + 1, w.ncut, x.np
+      |  FROM walk w JOIN nxt x ON x.doc_id = w.doc_id AND x.p = w.ncut),
+      | chunks AS (SELECT w.doc_id, w.idx AS chunk_idx, w.cut AS start,
+      |    w.ncut - w.cut AS chunk_len,
+      |    substr(c.text, CAST(w.cut + 1 AS INT), CAST(w.ncut - w.cut AS INT)) AS ct
+      |  FROM walk w JOIN chd c ON c.doc_id = w.doc_id),
+      | dig AS MATERIALIZED (SELECT doc_id, chunk_idx, start, chunk_len,
+      |    ${signedSql(fnvSql("ct"))} AS digest FROM chunks)"""
+      .stripMargin.replaceAll("\n", " ")
+  }
 
   /** 3-token shingle set of a `tk` token-list column — mirror of
     * Dedup.shingles(_, 3). */
@@ -2876,46 +2930,39 @@ object SparkEntry {
     // recursive term). hh/cand/nxt are AS MATERIALIZED: the recursion
     // re-reads nxt every level, and inlined CTEs would re-run the whole
     // hash chain per level (measured 170 s → 10 s; the q_bpe_merges lesson)
-    "q_cdc_chunks" -> {
-      val powers = (0 until 64)
-        .map(d => s"($d, ${BigInt(1) << d}, ${BigInt(1) << (64 - d)})")
-        .mkString(", ")
-      s"""WITH RECURSIVE chd AS (SELECT doc_id, text, len(text) AS n FROM documents),
-        | gb AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
-        |    CAST(ascii(substr(text, CAST(i AS INT), 1)) AS HUGEINT) AS h0
-        |  FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM chd)),
-        | ${mixStagesSql("gb", "doc_id, i", "gc")},
-        | pw(d, p, q) AS (VALUES $powers),
-        | hh AS MATERIALIZED (SELECT a.doc_id, a.i, sum((b.h % pw.q) * pw.p) % $M64 AS h
-        |  FROM gc3 a JOIN gc3 b ON b.doc_id = a.doc_id
-        |    AND b.i BETWEEN a.i - 63 AND a.i
-        |  JOIN pw ON pw.d = a.i - b.i GROUP BY a.doc_id, a.i),
-        | cand AS MATERIALIZED (SELECT doc_id, i FROM hh WHERE h % 32 = 0),
-        | nxt AS MATERIALIZED (SELECT a.doc_id, a.p,
-        |    least(coalesce(min(c.i), a.p + 64), a.n) AS np
-        |  FROM (SELECT doc_id, n, CAST(unnest(range(0, n)) AS BIGINT) AS p FROM chd) a
-        |  LEFT JOIN cand c ON c.doc_id = a.doc_id
-        |    AND c.i >= a.p + 16 AND c.i <= a.p + 64
-        |  GROUP BY a.doc_id, a.p, a.n),
-        | walk(doc_id, idx, cut, ncut) AS (
-        |  SELECT doc_id, 0, CAST(0 AS BIGINT), np FROM nxt WHERE p = 0
-        |  UNION ALL
-        |  SELECT w.doc_id, w.idx + 1, w.ncut, x.np
-        |  FROM walk w JOIN nxt x ON x.doc_id = w.doc_id AND x.p = w.ncut),
-        | chunks AS (SELECT w.doc_id, w.idx AS chunk_idx, w.cut AS start,
-        |    w.ncut - w.cut AS chunk_len,
-        |    substr(c.text, CAST(w.cut + 1 AS INT), CAST(w.ncut - w.cut AS INT)) AS ct
-        |  FROM walk w JOIN chd c ON c.doc_id = w.doc_id),
-        | dig AS (SELECT doc_id, chunk_idx, start, chunk_len,
-        |    ${signedSql(fnvSql("ct"))} AS digest FROM chunks),
-        | shr AS (SELECT digest, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    "q_cdc_chunks" ->
+      (cdcWalkSql("SELECT doc_id, text, len(text) AS n FROM documents") +
+      s""", shr AS (SELECT digest, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |  FROM dig GROUP BY digest)
         | SELECT d.doc_id, CAST(d.chunk_idx AS INT) AS chunk_idx,
         |  CAST(d.start AS INT) AS start, CAST(d.chunk_len AS INT) AS chunk_len,
         |  d.digest, s.n_docs
         | FROM dig d JOIN shr s USING (digest)
-        | ORDER BY d.doc_id, d.chunk_idx""".stripMargin.replaceAll("\n", " ")
-    },
+        | ORDER BY d.doc_id, d.chunk_idx""".stripMargin.replaceAll("\n", " ")),
+
+    // incremental storage dedup: shifted copies (id+100000, 'PREFIX-'
+    // prepended) are chunked alongside the store in ONE walk chain, then
+    // batch chunks LEFT-join the store's distinct digests — the shifted
+    // batch re-synchronizes and most bytes dedup
+    "q_cdc_incr" ->
+      (cdcWalkSql(
+        """SELECT doc_id, text, len(text) AS n FROM documents
+          | UNION ALL SELECT doc_id + 100000,
+          |  'PREFIX-' || lang || ' ' || text AS text,
+          |  len('PREFIX-' || lang || ' ' || text) AS n
+          | FROM documents WHERE doc_id % 5 = 0""".stripMargin
+          .replaceAll("\n", " ")) +
+      s""", st AS (SELECT DISTINCT digest FROM dig WHERE doc_id < 100000),
+        | bt AS (SELECT d.doc_id, d.chunk_len, s.digest AS sd
+        |  FROM dig d LEFT JOIN st s USING (digest) WHERE d.doc_id >= 100000)
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN sd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(chunk_len) AS BIGINT) AS bytes_total,
+        |  CAST(sum(CASE WHEN sd IS NULL THEN chunk_len ELSE 0 END) AS BIGINT) AS bytes_new,
+        |  1.0 - CAST(sum(CASE WHEN sd IS NULL THEN chunk_len ELSE 0 END) AS DOUBLE)
+        |   / CAST(greatest(sum(chunk_len), 1) AS DOUBLE) AS dedup_ratio
+        | FROM bt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replaceAll("\n", " ")),
 
     // bigram-LM replica: identical integer count tables, identical
     // integer ln arguments, per-doc log sum folded in POSITION order

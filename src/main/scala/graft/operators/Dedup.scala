@@ -707,6 +707,47 @@ object Dedup {
         col("c.chunk_len").as("chunk_len"),
         col("c.digest").as("digest"))
 
+  /** Incremental chunk-level storage dedup (the restic/borg accounting,
+    * done corpus-side): chunk an append batch with [[cdcChunks]] and
+    * charge each document only for chunks whose digest the existing
+    * store has never seen — the content-defined boundaries make shared
+    * regions between a new doc and ANY stored doc (shifted or not)
+    * resolve to already-stored digests. Returns per batch doc
+    * `(idCol, n_chunks, n_new, bytes_total, bytes_new, dedup_ratio)`
+    * where dedup_ratio = 1 − bytes_new/bytes_total (0 for an all-new
+    * doc, → 1 for a doc the store already covers).
+    *
+    * Scale shape: the batch side is one narrow kernel scan + explode;
+    * the novelty check is a digest-keyed LEFT join against the store's
+    * distinct digest table (equi-join — AQE-splittable; near-uniform
+    * digest keys), and the per-doc rollup is a map-side-combinable
+    * groupBy. The store never re-chunks — persist its digest table once
+    * and append each batch's new digests after ingest. */
+  def cdcIncrementalDedup(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      maskBits: Int = 5,
+      minLen: Int = 16,
+      maxLen: Int = 64): DataFrame = {
+    val stored = cdcChunks(store, idCol, textCol, maskBits, minLen, maxLen)
+      .select(col("digest")).distinct()
+      .withColumn("__stored", lit(1L))
+    cdcChunks(batch, idCol, textCol, maskBits, minLen, maxLen)
+      .join(stored, Seq("digest"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__stored").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(col("chunk_len")).cast("long").as("bytes_total"),
+        sum(when(col("__stored").isNull, col("chunk_len")).otherwise(0L))
+          .cast("long").as("bytes_new"))
+      .withColumn("dedup_ratio",
+        lit(1.0) - col("bytes_new").cast("double") /
+          greatest(col("bytes_total"), lit(1L)).cast("double"))
+  }
+
   /** [[cdcChunks]] plus cross-document sharing evidence: how many
     * DISTINCT documents contain each chunk (by digest). One digest-keyed
     * partial-agg exchange over the chunk rows plus the join back — the
