@@ -234,6 +234,24 @@ object Examples {
     Dedup.cdcSharedChunks(docs, "doc_id", "text")
       .where(col("n_docs") >= 2).orderBy(col("n_docs").desc, col("digest")).show(5)
 
+    println("== 17b. Versioning + noising: snapshot diff, storage dedup, winsorize, dropout ==")
+    val v2 = docs.select(col("doc_id"),
+      when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+      .where(col("doc_id") % 17 =!= 5)
+    Curation.corpusDiff(docs.select("doc_id", "text"), v2, "doc_id", "text")
+      .groupBy("status").count().orderBy("status").show()
+    val shifted = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("PREFIX "), col("text")).as("text"))
+    Dedup.cdcIncrementalDedup(shifted, docs.select("doc_id", "text"), "doc_id", "text")
+      .agg(avg(col("dedup_ratio")).as("mean_dedup_ratio")).show()
+    Curation.winsorize(
+      sources.Tables.readTable(spark, s"$sfDir/events.parquet")
+        .select(col("event_id"), col("value")), "value")
+      .where(col("value") =!= col("value_w")).show(3)
+    TextOps.augmentDropout(docs, "doc_id", "text").show(2)
+
     println("== 18. Table hygiene: upsert compaction, k-anonymity, hard negatives ==")
     val evLog = sources.Tables.readTable(spark, s"$sfDir/events.parquet")
       .select(col("user_id"), col("event_type"),
