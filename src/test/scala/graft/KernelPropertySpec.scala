@@ -285,4 +285,40 @@ class KernelPropertySpec extends AnyFunSuite {
   /** splitmix64 of a small nonneg int (gear-table entry) via the BigInt
     * model — same as splitmixModel but taking the raw value. */
   private def splitmixModel0(x: Int): Long = splitmixModel(x.toLong)
+
+  test("GearCutpoints on multi-byte UTF-8: chunks tile the BYTE length, digests match byte slices") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // mixed ASCII / 2-byte / 3-byte / 4-byte code points — cuts land at
+    // byte offsets (the documented contract), possibly inside a char's
+    // byte run; tiling and per-chunk FNV must still hold exactly
+    val charGen = org.scalacheck.Gen.frequency(
+      5 -> org.scalacheck.Gen.alphaNumChar.map(_.toString),
+      2 -> org.scalacheck.Gen.oneOf("é", "ü", "ßß"),
+      2 -> org.scalacheck.Gen.oneOf("语", "言", "データ"),
+      1 -> org.scalacheck.Gen.oneOf("🎉", "𝕏"))
+    val txtGen = org.scalacheck.Gen.listOfN(60, charGen).map(_.mkString)
+    check(forAll(txtGen) { txt =>
+      val bytes = txt.getBytes("UTF-8")
+      val got = graft.operators.GearCutpoints(
+          Literal.create(UTF8String.fromString(txt),
+            org.apache.spark.sql.types.StringType), 4, 8, 32)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = got.numElements()
+      var prevEnd = 0
+      var ok = bytes.isEmpty == (n == 0)
+      (0 until n).foreach { k =>
+        val r = got.getStruct(k, 3)
+        val (start, len, digest) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        ok &&= start == prevEnd && len >= 1 && len <= 32
+        var h = BigInt("cbf29ce484222325", 16).longValue
+        (start until start + len).foreach { i =>
+          h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+        }
+        ok &&= digest == h
+        prevEnd = start + len
+      }
+      ok && prevEnd == bytes.length
+    })
+  }
 }
