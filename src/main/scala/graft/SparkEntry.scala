@@ -845,6 +845,15 @@ object SparkEntry {
           ratePct = 10, salt = 4242L)
         .orderBy(col("doc_id"))),
 
+    // Poisson-bootstrap CI of mean event value (in exact cents): 64
+    // deterministic resamples, integer weights from cumulative e^-1/k!
+    // thresholds, exact-integer resample sums, percentile CI
+    "q_bootstrap" -> ((s, dir) =>
+      operators.Curation.bootstrapMeanCI(
+          table(s, dir, "events").select(col("event_id"),
+            round(col("value") * 100).cast("long").as("cents")),
+          "event_id", "cents", b = 64)),
+
     // corpus snapshot diff: v1 drops doc_id%17==3, v2 drops %17==5 and
     // rewrites %11==0 — per-id added/removed/changed/unchanged audit
     "q_corpus_diff" -> ((s, dir) => {
@@ -2860,6 +2869,27 @@ object SparkEntry {
         | SELECT b.doc_id, coalesce(r.aug_text, '') AS aug_text,
         |  b.n AS n_tokens, b.n - coalesce(r.n_kept, 0) AS n_dropped
         | FROM base b LEFT JOIN re r USING (doc_id) ORDER BY b.doc_id""")
+        .stripMargin.replaceAll("\n", " "),
+
+    // bootstrap replica: same hash draws, same integer thresholds, same
+    // exact-integer resample sums, quantile_cont over the 64 means
+    "q_bootstrap" ->
+      s"""WITH xs AS (SELECT event_id AS rid, CAST(round(value*100) AS BIGINT) AS xv FROM events),
+        | eb AS (SELECT rid, xv, CAST(unnest(range(64)) AS BIGINT) AS b FROM xs),
+        | hv AS (SELECT rid, xv, b,
+        |   ((CAST(rid AS HUGEINT) * 524287 + b) + 1717) % $M64 AS h0 FROM eb),
+        | ${mixStagesSql("hv", "rid, xv, b", "bs")},
+        | uw AS (SELECT xv, b, ((${signedSql("h")} % 1000000) + 1000000) % 1000000 AS u FROM bs3),
+        | wv AS (SELECT b, xv, CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |   WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4
+        |   WHEN u < 999406 THEN 5 WHEN u < 999917 THEN 6 ELSE 7 END AS w FROM uw),
+        | ms AS (SELECT b, CAST(sum(w) AS BIGINT) AS nd,
+        |   CAST(sum(w * xv) AS BIGINT) AS ws FROM wv GROUP BY b),
+        | mm AS (SELECT CAST(ws AS DOUBLE) / CAST(nd AS DOUBLE) AS m FROM ms WHERE nd > 0)
+        | SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+        |  round(quantile_cont(m, 0.5), 6) AS median,
+        |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(m, 0.975), 6) AS ci_hi FROM mm"""
         .stripMargin.replaceAll("\n", " "),
 
     // corpus diff replica: signed FNV digests + full outer join

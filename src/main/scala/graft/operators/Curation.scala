@@ -410,6 +410,58 @@ object Curation {
           .otherwise("changed").as("status"))
   }
 
+  /** Deterministic Poisson-bootstrap confidence interval for the mean of
+    * an INTEGER column (scale fixed-point metrics up front — exactness
+    * is the point): every (row, resample) pair draws a Poisson(1)
+    * replication weight from an integer hash against the cumulative
+    * e^-1/k! thresholds (the classic distributed bootstrap — multinomial
+    * needs the global count, Poisson doesn't), so the resample sums are
+    * EXACT integers (order-free across any shuffle), each resample mean
+    * is one IEEE division, and the percentile CI rounds to 6. Same
+    * draws on every engine, partitioning, and rerun.
+    *
+    * Scale shape: one narrow explode (×B rows carrying only the metric),
+    * a B-row partial-agg groupBy, then a driver-sized percentile over B
+    * means. B=64-256 is standard; the corpus is scanned once. */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      idCol: String,
+      intCol: String,
+      b: Int = 64,
+      level: Double = 0.95,
+      salt: Long = 1717L): DataFrame = {
+    require(b >= 8 && b <= 4096, s"b out of range: $b")
+    require(level > 0 && level < 1, s"level out of range: $level")
+    // cumulative Poisson(1) thresholds scaled to 1e6 (k = 0..7; the
+    // tail beyond 7 has mass < 1e-7 and rounds into the last bucket)
+    val cum = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+    val u = pmod(mix64(col("__row") * 524287L + col("__b"), salt), lit(1000000L))
+    val w = cum.zipWithIndex.foldRight(lit(7L): Column) {
+      case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
+    }
+    val lo = (1.0 - level) / 2.0
+    // draws hash the STABLE row id — a partition-dependent id (e.g.
+    // monotonically_increasing_id) would change the bootstrap with the
+    // layout and be unreplayable by the oracle
+    val means = df
+      .select(col(intCol).cast("long").as("__x"),
+        col(idCol).cast("long").as("__row"))
+      .select(col("__x"), col("__row"),
+        explode(sequence(lit(0L), lit(b - 1L))).as("__b"))
+      .select(col("__b"), col("__x"), w.as("__w"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__w")).as("n_draws"),
+        sum(col("__w") * col("__x")).as("wsum"))
+      .where(col("n_draws") > 0)
+      .select(col("__b"),
+        (col("wsum").cast("double") / col("n_draws").cast("double")).as("m"))
+    means.agg(
+      count(lit(1)).as("n_resamples"),
+      round(percentile(col("m"), lit(0.5)), 6).as("median"),
+      round(percentile(col("m"), lit(lo)), 6).as("ci_lo"),
+      round(percentile(col("m"), lit(1.0 - lo)), 6).as("ci_hi"))
+  }
+
   /** Percentile winsorization of a numeric column: values outside the
     * [pLo, pHi] exact percentiles clamp to them — the standard defense
     * against sensor glitches and log corruption skewing normalization

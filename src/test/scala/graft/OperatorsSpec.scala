@@ -2509,6 +2509,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(eWhole == eMerged) // bit-identical, not just close
   }
 
+  test("bootstrap CI: identical under repartition, brackets the true mean") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(5000).select(col("id"), (col("id") % 100).as("x"))
+    val a = Curation.bootstrapMeanCI(df, "id", "x").collect().head
+    val b = Curation.bootstrapMeanCI(df.repartition(17), "id", "x").collect().head
+    assert(a == b) // draws hash the stable id — layout cannot move the CI
+    val (lo, hi) = (a.getDouble(2), a.getDouble(3))
+    assert(lo < 49.5 && 49.5 < hi && hi - lo < 5.0, s"[$lo, $hi]")
+  }
+
   test("winsorize: clamps tails, passes NULL through instead of fabricating hi") {
     val s = spark
     import s.implicits._
