@@ -251,6 +251,13 @@ object Examples {
         .select(col("event_id"), col("value")), "value")
       .where(col("value") =!= col("value_w")).show(3)
     TextOps.augmentDropout(docs, "doc_id", "text").show(2)
+    Curation.bootstrapMeanCI(
+      sources.Tables.readTable(spark, s"$sfDir/events.parquet")
+        .select(col("event_id"), round(col("value") * 100).cast("long").as("cents")),
+      "event_id", "cents").show()
+    Web.pageSignals(docs.select(col("doc_id"),
+      Web.syntheticPage(col("doc_id"), col("text")).as("html")), "doc_id", "html")
+      .where(col("noindex")).show(3)
 
     println("== 18. Table hygiene: upsert compaction, k-anonymity, hard negatives ==")
     val evLog = sources.Tables.readTable(spark, s"$sfDir/events.parquet")

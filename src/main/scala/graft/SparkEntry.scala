@@ -801,8 +801,10 @@ object SparkEntry {
     // stored digests; per-doc new-bytes accounting
     "q_cdc_incr" -> ((s, dir) => {
       val d = table(s, dir, "documents")
+      // batch ids NEGATED: cannot collide with any store id at any
+      // fixture size (the oracle's shared walk chain keys on doc_id)
       val batch = d.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"),
+        .select((-(col("doc_id") + 1L)).as("doc_id"),
           concat(lit("PREFIX-"), col("lang"), lit(" "), col("text")).as("text"))
       operators.Dedup.cdcIncrementalDedup(
           batch, d.select(col("doc_id"), col("text")), "doc_id", "text")
@@ -2874,12 +2876,14 @@ object SparkEntry {
     // bootstrap replica: same hash draws, same integer thresholds, same
     // exact-integer resample sums, quantile_cont over the 64 means
     "q_bootstrap" ->
-      s"""WITH xs AS (SELECT event_id AS rid, CAST(round(value*100) AS BIGINT) AS xv FROM events),
+      s"""WITH xs AS (SELECT event_id AS rid, CAST(round(value*100) AS BIGINT) AS xv FROM events
+        |   WHERE value IS NOT NULL AND event_id IS NOT NULL),
         | eb AS (SELECT rid, xv, CAST(unnest(range(64)) AS BIGINT) AS b FROM xs),
-        | hv AS (SELECT rid, xv, b,
-        |   ((CAST(rid AS HUGEINT) * 524287 + b) + 1717) % $M64 AS h0 FROM eb),
-        | ${mixStagesSql("hv", "rid, xv, b", "bs")},
-        | uw AS (SELECT xv, b, ((${signedSql("h")} % 1000000) + 1000000) % 1000000 AS u FROM bs3),
+        | hv AS (SELECT rid, xv, b, (CAST(rid AS HUGEINT) + 1717) % $M64 AS h0 FROM eb),
+        | ${mixStagesSql("hv", "rid, xv, b", "b1")},
+        | h2 AS (SELECT xv, b, (xor(h, CAST(b AS HUGEINT)) + 1718) % $M64 AS h0 FROM b13),
+        | ${mixStagesSql("h2", "xv, b", "b2")},
+        | uw AS (SELECT xv, b, ((${signedSql("h")} % 1000000) + 1000000) % 1000000 AS u FROM b23),
         | wv AS (SELECT b, xv, CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
         |   WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4
         |   WHEN u < 999406 THEN 5 WHEN u < 999917 THEN 6 ELSE 7 END AS w FROM uw),
@@ -2970,21 +2974,22 @@ object SparkEntry {
         | FROM dig d JOIN shr s USING (digest)
         | ORDER BY d.doc_id, d.chunk_idx""".stripMargin.replaceAll("\n", " ")),
 
-    // incremental storage dedup: shifted copies (id+100000, 'PREFIX-'
-    // prepended) are chunked alongside the store in ONE walk chain, then
-    // batch chunks LEFT-join the store's distinct digests — the shifted
-    // batch re-synchronizes and most bytes dedup
+    // incremental storage dedup: shifted copies (NEGATED ids — collision-
+    // free at any fixture size, 'PREFIX-' prepended) are chunked
+    // alongside the store in ONE walk chain, then batch chunks LEFT-join
+    // the store's distinct digests — the shifted batch re-synchronizes
+    // and most bytes dedup
     "q_cdc_incr" ->
       (cdcWalkSql(
         """SELECT doc_id, text, len(text) AS n FROM documents
-          | UNION ALL SELECT doc_id + 100000,
+          | UNION ALL SELECT -(doc_id + 1),
           |  'PREFIX-' || lang || ' ' || text AS text,
           |  len('PREFIX-' || lang || ' ' || text) AS n
           | FROM documents WHERE doc_id % 5 = 0""".stripMargin
           .replaceAll("\n", " ")) +
-      s""", st AS (SELECT DISTINCT digest FROM dig WHERE doc_id < 100000),
+      s""", st AS (SELECT DISTINCT digest FROM dig WHERE doc_id >= 0),
         | bt AS (SELECT d.doc_id, d.chunk_len, s.digest AS sd
-        |  FROM dig d LEFT JOIN st s USING (digest) WHERE d.doc_id >= 100000)
+        |  FROM dig d LEFT JOIN st s USING (digest) WHERE d.doc_id < 0)
         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(sum(CASE WHEN sd IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
         |  CAST(sum(chunk_len) AS BIGINT) AS bytes_total,

@@ -435,7 +435,12 @@ object Curation {
     // cumulative Poisson(1) thresholds scaled to 1e6 (k = 0..7; the
     // tail beyond 7 has mass < 1e-7 and rounds into the last bucket)
     val cum = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
-    val u = pmod(mix64(col("__row") * 524287L + col("__b"), salt), lit(1000000L))
+    // (row, b) combine via mix-xor-mix, NOT row*prime+b: the in-SQL
+    // multiply is an ANSI ARITHMETIC_OVERFLOW for snowflake-scale ids
+    // (the Curation-wide MixBucket lesson), and the kernels wrap mod 2^64
+    val u = pmod(
+      mix64(mix64(col("__row"), salt).bitwiseXOR(col("__b")), salt + 1L),
+      lit(1000000L))
     val w = cum.zipWithIndex.foldRight(lit(7L): Column) {
       case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
     }
@@ -443,7 +448,12 @@ object Curation {
     // draws hash the STABLE row id — a partition-dependent id (e.g.
     // monotonically_increasing_id) would change the bootstrap with the
     // layout and be unreplayable by the oracle
+    // NULL metric or id rows are EXCLUDED (the CI describes the observed
+    // values): leaving them in would count their weights in n_draws while
+    // sum skips the NULL products — a silently deflated mean — and a
+    // NULL id would fall through every threshold to a constant weight
     val means = df
+      .where(col(intCol).isNotNull && col(idCol).isNotNull)
       .select(col(intCol).cast("long").as("__x"),
         col(idCol).cast("long").as("__row"))
       .select(col("__x"), col("__row"),

@@ -721,8 +721,10 @@ object Dedup {
     * the novelty check is a digest-keyed LEFT join against the store's
     * distinct digest table (equi-join — AQE-splittable; near-uniform
     * digest keys), and the per-doc rollup is a map-side-combinable
-    * groupBy. The store never re-chunks — persist its digest table once
-    * and append each batch's new digests after ingest. */
+    * groupBy. This overload re-chunks `store` (fine for one-off
+    * audits); a production ingest loop persists the digest table once
+    * and calls [[cdcIncrementalDedupAgainstDigests]] per batch,
+    * appending the batch's new digests after ingest. */
   def cdcIncrementalDedup(
       batch: DataFrame,
       store: DataFrame,
@@ -730,9 +732,24 @@ object Dedup {
       textCol: String,
       maskBits: Int = 5,
       minLen: Int = 16,
+      maxLen: Int = 64): DataFrame =
+    cdcIncrementalDedupAgainstDigests(batch,
+      cdcChunks(store, idCol, textCol, maskBits, minLen, maxLen)
+        .select(col("digest")),
+      idCol, textCol, maskBits, minLen, maxLen)
+
+  /** [[cdcIncrementalDedup]] against a PERSISTED digest table (one
+    * `digest` column; duplicates tolerated) — the incremental form: the
+    * store is never re-read, only its digests join. */
+  def cdcIncrementalDedupAgainstDigests(
+      batch: DataFrame,
+      storedDigests: DataFrame,
+      idCol: String,
+      textCol: String,
+      maskBits: Int = 5,
+      minLen: Int = 16,
       maxLen: Int = 64): DataFrame = {
-    val stored = cdcChunks(store, idCol, textCol, maskBits, minLen, maxLen)
-      .select(col("digest")).distinct()
+    val stored = storedDigests.select(col("digest")).distinct()
       .withColumn("__stored", lit(1L))
     cdcChunks(batch, idCol, textCol, maskBits, minLen, maxLen)
       .join(stored, Seq("digest"), "left")

@@ -2509,6 +2509,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(eWhole == eMerged) // bit-identical, not just close
   }
 
+  test("bootstrap CI: snowflake-scale ids and NULL rows don't break the draws") {
+    val s = spark
+    import s.implicits._
+    // ids near Long.MaxValue: the draw hash must wrap, not ANSI-overflow
+    val big = (0 until 500).map(i =>
+      (Long.MaxValue - i * 1001L, Some((i % 100).toLong))) :+ (7L, None)
+    val r = Curation.bootstrapMeanCI(big.toDF("id", "x"), "id", "x")
+      .collect().head
+    assert(r.getLong(0) == 64L)
+    // the NULL metric row is excluded — CI still brackets the non-null mean
+    assert(r.getDouble(2) < 49.5 && 49.5 < r.getDouble(3), r)
+  }
+
   test("bootstrap CI: identical under repartition, brackets the true mean") {
     val s = spark
     import s.implicits._
