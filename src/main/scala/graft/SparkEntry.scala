@@ -21,6 +21,16 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     sources.Tables.readTable(spark, s"$dir/$name.parquet")
 
+  /** Recursive delete for the temp layouts some queries build (inverted
+    * index, shard dirs) — children before parents. */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverseIterator
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
   /** Synthesised nested-JSON column over events — gives the flat
     * `props` column ({"k": N}) richer structure (nested object, array,
     * strings) so every function is exercised on real data. Built with the
@@ -349,6 +359,20 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       operators.TextOps.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "join", "vector", "stream"), k = 25)),
+
+    // the same retrieval through the persisted inverted index: build the
+    // term-bucketed postings layout, query it with partition-pruned
+    // posting-list reads, reproduce q_bm25 bit-for-bit (shared oracle)
+    "q_bm25_indexed" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-invidx")
+      operators.TextOps.buildInvertedIndex(table(s, dir, "documents"),
+        "doc_id", "text", tmp.toString, termBuckets = 64)
+      val out = operators.TextOps.bm25TopKIndexed(s, tmp.toString,
+          Seq("spark", "join", "vector", "stream"), k = 25)
+        .localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
 
     "q_lang_stats" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -2098,6 +2122,35 @@ object SparkEntry {
       "q_stratified_salted" -> base("q_stratified"))
   }
 
+  /** BM25 oracle text shared by q_bm25 (scan path) and q_bm25_indexed
+    * (inverted-index path): both JVM paths compute the identical IEEE op
+    * sequence, so one replica pins both. */
+  private lazy val bm25OracleSql: String = {
+    val terms = Seq("spark", "join", "vector", "stream")
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(tk) - len(list_filter(tk, x -> x <> '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    // idf as ln(2N+2) − ln(2df+1): integer ln arguments are the one
+    // form where JVM Math.log and libm ln agree bit-for-bit (a
+    // fractional quotient argument diverges in the last ulp)
+    val contribs = terms.indices.map { i =>
+      s"(ln(CAST(n AS DOUBLE) * 2.0 + 2.0) - ln(CAST(df$i AS DOUBLE) * 2.0 + 1.0))" +
+        s" * (CAST(tf$i AS DOUBLE) * (1.2 + 1.0)) / " +
+        s"(CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / " +
+        s"(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+    }.mkString(" + ")
+    s"WITH tq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      s"tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfDefs FROM tq), " +
+      s"st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, " +
+      s"$dfDefs FROM tf), " +
+      s"sc AS (SELECT doc_id, $contribs AS score FROM tf CROSS JOIN st) " +
+      s"SELECT doc_id, score FROM sc WHERE score > 0.0 " +
+      s"ORDER BY score DESC, doc_id LIMIT 25"
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
     "q_filter_agg" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2390,31 +2443,10 @@ object SparkEntry {
     // one corpus-stats row (N, Σdl, df_t), then the IDENTICAL IEEE
     // arithmetic shape per term — unreduced literals like (1.2 + 1.0)
     // keep both engines computing the same float op sequence
-    "q_bm25" -> {
-      val terms = Seq("spark", "join", "vector", "stream")
-      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(tk) - len(list_filter(tk, x -> x <> '$t')) AS BIGINT) AS tf$i"
-      }.mkString(", ")
-      val dfDefs = terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
-        .mkString(", ")
-      // idf as ln(2N+2) − ln(2df+1): integer ln arguments are the one
-      // form where JVM Math.log and libm ln agree bit-for-bit (a
-      // fractional quotient argument diverges in the last ulp)
-      val contribs = terms.indices.map { i =>
-        s"(ln(CAST(n AS DOUBLE) * 2.0 + 2.0) - ln(CAST(df$i AS DOUBLE) * 2.0 + 1.0))" +
-          s" * (CAST(tf$i AS DOUBLE) * (1.2 + 1.0)) / " +
-          s"(CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / " +
-          s"(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))"
-      }.mkString(" + ")
-      s"WITH tq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-        s"tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfDefs FROM tq), " +
-        s"st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, " +
-        s"$dfDefs FROM tf), " +
-        s"sc AS (SELECT doc_id, $contribs AS score FROM tf CROSS JOIN st) " +
-        s"SELECT doc_id, score FROM sc WHERE score > 0.0 " +
-        s"ORDER BY score DESC, doc_id LIMIT 25"
-    },
+    "q_bm25" -> bm25OracleSql,
+    // the indexed path must reproduce the scan path bit-for-bit, so it
+    // shares the exact oracle text
+    "q_bm25_indexed" -> bm25OracleSql,
 
     "q_lang_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -775,6 +775,129 @@ object TextOps {
         (size(toks) - size(kept)).cast("long").as("n_dropped"))
   }
 
+  /** Persisted inverted-index layout for repeated keyword retrieval: the
+    * scale path [[bm25TopK]]'s scaladoc promises does not exist there.
+    * Two tables under `path`:
+    *
+    *  - `postings`: one row per (term, doc) — `(term, doc_id, dl, tf)` —
+    *    PARTITIONED BY `tb = pmod(splitmix64(fnv1a64(term)), termBuckets)`
+    *    and sorted by `(term, doc_id)` within each partition file, so a
+    *    term lookup prunes to ONE directory (a physical partition column,
+    *    not a derived expression — the knnJoinIvf lesson) and the term
+    *    equality predicate row-group-skips inside it via min/max stats.
+    *  - `meta`: one row `(n, sdl, term_buckets)` — the corpus stats
+    *    [[bm25TopK]] recomputes per query with a full scan.
+    *
+    * `dl` uses the same `size(tokens(text))` convention as [[bm25TopK]]
+    * (NULL text → NULL, skipped by the sum) and `n` counts ALL docs, so
+    * `meta.(n, sdl)` equal the scan-based stats exactly and indexed
+    * scores replay bit-for-bit.
+    *
+    * Scale shape: build = one explode + one (term, doc) partial-agg
+    * shuffle + one write clustered by bucket — O(corpus tokens) once,
+    * amortized over every subsequent query; Zipf-head terms spread over
+    * doc-id file splits (a posting list is splittable — it is rows, not
+    * a blob). Query cost then scales with the MATCHED posting lists,
+    * not the corpus ([[bm25TopKIndexed]]). */
+  def buildInvertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      termBuckets: Int = 64): Unit = {
+    require(termBuckets > 0, s"termBuckets must be positive, got $termBuckets")
+    val tk = tokens(col(textCol))
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      tk.as("__tk"), size(tk).cast("long").as("dl"))
+    docs.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("sdl"))
+      .withColumn("term_buckets", lit(termBuckets))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    docs.select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("tb",
+        pmod(graft.operators.mix64(graft.operators.fnv1a64(col("term")), 0L),
+          lit(termBuckets.toLong)).cast("int"))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+  }
+
+  /** Driver-side replica of the index's bucket assignment (the same
+    * fnv1a64 → splitmix64 kernels, evaluated on a literal), so the query
+    * can name the partition directories to prune to. */
+  private[graft] def termBucket(term: String, buckets: Int): Int = {
+    val h = Mix64(Fnv1a64(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term))), 0L)
+      .eval(null).asInstanceOf[Long]
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /** BM25 top-k over a [[buildInvertedIndex]] layout: reads ONLY the
+    * query terms' posting lists — partition pruning on `tb` (literal
+    * bucket set computed driver-side with the same hash kernels) plus a
+    * pushed `term IN (...)` row-group filter — then scores candidates
+    * (docs containing ≥ 1 query term; every other doc scores exactly 0
+    * and is filtered by both paths) with the IDENTICAL IEEE op sequence
+    * as [[bm25TopK]]: per-term contributions pivot into fixed term-index
+    * slots (absent term → the same +0.0 the scan path computes for
+    * tf = 0) and fold in term order, idf as ln(2N+2) − ln(2df+1) with
+    * integer ln arguments. Equality with [[bm25TopK]] is spec-pinned.
+    *
+    * Scale shape: ZERO corpus scans — cost is the matched posting lists
+    * (each splittable across executors) + a driver-row meta read + a
+    * broadcast of T df-counts + TakeOrdered(k). At 100 TB the scan path
+    * pays two full passes per query; this pays the index build once. */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"queryTerms must be distinct, got $queryTerms")
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val n = meta.getAs[Long]("n")
+    val sdl = meta.getAs[Long]("sdl")
+    val buckets = meta.getAs[Int]("term_buckets")
+    val tbs = queryTerms.map(termBucket(_, buckets)).distinct
+    val posts = spark.read.parquet(s"$path/postings")
+      .where(col("tb").isin(tbs: _*) && col("term").isin(queryTerms: _*))
+    val dfs = posts.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val ti = queryTerms.zipWithIndex.foldLeft(lit(-1)) { case (acc, (t, i)) =>
+      when(col("term") === lit(t), lit(i)).otherwise(acc)
+    }
+    val pivoted = posts.join(broadcast(dfs), Seq("term"))
+      .select(col("doc_id"), col("dl"), ti.as("__ti"), col("tf"), col("df"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(
+        max(when(col("__ti") === 0, struct(col("tf"), col("df")))).as("__t0"),
+        queryTerms.indices.drop(1).map(i =>
+          max(when(col("__ti") === i, struct(col("tf"), col("df"))))
+            .as(s"__t$i")): _*)
+    val nD = lit(n).cast("double")
+    val avgdl = lit(sdl).cast("double") / nD
+    val dlD = col("dl").cast("double")
+    def contrib(i: Int): Column = {
+      val s = col(s"__t$i")
+      val tf = s.getField("tf").cast("double")
+      val dfT = s.getField("df").cast("double")
+      val idf = log(nD * lit(2.0) + lit(2.0)) - log(dfT * lit(2.0) + lit(1.0))
+      // absent term: the scan path's tf = 0 contribution is exactly +0.0
+      when(s.isNull, lit(0.0)).otherwise(
+        idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / avgdl)))
+    }
+    pivoted.select(col("doc_id"),
+        queryTerms.indices.map(contrib).reduce(_ + _).as("score"))
+      .where(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

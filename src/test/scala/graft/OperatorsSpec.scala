@@ -5,6 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 /** Tests for the training-pipeline operators: dedup family, similarity
   * search, text analysis, multimodal plumbing. */
 class OperatorsSpec extends AnyFunSuite {
@@ -662,6 +664,71 @@ class OperatorsSpec extends AnyFunSuite {
         "doc_id", "text", terms, k = 100)
       .collect().map(_.getLong(0)).toSet
     assert(all == Set(1L, 2L, 4L, 5L, 6L, 7L))
+  }
+
+  test("bm25TopKIndexed: bit-identical to the scan path; index read is pruned") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "spark join join stream alpha beta"),
+      (2L, "vector vector vector gamma"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "spark spark spark spark join vector stream stream"),
+      (5L, "stream"),
+      (6L, ""), // single empty token
+      (7L, null.asInstanceOf[String]), // dl = -1, no postings
+      (8L, "join join join join join alpha"))
+    val docs = corpus.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-invidx-test")
+    try {
+      TextOps.buildInvertedIndex(docs, "doc_id", "text", tmp.toString,
+        termBuckets = 8)
+      // meta replicates the scan path's stats: NULL text → NULL dl,
+      // skipped by the sum (not −1 — size(NULL) is NULL in Spark 4)
+      val meta = s.read.parquet(s"$tmp/meta").collect()(0)
+      assert(meta.getAs[Long]("n") == 8L)
+      assert(meta.getAs[Long]("sdl") ==
+        corpus.flatMap { case (_, t) =>
+          Option(t).map(_.split(" ", -1).length.toLong) }.sum)
+      for (terms <- Seq(Seq("spark", "join", "vector", "stream"),
+          Seq("absentterm", "spark"), Seq("alpha"), Seq("absentterm"))) {
+        val scan = TextOps.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+          .collect().map(r => (r.getLong(0),
+            java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+        val idx = TextOps.bm25TopKIndexed(s, tmp.toString, terms, k = 10)
+          .collect().map(r => (r.getLong(0),
+            java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+        assert(idx == scan, s"terms=$terms: indexed $idx vs scan $scan")
+      }
+      // plan shape: the postings scan carries a tb partition filter
+      // (directory pruning) and a pushed term filter (row-group skipping);
+      // the raw documents table is never scanned
+      val plan = TextOps.bm25TopKIndexed(s, tmp.toString, Seq("spark"), 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+        s"no tb partition filter:\n$plan")
+      assert(plan.contains("In(term") || plan.contains("EqualTo(term"),
+        s"term filter not pushed:\n$plan")
+      // only the one matching bucket directory is actually read
+      val tb = TextOps.termBucket("spark", 8)
+      val files = s.read.parquet(s"$tmp/postings")
+        .where(col("tb") === tb && col("term") === "spark")
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.sum
+      val allFiles = s.read.parquet(s"$tmp/postings")
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.sum
+      assert(files < allFiles, s"pruning read $files of $allFiles files")
+    } finally {
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   test("real AVI RLE8 decode: inter-frame deltas match the carry formula") {
