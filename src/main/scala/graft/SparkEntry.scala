@@ -847,6 +847,38 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"), p = 8)
         .orderBy(col("col_name"))),
 
+    // KMV bottom-k sketch: per-source distinct-token estimate from the
+    // 128 smallest 63-bit token hashes — the order-statistics sketch
+    // (HLL estimates cardinality; KMV also supports overlap below)
+    "q_kmv" -> ((s, dir) =>
+      operators.Curation.kmvDistinct(
+          operators.Curation.kmvSketch(
+            table(s, dir, "documents").select(col("source"),
+              explode(operators.TextOps.tokens(col("text"))).as("tok")),
+            "source", "tok", k = 128), k = 128)
+        .orderBy(col("grp"))),
+
+    // pairwise cross-source vocabulary overlap from the SAME sketches:
+    // J ≈ |bottom_k(A∪B) ∩ sk(A) ∩ sk(B)| / kk — runs on sketch rows
+    // only, so after one corpus pass the pairwise stage is free
+    "q_kmv_jaccard" -> ((s, dir) =>
+      operators.Curation.kmvJaccard(
+          table(s, dir, "documents").select(col("source"),
+            explode(operators.TextOps.tokens(col("text"))).as("tok")),
+          "source", "tok", k = 128)
+        .orderBy(col("ga"), col("gb"))),
+
+    // deterministic bottom-k-by-id-hash row sample → per-type value
+    // quantiles; integer rank arithmetic, so the oracle replays the
+    // sample AND the order statistics exactly
+    "q_quantiles" -> ((s, dir) =>
+      operators.Curation.sampleQuantiles(
+          table(s, dir, "events")
+            .select(col("event_type"), col("event_id"), col("value")),
+          "event_type", "event_id", "value",
+          k = 256, percents = Seq(10, 50, 90, 99))
+        .orderBy(col("grp"), col("p"))),
+
     // STREAMING upsert view: the same max(struct) reduction as a
     // streaming aggregation — per-key state is one packed struct, the
     // snapshot equals the batch compaction (shares q_upsert's oracle)
@@ -2151,6 +2183,18 @@ object SparkEntry {
       s"ORDER BY score DESC, doc_id LIMIT 25"
   }
 
+  /** Shared KMV replica: per-source bottom-128 DISTINCT 63-bit token
+    * hashes as CTEs `toks → hv → km0..3 → hh → srk → sk` — the distinct
+    * runs AFTER the `// 2` shift, matching the JVM's distinct on the
+    * shifted hash. */
+  private def kmvSketchCtes: String =
+    "toks AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS v FROM documents), " +
+      s"hv AS (SELECT grp, v, ${fnvSql("v")} AS h0 FROM toks), " +
+      mixStagesSql("hv", "grp, v", "km") + ", " +
+      "hh AS (SELECT DISTINCT grp, h // 2 AS h FROM km3), " +
+      "srk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hh), " +
+      "sk AS (SELECT grp, CAST(h AS BIGINT) AS h FROM srk WHERE rk <= 128)"
+
   private def oracleSqlBase: Map[String, String] = Map(
     "q_filter_agg" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2873,6 +2917,51 @@ object SparkEntry {
     // parses bare 1.079 as DECIMAL — different arithmetic), integer-ln
     // linear-counting arm — estimate compares bit-exactly, no rounding
     "q_hll" -> hllOracleSql(includeExact = true),
+
+    // KMV distinct estimate: replay the 63-bit hash (fnv → splitmix →
+    // // 2), distinct, bottom-128 per source, then the Beyer estimator
+    // with every float operand exactly representable
+    "q_kmv" ->
+      (s"WITH $kmvSketchCtes, " +
+        "ag AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "CAST(max(h) AS BIGINT) AS h_k FROM sk GROUP BY grp) " +
+        "SELECT grp, n_kept, h_k, CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE) " +
+        "ELSE CAST(127 AS DOUBLE) * CAST(9223372036854775808 AS DOUBLE) / CAST(h_k AS DOUBLE) END AS estimate " +
+        "FROM ag ORDER BY grp"),
+
+    // pairwise Jaccard from the same sketches: union bottom-k via the
+    // KMV closure property, exact integer ratio
+    "q_kmv_jaccard" ->
+      (s"WITH $kmvSketchCtes, " +
+        "gs AS (SELECT DISTINCT grp FROM sk), " +
+        "pr AS (SELECT a.grp AS ga, b.grp AS gb FROM gs a JOIN gs b ON a.grp < b.grp), " +
+        "mg AS (SELECT pr.ga, pr.gb, s.h, " +
+        "max(CASE WHEN s.grp = pr.ga THEN 1 ELSE 0 END) AS in_a, " +
+        "max(CASE WHEN s.grp = pr.gb THEN 1 ELSE 0 END) AS in_b " +
+        "FROM pr JOIN sk s ON s.grp = pr.ga OR s.grp = pr.gb " +
+        "GROUP BY pr.ga, pr.gb, s.h), " +
+        "mr AS (SELECT ga, gb, in_a, in_b, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk FROM mg), " +
+        "fin AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS kk, " +
+        "CAST(sum(in_a * in_b) AS BIGINT) AS n_inter FROM mr WHERE rk <= 128 GROUP BY ga, gb) " +
+        "SELECT ga, gb, kk, n_inter, CAST(n_inter AS DOUBLE) / CAST(kk AS DOUBLE) AS jaccard_est " +
+        "FROM fin ORDER BY ga, gb"),
+
+    // sample quantiles: bottom-256 rows by splitmix64(event_id) per
+    // type, then integer-rank order statistics over the sample
+    "q_quantiles" ->
+      ("WITH ev AS (SELECT event_type AS grp, event_id AS id, value AS v " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "hv AS (SELECT grp, id, v, CAST(id AS HUGEINT) AS h0 FROM ev), " +
+        mixStagesSql("hv", "grp, id, v", "qm") + ", " +
+        "sh AS (SELECT grp, id, v, h // 2 AS h FROM qm3), " +
+        "sm AS (SELECT grp, id, v, h, row_number() OVER (PARTITION BY grp ORDER BY h, id) AS sr FROM sh), " +
+        "samp AS (SELECT grp, v, h FROM sm WHERE sr <= 256), " +
+        "cnt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_sample FROM samp GROUP BY grp), " +
+        "pct AS (SELECT grp, n_sample, p FROM cnt CROSS JOIN (VALUES (CAST(10 AS BIGINT)), (50), (90), (99)) pc(p)), " +
+        "wnt AS (SELECT grp, n_sample, p, (p * n_sample + 99) // 100 AS rank_p FROM pct), " +
+        "rkd AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v, h) AS vr FROM samp) " +
+        "SELECT w.grp, w.p, w.n_sample, r.v AS est FROM wnt w " +
+        "JOIN rkd r ON r.grp = w.grp AND r.vr = w.rank_p ORDER BY w.grp, w.p"),
 
     // streaming monitor: identical registers and estimate, no exact join
     "q_stream_hll" -> hllOracleSql(includeExact = false),

@@ -356,6 +356,163 @@ object Curation {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** KMV (k-minimum-values / bottom-k) distinct sketch [Bar-Yossef et
+    * al. 2002; Beyer et al. 2007]: per group, the `k` smallest DISTINCT
+    * hashes of the value. The order-statistics member of the sketch tier
+    * — unlike [[hllRegisters]] it also supports set-overlap estimation
+    * ([[kmvJaccard]]) because the retained hashes identify elements.
+    * Fully deterministic and MERGEABLE: the union's sketch is the
+    * bottom-k of the concatenated sketches, so shard sketches combine
+    * exactly like HLL registers.
+    *
+    * Hashes are 63-bit (`splitmix64(fnv1a64(v)) >>> 1`): non-negative
+    * longs order identically under signed and unsigned comparison and
+    * convert to DOUBLE with the same rounding in both engines, which
+    * keeps the [[kmvDistinct]] estimate replayable bit-for-bit.
+    *
+    * Scale shape: the distinct pre-aggregation is a partial-agg groupBy
+    * on (group, hash) — Zipf-heavy duplicates collapse map-side — and
+    * the bottom-k rank is a per-group window sort that spills; output is
+    * ≤ k rows per group. Returns `(grp, h, rk)` with rk 1-based. */
+  def kmvSketch(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    val h = shiftrightunsigned(
+      mix64(fnv1a64(col(valueCol).cast("string")), 0L), 1)
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), h.as("h"))
+      .distinct()
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: when the sketch
+    * saturates (kept = k), est = (k−1)·2^63 / h_k with h_k the k-th
+    * smallest hash [Beyer et al. 2007's unbiased form]; a non-saturated
+    * sketch SAW every distinct hash, so the count is exact. Every float
+    * op is a division/multiplication of exactly-representable values
+    * (2^63, k−1, a 63-bit integer), so the oracle replays it
+    * bit-for-bit. Returns `(grp, n_kept, h_k, estimate)`. */
+  def kmvDistinct(sketch: DataFrame, k: Int = 128): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    sketch.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_kept"), max(col("h")).as("h_k"))
+      .select(col("grp"), col("n_kept"), col("h_k"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(9.223372036854775808e18) /
+            col("h_k").cast("double"))
+          .as("estimate"))
+  }
+
+  /** Pairwise set-overlap (Jaccard) estimate between every two groups
+    * from their KMV sketches: J ≈ |bottom_k(A∪B) ∩ sk(A) ∩ sk(B)| / kk,
+    * where bottom_k(A∪B) is derivable exactly from the two sketches
+    * (the KMV closure property) and kk = |bottom_k(A∪B)| ≤ k. The
+    * cross-SOURCE contamination/overlap probe: estimates shared content
+    * between corpus slices without comparing documents.
+    *
+    * Scale shape: runs entirely on sketch rows — G·k rows for G groups —
+    * so after the one sketch pass over the data, the pairwise stage is
+    * broadcast-sized no matter the corpus. The estimate is an exact
+    * integer ratio. Returns `(ga, gb, kk, n_inter, jaccard_est)` for
+    * ga < gb. */
+  def kmvJaccard(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sk = kmvSketch(df, groupCol, valueCol, k).select(col("grp"), col("h"))
+    val groups = sk.select(col("grp")).distinct()
+    val pairs = groups.select(col("grp").as("ga"))
+      .crossJoin(groups.select(col("grp").as("gb")))
+      .where(col("ga") < col("gb"))
+    val left = pairs.join(sk.withColumnRenamed("grp", "ga"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val right = pairs.join(sk.withColumnRenamed("grp", "gb"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    left.union(right)
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).cast("long").as("kk"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_inter"))
+      .select(col("ga"), col("gb"), col("kk"), col("n_inter"),
+        (col("n_inter").cast("double") / col("kk").cast("double"))
+          .as("jaccard_est"))
+  }
+
+  /** Deterministic bottom-k-by-id-hash row sample with per-group
+    * quantile estimates — the mergeable-quantile member of the sketch
+    * tier. Unlike [[kmvSketch]] (distinct VALUES), this samples ROWS
+    * uniformly (hash of the unique id, not the value), so the sample
+    * reflects the data distribution and its order statistics estimate
+    * the true quantiles; two shards' samples merge by re-taking the k
+    * smallest id-hashes. approx_percentile gives one-shot quantiles
+    * cheaper, but its state is not mergeable across separately-computed
+    * shards and its result is not replayable cross-engine.
+    *
+    * For each percent p, est(p) = the ceil(p·s/100)-th smallest sample
+    * value (s = sample size) — pure integer rank arithmetic, and the
+    * value at a rank is tie-order-independent, so the oracle replays it
+    * exactly. NULL values are excluded (a quantile of NULL is
+    * meaningless); `idCol` must be unique and integral.
+    *
+    * Scale shape: one narrow scan + one per-group window sort of ≤ data
+    * (spills, AQE-splittable), sample is ≤ k rows per group; the rank
+    * join runs on sample rows only. Returns `(grp, p, n_sample, est)`. */
+  def sampleQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      k: Int = 256,
+      percents: Seq[Int] = Seq(10, 50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100], got $percents")
+    require(percents.distinct.size == percents.size,
+      s"percents must be distinct, got $percents")
+    val h = shiftrightunsigned(mix64(col(idCol).cast("long"), 0L), 1)
+    // id breaks (astronomically unlikely) hash ties so the sampled ROW
+    // set is deterministic; the rank-r VALUE below is tie-independent
+    val sample = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), h.as("h"),
+        col(idCol).cast("long").as("__id"), col(valueCol).as("v"))
+      .withColumn("sr", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"), col("__id"))))
+      .where(col("sr") <= k)
+    val ranked = sample.withColumn("vr",
+      row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("h"))))
+    val want = sample.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("n_sample"))
+      .select(col("grp"), col("n_sample"),
+        explode(array(percents.map(p => lit(p.toLong)): _*)).as("p"))
+      // integer ceil(p·s/100); ≥ 1 whenever s ≥ 1
+      .withColumn("rank_p",
+        (col("p") * col("n_sample") + lit(99L) - pmod(
+          col("p") * col("n_sample") + lit(99L), lit(100L))) / lit(100L))
+      .withColumn("rank_p", col("rank_p").cast("long"))
+    // rename before the self-join: want and ranked share sample's lineage
+    want.join(
+        ranked.select(col("grp").as("__rg"), col("vr"), col("v")),
+        col("grp") === col("__rg") && col("rank_p") === col("vr"))
+      .select(col("grp"), col("p"), col("n_sample"), col("v").as("est"))
+  }
+
   /** k-anonymity screen over quasi-identifier columns [Sweeney 2002]:
     * a row is safe only if at least `k` rows share its full
     * quasi-identifier combination — rare combinations are the ones that

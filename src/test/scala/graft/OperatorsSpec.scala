@@ -666,6 +666,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == Set(1L, 2L, 4L, 5L, 6L, 7L))
   }
 
+  test("KMV sketch: bottom-k hashes, distinct estimate, pairwise Jaccard") {
+    val s = spark
+    import s.implicits._
+    def h63(v: String): Long =
+      HashKernelsAccess.mix(HashKernelsAccess.fnv1a(v)) >>> 1
+    // two sources sharing tokens 150..449 of each's 450; one duplicate row
+    val rows = (0 until 450).map(i => ("a", s"tok$i")) ++
+      (150 until 600).map(i => ("b", s"tok$i")) ++ Seq(("a", "tok5"))
+    val df = rows.toDF("src", "v")
+    val k = 32
+    val model = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).distinct.map(h63).sorted.take(k)
+    }
+    val sk = Curation.kmvSketch(df, "src", "v", k).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    assert(sk == model.map { case (g, hs) => g -> hs.toSeq }, "sketch != model")
+    // saturated estimate: the Beyer et al. form, computed independently
+    val est = Curation.kmvDistinct(Curation.kmvSketch(df, "src", "v", k), k)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for ((g, hs) <- model) {
+      val (nk, hk, e) = est(g)
+      assert(nk == k && hk == hs.last)
+      assert(java.lang.Double.doubleToLongBits(e) ==
+        java.lang.Double.doubleToLongBits((k - 1).toDouble * 9.223372036854775808e18 / hs.last.toDouble))
+      assert(math.abs(e - 450.0) / 450.0 < 0.5, s"estimate $e far from 450")
+    }
+    // non-saturated sketch counts exactly
+    val exact = Curation.kmvDistinct(Curation.kmvSketch(df, "src", "v", 1024), 1024)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(exact == Map("a" -> 450.0, "b" -> 450.0), exact.toString)
+    // Jaccard: replay the estimator on the model sketches; true J = 300/750
+    val uni = (model("a") ++ model("b")).distinct.sorted.take(k)
+    val expInter = uni.count(h => model("a").contains(h) && model("b").contains(h))
+    val jac = Curation.kmvJaccard(df, "src", "v", k).collect()
+    assert(jac.length == 1)
+    val r = jac.head
+    assert((r.getString(0), r.getString(1)) == ("a", "b"))
+    assert(r.getLong(2) == uni.size && r.getLong(3) == expInter.toLong)
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+      java.lang.Double.doubleToLongBits(expInter.toDouble / uni.size.toDouble))
+    assert(math.abs(r.getDouble(4) - 300.0 / 750.0) < 0.25)
+  }
+
+  test("sampleQuantiles: exact order statistics when unsaturated; deterministic sample") {
+    val s = spark
+    import s.implicits._
+    val data = (1L to 100L).map(i => ("g", i, Some((i * 7 % 101).toDouble))) ++
+      Seq(("g", 101L, Option.empty[Double])) // NULL value excluded
+    val df = data.toDF("src", "id", "v")
+    // k ≥ n: the sample IS the data, so est(p) = the ceil(p·100/100)-th
+    // = p-th smallest value exactly
+    val sorted = (1L to 100L).map(i => (i * 7 % 101).toDouble).sorted
+    val got = Curation.sampleQuantiles(df, "src", "id", "v",
+        k = 1000, percents = Seq(1, 50, 99, 100))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(1L -> (100L, sorted(0)), 50L -> (100L, sorted(49)),
+      99L -> (100L, sorted(98)), 100L -> (100L, sorted(99))), got.toString)
+    // k < n: sample = rows with the 16 smallest id-hashes (model replay)
+    val k = 16
+    val sampleIds = (1L to 100L).sortBy(i => HashKernelsAccess.mix(i) >>> 1).take(k)
+    val sVals = sampleIds.map(i => (i * 7 % 101).toDouble).sorted
+    val got2 = Curation.sampleQuantiles(df, "src", "id", "v",
+        k = k, percents = Seq(50))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got2.toSeq == Seq((50L, k.toLong, sVals((50 * k + 99) / 100 - 1))), got2.mkString)
+  }
+
   test("bm25TopKIndexed: bit-identical to the scan path; index read is pruned") {
     val s = spark
     import s.implicits._
