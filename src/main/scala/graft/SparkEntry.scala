@@ -1243,6 +1243,16 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // STREAMING sessionization: watermark-held per-row session labels
+    // with a numbering carry across micro-batches; the bounded replay
+    // must equal batch sessionize exactly (q_sessionize's oracle)
+    "q_stream_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.sessionizeToBatch(s, s"$dir/events.parquet",
+          gap = 3600000000L)
+        .orderBy(col("event_id"))
+    }),
+
     // streaming decontamination screen: the batch-built Bloom filter is
     // a plan literal, so the streamed corpus runs the same stateless
     // fused kernel; bounded replay == batch (shared oracle text)
@@ -2149,6 +2159,7 @@ object SparkEntry {
       "q_stream_asof" -> base("q_asof_join"),
       "q_stream_asof_state" -> base("q_asof_join"),
       "q_stream_asof_et" -> base("q_asof_join"),
+      "q_stream_sessionize" -> base("q_sessionize"),
       "q_stream_bloom" -> base("q_bloom_decontam"),
       "q_knn_batched" -> base("q_knn_join"),
       "q_stratified_salted" -> base("q_stratified"))

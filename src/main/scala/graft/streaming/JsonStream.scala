@@ -714,6 +714,140 @@ object JsonStream {
     }
   }
 
+  case class SessTaggedT(
+      event_id: Long, ts_us: Long, user_id: Long,
+      event_time: java.sql.Timestamp)
+  /** Sessionization state: events awaiting the watermark as (ts, id),
+    * plus the numbering carry — the last finalized event's time and
+    * session index (`hasCarry` false before any finalization). */
+  case class SessState(
+      pending: List[(Long, Long)], lastTs: Long, lastIdx: Long,
+      hasCarry: Boolean)
+  case class SessionRow(
+      event_id: Long, ts_us: Long, user_id: Long, session_idx: Long)
+
+  /** Watermark-correct STREAMING sessionization with per-row labels —
+    * the streaming face of [[graft.operators.Joins.sessionize]], same
+    * inclusive boundary rule (diff <= gap joins the session) and the
+    * same (ts, id) tie order. A row's session index depends on every
+    * earlier row of its key, so a row finalizes only once the watermark
+    * passes its event time — no earlier row can still arrive (the
+    * engine drops it as late) — and the numbering continues across
+    * micro-batches through the carry.
+    *
+    * Spark's native streaming `session_window` aggregate produces
+    * per-SESSION rows; like the batch operator's scaladoc argues, the
+    * per-row labeling this serves (dedup keys, feature joins) cannot be
+    * recovered from it without a second join. State per key is the
+    * pending rows above the watermark plus TWO longs of carry; pending
+    * drains on watermark advance via EventTimeTimeout even in batches
+    * with no rows for the key. The carry is retained for idle keys by
+    * design — any future event must continue the key's numbering, and
+    * it is O(1) per key (unlike the as-of's right buffer there is
+    * nothing further to compress). */
+  def sessionizeEventTime(
+      spark: SparkSession,
+      events: DataFrame,
+      gap: Long,
+      delay: String = "10 seconds"): Dataset[SessionRow] = {
+    import spark.implicits._
+    val tagged = events
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .withWatermark("event_time", delay)
+      .as[SessTaggedT]
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[SessTaggedT], state: GroupState[SessState]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // drop sub-watermark arrivals here as well as in the engine's
+          // late filter: numbering them now would use a carry that
+          // already advanced past them
+          val batch = rows.toVector.filter(_.ts_us >= wmUs)
+          val prev = state.getOption.getOrElse(
+            SessState(Nil, Long.MinValue, -1L, hasCarry = false))
+          val pendingAll = prev.pending ++ batch.map(x => (x.ts_us, x.event_id))
+          // finalize strictly below the watermark (a row AT wm is still
+          // accepted by the engine, so its predecessors aren't settled)
+          val (readyU, still) = pendingAll.partition(_._1 < wmUs)
+          val ready = readyU.sorted
+          var lastTs = prev.lastTs
+          var lastIdx = prev.lastIdx
+          var carry = prev.hasCarry
+          val out = ready.map { case (ts, id) =>
+            val idx =
+              if (!carry) 0L
+              else if (ts - lastTs > gap) lastIdx + 1L
+              else lastIdx
+            lastTs = ts; lastIdx = idx; carry = true
+            SessionRow(id, ts, key, idx)
+          }
+          if (still.isEmpty && !carry) state.remove()
+          else {
+            state.update(SessState(still, lastTs, lastIdx, carry))
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(still.map(_._1).min / 1000L + 1L)
+          }
+          out.iterator
+        })
+  }
+
+  /** Bounded replay of the streaming sessionization (q_stream_sessionize
+    * verify surface): same watermark-pusher trick as
+    * [[asofStatefulEventTimeToBatch]] — one far-future event for
+    * user_id = −1 drives the final watermark past every real row, so
+    * pending state drains and the output equals batch
+    * [[graft.operators.Joins.sessionize]] exactly (q_sessionize's
+    * oracle, shared verbatim; the pusher never emits — it stays pending
+    * — and is filtered by id anyway). */
+  def sessionizeToBatch(
+      spark: SparkSession, path: String, gap: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val p = java.nio.file.Paths.get(path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    if (java.nio.file.Files.isRegularFile(p))
+      java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+    else
+      new java.io.File(path).listFiles().filter(_.isFile).foreach(f =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
+    try {
+      val raw = spark.read.parquet(dir.toString)
+      val batchDf = graft.sources.Tables.tsToNanos(raw)
+      val maxRow = batchDf.agg(max(col("ts"))).head()
+      if (maxRow.isNullAt(0)) {
+        import spark.implicits._
+        return Seq.empty[SessionRow].toDS().toDF()
+      }
+      val maxTs = maxRow.getLong(0)
+      raw.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts",
+          graft.sources.Tables.tsLiteral(raw.schema("ts").dataType,
+            maxTs + 3600L * 1000000000L))
+        .withColumn("user_id", lit(-1L))
+        .write.mode("append").parquet(dir.toString)
+      val out = sessionizeEventTime(spark,
+        readEvents(spark, dir.toString).drop("event_ts"), gap, delay = "1 second")
+      val sink = s"graft_stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.toDF().writeStream
+        .format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = spark.table(sink).where(col("event_id") >= 0)
+        .localCheckpoint(true)
+      spark.catalog.dropTempView(sink)
+      result
+    } finally {
+      val d = new java.io.File(dir.toString)
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)
 
   /** Custom streaming state: running per-user event count and k-sum via

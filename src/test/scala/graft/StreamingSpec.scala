@@ -215,6 +215,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: late rows renumber correctly, carry survives idle drains") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id")
+    val sink = "sess_et_test"
+    val gapUs = 2000000L // 2 s
+    val q = JsonStream.sessionizeEventTime(s, events, gapUs, delay = "5 seconds")
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // batch 1 (ts in ns): user 1 at 10 s and 11 s; watermark still 0
+      ms.addData((1L, 10000000000L, 1L), (2L, 11000000000L, 1L))
+      q.processAllAvailable()
+      assert(s.table(sink).count() == 0, "nothing finalizes before the watermark")
+      // batch 2: a LATE row at 7 s (watermark is 6 s → accepted) plus a
+      // pusher at 30 s for user 2. Watermark → 25 s; user 1 drains in
+      // event-time order: 7 s opens session 0, 10 s is > gap away →
+      // session 1, 11 s joins it.
+      ms.addData((3L, 7000000000L, 1L), (9L, 30000000000L, 2L))
+      q.processAllAvailable()
+      val got1 = s.table(sink).orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(got1 == Seq((1L, 1L), (2L, 1L), (3L, 0L)), got1.mkString(","))
+      // batch 3: user 1 returns at 26 s after its pending fully drained —
+      // the carry must continue the numbering (session 2, not 0); the
+      // 50 s pusher also drains user 2's 30 s row as its session 0
+      ms.addData((4L, 26000000000L, 1L), (10L, 50000000000L, 2L))
+      q.processAllAvailable()
+      val got2 = s.table(sink).orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      assert(got2 == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L),
+        (4L, 1L, 2L), (9L, 2L, 0L)), got2.mkString(","))
+      // the emitted labels equal batch sessionize over the same rows
+      val batch = Seq((1L, 10000000L, 1L), (2L, 11000000L, 1L),
+        (3L, 7000000L, 1L), (4L, 26000000L, 1L), (9L, 30000000L, 2L))
+        .toDF("event_id", "ts_us", "user_id")
+      val exp = graft.operators.Joins.sessionize(batch, "user_id", "ts_us", "event_id", gapUs)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+      assert(got2 == exp, s"stream $got2 vs batch $exp")
+    } finally q.stop()
+  }
+
   test("stateful as-of pruning: monotonic horizon, out-of-order lefts dropped not mis-matched") {
     val s = spark
     import s.implicits._
