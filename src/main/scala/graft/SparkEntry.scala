@@ -50,37 +50,54 @@ object SparkEntry {
 
   /** DuckDB replica of [[operators.Web.syntheticUrl]] over documents —
     * same searched-CASE order as the Spark `when` chain. */
-  private val urlGenSql: String =
-    """SELECT doc_id,
-      | CASE doc_id%3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END || '://' ||
-      | CASE doc_id%4 WHEN 0 THEN 'WWW.News-'||CAST(doc_id%7 AS VARCHAR)||'.Example.COM'
-      |  WHEN 1 THEN 'Blog'||CAST(doc_id%5 AS VARCHAR)||'.example.co.uk'
-      |  WHEN 2 THEN 'cdn'||CAST(doc_id%6 AS VARCHAR)||'.site'||CAST(doc_id%3 AS VARCHAR)||'.ORG'
+  /** [[operators.Web.syntheticUrl]] replica for an arbitrary id
+    * expression (the link-graph fixture feeds transformed ids). */
+  private def urlGenExprSql(id: String, lang: String): String =
+    s"""CASE ($id)%3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END || '://' ||
+      | CASE ($id)%4 WHEN 0 THEN 'WWW.News-'||CAST(($id)%7 AS VARCHAR)||'.Example.COM'
+      |  WHEN 1 THEN 'Blog'||CAST(($id)%5 AS VARCHAR)||'.example.co.uk'
+      |  WHEN 2 THEN 'cdn'||CAST(($id)%6 AS VARCHAR)||'.site'||CAST(($id)%3 AS VARCHAR)||'.ORG'
       |  ELSE 'Tracker.bad-ads.com' END ||
-      | CASE WHEN doc_id%5=0 THEN ':80' WHEN doc_id%5=1 THEN ':8080' ELSE '' END ||
-      | CASE WHEN doc_id%6=0 THEN '' ELSE '/'||lang||'/article-'||CAST(doc_id AS VARCHAR) END ||
-      | CASE WHEN doc_id%4=1 THEN '?gclid=ad'||CAST(doc_id AS VARCHAR)
-      |  WHEN doc_id%2=0 THEN '?utm_source=feed&id='||CAST(doc_id%100 AS VARCHAR)||'&utm_campaign=x&b=2&a=1'
-      |  WHEN doc_id%8=3 THEN '?z=9&a=3&fbclid=f'||CAST(doc_id%9 AS VARCHAR)
+      | CASE WHEN ($id)%5=0 THEN ':80' WHEN ($id)%5=1 THEN ':8080' ELSE '' END ||
+      | CASE WHEN ($id)%6=0 THEN '' ELSE '/'||$lang||'/article-'||CAST(($id) AS VARCHAR) END ||
+      | CASE WHEN ($id)%4=1 THEN '?gclid=ad'||CAST(($id) AS VARCHAR)
+      |  WHEN ($id)%2=0 THEN '?utm_source=feed&id='||CAST(($id)%100 AS VARCHAR)||'&utm_campaign=x&b=2&a=1'
+      |  WHEN ($id)%8=3 THEN '?z=9&a=3&fbclid=f'||CAST(($id)%9 AS VARCHAR)
       |  ELSE '' END ||
-      | CASE WHEN doc_id%3=2 THEN '#sec-'||CAST(doc_id%10 AS VARCHAR) ELSE '' END AS url
-      | FROM documents""".stripMargin.replaceAll("\n", " ")
+      | CASE WHEN ($id)%3=2 THEN '#sec-'||CAST(($id)%10 AS VARCHAR) ELSE '' END"""
+      .stripMargin.replaceAll("\n", " ")
+
+  private val urlGenSql: String =
+    s"SELECT doc_id, ${urlGenExprSql("doc_id", "lang")} AS url FROM documents"
 
   /** DuckDB replica of the Web.parseUrls split_part chain, as CTE text
-    * expecting a CTE `g(doc_id, url)`; yields p4 with scheme/host/port0/
-    * tl/path0/qs. */
-  private val urlParseSql: String =
-    """p1 AS (SELECT doc_id, url, lower(split_part(url,'://',1)) AS scheme,
+    * over a source CTE with a `url` column (every other source column is
+    * carried through); yields `<pfx>4` with scheme/host/port0/tl/path0/
+    * qs added. */
+  private def urlParseCtes(src: String, pfx: String): String =
+    s"""${pfx}1 AS (SELECT *, lower(split_part(url,'://',1)) AS scheme,
       |   CASE WHEN strpos(url,'://') > 0
-      |     THEN substr(url, strpos(url,'://') + 3) ELSE '' END AS rest FROM g),
-      | p2 AS (SELECT *, split_part(split_part(split_part(rest,'/',1),'?',1),'#',1) AS auth FROM p1),
-      | p3 AS (SELECT *, lower(split_part(auth,':',1)) AS host,
-      |   CASE WHEN regexp_matches(split_part(auth,':',2), '^[0-9]{1,9}$')
+      |     THEN substr(url, strpos(url,'://') + 3) ELSE '' END AS rest FROM $src),
+      | ${pfx}2 AS (SELECT *, split_part(split_part(split_part(rest,'/',1),'?',1),'#',1) AS auth FROM ${pfx}1),
+      | ${pfx}3 AS (SELECT *, lower(split_part(auth,':',1)) AS host,
+      |   CASE WHEN regexp_matches(split_part(auth,':',2), '^[0-9]{1,9}$$')
       |     THEN CAST(split_part(auth,':',2) AS INTEGER) END AS port0,
-      |   substr(rest, len(auth)+1) AS tl FROM p2),
-      | p4 AS (SELECT *, split_part(split_part(tl,'?',1),'#',1) AS path0,
-      |   CASE WHEN contains(tl,'?') THEN split_part(split_part(tl,'?',2),'#',1) END AS qs FROM p3)"""
+      |   substr(rest, len(auth)+1) AS tl FROM ${pfx}2),
+      | ${pfx}4 AS (SELECT *, split_part(split_part(tl,'?',1),'#',1) AS path0,
+      |   CASE WHEN contains(tl,'?') THEN split_part(split_part(tl,'?',2),'#',1) END AS qs FROM ${pfx}3)"""
       .stripMargin.replaceAll("\n", " ")
+
+  private val urlParseSql: String = urlParseCtes("g", "p")
+
+  /** Registered-domain CASE over a lowercase host expression — the
+    * [[operators.Web.registeredDomainOf]] replica. */
+  private def regDomainSql(h: String): String = {
+    val ls = s"string_split($h,'.')"
+    s"CASE WHEN len($ls)>=3 AND ($ls[-2]||'.'||$ls[-1]) IN " +
+      "('co.uk','ac.uk','com.au','co.jp','com.br','co.in') " +
+      s"THEN $ls[-3]||'.'||$ls[-2]||'.'||$ls[-1] " +
+      s"WHEN len($ls)>=2 THEN $ls[-2]||'.'||$ls[-1] ELSE $h END"
+  }
 
   /** DuckDB replica of [[operators.Web.syntheticHtml]] over documents. */
   private val htmlGenSql: String =
@@ -709,6 +726,19 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       operators.Graph.pageRankEvents(table(s, dir, "events"), iterations = 5)
         .orderBy(col("node"))),
+
+    // the crawl authority pipeline: anchor extraction (regex replayed
+    // verbatim) → registered-domain edges → fixed-point integer PageRank
+    // — link-graph domain ranking for source weighting, end to end
+    "q_link_graph" -> ((s, dir) => {
+      val pages = table(s, dir, "documents").select(col("doc_id"),
+        operators.Web.syntheticUrl(col("doc_id"), col("lang")).as("url"),
+        operators.Web.syntheticLinkPage(col("doc_id"), col("lang")).as("html"))
+      operators.Graph.pageRankFixed(
+          operators.Web.domainEdges(pages, "doc_id", "url", "html"),
+          "src_domain", "dst_domain", iterations = 5)
+        .orderBy(col("node"))
+    }),
 
     // deterministic train/val/test split: percent bucket of
     // splitmix64(id + salt), stable under corpus growth — a doc's split
@@ -2641,6 +2671,48 @@ object SparkEntry {
         "n AS MATERIALIZED (SELECT DISTINCT node FROM " +
           "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
         "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"
+      val rounds = (1 to iters).map { i =>
+        s"r$i AS MATERIALIZED (SELECT n.node, " +
+          s"CAST(150000 + coalesce(s.s, 0) AS BIGINT) AS rank " +
+          s"FROM n LEFT JOIN (SELECT e.dst, " +
+          s"SUM((r.rank * 85) // (100 * d.outdeg)) AS s " +
+          s"FROM e JOIN deg d ON d.src = e.src " +
+          s"JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) s " +
+          s"ON s.dst = n.node)"
+      }.mkString(", ")
+      s"WITH $head, $rounds SELECT node, rank FROM r$iters ORDER BY node"
+    },
+
+    // link-graph replica: rebuild the synthetic pages, regex-extract the
+    // anchors, run the parse chain on target AND source urls, reduce to
+    // registered domains, then the same 5 integer PageRank rounds
+    "q_link_graph" -> {
+      val iters = 5
+      val pageSql =
+        "'<html><head><title>page '||CAST(doc_id AS VARCHAR)||" +
+          "'</title></head><body><p>intro</p><a class=\"x\" href=\"'||" +
+          urlGenExprSql("doc_id*13+1", "lang") + "||'\">one</a>'||" +
+          "CASE WHEN doc_id%2=0 THEN '<a href=\"'||" +
+          urlGenExprSql("doc_id*13+5", "lang") + "||'\">two</a>' ELSE '' END||" +
+          "'<a href=\"/relative/p-'||CAST(doc_id AS VARCHAR)||'\">rel</a></body></html>'"
+      val head =
+        s"pg AS MATERIALIZED (SELECT doc_id, $pageSql AS html, " +
+          s"${urlGenExprSql("doc_id", "lang")} AS src_url FROM documents), " +
+          "lk AS (SELECT doc_id, unnest(regexp_extract_all(html, " +
+          "'(?is)<a[^>]*href=\"([^\"]*)\"', 1)) AS url FROM pg), " +
+          urlParseCtes("lk", "lp") + ", " +
+          "sg AS (SELECT doc_id, src_url AS url FROM pg), " +
+          urlParseCtes("sg", "sp") + ", " +
+          s"ed0 AS (SELECT ${regDomainSql("s.host")} AS src, " +
+          s"${regDomainSql("l.host")} AS dst " +
+          "FROM lp4 l JOIN sp4 s ON s.doc_id = l.doc_id " +
+          "WHERE len(l.host) > 0 AND len(s.host) > 0), " +
+          "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ed0 WHERE src <> dst), " +
+          "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+          "FROM e GROUP BY src), " +
+          "n AS MATERIALIZED (SELECT DISTINCT node FROM " +
+          "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+          "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"
       val rounds = (1 to iters).map { i =>
         s"r$i AS MATERIALIZED (SELECT n.node, " +
           s"CAST(150000 + coalesce(s.s, 0) AS BIGINT) AS rank " +

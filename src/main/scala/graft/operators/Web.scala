@@ -321,6 +321,69 @@ object Web {
     df.select(col(idCol), canonical.as("canonical"), noindex.as("noindex"))
   }
 
+  /** `<a href="...">` targets, one row per anchor in document order.
+    * RE2∩Java regex subset (the [[htmlExtract]] convention: no
+    * backreferences, no \b, no \s) so the oracle replays the extraction
+    * verbatim with DuckDB's regexp_extract_all. Relative targets are
+    * kept here — [[domainEdges]] drops them when host extraction comes
+    * up empty. Narrow, zero Exchange. */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(regexp_extract_all(col(htmlCol),
+        lit("(?is)<a[^>]*href=\"([^\"]*)\""), lit(1))).as("href"))
+
+  /** Registered-domain link graph of a crawl: one edge
+    * `(src_domain, dst_domain)` per distinct cross-domain anchor, with
+    * both endpoints reduced to pay-level domains ([[registeredDomainOf]]
+    * over the [[parseUrls]] host). Self-links and anchors without an
+    * absolute-URL host (relative hrefs, malformed authorities) are
+    * dropped. Feed the result to [[Graph.pageRankFixed]] for crawl-
+    * frontier authority scores — the CommonCrawl-style domain ranking
+    * used to prioritize and quality-weight web sources.
+    *
+    * Scale shape: extraction + two parse chains are narrow scan-speed
+    * expressions; the only Exchange is the distinct on the edge set,
+    * which is bounded by distinct domain PAIRS (≪ anchor count — the
+    * Zipf head collapses map-side). */
+  def domainEdges(
+      pages: DataFrame,
+      idCol: String,
+      urlCol: String,
+      htmlCol: String): DataFrame = {
+    val links = pages
+      .select(col(idCol).as("__doc"), col(urlCol).as("__src_url"),
+        col(htmlCol).as("__html"))
+    val anchors = links.select(col("__doc"), col("__src_url"),
+      explode(regexp_extract_all(col("__html"),
+        lit("(?is)<a[^>]*href=\"([^\"]*)\""), lit(1))).as("__href"))
+    val withDst = parseUrls(anchors, "__href")
+      .select(col("__doc"), col("__src_url"), col("host").as("__dst_host"))
+    val withBoth = parseUrls(withDst, "__src_url")
+      .select(col("__doc"), col("host").as("__src_host"), col("__dst_host"))
+    withBoth
+      .select(registeredDomainOf(col("__src_host")).as("src_domain"),
+        registeredDomainOf(col("__dst_host")).as("dst_domain"))
+      .where(length(col("src_domain")) > 0 && length(col("dst_domain")) > 0 &&
+        col("src_domain") =!= col("dst_domain"))
+      .distinct()
+  }
+
+  /** Page-with-outlinks fixture for the link-graph verify query: two
+    * absolute anchors on [[syntheticUrl]]-transformed ids (the second
+    * only on even ids) plus one relative anchor that host extraction
+    * must drop. */
+  def syntheticLinkPage(id: Column, lang: Column): Column =
+    concat(
+      lit("<html><head><title>page "), id.cast("string"),
+      lit("</title></head><body><p>intro</p><a class=\"x\" href=\""),
+      syntheticUrl(id * 13 + 1, lang),
+      lit("\">one</a>"),
+      when(id % 2 === 0,
+        concat(lit("<a href=\""), syntheticUrl(id * 13 + 5, lang),
+          lit("\">two</a>"))).otherwise(lit("")),
+      lit("<a href=\"/relative/p-"), id.cast("string"),
+      lit("\">rel</a></body></html>"))
+
   /** Deterministic messy-URL generator for the verify fixtures (the
     * syntheticPng convention: formula of the id, replayed verbatim in the
     * oracle SQL). Exercises every normalization rule: uppercase scheme +

@@ -234,4 +234,31 @@ class WebSpec extends AnyFunSuite {
     assert(got(2L)._1 == 7L && got(2L)._2 == 1L && got(2L)._4)
     assert(got(3L) == ((2L, 0L, 0.0, true)))
   }
+
+  test("extractLinks + domainEdges: anchors, relative/self/host-less drops, distinct edges") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      // two absolute anchors (one duplicated), a relative one, a same-
+      // domain self-link, and attribute noise before href
+      (1L, "http://www.a.example.com/x",
+        """<p><a class="z" href="https://b.example.co.uk/p">l</a>""" +
+          """<a href="https://B.example.co.uk:443/q#f">l2</a>""" +
+          """<a href="/rel/only">r</a>""" +
+          """<a href="http://sub.a.example.com/self">s</a>""" +
+          """<a href="https://c.org/1">c</a></p>"""),
+      // page with no host in its own url: all its edges drop
+      (2L, "not-a-url", """<a href="http://d.net/x">d</a>"""))
+      .toDF("doc_id", "url", "html")
+    val links = Web.extractLinks(pages, "doc_id", "html")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(links.count(_._1 == 1L) == 5 && links.count(_._2 == "/rel/only") == 1)
+    val edges = Web.domainEdges(pages, "doc_id", "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // b.example.co.uk twice → one edge (distinct); self-link and the
+    // relative target gone; doc 2's host-less source contributes nothing
+    assert(edges == Set(
+      ("example.com", "example.co.uk"),
+      ("example.com", "c.org")), edges.toString)
+  }
 }
