@@ -377,6 +377,20 @@ object SparkEntry {
       operators.TextOps.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "join", "vector", "stream"), k = 25)),
 
+    // exact phrase search over the positional postings: pivot the phrase
+    // terms' position arrays per doc, fold occ = intersect(occ+1, next);
+    // the oracle recomputes positions from the raw tokens
+    "q_phrase" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-invidx-ph")
+      operators.TextOps.buildInvertedIndex(table(s, dir, "documents"),
+        "doc_id", "text", tmp.toString, termBuckets = 64)
+      val out = operators.TextOps.phraseSearch(s, tmp.toString,
+          Seq("table", "hash"))
+        .localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // the same retrieval through the persisted inverted index: build the
     // term-bucketed postings layout, query it with partition-pruned
     // posting-list reads, reproduce q_bm25 bit-for-bit (shared oracle)
@@ -2229,12 +2243,13 @@ object SparkEntry {
     * runs AFTER the `// 2` shift, matching the JVM's distinct on the
     * shifted hash. */
   private def kmvSketchCtes: String =
-    "toks AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS v FROM documents), " +
+    ("toks AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS v FROM documents), " +
       s"hv AS (SELECT grp, v, ${fnvSql("v")} AS h0 FROM toks), " +
       mixStagesSql("hv", "grp, v", "km") + ", " +
       "hh AS (SELECT DISTINCT grp, h // 2 AS h FROM km3), " +
       "srk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hh), " +
-      "sk AS (SELECT grp, CAST(h AS BIGINT) AS h FROM srk WHERE rk <= 128)"
+      "sk AS (SELECT grp, CAST(h AS BIGINT) AS h FROM srk WHERE rk <= 128)")
+      .replaceAll("\n", " ")
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q_filter_agg" ->
@@ -2532,6 +2547,18 @@ object SparkEntry {
     // the indexed path must reproduce the scan path bit-for-bit, so it
     // shares the exact oracle text
     "q_bm25_indexed" -> bm25OracleSql,
+
+    // phrase search replica: per-term 0-based position lists straight
+    // from the tokens, then the same intersect(+1) fold
+    "q_phrase" ->
+      ("WITH tq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL), " +
+        "p0 AS (SELECT doc_id, [x for x in range(len(tk)) if tk[x+1] = 'table'] AS q0, " +
+        "[x for x in range(len(tk)) if tk[x+1] = 'hash'] AS q1 FROM tq), " +
+        "m AS (SELECT doc_id, list_intersect(list_transform(q0, x -> x+1), q1) AS occ " +
+        "FROM p0 WHERE len(q0) > 0 AND len(q1) > 0) " +
+        "SELECT doc_id, CAST(len(occ) AS BIGINT) AS n_occ, " +
+        "CAST(list_min(occ) - 1 AS BIGINT) AS first_pos " +
+        "FROM m WHERE len(occ) > 0 ORDER BY doc_id"),
 
     "q_lang_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3044,7 +3071,8 @@ object SparkEntry {
         "wnt AS (SELECT grp, n_sample, p, (p * n_sample + 99) // 100 AS rank_p FROM pct), " +
         "rkd AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v, h) AS vr FROM samp) " +
         "SELECT w.grp, w.p, w.n_sample, r.v AS est FROM wnt w " +
-        "JOIN rkd r ON r.grp = w.grp AND r.vr = w.rank_p ORDER BY w.grp, w.p"),
+        "JOIN rkd r ON r.grp = w.grp AND r.vr = w.rank_p ORDER BY w.grp, w.p")
+      .replaceAll("\n", " "),
 
     // streaming monitor: identical registers and estimate, no exact join
     "q_stream_hll" -> hllOracleSql(includeExact = false),

@@ -779,7 +779,8 @@ object TextOps {
     * scale path [[bm25TopK]]'s scaladoc promises does not exist there.
     * Two tables under `path`:
     *
-    *  - `postings`: one row per (term, doc) — `(term, doc_id, dl, tf)` —
+    *  - `postings`: one row per (term, doc) —
+    *    `(term, doc_id, dl, tf, positions)` —
     *    PARTITIONED BY `tb = pmod(splitmix64(fnv1a64(term)), termBuckets)`
     *    and sorted by `(term, doc_id)` within each partition file, so a
     *    term lookup prunes to ONE directory (a physical partition column,
@@ -813,9 +814,14 @@ object TextOps {
         coalesce(sum(col("dl")), lit(0L)).cast("long").as("sdl"))
       .withColumn("term_buckets", lit(termBuckets))
       .write.mode("overwrite").parquet(s"$path/meta")
-    docs.select(col("doc_id"), col("dl"), explode(col("__tk")).as("term"))
+    docs.select(col("doc_id"), col("dl"),
+        posexplode(col("__tk")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        // POSITIONAL index: 0-based token offsets, sorted — phrase and
+        // proximity queries ([[phraseSearch]]) need them; BM25 scoring
+        // never reads the column (parquet prunes it from ReadSchema)
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
       .withColumn("tb",
         pmod(graft.operators.mix64(graft.operators.fnv1a64(col("term")), 0L),
           lit(termBuckets.toLong)).cast("int"))
@@ -896,6 +902,51 @@ object TextOps {
       .where(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Exact phrase search over a [[buildInvertedIndex]] layout: documents
+    * containing `phrase` as ADJACENT tokens, with occurrence count and
+    * the first occurrence's 0-based start offset. The classic positional
+    * postings algorithm: read only the phrase terms' posting lists
+    * (pruned exactly like [[bm25TopKIndexed]]), pivot each doc's per-term
+    * position arrays, then fold
+    * `occ_i = intersect(occ_{i-1} + 1, positions_i)` — after the fold,
+    * `occ` holds the LAST term's offsets of complete matches. Duplicate
+    * terms in the phrase ("the cat the") share one posting list.
+    *
+    * Scale shape: zero corpus scans; cost is the matched posting lists +
+    * one partial-agg pivot per candidate doc; the intersect chain is
+    * per-row array arithmetic over position arrays (bounded by tf).
+    * Returns `(doc_id, n_occ, first_pos)`, doc order. */
+  def phraseSearch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val terms = phrase.distinct
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val buckets = meta.getAs[Int]("term_buckets")
+    val tbs = terms.map(termBucket(_, buckets)).distinct
+    val posts = spark.read.parquet(s"$path/postings")
+      .where(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    val pivoted = posts
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("term") === terms.head, col("positions"))).as("__q0"),
+        terms.drop(1).zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("positions"))).as(s"__q${i + 1}")
+        }: _*)
+      .where(terms.indices.map(i => col(s"__q$i").isNotNull).reduce(_ && _))
+    val termIdx = terms.zipWithIndex.toMap
+    val occ = phrase.zipWithIndex.tail.foldLeft(
+        col(s"__q${termIdx(phrase.head)}")) { case (acc, (t, _)) =>
+      array_intersect(transform(acc, _ + 1L), col(s"__q${termIdx(t)}"))
+    }
+    pivoted
+      .select(col("doc_id"), size(occ).cast("long").as("n_occ"),
+        (array_min(occ) - lit((phrase.size - 1).toLong)).as("first_pos"))
+      .where(col("n_occ") > 0)
+      .orderBy(col("doc_id"))
   }
 
   /** Per-document stats frame used by the pipeline queries; tokenizes

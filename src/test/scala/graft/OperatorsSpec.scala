@@ -799,6 +799,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseSearch: adjacent-token matches, repeated-term phrases, brute-force parity") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "x table hash y table hash"), // two occurrences
+      (2L, "table y hash"),              // both terms, never adjacent
+      (3L, "a a a b a a"),               // repeated-term phrase fodder
+      (4L, "table hash"),                // exact-length doc
+      (5L, "hash table"),                // reversed order only
+      (6L, null.asInstanceOf[String]))
+    val docs = corpus.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phrase-test")
+    try {
+      TextOps.buildInvertedIndex(docs, "doc_id", "text", tmp.toString, termBuckets = 8)
+      def brute(phrase: Seq[String]): Seq[(Long, Long, Long)] =
+        corpus.flatMap { case (id, t) =>
+          Option(t).map(_.split(" ", -1).toSeq).flatMap { toks =>
+            val occ = (0 to toks.size - phrase.size)
+              .filter(i => phrase.indices.forall(j => toks(i + j) == phrase(j)))
+            if (occ.isEmpty) None
+            else Some((id, occ.size.toLong, occ.min.toLong))
+          }
+        }.sortBy(_._1)
+      for (phrase <- Seq(Seq("table", "hash"), Seq("a", "a"), Seq("a", "a", "b"),
+          Seq("hash"), Seq("absent", "hash"))) {
+        val got = TextOps.phraseSearch(s, tmp.toString, phrase)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got == brute(phrase), s"phrase=$phrase: got $got expected ${brute(phrase)}")
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("real AVI RLE8 decode: inter-frame deltas match the carry formula") {
     val s = spark
     import s.implicits._
