@@ -1050,6 +1050,16 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // STREAMING KMV monitor: the bottom-k buffer as streaming aggregation
+    // state (k longs per source, bounded for any stream length); the
+    // snapshot estimate equals the batch sketch (shares q_kmv's oracle)
+    "q_stream_kmv" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.kmvMonitorToBatch(s, s"$dir/documents.parquet",
+          "source", "text", k = 128)
+        .orderBy(col("grp"))
+    }),
+
     // STREAMING heavy-hitter monitor: the CM grid maintained by a
     // streaming count aggregation (state = the d×w grid, bounded for any
     // stream length); snapshot estimates equal the batch sketch exactly
@@ -2204,6 +2214,7 @@ object SparkEntry {
       "q_stream_asof_state" -> base("q_asof_join"),
       "q_stream_asof_et" -> base("q_asof_join"),
       "q_stream_sessionize" -> base("q_sessionize"),
+      "q_stream_kmv" -> base("q_kmv"),
       "q_stream_bloom" -> base("q_bloom_decontam"),
       "q_knn_batched" -> base("q_knn_join"),
       "q_stratified_salted" -> base("q_stratified"))

@@ -409,6 +409,92 @@ object Curation {
           .as("estimate"))
   }
 
+  /** Mergeable bounded buffer for [[KmvAggregator]]: `hs` sorted
+    * ascending, distinct, ≤ k elements. */
+  case class KmvBuf(hs: Array[Long])
+
+  /** The KMV sketch as a typed Spark `Aggregator` — the mergeability the
+    * sketch tier advertises, made literal: partial buffers combine by
+    * sorted-merge-take-k in `merge`, so ONE implementation serves batch
+    * groupBy (map-side combinable partials, no window sort), shard-merge
+    * compaction, and streaming aggregation state
+    * ([[graft.streaming.JsonStream.kmvMonitorToBatch]] — the buffer IS
+    * the per-group state, bounded at k longs however long the stream).
+    * Per-row reduce is an O(log k) membership probe and, once the buffer
+    * saturates, an O(1) rejection for any hash above h_k — the common
+    * case under Zipf traffic. */
+  class KmvAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, KmvBuf, Array[Long]] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    override def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = {
+      val hs = b.hs
+      val idx = java.util.Arrays.binarySearch(hs, h)
+      if (idx >= 0) b // already present
+      else {
+        val ins = -idx - 1
+        if (hs.length >= k && ins >= k) b // beyond h_k of a full buffer
+        else {
+          val n = math.min(hs.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(hs, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(hs, ins, out, ins + 1, n - ins - 1)
+          KmvBuf(out)
+        }
+      }
+    }
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {
+      val x = a.hs; val y = b.hs
+      val out = new Array[Long](math.min(x.length + y.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < x.length || j < y.length)) {
+        val take =
+          if (j >= y.length || (i < x.length && x(i) <= y(j))) {
+            if (j < y.length && x(i) == y(j)) j += 1 // dedup equal heads
+            val v = x(i); i += 1; v
+          } else { val v = y(j); j += 1; v }
+        out(o) = take; o += 1
+      }
+      KmvBuf(if (o == out.length) out else java.util.Arrays.copyOf(out, o))
+    }
+    override def finish(b: KmvBuf): Array[Long] = b.hs
+    override def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuf] =
+      org.apache.spark.sql.Encoders.product[KmvBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-group KMV buffers via [[KmvAggregator]]: `(grp, hs)` with `hs`
+    * the sorted bottom-k hash array. The streaming monitor aggregates to
+    * exactly this shape. */
+  def kmvAggTable(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 128): DataFrame = {
+    val h = shiftrightunsigned(
+      mix64(fnv1a64(col(valueCol).cast("string")), 0L), 1)
+    val sk = udaf(new KmvAggregator(k), org.apache.spark.sql.Encoders.scalaLong)
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), h.as("h"))
+      .groupBy(col("grp"))
+      .agg(sk(col("h")).as("hs"))
+  }
+
+  /** [[kmvSketch]] computed through the aggregator instead of the window
+    * sort — identical rows (spec-pinned). Prefer this form at scale: the
+    * bounded buffers combine map-side, so the exchange carries ≤ k longs
+    * per (partition, group) instead of every distinct hash. */
+  def kmvSketchAgg(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 128): DataFrame =
+    kmvAggTable(df, groupCol, valueCol, k)
+      .select(col("grp"), posexplode(col("hs")).as(Seq("rk0", "h")))
+      .select(col("grp"), col("h"), (col("rk0") + 1).cast("int").as("rk"))
+
   /** Pairwise set-overlap (Jaccard) estimate between every two groups
     * from their KMV sketches: J ≈ |bottom_k(A∪B) ∩ sk(A) ∩ sk(B)| / kk,
     * where bottom_k(A∪B) is derivable exactly from the two sketches

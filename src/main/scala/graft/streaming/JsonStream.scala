@@ -305,6 +305,29 @@ object JsonStream {
     }
   }
 
+  /** Streaming distinct-token monitor through the KMV aggregator:
+    * [[graft.operators.Curation.kmvAggTable]] runs UNCHANGED as a
+    * streaming aggregation — the per-group state the engine checkpoints
+    * is the bounded bottom-k buffer itself (k longs per group, however
+    * long the stream), the order-statistics sibling of
+    * [[hllMonitorToBatch]]. Complete-mode snapshot → the same
+    * [[graft.operators.Curation.kmvDistinct]] estimate as the batch
+    * sketch, value-identical (shares q_kmv's oracle). */
+  def kmvMonitorToBatch(
+      spark: SparkSession,
+      path: String,
+      groupCol: String,
+      textCol: String,
+      k: Int = 128): DataFrame = {
+    val snap = runStreamToSnapshot(spark, path, "kmv", stream =>
+      graft.operators.Curation.kmvAggTable(
+        stream.select(col(groupCol),
+          explode(split(col(textCol), " ")).as("tok")),
+        groupCol, "tok", k))
+    graft.operators.Curation.kmvDistinct(
+      snap.select(col("grp"), explode(col("hs")).as("h")), k)
+  }
+
   /** Streaming heavy-hitter monitor: [[graft.operators.Curation.cmSketch]]
     * on the token stream — the streaming count aggregation's state is the
     * d×w counter grid itself (≤ d·w rows for any stream length), the

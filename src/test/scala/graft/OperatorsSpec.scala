@@ -710,6 +710,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 300.0 / 750.0) < 0.25)
   }
 
+  test("KmvAggregator: identical rows to the window-sort sketch; merge dedups and bounds") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 450).map(i => ("a", s"tok$i")) ++
+      (150 until 600).map(i => ("b", s"tok$i")) ++ Seq(("a", "tok5"))
+    val df = rows.toDF("src", "v").repartition(7) // force partial merges
+    for (k <- Seq(32, 1024)) {
+      val a = Curation.kmvSketchAgg(df, "src", "v", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val w = Curation.kmvSketch(df, "src", "v", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(a == w, s"k=$k: aggregator vs window sketch differ")
+    }
+    // direct unit check of the merge path: overlap dedup + k bound
+    val agg = new Curation.KmvAggregator(4)
+    val m = agg.merge(Curation.KmvBuf(Array(1L, 3L, 5L, 7L)),
+      Curation.KmvBuf(Array(2L, 3L, 6L, 9L)))
+    assert(m.hs.toSeq == Seq(1L, 2L, 3L, 5L))
+    assert(agg.reduce(m, 0L).hs.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(agg.reduce(m, 9L).hs.toSeq == m.hs.toSeq) // beyond h_k: rejected
+  }
+
   test("sampleQuantiles: exact order statistics when unsaturated; deterministic sample") {
     val s = spark
     import s.implicits._
