@@ -271,6 +271,40 @@ object Examples {
     Similarity.hardNegatives(embT, "vec_id", "embedding", "label",
       embT.where(col("vec_id") < 2), "vec_id", "embedding", "label", k = 3).show()
 
+    println("== 19. Indexed retrieval: positional inverted index, phrase search ==")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-ex-invidx")
+    try {
+      TextOps.buildInvertedIndex(docs, "doc_id", "text", idxDir.toString, 16)
+      TextOps.bm25TopKIndexed(spark, idxDir.toString,
+        Seq("spark", "join", "vector", "stream"), k = 5).show()
+      TextOps.phraseSearch(spark, idxDir.toString, Seq("table", "hash")).show(3)
+    } finally {
+      val walk = java.nio.file.Files.walk(idxDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+
+    println("== 20. KMV sketches, sample quantiles, PMI, link-graph authority ==")
+    val srcToks = docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    Curation.kmvDistinct(Curation.kmvSketchAgg(srcToks, "source", "tok", 64), 64)
+      .orderBy("grp").show(3)
+    Curation.kmvJaccard(srcToks, "source", "tok", 64)
+      .orderBy(col("jaccard_est").desc).show(3)
+    Curation.sampleQuantiles(
+      sources.Tables.readTable(spark, s"$sfDir/events.parquet")
+        .select(col("event_type"), col("event_id"), col("value")),
+      "event_type", "event_id", "value", k = 128, percents = Seq(50, 99)).show(4)
+    TextOps.cooccurrencePmi(docs, "text", window = 3, minCount = 5L)
+      .orderBy(col("pmi").desc).show(5)
+    val linkPages = docs.select(col("doc_id"),
+      Web.syntheticUrl(col("doc_id"), col("lang")).as("url"),
+      Web.syntheticLinkPage(col("doc_id"), col("lang")).as("html"))
+    Graph.pageRankFixed(Web.domainEdges(linkPages, "doc_id", "url", "html"),
+      "src_domain", "dst_domain", 5).orderBy(col("rank").desc).show(5)
+
     spark.stop()
   }
 }

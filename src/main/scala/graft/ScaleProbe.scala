@@ -496,6 +496,54 @@ object ScaleProbe {
     }
     pages.unpersist()
 
+    // inverted index: one-time build cost vs per-query cost — the
+    // amortization argument in buildInvertedIndex's scaladoc, measured
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-probe-invidx")
+    try {
+      // the three query probes depend on the build, so all four share the
+      // "invidx" name prefix (the substring filter either runs the whole
+      // family or none of it) AND guard on the build having run
+      val built = time(s"invidx BUILD, $nDocs docs (positional, 64 buckets)") {
+        operators.TextOps.buildInvertedIndex(docs, "doc_id", "text",
+          idxDir.toString, termBuckets = 64)
+      }
+      val terms = Seq("w1", "w17", "w333", "w499")
+      time(s"invidx BM25 SCAN path, $nDocs docs, 4 terms") {
+        operators.TextOps.bm25TopK(docs, "doc_id", "text", terms, k = 20).count()
+      }
+      if (built.isDefined) {
+        time(s"invidx BM25 INDEXED path, same query (pruned posting reads)") {
+          operators.TextOps.bm25TopKIndexed(spark, idxDir.toString, terms, k = 20).count()
+        }
+        time(s"invidx phrase search, 2-term phrase") {
+          operators.TextOps.phraseSearch(spark, idxDir.toString,
+            Seq("w1", "w17")).count()
+        }
+      }
+    } finally {
+      val walk = java.nio.file.Files.walk(idxDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+
+    // KMV: window-sort sketch vs mergeable-aggregator sketch — the
+    // exchange carries every distinct hash vs ≤ k per (partition, group)
+    time(s"KMV sketch WINDOW path, $nDocs docs x 20 sources, k=128") {
+      operators.Curation.kmvDistinct(
+        operators.Curation.kmvSketch(
+          docs.select(col("source"), explode(split(col("text"), " ")).as("tok")),
+          "source", "tok", 128), 128).count()
+    }
+    time(s"KMV sketch AGGREGATOR path, same input") {
+      operators.Curation.kmvDistinct(
+        operators.Curation.kmvSketchAgg(
+          docs.select(col("source"), explode(split(col("text"), " ")).as("tok")),
+          "source", "tok", 128), 128).count()
+    }
+
     spark.stop()
   }
 }

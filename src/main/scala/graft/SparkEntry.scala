@@ -377,6 +377,18 @@ object SparkEntry {
       operators.TextOps.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "join", "vector", "stream"), k = 25)),
 
+    // windowed co-occurrence word association (embedding-pipeline corpus
+    // analysis): the oracle verifies the exact INTEGER association table
+    // — pmi's ln arguments reach 1e9 where JVM/libm ln diverge in the
+    // last ulp, so the ln step is pinned by spec, not oracle (see the
+    // cooccurrencePmi scaladoc)
+    "q_pmi" -> ((s, dir) =>
+      operators.TextOps.cooccurrencePmi(table(s, dir, "documents"), "text",
+          window = 3, minCount = 5L)
+        .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"), col("c_b"),
+          col("s_tot"))
+        .orderBy(col("w_a"), col("w_b"))),
+
     // exact phrase search over the positional postings: pivot the phrase
     // terms' position arrays per doc, fold occ = intersect(occ+1, next);
     // the oracle recomputes positions from the raw tokens
@@ -2558,6 +2570,22 @@ object SparkEntry {
     // the indexed path must reproduce the scan path bit-for-bit, so it
     // shares the exact oracle text
     "q_bm25_indexed" -> bm25OracleSql,
+
+    // PMI replica: nested list comprehension rebuilds the windowed pair
+    // slots; the exact integer association table is the compared surface
+    "q_pmi" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents WHERE text IS NOT NULL), " +
+        "pl AS (SELECT flatten([[{'a': least(tk[i+1], tk[i+1+d]), 'b': greatest(tk[i+1], tk[i+1+d])} " +
+        "for d in range(1, 4) if i + d < len(tk)] for i in range(len(tk))]) AS prs FROM t), " +
+        "px AS (SELECT p['a'] AS w_a, p['b'] AS w_b FROM (SELECT unnest(prs) AS p FROM pl)), " +
+        "cab AS (SELECT w_a, w_b, CAST(count(*) AS BIGINT) AS c_ab FROM px " +
+        "GROUP BY w_a, w_b HAVING count(*) >= 5), " +
+        "uni AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(tk) AS tok FROM t) GROUP BY tok), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS s_tot FROM px) " +
+        "SELECT c.w_a, c.w_b, c.c_ab, a.c AS c_a, b.c AS c_b, t2.s_tot " +
+        "FROM cab c JOIN uni a ON a.w = c.w_a JOIN uni b ON b.w = c.w_b CROSS JOIN tot t2 " +
+        "ORDER BY w_a, w_b"),
 
     // phrase search replica: per-term 0-based position lists straight
     // from the tokens, then the same intersect(+1) fold

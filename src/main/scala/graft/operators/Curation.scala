@@ -503,10 +503,12 @@ object Curation {
     * between corpus slices without comparing documents.
     *
     * Scale shape: runs entirely on sketch rows — G·k rows for G groups —
-    * so after the one sketch pass over the data, the pairwise stage is
+    * so after the ONE sketch pass over the data (the sketch is persisted
+    * across its three references, then released) the pairwise stage is
     * broadcast-sized no matter the corpus. The estimate is an exact
     * integer ratio. Returns `(ga, gb, kk, n_inter, jaccard_est)` for
-    * ga < gb. */
+    * ga < gb; the small result frame stays persisted (the
+    * [[Graph.pageRankFixed]] convention) — unpersist it when done. */
   def kmvJaccard(
       df: DataFrame,
       groupCol: String,
@@ -514,7 +516,13 @@ object Curation {
       k: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be >= 2, got $k")
-    val sk = kmvSketch(df, groupCol, valueCol, k).select(col("grp"), col("h"))
+    // the sketch subtree is referenced three times below (groups, left,
+    // right) — PERSIST it so the corpus is scanned once, not thrice;
+    // computed through the aggregator (map-side-combining partials, no
+    // window sort). G·k rows pinned; released before returning.
+    val sk = kmvSketchAgg(df, groupCol, valueCol, k)
+      .select(col("grp"), col("h")).persist()
+    sk.count()
     val groups = sk.select(col("grp")).distinct()
     val pairs = groups.select(col("grp").as("ga"))
       .crossJoin(groups.select(col("grp").as("gb")))
@@ -525,7 +533,7 @@ object Curation {
     val right = pairs.join(sk.withColumnRenamed("grp", "gb"), Seq("gb"))
       .select(col("ga"), col("gb"), col("h"),
         lit(0).as("in_a"), lit(1).as("in_b"))
-    left.union(right)
+    val result = left.union(right)
       .groupBy(col("ga"), col("gb"), col("h"))
       .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
       .withColumn("rk", row_number().over(
@@ -537,6 +545,10 @@ object Curation {
       .select(col("ga"), col("gb"), col("kk"), col("n_inter"),
         (col("n_inter").cast("double") / col("kk").cast("double"))
           .as("jaccard_est"))
+      .persist()
+    result.count()
+    sk.unpersist()
+    result
   }
 
   /** Deterministic bottom-k-by-id-hash row sample with per-group

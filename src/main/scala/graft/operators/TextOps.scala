@@ -830,6 +830,51 @@ object TextOps {
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
   }
 
+  /** Append a NEW document batch to an existing [[buildInvertedIndex]]
+    * layout — the ingestion companion ([[graft.operators.Dedup.incrementalDedup]]'s
+    * convention): batch postings land in the same bucket directories via
+    * parquet append (a posting list is rows, so per-bucket files just
+    * accumulate; re-sort/compact per bucket when file counts grow, the
+    * compactShards pattern), and `meta` is rewritten with the additive
+    * (n, sdl). Batch doc ids MUST be new — a re-ingested id would
+    * duplicate its postings (screen with incrementalDedup first).
+    *
+    * Queries over an appended index equal a from-scratch build
+    * (spec-pinned) because every query-time quantity is additive or
+    * per-doc: n and sdl are sums, df is a postings count, tf/dl/
+    * positions live on the doc's own rows. */
+  def appendToInvertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val termBuckets = meta.getAs[Int]("term_buckets")
+    val tk = tokens(col(textCol))
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      tk.as("__tk"), size(tk).cast("long").as("dl"))
+    val delta = docs.agg(count(lit(1)).cast("long").as("n"),
+      coalesce(sum(col("dl")), lit(0L)).cast("long").as("sdl")).collect()(0)
+    docs.select(col("doc_id"), col("dl"),
+        posexplode(col("__tk")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .withColumn("tb",
+        pmod(graft.operators.mix64(graft.operators.fnv1a64(col("term")), 0L),
+          lit(termBuckets.toLong)).cast("int"))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+    // meta was collected above, so overwriting the path is safe
+    spark.range(1).select(
+        lit(meta.getAs[Long]("n") + delta.getAs[Long]("n")).as("n"),
+        lit(meta.getAs[Long]("sdl") + delta.getAs[Long]("sdl")).as("sdl"),
+        lit(termBuckets).as("term_buckets"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Driver-side replica of the index's bucket assignment (the same
     * fnv1a64 → splitmix64 kernels, evaluated on a literal), so the query
     * can name the partition directories to prune to. */
@@ -947,6 +992,65 @@ object TextOps {
         (array_min(occ) - lit((phrase.size - 1).toLong)).as("first_pos"))
       .where(col("n_occ") > 0)
       .orderBy(col("doc_id"))
+  }
+
+  /** Windowed co-occurrence counts with PMI scores [Church & Hanks
+    * 1990] — the word-association analysis embedding pipelines run over
+    * a corpus before/alongside training. A pair (a, b) co-occurs when b
+    * follows a within `window` tokens (direction-collapsed: the pair is
+    * stored with a <= b, the word2vec convention). PMI evaluates as
+    * `ln(c_ab · S) − ln(c_a · c_b)` with EXACT-INTEGER ln arguments
+    * (c_ab·S and c_a·c_b stay below 2^53 for any corpus this oracle
+    * runs at — the q_bm25 integer-ln lemma), where S = Σ c_ab (total
+    * windowed pair slots) so the distribution is a true probability.
+    * Rare pairs are cut at `minCount` BEFORE scoring (the standard PMI
+    * noise guard).
+    *
+    * Cross-engine honesty: the integer-ln agreement lemma is VERIFIED
+    * only to 2·10^5 — PMI's arguments (c_ab·S, c_a·c_b) reach 10^9 at
+    * sf0.01 already, where JVM Math.log and libm diverge in the last
+    * ulp on a few percent of values (measured: 30/471 rows). So the
+    * DuckDB oracle (q_pmi) verifies the exact integer association table
+    * (w_a, w_b, c_ab, c_a, c_b) — the distributed part — and the scalar
+    * ln step is pinned by the OperatorsSpec hand-computed fixture.
+    *
+    * Scale shape: the pair explode inflates the corpus by ≤ `window`
+    * per token (window is 2-5 in practice) and immediately partial-aggs
+    * on the pair key — the Zipf head collapses map-side, one Exchange;
+    * the unigram table is a second partial agg over the same scan; the
+    * totals row broadcasts. Returns
+    * `(w_a, w_b, c_ab, c_a, c_b, s_tot, pmi)`. */
+  def cooccurrencePmi(
+      df: DataFrame,
+      textCol: String,
+      window: Int = 3,
+      minCount: Long = 2L): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in 1..16, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(tokens(col(textCol)).as("__tk"))
+      .where(col("__tk").isNotNull)
+    // pair slots: (t[i], t[i+d]) for d in 1..window, collapsed to
+    // (min, max) — flatten's codegen beats a posexplode self-join
+    val pairs = toks.select(explode(flatten(transform(col("__tk"),
+        (t, i) => transform(
+          slice(col("__tk"), i + 2, lit(window)),
+          u => struct(least(t, u).as("a"), greatest(t, u).as("b"))))))
+      .as("p"))
+      .select(col("p.a").as("w_a"), col("p.b").as("w_b"))
+    val cab = pairs.groupBy(col("w_a"), col("w_b"))
+      .agg(count(lit(1)).cast("long").as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val uni = toks.select(explode(col("__tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+    val tot = pairs.agg(count(lit(1)).cast("long").as("s_tot"))
+    cab
+      .join(uni.select(col("w").as("w_a"), col("c").as("c_a")), Seq("w_a"))
+      .join(uni.select(col("w").as("w_b"), col("c").as("c_b")), Seq("w_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("s_tot"),
+        (log((col("c_ab") * col("s_tot")).cast("double")) -
+          log((col("c_a") * col("c_b")).cast("double"))).as("pmi"))
   }
 
   /** Per-document stats frame used by the pipeline queries; tokenizes

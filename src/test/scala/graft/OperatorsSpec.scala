@@ -821,6 +821,70 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurrencePmi: hand-computed window pairs and integer-ln scores") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("a b a", "b c", null.asInstanceOf[String]).toDF("text")
+    val got = TextOps.cooccurrencePmi(docs, "text", window = 2, minCount = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(6)))))
+      .toMap
+    // pairs: doc1 [a,b,a] → (a,b) d1, (a,a) d2, (a,b) d1; doc2 [b,c] →
+    // (b,c). S=4; unigrams a:2 b:2 c:1
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    assert(got == Map(
+      ("a", "b") -> ((2L, bits(math.log(2.0 * 4.0) - math.log(2.0 * 2.0)))),
+      ("a", "a") -> ((1L, bits(math.log(1.0 * 4.0) - math.log(2.0 * 2.0)))),
+      ("b", "c") -> ((1L, bits(math.log(1.0 * 4.0) - math.log(2.0 * 1.0))))),
+      got.toString)
+    // minCount cuts before scoring
+    val cut = TextOps.cooccurrencePmi(docs, "text", window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cut == Seq(("a", "b")), cut.toString)
+  }
+
+  test("appendToInvertedIndex: incremental build equals from-scratch build") {
+    val s = spark
+    import s.implicits._
+    val all = Seq(
+      (1L, "spark join stream"), (2L, "vector vector gamma"),
+      (3L, "table hash spark"), (4L, "spark spark join table hash"),
+      (5L, null.asInstanceOf[String]), (6L, "hash table"))
+    val full = java.nio.file.Files.createTempDirectory("graft-invidx-full")
+    val incr = java.nio.file.Files.createTempDirectory("graft-invidx-incr")
+    try {
+      TextOps.buildInvertedIndex(all.toDF("doc_id", "text"),
+        "doc_id", "text", full.toString, termBuckets = 8)
+      TextOps.buildInvertedIndex(all.take(3).toDF("doc_id", "text"),
+        "doc_id", "text", incr.toString, termBuckets = 8)
+      TextOps.appendToInvertedIndex(all.drop(3).toDF("doc_id", "text"),
+        "doc_id", "text", incr.toString)
+      val mf = s.read.parquet(s"$full/meta").collect()(0)
+      val mi = s.read.parquet(s"$incr/meta").collect()(0)
+      assert(mf.getAs[Long]("n") == mi.getAs[Long]("n") &&
+        mf.getAs[Long]("sdl") == mi.getAs[Long]("sdl"))
+      val terms = Seq("spark", "join", "vector", "stream")
+      def rows(p: java.nio.file.Path) =
+        TextOps.bm25TopKIndexed(s, p.toString, terms, k = 10)
+          .collect().map(r => (r.getLong(0),
+            java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+      assert(rows(incr) == rows(full), "BM25 over appended index diverges")
+      def ph(p: java.nio.file.Path) =
+        TextOps.phraseSearch(s, p.toString, Seq("table", "hash"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(ph(incr) == ph(full) && ph(full).map(_._1) == Seq(3L, 4L),
+        "phrase over appended index diverges")
+    } finally {
+      for (tmp <- Seq(full, incr)) {
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+  }
+
   test("phraseSearch: adjacent-token matches, repeated-term phrases, brute-force parity") {
     val s = spark
     import s.implicits._
