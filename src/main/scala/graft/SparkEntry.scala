@@ -2582,7 +2582,8 @@ object SparkEntry {
         "GROUP BY w_a, w_b HAVING count(*) >= 5), " +
         "uni AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM " +
         "(SELECT unnest(tk) AS tok FROM t) GROUP BY tok), " +
-        "tot AS (SELECT CAST(count(*) AS BIGINT) AS s_tot FROM px) " +
+        "tot AS (SELECT CAST(coalesce(sum(CASE WHEN len(tk) > 3 THEN len(tk)*3 - 6 " +
+        "ELSE len(tk)*(len(tk)-1)//2 END), 0) AS BIGINT) AS s_tot FROM t) " +
         "SELECT c.w_a, c.w_b, c.c_ab, a.c AS c_a, b.c AS c_b, t2.s_tot " +
         "FROM cab c JOIN uni a ON a.w = c.w_a JOIN uni b ON b.w = c.w_b CROSS JOIN tot t2 " +
         "ORDER BY w_a, w_b"),

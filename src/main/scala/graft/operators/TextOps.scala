@@ -1017,8 +1017,11 @@ object TextOps {
     * Scale shape: the pair explode inflates the corpus by ≤ `window`
     * per token (window is 2-5 in practice) and immediately partial-aggs
     * on the pair key — the Zipf head collapses map-side, one Exchange;
-    * the unigram table is a second partial agg over the same scan; the
-    * totals row broadcasts. Returns
+    * the unigram table is a second partial agg; the totals row is a
+    * closed-form narrow agg over doc lengths (no second pair explode)
+    * and broadcasts. The corpus text column is scanned three times
+    * (pairs, unigrams, totals) — at petabyte scale cache/persist the
+    * tokenized projection before calling. Returns
     * `(w_a, w_b, c_ab, c_a, c_b, s_tot, pmi)`. */
   def cooccurrencePmi(
       df: DataFrame,
@@ -1042,7 +1045,14 @@ object TextOps {
       .where(col("c_ab") >= minCount)
     val uni = toks.select(explode(col("__tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
-    val tot = pairs.agg(count(lit(1)).cast("long").as("s_tot"))
+    // S has a closed form over doc lengths — Σ_d min-bounded slots =
+    // w·L − w(w+1)/2 for L > w, else L(L−1)/2 — so the totals row costs
+    // one narrow scan instead of re-exploding every pair
+    val L = size(col("__tk")).cast("long")
+    val slots = when(L > window,
+        L * window - lit(window.toLong * (window + 1) / 2))
+      .otherwise(shiftright(L * (L - 1), 1)) // exact integer L(L−1)/2
+    val tot = toks.agg(coalesce(sum(slots), lit(0L)).cast("long").as("s_tot"))
     cab
       .join(uni.select(col("w").as("w_a"), col("c").as("c_a")), Seq("w_a"))
       .join(uni.select(col("w").as("w_b"), col("c").as("c_b")), Seq("w_b"))
