@@ -1377,6 +1377,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ordered funnel conversion (view → click → purchase): one
+    // aggregation pass with a greedy per-user ordered fold; the oracle
+    // replays the equivalent chained-min formulation
+    "q_funnel" -> ((s, dir) =>
+      operators.Joins.funnel(
+          table(s, dir, "events").select(col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("event_id"),
+            col("event_type")),
+          "user_id", "ts_us", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))),
+
     // session-level analytics composed on top of sessionize: the per-row
     // labels feed a per-session aggregate (map-side partials — only the
     // session rows cross the second exchange)
@@ -3477,6 +3489,23 @@ object SparkEntry {
         | SELECT pr.band, pr.lo, pr.hi, st.status, st.lo2, st.hi2
         | FROM pr JOIN st ON pr.lo <= st.hi2 AND st.lo2 <= pr.hi
         | ORDER BY band, status""".stripMargin.replaceAll("\n", " "),
+
+    // funnel replica: greedy-earliest equals chained conditional mins
+    // (t_i = min step-i time strictly after t_{i-1}), three rounds
+    "q_funnel" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_type " +
+        "FROM events WHERE event_type IN ('view','click','purchase')), " +
+        "u0 AS (SELECT user_id, min(CASE WHEN event_type='view' THEN ts_us END) AS t0 " +
+        "FROM e GROUP BY user_id), " +
+        "u1 AS (SELECT e.user_id, any_value(u0.t0) AS t0, " +
+        "min(CASE WHEN e.event_type='click' AND u0.t0 IS NOT NULL AND e.ts_us > u0.t0 " +
+        "THEN e.ts_us END) AS t1 FROM e JOIN u0 ON u0.user_id = e.user_id GROUP BY e.user_id), " +
+        "u2 AS (SELECT e.user_id, any_value(u1.t0) AS t0, any_value(u1.t1) AS t1, " +
+        "min(CASE WHEN e.event_type='purchase' AND u1.t1 IS NOT NULL AND e.ts_us > u1.t1 " +
+        "THEN e.ts_us END) AS t2 FROM e JOIN u1 ON u1.user_id = e.user_id GROUP BY e.user_id) " +
+        "SELECT user_id, CAST(CASE WHEN t0 IS NULL THEN 0 WHEN t1 IS NULL THEN 1 " +
+        "WHEN t2 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS steps_reached, " +
+        "t0 AS t_step0, t1 AS t_step1, t2 AS t_step2 FROM u2 ORDER BY user_id"),
 
     // sessionization: identical window arithmetic in DuckDB
     "q_sessionize" ->

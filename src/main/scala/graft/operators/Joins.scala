@@ -385,6 +385,66 @@ object Joins {
     *
     * NULL point or NULL/inverted interval never matches. Right columns
     * must not clash with left columns (keyCols excepted). */
+  /** Ordered funnel analysis over an event log: per key, the furthest
+    * step of `steps` reached and each step's chosen time, under the
+    * standard ordered-funnel rule — step i+1 must occur STRICTLY after
+    * the chosen step-i time. Greedy-earliest (each step takes its first
+    * qualifying event) is depth-optimal: any chain t1<…<tk can be
+    * shifted step-by-step onto the greedy times without breaking order,
+    * so no other strategy reaches deeper.
+    *
+    * ONE aggregation pass: events fold per key in (time, id) order
+    * through an array accumulator (a higher-order `aggregate`, the
+    * ordered-fold convention the ANN oracles use) — equivalent to the
+    * K-chained-min formulation the DuckDB oracle replays (greedy takes
+    * the min qualifying time at every step, by induction), but costing
+    * one Exchange instead of K self-join rounds.
+    *
+    * Scale shape: one partial-agg collect per key + a per-key fold
+    * bounded by that key's event count; AQE splits skewed keys. Events
+    * not matching any step still ride the collect — pre-filter
+    * `typeCol isin steps` upstream when the log is dominated by other
+    * types (done here). Returns `(keyCol, steps_reached, t_step0..K-1)`.
+    */
+  def funnel(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      idCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"steps must have 1..8 entries, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"steps must be distinct, got $steps")
+    val k = steps.size
+    val evs = sort_array(collect_list(struct(
+      col(timeCol).cast("long").as("ts"),
+      col(idCol).cast("long").as("id"),
+      col(typeCol).as("tp"))))
+    val zero = array_repeat(lit(null).cast("long"), k)
+    val stepArr = typedlit(steps)
+    val folded = aggregate(evs, zero, (acc, e) => {
+      val j = size(filter(acc, a => a.isNotNull)) // completed steps
+      val qualifies = j < k &&
+        e.getField("tp") === element_at(stepArr, j + 1) &&
+        (j === 0 || e.getField("ts") > element_at(acc, j))
+      when(qualifies,
+        transform(acc, (a, i) =>
+          when(i === j, e.getField("ts")).otherwise(a)))
+        .otherwise(acc)
+    })
+    df.where(col(typeCol).isin(steps: _*) && col(timeCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(folded.as("__acc"))
+      .select(
+        col(keyCol) +:
+          size(filter(col("__acc"), a => a.isNotNull)).cast("long")
+            .as("steps_reached") +:
+          steps.indices.map(i =>
+            element_at(col("__acc"), i + 1).as(s"t_step$i")): _*)
+  }
+
   def rangeJoin(
       left: DataFrame,
       right: DataFrame,

@@ -821,6 +821,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: greedy ordered steps, strict-after rule, chained-min parity") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 2L, 5L, "click"),    // click before any view: never step 1
+      (1L, 1L, 10L, "view"),
+      (2L, 3L, 1L, "view"), (2L, 4L, 2L, "click"), (2L, 5L, 3L, "purchase"),
+      (3L, 6L, 1L, "view"), (3L, 7L, 1L, "click"),  // same ts: NOT after
+      (3L, 8L, 4L, "click"), (3L, 9L, 2L, "purchase"), // purchase < t1
+      (4L, 10L, 7L, "purchase"), // step-2 type only → 0 steps
+      (5L, 11L, 1L, "error"))   // never in steps → no output row
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    val got = Joins.funnel(ev, "user_id", "ts_us", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), (2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))))).toMap
+    assert(got == Map(
+      1L -> ((1L, Seq(Some(10L), None, None))),
+      2L -> ((3L, Seq(Some(1L), Some(2L), Some(3L)))),
+      3L -> ((2L, Seq(Some(1L), Some(4L), None))),
+      4L -> ((0L, Seq(None, None, None)))), got.toString)
+    // chained-min model parity over a pseudo-random event soup
+    val steps = Seq("view", "click", "purchase")
+    val rnd = (0 until 400).map { i =>
+      val u = i % 7L
+      val h = graft.operators.HashKernelsAccess.mix(i.toLong)
+      (u, i.toLong, math.floorMod(h, 50L), steps((math.floorMod(h >> 8, 3L)).toInt))
+    }
+    val rndDf = rnd.toDF("user_id", "event_id", "ts_us", "event_type")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    val gotR = Joins.funnel(rndDf, "user_id", "ts_us", "event_id", "event_type", steps)
+      .collect().map(r => r.getLong(0) ->
+        (2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))).toMap
+    val model = rnd.groupBy(_._1).map { case (u, es) =>
+      var prev = Option.empty[Long]
+      var stopped = false
+      u -> steps.map { st =>
+        if (stopped) Option.empty[Long]
+        else {
+          val t = es.filter(e => e._4 == st && prev.forall(e._3 > _))
+            .map(_._3).minOption
+          if (t.isEmpty) stopped = true else prev = t
+          t
+        }
+      }
+    }
+    assert(gotR == model, s"random-soup parity failed:\n$gotR\nvs\n$model")
+  }
+
   test("cooccurrencePmi: hand-computed window pairs and integer-ln scores") {
     val s = spark
     import s.implicits._
