@@ -1389,6 +1389,27 @@ object SparkEntry {
           Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))),
 
+    // native ROLLUP grouping sets: per (type, day) + per-type + grand
+    // totals in one pass (Spark's Expand — no N aggregations); value
+    // sums in integer cents so the distributed sum is order-free
+    "q_rollup" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("cents")).as("sum_cents"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+
+    // cohort retention triangle over daily buckets: first-activity
+    // cohorts × active-again offsets, all-integer bucket arithmetic
+    "q_retention" -> ((s, dir) =>
+      operators.Joins.retention(
+          table(s, dir, "events")
+            .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          "user_id", "ts_us", bucket = 86400000000L, maxOffset = 10L)
+        .orderBy(col("cohort"), col("offset"))),
+
     // session-level analytics composed on top of sessionize: the per-row
     // labels feed a per-session aggregate (map-side partials — only the
     // session rows cross the second exchange)
@@ -3506,6 +3527,26 @@ object SparkEntry {
         "SELECT user_id, CAST(CASE WHEN t0 IS NULL THEN 0 WHEN t1 IS NULL THEN 1 " +
         "WHEN t2 IS NULL THEN 2 ELSE 3 END AS BIGINT) AS steps_reached, " +
         "t0 AS t_step0, t1 AS t_step1, t2 AS t_step2 FROM u2 ORDER BY user_id"),
+
+    // rollup replica: DuckDB ROLLUP produces the same grouping sets;
+    // NULLS FIRST pinned explicitly (DuckDB defaults NULLS LAST)
+    "q_rollup" ->
+      ("WITH e AS (SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS day, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events) " +
+        "SELECT event_type, day, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM e " +
+        "GROUP BY ROLLUP (event_type, day) " +
+        "ORDER BY event_type NULLS FIRST, day NULLS FIRST"),
+
+    // retention replica: identical floor-bucket arithmetic; // is floor
+    // division on BIGINT in DuckDB and ts_us is non-negative
+    "q_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS b " +
+        "FROM events), " +
+        "f AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY user_id) " +
+        "SELECT f.cohort, a.b - f.cohort AS \"offset\", CAST(count(*) AS BIGINT) AS n_active " +
+        "FROM a JOIN f ON f.user_id = a.user_id WHERE a.b - f.cohort <= 10 " +
+        "GROUP BY f.cohort, a.b - f.cohort ORDER BY cohort, \"offset\""),
 
     // sessionization: identical window arithmetic in DuckDB
     "q_sessionize" ->

@@ -445,6 +445,43 @@ object Joins {
             element_at(col("__acc"), i + 1).as(s"t_step$i")): _*)
   }
 
+  /** Cohort retention over an event log: users cohort by their FIRST
+    * activity bucket (`floor(ts / bucket)`), and the matrix counts how
+    * many of each cohort were active again `offset` buckets later —
+    * the table every training-data/product dashboard draws as the
+    * retention triangle. Offsets beyond `maxOffset` are dropped
+    * (bounds the output; offset 0 row = cohort size).
+    *
+    * Scale shape: first-activity is one partial-agg min per key; the
+    * join back is a key equi-join (broadcastable when the key table
+    * fits, AQE otherwise); the (user, bucket) distinct and the final
+    * (cohort, offset) count are both partial-agg shuffles on bounded
+    * keys. Returns `(cohort, offset, n_active)`. */
+  def retention(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      bucket: Long,
+      maxOffset: Long = 30L): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    // exact integer floor-div: subtracting pmod makes the numerator
+    // exactly divisible, so the double division is exact — a bare
+    // floor(ts / bucket) can round across the boundary at 1e15-scale
+    // timestamps (double quotient ulp vs 1/bucket margin)
+    val t = col(timeCol).cast("long")
+    val b = ((t - pmod(t, lit(bucket))) / lit(bucket)).cast("long")
+    val act = df.where(col(timeCol).isNotNull)
+      .select(col(keyCol).as("__k"), b.as("__b")).distinct()
+    val first = act.groupBy(col("__k")).agg(min(col("__b")).as("__cohort"))
+    act.join(first, Seq("__k"))
+      .select(col("__cohort").as("cohort"),
+        (col("__b") - col("__cohort")).as("offset"))
+      .where(col("offset") <= maxOffset)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+  }
+
   def rangeJoin(
       left: DataFrame,
       right: DataFrame,

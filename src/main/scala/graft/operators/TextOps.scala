@@ -875,6 +875,37 @@ object TextOps {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Compact the postings of an [[buildInvertedIndex]] layout after a
+    * run of [[appendToInvertedIndex]] calls: rewrite every bucket with
+    * its rows re-sorted by (term, doc_id) — appends leave each bucket
+    * with one file batch per append whose term ranges overlap, which
+    * erodes the min/max row-group skipping that term lookups rely on.
+    * Postings content (and so every query answer) is unchanged; only
+    * the file layout is. The swap is the crash-safe backup-rename
+    * ordering of [[Curation.compactShards]]: the layout is always
+    * present at either the canonical or the backup path. `meta` is not
+    * touched. */
+  def compactInvertedIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val postings = path.stripSuffix("/") + "/postings"
+    val src = spark.read.parquet(postings)
+    require(src.columns.contains("tb") && src.columns.contains("term"),
+      s"$postings is not an inverted-index layout (missing tb/term)")
+    val tmp = postings + "__compact_tmp"
+    src.repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val dstPath = new org.apache.hadoop.fs.Path(postings)
+    val bakPath = new org.apache.hadoop.fs.Path(postings + "__compact_bak")
+    val fs = tmpPath.getFileSystem(conf)
+    fs.delete(bakPath, true)
+    require(fs.rename(dstPath, bakPath), s"rename $postings -> $bakPath failed")
+    require(fs.rename(tmpPath, dstPath), s"rename $tmp -> $postings failed")
+    fs.delete(bakPath, true)
+  }
+
   /** Driver-side replica of the index's bucket assignment (the same
     * fnv1a64 → splitmix64 kernels, evaluated on a literal), so the query
     * can name the partition directories to prune to. */

@@ -821,6 +821,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("retention: cohort by first bucket, distinct activity, offset cap") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 5L), (1L, 15L), (1L, 35L), (1L, 205L), // b0,1,3 + capped b20
+      (2L, 25L), (2L, 28L),                       // same bucket: one row
+      (3L, 101L))
+      .toDF("user_id", "ts_us")
+    val got = Joins.retention(ev, "user_id", "ts_us", bucket = 10L, maxOffset = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (2L, 0L) -> 1L, (10L, 0L) -> 1L), got.toString)
+  }
+
   test("funnel: greedy ordered steps, strict-after rule, chained-min parity") {
     val s = spark
     import s.implicits._
@@ -925,6 +940,15 @@ class OperatorsSpec extends AnyFunSuite {
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(ph(incr) == ph(full) && ph(full).map(_._1) == Seq(3L, 4L),
         "phrase over appended index diverges")
+      // compaction restores one sorted file batch per bucket without
+      // changing any answer
+      val filesBefore = s.read.parquet(s"$incr/postings").inputFiles.length
+      TextOps.compactInvertedIndex(s, incr.toString)
+      val filesAfter = s.read.parquet(s"$incr/postings").inputFiles.length
+      assert(filesAfter < filesBefore,
+        s"compaction did not reduce files: $filesBefore -> $filesAfter")
+      assert(rows(incr) == rows(full) && ph(incr) == ph(full),
+        "compaction changed query answers")
     } finally {
       for (tmp <- Seq(full, incr)) {
         val walk = java.nio.file.Files.walk(tmp)
