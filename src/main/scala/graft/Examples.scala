@@ -305,6 +305,23 @@ object Examples {
     Graph.pageRankFixed(Web.domainEdges(linkPages, "doc_id", "url", "html"),
       "src_domain", "dst_domain", 5).orderBy(col("rank").desc).show(5)
 
+    println("== 21. Event analytics: funnel, retention triangle, ROLLUP ==")
+    val evA = sources.Tables.readTable(spark, s"$sfDir/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+    Joins.funnel(evA, "user_id", "ts_us", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .groupBy("steps_reached").count().orderBy("steps_reached").show()
+    Joins.retention(evA, "user_id", "ts_us", bucket = 86400000000L, maxOffset = 5L)
+      .orderBy("cohort", "offset").show(6)
+    sources.Tables.readTable(spark, s"$sfDir/events.parquet")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+      .show(5)
+
     spark.stop()
   }
 }

@@ -582,4 +582,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(probed.count() > 0)
     assert(probed.count() < emb.count()) // genuinely pruned, not a full scan
   }
+
+  test("round-10 operators: funnel one Exchange; KMV agg one; PMI three scans") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // funnel: one aggregation pass — a single Exchange on the key, no Join
+    val ev = sources.Tables.readTable(s, s"$sfDir/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+    val fnPlan = operators.Joins.funnel(ev, "user_id", "ts_us", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(fnPlan).size == 1, fnPlan)
+    assert(!fnPlan.contains("Join"), fnPlan)
+    // KMV aggregator sketch: one partial-agg Exchange (ObjectHashAggregate
+    // partials combine map-side), no window sort
+    val toks = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val kvPlan = operators.Curation.kmvAggTable(toks, "source", "tok", 32)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(kvPlan).size == 1, kvPlan)
+    assert(kvPlan.contains("ObjectHashAggregate") && !kvPlan.contains("Window"), kvPlan)
+    // PMI: the unigram table is referenced by both sides' joins but
+    // computed ONCE (AQE ReusedExchange — the documented three text
+    // scans hold at runtime); joins broadcast, never cartesian
+    val pmi = operators.TextOps.cooccurrencePmi(
+      s.read.parquet(s"$sfDir/documents.parquet"), "text", 3, 2L)
+    assert(pmi.collect().nonEmpty) // count() would execute a pruned plan
+    val pmiPlan = pmi.queryExecution.executedPlan.toString
+    assert(pmiPlan.contains("ReusedExchange"), pmiPlan)
+    assert(pmiPlan.contains("BroadcastHashJoin"), pmiPlan)
+    assert(!pmiPlan.contains("CartesianProduct"), pmiPlan)
+  }
 }
