@@ -924,6 +924,23 @@ object SparkEntry {
           "source", "tok", k = 128)
         .orderBy(col("ga"), col("gb"))),
 
+    // shuffle-key skew pre-flight: heaviest values per candidate key
+    // column with exact row shares (NULL counts as a value)
+    "q_skew" -> ((s, dir) =>
+      operators.Curation.skewReport(
+          table(s, dir, "documents"), Seq("lang", "source"), topK = 5)
+        .orderBy(col("col_name"), col("rk"))),
+
+    // curriculum bins: every event assigned its quartile bucket from
+    // the deterministic sample-quantile thresholds — zero extra
+    // Exchange (thresholds fold into a literal when-chain)
+    "q_curriculum" -> ((s, dir) =>
+      operators.Curation.curriculumBins(
+          table(s, dir, "events").select(col("event_id"), col("value")),
+          "event_id", "value", nBins = 4, k = 256)
+        .select(col("event_id"), col("bin"))
+        .orderBy(col("event_id"))),
+
     // deterministic bottom-k-by-id-hash row sample → per-type value
     // quantiles; integer rank arithmetic, so the oracle replays the
     // sample AND the order statistics exactly
@@ -1400,6 +1417,24 @@ object SparkEntry {
         .rollup(col("event_type"), col("day"))
         .agg(count(lit(1)).cast("long").as("n"), sum(col("cents")).as("sum_cents"))
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+
+    // per-node triangle counts over the item co-interaction graph
+    // (consecutive items per user, low-high oriented so each triangle
+    // is found once); wedge joins never fan out past high-neighbor
+    // degree
+    "q_triangles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), json_get_int(col("props"), lit("k")).as("item"))
+        .where(col("item").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val edges = ev.withColumn("prev", lag(col("item"), 1).over(w))
+        .where(col("prev").isNotNull && col("prev") =!= col("item"))
+      operators.Graph.triangleCounts(edges, "prev", "item")
+        .orderBy(col("node"))
+    }),
 
     // cohort retention triangle over daily buckets: first-activity
     // cohorts × active-again offsets, all-integer bucket arithmetic
@@ -3129,6 +3164,37 @@ object SparkEntry {
         "SELECT ga, gb, kk, n_inter, CAST(n_inter AS DOUBLE) / CAST(kk AS DOUBLE) AS jaccard_est " +
         "FROM fin ORDER BY ga, gb"),
 
+    // skew replica: per-column value counts, count-desc/value-asc
+    // top-5, share as exact integer division
+    "q_skew" ->
+      ("WITH v AS (SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS value FROM documents " +
+        "UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents), " +
+        "c AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY col_name, value), " +
+        "r AS (SELECT col_name, value, cnt, row_number() OVER " +
+        "(PARTITION BY col_name ORDER BY cnt DESC, value ASC NULLS FIRST) AS rk FROM c) " +
+        "SELECT col_name, value, cnt, CAST(cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS share, " +
+        "CAST(rk AS BIGINT) AS rk FROM r CROSS JOIN t WHERE rk <= 5 ORDER BY col_name, rk"),
+
+    // curriculum replica: global sample-quantile thresholds (25/50/75)
+    // then bin = #(thresholds strictly below value) per event
+    "q_curriculum" ->
+      ("WITH ev AS (SELECT event_id AS id, value AS v FROM events WHERE value IS NOT NULL), " +
+        "hv AS (SELECT id, v, CAST(id AS HUGEINT) AS h0 FROM ev), " +
+        mixStagesSql("hv", "id, v", "cb") + ", " +
+        "sh AS (SELECT id, v, h // 2 AS h FROM cb3), " +
+        "sm AS (SELECT id, v, h, row_number() OVER (ORDER BY h, id) AS sr FROM sh), " +
+        "samp AS (SELECT v, h FROM sm WHERE sr <= 256), " +
+        "cnt AS (SELECT CAST(count(*) AS BIGINT) AS s FROM samp), " +
+        "rkd AS (SELECT v, row_number() OVER (ORDER BY v, h) AS vr FROM samp), " +
+        "wnt AS (SELECT p, (p * cnt.s + 99) // 100 AS rank_p FROM " +
+        "(VALUES (CAST(25 AS BIGINT)), (50), (75)) pc(p) CROSS JOIN cnt), " +
+        "th AS (SELECT w.p, r.v AS t FROM wnt w JOIN rkd r ON r.vr = w.rank_p) " +
+        "SELECT e.event_id, CAST(CASE WHEN max(e.value) IS NULL THEN NULL " +
+        "ELSE sum(CASE WHEN e.value > th.t THEN 1 ELSE 0 END) END AS BIGINT) AS bin " +
+        "FROM events e CROSS JOIN th GROUP BY e.event_id ORDER BY e.event_id")
+      .replaceAll("\n", " "),
+
     // sample quantiles: bottom-256 rows by splitmix64(event_id) per
     // type, then integer-rank order statistics over the sample
     "q_quantiles" ->
@@ -3537,6 +3603,24 @@ object SparkEntry {
         "CAST(sum(cents) AS BIGINT) AS sum_cents FROM e " +
         "GROUP BY ROLLUP (event_type, day) " +
         "ORDER BY event_type NULLS FIRST, day NULLS FIRST"),
+
+    // triangle replica: same lag-derived edges, low-high orientation,
+    // wedge + closing join, corners exploded via three unions
+    "q_triangles" ->
+      ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        "lg AS (SELECT item, lag(item) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM ev), " +
+        "ed0 AS (SELECT CAST(prev AS VARCHAR) AS x, CAST(item AS VARCHAR) AS y FROM lg " +
+        "WHERE prev IS NOT NULL AND prev <> item), " +
+        "e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM ed0), " +
+        "tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM e e1 " +
+        "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "crn AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri), " +
+        "cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM crn GROUP BY node), " +
+        "nd AS (SELECT DISTINCT node FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)) " +
+        "SELECT nd.node, CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles " +
+        "FROM nd LEFT JOIN cnt ON cnt.node = nd.node ORDER BY nd.node"),
 
     // retention replica: identical floor-bucket arithmetic; // is floor
     // division on BIGINT in DuckDB and ts_us is non-negative

@@ -611,6 +611,77 @@ object Curation {
       .select(col("grp"), col("p"), col("n_sample"), col("v").as("est"))
   }
 
+  /** Curriculum/difficulty binning: assign every row to one of `nBins`
+    * quality buckets split at the [[sampleQuantiles]] thresholds — the
+    * composition that makes the quantile sketch load-bearing:
+    * curriculum schedules, difficulty-stratified eval sets, and
+    * quality-tiered mixing all start from "which quantile bucket is
+    * this example in". Thresholds come from the deterministic bottom-k
+    * sample (mergeable across shards, replayable cross-engine), so the
+    * binning is reproducible bit-for-bit — unlike approx_percentile
+    * cuts. `bin = #(thresholds strictly below value)` in 0..nBins−1;
+    * NULL values get a NULL bin.
+    *
+    * Scale shape: the threshold frame is ≤ nBins−1 rows and is
+    * collected into a literal when-chain, so the assignment pass is one
+    * narrow scan with ZERO additional Exchange — the only shuffles are
+    * inside the one-time quantile estimate. Returns input + `bin`. */
+  def curriculumBins(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      nBins: Int = 4,
+      k: Int = 256): DataFrame = {
+    require(nBins >= 2 && nBins <= 20, s"nBins must be in 2..20, got $nBins")
+    val pcts = (1 until nBins).map(i => i * 100 / nBins)
+    require(pcts.distinct.size == pcts.size,
+      s"nBins=$nBins yields duplicate integer percents $pcts")
+    val th = sampleQuantiles(
+        df.select(lit("all").as("__grp"), col(idCol), col(valueCol)),
+        "__grp", idCol, valueCol, k, pcts)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).sortBy(_._1).map(_._2)
+    val bin = th.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col(valueCol) > lit(t), 1L).otherwise(0L)
+    }
+    df.withColumn("bin", when(col(valueCol).isNotNull, bin))
+  }
+
+  /** Partition-skew diagnostics: per listed column, the `topK` heaviest
+    * values with their counts and row share — the pre-flight check
+    * before choosing shuffle keys (a key whose head value carries >
+    * a few percent of rows needs salting —
+    * [[Dedup]]/[[Web.domainCapSalted]]-style — or AQE skew hints).
+    * NULL counts as a value here (a mostly-NULL join key is the classic
+    * silent hot partition).
+    *
+    * Scale shape: one Expand pass over the listed columns → one
+    * partial-agg count on (column, value) — the Zipf head this measures
+    * is exactly what collapses map-side — then a per-column top-K
+    * window over the distinct-value counts. Shares are exact-integer
+    * divisions. Returns `(col_name, value, cnt, share, rk)`. */
+  def skewReport(
+      df: DataFrame,
+      columns: Seq[String],
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(columns.nonEmpty, "columns must be non-empty")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val total = df.count()
+    val pairs = explode(array(columns.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
+    df.select(pairs.as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("col_name"))
+          .orderBy(col("cnt").desc, col("value").asc_nulls_first)))
+      .where(col("rk") <= topK)
+      .select(col("col_name"), col("value"), col("cnt"),
+        (col("cnt").cast("double") / lit(total.toDouble)).as("share"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** k-anonymity screen over quasi-identifier columns [Sweeney 2002]:
     * a row is safe only if at least `k` rows share its full
     * quasi-identifier combination — rare combinations are the ones that

@@ -821,6 +821,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumBins: exact quartile thresholds when sample covers all; null-safe") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 100L).map(i => (i, Some(i.toDouble))) :+ (101L, Option.empty[Double]))
+      .toDF("id", "v")
+    val got = Curation.curriculumBins(df, "id", "v", nBins = 4, k = 1000)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // thresholds = 25/50/75th order stats = 25,50,75; bin = # strictly below
+    assert(got(25L) == Some(0L) && got(26L) == Some(1L))
+    assert(got(50L) == Some(1L) && got(51L) == Some(2L))
+    assert(got(75L) == Some(2L) && got(76L) == Some(3L) && got(100L) == Some(3L))
+    assert(got(1L) == Some(0L) && got(101L).isEmpty)
+  }
+
+  test("triangleCounts: orientation finds each triangle once; dedup, loops, isolates") {
+    val s = spark
+    import s.implicits._
+    // K4 on 1-4 minus edge (3,4), plus: a duplicate edge, a reversed
+    // edge, a self-loop, and a triangle-free pendant 5
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (2L, 2L), (1L, 2L), (4L, 5L))
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // triangles: (1,2,3) and (1,2,4)
+    assert(got == Map("1" -> 2L, "2" -> 2L, "3" -> 1L, "4" -> 1L, "5" -> 0L),
+      got.toString)
+  }
+
   test("retention: cohort by first bucket, distinct activity, offset cap") {
     val s = spark
     import s.implicits._
