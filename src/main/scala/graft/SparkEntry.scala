@@ -389,6 +389,24 @@ object SparkEntry {
           col("s_tot"))
         .orderBy(col("w_a"), col("w_b"))),
 
+    // reciprocal-rank fusion of two BM25 rankings (the hybrid-retrieval
+    // combiner): 1/(60+rank) terms summed in fixed list order — every
+    // operand exact, so the fused scores replay bit-for-bit
+    "q_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def ranked(terms: Seq[String]) =
+        operators.TextOps.bm25TopK(table(s, dir, "documents"),
+            "doc_id", "text", terms, k = 25)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+      operators.Similarity.rrfFuse(
+          Seq(ranked(Seq("spark", "join", "vector", "stream")),
+            ranked(Seq("table", "hash", "merge", "sort"))),
+          "doc_id", c = 60, k = 20)
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    }),
+
     // exact phrase search over the positional postings: pivot the phrase
     // terms' position arrays per doc, fold occ = intersect(occ+1, next);
     // the oracle recomputes positions from the raw tokens
@@ -2303,8 +2321,10 @@ object SparkEntry {
   /** BM25 oracle text shared by q_bm25 (scan path) and q_bm25_indexed
     * (inverted-index path): both JVM paths compute the identical IEEE op
     * sequence, so one replica pins both. */
-  private lazy val bm25OracleSql: String = {
-    val terms = Seq("spark", "join", "vector", "stream")
+  /** BM25 replica as reusable CTE text (prefixed so two rankings can
+    * coexist in one statement — q_rrf). Yields `<pfx>sc(doc_id, score)`
+    * plus the shared idf/tf arithmetic. */
+  private def bm25Ctes(terms: Seq[String], pfx: String): String = {
     val tfDefs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(tk) - len(list_filter(tk, x -> x <> '$t')) AS BIGINT) AS tf$i"
     }.mkString(", ")
@@ -2320,14 +2340,17 @@ object SparkEntry {
         s"(CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / " +
         s"(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))"
     }.mkString(" + ")
-    s"WITH tq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-      s"tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfDefs FROM tq), " +
-      s"st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, " +
-      s"$dfDefs FROM tf), " +
-      s"sc AS (SELECT doc_id, $contribs AS score FROM tf CROSS JOIN st) " +
-      s"SELECT doc_id, score FROM sc WHERE score > 0.0 " +
-      s"ORDER BY score DESC, doc_id LIMIT 25"
+    s"${pfx}tq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      s"${pfx}tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfDefs FROM ${pfx}tq), " +
+      s"${pfx}st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, " +
+      s"$dfDefs FROM ${pfx}tf), " +
+      s"${pfx}sc AS (SELECT doc_id, $contribs AS score FROM ${pfx}tf CROSS JOIN ${pfx}st)"
   }
+
+  private lazy val bm25OracleSql: String =
+    s"WITH ${bm25Ctes(Seq("spark", "join", "vector", "stream"), "")} " +
+      "SELECT doc_id, score FROM sc WHERE score > 0.0 " +
+      "ORDER BY score DESC, doc_id LIMIT 25"
 
   /** Shared KMV replica: per-source bottom-128 DISTINCT 63-bit token
     * hashes as CTEs `toks → hv → km0..3 → hh → srk → sk` — the distinct
@@ -2638,6 +2661,25 @@ object SparkEntry {
     // the indexed path must reproduce the scan path bit-for-bit, so it
     // shares the exact oracle text
     "q_bm25_indexed" -> bm25OracleSql,
+
+    // RRF replica: both BM25 rankings as prefixed CTE chains, full
+    // outer join, fixed-order reciprocal sum
+    "q_rrf" -> {
+      val a = bm25Ctes(Seq("spark", "join", "vector", "stream"), "a_")
+      val b = bm25Ctes(Seq("table", "hash", "merge", "sort"), "b_")
+      s"WITH $a, $b, " +
+        "ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk " +
+        "FROM (SELECT doc_id, score FROM a_sc WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 25)), " +
+        "rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk " +
+        "FROM (SELECT doc_id, score FROM b_sc WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 25)), " +
+        "f AS (SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, ra.rk AS rk0, rb.rk AS rk1 " +
+        "FROM ra FULL JOIN rb ON rb.doc_id = ra.doc_id) " +
+        "SELECT doc_id, CAST((CASE WHEN rk0 IS NULL THEN 0 ELSE 1 END + " +
+        "CASE WHEN rk1 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists, " +
+        "(CASE WHEN rk0 IS NULL THEN 0.0 ELSE 1.0 / (60.0 + CAST(rk0 AS DOUBLE)) END) + " +
+        "(CASE WHEN rk1 IS NULL THEN 0.0 ELSE 1.0 / (60.0 + CAST(rk1 AS DOUBLE)) END) AS rrf_score " +
+        "FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20"
+    },
 
     // PMI replica: nested list comprehension rebuilds the windowed pair
     // slots; the exact integer association table is the compared surface

@@ -1021,4 +1021,46 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion [Cormack et al. 2009] — the standard way to
+    * combine heterogeneous retrievers (BM25 + dense ANN + recency …)
+    * without score calibration: fused(d) = Σ_lists 1/(c + rank_list(d)),
+    * missing-from-list contributes 0. Each input must carry `idCol` and
+    * a 1-based `rank` column (ranks, not scores — that is the point of
+    * RRF). Determinism: per doc the reciprocal terms are summed in
+    * FIXED list order via pivot slots, and every term is an IEEE
+    * division of exact integers, so the fused score replays
+    * bit-for-bit cross-engine.
+    *
+    * Scale shape: inputs are top-k lists (tiny by construction) — one
+    * union + one pivot aggregation + a TakeOrdered; nothing here
+    * touches a corpus. Returns `(idCol, n_lists, rrf_score)`, the
+    * fused top `k`. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      c: Int = 60,
+      k: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    require(c >= 1, s"c must be >= 1, got $c")
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol).cast("long").as("__id"),
+        col("rank").cast("long").as("__rk"), lit(i).as("__li"))
+    }.reduce(_ unionAll _)
+    val pivoted = tagged.groupBy(col("__id"))
+      .agg(max(when(col("__li") === 0, col("__rk"))).as("__r0"),
+        rankings.indices.drop(1).map(i =>
+          max(when(col("__li") === i, col("__rk"))).as(s"__r$i")): _*)
+    val score = rankings.indices.map { i =>
+      val r = col(s"__r$i")
+      when(r.isNull, lit(0.0))
+        .otherwise(lit(1.0) / (lit(c.toDouble) + r.cast("double")))
+    }.reduce(_ + _)
+    val nLists = rankings.indices.map(i =>
+      when(col(s"__r$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    pivoted.select(col("__id").as(idCol), nLists.as("n_lists"),
+        score.as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
 }
