@@ -425,6 +425,29 @@ object ScaleProbe {
     for (a <- nSessLabeled; b <- nSessNative)
       println(s"  sessions: two-pass=$a native=$b ${if (a == b) "EQUAL" else "MISMATCH"}")
 
+    // event analytics over the same synthetic log: funnel is ONE
+    // aggregation pass, retention three bounded-key shuffles, triangles
+    // two wedge joins over the (user mod) co-interaction edges
+    val funEv = sessEv.withColumn("step",
+      element_at(typedlit(Seq("view", "click", "purchase")),
+        (pmod(operators.mix64(col("event_id"), 91L), lit(3)) + 1).cast("int")))
+    time(s"funnel 3 steps, $nEv rows x 1000 users (one agg pass)") {
+      operators.Joins.funnel(funEv, "user_id", "t", "event_id", "step",
+          Seq("view", "click", "purchase"))
+        .agg(sum(col("steps_reached")), count(lit(1))).collect()
+    }
+    time(s"retention, $nEv rows, 3600-bucket, offsets<=30") {
+      operators.Joins.retention(sessEv, "user_id", "t", bucket = 3600L)
+        .agg(sum(col("n_active")), count(lit(1))).collect()
+    }
+    time(s"triangle counts, ${nEv / 10} edges over 2000 nodes") {
+      val ed = spark.range(nEv / 10).select(
+        pmod(operators.mix64(col("id"), 3L), lit(2000)).as("s"),
+        pmod(operators.mix64(col("id"), 5L), lit(2000)).as("d"))
+      operators.Graph.triangleCounts(ed, "s", "d")
+        .agg(sum(col("n_triangles")), count(lit(1))).collect()
+    }
+
     val big = nDocs.toLong * 100
     time(s"stratified sample, $big ids x 20 strata") {
       operators.Curation.stratifiedSample(

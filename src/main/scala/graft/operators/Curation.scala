@@ -636,8 +636,11 @@ object Curation {
     val pcts = (1 until nBins).map(i => i * 100 / nBins)
     require(pcts.distinct.size == pcts.size,
       s"nBins=$nBins yields duplicate integer percents $pcts")
+    // cast to double up front so the collected thresholds read uniformly
+    // for any numeric input column
     val th = sampleQuantiles(
-        df.select(lit("all").as("__grp"), col(idCol), col(valueCol)),
+        df.select(lit("all").as("__grp"), col(idCol),
+          col(valueCol).cast("double").as(valueCol)),
         "__grp", idCol, valueCol, k, pcts)
       .collect().map(r => r.getLong(1) -> r.getDouble(3)).sortBy(_._1).map(_._2)
     val bin = th.foldLeft(lit(0L)) { (acc, t) =>
