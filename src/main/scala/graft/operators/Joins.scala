@@ -426,9 +426,12 @@ object Joins {
     val stepArr = typedlit(steps)
     val folded = aggregate(evs, zero, (acc, e) => {
       val j = size(filter(acc, a => a.isNotNull)) // completed steps
+      // greatest(j, 1) keeps the index valid under ANSI when j = 0 (the
+      // Or's left arm decides then) — never rely on Or evaluation order
+      // to dodge element_at's invalid-index-0 error
       val qualifies = j < k &&
         e.getField("tp") === element_at(stepArr, j + 1) &&
-        (j === 0 || e.getField("ts") > element_at(acc, j))
+        (j === 0 || e.getField("ts") > element_at(acc, greatest(j, lit(1))))
       when(qualifies,
         transform(acc, (a, i) =>
           when(i === j, e.getField("ts")).otherwise(a)))

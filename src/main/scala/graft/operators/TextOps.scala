@@ -794,8 +794,9 @@ object TextOps {
     * `meta.(n, sdl)` equal the scan-based stats exactly and indexed
     * scores replay bit-for-bit.
     *
-    * Scale shape: build = one explode + one (term, doc) partial-agg
-    * shuffle + one write clustered by bucket — O(corpus tokens) once,
+    * Scale shape: build = a narrow stats pass (meta) plus one explode +
+    * one (term, doc) partial-agg shuffle + one write clustered by
+    * bucket — O(corpus tokens) once,
     * amortized over every subsequent query; Zipf-head terms spread over
     * doc-id file splits (a posting list is splittable — it is rows, not
     * a blob). Query cost then scales with the MATCHED posting lists,
@@ -1030,10 +1031,10 @@ object TextOps {
     * a corpus before/alongside training. A pair (a, b) co-occurs when b
     * follows a within `window` tokens (direction-collapsed: the pair is
     * stored with a <= b, the word2vec convention). PMI evaluates as
-    * `ln(c_ab · S) − ln(c_a · c_b)` with EXACT-INTEGER ln arguments
-    * (c_ab·S and c_a·c_b stay below 2^53 for any corpus this oracle
-    * runs at — the q_bm25 integer-ln lemma), where S = Σ c_ab (total
-    * windowed pair slots) so the distribution is a true probability.
+    * `ln(c_ab · S) − ln(c_a · c_b)` with exact-integer ln arguments
+    * (both products stay below 2^53 at oracle scales, so the DOUBLE
+    * inputs are exact), where S = Σ c_ab (total windowed pair slots) so
+    * the distribution is a true probability.
     * Rare pairs are cut at `minCount` BEFORE scoring (the standard PMI
     * noise guard).
     *
