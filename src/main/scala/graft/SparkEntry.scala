@@ -1344,6 +1344,16 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // STREAMING funnel monitor: step events settle in watermark order
+    // then fold through the batch greedy rule; the latest snapshot per
+    // user must equal batch funnel exactly (q_funnel's oracle)
+    "q_stream_funnel" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.funnelToBatch(s, s"$dir/events.parquet",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // STREAMING sessionization: watermark-held per-row session labels
     // with a numbering carry across micro-batches; the bounded replay
     // must equal batch sessionize exactly (q_sessionize's oracle)
@@ -2312,6 +2322,7 @@ object SparkEntry {
       "q_stream_asof_state" -> base("q_asof_join"),
       "q_stream_asof_et" -> base("q_asof_join"),
       "q_stream_sessionize" -> base("q_sessionize"),
+      "q_stream_funnel" -> base("q_funnel"),
       "q_stream_kmv" -> base("q_kmv"),
       "q_stream_bloom" -> base("q_bloom_decontam"),
       "q_knn_batched" -> base("q_knn_join"),

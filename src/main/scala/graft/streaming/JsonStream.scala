@@ -871,6 +871,163 @@ object JsonStream {
     }
   }
 
+  case class FunnelTaggedT(
+      event_id: Long, ts_us: Long, user_id: Long, event_type: String,
+      event_time: java.sql.Timestamp)
+  /** Funnel state: step events awaiting the watermark, the fold
+    * accumulator (chosen time per completed step, prefix-filled), and
+    * whether any snapshot was emitted yet (`started` — a key whose
+    * settled events never progress must still emit ONE zero-depth row
+    * so the latest-snapshot view equals batch funnel for every key). */
+  case class FunnelState(
+      pending: List[(Long, Long, String)], acc: Seq[Option[Long]],
+      started: Boolean)
+  case class FunnelSnap(
+      user_id: Long, ts_us: Long, event_id: Long, steps_reached: Long,
+      t_steps: Seq[Option[Long]])
+
+  /** Watermark-correct STREAMING funnel monitor — the streaming face of
+    * [[graft.operators.Joins.funnel]]: per key, step events are held in
+    * state until the watermark settles their order (the
+    * [[sessionizeEventTime]] discipline), then fold through the batch
+    * operator's greedy strict-after rule; the accumulator carries across
+    * micro-batches, so a key's funnel depth is always the depth over its
+    * WHOLE settled history — out-of-order steps within the watermark
+    * delay resolve exactly (a late `click` arriving after the `purchase`
+    * was seen still slots between `view` and `purchase`, which
+    * arrival-order folding would get wrong).
+    *
+    * One snapshot row is emitted per PROGRESS event (the event that
+    * advanced the accumulator), stamped with that event's (ts, id) — a
+    * change-log of conversion progress; the latest row per key IS the
+    * batch funnel answer over the settled prefix (q_stream_funnel pins
+    * equality with q_funnel). State per key: pending above-watermark
+    * step events + `steps.size` longs of accumulator, retained for idle
+    * keys by design (any future event continues the fold). */
+  def funnelEventTime(
+      spark: SparkSession,
+      events: DataFrame,
+      steps: Seq[String],
+      delay: String = "10 seconds"): Dataset[FunnelSnap] = {
+    import spark.implicits._
+    require(steps.nonEmpty && steps.size <= 8,
+      s"steps must have 1..8 entries, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"steps must be distinct, got $steps")
+    val k = steps.size
+    val tagged = events
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+      .withWatermark("event_time", delay)
+      // filter AFTER the watermark node so non-step rows (including the
+      // replay harness's pusher) still advance the watermark
+      .where(col("event_type").isin(steps: _*))
+      .as[FunnelTaggedT]
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, rows: Iterator[FunnelTaggedT], state: GroupState[FunnelState]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val batch = rows.toVector.filter(_.ts_us >= wmUs)
+          val prev = state.getOption.getOrElse(
+            FunnelState(Nil, Seq.fill(k)(Option.empty[Long]), started = false))
+          val pendingAll = prev.pending ++
+            batch.map(x => (x.ts_us, x.event_id, x.event_type))
+          val (readyU, still) = pendingAll.partition(_._1 < wmUs)
+          val ready = readyU.sorted
+          var acc = prev.acc
+          var started = prev.started
+          val out = Vector.newBuilder[FunnelSnap]
+          for ((ts, id, tp) <- ready) {
+            val j = acc.indexWhere(_.isEmpty) match {
+              case -1 => k
+              case n => n
+            }
+            if (j < k && tp == steps(j) && (j == 0 || ts > acc(j - 1).get)) {
+              acc = acc.updated(j, Some(ts))
+              out += FunnelSnap(key, ts, id, (j + 1).toLong, acc)
+              started = true
+            } else if (!started) {
+              // first settled event made no progress: emit the zero-depth
+              // baseline so this key still has a latest snapshot
+              out += FunnelSnap(key, ts, id, 0L, acc)
+              started = true
+            }
+          }
+          if (still.isEmpty && !started) state.remove()
+          else {
+            state.update(FunnelState(still, acc, started))
+            if (still.nonEmpty)
+              state.setTimeoutTimestamp(still.map(_._1).min / 1000L + 1L)
+          }
+          out.result().iterator
+        })
+  }
+
+  /** Bounded replay of the streaming funnel (q_stream_funnel verify
+    * surface): pusher-driven drain, then the LATEST snapshot per key —
+    * which must equal batch [[graft.operators.Joins.funnel]] exactly
+    * (q_funnel's oracle, shared verbatim; the pusher's event type is in
+    * no step list, so it advances the watermark without emitting). */
+  def funnelToBatch(
+      spark: SparkSession, path: String, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    graft.sources.Tables.prepare(spark)
+    val p = java.nio.file.Paths.get(path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-funnel")
+    if (java.nio.file.Files.isRegularFile(p))
+      java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+    else
+      new java.io.File(path).listFiles().filter(_.isFile).foreach(f =>
+        java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
+    try {
+      val raw = spark.read.parquet(dir.toString)
+      val batchDf = graft.sources.Tables.tsToNanos(raw)
+      val maxRow = batchDf.agg(max(col("ts"))).head()
+      if (maxRow.isNullAt(0)) {
+        import spark.implicits._
+        return Seq.empty[FunnelSnap].toDS().toDF()
+      }
+      val maxTs = maxRow.getLong(0)
+      raw.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts",
+          graft.sources.Tables.tsLiteral(raw.schema("ts").dataType,
+            maxTs + 3600L * 1000000000L))
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("__pusher"))
+        .write.mode("append").parquet(dir.toString)
+      val out = funnelEventTime(spark,
+        readEvents(spark, dir.toString).drop("event_ts"), steps,
+        delay = "1 second")
+      val sink = s"graft_stream_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.toDF().writeStream
+        .format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val snaps = spark.table(sink)
+      val latest = snaps
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts_us").desc, col("event_id").desc)))
+        .where(col("__rn") === 1)
+      val result = latest.select(
+          col("user_id") +: col("steps_reached") +:
+            steps.indices.map(i =>
+              element_at(col("t_steps"), i + 1).as(s"t_step$i")): _*)
+        .localCheckpoint(true)
+      spark.catalog.dropTempView(sink)
+      result
+    } finally {
+      val d = new java.io.File(dir.toString)
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
+  }
+
   case class UserAgg(user_id: Long, n_events: Long, sum_k: Long)
 
   /** Custom streaming state: running per-user event count and k-sum via

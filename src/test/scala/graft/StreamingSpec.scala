@@ -261,6 +261,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: late step slots into order; zero-progress keys still snapshot") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val events = ms.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val sink = "funnel_et_test"
+    val q = JsonStream.funnelEventTime(s, events,
+        Seq("view", "click", "purchase"), delay = "5 seconds")
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName(sink).start()
+    try {
+      // batch 1 (ts ns): user 1's purchase@30s ARRIVES before its
+      // view@10s; user 2 has a click only (never progresses)
+      ms.addData((1L, 30000000000L, 1L, "purchase"),
+        (2L, 10000000000L, 1L, "view"), (3L, 12000000000L, 2L, "click"))
+      q.processAllAvailable()
+      // the follow-up timeout batch already settles everything below the
+      // 25 s watermark: user 1's view and user 2's zero-progress baseline;
+      // the purchase stays pending (its predecessors aren't settled)
+      val r1 = s.table(sink).orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      assert(r1 == Seq((1L, 10000000L, 1L), (2L, 12000000L, 0L)), r1.mkString(","))
+      // batch 2: the LATE click@20s (watermark is 25s... no: wm = 30s-5s
+      // = 25s, 20s < 25s would be dropped as late — send click@26s) plus
+      // a pusher@60s; the fold settles 10,26,30 in EVENT-TIME order, so
+      // the click lands between view and purchase — arrival-order
+      // folding would have rejected the purchase forever
+      ms.addData((4L, 26000000000L, 1L, "click"), (9L, 60000000000L, 2L, "view"))
+      q.processAllAvailable()
+      val rows = s.table(sink).orderBy("user_id", "ts_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      // user 1: view@10s (depth 1), click@26s (depth 2), purchase@30s
+      // (depth 3); user 2: zero-progress baseline at its click
+      assert(rows == Seq(
+        (1L, 10000000L, 1L), (1L, 26000000L, 2L), (1L, 30000000L, 3L),
+        (2L, 12000000L, 0L)), rows.mkString(","))
+      // latest snapshot per user equals the batch funnel
+      val latest = rows.groupBy(_._1).map { case (u, rs) => u -> rs.last._3 }
+      val batch = graft.operators.Joins.funnel(
+          Seq((1L, 10000000L, 2L, "view"), (1L, 26000000L, 4L, "click"),
+            (1L, 30000000L, 1L, "purchase"), (2L, 12000000L, 3L, "click"))
+            .toDF("user_id", "ts_us", "event_id", "event_type"),
+          "user_id", "ts_us", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == batch, s"stream $latest vs batch $batch")
+    } finally q.stop()
+  }
+
   test("stateful as-of pruning: monotonic horizon, out-of-order lefts dropped not mis-matched") {
     val s = spark
     import s.implicits._
