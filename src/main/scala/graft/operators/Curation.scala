@@ -57,12 +57,25 @@ object Curation {
       idCol: String,
       sourceCol: String,
       weights: Map[String, Double],
-      salt: Long = 9973L): DataFrame = {
+      salt: Long = 9973L,
+      maxSources: Int = 256): DataFrame = {
+    require(maxSources >= 1, s"maxSources must be >= 1, got $maxSources")
+    // the weight map rides the plan as ONE map literal probed with
+    // element_at — constant expression depth no matter how many sources
+    // (a per-source when-chain overflows the analyzer stack in the
+    // hundreds); maxSources still bounds the literal a caller can inline
+    // — a genuinely huge rate table belongs in a broadcast join instead
+    require(weights.size <= maxSources,
+      s"weights has ${weights.size} sources, more than maxSources=" +
+        s"$maxSources — inline map literals this large belong in a " +
+        "broadcast-joined rate table")
     val bucket = mix_bucket(col(idCol).cast("long"), 2654435761L, salt, 20, 1000)
-    val keepPerMille = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
-      when(col(sourceCol) === src, lit(math.max(0.0, math.min(1.0, w)) * 1000.0))
-        .otherwise(acc)
+    val clamped: Map[String, Double] = weights.map { case (src, w) =>
+      src -> math.max(0.0, math.min(1.0, w)) * 1000.0
     }
+    val keepPerMille =
+      if (clamped.isEmpty) lit(0.0)
+      else coalesce(element_at(typedlit(clamped), col(sourceCol)), lit(0.0))
     docs.where(bucket < keepPerMille)
   }
 
@@ -75,7 +88,9 @@ object Curation {
     * deterministic id-hash, so the sampled corpus is bit-reproducible.
     *
     * The per-source counts are a tiny bounded-cardinality aggregate
-    * (sources are a dimension, like centroids) collected driver-side;
+    * (sources are a dimension, like centroids) collected driver-side —
+    * `maxSources` guards the collect, so passing a high-cardinality
+    * column (a domain, a URL) fails loudly instead of OOMing the driver;
     * the corpus itself is touched only by mixSources' narrow filter.
     * At alpha = 0.5 (the common T=2 recipe, and the default) the rate is
     * sqrt(n_min/n_s): IEEE sqrt and division are correctly rounded in
@@ -88,18 +103,27 @@ object Curation {
       idCol: String,
       sourceCol: String,
       alpha: Double = 0.5,
-      salt: Long = 9973L): DataFrame = {
+      salt: Long = 9973L,
+      maxSources: Int = 256): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
-    val counts: Map[String, Long] = docs
+    require(maxSources >= 1, s"maxSources must be >= 1, got $maxSources")
+    val rows = docs
       .groupBy(col(sourceCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"source column '$sourceCol' has more than maxSources=$maxSources " +
+        "distinct values — temperature mixing collects one count per " +
+        "source; group by a coarser source label, or raise maxSources " +
+        "only if the counts fit the driver")
+    val counts: Map[String, Long] =
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "no sources to mix")
     val nMin = counts.values.min
     val weights = counts.map { case (src, n) =>
       val ratio = nMin.toDouble / n.toDouble
       src -> (if (alpha == 0.5) math.sqrt(ratio) else math.pow(ratio, 1.0 - alpha))
     }
-    mixSources(docs, idCol, sourceCol, weights, salt)
+    mixSources(docs, idCol, sourceCol, weights, salt, maxSources)
   }
 
   /** Deterministic stratified sampling: keep up to `perStratum` documents
@@ -507,15 +531,23 @@ object Curation {
     * across its three references, then released) the pairwise stage is
     * broadcast-sized no matter the corpus. The estimate is an exact
     * integer ratio. Returns `(ga, gb, kk, n_inter, jaccard_est)` for
-    * ga < gb; the small result frame stays persisted (the
-    * [[Graph.pageRankFixed]] convention) — unpersist it when done. */
+    * ga < gb, as a LOCAL result frame (≤ maxGroups²/2 small rows,
+    * collected) — nothing stays pinned in executor memory after the call.
+    *
+    * The pair grid is quadratic in the number of groups, so `maxGroups`
+    * guards it: this operator is for SOURCE-level slices (dozens of
+    * groups). For overlap between two specific high-cardinality slices,
+    * call it per pair on pre-filtered inputs instead of raising the
+    * guard. */
   def kmvJaccard(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
-      k: Int = 128): DataFrame = {
+      k: Int = 128,
+      maxGroups: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be >= 2, got $k")
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
     // the sketch subtree is referenced three times below (groups, left,
     // right) — PERSIST it so the corpus is scanned once, not thrice;
     // computed through the aggregator (map-side-combining partials, no
@@ -523,6 +555,12 @@ object Curation {
     val sk = kmvSketchAgg(df, groupCol, valueCol, k)
       .select(col("grp"), col("h")).persist()
     sk.count()
+    try {
+    val nGroups = sk.select(col("grp")).distinct().limit(maxGroups + 1).count()
+    require(nGroups <= maxGroups,
+      s"kmvJaccard grouping column has more than maxGroups=$maxGroups " +
+        "distinct values — the pair grid is quadratic in groups; group by " +
+        "a coarser slice, or invoke per pre-filtered pair of slices")
     val groups = sk.select(col("grp")).distinct()
     val pairs = groups.select(col("grp").as("ga"))
       .crossJoin(groups.select(col("grp").as("gb")))
@@ -545,10 +583,13 @@ object Curation {
       .select(col("ga"), col("gb"), col("kk"), col("n_inter"),
         (col("n_inter").cast("double") / col("kk").cast("double"))
           .as("jaccard_est"))
-      .persist()
-    result.count()
-    sk.unpersist()
-    result
+    // collect the ≤ maxGroups²/2-row result and rebuild it as a LOCAL
+    // frame: returning the persisted plan would pin the cache in executor
+    // memory for the caller to (usually never) release
+    val rows = result.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    } finally sk.unpersist()
   }
 
   /** Deterministic bottom-k-by-id-hash row sample with per-group
@@ -657,11 +698,15 @@ object Curation {
     * NULL counts as a value here (a mostly-NULL join key is the classic
     * silent hot partition).
     *
-    * Scale shape: one Expand pass over the listed columns → one
+    * Scale shape: ONE Expand pass over the listed columns → one
     * partial-agg count on (column, value) — the Zipf head this measures
     * is exactly what collapses map-side — then a per-column top-K
-    * window over the distinct-value counts. Shares are exact-integer
-    * divisions. Returns `(col_name, value, cnt, share, rk)`. */
+    * window over the distinct-value counts. The row total is derived
+    * INSIDE the same plan (each column's value counts sum to the row
+    * count, so `sum(cnt) over (partition by col_name)` on the
+    * distinct-value table is the total — no separate count job, no
+    * second scan). Shares are exact-integer divisions.
+    * Returns `(col_name, value, cnt, share, rk)`. */
   def skewReport(
       df: DataFrame,
       columns: Seq[String],
@@ -669,19 +714,19 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     require(columns.nonEmpty, "columns must be non-empty")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    val total = df.count()
     val pairs = explode(array(columns.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
+    val byCol = Window.partitionBy(col("col_name"))
     df.select(pairs.as("p"))
       .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
       .groupBy(col("col_name"), col("value"))
       .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(byCol))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("col_name"))
-          .orderBy(col("cnt").desc, col("value").asc_nulls_first)))
+        byCol.orderBy(col("cnt").desc, col("value").asc_nulls_first)))
       .where(col("rk") <= topK)
       .select(col("col_name"), col("value"), col("cnt"),
-        (col("cnt").cast("double") / lit(total.toDouble)).as("share"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"),
         col("rk").cast("long").as("rk"))
   }
 

@@ -37,17 +37,50 @@ object Graph {
     * is then one shuffle-hash/sort-merge join ranks⋈edges on src (the
     * edge side reuses its partitioning) plus one aggregation shuffle on
     * dst — the Pregel cost model, 2 exchanges per iteration on the rank
-    * table only, never the corpus. Iterations chain lineage; for
-    * hundreds of iterations checkpoint the rank table periodically
-    * (see [[Dedup.duplicateClusters]]'s checkpointDir pattern).
+    * table only, never the corpus.
+    *
+    * Lineage truncation: every `checkpointEvery` iterations the rank
+    * table is MATERIALIZED ([[Dedup.duplicateClusters]]'s two modes,
+    * identical results — spec-pinned):
+    *  - `checkpointDir = null` (default): `localCheckpoint()` —
+    *    executor-local blocks; fast, but an executor loss re-runs the
+    *    job tree from the last surviving blocks.
+    *  - `checkpointDir` set: ranks written to parquet under the dir and
+    *    read back — any-FS durable, an executor loss recomputes at most
+    *    `checkpointEvery` iterations from files. Superseded checkpoints
+    *    are deleted; the FINAL ranks may read from the last checkpoint
+    *    lazily — consume (or persist) the result before deleting the dir.
+    * Without truncation a 100-iteration run is a 100-deep chained-join
+    * plan whose analysis time alone grows unboundedly; with it, any
+    * iteration count is safe (so there is no iteration cap).
     */
   def pageRankFixed(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iterations: Int = 5): DataFrame = {
-    require(iterations >= 1 && iterations <= 100,
-      s"iterations must be in 1..100, got $iterations")
+      iterations: Int = 5,
+      checkpointDir: String = null,
+      checkpointEvery: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val spark = edges.sparkSession
+    val runDir =
+      if (checkpointDir == null) null
+      else checkpointDir.stripSuffix("/") + "/pr_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      if (runDir == null) df.localCheckpoint()
+      else {
+        val p = s"$runDir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    def drop(name: String): Unit =
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/$name")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
@@ -62,6 +95,7 @@ object Graph {
     nodes.persist()
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
     var i = 0
+    var lastCp = -1
     while (i < iterations) {
       val contribs = ew
         .join(ranks, ew("src") === ranks("node"))
@@ -72,6 +106,13 @@ object Graph {
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .select(col("node"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("rank"))
       i += 1
+      // truncate lineage every checkpointEvery rounds (skip the final
+      // round — the tail materialization below covers it)
+      if (i % checkpointEvery == 0 && i < iterations) {
+        ranks = materialize(ranks, s"ranks_$i")
+        if (lastCp >= 0) drop(s"ranks_$lastCp")
+        lastCp = i
+      }
     }
     // materialize the final ranks, then release the iteration caches —
     // without this every call would leak the pinned edge/node tables.

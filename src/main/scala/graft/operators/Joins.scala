@@ -429,8 +429,12 @@ object Joins {
       // greatest(j, 1) keeps the index valid under ANSI when j = 0 (the
       // Or's left arm decides then) — never rely on Or evaluation order
       // to dodge element_at's invalid-index-0 error
+      // both element_at indexes are clamped into range rather than relying
+      // on And/Or short-circuit order under ANSI: the stepArr clamp's
+      // j = k arm is unreachable (the j < k conjunct decides first), and
+      // the acc clamp's j = 0 arm is decided by the Or's left arm
       val qualifies = j < k &&
-        e.getField("tp") === element_at(stepArr, j + 1) &&
+        e.getField("tp") === element_at(stepArr, least(j + 1, lit(k))) &&
         (j === 0 || e.getField("ts") > element_at(acc, greatest(j, lit(1))))
       when(qualifies,
         transform(acc, (a, i) =>

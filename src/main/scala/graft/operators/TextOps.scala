@@ -72,14 +72,15 @@ object TextOps {
 
   def langId(textCol: Column): Column = langIdOf(tokens(textCol))
 
-  def langIdOf(toks: Column): Column = {
-    val scores = langMarkers.map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers: _*))).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = greatest(scores: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  /** One fused-kernel pass over the token array (marker→language-bitmask
+    * probe per token) — the per-language `filter(toks, isin(...))` HOF
+    * chain this replaces was CodegenFallback and re-walked the array
+    * once per language (the [[graft.operators.Bloom]] lesson again).
+    * Identical semantics, spec- and oracle-pinned: argmax of marker
+    * counts, ties to the larger language code, zero matches → "und",
+    * NULL tokens → "und". */
+  def langIdOf(toks: Column): Column =
+    coalesce(graft.operators.marker_lang_id(toks, langMarkers), lit("und"))
 
   /** Per-language weighted character-n-gram profiles (Cavnar–Trenkle 1994
     * style: the public-knowledge most-frequent char trigrams of each
@@ -843,7 +844,19 @@ object TextOps {
     * Queries over an appended index equal a from-scratch build
     * (spec-pinned) because every query-time quantity is additive or
     * per-doc: n and sdl are sums, df is a postings count, tf/dl/
-    * positions live on the doc's own rows. */
+    * positions live on the doc's own rows.
+    *
+    * Crash safety: the meta rewrite is a [[compactInvertedIndex]]-style
+    * backup-rename swap (write to a temp dir, rename meta → backup,
+    * rename temp → meta, delete backup), so a crash at any point leaves
+    * a readable meta at either the canonical or the backup path — never
+    * a deleted-but-unwritten one. The remaining window is BETWEEN the
+    * postings append committing and the meta swap: a crash there leaves
+    * the old (n, sdl) alongside the new postings, silently skewing BM25
+    * idf/avgdl until the append is re-run or meta is rebuilt from the
+    * postings (`SELECT count(distinct doc_id), sum-of-per-doc dl`) —
+    * closing it fully needs a transactional table format, out of scope
+    * for a plain-parquet layout. */
   def appendToInvertedIndex(
       df: DataFrame,
       idCol: String,
@@ -868,12 +881,31 @@ object TextOps {
       .repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-    // meta was collected above, so overwriting the path is safe
+    // crash-safe meta swap (mode("overwrite") deletes before writing — a
+    // crash mid-rewrite would leave the index with no meta at all)
+    val metaTmp = s"$path/meta__append_tmp"
     spark.range(1).select(
         lit(meta.getAs[Long]("n") + delta.getAs[Long]("n")).as("n"),
         lit(meta.getAs[Long]("sdl") + delta.getAs[Long]("sdl")).as("sdl"),
         lit(termBuckets).as("term_buckets"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(metaTmp)
+    swapDirs(spark, metaTmp, s"$path/meta")
+  }
+
+  /** Backup-rename directory swap shared by the index maintenance ops:
+    * dst → dst__bak, tmp → dst, delete backup — the layout is readable at
+    * either the canonical or the backup path at every instant. */
+  private def swapDirs(
+      spark: org.apache.spark.sql.SparkSession, tmp: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val bakPath = new org.apache.hadoop.fs.Path(dst + "__bak")
+    val fs = tmpPath.getFileSystem(conf)
+    fs.delete(bakPath, true)
+    require(fs.rename(dstPath, bakPath), s"rename $dst -> $bakPath failed")
+    require(fs.rename(tmpPath, dstPath), s"rename $tmp -> $dst failed")
+    fs.delete(bakPath, true)
   }
 
   /** Compact the postings of an [[buildInvertedIndex]] layout after a
@@ -896,15 +928,7 @@ object TextOps {
     src.repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("tb").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val dstPath = new org.apache.hadoop.fs.Path(postings)
-    val bakPath = new org.apache.hadoop.fs.Path(postings + "__compact_bak")
-    val fs = tmpPath.getFileSystem(conf)
-    fs.delete(bakPath, true)
-    require(fs.rename(dstPath, bakPath), s"rename $postings -> $bakPath failed")
-    require(fs.rename(tmpPath, dstPath), s"rename $tmp -> $postings failed")
-    fs.delete(bakPath, true)
+    swapDirs(spark, tmp, postings)
   }
 
   /** Driver-side replica of the index's bucket assignment (the same

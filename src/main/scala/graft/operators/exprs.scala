@@ -190,6 +190,86 @@ case class HashedLinearScore(child: Expression, buckets: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Marker-lexicon language ID, fused: count per language how many tokens
+  * appear in that language's marker list, then argmax with ties broken
+  * toward the LARGER language code (exactly `greatest(struct(score,
+  * lang))` semantics, which the DuckDB oracle replays as
+  * `max_by(lang, score*10 + rank)` with rank in language-string order);
+  * all-zero scores → "und". One pass over the token array with a
+  * marker→language-bitmask hash probe per token — replaces a
+  * per-language `filter(toks, isin(...))` HOF chain, which is
+  * CodegenFallback and re-walks the array once per language. NULL
+  * tokens match nothing (the HOF's NULL-predicate-drops semantics);
+  * NULL array → NULL (callers coalesce to "und"). */
+case class MarkerLangId(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with KernelCodegen {
+  require(profiles.nonEmpty && profiles.size <= 64,
+    s"profiles must have 1..64 languages, got ${profiles.size}")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "marker_lang_id"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"marker_lang_id expects array<string> of tokens, got ${other.sql}")
+  }
+
+  @transient private lazy val langs: Array[String] = profiles.map(_._1).toArray
+  // marker → bitmask of the languages listing it (a marker may belong to
+  // several languages — "la" is both Spanish and French)
+  @transient private lazy val markerMask
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    profiles.zipWithIndex.foreach { case ((_, markers), i) =>
+      markers.foreach { mk =>
+        val k = org.apache.spark.unsafe.types.UTF8String.fromString(mk)
+        val prev = m.get(k)
+        m.put(k, java.lang.Long.valueOf(
+          (if (prev == null) 0L else prev.longValue()) | (1L << i)))
+      }
+    }
+    m
+  }
+  @transient private lazy val und =
+    org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  @transient private lazy val langUtf8 =
+    langs.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val counts = new Array[Int](langs.length)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val mask = markerMask.get(toks.getUTF8String(i))
+        if (mask != null) {
+          var m = mask.longValue()
+          while (m != 0L) {
+            val j = java.lang.Long.numberOfTrailingZeros(m)
+            counts(j) += 1
+            m &= m - 1L
+          }
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var j = 1
+    while (j < counts.length) {
+      if (counts(j) > counts(best) ||
+        (counts(j) == counts(best) && langs(j).compareTo(langs(best)) > 0)) best = j
+      j += 1
+    }
+    if (counts(best) > 0) langUtf8(best) else und
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 private[operators] object HashKernels {
   val FnvBasis = 0xcbf29ce484222325L
 

@@ -27,6 +27,9 @@ package object operators {
   def hashed_linear_score(tokens: Column, buckets: Int): Column =
     GraftSqlShim.column(HashedLinearScore(GraftSqlShim.expression(tokens), buckets))
 
+  def marker_lang_id(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
+    GraftSqlShim.column(MarkerLangId(GraftSqlShim.expression(tokens), profiles))
+
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
     GraftSqlShim.column(PqEncode(GraftSqlShim.expression(vec), codebooks))
 

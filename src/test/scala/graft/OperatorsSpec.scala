@@ -258,6 +258,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stats.getDouble(2) > 0.5)
   }
 
+  test("marker langid kernel: equals the HOF formulation on corpus + edge cases") {
+    val s = spark
+    import s.implicits._
+    // the exact declarative formulation the fused kernel replaced — kept
+    // here as the semantic reference (argmax of per-language isin-filter
+    // counts via greatest(struct), all-zero → und)
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "with", "for"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"),
+      "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "en", "que", "por"))
+    def hofLangId(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val scores = markers.map { case (lang, ms) =>
+        struct(size(filter(toks, t => t.isin(ms: _*))).as("score"),
+          lit(lang).as("lang"))
+      }
+      val best = greatest(scores: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    }
+    val edge = Seq(
+      null.asInstanceOf[String],              // NULL text → und
+      "",                                     // no markers → und
+      "la la la",                             // es/fr shared marker, tie → fr
+      "que est",                              // fr 2 vs es 1 → fr
+      "en y",                                 // es-only markers
+      "the und le el",                        // 4-way tie → fr (largest code)
+      "zzz qqq").toDF("text")
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").select(col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val both = df.select(
+        TextOps.langId(col("text")).as("fused"),
+        hofLangId(TextOps.tokens(col("text"))).as("hof"))
+      assert(both.where(not(col("fused") <=> col("hof"))).count() == 0,
+        both.where(not(col("fused") <=> col("hof"))).collect().mkString(", "))
+    }
+    // the fused path stays inside WholeStageCodegen (the HOF chain was
+    // CodegenFallback — the whole point of the kernel)
+    val plan = corpus.select(TextOps.langId(col("text")).as("l"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("char-n-gram langid: classifies samples, und on no signal") {
     val s = spark
     import s.implicits._
@@ -298,6 +341,47 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Curation.mixSourcesTemperature(df.repartition(13), "doc_id", "source")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("source mixing: high-cardinality source columns fail loudly, not OOM") {
+    val s = spark
+    import s.implicits._
+    // doc_id AS the source column: one "source" per row — the misuse the
+    // guard exists for (the collect would otherwise scale with the data)
+    val df = s.range(0, 500).select(
+      col("id").as("doc_id"), concat(lit("d"), col("id")).as("source"))
+    val eTemp = intercept[IllegalArgumentException] {
+      Curation.mixSourcesTemperature(df, "doc_id", "source", maxSources = 100)
+    }
+    assert(eTemp.getMessage.contains("maxSources"), eTemp.getMessage)
+    // raising the guard past the cardinality works
+    assert(Curation.mixSourcesTemperature(
+      df, "doc_id", "source", maxSources = 600).count() == 500)
+    // mixSources guards the per-source expression-branch count the same way
+    val wide = (0 until 500).map(i => s"d$i" -> 1.0).toMap
+    val eMix = intercept[IllegalArgumentException] {
+      Curation.mixSources(df, "doc_id", "source", wide, maxSources = 100)
+    }
+    assert(eMix.getMessage.contains("maxSources"), eMix.getMessage)
+  }
+
+  test("kmvJaccard: high-cardinality grouping fails loudly; no cache escapes") {
+    val s = spark
+    import s.implicits._
+    val df = s.range(0, 400).select(
+      concat(lit("g"), col("id") % 100).as("src"),
+      concat(lit("v"), col("id")).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.kmvJaccard(df, "src", "v", k = 16, maxGroups = 8)
+    }
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
+    // success AND failure paths both release the pinned sketch
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val ok = Curation.kmvJaccard(
+      df.where(col("src").isin("g0", "g1", "g2")), "src", "v", k = 16)
+    assert(ok.count() == 3) // 3 groups -> 3 pairs
+    assert(s.sparkContext.getPersistentRDDs.keySet == before,
+      "kmvJaccard leaked a persisted RDD")
   }
 
   test("multimodal decode stub: schema, determinism, metadata") {
@@ -537,6 +621,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == rank, s"got $got expected $rank")
     // duplicate edges collapse; the hub outranks the leaf
     assert(got("c") > got("b"))
+  }
+
+  test("pageRankFixed: checkpoint modes equal the plain run; plan depth stays bounded") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "c"), ("c", "d"), ("b", "d")).toDF("src", "dst")
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def joinDepth(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case j: Join => j }.size
+    // 20 rounds, well past the old 100-cap-era comfort zone for lineage
+    val plain = Graph.pageRankFixed(edges, "src", "dst", iterations = 20,
+      checkpointEvery = 1000) // never fires — the unbounded-lineage shape
+    val local = Graph.pageRankFixed(edges, "src", "dst", iterations = 20,
+      checkpointEvery = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    val durable = Graph.pageRankFixed(edges, "src", "dst", iterations = 20,
+      checkpointDir = dir, checkpointEvery = 5)
+    val want = ranksOf(plain)
+    assert(ranksOf(local) == want, "localCheckpoint mode diverged")
+    assert(ranksOf(durable) == want, "durable checkpoint mode diverged")
+    // lineage truncation is real: the checkpointed plan carries at most
+    // checkpointEvery iterations of joins, the plain one all 20
+    assert(joinDepth(local) < joinDepth(plain),
+      s"local=${joinDepth(local)} plain=${joinDepth(plain)}")
+    assert(joinDepth(durable) < joinDepth(plain))
+    // superseded checkpoints are deleted; only the last (ranks_15) remains
+    // for the returned frame to read lazily
+    val run = new java.io.File(dir).listFiles().filter(_.getName.startsWith("pr_"))
+    assert(run.length == 1, run.mkString(", "))
+    val kept = run.head.listFiles().map(_.getName).filter(!_.startsWith("."))
+    assert(kept.toSeq == Seq("ranks_15"), kept.mkString(", "))
+    Seq(plain, local, durable).foreach(_.unpersist())
   }
 
   test("stratifiedSampleSalted: identical to the plain rank at any salts") {
