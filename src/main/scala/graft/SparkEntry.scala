@@ -1152,16 +1152,21 @@ object SparkEntry {
 
     // CCNet-style bigram-LM perplexity: model trained on the 1-in-20
     // reference slice (the decontam convention), the rest scored by
-    // avg negative log-likelihood; n_unseen is an exact integer check,
-    // xent rounds to 4 (integer-argument ln on both engines)
+    // avg negative log-likelihood. The verified surface is INTEGER-only
+    // (the q_pmi convention): n_scored/n_unseen plus model_fp, the
+    // xor-of-mix64 digest of the exact (pos, num, den) stream xent is a
+    // pure function of — xent's ln arguments (n_total + vocab) exceed
+    // the verified integer-ln agreement range at larger corpora, so the
+    // ln fold is spec-pinned (OperatorsSpec hand-computed probabilities)
+    // rather than oracle-compared
     "q_lm_ppl" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       operators.TextOps.lmPerplexity(
           d.where(col("doc_id") % 20 =!= 0),
           d.where(col("doc_id") % 20 === 0),
-          "doc_id", "text")
+          "doc_id", "text", withModelFingerprint = true)
         .select(col("doc_id"), col("n_scored"), col("n_unseen"),
-          round(col("xent"), 4).as("xent"))
+          col("model_fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3423,11 +3428,14 @@ object SparkEntry {
         | FROM bt GROUP BY doc_id ORDER BY doc_id""".stripMargin
         .replaceAll("\n", " ")),
 
-    // bigram-LM replica: identical integer count tables, identical
-    // integer ln arguments, per-doc log sum folded in POSITION order
-    // (list ORDER BY pos + sequential reduce — never shuffle order)
+    // bigram-LM replica: identical integer count tables; the compared
+    // surface is INTEGER-only (the q_pmi convention) — per-doc counts
+    // plus model_fp, the xor-of-mix64 digest of the exact (pos, num,
+    // den) stream, replayed here with the HUGEINT splitmix64 stages.
+    // xent's ln args exceed the verified integer-ln agreement range at
+    // larger corpora, so the ln fold is spec-pinned, not oracle-compared
     "q_lm_ppl" ->
-      """WITH rt AS (SELECT doc_id AS rid, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok
+      s"""WITH rt AS (SELECT doc_id AS rid, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok
         |   FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id % 20 = 0)),
         | uni AS (SELECT tok, count(*) AS c1 FROM rt GROUP BY tok),
         | tot AS (SELECT sum(c1) AS n_total, count(*) + 1 AS vocab FROM uni),
@@ -3438,21 +3446,27 @@ object SparkEntry {
         |   FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id % 20 <> 0)),
         | dp AS (SELECT id, pos, tok, lag(tok) OVER (PARTITION BY id ORDER BY pos) AS prev FROM dt),
         | sc AS (SELECT d.id, d.pos,
-        |   CASE WHEN d.pos = 0
-        |    THEN ln(CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)) - ln(CAST(t.n_total + t.vocab AS DOUBLE))
-        |    ELSE ln(CAST(coalesce(g.c2, 0) + 1 AS DOUBLE)) - ln(CAST(coalesce(u1.c1, 0) + t.vocab AS DOUBLE))
-        |   END AS lp,
+        |   CAST(CASE WHEN d.pos = 0 THEN coalesce(u2.c1, 0) + 1
+        |    ELSE coalesce(g.c2, 0) + 1 END AS HUGEINT) AS num,
+        |   CAST(CASE WHEN d.pos = 0 THEN t.n_total + t.vocab
+        |    ELSE coalesce(u1.c1, 0) + t.vocab END AS HUGEINT) AS den,
         |   CASE WHEN d.pos > 0 AND g.c2 IS NULL THEN 1 ELSE 0 END AS unseen
         |  FROM dp d
         |  LEFT JOIN uni u1 ON u1.tok = d.prev
         |  LEFT JOIN big g ON g.w1 = d.prev AND g.w2 = d.tok
         |  LEFT JOIN uni u2 ON u2.tok = d.tok
-        |  CROSS JOIN tot t)
+        |  CROSS JOIN tot t),
+        | pa AS (SELECT id, pos, num, den, unseen, CAST(pos + 1 AS HUGEINT) AS h0 FROM sc),
+        | ${mixStagesSql("pa", "id, pos, num, den, unseen", "la")},
+        | pb AS (SELECT id, pos, den, unseen, h AS hp, num + 2 AS h0 FROM la3),
+        | ${mixStagesSql("pb", "id, pos, den, unseen, hp", "lb")},
+        | pc AS (SELECT id, pos, unseen, hp, h AS hn, den + 3 AS h0 FROM lb3),
+        | ${mixStagesSql("pc", "id, pos, unseen, hp, hn", "lc")},
+        | hx AS (SELECT id, unseen, ${signedSql("xor(xor(hp, hn), h)")} AS hh FROM lc3)
         | SELECT id AS doc_id, count(*) AS n_scored,
         |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
-        |  round(-list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)), (p,q) -> p+q)
-        |    / count(*), 4) AS xent
-        | FROM sc GROUP BY id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+        |  bit_xor(hh) AS model_fp
+        | FROM hx GROUP BY id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // hashed linear classifier replica: unigram + adjacent-bigram
     // features, each FNV-1a'd then splitmix64-mixed to a bucket (mod

@@ -295,9 +295,12 @@ object Curation {
     * cross-engine: the 2^-rho terms are exact powers of two summed in
     * bucket order, absent buckets add the exact integer m − present, the
     * raw estimate is a fixed sequence of IEEE ops on identical doubles,
-    * and the linear-counting arm evaluates ln(m) − ln(V) — INTEGER ln
-    * arguments, the one form where JVM and libm agree bit-for-bit (the
-    * q_bm25 lemma). Returns (col_name, m, v_zero, estimate). */
+    * and the linear-counting arm evaluates ln(m) − ln(V) through the
+    * [[MathLn]] kernel — INTEGER ln arguments under Math.log, the form
+    * where JVM and libm agree bit-for-bit (the q_bm25 lemma; Spark's
+    * built-in ln is StrictMath/fdlibm, which disagrees with libm on ~1%
+    * of integers — V = 74 was a live divergence before the kernel).
+    * Returns (col_name, m, v_zero, estimate). */
   def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
@@ -313,7 +316,8 @@ object Curation {
       .select(col("col_name"), lit(m).as("m"), col("v_zero"),
         when(col("v_zero") > 0 &&
             alpha * m * m / col("s") <= lit(2.5 * m),
-          lit(m.toDouble) * (log(lit(m.toDouble)) - log(col("v_zero").cast("double"))))
+          lit(m.toDouble) * (math_ln(lit(m.toDouble)) -
+            math_ln(col("v_zero").cast("double"))))
           .otherwise(alpha * m * m / col("s"))
           .as("estimate"))
   }

@@ -304,7 +304,8 @@ object TextOps {
     val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"),
         (col("tf").cast("double") *
-          (log(col("n").cast("double")) - log(col("df").cast("double"))))
+          (graft.operators.math_ln(col("n").cast("double")) -
+            graft.operators.math_ln(col("df").cast("double"))))
           .as("score"))
     scored
       .withColumn("__rn", row_number().over(Window.partitionBy(col("doc_id"))
@@ -339,15 +340,17 @@ object TextOps {
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
     * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), summed in query-term
     * order. The idf is EVALUATED as ln(2N+2) − ln(2df+1) — the same
-    * quantity, but with exact-INTEGER ln arguments: JVM Math.log and
+    * quantity, but with exact-INTEGER ln arguments, through the
+    * [[graft.operators.MathLn]] kernel (`Math.log`): JVM Math.log and
     * libm ln agree bit-for-bit on integer arguments in the corpus-count
     * range (verified over 1..200000; the four disagreeing values 9170 /
     * 136837 / 141614 / 147674 are unreachable as 2N+2 or odd 2df+1 at
-    * any oracle scale), whereas a fractional argument like
-    * 1 + 106.5/394.5 diverges in the last ulp between the two log
-    * implementations. Every other operand is an exact integer (tf, dl)
-    * or a fully-specified IEEE op, so the DuckDB oracle replays scores
-    * bit-for-bit.
+    * any oracle scale). Spark's BUILT-IN `ln` would not do: it evaluates
+    * StrictMath.log (fdlibm), which diverges from libm on ~1% of
+    * integers (first at x = 3) — and a fractional argument like
+    * 1 + 106.5/394.5 diverges in the last ulp regardless. Every other
+    * operand is an exact integer (tf, dl) or a fully-specified IEEE op,
+    * so the DuckDB oracle replays scores bit-for-bit.
     *
     * Scale shape: NO inverted index is materialized — one narrow
     * codegen'd scan computes per-doc (dl, tf_t) via `array_remove` size
@@ -391,7 +394,8 @@ object TextOps {
     def contrib(i: Int): Column = {
       val tf = col(s"__tf$i").cast("double")
       val dfT = col(s"__df$i").cast("double")
-      val idf = log(nD * lit(2.0) + lit(2.0)) - log(dfT * lit(2.0) + lit(1.0))
+      val idf = graft.operators.math_ln(nD * lit(2.0) + lit(2.0)) -
+        graft.operators.math_ln(dfT * lit(2.0) + lit(1.0))
       idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / avgdl))
     }
@@ -566,6 +570,12 @@ object TextOps {
     * Returns `(idCol, n_scored, n_unseen, xent)` — scored positions
     * (= token count), transitions unseen in the reference (an exact
     * integer quality signal on its own), and the raw cross-entropy.
+    * With `withModelFingerprint` a `model_fp` column is appended: the
+    * per-doc xor-of-mix64 digest of the exact integer (pos, num, den)
+    * stream xent is computed from — the cross-engine-verifiable surface
+    * (integer ln arguments here can exceed the range where JVM and libm
+    * `ln` agree bit-for-bit, so the oracle pins the integers and the ln
+    * fold is spec-pinned instead).
     *
     * Determinism across engines: every smoothed numerator/denominator is
     * an exact INTEGER (add-one), so both engines take `ln` of identical
@@ -585,7 +595,8 @@ object TextOps {
       corpus: DataFrame,
       ref: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      withModelFingerprint: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val refToks = ref.select(col(idCol).as("rid"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -611,16 +622,32 @@ object TextOps {
       .otherwise(coalesce(col("c2"), lit(0L)) + 1L)
     val den = when(col("pos") === 0, col("n_total") + col("vocab"))
       .otherwise(coalesce(col("cp"), lit(0L)) + col("vocab"))
-    val lp = log(num.cast("double")) - log(den.cast("double"))
+    val lp = graft.operators.math_ln(num.cast("double")) -
+      graft.operators.math_ln(den.cast("double"))
+    // model fingerprint: xor-of-mix64 over the exact INTEGER (pos, num,
+    // den) stream xent is a pure function of — an order-free per-doc
+    // digest both engines compute identically, so the oracle can pin the
+    // full model surface without taking ln of large arguments (where
+    // JVM/libm diverge in the last ulp — the q_pmi lesson; the ln fold
+    // itself is spec-pinned on exact hand-computed probabilities)
+    val fpH = graft.operators.mix64(col("pos").cast("long"), 1L)
+      .bitwiseXOR(graft.operators.mix64(num, 2L))
+      .bitwiseXOR(graft.operators.mix64(den, 3L))
+    val aggs = Seq(
+      count(lit(1)).as("n_scored"),
+      sum(when(col("pos") > 0 && col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"),
+      sort_array(collect_list(struct(col("pos"), lp.as("lp")))).as("arr")) ++
+      (if (withModelFingerprint) Seq(expr("bit_xor(__fph)").as("model_fp"))
+       else Nil)
+    val outCols = Seq(col("id").as(idCol), col("n_scored"), col("n_unseen"),
+      (-aggregate(transform(col("arr"), x => x.getField("lp")),
+        lit(0.0), (a, x) => a + x) / col("n_scored")).as("xent")) ++
+      (if (withModelFingerprint) Seq(col("model_fp")) else Nil)
     scored
+      .withColumn("__fph", fpH)
       .groupBy(col("id"))
-      .agg(
-        count(lit(1)).as("n_scored"),
-        sum(when(col("pos") > 0 && col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"),
-        sort_array(collect_list(struct(col("pos"), lp.as("lp")))).as("arr"))
-      .select(col("id").as(idCol), col("n_scored"), col("n_unseen"),
-        (-aggregate(transform(col("arr"), x => x.getField("lp")),
-          lit(0.0), (a, x) => a + x) / col("n_scored")).as("xent"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outCols: _*)
   }
 
   /** Model-based quality filtering, fastText-style [Joulin et al. 2016]:
@@ -718,13 +745,13 @@ object TextOps {
     val tot = cnt.agg(sum(col("pc")).as("pn"), sum(col("nc")).as("nn"),
       (count(lit(1)) + lit(1L)).as("vocab"))
     val pri = labels.agg(
-      (log((sum(when(col("y"), 1L).otherwise(0L)) + lit(1L)).cast("double")) -
-        log((sum(when(col("y"), 0L).otherwise(1L)) + lit(1L)).cast("double"))).as("prior"))
+      (graft.operators.math_ln((sum(when(col("y"), 1L).otherwise(0L)) + lit(1L)).cast("double")) -
+        graft.operators.math_ln((sum(when(col("y"), 0L).otherwise(1L)) + lit(1L)).cast("double"))).as("prior"))
     val w =
-      (log((coalesce(col("pc"), lit(0L)) + lit(1L)).cast("double")) -
-        log((col("pn") + col("vocab")).cast("double"))) -
-      (log((coalesce(col("nc"), lit(0L)) + lit(1L)).cast("double")) -
-        log((col("nn") + col("vocab")).cast("double")))
+      (graft.operators.math_ln((coalesce(col("pc"), lit(0L)) + lit(1L)).cast("double")) -
+        graft.operators.math_ln((col("pn") + col("vocab")).cast("double"))) -
+      (graft.operators.math_ln((coalesce(col("nc"), lit(0L)) + lit(1L)).cast("double")) -
+        graft.operators.math_ln((col("nn") + col("vocab")).cast("double")))
     val score =
       aggregate(transform(col("arr"), x => x.getField("w")),
         lit(0.0), (a, x) => a + x) + col("prior")
@@ -992,7 +1019,8 @@ object TextOps {
       val s = col(s"__t$i")
       val tf = s.getField("tf").cast("double")
       val dfT = s.getField("df").cast("double")
-      val idf = log(nD * lit(2.0) + lit(2.0)) - log(dfT * lit(2.0) + lit(1.0))
+      val idf = graft.operators.math_ln(nD * lit(2.0) + lit(2.0)) -
+        graft.operators.math_ln(dfT * lit(2.0) + lit(1.0))
       // absent term: the scan path's tf = 0 contribution is exactly +0.0
       when(s.isNull, lit(0.0)).otherwise(
         idf * (tf * lit(k1 + 1.0)) /
@@ -1115,8 +1143,8 @@ object TextOps {
       .crossJoin(broadcast(tot))
       .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"), col("c_b"),
         col("s_tot"),
-        (log((col("c_ab") * col("s_tot")).cast("double")) -
-          log((col("c_a") * col("c_b")).cast("double"))).as("pmi"))
+        (graft.operators.math_ln((col("c_ab") * col("s_tot")).cast("double")) -
+          graft.operators.math_ln((col("c_a") * col("c_b")).cast("double"))).as("pmi"))
   }
 
   /** Per-document stats frame used by the pipeline queries; tokenizes

@@ -190,6 +190,38 @@ case class HashedLinearScore(child: Expression, buckets: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Natural log via `java.lang.Math.log` — NOT Spark's built-in `ln`,
+  * which evaluates `StrictMath.log` (fdlibm). The distinction is load-
+  * bearing for every oracle-verified score: DuckDB's `ln` (platform
+  * libm, correctly rounded on this toolchain) agrees bit-for-bit with
+  * `Math.log` on integer arguments except 4 values in 1..200000
+  * (9170 / 136837 / 141614 / 147674), but disagrees with fdlibm on
+  * ~1% of integers starting at x = 3 (3, 48, 74, 185, 196, ...) —
+  * measured, 3845 diffs in 1..400000. Scores built on the built-in
+  * `ln` therefore hash-match the oracle only while their argument sets
+  * dodge a 1%-density minefield; this kernel shrinks that to the
+  * 2e-5-density documented one. Matches the built-in's NULL semantics:
+  * non-positive input → NULL. */
+case class MathLn(child: Expression) extends UnaryExpression with KernelCodegen {
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "math_ln"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"math_ln expects a double argument, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Double]
+    if (x <= 0.0) null else Math.log(x)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Marker-lexicon language ID, fused: count per language how many tokens
   * appear in that language's marker list, then argmax with ties broken
   * toward the LARGER language code (exactly `greatest(struct(score,

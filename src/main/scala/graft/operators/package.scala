@@ -30,6 +30,9 @@ package object operators {
   def marker_lang_id(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     GraftSqlShim.column(MarkerLangId(GraftSqlShim.expression(tokens), profiles))
 
+  def math_ln(x: Column): Column =
+    GraftSqlShim.column(MathLn(GraftSqlShim.expression(x)))
+
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
     GraftSqlShim.column(PqEncode(GraftSqlShim.expression(vec), codebooks))
 

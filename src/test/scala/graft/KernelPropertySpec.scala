@@ -159,6 +159,30 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MathLn: Math.log bit-for-bit, NULL on non-positive, and the StrictMath gap is real") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def ln(x: Double): Any =
+      graft.operators.MathLn(Literal(x)).eval(null)
+    // the kernel IS Math.log (bit equality) on integer and fractional args
+    (1 to 5000).foreach { i =>
+      val x = i.toDouble
+      assert(java.lang.Double.doubleToRawLongBits(ln(x).asInstanceOf[Double]) ==
+        java.lang.Double.doubleToRawLongBits(Math.log(x)), s"x=$x")
+      val f = i / 7.0
+      assert(java.lang.Double.doubleToRawLongBits(ln(f).asInstanceOf[Double]) ==
+        java.lang.Double.doubleToRawLongBits(Math.log(f)), s"x=$f")
+    }
+    // built-in-ln NULL semantics preserved
+    assert(ln(0.0) == null && ln(-1.0) == null)
+    // why the kernel exists: Spark's built-in ln evaluates StrictMath.log,
+    // which disagrees with Math.log (= libm/DuckDB here) on ~1% of
+    // integers — x = 74 is the one that flipped the HLL estimate
+    assert(java.lang.Double.doubleToRawLongBits(Math.log(74.0)) !=
+      java.lang.Double.doubleToRawLongBits(StrictMath.log(74.0)),
+      "StrictMath/Math log divergence at 74 vanished on this platform — " +
+        "re-evaluate whether MathLn is still needed")
+  }
+
   test("GramRepStats equals the count-map model for arbitrary token lists") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -1935,6 +1935,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(0)._4 - x1) < 1e-12, s"${out(0)._4} vs $x1")
     assert(out(1)._1 == 2L && out(1)._2 == 2L && out(1)._3 == 1L)
     assert(math.abs(out(1)._4 - x2) < 1e-12, s"${out(1)._4} vs $x2")
+    // model fingerprint (q_lm_ppl's oracle surface): xor-of-mix64 over
+    // the exact integer (pos, num, den) stream, hand-replayed here —
+    // together with the exact xent checks above, this pins that xent is
+    // the ln fold of exactly the integers the oracle verifies
+    val mix = operators.HashKernelsAccess.mix _
+    def fpOf(rows: Seq[(Long, Long, Long)]): Long =
+      rows.map { case (pos, num, den) =>
+        mix(pos + 1L) ^ mix(num + 2L) ^ mix(den + 3L)
+      }.reduce(_ ^ _)
+    val fps = TextOps.lmPerplexity(docs, ref, "doc_id", "text",
+        withModelFingerprint = true)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("model_fp"))).toMap
+    // "a b": P(a)=3/7, P(b|a)=3/5; "z z": P(z)=1/7, P(z|z)=1/3
+    assert(fps(1L) == fpOf(Seq((0L, 3L, 7L), (1L, 3L, 5L))), fps.toString)
+    assert(fps(2L) == fpOf(Seq((0L, 1L, 7L), (1L, 1L, 3L))), fps.toString)
     // common fluent text scores lower than shuffled/gibberish text
     val ref2 = (0 until 40).map(i =>
       (i.toLong, "the cat sat on the mat and the dog ran off")).toDF("doc_id", "text")
