@@ -145,6 +145,22 @@ object ScaleProbe {
         .selectExpr("sum(rank)").collect()
     }
 
+    // full crawl link-graph chain (the q_link_graph shape at probe
+    // scale): synthetic pages → regex anchor extraction → registered-
+    // domain edges → 5 integer PageRank rounds. Distinct from the
+    // PageRank probe above: this one is dominated by the page-side
+    // regex scan + the edge distinct, the costs that grow with corpus
+    // size while the rank iterations stay domain-bounded
+    time(s"linkgraph end-to-end, $nDocs pages -> domain PageRank (5 rounds)") {
+      val pages = docs.select(col("doc_id"),
+        operators.Web.syntheticUrl(col("doc_id"), col("source")).as("url"),
+        operators.Web.syntheticLinkPage(col("doc_id"), col("source")).as("html"))
+      operators.Graph.pageRankFixed(
+          operators.Web.domainEdges(pages, "doc_id", "url", "html"),
+          "src_domain", "dst_domain", iterations = 5)
+        .selectExpr("count(*)", "sum(rank)").collect()
+    }
+
     // line dedup probe: re-line every 8 tokens; the planted near-dups
     // share 7 of 8 aligned lines with their source doc, so the common-line
     // set is ~nDocs/20 * 7 lines — the broadcast side the plan relies on

@@ -14,17 +14,21 @@ import org.apache.spark.sql.functions._
  * (the production choice once per-key state exceeds executor heap; the
  * default HDFS-backed store keeps every version in memory).
  *
- * A 5th arg `statescale` runs the BEYOND-HEAP probe instead: the
- * watermark-correct as-of with a delay the replay never reaches, so
- * every left row pends in state — state grows linearly with input and
- * the probe is meant to be run in a heap-capped JVM
- * (`spark-submit --driver-memory 700m --class graft.StreamBench <jar>
- * 500000 20 8 [rocksdb|hdfs] statescale`): the in-memory HDFS store
- * dies of OOM once serialized state + its version retention outgrow the
- * heap, RocksDB (off-heap block cache + disk) keeps going — the
- * measured crossover behind SURVEY §8.2's RocksDB claim. Input comes
- * from `rate-micro-batch` (MemoryStream would retain every fed batch on
- * the same heap and OOM both configs) and lands in a `noop` sink. */
+ * A 5th arg `statescale[-sessionize|-funnel]` runs the BEYOND-HEAP
+ * probe instead: a watermark-correct stateful operator with a delay the
+ * replay never reaches, so every row pends in state — state grows
+ * linearly with input and the probe is meant to be run in a heap-capped
+ * JVM (`spark-submit --driver-memory 700m --class graft.StreamBench
+ * <jar> 500000 20 8 [rocksdb|hdfs] statescale[-sessionize|-funnel]`):
+ * the in-memory HDFS store dies of OOM once serialized state + its
+ * version retention outgrow the heap, RocksDB (off-heap block cache +
+ * disk) keeps going — the measured crossover behind SURVEY §8.2's
+ * RocksDB claim. The bare kind is the as-of (one pending list per key
+ * of left rows); `-sessionize` pends (ts, id) pairs plus the two-long
+ * numbering carry; `-funnel` pends (ts, id, type) triples plus the
+ * k-slot accumulator. Input comes from `rate-micro-batch` (MemoryStream
+ * would retain every fed batch on the same heap and OOM both configs)
+ * and lands in a `noop` sink. */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val rowsPer = args.headOption.map(_.toInt).getOrElse(200000)
@@ -44,11 +48,14 @@ object StreamBench {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-    if (args.lift(4).contains("statescale")) {
+    if (args.lift(4).exists(_.startsWith("statescale"))) {
       // Beyond-heap state probe: delay = 100 days, so the watermark never
-      // passes any left — all ~75% non-click rows pend per key forever.
-      // Expected serialized state: rows*0.75 pending x ~40 B, held as ONE
-      // value per user_id (1000 keys), rewritten each batch.
+      // passes any row — everything pends per key forever. As-of pends
+      // the ~75% non-click rows (~40 B each); sessionize pends every row
+      // as a (ts, id) pair; funnel pends every step row as a (ts, id,
+      // type) triple. One state value per user_id (1000 keys), rewritten
+      // each batch.
+      val kind = args(4).stripPrefix("statescale").stripPrefix("-")
       val events = spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rowsPer).load()
         .select(col("value").as("event_id"),
@@ -56,8 +63,16 @@ object StreamBench {
           (col("value") % 1000).as("user_id"),
           when(col("value") % 4 === 0, "click").otherwise("view").as("event_type"),
           (col("value") % 100).cast("double").as("value"))
-      val out = streaming.JsonStream
-        .asofStatefulEventTime(spark, events, delay = "100 days").toDF()
+      val out = kind match {
+        case "" => streaming.JsonStream
+          .asofStatefulEventTime(spark, events, delay = "100 days").toDF()
+        case "sessionize" => streaming.JsonStream
+          .sessionizeEventTime(spark, events, gap = 1000000L, delay = "100 days").toDF()
+        case "funnel" => streaming.JsonStream
+          .funnelEventTime(spark, events, Seq("view", "click"), delay = "100 days").toDF()
+        case other => sys.error(s"unknown statescale kind '$other' " +
+          "(use statescale, statescale-sessionize, or statescale-funnel)")
+      }
       val t0 = System.nanoTime()
       val q = out.writeStream.outputMode("append").format("noop").start()
       try {
@@ -70,7 +85,8 @@ object StreamBench {
         val st = p.stateOperators
         val heapMb = (Runtime.getRuntime.totalMemory -
           Runtime.getRuntime.freeMemory) / 1e6
-        println(f"STREAMBENCH statescale[${if (rocks) "rocksdb" else "hdfs"}]: " +
+        val tag = if (kind.isEmpty) "statescale" else s"statescale-$kind"
+        println(f"STREAMBENCH $tag[${if (rocks) "rocksdb" else "hdfs"}]: " +
           f"${(p.batchId + 1) * rowsPer / s / 1e6}%.3f M rows/s over ${p.batchId + 1} batches x $rowsPer, " +
           f"stateRows=${st.map(_.numRowsTotal).sum}, " +
           f"stateMem=${st.map(_.memoryUsedBytes).sum / 1e6}%.0f MB, " +

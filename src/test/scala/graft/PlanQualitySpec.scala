@@ -16,6 +16,47 @@ class PlanQualitySpec extends AnyFunSuite {
 
   val sfDir = "/root/testdata/sf0.001"
 
+  test("inverted index: pruned-read ratio tightens as bucket count grows") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+    val terms = Seq("the", "with")
+    for (buckets <- Seq(16, 64)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-prune-$buckets")
+      try {
+        operators.TextOps.buildInvertedIndex(docs, "doc_id", "text",
+          dir.toString, termBuckets = buckets)
+        val wantTbs = terms.map(operators.TextOps.termBucket(_, buckets)).distinct
+        // sparkPlan, not executedPlan: AQE wraps the tree in an
+        // AdaptiveSparkPlanExec whose collect() does not descend
+        val scans = operators.TextOps
+          .bm25TopKIndexed(s, dir.toString, terms, k = 10)
+          .queryExecution.sparkPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+                if f.relation.location.rootPaths.exists(_.toString.contains("postings")) => f
+          }
+        assert(scans.nonEmpty, "no postings scan in the plan")
+        // directory pruning is REAL and the ratio is bounded by the term
+        // count, not the corpus: ≤ |distinct term buckets| of `buckets`
+        // partition dirs are touched — 2/16 at 16 buckets, 2/64 at 64 —
+        // so growing the bucket count tightens the read fraction with no
+        // change to the query
+        scans.foreach { f =>
+          val touched = f.selectedPartitions.partitionCount
+          assert(touched <= wantTbs.size,
+            s"buckets=$buckets: read $touched partition dirs, want <= ${wantTbs.size}")
+        }
+      } finally {
+        val walk = java.nio.file.Files.walk(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverseIterator
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+    }
+  }
+
   test("json filter+project: scan reads only referenced columns") {
     val df = SparkEntry.queries("q_get_int")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
