@@ -1196,6 +1196,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): corpus = the 19/20
+    // slice, target = the 1/20 slice (the decontam split); verified
+    // surface = exact integer totals + the position-ordered per-bucket
+    // ln-ratio sum (bucket-count ln args — inside the verified
+    // integer-ln range); the corpus-scale normalizer term lives in
+    // log_w, which is spec-pinned, not oracle-compared (q_pmi
+    // convention)
+    "q_dsir" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      operators.Curation.dsirWeights(
+          d.where(col("doc_id") % 20 =!= 0),
+          d.where(col("doc_id") % 20 === 0),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_feats"), col("w_feat"),
+          col("n_t"), col("n_s"), col("vocab"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bloom-filter decontamination screen: same gram contract as
     // q_decontam, but the benchmark grams fold into a 2^20-bit filter
     // (no shuffle) and the corpus side is one narrow scan — per-row gram
@@ -3526,6 +3544,33 @@ object SparkEntry {
         |  (round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY pos)),
         |    (p, q) -> p + q) + any_value(p.prior), 4) > 0) AS keep
         | FROM sc s CROSS JOIN pri p GROUP BY s.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // DSIR replica: same hashed unigram+bigram chain as q_nb_classify;
+    // bucket counts for target (doc_id%20=0) and corpus (rest), add-one
+    // ln ratios summed per doc in POSITION order, integer totals
+    "q_dsir" ->
+      s"""WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
+        | fx AS (SELECT doc_id, list_concat(tk, [array_to_string(tk[x+1:x+2], ' ')
+        |   for x in range(len(tk)-1)]) AS fs FROM d),
+        | ft AS (SELECT doc_id, generate_subscripts(fs, 1) - 1 AS pos, unnest(fs) AS f FROM fx),
+        | fh AS (SELECT doc_id, pos, ${fnvSql("f")} AS h0 FROM ft),
+        | ${mixStagesSql("fh", "doc_id, pos", "dq")},
+        | fb AS MATERIALIZED (SELECT doc_id, pos, h % 65536 AS b FROM dq3),
+        | tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM fb WHERE doc_id % 20 = 0 GROUP BY b),
+        | sc AS (SELECT b, CAST(count(*) AS BIGINT) AS sc FROM fb WHERE doc_id % 20 <> 0 GROUP BY b),
+        | cnt AS (SELECT coalesce(t.b, s.b) AS b, coalesce(t.tc, 0) AS tc, coalesce(s.sc, 0) AS sc
+        |   FROM tc t FULL OUTER JOIN sc s ON t.b = s.b),
+        | tot AS (SELECT CAST(sum(tc) AS BIGINT) AS n_t, CAST(sum(sc) AS BIGINT) AS n_s,
+        |   count(*) + 1 AS vocab FROM cnt),
+        | wr AS (SELECT f.doc_id, f.pos,
+        |   ln(CAST(c.tc + 1 AS DOUBLE)) - ln(CAST(c.sc + 1 AS DOUBLE)) AS w
+        |  FROM fb f JOIN cnt c ON c.b = f.b WHERE f.doc_id % 20 <> 0)
+        | SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w.w ORDER BY w.pos)),
+        |    (p, q) -> p + q), 4) AS w_feat,
+        |  any_value(t.n_t) AS n_t, any_value(t.n_s) AS n_s,
+        |  CAST(any_value(t.vocab) AS BIGINT) AS vocab
+        | FROM wr w CROSS JOIN tot t GROUP BY w.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // Bloom decontamination screen: the filter's bit positions are pure
     // mod-2^64 arithmetic (h1 = splitmix64(fnv1a64(gram)), h2 =

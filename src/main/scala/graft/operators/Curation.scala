@@ -1021,6 +1021,107 @@ object Curation {
         (frac <= maxOverlap).as("keep"))
   }
 
+  /** DSIR importance weights — Data Selection via Importance Resampling
+    * [Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"]: score every raw-corpus document by how
+    * much more likely its hashed-n-gram features are under a small
+    * TARGET distribution (the curated/domain slice you want more of)
+    * than under the raw corpus itself — the standard
+    * "select Wikipedia-like web text" recipe. Features are the library's
+    * shared hashed unigram+adjacent-bigram space
+    * ([[TextOps.qualityClassify]] / nbClassify); both distributions get
+    * add-one smoothing with V = distinct observed buckets (in either
+    * corpus) + 1 (the [[TextOps.nbClassify]] convention).
+    *
+    * log w(doc) = Σ_f [ln(tc(b_f)+1) − ln(sc(b_f)+1)]
+    *              − n_feats · [ln(N_t+V) − ln(N_s+V)],
+    * where tc/sc are target/corpus bucket counts and N_t/N_s the
+    * feature totals. Returns `(idCol, n_feats, w_feat, n_t, n_s, vocab,
+    * log_w)` — `w_feat` is the Σ term (rounded to 4, the nbClassify
+    * convention), and `log_w` the full weight.
+    *
+    * Oracle surface (the q_pmi convention): `w_feat`'s ln arguments are
+    * per-bucket counts + 1 — inside the verified integer-ln agreement
+    * range at oracle scales — and the fold is position-ordered, so it
+    * replays bit-for-bit ([[graft.operators.MathLn]]); the normalizer
+    * term's arguments (N_s+V) are CORPUS-scale integers where the
+    * Math/libm agreement is unverified, so `log_w` is excluded from the
+    * compared projection and pinned by spec instead (all its other
+    * operands are the verified columns).
+    *
+    * Scale shape: two bucket-keyed partial-agg counts (one over the
+    * small target, one over the corpus — the Zipf head collapses
+    * map-side, state ≤ `buckets` rows), the ≤ buckets-row weight table
+    * BROADCASTS to the corpus-side feature join, and the only wide
+    * corpus operation is the per-document groupBy (AQE-splittable) —
+    * the nbClassify plan shape. The count subtree is referenced by both
+    * the totals row and the weight join, but the subplans are
+    * canonically identical so the runtime computes the count Exchange
+    * once and reuses it (the cooccurrencePmi ReusedExchange shape) —
+    * two corpus scans total: one for counts, one for scoring. */
+  def dsirWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1 << 16): DataFrame = {
+    val tCnt = TextOps.featureBuckets(target, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val sCnt = TextOps.featureBuckets(corpus, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).as("sc"))
+    val cnt = tCnt.join(sCnt, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("sc"), lit(0L)).as("sc"))
+    val tot = cnt.agg(sum(col("tc")).as("n_t"), sum(col("sc")).as("n_s"),
+      (count(lit(1)) + lit(1L)).as("vocab"))
+    val w = math_ln((col("tc") + lit(1L)).cast("double")) -
+      math_ln((col("sc") + lit(1L)).cast("double"))
+    val wSum = aggregate(transform(col("arr"), x => x.getField("w")),
+      lit(0.0), (a, x) => a + x)
+    // every corpus feature's bucket is in sc by construction, so the
+    // inner join never drops a feature row
+    TextOps.featureBuckets(corpus, idCol, textCol, buckets)
+      .join(broadcast(cnt), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sort_array(collect_list(struct(col("pos"), w.as("w")))).as("arr"))
+      // the 1-row totals attach AFTER the per-doc aggregate (the
+      // nbClassify prior pattern)
+      .crossJoin(broadcast(tot))
+      .select(col("id").as(idCol), col("n_feats"),
+        round(wSum, 4).as("w_feat"),
+        col("n_t"), col("n_s"), col("vocab"),
+        (wSum - col("n_feats").cast("double") *
+          (math_ln((col("n_t") + col("vocab")).cast("double")) -
+            math_ln((col("n_s") + col("vocab")).cast("double")))).as("log_w"))
+  }
+
+  /** Deterministic DSIR selection: the `k` corpus documents with the
+    * highest [[dsirWeights]] log-weight, ties broken by id hash then id
+    * — a reproducible stand-in for the paper's Gumbel-noise resampling
+    * (documented divergence: top-k is the noise-free limit; different
+    * salts of a hash-Gumbel variant would restore sampling diversity,
+    * but a deterministic selected set is what an oracle-verified
+    * pipeline can pin). Top-k is a TakeOrdered (per-partition heaps,
+    * driver merges k rows) — right for eval-set/seed-set k; for
+    * fraction-scale selection compute a log_w threshold with
+    * [[sampleQuantiles]] and filter instead. */
+  def dsirSelect(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      buckets: Int = 1 << 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wts = dsirWeights(corpus, target, idCol, textCol, buckets)
+      .select(col(idCol), col("log_w"))
+    corpus.join(wts, Seq(idCol))
+      .orderBy(col("log_w").desc, mix64(col(idCol).cast("long"), 77L),
+        col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic training-shard assignment: shard = splitmix64(id+salt)
     * mod `numShards`, plus the signed mixed hash itself as the
     * within-shard sort key (`shard_ord`). This is the reproducible

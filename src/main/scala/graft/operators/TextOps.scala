@@ -692,7 +692,7 @@ object TextOps {
     * space as [[qualityClassify]]'s fused kernel, exposed row-wise for
     * operators that need per-feature access (training counts, scoring
     * joins). `buckets` must be a power of two. */
-  private def featureBuckets(
+  private[operators] def featureBuckets(
       df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")

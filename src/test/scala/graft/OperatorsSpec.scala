@@ -1967,6 +1967,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sc(0) < sc(1) && sc(0) < sc(2), sc.toSeq)
   }
 
+  test("dsirWeights/dsirSelect: match an independent hashed-feature model") {
+    val s = spark
+    import s.implicits._
+    val buckets = 1 << 16
+    val target = Seq(
+      (100L, "good clean prose text"),
+      (101L, "clean prose text flows well")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "good clean prose text here"),   // target-like → high weight
+      (2L, "zz qq ww ee rr"),               // target-alien → low weight
+      (3L, "clean prose"),
+      (4L, null.asInstanceOf[String]))      // NULL text → "" → 1 feature
+      .toDF("doc_id", "text")
+    // independent model: unigrams + adjacent bigrams, bucket =
+    // splitmix64(fnv1a64(f)) & (buckets-1), add-one ln ratios in
+    // feature-position order, Math.log throughout
+    def feats(t: String): Seq[String] = {
+      val tk = Option(t).getOrElse("").split(" ", -1).toSeq
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    def bucket(f: String): Long =
+      operators.HashKernelsAccess.mix(operators.HashKernelsAccess.fnv1a(f)) &
+        (buckets - 1L)
+    val tCnt = Seq((100L, "good clean prose text"), (101L, "clean prose text flows well"))
+      .flatMap { case (_, t) => feats(t) }.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val corpusRows = Seq((1L, "good clean prose text here"), (2L, "zz qq ww ee rr"),
+      (3L, "clean prose"), (4L, null.asInstanceOf[String]))
+    val sCnt = corpusRows.flatMap { case (_, t) => feats(t) }
+      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val nT = tCnt.values.sum
+    val nS = sCnt.values.sum
+    val vocab = (tCnt.keySet ++ sCnt.keySet).size + 1L
+    def model(t: String): (Long, Double, Double) = {
+      val fs = feats(t)
+      val wf = fs.map { f =>
+        val b = bucket(f)
+        Math.log((tCnt.getOrElse(b, 0L) + 1L).toDouble) -
+          Math.log((sCnt.getOrElse(b, 0L) + 1L).toDouble)
+      }.foldLeft(0.0)(_ + _)
+      val lw = wf - fs.size.toDouble *
+        (Math.log((nT + vocab).toDouble) - Math.log((nS + vocab).toDouble))
+      (fs.size.toLong, wf, lw)
+    }
+    val got = operators.Curation.dsirWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    for ((id, t) <- corpusRows) {
+      val (nf, wf, lw) = model(Option(t).getOrElse(""))
+      val (gnf, gwf, gnt, gns, gv, glw) = got(id)
+      assert(gnf == nf, s"doc $id n_feats")
+      assert(gwf == BigDecimal(wf).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id w_feat $gwf vs $wf")
+      assert((gnt, gns, gv) == ((nT, nS, vocab)), s"doc $id totals")
+      // log_w is the spec-pinned surface (corpus-scale ln args keep it
+      // out of the oracle projection): exact bit equality with the model
+      assert(java.lang.Double.doubleToLongBits(glw) ==
+        java.lang.Double.doubleToLongBits(lw), s"doc $id log_w $glw vs $lw")
+    }
+    // the target-like doc outranks the alien one; selection respects log_w
+    assert(got(1L)._6 > got(2L)._6)
+    val sel = operators.Curation.dsirSelect(corpus, target, "doc_id", "text", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    val wantTop = corpusRows.map { case (id, t) =>
+      id -> model(Option(t).getOrElse(""))._3 }.sortBy(-_._2).take(2).map(_._1).toSet
+    assert(sel == wantTop, s"$sel vs $wantTop")
+  }
+
   test("repetitionStats matches a hand-computed doc; ties break smallest") {
     val s = spark
     import s.implicits._

@@ -655,4 +655,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(pmiPlan.contains("BroadcastHashJoin"), pmiPlan)
     assert(!pmiPlan.contains("CartesianProduct"), pmiPlan)
   }
+
+  test("dsirWeights: broadcast weight table, reused count Exchange, no cartesian blowup") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val df = operators.Curation.dsirWeights(
+      d.where(col("doc_id") % 20 =!= 0),
+      d.where(col("doc_id") % 20 === 0), "doc_id", "text")
+    assert(df.collect().nonEmpty) // materialize THIS plan so AQE finalizes
+    val plan = df.queryExecution.executedPlan.toString
+    // the ≤ buckets-row weight table broadcasts to the corpus feature
+    // join; the count subtree feeding both the totals row and the join
+    // computes once (ReusedExchange — the PMI shape); the 1-row totals
+    // attach as a broadcast nested loop, never a CartesianProduct
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
