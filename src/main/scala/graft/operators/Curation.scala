@@ -1122,6 +1122,40 @@ object Curation {
       .limit(k)
   }
 
+  /** DSIR importance RESAMPLING proper — the paper's Gumbel-max trick
+    * made deterministic: sampling k documents without replacement with
+    * probability ∝ exp(log_w) is exactly taking the top-k of
+    * log_w + G_i with standard Gumbel noise G_i = −ln(−ln(u_i))
+    * [Vieira 2014 "Gumbel-max trick"]. Here u_i = (splitmix64(id+salt)
+    * >>> 11 + 0.5) / 2^53 — a pure hash of (id, salt), so one salt is
+    * one reproducible sample and different salts are independent
+    * resampling epochs (the [[graft.operators.TextOps.augmentDropout]]
+    * convention; [[dsirSelect]] is the noise-free limit). The Gumbel
+    * transform takes ln of fractional arguments, so this variant is
+    * spec-pinned (bit-exact against an independent model), not
+    * oracle-compared. Same TakeOrdered scale shape as dsirSelect. */
+  def dsirSample(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      buckets: Int = 1 << 16,
+      salt: Long = 31337L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wts = dsirWeights(corpus, target, idCol, textCol, buckets)
+      .select(col(idCol), col("log_w"))
+    // u in (0, 1): top 53 bits of the mixed hash, offset by half an ulp
+    // so u = 0 (g = −∞) is unreachable
+    val u = (shiftrightunsigned(mix64(col(idCol).cast("long"), salt), 11)
+      .cast("double") + lit(0.5)) / lit(9007199254740992.0) // 2^53
+    val gumbel = -log(-log(u))
+    corpus.join(wts, Seq(idCol))
+      .withColumn("gumbel_key", col("log_w") + gumbel)
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic training-shard assignment: shard = splitmix64(id+salt)
     * mod `numShards`, plus the signed mixed hash itself as the
     * within-shard sort key (`shard_ord`). This is the reproducible

@@ -2036,6 +2036,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sel == wantTop, s"$sel vs $wantTop")
   }
 
+  test("dsirSample: Gumbel-max keys match the model; weight biases selection across salts") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((100L, "good clean prose text")).toDF("doc_id", "text")
+    val corpus = (1L to 20L).map(i =>
+      (i, if (i <= 4) "good clean prose text" else "zz qq ww ee rr"))
+      .toDF("doc_id", "text")
+    // model: log_w from the dsirWeights output itself (already pinned
+    // bit-exactly by the dsirWeights spec) + the Gumbel transform with
+    // StrictMath.log — Spark's built-in log, which this non-oracle path
+    // deliberately uses (fractional args; MathLn buys nothing here)
+    val lw = operators.Curation.dsirWeights(corpus, target, "doc_id", "text")
+      .select(col("doc_id"), col("log_w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def key(id: Long, salt: Long): Double = {
+      val u = ((operators.HashKernelsAccess.mix(id + salt) >>> 11).toDouble + 0.5) /
+        9007199254740992.0
+      lw(id) + -StrictMath.log(-StrictMath.log(u))
+    }
+    val got = operators.Curation.dsirSample(
+        corpus, target, "doc_id", "text", k = 5, salt = 7L)
+      .select(col("doc_id"), col("gumbel_key"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = (1L to 20L).map(i => i -> key(i, 7L)).sortBy(-_._2).take(5).toMap
+    assert(got.keySet == want.keySet, s"$got vs $want")
+    got.foreach { case (id, k0) =>
+      assert(java.lang.Double.doubleToLongBits(k0) ==
+        java.lang.Double.doubleToLongBits(want(id)), s"doc $id key")
+    }
+    // across salts, target-like docs (1..4) are sampled far above their
+    // 4/20 base rate — the weights genuinely bias the sampling
+    val hits = (0 until 30).map { e =>
+      operators.Curation.dsirSample(corpus, target, "doc_id", "text",
+          k = 5, salt = 1000L + e)
+        .collect().map(_.getLong(0)).count(_ <= 4L)
+    }.sum
+    assert(hits > 60, s"target-like hits $hits of 150 slots (base rate would be 30)")
+  }
+
   test("repetitionStats matches a hand-computed doc; ties break smallest") {
     val s = spark
     import s.implicits._
