@@ -1217,6 +1217,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the STREAMING DSIR ingestion screen: weights trained in batch ride
+    // the plan as fused-kernel literal data, the stream is one stateless
+    // scan; the bounded replay must equal the batch aggregate exactly
+    // (q_dsir's oracle verbatim)
+    "q_stream_dsir" -> ((s, dir) =>
+      streaming.JsonStream.dsirScreenToBatch(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_feats"), col("w_feat"),
+          col("n_t"), col("n_s"), col("vocab"))
+        .orderBy(col("doc_id"))),
+
     // Bloom-filter decontamination screen: same gram contract as
     // q_decontam, but the benchmark grams fold into a 2^20-bit filter
     // (no shuffle) and the corpus side is one narrow scan — per-row gram
@@ -1992,6 +2002,34 @@ object SparkEntry {
        |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.j = sa.j
        |  GROUP BY c.id_a, c.id_b)""".stripMargin
   }
+
+  /** DSIR replica (shared by q_dsir and q_stream_dsir — the batch
+    * aggregate, the fused-kernel scan, and the stream must all equal
+    * it): hashed unigram+bigram buckets, add-one ln ratios summed per
+    * doc in POSITION order, integer totals. */
+  private lazy val dsirOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
+      | fx AS (SELECT doc_id, list_concat(tk, [array_to_string(tk[x+1:x+2], ' ')
+      |   for x in range(len(tk)-1)]) AS fs FROM d),
+      | ft AS (SELECT doc_id, generate_subscripts(fs, 1) - 1 AS pos, unnest(fs) AS f FROM fx),
+      | fh AS (SELECT doc_id, pos, ${fnvSql("f")} AS h0 FROM ft),
+      | ${mixStagesSql("fh", "doc_id, pos", "dq")},
+      | fb AS MATERIALIZED (SELECT doc_id, pos, h % 65536 AS b FROM dq3),
+      | tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM fb WHERE doc_id % 20 = 0 GROUP BY b),
+      | sc AS (SELECT b, CAST(count(*) AS BIGINT) AS sc FROM fb WHERE doc_id % 20 <> 0 GROUP BY b),
+      | cnt AS (SELECT coalesce(t.b, s.b) AS b, coalesce(t.tc, 0) AS tc, coalesce(s.sc, 0) AS sc
+      |   FROM tc t FULL OUTER JOIN sc s ON t.b = s.b),
+      | tot AS (SELECT CAST(sum(tc) AS BIGINT) AS n_t, CAST(sum(sc) AS BIGINT) AS n_s,
+      |   count(*) + 1 AS vocab FROM cnt),
+      | wr AS (SELECT f.doc_id, f.pos,
+      |   ln(CAST(c.tc + 1 AS DOUBLE)) - ln(CAST(c.sc + 1 AS DOUBLE)) AS w
+      |  FROM fb f JOIN cnt c ON c.b = f.b WHERE f.doc_id % 20 <> 0)
+      | SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w.w ORDER BY w.pos)),
+      |    (p, q) -> p + q), 4) AS w_feat,
+      |  any_value(t.n_t) AS n_t, any_value(t.n_s) AS n_s,
+      |  CAST(any_value(t.vocab) AS BIGINT) AS vocab
+      | FROM wr w CROSS JOIN tot t GROUP BY w.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
 
   /** Exact decimal expansion of a binary double — parses back to the
     * identical double in any engine. */
@@ -3554,29 +3592,12 @@ object SparkEntry {
     // DSIR replica: same hashed unigram+bigram chain as q_nb_classify;
     // bucket counts for target (doc_id%20=0) and corpus (rest), add-one
     // ln ratios summed per doc in POSITION order, integer totals
-    "q_dsir" ->
-      s"""WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk FROM documents),
-        | fx AS (SELECT doc_id, list_concat(tk, [array_to_string(tk[x+1:x+2], ' ')
-        |   for x in range(len(tk)-1)]) AS fs FROM d),
-        | ft AS (SELECT doc_id, generate_subscripts(fs, 1) - 1 AS pos, unnest(fs) AS f FROM fx),
-        | fh AS (SELECT doc_id, pos, ${fnvSql("f")} AS h0 FROM ft),
-        | ${mixStagesSql("fh", "doc_id, pos", "dq")},
-        | fb AS MATERIALIZED (SELECT doc_id, pos, h % 65536 AS b FROM dq3),
-        | tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM fb WHERE doc_id % 20 = 0 GROUP BY b),
-        | sc AS (SELECT b, CAST(count(*) AS BIGINT) AS sc FROM fb WHERE doc_id % 20 <> 0 GROUP BY b),
-        | cnt AS (SELECT coalesce(t.b, s.b) AS b, coalesce(t.tc, 0) AS tc, coalesce(s.sc, 0) AS sc
-        |   FROM tc t FULL OUTER JOIN sc s ON t.b = s.b),
-        | tot AS (SELECT CAST(sum(tc) AS BIGINT) AS n_t, CAST(sum(sc) AS BIGINT) AS n_s,
-        |   count(*) + 1 AS vocab FROM cnt),
-        | wr AS (SELECT f.doc_id, f.pos,
-        |   ln(CAST(c.tc + 1 AS DOUBLE)) - ln(CAST(c.sc + 1 AS DOUBLE)) AS w
-        |  FROM fb f JOIN cnt c ON c.b = f.b WHERE f.doc_id % 20 <> 0)
-        | SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(w.w ORDER BY w.pos)),
-        |    (p, q) -> p + q), 4) AS w_feat,
-        |  any_value(t.n_t) AS n_t, any_value(t.n_s) AS n_s,
-        |  CAST(any_value(t.vocab) AS BIGINT) AS vocab
-        | FROM wr w CROSS JOIN tot t GROUP BY w.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q_dsir" -> dsirOracleSql,
+
+    // the streaming ingestion screen replays the SAME computation
+    // through the fused kernel — one oracle text pins batch aggregate,
+    // fused batch scan, and stream alike
+    "q_stream_dsir" -> dsirOracleSql,
 
     // Bloom decontamination screen: the filter's bit positions are pure
     // mod-2^64 arithmetic (h1 = splitmix64(fnv1a64(gram)), h2 =

@@ -1122,6 +1122,78 @@ object Curation {
       .limit(k)
   }
 
+  /** Trained DSIR model: the dense per-bucket weight array
+    * (w[b] = ln(tc+1) − ln(sc+1), Math.log, 0.0 for buckets observed in
+    * neither corpus — tc = sc = 0 gives exactly ln 1 − ln 1) plus the
+    * integer totals. `weights.length` = the training bucket count. */
+  case class DsirModel(weights: Array[Double], nT: Long, nS: Long, vocab: Long)
+
+  /** Train [[DsirModel]] once: the two bucket-count aggregates of
+    * [[dsirWeights]], collected into a dense driver-side array (bounded
+    * by `buckets` — ≤ 2^20 rows of 24 B; the guard keeps a caller from
+    * asking for an uncollectable table). Use with [[dsirScoreFused]] to
+    * score any corpus — or any STREAM — at scan speed. */
+  def dsirTrain(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1 << 16): DsirModel = {
+    require(buckets >= 2 && buckets <= (1 << 20) &&
+      (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two in [2, 2^20], got $buckets")
+    val tCnt = TextOps.featureBuckets(target, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val sCnt = TextOps.featureBuckets(corpus, idCol, textCol, buckets)
+      .groupBy("b").agg(count(lit(1)).as("sc"))
+    val rows = tCnt.join(sCnt, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("sc"), lit(0L)).as("sc"))
+      .collect()
+    val w = new Array[Double](buckets)
+    var nT = 0L
+    var nS = 0L
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      val tc = r.getLong(1)
+      val sc = r.getLong(2)
+      w(b) = Math.log((tc + 1L).toDouble) - Math.log((sc + 1L).toDouble)
+      nT += tc
+      nS += sc
+    }
+    DsirModel(w, nT, nS, rows.length + 1L)
+  }
+
+  /** Score documents against a trained [[DsirModel]] with the fused
+    * [[graft.operators.DsirScore]] kernel — IDENTICAL output schema and
+    * BIT-IDENTICAL values to [[dsirWeights]] (spec-pinned: the kernel
+    * folds weights in featureBuckets' position order and the normalizer
+    * constant is the same two Math.log ops), but as ONE narrow
+    * codegen'd scan with the weight table riding the plan as literal
+    * data: zero Exchange, zero Join, no per-doc groupBy — the
+    * production shape for scoring 100 TB, and stateless, so the same
+    * expression runs unchanged on a stream
+    * ([[graft.streaming.JsonStream.dsirScreenToBatch]]). */
+  def dsirScoreFused(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DsirModel): DataFrame = {
+    val st = graft.operators.dsir_score(
+      TextOps.tokens(coalesce(col(textCol), lit(""))), model.weights)
+    val delta = Math.log((model.nT + model.vocab).toDouble) -
+      Math.log((model.nS + model.vocab).toDouble)
+    docs.select(col(idCol), st.as("st"))
+      .select(col(idCol),
+        col("st.n_feats").as("n_feats"),
+        round(col("st.wsum"), 4).as("w_feat"),
+        lit(model.nT).as("n_t"), lit(model.nS).as("n_s"),
+        lit(model.vocab).as("vocab"),
+        (col("st.wsum") - col("st.n_feats").cast("double") * lit(delta))
+          .as("log_w"))
+  }
+
   /** DSIR importance RESAMPLING proper — the paper's Gumbel-max trick
     * made deterministic: sampling k documents without replacement with
     * probability ∝ exp(log_w) is exactly taking the top-k of

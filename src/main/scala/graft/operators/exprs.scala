@@ -190,6 +190,74 @@ case class HashedLinearScore(child: Expression, buckets: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused DSIR scorer: hashed unigram+adjacent-bigram features of a token
+  * array (the [[HashedLinearScore]] feature space), each looked up in a
+  * TRAINED per-bucket weight array baked into the expression as literal
+  * data (the [[PqAdcScore]] convention — rides the plan, implicit
+  * broadcast). Weights fold in the SAME order as
+  * `TextOps.featureBuckets` materializes features (all unigrams in token
+  * order, then all adjacent bigrams), so the summed double is
+  * bit-identical to the aggregation-based scorer's position-ordered fold
+  * — spec-pinned. Returns struct(n_feats, wsum). Empty/NULL array →
+  * NULL; NULL tokens hash as empty strings (the HashedLinearScore
+  * convention; featureBuckets never produces them — its input coalesces
+  * text to ""). One narrow pass per row, no Exchange anywhere — the
+  * scan-speed production shape for scoring 100 TB (or a stream) against
+  * weights trained once. */
+case class DsirScore(child: Expression, weights: Array[Double])
+    extends UnaryExpression with KernelCodegen {
+  require(weights.nonEmpty && (weights.length & (weights.length - 1)) == 0,
+    s"weights length must be a power of two, got ${weights.length}")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("wsum", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "dsir_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dsir_score expects array<string> of tokens, got ${other.sql}")
+  }
+
+  @transient private lazy val mask = weights.length - 1L
+
+  private def bucketOf(rawFnv: Long): Int =
+    (HashKernels.mix(rawFnv) & mask).toInt
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val nt = toks.numElements()
+    if (nt == 0) return null
+    val fnv = new Array[Long](nt)
+    var i = 0
+    var wsum = 0.0
+    while (i < nt) { // unigrams, token order
+      val bytes = if (toks.isNullAt(i)) Array.emptyByteArray
+        else toks.getUTF8String(i).getBytes
+      fnv(i) = HashKernels.fnv1aCont(HashKernels.FnvBasis, bytes)
+      wsum += weights(bucketOf(fnv(i)))
+      i += 1
+    }
+    i = 1
+    while (i < nt) { // adjacent bigrams, token order (after ALL unigrams)
+      val bytes = if (toks.isNullAt(i)) Array.emptyByteArray
+        else toks.getUTF8String(i).getBytes
+      wsum += weights(bucketOf(
+        HashKernels.fnv1aCont(HashKernels.fnv1aByte(fnv(i - 1), ' '.toByte), bytes)))
+      i += 1
+    }
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    out.setLong(0, 2L * nt - 1L)
+    out.setDouble(1, wsum)
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Natural log via `java.lang.Math.log` — NOT Spark's built-in `ln`,
   * which evaluates `StrictMath.log` (fdlibm). The distinction is load-
   * bearing for every oracle-verified score: DuckDB's `ln` (platform

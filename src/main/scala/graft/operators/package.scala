@@ -33,6 +33,9 @@ package object operators {
   def math_ln(x: Column): Column =
     GraftSqlShim.column(MathLn(GraftSqlShim.expression(x)))
 
+  def dsir_score(tokens: Column, weights: Array[Double]): Column =
+    GraftSqlShim.column(DsirScore(GraftSqlShim.expression(tokens), weights))
+
   def pq_encode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
     GraftSqlShim.column(PqEncode(GraftSqlShim.expression(vec), codebooks))
 

@@ -248,6 +248,50 @@ object JsonStream {
     result
   }
 
+  /** Streaming DSIR ingestion screen: the [[graft.operators.Curation.dsirTrain]]
+    * weight table (trained in batch over corpus + target) rides the plan
+    * as literal kernel data, so the streamed side is ONE stateless fused
+    * [[graft.operators.DsirScore]] scan — no state, no watermark, no
+    * shuffle (the [[bloomScreenToBatch]] shape): importance-score every
+    * incoming document at ingestion time and let downstream mixing read
+    * `log_w`. Bounded replay == batch [[graft.operators.Curation.dsirScoreFused]]
+    * == [[graft.operators.Curation.dsirWeights]] (q_dsir's oracle text
+    * verbatim). */
+  def dsirScreenToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val p = java.nio.file.Paths.get(path)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-dsir")
+        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+        dir.toString
+      } else path
+    val docs = spark.read.parquet(path)
+    val model = graft.operators.Curation.dsirTrain(
+      docs.where(col("doc_id") % 20 =!= 0),
+      docs.where(col("doc_id") % 20 === 0),
+      "doc_id", "text")
+    val stream = graft.operators.Curation.dsirScoreFused(
+      spark.readStream.schema(docs.schema).parquet(srcPath)
+        .where(col("doc_id") % 20 =!= 0),
+      "doc_id", "text", model)
+    val sink = s"graft_stream_dsir_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    if (srcPath != path) {
+      val d = new java.io.File(srcPath)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    result
+  }
+
   /** Streaming cardinality monitor: the [[graft.operators.Curation.hllRegisters]]
     * transform runs unchanged on the file stream — narrow hash/bucket
     * projection into a streaming max aggregation whose state is the HLL

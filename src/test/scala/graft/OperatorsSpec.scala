@@ -2036,6 +2036,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sel == wantTop, s"$sel vs $wantTop")
   }
 
+  test("dsirScoreFused: bit-identical to dsirWeights; zero-Exchange codegen scan") {
+    val s = spark
+    val d = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = d.where(col("doc_id") % 20 =!= 0)
+    val target = d.where(col("doc_id") % 20 === 0)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          r.getLong(3), r.getLong(4), r.getLong(5),
+          java.lang.Double.doubleToLongBits(r.getDouble(6))))).toMap
+    val agg = rowsOf(operators.Curation.dsirWeights(corpus, target, "doc_id", "text"))
+    val model = operators.Curation.dsirTrain(corpus, target, "doc_id", "text")
+    val fusedDf = operators.Curation.dsirScoreFused(corpus, "doc_id", "text", model)
+    val fused = rowsOf(fusedDf)
+    assert(fused.keySet == agg.keySet)
+    val bad = fused.keySet.filter(k => fused(k) != agg(k))
+    assert(bad.isEmpty, s"diverging docs: ${bad.take(5).map(k =>
+      s"$k fused=${fused(k)} agg=${agg(k)}")}")
+    // the production scale shape: ONE narrow codegen'd scan — the weight
+    // table is kernel literal data, so no Exchange, no Join, no groupBy
+    val plan = fusedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("*(1)"), plan)
+    // unseen-bucket behavior for NEW (non-training) docs: every feature
+    // unobserved in training scores exactly ln1 − ln1 = 0, so w_feat = 0
+    // and log_w is pure normalizer
+    import s.implicits._
+    val novel = Seq((999000L, "xqzy wvut")).toDF("doc_id", "text")
+    val nr = operators.Curation.dsirScoreFused(novel, "doc_id", "text", model).head()
+    assert(nr.getDouble(2) == 0.0, nr.toString)
+  }
+
   test("dsirSample: Gumbel-max keys match the model; weight biases selection across salts") {
     val s = spark
     import s.implicits._
