@@ -36,6 +36,27 @@ object BenchGuard {
       .getOrElse(sys.error("no BENCH_SUMMARY.json / BENCH_LAST.json — run graft.Bench first"))
     val baseline = read("BENCH_BASELINE_EXT.json")
       .getOrElse(sys.error("no BENCH_BASELINE_EXT.json baseline"))
+    // BENCH_SUMMARY.json is committed per round, so on a fresh checkout
+    // it describes a PAST build — gating against it would pass any
+    // regression in the current one. The stamp makes staleness
+    // detectable: refuse to gate unless the recorded sha is this HEAD.
+    val headSha =
+      (try {
+        val head = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(".git/HEAD"))).trim
+        if (head.startsWith("ref: "))
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(".git/" + head.stripPrefix("ref: ")))).trim
+        else head
+      } catch { case _: Throwable => "unknown" })
+    val runSha = "\"git_sha\":\"([0-9a-f]+)\"".r
+      .findFirstMatchIn(latest).map(_.group(1))
+    runSha.foreach { s =>
+      if (headSha != "unknown" && s != headSha)
+        sys.error(s"BENCH_SUMMARY.json records a run of $s but HEAD is " +
+          s"$headSha — a stale summary would gate nothing; run graft.Bench " +
+          "on this build first")
+    }
     val ratio = sys.env.get("SPARK_GRAFT_GUARD_RATIO")
       .flatMap(_.toDoubleOption).getOrElse(1.5)
     val slack = sys.env.get("SPARK_GRAFT_GUARD_SLACK")

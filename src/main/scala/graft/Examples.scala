@@ -322,6 +322,20 @@ object Examples {
       .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
       .show(5)
 
+    println("== 22. DSIR: target-driven selection, fused scoring, sampling ==")
+    val dsirCorpus = docs.where(col("doc_id") % 20 =!= 0)
+    val dsirTarget = docs.where(col("doc_id") % 20 === 0)
+    Curation.dsirWeights(dsirCorpus, dsirTarget, "doc_id", "text")
+      .orderBy(col("log_w").desc).show(3)
+    // production shape: train once, score at scan speed (zero Exchange)
+    val dsirModel = Curation.dsirTrain(dsirCorpus, dsirTarget, "doc_id", "text")
+    Curation.dsirScoreFused(dsirCorpus, "doc_id", "text", dsirModel)
+      .orderBy(col("log_w").desc).show(3)
+    Curation.dsirSelect(dsirCorpus, dsirTarget, "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("log_w")).show()
+    Curation.dsirSample(dsirCorpus, dsirTarget, "doc_id", "text", k = 3,
+      salt = 42L).select(col("doc_id"), col("gumbel_key")).show()
+
     spark.stop()
   }
 }

@@ -145,6 +145,37 @@ object ScaleProbe {
         .selectExpr("sum(rank)").collect()
     }
 
+    // DSIR: train-once cost vs the two scoring paths — the fused kernel
+    // (weights as plan literals, zero Exchange) should approach scan
+    // speed while the aggregation path pays the feature explode +
+    // per-doc groupBy; both scans score the full corpus
+    {
+      val dsirCorpus = docs.where(col("doc_id") % 20 =!= 0)
+      val dsirTarget = docs.where(col("doc_id") % 20 === 0)
+      val trainName = s"DSIR train, $nDocs docs vs 1-in-20 target"
+      val fusedName = s"DSIR FUSED scoring, $nDocs docs (kernel weight table)"
+      def selected(n: String) = !only.exists(s => !n.contains(s))
+      // the fused probe depends on the trained model; when the filter
+      // selects the fused probe but not the train probe, train UNTIMED
+      // so the requested probe still runs (the invidx-family contract,
+      // without its silent-skip failure mode)
+      val model = time(trainName) {
+        operators.Curation.dsirTrain(dsirCorpus, dsirTarget, "doc_id", "text")
+      }.orElse(if (selected(fusedName))
+        Some(operators.Curation.dsirTrain(dsirCorpus, dsirTarget, "doc_id", "text"))
+      else None)
+      model.foreach { m =>
+        time(fusedName) {
+          operators.Curation.dsirScoreFused(dsirCorpus, "doc_id", "text", m)
+            .agg(sum(col("n_feats")), sum(col("w_feat"))).collect()
+        }
+      }
+      time(s"DSIR AGGREGATION path, same input (explode + groupBy)") {
+        operators.Curation.dsirWeights(dsirCorpus, dsirTarget, "doc_id", "text")
+          .agg(sum(col("n_feats")), sum(col("w_feat"))).collect()
+      }
+    }
+
     // full crawl link-graph chain (the q_link_graph shape at probe
     // scale): synthetic pages → regex anchor extraction → registered-
     // domain edges → 5 integer PageRank rounds. Distinct from the

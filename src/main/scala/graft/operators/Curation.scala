@@ -1086,12 +1086,17 @@ object Curation {
       .agg(count(lit(1)).as("n_feats"),
         sort_array(collect_list(struct(col("pos"), w.as("w")))).as("arr"))
       // the 1-row totals attach AFTER the per-doc aggregate (the
-      // nbClassify prior pattern)
+      // nbClassify prior pattern); the O(n_feats) array fold runs ONCE
+      // in its own projection — both w_feat and log_w read the result
+      // (the fold is a CodegenFallback HOF, outside whole-stage
+      // subexpression elimination, so referencing it twice in one
+      // select would evaluate it twice per document)
       .crossJoin(broadcast(tot))
+      .withColumn("__wsum", wSum)
       .select(col("id").as(idCol), col("n_feats"),
-        round(wSum, 4).as("w_feat"),
+        round(col("__wsum"), 4).as("w_feat"),
         col("n_t"), col("n_s"), col("vocab"),
-        (wSum - col("n_feats").cast("double") *
+        (col("__wsum") - col("n_feats").cast("double") *
           (math_ln((col("n_t") + col("vocab")).cast("double")) -
             math_ln((col("n_s") + col("vocab")).cast("double")))).as("log_w"))
   }

@@ -360,6 +360,11 @@ object Dedup {
       "edges")
     var labels = materialize(
       ids.select(col(idName).as("id"), col(idName).as("label")), "labels_0")
+    // in local mode the superseded iteration checkpoints must be
+    // unpersisted explicitly (drop() is durable-only; localCheckpoint
+    // blocks are invisible to the cache manager) — same discipline as
+    // [[graft.operators.Graph.pageRankFixed]]
+    var lastMaterialized = labels
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -384,9 +389,14 @@ object Dedup {
       converged = updated.where(col("changed")).limit(1).count() == 0
       labels = updated.select(col("id"), col("label"))
       drop(s"labels_$i")
+      if (runDir == null) graft.operators.releaseLocalCheckpoint(lastMaterialized)
+      lastMaterialized = updated
       i += 1
     }
     drop("edges")
+    // the final labels checkpoint stays pinned — the returned frame
+    // reads it lazily; the edge checkpoint is no longer referenced
+    if (runDir == null) graft.operators.releaseLocalCheckpoint(edges)
     labels.select(col("id").as(idName), col("label").as("cluster_id"))
   }
 

@@ -43,8 +43,10 @@ object Graph {
     * table is MATERIALIZED ([[Dedup.duplicateClusters]]'s two modes,
     * identical results — spec-pinned):
     *  - `checkpointDir = null` (default): `localCheckpoint()` —
-    *    executor-local blocks; fast, but an executor loss re-runs the
-    *    job tree from the last surviving blocks.
+    *    executor-local blocks; fast, but NOT fault-tolerant: the
+    *    checkpoint truncates lineage, so blocks lost with an executor
+    *    are unrecoverable and the job fails (re-run it). Superseded
+    *    checkpoints are released as soon as the next one materializes.
     *  - `checkpointDir` set: ranks written to parquet under the dir and
     *    read back — any-FS durable, an executor loss recomputes at most
     *    `checkpointEvery` iterations from files. Superseded checkpoints
@@ -96,6 +98,7 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
     var i = 0
     var lastCp = -1
+    var lastLocalCp: DataFrame = null
     while (i < iterations) {
       val contribs = ew
         .join(ranks, ew("src") === ranks("node"))
@@ -107,10 +110,19 @@ object Graph {
         .select(col("node"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("rank"))
       i += 1
       // truncate lineage every checkpointEvery rounds (skip the final
-      // round — the tail materialization below covers it)
+      // round — the tail materialization below covers it); the
+      // superseded checkpoint is released in BOTH modes (files dropped /
+      // local blocks unpersisted) so long runs hold exactly one — the
+      // LAST one stays pinned because the returned frame reads from it
       if (i % checkpointEvery == 0 && i < iterations) {
-        ranks = materialize(ranks, s"ranks_$i")
-        if (lastCp >= 0) drop(s"ranks_$lastCp")
+        val cp = materialize(ranks, s"ranks_$i")
+        if (lastCp >= 0) {
+          drop(s"ranks_$lastCp")
+          if (runDir == null && lastLocalCp != null)
+            graft.operators.releaseLocalCheckpoint(lastLocalCp)
+        }
+        if (runDir == null) lastLocalCp = cp
+        ranks = cp
         lastCp = i
       }
     }

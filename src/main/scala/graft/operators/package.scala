@@ -46,4 +46,16 @@ package object operators {
       centroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]]): Column =
     GraftSqlShim.column(IvfPqEncode(
       GraftSqlShim.expression(vec), GraftSqlShim.expression(cell), centroids, codebooks))
+
+  /** Release the executor blocks behind a `localCheckpoint()`'d frame.
+    * A local checkpoint pins its RDD at MEMORY_AND_DISK and the cache
+    * manager never sees it, so superseded iteration checkpoints in the
+    * Pregel-style loops would otherwise accumulate until driver GC gets
+    * around to them — unbounded pinned storage at high iteration counts.
+    * No-op for frames that are not local checkpoints. */
+  private[graft] def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -203,6 +203,46 @@ object JsonStream {
     result
   }
 
+  /** Shared APPEND-mode replay harness for the stateless screens: file-
+    * stream `path` (single files get a temp dir), apply `transform`,
+    * drain with AvailableNow into a memory sink, return the local-
+    * checkpointed snapshot. Temp dir and sink are cleaned up on failure
+    * too (each inline copy of this boilerplate used to leak its temp dir
+    * when the query threw). The stateful *ToBatch replays keep their own
+    * harnesses — they differ in pushers, triggers, and output modes. */
+  private def replayFileStream(
+      spark: SparkSession,
+      path: String,
+      tag: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val p = java.nio.file.Paths.get(path)
+    val srcPath =
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-stream-$tag")
+        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+        dir.toString
+      } else path
+    try {
+      val schema = spark.read.parquet(path).schema
+      val out = transform(spark.readStream.schema(schema).parquet(srcPath))
+      val sink = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.writeStream
+        .format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      val result = spark.table(sink).localCheckpoint(true)
+      spark.catalog.dropTempView(sink)
+      result
+    } finally if (srcPath != path) {
+      val d = new java.io.File(srcPath)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+  }
+
   /** Streaming benchmark-decontamination screen: the Bloom filter built
     * (in batch) over the benchmark grams is a plan literal, so the
     * streamed corpus side is the same stateless fused
@@ -210,42 +250,20 @@ object JsonStream {
     * watermark, no shuffle. Bounded replay == batch answer
     * (q_bloom_decontam's oracle text verbatim). */
   def bloomScreenToBatch(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    graft.sources.Tables.prepare(spark)
-    val p = java.nio.file.Paths.get(path)
-    val srcPath =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-bloom")
-        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
-        dir.toString
-      } else path
     val docs = spark.read.parquet(path)
     val filter = graft.operators.Bloom.buildFilter(
       docs.where(col("doc_id") % 20 === 0)
         .select(explode(graft.operators.Dedup.shingles(col("text"), 4)).as("g")),
       col("g"), numBits = 1L << 20, numHashes = 7)
-    val schema = docs.schema
-    val stream = spark.readStream.schema(schema).parquet(srcPath)
-      .where(col("doc_id") % 20 =!= 0)
-      .select(col("doc_id"),
-        graft.operators.Bloom.bloomCountContained(
-          split(col("text"), " "), lit(filter), 4).as("n_flagged_grams"))
-      .select(col("doc_id"), col("n_flagged_grams"),
-        (col("n_flagged_grams") > 0).as("maybe_contaminated"))
-    val sink = s"graft_stream_bloom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = stream.writeStream
-      .format("memory").queryName(sink)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = spark.table(sink).localCheckpoint(true)
-    spark.catalog.dropTempView(sink)
-    if (srcPath != path) {
-      val d = new java.io.File(srcPath)
-      d.listFiles().foreach(_.delete()); d.delete()
+    replayFileStream(spark, path, "bloom") { stream =>
+      stream
+        .where(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"),
+          graft.operators.Bloom.bloomCountContained(
+            split(col("text"), " "), lit(filter), 4).as("n_flagged_grams"))
+        .select(col("doc_id"), col("n_flagged_grams"),
+          (col("n_flagged_grams") > 0).as("maybe_contaminated"))
     }
-    result
   }
 
   /** Streaming DSIR ingestion screen: the [[graft.operators.Curation.dsirTrain]]
@@ -258,38 +276,15 @@ object JsonStream {
     * == [[graft.operators.Curation.dsirWeights]] (q_dsir's oracle text
     * verbatim). */
   def dsirScreenToBatch(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    graft.sources.Tables.prepare(spark)
-    val p = java.nio.file.Paths.get(path)
-    val srcPath =
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-dsir")
-        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
-        dir.toString
-      } else path
     val docs = spark.read.parquet(path)
     val model = graft.operators.Curation.dsirTrain(
       docs.where(col("doc_id") % 20 =!= 0),
       docs.where(col("doc_id") % 20 === 0),
       "doc_id", "text")
-    val stream = graft.operators.Curation.dsirScoreFused(
-      spark.readStream.schema(docs.schema).parquet(srcPath)
-        .where(col("doc_id") % 20 =!= 0),
-      "doc_id", "text", model)
-    val sink = s"graft_stream_dsir_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = stream.writeStream
-      .format("memory").queryName(sink)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = spark.table(sink).localCheckpoint(true)
-    spark.catalog.dropTempView(sink)
-    if (srcPath != path) {
-      val d = new java.io.File(srcPath)
-      d.listFiles().foreach(_.delete()); d.delete()
+    replayFileStream(spark, path, "dsir") { stream =>
+      graft.operators.Curation.dsirScoreFused(
+        stream.where(col("doc_id") % 20 =!= 0), "doc_id", "text", model)
     }
-    result
   }
 
   /** Streaming cardinality monitor: the [[graft.operators.Curation.hllRegisters]]

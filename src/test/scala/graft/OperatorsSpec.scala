@@ -598,6 +598,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(13L) == ((true, "none", -1L)), got(13L).toString)
   }
 
+  test("incrementalNearDup: recall vs brute force stays bounded (the screen's miss budget)") {
+    // q_incr_neardup's oracle now replays the LSH screen itself (so the
+    // value comparison holds at any scale); THIS is where recall against
+    // ground truth lives. Planted pairs sweep j from ~0.65 to 1.0 by
+    // appending doc_id % 25 junk tokens to every corpus doc.
+    val s = spark
+    val corpus = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull && length(col("text")) > 0)
+    val junk = concat_ws(" ", (0 until 24).map(i =>
+      when(pmod(col("doc_id"), lit(25)) > i, concat(lit(s"zz$i"), col("doc_id")))): _*)
+    val batch = corpus.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" "), junk).as("text"))
+    // ground truth: brute-force exact Jaccard over the FULL screened pair
+    // space — batch × (corpus ∪ smaller-id batch) — small enough to
+    // cross-join at this fixture size
+    val bsh = batch.select(col("doc_id").as("bid"),
+      operators.Dedup.shingles(col("text"), 3).as("bs"))
+    val osh = corpus.select(col("doc_id").as("oid"),
+        operators.Dedup.shingles(col("text"), 3).as("os"))
+      .unionAll(batch.select(col("doc_id").as("oid"),
+        operators.Dedup.shingles(col("text"), 3).as("os")))
+    val truth = bsh.crossJoin(osh)
+      .where(col("oid") < lit(100000L) || col("oid") < col("bid"))
+      .select(col("bid"),
+        operators.Dedup.jaccard(col("bs"), col("os")).as("jac"))
+      .where(col("jac") >= 0.7)
+      .groupBy(col("bid")).agg(max(col("jac")).as("jac"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val qualifying = truth
+    assert(qualifying.size > 200, s"fixture degenerate: ${qualifying.size} qualifying pairs")
+    assert(qualifying.values.exists(_ < 0.8) && qualifying.values.exists(_ > 0.9),
+      "fixture should sweep the threshold band")
+    val found = operators.Dedup.incrementalNearDup(batch, corpus,
+        "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8,
+        threshold = 0.7)
+      .where(!col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    val missed = qualifying.keySet -- found
+    val recall = 1.0 - missed.size.toDouble / qualifying.size
+    // the documented miss modes: ~0.3% bucket miss + ~1% est-prefilter
+    // miss near the threshold — a change that degrades the screen (4-row
+    // bands lose ~12% at j≈0.85) fails here
+    assert(recall >= 0.97, f"recall $recall%.4f (missed ${missed.size} of ${qualifying.size})")
+    val missedHighJ = missed.filter(truth(_) >= 0.85)
+    assert(missedHighJ.isEmpty,
+      s"high-similarity pairs missed: ${missedHighJ.map(b => b -> truth(b))}")
+    // precision is exact by construction (every candidate is verified
+    // with exact Jaccard before dropping): no doc without a qualifying
+    // partner may be dropped
+    val overDropped = found -- qualifying.keySet
+    assert(overDropped.isEmpty, s"dropped without a qualifying pair: $overDropped")
+  }
+
   test("pageRankFixed: matches a sequential fixed-point reference") {
     val s = spark
     import s.implicits._
