@@ -537,6 +537,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CONTAINMENT pairs (overlap coefficient): planted short docs —
+    // every 9th doc truncated to its first 15 tokens — embed fully in
+    // their source, which Jaccard-family dedup misses (j ≈ |A|/|B|);
+    // rare-shingle candidates + exact set arithmetic, fully
+    // deterministic, every value an exact integer or one division
+    "q_containment" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val aug = d.select(col("doc_id"), col("text"))
+        .unionAll(d.where(col("doc_id") % 9 === 2 && col("text").isNotNull)
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text")))
+      operators.Dedup.containmentPairs(aug, "doc_id", "text",
+          shingleSize = 3, maxDf = 20, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MinHash+LSH near-dup candidate pairs (shingle→sig→band→bucket-join)
     "q_minhash_lsh" -> ((s, dir) =>
       operators.Dedup.minhashCandidatePairs(
@@ -4422,6 +4438,31 @@ object SparkEntry {
         | WHERE $probeCond
         | ORDER BY ${cosSql("bb.e", "q.qe")} DESC, bb.vec_id LIMIT 20""".stripMargin.replaceAll("\n", " ")
     },
+
+    // containment replica: same planted truncations, rare-shingle
+    // candidate join (df in [2, 20]), exact set arithmetic
+    "q_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 500000,
+        |   array_to_string((string_split(text, ' '))[1:15], ' ')
+        |   FROM documents WHERE doc_id % 9 = 2 AND text IS NOT NULL),
+        | tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base WHERE text IS NOT NULL),
+        | shs AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s FROM tks),
+        | exq AS (SELECT doc_id, unnest(s) AS g FROM shs),
+        | rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM exq GROUP BY g)
+        |   WHERE df BETWEEN 2 AND 20),
+        | rex AS MATERIALIZED (SELECT e.doc_id, e.g FROM exq e JOIN rare r ON e.g = r.g),
+        | cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |   FROM rex x JOIN rex y ON x.g = y.g AND x.doc_id < y.doc_id)
+        | SELECT c.id_a, c.id_b,
+        |  CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS overlap
+        | FROM cand c JOIN shs a ON a.doc_id = c.id_a JOIN shs b ON b.doc_id = c.id_b
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.9
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // full MinHash+LSH replica (shared family constants) — candidate set,
     // banding, and agreement estimates all value-level

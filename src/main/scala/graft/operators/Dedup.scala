@@ -256,6 +256,64 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** CONTAINMENT near-dup pairs — the asymmetric-duplication case the
+    * Jaccard family is blind to: a short document fully embedded in a
+    * longer one (a quoted article inside a page, a chapter inside a
+    * book, a README pasted into a repo dump) has Jaccard ≈ |A|/|B|
+    * (arbitrarily small) but overlap coefficient
+    * `|S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)` ≈ 1 — and minhash-LSH
+    * cannot find such pairs either, because banding recall tracks
+    * JACCARD. Candidates here come from a RARE-SHINGLE join instead:
+    * pairs sharing at least one shingle whose document frequency is in
+    * [2, maxDf], then exact set arithmetic. Deterministic — no
+    * probabilistic misses; the recall CONTRACT is explicit instead: a
+    * contained doc is found unless every one of its shingles occurs in
+    * more than `maxDf` documents (pure-boilerplate text — raise maxDf
+    * to chase it, at quadratic-in-maxDf candidate cost).
+    *
+    * Returns `(id_a, id_b, n_a, n_b, n_inter, overlap)` for id_a < id_b
+    * with overlap ≥ `threshold`; exact integers plus one division.
+    *
+    * Scale shape: one shingle explode + one df count (partial-agg,
+    * Zipf head collapses map-side) + a self equi-join on rare shingles
+    * whose per-gram fan-out is ≤ maxDf·(maxDf−1)/2 pairs by
+    * construction (the df filter IS the skew bound — no hot-gram
+    * blowup possible), then the shingle-set fetch join for candidates
+    * only. All equi-shapes, AQE-splittable. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      maxDf: Int = 20,
+      threshold: Double = 0.9): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = df.select(col(idCol).as("vid"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val ex = sh.select(col("vid"), explode(col("sh")).as("g"))
+    val rare = ex.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("g"))
+    val rex = ex.join(rare, "g")
+    val cand = rex.select(col("g"), col("vid").as("id_a"))
+      .join(rex.select(col("g"), col("vid").as("id_b")), "g")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col("vid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("vid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"))
+      .withColumn("overlap", col("n_inter").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .where(col("overlap") >= threshold)
+  }
+
   /** SimHash near-dup pairs: band the 64-bit simhash into `maxHamming + 1`
     * chunks — two hashes within Hamming distance `maxHamming` must agree on
     * at least one chunk (pigeonhole), so chunk-equality buckets are a

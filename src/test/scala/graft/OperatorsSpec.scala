@@ -598,6 +598,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(13L) == ((true, "none", -1L)), got(13L).toString)
   }
 
+  test("containmentPairs: finds subset duplication the Jaccard family misses") {
+    val s = spark
+    import s.implicits._
+    val long = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val short = (1 to 12).map(i => s"tok$i").mkString(" ")          // prefix of long
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long),                 // container
+      (2L, short),                // fully contained in 1 — overlap 1.0
+      (3L, other),                // unrelated
+      (4L, other + " tail9 tail8") // near-dup of 3 (high jaccard)
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, maxDf = 10, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // (1,2): 10 shingles of the short doc, all present in the long one
+    assert(got.contains((1L, 2L)), got.keySet.toString)
+    val (na, nb, ni, ov) = got((1L, 2L))
+    assert(na == 58L && nb == 10L && ni == 10L && ov == 1.0, got((1L, 2L)).toString)
+    // (3,4) is ordinary near-dup: also caught (overlap subsumes jaccard)
+    assert(got.contains((3L, 4L)))
+    // the blind spot is real: the pair (1,2) has tiny JACCARD, so the
+    // minhash pipeline at its own threshold never reports it
+    val jac = Dedup.jaccard(
+      Dedup.shingles(lit(long), 3), Dedup.shingles(lit(short), 3))
+    val j = docs.limit(1).select(jac).head().getDouble(0)
+    assert(j < 0.2, s"jaccard of the contained pair is $j")
+    val lshPairs = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lshPairs.contains((1L, 2L)), "jaccard pipeline unexpectedly found the contained pair")
+    // recall contract: shingles common beyond maxDf are ignored — a doc
+    // whose EVERY shingle is boilerplate is not found
+    val boiler = (0 until 12).map(i => (10L + i, "the same boilerplate line repeated"))
+      .toDF("doc_id", "text")
+    val none = Dedup.containmentPairs(boiler, "doc_id", "text",
+      shingleSize = 3, maxDf = 5, threshold = 0.9).count()
+    assert(none == 0L, "df-capped grams must not generate candidates")
+  }
+
   test("incrementalNearDup: recall vs brute force stays bounded (the screen's miss budget)") {
     // q_incr_neardup's oracle now replays the LSH screen itself (so the
     // value comparison holds at any scale); THIS is where recall against
