@@ -820,6 +820,15 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) =>
       operators.TextOps.corpusStats(table(s, dir, "documents"), "text")),
 
+    // Heaps-law vocabulary-growth curve: exact (n_docs, n_tokens,
+    // n_vocab) at id-order prefixes — all integers; checkpoints past
+    // the corpus just repeat the totals (sf-independent query text)
+    "q_vocab_growth" -> ((s, dir) =>
+      operators.TextOps.vocabGrowth(table(s, dir, "documents"),
+          "doc_id", "text",
+          checkpoints = Seq(60L, 125L, 250L, 500L, 1000L, 2000L, 4000L, 8000L))
+        .orderBy(col("cp"))),
+
     // sequence packing: shard-parallel fixed-token-budget bin assignment
     "q_seq_pack" -> ((s, dir) =>
       operators.TextOps.packSequences(table(s, dir, "documents"),
@@ -3038,6 +3047,25 @@ object SparkEntry {
         | avg(n_chars) AS mean_chars
         | FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |   CAST(length(text) AS BIGINT) AS n_chars FROM documents)""".stripMargin.replaceAll("\n", " "),
+
+    // Heaps-law curve replica: first-occurrence id per token + per-doc
+    // token counts against the same checkpoint thresholds, all integers
+    "q_vocab_growth" ->
+      """WITH cps(cp) AS (SELECT * FROM (VALUES (60), (125), (250), (500),
+        |   (1000), (2000), (4000), (8000))),
+        | tk AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents),
+        | firsts AS (SELECT tok, min(doc_id) AS fid FROM tk GROUP BY tok),
+        | pd AS (SELECT doc_id, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
+        |   FROM documents),
+        | a AS (SELECT cp, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n) AS BIGINT) AS n_tokens FROM cps JOIN pd ON doc_id <= cp GROUP BY cp),
+        | b AS (SELECT cp, CAST(count(*) AS BIGINT) AS n_vocab
+        |   FROM cps JOIN firsts ON fid <= cp GROUP BY cp)
+        | SELECT CAST(c.cp AS BIGINT) AS cp,
+        |  coalesce(a.n_docs, 0) AS n_docs, coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(b.n_vocab, 0) AS n_vocab
+        | FROM cps c LEFT JOIN a ON a.cp = c.cp LEFT JOIN b ON b.cp = c.cp
+        | ORDER BY cp""".stripMargin.replaceAll("\n", " "),
 
     "q_seq_pack" ->
       """SELECT doc_id,

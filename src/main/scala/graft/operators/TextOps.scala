@@ -487,6 +487,56 @@ object TextOps {
         expr("percentile(n_tokens, 0.99)").as("p99_tokens"),
         avg(col("n_chars")).as("mean_chars"))
 
+  /** Vocabulary-growth checkpoints — the Heaps-law diagnostic behind
+    * tokenizer/vocab sizing and "how much more data until the vocab
+    * saturates" decisions [Heaps 1978]: for each id-order prefix
+    * `doc_id <= cp`, the exact `(n_docs, n_tokens, n_vocab)` triple.
+    * Sublinear vocab growth against token growth is the law itself;
+    * emitting the exact integer curve (rather than a fitted exponent,
+    * whose regression floats are not cross-engine-pinnable) keeps every
+    * value oracle-comparable and lets the caller fit downstream.
+    *
+    * Scale shape: ONE token explode feeding a groupBy(token)
+    * first-occurrence aggregate (the Zipf head collapses map-side;
+    * state = vocabulary size, the thing being measured) plus a narrow
+    * per-doc token count; each side then theta-joins against the
+    * K-row checkpoint table (broadcast nested loop over K ≤ dozens —
+    * each row evaluated against K thresholds, the K-fold work IS the
+    * K-checkpoint ask). Checkpoints past the max id just repeat the
+    * corpus totals. Returns `(cp, n_docs, n_tokens, n_vocab)`. */
+  def vocabGrowth(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "checkpoints must be non-empty")
+    require(checkpoints.distinct.size == checkpoints.size,
+      s"checkpoints must be distinct, got $checkpoints")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cps = checkpoints.toDF("cp")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(tokens(coalesce(col(textCol), lit("")))).as("tok"))
+    val firsts = toks.groupBy(col("tok")).agg(min(col("id")).as("first_id"))
+    val perDoc = df.select(col(idCol).cast("long").as("id"),
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_toks"))
+    // INNER theta-joins with the checkpoint table as the broadcast build
+    // side (a left-outer from cps would force broadcasting the CORPUS
+    // side — the preserved side of an outer BNL join cannot be the
+    // build side); empty checkpoints reattach from the K-row cps table
+    val docsSide = perDoc.join(broadcast(cps), col("id") <= col("cp"))
+      .groupBy(col("cp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val vocabSide = firsts.join(broadcast(cps), col("first_id") <= col("cp"))
+      .groupBy(col("cp"))
+      .agg(count(lit(1)).as("n_vocab"))
+    cps.join(docsSide, Seq("cp"), "left").join(vocabSide, Seq("cp"), "left")
+      .select(col("cp"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_vocab"), lit(0L)).as("n_vocab"))
+  }
+
   /** Strict sliding word n-grams (every window of exactly `n` tokens;
     * docs shorter than `n` yield an empty list — unlike Dedup.shingles,
     * which degrades to one whole-doc shingle, matching its LSH role). */

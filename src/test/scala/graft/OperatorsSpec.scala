@@ -598,6 +598,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(13L) == ((true, "none", -1L)), got(13L).toString)
   }
 
+  test("vocabGrowth: exact prefix counts; Heaps' law on the real corpus") {
+    val s = spark
+    import s.implicits._
+    // hand fixture: ids 1..3 with overlapping vocab; cp=0 below all ids
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c d e")).toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(docs, "doc_id", "text", Seq(0L, 1L, 2L, 3L, 99L))
+      .orderBy("cp").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 0L),
+      (1L, 1L, 3L, 2L),   // {a, b}
+      (2L, 2L, 5L, 3L),   // + {c}
+      (3L, 3L, 8L, 5L),   // + {d, e}
+      (99L, 3L, 8L, 5L)), got.toString)
+    // Heaps on real data: vocab growth is SUBLINEAR in token growth at
+    // every checkpoint doubling (the synthetic corpus's generator vocab
+    // saturates almost immediately — ~31 distinct tokens — which is the
+    // extreme sublinear case: the diagnostic exists to expose exactly
+    // this kind of vocabulary shape before a tokenizer is sized for it)
+    val real = TextOps.vocabGrowth(
+        s.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", Seq(60L, 125L, 250L, 500L))
+      .orderBy("cp").collect().map(r => (r.getLong(2), r.getLong(3)))
+    real.sliding(2).foreach { case Array((t1, v1), (t2, v2)) =>
+      assert(t2 > t1 && v2 >= v1, "prefix counts must be monotone")
+      assert(v2.toDouble / v1 < t2.toDouble / t1,
+        s"vocab grew superlinearly: tokens $t1->$t2, vocab $v1->$v2")
+    }
+  }
+
   test("containmentPairs: finds subset duplication the Jaccard family misses") {
     val s = spark
     import s.implicits._
