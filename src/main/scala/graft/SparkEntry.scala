@@ -540,8 +540,9 @@ object SparkEntry {
     // CONTAINMENT pairs (overlap coefficient): planted short docs —
     // every 9th doc truncated to its first 15 tokens — embed fully in
     // their source, which Jaccard-family dedup misses (j ≈ |A|/|B|);
-    // rare-shingle candidates + exact set arithmetic, fully
-    // deterministic, every value an exact integer or one division
+    // lossless prefix-filter candidates (each doc probes with its
+    // ⌊(1−t)·n⌋+2 globally-rarest shingles) + exact set arithmetic,
+    // fully deterministic, every value an exact integer or one division
     "q_containment" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val aug = d.select(col("doc_id"), col("text"))
@@ -549,7 +550,7 @@ object SparkEntry {
           .select((col("doc_id") + 500000L).as("doc_id"),
             concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text")))
       operators.Dedup.containmentPairs(aug, "doc_id", "text",
-          shingleSize = 3, maxDf = 20, threshold = 0.9)
+          shingleSize = 3, threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -4467,8 +4468,11 @@ object SparkEntry {
         | ORDER BY ${cosSql("bb.e", "q.qe")} DESC, bb.vec_id LIMIT 20""".stripMargin.replaceAll("\n", " ")
     },
 
-    // containment replica: same planted truncations, rare-shingle
-    // candidate join (df in [2, 20]), exact set arithmetic
+    // containment replica: same planted truncations, prefix-filter
+    // candidates (⌊(1−t)·n⌋+2 rarest grams probe the postings — DuckDB
+    // sizes the prefix in exact decimal where Spark uses doubles, but
+    // both prefixes satisfy the lossless bound, so the post-threshold
+    // answers coincide), n_inter counted from the gram join
     "q_containment" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 500000,
@@ -4476,20 +4480,27 @@ object SparkEntry {
         |   FROM documents WHERE doc_id % 9 = 2 AND text IS NOT NULL),
         | tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base WHERE text IS NOT NULL),
         | shs AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s FROM tks),
-        | exq AS (SELECT doc_id, unnest(s) AS g FROM shs),
-        | rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM exq GROUP BY g)
-        |   WHERE df BETWEEN 2 AND 20),
-        | rex AS MATERIALIZED (SELECT e.doc_id, e.g FROM exq e JOIN rare r ON e.g = r.g),
-        | cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |   FROM rex x JOIN rex y ON x.g = y.g AND x.doc_id < y.doc_id)
-        | SELECT c.id_a, c.id_b,
-        |  CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b,
-        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS overlap
-        | FROM cand c JOIN shs a ON a.doc_id = c.id_a JOIN shs b ON b.doc_id = c.id_b
-        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / CAST(least(len(a.s), len(b.s)) AS DOUBLE) >= 0.9
+        | exq AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM shs),
+        | szs AS (SELECT doc_id, len(s) AS n FROM shs WHERE len(s) > 0),
+        | dfq AS (SELECT g, count(*) AS df FROM exq GROUP BY g),
+        | pref AS (SELECT doc_id AS pid, g FROM (
+        |    SELECT e.doc_id, e.g, z.n,
+        |      row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rk
+        |    FROM exq e JOIN dfq d ON e.g = d.g JOIN szs z ON z.doc_id = e.doc_id)
+        |   WHERE rk <= floor((1.0 - 0.9) * n) + 2),
+        | cand AS (SELECT DISTINCT least(p.pid, o.doc_id) AS id_a,
+        |    greatest(p.pid, o.doc_id) AS id_b
+        |   FROM pref p JOIN exq o ON p.g = o.g AND p.pid <> o.doc_id),
+        | intr AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |   FROM cand c JOIN exq ea ON ea.doc_id = c.id_a
+        |   JOIN exq eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+        |   GROUP BY c.id_a, c.id_b)
+        | SELECT i.id_a, i.id_b,
+        |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+        |  CAST(i.n_inter AS BIGINT) AS n_inter,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) AS overlap
+        | FROM intr i JOIN szs za ON za.doc_id = i.id_a JOIN szs zb ON zb.doc_id = i.id_b
+        | WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) >= 0.9
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // full MinHash+LSH replica (shared family constants) — candidate set,

@@ -151,14 +151,14 @@ object Dedup {
         coalesce(col("jac"), lit(0.0)).as("match_jaccard"))
   }
 
-  /** Whitespace tokens → n-token shingles (distinct). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Whitespace tokens → n-token shingles (distinct): the fused
+    * [[ShingleSet]] kernel, byte-identical to the declarative
+    * `array_distinct(transform(sequence(...), concat_ws(slice(...))))`
+    * chain it replaced (KernelPropertySpec pins the equivalence) but
+    * one pass and one allocation per distinct gram. */
+  def shingles(textCol: Column, n: Int): Column =
+    GraftSqlShim.column(
+      ShingleSet(GraftSqlShim.expression(split(textCol, " ")), n))
 
   /** MinHash signature (array<long> of length k) over a text column: the
     * fused MinHashSignature kernel shingles, hashes, and min-hashes the
@@ -263,55 +263,94 @@ object Dedup {
     * (arbitrarily small) but overlap coefficient
     * `|S(A) ∩ S(B)| / min(|S(A)|, |S(B)|)` ≈ 1 — and minhash-LSH
     * cannot find such pairs either, because banding recall tracks
-    * JACCARD. Candidates here come from a RARE-SHINGLE join instead:
-    * pairs sharing at least one shingle whose document frequency is in
-    * [2, maxDf], then exact set arithmetic. Deterministic — no
-    * probabilistic misses; the recall CONTRACT is explicit instead: a
-    * contained doc is found unless every one of its shingles occurs in
-    * more than `maxDf` documents (pure-boilerplate text — raise maxDf
-    * to chase it, at quadratic-in-maxDf candidate cost).
+    * JACCARD. Candidates come from PREFIX FILTERING (the AllPairs /
+    * PPJoin candidate scheme adapted to the overlap coefficient): order
+    * all shingles globally by (document frequency, shingle) ascending;
+    * each doc probes the gram postings with only its
+    * `⌊(1−threshold)·n⌋ + 2` RAREST shingles. LOSSLESS by the prefix
+    * pigeonhole — for a passing pair with |A| = min, A can have at most
+    * `(1−threshold)·|A|` shingles outside B, so at least one of A's
+    * prefix shingles is in B and the prefix⋈postings join emits the
+    * pair (the +2 covers the ⌊⌋+1 bound plus one slack gram so double
+    * rounding of `(1−t)·n` can never under-size a prefix). No maxDf
+    * recall cliff: saturated-vocabulary (boilerplate-heavy) corpora
+    * stay fully covered — their cost shows up as candidate volume, not
+    * silent misses.
     *
     * Returns `(id_a, id_b, n_a, n_b, n_inter, overlap)` for id_a < id_b
     * with overlap ≥ `threshold`; exact integers plus one division.
+    * `n_inter` is COUNTED from the gram-postings equi-join (one count
+    * per shared shingle of a candidate pair) — no doc carries its full
+    * shingle array through a join.
     *
-    * Scale shape: one shingle explode + one df count (partial-agg,
-    * Zipf head collapses map-side) + a self equi-join on rare shingles
-    * whose per-gram fan-out is ≤ maxDf·(maxDf−1)/2 pairs by
-    * construction (the df filter IS the skew bound — no hot-gram
-    * blowup possible), then the shingle-set fetch join for candidates
-    * only. All equi-shapes, AQE-splittable. */
+    * Scale shape: one shingle explode + one df count (partial-agg, the
+    * Zipf head collapses map-side) + a per-doc top-p window on the doc
+    * key + the prefix⋈postings equi-join on the gram. Candidate volume
+    * is Σ_doc Σ_{g ∈ prefix(doc)} df(g) — prefixes pick the globally
+    * rarest grams, so the sum rides the Zipf TAIL (vs Σ_g df(g)² over
+    * all rare grams for a df-windowed self-join). All equi-shapes,
+    * AQE-splittable.
+    *
+    * EAGER: the gram postings feed five plan branches (df count,
+    * prefix ranking, the candidate probe, and both sides of the
+    * intersection count); left lazy, each branch would re-run the
+    * shingling kernel over the corpus. The postings are PERSISTED for
+    * the duration of the call (one shingle pass total, spillable
+    * MEMORY_AND_DISK — ~tokens×2 columns, the same working set any
+    * inverted-index build holds) and released before returning, so the
+    * result is materialized eagerly (it is bounded by the true
+    * duplicate volume — tiny relative to the corpus). */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      maxDf: Int = 20,
       threshold: Double = 0.9): DataFrame = {
-    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val sh = df.select(col(idCol).as("vid"),
-      shingles(col(textCol), shingleSize).as("sh"))
-    val ex = sh.select(col("vid"), explode(col("sh")).as("g"))
-    val rare = ex.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("g"))
-    val rex = ex.join(rare, "g")
-    val cand = rex.select(col("g"), col("vid").as("id_a"))
-      .join(rex.select(col("g"), col("vid").as("id_b")), "g")
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(sh.select(col("vid").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("vid").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        size(col("sh_a")).cast("long").as("n_a"),
-        size(col("sh_b")).cast("long").as("n_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_inter"))
-      .withColumn("overlap", col("n_inter").cast("double") /
-        least(col("n_a"), col("n_b")).cast("double"))
+    import org.apache.spark.sql.expressions.Window
+    val ex = df.select(col(idCol).as("vid"),
+        explode(shingles(col(textCol), shingleSize)).as("g"))
+      .persist()
+    // distinct grams per doc (shingles() is array_distinct, so the
+    // posting count IS the set size)
+    val sizes = ex.groupBy(col("vid")).agg(count(lit(1)).as("n"))
+    val dfs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // per-doc prefix: the p rarest grams in the GLOBAL (df, g) order,
+    // p = ⌊(1−t)·n⌋ + 2 (see the recall argument above). Ties cannot
+    // occur within a doc — shingles() is array_distinct, so g is unique
+    // per vid and the row_number is deterministic.
+    val pref = ex.join(dfs, "g")
+      .join(sizes, "vid")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(col("df"), col("g"))))
+      .where(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
+      .select(col("vid").as("pid"), col("n").as("np"), col("g"))
+    // probe only small→large: the recall argument needs the SMALLER
+    // doc's prefix to hit the container, so a probe row with
+    // n_probe > n_other is redundant (the pair re-arises from the other
+    // doc's own prefix) — dropping it halves candidate volume. Ties
+    // keep both directions; least/greatest + distinct canonicalizes.
+    val cand = pref
+      .join(ex.join(sizes, "vid")
+        .select(col("vid").as("oid"), col("n").as("no"), col("g")), "g")
+      .where(col("pid") =!= col("oid") && col("np") <= col("no"))
+      .select(least(col("pid"), col("oid")).as("id_a"),
+        greatest(col("pid"), col("oid")).as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(ex.select(col("vid").as("id_a"), col("g")), "id_a")
+      .join(ex.select(col("vid").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(sizes.select(col("vid").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("vid").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
       .where(col("overlap") >= threshold)
+    try out.localCheckpoint(true) finally ex.unpersist()
   }
 
   /** SimHash near-dup pairs: band the 64-bit simhash into `maxHamming + 1`

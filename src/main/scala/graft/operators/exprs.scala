@@ -626,6 +626,70 @@ case class TokenGrams(child: Expression, width: Int)
 
 object TokenGrams {
   private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private[operators] def SpaceSep = Space
+}
+
+/** DISTINCT token shingles, fused: array<string> tokens → the first-
+  * occurrence-ordered distinct set of space-joined `width`-token grams
+  * starting at positions 0..max(n−width, 0). Byte-identical to the
+  * declarative chain `array_distinct(transform(sequence(0,
+  * greatest(size(t)−w, 0)), i → concat_ws(' ', slice(t, i+1, w))))`
+  * (including the short-doc case — a doc with fewer than `width` tokens
+  * yields its single all-tokens gram — and concat_ws's skip-null join),
+  * which is also DuckDB `list_distinct(list_transform(...))`, so every
+  * shingle-replaying oracle keeps holding value-level. Exists because
+  * that chain is the hot kernel of the whole dedup family (minhash
+  * verify, containment, decontamination, KMV): the builtin form
+  * allocates the position sequence, the transform array, and per-gram
+  * concat_ws argument lists before array_distinct rescans the result —
+  * one fused pass builds each gram once and dedupes inline. */
+case class ShingleSet(child: Expression, width: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(width > 0, s"width must be positive, got $width")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_set"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_set expects array<string> of tokens, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val last = math.max(n - width, 0) // inclusive final start position
+    val seen = new java.util.HashSet[UTF8String](Math.min(last + 1, 1 << 10) * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](last + 1)
+    val parts = new scala.collection.mutable.ArrayBuffer[UTF8String](2 * width - 1)
+    var i = 0
+    while (i <= last) {
+      // slice(t, i+1, width) ∩ non-null, joined by ' ' with concat_ws's
+      // skip-null semantics (null elements vanish, no doubled separator)
+      parts.clear()
+      var k = i
+      val end = math.min(i + width, n)
+      while (k < end) {
+        if (!toks.isNullAt(k)) {
+          if (parts.nonEmpty) parts += TokenGrams.SpaceSep
+          parts += toks.getUTF8String(k)
+        }
+        k += 1
+      }
+      val gram =
+        if (parts.isEmpty) UTF8String.EMPTY_UTF8
+        else UTF8String.concat(parts.toSeq: _*)
+      if (seen.add(gram)) out += gram
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Deterministic weighted-sampling bucket over an integral id:

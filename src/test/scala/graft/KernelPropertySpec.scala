@@ -212,6 +212,29 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ShingleSet equals the distinct-sliding-gram model for arbitrary token lists") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = org.scalacheck.Gen.oneOf("a", "b", "cc", "ddd", "", "xy")
+    val docGen = org.scalacheck.Gen.listOf(tokGen)
+    val wGen = org.scalacheck.Gen.choose(1, 4)
+    check(forAll(docGen, wGen) { (toks, w) =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = graft.operators.ShingleSet(
+          Literal.create(arr, ArrayType(StringType)), w)
+        .eval(null).asInstanceOf[ArrayData]
+        .toArray[UTF8String](StringType).map(_.toString).toList
+      // the declarative chain it replaced: positions 0..max(n−w, 0),
+      // grams = up-to-w tokens joined by ' ', first-occurrence distinct
+      val n = toks.size
+      val want = (0 to math.max(n - w, 0)).map(i =>
+        toks.slice(i, math.min(i + w, n)).mkString(" ")).distinct.toList
+      got == want
+    })
+  }
+
   test("SqEncode: kernel == driver quantizer; range, monotonicity, zero-at-zero") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}

@@ -641,7 +641,7 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, other + " tail9 tail8") // near-dup of 3 (high jaccard)
     ).toDF("doc_id", "text")
     val got = Dedup.containmentPairs(docs, "doc_id", "text",
-        shingleSize = 3, maxDf = 10, threshold = 0.9)
+        shingleSize = 3, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
     // (1,2): 10 shingles of the short doc, all present in the long one
@@ -660,13 +660,38 @@ class OperatorsSpec extends AnyFunSuite {
         shingleSize = 3, threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!lshPairs.contains((1L, 2L)), "jaccard pipeline unexpectedly found the contained pair")
-    // recall contract: shingles common beyond maxDf are ignored — a doc
-    // whose EVERY shingle is boilerplate is not found
+    // saturated-vocabulary recall (the round-11 scheme's documented
+    // blind spot, closed by prefix filtering): docs made ENTIRELY of
+    // boilerplate grams (every shingle df = 12) are still found — all
+    // 12·11/2 identical pairs at overlap 1.0, no df cliff
     val boiler = (0 until 12).map(i => (10L + i, "the same boilerplate line repeated"))
       .toDF("doc_id", "text")
-    val none = Dedup.containmentPairs(boiler, "doc_id", "text",
-      shingleSize = 3, maxDf = 5, threshold = 0.9).count()
-    assert(none == 0L, "df-capped grams must not generate candidates")
+    val all = Dedup.containmentPairs(boiler, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9)
+    assert(all.count() == 66L, "prefix filtering must cover saturated-vocab corpora")
+    assert(all.where(col("overlap") =!= 1.0).count() == 0L)
+    // losslessness on real data: prefix-filter candidates reproduce the
+    // brute-force all-pairs answer exactly (500-doc fixture is small
+    // enough to cross-join)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("text").isNotNull)
+    val fast = Dedup.containmentPairs(real, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val rsh = real.select(col("doc_id").as("vid"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    val brute = rsh.as("a").crossJoin(rsh.as("b"))
+      .where(col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("ni"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          least(size(col("a.sh")), size(col("b.sh"))).cast("double")).as("ov"))
+      .where(col("ov") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fast == brute,
+      s"prefix-filter answer diverged from brute force: " +
+        s"missing=${(brute.keySet -- fast.keySet).take(5)} " +
+        s"extra=${(fast.keySet -- brute.keySet).take(5)}")
   }
 
   test("incrementalNearDup: recall vs brute force stays bounded (the screen's miss budget)") {
