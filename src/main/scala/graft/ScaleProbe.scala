@@ -62,6 +62,21 @@ object ScaleProbe {
       operators.Dedup.duplicateClusters(docs.select(col("doc_id")), p).count()
     }
 
+    // containment growth curve: candidate volume is Σ prefix-gram dfs,
+    // so wall time should track the corpus near-linearly (run at 1× and
+    // 4× docs to see the curve); 1-in-20 planted truncations are the
+    // contained pairs the probe must find
+    time(s"containment pairs (prefix filter), $nDocs docs") {
+      val aug = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.where(pmod(col("doc_id"), lit(20)) === 2)
+          .select((col("doc_id") + 100000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text")))
+      val n = operators.Dedup.containmentPairs(aug, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9).count()
+      println(s"  containment pairs: $n (planted: ~${nDocs / 20})")
+      n
+    }
+
     time(s"single-scan curation, $nDocs docs") {
       operators.Curation.curate(docs, "doc_id", "text").count()
     }

@@ -306,6 +306,20 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.9): DataFrame = {
+    val (out, ex) = containmentPlan(df, idCol, textCol, shingleSize, threshold)
+    try out.localCheckpoint(true) finally ex.unpersist()
+  }
+
+  /** The lazy plan behind [[containmentPairs]], plus the persisted
+    * postings frame the caller must unpersist after consuming the
+    * result — split out so PlanQualitySpec can pin the pre-checkpoint
+    * plan shape. */
+  private[graft] def containmentPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
@@ -350,7 +364,7 @@ object Dedup {
         (col("n_inter").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
       .where(col("overlap") >= threshold)
-    try out.localCheckpoint(true) finally ex.unpersist()
+    (out, ex)
   }
 
   /** SimHash near-dup pairs: band the 64-bit simhash into `maxHamming + 1`

@@ -147,6 +147,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("windowspecdefinition(gram"), plan)
   }
 
+  test("containment: prefix-filter plan — equi-joins only, one persisted postings pass, per-doc window") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+    val (out, ex) = graft.operators.Dedup.containmentPlan(
+      docs, "doc_id", "text", 3, 0.9)
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      // the round-11 shape this replaced: a rare-gram SELF-join emitting
+      // Σ df² pair rows + full shingle arrays carried through two fetch
+      // joins. The pinned shape: every join an equi-join, the gram
+      // postings computed ONCE into the persisted table every branch
+      // reuses (the shingle kernel never re-runs), and prefix selection
+      // as a per-doc window — no cross product anywhere
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("InMemoryTableScan"), plan)
+      // the shingle kernel runs only INSIDE the persisted postings
+      // relation: the live (non-cached) plan tree has no Generate at
+      // all — every branch reads the cache (sparkPlan, not
+      // executedPlan: AQE's collect does not descend)
+      val gens = out.queryExecution.sparkPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.isEmpty,
+        s"shingling re-ran outside the persisted postings: $gens")
+      assert(plan.toLowerCase.contains("windowspecdefinition(vid"), plan)
+      // no full-array carry: no shingle ARRAY column survives past the
+      // explode (array_intersect was the round-11 per-pair rescan)
+      assert(!plan.contains("array_intersect"), plan)
+    } finally ex.unpersist()
+  }
+
   test("decontaminate: benchmark grams broadcast; corpus grams never shuffle") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
