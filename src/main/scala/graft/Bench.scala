@@ -78,7 +78,15 @@ object Bench {
     val results: Map[String, Double] = time(bench, samples)
     // Extended tier at min-of-2: regression visibility, not a headline
     // number — half the samples keeps the full-bench wall time bounded.
-    val extResults: Map[String, Double] = time(extended, math.min(2, samples))
+    // EXCEPT the iterative queries (driver-loop rounds with
+    // checkpoint/persist churn): they are the bench's most
+    // variance-prone measurements — the round-11 close recorded
+    // 2-3x run-to-run swings on exactly these — so they keep the full
+    // min-of-3 to pin the reproducible floor.
+    val iterative = Set("q_bpe_merges", "q_dedup_clusters", "q_pagerank", "q_link_graph")
+    val (extIter, extRest) = extended.partition { case (n, _) => iterative(n) }
+    val extResults: Map[String, Double] =
+      time(extRest, math.min(2, samples)) ++ time(extIter, samples)
     def json(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Compact per-query encoding: 0.1 ms resolution. The driver captures
@@ -112,15 +120,7 @@ object Bench {
     // BENCH_r09 never materialized). Commit BENCH_SUMMARY.json with the
     // round; graft.BenchGuard diffs it against BENCH_BASELINE_EXT.json.
     try {
-      val sha =
-        try {
-          val head = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(".git/HEAD"))).trim
-          if (head.startsWith("ref: "))
-            new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(".git/" + head.stripPrefix("ref: ")))).trim
-          else head
-        } catch { case _: Throwable => "unknown" }
+      val sha = GitInfo.headSha()
       val stamped = full.stripSuffix("}") +
         s""","git_sha":"$sha","written_at":"${java.time.Instant.now()}"}"""
       val w = new java.io.PrintWriter("BENCH_SUMMARY.json")

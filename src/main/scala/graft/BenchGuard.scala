@@ -3,29 +3,96 @@ package graft
 /**
  * Round-over-round bench regression gate: compares the latest bench run
  * (`BENCH_SUMMARY.json`, falling back to `BENCH_LAST.json`) against the
- * recorded baseline (`BENCH_BASELINE_EXT.json` — the full round-10
- * per-query numbers at sf0.1, core + extended tiers) and exits nonzero
- * if any query regressed.
+ * recorded baseline (`BENCH_BASELINE_EXT.json` — the full per-query
+ * numbers at sf0.1, core + extended tiers) and exits nonzero if any
+ * query regressed.
  *
  * Regression = new > ratio × old AND new − old > slack seconds. Both
  * bounds are needed: the ratio alone flags 0.05 s → 0.09 s timer noise
  * on trivial queries, the slack alone would let a 10 s query double.
  * Defaults ratio = 1.5 (the VERDICT contract), slack = 0.3 s; override
- * with SPARK_GRAFT_GUARD_RATIO / SPARK_GRAFT_GUARD_SLACK. Queries new
- * since the baseline are reported informationally, never failed — they
- * become binding when the baseline is re-recorded at a round close.
+ * with SPARK_GRAFT_GUARD_RATIO / SPARK_GRAFT_GUARD_SLACK.
+ *
+ * Queries new since the baseline get an ABSOLUTE ceiling instead
+ * (default 5 s, SPARK_GRAFT_GUARD_NEW_CEILING): a brand-new query has
+ * no old number to ratio against, and "reported informationally" was
+ * the loophole a 28 s query once walked through — now it fails the
+ * gate unless [[newQueryAllow]] carries an explicit justification.
+ * They become ratio-gated when the baseline is re-recorded at a round
+ * close.
  *
  * No JSON library in the dependency set, so parsing is a small regex
  * over the known flat shape Bench emits ("name":number pairs inside the
- * `queries`/`extended` objects).
+ * `queries`/`extended` objects); [[queryMap]] fails loudly if the shape
+ * ever stops being flat, rather than silently ungating the tail.
  */
 object BenchGuard {
 
-  private def queryMap(json: String, key: String): Map[String, Double] = {
+  /** New-since-baseline queries allowed over the ceiling, with the
+    * justification the exemption must carry. Empty today — kept as the
+    * single place such exemptions can live so they are code-reviewed. */
+  val newQueryAllow: Map[String, String] = Map.empty
+
+  private[graft] def queryMap(json: String, key: String): Map[String, Double] = {
     val obj = ("\"" + key + "\":\\{([^}]*)\\}").r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    // the extraction above assumes queries/extended stay FLAT objects;
+    // a nested object would truncate the map at its first '{' and the
+    // dropped queries would silently become "new/unguarded"
+    require(!obj.contains("{"),
+      s"bench payload '$key' object is not flat — fix BenchGuard.queryMap " +
+        "before trusting the gate")
     "\"([^\"]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(obj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Pure gate logic: (report lines, failure count). Split from main so
+    * BenchGuardSpec can prove the gate fails what it must fail. */
+  private[graft] def evaluate(
+      latest: String,
+      baseline: String,
+      ratio: Double,
+      slack: Double,
+      newCeiling: Double,
+      allow: Map[String, String] = newQueryAllow): (Seq[String], Int) = {
+    val newQ = queryMap(latest, "queries") ++ queryMap(latest, "extended")
+    val oldQ = queryMap(baseline, "queries") ++ queryMap(baseline, "extended")
+    val out = Seq.newBuilder[String]
+    var failed = 0
+    oldQ.toSeq.sortBy(_._1).foreach { case (name, old) =>
+      newQ.get(name) match {
+        case None =>
+          out += f"MISSING $name (baseline ${old}%.3f s — dropped from the bench?)"
+          failed += 1
+        case Some(v) if v < 0 =>
+          out += f"BROKEN  $name (crashed in the latest run)"
+          failed += 1
+        case Some(v) if old >= 0 && v > ratio * old && v - old > slack =>
+          out += f"REGRESS $name ${old}%.3f s -> ${v}%.3f s (${v / old}%.2fx)"
+          failed += 1
+        case _ => ()
+      }
+    }
+    (newQ.keySet -- oldQ.keySet).toSeq.sorted.foreach { name =>
+      val v = newQ(name)
+      if (v < 0) {
+        out += f"BROKEN  $name (new query crashed in the latest run)"
+        failed += 1
+      } else if (v > newCeiling) {
+        allow.get(name) match {
+          case Some(reason) =>
+            out += f"ALLOWED $name ${v}%.3f s over the ${newCeiling}%.1f s new-query ceiling: $reason"
+          case None =>
+            out += f"NEWSLOW $name ${v}%.3f s (new query over the ${newCeiling}%.1f s ceiling " +
+              "— fix it or allowlist it with a justification)"
+            failed += 1
+        }
+      } else {
+        out += f"INFO    new query $name ${v}%.3f s (under the ${newCeiling}%.1f s ceiling; " +
+          "ratio-gated once the baseline is re-recorded)"
+      }
+    }
+    (out.result(), failed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -40,17 +107,15 @@ object BenchGuard {
     // it describes a PAST build — gating against it would pass any
     // regression in the current one. The stamp makes staleness
     // detectable: refuse to gate unless the recorded sha is this HEAD.
-    val headSha =
-      (try {
-        val head = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(".git/HEAD"))).trim
-        if (head.startsWith("ref: "))
-          new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(".git/" + head.stripPrefix("ref: ")))).trim
-        else head
-      } catch { case _: Throwable => "unknown" })
+    val headSha = GitInfo.headSha()
     val runSha = "\"git_sha\":\"([0-9a-f]+)\"".r
       .findFirstMatchIn(latest).map(_.group(1))
+    if (headSha == "unknown")
+      // the staleness gate cannot run — say so loudly instead of
+      // silently skipping (an unresolvable HEAD after git gc was
+      // exactly how a stale summary could slip through)
+      println("WARNING: cannot resolve .git HEAD — the stale-summary " +
+        "check is NOT running; verify BENCH_SUMMARY.json matches this build")
     runSha.foreach { s =>
       if (headSha != "unknown" && s != headSha)
         sys.error(s"BENCH_SUMMARY.json records a run of $s but HEAD is " +
@@ -61,28 +126,14 @@ object BenchGuard {
       .flatMap(_.toDoubleOption).getOrElse(1.5)
     val slack = sys.env.get("SPARK_GRAFT_GUARD_SLACK")
       .flatMap(_.toDoubleOption).getOrElse(0.3)
-    val newQ = queryMap(latest, "queries") ++ queryMap(latest, "extended")
-    val oldQ = queryMap(baseline, "queries") ++ queryMap(baseline, "extended")
-    var failed = 0
-    oldQ.toSeq.sortBy(_._1).foreach { case (name, old) =>
-      newQ.get(name) match {
-        case None =>
-          println(f"MISSING $name (baseline ${old}%.3f s — dropped from the bench?)")
-          failed += 1
-        case Some(v) if v < 0 =>
-          println(f"BROKEN  $name (crashed in the latest run)")
-          failed += 1
-        case Some(v) if old >= 0 && v > ratio * old && v - old > slack =>
-          println(f"REGRESS $name ${old}%.3f s -> ${v}%.3f s (${v / old}%.2fx)")
-          failed += 1
-        case _ => ()
-      }
-    }
-    val added = (newQ.keySet -- oldQ.keySet).toSeq.sorted
-    if (added.nonEmpty)
-      println(s"INFO new queries not in baseline (unguarded): ${added.mkString(", ")}")
-    println(s"BenchGuard: ${oldQ.size} guarded, $failed failing " +
-      s"(ratio=$ratio slack=${slack}s)")
+    val newCeiling = sys.env.get("SPARK_GRAFT_GUARD_NEW_CEILING")
+      .flatMap(_.toDoubleOption).getOrElse(5.0)
+    val (lines, failed) = evaluate(latest, baseline, ratio, slack, newCeiling)
+    lines.foreach(println)
+    val guarded = queryMap(baseline, "queries").size +
+      queryMap(baseline, "extended").size
+    println(s"BenchGuard: $guarded guarded, $failed failing " +
+      s"(ratio=$ratio slack=${slack}s newCeiling=${newCeiling}s)")
     if (failed > 0) sys.exit(1)
   }
 }

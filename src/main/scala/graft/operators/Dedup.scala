@@ -433,9 +433,10 @@ object Dedup {
     *  - `checkpointDir` set: each iteration's labels are written to
     *    parquet under the dir and read back — any-FS durable, so an
     *    executor loss recomputes at most one iteration from files.
-    *    Intermediate iterations are deleted as they are superseded; the
-    *    final labels stay on disk and the returned frame READS FROM THEM
-    *    LAZILY — consume (or persist) the result before deleting the dir.
+    *    Intermediate iterations are deleted as they are superseded, and
+    *    the per-run cc_<uuid> directory is removed before returning:
+    *    the final labels are eagerly materialized (localCheckpoint —
+    *    one small row per id) so repeated runs leave no orphans.
     */
   def duplicateClusters(
       ids: DataFrame,      // one column: the id universe
@@ -505,10 +506,18 @@ object Dedup {
       i += 1
     }
     drop("edges")
-    // the final labels checkpoint stays pinned — the returned frame
-    // reads it lazily; the edge checkpoint is no longer referenced
+    // local mode: the edge checkpoint is no longer referenced. Durable
+    // mode: materialize the final labels off the run dir and delete the
+    // whole cc_<uuid> directory — repeated runs must not accumulate
+    // orphan checkpoints the caller cannot name.
     if (runDir == null) graft.operators.releaseLocalCheckpoint(edges)
-    labels.select(col("id").as(idName), col("label").as("cluster_id"))
+    var out = labels.select(col("id").as(idName), col("label").as("cluster_id"))
+    if (runDir != null) {
+      out = out.localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(runDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    out
   }
 
   /** Line-level corpus deduplication (the CCNet / RefinedWeb recipe):

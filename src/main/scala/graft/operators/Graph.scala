@@ -50,8 +50,11 @@ object Graph {
     *  - `checkpointDir` set: ranks written to parquet under the dir and
     *    read back — any-FS durable, an executor loss recomputes at most
     *    `checkpointEvery` iterations from files. Superseded checkpoints
-    *    are deleted; the FINAL ranks may read from the last checkpoint
-    *    lazily — consume (or persist) the result before deleting the dir.
+    *    are deleted as the run proceeds, and the per-run directory is
+    *    REMOVED before returning: the final ranks are eagerly
+    *    materialized (localCheckpoint — one small row per node) so the
+    *    returned frame owes nothing to the deleted files and repeated
+    *    runs leave no orphan pr_<uuid> dirs behind.
     * Without truncation a 100-iteration run is a 100-deep chained-join
     * plan whose analysis time alone grows unboundedly; with it, any
     * iteration count is safe (so there is no iteration cap).
@@ -130,9 +133,17 @@ object Graph {
     // without this every call would leak the pinned edge/node tables.
     // The returned frame stays persisted (one small row per node);
     // callers running many PageRanks in one session should unpersist it
-    // when done.
-    ranks.persist()
-    ranks.count()
+    // when done. In durable mode the materialization also severs the
+    // result's lineage from the run dir, which is then deleted — the
+    // caller never has to know the pr_<uuid> name.
+    if (runDir == null) {
+      ranks.persist()
+      ranks.count()
+    } else {
+      ranks = ranks.localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(runDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     ew.unpersist()
     nodes.unpersist()
     ranks

@@ -112,10 +112,7 @@ object JsonStream {
     // accumulate sink tables (each holding the full result on the driver)
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
-    if (srcPath != path) {
-      val d = new java.io.File(srcPath)
-      d.listFiles().foreach(_.delete()); d.delete()
-    }
+    if (srcPath != path) deleteStagedDir(srcPath)
     result
   }
 
@@ -146,8 +143,7 @@ object JsonStream {
     q.awaitTermination()
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
-    val d = new java.io.File(dir.toString)
-    d.listFiles().foreach(_.delete()); d.delete()
+    deleteStagedDir(dir.toString)
     result
   }
 
@@ -196,11 +192,18 @@ object JsonStream {
     q.awaitTermination()
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
-    if (srcPath != path) {
-      val d = new java.io.File(srcPath)
-      d.listFiles().foreach(_.delete()); d.delete()
-    }
+    if (srcPath != path) deleteStagedDir(srcPath)
     result
+  }
+
+  /** Best-effort removal of a staged one-level temp dir. Null-guarded:
+    * listFiles() returns null when the dir vanished (or an IO error), and
+    * an NPE here — these run in finally blocks — would mask the real
+    * streaming failure. */
+  private def deleteStagedDir(path: String): Unit = {
+    val d = new java.io.File(path)
+    Option(d.listFiles()).foreach(_.foreach(_.delete()))
+    d.delete()
   }
 
   /** Shared APPEND-mode replay harness for the stateless screens: file-
@@ -208,8 +211,10 @@ object JsonStream {
     * drain with AvailableNow into a memory sink, return the local-
     * checkpointed snapshot. Temp dir and sink are cleaned up on failure
     * too (each inline copy of this boilerplate used to leak its temp dir
-    * when the query threw). The stateful *ToBatch replays keep their own
-    * harnesses — they differ in pushers, triggers, and output modes. */
+    * when the query threw — and the sink view, which holds the full
+    * result on the driver, is dropped even when the post-start steps
+    * throw). The stateful *ToBatch replays keep their own harnesses —
+    * they differ in pushers, triggers, and output modes. */
   private def replayFileStream(
       spark: SparkSession,
       path: String,
@@ -233,14 +238,11 @@ object JsonStream {
         .outputMode(OutputMode.Append)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
-      val result = spark.table(sink).localCheckpoint(true)
-      spark.catalog.dropTempView(sink)
-      result
-    } finally if (srcPath != path) {
-      val d = new java.io.File(srcPath)
-      d.listFiles().foreach(_.delete()); d.delete()
-    }
+      try {
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        spark.table(sink).localCheckpoint(true)
+      } finally spark.catalog.dropTempView(sink)
+    } finally if (srcPath != path) deleteStagedDir(srcPath)
   }
 
   /** Streaming benchmark-decontamination screen: the Bloom filter built
@@ -472,8 +474,7 @@ object JsonStream {
     q.awaitTermination()
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
-    val d = new java.io.File(dir.toString)
-    d.listFiles().foreach(_.delete()); d.delete()
+    deleteStagedDir(dir.toString)
     result
   }
 
@@ -714,10 +715,7 @@ object JsonStream {
     q.awaitTermination()
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
-    if (srcPath != path) {
-      val d = new java.io.File(srcPath)
-      d.listFiles().foreach(_.delete()); d.delete()
-    }
+    if (srcPath != path) deleteStagedDir(srcPath)
     result
   }
 

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench gate must fail what it exists to fail: regressions against
+  * the recorded baseline, and — since round 12 — NEW queries over the
+  * absolute ceiling (the "informational" exemption was the loophole a
+  * 28 s query once entered the suite through). */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private def payload(queries: Map[String, Double], extended: Map[String, Double]): String = {
+    def obj(m: Map[String, Double]) =
+      m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":1.0,"unit":"sec","queries":${obj(queries)},""" +
+      s""""extended_total":1.0,"extended":${obj(extended)},"sf":"x"}"""
+  }
+
+  private val baseline = payload(
+    Map("q1" -> 1.0, "q2" -> 0.05), Map("q_ext" -> 2.0))
+
+  test("a new query over the ceiling fails the gate; under it, informational only") {
+    val latest = payload(
+      Map("q1" -> 1.0, "q2" -> 0.05),
+      Map("q_ext" -> 2.0, "q_slow_new" -> 6.0, "q_fast_new" -> 0.4))
+    val (lines, failed) = BenchGuard.evaluate(latest, baseline, 1.5, 0.3, 5.0)
+    assert(failed == 1, lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("NEWSLOW q_slow_new")), lines.mkString("\n"))
+    assert(lines.exists(l => l.startsWith("INFO") && l.contains("q_fast_new")),
+      lines.mkString("\n"))
+  }
+
+  test("an allowlisted new query over the ceiling passes, visibly") {
+    val latest = payload(Map("q1" -> 1.0, "q2" -> 0.05),
+      Map("q_ext" -> 2.0, "q_slow_new" -> 6.0))
+    val (lines, failed) = BenchGuard.evaluate(latest, baseline, 1.5, 0.3, 5.0,
+      allow = Map("q_slow_new" -> "deliberately exhaustive; documented in NEXT.md"))
+    assert(failed == 0, lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("ALLOWED q_slow_new")), lines.mkString("\n"))
+  }
+
+  test("regression rule: ratio AND slack must both trip; missing and crashed fail") {
+    // 2x on a trivial query (under slack) passes; 2x on a real one fails
+    val latest = payload(Map("q1" -> 2.0, "q2" -> 0.1), Map.empty)
+    val (lines, failed) = BenchGuard.evaluate(latest, baseline, 1.5, 0.3, 5.0)
+    assert(lines.exists(_.startsWith("REGRESS q1")), lines.mkString("\n"))
+    assert(!lines.exists(_.contains("REGRESS q2")), lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("MISSING q_ext")), lines.mkString("\n"))
+    assert(failed == 2, lines.mkString("\n"))
+    val (lines2, failed2) = BenchGuard.evaluate(
+      payload(Map("q1" -> -1.0, "q2" -> 0.05), Map("q_ext" -> 2.0)),
+      baseline, 1.5, 0.3, 5.0)
+    assert(failed2 == 1 && lines2.exists(_.startsWith("BROKEN  q1")), lines2.mkString("\n"))
+  }
+
+  test("a crashed NEW query fails the gate too") {
+    val latest = payload(Map("q1" -> 1.0, "q2" -> 0.05),
+      Map("q_ext" -> 2.0, "q_new" -> -1.0))
+    val (lines, failed) = BenchGuard.evaluate(latest, baseline, 1.5, 0.3, 5.0)
+    assert(failed == 1 && lines.exists(_.contains("q_new")), lines.mkString("\n"))
+  }
+
+  test("queryMap refuses a non-flat payload instead of silently ungating the tail") {
+    val nested = """{"queries":{"q1":1.0,"sub":{"q2":2.0}},"extended":{}}"""
+    intercept[IllegalArgumentException] {
+      BenchGuard.queryMap(nested, "queries")
+    }
+  }
+
+  test("GitInfo resolves HEAD through loose refs AND packed-refs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gitinfo")
+    try {
+      val git = dir.resolve(".git")
+      java.nio.file.Files.createDirectories(git.resolve("refs/heads"))
+      java.nio.file.Files.writeString(git.resolve("HEAD"), "ref: refs/heads/main\n")
+      // loose ref present
+      java.nio.file.Files.writeString(git.resolve("refs/heads/main"), "aaaa1111\n")
+      assert(GitInfo.headSha(git.toString) == "aaaa1111")
+      // after `git gc`: loose ref gone, sha only in packed-refs
+      java.nio.file.Files.delete(git.resolve("refs/heads/main"))
+      java.nio.file.Files.writeString(git.resolve("packed-refs"),
+        "# pack-refs with: peeled fully-peeled sorted \n" +
+          "bbbb2222 refs/heads/other\n" +
+          "cccc3333 refs/heads/main\n" +
+          "^dddd4444\n")
+      assert(GitInfo.headSha(git.toString) == "cccc3333")
+      // detached HEAD
+      java.nio.file.Files.writeString(git.resolve("HEAD"), "eeee5555\n")
+      assert(GitInfo.headSha(git.toString) == "eeee5555")
+      // nothing resolvable
+      java.nio.file.Files.writeString(git.resolve("HEAD"), "ref: refs/heads/gone\n")
+      java.nio.file.Files.delete(git.resolve("packed-refs"))
+      assert(GitInfo.headSha(git.toString) == "unknown")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+}

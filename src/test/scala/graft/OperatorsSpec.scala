@@ -799,12 +799,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joinDepth(local) < joinDepth(plain),
       s"local=${joinDepth(local)} plain=${joinDepth(plain)}")
     assert(joinDepth(durable) < joinDepth(plain))
-    // superseded checkpoints are deleted; only the last (ranks_15) remains
-    // for the returned frame to read lazily
+    // the per-run directory is deleted before returning — the final
+    // ranks were materialized off it, so repeated runs leave no orphans
     val run = new java.io.File(dir).listFiles().filter(_.getName.startsWith("pr_"))
-    assert(run.length == 1, run.mkString(", "))
-    val kept = run.head.listFiles().map(_.getName).filter(!_.startsWith("."))
-    assert(kept.toSeq == Seq("ranks_15"), kept.mkString(", "))
+    assert(run.isEmpty, run.mkString(", "))
     Seq(plain, local, durable).foreach(_.unpersist())
   }
 
@@ -2884,12 +2882,10 @@ class OperatorsSpec extends AnyFunSuite {
     val got = reliable.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == local, s"$got\nvs\n$local")
     assert(got(20L) == 1L && got(31L) == 30L && got(25L) == 25L)
-    // superseded iterations and the edge list are cleaned up; only the
-    // final labels remain (the returned frame reads them lazily)
+    // the whole cc_<uuid> run dir is deleted before returning — the
+    // final labels were materialized off it, so no orphans accumulate
     val run = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cc_"))
-    assert(run.length == 1, run.mkString(", "))
-    val kept = run.head.listFiles().map(_.getName).filter(!_.startsWith("."))
-    assert(kept.length == 1 && kept.head.startsWith("labels_"), kept.mkString(", "))
+    assert(run.isEmpty, run.mkString(", "))
   }
 
   test("knnJoinBatched equals knnJoin at 20k queries, across batch boundaries") {
