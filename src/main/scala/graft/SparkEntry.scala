@@ -561,6 +561,18 @@ object SparkEntry {
           shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ONE-PASS near-dup screen: LSH (Jaccard) + containment (overlap)
+    // from a single persisted shingle-postings pass — signatures
+    // recovered as per-gram affine components min-aggregated per doc,
+    // bit-identical to the fused kernel (spec-pinned); answers must
+    // equal the standalone q_minhash_lsh / plain-documents containment
+    "q_neardup_screen" -> ((s, dir) =>
+      operators.Dedup.nearDupScreen(
+          table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4,
+          jaccardThreshold = 0.5, overlapThreshold = 0.9)
+        .orderBy(col("kind"), col("id_a"), col("id_b"))),
+
     // simhash banded near-dup pairs (rows-only: engine-hash based)
     "q_simhash_pairs" -> ((s, dir) =>
       operators.Dedup.simhashNearDupPairs(
@@ -4509,6 +4521,41 @@ object SparkEntry {
       s"""WITH ${minhashCtes()}
         | SELECT id_a, id_b, est_jaccard FROM mhest
         | WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // one-pass screen replica: the LSH half is the full minhash replica
+    // (whose sigs DuckDB already derives per-shingle — the same postings
+    // formulation the Spark screen uses); the containment half is the
+    // prefix-filter replica on plain documents
+    "q_neardup_screen" ->
+      s"""WITH ${minhashCtes()},
+        | ctks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |   WHERE text IS NOT NULL),
+        | cshs AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s FROM ctks),
+        | cexq AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM cshs),
+        | cszs AS (SELECT doc_id, len(s) AS n FROM cshs WHERE len(s) > 0),
+        | cdfq AS (SELECT g, count(*) AS df FROM cexq GROUP BY g),
+        | cpref AS (SELECT doc_id AS pid, g FROM (
+        |    SELECT e.doc_id, e.g, z.n,
+        |      row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rk
+        |    FROM cexq e JOIN cdfq d ON e.g = d.g JOIN cszs z ON z.doc_id = e.doc_id)
+        |   WHERE rk <= floor((1.0 - 0.9) * n) + 2),
+        | ccand AS (SELECT DISTINCT least(p.pid, o.doc_id) AS id_a,
+        |    greatest(p.pid, o.doc_id) AS id_b
+        |   FROM cpref p JOIN cexq o ON p.g = o.g AND p.pid <> o.doc_id),
+        | cintr AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+        |   FROM ccand c JOIN cexq ea ON ea.doc_id = c.id_a
+        |   JOIN cexq eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+        |   GROUP BY c.id_a, c.id_b)
+        | SELECT * FROM (
+        |  SELECT id_a, id_b, 'jaccard_est' AS kind, est_jaccard AS score
+        |  FROM mhest WHERE est_jaccard >= 0.5
+        |  UNION ALL
+        |  SELECT i.id_a, i.id_b, 'containment' AS kind,
+        |    CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) AS score
+        |  FROM cintr i JOIN cszs za ON za.doc_id = i.id_a
+        |  JOIN cszs zb ON zb.doc_id = i.id_b
+        |  WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) >= 0.9)
+        | ORDER BY kind, id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // the whole curation pipeline: annotations + quality + langid + fnv
     // fingerprint + window-min exact dedup + minhash-replica near-dedup

@@ -320,12 +320,23 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       threshold: Double): (DataFrame, DataFrame) = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0,1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
     val ex = df.select(col(idCol).as("vid"),
         explode(shingles(col(textCol), shingleSize)).as("g"))
       .persist()
+    (containmentFromPostings(ex, threshold), ex)
+  }
+
+  /** Containment pairs from an already-materialized postings frame
+    * `(vid, g)` — the building block [[containmentPlan]] and
+    * [[nearDupScreen]] share, so the shingle pass never re-runs. The
+    * frame must hold DISTINCT grams per doc (the [[shingles]]
+    * contract), and callers own its persist/unpersist lifecycle. */
+  private[graft] def containmentFromPostings(
+      ex: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
     // distinct grams per doc (shingles() is array_distinct, so the
     // posting count IS the set size)
     val sizes = ex.groupBy(col("vid")).agg(count(lit(1)).as("n"))
@@ -357,14 +368,82 @@ object Dedup {
       .join(ex.select(col("vid").as("id_b"), col("g")), Seq("id_b", "g"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val out = inter
+    inter
       .join(sizes.select(col("vid").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("vid").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"),
         (col("n_inter").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
       .where(col("overlap") >= threshold)
-    (out, ex)
+  }
+
+  /** ONE-PASS near-duplication screen: MinHash-LSH (symmetric, Jaccard)
+    * AND containment (asymmetric, overlap coefficient) from a single
+    * shingle pass over the corpus — the two screens a curation pipeline
+    * runs together, which as separate calls would each scan and
+    * re-shingle the corpus.
+    *
+    * The shared working set is the exploded gram postings `(vid, g)`,
+    * persisted once. Containment consumes them directly
+    * ([[containmentFromPostings]]); the LSH branch RECOVERS the minhash
+    * signatures from them — per-gram affine components
+    * ([[GramSigComponents]]) min-aggregated per doc — which is
+    * bit-identical to the fused [[MinHashSignature]] kernel (a
+    * space-joined gram splits back to exactly its tokens, and min over
+    * the distinct gram set equals min over the positional multiset;
+    * OperatorsSpec pins sig equality and answer parity with the
+    * standalone operators).
+    *
+    * Returns `(id_a, id_b, kind, score)` with `kind` ∈ 'jaccard_est'
+    * (score = signature agreement ≥ `jaccardThreshold`) | 'containment'
+    * (score = overlap coefficient ≥ `overlapThreshold`); a pair caught
+    * by both screens appears twice, once per kind — deduplicate on
+    * (id_a, id_b) downstream if only the verdict matters. Eager, like
+    * [[containmentPairs]]: the result is materialized so the postings
+    * can be released before returning. */
+  def nearDupScreen(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      jaccardThreshold: Double = 0.5,
+      overlapThreshold: Double = 0.9): DataFrame = {
+    val (out, ex) = nearDupScreenPlan(df, idCol, textCol, shingleSize,
+      numHashes, bands, jaccardThreshold, overlapThreshold)
+    try out.localCheckpoint(true) finally ex.unpersist()
+  }
+
+  /** The lazy plan behind [[nearDupScreen]] plus its persisted postings
+    * (PlanQualitySpec pins the pre-checkpoint shape). */
+  private[graft] def nearDupScreenPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      bands: Int,
+      jaccardThreshold: Double,
+      overlapThreshold: Double): (DataFrame, DataFrame) = {
+    val ex = df.select(col(idCol).as("vid"),
+        explode(shingles(col(textCol), shingleSize)).as("g"))
+      .persist()
+    val comp = ex.select(col("vid"), GraftSqlShim.column(
+      GramSigComponents(GraftSqlShim.expression(col("g")), numHashes)).as("c"))
+    val mins = (0 until numHashes).map(j =>
+      min(element_at(col("c"), j + 1)).as(s"s$j"))
+    val sigs = comp.groupBy(col("vid"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("vid").as("id"),
+        array((0 until numHashes).map(j => col(s"s$j")): _*).as("sig"))
+    val lsh = minhashCandidatePairsFromSigs(sigs, numHashes, bands, jaccardThreshold)
+      .select(col("id_a"), col("id_b"),
+        lit("jaccard_est").as("kind"), col("est_jaccard").as("score"))
+    val cont = containmentFromPostings(ex, overlapThreshold)
+      .select(col("id_a"), col("id_b"),
+        lit("containment").as("kind"), col("overlap").as("score"))
+    (lsh.unionAll(cont), ex)
   }
 
   /** SimHash near-dup pairs: band the 64-bit simhash into `maxHamming + 1`

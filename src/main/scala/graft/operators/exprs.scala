@@ -477,6 +477,61 @@ object MinHashSignature {
   }
 }
 
+/** Per-gram minhash components: a shingle STRING (space-joined tokens,
+  * the [[ShingleSet]] output) → the k affine-family values
+  * `a_j · mix(fold(fnv1a(token))) + b_j` that [[MinHashSignature]]
+  * minimizes per document. Exists for the shared-postings path
+  * ([[graft.operators.Dedup.nearDupScreen]]): when the exploded shingle
+  * postings are already materialized for containment, the signature is
+  * recovered as k element-wise MIN aggregates over these components —
+  * bit-identical to the fused kernel (OperatorsSpec pins it), because a
+  * space-joined gram splits back to exactly its source tokens (tokens
+  * cannot contain the separator) and min over the distinct gram set
+  * equals min over the positional multiset. Same wraparound-multiply
+  * rationale for being native as MinHashSignature. */
+case class GramSigComponents(child: Expression, k: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gram_sig_components"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_sig_components expects a shingle string, got ${other.sql}")
+  }
+
+  @transient private lazy val family: (Array[Long], Array[Long]) =
+    MinHashSignature.family(k)
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    // split on 0x20 keeping empties (the exact inverse of the gram's
+    // space join), fnv1a per token, MinHashSignature's rolling fold
+    var h = 0L
+    var tok = HashKernels.FnvBasis
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == 0x20) {
+        h = h * 0x100000001b3L + tok
+        tok = HashKernels.FnvBasis
+      } else tok = HashKernels.fnv1aByte(tok, bytes(i))
+      i += 1
+    }
+    h = HashKernels.mix(h)
+    val (as, bs) = family
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) { out(j) = as(j) * h + bs(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** LSH band buckets from a minhash signature: bucket b = hash of signature
   * components [b*rowsPerBand, (b+1)*rowsPerBand). Output array<long> of
   * length `bands`, position = band index (pair with posexplode). */

@@ -694,6 +694,44 @@ class OperatorsSpec extends AnyFunSuite {
         s"extra=${(fast.keySet -- brute.keySet).take(5)}")
   }
 
+  test("nearDupScreen: one shingle pass reproduces BOTH standalone screens exactly") {
+    val s = spark
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // signature recovery: per-gram affine components min-aggregated over
+    // the postings == the fused MinHashSignature kernel, bit-for-bit
+    val fused = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val ex = docs.select(col("doc_id").as("vid"),
+      explode(Dedup.shingles(col("text"), 3)).as("g"))
+    val shim = org.apache.spark.sql.graft.GraftSqlShim
+    val comp = ex.select(col("vid"), shim.column(
+      operators.GramSigComponents(shim.expression(col("g")), 16)).as("c"))
+    val mins = (0 until 16).map(j => min(element_at(col("c"), j + 1)).as(s"s$j"))
+    val recovered = comp.groupBy(col("vid")).agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toList).toMap
+    assert(recovered == fused, "postings-recovered signatures diverged from the fused kernel")
+    // answer parity: the one-pass screen == the two standalone operators
+    val screen = Dedup.nearDupScreen(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4,
+      jaccardThreshold = 0.5, overlapThreshold = 0.9)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotLsh = pairs(screen.where(col("kind") === "jaccard_est")
+      .select(col("id_a"), col("id_b"), col("score")))
+    val wantLsh = pairs(Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("est_jaccard")))
+    assert(gotLsh == wantLsh, s"LSH branch diverged: ${gotLsh.size} vs ${wantLsh.size}")
+    val gotCont = pairs(screen.where(col("kind") === "containment")
+      .select(col("id_a"), col("id_b"), col("score")))
+    val wantCont = pairs(Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .select(col("id_a"), col("id_b"), col("overlap")))
+    assert(gotCont == wantCont, s"containment branch diverged: ${gotCont.size} vs ${wantCont.size}")
+  }
+
   test("incrementalNearDup: recall vs brute force stays bounded (the screen's miss budget)") {
     // q_incr_neardup's oracle now replays the LSH screen itself (so the
     // value comparison holds at any scale); THIS is where recall against

@@ -180,6 +180,33 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally ex.unpersist()
   }
 
+  test("nearDupScreen: both screens run off ONE shingle pass — no Generate or corpus scan in the live tree") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+    val (out, ex) = graft.operators.Dedup.nearDupScreenPlan(
+      docs, "doc_id", "text", 3, 16, 4, 0.5, 0.9)
+    try {
+      val plan = out.queryExecution.sparkPlan
+      val planStr = plan.toString
+      // the ONLY shingle pass is inside the persisted postings relation:
+      // the live tree reads the cache everywhere — its only Generates
+      // are the LSH band posexplodes over the tiny sig table, never a
+      // shingle explode; and zero parquet scans of the corpus
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g.generator.toString
+      }
+      assert(gens.forall(_.contains("band_buckets")),
+        s"a branch re-ran the shingle explode: $gens")
+      assert(plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.isEmpty, "a branch re-scanned the corpus instead of the postings cache")
+      assert(planStr.contains("InMemoryTableScan"), planStr)
+      assert(!planStr.contains("CartesianProduct"), planStr)
+      assert(!planStr.contains("BroadcastNestedLoopJoin"), planStr)
+    } finally ex.unpersist()
+  }
+
   test("decontaminate: benchmark grams broadcast; corpus grams never shuffle") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
