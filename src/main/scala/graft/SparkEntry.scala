@@ -1621,6 +1621,31 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // REAL BMP decode: hand-encoded 24-bit BI_RGB files (bottom-up rows,
+    // row padding, BGR order — encoder independent of javax.imageio)
+    // decoded by the JVM's actual BMP reader; dims + pixel features
+    // formula-replayed by the oracle, so a silent stub fallback (stub
+    // dims differ) hash-mismatches
+    "q_img_bmp" -> ((s, dir) =>
+      operators.Multimodal.decodeFeatures(s,
+          operators.Multimodal.syntheticBmpBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
+    // REAL TGA decode: javax.imageio ships no TGA reader, so this drives
+    // the hand-written parser — type 2 uncompressed AND type 10
+    // run-length (alternating by doc id), both row origins, footer-
+    // sniffed; same formula-replayed oracle discipline
+    "q_img_tga" -> ((s, dir) =>
+      operators.Multimodal.decodeFeatures(s,
+          operators.Multimodal.syntheticTgaBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
     // real RIFF/WAV parse of synthetic PCM clips: header metadata and
     // sample-stat features, both formula-replayed by the oracle
     "q_audio_meta" -> ((s, dir) =>
@@ -1906,6 +1931,39 @@ object SparkEntry {
       |    ${signedSql(fnvSql("ct"))} AS digest FROM chunks)"""
       .stripMargin.replaceAll("\n", " ")
   }
+
+  /** Decoded-pixel feature replica for a synthetic image family: given
+    * the generator's width/height formulas (SQL over doc_id), regenerate
+    * every pixel from the shared formula, fold the exact-integer
+    * channel/quadrant/luma sums, and apply decodeImage's IEEE divisions
+    * and float32 rounding. Shared by the PNG, BMP, and TGA replicas —
+    * all three generators draw the same pixels at different dims. */
+  private def imgPixelReplicaSql(wf: String, hf: String): String =
+    s"""WITH d AS (SELECT doc_id, $wf AS w, $hf AS h
+      |   FROM documents),
+      | xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
+      | px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
+      | pc AS (SELECT doc_id, w, h, x, y,
+      |   (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+      |   (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
+      |   (doc_id * 13 + x * 5 + y * 29) % 256 AS b
+      |  FROM px),
+      | sums AS (SELECT doc_id, w, h,
+      |   sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+      |   sum(CASE WHEN (y*2)//h = 0 AND (x*2)//w = 0 THEN r+g+b ELSE 0 END) AS q0,
+      |   sum(CASE WHEN (y*2)//h = 0 AND (x*2)//w = 1 THEN r+g+b ELSE 0 END) AS q1,
+      |   sum(CASE WHEN (y*2)//h = 1 AND (x*2)//w = 0 THEN r+g+b ELSE 0 END) AS q2,
+      |   sum(CASE WHEN (y*2)//h = 1 AND (x*2)//w = 1 THEN r+g+b ELSE 0 END) AS q3,
+      |   sum((299*r + 587*g + 114*b) // 1000) AS sl
+      |  FROM pc GROUP BY doc_id, w, h)
+      | SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(f AS INT) AS feat_idx,
+      |  CAST(CAST(CASE CAST(f AS INT) WHEN 0 THEN sr WHEN 1 THEN sg WHEN 2 THEN sb
+      |    WHEN 3 THEN q0 WHEN 4 THEN q1 WHEN 5 THEN q2 WHEN 6 THEN q3 ELSE sl END AS DOUBLE)
+      |    / CAST(CASE WHEN CAST(f AS INT) BETWEEN 3 AND 6 THEN 765 ELSE 255 END AS DOUBLE)
+      |    / CAST(w * h AS DOUBLE) AS REAL) AS feat
+      | FROM sums, (SELECT unnest(range(8)) AS f) fr
+      | ORDER BY doc_id, feat_idx""".stripMargin.replaceAll("\n", " ")
 
   /** 3-token shingle set of a `tk` token-list column — mirror of
     * Dedup.shingles(_, 3). */
@@ -3921,31 +3979,19 @@ object SparkEntry {
     // integer channel/quadrant/luma sums, then the same IEEE double
     // divisions and float32 rounding as decodeImage
     "q_img_features" ->
-      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h
-        |   FROM documents),
-        | xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
-        | px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
-        | pc AS (SELECT doc_id, w, h, x, y,
-        |   (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
-        |   (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
-        |   (doc_id * 13 + x * 5 + y * 29) % 256 AS b
-        |  FROM px),
-        | sums AS (SELECT doc_id, w, h,
-        |   sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
-        |   sum(CASE WHEN (y*2)//h = 0 AND (x*2)//w = 0 THEN r+g+b ELSE 0 END) AS q0,
-        |   sum(CASE WHEN (y*2)//h = 0 AND (x*2)//w = 1 THEN r+g+b ELSE 0 END) AS q1,
-        |   sum(CASE WHEN (y*2)//h = 1 AND (x*2)//w = 0 THEN r+g+b ELSE 0 END) AS q2,
-        |   sum(CASE WHEN (y*2)//h = 1 AND (x*2)//w = 1 THEN r+g+b ELSE 0 END) AS q3,
-        |   sum((299*r + 587*g + 114*b) // 1000) AS sl
-        |  FROM pc GROUP BY doc_id, w, h)
-        | SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-        |  CAST(f AS INT) AS feat_idx,
-        |  CAST(CAST(CASE CAST(f AS INT) WHEN 0 THEN sr WHEN 1 THEN sg WHEN 2 THEN sb
-        |    WHEN 3 THEN q0 WHEN 4 THEN q1 WHEN 5 THEN q2 WHEN 6 THEN q3 ELSE sl END AS DOUBLE)
-        |    / CAST(CASE WHEN CAST(f AS INT) BETWEEN 3 AND 6 THEN 765 ELSE 255 END AS DOUBLE)
-        |    / CAST(w * h AS DOUBLE) AS REAL) AS feat
-        | FROM sums, (SELECT unnest(range(8)) AS f) fr
-        | ORDER BY doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
+      imgPixelReplicaSql("16 + doc_id % 17", "16 + (doc_id * 7) % 13"),
+
+    // BMP replica: same pixel formula at the BMP generator's dims — the
+    // JVM BMP reader must hand back exactly the encoder's pixels
+    "q_img_bmp" ->
+      imgPixelReplicaSql("16 + doc_id % 19", "16 + (doc_id * 5) % 11"),
+
+    // TGA replica: same discipline at the TGA generator's dims — covers
+    // both encodings and both row origins since the formula is
+    // position-exact (an origin flip or RLE slip shifts rows and
+    // hash-mismatches)
+    "q_img_tga" ->
+      imgPixelReplicaSql("16 + doc_id % 23", "16 + (doc_id * 3) % 15"),
 
     // WAV decode replica WITHOUT parsing WAV: the synthetic clips'
     // header fields are a pure formula of doc_id, and the canonical

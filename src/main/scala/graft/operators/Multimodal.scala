@@ -86,8 +86,16 @@ object Multimodal {
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
-    val n = w.toLong * h
     val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk fetch, any source format
+    Some(featuresFromArgb(docId, bytes.length, px, w, h))
+  }
+
+  /** The shared feature fold over row-major 0xRRGGBB pixels — one
+    * definition so every decoder (ImageIO, the TGA parser, frame
+    * decoders) produces identical floats for identical pixels. */
+  private def featuresFromArgb(
+      docId: Long, nBytes: Long, px: Array[Int], w: Int, h: Int): MediaFeatures = {
+    val n = w.toLong * h
     var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
     val quad = new Array[Long](4)
     var y = 0
@@ -116,7 +124,7 @@ object Multimodal {
       qi += 1
     }
     feats(7) = (sl.toDouble / 255.0 / n.toDouble).toFloat
-    Some(MediaFeatures(docId, bytes.length.toLong, w, h, feats))
+    MediaFeatures(docId, nBytes, w, h, feats)
   }
 
   /** Batched partition-local decode over (id, blob) rows: real image
@@ -130,8 +138,10 @@ object Multimodal {
         // the ImageIO disk cache is off so decode never touches /tmp
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          decodeImage(id, bytes).getOrElse(
-            decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes))
+          decodeImage(id, bytes)
+            .orElse(decodeTga(id, bytes)) // ImageIO has no TGA reader
+            .getOrElse(
+              decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes))
         }
       }
   }
@@ -175,6 +185,203 @@ object Multimodal {
     df.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(it => it.map(id => (id, syntheticPng(id))))
       .toDF("doc_id", "blob")
+  }
+
+  /** The shared synthetic pixel formula ([[syntheticPng]]'s scaladoc):
+    * 0xRRGGBB at (x, y) for a given doc id. */
+  private def formulaPixel(docId: Long, x: Int, y: Int): Int = {
+    val r = java.lang.Math.floorMod(docId * 31 + x * 7 + y * 13, 256L).toInt
+    val g = java.lang.Math.floorMod(docId * 17 + x * 11 + y * 3, 256L).toInt
+    val b = java.lang.Math.floorMod(docId * 13 + x * 5 + y * 29, 256L).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Deterministic synthetic BMP — the same pixel formula as
+    * [[syntheticPng]] at w = 16 + docId mod 19, h = 16 + 5·docId mod 11 —
+    * encoded by HAND as a 24-bit uncompressed BI_RGB / BITMAPINFOHEADER
+    * file (bottom-up rows, 4-byte row padding, BGR byte order). The
+    * encoder is independent of `javax.imageio`, so decoding it through
+    * [[decodeImage]] exercises the JVM's real BMP codec end-to-end
+    * against bytes we fully control — a second container format on the
+    * real-decode path, not another trip through the PNG writer. */
+  def syntheticBmp(docId: Long): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(docId, 19L).toInt
+    val h = 16 + java.lang.Math.floorMod(docId * 5, 11L).toInt
+    val rowBytes = (w * 3 + 3) & ~3
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54) // file size, reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)             // BITMAPINFOHEADER, +h = bottom-up
+      .putShort(1).putShort(24)                   // planes, bpp
+      .putInt(0).putInt(dataSize)                 // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette fields
+    var y = h - 1 // bottom-up: last image row first in the file
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = formulaPixel(docId, x, y)
+        buf.put((p & 0xff).toByte)          // B
+          .put(((p >> 8) & 0xff).toByte)    // G
+          .put(((p >> 16) & 0xff).toByte)   // R
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** (doc_id, blob) table of [[syntheticBmp]] images. */
+  def syntheticBmpBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticBmp(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  // 18-byte TGA 2.0 footer tail: "TRUEVISION-XFILE" + '.' + NUL
+  private val TgaFooterSig: Array[Byte] =
+    "TRUEVISION-XFILE.".getBytes("US-ASCII") :+ 0.toByte
+
+  /** Deterministic synthetic TGA — same pixel formula, w = 16 + docId
+    * mod 23, h = 16 + 3·docId mod 15. Alternates the two truecolor
+    * encodings (even doc id → type 2 uncompressed, odd → type 10
+    * run-length) and both row origins (docId mod 3 = 0 → bottom-left,
+    * else top-left), and appends the TGA 2.0 footer signature — TGA has
+    * no magic number, so the footer is what makes sniffing exact. */
+  def syntheticTga(docId: Long): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(docId, 23L).toInt
+    val h = 16 + java.lang.Math.floorMod(docId * 3, 15L).toInt
+    val rle = (docId & 1L) == 1L
+    val bottomUp = java.lang.Math.floorMod(docId, 3L) == 0L
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0); out.write(0)                   // id length, no color map
+    out.write(if (rle) 10 else 2)                // image type
+    (0 until 5).foreach(_ => out.write(0))       // color map spec
+    out.write(0); out.write(0); out.write(0); out.write(0) // x/y origin
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(24)                                // bpp
+    out.write(if (bottomUp) 0x00 else 0x20)      // descriptor: origin bit 5
+    def putPixel(x: Int, y: Int): Unit = {
+      val p = formulaPixel(docId, x, y)
+      out.write(p & 0xff); out.write((p >> 8) & 0xff); out.write((p >> 16) & 0xff)
+    }
+    val rows = if (bottomUp) (h - 1) to 0 by -1 else 0 until h
+    rows.foreach { y =>
+      if (!rle) (0 until w).foreach(x => putPixel(x, y))
+      else {
+        // per-row RLE: split into runs of equal pixels (capped at 128),
+        // emit run packets for length >= 2, raw packets otherwise
+        var x = 0
+        while (x < w) {
+          val p0 = formulaPixel(docId, x, y)
+          var run = 1
+          while (x + run < w && run < 128 && formulaPixel(docId, x + run, y) == p0) run += 1
+          if (run >= 2) {
+            out.write(0x80 | (run - 1)); putPixel(x, y)
+            x += run
+          } else {
+            // raw packet: extend until the next 2+ run or 128 pixels
+            var len = 1
+            while (x + len < w && len < 128 &&
+              !(x + len + 1 < w &&
+                formulaPixel(docId, x + len, y) == formulaPixel(docId, x + len + 1, y)))
+              len += 1
+            out.write(len - 1)
+            (0 until len).foreach(i => putPixel(x + i, y))
+            x += len
+          }
+        }
+      }
+    }
+    out.write(new Array[Byte](8)) // footer: extension + developer offsets
+    out.write(TgaFooterSig)
+    out.toByteArray
+  }
+
+  /** (doc_id, blob) table of [[syntheticTga]] images. */
+  def syntheticTgaBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticTga(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** REAL TGA decode — `javax.imageio` ships no TGA reader, so this is a
+    * hand-written parser for the two truecolor encodings (type 2
+    * uncompressed, type 10 run-length), 24/32-bit, both row origins.
+    * Sniffing: TGA has NO magic number, so only files carrying the TGA
+    * 2.0 footer signature are accepted (guaranteed by [[syntheticTga]];
+    * legacy footer-less files are indistinguishable from noise and fall
+    * through to the caller's next decoder). Feature math is the shared
+    * [[featuresFromArgb]] fold — identical floats for identical pixels
+    * across every decoder. */
+  def decodeTga(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 18 + 26) return None
+    val sig = java.util.Arrays.copyOfRange(bytes, bytes.length - 18, bytes.length)
+    if (!java.util.Arrays.equals(sig, TgaFooterSig)) return None
+    try {
+      val idLen = bytes(0) & 0xff
+      val imageType = bytes(2) & 0xff
+      if ((bytes(1) & 0xff) != 0) return None // color-mapped: not truecolor
+      if (imageType != 2 && imageType != 10) return None
+      val w = (bytes(12) & 0xff) | ((bytes(13) & 0xff) << 8)
+      val h = (bytes(14) & 0xff) | ((bytes(15) & 0xff) << 8)
+      val bpp = bytes(16) & 0xff
+      if (w <= 0 || h <= 0 || (bpp != 24 && bpp != 32)) return None
+      val topDown = (bytes(17) & 0x20) != 0
+      val bytesPerPx = bpp / 8
+      var pos = 18 + idLen
+      val px = new Array[Int](w * h)
+      def rowIndex(fileRow: Int): Int = if (topDown) fileRow else h - 1 - fileRow
+      def readPixel(): Int = {
+        val b = bytes(pos) & 0xff
+        val g = bytes(pos + 1) & 0xff
+        val r = bytes(pos + 2) & 0xff
+        pos += bytesPerPx // alpha byte (if any) ignored
+        (r << 16) | (g << 8) | b
+      }
+      if (imageType == 2) {
+        var fr = 0
+        while (fr < h) {
+          val base = rowIndex(fr) * w
+          var x = 0
+          while (x < w) { px(base + x) = readPixel(); x += 1 }
+          fr += 1
+        }
+      } else {
+        // RLE packets run row-major over the stored order; packets do
+        // not cross the image boundary (crossing rows is legal)
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          val head = bytes(pos) & 0xff; pos += 1
+          val count = (head & 0x7f) + 1
+          if ((head & 0x80) != 0) {
+            val p = readPixel()
+            var c = 0
+            while (c < count) {
+              val fr = (i + c) / w; val x = (i + c) % w
+              px(rowIndex(fr) * w + x) = p
+              c += 1
+            }
+          } else {
+            var c = 0
+            while (c < count) {
+              val fr = (i + c) / w; val x = (i + c) % w
+              px(rowIndex(fr) * w + x) = readPixel()
+              c += 1
+            }
+          }
+          i += count
+        }
+      }
+      Some(featuresFromArgb(docId, bytes.length, px, w, h))
+    } catch { case _: ArrayIndexOutOfBoundsException => None } // truncated
   }
 
   /** documents.text reinterpreted as a blob column — the stand-in media
