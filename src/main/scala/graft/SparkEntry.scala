@@ -421,6 +421,18 @@ object SparkEntry {
       out
     }),
 
+    // suffix-automaton exact-substring search: character-level LCS of
+    // each document against fixed benchmark snippets — the
+    // decontamination matcher phrase search (token-aligned) and n-gram
+    // screens (fixed-width) cannot express; the oracle replays LCS as
+    // max matched length over ALL pattern substrings (brute force —
+    // tractable because patterns are short; the automaton is the scale
+    // path, spec-pinned equal to quadratic DP)
+    "q_substring_search" -> ((s, dir) =>
+      operators.TextOps.substringSearch(
+          table(s, dir, "documents"), "doc_id", "text", substringPatterns)
+        .orderBy(col("doc_id"), col("query_idx"))),
+
     // the same retrieval through the persisted inverted index: build the
     // term-bucketed postings layout, query it with partition-pruned
     // posting-list reads, reproduce q_bm25 bit-for-bit (shared oracle)
@@ -1932,6 +1944,16 @@ object SparkEntry {
       .stripMargin.replaceAll("\n", " ")
   }
 
+  /** Fixed benchmark snippets for q_substring_search — chosen so the
+    * three outcomes all occur on the synthetic corpus: frequent full
+    * matches, partial word-boundary overlaps, and a control that only
+    * ever matches short fragments. Shared verbatim by the Spark query
+    * and the DuckDB replica. */
+  private val substringPatterns = Seq(
+    "value table part",
+    "batch window spark order",
+    "quantum flux capacitor")
+
   /** Decoded-pixel feature replica for a synthetic image family: given
     * the generator's width/height formulas (SQL over doc_id), regenerate
     * every pixel from the shared formula, fold the exact-integer
@@ -2871,6 +2893,30 @@ object SparkEntry {
         "SELECT c.w_a, c.w_b, c.c_ab, a.c AS c_a, b.c AS c_b, t2.s_tot " +
         "FROM cab c JOIN uni a ON a.w = c.w_a JOIN uni b ON b.w = c.w_b CROSS JOIN tot t2 " +
         "ORDER BY w_a, w_b"),
+
+    // substring-search replica: LCS(doc, pattern) = the longest pattern
+    // substring contained in the doc — brute-force over all O(L²)
+    // pattern substrings (L ≤ ~25, so ≤ ~300 probes per pattern), the
+    // definition itself rather than a re-derivation, which is exactly
+    // what an oracle should be
+    "q_substring_search" -> {
+      val pats = substringPatterns.zipWithIndex
+        .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }.mkString(", ")
+      s"""WITH pats(qi, p) AS (SELECT * FROM (VALUES $pats)),
+        | lens AS (SELECT qi, p, unnest(range(1, length(p)+1)) AS l FROM pats),
+        | subs AS (SELECT qi, l, substr(p, CAST(st AS INT), CAST(l AS INT)) AS s
+        |   FROM (SELECT qi, p, l, unnest(range(1, length(p)-l+2)) AS st FROM lens)),
+        | dsub AS (SELECT DISTINCT qi, l, s FROM subs),
+        | hits AS (SELECT d.doc_id, ds.qi, max(ds.l) AS lcs
+        |   FROM documents d JOIN dsub ds ON strpos(d.text, ds.s) > 0
+        |   GROUP BY d.doc_id, ds.qi)
+        | SELECT d.doc_id, CAST(p.qi AS INT) AS query_idx,
+        |  CAST(coalesce(h.lcs, 0) AS INT) AS lcs_len,
+        |  coalesce(h.lcs, 0) = length(p.p) AS full_match
+        | FROM documents d CROSS JOIN pats p
+        | LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.qi = p.qi
+        | ORDER BY d.doc_id, query_idx""".stripMargin.replaceAll("\n", " ")
+    },
 
     // phrase search replica: per-term 0-based position lists straight
     // from the tokens, then the same intersect(+1) fold

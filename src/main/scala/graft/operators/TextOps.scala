@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSqlShim
 
 /**
  * Text-analysis operators for training-data curation: token statistics,
@@ -1195,6 +1196,41 @@ object TextOps {
         col("s_tot"),
         (graft.operators.math_ln((col("c_ab") * col("s_tot")).cast("double")) -
           graft.operators.math_ln((col("c_a") * col("c_b")).cast("double"))).as("pmi"))
+  }
+
+  /** Exact substring search / character-level overlap against a fixed
+    * set of patterns (decontamination-grade): one row per
+    * (document, pattern) with the LONGEST-common-substring length,
+    * computed by the pattern's suffix automaton riding the plan as
+    * literal kernel data ([[SubstringLcs]]) — each document is one
+    * O(bytes) pass per pattern, no tokenization, no alignment
+    * assumptions. Complements [[phraseSearch]] (token-aligned) and the
+    * n-gram decontamination screens (fixed-width): a benchmark string
+    * pasted mid-token or partially quoted still surfaces as a long
+    * character overlap. `full_match` ⇔ the pattern occurs verbatim.
+    *
+    * Scale: a zero-Exchange narrow scan — patterns are plan literals
+    * (benchmark suites are small; broadcast semantics for free), the
+    * corpus never shuffles. NULL text scores 0, like the SQL replica. */
+  def substringSearch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    require(patterns.forall(_.nonEmpty), "patterns must be non-empty")
+    val rows = patterns.zipWithIndex.map { case (p, i) =>
+      struct(
+        lit(i).as("query_idx"),
+        coalesce(GraftSqlShim.column(SubstringLcs(
+          GraftSqlShim.expression(col(textCol)), p)), lit(0)).as("lcs_len"),
+        lit(p.getBytes("UTF-8").length).as("pat_len"))
+    }
+    df.select(col(idCol), explode(array(rows: _*)).as("m"))
+      .select(col(idCol),
+        col("m.query_idx"),
+        col("m.lcs_len"),
+        (col("m.lcs_len") === col("m.pat_len")).as("full_match"))
   }
 
   /** Per-document stats frame used by the pipeline queries; tokenizes

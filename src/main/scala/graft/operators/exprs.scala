@@ -477,6 +477,111 @@ object MinHashSignature {
   }
 }
 
+/** Longest-common-substring length between a text column and a FIXED
+  * pattern, via the pattern's suffix automaton [Blumer et al. 1985;
+  * the standard online construction] — built once per executor from
+  * the plan-literal pattern, then each document is matched in one
+  * O(bytes) pass (follow transitions; on a miss, chase suffix links).
+  * This is decontamination-grade EXACT matching at character
+  * granularity: phrase search is token-aligned and n-gram screens are
+  * fixed-width, but a benchmark string pasted mid-token, re-wrapped,
+  * or partially quoted still yields a long character-level common
+  * substring, which this measures exactly (lcs == pattern length ⇔
+  * the full pattern occurs verbatim). Operates on UTF-8 bytes, which
+  * equals character semantics for ASCII patterns; a multi-byte LCS is
+  * measured in bytes (documented, deterministic). */
+case class SubstringLcs(child: Expression, pattern: String)
+    extends UnaryExpression with KernelCodegen {
+  require(pattern != null && pattern.nonEmpty, "pattern must be non-empty")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "substring_lcs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"substring_lcs expects a string column, got ${other.sql}")
+  }
+
+  @transient private lazy val auto: SubstringLcs.Automaton =
+    SubstringLcs.build(pattern.getBytes("UTF-8"))
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val a = auto
+    var cur = 0
+    var curLen = 0
+    var best = 0
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xff
+      while (cur != 0 && a.trans(cur)(c) < 0) {
+        cur = a.link(cur)
+        curLen = a.len(cur)
+      }
+      if (a.trans(cur)(c) >= 0) {
+        cur = a.trans(cur)(c)
+        curLen += 1
+        if (curLen > best) best = curLen
+      } else curLen = 0 // at the root with no edge: restart
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SubstringLcs {
+  /** trans: state × byte → state (−1 = none); link: suffix links;
+    * len: longest string length per state. */
+  final case class Automaton(trans: Array[Array[Int]], link: Array[Int], len: Array[Int])
+
+  private[operators] def build(p: Array[Byte]): Automaton = {
+    val cap = 2 * p.length + 5
+    val trans = Array.fill(cap)(Array.fill(256)(-1))
+    val link = new Array[Int](cap)
+    val len = new Array[Int](cap)
+    link(0) = -1
+    var size = 1
+    var last = 0
+    var i = 0
+    while (i < p.length) {
+      val c = p(i) & 0xff
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      link(cur) = -1
+      var q = last
+      while (q != -1 && trans(q)(c) == -1) {
+        trans(q)(c) = cur
+        q = link(q)
+      }
+      if (q == -1) link(cur) = 0
+      else {
+        val t = trans(q)(c)
+        if (len(q) + 1 == len(t)) link(cur) = t
+        else {
+          val clone = size; size += 1
+          len(clone) = len(q) + 1
+          link(clone) = link(t)
+          trans(clone) = trans(t).clone()
+          while (q != -1 && trans(q)(c) == t) {
+            trans(q)(c) = clone
+            q = link(q)
+          }
+          link(t) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+    Automaton(trans, link, len)
+  }
+}
+
 /** Per-gram minhash components: a shingle STRING (space-joined tokens,
   * the [[ShingleSet]] output) → the k affine-family values
   * `a_j · mix(fold(fnv1a(token))) + b_j` that [[MinHashSignature]]

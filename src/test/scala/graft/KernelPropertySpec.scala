@@ -235,6 +235,44 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SubstringLcs equals the quadratic-DP longest-common-substring for arbitrary strings") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    def dpLcs(text: String, pat: String): Int = {
+      // classic O(n·m) table over BYTES (the kernel's unit)
+      val t = text.getBytes("UTF-8"); val p = pat.getBytes("UTF-8")
+      var best = 0
+      val row = new Array[Int](p.length + 1)
+      for (i <- 1 to t.length) {
+        var prev = 0
+        for (j <- 1 to p.length) {
+          val cur = row(j)
+          row(j) = if (t(i - 1) == p(j - 1)) prev + 1 else 0
+          if (row(j) > best) best = row(j)
+          prev = cur
+        }
+      }
+      best
+    }
+    val charGen = org.scalacheck.Gen.oneOf('a', 'b', 'c', ' ')
+    val strGen = org.scalacheck.Gen.listOf(charGen).map(_.mkString)
+    val patGen = org.scalacheck.Gen.nonEmptyListOf(charGen).map(_.mkString)
+    check(forAll(strGen, patGen) { (text, pat) =>
+      val got = graft.operators.SubstringLcs(
+        Literal.create(text, StringType), pat).eval(null).asInstanceOf[Int]
+      got == dpLcs(text, pat)
+    })
+    // a handful of adversarial fixed cases (repeats force automaton clones)
+    for ((t, p) <- Seq(
+        ("abcabcabc", "cabca"), ("aaaa", "aa"), ("", "abc"),
+        ("xyz", "abc"), ("the table value", "value table part"),
+        ("ababab", "babab"), ("mississippi", "issip"))) {
+      val got = graft.operators.SubstringLcs(
+        Literal.create(t, StringType), p).eval(null).asInstanceOf[Int]
+      assert(got == dpLcs(t, p), s"text='$t' pat='$p': got $got want ${dpLcs(t, p)}")
+    }
+  }
+
   test("SqEncode: kernel == driver quantizer; range, monotonicity, zero-at-zero") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
