@@ -33,6 +33,32 @@ object BenchGuard {
     * single place such exemptions can live so they are code-reviewed. */
   val newQueryAllow: Map[String, String] = Map.empty
 
+  /** Files whose changes do NOT invalidate a bench run: committing the
+    * bench record itself (or round docs) moves HEAD without changing
+    * the build, which is exactly how every round close works — the
+    * round-11 close was flagged because the gate had no way to say
+    * "HEAD moved but only by artifacts". Used by the staleness check:
+    * a recorded-sha≠HEAD summary still gates when `git diff
+    * --name-only` between them touches only these. */
+  private[graft] def artifactOnly(changedFiles: Seq[String]): Boolean =
+    changedFiles.nonEmpty && changedFiles.forall { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      name.startsWith("BENCH_") || name.endsWith(".md") ||
+        name == "PROGRESS.jsonl" || name.startsWith("CORRECTNESS_") ||
+        name.startsWith("VERDICT") || name.startsWith("ADVICE") ||
+        name.startsWith("COPYCHECK") || name.startsWith("LEAKCHECK")
+    }
+
+  /** `git diff --name-only a..b`, or None when git is unavailable. */
+  private def gitChangedFiles(a: String, b: String): Option[Seq[String]] =
+    try {
+      val p = new ProcessBuilder("git", "diff", "--name-only", s"$a..$b")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      if (p.waitFor() != 0) None
+      else Some(out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq)
+    } catch { case _: Exception => None }
+
   private[graft] def queryMap(json: String, key: String): Map[String, Double] = {
     val obj = ("\"" + key + "\":\\{([^}]*)\\}").r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
@@ -117,10 +143,18 @@ object BenchGuard {
       println("WARNING: cannot resolve .git HEAD — the stale-summary " +
         "check is NOT running; verify BENCH_SUMMARY.json matches this build")
     runSha.foreach { s =>
-      if (headSha != "unknown" && s != headSha)
-        sys.error(s"BENCH_SUMMARY.json records a run of $s but HEAD is " +
-          s"$headSha — a stale summary would gate nothing; run graft.Bench " +
-          "on this build first")
+      if (headSha != "unknown" && s != headSha) {
+        gitChangedFiles(s, headSha) match {
+          case Some(files) if artifactOnly(files) =>
+            println(s"INFO: summary recorded at ${s.take(12)}; HEAD " +
+              s"${headSha.take(12)} differs only by bench artifacts/docs " +
+              s"(${files.mkString(", ")}) — build identical, gating proceeds")
+          case _ =>
+            sys.error(s"BENCH_SUMMARY.json records a run of $s but HEAD is " +
+              s"$headSha with source changes between them — a stale summary " +
+              "would gate nothing; run graft.Bench on this build first")
+        }
+      }
     }
     val ratio = sys.env.get("SPARK_GRAFT_GUARD_RATIO")
       .flatMap(_.toDoubleOption).getOrElse(1.5)

@@ -66,6 +66,15 @@ class BenchGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("artifactOnly: bench-record/doc commits don't invalidate a run; source changes do") {
+    assert(BenchGuard.artifactOnly(Seq("BENCH_SUMMARY.json", "BENCH_BASELINE_EXT.json")))
+    assert(BenchGuard.artifactOnly(Seq("NEXT.md", "PROGRESS.jsonl", "CORRECTNESS_r12.json")))
+    assert(!BenchGuard.artifactOnly(Seq("BENCH_SUMMARY.json",
+      "src/main/scala/graft/Bench.scala")))
+    assert(!BenchGuard.artifactOnly(Nil)) // same-sha case is handled upstream
+    assert(!BenchGuard.artifactOnly(Seq("build.sbt")))
+  }
+
   test("GitInfo resolves HEAD through loose refs AND packed-refs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gitinfo")
     try {
