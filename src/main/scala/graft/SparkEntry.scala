@@ -433,6 +433,23 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text", substringPatterns)
         .orderBy(col("doc_id"), col("query_idx"))),
 
+    // ONE Aho–Corasick automaton over the whole pattern set, every doc
+    // scanned once — overlapping occurrences all count, nested patterns
+    // each count at their own positions; oracle = brute-force count of
+    // every start offset per (doc, pattern), the definition itself
+    "q_multi_pattern" -> ((s, dir) =>
+      operators.TextOps.multiPatternSearch(
+          table(s, dir, "documents"), "doc_id", "text", multiPatterns)
+        .orderBy(col("doc_id"), col("pat_idx"))),
+
+    // the exact-match decontamination verdict on the same kernel: per
+    // doc, how many DISTINCT benchmark patterns occur (array size — no
+    // explode, no join, zero Exchange); NULL text → 0 / false
+    "q_decontam_exact" -> ((s, dir) =>
+      operators.TextOps.decontaminateExact(
+          table(s, dir, "documents"), "doc_id", "text", multiPatterns)
+        .orderBy(col("doc_id"))),
+
     // the same retrieval through the persisted inverted index: build the
     // term-bucketed postings layout, query it with partition-pruned
     // posting-list reads, reproduce q_bm25 bit-for-bit (shared oracle)
@@ -608,6 +625,26 @@ object SparkEntry {
       val pairs = operators.Dedup.verifiedNearDupPairs(
         docs, "doc_id", "text", shingleSize = 3, threshold = 0.7)
       operators.Dedup.duplicateClusters(docs.select(col("doc_id")), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // containment dedup END-TO-END: prefix-filter pairs closed
+    // transitively into groups with the keep-one verdict — the planted
+    // chain (15-token ⊂ 20-token ⊂ original, each a prefix truncation)
+    // collapses to ONE component per source doc, which per-pair
+    // dropping cannot do consistently; oracle = the shared containment
+    // CTE chain + recursive-CTE reachability
+    "q_containment_clusters" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val trunc = d.where(col("doc_id") % 9 === 3 && col("text").isNotNull)
+      val aug = d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(trunc.select((col("doc_id") + 500000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text")))
+        .unionAll(trunc.select((col("doc_id") + 700000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text")))
+      operators.Dedup.containmentDedup(aug, "doc_id", "text",
+          shingleSize = 3, threshold = 0.9)
         .orderBy(col("doc_id"))
     }),
 
@@ -1459,6 +1496,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming EXACT decontamination screen: the Aho–Corasick automaton
+    // is plan-literal kernel data, the stream is one stateless scan (no
+    // false positives, character-granular); bounded replay == batch
+    // q_decontam_exact (shared oracle text)
+    "q_stream_multipat" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.multiPatternScreenToBatch(
+          s, s"$dir/documents.parquet", multiPatterns)
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING ingestion near-dup screen: stream-static LSH join + exact
     // Jaccard in the join condition, per-doc best match via complete-mode
     // max(struct); must equal the batch screen's corpus quadrant
@@ -1954,6 +2002,20 @@ object SparkEntry {
     "batch window spark order",
     "quantum flux capacitor")
 
+  /** Fixed pattern set for q_multi_pattern / q_decontam_exact /
+    * q_stream_multipat — chosen to exercise the automaton shapes:
+    * a frequent unigram, a self-overlapping bigram ("table table"
+    * counts twice inside "table table table"), a fragment that matches
+    * MID-TOKEN ("an" inside every "scan"), a nested superstring of
+    * "table", and a control that never occurs. Shared verbatim by the
+    * Spark queries and the DuckDB replicas. */
+  private val multiPatterns = Seq(
+    "table",
+    "table table",
+    "an",
+    "value table part",
+    "quantum flux capacitor")
+
   /** Decoded-pixel feature replica for a synthetic image family: given
     * the generator's width/height formulas (SQL over doc_id), regenerate
     * every pixel from the shared formula, fold the exact-integer
@@ -1997,6 +2059,33 @@ object SparkEntry {
   private val jaccardSql =
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
       "CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)"
+
+  /** Prefix-filter containment CTE chain over a caller-supplied
+    * `base(doc_id, text)` CTE — shingle postings → dfs → per-doc
+    * ⌊(1−0.9)·n⌋+2 rarest-gram prefixes → small→large candidate probe →
+    * gram-join intersection counts (`intr`). Shared by q_containment
+    * (pair surface) and q_containment_clusters (transitive closure);
+    * DuckDB sizes the prefix in exact decimal where Spark uses doubles,
+    * but both prefixes satisfy the lossless bound, so the
+    * post-threshold answers coincide. */
+  private val containmentChainSql =
+    s"""tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base WHERE text IS NOT NULL),
+      | shs AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s FROM tks),
+      | exq AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM shs),
+      | szs AS (SELECT doc_id, len(s) AS n FROM shs WHERE len(s) > 0),
+      | dfq AS (SELECT g, count(*) AS df FROM exq GROUP BY g),
+      | pref AS (SELECT doc_id AS pid, g FROM (
+      |    SELECT e.doc_id, e.g, z.n,
+      |      row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rk
+      |    FROM exq e JOIN dfq d ON e.g = d.g JOIN szs z ON z.doc_id = e.doc_id)
+      |   WHERE rk <= floor((1.0 - 0.9) * n) + 2),
+      | cand AS (SELECT DISTINCT least(p.pid, o.doc_id) AS id_a,
+      |    greatest(p.pid, o.doc_id) AS id_b
+      |   FROM pref p JOIN exq o ON p.g = o.g AND p.pid <> o.doc_id),
+      | intr AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+      |   FROM cand c JOIN exq ea ON ea.doc_id = c.id_a
+      |   JOIN exq eb ON eb.doc_id = c.id_b AND eb.g = ea.g
+      |   GROUP BY c.id_a, c.id_b)""".stripMargin
 
   /** Shared CTE prefix: per-document 3-shingle sets, plus the EXACT
     * candidate prefilter — a pair with Jaccard > 0 must share at least
@@ -2508,6 +2597,7 @@ object SparkEntry {
       "q_stream_funnel" -> base("q_funnel"),
       "q_stream_kmv" -> base("q_kmv"),
       "q_stream_bloom" -> base("q_bloom_decontam"),
+      "q_stream_multipat" -> base("q_decontam_exact"),
       "q_knn_batched" -> base("q_knn_join"),
       "q_stratified_salted" -> base("q_stratified"))
   }
@@ -2916,6 +3006,40 @@ object SparkEntry {
         | FROM documents d CROSS JOIN pats p
         | LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.qi = p.qi
         | ORDER BY d.doc_id, query_idx""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // multi-pattern replica: brute-force every start offset per
+    // (doc, pattern) — counts OVERLAPPING occurrences, exactly the
+    // definition the Aho–Corasick walk implements; first_pos = strpos
+    "q_multi_pattern" -> {
+      val pats = multiPatterns.zipWithIndex
+        .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }.mkString(", ")
+      s"""WITH pats(qi, p) AS (SELECT * FROM (VALUES $pats)),
+        | hits AS (SELECT d.doc_id, p.qi,
+        |   len([x for x in range(length(d.text) - length(p.p) + 1)
+        |        if substr(d.text, CAST(x + 1 AS INT), CAST(length(p.p) AS INT)) = p.p]) AS nh,
+        |   strpos(d.text, p.p) AS fp
+        |  FROM documents d CROSS JOIN pats p WHERE d.text IS NOT NULL)
+        | SELECT doc_id, CAST(qi AS INT) AS pat_idx, CAST(nh AS INT) AS n_hits,
+        |  CAST(fp AS INT) AS first_pos
+        | FROM hits WHERE nh > 0
+        | ORDER BY doc_id, pat_idx""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // exact-decontamination replica: distinct patterns occurring per doc
+    // (strpos — presence only, so no overlap subtlety); NULL text joins
+    // to nothing → 0 / false, the kernel's NULL contract
+    "q_decontam_exact" -> {
+      val pats = multiPatterns.zipWithIndex
+        .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }.mkString(", ")
+      s"""WITH pats(qi, p) AS (SELECT * FROM (VALUES $pats)),
+        | conta AS (SELECT d.doc_id, count(DISTINCT p.qi) AS np
+        |  FROM documents d JOIN pats p ON strpos(d.text, p.p) > 0
+        |  GROUP BY d.doc_id)
+        | SELECT d.doc_id, CAST(coalesce(c.np, 0) AS INT) AS n_patterns,
+        |  coalesce(c.np, 0) > 0 AS contaminated
+        | FROM documents d LEFT JOIN conta c ON c.doc_id = d.doc_id
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
     },
 
     // phrase search replica: per-term 0-based position lists straight
@@ -4582,23 +4706,7 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 500000,
         |   array_to_string((string_split(text, ' '))[1:15], ' ')
         |   FROM documents WHERE doc_id % 9 = 2 AND text IS NOT NULL),
-        | tks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base WHERE text IS NOT NULL),
-        | shs AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s FROM tks),
-        | exq AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM shs),
-        | szs AS (SELECT doc_id, len(s) AS n FROM shs WHERE len(s) > 0),
-        | dfq AS (SELECT g, count(*) AS df FROM exq GROUP BY g),
-        | pref AS (SELECT doc_id AS pid, g FROM (
-        |    SELECT e.doc_id, e.g, z.n,
-        |      row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rk
-        |    FROM exq e JOIN dfq d ON e.g = d.g JOIN szs z ON z.doc_id = e.doc_id)
-        |   WHERE rk <= floor((1.0 - 0.9) * n) + 2),
-        | cand AS (SELECT DISTINCT least(p.pid, o.doc_id) AS id_a,
-        |    greatest(p.pid, o.doc_id) AS id_b
-        |   FROM pref p JOIN exq o ON p.g = o.g AND p.pid <> o.doc_id),
-        | intr AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
-        |   FROM cand c JOIN exq ea ON ea.doc_id = c.id_a
-        |   JOIN exq eb ON eb.doc_id = c.id_b AND eb.g = ea.g
-        |   GROUP BY c.id_a, c.id_b)
+        | $containmentChainSql
         | SELECT i.id_a, i.id_b,
         |  CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
         |  CAST(i.n_inter AS BIGINT) AS n_inter,
@@ -4606,6 +4714,32 @@ object SparkEntry {
         | FROM intr i JOIN szs za ON za.doc_id = i.id_a JOIN szs zb ON zb.doc_id = i.id_b
         | WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) >= 0.9
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // containment clusters replica: the SAME prefix-filter chain over
+    // the chain-planted base (two prefix truncations per source doc),
+    // post-threshold pairs closed by recursive-CTE reachability —
+    // cluster_id = smallest reachable doc_id, keep ⇔ the doc is it
+    "q_containment_clusters" ->
+      s"""WITH RECURSIVE base AS (
+        |   SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 500000,
+        |   array_to_string((string_split(text, ' '))[1:15], ' ')
+        |   FROM documents WHERE doc_id % 9 = 3 AND text IS NOT NULL
+        |  UNION ALL SELECT doc_id + 700000,
+        |   array_to_string((string_split(text, ' '))[1:20], ' ')
+        |   FROM documents WHERE doc_id % 9 = 3 AND text IS NOT NULL),
+        | $containmentChainSql,
+        | prs AS (SELECT i.id_a, i.id_b
+        |   FROM intr i JOIN szs za ON za.doc_id = i.id_a
+        |   JOIN szs zb ON zb.doc_id = i.id_b
+        |   WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) >= 0.9),
+        | edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |   UNION ALL SELECT id_b, id_a FROM prs),
+        | reach AS (SELECT doc_id AS id, doc_id AS label FROM base
+        |   UNION SELECT e.src AS id, r.label FROM reach r JOIN edges e ON r.id = e.dst)
+        | SELECT id AS doc_id, min(label) AS cluster_id,
+        |  (id = min(label)) AS keep
+        | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // full MinHash+LSH replica (shared family constants) — candidate set,
     // banding, and agreement estimates all value-level

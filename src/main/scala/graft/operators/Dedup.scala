@@ -377,6 +377,40 @@ object Dedup {
       .where(col("overlap") >= threshold)
   }
 
+  /** Containment dedup end-to-end: [[containmentPairs]] (asymmetric
+    * subset-duplication pairs) closed transitively into duplicate
+    * groups by [[duplicateClusters]], with the keep-one-per-group
+    * verdict — the front door a curation pipeline actually calls, since
+    * raw pairs still need a consistent survivor choice when A⊂B and
+    * B⊂C chain (dropping per-pair can drop ALL of a chain's docs; the
+    * component closure keeps exactly one).
+    *
+    * One row per input document: `(id, cluster_id, keep)` with
+    * `cluster_id` = the smallest id in the document's containment
+    * component (singletons label themselves) and `keep` ⇔ the document
+    * IS that minimum — deterministic, id-stable. NULL/empty-text
+    * documents have no shingles, so they are always singleton keepers.
+    *
+    * Scale: the pair list is materialized once by [[containmentPairs]]
+    * (bounded by true duplicate volume), then pointer-doubling CC runs
+    * keyed exchanges over ids+pairs only — the corpus text is read
+    * exactly once, in the shingle pass. `checkpointDir` as in
+    * [[duplicateClusters]] (durable iteration on any FS). */
+  def containmentDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.9,
+      maxIter: Int = 10,
+      checkpointDir: String = null): DataFrame = {
+    val pairs = containmentPairs(df, idCol, textCol, shingleSize, threshold)
+      .select(col("id_a"), col("id_b"))
+    duplicateClusters(df.select(col(idCol)), pairs, maxIter, checkpointDir)
+      .select(col(idCol), col("cluster_id"),
+        (col(idCol) === col("cluster_id")).as("keep"))
+  }
+
   /** ONE-PASS near-duplication screen: MinHash-LSH (symmetric, Jaccard)
     * AND containment (asymmetric, overlap coefficient) from a single
     * shingle pass over the corpus — the two screens a curation pipeline

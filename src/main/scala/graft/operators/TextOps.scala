@@ -1233,6 +1233,56 @@ object TextOps {
         (col("m.lcs_len") === col("m.pat_len")).as("full_match"))
   }
 
+  /** Multi-pattern exact-occurrence search: every document scanned ONCE
+    * against the whole fixed pattern set via a single Aho–Corasick
+    * automaton ([[MultiPatternHits]]) riding the plan as literal kernel
+    * data — the decontamination matcher for the thousands-of-patterns
+    * regime, where per-pattern passes ([[substringSearch]], `strpos`)
+    * cost K corpus scans and this costs one. Overlapping occurrences
+    * all count, and nested patterns each count at their own positions
+    * (character-granular — a benchmark string pasted mid-token still
+    * hits).
+    *
+    * One row per (document, pattern) WITH at least one occurrence:
+    * `(id, pat_idx, n_hits, first_pos)` — `first_pos` 1-based, the
+    * `strpos` convention (byte == character offsets for ASCII).
+    * NULL-text documents yield no rows.
+    *
+    * Scale: a zero-Exchange narrow scan — the automaton is built once
+    * per executor from the plan-literal patterns (benchmark suites are
+    * small next to the corpus; broadcast semantics for free), the
+    * corpus never shuffles, and output is bounded by true hit volume. */
+  def multiPatternSearch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        explode(GraftSqlShim.column(MultiPatternHits(
+          GraftSqlShim.expression(col(textCol)), patterns))).as("m"))
+      .select(col(idCol), col("m.pat_idx"), col("m.n_hits"), col("m.first_pos"))
+
+  /** Exact-match decontamination screen on [[multiPatternSearch]]'s
+    * kernel: one row per input document with the number of DISTINCT
+    * benchmark patterns it contains and the verdict — zero extra plan
+    * nodes beyond the narrow scan (no explode, no join-back: the hit
+    * array's size IS the count). NULL text carries `n_patterns = 0`,
+    * `contaminated = false` (nothing can match an absent document —
+    * the caller's length/quality filters own NULL policy). The
+    * STATELESS shape: runs unchanged on a stream
+    * ([[graft.streaming.JsonStream.multiPatternScreenToBatch]]). */
+  def decontaminateExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        coalesce(size(GraftSqlShim.column(MultiPatternHits(
+          GraftSqlShim.expression(col(textCol)), patterns))), lit(0))
+          .as("n_patterns"))
+      .select(col(idCol), col("n_patterns"),
+        (col("n_patterns") > 0).as("contaminated"))
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

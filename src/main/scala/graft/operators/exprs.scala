@@ -1408,3 +1408,140 @@ case class GearCutpoints(child: Expression, maskBits: Int, minLen: Int, maxLen: 
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Multi-pattern exact-occurrence search: ONE Aho–Corasick automaton
+  * [Aho & Corasick, CACM 1975] over ALL fixed patterns, walked once per
+  * document — O(bytes + matches) regardless of how many patterns the
+  * benchmark suite holds. This is the decontamination matcher for the
+  * thousands-of-patterns regime where K independent [[SubstringLcs]] /
+  * `strpos` passes would cost K corpus scans: the automaton is built
+  * once per executor from the plan-literal pattern list (broadcast
+  * semantics for free) and the corpus never shuffles.
+  *
+  * The trie is fail-link-resolved into a dense DFA (goto covers every
+  * byte at every state), and each state carries the FLATTENED list of
+  * pattern ids ending there (own ids ++ the fail chain's — the
+  * standard dictionary-suffix closure), so matching is a plain
+  * state-transition walk with no link-chasing in the hot loop.
+  * OVERLAPPING occurrences all count ("aa" occurs 3× in "aaaa"), and
+  * nested patterns each count at their own end positions ("an" hits
+  * inside every "scan" hit).
+  *
+  * Returns array<struct(pat_idx int, n_hits int, first_pos int)> with
+  * one entry per pattern that occurs at least once, in pattern order;
+  * `first_pos` is the 1-BASED byte offset of the first occurrence
+  * (== character offset for ASCII patterns+text, the `strpos`
+  * convention the oracle replays; a multi-byte corpus measures byte
+  * offsets — documented, deterministic). NULL text → NULL (exploded
+  * consumers drop the row); no-hit documents return an empty array. */
+case class MultiPatternHits(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with KernelCodegen {
+  require(patterns.nonEmpty, "need at least one pattern")
+  require(patterns.forall(p => p != null && p.nonEmpty),
+    "patterns must be non-empty")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pat_idx", IntegerType, nullable = false),
+    StructField("n_hits", IntegerType, nullable = false),
+    StructField("first_pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "multi_pattern_hits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"multi_pattern_hits expects a string column, got ${other.sql}")
+  }
+
+  @transient private lazy val auto: MultiPatternHits.Dfa =
+    MultiPatternHits.build(patterns.map(_.getBytes("UTF-8")))
+  @transient private lazy val patLens: Array[Int] =
+    patterns.map(_.getBytes("UTF-8").length).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val a = auto
+    val k = patterns.length
+    val counts = new Array[Int](k)
+    val firstEnd = new Array[Int](k)
+    java.util.Arrays.fill(firstEnd, -1)
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      s = a.goto(s)(bytes(i) & 0xff)
+      val out = a.out(s)
+      var j = 0
+      while (j < out.length) {
+        val pid = out(j)
+        if (counts(pid) == 0) firstEnd(pid) = i
+        counts(pid) += 1
+        j += 1
+      }
+      i += 1
+    }
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var p = 0
+    while (p < k) {
+      if (counts(p) > 0)
+        hits += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](p, counts(p), firstEnd(p) - patLens(p) + 2))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hits.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MultiPatternHits {
+  /** goto: state × byte → state (fail-resolved, total); out: flattened
+    * pattern ids ending at each state (dictionary-suffix closure). */
+  final case class Dfa(goto: Array[Array[Int]], out: Array[Array[Int]])
+
+  private[operators] def build(pats: Seq[Array[Byte]]): Dfa = {
+    val cap = pats.map(_.length).sum + 1
+    val goto = Array.fill(cap)(Array.fill(256)(-1))
+    val own = Array.fill(cap)(List.empty[Int])
+    var size = 1
+    // trie
+    pats.zipWithIndex.foreach { case (p, pid) =>
+      var s = 0
+      var i = 0
+      while (i < p.length) {
+        val c = p(i) & 0xff
+        if (goto(s)(c) == -1) { goto(s)(c) = size; size += 1 }
+        s = goto(s)(c)
+        i += 1
+      }
+      own(s) = pid :: own(s)
+    }
+    // BFS fail links; resolve goto into a total DFA and close outputs
+    // over the fail chain (out(s) = own(s) ++ out(fail(s)) — fail(s) is
+    // always processed before s in BFS order)
+    val fail = new Array[Int](size)
+    val out = new Array[Array[Int]](size)
+    out(0) = own(0).reverse.toArray
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    var c = 0
+    while (c < 256) {
+      val t = goto(0)(c)
+      if (t == -1) goto(0)(c) = 0
+      else { fail(t) = 0; queue.enqueue(t) }
+      c += 1
+    }
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      out(s) = (own(s).reverse ++ out(fail(s))).toArray
+      var c2 = 0
+      while (c2 < 256) {
+        val t = goto(s)(c2)
+        if (t == -1) goto(s)(c2) = goto(fail(s))(c2)
+        else { fail(t) = goto(fail(s))(c2); queue.enqueue(t) }
+        c2 += 1
+      }
+    }
+    Dfa(goto.take(size), out)
+  }
+}

@@ -268,6 +268,24 @@ object JsonStream {
     }
   }
 
+  /** Streaming exact-match decontamination screen: the Aho–Corasick
+    * automaton over the benchmark patterns is plan-literal kernel data
+    * ([[graft.operators.MultiPatternHits]]), so the streamed corpus is
+    * ONE stateless fused scan — no state, no watermark, no shuffle (the
+    * [[bloomScreenToBatch]] shape), and unlike the Bloom screen the
+    * verdict is exact (no false positives) and character-granular (a
+    * benchmark string pasted mid-token still hits). Bounded replay ==
+    * batch [[graft.operators.TextOps.decontaminateExact]] (shared
+    * oracle text). */
+  def multiPatternScreenToBatch(
+      spark: SparkSession,
+      path: String,
+      patterns: Seq[String]): DataFrame =
+    replayFileStream(spark, path, "multipat") { stream =>
+      graft.operators.TextOps.decontaminateExact(
+        stream, "doc_id", "text", patterns)
+    }
+
   /** Streaming DSIR ingestion screen: the [[graft.operators.Curation.dsirTrain]]
     * weight table (trained in batch over corpus + target) rides the plan
     * as literal kernel data, so the streamed side is ONE stateless fused

@@ -273,6 +273,51 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MultiPatternHits equals brute-force overlapping occurrence counts") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.StringType
+    // the definition: every start offset, overlaps and nesting included
+    def brute(text: String, pats: Seq[String]): Seq[(Int, Int, Int)] = {
+      val t = text.getBytes("UTF-8")
+      pats.zipWithIndex.flatMap { case (p, pi) =>
+        val pb = p.getBytes("UTF-8")
+        val starts = (0 to t.length - pb.length)
+          .filter(s => pb.indices.forall(j => t(s + j) == pb(j)))
+        if (starts.isEmpty) Nil else Seq((pi, starts.size, starts.head + 1))
+      }
+    }
+    def run(text: String, pats: Seq[String]): Seq[(Int, Int, Int)] = {
+      val r = graft.operators.MultiPatternHits(
+          Literal.create(text, StringType), pats)
+        .eval(null).asInstanceOf[ArrayData]
+      (0 until r.numElements()).map { i =>
+        val row = r.getStruct(i, 3)
+        (row.getInt(0), row.getInt(1), row.getInt(2))
+      }
+    }
+    // tiny alphabet so overlapping and nested matches occur constantly;
+    // duplicate patterns are legal (each id reports independently)
+    val charGen = org.scalacheck.Gen.oneOf('a', 'b', ' ')
+    val strGen = org.scalacheck.Gen.listOf(charGen).map(_.mkString)
+    val patGen = org.scalacheck.Gen.nonEmptyListOf(charGen).map(_.mkString)
+    val patsGen = org.scalacheck.Gen.nonEmptyListOf(patGen)
+    check(forAll(strGen, patsGen) { (text, pats) =>
+      run(text, pats) == brute(text, pats)
+    })
+    // the automaton shapes, pinned by hand:
+    // self-overlap counts every offset
+    assert(run("aaaa", Seq("aa")) == Seq((0, 3, 1)))
+    // nested patterns both fire at the same end position
+    assert(run("the scan plan", Seq("an", "scan")) ==
+      Seq((0, 2, 7), (1, 1, 5)))
+    // a pattern spanning a fail-link transition ("ab" fails into "ba")
+    assert(run("ababab", Seq("aba", "bab")) == Seq((0, 2, 1), (1, 2, 2)))
+    // no-hit and empty-text documents return empty arrays
+    assert(run("xyz", Seq("aa")).isEmpty)
+    assert(run("", Seq("aa")).isEmpty)
+  }
+
   test("SqEncode: kernel == driver quantizer; range, monotonicity, zero-at-zero") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}

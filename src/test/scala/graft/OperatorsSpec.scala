@@ -730,6 +730,70 @@ class OperatorsSpec extends AnyFunSuite {
         s"extra=${(fast.keySet -- brute.keySet).take(5)}")
   }
 
+  test("containmentDedup: transitive chains collapse to one keeper per component") {
+    val s = spark
+    import s.implicits._
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mid = (1 to 20).map(i => s"tok$i").mkString(" ")   // ⊂ long
+    val short = (1 to 8).map(i => s"tok$i").mkString(" ")  // ⊂ mid ⊂ long
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, long), (2L, mid), (3L, short),   // one chain component
+      (4L, other),                          // singleton
+      (5L, null.asInstanceOf[String]),      // no shingles → singleton keeper
+      (6L, "a b")                           // too short to shingle → singleton
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentDedup(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // per-pair dropping could keep 2 (drop vs 1) yet also keep 3 only
+    // vs 2 — the component closure keeps exactly the minimum
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((4L, true)), 5L -> ((5L, true)), 6L -> ((6L, true))), got.toString)
+    // parity with a test-side union-find over the operator's own pairs,
+    // on real data (pins the composition, not just the hand case)
+    val real = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.containmentPairs(real, "doc_id", "text", 3, 0.8)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = real.select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => id -> find(id)).toMap
+    val full = Dedup.containmentDedup(real, "doc_id", "text", 3, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == want, "cluster labels diverged from union-find over the same pairs")
+  }
+
+  test("multiPatternSearch / decontaminateExact: NULL contract and screen parity") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the table value table table table end"),
+      (2L, "nothing relevant here"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val pats = Seq("table", "table table", "zzz")
+    val rows = TextOps.multiPatternSearch(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    // doc 1: "table" at 5,17,23,29 (4 hits); "table table" at 17 and 23
+    // (overlapping run of three tables); "zzz" absent; docs 2/3 no rows
+    assert(rows == Set((1L, 0, 4, 5), (1L, 1, 2, 17)), rows.toString)
+    val screen = TextOps.decontaminateExact(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(screen == Set((1L, 2, true), (2L, 0, false), (3L, 0, false)),
+      screen.toString)
+  }
+
   test("nearDupScreen: one shingle pass reproduces BOTH standalone screens exactly") {
     val s = spark
     val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")

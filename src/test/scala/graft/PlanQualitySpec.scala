@@ -666,6 +666,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("multi-pattern decontamination: corpus side is one narrow scan, zero Exchange/Join") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val pats = Seq("table", "value table part", "zzz")
+    // the screen: automaton is plan-literal kernel data, verdict is the
+    // hit-array size — no explode, no join, no shuffle, fully codegen'd
+    val screen = graft.operators.TextOps.decontaminateExact(d, "doc_id", "text", pats)
+    val sp = screen.queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"), sp)
+    assert(!sp.contains("Join"), sp)
+    assert("Scan parquet".r.findAllIn(sp).size == 1, sp)
+    assert(sp.contains("*(1)"), sp)
+    // the per-pattern row surface adds exactly one Generate (the hit
+    // explode) on top of the same single scan — still no Exchange
+    val rows = graft.operators.TextOps.multiPatternSearch(d, "doc_id", "text", pats)
+    val rp = rows.queryExecution.executedPlan.toString
+    assert(!rp.contains("Exchange"), rp)
+    assert(!rp.contains("Join"), rp)
+    assert("Scan parquet".r.findAllIn(rp).size == 1, rp)
+    assert("Generate".r.findAllIn(rp).size == 1, rp)
+  }
+
   test("IVF cell-partitioned layout prunes probes at the scan") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
