@@ -1706,6 +1706,19 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // REAL ICO parse: a MULTI-image container (2 entries per file, the
+    // icon-directory walk), each a 32-bpp double-height icon whose
+    // 1-bit AND mask excludes pixels from the feature fold — dims,
+    // opaque counts, and all 8 features formula-replayed; a decoder
+    // skipping the mask plane computes different sums and mismatches
+    "q_img_ico" -> ((s, dir) =>
+      operators.Multimodal.decodeIcoFeatures(s,
+          operators.Multimodal.syntheticIcoBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("entry_idx"), col("width"), col("height"),
+          col("n_opaque"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("entry_idx"), col("feat_idx"))),
+
     // real RIFF/WAV parse of synthetic PCM clips: header metadata and
     // sample-stat features, both formula-replayed by the oracle
     "q_audio_meta" -> ((s, dir) =>
@@ -4162,6 +4175,41 @@ object SparkEntry {
     // hash-mismatches)
     "q_img_tga" ->
       imgPixelReplicaSql("16 + doc_id % 23", "16 + (doc_id * 3) % 15"),
+
+    // ICO replica: per (doc, entry) dims from the generator formulas,
+    // pixels at id 2·doc+e, the (doc+x+y+e) mod 7 mask EXCLUDED, and
+    // the opaque-count denominators — the same exact-integer sums +
+    // IEEE divisions + float32 rounding as the shared fold
+    "q_img_ico" ->
+      """WITH ent AS (SELECT doc_id, unnest([0, 1]) AS e FROM documents),
+        | d AS (SELECT doc_id, e,
+        |   CASE e WHEN 0 THEN 8 + doc_id % 9 ELSE 8 + (doc_id * 5) % 11 END AS w,
+        |   CASE e WHEN 0 THEN 8 + (doc_id * 3) % 7 ELSE 8 + (doc_id * 7) % 5 END AS h
+        |  FROM ent),
+        | xs AS (SELECT doc_id, e, w, h, unnest(range(w)) AS x FROM d),
+        | px AS (SELECT doc_id, e, w, h, x, unnest(range(h)) AS y FROM xs),
+        | pc AS (SELECT doc_id, e, w, h, x, y,
+        |   ((2*doc_id + e) * 31 + x * 7 + y * 13) % 256 AS r,
+        |   ((2*doc_id + e) * 17 + x * 11 + y * 3) % 256 AS g,
+        |   ((2*doc_id + e) * 13 + x * 5 + y * 29) % 256 AS b
+        |  FROM px WHERE (doc_id + x + y + e) % 7 <> 0),
+        | sums AS (SELECT doc_id, e, w, h, count(*) AS nop,
+        |   sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+        |   sum(CASE WHEN (y*2)//h = 0 AND (x*2)//w = 0 THEN r+g+b ELSE 0 END) AS q0,
+        |   sum(CASE WHEN (y*2)//h = 0 AND (x*2)//w = 1 THEN r+g+b ELSE 0 END) AS q1,
+        |   sum(CASE WHEN (y*2)//h = 1 AND (x*2)//w = 0 THEN r+g+b ELSE 0 END) AS q2,
+        |   sum(CASE WHEN (y*2)//h = 1 AND (x*2)//w = 1 THEN r+g+b ELSE 0 END) AS q3,
+        |   sum((299*r + 587*g + 114*b) // 1000) AS sl
+        |  FROM pc GROUP BY doc_id, e, w, h)
+        | SELECT doc_id, CAST(e AS INT) AS entry_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nop AS BIGINT) AS n_opaque, CAST(f AS INT) AS feat_idx,
+        |  CAST(CAST(CASE CAST(f AS INT) WHEN 0 THEN sr WHEN 1 THEN sg WHEN 2 THEN sb
+        |    WHEN 3 THEN q0 WHEN 4 THEN q1 WHEN 5 THEN q2 WHEN 6 THEN q3 ELSE sl END AS DOUBLE)
+        |    / CAST(CASE WHEN CAST(f AS INT) BETWEEN 3 AND 6 THEN 765 ELSE 255 END AS DOUBLE)
+        |    / CAST(nop AS DOUBLE) AS REAL) AS feat
+        | FROM sums, (SELECT unnest(range(8)) AS f) fr
+        | ORDER BY doc_id, entry_idx, feat_idx""".stripMargin.replaceAll("\n", " "),
 
     // WAV decode replica WITHOUT parsing WAV: the synthetic clips'
     // header fields are a pure formula of doc_id, and the canonical

@@ -384,6 +384,196 @@ object Multimodal {
     } catch { case _: ArrayIndexOutOfBoundsException => None } // truncated
   }
 
+  /** One decoded ICO directory entry: per-icon dims + the opaque-pixel
+    * feature fold (the AND mask excludes transparent pixels, so the
+    * denominators are `n_opaque`, not w·h). */
+  case class IconFeatures(
+      doc_id: Long,
+      entry_idx: Int,
+      width: Int,
+      height: Int,
+      n_opaque: Long,
+      features: Array[Float])
+
+  /** Deterministic synthetic ICO — a MULTI-image container (2 icon
+    * entries per file), each a 32-bpp BITMAPINFOHEADER icon: the header
+    * declares DOUBLE height (XOR color bitmap + 1-bit AND mask stacked,
+    * the ICO quirk), rows bottom-up, BGRA order, mask rows padded to
+    * 32-bit boundaries MSB-first. Entry `e` draws the shared pixel
+    * formula at id 2·docId+e; pixel (x,y) is TRANSPARENT (mask bit 1,
+    * alpha 0) iff (docId + x + y + e) mod 7 = 0 — so the mask is
+    * load-bearing: a decoder that skips it computes different features.
+    *   e=0: w = 8 + docId mod 9,    h = 8 + 3·docId mod 7
+    *   e=1: w = 8 + 5·docId mod 11, h = 8 + 7·docId mod 5 */
+  def syntheticIco(docId: Long): Array[Byte] = {
+    val dims = icoDims(docId)
+    def maskRowBytes(w: Int) = ((w + 31) / 32) * 4
+    val sizes = dims.map { case (w, h) => 40 + h * w * 4 + h * maskRowBytes(w) }
+    val total = 6 + 16 * dims.length + sizes.sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0).putShort(1).putShort(dims.length.toShort) // ICONDIR, type 1 = icon
+    var off = 6 + 16 * dims.length
+    dims.zip(sizes).foreach { case ((w, h), sz) =>
+      buf.put(w.toByte).put(h.toByte)       // bWidth/bHeight (0 would mean 256)
+        .put(0.toByte).put(0.toByte)        // colorCount, reserved
+        .putShort(1).putShort(32)           // planes, bitcount
+        .putInt(sz).putInt(off)             // bytes in resource, file offset
+      off += sz
+    }
+    dims.zipWithIndex.foreach { case ((w, h), e) =>
+      buf.putInt(40).putInt(w).putInt(2 * h) // biHeight = XOR + AND stacked
+        .putShort(1).putShort(32)
+        .putInt(0).putInt(0)                 // BI_RGB, size-image 0 (legal for BI_RGB)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      val eid = 2 * docId + e
+      var y = h - 1                          // bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val p = formulaPixel(eid, x, y)
+          val opaque = java.lang.Math.floorMod(docId + x + y + e, 7L) != 0L
+          buf.put((p & 0xff).toByte)         // B
+            .put(((p >> 8) & 0xff).toByte)   // G
+            .put(((p >> 16) & 0xff).toByte)  // R
+            .put((if (opaque) 0xff else 0x00).toByte)
+          x += 1
+        }
+        y -= 1
+      }
+      y = h - 1
+      while (y >= 0) {
+        val row = new Array[Byte](maskRowBytes(w))
+        var x = 0
+        while (x < w) {
+          if (java.lang.Math.floorMod(docId + x + y + e, 7L) == 0L)
+            row(x / 8) = (row(x / 8) | (0x80 >> (x % 8))).toByte
+          x += 1
+        }
+        buf.put(row)
+        y -= 1
+      }
+    }
+    buf.array()
+  }
+
+  /** The two entry dims of [[syntheticIco]]. */
+  private def icoDims(docId: Long): Seq[(Int, Int)] = Seq(
+    (8 + java.lang.Math.floorMod(docId, 9L).toInt,
+      8 + java.lang.Math.floorMod(docId * 3, 7L).toInt),
+    (8 + java.lang.Math.floorMod(docId * 5, 11L).toInt,
+      8 + java.lang.Math.floorMod(docId * 7, 5L).toInt))
+
+  /** (doc_id, blob) table of [[syntheticIco]] containers. */
+  def syntheticIcoBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticIco(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** REAL ICO parse (no JVM reader exists for .ico): ICONDIR walk, then
+    * per entry a 32-bpp BITMAPINFOHEADER icon — double-height header
+    * un-stacked into the XOR bitmap and the 1-bit AND mask (rows padded
+    * to 32 bits, MSB-first, bottom-up like the color rows). Features
+    * are the [[featuresFromArgb]] arithmetic restricted to OPAQUE
+    * pixels (mask bit 0): exact-integer sums, denominators `n_opaque`,
+    * quadrant index unchanged — the fully-specified fold any engine
+    * replays from known pixel content. Returns one record per entry;
+    * None for unrecognized/truncated bytes (caller decides the stub). */
+  def decodeIco(docId: Long, bytes: Array[Byte]): Option[Seq[IconFeatures]] = {
+    if (bytes == null || bytes.length < 6) return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (u16(0) != 0 || u16(2) != 1) return None // reserved, type = icon
+    val count = u16(4)
+    if (count <= 0 || bytes.length < 6 + 16 * count) return None
+    try {
+      Some((0 until count).map { e =>
+        val off = i32(6 + 16 * e + 12)
+        if (i32(off) != 40) throw new IllegalArgumentException("not BITMAPINFOHEADER")
+        val w = i32(off + 4)
+        val h2 = i32(off + 8)
+        val bpp = u16(off + 14)
+        if (i32(off + 16) != 0 || bpp != 32 || w <= 0 || h2 <= 0 || (h2 & 1) != 0)
+          throw new IllegalArgumentException("unsupported icon encoding")
+        val h = h2 / 2
+        val px = new Array[Int](w * h)
+        val alpha = new Array[Boolean](w * h)
+        var pos = off + 40
+        var y = h - 1
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val b = bytes(pos) & 0xff
+            val g = bytes(pos + 1) & 0xff
+            val r = bytes(pos + 2) & 0xff
+            alpha(y * w + x) = (bytes(pos + 3) & 0xff) != 0
+            px(y * w + x) = (r << 16) | (g << 8) | b
+            pos += 4
+            x += 1
+          }
+          y -= 1
+        }
+        val maskRowBytes = ((w + 31) / 32) * 4
+        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L; var nOp = 0L
+        val quad = new Array[Long](4)
+        y = h - 1
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val maskBit = (bytes(pos + x / 8) & (0x80 >> (x % 8))) != 0
+            // the generator keeps alpha and mask consistent; a decoder
+            // honoring only alpha would silently pass, so assert the
+            // MASK is what drives opacity
+            if (maskBit == alpha(y * w + x))
+              throw new IllegalArgumentException("mask/alpha disagreement")
+            if (!maskBit) {
+              val p = px(y * w + x)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              sr += r; sg += g; sb += b
+              sl += (299 * r + 587 * g + 114 * b) / 1000
+              quad((y * 2 / h) * 2 + x * 2 / w) += r + g + b
+              nOp += 1L
+            }
+            x += 1
+          }
+          pos += maskRowBytes
+          y -= 1
+        }
+        val feats = new Array[Float](FeatureDim)
+        val d = math.max(nOp, 1L).toDouble
+        feats(0) = (sr.toDouble / 255.0 / d).toFloat
+        feats(1) = (sg.toDouble / 255.0 / d).toFloat
+        feats(2) = (sb.toDouble / 255.0 / d).toFloat
+        var qi = 0
+        while (qi < 4) {
+          feats(3 + qi) = (quad(qi).toDouble / 765.0 / d).toFloat
+          qi += 1
+        }
+        feats(7) = (sl.toDouble / 255.0 / d).toFloat
+        IconFeatures(docId, e, w, h, nOp, feats)
+      })
+    } catch {
+      case _: IllegalArgumentException => None
+      case _: ArrayIndexOutOfBoundsException => None // truncated
+    }
+  }
+
+  /** Batched partition-local ICO decode over (id, blob) rows — one
+    * output row per icon entry (a container yields its whole directory;
+    * undecodable blobs yield nothing, the caller screens with an
+    * anti-join if it needs the reject list). */
+  def decodeIcoFeatures(spark: SparkSession, blobs: DataFrame): Dataset[IconFeatures] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeIco(id, bytes).getOrElse(Nil)
+      })
+  }
+
   /** documents.text reinterpreted as a blob column — the stand-in media
     * table for this container (no real image data ships with the tests). */
   def documentBlobs(df: DataFrame): DataFrame =

@@ -479,6 +479,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeTga(9L, cut).isEmpty)
   }
 
+  test("ICO decode: multi-entry container, AND mask drives the opaque-pixel fold") {
+    for (id <- Seq(0L, 1L, 2L, 5L, 123L, 9999L)) {
+      val got = Multimodal.decodeIco(id, Multimodal.syntheticIco(id))
+      assert(got.isDefined, s"ICO parser rejected its own encoder for id=$id")
+      val entries = got.get
+      assert(entries.length == 2)
+      // dims per the generator formulas, entry-indexed
+      assert(entries(0).width == 8 + java.lang.Math.floorMod(id, 9L).toInt)
+      assert(entries(0).height == 8 + java.lang.Math.floorMod(id * 3, 7L).toInt)
+      assert(entries(1).width == 8 + java.lang.Math.floorMod(id * 5, 11L).toInt)
+      assert(entries(1).height == 8 + java.lang.Math.floorMod(id * 7, 5L).toInt)
+      entries.foreach { en =>
+        // the mask removes ~1/7 of pixels; the fold must count the rest
+        val n = en.width.toLong * en.height
+        val wantOpaque = (0 until en.width).flatMap(x => (0 until en.height).map(y =>
+          java.lang.Math.floorMod(id + x + y + en.entry_idx, 7L) != 0L)).count(identity)
+        assert(en.n_opaque == wantOpaque && en.n_opaque < n,
+          s"id=$id e=${en.entry_idx}: n_opaque=${en.n_opaque} want $wantOpaque of $n")
+        assert(en.features.forall(f => !f.isNaN && f >= 0f && f <= 2f))
+      }
+      // the mask is LOAD-BEARING: brute-force the opaque-pixel mean-R
+      // from the formula and require bit-equality with the decoder
+      val e0 = entries(0)
+      var sr = 0L; var nOp = 0L
+      for (y <- 0 until e0.height; x <- 0 until e0.width)
+        if (java.lang.Math.floorMod(id + x + y, 7L) != 0L) {
+          sr += java.lang.Math.floorMod((2 * id) * 31 + x * 7 + y * 13, 256L)
+          nOp += 1
+        }
+      assert(e0.features(0) == (sr.toDouble / 255.0 / nOp.toDouble).toFloat)
+    }
+    // truncation and not-an-icon bytes refuse instead of throwing
+    val ico = Multimodal.syntheticIco(3L)
+    assert(Multimodal.decodeIco(3L, java.util.Arrays.copyOf(ico, 40)).isEmpty)
+    assert(Multimodal.decodeIco(3L, "not an icon".getBytes).isEmpty)
+    assert(Multimodal.decodeIco(3L, null).isEmpty)
+    // a flipped alpha byte (mask/alpha disagreement) is rejected — the
+    // decoder provably reads the mask plane, not just alpha
+    val tampered = ico.clone()
+    tampered(6 + 32 + 40 + 3) = (tampered(6 + 32 + 40 + 3) ^ 0xff).toByte
+    assert(Multimodal.decodeIco(3L, tampered).isEmpty)
+  }
+
   test("real image decode: JPEG header is read; unrecognized bytes fall back to stub") {
     // JPEG: real width/height from the header (pixel values are lossy, so
     // only the header is asserted — oracle queries stick to lossless PNG)
