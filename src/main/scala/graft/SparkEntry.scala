@@ -1227,6 +1227,18 @@ object SparkEntry {
         .select(col("tok"), col("exact"), col("est"))
     }),
 
+    // EXACT heavy hitters (Misra–Gries candidates + exact recount):
+    // output is provably GROUP BY HAVING cnt > n/64 — the sketch bounds
+    // shuffle state (≤ m-entry summaries, then candidate-only rows)
+    // while the recount makes the answer deterministic and exact, so
+    // the oracle is the plain SQL definition
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("v"))
+      operators.Curation.heavyHitters(toks, "v", 64).orderBy(col("item"))
+    }),
+
     // content-defined chunking (FastCDC gear hash): one fused-kernel scan
     // emits byte-offset chunks whose boundaries follow CONTENT (mask 5 →
     // ~32B avg, 16..64 bounds); cross-doc sharing counts via one
@@ -3743,6 +3755,18 @@ object SparkEntry {
 
     // streaming monitor: identical integer grid and lookup
     "q_stream_cm" -> cmOracle,
+
+    // heavy hitters: the exact definition — the MG stage is pure
+    // shuffle-state plumbing whose superset guarantee the recount
+    // collapses to this
+    "q_heavy_hitters" ->
+      """WITH v AS (SELECT unnest(string_split(text, ' ')) AS item
+        |   FROM documents WHERE text IS NOT NULL),
+        | t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+        | SELECT v.item, CAST(count(*) AS BIGINT) AS cnt, t.n AS n_total
+        | FROM v CROSS JOIN t GROUP BY v.item, t.n
+        | HAVING count(*) >= t.n // 64 + 1
+        | ORDER BY item""".stripMargin.replaceAll("\n", " "),
 
     // CDC replica: gear hash via the 64-term closed-form window sum
     // (h_i = Σ 2^(i-j)·splitmix64(byte_j) mod 2^64 — the shifted-out bits

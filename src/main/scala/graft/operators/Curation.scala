@@ -523,6 +523,96 @@ object Curation {
       .select(col("grp"), posexplode(col("hs")).as(Seq("rk0", "h")))
       .select(col("grp"), col("h"), (col("rk0") + 1).cast("int").as("rk"))
 
+  /** Mergeable Misra–Gries summary buffer: items with estimated
+    * residual counts, ≤ k entries. */
+  case class MgBuf(m: Map[String, Long])
+
+  /** Misra–Gries frequent-items summary as a typed `Aggregator`
+    * [Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+    * Summaries", PODS 2012]: per-row reduce increments or, at capacity,
+    * decrements every counter by one; merge sums two summaries and
+    * subtracts the (k+1)-th largest count. State is ≤ k entries under
+    * ANY partitioning / merge order, and the total decrement is at most
+    * n/(k+1) — so every item with true frequency > n/(k+1) survives to
+    * the candidate list. The candidate set itself is order-DEPENDENT
+    * (which near-threshold items linger varies); only its SUPERSET
+    * guarantee is deterministic, which is why [[heavyHitters]] recounts
+    * exactly and never exposes the raw summary. */
+  class MisraGriesAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, MgBuf, Array[String]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    override def zero: MgBuf = MgBuf(Map.empty)
+    override def reduce(b: MgBuf, item: String): MgBuf = {
+      val m = b.m
+      m.get(item) match {
+        case Some(c) => MgBuf(m.updated(item, c + 1))
+        case None if m.size < k => MgBuf(m.updated(item, 1L))
+        case None =>
+          // decrement-all: one "charge" against every stored item AND
+          // the arriving one (k+1 charges for k+1 distinct items)
+          MgBuf(m.collect { case (i, c) if c > 1 => (i, c - 1) })
+      }
+    }
+    override def merge(a: MgBuf, b: MgBuf): MgBuf = {
+      if (a.m.isEmpty) return b
+      if (b.m.isEmpty) return a
+      val sum = b.m.foldLeft(a.m) { case (acc, (i, c)) =>
+        acc.updated(i, acc.getOrElse(i, 0L) + c)
+      }
+      if (sum.size <= k) MgBuf(sum)
+      else {
+        // subtract the (k+1)-th largest count from everything — the
+        // PODS'12 merge; items at or below it drop out
+        val counts = sum.valuesIterator.toArray
+        java.util.Arrays.sort(counts)
+        val thr = counts(counts.length - (k + 1))
+        MgBuf(sum.collect { case (i, c) if c > thr => (i, c - thr) })
+      }
+    }
+    override def finish(b: MgBuf): Array[String] = b.m.keysIterator.toArray.sorted
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MgBuf] =
+      org.apache.spark.sql.Encoders.product[MgBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
+  /** EXACT heavy hitters at sketch cost: every item occurring MORE than
+    * n/m times, with its exact count — the two-pass candidate/recount
+    * scheme. Pass 1 folds the corpus into one [[MisraGriesAggregator]]
+    * summary (k = m, so the superset guarantee covers the n/m
+    * threshold: total decrement ≤ n/(m+1) < any qualifying count);
+    * pass 2 recounts ONLY candidate rows exactly and applies the
+    * threshold. Output is therefore exactly `GROUP BY HAVING
+    * count > n/m` — deterministic however the data is partitioned,
+    * which is what makes it value-level oracle-able.
+    *
+    * Scale (100 TB): the whole point vs a plain groupBy. A full-vocab
+    * count shuffles every distinct item's partials (web-scale corpora:
+    * billions of keys); here pass 1 shuffles ≤ m-entry summaries
+    * (map-side combined), the ≤ m candidate strings ride the plan as an
+    * isin literal, and pass 2's Exchange carries candidate rows only —
+    * the Zipf head, a vanishing fraction of rows. Costs a second scan;
+    * at 100 TB a scan is cheap next to a billion-key shuffle. Returns
+    * `(item, cnt, n_total)`, empty when no item qualifies. */
+  def heavyHitters(df: DataFrame, valueCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("v"))
+    val mg = udaf(new MisraGriesAggregator(m), org.apache.spark.sql.Encoders.STRING)
+    val row = vals.agg(mg(col("v")).as("cand"), count(lit(1)).as("n")).head()
+    val cand = row.getSeq[String](0) // bounded: ≤ m strings by construction
+    val n = row.getLong(1)
+    val minCount = n / m + 1 // integer: cnt >= floor(n/m)+1 ⇔ cnt > n/m
+    if (cand.isEmpty)
+      return vals.where(lit(false))
+        .select(col("v").as("item"), lit(0L).as("cnt"), lit(n).as("n_total"))
+    vals.where(col("v").isin(cand: _*))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("v").as("item"), col("cnt"), lit(n).as("n_total"))
+  }
+
   /** Pairwise set-overlap (Jaccard) estimate between every two groups
     * from their KMV sketches: J ≈ |bottom_k(A∪B) ∩ sk(A) ∩ sk(B)| / kk,
     * where bottom_k(A∪B) is derivable exactly from the two sketches

@@ -773,6 +773,53 @@ class OperatorsSpec extends AnyFunSuite {
         s"extra=${(fast.keySet -- brute.keySet).take(5)}")
   }
 
+  test("heavyHitters: Misra-Gries candidates are a provable superset; recount is exact") {
+    val s = spark
+    import s.implicits._
+    // summary-level guarantee, checked directly on the aggregator over
+    // many random orderings and split points: every item with
+    // freq > n/(k+1) survives reduce+merge in ANY arrangement
+    val rnd = new scala.util.Random(7)
+    val agg = new Curation.MisraGriesAggregator(5)
+    for (trial <- 0 until 50) {
+      val items = Seq.fill(400)(s"t${rnd.nextInt(40)}") ++
+        Seq.fill(120)("hot1") ++ Seq.fill(90)("hot2")
+      val shuffled = rnd.shuffle(items)
+      val cut = 1 + rnd.nextInt(shuffled.length - 1)
+      val (l, r) = shuffled.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.m.size <= 5, s"trial $trial: state exceeded k")
+      val n = items.length
+      val exact = items.groupBy(identity).view.mapValues(_.size).toMap
+      val mustSurvive = exact.collect { case (i, c) if c > n / 6 => i }
+      mustSurvive.foreach(i => assert(merged.m.contains(i),
+        s"trial $trial: item $i (freq ${exact(i)}) > n/(k+1) dropped"))
+    }
+    // operator-level: exact equality with brute force, with m small
+    // enough that the summary MUST prune (forcing the guarantee to
+    // carry the answer), invariant under repartitioning
+    // evens → 4 hot keys at 250 each (well over 2000/16+1 = 126); odds
+    // → 1000 distinct tails, so the 16-entry summary must prune hard
+    val data = (0 until 2000).map { i =>
+      if (i % 2 == 0) s"hh${i % 8}" else s"tail${i}"
+    }.toDF("v")
+    val brute = data.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= lit(2000L / 16 + 1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Curation.heavyHitters(data.repartition(parts), "v", 16)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(t => t._1 -> t._2).toMap == brute,
+        s"parts=$parts: ${got.toSeq} vs $brute")
+      assert(got.forall(_._3 == 2000L))
+    }
+    // no qualifying item → empty frame, schema intact
+    val flat = (0 until 100).map(i => s"u$i").toDF("v")
+    val none = Curation.heavyHitters(flat, "v", 8)
+    assert(none.columns.toSeq == Seq("item", "cnt", "n_total") && none.count() == 0)
+  }
+
   test("containmentDedup: transitive chains collapse to one keeper per component") {
     val s = spark
     import s.implicits._
