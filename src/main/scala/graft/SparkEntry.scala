@@ -450,6 +450,14 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text", multiPatterns)
         .orderBy(col("doc_id"))),
 
+    // decontamination by EXCISION: matched spans union-merged and cut,
+    // the document kept — oracle rebuilds each text from the positions
+    // no brute-force match covers
+    "q_excise" -> ((s, dir) =>
+      operators.TextOps.excisePatterns(
+          table(s, dir, "documents"), "doc_id", "text", multiPatterns)
+        .orderBy(col("doc_id"))),
+
     // the same retrieval through the persisted inverted index: build the
     // term-bucketed postings layout, query it with partition-pruned
     // posting-list reads, reproduce q_bm25 bit-for-bit (shared oracle)
@@ -3064,6 +3072,35 @@ object SparkEntry {
         | SELECT d.doc_id, CAST(coalesce(c.np, 0) AS INT) AS n_patterns,
         |  coalesce(c.np, 0) > 0 AS contaminated
         | FROM documents d LEFT JOIN conta c ON c.doc_id = d.doc_id
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // excision replica: brute-force match starts per (doc, pattern),
+    // expand to covered positions, rebuild the text from the uncovered
+    // characters in order — the union-of-spans definition itself
+    "q_excise" -> {
+      val pats = multiPatterns
+        .map(p => s"('${p.replace("'", "''")}')").mkString(", ")
+      s"""WITH pats(p) AS (SELECT * FROM (VALUES $pats)),
+        | d AS (SELECT doc_id, text FROM documents),
+        | m AS (SELECT doc_id,
+        |   unnest([x + 1 for x in range(length(text) - length(p) + 1)
+        |     if substr(text, CAST(x + 1 AS INT), CAST(length(p) AS INT)) = p]) AS st,
+        |   length(p) AS lp
+        |  FROM d CROSS JOIN pats WHERE text IS NOT NULL),
+        | cp AS (SELECT DISTINCT doc_id, st + o AS i
+        |  FROM (SELECT doc_id, st, unnest(range(lp)) AS o FROM m)),
+        | pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM d WHERE text IS NOT NULL),
+        | cl AS (SELECT p.doc_id,
+        |   string_agg(substr(p.text, CAST(p.i AS INT), 1), '' ORDER BY p.i) AS clean
+        |  FROM pos p LEFT JOIN cp c ON c.doc_id = p.doc_id AND c.i = p.i
+        |  WHERE c.i IS NULL GROUP BY p.doc_id)
+        | SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(c.clean, '') END AS clean,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |   ELSE CAST(length(d.text) - length(coalesce(c.clean, '')) AS INT) END AS n_cut
+        | FROM d LEFT JOIN cl c ON c.doc_id = d.doc_id
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
     },
 

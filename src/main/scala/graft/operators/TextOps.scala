@@ -1283,6 +1283,27 @@ object TextOps {
       .select(col(idCol), col("n_patterns"),
         (col("n_patterns") > 0).as("contaminated"))
 
+  /** Decontamination by EXCISION: every matched benchmark span is cut
+    * out of the text (union-merged coverage — overlapping and nested
+    * matches become one cut), keeping the document. The remedy for
+    * long documents quoting one benchmark item, where dropping the
+    * whole doc ([[decontaminateExact]]) wastes the other 99% of it.
+    * Returns `(id, clean, n_cut)` with `n_cut` the removed character
+    * count; NULL text passes through as NULL clean / NULL n_cut. Same
+    * scale shape as the other automaton ops: one zero-Exchange narrow
+    * scan, patterns as plan literals. */
+  def excisePatterns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        GraftSqlShim.column(MultiPatternExcise(
+          GraftSqlShim.expression(col(textCol)), patterns)).as("clean"),
+        col(textCol).as("__t"))
+      .select(col(idCol), col("clean"),
+        (length(col("__t")) - length(col("clean"))).as("n_cut"))
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

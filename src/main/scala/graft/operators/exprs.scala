@@ -1545,3 +1545,70 @@ object MultiPatternHits {
     Dfa(goto.take(size), out)
   }
 }
+
+/** Surgical multi-pattern excision: the [[MultiPatternHits]] automaton
+  * walk, but instead of counting, every matched span is UNION-marked
+  * and the uncovered bytes are reassembled — decontamination by
+  * excision (cut the benchmark string, keep the document) rather than
+  * by dropping, the remedy of choice when a long document embeds one
+  * quoted benchmark item. Overlapping and nested matches merge into
+  * one cut (coverage is a set union, so excision is idempotent and
+  * pattern-order-independent by construction). ASCII patterns can
+  * never match inside a UTF-8 multi-byte sequence (continuation bytes
+  * have the high bit set), so byte-level cuts keep multi-byte text
+  * valid. NULL text → NULL. */
+case class MultiPatternExcise(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with KernelCodegen {
+  require(patterns.nonEmpty, "need at least one pattern")
+  require(patterns.forall(p => p != null && p.nonEmpty),
+    "patterns must be non-empty")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "multi_pattern_excise"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"multi_pattern_excise expects a string column, got ${other.sql}")
+  }
+
+  @transient private lazy val auto: MultiPatternHits.Dfa =
+    MultiPatternHits.build(patterns.map(_.getBytes("UTF-8")))
+  @transient private lazy val patLens: Array[Int] =
+    patterns.map(_.getBytes("UTF-8").length).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val a = auto
+    val covered = new Array[Boolean](bytes.length)
+    var any = false
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      s = a.goto(s)(bytes(i) & 0xff)
+      val out = a.out(s)
+      var j = 0
+      while (j < out.length) {
+        var p = i - patLens(out(j)) + 1
+        while (p <= i) { covered(p) = true; p += 1 }
+        any = true
+        j += 1
+      }
+      i += 1
+    }
+    if (!any) return v // common case: nothing matched, zero-copy
+    val kept = new Array[Byte](bytes.length)
+    var o = 0
+    i = 0
+    while (i < bytes.length) {
+      if (!covered(i)) { kept(o) = bytes(i); o += 1 }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      java.util.Arrays.copyOf(kept, o))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

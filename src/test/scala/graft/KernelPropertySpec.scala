@@ -318,6 +318,40 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(run("", Seq("aa")).isEmpty)
   }
 
+  test("MultiPatternExcise equals the union-of-spans coverage rebuild") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    def brute(text: String, pats: Seq[String]): String = {
+      val t = text.getBytes("UTF-8")
+      val covered = new Array[Boolean](t.length)
+      for (p <- pats; pb = p.getBytes("UTF-8");
+           s <- 0 to t.length - pb.length
+           if pb.indices.forall(j => t(s + j) == pb(j));
+           k <- s until s + pb.length) covered(k) = true
+      new String(t.indices.filterNot(covered).map(t(_)).toArray, "UTF-8")
+    }
+    def run(text: String, pats: Seq[String]): String =
+      graft.operators.MultiPatternExcise(
+          Literal.create(text, StringType), pats)
+        .eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val charGen = org.scalacheck.Gen.oneOf('a', 'b', ' ')
+    val strGen = org.scalacheck.Gen.listOf(charGen).map(_.mkString)
+    val patGen = org.scalacheck.Gen.nonEmptyListOf(charGen).map(_.mkString)
+    check(forAll(strGen, org.scalacheck.Gen.nonEmptyListOf(patGen)) { (text, pats) =>
+      run(text, pats) == brute(text, pats)
+    })
+    // overlapping matches merge into ONE cut ("aa" covers all of "aaa")
+    assert(run("xaaay", Seq("aa")) == "xy")
+    // nested matches don't double-cut; order of patterns is irrelevant
+    assert(run("the scan end", Seq("an", "scan")) == "the  end")
+    assert(run("the scan end", Seq("scan", "an")) == "the  end")
+    // idempotent: excising the excised text changes nothing
+    val once = run("ababab keep aba", Seq("aba"))
+    assert(run(once, Seq("aba")) == once)
+    // no match → the input comes back untouched
+    assert(run("clean text", Seq("zzz")) == "clean text")
+  }
+
   test("SqEncode: kernel == driver quantizer; range, monotonicity, zero-at-zero") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
