@@ -1162,6 +1162,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // robots.txt end-to-end: parse the per-domain files (grouping,
+    // casing, comments, empty-Disallow, multi-agent groups) and judge a
+    // crawl frontier under RFC 9309 precedence — exact-agent groups
+    // eclipse `*`, longest pattern wins, allow beats disallow on ties,
+    // wildcards/anchors via LIKE translation; oracle replays the whole
+    // chain (generation, parse windows, LIKE match, composite-key max)
+    "q_robots" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val domId = expr("doc_id div 8") % 40
+      val domains = d.select(domId.as("dom_id")).distinct()
+        .select(concat(lit("d"), col("dom_id").cast("string"),
+            lit(".example.com")).as("domain"),
+          operators.Web.syntheticRobots(col("dom_id")).as("robots"))
+      val rules = operators.Web.parseRobots(domains, "domain", "robots")
+      val urls = d.select(col("doc_id").as("id"),
+        concat(lit("d"), domId.cast("string"), lit(".example.com")).as("domain"),
+        operators.Web.syntheticCrawlPath(col("doc_id")).as("path"))
+      operators.Web.robotsScreen(urls, "id", "domain", "path", rules, "GraftBot")
+        .orderBy(col("id"))
+    }),
+
     // page-level crawl directives: <link rel="canonical"> target (both
     // attribute orders) and robots noindex — the page's own dedup key
     // and its opt-out, extracted at scan speed
@@ -3516,6 +3537,87 @@ object SparkEntry {
         |  CASE WHEN rk <= 300 THEN rk END AS domain_rank,
         |  (rk <= 300 AND domain NOT IN ('bad-ads.com')) AS keep
         | FROM w ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // robots replica: regenerate the per-domain files, replay the parse
+    // (comment strip, key/value split, lag-window grouping), the agent
+    // precedence (exact eclipses *), the LIKE translation (escape, * →
+    // %, trailing-$ anchor), and the longest-match/allow-ties verdict
+    // as a composite-integer max (plen·2 + is_allow)
+    "q_robots" ->
+      """WITH doms AS (SELECT DISTINCT (doc_id // 8) % 40 AS dom_id FROM documents),
+        | rob AS (SELECT 'd' || CAST(dom_id AS VARCHAR) || '.example.com' AS domain,
+        |   '# robots for domain ' || CAST(dom_id AS VARCHAR) || chr(10) ||
+        |   'User-agent: *' || chr(10) || 'Disallow: /admin' || chr(10) ||
+        |   '  Allow: /admin/public' || chr(10) ||
+        |   CASE WHEN dom_id % 3 = 0 THEN 'disallow: /tmp*' || chr(10) ELSE '' END ||
+        |   CASE WHEN dom_id % 4 = 0 THEN 'ALLOW: /p$' || chr(10) ELSE '' END ||
+        |   chr(10) ||
+        |   CASE WHEN dom_id % 2 = 1 THEN 'User-agent: graftbot' || chr(10)
+        |     || 'Disallow: /p' || CAST(dom_id % 7 AS VARCHAR) || chr(10) ELSE '' END ||
+        |   CASE WHEN dom_id % 5 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10)
+        |     || 'User-agent: otherbot' || chr(10)
+        |     || 'Allow: /p' || CAST(dom_id % 7 AS VARCHAR) || '/ok' || chr(10)
+        |     || 'Disallow:' || chr(10) ELSE '' END AS robots
+        |  FROM doms),
+        | lns0 AS (SELECT domain,
+        |   unnest([{'ln': x, 'raw': ls[x+1]} for x in range(len(ls))]) AS u
+        |  FROM (SELECT domain, string_split(robots, chr(10)) AS ls FROM rob)),
+        | lns AS (SELECT domain, u.ln AS ln,
+        |   trim(regexp_replace(u.raw, '#.*', '')) AS line FROM lns0),
+        | kv AS (SELECT domain, ln,
+        |   lower(trim(split_part(line, ':', 1))) AS key,
+        |   trim(substr(line, strpos(line, ':') + 1)) AS value
+        |  FROM lns WHERE contains(line, ':')),
+        | dirs AS (SELECT * FROM kv WHERE key IN ('user-agent','allow','disallow')),
+        | flg AS (SELECT domain, ln, key, value, (key = 'user-agent') AS is_ua,
+        |   CASE WHEN key = 'user-agent' AND NOT coalesce(
+        |     lag(key = 'user-agent') OVER (PARTITION BY domain ORDER BY ln), false)
+        |    THEN 1 ELSE 0 END AS new_grp
+        |  FROM dirs),
+        | grpd AS (SELECT *, sum(new_grp) OVER
+        |   (PARTITION BY domain ORDER BY ln) AS grp FROM flg),
+        | ag AS (SELECT domain, grp, lower(value) AS agent
+        |  FROM grpd WHERE is_ua AND grp >= 1),
+        | rl AS (SELECT domain, grp, key AS rule, value AS pattern,
+        |   length(value) AS plen
+        |  FROM grpd WHERE NOT is_ua AND grp >= 1 AND length(value) > 0),
+        | rules AS (SELECT a.domain, a.agent, r.rule, r.pattern, r.plen
+        |  FROM ag a JOIN rl r ON r.domain = a.domain AND r.grp = a.grp),
+        | mine AS (SELECT *, CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END AS pref
+        |  FROM rules WHERE agent IN ('graftbot', '*')),
+        | mp AS (SELECT domain, max(pref) AS mpref FROM mine GROUP BY domain),
+        | app AS (SELECT m.domain, m.rule, m.plen,
+        |   CASE WHEN ends_with(m.pattern, '$')
+        |    THEN regexp_replace(regexp_replace(
+        |      substr(m.pattern, 1, length(m.pattern) - 1),
+        |      '([\\%_])', '\\\1', 'g'), '\*', '%', 'g')
+        |    ELSE regexp_replace(regexp_replace(m.pattern,
+        |      '([\\%_])', '\\\1', 'g'), '\*', '%', 'g') || '%' END AS like_pat
+        |  FROM mine m JOIN mp ON mp.domain = m.domain AND m.pref = mp.mpref),
+        | urls AS (SELECT doc_id AS id,
+        |   'd' || CAST((doc_id // 8) % 40 AS VARCHAR) || '.example.com' AS domain,
+        |   CASE doc_id % 8
+        |    WHEN 0 THEN '/admin'
+        |    WHEN 1 THEN '/admin/public/r' || CAST(doc_id % 5 AS VARCHAR)
+        |    WHEN 2 THEN '/p' || CAST(doc_id % 7 AS VARCHAR)
+        |    WHEN 3 THEN '/p' || CAST(doc_id % 7 AS VARCHAR) || '/ok'
+        |    WHEN 4 THEN '/tmp/cache' || CAST(doc_id % 3 AS VARCHAR)
+        |    WHEN 5 THEN '/p'
+        |    WHEN 6 THEN '/content/a' || CAST(doc_id % 9 AS VARCHAR)
+        |    ELSE '/padmin' END AS path
+        |  FROM documents),
+        | j AS (SELECT u.id, u.domain, u.path,
+        |   CASE WHEN u.path LIKE a.like_pat ESCAPE '\'
+        |    THEN a.plen * 2 + CASE WHEN a.rule = 'allow' THEN 1 ELSE 0 END END AS k
+        |  FROM urls u LEFT JOIN app a ON a.domain = u.domain),
+        | win AS (SELECT id, domain, path, max(k) AS k
+        |  FROM j GROUP BY id, domain, path)
+        | SELECT id, domain, path,
+        |  (k IS NULL OR k % 2 = 1) AS allowed,
+        |  CASE WHEN k IS NULL THEN NULL
+        |   WHEN k % 2 = 1 THEN 'allow' ELSE 'disallow' END AS win_rule,
+        |  CAST(k // 2 AS INT) AS win_plen
+        | FROM win ORDER BY id""".stripMargin.replaceAll("\n", " "),
 
     // page signals: same generator + both-attribute-order regexes
     "q_page_signals" ->

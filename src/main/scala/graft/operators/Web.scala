@@ -384,6 +384,141 @@ object Web {
       lit("<a href=\"/relative/p-"), id.cast("string"),
       lit("\">rel</a></body></html>"))
 
+  /** robots.txt parser (REP / RFC 9309 grammar): comment-stripped,
+    * case-insensitive directive lines grouped into user-agent groups —
+    * consecutive `User-agent:` lines open ONE group that owns the
+    * following allow/disallow rules; rules before any user-agent line
+    * belong to no group and are dropped; empty-value rules (the
+    * "Disallow:" = allow-everything idiom) are dropped (no rule IS
+    * allow). Returns one row per (group member agent, rule):
+    * `(domain, grp, agent, rule, pattern, plen)` with `plen` the raw
+    * pattern length — the specificity key [[robotsScreen]] ranks by.
+    *
+    * Scale: robots corpora are one small file per domain; the parse is
+    * a line explode + one domain-keyed window (tiny Exchange), and the
+    * resulting rule table broadcasts to any crawl-sized URL screen. */
+  def parseRobots(df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(domainCol).as("domain"),
+        posexplode(split(col(textCol), "\n")).as(Seq("ln", "raw")))
+      .select(col("domain"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+      .where(col("line").contains(":"))
+      .select(col("domain"), col("ln"),
+        lower(trim(substring_index(col("line"), ":", 1))).as("key"),
+        trim(expr("substring(line, instr(line, ':') + 1)")).as("value"))
+      .where(col("key").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("domain")).orderBy(col("ln"))
+    val grouped = lines
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("new_grp",
+        (col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
+          .cast("int"))
+      .withColumn("grp", sum(col("new_grp")).over(w))
+      .where(col("grp") >= 1)
+    val agents = grouped.where(col("is_ua"))
+      .select(col("domain"), col("grp"), lower(col("value")).as("agent"))
+    val rules = grouped.where(!col("is_ua") && length(col("value")) > 0)
+      .select(col("domain"), col("grp"), col("key").as("rule"),
+        col("value").as("pattern"), length(col("value")).as("plen"))
+    agents.join(rules, Seq("domain", "grp"))
+      .select(col("domain"), col("grp"), col("agent"), col("rule"),
+        col("pattern"), col("plen"))
+  }
+
+  /** A robots path pattern as a SQL LIKE pattern (backslash escape):
+    * literal `%`/`_`/`\` escaped, `*` → `%`, a TRAILING `$` anchors the
+    * match (no trailing `%`), otherwise prefix semantics (`%`
+    * appended) — the RFC 9309 wildcard grammar expressed in the one
+    * match primitive every engine shares. */
+  def robotsLikePattern(p: Column): Column = {
+    val anchored = p.endsWith("$")
+    val core = when(anchored, p.substr(lit(1), length(p) - 1)).otherwise(p)
+    val esc = regexp_replace(core, "([\\\\%_])", "\\\\$1")
+    val lik = regexp_replace(esc, "\\*", "%")
+    when(anchored, lik).otherwise(concat(lik, lit("%")))
+  }
+
+  /** Crawl-politeness screen: each URL judged against the applicable
+    * robots rules under the RFC 9309 precedence — the agent's OWN
+    * group(s) if any exist for the domain (the generic `*` groups are
+    * then IGNORED, per spec), longest-pattern-wins across the combined
+    * applicable rules, allow beats disallow on a length tie, and no
+    * matching rule means allowed. Returns
+    * `(id, domain, path, allowed, win_rule, win_plen)` with the winning
+    * rule NULL when nothing matched.
+    *
+    * Scale: the rule table is per-domain-tiny and BROADCAST; the crawl
+    * side is one narrow scan + a partial-aggregable per-URL max — no
+    * crawl-sized shuffle beyond the id regroup. */
+  def robotsScreen(
+      urls: DataFrame,
+      idCol: String,
+      domainCol: String,
+      pathCol: String,
+      rules: DataFrame,
+      agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val mine = rules.where(col("agent") === a || col("agent") === "*")
+      .withColumn("pref", when(col("agent") === a, 1).otherwise(0))
+    val maxPref = mine.groupBy(col("domain")).agg(max(col("pref")).as("mp"))
+    val applicable = mine.join(maxPref, "domain")
+      .where(col("pref") === col("mp"))
+      .select(col("domain"), col("rule"), col("plen"),
+        robotsLikePattern(col("pattern")).as("like_pat"))
+    urls.select(col(idCol).as("id"), col(domainCol).as("domain"),
+        col(pathCol).as("path"))
+      .join(broadcast(applicable), Seq("domain"), "left")
+      .withColumn("m", expr("path LIKE like_pat"))
+      .groupBy(col("id"), col("domain"), col("path"))
+      .agg(max(when(col("m"),
+        struct(col("plen"),
+          (col("rule") === "allow").cast("int").as("is_allow"),
+          col("rule").as("rule")))).as("win"))
+      .select(col("id"), col("domain"), col("path"),
+        (col("win").isNull || col("win.is_allow") === 1).as("allowed"),
+        col("win.rule").as("win_rule"), col("win.plen").as("win_plen"))
+  }
+
+  /** Deterministic synthetic robots.txt per domain id (the syntheticUrl
+    * convention — replayed verbatim in the oracle): a `*` group with
+    * prefix, wildcard (`/tmp*`, id%3=0) and anchored (`/p$`, id%4=0)
+    * rules plus mixed key casing, leading whitespace, comments, and
+    * blank lines; an exact `graftbot` group on odd ids (whose presence
+    * makes the `*` group ignorable for graftbot); and a TWO-agent group
+    * (`graftbot` + `otherbot`, id%5=0) with an empty Disallow — so
+    * ids ≡ 5 (mod 10) exercise multi-group rule combining and even
+    * multiples of 5 exercise star-ignored-without-own-rules. */
+  def syntheticRobots(domId: Column): Column = concat(
+    lit("# robots for domain "), domId.cast("string"), lit("\n"),
+    lit("User-agent: *\nDisallow: /admin\n  Allow: /admin/public\n"),
+    when(domId % 3 === 0, lit("disallow: /tmp*\n")).otherwise(lit("")),
+    when(domId % 4 === 0, lit("ALLOW: /p$\n")).otherwise(lit("")),
+    lit("\n"),
+    when(domId % 2 === 1,
+      concat(lit("User-agent: graftbot\nDisallow: /p"),
+        (domId % 7).cast("string"), lit("\n"))).otherwise(lit("")),
+    when(domId % 5 === 0,
+      concat(lit("\nUser-agent: graftbot\nUser-agent: otherbot\nAllow: /p"),
+        (domId % 7).cast("string"), lit("/ok\nDisallow:\n")))
+      .otherwise(lit("")))
+
+  /** Deterministic crawl-frontier paths for the robots fixture: eight
+    * templates covering every rule shape — the /admin prefix, its
+    * /admin/public carve-out, the graftbot /p<k> prefix and its /ok
+    * carve-out, the /tmp* wildcard, the bare /p anchor, a neutral path,
+    * and the /padmin prefix-confusion probe. */
+  def syntheticCrawlPath(id: Column): Column = {
+    val u = id % 8
+    when(u === 0, lit("/admin"))
+      .when(u === 1, concat(lit("/admin/public/r"), (id % 5).cast("string")))
+      .when(u === 2, concat(lit("/p"), (id % 7).cast("string")))
+      .when(u === 3, concat(lit("/p"), (id % 7).cast("string"), lit("/ok")))
+      .when(u === 4, concat(lit("/tmp/cache"), (id % 3).cast("string")))
+      .when(u === 5, lit("/p"))
+      .when(u === 6, concat(lit("/content/a"), (id % 9).cast("string")))
+      .otherwise(lit("/padmin"))
+  }
+
   /** Deterministic messy-URL generator for the verify fixtures (the
     * syntheticPng convention: formula of the id, replayed verbatim in the
     * oracle SQL). Exercises every normalization rule: uppercase scheme +

@@ -19,6 +19,82 @@ class WebSpec extends AnyFunSuite {
     row.schema.fieldNames.zip(row.toSeq).toMap
   }
 
+  test("robots: parse grouping, agent precedence, longest-match with allow ties") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      ("a.com",
+        """# header comment
+          |User-agent: *
+          |Disallow: /private
+          |
+          |user-agent: GraftBot
+          |USER-AGENT: otherbot
+          |  disallow: /p_1
+          |Allow: /p_1/o%k
+          |Disallow:
+          |Allow: /x$
+          |Disallow: /x*y
+          |""".stripMargin),
+      ("b.com",
+        """User-agent: *
+          |Disallow: /admin
+          |Allow: /admin/pub
+          |noise line without colon
+          |Crawl-delay: 10
+          |""".stripMargin)
+    ).toDF("domain", "robots")
+    val rules = Web.parseRobots(robots, "domain", "robots")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    // two-UA group: both agents own the same rules; empty Disallow and
+    // non-REP keys dropped; keys case-folded; leading whitespace ok
+    assert(rules == Set(
+      ("a.com", 1L, "*", "disallow", "/private"),
+      ("a.com", 2L, "graftbot", "disallow", "/p_1"),
+      ("a.com", 2L, "graftbot", "allow", "/p_1/o%k"),
+      ("a.com", 2L, "graftbot", "allow", "/x$"),
+      ("a.com", 2L, "graftbot", "disallow", "/x*y"),
+      ("a.com", 2L, "otherbot", "disallow", "/p_1"),
+      ("a.com", 2L, "otherbot", "allow", "/p_1/o%k"),
+      ("a.com", 2L, "otherbot", "allow", "/x$"),
+      ("a.com", 2L, "otherbot", "disallow", "/x*y"),
+      ("b.com", 1L, "*", "disallow", "/admin"),
+      ("b.com", 1L, "*", "allow", "/admin/pub")), rules.toString)
+    val urls = Seq(
+      (1L, "a.com", "/p_1/file"),     // graftbot group: disallow /p_1
+      (2L, "a.com", "/p_1/o%k/z"),    // allow carve-out (longer), % literal
+      (3L, "a.com", "/pX1/file"),     // '_' must be literal, not any-char
+      (4L, "a.com", "/private"),      // * group IGNORED: graftbot group exists
+      (5L, "a.com", "/x"),            // anchored allow /x$ (exact)
+      (6L, "a.com", "/xqqy"),         // wildcard disallow /x*y
+      (7L, "a.com", "/xy2"),          // /x*y matches /xy prefix ("" for *)
+      (8L, "b.com", "/admin/pub"),    // no graftbot group → * applies; allow wins
+      (9L, "b.com", "/admin/x"),      // * disallow
+      (10L, "b.com", "/other")        // no rule → allowed
+    ).toDF("id", "domain", "path")
+    val got = Web.robotsScreen(urls, "id", "domain", "path", rules = Web
+        .parseRobots(robots, "domain", "robots"), agent = "GraftBot")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(3),
+        Option(r.getString(4))))).toMap
+    assert(got(1L) == ((false, Some("disallow"))))
+    assert(got(2L) == ((true, Some("allow"))))
+    assert(got(3L) == ((true, None)), s"'_' leaked as a wildcard: ${got(3L)}")
+    assert(got(4L) == ((true, None)), "star group must be eclipsed by the exact group")
+    assert(got(5L) == ((true, Some("allow"))))
+    assert(got(6L) == ((false, Some("disallow"))))
+    assert(got(7L) == ((false, Some("disallow"))))
+    assert(got(8L) == ((true, Some("allow"))), "longest match must prefer the carve-out")
+    assert(got(9L) == ((false, Some("disallow"))))
+    assert(got(10L) == ((true, None)))
+    // anchored pattern must NOT match longer paths
+    val anchored = Web.robotsScreen(
+      Seq((11L, "a.com", "/xlong")).toDF("id", "domain", "path"),
+      "id", "domain", "path", Web.parseRobots(robots, "domain", "robots"),
+      "graftbot").collect().head
+    assert(anchored.getBoolean(3), "'/x$' wrongly matched '/xlong'")
+  }
+
   test("parseUrls: grammar corners — pathless query, fragment, ports") {
     val a = parse1("HTTP://Www.Ex.COM:8080/a/b?x=1&y=2#frag")
     assert(a("scheme") == "http" && a("host") == "www.ex.com")
