@@ -1241,6 +1241,17 @@ object SparkEntry {
         .select(col("tok"), col("exact"), col("est"))
     }),
 
+    // STREAMING exact heavy hitters: the Misra–Gries summary maintained
+    // as streaming aggregation state (≤ m entries for any stream length);
+    // the snapshot's candidates feed the shared exact recount, so the
+    // answer equals batch q_heavy_hitters and shares its oracle verbatim
+    "q_stream_heavy" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.heavyMonitorToBatch(
+          s, s"$dir/documents.parquet", "text", m = 64)
+        .orderBy(col("item"))
+    }),
+
     // Count-Min token-frequency sketch (d=4, w=64): heavy hitters read
     // exactly, light tokens absorb collisions but never undercount; the
     // top-20 by exact count (token tiebreak) pins both the grid and the
@@ -2650,6 +2661,7 @@ object SparkEntry {
       "q_stream_sessionize" -> base("q_sessionize"),
       "q_stream_funnel" -> base("q_funnel"),
       "q_stream_kmv" -> base("q_kmv"),
+      "q_stream_heavy" -> base("q_heavy_hitters"),
       "q_stream_bloom" -> base("q_bloom_decontam"),
       "q_stream_multipat" -> base("q_decontam_exact"),
       "q_knn_batched" -> base("q_knn_join"),

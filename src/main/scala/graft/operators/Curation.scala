@@ -600,8 +600,21 @@ object Curation {
       .select(col(valueCol).cast("string").as("v"))
     val mg = udaf(new MisraGriesAggregator(m), org.apache.spark.sql.Encoders.STRING)
     val row = vals.agg(mg(col("v")).as("cand"), count(lit(1)).as("n")).head()
-    val cand = row.getSeq[String](0) // bounded: ≤ m strings by construction
-    val n = row.getLong(1)
+    heavyRecount(vals, row.getSeq[String](0), row.getLong(1), m)
+  }
+
+  /** Pass 2 of the candidate/recount scheme, shared by [[heavyHitters]]
+    * and the streaming monitor (whose pass-1 summary arrives as
+    * checkpointed aggregation state instead of a batch fold): exact
+    * counts over candidate rows only, thresholded at cnt > n/m. The ≤ m
+    * candidate strings ride the plan as an isin literal, so the only
+    * Exchange carries candidate rows — identical output whichever path
+    * produced the (order-dependent, superset-guaranteed) candidates. */
+  private[graft] def heavyRecount(
+      vals: DataFrame,
+      cand: Seq[String],
+      n: Long,
+      m: Int): DataFrame = {
     val minCount = n / m + 1 // integer: cnt >= floor(n/m)+1 ⇔ cnt > n/m
     if (cand.isEmpty)
       return vals.where(lit(false))

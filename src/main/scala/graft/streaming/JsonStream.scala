@@ -408,6 +408,36 @@ object JsonStream {
       "tok", depth, width)
   }
 
+  /** Streaming EXACT heavy hitters: the
+    * [[graft.operators.Curation.MisraGriesAggregator]] runs UNCHANGED as
+    * a streaming global aggregation — the state the engine checkpoints
+    * is the ≤ m-entry summary map itself, however long the stream — and
+    * the complete-mode snapshot hands its candidate list to the shared
+    * recount stage. The candidates are order-DEPENDENT (a stream folds
+    * rows in arrival order, not partition order) but their superset
+    * guarantee is not, so after the exact recount the output is
+    * value-identical to batch [[graft.operators.Curation.heavyHitters]]
+    * and shares q_heavy_hitters' plain GROUP-BY-HAVING oracle. This is
+    * the continuously-maintained Zipf-head monitor: candidates update
+    * per micro-batch at sketch cost; the recount is the on-demand
+    * "publish exact counts" step. */
+  def heavyMonitorToBatch(
+      spark: SparkSession,
+      path: String,
+      textCol: String,
+      m: Int = 64): DataFrame = {
+    def toks(df: DataFrame): DataFrame =
+      df.where(col(textCol).isNotNull)
+        .select(explode(split(col(textCol), " ")).as("v"))
+    val mg = udaf(new graft.operators.Curation.MisraGriesAggregator(m),
+      org.apache.spark.sql.Encoders.STRING)
+    val snap = runStreamToSnapshot(spark, path, "heavy", stream =>
+      toks(stream).agg(mg(col("v")).as("cand"), count(lit(1)).as("n")))
+    val row = snap.head()
+    graft.operators.Curation.heavyRecount(
+      toks(spark.read.parquet(path)), row.getSeq[String](0), row.getLong(1), m)
+  }
+
   /** Streaming latest-wins upsert view:
     * [[graft.operators.Curation.upsertLatest]]'s max(struct) reduction
     * as a streaming aggregation — per-key state is ONE packed struct (the

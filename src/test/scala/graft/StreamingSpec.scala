@@ -362,4 +362,22 @@ class StreamingSpec extends AnyFunSuite {
     for (id <- corpusIds if id % 13 == 1)
       assert(got(id + 400000L) == ((true, -1L)), s"novel doc ${id + 400000}")
   }
+
+  test("streaming heavy hitters equal the batch recount exactly") {
+    val s = spark
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    val streamed = JsonStream.heavyMonitorToBatch(s, path, "text", m = 64)
+      .orderBy(col("item"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val toks = s.read.parquet(path).where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("v"))
+    val batch = graft.operators.Curation.heavyHitters(toks, "v", 64)
+      .orderBy(col("item"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the stream folds rows in arrival order, a different candidate set
+    // than the batch partition merge — but the recount collapses both
+    // supersets to the same exact GROUP BY HAVING answer
+    assert(streamed.nonEmpty, "expected at least one heavy hitter at sf0.001")
+    assert(streamed == batch)
+  }
 }
