@@ -591,6 +591,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ingestion-time containment screen: batch docs dropped when
+    // subset-redundant against the corpus or a preferred batch peer
+    // (one-directional: only the smaller/equal side drops) — planted
+    // truncations of corpus docs, a batch-internal truncation, and a
+    // verbatim equal-size corpus copy exercise all three drop arms
+    "q_incr_containment" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val corpus = d.where(col("doc_id") % 4 =!= 1).select(col("doc_id"), col("text"))
+      val batch = d.where(col("doc_id") % 4 === 1).select(col("doc_id"), col("text"))
+        .unionAll(d.where(col("doc_id") % 8 === 0 && col("text").isNotNull)
+          .select((col("doc_id") + 900000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("text")))
+        .unionAll(d.where(col("doc_id") % 8 === 5 && col("text").isNotNull)
+          .select((col("doc_id") + 950000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("text")))
+        .unionAll(d.where(col("doc_id") % 8 === 2 && col("text").isNotNull)
+          .select((col("doc_id") + 970000L).as("doc_id"), col("text")))
+      operators.Dedup.incrementalContainment(batch, corpus, "doc_id", "text",
+          shingleSize = 3, threshold = 0.9)
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup candidate pairs (shingle→sig→band→bucket-join)
     "q_minhash_lsh" -> ((s, dir) =>
       operators.Dedup.minhashCandidatePairs(
@@ -4937,6 +4959,62 @@ object SparkEntry {
         | FROM intr i JOIN szs za ON za.doc_id = i.id_a JOIN szs zb ON zb.doc_id = i.id_b
         | WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) >= 0.9
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // incremental containment replica: union postings with src tags,
+    // batch-only prefixes against global dfs, the one-directional drop
+    // filter, gram-join intersection counts, and the deterministic
+    // best-match window — the operator's chain re-derived end to end
+    "q_incr_containment" ->
+      s"""WITH bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL SELECT doc_id + 900000,
+        |   array_to_string((string_split(text, ' '))[1:12], ' ')
+        |   FROM documents WHERE doc_id % 8 = 0 AND text IS NOT NULL
+        |  UNION ALL SELECT doc_id + 950000,
+        |   array_to_string((string_split(text, ' '))[1:10], ' ')
+        |   FROM documents WHERE doc_id % 8 = 5 AND text IS NOT NULL
+        |  UNION ALL SELECT doc_id + 970000, text
+        |   FROM documents WHERE doc_id % 8 = 2 AND text IS NOT NULL),
+        | uni AS (SELECT 'batch' AS src, doc_id, text FROM bat
+        |  UNION ALL SELECT 'corpus', doc_id, text FROM documents WHERE doc_id % 4 <> 1),
+        | tks AS (SELECT src, doc_id, string_split(text, ' ') AS tk FROM uni
+        |  WHERE text IS NOT NULL),
+        | shs AS MATERIALIZED (SELECT src, doc_id, $shinglesSql AS s FROM tks),
+        | exq AS MATERIALIZED (SELECT src, doc_id, unnest(s) AS g FROM shs),
+        | szs AS (SELECT src, doc_id, len(s) AS n FROM shs WHERE len(s) > 0),
+        | dfq AS (SELECT g, count(*) AS df FROM exq GROUP BY g),
+        | prefb AS (SELECT doc_id AS bid, n AS nb, g FROM (
+        |    SELECT e.doc_id, e.g, z.n,
+        |      row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.g) AS rk
+        |    FROM exq e JOIN dfq d ON e.g = d.g
+        |    JOIN szs z ON z.src = 'batch' AND z.doc_id = e.doc_id
+        |    WHERE e.src = 'batch')
+        |   WHERE rk <= floor((1.0 - 0.9) * n) + 2),
+        | cand AS (SELECT DISTINCT p.bid, o.src AS osrc, o.doc_id AS oid
+        |   FROM prefb p JOIN exq o ON o.g = p.g
+        |   JOIN szs zo ON zo.src = o.src AND zo.doc_id = o.doc_id
+        |   JOIN szs zb ON zb.src = 'batch' AND zb.doc_id = p.bid
+        |   WHERE NOT (o.src = 'batch' AND o.doc_id = p.bid)
+        |     AND (zo.n > zb.n OR (zo.n = zb.n AND
+        |       (o.src = 'corpus' OR o.doc_id < p.bid)))),
+        | intr AS (SELECT c.bid, c.osrc, c.oid, count(*) AS n_inter
+        |   FROM cand c JOIN exq eb ON eb.src = 'batch' AND eb.doc_id = c.bid
+        |   JOIN exq eo ON eo.src = c.osrc AND eo.doc_id = c.oid AND eo.g = eb.g
+        |   GROUP BY c.bid, c.osrc, c.oid),
+        | sc AS (SELECT i.bid, i.osrc, i.oid,
+        |    CAST(i.n_inter AS DOUBLE) / CAST(least(zb.n, zo.n) AS DOUBLE) AS ov
+        |   FROM intr i JOIN szs zb ON zb.src = 'batch' AND zb.doc_id = i.bid
+        |   JOIN szs zo ON zo.src = i.osrc AND zo.doc_id = i.oid
+        |   WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(zb.n, zo.n) AS DOUBLE) >= 0.9),
+        | best AS (SELECT bid, osrc, oid, ov FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY bid ORDER BY ov DESC, osrc, oid) AS rn FROM sc)
+        |   WHERE rn = 1)
+        | SELECT b.doc_id, (best.bid IS NULL) AS keep,
+        |  coalesce(best.osrc, 'none') AS match_src,
+        |  CAST(coalesce(best.oid, -1) AS BIGINT) AS match_id,
+        |  coalesce(best.ov, 0.0) AS match_overlap
+        | FROM bat b LEFT JOIN best ON best.bid = b.doc_id
+        | ORDER BY b.doc_id""".stripMargin.replaceAll("\n", " "),
 
     // containment clusters replica: the SAME prefix-filter chain over
     // the chain-planted base (two prefix truncations per source doc),

@@ -377,6 +377,98 @@ object Dedup {
       .where(col("overlap") >= threshold)
   }
 
+  /** Ingestion-time containment screen: is each INCOMING document
+    * subset-redundant against the already-ingested corpus or a
+    * preferred batch peer? The [[incrementalNearDup]] companion for the
+    * asymmetric blind spot — a short doc pasted inside a long seen one
+    * has tiny Jaccard but overlap 1.0. A batch doc `b` is dropped when
+    * some other doc `o` has overlap ≥ `threshold` AND the drop is
+    * one-directional: `n_o > n_b`, or `n_o = n_b` with `o` in the
+    * corpus or a smaller-id batch peer (so equal-size mutual
+    * containment keeps exactly one). A batch doc strictly CONTAINING a
+    * seen doc is kept — it carries new content.
+    *
+    * Candidates are lossless by the prefix-filter argument restricted
+    * to the drop direction: the dropped side is always the SMALLER, so
+    * only BATCH prefixes are needed — each incoming doc probes the
+    * union postings with its ⌊(1−t)·n⌋+2 globally-rarest grams (a
+    * contained doc shares all its grams with its container, so at
+    * least 2 prefix grams hit). Gram document frequencies are computed
+    * over batch ∪ corpus here; a production deployment maintains the
+    * corpus df table incrementally and unions the batch counts in.
+    *
+    * Returns one audit row per incoming doc:
+    * `(doc_id, keep, match_src 'corpus'|'batch'|'none', match_id,
+    * match_overlap)` — sentinels (-1 / 0.0) instead of NULLs, the
+    * [[incrementalNearDup]] convention. One shingle pass over each
+    * side; all joins are gram/id equi-joins; the corpus×corpus
+    * quadrant is never generated. */
+  def incrementalContainment(
+      incoming: DataFrame,
+      seen: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    def postings(df: DataFrame, src: String): DataFrame =
+      df.select(col(idCol).as("vid"),
+          explode(shingles(col(textCol), shingleSize)).as("g"))
+        .withColumn("src", lit(src))
+    val ex = postings(incoming, "batch").unionByName(postings(seen, "corpus"))
+      .persist()
+    try {
+      val sizes = ex.groupBy(col("src"), col("vid")).agg(count(lit(1)).as("n"))
+      val dfs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val prefB = ex.where(col("src") === "batch")
+        .join(dfs, "g")
+        .join(sizes.where(col("src") === "batch").select(col("vid"), col("n")), "vid")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vid")).orderBy(col("df"), col("g"))))
+        .where(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
+        .select(col("vid").as("bid"), col("n").as("nb"), col("g"))
+      val cand = prefB
+        .join(ex.select(col("src").as("osrc"), col("vid").as("oid"), col("g")), "g")
+        .join(sizes.select(col("src").as("osrc"), col("vid").as("oid"),
+          col("n").as("no")), Seq("osrc", "oid"))
+        .where(!(col("osrc") === "batch" && col("oid") === col("bid")))
+        .where(col("no") > col("nb") ||
+          (col("no") === col("nb") &&
+            (col("osrc") === "corpus" || col("oid") < col("bid"))))
+        .select(col("bid"), col("osrc"), col("oid"))
+        .distinct()
+      val inter = cand
+        .join(ex.where(col("src") === "batch")
+          .select(col("vid").as("bid"), col("g")), "bid")
+        .join(ex.select(col("src").as("osrc"), col("vid").as("oid"), col("g")),
+          Seq("osrc", "oid", "g"))
+        .groupBy(col("bid"), col("osrc"), col("oid"))
+        .agg(count(lit(1)).as("n_inter"))
+      val scored = inter
+        .join(sizes.where(col("src") === "batch")
+          .select(col("vid").as("bid"), col("n").as("nb")), "bid")
+        .join(sizes.select(col("src").as("osrc"), col("vid").as("oid"),
+          col("n").as("no")), Seq("osrc", "oid"))
+        .select(col("bid"), col("osrc"), col("oid"),
+          (col("n_inter").cast("double") /
+            least(col("nb"), col("no")).cast("double")).as("ov"))
+        .where(col("ov") >= threshold)
+      val best = scored
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("bid"))
+          .orderBy(col("ov").desc, col("osrc"), col("oid"))))
+        .where(col("__rn") === 1)
+      incoming.select(col(idCol).as("doc_id"))
+        .join(best, col("doc_id") === col("bid"), "left")
+        .select(col("doc_id"), col("bid").isNull.as("keep"),
+          coalesce(col("osrc"), lit("none")).as("match_src"),
+          coalesce(col("oid"), lit(-1L)).as("match_id"),
+          coalesce(col("ov"), lit(0.0)).as("match_overlap"))
+        .localCheckpoint(true)
+    } finally ex.unpersist()
+  }
+
   /** Containment dedup end-to-end: [[containmentPairs]] (asymmetric
     * subset-duplication pairs) closed transitively into duplicate
     * groups by [[duplicateClusters]], with the keep-one-per-group

@@ -820,6 +820,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(none.columns.toSeq == Seq("item", "cnt", "n_total") && none.count() == 0)
   }
 
+  test("incrementalContainment: one-directional drops against corpus and batch peers") {
+    val s = spark
+    import s.implicits._
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mid = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((1L, mid), (2L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (1 to 10).map(i => s"tok$i").mkString(" ")), // ⊂ corpus doc 1 → drop
+      (11L, long),          // strictly CONTAINS corpus doc 1 → keep (new content)
+      (12L, mid),           // equal-size copy of corpus doc 1 → drop (corpus wins ties)
+      (13L, "x1 x2 x3 x4 x5 x6 x7 x8"),
+      (14L, "x1 x2 x3 x4 x5"), // ⊂ batch peer 13 (smaller id) → drop, src=batch
+      (15L, "unrelated brand new content entirely here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalContainment(batch, corpus, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2), r.getLong(3)))).toMap
+    // ties at overlap 1.0 attribute to the batch container first (the
+    // incrementalNearDup ordering: score desc, src asc, id asc) — doc
+    // 11 contains docs 10 and 12 just like corpus doc 1 does
+    assert(got(10L) == ((false, "batch", 11L)), got(10L).toString)
+    assert(got(11L)._1, "a strict superset of a seen doc must be KEPT: " + got(11L))
+    assert(got(12L) == ((false, "batch", 11L)), got(12L).toString)
+    assert(got(13L)._1, got(13L).toString)
+    assert(got(14L) == ((false, "batch", 13L)), got(14L).toString)
+    assert(got(15L) == ((true, "none", -1L)), got(15L).toString)
+  }
+
   test("containmentDedup: transitive chains collapse to one keeper per component") {
     val s = spark
     import s.implicits._
