@@ -882,6 +882,14 @@ object SparkEntry {
       operators.Graph.pageRankEvents(table(s, dir, "events"), iterations = 5)
         .orderBy(col("node"))),
 
+    // TextRank keyword salience: integer PageRank over the token
+    // co-occurrence graph (window 2, lead()-built pairs — one Exchange,
+    // no self-join); top-20 corpus topic signature, rounds replayed in
+    // the oracle exactly like q_pagerank
+    "q_textrank" -> ((s, dir) =>
+      operators.TextOps.textRank(table(s, dir, "documents"), "doc_id", "text",
+        window = 2, iterations = 5, topK = 20)),
+
     // the crawl authority pipeline: anchor extraction (regex replayed
     // verbatim) → registered-domain edges → fixed-point integer PageRank
     // — link-graph domain ranking for source weighting, end to end
@@ -3319,6 +3327,40 @@ object SparkEntry {
           s"ON s.dst = n.node)"
       }.mkString(", ")
       s"WITH $head, $rounds SELECT node, rank FROM r$iters ORDER BY node"
+    },
+
+    // TextRank replica: lateral-unnest token positions, windowed
+    // co-occurrence pairs symmetrized + distinct'd, then the identical
+    // 5 integer PageRank rounds; top-20 by rank with token tiebreak
+    "q_textrank" -> {
+      val iters = 5
+      val head =
+        "tk AS MATERIALIZED (SELECT doc_id, u.j AS pos, t.ts[u.j] AS tok " +
+          "FROM (SELECT doc_id, string_split(text, ' ') AS ts " +
+          "FROM documents WHERE text IS NOT NULL) t, " +
+          "unnest(range(1, len(t.ts) + 1)) AS u(j)), " +
+        "pr0 AS (SELECT a.tok AS src, b.tok AS dst " +
+          "FROM tk a JOIN tk b ON b.doc_id = a.doc_id " +
+          "AND b.pos > a.pos AND b.pos <= a.pos + 2 " +
+          "WHERE a.tok <> b.tok), " +
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+          "(SELECT src, dst FROM pr0 UNION ALL SELECT dst, src FROM pr0)), " +
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+          "FROM e GROUP BY src), " +
+        "n AS MATERIALIZED (SELECT DISTINCT node FROM " +
+          "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"
+      val rounds = (1 to iters).map { i =>
+        s"r$i AS MATERIALIZED (SELECT n.node, " +
+          s"CAST(150000 + coalesce(s.s, 0) AS BIGINT) AS rank " +
+          s"FROM n LEFT JOIN (SELECT e.dst, " +
+          s"SUM((r.rank * 85) // (100 * d.outdeg)) AS s " +
+          s"FROM e JOIN deg d ON d.src = e.src " +
+          s"JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) s " +
+          s"ON s.dst = n.node)"
+      }.mkString(", ")
+      s"WITH $head, $rounds SELECT node AS token, rank FROM r$iters " +
+        "ORDER BY rank DESC, token LIMIT 20"
     },
 
     // link-graph replica: rebuild the synthetic pages, regex-extract the

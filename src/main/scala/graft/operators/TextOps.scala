@@ -1304,6 +1304,50 @@ object TextOps {
       .select(col(idCol), col("clean"),
         (length(col("__t")) - length(col("clean"))).as("n_cut"))
 
+  /** TextRank corpus keyword salience [Mihalcea & Tarau, EMNLP 2004]:
+    * PageRank over the token co-occurrence graph. Nodes are tokens;
+    * an (undirected) edge connects two DISTINCT tokens that co-occur
+    * within `window` positions in some document; ranks come from the
+    * same fixed-point integer [[Graph.pageRankFixed]] recurrence as the
+    * link graph, so the distributed sums replay order-independently in
+    * a value-level oracle. Output: the `topK` most salient tokens —
+    * corpus topic signatures for curation dashboards and source mixing
+    * (the classic per-document variant is this operator applied to a
+    * one-document frame).
+    *
+    * Scale shape: co-occurrence pairs come from `window` `lead()`
+    * columns over ONE per-document sort (a single Exchange on the doc
+    * id, no self-join — per-doc state is bounded by doc length), the
+    * graph is then deduplicated token-pair rows (vocabulary-sized, not
+    * corpus-sized), and each PageRank round is the pre-partitioned
+    * Pregel join+agg. The final top-k is a TakeOrdered, never a full
+    * sort. */
+  def textRank(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2,
+      iterations: Int = 5,
+      topK: Int = 20): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "tok")))
+    val pairs = toks
+      .select(col("tok").as("src"),
+        array((1 to window).map(d => lead(col("tok"), d).over(w)): _*).as("ls"))
+      .select(col("src"), explode(col("ls")).as("dst"))
+      .where(col("dst").isNotNull && col("src") =!= col("dst"))
+    val edges = pairs.unionAll(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRankFixed(edges, "src", "dst", iterations)
+      .orderBy(col("rank").desc, col("node")).limit(topK)
+      .select(col("node").as("token"), col("rank"))
+  }
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

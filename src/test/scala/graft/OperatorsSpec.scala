@@ -850,6 +850,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(15L) == ((true, "none", -1L)), got(15L).toString)
   }
 
+  test("textRank: hub token ranks first; window bounds edges; partition-invariant") {
+    val s = spark
+    import s.implicits._
+    // "hub" co-occurs with every filler inside window 2 (degree 6);
+    // doc 2's best-connected token (far2) only reaches degree 4 — hub
+    // must dominate the ranking, not just win a tiebreak
+    val docs = Seq(
+      (1L, "hub a hub b hub c hub d hub e hub f"),
+      (2L, "x far1 far2 far3 y")
+    ).toDF("doc_id", "text")
+    val got = TextOps.textRank(docs, "doc_id", "text",
+      window = 2, iterations = 5, topK = 50).collect()
+    val nodes = got.map(_.getString(0)).toSet
+    assert(nodes ==
+      Set("hub", "a", "b", "c", "d", "e", "f", "x", "far1", "far2", "far3", "y"))
+    assert(got.head.getString(0) == "hub", got.head.toString)
+    // window check through the degree structure: x (pos 0) reaches only
+    // far1/far2, never far3 (distance 3) or y (distance 4) — so doc 2's
+    // graph is a path-like band and every doc-2 token ranks below hub
+    val ranks = got.map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (t <- Seq("x", "far1", "far2", "far3", "y"))
+      assert(ranks(t) < ranks("hub"), s"$t should rank below hub")
+    // integer fixed-point rounds are order-free: any partitioning of the
+    // input produces the identical ranked list
+    val re = TextOps.textRank(docs.repartition(7), "doc_id", "text",
+      window = 2, iterations = 5, topK = 50).collect()
+    assert(re.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      got.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("containmentDedup: transitive chains collapse to one keeper per component") {
     val s = spark
     import s.implicits._
