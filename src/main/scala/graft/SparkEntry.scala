@@ -1788,6 +1788,18 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // REAL QOI decode (public v1.0 spec): hand-written spec encoder →
+    // hand-written spec decoder, all six chunk ops exercised (run rows
+    // force RUN/INDEX packets; the formula gradient forces LUMA/DIFF/
+    // RGB); dims + features formula-replayed like the other codecs
+    "q_img_qoi" -> ((s, dir) =>
+      operators.Multimodal.decodeFeatures(s,
+          operators.Multimodal.syntheticQoiBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
     // REAL ICO parse: a MULTI-image container (2 entries per file, the
     // icon-directory walk), each a 32-bpp double-height icon whose
     // 1-bit AND mask excludes pixels from the feature fold — dims,
@@ -2117,15 +2129,20 @@ object SparkEntry {
     * channel/quadrant/luma sums, and apply decodeImage's IEEE divisions
     * and float32 rounding. Shared by the PNG, BMP, and TGA replicas —
     * all three generators draw the same pixels at different dims. */
-  private def imgPixelReplicaSql(wf: String, hf: String): String =
+  private def imgPixelReplicaSql(
+      wf: String,
+      hf: String,
+      rf: String = "(doc_id * 31 + x * 7 + y * 13) % 256",
+      gf: String = "(doc_id * 17 + x * 11 + y * 3) % 256",
+      bf: String = "(doc_id * 13 + x * 5 + y * 29) % 256"): String =
     s"""WITH d AS (SELECT doc_id, $wf AS w, $hf AS h
       |   FROM documents),
       | xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
       | px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
       | pc AS (SELECT doc_id, w, h, x, y,
-      |   (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
-      |   (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
-      |   (doc_id * 13 + x * 5 + y * 29) % 256 AS b
+      |   $rf AS r,
+      |   $gf AS g,
+      |   $bf AS b
       |  FROM px),
       | sums AS (SELECT doc_id, w, h,
       |   sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
@@ -4414,6 +4431,21 @@ object SparkEntry {
     // hash-mismatches)
     "q_img_tga" ->
       imgPixelReplicaSql("16 + doc_id % 23", "16 + (doc_id * 3) % 15"),
+
+    // QOI replica: same pixel discipline at the QOI generator's dims,
+    // with run rows ((doc_id + y) mod 5 = 0) drawing the C1 C1 C2 C2
+    // grey pair-blocks that force RUN and INDEX packets — a RUN/INDEX
+    // mis-decode shifts pixels and hash-mismatches
+    "q_img_qoi" -> {
+      val runRow = "(doc_id + y) % 5 = 0"
+      imgPixelReplicaSql("16 + doc_id % 21", "16 + (doc_id * 9) % 13",
+        rf = s"CASE WHEN $runRow THEN (doc_id + ((x // 2) % 2)) % 256" +
+          " ELSE (doc_id * 31 + x * 7 + y * 13) % 256 END",
+        gf = s"CASE WHEN $runRow THEN doc_id % 256" +
+          " ELSE (doc_id * 17 + x * 11 + y * 3) % 256 END",
+        bf = s"CASE WHEN $runRow THEN doc_id % 256" +
+          " ELSE (doc_id * 13 + x * 5 + y * 29) % 256 END")
+    },
 
     // ICO replica: per (doc, entry) dims from the generator formulas,
     // pixels at id 2·doc+e, the (doc+x+y+e) mod 7 mask EXCLUDED, and

@@ -140,6 +140,7 @@ object Multimodal {
         it.map { case (id, bytes) =>
           decodeImage(id, bytes)
             .orElse(decodeTga(id, bytes)) // ImageIO has no TGA reader
+            .orElse(decodeQoi(id, bytes)) // ...nor a QOI one
             .getOrElse(
               decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes))
         }
@@ -379,6 +380,157 @@ object Multimodal {
           }
           i += count
         }
+      }
+      Some(featuresFromArgb(docId, bytes.length, px, w, h))
+    } catch { case _: ArrayIndexOutOfBoundsException => None } // truncated
+  }
+
+  /** Deterministic synthetic QOI ["Quite OK Image" format v1.0,
+    * qoiformat.org — public-domain spec]: w = 16 + docId mod 21,
+    * h = 16 + 9·docId mod 13, 3-channel. Pixels are the shared formula
+    * EXCEPT run rows ((docId + y) mod 5 = 0), which alternate pair
+    * blocks of two greys — C1 = (d,d,d), C2 = (d+1 mod 256, d, d) with
+    * d = docId mod 256, pixel = C1 iff (x div 2) even. The formula's
+    * fixed per-x gradient (Δr,Δg,Δb = 7,11,5 → always a LUMA delta)
+    * would never emit QOI_OP_RUN, and re-seen colors get evicted from
+    * the 64-slot index by the ~20 fresh colors per row before they
+    * recur — the C1 C1 C2 C2 blocks force BOTH: every pair is a RUN,
+    * and every return to the other grey is an INDEX hit (a ±1 change
+    * in r moves the color hash by exactly 3 mod 64, so C1 and C2
+    * occupy different slots and can't evict each other). The encoder
+    * is the spec's greedy chunk selection: run → index → diff → luma →
+    * rgb, wrapping deltas mod 256. */
+  def syntheticQoi(docId: Long): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(docId, 21L).toInt
+    val h = 16 + java.lang.Math.floorMod(docId * 9, 13L).toInt
+    val d = java.lang.Math.floorMod(docId, 256L).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    be32(w); be32(h)
+    out.write(3) // channels: RGB
+    out.write(0) // colorspace: sRGB with linear alpha
+    val index = new Array[Int](64) // packed 0xAARRGGBB, zero-initialized
+    var prev = 0xff000000 // r=g=b=0, a=255
+    var run = 0
+    var y = 0
+    while (y < h) {
+      val runRow = java.lang.Math.floorMod(docId + y, 5L) == 0L
+      var x = 0
+      while (x < w) {
+        val rgb =
+          if (runRow) {
+            val r = if ((x / 2) % 2 == 0) d else (d + 1) % 256
+            (r << 16) | (d << 8) | d
+          } else formulaPixel(docId, x, y)
+        val px = 0xff000000 | rgb
+        if (px == prev) {
+          run += 1
+          if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+        } else {
+          if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+          val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff; val b = px & 0xff
+          val idx = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+          if (index(idx) == px) out.write(idx)
+          else {
+            index(idx) = px
+            // wraparound deltas, interpreted as signed bytes
+            val dr = ((r - ((prev >> 16) & 0xff)) << 24) >> 24
+            val dg = ((g - ((prev >> 8) & 0xff)) << 24) >> 24
+            val db = ((b - (prev & 0xff)) << 24) >> 24
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+              out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else if (dg >= -32 && dg <= 31 &&
+              dr - dg >= -8 && dr - dg <= 7 && db - dg >= -8 && db - dg <= 7) {
+              out.write(0x80 | (dg + 32))
+              out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+            } else {
+              out.write(0xfe); out.write(r); out.write(g); out.write(b)
+            }
+          }
+          prev = px
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    (0 until 7).foreach(_ => out.write(0)) // end marker
+    out.write(1)
+    out.toByteArray
+  }
+
+  /** (doc_id, blob) table of [[syntheticQoi]] images. */
+  def syntheticQoiBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticQoi(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** QOI decoder (full v1.0 spec: both channel counts, all six chunk
+    * ops, the 64-slot running index updated after every decoded chunk,
+    * run carry across rows). Sniffed by the "qoif" magic; None on
+    * malformed/truncated input (falls through to the caller's next
+    * decoder). Features are the shared [[featuresFromArgb]] fold. */
+  def decodeQoi(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 14 + 8) return None
+    if (bytes(0) != 'q' || bytes(1) != 'o' || bytes(2) != 'i' || bytes(3) != 'f')
+      return None
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    val w = be32(4); val h = be32(8)
+    val channels = bytes(12) & 0xff
+    if (w <= 0 || h <= 0 || (channels != 3 && channels != 4)) return None
+    // header dims are attacker-controlled 32-bit values: cap the pixel
+    // buffer (64 Mpx ≈ 256 MB) so a forged header can neither overflow
+    // w*h nor force a multi-GB allocation before the walk fails
+    if (w.toLong * h > (1L << 26)) return None
+    try {
+      val n = w * h
+      val px = new Array[Int](n)
+      val index = new Array[Int](64)
+      var cur = 0xff000000
+      var pos = 14
+      var i = 0
+      var run = 0
+      while (i < n) {
+        if (run > 0) run -= 1
+        else {
+          val b1 = bytes(pos) & 0xff; pos += 1
+          if (b1 == 0xfe) { // QOI_OP_RGB
+            cur = (cur & 0xff000000) | ((bytes(pos) & 0xff) << 16) |
+              ((bytes(pos + 1) & 0xff) << 8) | (bytes(pos + 2) & 0xff)
+            pos += 3
+          } else if (b1 == 0xff) { // QOI_OP_RGBA
+            cur = ((bytes(pos + 3) & 0xff) << 24) | ((bytes(pos) & 0xff) << 16) |
+              ((bytes(pos + 1) & 0xff) << 8) | (bytes(pos + 2) & 0xff)
+            pos += 4
+          } else (b1 >> 6) match {
+            case 0 => cur = index(b1) // QOI_OP_INDEX
+            case 1 => // QOI_OP_DIFF: 2-bit deltas biased by 2, mod-256 wrap
+              val r = (((cur >> 16) & 0xff) + ((b1 >> 4) & 3) - 2) & 0xff
+              val g = (((cur >> 8) & 0xff) + ((b1 >> 2) & 3) - 2) & 0xff
+              val b = ((cur & 0xff) + (b1 & 3) - 2) & 0xff
+              cur = (cur & 0xff000000) | (r << 16) | (g << 8) | b
+            case 2 => // QOI_OP_LUMA
+              val b2 = bytes(pos) & 0xff; pos += 1
+              val dg = (b1 & 0x3f) - 32
+              val r = (((cur >> 16) & 0xff) + dg + ((b2 >> 4) & 0xf) - 8) & 0xff
+              val g = (((cur >> 8) & 0xff) + dg) & 0xff
+              val b = ((cur & 0xff) + dg + (b2 & 0xf) - 8) & 0xff
+              cur = (cur & 0xff000000) | (r << 16) | (g << 8) | b
+            case _ => run = (b1 & 0x3f) // QOI_OP_RUN, bias -1 → run-1 more pixels
+          }
+          index((((cur >> 16) & 0xff) * 3 + ((cur >> 8) & 0xff) * 5 +
+            (cur & 0xff) * 7 + ((cur >>> 24) & 0xff) * 11) % 64) = cur
+        }
+        px(i) = cur & 0xffffff
+        i += 1
       }
       Some(featuresFromArgb(docId, bytes.length, px, w, h))
     } catch { case _: ArrayIndexOutOfBoundsException => None } // truncated

@@ -479,6 +479,89 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeTga(9L, cut).isEmpty)
   }
 
+  test("QOI decode: hand-built chunks decode per spec; codec round-trips; all ops exercised") {
+    // known-answer stream exercising every chunk op against the spec's
+    // documented semantics (RGB, DIFF, LUMA, RUN, INDEX, RGBA), 8x1 px
+    val bos = new java.io.ByteArrayOutputStream()
+    def wr(bs: Int*): Unit = bs.foreach(bos.write)
+    wr('q', 'o', 'i', 'f', 0, 0, 0, 8, 0, 0, 0, 1, 3, 0)
+    wr(0xfe, 10, 20, 30)   // RGB       -> (10,20,30), index slot 9
+    wr(0x7f)               // DIFF +1+1+1 -> (11,21,31), slot 24
+    wr(0xaa, 0x6b)         // LUMA dg=10, dr-dg=-2, db-dg=3 -> (19,31,44)
+    wr(0xc2)               // RUN 3     -> (19,31,44) x3
+    wr(0x18)               // INDEX 24  -> (11,21,31)
+    wr(0xff, 5, 6, 7, 255) // RGBA      -> (5,6,7)
+    wr(0, 0, 0, 0, 0, 0, 0, 1)
+    val known = Multimodal.decodeQoi(42L, bos.toByteArray)
+    assert(known.isDefined, "spec stream rejected")
+    assert(known.get.width == 8 && known.get.height == 1)
+    val pix = Seq((10, 20, 30), (11, 21, 31), (19, 31, 44), (19, 31, 44),
+      (19, 31, 44), (19, 31, 44), (11, 21, 31), (5, 6, 7))
+    val sr = pix.map(_._1).sum; val sg = pix.map(_._2).sum; val sb = pix.map(_._3).sum
+    val sl = pix.map { case (r, g, b) => (299 * r + 587 * g + 114 * b) / 1000 }.sum
+    val q0 = pix.take(4).map { case (r, g, b) => r + g + b }.sum
+    val q1 = pix.drop(4).map { case (r, g, b) => r + g + b }.sum
+    val n = 8.0
+    val want = Seq(sr / 255.0 / n, sg / 255.0 / n, sb / 255.0 / n,
+      q0 / 765.0 / n, q1 / 765.0 / n, 0.0, 0.0, sl / 255.0 / n).map(_.toFloat)
+    assert(known.get.features.toSeq == want, "feature fold diverged from spec pixels")
+
+    // round-trip + cross-codec: the QOI decode of the synthetic image
+    // must equal a PNG decode of the SAME pixels (run rows included)
+    for (id <- Seq(0L, 1L, 2L, 5L, 123L, 9999L)) {
+      val qoi = Multimodal.decodeQoi(id, Multimodal.syntheticQoi(id))
+      assert(qoi.isDefined, s"QOI decoder rejected its own encoder for id=$id")
+      val w = 16 + java.lang.Math.floorMod(id, 21L).toInt
+      val h = 16 + java.lang.Math.floorMod(id * 9, 13L).toInt
+      assert(qoi.get.width == w && qoi.get.height == h)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val d = java.lang.Math.floorMod(id, 256L).toInt
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb =
+          if (java.lang.Math.floorMod(id + y, 5L) == 0L) {
+            val r = if ((x / 2) % 2 == 0) d else (d + 1) % 256
+            (r << 16) | (d << 8) | d
+          } else {
+            val r = java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+            val g = java.lang.Math.floorMod(id * 17 + x * 11 + y * 3, 256L).toInt
+            val b = java.lang.Math.floorMod(id * 13 + x * 5 + y * 29, 256L).toInt
+            (r << 16) | (g << 8) | b
+          }
+        img.setRGB(x, y, rgb)
+      }
+      val pbos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", pbos)
+      val png = Multimodal.decodeImage(id, pbos.toByteArray).get
+      assert(qoi.get.features.toSeq == png.features.toSeq,
+        s"QOI and PNG decodes of the same pixels diverged for id=$id")
+      // the encode must actually use the whole op vocabulary: walk the
+      // chunk stream and count tags (run rows guarantee RUN + INDEX;
+      // the formula gradient guarantees LUMA; row seams produce RGB)
+      val bytes = Multimodal.syntheticQoi(id)
+      var pos = 14; var nRun = 0; var nIdx = 0; var nLuma = 0
+      while (pos < bytes.length - 8) {
+        val b1 = bytes(pos) & 0xff; pos += 1
+        if (b1 == 0xfe) pos += 3
+        else if (b1 == 0xff) pos += 4
+        else (b1 >> 6) match {
+          case 0 => nIdx += 1
+          case 2 => nLuma += 1; pos += 1
+          case 3 => nRun += 1
+          case _ => ()
+        }
+      }
+      assert(nRun > 0 && nIdx > 0 && nLuma > 0,
+        s"id=$id ops not all exercised: run=$nRun idx=$nIdx luma=$nLuma")
+    }
+    // sniffing: wrong magic / truncated body must fall through, not throw
+    val ok = Multimodal.syntheticQoi(3L)
+    val badMagic = ok.clone(); badMagic(0) = 'x'.toByte
+    assert(Multimodal.decodeQoi(3L, badMagic).isEmpty)
+    assert(Multimodal.decodeQoi(3L, java.util.Arrays.copyOf(ok, 40)).isEmpty)
+    assert(Multimodal.decodeQoi(3L, null).isEmpty)
+  }
+
   test("ICO decode: multi-entry container, AND mask drives the opaque-pixel fold") {
     for (id <- Seq(0L, 1L, 2L, 5L, 123L, 9999L)) {
       val got = Multimodal.decodeIco(id, Multimodal.syntheticIco(id))
