@@ -410,6 +410,21 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.9): DataFrame = {
+    val (out, ex) = incrementalContainmentPlan(
+      incoming, seen, idCol, textCol, shingleSize, threshold)
+    try out.localCheckpoint(true) finally ex.unpersist()
+  }
+
+  /** [[incrementalContainment]] minus the eager materialization: returns
+    * (result, persisted union postings) so callers — the plan spec —
+    * can inspect the LIVE tree; the caller owns the unpersist. */
+  private[graft] def incrementalContainmentPlan(
+      incoming: DataFrame,
+      seen: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     import org.apache.spark.sql.expressions.Window
@@ -419,7 +434,7 @@ object Dedup {
         .withColumn("src", lit(src))
     val ex = postings(incoming, "batch").unionByName(postings(seen, "corpus"))
       .persist()
-    try {
+    locally {
       val sizes = ex.groupBy(col("src"), col("vid")).agg(count(lit(1)).as("n"))
       val dfs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val prefB = ex.where(col("src") === "batch")
@@ -459,14 +474,14 @@ object Dedup {
         .withColumn("__rn", row_number().over(Window.partitionBy(col("bid"))
           .orderBy(col("ov").desc, col("osrc"), col("oid"))))
         .where(col("__rn") === 1)
-      incoming.select(col(idCol).as("doc_id"))
+      val out = incoming.select(col(idCol).as("doc_id"))
         .join(best, col("doc_id") === col("bid"), "left")
         .select(col("doc_id"), col("bid").isNull.as("keep"),
           coalesce(col("osrc"), lit("none")).as("match_src"),
           coalesce(col("oid"), lit(-1L)).as("match_id"),
           coalesce(col("ov"), lit(0.0)).as("match_overlap"))
-        .localCheckpoint(true)
-    } finally ex.unpersist()
+      (out, ex)
+    }
   }
 
   /** Containment dedup end-to-end: [[containmentPairs]] (asymmetric

@@ -180,6 +180,61 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally ex.unpersist()
   }
 
+  test("incremental containment: union postings persisted once; batch-prefix probe; no corpus x corpus") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val (out, ex) = graft.operators.Dedup.incrementalContainmentPlan(
+      d.where(col("doc_id") % 4 === 1), d.where(col("doc_id") % 4 =!= 1),
+      "doc_id", "text", 3, 0.9)
+    try {
+      val plan = out.queryExecution.sparkPlan
+      val planStr = plan.toString
+      // every join is an equi-join: the candidate probe, intersection
+      // count, and size attaches all key on gram/id — a cross shape here
+      // is the corpus x corpus quadrant this operator exists to avoid
+      assert(!planStr.contains("CartesianProduct"), planStr)
+      assert(!planStr.contains("BroadcastNestedLoopJoin"), planStr)
+      assert(planStr.contains("InMemoryTableScan"), planStr)
+      // the shingle kernel runs only inside the persisted union
+      // postings: the live tree has NO Generate — every branch (df
+      // count, sizes, prefixes, probe, intersection) reads the cache
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.isEmpty, s"shingling re-ran outside the postings: $gens")
+      // the only corpus re-scan is the final audit-row attach (id
+      // column alone — ReadSchema must not drag text back in)
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.forall(!_.schema.fieldNames.contains("text")),
+        s"audit attach read more than the id: ${scans.map(_.schema.fieldNames.toSeq)}")
+      // prefix selection is a bounded per-doc window, best-match a
+      // per-incoming-doc window — no global sort anywhere
+      assert(planStr.toLowerCase.contains("windowspecdefinition(vid"), planStr)
+      assert(planStr.toLowerCase.contains("windowspecdefinition(bid"), planStr)
+    } finally ex.unpersist()
+  }
+
+  test("textRank: pairs from lead() windows — single doc Exchange, no positional self-join, top-k merge") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.TextOps.textRank(
+      d, "doc_id", "text", window = 2, iterations = 2, topK = 10)
+    val planStr = out.queryExecution.executedPlan.toString
+    // co-occurrence pairs come from lead() over ONE per-doc sort: a
+    // positional self-join would put a Join above two Generates — the
+    // live tree must have zero Joins below the first aggregation of the
+    // edge list (all PageRank joins key on the node string)
+    assert(!planStr.contains("CartesianProduct"), planStr)
+    assert(!planStr.contains("BroadcastNestedLoopJoin"), planStr)
+    assert(planStr.toLowerCase.contains("windowspecdefinition(__doc"), planStr)
+    // final top-k is a TakeOrdered merge, never a global sort
+    assert(planStr.contains("TakeOrderedAndProject"), planStr)
+  }
+
   test("nearDupScreen: both screens run off ONE shingle pass — no Generate or corpus scan in the live tree") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
