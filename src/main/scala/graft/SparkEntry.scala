@@ -890,6 +890,13 @@ object SparkEntry {
       operators.TextOps.textRank(table(s, dir, "documents"), "doc_id", "text",
         window = 2, iterations = 5, topK = 20)),
 
+    // RAKE multi-word keywords: stopword-bounded phrases, fixed-point
+    // ⌊10^6·deg/freq⌋ word scores (order-free integer sums), phrase =
+    // sum of member words; the TextRank complement for topic signatures
+    "q_rake" -> ((s, dir) =>
+      operators.TextOps.rakeKeywords(
+        table(s, dir, "documents"), "doc_id", "text", topK = 20)),
+
     // the crawl authority pipeline: anchor extraction (regex replayed
     // verbatim) → registered-domain edges → fixed-point integer PageRank
     // — link-graph domain ranking for source weighting, end to end
@@ -3378,6 +3385,36 @@ object SparkEntry {
       }.mkString(", ")
       s"WITH $head, $rounds SELECT node AS token, rank FROM r$iters " +
         "ORDER BY rank DESC, token LIMIT 20"
+    },
+
+    // RAKE replica: running stopword count over position windows builds
+    // the phrase ids, ordered string_agg reassembles phrases, and the
+    // deg/freq ratio replays as exact integer // division — every sum
+    // integer, so no float-order pinning anywhere
+    "q_rake" -> {
+      val stops = operators.TextOps.stopwordList
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, u.j AS pos, t.ts[u.j] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        |   FROM documents WHERE text IS NOT NULL) t,
+        |  unnest(range(1, len(t.ts) + 1)) AS u(j)),
+        | pid AS (SELECT doc_id, pos, tok, tok IN ($stops) AS stp,
+        |   sum(CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM tk),
+        | wl AS (SELECT doc_id, pid, pos, tok,
+        |   count(*) OVER (PARTITION BY doc_id, pid) AS plen
+        |  FROM pid WHERE NOT stp),
+        | ws AS (SELECT tok, (sum(plen) * 1000000) // count(*) AS wscore
+        |  FROM wl GROUP BY tok),
+        | ph AS (SELECT w.doc_id, w.pid,
+        |   string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+        |   sum(s.wscore) AS score
+        |  FROM wl w JOIN ws s ON s.tok = w.tok GROUP BY w.doc_id, w.pid)
+        | SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(max(score) AS BIGINT) AS score
+        | FROM ph GROUP BY phrase
+        | ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+        .replaceAll("\n", " ")
     },
 
     // link-graph replica: rebuild the synthetic pages, regex-extract the

@@ -28,6 +28,10 @@ object TextOps {
   private val stopwords =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
+  /** The stopword lexicon, exposed so value-level oracles can embed the
+    * identical list (stopwordRatio, RAKE phrase boundaries). */
+  private[graft] def stopwordList: Seq[String] = stopwords
+
   /** Fraction of tokens that are (English) stopwords — a classic quality
     * signal: natural prose has ~0.3+, keyword soup near 0. */
   def stopwordRatio(textCol: Column): Column = stopwordRatioOf(tokens(textCol))
@@ -1346,6 +1350,57 @@ object TextOps {
     Graph.pageRankFixed(edges, "src", "dst", iterations)
       .orderBy(col("rank").desc, col("node")).limit(topK)
       .select(col("node").as("token"), col("rank"))
+  }
+
+  /** RAKE keyword extraction [Rose, Engel, Cramer & Cowley, "Automatic
+    * Keyword Extraction from Individual Documents", 2010] lifted to the
+    * corpus: candidate phrases are maximal stopword-free token runs;
+    * each word scores deg(w)/freq(w) — deg summing the lengths of every
+    * phrase instance containing it, freq its occurrence count — and a
+    * phrase scores the sum of its member-word scores. The ratio runs in
+    * FIXED-POINT integer arithmetic (⌊10^6·deg/freq⌋, the PageRank
+    * discipline): sums stay order-free, so a distributed aggregation
+    * and a single-threaded SQL oracle agree bit-for-bit, and the 1e-6
+    * quantization is far below any ranking decision. Multi-word
+    * phrases beat TextRank's unigram salience for topic signatures —
+    * the two are complementary diagnostics over the same tokens.
+    *
+    * Scale shape: phrase ids are a running stopword count over one
+    * per-document window (single Exchange on the doc id), phrase
+    * reassembly sorts each group's (pos, tok) structs locally, word
+    * stats are one vocabulary-sized aggregation, the score join is
+    * vocabulary-keyed, and the final top-k is a TakeOrdered. Returns
+    * `(phrase, n_occ, score)`, score descending with phrase tiebreak. */
+  def rakeKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "tok")))
+    val words = toks
+      .withColumn("__stop", col("tok").isin(stopwords: _*))
+      .withColumn("__pid", sum(col("__stop").cast("long")).over(
+        Window.partitionBy(col("__doc")).orderBy(col("__pos"))))
+      .where(!col("__stop"))
+      .withColumn("__plen", count(lit(1)).over(
+        Window.partitionBy(col("__doc"), col("__pid"))))
+    val wscore = words.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("__plen")).as("deg"))
+      .select(col("tok"), expr("(deg * 1000000) div freq").as("wscore"))
+    val phraseInstances = words.join(wscore, "tok")
+      .groupBy(col("__doc"), col("__pid"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("tok")))),
+          _.getField("tok")), " ").as("phrase"),
+        sum(col("wscore")).as("score"))
+    phraseInstances.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(topK)
   }
 
   /** Per-document stats frame used by the pipeline queries; tokenizes

@@ -963,6 +963,36 @@ class OperatorsSpec extends AnyFunSuite {
       got.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("rakeKeywords: hand-computed deg/freq scores; phrase boundaries at stopwords") {
+    val s = spark
+    import s.implicits._
+    // phrases: [deep learning] [deep networks] [practice] — "of"/"the"/
+    // "in" split. freq: deep 2, learning/networks/practice 1.
+    // deg: deep 2+2=4, learning 2, networks 2, practice 1.
+    // wscore(⌊1e6·deg/freq⌋): deep 2e6, learning 2e6, networks 2e6,
+    // practice 1e6 → "deep learning" 4e6, "deep networks" 4e6,
+    // "practice" 1e6
+    val docs = Seq((1L, "deep learning of the deep networks in practice"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("deep learning", 1L, 4000000L),
+      ("deep networks", 1L, 4000000L),
+      ("practice", 1L, 1000000L)), got.toString)
+    // repeated phrase across docs: one output row, n_occ counts both,
+    // and the corpus-global word stats shift every score
+    val two = docs.unionAll(Seq((2L, "deep learning")).toDF("doc_id", "text"))
+    val got2 = TextOps.rakeKeywords(two, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // freq: deep 3, learning 2; deg: deep 2+2+2=6, learning 2+2=4 →
+    // deep 2e6, learning 2e6, networks (deg 2, freq 1) 2e6, practice 1e6
+    assert(got2 == Seq(
+      ("deep learning", 2L, 4000000L),
+      ("deep networks", 1L, 4000000L),
+      ("practice", 1L, 1000000L)), got2.toString)
+  }
+
   test("containmentDedup: transitive chains collapse to one keeper per component") {
     val s = spark
     import s.implicits._

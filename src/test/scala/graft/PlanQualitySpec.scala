@@ -235,6 +235,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(planStr.contains("TakeOrderedAndProject"), planStr)
   }
 
+  test("rakeKeywords: phrase ids from one per-doc window — no self-join, top-k merge") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.TextOps.rakeKeywords(d, "doc_id", "text", topK = 10)
+    val planStr = out.queryExecution.executedPlan.toString
+    // phrase boundaries come from a running stopword count over ONE
+    // per-doc window (plus the sibling per-(doc,pid) length window) — a
+    // positional self-join would show as a nested-loop/cartesian
+    assert(!planStr.contains("CartesianProduct"), planStr)
+    assert(!planStr.contains("BroadcastNestedLoopJoin"), planStr)
+    assert(planStr.toLowerCase.contains("windowspecdefinition(__doc"), planStr)
+    // the word-score join keys on the vocabulary (tok) — an equi-join,
+    // and the final top-k is a TakeOrdered merge, never a global sort
+    assert(planStr.contains("TakeOrderedAndProject"), planStr)
+  }
+
   test("nearDupScreen: both screens run off ONE shingle pass — no Generate or corpus scan in the live tree") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
