@@ -648,6 +648,18 @@ object SparkEntry {
           shingleSize = 3, threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // edit-distance similarity join on 200-char document prefixes:
+    // PassJoin candidates (d+1 disjoint segments; pigeonhole puts one
+    // VERBATIM in any partner within distance d) + threshold Levenshtein
+    // verify — oracle = brute-force all-pairs levenshtein, so the
+    // comparison PROVES the candidate scheme lost nothing on this corpus
+    "q_editdist_join" -> ((s, dir) =>
+      operators.Dedup.editDistancePairs(
+          table(s, dir, "documents").where(col("text").isNotNull)
+            .select(col("doc_id"), substring(col("text"), 1, 200).as("title")),
+          "doc_id", "title", maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // two-stage near-dedup (LSH candidates → exact-Jaccard verify) plus
     // transitive closure into duplicate clusters
     "q_dedup_clusters" -> ((s, dir) => {
@@ -4959,6 +4971,19 @@ object SparkEntry {
         | SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
         | FROM cnd c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
         | WHERE $jaccardSql >= 0.7
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // brute-force all-pairs Levenshtein — deliberately ignorant of the
+    // engine's q-gram prefix filter, so a hash match proves the
+    // candidate generation lossless on this corpus (DuckDB and Spark
+    // both implement unit-cost Levenshtein over characters)
+    "q_editdist_join" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 200) AS title
+        |  FROM documents WHERE text IS NOT NULL)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        | FROM t a JOIN t b ON a.doc_id < b.doc_id
+        | WHERE levenshtein(a.title, b.title) <= 8
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // trained-IVF: Lloyd iterations + probe + top-k replayed in SQL with

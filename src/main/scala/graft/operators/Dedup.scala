@@ -1135,4 +1135,169 @@ object Dedup {
       .select(col(idCol), col("chunk_idx"), col("start"),
         col("chunk_len"), col("digest"), col("n_docs"))
   }
+
+  /** The d+1 PassJoin segments of a string as `(la, i, sub)` structs:
+    * segment `i` (1-based) of a length-`l` string under the even
+    * partition — the first `k − (l mod k)` segments get `⌊l/k⌋` chars,
+    * the rest one more — where `la` is the string's own length (the
+    * join key that pins partner partitions to the right scheme). */
+  private[graft] def passJoinSegments(sCol: Column, lCol: Column, k: Int): Column =
+    transform(sequence(lit(1L), lit(k.toLong)), { i =>
+      val amod = lCol % k
+      val base = floor(lCol / k).cast("long")
+      val leni = base + when(i > lit(k.toLong) - amod, 1L).otherwise(0L)
+      val pi = (i - 1) * base + greatest(lit(0L), i - 1 - (lit(k.toLong) - amod)) + 1
+      struct(lCol.as("la"), i.as("i"), substr(sCol, pi, leni).as("sub"))
+    })
+
+  /** Every substring of `s` that could match segment `i` of a partner
+    * of length `la ∈ [max(k, lb−d), lb]` within edit distance `d`, as
+    * `(la, i, sub)` structs. Two lossless prunings shrink the probe
+    * set: `lensCol` (a literal array of lengths that actually occur
+    * among the indexed strings) drops partner lengths nothing was
+    * partitioned at — on length-homogeneous corpora that collapses the
+    * d+1-value la range to ~1; and the position window is the
+    * INTERSECTION of two valid bounds on the untouched segment's shift
+    * δ = p − p_i: the shift bound `|δ| + |Δ − δ| ≤ d` (left edits move
+    * the segment by δ, right edits absorb the remaining length change
+    * Δ = lb − la), and PassJoin's multi-match-aware bound
+    * `δ ∈ [max(−(i−1), Δ−(k−i)), min(i−1, Δ+(k−i))]` (Li, Deng & Feng
+    * 2011, Lemma 3: if the first-untouched-segment match falls outside
+    * it, a later untouched segment's match falls inside its own
+    * window). Probing only `la ≤ lb` halves work again: the canonical
+    * pair direction partitions the shorter string. Content duplicates
+    * across positions are NOT deduped here — array_distinct over
+    * struct arrays is a quadratic comparison loop, far costlier than
+    * letting the downstream pair-level distinct absorb them. */
+  private[graft] def passJoinProbes(
+      sCol: Column, lbCol: Column, d: Int, k: Int, lensCol: Column): Column =
+    flatten(transform(
+      filter(sequence(greatest(lit(k.toLong), lbCol - d), lbCol),
+        la => array_contains(lensCol, la)), { la =>
+        val amod = la % k
+        val base = floor(la / k).cast("long")
+        val delta = lbCol - la
+        val slack = floor((lit(d.toLong) - delta) / 2).cast("long")
+        flatten(transform(sequence(lit(1L), lit(k.toLong)), { i =>
+          val leni = base + when(i > lit(k.toLong) - amod, 1L).otherwise(0L)
+          val pi = (i - 1) * base + greatest(lit(0L), i - 1 - (lit(k.toLong) - amod)) + 1
+          val dLo = greatest(lit(0L) - slack, lit(1L) - i, delta - (lit(k.toLong) - i))
+          val dHi = least(delta + slack, i - 1, delta + (lit(k.toLong) - i))
+          val lo = greatest(lit(1L), pi + dLo)
+          val hi = least(lbCol - leni + 1, pi + dHi)
+          transform(filter(sequence(lo, greatest(lo, hi)), p => p <= hi),
+            p => struct(la.as("la"), i.as("i"), substr(sCol, p, leni).as("sub")))
+        }))
+      }))
+
+  /** Edit-distance similarity self-join: every pair of rows whose
+    * strings are within Levenshtein distance `maxDist`, with the exact
+    * distance — the string-identity dedup primitive (titles, URLs,
+    * product names, OCR variants) that shingle-Jaccard misses because a
+    * handful of single-character edits barely moves token-set overlap.
+    *
+    * Candidate generation is PassJoin partitioning (Li, Deng & Feng,
+    * "PASS-JOIN: a partition-based method for similarity joins",
+    * VLDB 2011): each string splits into `d+1` disjoint segments; at
+    * most `d` edits can touch at most `d` of them, so any partner
+    * within distance `d` contains at least one segment VERBATIM, at a
+    * position the shift bound confines to `d+1` candidates — candidates
+    * are therefore an exact-segment equi-join, lossless by pigeonhole.
+    * Segment keys stay selective even on boilerplate-saturated corpora
+    * where q-gram prefix filtering collapses (a ⌈len/(d+1)⌉-char
+    * verbatim run is far rarer than any q-gram). Strings shorter than
+    * `d+1` chars can't donate non-empty segments and are routed through
+    * a length-banded pass (buckets of width `d+1`; partners within
+    * distance `d` differ by at most one bucket) — exact but all-pairs
+    * within a band, the rare-tail contract. Survivors of both passes
+    * get a length filter (`||a|−|b|| ≤ d`) and a threshold-bounded
+    * Levenshtein verify (early-exits past `maxDist`, so each check is
+    * O(d·len), not O(len²)).
+    *
+    * Returns `(id_a, id_b, dist)`, `id_a < id_b`, one row per verified
+    * pair. Scale shape: segments and probe substrings are map-side
+    * explodes (≤ (d+1)² probes per string per partner length);
+    * candidates are `(la, i, sub)`-keyed equi-joins (AQE
+    * skew-splittable, never a cartesian); the pair `distinct` and the
+    * two string-fetch joins are id-keyed; verification is a map-side
+    * expression. */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int): DataFrame = {
+    val (out, strs) = editDistancePlan(df, idCol, strCol, maxDist)
+    try out.localCheckpoint(true) finally strs.unpersist()
+  }
+
+  /** The lazy plan behind [[editDistancePairs]] plus the persisted
+    * `(vid, s, len)` frame the caller must unpersist — split out so
+    * PlanQualitySpec can pin the pre-checkpoint plan shape. */
+  private[graft] def editDistancePlan(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int): (DataFrame, DataFrame) = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val k = maxDist + 1
+    // repartition by id before persisting: the segment/probe explodes and
+    // the Levenshtein verify are the compute-heavy map stages, and input
+    // file layout (locally: ONE small parquet split) must not cap their
+    // parallelism — one cheap exchange of the pruned (id, string) pairs
+    // buys evenly spread downstream work
+    val strs = df
+      .select(col(idCol).as("vid"), col(strCol).cast("string").as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("len", length(col("s")).cast("long"))
+      .repartition(col("vid"))
+      .persist()
+    // PassJoin pass: both endpoints long enough for non-empty segments
+    val longs = strs.where(col("len") >= k)
+    // distinct lengths of the indexed strings, shipped to the probe
+    // generator as a literal: partner lengths nothing was partitioned
+    // at produce no probes. The collect is bounded by the string-length
+    // DOMAIN (≤ max |s| values), not the row count — safe by
+    // construction at any corpus size.
+    val lens = longs.select(col("len")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lensLit =
+      if (lens.isEmpty) array().cast("array<bigint>") else lit(lens)
+    val idx = longs
+      .select(col("vid").as("iid"),
+        explode(passJoinSegments(col("s"), col("len"), k)).as("seg"))
+      .select(col("iid"), col("seg.la"), col("seg.i"), col("seg.sub"))
+    val prb = longs
+      .select(col("vid").as("pid"),
+        explode(passJoinProbes(col("s"), col("len"), maxDist, k, lensLit))
+          .as("pr"))
+      .select(col("pid"), col("pr.la"), col("pr.i"), col("pr.sub"))
+    // the la key pins partner length (and with it the partition scheme),
+    // so the length filter is built into the join itself
+    val candLong = idx.join(prb, Seq("la", "i", "sub"))
+      .where(col("iid") =!= col("pid"))
+      .select(least(col("iid"), col("pid")).as("id_a"),
+        greatest(col("iid"), col("pid")).as("id_b"))
+    // banded pass: everything short enough to pair with a sub-k string
+    // (length filter: the longer endpoint is < k + maxDist)
+    val shorts = strs.where(col("len") < k + maxDist)
+      .select(col("vid"), (col("len") / k).cast("long").as("b"))
+    val candShort = shorts
+      .join(shorts.select(col("vid").as("ovid"),
+          explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b")), "b")
+      .where(col("vid") =!= col("ovid"))
+      .select(least(col("vid"), col("ovid")).as("id_a"),
+        greatest(col("vid"), col("ovid")).as("id_b"))
+    val cand = candLong.unionByName(candShort).distinct()
+    val out = cand
+      .join(strs.select(col("vid").as("id_a"), col("s").as("s_a"),
+        col("len").as("len_a")), "id_a")
+      .join(strs.select(col("vid").as("id_b"), col("s").as("s_b"),
+        col("len").as("len_b")), "id_b")
+      .where(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+    (out, strs)
+  }
 }

@@ -993,6 +993,49 @@ class OperatorsSpec extends AnyFunSuite {
       ("practice", 1L, 1000000L)), got2.toString)
   }
 
+  test("editDistancePairs: hand-computed distances; threshold excludes far pairs") {
+    val s = spark
+    import s.implicits._
+    // lengths >= k = d+1 = 3 → all through the PassJoin segment path
+    val rows = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fax"),   // 1 substitution from #1
+      (3L, "the quick brown foxes"), // 2 insertions from #1, 3 edits from #2
+      (4L, "a completely different")).toDF("id", "s")
+    val got = Dedup.editDistancePairs(rows, "id", "s", maxDist = 2)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 2L)), got.toString)
+  }
+
+  test("editDistancePairs: brute-force parity, short strings through the banded path") {
+    val s = spark
+    import s.implicits._
+    // deterministic mix of short (< k = d+1 = 3 chars) and long strings;
+    // shorts exercise the length-banded pass, the short/long boundary
+    // pairs exercise the union, empties exercise the degenerate segment
+    val base = Seq("abcd", "abed", "ab", "", "x", "abcdefgh", "abcdefghij",
+      "abcdefghijk", "zbcdefghij", "the quick brown fox jumps",
+      "the quick brown fox jump", "completely unrelated words here")
+    val rows = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "s")
+    val d = 2
+    val got = Dedup.editDistancePairs(rows, "id", "s", maxDist = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force via the same builtin (oracle independence for the
+    // DISTANCE comes from the DuckDB verify query; this spec proves the
+    // candidate scheme loses nothing)
+    val a = rows.select(col("id").as("id_a"), col("s").as("s_a"))
+    val b = rows.select(col("id").as("id_b"), col("s").as("s_b"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("dist") <= d)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "degenerate fixture: brute force found no pairs")
+    assert(got == brute, s"got=$got brute=$brute")
+  }
+
   test("containmentDedup: transitive chains collapse to one keeper per component") {
     val s = spark
     import s.implicits._

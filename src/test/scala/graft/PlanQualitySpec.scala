@@ -252,6 +252,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(planStr.contains("TakeOrderedAndProject"), planStr)
   }
 
+  test("editDistancePairs: segment-keyed equi-joins only — no cartesian, verify is map-side") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("title"))
+    val (out, strs) = graft.operators.Dedup.editDistancePlan(
+      d, "doc_id", "title", 8)
+    try {
+      val planStr = out.queryExecution.executedPlan.toString
+      // the banded short-string pass and the PassJoin segment pass are
+      // BOTH equi-joins (bucket key / (la,i,sub) key) — an all-pairs
+      // design would surface as a cartesian or nested-loop join
+      assert(!planStr.contains("CartesianProduct"), planStr)
+      assert(!planStr.contains("BroadcastNestedLoopJoin"), planStr)
+      // the strings frame is persisted once and re-read for the segment
+      // pass, the probe pass, the banded pass, and both verify fetches
+      assert(planStr.contains("InMemoryTableScan"), planStr)
+      // the Levenshtein verify is threshold-bounded (early-exit form),
+      // not the unbounded two-arg kernel
+      assert(planStr.toLowerCase.contains("levenshtein"), planStr)
+    } finally strs.unpersist()
+  }
+
   test("nearDupScreen: both screens run off ONE shingle pass — no Generate or corpus scan in the live tree") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
