@@ -86,6 +86,12 @@ object JsonFunctions {
           s"absmax must be a numeric literal, got $other")
       })),
       "int_dot" -> (es => IntDot(es(0), es(1))),
+      "unicode_normalize" -> (es => UnicodeNormalize(es(0), es(1) match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"form must be a string literal, got $other")
+      })),
+      "fix_mojibake" -> (es => FixMojibake(es(0))),
       "gear_cutpoints" -> (es => GearCutpoints(es(0), litInt(es(1), "maskBits"),
         litInt(es(2), "minLen"), litInt(es(3), "maxLen"))),
       // aggregate: the analyzer wraps a bare AggregateFunction from the

@@ -869,6 +869,36 @@ object SparkEntry {
               lit("@example.com or +1-555 123 4567"))).as("clean"))
         .orderBy(col("doc_id"))),
 
+    // Unicode normalization: the corpus is ASCII, so the verify query
+    // plants decomposed sequences (e + U+0301) and compatibility chars
+    // (ﬁ ² ①) and normalizes them back; the oracle replays the expected
+    // precomposed/compat outputs LITERALLY (chr(233), 'fi 2 1'), so a
+    // hash match pins the JDK Normalizer to the Unicode tables
+    "q_normalize" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextOps.unicodeNormalize(
+            regexp_replace(col("text"), lit("e"), lit("e\u0301")), "NFC")
+            .as("nfc"),
+          operators.TextOps.unicodeNormalize(
+            concat(col("text"), lit(" \uFB01 \u00B2 \u2460")), "NFKC")
+            .as("nfkc"))
+        .orderBy(col("doc_id"))),
+
+    // mojibake repair: mangle each doc the way a charset-lying origin
+    // does (UTF-8 bytes re-read as Latin-1: é → Ã©) and repair it back;
+    // the oracle computes the CLEAN text directly, so a hash match
+    // proves repair exactly inverts the corruption — including the
+    // pure-ASCII rows, which must pass through untouched
+    "q_mojibake" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextOps.fixMojibake(
+            decode(encode(
+              regexp_replace(col("text"), lit("a"), lit("\u00E1")),
+              "UTF-8"), "ISO-8859-1")).as("fixed"))
+        .orderBy(col("doc_id"))),
+
     // deterministic stratified sampling: cap every source at 10 docs,
     // chosen by hash order (reproducible across engines/partitionings)
     "q_stratified" -> ((s, dir) =>
@@ -3335,6 +3365,22 @@ object SparkEntry {
         |   '$email', '[PII]', 'g'), '$phone', '[PII]', 'g') AS clean
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     },
+
+    // normalization replica: the EXPECTED post-normalization strings
+    // rebuilt literally — chr(233) is precomposed é (what NFC must emit
+    // for e+U+0301), 'fi 2 1' is the NFKC image of U+FB01/U+00B2/U+2460
+    // — so the hash match pins the JDK Normalizer to the standard
+    "q_normalize" ->
+      """SELECT doc_id, replace(text, 'e', chr(233)) AS nfc,
+        | text || ' fi 2 1' AS nfkc
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // mojibake replica: the oracle computes the CLEAN text directly
+    // (replace a→á), never seeing the Latin-1 mangle the engine must
+    // invert — a hash match proves repair(mangle(x)) = x on every row
+    "q_mojibake" ->
+      """SELECT doc_id, replace(text, 'a', chr(225)) AS fixed
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // PageRank replica: the same fixed-point integer recurrence, one
     // materialized CTE per iteration — integer sums are order-free, so

@@ -1403,6 +1403,19 @@ object TextOps {
       .orderBy(col("score").desc, col("phrase")).limit(topK)
   }
 
+  /** Unicode-normalize a string column (NFC/NFD/NFKC/NFKD) — see
+    * [[UnicodeNormalize]]. The hygiene step BEFORE any hash/dedup pass:
+    * é-as-two-codepoints and é-precomposed must collide. */
+  def unicodeNormalize(textCol: Column, form: String = "NFC"): Column =
+    GraftSqlShim.column(UnicodeNormalize(
+      GraftSqlShim.expression(textCol), form))
+
+  /** Repair UTF-8-decoded-as-Latin-1/Windows-1252 mojibake ("Ã©" → "é")
+    * — see [[FixMojibake]]. Strings a strict decoder can't validate
+    * come back unchanged. */
+  def fixMojibake(textCol: Column): Column =
+    GraftSqlShim.column(FixMojibake(GraftSqlShim.expression(textCol)))
+
   /** Per-document stats frame used by the pipeline queries; tokenizes
     * once (see stopwordRatioOf). */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame =

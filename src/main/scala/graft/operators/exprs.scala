@@ -1612,3 +1612,139 @@ case class MultiPatternExcise(child: Expression, patterns: Seq[String])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) via the JDK's
+  * `java.text.Normalizer` — the canonical text-hygiene step before any
+  * hashing/dedup/tokenization pass, since visually identical strings
+  * with different codepoint sequences (é vs e+U+0301; ﬁ vs fi under
+  * the K forms) otherwise land in different hash buckets. Pure-ASCII
+  * inputs short-circuit without allocating (a byte scan — ASCII is
+  * normalized under every form), so the kernel runs at scan speed on
+  * the common case. NULL in → NULL out. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with KernelCodegen {
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"form must be one of NFC/NFD/NFKC/NFKD, got $form")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize expects a string argument, got ${other.sql}")
+  }
+
+  @transient private lazy val jform = java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = u.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) return u
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, jform)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, jform))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Mojibake repair: invert the classic UTF-8-bytes-decoded-as-
+  * Latin-1/Windows-1252 corruption ("é" shipped as "Ã©", "—" as
+  * "â€”") that web crawls accumulate when an origin lies about its
+  * charset. The ftfy recipe (Speer, "fixes text for you"), reduced to
+  * its sound core: map each char back to the byte it mis-decoded from
+  * (identity for U+0000–U+00FF, the Windows-1252 table for the
+  * € ‚ ƒ „ …-range punctuation that Latin-1 maps to C1 controls),
+  * STRICTLY re-decode as UTF-8, and accept only if the decode is valid
+  * and actually changed something; iterate to a fixpoint (bounded) so
+  * double-mangled text also unwinds. Untouchable strings — genuine
+  * Latin-1 text, anything with chars outside the byte-mappable range —
+  * return unchanged, because a strict decoder rejects them; the
+  * residual ambiguity (text that IS meant to read "Ã©") is inherent to
+  * the problem and documented here rather than hidden. Pure-ASCII
+  * inputs short-circuit on a byte scan. NULL in → NULL out. */
+case class FixMojibake(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fix_mojibake"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fix_mojibake expects a string argument, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val bytes = u.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) return u
+    var cur = u.toString
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 4) {
+      changed = false
+      FixMojibake.unmangle(cur) match {
+        case Some(fixed) if fixed != cur => cur = fixed; changed = true
+        case _ => ()
+      }
+      rounds += 1
+    }
+    if (cur == u.toString) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(cur)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object FixMojibake {
+  /** Windows-1252 0x80–0x9F mappings (the printable subset); Latin-1
+    * leaves these as C1 controls, real-world mojibake mixes both. */
+  private val cp1252Inverse: Map[Char, Byte] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F
+  ).map { case (c, b) => c -> b.toByte }
+
+  /** One unmangle round: chars → the bytes they mis-decoded from,
+    * then a STRICT UTF-8 decode. None when any char is unmappable, the
+    * byte stream isn't valid UTF-8, or nothing would change (no byte
+    * ≥ 0x80 — pure ASCII can't be mojibake). */
+  private[operators] def unmangle(s: String): Option[String] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    var hasHigh = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c <= 'ÿ') out(i) = c.toByte
+      else cp1252Inverse.get(c) match {
+        case Some(b) => out(i) = b
+        case None => return None
+      }
+      if ((out(i) & 0x80) != 0) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return None
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(out)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+}

@@ -993,6 +993,63 @@ class OperatorsSpec extends AnyFunSuite {
       ("practice", 1L, 1000000L)), got2.toString)
   }
 
+  test("unicodeNormalize: NFC composes, NFKC folds compatibility chars, ASCII passes through") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "cafe\u0301"),              // e + combining acute (decomposed)
+      (2L, "\uFB01sh \u00B2 \u2460"),  // fi ligature, superscript 2, circled 1
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = rows.select(col("id"),
+        TextOps.unicodeNormalize(col("t"), "NFC").as("nfc"),
+        TextOps.unicodeNormalize(col("t"), "NFKC").as("nfkc"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, "caf\u00E9", "caf\u00E9"),
+      (2L, "\uFB01sh \u00B2 \u2460", "fish 2 1"),
+      (3L, "plain ascii", "plain ascii"),
+      (4L, null, null)), got.toString)
+    // NFD decomposes the precomposed form back
+    val nfd = rows.where(col("id") === 1)
+      .select(TextOps.unicodeNormalize(
+        TextOps.unicodeNormalize(col("t"), "NFC"), "NFD"))
+      .head().getString(0)
+    assert(nfd == "cafe\u0301", nfd)
+    intercept[IllegalArgumentException] {
+      graft.operators.UnicodeNormalize(null, "NFX")
+    }
+  }
+
+  test("fixMojibake: inverts Latin-1 and cp1252 mangles, leaves genuine text alone") {
+    val s = spark
+    import s.implicits._
+    def mangle(t: String): String = // UTF-8 bytes re-read as Latin-1
+      new String(t.getBytes("UTF-8"), "ISO-8859-1")
+    val clean = "caf\u00E9 \u2014 it\u2019s \u20AC5" // e-acute, em dash, curly quote, euro
+    val rows = Seq(
+      (1L, mangle(clean)),          // single mangle
+      (2L, mangle(mangle(clean))),  // double mangle unwinds via fixpoint
+      (3L, "caf\u00E9"),            // genuine Latin-1-range text: a lone
+                                    // \u00E9 is invalid UTF-8 -> untouched
+      (4L, "plain ascii"),          // ASCII short-circuit
+      (5L, "\u4F60\u597D"),          // chars unmappable to bytes -> untouched
+      (6L, null.asInstanceOf[String]),
+      // cp1252-decoded mangle: the curly quote arrives as \u00E2\u20AC\u2122
+      // (with a REAL euro sign), exercising the cp1252 inverse table
+      (7L, new String("it\u2019s".getBytes("UTF-8"), "windows-1252"))).toDF("id", "t")
+    // the single mangle of the curly quote really does route through the
+    // cp1252 C1 range (0x80-0x9F), so the inverse table is exercised
+    assert(mangle("\u2019") == "\u00E2\u0080\u0099", mangle("\u2019"))
+    val got = rows.select(col("id"), TextOps.fixMojibake(col("t")).as("f"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      (1L, clean), (2L, clean), (3L, "caf\u00E9"),
+      (4L, "plain ascii"), (5L, "\u4F60\u597D"), (6L, null),
+      (7L, "it\u2019s")), got.toString)
+  }
+
   test("editDistancePairs: hand-computed distances; threshold excludes far pairs") {
     val s = spark
     import s.implicits._
