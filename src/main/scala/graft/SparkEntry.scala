@@ -1241,6 +1241,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // WARC ingestion: each doc is framed as a full ISO-28500 response
+    // record (WARC headers + embedded HTTP message) and the byte-level
+    // splitter parses it back; the oracle computes the expected fields
+    // DIRECTLY from the table, so a hash match proves parse(build(x))=x
+    // across every header, the status line, and the body slice
+    "q_warc" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      val rec = sources.Warc.buildWarcResponse(
+        concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
+        lit("2026-01-01T00:00:00Z"), col("text"))
+      d.select(col("doc_id"), explode(sources.Warc.warcRecords(rec)).as("r"))
+        .select(col("doc_id"), col("r.warc_type"), col("r.target_uri"),
+          col("r.warc_date"), col("r.http_status").cast("long").as("http_status"),
+          col("r.content_type"), col("r.body").cast("string").as("body"))
+        .orderBy(col("doc_id"))
+    }),
+
     // robots.txt end-to-end: parse the per-domain files (grouping,
     // casing, comments, empty-Disallow, multi-agent groups) and judge a
     // crawl frontier under RFC 9309 precedence — exact-agent groups
@@ -4075,6 +4092,16 @@ object SparkEntry {
         |   CAST(floor(value) AS BIGINT) & 255 AS zb FROM events)
         | ORDER BY event_id""".stripMargin.replaceAll("\n", " ")
     },
+
+    // WARC replica: the expected parse fields rebuilt from the table —
+    // the oracle never sees the binary framing the engine must split
+    "q_warc" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        | 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        | '2026-01-01T00:00:00Z' AS warc_date, CAST(200 AS BIGINT) AS http_status,
+        | 'text/html' AS content_type, text AS body
+        | FROM documents WHERE text IS NOT NULL
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // Count-Min replica: per-(token, row) cells via the same mix64∘fnv1a
     // HUGEINT chain, instance counts into the d×w grid, min-over-rows

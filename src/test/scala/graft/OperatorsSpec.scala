@@ -993,6 +993,61 @@ class OperatorsSpec extends AnyFunSuite {
       ("practice", 1L, 1000000L)), got2.toString)
   }
 
+  test("warcRecords: multi-record split, gzip members, HTTP envelope strip, truncated tail") {
+    val s = spark
+    import s.implicits._
+    def rec(url: String, body: String, date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: ${body.length}\r\n\r\n$body"
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+        .getBytes("UTF-8")
+    }
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\n" +
+      "Content-Length: 10\r\n\r\nrobots: ok\r\n\r\n").getBytes("UTF-8")
+    val blob = info ++ rec("https://a.example/", "hello world") ++
+      rec("https://b.example/", "second doc")
+    val rows = Seq((1L, blob)).toDF("id", "bin")
+    val got = rows.select(explode(graft.sources.Warc.warcRecords(col("bin"))).as("r"))
+      .select(col("r.warc_type"), col("r.target_uri"), col("r.http_status"),
+        col("r.content_type"), col("r.body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      ("warcinfo", null, -1, "application/warc-fields", "robots: ok"),
+      ("response", "https://a.example/", 200, "text/html", "hello world"),
+      ("response", "https://b.example/", 200, "text/html", "second doc")), got.toString)
+    // a truncated tail keeps the valid prefix
+    val cut = blob.dropRight(30) // slices into the last record's payload
+    val gotCut = Seq((1L, cut)).toDF("id", "bin")
+      .select(size(graft.sources.Warc.warcRecords(col("bin"))))
+      .head().getInt(0)
+    assert(gotCut == 2, s"expected 2 surviving records, got $gotCut")
+    // Common Crawl layout: one gzip MEMBER per record, concatenated
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val gzBlob = gz(info) ++ gz(rec("https://a.example/", "hello world")) ++
+      gz(rec("https://b.example/", "second doc"))
+    val gotGz = Seq((1L, gzBlob)).toDF("id", "bin")
+      .select(explode(graft.sources.Warc.warcRecords(col("bin"))).as("r"))
+      .select(col("r.target_uri")).collect().map(_.getString(0)).toSeq
+    assert(gotGz == Seq(null, "https://a.example/", "https://b.example/"), gotGz.toString)
+    // the file-reader path end to end
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    try {
+      java.nio.file.Files.write(dir.resolve("part0.warc"), blob)
+      java.nio.file.Files.write(dir.resolve("part1.warc.gz"), gzBlob)
+      val df = graft.sources.Warc.readWarc(s, dir.toString)
+      assert(df.count() == 6)
+      assert(df.where(col("warc_type") === "response").count() == 4)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("unicodeNormalize: NFC composes, NFKC folds compatibility chars, ASCII passes through") {
     val s = spark
     import s.implicits._
