@@ -869,6 +869,15 @@ object SparkEntry {
               lit("@example.com or +1-555 123 4567"))).as("clean"))
         .orderBy(col("doc_id"))),
 
+    // token-distribution entropy: the ⌊10^6·c·ln(c)⌋ fold keeps every
+    // term an exact integer (MathLn on integer args = libm), so the sum
+    // is order-free and the entropy double a fully-specified IEEE
+    // expression — bit-comparable without any float-order pinning
+    "q_entropy" -> ((s, dir) =>
+      operators.TextOps.tokenEntropy(
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Unicode normalization: the corpus is ASCII, so the verify query
     // plants decomposed sequences (e + U+0301) and compatibility chars
     // (ﬁ ² ①) and normalizes them back; the oracle replays the expected
@@ -3382,6 +3391,21 @@ object SparkEntry {
         |   '$email', '[PII]', 'g'), '$phone', '[PII]', 'g') AS clean
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     },
+
+    // entropy replica: identical integer fold ((1000000*c) is an exact
+    // integer before the double multiply, matching Spark's association),
+    // identical IEEE finish — ln only ever sees integer args
+    "q_entropy" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents WHERE text IS NOT NULL) GROUP BY doc_id, tok)
+        | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CAST(floor(1000000 * c * ln(c)) AS BIGINT)) AS BIGINT) AS sum_c_ln_c_e6,
+        |  ln(CAST(sum(c) AS DOUBLE)) -
+        |   (CAST(sum(CAST(floor(1000000 * c * ln(c)) AS BIGINT)) AS DOUBLE) / 1000000.0)
+        |    / CAST(sum(c) AS DOUBLE) AS entropy
+        | FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // normalization replica: the EXPECTED post-normalization strings
     // rebuilt literally — chr(233) is precomposed é (what NFC must emit

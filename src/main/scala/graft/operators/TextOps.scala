@@ -1403,6 +1403,40 @@ object TextOps {
       .orderBy(col("score").desc, col("phrase")).limit(topK)
   }
 
+  /** Per-document token-distribution Shannon entropy — the
+    * information-theoretic quality signal the ratio heuristics miss:
+    * keyword-stuffed or template-spun pages have low entropy at normal
+    * length, and it complements [[repetition]]'s n-gram view with a
+    * whole-distribution one.
+    *
+    * H = ln(n) − (Σ_t c_t·ln(c_t))/n over token counts c_t. The fold is
+    * carried as `Σ ⌊10^6·c·ln(c)⌋` — each term an exact integer (ln on
+    * INTEGER args through [[graft.operators.MathLn]], where JVM
+    * Math.log and libm agree bit-for-bit in the corpus-count range), so
+    * the distributed sum is order-free and the final entropy double is
+    * a fully-specified IEEE expression over (n, that sum) — the same
+    * oracle discipline as PMI/BM25. The 1e-6/n quantization is far
+    * below any filtering decision.
+    *
+    * Returns `(id, n_tokens, n_distinct, sum_c_ln_c_e6, entropy)`.
+    * Scale shape: one (doc, token) aggregation, one per-doc aggregation
+    * — both map-side-partial hash aggregates, no joins. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("__doc"), col("tok")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("__doc"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(lit(1e6) * col("c").cast("double") *
+          math_ln(col("c").cast("double"))).cast("long")).as("sum_c_ln_c_e6"))
+      .select(col("__doc").as(idCol), col("n_tokens"), col("n_distinct"),
+        col("sum_c_ln_c_e6"),
+        (math_ln(col("n_tokens").cast("double")) -
+          (col("sum_c_ln_c_e6").cast("double") / 1e6) /
+            col("n_tokens").cast("double")).as("entropy"))
+  }
+
   /** Unicode-normalize a string column (NFC/NFD/NFKC/NFKD) — see
     * [[UnicodeNormalize]]. The hygiene step BEFORE any hash/dedup pass:
     * é-as-two-codepoints and é-precomposed must collide. */

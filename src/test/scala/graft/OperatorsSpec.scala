@@ -993,6 +993,30 @@ class OperatorsSpec extends AnyFunSuite {
       ("practice", 1L, 1000000L)), got2.toString)
   }
 
+  test("tokenEntropy: hand-computed fold; uniform beats repeated at equal length") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a b"),          // c = {a:2, b:1}
+      (2L, "x x x x"),        // degenerate: one token repeated
+      (3L, "p q r s")).toDF("doc_id", "text") // uniform: max entropy
+    val got = TextOps.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val f1 = math.floor(1e6 * 2.0 * Math.log(2.0)).toLong // a:2 term
+    assert(got(0) == (1L, 3L, 2L, f1,
+      Math.log(3.0) - (f1.toDouble / 1e6) / 3.0), got(0).toString)
+    val f2 = math.floor(1e6 * 4.0 * Math.log(4.0)).toLong
+    assert(got(1) == (2L, 4L, 1L, f2,
+      Math.log(4.0) - (f2.toDouble / 1e6) / 4.0), got(1).toString)
+    assert(got(2) == (3L, 4L, 4L, 0L, Math.log(4.0)), got(2).toString)
+    // the signal orders as theory says: uniform > mixed > degenerate
+    assert(got(2)._5 > got(0)._5 && got(0)._5 > got(1)._5)
+    // degenerate entropy is ~0 (exact up to the 1e-6/n quantization)
+    assert(math.abs(got(1)._5) < 1e-6)
+  }
+
   test("warcRecords: multi-record split, gzip members, HTTP envelope strip, truncated tail") {
     val s = spark
     import s.implicits._
