@@ -1898,6 +1898,22 @@ object SparkEntry {
           col("channels"), col("bits_per_sample"), col("n_frames"))
         .orderBy(col("doc_id"))),
 
+    // FLAC end to end: deterministic PCM (constant / ramp / noise
+    // families) → real FLAC encode (fixed predictors + Rice, CRC-8/16)
+    // → real decode; the oracle recomputes the sample aggregates from
+    // the generator formula, never touching the bitstream — a hash
+    // match proves decode(encode(pcm)) = pcm at corpus scale
+    "q_flac" -> ((s, dir) =>
+      operators.Multimodal.decodeFlacStats(s,
+          operators.Multimodal.syntheticFlacBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("n_frames"), col("sum_v"),
+          col("sum_abs"), col("sum_sq"),
+          col("v_first").cast("long").as("v_first"),
+          col("v_last").cast("long").as("v_last"))
+        .orderBy(col("doc_id"))),
+
     "q_audio_features" -> ((s, dir) =>
       operators.Multimodal.decodeAudioFeatures(s,
           operators.Multimodal.syntheticAudioBlobs(s, table(s, dir, "documents")))
@@ -4644,6 +4660,28 @@ object SparkEntry {
     // generator formula (PCM is raw — decoded samples == formula),
     // exact-integer sums, then the same IEEE double divisions and
     // float32 rounding as decodeWav
+    // FLAC replica: the generator formula re-aggregated in SQL — the
+    // oracle never parses a FLAC byte, so agreement proves the codec
+    "q_flac" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |   8000 + (doc_id % 5) * 2000 AS sr, 256 + (doc_id * 3) % 200 AS nf,
+        |   doc_id % 4 AS kind FROM documents),
+        | fr AS (SELECT doc_id, ch, sr, nf, kind, unnest(range(nf)) AS f FROM d),
+        | sm AS (SELECT doc_id, ch, sr, nf, kind, f, unnest(range(ch)) AS c FROM fr),
+        | v AS (SELECT doc_id, ch, sr, nf, f, c,
+        |   CASE WHEN kind = 0 THEN ((doc_id * 7919 + c * 17) % 4096) - 2048
+        |        WHEN kind = 1 THEN -1024 + ((doc_id + c * 17) % 777) + 3 * f
+        |        ELSE ((doc_id * 7919 + f * 31 + c * 17) % 4096) - 2048 END AS v
+        |  FROM sm)
+        | SELECT doc_id, CAST(max(sr) AS INT) AS sample_rate,
+        |  CAST(max(ch) AS INT) AS channels, CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(sum(v) AS BIGINT) AS sum_v, CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(CASE WHEN f = 0 AND c = 0 THEN v END) AS BIGINT) AS v_first,
+        |  CAST(max(CASE WHEN f = nf - 1 AND c = ch - 1 THEN v END) AS BIGINT) AS v_last
+        | FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "q_audio_features" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 256 + (doc_id * 3) % 200 AS nf
         |   FROM documents),

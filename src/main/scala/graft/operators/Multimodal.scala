@@ -1329,6 +1329,85 @@ object Multimodal {
   def syntheticMsAdpcmBlobs(spark: SparkSession, df: DataFrame): DataFrame =
     blobTable(spark, df, syntheticWavMsAdpcm)
 
+  /** One PCM sample of the deterministic FLAC test corpus. Three signal
+    * families by `doc_id % 4` — constant (CONSTANT subframes), linear
+    * ramp (FIXED order-2 zero residuals), pseudo-noise (dense Rice /
+    * VERBATIM) — so the encoder's whole subframe menu is exercised at
+    * corpus scale; every branch is %-arithmetic on non-negatives, so
+    * the oracle replays it verbatim in SQL. */
+  private[operators] def flacSample(docId: Long, f: Int, c: Int): Int = {
+    val kind = java.lang.Math.floorMod(docId, 4L).toInt
+    kind match {
+      case 0 => (java.lang.Math.floorMod(docId * 7919 + c * 17, 4096L) - 2048L).toInt
+      case 1 => (-1024L + java.lang.Math.floorMod(docId + c * 17, 777L) + 3L * f).toInt
+      case _ => (java.lang.Math.floorMod(docId * 7919 + f * 31L + c * 17, 4096L) - 2048L).toInt
+    }
+  }
+
+  /** A deterministic FLAC clip per id: ch = 1 + id%2, sr = 8000 +
+    * (id%5)·2000, nf = 256 + (3·id)%200 frames of [[flacSample]],
+    * encoded at blocksize 192 (≥2 frames per clip plus a short last
+    * frame). */
+  def syntheticFlac(docId: Long): Array[Byte] = {
+    val ch = 1 + java.lang.Math.floorMod(docId, 2L).toInt
+    val sr = 8000 + java.lang.Math.floorMod(docId, 5L).toInt * 2000
+    val nf = 256 + java.lang.Math.floorMod(docId * 3, 200L).toInt
+    val chans = Array.tabulate(ch)(c => Array.tabulate(nf)(f => flacSample(docId, f, c)))
+    Flac.encode(chans, sr, bitsPerSample = 16, blockSize = 192)
+  }
+
+  /** [[syntheticFlac]] clips for the given ids. */
+  def syntheticFlacBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticFlac)
+
+  /** Integer decode surface of a FLAC clip: stream metadata plus exact
+    * whole-clip sample aggregates (order-free integer sums across all
+    * channels) and the first/last samples — everything an oracle can
+    * recompute from the generator formula without touching the
+    * bitstream, so a hash match proves decode(encode(pcm)) = pcm. */
+  case class FlacStats(
+      doc_id: Long,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_frames: Long,
+      sum_v: Long,
+      sum_abs: Long,
+      sum_sq: Long,
+      v_first: Int,
+      v_last: Int)
+
+  /** Decode FLAC blobs `(doc_id, blob)` to [[FlacStats]]; rows that
+    * fail to decode (bad magic, CRC, truncation) are dropped — the
+    * error→NULL discipline at record granularity. */
+  def decodeFlacStats(spark: SparkSession, blobs: DataFrame): Dataset[FlacStats] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Flac.decode(bytes).map { a =>
+          var sv = 0L; var sa = 0L; var sq = 0L
+          var c = 0
+          while (c < a.channels) {
+            val arr = a.samples(c)
+            var i = 0
+            while (i < arr.length) {
+              val v = arr(i)
+              sv += v; sa += math.abs(v); sq += v.toLong * v
+              i += 1
+            }
+            c += 1
+          }
+          val nf = a.samples(0).length
+          FlacStats(id, bytes.length.toLong, a.sampleRate, a.channels,
+            a.bitsPerSample, nf.toLong, sv, sa, sq,
+            if (nf > 0) a.samples(0)(0) else 0,
+            if (nf > 0) a.samples(a.channels - 1)(nf - 1) else 0)
+        }
+      })
+  }
+
   /** One resized "image": same record shape, target dimensions, and a
     * deterministic resampled payload digest standing in for pixel data. */
   case class ResizedMedia(
