@@ -933,6 +933,20 @@ object SparkEntry {
       operators.Graph.pageRankEvents(table(s, dir, "events"), iterations = 5)
         .orderBy(col("node"))),
 
+    // HITS hubs & authorities on the directed user→item interaction
+    // graph: fixed-point integers with max-rescaled half-steps (the
+    // normalization float HITS does with an order-dependent L2 norm
+    // becomes one exact global max), every round replayed in the oracle
+    "q_hits" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val edges = ev.select(
+        concat(lit("u"), col("user_id").cast("long")).as("src"),
+        concat(lit("i"),
+          graft.JsonFunctions.json_get_int(col("props"), lit("k"))).as("dst"))
+      operators.Graph.hitsFixed(edges, "src", "dst", iterations = 5)
+        .orderBy(col("node"))
+    }),
+
     // TextRank keyword salience: integer PageRank over the token
     // co-occurrence graph (window 2, lead()-built pairs — one Exchange,
     // no self-join); top-20 corpus topic signature, rounds replayed in
@@ -3438,6 +3452,35 @@ object SparkEntry {
     "q_mojibake" ->
       """SELECT doc_id, replace(text, 'a', chr(225)) AS fixed
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // HITS replica: the same half-step recurrence — keyed sums, scalar
+    // max, exact integer rescale — one materialized CTE per half-step;
+    // DuckDB's HUGEINT sums equal Spark's (overflow-free) long sums
+    "q_hits" -> {
+      val iters = 5
+      val head =
+        "e AS MATERIALIZED (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src, " +
+          "'i' || CAST(json_extract_string(props, '$.k') AS VARCHAR) AS dst " +
+          "FROM events WHERE user_id IS NOT NULL " +
+          "AND json_extract_string(props, '$.k') IS NOT NULL), " +
+        "n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n)"
+      val rounds = (1 to iters).map { i =>
+        s"ar$i AS MATERIALIZED (SELECT e.dst, sum(h.hub) AS x FROM e " +
+          s"JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst), " +
+        s"a$i AS MATERIALIZED (SELECT n.node, (COALESCE(ar.x, 0) * 1000000) // " +
+          s"(SELECT greatest(1, max(x)) FROM ar$i) AS auth " +
+          s"FROM n LEFT JOIN ar$i ar ON ar.dst = n.node), " +
+        s"hr$i AS MATERIALIZED (SELECT e.src, sum(a.auth) AS x FROM e " +
+          s"JOIN a$i a ON e.dst = a.node GROUP BY e.src), " +
+        s"h$i AS MATERIALIZED (SELECT n.node, (COALESCE(hr.x, 0) * 1000000) // " +
+          s"(SELECT greatest(1, max(x)) FROM hr$i) AS hub " +
+          s"FROM n LEFT JOIN hr$i hr ON hr.src = n.node)"
+      }.mkString(", ")
+      s"WITH $head, $rounds " +
+        s"SELECT h.node, CAST(h.hub AS BIGINT) AS hub, CAST(a.auth AS BIGINT) AS auth " +
+        s"FROM h$iters h JOIN a$iters a USING (node) ORDER BY node"
+    },
 
     // PageRank replica: the same fixed-point integer recurrence, one
     // materialized CTE per iteration — integer sums are order-free, so

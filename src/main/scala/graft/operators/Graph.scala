@@ -206,4 +206,73 @@ object Graph {
       .select(col("node"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) on a directed
+    * graph, in the same fixed-point integer discipline as
+    * [[pageRankFixed]]: auth(v) = Σ hub(u) over in-edges, hub(v) =
+    * Σ auth(w) over out-edges, each half-step rescaled so the maximum
+    * score is 10^6 — `(x·10^6) div max(x)` is an exact integer op, so
+    * the normalization that float HITS does with an L2 norm (summation-
+    * order-dependent, unverifiable across engines) becomes one
+    * deterministic global max. On bipartite user→item interaction
+    * edges, hubs rank curators/feeders and authorities rank the content
+    * they converge on — the complement to PageRank's single authority
+    * axis for source weighting.
+    *
+    * Returns `(node, hub, auth)` for every node. Scale shape: the edge
+    * list is pre-partitioned by src and persisted (each round's two
+    * joins reuse the layout); each half-step is one equi-join + one
+    * keyed aggregation + one single-row max that broadcast-joins back;
+    * per-round frames are eagerly materialized (bounded lineage) and
+    * released before return. */
+  def hitsFixed(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def step(scores: DataFrame, scoreCol: String, joinOn: String,
+        groupTo: String, outCol: String): DataFrame = {
+      val raw = e.join(scores, e(joinOn) === scores("node"))
+        .groupBy(col(groupTo)).agg(sum(col(scoreCol)).as("x"))
+      // eager: `raw` feeds both the max and the rescale join
+      val m = raw.localCheckpoint(true)
+      retired += m
+      val mx = m.agg(greatest(lit(1L), max(col("x"))).as("mx"))
+      val out = nodes.join(m.select(col(groupTo).as("node"), col("x")),
+          Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"(coalesce(x, 0L) * 1000000L) div mx").as(outCol))
+      val cp = out.localCheckpoint(true)
+      retired += cp
+      cp
+    }
+    var hubs = nodes.select(col("node"), lit(1000000L).as("hub"))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      auth = step(hubs, "hub", "src", "dst", "auth")
+      hubs = step(auth, "auth", "dst", "src", "hub")
+      i += 1
+    }
+    val res = hubs.join(auth.select(col("node"), col("auth")), "node")
+      .select(col("node"), col("hub"), col("auth"))
+      .localCheckpoint(true)
+    e.unpersist(); nodes.unpersist()
+    // the last hub/auth checkpoints back the result only through the
+    // final join, which the checkpoint above severed — release them all
+    retired.foreach(graft.operators.releaseLocalCheckpoint)
+    res
+  }
 }

@@ -993,6 +993,27 @@ class OperatorsSpec extends AnyFunSuite {
       ("practice", 1L, 1000000L)), got2.toString)
   }
 
+  test("hitsFixed: hand-computed hub/authority rounds on a tiny bipartite graph") {
+    val s = spark
+    import s.implicits._
+    // a→x, b→x, b→y: b feeds more content (bigger hub), x is endorsed
+    // by more hubs (bigger authority)
+    val edges = Seq(("a", "x"), ("b", "x"), ("b", "y")).toDF("src", "dst")
+    def run(iters: Int): Map[String, (Long, Long)] =
+      Graph.hitsFixed(edges, "src", "dst", iters).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // round 1: auth raw x=2e6, y=1e6 → rescale: x=1e6, y=5e5;
+    // hub raw a=1e6, b=1.5e6 → a=⌊1e12/1.5e6⌋=666666, b=1e6
+    assert(run(1) == Map(
+      "a" -> (666666L, 0L), "b" -> (1000000L, 0L),
+      "x" -> (0L, 1000000L), "y" -> (0L, 500000L)), run(1).toString)
+    // round 2: auth raw x=1666666, y=1e6 → x=1e6, y=⌊1e12/1666666⌋=600000;
+    // hub raw a=1e6, b=1.6e6 → a=625000, b=1e6
+    assert(run(2) == Map(
+      "a" -> (625000L, 0L), "b" -> (1000000L, 0L),
+      "x" -> (0L, 1000000L), "y" -> (0L, 600000L)), run(2).toString)
+  }
+
   test("tokenEntropy: hand-computed fold; uniform beats repeated at equal length") {
     val s = spark
     import s.implicits._
