@@ -1810,6 +1810,28 @@ object SparkEntry {
           "doc_id", numShards = 8)
         .orderBy(col("doc_id"))),
 
+    // versioned snapshot table end to end: two appends + an overwrite,
+    // then TIME-TRAVEL reads of all three versions AFTER the overwrite —
+    // the oracle computes each version's expected contents from the
+    // source table, so a hash match proves commits never disturb what an
+    // earlier version reads (the reproducible-training-run contract)
+    "q_snapshot" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-snap")
+      val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      sources.Snapshots.append(d.where(col("doc_id") % 2 === 0), tmp.toString)
+      sources.Snapshots.append(d.where(col("doc_id") % 2 === 1), tmp.toString)
+      sources.Snapshots.overwrite(d.where(col("doc_id") % 4 === 0), tmp.toString)
+      val out = Seq(1L, 2L, 3L).map { v =>
+        sources.Snapshots.read(s, tmp.toString, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_id"),
+            col("sum_chars"))
+      }.reduce(_.unionAll(_)).orderBy(col("version")).localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // multimodal decode plumbing: binary blobs → metadata (stub codec)
     "q_mm_meta" -> ((s, dir) =>
       operators.Multimodal.decodeFeatures(s,
@@ -4175,6 +4197,20 @@ object SparkEntry {
         |   CAST(floor(value) AS BIGINT) & 255 AS zb FROM events)
         | ORDER BY event_id""".stripMargin.replaceAll("\n", " ")
     },
+
+    // snapshot replica: each version's contents computed directly from
+    // the source table — v1 evens, v2 everything, v3 multiples of 4
+    "q_snapshot" ->
+      """SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        | UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM documents
+        | UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 4 = 0
+        |) ORDER BY version""".stripMargin.replaceAll("\n", " "),
 
     // WARC replica: the expected parse fields rebuilt from the table —
     // the oracle never sees the binary framing the engine must split

