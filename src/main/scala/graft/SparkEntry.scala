@@ -1281,6 +1281,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the V2 connector end to end: WARC files are written DISTRIBUTED
+    // (each task concatenates its partition's records into one segment,
+    // the upstream crawl's layout), read back via format("warc") with
+    // one partition per file, doc ids recovered from the target URIs —
+    // same oracle contract as q_warc, but through the connector path
+    "q_warc_source" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcsrc")
+      val root = tmp.toString
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      d.select(sources.Warc.buildWarcResponse(
+          concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
+          lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+        .repartition(8)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val f = new java.io.FileOutputStream(new java.io.File(root,
+            s"seg_${java.util.UUID.randomUUID().toString.take(12)}.warc"))
+          try it.foreach(r => f.write(r.getAs[Array[Byte]](0)))
+          finally f.close()
+        }
+      val out = s.read.format("warc").load(root)
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"),
+          col("http_status").cast("long").as("http_status"),
+          col("content_type"), col("body").cast("string").as("body"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // robots.txt end-to-end: parse the per-domain files (grouping,
     // casing, comments, empty-Disallow, multi-agent groups) and judge a
     // crawl frontier under RFC 9309 precedence — exact-agent groups
@@ -4218,6 +4249,16 @@ object SparkEntry {
       """SELECT doc_id, 'response' AS warc_type,
         | 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
         | '2026-01-01T00:00:00Z' AS warc_date, CAST(200 AS BIGINT) AS http_status,
+        | 'text/html' AS content_type, text AS body
+        | FROM documents WHERE text IS NOT NULL
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // connector replica: identical expected fields; the file layout the
+    // tasks produced is invisible to the oracle by construction
+    "q_warc_source" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        | 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        | CAST(200 AS BIGINT) AS http_status,
         | 'text/html' AS content_type, text AS body
         | FROM documents WHERE text IS NOT NULL
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),

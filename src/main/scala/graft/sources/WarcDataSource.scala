@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * DataSource V2 connector for WARC files: `spark.read.format("warc")
+ * .load(path)` — one row per WARC record, one input partition per file
+ * (the upstream crawl's ~1 GB segmentation is the parallelism unit, the
+ * same contract as [[Warc.readWarc]]'s binaryFile route).
+ *
+ * Being a first-class connector buys what the binaryFile route can't:
+ * COLUMN PRUNING reaches the reader — `select(target_uri)` never
+ * materializes body byte arrays into rows (the scan's readSchema is
+ * pushed down and only requested fields are built), which at crawl
+ * scale is most of the data volume. Record splitting itself reuses
+ * [[WarcRecords.parseOne]], so the two routes can never disagree.
+ */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WarcTable(properties.get("path"))
+}
+
+object WarcDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = true)))
+
+  private[sources] def listFiles(path: String): Seq[String] = {
+    require(path != null && path.nonEmpty, "warc source requires a path")
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val matched: Array[FileStatus] = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val expanded = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }
+    expanded.map(_.getPath.toString).sorted.toSeq
+  }
+}
+
+private class WarcTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"warc:$path"
+  override def schema(): StructType = WarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path)
+}
+
+private class WarcScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(path, required)
+}
+
+private class WarcScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warc $path [${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    WarcDataSource.listFiles(path).map(f => WarcFilePartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required)
+}
+
+private case class WarcFilePartition(file: String) extends InputPartition
+
+private class WarcReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(
+      partition.asInstanceOf[WarcFilePartition].file, required)
+}
+
+/** Reads one WARC file: whole-blob load (the same memory contract as
+  * Spark's binaryFile source), transparent multi-member gunzip, then
+  * record-at-a-time iteration building ONLY the pruned columns. */
+private class WarcPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  // full-schema field order: path, warc_type, target_uri, warc_date,
+  // http_status, content_type, body
+  private val proj: Array[Int] =
+    required.fieldNames.map(WarcDataSource.schema.fieldIndex)
+
+  private val bytes: Array[Byte] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val raw =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+      val un = WarcRecords.gunzip(raw)
+      if (un == null) Array.emptyByteArray else un
+    } else raw
+  }
+
+  private val pathUtf8 = UTF8String.fromString(file)
+  private var pos = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+    if (pos >= bytes.length) return false
+    WarcRecords.parseOne(bytes, pos) match {
+      case Some((full, nxt)) =>
+        pos = nxt
+        val vals = new Array[Any](proj.length)
+        var i = 0
+        while (i < proj.length) {
+          vals(i) = if (proj(i) == 0) pathUtf8 else full.get(proj(i) - 1,
+            WarcDataSource.schema.fields(proj(i)).dataType)
+          i += 1
+        }
+        current = InternalRow.fromSeq(vals.toIndexedSeq)
+        true
+      case None => false // truncated tail: keep the valid prefix
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
