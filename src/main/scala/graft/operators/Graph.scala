@@ -241,33 +241,37 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // mid-iteration score frames are SPARSE — a zero-score node
+    // contributes nothing to the next half-step's sums, so the
+    // per-round zero-fill join against the node table is pure waste;
+    // zeros are restored once, at the end. `raw` feeds both the max and
+    // the rescale as identical subtrees, so its shuffle runs once per
+    // half-step via ReusedExchange.
     def step(scores: DataFrame, scoreCol: String, joinOn: String,
         groupTo: String, outCol: String): DataFrame = {
       val raw = e.join(scores, e(joinOn) === scores("node"))
         .groupBy(col(groupTo)).agg(sum(col(scoreCol)).as("x"))
-      // eager: `raw` feeds both the max and the rescale join
-      val m = raw.localCheckpoint(true)
-      retired += m
-      val mx = m.agg(greatest(lit(1L), max(col("x"))).as("mx"))
-      val out = nodes.join(m.select(col(groupTo).as("node"), col("x")),
-          Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"),
-          expr(s"(coalesce(x, 0L) * 1000000L) div mx").as(outCol))
-      val cp = out.localCheckpoint(true)
-      retired += cp
-      cp
+      val mx = raw.agg(greatest(lit(1L), max(col("x"))).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col(groupTo).as("node"),
+          expr(s"(x * 1000000L) div mx").as(outCol))
     }
     var hubs = nodes.select(col("node"), lit(1000000L).as("hub"))
     var auth: DataFrame = null
     var i = 0
     while (i < iterations) {
       auth = step(hubs, "hub", "src", "dst", "auth")
-      hubs = step(auth, "auth", "dst", "src", "hub")
+      // one eager materialization per ROUND bounds lineage depth; the
+      // final round's auth chain rides into the result job below
+      hubs = step(auth, "auth", "dst", "src", "hub").localCheckpoint(true)
+      retired += hubs
       i += 1
     }
-    val res = hubs.join(auth.select(col("node"), col("auth")), "node")
-      .select(col("node"), col("hub"), col("auth"))
+    val res = nodes
+      .join(hubs, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(true)
     e.unpersist(); nodes.unpersist()
     // the last hub/auth checkpoints back the result only through the
