@@ -77,6 +77,21 @@ object ScaleProbe {
       n
     }
 
+    // edit-distance growth curve: probe volume is ~(d+1)² substrings per
+    // string per OCCURRING partner length, candidates are exact-segment
+    // key collisions — wall time should track the corpus near-linearly
+    // while the planted 1-in-20 single-word edits stay found (the
+    // near-dup docs differ in 3 trailing words ≈ well within d on the
+    // 120-char prefix)
+    time(s"edit-distance pairs (PassJoin), $nDocs docs") {
+      val titled = docs.select(col("doc_id"),
+        substring(col("text"), 1, 120).as("t"))
+      val n = operators.Dedup.editDistancePairs(titled, "doc_id", "t",
+        maxDist = 8).count()
+      println(s"  edit-distance pairs: $n")
+      n
+    }
+
     time(s"single-scan curation, $nDocs docs") {
       operators.Curation.curate(docs, "doc_id", "text").count()
     }
