@@ -336,6 +336,53 @@ object Examples {
     Curation.dsirSample(dsirCorpus, dsirTarget, "doc_id", "text", k = 3,
       salt = 42L).select(col("doc_id"), col("gumbel_key")).show()
 
+    println("== 23. Text hygiene: normalization, mojibake repair, entropy, keywords ==")
+    docs.select(col("doc_id"),
+        TextOps.unicodeNormalize(col("text"), "NFKC").as("nfkc"),
+        TextOps.fixMojibake(col("text")).as("fixed"))
+      .show(2, truncate = 40)
+    TextOps.tokenEntropy(docs, "doc_id", "text")
+      .orderBy(col("entropy")).show(3) // lowest-entropy docs = most templated
+    TextOps.rakeKeywords(docs, "doc_id", "text", topK = 5).show(truncate = false)
+
+    println("== 24. Edit-distance dedup + HITS authority ==")
+    Dedup.editDistancePairs(
+        docs.select(col("doc_id"), substring(col("text"), 1, 200).as("t")),
+        "doc_id", "t", maxDist = 8)
+      .orderBy("id_a", "id_b").show(5)
+    Graph.hitsFixed(
+        sources.Tables.readTable(spark, s"$sfDir/events.parquet")
+          .select(concat(lit("u"), col("user_id")).as("src"),
+            concat(lit("e"), col("event_type")).as("dst")),
+        "src", "dst", iterations = 3)
+      .orderBy(col("auth").desc).show(5)
+
+    println("== 25. WARC ingestion + versioned snapshots + FLAC ==")
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-ex-warc")
+    val warcPath = warcDir.toString // plain string: the closure must serialize
+    docs.limit(50).select(sources.Warc.buildWarcResponse(
+        concat(lit("https://example.org/"), col("doc_id")),
+        lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+      .coalesce(1).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val f = new java.io.FileOutputStream(
+          new java.io.File(warcPath, "seg0.warc"))
+        try it.foreach(r => f.write(r.getAs[Array[Byte]](0))) finally f.close()
+      }
+    spark.read.format("warc").load(warcDir.toString)
+      .select("target_uri", "http_status", "content_type").show(3, truncate = 40)
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-ex-snap")
+    sources.Snapshots.append(docs.limit(10).select("doc_id"), snapDir.toString)
+    sources.Snapshots.overwrite(docs.limit(3).select("doc_id"), snapDir.toString)
+    println(s"v1 rows: ${sources.Snapshots.read(spark, snapDir.toString, 1).count()}, " +
+      s"v2 rows: ${sources.Snapshots.read(spark, snapDir.toString).count()}")
+    val flacBytes = Flac.encode(
+      Array(Array.tabulate(1000)(i => ((i * 7919) % 4096) - 2048)), 16000)
+    val flacBack = Flac.decode(flacBytes).get
+    println(s"FLAC: 2000 PCM bytes -> ${flacBytes.length} encoded, " +
+      s"decoded ${flacBack.totalSamples} samples, lossless = ${
+        java.util.Arrays.equals(flacBack.samples(0),
+          Array.tabulate(1000)(i => ((i * 7919) % 4096) - 2048))}")
+
     spark.stop()
   }
 }
