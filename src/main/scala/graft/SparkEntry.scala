@@ -1863,6 +1863,15 @@ object SparkEntry {
       out
     }),
 
+    // streaming ingestion into the snapshot table: one version per
+    // micro-batch (3 staged files × maxFilesPerTrigger=1), row counts
+    // strictly monotone across versions, final table = the source —
+    // version count / monotonicity / totals are the deterministic
+    // surface (per-version contents depend on file assignment)
+    "q_stream_snapshot" -> ((s, dir) =>
+      streaming.JsonStream.snapshotIngestToBatch(
+        s, s"$dir/documents.parquet", parts = 3)),
+
     // multimodal decode plumbing: binary blobs → metadata (stub codec)
     "q_mm_meta" -> ((s, dir) =>
       operators.Multimodal.decodeFeatures(s,
@@ -4228,6 +4237,14 @@ object SparkEntry {
         |   CAST(floor(value) AS BIGINT) & 255 AS zb FROM events)
         | ORDER BY event_id""".stripMargin.replaceAll("\n", " ")
     },
+
+    // streaming-snapshot replica: the deterministic audit surface —
+    // exactly 3 versions, growth monotone, final table = whole source
+    "q_stream_snapshot" ->
+      """SELECT CAST(3 AS BIGINT) AS n_versions, CAST(1 AS BOOLEAN) AS monotone,
+        | CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
 
     // snapshot replica: each version's contents computed directly from
     // the source table — v1 evens, v2 everything, v3 multiples of 4

@@ -1136,4 +1136,61 @@ object JsonStream {
           Iterator.single(agg)
         })
   }
+
+  /** Streaming ingestion into a versioned snapshot table: every
+    * micro-batch commits as one [[graft.sources.Snapshots]] append, so
+    * the table gains a pinnable version per batch and a training run
+    * launched mid-stream reads a frozen prefix forever. foreachBatch +
+    * the snapshot commit protocol gives the usual exactly-once-per-
+    * batch contract: the data write lands before the manifest rename,
+    * before the pointer rename, so a crash mid-commit leaves the table
+    * at the previous version and the restarted batch re-commits.
+    *
+    * Replay harness for the verify query: the source is staged into
+    * `parts` files and streamed one file per trigger, so the table ends
+    * at exactly `parts` versions; returns one audit row
+    * `(n_versions, monotone, n_rows, sum_id, sum_chars)` where
+    * `monotone` asserts every version's row count grew — per-version
+    * CONTENTS depend on file assignment (not oracle-stable), but the
+    * version count, monotonicity, and final table are deterministic. */
+  def snapshotIngestToBatch(
+      spark: SparkSession, path: String, parts: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val staged = java.nio.file.Files.createTempDirectory("graft-snapingest-src")
+    val table = java.nio.file.Files.createTempDirectory("graft-snapingest-tbl")
+    try {
+      spark.read.parquet(path).select(col("doc_id"), col("n_chars"))
+        .repartition(parts)
+        .write.mode("overwrite").parquet(staged.toString)
+      val schema = spark.read.parquet(staged.toString).schema
+      val root = table.toString
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty) { graft.sources.Snapshots.append(df, root); () }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      val vs = graft.sources.Snapshots.versions(spark, root)
+      val counts = vs.map(v =>
+        graft.sources.Snapshots.read(spark, root, v).count())
+      val monotone = counts.zip(counts.drop(1)).forall { case (a, b) => a < b }
+      graft.sources.Snapshots.read(spark, root)
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(lit(vs.size.toLong).as("n_versions"),
+          lit(monotone).as("monotone"), col("n_rows"), col("sum_id"),
+          col("sum_chars"))
+        .localCheckpoint(true)
+    } finally {
+      Seq(staged, table).foreach { d =>
+        java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+  }
 }

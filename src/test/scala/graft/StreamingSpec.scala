@@ -380,4 +380,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected at least one heavy hitter at sf0.001")
     assert(streamed == batch)
   }
+
+  test("snapshot sink: each micro-batch commits one version; old versions pinned") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-sink")
+    try {
+      val ms = MemoryStream[(Long, Long)]
+      val df = ms.toDF().toDF("doc_id", "n_chars")
+      val rootS = root.toString
+      val q = df.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) { graft.sources.Snapshots.append(b, rootS); () }
+        }
+        .start()
+      try {
+        ms.addData((1L, 10L), (2L, 20L))
+        q.processAllAvailable()
+        assert(graft.sources.Snapshots.versions(s, rootS) == Seq(1L))
+        ms.addData((3L, 30L))
+        q.processAllAvailable()
+        assert(graft.sources.Snapshots.versions(s, rootS) == Seq(1L, 2L))
+        // v1 stays pinned at the first batch's contents
+        def ids(v: Long) = graft.sources.Snapshots.read(s, rootS, v)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(ids(1) == Set(1L, 2L))
+        assert(ids(2) == Set(1L, 2L, 3L))
+      } finally q.stop()
+    } finally {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
 }
