@@ -1951,6 +1951,17 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // REAL PCX decode (ImageIO ships no PCX reader): RLE-planar 24-bit,
+    // runs spilling across plane boundaries handled; dims + features
+    // formula-replayed like the other codecs
+    "q_img_pcx" -> ((s, dir) =>
+      operators.Multimodal.decodeFeatures(s,
+          operators.Multimodal.syntheticPcxBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .orderBy(col("doc_id"), col("feat_idx"))),
+
     // REAL ICO parse: a MULTI-image container (2 entries per file, the
     // icon-directory walk), each a 32-bpp double-height icon whose
     // 1-bit AND mask excludes pixels from the feature fold — dims,
@@ -4730,6 +4741,10 @@ object SparkEntry {
     // hash-mismatches)
     "q_img_tga" ->
       imgPixelReplicaSql("16 + doc_id % 23", "16 + (doc_id * 3) % 15"),
+
+    // PCX replica: same pixel discipline at the PCX generator's dims
+    "q_img_pcx" ->
+      imgPixelReplicaSql("16 + doc_id % 21", "16 + (doc_id * 7) % 13"),
 
     // QOI replica: same pixel discipline at the QOI generator's dims,
     // with run rows ((doc_id + y) mod 5 = 0) drawing the C1 C1 C2 C2

@@ -141,6 +141,7 @@ object Multimodal {
           decodeImage(id, bytes)
             .orElse(decodeTga(id, bytes)) // ImageIO has no TGA reader
             .orElse(decodeQoi(id, bytes)) // ...nor a QOI one
+            .orElse(decodePcx(id, bytes)) // ...nor a PCX one
             .getOrElse(
               decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes))
         }
@@ -1328,6 +1329,111 @@ object Multimodal {
 
   def syntheticMsAdpcmBlobs(spark: SparkSession, df: DataFrame): DataFrame =
     blobTable(spark, df, syntheticWavMsAdpcm)
+
+  /** Deterministic synthetic PCX (ZSoft PC Paintbrush, the RLE-planar
+    * format half the legacy clipart web still carries): 24-bit RGB as
+    * three 8-bit planes per row, each plane RLE-coded (0xC0|len runs,
+    * literals < 0xC0, 0xC0..0xFF literals forced into run-of-1 packets),
+    * bytesPerLine padded even per spec. Dims w = 16 + docId mod 21,
+    * h = 16 + (7·docId) mod 13; pixels are [[formulaPixel]], so the
+    * oracle replays the decoded image without parsing PCX. */
+  def syntheticPcx(docId: Long): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(docId, 21L).toInt
+    val h = 16 + java.lang.Math.floorMod(docId * 7, 13L).toInt
+    val bpl = w + (w & 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x0A); out.write(5); out.write(1); out.write(8) // mfr/ver/rle/bpp
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+    le16(0); le16(0); le16(w - 1); le16(h - 1) // xmin ymin xmax ymax
+    le16(72); le16(72)                         // dpi
+    out.write(new Array[Byte](48))             // EGA palette
+    out.write(0); out.write(3)                 // reserved, 3 planes
+    le16(bpl); le16(1)                         // bytesPerLine, palette info
+    out.write(new Array[Byte](128 - 70))       // filler to 128
+    val row = new Array[Int](bpl)
+    def writeRlePlane(): Unit = {
+      var x = 0
+      while (x < bpl) {
+        val v = row(x)
+        var run = 1
+        while (x + run < bpl && run < 63 && row(x + run) == v) run += 1
+        if (run > 1 || v >= 0xC0) { out.write(0xC0 | run); out.write(v) }
+        else out.write(v)
+        x += run
+      }
+    }
+    var y = 0
+    while (y < h) {
+      var plane = 0
+      while (plane < 3) {
+        var x = 0
+        while (x < bpl) {
+          val p = if (x < w) formulaPixel(docId, x, y) else 0
+          row(x) = (p >> (16 - 8 * plane)) & 0xff // planes are R, G, B
+          x += 1
+        }
+        writeRlePlane()
+        plane += 1
+      }
+      y += 1
+    }
+    out.toByteArray
+  }
+
+  /** (doc_id, blob) table of [[syntheticPcx]] images. */
+  def syntheticPcxBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticPcx(id))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** REAL PCX decode (javax.imageio ships no PCX reader): version-5
+    * 8-bit 3-plane RLE truecolor — the dominant surviving variant.
+    * Sniffing: manufacturer 0x0A + encoding 1 + bpp 8 + 3 planes (PCX
+    * has no magic string; anything else falls through to the caller's
+    * next decoder). Runs may legally spill across plane boundaries
+    * within a row buffer, which the streaming decode handles; feature
+    * math is the shared [[featuresFromArgb]] fold. */
+  def decodePcx(docId: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 129) return None
+    if ((bytes(0) & 0xff) != 0x0A || (bytes(2) & 0xff) != 1 ||
+      (bytes(3) & 0xff) != 8 || (bytes(65) & 0xff) != 3) return None
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    try {
+      val w = le16(8) - le16(4) + 1
+      val h = le16(10) - le16(6) + 1
+      val bpl = le16(66)
+      if (w <= 0 || h <= 0 || bpl < w || w > 65536 || h > 65536) return None
+      val px = new Array[Int](w * h)
+      var pos = 128
+      val rowBuf = new Array[Int](3 * bpl)
+      var y = 0
+      while (y < h) {
+        var filled = 0
+        while (filled < rowBuf.length) {
+          if (pos >= bytes.length) return None
+          val b = bytes(pos) & 0xff; pos += 1
+          if (b >= 0xC0) {
+            if (pos >= bytes.length) return None
+            val v = bytes(pos) & 0xff; pos += 1
+            var k = b & 0x3F
+            while (k > 0 && filled < rowBuf.length) {
+              rowBuf(filled) = v; filled += 1; k -= 1
+            }
+          } else { rowBuf(filled) = b; filled += 1 }
+        }
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = 0xFF000000 |
+            (rowBuf(x) << 16) | (rowBuf(bpl + x) << 8) | rowBuf(2 * bpl + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(featuresFromArgb(docId, bytes.length.toLong, px, w, h))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
 
   /** One PCM sample of the deterministic FLAC test corpus. Three signal
     * families by `doc_id % 4` — constant (CONSTANT subframes), linear

@@ -479,6 +479,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeTga(9L, cut).isEmpty)
   }
 
+  test("PCX decode: RLE planes round-trip the formula; runs spill across planes; sniff rejects") {
+    // the formula constants are the documented generator contract
+    // (syntheticPng's scaladoc) — an independent replication here means
+    // encoder AND decoder must both be right for the fold to agree
+    def pix(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+      java.lang.Math.floorMod(31 * id + 7 * x + 13 * y, 256L).toInt,
+      java.lang.Math.floorMod(17 * id + 11 * x + 3 * y, 256L).toInt,
+      java.lang.Math.floorMod(13 * id + 5 * x + 29 * y, 256L).toInt)
+    for (id <- Seq(0L, 1L, 5L, 42L, 9999L)) {
+      val got = Multimodal.decodePcx(id, Multimodal.syntheticPcx(id))
+      assert(got.isDefined, s"PCX parser rejected its own encoder for id=$id")
+      val w = 16 + java.lang.Math.floorMod(id, 21L).toInt
+      val h = 16 + java.lang.Math.floorMod(id * 7, 13L).toInt
+      assert(got.get.width == w && got.get.height == h)
+      // independent fold over the formula: f0/f1/f2 are channel means
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pix(id, x, y); sr += r; sg += g; sb += b
+      }
+      val n = w.toLong * h
+      assert(got.get.features(0) == (sr.toDouble / 255.0 / n).toFloat)
+      assert(got.get.features(1) == (sg.toDouble / 255.0 / n).toFloat)
+      assert(got.get.features(2) == (sb.toDouble / 255.0 / n).toFloat)
+    }
+    // a run that SPILLS across a plane boundary decodes per spec: 2x1
+    // image (bpl=2), one 6-byte run of value 9 fills all three planes
+    val hdr = Multimodal.syntheticPcx(0L).take(128).clone()
+    def le(o: Int, v: Int): Unit = { hdr(o) = (v & 0xff).toByte; hdr(o + 1) = (v >> 8).toByte }
+    le(8, 1); le(10, 0) // xmax=1, ymax=0 → 2x1
+    le(66, 2)           // bytesPerLine 2
+    val spill = hdr ++ Array[Byte](0xC6.toByte, 9)
+    val s2 = Multimodal.decodePcx(77L, spill)
+    assert(s2.isDefined && s2.get.width == 2 && s2.get.height == 1)
+    assert(s2.get.features(0) == (18.0 / 255.0 / 2.0).toFloat) // both pixels r=9
+    // sniffing: wrong manufacturer/encoding/planes fall through
+    assert(Multimodal.decodePcx(1L, Array[Byte](1, 2, 3)).isEmpty)
+    val badPlanes = Multimodal.syntheticPcx(1L).clone(); badPlanes(65) = 1
+    assert(Multimodal.decodePcx(1L, badPlanes).isEmpty)
+    // truncated body must not throw
+    assert(Multimodal.decodePcx(1L, Multimodal.syntheticPcx(1L).take(140)).isEmpty)
+  }
+
   test("QOI decode: hand-built chunks decode per spec; codec round-trips; all ops exercised") {
     // known-answer stream exercising every chunk op against the spec's
     // documented semantics (RGB, DIFF, LUMA, RUN, INDEX, RGBA), 8x1 px
