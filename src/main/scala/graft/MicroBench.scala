@@ -114,6 +114,16 @@ object MicroBench {
       text.selectExpr("gear_cutpoints(t, 5, 16, 64) AS cs")
         .selectExpr("max(size(cs))").collect()
     }
+    // unicode hygiene kernels: ASCII short-circuit path (the common
+    // case at corpus scale — a byte scan, no allocation)
+    bench("unicode_normalize(t, 'NFKC') [ascii fast path]", nT) {
+      text.selectExpr("unicode_normalize(t, 'NFKC') AS s")
+        .selectExpr("max(length(s))").collect()
+    }
+    bench("fix_mojibake(t) [ascii fast path]", nT) {
+      text.selectExpr("fix_mojibake(t) AS s")
+        .selectExpr("max(length(s))").collect()
+    }
     spark.stop()
   }
 }
