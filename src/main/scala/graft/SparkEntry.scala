@@ -793,6 +793,18 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // Johnson–Lindenstrauss embedding compression: 64 → 16 dims through
+    // the deterministic √(3/k)-scaled hyperplane matrix (a plan literal —
+    // scan-speed, no shuffle); element-order double folds + one float
+    // rounding per dim, so every value is oracle-exact
+    "q_jl_project" -> ((s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(operators.Similarity.randomProject(
+            col("embedding"), outDim = 16, dim = 64))
+            .as(Seq("dim_idx", "value")))
+        .orderBy(col("vec_id"), col("dim_idx"))),
+
     // IVF-cell approximate neighbor search through TRAINED centroids
     // (k-means on a capped deterministic sample — the partition-pruning
     // scale path); the oracle replays the full Lloyd iteration in SQL
@@ -5344,6 +5356,20 @@ object SparkEntry {
         |  coalesce(p.ns, 0) > 0 AS is_dup
         | FROM vc v LEFT JOIN pc p ON v.vec_id = p.vec_id
         | ORDER BY v.vec_id""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // JL replica: the identical √(3/k)-scaled plane literals, one ordered
+    // double fold per output dim, one REAL rounding — bit-exact
+    "q_jl_project" -> {
+      val planes = operators.Similarity.jlPlanes(16, 64)
+      val branches = planes.zipWithIndex.map { case (p, j) =>
+        val lit = "[" + p.map(dLit).mkString(", ") + "]"
+        s"WHEN $j THEN ${foldDot(lit, "embedding", 64)}"
+      }.mkString(" ")
+      s"""SELECT vec_id, CAST(u.j AS INT) AS dim_idx,
+        | CAST(CASE CAST(u.j AS INT) $branches END AS REAL) AS value
+        | FROM embeddings, (SELECT unnest(range(16)) AS j) u
+        | ORDER BY vec_id, dim_idx""".stripMargin.replaceAll("\n", " ")
     },
 
     // SRP-LSH probe search: query bucket + single-bit-flip multi-probe,

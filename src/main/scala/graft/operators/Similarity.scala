@@ -37,6 +37,28 @@ object Similarity {
   def srpBucket(vec: Column, planes: Int, dim: Int): Column =
     GraftSqlShim.column(SrpBucket(GraftSqlShim.expression(vec), hyperplanes(planes, dim)))
 
+  /** The deterministic Johnson–Lindenstrauss projection matrix: the SRP
+    * hyperplane family scaled by √(3/k) — entries are uniform[−1,1]
+    * with variance 1/3, so this makes each projected coordinate
+    * unit-variance per unit input norm and the projection
+    * norm-preserving in expectation (Achlioptas 2001 shows such
+    * bounded-moment families satisfy the JL bound). Projected inner
+    * products estimate the originals; downstream ANN/dedup run on
+    * k/d-size vectors. Exposed so oracles inline identical literals. */
+  def jlPlanes(outDim: Int, dim: Int, seed: Long = 0x5dee_ce66d13L): Seq[Seq[Double]] = {
+    val s = math.sqrt(3.0 / outDim.toDouble)
+    hyperplanes(outDim, dim, seed).map(_.map(_ * s))
+  }
+
+  /** Project a float-vector column to `outDim` dims through [[jlPlanes]]
+    * — embedding compression at scan speed (the matrix rides in the
+    * plan; no shuffle, no state). Element-order double accumulation +
+    * one float rounding per output dim, so values are oracle-exact. */
+  def randomProject(vec: Column, outDim: Int, dim: Int,
+      seed: Long = 0x5dee_ce66d13L): Column =
+    GraftSqlShim.column(MatVecProject(
+      GraftSqlShim.expression(vec), jlPlanes(outDim, dim, seed)))
+
   /** Exact cosine top-k against a literal query vector. */
   def bruteForceTopK(
       df: DataFrame,

@@ -1748,3 +1748,59 @@ object FixMojibake {
     catch { case _: java.nio.charset.CharacterCodingException => None }
   }
 }
+
+/** Dense matrix–vector projection with the matrix as a plan literal —
+  * the Johnson–Lindenstrauss embedding-compression kernel (project
+  * d-dim float vectors to k ≪ d dims through a deterministic random
+  * matrix; pairwise geometry is preserved within the JL bound, and
+  * downstream ANN/dedup run on vectors k/d the size). Per output dim
+  * the accumulation is double in ELEMENT ORDER then one float rounding
+  * — the [[CosineSimilarity]] determinism discipline, so an oracle
+  * replays values bit-for-bit from the same literal matrix. NULL in →
+  * NULL out; length mismatch → NULL (the error→NULL discipline). */
+case class MatVecProject(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with KernelCodegen {
+  require(planes.nonEmpty && planes.map(_.size).distinct.size == 1,
+    "planes must be a non-empty rectangular matrix")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mat_vec_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mat_vec_project expects array<float|double>, got ${other.sql}")
+  }
+
+  @transient private lazy val m: Array[Array[Double]] = planes.map(_.toArray).toArray
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val d = m(0).length
+    if (arr.numElements() != d) return null
+    val x = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Float](m.length)
+    var j = 0
+    while (j < m.length) {
+      val row = m(j)
+      var acc = 0.0
+      i = 0
+      while (i < d) { acc += row(i) * x(i); i += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -479,6 +479,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeTga(9L, cut).isEmpty)
   }
 
+  test("randomProject: hand-fold agreement, JL geometry preservation, error->NULL") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = Similarity.jlPlanes(16, 64)
+    val got = emb.where(col("vec_id") === 3)
+      .select(Similarity.randomProject(col("embedding"), 16, 64))
+      .head().getSeq[Float](0)
+    val x = emb.where(col("vec_id") === 3)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val exp = planes.map { row =>
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += row(i) * x(i); i += 1 }
+      acc.toFloat
+    }
+    assert(got == exp, s"got=$got exp=$exp")
+    // JL property: projected squared norms concentrate around the
+    // originals (loose statistical bound at k=16 — median within 2×)
+    val ratios = emb.limit(100).select(col("embedding"),
+        Similarity.randomProject(col("embedding"), 16, 64).as("p"))
+      .collect().map { r =>
+        val a = r.getSeq[Float](0); val p = r.getSeq[Float](1)
+        val na = a.map(v => v.toDouble * v).sum
+        val np = p.map(v => v.toDouble * v).sum
+        np / na
+      }.sorted
+    val med = ratios(ratios.length / 2)
+    assert(med > 0.5 && med < 2.0, s"median norm ratio $med out of band")
+    // length mismatch and NULL → NULL
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    assert(bad.select(Similarity.randomProject(col("v"), 16, 64))
+      .head().isNullAt(0))
+  }
+
   test("PCX decode: RLE planes round-trip the formula; runs spill across planes; sniff rejects") {
     // the formula constants are the documented generator contract
     // (syntheticPng's scaladoc) — an independent replication here means
