@@ -793,6 +793,16 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // ANN through the JL-projected space: 16-dim candidate scan (k/d
+    // the bytes at scale), exact 64-dim rerank on the 80 survivors —
+    // the compression's actual payoff, with every cut oracle-replayed
+    "q_ann_jl" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.jlTopK(emb, "vec_id", "embedding", q, k = 20)
+    }),
+
     // Johnson–Lindenstrauss embedding compression: 64 → 16 dims through
     // the deterministic √(3/k)-scaled hyperplane matrix (a plan literal —
     // scan-speed, no shuffle); element-order double folds + one float
@@ -5356,6 +5366,31 @@ object SparkEntry {
         |  coalesce(p.ns, 0) > 0 AS is_dup
         | FROM vc v LEFT JOIN pc p ON v.vec_id = p.vec_id
         | ORDER BY v.vec_id""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // JL-ANN replica: corpus AND query projected with the identical
+    // plane literals, the same 80-candidate cut by projected cosine
+    // (vec_id tie-break), the same exact-cosine rerank
+    "q_ann_jl" -> {
+      val planes = operators.Similarity.jlPlanes(16, 64)
+      def projList(v: String): String = "[" +
+        planes.map { p =>
+          val lit = "[" + p.map(dLit).mkString(", ") + "]"
+          s"CAST(${foldDot(lit, v, 64)} AS REAL)"
+        }.mkString(", ") + "]"
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        | pq AS (SELECT ${projList("qe")} AS qp FROM q),
+        | pe AS (SELECT vec_id, embedding, ${projList("embedding")} AS p FROM embeddings),
+        | pc AS (SELECT vec_id, embedding,
+        |   ${cosSql("CAST(p AS DOUBLE[])", "CAST(qp AS DOUBLE[])")} AS pcos
+        |  FROM pe, pq),
+        | cand AS (SELECT vec_id, embedding FROM pc WHERE pcos IS NOT NULL
+        |  ORDER BY pcos DESC, vec_id LIMIT 80),
+        | rr AS (SELECT c.vec_id,
+        |   round(${cosSql("CAST(c.embedding AS DOUBLE[])", "CAST(q.qe AS DOUBLE[])")}, 6) AS cos
+        |  FROM cand c, q)
+        | SELECT vec_id, cos FROM rr WHERE cos IS NOT NULL
+        | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " ")
     },
 
     // JL replica: the identical √(3/k)-scaled plane literals, one ordered

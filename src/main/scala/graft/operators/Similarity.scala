@@ -1044,6 +1044,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Approximate top-k through the JL-projected space with exact
+    * rerank: candidates are the `k·rerank` best by projected cosine
+    * (the 16-dim kernel costs d/k of the exact one — at 100 TB the
+    * projection is precomputed once by [[randomProject]] and the scan
+    * reads k/d the bytes), then the survivors alone pay full-dimension
+    * exact cosine. The query is projected driver-side with the same
+    * double-accumulation arithmetic as the kernel, so candidate cuts
+    * are deterministic and oracle-replayable; ties break by id at both
+    * stages. Zero-norm vectors drop (cosine undefined — the family
+    * convention). */
+  def jlTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      outDim: Int = 16,
+      rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1, s"k and rerank must be >= 1")
+    val dim = query.length
+    val planes = jlPlanes(outDim, dim)
+    val pq = new Array[Float](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += planes(j)(i) * query(i); i += 1 }
+      pq(j) = acc.toFloat
+      j += 1
+    }
+    val cand = df.select(col(idCol), col(vecCol),
+        cosine(randomProject(col(vecCol), outDim, dim), typedlit(pq)).as("pcos"))
+      .where(col("pcos").isNotNull)
+      .orderBy(desc("pcos"), col(idCol))
+      .limit(k * rerank)
+    cand.select(col(idCol),
+        round(cosine(col(vecCol), typedlit(query)), 6).as("cos"))
+      .where(col("cos").isNotNull)
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion [Cormack et al. 2009] — the standard way to
     * combine heterogeneous retrievers (BM25 + dense ANN + recency …)
     * without score calibration: fused(d) = Σ_lists 1/(c + rank_list(d)),

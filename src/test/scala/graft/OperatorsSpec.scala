@@ -514,6 +514,24 @@ class OperatorsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("jlTopK: projected-space candidates + exact rerank recover most exact neighbors") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.jlTopK(emb, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size
+    // 16-of-64 dims with 4x rerank recovers most of the exact top-20 on
+    // the real embeddings; the floor is deliberately loose (JL is
+    // approximate) but catches a broken projection (random ≈ 0-2)
+    assert(recall >= 12, s"recall $recall/20 too low — projection broken?")
+    // the query itself is its own nearest neighbor through any projection
+    assert(approx.contains(0L))
+  }
+
   test("PCX decode: RLE planes round-trip the formula; runs spill across planes; sniff rejects") {
     // the formula constants are the documented generator contract
     // (syntheticPng's scaladoc) — an independent replication here means
