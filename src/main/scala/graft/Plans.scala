@@ -99,6 +99,17 @@ object Plans {
         "cell's rows against only the queries that probed it — " +
         "neither data side ever visits the driver, no Join operator, " +
         "candidates-only window settles global top-k"),
+    "q_editdist_join" ->
+      ("PassJoin edit-distance: segment/probe explodes over the persisted strings, " +
+        "(la,i,sub)-keyed equi-joins — no cartesian, verify map-side"),
+    "q_ann_jl" ->
+      ("JL-projected ANN: plan-literal matrix kernel at scan speed, TakeOrdered " +
+        "candidate cut, exact rerank only on the survivors"),
+    "q_hits" ->
+      ("HITS: src-partitioned persisted edges, sparse per-round score joins, " +
+        "single-row broadcast max — no node-table join until the final zero-fill"),
+    "q_entropy" ->
+      "token entropy: two map-side-partial hash aggregations, zero joins",
     "q_video_frames" ->
       ("real GIF frame sampling: partition-local multi-frame decode " +
         "(flatMap — one blob row fans out to its sampled frames), " +
