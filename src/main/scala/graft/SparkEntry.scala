@@ -1334,6 +1334,45 @@ object SparkEntry {
       out
     }),
 
+    // the STREAMING face of the connector: the same distributed-written
+    // segments consumed as a micro-batch stream (file-position offsets),
+    // bounded replay == the batch answer — same oracle as q_warc_source
+    "q_stream_warc" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcstm")
+      val root = tmp.toString
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      d.select(sources.Warc.buildWarcResponse(
+          concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
+          lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+        .repartition(4)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val f = new java.io.FileOutputStream(new java.io.File(root,
+            s"seg_${java.util.UUID.randomUUID().toString.take(12)}.warc"))
+          try it.foreach(r => f.write(r.getAs[Array[Byte]](0)))
+          finally f.close()
+        }
+      val sink = s"graft_stream_warc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("warc").load(root)
+        .select(col("warc_type"), col("target_uri"),
+          col("http_status"), col("content_type"), col("body"))
+        .writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { try q.awaitTermination() finally if (q.isActive) q.stop() }
+      finally ()
+      val out = s.table(sink)
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"),
+          col("http_status").cast("long").as("http_status"),
+          col("content_type"), col("body").cast("string").as("body"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      rmTree(tmp)
+      out
+    }),
+
     // robots.txt end-to-end: parse the per-domain files (grouping,
     // casing, comments, empty-Disallow, multi-agent groups) and judge a
     // crawl frontier under RFC 9309 precedence — exact-agent groups
@@ -4299,6 +4338,15 @@ object SparkEntry {
       """SELECT doc_id, 'response' AS warc_type,
         | 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
         | '2026-01-01T00:00:00Z' AS warc_date, CAST(200 AS BIGINT) AS http_status,
+        | 'text/html' AS content_type, text AS body
+        | FROM documents WHERE text IS NOT NULL
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // streaming connector replica: identical — bounded replay == batch
+    "q_stream_warc" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        | 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        | CAST(200 AS BIGINT) AS http_status,
         | 'text/html' AS content_type, text AS body
         | FROM documents WHERE text IS NOT NULL
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),

@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => sstreaming}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -64,7 +65,7 @@ private class WarcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path)
 }
@@ -84,6 +85,40 @@ private class WarcScan(path: String, required: StructType) extends Scan with Bat
     s"warc $path [${required.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
     WarcDataSource.listFiles(path).map(f => WarcFilePartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, required)
+}
+
+/** Streaming WARC ingestion: the offset is a position in the
+  * name-sorted segment list, so each micro-batch reads the files that
+  * appeared since the last one — the crawl-drop ingestion shape
+  * (upstream crawls name segments monotonically, which is the
+  * documented contract; a file sorting BEFORE the committed offset is
+  * never re-read). Restart replays nothing: offsets live in the query
+  * checkpoint. */
+private class WarcMicroBatchStream(path: String, required: StructType)
+    extends sstreaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class Pos(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  override def initialOffset(): Offset = Pos(0)
+  override def latestOffset(): Offset = Pos(WarcDataSource.listFiles(path).size)
+  override def deserializeOffset(json: String): Offset = Pos(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[Pos].n
+    val e = end.asInstanceOf[Pos].n
+    WarcDataSource.listFiles(path).slice(s, e)
+      .map(f => WarcFilePartition(f): InputPartition).toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required)
 }

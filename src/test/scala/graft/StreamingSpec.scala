@@ -414,4 +414,46 @@ class StreamingSpec extends AnyFunSuite {
         .forEach(p => java.nio.file.Files.delete(p))
     }
   }
+
+  test("warc streaming source: new segments per micro-batch; restart resumes from checkpoint") {
+    val s = spark
+    def rec(url: String, body: String): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: ${body.length}\r\n\r\n$body"
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+        .getBytes("UTF-8")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-warc-ckpt")
+    try {
+      java.nio.file.Files.write(dir.resolve("seg-001.warc"), rec("https://a/", "one"))
+      java.nio.file.Files.write(dir.resolve("seg-002.warc"), rec("https://b/", "two"))
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def run(): Unit = {
+        val q = s.readStream.format("warc").load(dir.toString)
+          .select("target_uri")
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r => seen.add(r.getString(0))); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      run()
+      assert(seen.toArray.toSet == Set("https://a/", "https://b/"), seen.toString)
+      // a new monotonically-named segment lands; restart from the same
+      // checkpoint reads ONLY it
+      seen.clear()
+      java.nio.file.Files.write(dir.resolve("seg-003.warc"), rec("https://c/", "three"))
+      run()
+      assert(seen.toArray.toSet == Set("https://c/"), seen.toString)
+    } finally {
+      Seq(dir, ckpt).foreach { d =>
+        java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+  }
 }
