@@ -118,6 +118,20 @@ object Snapshots {
       .flatten.toSeq.sorted
   }
 
+  /** Compact: rewrite the CURRENT contents as one fresh commit and
+    * point a new version at it — the small-file maintenance op for
+    * append-heavy tables (every append adds a commit dir; scans
+    * eventually pay per-file footer reads and non-contiguous IO).
+    * History semantics are unchanged: prior versions still read their
+    * own manifests, readers of the new version see identical rows, and
+    * the superseded commit dirs stay until [[expire]] reclaims them.
+    * Returns the new version. */
+  def compact(spark: SparkSession, root: String): Long = {
+    val cur = currentVersion(spark, root)
+    require(cur >= 1, s"snapshot table at $root has no committed version")
+    overwrite(read(spark, root, cur), root)
+  }
+
   /** Vacuum: drop manifests older than the newest `keepLast` and delete
     * data directories no kept manifest references. Destroys time-travel
     * history past the horizon — the only destructive operation here. */

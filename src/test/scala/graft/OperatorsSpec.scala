@@ -1158,6 +1158,20 @@ class OperatorsSpec extends AnyFunSuite {
       // v3's commit dir survived the vacuum; the v1/v2 dirs are gone
       val dataDirs = java.nio.file.Files.list(root.resolve("data")).count()
       assert(dataDirs == 1L, s"expected 1 surviving commit dir, got $dataDirs")
+      // compaction: appends fragment the manifest; compact collapses the
+      // CURRENT version to one commit dir with identical rows, and
+      // expire then reclaims the fragments
+      graft.sources.Snapshots.append(Seq((10L, "p"), (11L, "q")).toDF("id", "x"), r)
+      graft.sources.Snapshots.append(Seq((12L, "r")).toDF("id", "x"), r)
+      val pre = graft.sources.Snapshots.read(s, r)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val vc = graft.sources.Snapshots.compact(s, r)
+      assert(graft.sources.Snapshots.currentVersion(s, r) == vc)
+      assert(ids(vc) == pre && pre == Set(9L, 10L, 11L, 12L))
+      graft.sources.Snapshots.expire(s, r, keepLast = 1)
+      val afterCompact = java.nio.file.Files.list(root.resolve("data")).count()
+      assert(afterCompact == 1L, s"compact+expire left $afterCompact commit dirs")
+      assert(ids(vc) == pre)
     } finally {
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
