@@ -5330,17 +5330,34 @@ object SparkEntry {
         | WHERE $jaccardSql >= 0.7
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
-    // brute-force all-pairs Levenshtein — deliberately ignorant of the
-    // engine's q-gram prefix filter, so a hash match proves the
-    // candidate generation lossless on this corpus (DuckDB and Spark
-    // both implement unit-cost Levenshtein over characters)
+    // all-pairs Levenshtein — deliberately ignorant of the engine's
+    // PassJoin candidates, so a hash match proves them lossless on this
+    // corpus. The oracle's own pair cut is the bag-of-characters bound,
+    // a THEOREM about Levenshtein (each unit edit changes the character
+    // multiset's L1 distance by at most 2: a substitution swaps one
+    // count down and one up; an indel moves one), so pairs with
+    // Σ_c|cnt_a(c)−cnt_b(c)| > 2d provably exceed d and can skip the
+    // O(len²) exact check — without it the 12.5M-pair × 200-char
+    // levenshtein sweep is intractable at sf0.1 in the oracle engine
     "q_editdist_join" ->
       """WITH t AS (SELECT doc_id, substr(text, 1, 200) AS title
-        |  FROM documents WHERE text IS NOT NULL)
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
-        | FROM t a JOIN t b ON a.doc_id < b.doc_id
-        | WHERE levenshtein(a.title, b.title) <= 8
+        |  FROM documents WHERE text IS NOT NULL),
+        | cs AS (SELECT DISTINCT ch FROM
+        |  (SELECT unnest(string_split(title, '')) AS ch FROM t)),
+        | nch AS (SELECT count(*) AS n FROM cs),
+        | hist AS (SELECT doc_id, title,
+        |   list(length(title) - length(replace(title, ch, '')) ORDER BY ch) AS h
+        |  FROM t, cs GROUP BY doc_id, title),
+        | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   a.title AS ta, b.title AS tb
+        |  FROM hist a, hist b, nch
+        |  WHERE a.doc_id < b.doc_id
+        |   AND abs(length(a.title) - length(b.title)) <= 8
+        |   AND list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(range(1, CAST(nch.n + 1 AS INT)),
+        |       i -> CAST(abs(a.h[i] - b.h[i]) AS BIGINT))), (p, q) -> p + q) <= 16)
+        | SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        | FROM cand WHERE levenshtein(ta, tb) <= 8
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // trained-IVF: Lloyd iterations + probe + top-k replayed in SQL with
