@@ -99,15 +99,29 @@ private class WarcScan(path: String, required: StructType) extends Scan with Bat
   * never re-read). Restart replays nothing: offsets live in the query
   * checkpoint. */
 private class WarcMicroBatchStream(path: String, required: StructType)
-    extends sstreaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends sstreaming.MicroBatchStream
+    with sstreaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class Pos(n: Int) extends Offset {
     override def json(): String = n.toString
   }
 
+  // Trigger.AvailableNow contract: pin the target offset ONCE at query
+  // start so the run drains exactly the segments present then, even if
+  // more land mid-run
+  @volatile private var availableNowTarget: Int = -1
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = WarcDataSource.listFiles(path).size
+
+  private def currentLatest: Offset =
+    Pos(if (availableNowTarget >= 0) availableNowTarget
+      else WarcDataSource.listFiles(path).size)
+
   override def initialOffset(): Offset = Pos(0)
-  override def latestOffset(): Offset = Pos(WarcDataSource.listFiles(path).size)
+  override def latestOffset(): Offset = currentLatest
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = currentLatest
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset = Pos(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
