@@ -1404,7 +1404,9 @@ object Multimodal {
       val w = le16(8) - le16(4) + 1
       val h = le16(10) - le16(6) + 1
       val bpl = le16(66)
-      if (w <= 0 || h <= 0 || bpl < w || w > 65536 || h > 65536) return None
+      // w*h is bounded BEFORE the allocation: 65536×65536 would overflow
+      // Int and throw NegativeArraySize past the AIOOBE handler below
+      if (w <= 0 || h <= 0 || bpl < w || w.toLong * h > (1L << 26)) return None
       val px = new Array[Int](w * h)
       var pos = 128
       val rowBuf = new Array[Int](3 * bpl)

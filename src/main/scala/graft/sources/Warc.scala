@@ -179,7 +179,11 @@ object WarcRecords {
     if (warcType == "response" && clen >= 5 &&
         new String(b, payloadStart, 5, java.nio.charset.StandardCharsets.US_ASCII) == "HTTP/") {
       val httpHdrEnd = indexOfCrlfCrlf(b, payloadStart)
-      if (httpHdrEnd >= 0 && httpHdrEnd < payloadStart + clen) {
+      // the envelope is stripped only when its terminator leaves a
+      // non-negative body INSIDE the payload — a malformed message whose
+      // CRLFCRLF sits at (or past) the payload edge keeps the raw
+      // payload as the body instead of computing a negative slice
+      if (httpHdrEnd >= 0 && httpHdrEnd + 4 <= payloadStart + clen) {
         val httpHdr = new String(b, payloadStart, httpHdrEnd - payloadStart,
           java.nio.charset.StandardCharsets.UTF_8)
         val lines = httpHdr.split("\r\n")

@@ -1246,6 +1246,28 @@ class OperatorsSpec extends AnyFunSuite {
       ("warcinfo", null, -1, "application/warc-fields", "robots: ok"),
       ("response", "https://a.example/", 200, "text/html", "hello world"),
       ("response", "https://b.example/", 200, "text/html", "second doc")), got.toString)
+    // a malformed HTTP envelope whose CRLFCRLF terminator sits exactly at
+    // the payload edge (headers, no body) must NOT compute a negative
+    // body slice — the record parses with an empty body
+    val hdrOnly = "HTTP/1.1 204 No Content\r\nContent-Type: text/x\r\n\r\n"
+    val edge = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://e.example/\r\n" +
+      s"Content-Length: ${hdrOnly.length}\r\n\r\n$hdrOnly\r\n\r\n").getBytes("UTF-8")
+    val gotEdge = Seq((1L, edge)).toDF("id", "bin")
+      .select(explode(graft.sources.Warc.warcRecords(col("bin"))).as("r"))
+      .select(col("r.http_status"), length(col("r.body")))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(gotEdge == Seq((204, 0)), gotEdge.toString)
+    // and one whose terminator is TRUNCATED by the declared length keeps
+    // the raw payload as the body instead of throwing
+    val cutHttp = "HTTP/1.1 200 OK\r\nContent-Type: text/x\r\n\r"
+    val mal = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://m.example/\r\n" +
+      s"Content-Length: ${cutHttp.length}\r\n\r\n$cutHttp\r\n\r\n").getBytes("UTF-8")
+    val gotMal = Seq((1L, mal)).toDF("id", "bin")
+      .select(explode(graft.sources.Warc.warcRecords(col("bin"))).as("r"))
+      .select(col("r.body").cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    assert(gotMal == Seq(cutHttp), gotMal.toString)
+
     // a truncated tail keeps the valid prefix
     val cut = blob.dropRight(30) // slices into the last record's payload
     val gotCut = Seq((1L, cut)).toDF("id", "bin")
