@@ -359,15 +359,11 @@ object Examples {
 
     println("== 25. WARC ingestion + versioned snapshots + FLAC ==")
     val warcDir = java.nio.file.Files.createTempDirectory("graft-ex-warc")
-    val warcPath = warcDir.toString // plain string: the closure must serialize
-    docs.limit(50).select(sources.Warc.buildWarcResponse(
-        concat(lit("https://example.org/"), col("doc_id")),
-        lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
-      .coalesce(1).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val f = new java.io.FileOutputStream(
-          new java.io.File(warcPath, "seg0.warc"))
-        try it.foreach(r => f.write(r.getAs[Array[Byte]](0))) finally f.close()
-      }
+    sources.Warc.writeSegments(
+      docs.limit(50).select(sources.Warc.buildWarcResponse(
+          concat(lit("https://example.org/"), col("doc_id")),
+          lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+        .coalesce(1), "rec", warcDir.toString)
     spark.read.format("warc").load(warcDir.toString)
       .select("target_uri", "http_status", "content_type").show(3, truncate = 40)
     val snapDir = java.nio.file.Files.createTempDirectory("graft-ex-snap")

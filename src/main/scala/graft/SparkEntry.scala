@@ -1312,16 +1312,11 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft-warcsrc")
       val root = tmp.toString
       val d = table(s, dir, "documents").where(col("text").isNotNull)
-      d.select(sources.Warc.buildWarcResponse(
-          concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
-          lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
-        .repartition(8)
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          val f = new java.io.FileOutputStream(new java.io.File(root,
-            s"seg_${java.util.UUID.randomUUID().toString.take(12)}.warc"))
-          try it.foreach(r => f.write(r.getAs[Array[Byte]](0)))
-          finally f.close()
-        }
+      sources.Warc.writeSegments(
+        d.select(sources.Warc.buildWarcResponse(
+            concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
+            lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+          .repartition(8), "rec", root)
       val out = s.read.format("warc").load(root)
         .select(
           substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
@@ -1341,16 +1336,11 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft-warcstm")
       val root = tmp.toString
       val d = table(s, dir, "documents").where(col("text").isNotNull)
-      d.select(sources.Warc.buildWarcResponse(
-          concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
-          lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
-        .repartition(4)
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          val f = new java.io.FileOutputStream(new java.io.File(root,
-            s"seg_${java.util.UUID.randomUUID().toString.take(12)}.warc"))
-          try it.foreach(r => f.write(r.getAs[Array[Byte]](0)))
-          finally f.close()
-        }
+      sources.Warc.writeSegments(
+        d.select(sources.Warc.buildWarcResponse(
+            concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
+            lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+          .repartition(4), "rec", root)
       val sink = s"graft_stream_warc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = s.readStream.format("warc").load(root)
         .select(col("warc_type"), col("target_uri"),

@@ -419,6 +419,7 @@ object Flac {
         case 1 => 8; case 2 => 12; case 4 => 16; case 5 => 20; case 6 => 24
         case _ => return None
       }
+      if (chAssign > 10) return None // 11-15 are reserved per the spec
       val nCh = if (chAssign <= 7) chAssign + 1 else 2
       if (nCh != ch) return None
       // CRC-8 of the header INCLUDING its crc byte is 0

@@ -252,9 +252,16 @@ object Graph {
       val raw = e.join(scores, e(joinOn) === scores("node"))
         .groupBy(col(groupTo)).agg(sum(col(scoreCol)).as("x"))
       val mx = raw.agg(greatest(lit(1L), max(col("x"))).as("mx"))
+      // exact-arithmetic ceiling: x·10^6 must stay inside Long. Scores
+      // are ≤ 10^6, so this trips only past ~9.2M in-edges on one node —
+      // and it trips LOUDLY instead of wrapping silently (ANSI off)
       raw.crossJoin(broadcast(mx))
         .select(col(groupTo).as("node"),
-          expr(s"(x * 1000000L) div mx").as(outCol))
+          expr(s"CASE WHEN x <= ${Long.MaxValue / 1000000L}L " +
+            s"THEN (x * 1000000L) div mx " +
+            "ELSE raise_error('hitsFixed: half-step sum exceeds the exact " +
+            "Long ceiling (a node with >9.2e6 max-score in-edges); cap hub " +
+            "degree upstream or shard the hot node') END").as(outCol))
     }
     var hubs = nodes.select(col("node"), lit(1000000L).as("hub"))
     var auth: DataFrame = null

@@ -1390,7 +1390,14 @@ object TextOps {
         Window.partitionBy(col("__doc"), col("__pid"))))
     val wscore = words.groupBy(col("tok"))
       .agg(count(lit(1)).as("freq"), sum(col("__plen")).as("deg"))
-      .select(col("tok"), expr("(deg * 1000000) div freq").as("wscore"))
+      // deg·10^6 must stay inside Long — fails loudly past ~9.2e12
+      // aggregate phrase length for one word instead of wrapping
+      .select(col("tok"), expr(
+        s"CASE WHEN deg <= ${Long.MaxValue / 1000000L}L " +
+          "THEN (deg * 1000000) div freq " +
+          "ELSE raise_error('rakeKeywords: word degree exceeds the exact " +
+          "Long ceiling; shard the corpus or pre-filter stopword-like " +
+          "tokens') END").as("wscore"))
     val phraseInstances = words.join(wscore, "tok")
       .groupBy(col("__doc"), col("__pid"))
       .agg(

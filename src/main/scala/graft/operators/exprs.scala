@@ -1786,6 +1786,9 @@ case class MatVecProject(child: Expression, planes: Seq[Seq[Double]])
     val x = new Array[Double](d)
     var i = 0
     while (i < d) {
+      // a NULL element would read back as 0.0 and silently corrupt the
+      // projection — the CosineSimilarity convention is NULL out
+      if (arr.isNullAt(i)) return null
       x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }

@@ -36,15 +36,26 @@ object Snapshots {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Current version, 0 if the table doesn't exist yet. */
+  /** Current version; 0 if the table doesn't exist yet. The pointer is
+    * the fast path, but the SOURCE OF TRUTH is the manifest set: on
+    * filesystems whose rename won't clobber (HDFS), replacing VERSION
+    * is delete-then-rename, and a crash in that window leaves the
+    * pointer missing while every manifest is intact — so a missing (or
+    * behind, since manifests are written before the pointer) pointer
+    * falls back to max-manifest discovery instead of reporting an
+    * empty table and letting the next commit clobber manifest v1. */
   def currentVersion(spark: SparkSession, root: String): Long = {
     val ptr = new Path(root, "VERSION")
     val f = fs(spark, ptr)
-    if (!f.exists(ptr)) return 0L
-    val in = f.open(ptr)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    finally in.close()
+    val pointed =
+      if (!f.exists(ptr)) 0L
+      else {
+        val in = f.open(ptr)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    math.max(pointed, versions(spark, root).lastOption.getOrElse(0L))
   }
 
   private def readManifest(spark: SparkSession, root: String, v: Long): Seq[String] = {

@@ -57,19 +57,37 @@ object Warc {
   /** Assemble a minimal WARC `response` record (uncompressed) from
     * url/date/body columns — the fixture half of the parse(build(x))=x
     * verification pattern, and a real writer for round-tripping
-    * curated subsets back into the crawl format. ASCII CRLF framing;
-    * the embedded HTTP message is a 200 with text/html. */
+    * curated subsets back into the crawl format. Content-Length at
+    * BOTH levels is the UTF-8 BYTE length (`octet_length`, not the
+    * character count — a non-ASCII body framed by characters would
+    * truncate mid-record and derail every record after it); the
+    * embedded HTTP message is a 200 with text/html. */
   def buildWarcResponse(urlCol: Column, dateCol: Column, bodyCol: Column): Column = {
     val http = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
-      length(bodyCol).cast("string"), lit("\r\n\r\n"), bodyCol)
+      octet_length(bodyCol).cast("string"), lit("\r\n\r\n"), bodyCol)
     encode(concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), urlCol,
       lit("\r\nWARC-Date: "), dateCol,
       lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
-      length(http).cast("string"), lit("\r\n\r\n"), http, lit("\r\n\r\n")),
+      octet_length(http).cast("string"), lit("\r\n\r\n"), http, lit("\r\n\r\n")),
       "UTF-8")
   }
+
+  /** Write a binary record column as WARC segment files, one per task —
+    * the crawl's own layout, and the single shared implementation for
+    * every writer path (byte-framing or compression fixes land once).
+    * The directory must be visible to the executors (shared FS). */
+  def writeSegments(records: DataFrame, recCol: String, dir: String): Unit =
+    records.select(col(recCol)).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val f = new java.io.FileOutputStream(new java.io.File(dir,
+            s"seg_${java.util.UUID.randomUUID().toString.take(12)}.warc"))
+          try it.foreach(r => f.write(r.getAs[Array[Byte]](0)))
+          finally f.close()
+        }
+    }
 }
 
 /** The WARC record splitter — see [[Warc.warcRecords]]. */
@@ -95,11 +113,7 @@ case class WarcRecords(child: Expression)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val raw = v.asInstanceOf[Array[Byte]]
-    val bytes =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        WarcRecords.gunzip(raw)
-      else raw
+    val bytes = WarcRecords.inflateIfGzip(v.asInstanceOf[Array[Byte]])
     if (bytes == null) return new GenericArrayData(Array.empty[Any])
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var pos = 0
@@ -121,6 +135,14 @@ case class WarcRecords(child: Expression)
 }
 
 object WarcRecords {
+
+  /** Gzip sniff + multi-member inflate shared by the kernel and the V2
+    * connector reader (the two routes must never diverge on the inflate
+    * step either); passthrough for plain bytes, null on corrupt gzip. */
+  private[sources] def inflateIfGzip(raw: Array[Byte]): Array[Byte] =
+    if (raw != null && raw.length >= 2 &&
+      (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzip(raw)
+    else raw
 
   /** Multi-member gzip inflate (Common Crawl's record-per-member
     * layout); null on corrupt streams. */

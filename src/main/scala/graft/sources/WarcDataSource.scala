@@ -48,10 +48,28 @@ object WarcDataSource {
     StructField("content_type", StringType, nullable = true),
     StructField("body", BinaryType, nullable = true)))
 
-  private[sources] def listFiles(path: String): Seq[String] = {
+  /** The ACTIVE session's Hadoop configuration (object-store
+    * credentials, endpoints, defaultFS live there — a bare
+    * `new Configuration()` would make s3a/abfs paths fail even though
+    * parquet reads on the same session work), flattened to entries so
+    * it can ride to executors inside plain-serializable scan objects. */
+  private[sources] def sessionHadoopConfEntries(): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+  }
+
+  private[sources] def confFrom(entries: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private[sources] def listFiles(path: String,
+      confEntries: Array[(String, String)]): Seq[String] = {
     require(path != null && path.nonEmpty, "warc source requires a path")
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(confFrom(confEntries))
     val matched: Array[FileStatus] = Option(fs.globStatus(p)).getOrElse(Array.empty)
     val expanded = matched.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
@@ -79,16 +97,19 @@ private class WarcScanBuilder(path: String)
 }
 
 private class WarcScan(path: String, required: StructType) extends Scan with Batch {
+  // captured at scan build (driver, active session) and shipped to tasks
+  private val confEntries = WarcDataSource.sessionHadoopConfEntries()
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"warc $path [${required.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    WarcDataSource.listFiles(path).map(f => WarcFilePartition(f): InputPartition).toArray
+    WarcDataSource.listFiles(path, confEntries)
+      .map(f => WarcFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required)
+    new WarcReaderFactory(required, confEntries)
   override def toMicroBatchStream(checkpointLocation: String): sstreaming.MicroBatchStream =
-    new WarcMicroBatchStream(path, required)
+    new WarcMicroBatchStream(path, required, confEntries)
 }
 
 /** Streaming WARC ingestion: the offset is a position in the
@@ -98,7 +119,8 @@ private class WarcScan(path: String, required: StructType) extends Scan with Bat
   * documented contract; a file sorting BEFORE the committed offset is
   * never re-read). Restart replays nothing: offsets live in the query
   * checkpoint. */
-private class WarcMicroBatchStream(path: String, required: StructType)
+private class WarcMicroBatchStream(path: String, required: StructType,
+    confEntries: Array[(String, String)])
     extends sstreaming.MicroBatchStream
     with sstreaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -112,11 +134,11 @@ private class WarcMicroBatchStream(path: String, required: StructType)
   // more land mid-run
   @volatile private var availableNowTarget: Int = -1
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = WarcDataSource.listFiles(path).size
+    availableNowTarget = WarcDataSource.listFiles(path, confEntries).size
 
   private def currentLatest: Offset =
     Pos(if (availableNowTarget >= 0) availableNowTarget
-      else WarcDataSource.listFiles(path).size)
+      else WarcDataSource.listFiles(path, confEntries).size)
 
   override def initialOffset(): Offset = Pos(0)
   override def latestOffset(): Offset = currentLatest
@@ -129,27 +151,29 @@ private class WarcMicroBatchStream(path: String, required: StructType)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[Pos].n
     val e = end.asInstanceOf[Pos].n
-    WarcDataSource.listFiles(path).slice(s, e)
+    WarcDataSource.listFiles(path, confEntries).slice(s, e)
       .map(f => WarcFilePartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required)
+    new WarcReaderFactory(required, confEntries)
 }
 
 private case class WarcFilePartition(file: String) extends InputPartition
 
-private class WarcReaderFactory(required: StructType)
+private class WarcReaderFactory(required: StructType,
+    confEntries: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcFilePartition].file, required)
+      partition.asInstanceOf[WarcFilePartition].file, required, confEntries)
 }
 
 /** Reads one WARC file: whole-blob load (the same memory contract as
   * Spark's binaryFile source), transparent multi-member gunzip, then
   * record-at-a-time iteration building ONLY the pruned columns. */
-private class WarcPartitionReader(file: String, required: StructType)
+private class WarcPartitionReader(file: String, required: StructType,
+    confEntries: Array[(String, String)])
     extends PartitionReader[InternalRow] {
 
   // full-schema field order: path, warc_type, target_uri, warc_date,
@@ -159,15 +183,14 @@ private class WarcPartitionReader(file: String, required: StructType)
 
   private val bytes: Array[Byte] = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(WarcDataSource.confFrom(confEntries))
     val in = fs.open(p)
     val raw =
       try org.apache.commons.io.IOUtils.toByteArray(in)
       finally in.close()
-    if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
-      val un = WarcRecords.gunzip(raw)
-      if (un == null) Array.emptyByteArray else un
-    } else raw
+    // the inflate step is the KERNEL's (the two routes must not diverge)
+    val un = WarcRecords.inflateIfGzip(raw)
+    if (un == null) Array.emptyByteArray else un
   }
 
   private val pathUtf8 = UTF8String.fromString(file)

@@ -211,4 +211,15 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decode("not a flac stream at all".getBytes).isEmpty)
     assert(Flac.decode(enc.take(50)).isEmpty, "truncated stream accepted")
   }
+
+  test("reserved channel assignments (11-15) are rejected, not decoded as stereo") {
+    val bl = 4
+    val w = new TW
+    streamInfo(w, 192, 8000, 2, 16, bl)
+    val st = frameHeader(w, bl, 11) // reserved per RFC 9639
+    verbatim(w, Seq(1, 2, 3, 4), 16)
+    verbatim(w, Seq(5, 6, 7, 8), 16)
+    closeFrame(w, st)
+    assert(Flac.decode(w.bytes).isEmpty, "reserved chAssign accepted")
+  }
 }

@@ -512,6 +512,13 @@ class OperatorsSpec extends AnyFunSuite {
     val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
     assert(bad.select(Similarity.randomProject(col("v"), 16, 64))
       .head().isNullAt(0))
+    // a NULL ELEMENT would read back as 0.0 and silently corrupt the
+    // projection — must be NULL out, the CosineSimilarity convention
+    val withNullElem = s.sql(
+      "SELECT transform(sequence(1, 64), i -> " +
+        "CASE WHEN i = 7 THEN CAST(NULL AS FLOAT) ELSE CAST(i AS FLOAT) END) AS v")
+    assert(withNullElem.select(Similarity.randomProject(col("v"), 16, 64))
+      .head().isNullAt(0))
   }
 
   test("jlTopK: projected-space candidates + exact rerank recover most exact neighbors") {
@@ -1125,7 +1132,7 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("snapshots: append/overwrite/time-travel/expire; unflipped pointer invisible") {
+  test("snapshots: append/overwrite/time-travel/expire; crash recovery via max-manifest discovery") {
     val s = spark
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-snapspec")
@@ -1144,20 +1151,31 @@ class OperatorsSpec extends AnyFunSuite {
       assert(ids(3) == Set(9L))
       assert(ids(-1) == Set(9L)) // default = current
       assert(graft.sources.Snapshots.versions(s, r) == Seq(1L, 2L, 3L))
-      // a manifest written without the pointer flip (crash between the
-      // two renames) is invisible to readers
-      java.nio.file.Files.writeString(root.resolve("manifests/v4.txt"), "data/ghost\n")
-      assert(graft.sources.Snapshots.currentVersion(s, r) == 3L)
-      assert(ids(-1) == Set(9L))
-      java.nio.file.Files.delete(root.resolve("manifests/v4.txt"))
-      // vacuum to the latest version only: v1/v2 history gone, v3 reads
+      // crash between the two renames: manifest v4 landed (its data dirs
+      // were written before it), pointer still says 3 — the manifest set
+      // is the source of truth, so the table resumes at v4 and the next
+      // commit CANNOT clobber it (the round-12 review found the old
+      // behavior reported an empty table here, and the next append then
+      // overwrote manifest v1)
+      java.nio.file.Files.copy(root.resolve("manifests/v3.txt"),
+        root.resolve("manifests/v4.txt"))
+      assert(graft.sources.Snapshots.currentVersion(s, r) == 4L)
+      assert(ids(-1) == Set(9L)) // v4 duplicates v3's contents
+      val v5 = graft.sources.Snapshots.append(Seq((20L, "w")).toDF("id", "x"), r)
+      assert(v5 == 5L)
+      assert(ids(5) == Set(9L, 20L))
+      assert(ids(1) == Set(1L, 2L)) // v1 untouched by the recovery
+      // a pointer that is AHEAD of any manifest (corrupt) cannot resolve
+      // a read, but versions() still reports the truth
+      assert(graft.sources.Snapshots.versions(s, r) == Seq(1L, 2L, 3L, 4L, 5L))
+      // vacuum to the latest version only: older history gone, v5 reads
       graft.sources.Snapshots.expire(s, r, keepLast = 1)
-      assert(graft.sources.Snapshots.versions(s, r) == Seq(3L))
-      assert(ids(3) == Set(9L))
+      assert(graft.sources.Snapshots.versions(s, r) == Seq(5L))
+      assert(ids(5) == Set(9L, 20L))
       intercept[IllegalArgumentException] { ids(1) }
-      // v3's commit dir survived the vacuum; the v1/v2 dirs are gone
+      // v5 reads v3's dir + its own append dir; v1/v2's dirs are gone
       val dataDirs = java.nio.file.Files.list(root.resolve("data")).count()
-      assert(dataDirs == 1L, s"expected 1 surviving commit dir, got $dataDirs")
+      assert(dataDirs == 2L, s"expected 2 surviving commit dirs, got $dataDirs")
       // compaction: appends fragment the manifest; compact collapses the
       // CURRENT version to one commit dir with identical rows, and
       // expire then reclaims the fragments
@@ -1167,7 +1185,7 @@ class OperatorsSpec extends AnyFunSuite {
         .select("id").collect().map(_.getLong(0)).toSet
       val vc = graft.sources.Snapshots.compact(s, r)
       assert(graft.sources.Snapshots.currentVersion(s, r) == vc)
-      assert(ids(vc) == pre && pre == Set(9L, 10L, 11L, 12L))
+      assert(ids(vc) == pre && pre == Set(9L, 20L, 10L, 11L, 12L))
       graft.sources.Snapshots.expire(s, r, keepLast = 1)
       val afterCompact = java.nio.file.Files.list(root.resolve("data")).count()
       assert(afterCompact == 1L, s"compact+expire left $afterCompact commit dirs")
@@ -1246,6 +1264,21 @@ class OperatorsSpec extends AnyFunSuite {
       ("warcinfo", null, -1, "application/warc-fields", "robots: ok"),
       ("response", "https://a.example/", 200, "text/html", "hello world"),
       ("response", "https://b.example/", 200, "text/html", "second doc")), got.toString)
+    // non-ASCII body: Content-Length must be BYTES — a char-counted
+    // frame would truncate the record and derail everything after it
+    val uni = rows.sparkSession.sql("SELECT 'café — ok' AS b, 'https://u.example/' AS u")
+    val uniRec = uni.select(graft.sources.Warc.buildWarcResponse(
+        col("u"), lit("2026-01-01T00:00:00Z"), col("b")).as("r"))
+      .head().getAs[Array[Byte]](0)
+    val gotUni = Seq((1L, uniRec ++ rec("https://after.example/", "tail")))
+      .toDF("id", "bin")
+      .select(explode(graft.sources.Warc.warcRecords(col("bin"))).as("r"))
+      .select(col("r.target_uri"), col("r.body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(gotUni == Seq(
+      ("https://u.example/", "café — ok"),
+      ("https://after.example/", "tail")), gotUni.toString)
+
     // a malformed HTTP envelope whose CRLFCRLF terminator sits exactly at
     // the payload edge (headers, no body) must NOT compute a negative
     // body slice — the record parses with an empty body
