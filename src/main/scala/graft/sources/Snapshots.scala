@@ -109,13 +109,22 @@ object Snapshots {
 
   /** Read the table at a version (default: current). The manifest is
     * resolved once at plan time; the returned frame keeps reading that
-    * version's immutable files no matter what commits follow. */
+    * version's immutable files no matter what commits follow.
+    *
+    * SCHEMA EVOLUTION: commits may carry different schemas — a column
+    * added mid-corpus is the normal life of a training table — and the
+    * read unions them BY NAME (`mergeSchema`), older commits returning
+    * NULL for columns they predate; incompatible type changes fail
+    * loudly at plan time rather than coercing. Time travel keeps each
+    * version's own shape: a pre-evolution version never shows the new
+    * column. The footer-merge cost is bounded by the manifest's file
+    * count, which [[compact]] keeps small. */
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 1) version else currentVersion(spark, root)
     require(v >= 1, s"snapshot table at $root has no committed version")
     val dirs = readManifest(spark, root, v)
       .map(d => s"${root.stripSuffix("/")}/$d")
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** All committed versions, ascending. */

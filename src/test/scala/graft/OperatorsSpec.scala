@@ -1095,6 +1095,39 @@ class OperatorsSpec extends AnyFunSuite {
       ("practice", 1L, 1000000L)), got2.toString)
   }
 
+  test("snapshots: schema evolution — added columns union by name, old versions keep their shape") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-evo")
+    try {
+      val r = root.toString
+      graft.sources.Snapshots.append(Seq((1L, 10L)).toDF("id", "n"), r)
+      // the corpus grows a column mid-life — the normal event
+      graft.sources.Snapshots.append(
+        Seq((2L, 20L, "en")).toDF("id", "n", "lang"), r)
+      val v2 = graft.sources.Snapshots.read(s, r, 2)
+      assert(v2.columns.sorted.toSeq == Seq("id", "lang", "n"))
+      val rows = v2.orderBy("id").collect()
+        .map(x => (x.getLong(0), x.getLong(1),
+          if (x.isNullAt(2)) null else x.getString(2))).toSeq
+      assert(rows == Seq((1L, 10L, null), (2L, 20L, "en")), rows.toString)
+      // time travel: the pre-evolution version never shows the column
+      assert(graft.sources.Snapshots.read(s, r, 1).columns.sorted.toSeq ==
+        Seq("id", "n"))
+      // an incompatible type change fails loudly at plan time
+      graft.sources.Snapshots.append(
+        Seq((3L, "not a number")).toDF("id", "n"), r)
+      intercept[Exception] {
+        graft.sources.Snapshots.read(s, r, 3).collect()
+      }
+      // ...and the earlier versions still read fine
+      assert(graft.sources.Snapshots.read(s, r, 2).count() == 2)
+    } finally {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("warc V2 connector: format(\"warc\") reads records; column pruning reaches the scan") {
     val s = spark
     def rec(url: String, body: String): Array[Byte] = {
