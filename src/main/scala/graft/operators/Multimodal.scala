@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
  * from the known pixel content of [[syntheticPng]] images (PNG is
  * lossless — decoded pixels ARE the generator formula).
  *
- * AUDIO decode is REAL for WAV/PCM: `decodeWav` is a pure-JVM RIFF
- * container walk + integer-PCM sample decode (public spec, no codec
- * library), with the same exact-integer-then-IEEE feature discipline
- * replayed by the oracle from [[syntheticWav]]. Compressed audio and
- * video blobs fall back to `decodeStub`, a deterministic fake with the
+ * AUDIO decode is REAL for WAV/PCM (`decodeWav`: pure-JVM RIFF walk +
+ * integer-PCM 8/16/24-bit, μ-law/A-law, IMA & MS ADPCM) and for FLAC
+ * ([[graft.operators.Flac]]: full decoder incl. LPC and stereo
+ * decorrelation), with the same exact-integer-then-IEEE feature
+ * discipline replayed by the oracle from the synthetic generators.
+ * VIDEO decode is real for GIF frame extraction and AVI/MS-RLE8
+ * inter-frame streams. Only codecs with no pure-JVM implementation
+ * (MP3/AAC) fall back to `decodeStub`, a deterministic fake with the
  * same record shape: swap it for a JNI codec call and the pipeline is
  * unchanged.
  *
@@ -335,6 +338,10 @@ object Multimodal {
       val h = (bytes(14) & 0xff) | ((bytes(15) & 0xff) << 8)
       val bpp = bytes(16) & 0xff
       if (w <= 0 || h <= 0 || (bpp != 24 && bpp != 32)) return None
+      // pixel-budget cap (matches decodeQoi/decodePcx): forged 16-bit dims
+      // can overflow w*h to a negative Int (NegativeArraySizeException is
+      // not in the catch list) or demand a multi-GB allocation
+      if (w.toLong * h > (1L << 26)) return None
       val topDown = (bytes(17) & 0x20) != 0
       val bytesPerPx = bpp / 8
       var pos = 18 + idLen
@@ -630,7 +637,9 @@ object Multimodal {
     * un-stacked into the XOR bitmap and the 1-bit AND mask (rows padded
     * to 32 bits, MSB-first, bottom-up like the color rows). Features
     * are the [[featuresFromArgb]] arithmetic restricted to OPAQUE
-    * pixels (mask bit 0): exact-integer sums, denominators `n_opaque`,
+    * pixels — mask bit 0 when any mask bit is set anywhere, else the
+    * alpha channel (real-world icons often carry an all-zero AND mask
+    * with alpha-only transparency): exact-integer sums, denominators `n_opaque`,
     * quadrant index unchanged — the fully-specified fold any engine
     * replays from known pixel content. Returns one record per entry;
     * None for unrecognized/truncated bytes (caller decides the stub). */
@@ -652,6 +661,12 @@ object Multimodal {
         if (i32(off + 16) != 0 || bpp != 32 || w <= 0 || h2 <= 0 || (h2 & 1) != 0)
           throw new IllegalArgumentException("unsupported icon encoding")
         val h = h2 / 2
+        // pixel-budget cap (matches decodeQoi/decodePcx/decodeTga): w and
+        // h2 are attacker-controlled 32-bit fields — w*h can overflow to a
+        // negative Int (NegativeArraySizeException is uncaught) or demand
+        // an arbitrary allocation before any bounds check fails
+        if (w.toLong * h > (1L << 26))
+          throw new IllegalArgumentException("icon dims exceed pixel budget")
         val px = new Array[Int](w * h)
         val alpha = new Array[Boolean](w * h)
         var pos = off + 40
@@ -670,19 +685,34 @@ object Multimodal {
           y -= 1
         }
         val maskRowBytes = ((w + 31) / 32) * 4
-        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L; var nOp = 0L
-        val quad = new Array[Long](4)
+        // the AND mask drives opacity (mask bit set → transparent); real
+        // 32bpp icons routinely ship an ALL-ZERO mask with alpha-only
+        // transparency, so when no mask bit is set anywhere the alpha
+        // channel decides instead — the complement is NOT asserted (alpha
+        // is advisory when a non-trivial mask is present)
+        val mask = new Array[Boolean](w * h)
+        var anyMaskBit = false
         y = h - 1
         while (y >= 0) {
           var x = 0
           while (x < w) {
-            val maskBit = (bytes(pos + x / 8) & (0x80 >> (x % 8))) != 0
-            // the generator keeps alpha and mask consistent; a decoder
-            // honoring only alpha would silently pass, so assert the
-            // MASK is what drives opacity
-            if (maskBit == alpha(y * w + x))
-              throw new IllegalArgumentException("mask/alpha disagreement")
-            if (!maskBit) {
+            val bit = (bytes(pos + x / 8) & (0x80 >> (x % 8))) != 0
+            mask(y * w + x) = bit
+            anyMaskBit ||= bit
+            x += 1
+          }
+          pos += maskRowBytes
+          y -= 1
+        }
+        var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L; var nOp = 0L
+        val quad = new Array[Long](4)
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val opaque =
+              if (anyMaskBit) !mask(y * w + x) else alpha(y * w + x)
+            if (opaque) {
               val p = px(y * w + x)
               val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
               sr += r; sg += g; sb += b
@@ -692,8 +722,7 @@ object Multimodal {
             }
             x += 1
           }
-          pos += maskRowBytes
-          y -= 1
+          y += 1
         }
         val feats = new Array[Float](FeatureDim)
         val d = math.max(nOp, 1L).toDouble

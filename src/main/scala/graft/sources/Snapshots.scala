@@ -51,8 +51,10 @@ object Snapshots {
       if (!f.exists(ptr)) 0L
       else {
         val in = f.open(ptr)
+        // a garbled/empty pointer falls back to manifest discovery like
+        // a missing one (toLong would throw and make the table unreadable)
         try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption.getOrElse(0L)
         finally in.close()
       }
     math.max(pointed, versions(spark, root).lastOption.getOrElse(0L))

@@ -191,7 +191,9 @@ object WarcRecords {
       new String(b, pos, hdrEnd - pos, java.nio.charset.StandardCharsets.UTF_8))
     val clen = hdrs.get("content-length").flatMap(_.toIntOption).getOrElse(-1)
     val payloadStart = hdrEnd + 4
-    if (clen < 0 || payloadStart + clen > b.length) return None
+    // overflow-safe form: `payloadStart + clen > b.length` wraps negative
+    // for clen near Int.MaxValue and would wrongly accept the record
+    if (clen < 0 || clen > b.length - payloadStart) return None
     val warcType = hdrs.getOrElse("warc-type", "")
     // response records embed an HTTP message: strip its envelope
     var status: Any = null

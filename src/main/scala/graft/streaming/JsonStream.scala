@@ -781,8 +781,9 @@ object JsonStream {
     if (java.nio.file.Files.isRegularFile(p))
       java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
     else
-      new java.io.File(path).listFiles().filter(_.isFile).foreach(f =>
-        java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).foreach(f =>
+          java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
     try {
       val raw = spark.read.parquet(dir.toString)
       val batchDf = graft.sources.Tables.tsToNanos(raw)
@@ -919,8 +920,9 @@ object JsonStream {
     if (java.nio.file.Files.isRegularFile(p))
       java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
     else
-      new java.io.File(path).listFiles().filter(_.isFile).foreach(f =>
-        java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).foreach(f =>
+          java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
     try {
       val raw = spark.read.parquet(dir.toString)
       val batchDf = graft.sources.Tables.tsToNanos(raw)
@@ -1065,8 +1067,9 @@ object JsonStream {
     if (java.nio.file.Files.isRegularFile(p))
       java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
     else
-      new java.io.File(path).listFiles().filter(_.isFile).foreach(f =>
-        java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).foreach(f =>
+          java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName)))
     try {
       val raw = spark.read.parquet(dir.toString)
       val batchDf = graft.sources.Tables.tsToNanos(raw)

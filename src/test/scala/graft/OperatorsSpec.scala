@@ -477,6 +477,12 @@ class OperatorsSpec extends AnyFunSuite {
     val t = Multimodal.syntheticTga(9L)
     val cut = java.util.Arrays.copyOf(t, 30) ++ t.takeRight(26)
     assert(Multimodal.decodeTga(9L, cut).isEmpty)
+    // forged 16-bit dims (65535x65535 overflows w*h to a negative Int)
+    // must refuse instead of throwing NegativeArraySizeException
+    val forged = Multimodal.syntheticTga(9L)
+    forged(12) = 0xff.toByte; forged(13) = 0xff.toByte
+    forged(14) = 0xff.toByte; forged(15) = 0xff.toByte
+    assert(Multimodal.decodeTga(9L, forged).isEmpty)
   }
 
   test("randomProject: hand-fold agreement, JL geometry preservation, error->NULL") {
@@ -700,11 +706,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeIco(3L, java.util.Arrays.copyOf(ico, 40)).isEmpty)
     assert(Multimodal.decodeIco(3L, "not an icon".getBytes).isEmpty)
     assert(Multimodal.decodeIco(3L, null).isEmpty)
-    // a flipped alpha byte (mask/alpha disagreement) is rejected — the
-    // decoder provably reads the mask plane, not just alpha
-    val tampered = ico.clone()
-    tampered(6 + 32 + 40 + 3) = (tampered(6 + 32 + 40 + 3) ^ 0xff).toByte
-    assert(Multimodal.decodeIco(3L, tampered).isEmpty)
+    // forged dims (negative w*h after Int overflow, or a multi-GB demand)
+    // refuse instead of throwing NegativeArraySizeException / allocating
+    val forged = ico.clone()
+    // entry-0 BITMAPINFOHEADER starts at 6 + 2*16 = 38; biWidth at +4
+    forged(38 + 4) = 0xff.toByte; forged(38 + 5) = 0xff.toByte
+    forged(38 + 6) = 0x7f.toByte; forged(38 + 7) = 0x00.toByte
+    assert(Multimodal.decodeIco(3L, forged).isEmpty)
+    val base = Multimodal.decodeIco(3L, ico).get
+    // a flipped ALPHA byte leaves the answer unchanged — when the AND
+    // mask has any bit set, the mask (not alpha) drives opacity
+    val alphaTampered = ico.clone()
+    alphaTampered(6 + 32 + 40 + 3) = (alphaTampered(6 + 32 + 40 + 3) ^ 0xff).toByte
+    val gotAlpha = Multimodal.decodeIco(3L, alphaTampered).get
+    assert(gotAlpha(0).n_opaque == base(0).n_opaque &&
+      gotAlpha(0).features.sameElements(base(0).features))
+    // a flipped MASK byte changes n_opaque — the mask plane is read,
+    // provably load-bearing (entry-0: 11x10 → 440 XOR bytes, mask at
+    // 78 + 440 = 518)
+    val maskTampered = ico.clone()
+    maskTampered(518) = (maskTampered(518) ^ 0xff).toByte
+    val gotMask = Multimodal.decodeIco(3L, maskTampered).get
+    assert(gotMask(0).n_opaque != base(0).n_opaque)
+    // an ALL-ZERO AND mask (the common real-world 32bpp shape) falls
+    // back to alpha-driven opacity; the generator keeps the planes
+    // consistent, so the answer is bit-identical
+    val zeroMask = ico.clone()
+    java.util.Arrays.fill(zeroMask, 518, 518 + 40, 0.toByte)
+    val gotZero = Multimodal.decodeIco(3L, zeroMask).get
+    assert(gotZero(0).n_opaque == base(0).n_opaque &&
+      gotZero(0).features.sameElements(base(0).features))
   }
 
   test("real image decode: JPEG header is read; unrecognized bytes fall back to stub") {
@@ -1223,6 +1254,15 @@ class OperatorsSpec extends AnyFunSuite {
       val afterCompact = java.nio.file.Files.list(root.resolve("data")).count()
       assert(afterCompact == 1L, s"compact+expire left $afterCompact commit dirs")
       assert(ids(vc) == pre)
+      // a GARBLED pointer file (not just a missing one) also falls back
+      // to max-manifest discovery instead of throwing NumberFormatException
+      java.nio.file.Files.write(root.resolve("VERSION"),
+        "not a number".getBytes("UTF-8"))
+      // the local Hadoop fs keeps a checksum sidecar; an out-of-band NIO
+      // write invalidates it, which is not the failure mode under test
+      java.nio.file.Files.deleteIfExists(root.resolve(".VERSION.crc"))
+      assert(graft.sources.Snapshots.currentVersion(s, r) == vc)
+      assert(ids(vc) == pre)
     } finally {
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
@@ -1333,6 +1373,16 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("r.body").cast("string"))
       .collect().map(_.getString(0)).toSeq
     assert(gotMal == Seq(cutHttp), gotMal.toString)
+
+    // a Content-Length near Int.MaxValue must not wrap the bounds check
+    // negative (Int overflow) and crash the copy — the record is simply
+    // an incomplete tail; the valid prefix before it survives
+    val bomb = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x.example/\r\n" +
+      "Content-Length: 2147483647\r\n\r\nbody\r\n\r\n").getBytes("UTF-8")
+    val gotBomb = Seq((1L, rec("https://ok.example/", "fine") ++ bomb)).toDF("id", "bin")
+      .select(explode(graft.sources.Warc.warcRecords(col("bin"))).as("r"))
+      .select(col("r.target_uri")).collect().map(_.getString(0)).toSeq
+    assert(gotBomb == Seq("https://ok.example/"), gotBomb.toString)
 
     // a truncated tail keeps the valid prefix
     val cut = blob.dropRight(30) // slices into the last record's payload
