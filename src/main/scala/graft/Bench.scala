@@ -57,32 +57,52 @@ object Bench {
         try { force(fn(spark, warmDir)) } catch { case _: Throwable => () }
       }
     }
-    // Min of 3 measured samples per query (after the warmup pass):
-    // criterion-style steady-state timing. A single sample conflates the
-    // query's cost with one-shot JIT/page-cache/GC noise — observed
-    // run-to-run drift of ±30% on identical code; the min is the
-    // reproducible floor.
+    // ADAPTIVE min-of-N sampling (the documented rule BenchGuard gates
+    // on). Every query starts at its tier's base sample count (core 3 /
+    // extended 2 / iterative 3 — criterion-style steady-state timing
+    // after the warmup pass), then KEEPS sampling, up to
+    // SPARK_GRAFT_BENCH_MAX_SAMPLES (default 6), while the measurement
+    // is noise-prone:
+    //   - the running min is SUB-SECOND (sub-second queries inside a
+    //     181-query serial session sit in a ±2-12x JIT/GC/load noise
+    //     band — the round-12 close measured q_decontam_frac at 0.38 s
+    //     and 4.63 s across two runs of byte-identical code), or
+    //   - the observed spread max/min exceeds 1.3 while the min is
+    //     under 5 s (two samples that disagree are exactly the case
+    //     where two are not enough; >5 s queries are relatively stable
+    //     and too expensive to resample on spread alone).
+    // The reported number is the min — the reproducible floor.
     val samples = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").flatMap(_.toIntOption).getOrElse(3))
+    val maxSamples = math.max(samples,
+      sys.env.get("SPARK_GRAFT_BENCH_MAX_SAMPLES").flatMap(_.toIntOption).getOrElse(6))
     def time(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame)], n: Int): Map[String, Double] =
+        org.apache.spark.sql.DataFrame)], base: Int): Map[String, Double] =
       qs.map { case (name, fn) =>
-        val times = (1 to n).map { _ =>
+        val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+        def sample(): Boolean = {
           val t0 = System.nanoTime()
-          val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
           // a crashed query must read as broken (-1), not as a fast run
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+          if (ok) ts += (System.nanoTime() - t0) / 1e9
+          ok
         }
-        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+        var broken = false
+        var i = 0
+        while (i < base && !broken) { broken = !sample(); i += 1 }
+        while (!broken && ts.length < maxSamples &&
+            (ts.min < 1.0 || (ts.min < 5.0 && ts.max / ts.min > 1.3)))
+          broken = !sample()
+        name -> (if (broken) -1.0 else ts.min)
       }.toMap
     val results: Map[String, Double] = time(bench, samples)
-    // Extended tier at min-of-2: regression visibility, not a headline
-    // number — half the samples keeps the full-bench wall time bounded.
-    // EXCEPT the iterative queries (driver-loop rounds with
-    // checkpoint/persist churn): they are the bench's most
-    // variance-prone measurements — the round-11 close recorded
-    // 2-3x run-to-run swings on exactly these — so they keep the full
-    // min-of-3 to pin the reproducible floor.
+    // Extended tier starts at min-of-2: regression visibility, not a
+    // headline number — the adaptive rule above adds samples exactly
+    // where two are not enough. EXCEPT the iterative queries
+    // (driver-loop rounds with checkpoint/persist churn): they are the
+    // bench's most variance-prone measurements — the round-11 close
+    // recorded 2-3x run-to-run swings on exactly these — so they keep
+    // the full min-of-3 base.
     val iterative = Set("q_bpe_merges", "q_dedup_clusters", "q_pagerank", "q_link_graph")
     val (extIter, extRest) = extended.partition { case (n, _) => iterative(n) }
     val extResults: Map[String, Double] =

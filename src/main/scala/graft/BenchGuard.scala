@@ -13,6 +13,19 @@ package graft
  * Defaults ratio = 1.5 (the VERDICT contract), slack = 0.3 s; override
  * with SPARK_GRAFT_GUARD_RATIO / SPARK_GRAFT_GUARD_SLACK.
  *
+ * SAMPLING RULE this gate assumes (implemented in [[Bench]]): every
+ * query is timed min-of-N with ADAPTIVE N — base 3 (core/iterative) or
+ * 2 (extended), growing to 6 while the running min is sub-second or the
+ * sample spread exceeds 1.3× under 5 s. Even so, sub-second queries
+ * inside a 181-query serial session keep a residual noise band the
+ * 0.3 s slack sits inside (round-12 measured 0.38 s ↔ 4.63 s swings on
+ * byte-identical code before the adaptive rule; afterwards the band is
+ * narrower but not zero) — so SUB-SECOND baselines (< 1 s) gate with a
+ * wider additive slack, default 1.2 s
+ * (SPARK_GRAFT_GUARD_SUBSEC_SLACK). A genuine blow-up of a 0.4 s query
+ * still trips (0.4 → 2 s = 5× and +1.6 s); a 2-3× noise wobble does
+ * not. Queries at or above 1 s keep the tight 0.3 s slack.
+ *
  * Queries new since the baseline get an ABSOLUTE ceiling instead
  * (default 5 s, SPARK_GRAFT_GUARD_NEW_CEILING): a brand-new query has
  * no old number to ratio against, and "reported informationally" was
@@ -85,12 +98,17 @@ object BenchGuard {
       ratio: Double,
       slack: Double,
       newCeiling: Double,
-      allow: Map[String, String] = newQueryAllow): (Seq[String], Int) = {
+      allow: Map[String, String] = newQueryAllow,
+      subSecSlack: Double = 1.2): (Seq[String], Int) = {
     val newQ = queryMap(latest, "queries") ++ queryMap(latest, "extended")
     val oldQ = queryMap(baseline, "queries") ++ queryMap(baseline, "extended")
     val out = Seq.newBuilder[String]
     var failed = 0
     oldQ.toSeq.sortBy(_._1).foreach { case (name, old) =>
+      // sub-second baselines sit in the serial-session noise band even
+      // under adaptive min-of-N sampling — they gate with the wider
+      // additive slack (see the class doc for the measured evidence)
+      val effSlack = if (old >= 0 && old < 1.0) math.max(slack, subSecSlack) else slack
       newQ.get(name) match {
         case None =>
           out += f"MISSING $name (baseline ${old}%.3f s — dropped from the bench?)"
@@ -98,7 +116,7 @@ object BenchGuard {
         case Some(v) if v < 0 =>
           out += f"BROKEN  $name (crashed in the latest run)"
           failed += 1
-        case Some(v) if old >= 0 && v > ratio * old && v - old > slack =>
+        case Some(v) if old >= 0 && v > ratio * old && v - old > effSlack =>
           out += f"REGRESS $name ${old}%.3f s -> ${v}%.3f s (${v / old}%.2fx)"
           failed += 1
         case _ => ()
@@ -167,12 +185,15 @@ object BenchGuard {
       .flatMap(_.toDoubleOption).getOrElse(0.3)
     val newCeiling = sys.env.get("SPARK_GRAFT_GUARD_NEW_CEILING")
       .flatMap(_.toDoubleOption).getOrElse(5.0)
-    val (lines, failed) = evaluate(latest, baseline, ratio, slack, newCeiling)
+    val subSecSlack = sys.env.get("SPARK_GRAFT_GUARD_SUBSEC_SLACK")
+      .flatMap(_.toDoubleOption).getOrElse(1.2)
+    val (lines, failed) = evaluate(latest, baseline, ratio, slack, newCeiling,
+      subSecSlack = subSecSlack)
     lines.foreach(println)
     val guarded = queryMap(baseline, "queries").size +
       queryMap(baseline, "extended").size
     println(s"BenchGuard: $guarded guarded, $failed failing " +
-      s"(ratio=$ratio slack=${slack}s newCeiling=${newCeiling}s)")
+      s"(ratio=$ratio slack=${slack}s subSecSlack=${subSecSlack}s newCeiling=${newCeiling}s)")
     if (failed > 0) sys.exit(1)
   }
 }

@@ -52,6 +52,24 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(failed2 == 1 && lines2.exists(_.startsWith("BROKEN  q1")), lines2.mkString("\n"))
   }
 
+  test("sub-second baselines gate with the wider additive slack; >=1 s keep the tight one") {
+    val base = payload(Map("q_small" -> 0.4, "q_big" -> 1.2), Map.empty)
+    // 3x noise wobble on a 0.4 s baseline (+0.8 s, under the 1.2 s
+    // sub-second slack) must NOT fail — this is exactly the round-12
+    // false-positive band
+    val wobble = payload(Map("q_small" -> 1.2, "q_big" -> 1.2), Map.empty)
+    val (l1, f1) = BenchGuard.evaluate(wobble, base, 1.5, 0.3, 5.0)
+    assert(f1 == 0, l1.mkString("\n"))
+    // a genuine blow-up (0.4 -> 2.0 s = 5x and +1.6 s) still trips
+    val blowup = payload(Map("q_small" -> 2.0, "q_big" -> 1.2), Map.empty)
+    val (l2, f2) = BenchGuard.evaluate(blowup, base, 1.5, 0.3, 5.0)
+    assert(f2 == 1 && l2.exists(_.startsWith("REGRESS q_small")), l2.mkString("\n"))
+    // a >=1 s baseline does NOT get the wide slack: 1.2 -> 2.4 s fails
+    val bigRegress = payload(Map("q_small" -> 0.4, "q_big" -> 2.4), Map.empty)
+    val (l3, f3) = BenchGuard.evaluate(bigRegress, base, 1.5, 0.3, 5.0)
+    assert(f3 == 1 && l3.exists(_.startsWith("REGRESS q_big")), l3.mkString("\n"))
+  }
+
   test("a crashed NEW query fails the gate too") {
     val latest = payload(Map("q1" -> 1.0, "q2" -> 0.05),
       Map("q_ext" -> 2.0, "q_new" -> -1.0))
