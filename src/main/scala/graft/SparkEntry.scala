@@ -965,6 +965,11 @@ object SparkEntry {
         concat(lit("u"), col("user_id").cast("long")).as("src"),
         concat(lit("i"),
           graft.JsonFunctions.json_get_int(col("props"), lit("k"))).as("dst"))
+      // every-round materialization (the default) measures FASTER than
+      // sparser cadences here: each half-step's global max is a
+      // broadcast subtree that re-executes the un-checkpointed prefix
+      // (cadence 2 doubled wall time when A/B'd) — the knob exists for
+      // durable-mode parity, not local tuning
       operators.Graph.hitsFixed(edges, "src", "dst", iterations = 5)
         .orderBy(col("node"))
     }),

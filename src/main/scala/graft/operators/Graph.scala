@@ -222,15 +222,39 @@ object Graph {
     * Returns `(node, hub, auth)` for every node. Scale shape: the edge
     * list is pre-partitioned by src and persisted (each round's two
     * joins reuse the layout); each half-step is one equi-join + one
-    * keyed aggregation + one single-row max that broadcast-joins back;
-    * per-round frames are eagerly materialized (bounded lineage) and
-    * released before return. */
+    * keyed aggregation + one single-row max that broadcast-joins back.
+    *
+    * Lineage truncation — [[pageRankFixed]] parity: every
+    * `checkpointEvery` rounds the hub table is MATERIALIZED, either
+    * executor-local (`checkpointDir = null`, fast but an executor loss
+    * kills the job) or durably to parquet under `checkpointDir` (an
+    * executor loss recomputes at most `checkpointEvery` rounds from
+    * files; superseded checkpoints are deleted as the run proceeds and
+    * the per-run directory is removed before returning). Between
+    * checkpoints lineage grows 2 joins per round, so any iteration
+    * count is safe at any `checkpointEvery`. The default (1) is also
+    * the FAST local setting — each half-step's global max is a
+    * broadcast subtree that re-executes the un-checkpointed prefix, so
+    * sparser cadences trade fewer materializations for redundant
+    * recompute (A/B-measured 2x wall at cadence 2); raise the cadence
+    * only in durable mode to cut checkpoint WRITE volume on slow
+    * filesystems. All modes are result-identical (mode-equivalence
+    * spec, as for pageRank). */
   def hitsFixed(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5,
+      checkpointDir: String = null,
+      checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val spark = edges.sparkSession
+    val runDir =
+      if (checkpointDir == null) null
+      else checkpointDir.stripSuffix("/") + "/hits_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
@@ -263,16 +287,42 @@ object Graph {
             "Long ceiling (a node with >9.2e6 max-score in-edges); cap hub " +
             "degree upstream or shard the hot node') END").as(outCol))
     }
+    def materialize(df: DataFrame, name: String): DataFrame =
+      if (runDir == null) df.localCheckpoint(true)
+      else {
+        val p = s"$runDir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    def drop(name: String): Unit =
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/$name")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     var hubs = nodes.select(col("node"), lit(1000000L).as("hub"))
     var auth: DataFrame = null
     var i = 0
+    var lastCp = -1
     while (i < iterations) {
       auth = step(hubs, "hub", "src", "dst", "auth")
-      // one eager materialization per ROUND bounds lineage depth; the
-      // final round's auth chain rides into the result job below
-      hubs = step(auth, "auth", "dst", "src", "hub").localCheckpoint(true)
-      retired += hubs
+      hubs = step(auth, "auth", "dst", "src", "hub")
       i += 1
+      // materialize every checkpointEvery ROUNDS and ALWAYS after the
+      // final one (unlike pageRank, each half-step's global max is a
+      // broadcast subtree that re-executes the whole un-checkpointed
+      // prefix — measured 2x wall at cadence 2 — so the final round must
+      // not ride lazily into the result job); superseded durable
+      // checkpoints are deleted as the run proceeds, local ones released
+      // after the result severs its lineage
+      if (i % checkpointEvery == 0 || i == iterations) {
+        hubs = materialize(hubs, s"hubs_$i")
+        // the final round's `auth` frame still READS the superseded
+        // checkpoint (auth = step(previous hubs)) until the result
+        // materializes — defer that last drop to the run-dir cleanup
+        if (lastCp >= 0 && i < iterations) drop(s"hubs_$lastCp")
+        lastCp = i
+        if (runDir == null) retired += hubs
+      }
     }
     val res = nodes
       .join(hubs, Seq("node"), "left")
@@ -281,9 +331,13 @@ object Graph {
         coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(true)
     e.unpersist(); nodes.unpersist()
-    // the last hub/auth checkpoints back the result only through the
-    // final join, which the checkpoint above severed — release them all
+    // the last hub checkpoint backs the result only through the final
+    // join, which the checkpoint above severed — release/delete them
     retired.foreach(graft.operators.releaseLocalCheckpoint)
+    if (runDir != null) {
+      val p = new org.apache.hadoop.fs.Path(runDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     res
   }
 }

@@ -1290,6 +1290,31 @@ class OperatorsSpec extends AnyFunSuite {
       "x" -> (0L, 1000000L), "y" -> (0L, 600000L)), run(2).toString)
   }
 
+  test("hitsFixed: checkpoint modes (local/durable, any cadence) are result-identical; run dir removed") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "x"), ("b", "x"), ("b", "y"), ("c", "y"),
+      ("c", "z"), ("a", "z")).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val everyRound = rows(Graph.hitsFixed(edges, "src", "dst", 7))
+    val sparse = rows(Graph.hitsFixed(edges, "src", "dst", 7, checkpointEvery = 3))
+    val cpRoot = java.nio.file.Files.createTempDirectory("graft-hitscp")
+    try {
+      val durable = rows(Graph.hitsFixed(edges, "src", "dst", 7,
+        checkpointDir = cpRoot.toString, checkpointEvery = 2))
+      assert(everyRound == sparse && sparse == durable,
+        s"modes diverged:\n$everyRound\n$sparse\n$durable")
+      // per-run hits_<uuid> dir deleted before returning
+      val leftovers = java.nio.file.Files.list(cpRoot).count()
+      assert(leftovers == 0L, s"run dir leaked: $leftovers entries under $cpRoot")
+    } finally {
+      java.nio.file.Files.walk(cpRoot).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("tokenEntropy: hand-computed fold; uniform beats repeated at equal length") {
     val s = spark
     import s.implicits._
