@@ -1308,6 +1308,65 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the full ISO-28500 record-type surface: each doc is framed as a
+    // 4-record crawl capture — warcinfo (no Target-URI), request (full
+    // HTTP request message kept VERBATIM as the body: envelopes are
+    // stripped only on responses), response (envelope stripped), and
+    // metadata — and the splitter parses all four back in order; the
+    // oracle rebuilds every field from the table, so a hash match
+    // proves parse(build(x))=x per record TYPE, not just for responses
+    "q_warc_meta" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      val url = concat(lit("https://example.org/doc/"), col("doc_id").cast("string"))
+      val date = lit("2026-01-01T00:00:00Z")
+      val info = sources.Warc.buildWarcRecord(
+        lit("warcinfo"), lit(null).cast("string"), date,
+        lit("application/warc-fields"),
+        concat(lit("software: graft\r\ndoc: "), col("doc_id").cast("string")))
+      val reqHttp = concat(lit("GET /doc/"), col("doc_id").cast("string"),
+        lit(" HTTP/1.1\r\nHost: example.org\r\n\r\n"))
+      val req = sources.Warc.buildWarcRecord(
+        lit("request"), url, date,
+        lit("application/http; msgtype=request"), reqHttp)
+      val resp = sources.Warc.buildWarcResponse(url, date, col("text"))
+      val meta = sources.Warc.buildWarcRecord(
+        lit("metadata"), url, date, lit("application/warc-fields"),
+        concat(lit("charsForDoc: "), col("n_chars").cast("string")))
+      val blob = concat(info, req, resp, meta)
+      d.select(col("doc_id"),
+          posexplode(sources.Warc.warcRecords(blob)).as(Seq("rec_idx", "r")))
+        .select(col("doc_id"), col("rec_idx").cast("long").as("rec_idx"),
+          col("r.warc_type"), col("r.target_uri"),
+          col("r.http_status").cast("long").as("http_status"),
+          col("r.content_type"), col("r.body").cast("string").as("body"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
+    // the gzip WRITER end to end: records written record-per-gzip-member
+    // into .warc.gz segments (Common Crawl's layout), read back through
+    // the V2 connector's shared inflate — same oracle as q_warc_source,
+    // so a hash match proves the compressed round trip loses nothing
+    "q_warc_gz" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcgz")
+      val root = tmp.toString
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      sources.Warc.writeSegments(
+        d.select(sources.Warc.buildWarcResponse(
+            concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
+            lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+          .repartition(8), "rec", root, gzipPerRecord = true)
+      val out = s.read.format("warc").load(root)
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"),
+          col("http_status").cast("long").as("http_status"),
+          col("content_type"), col("body").cast("string").as("body"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // the V2 connector end to end: WARC files are written DISTRIBUTED
     // (each task concatenates its partition's records into one segment,
     // the upstream crawl's layout), read back via format("warc") with
@@ -4339,6 +4398,47 @@ object SparkEntry {
 
     // streaming connector replica: identical — bounded replay == batch
     "q_stream_warc" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        | 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        | CAST(200 AS BIGINT) AS http_status,
+        | 'text/html' AS content_type, text AS body
+        | FROM documents WHERE text IS NOT NULL
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // record-type replica: all four record kinds rebuilt from the table
+    // (request bodies keep their HTTP message verbatim — envelopes are
+    // stripped only on responses; warcinfo has no Target-URI)
+    "q_warc_meta" ->
+      """SELECT doc_id, rec_idx, warc_type, target_uri, http_status,
+        |  content_type, body FROM (
+        | SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
+        |  'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+        |  CAST(NULL AS BIGINT) AS http_status,
+        |  'application/warc-fields' AS content_type,
+        |  'software: graft' || chr(13) || chr(10) || 'doc: '
+        |    || CAST(doc_id AS VARCHAR) AS body
+        |  FROM documents WHERE text IS NOT NULL
+        | UNION ALL SELECT doc_id, CAST(1 AS BIGINT),
+        |  'request', 'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+        |  CAST(NULL AS BIGINT), 'application/http; msgtype=request',
+        |  'GET /doc/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1'
+        |    || chr(13) || chr(10) || 'Host: example.org'
+        |    || chr(13) || chr(10) || chr(13) || chr(10)
+        |  FROM documents WHERE text IS NOT NULL
+        | UNION ALL SELECT doc_id, CAST(2 AS BIGINT),
+        |  'response', 'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+        |  CAST(200 AS BIGINT), 'text/html', text
+        |  FROM documents WHERE text IS NOT NULL
+        | UNION ALL SELECT doc_id, CAST(3 AS BIGINT),
+        |  'metadata', 'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+        |  CAST(NULL AS BIGINT), 'application/warc-fields',
+        |  'charsForDoc: ' || CAST(n_chars AS VARCHAR)
+        |  FROM documents WHERE text IS NOT NULL
+        |) ORDER BY doc_id, rec_idx""".stripMargin.replaceAll("\n", " "),
+
+    // gzip-writer replica: identical expected fields — the member-per-
+    // record compression is invisible to the oracle by construction
+    "q_warc_gz" ->
       """SELECT doc_id, 'response' AS warc_type,
         | 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
         | CAST(200 AS BIGINT) AS http_status,

@@ -74,17 +74,52 @@ object Warc {
       "UTF-8")
   }
 
+  /** Assemble a WARC record of any type (uncompressed): `warcinfo` /
+    * `request` / `metadata` / `resource` records carry their payload
+    * VERBATIM — no HTTP envelope is synthesized, so pass a full HTTP
+    * message as the body for `request` records (the parser only strips
+    * envelopes on `response` records, per [[WarcRecords.parseOne]]). A
+    * NULL `uriCol` omits the WARC-Target-URI header entirely (the
+    * warcinfo shape). Byte framing follows [[buildWarcResponse]]:
+    * Content-Length is the UTF-8 BYTE length of the body. */
+  def buildWarcRecord(
+      typeCol: Column, uriCol: Column, dateCol: Column,
+      ctypeCol: Column, bodyCol: Column): Column =
+    encode(concat(
+      lit("WARC/1.0\r\nWARC-Type: "), typeCol,
+      when(uriCol.isNull, lit(""))
+        .otherwise(concat(lit("\r\nWARC-Target-URI: "), uriCol)),
+      lit("\r\nWARC-Date: "), dateCol,
+      lit("\r\nContent-Type: "), ctypeCol,
+      lit("\r\nContent-Length: "), octet_length(bodyCol).cast("string"),
+      lit("\r\n\r\n"), bodyCol, lit("\r\n\r\n")), "UTF-8")
+
   /** Write a binary record column as WARC segment files, one per task —
     * the crawl's own layout, and the single shared implementation for
     * every writer path (byte-framing or compression fixes land once).
-    * The directory must be visible to the executors (shared FS). */
-  def writeSegments(records: DataFrame, recCol: String, dir: String): Unit =
+    * `gzipPerRecord = true` emits each record as its OWN gzip member
+    * concatenated into `seg_*.warc.gz` (Common Crawl's layout — members
+    * are independently seekable/decodable); the read side (kernel
+    * inflate and the V2 connector, which share [[WarcRecords
+    * .inflateIfGzip]]) consumes multi-member streams natively. The
+    * directory must be visible to the executors (shared FS). */
+  def writeSegments(records: DataFrame, recCol: String, dir: String,
+      gzipPerRecord: Boolean = false): Unit =
     records.select(col(recCol)).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
+          val ext = if (gzipPerRecord) ".warc.gz" else ".warc"
           val f = new java.io.FileOutputStream(new java.io.File(dir,
-            s"seg_${java.util.UUID.randomUUID().toString.take(12)}.warc"))
-          try it.foreach(r => f.write(r.getAs[Array[Byte]](0)))
+            s"seg_${java.util.UUID.randomUUID().toString.take(12)}$ext"))
+          try it.foreach { r =>
+            val b = r.getAs[Array[Byte]](0)
+            if (gzipPerRecord) {
+              val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+              val g = new java.util.zip.GZIPOutputStream(bos)
+              g.write(b); g.close()
+              f.write(bos.toByteArray)
+            } else f.write(b)
+          }
           finally f.close()
         }
     }

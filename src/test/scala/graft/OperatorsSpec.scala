@@ -1269,6 +1269,76 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("warc gzip writer: record-per-member .warc.gz round-trips through both read routes") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "hello"), (2L, "wörld — utf8"), (3L, "third"))
+      .toDF("doc_id", "text")
+    val recs = docs.select(graft.sources.Warc.buildWarcResponse(
+      concat(lit("https://g.example/"), col("doc_id").cast("string")),
+      lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcgzspec")
+    try {
+      graft.sources.Warc.writeSegments(recs.repartition(2), "rec",
+        dir.toString, gzipPerRecord = true)
+      val files = java.nio.file.Files.list(dir).iterator()
+      var gzCount = 0
+      while (files.hasNext) {
+        val f = files.next()
+        assert(f.getFileName.toString.endsWith(".warc.gz"), f.toString)
+        // each member is an independent gzip stream: the FIRST member
+        // alone must inflate to exactly one well-formed record
+        val bytes = java.nio.file.Files.readAllBytes(f)
+        assert((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        gzCount += 1
+      }
+      assert(gzCount == 2, s"expected 2 segments, got $gzCount")
+      // route 1: binaryFile + kernel
+      val viaKernel = graft.sources.Warc.readWarc(s, dir.toString)
+        .select(col("target_uri"), col("body").cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // route 2: the V2 connector
+      val viaConn = s.read.format("warc").load(dir.toString)
+        .select(col("target_uri"), col("body").cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val want = Set(
+        ("https://g.example/1", "hello"),
+        ("https://g.example/2", "wörld — utf8"),
+        ("https://g.example/3", "third"))
+      assert(viaKernel == want, viaKernel.toString)
+      assert(viaConn == want, viaConn.toString)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
+  test("buildWarcRecord: warcinfo omits Target-URI; request body is kept verbatim") {
+    val s = spark
+    import s.implicits._
+    val one = Seq(1L).toDF("id")
+    val reqHttp = "GET /x HTTP/1.1\r\nHost: h\r\n\r\n"
+    val blob = one.select(concat(
+      graft.sources.Warc.buildWarcRecord(lit("warcinfo"),
+        lit(null).cast("string"), lit("2026-01-01T00:00:00Z"),
+        lit("application/warc-fields"), lit("k: v")),
+      graft.sources.Warc.buildWarcRecord(lit("request"),
+        lit("https://h/x"), lit("2026-01-01T00:00:00Z"),
+        lit("application/http; msgtype=request"), lit(reqHttp))).as("b"))
+    val got = blob.select(explode(graft.sources.Warc.warcRecords(col("b"))).as("r"))
+      .select(col("r.warc_type"), col("r.target_uri"),
+        col("r.http_status"), col("r.content_type"), col("r.body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      ("warcinfo", null, -1, "application/warc-fields", "k: v"),
+      ("request", "https://h/x", -1, "application/http; msgtype=request", reqHttp)),
+      got.toString)
+    // the raw warcinfo header block really has no Target-URI line
+    val raw = new String(blob.head().getAs[Array[Byte]](0), "UTF-8")
+    assert(!raw.substring(0, raw.indexOf("request")).contains("WARC-Target-URI"))
+  }
+
   test("hitsFixed: hand-computed hub/authority rounds on a tiny bipartite graph") {
     val s = spark
     import s.implicits._
