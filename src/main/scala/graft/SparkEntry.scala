@@ -660,6 +660,23 @@ object SparkEntry {
           "doc_id", "title", maxDist = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // TOKEN-level edit-distance join on 24-token document prefixes:
+    // PassJoin over token SEQUENCES (d+1 disjoint token subarrays; the
+    // candidate join key is the subarray itself) + banded token-DP
+    // verify — the paraphrase distance between shingle-Jaccard and char
+    // edit. Oracle = brute-force all-pairs over an INJECTIVE single-
+    // byte encoding of the 31-token vocab (token edit distance equals
+    // byte levenshtein of injectively encoded sequences — an identity,
+    // not an approximation), so the hash match proves the token
+    // PassJoin lost nothing on this corpus
+    "q_editdist_tokens" -> ((s, dir) =>
+      operators.Dedup.tokenEditDistancePairs(
+          table(s, dir, "documents").where(col("text").isNotNull)
+            .select(col("doc_id"),
+              slice(split(col("text"), " "), 1, 24).as("toks")),
+          "doc_id", "toks", maxDist = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // two-stage near-dedup (LSH candidates → exact-Jaccard verify) plus
     // transitive closure into duplicate clusters
     "q_dedup_clusters" -> ((s, dir) => {
@@ -5453,6 +5470,38 @@ object SparkEntry {
         |       i -> CAST(abs(a.h[i] - b.h[i]) AS BIGINT))), (p, q) -> p + q) <= 16)
         | SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
         | FROM cand WHERE levenshtein(ta, tb) <= 8
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // token-level all-pairs: encode each 24-token prefix INJECTIVELY
+    // (one single-byte char per distinct token — 31-token vocab, so
+    // codes 33..63 all stay single-byte and DuckDB's byte-based
+    // levenshtein equals the token distance exactly); then the char
+    // oracle's machinery verbatim on the encoded strings — bag-of-
+    // tokens L1 bound (the same theorem, over token multisets) cuts the
+    // 12.5M-pair sweep, final check is plain levenshtein. Deliberately
+    // ignorant of the engine's PassJoin candidates.
+    "q_editdist_tokens" ->
+      """WITH t AS (SELECT doc_id, list_slice(string_split(text,' '), 1, 24) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        | tk AS (SELECT doc_id, i, toks[i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        | vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS r
+        |  FROM (SELECT DISTINCT tok FROM tk)),
+        | enc AS (SELECT tk.doc_id, string_agg(chr(CAST(32 + v.r AS INT)), '' ORDER BY tk.i) AS e
+        |  FROM tk JOIN vocab v ON v.tok = tk.tok GROUP BY tk.doc_id),
+        | cs AS (SELECT DISTINCT ch FROM (SELECT unnest(string_split(e,'')) AS ch FROM enc)),
+        | nch AS (SELECT count(*) AS n FROM cs),
+        | hist AS (SELECT doc_id, e, list(length(e) - length(replace(e, ch, '')) ORDER BY ch) AS h
+        |  FROM enc, cs GROUP BY doc_id, e),
+        | cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.e AS ea, b.e AS eb
+        |  FROM hist a, hist b, nch
+        |  WHERE a.doc_id < b.doc_id
+        |   AND abs(length(a.e) - length(b.e)) <= 4
+        |   AND list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(range(1, CAST(nch.n + 1 AS INT)),
+        |       i -> CAST(abs(a.h[i] - b.h[i]) AS BIGINT))), (p, q) -> p + q) <= 8)
+        | SELECT id_a, id_b, CAST(levenshtein(ea, eb) AS BIGINT) AS dist
+        | FROM cand WHERE levenshtein(ea, eb) <= 4
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // trained-IVF: Lloyd iterations + probe + top-k replayed in SQL with

@@ -1141,14 +1141,19 @@ object Dedup {
     * partition — the first `k − (l mod k)` segments get `⌊l/k⌋` chars,
     * the rest one more — where `la` is the string's own length (the
     * join key that pins partner partitions to the right scheme). */
-  private[graft] def passJoinSegments(sCol: Column, lCol: Column, k: Int): Column =
+  private def passJoinSegmentsG(
+      sCol: Column, lCol: Column, k: Int,
+      extract: (Column, Column, Column) => Column): Column =
     transform(sequence(lit(1L), lit(k.toLong)), { i =>
       val amod = lCol % k
       val base = floor(lCol / k).cast("long")
       val leni = base + when(i > lit(k.toLong) - amod, 1L).otherwise(0L)
       val pi = (i - 1) * base + greatest(lit(0L), i - 1 - (lit(k.toLong) - amod)) + 1
-      struct(lCol.as("la"), i.as("i"), substr(sCol, pi, leni).as("sub"))
+      struct(lCol.as("la"), i.as("i"), extract(sCol, pi, leni).as("sub"))
     })
+
+  private[graft] def passJoinSegments(sCol: Column, lCol: Column, k: Int): Column =
+    passJoinSegmentsG(sCol, lCol, k, (s, p, l) => substr(s, p, l))
 
   /** Every substring of `s` that could match segment `i` of a partner
     * of length `la ∈ [max(k, lb−d), lb]` within edit distance `d`, as
@@ -1169,8 +1174,9 @@ object Dedup {
     * across positions are NOT deduped here — array_distinct over
     * struct arrays is a quadratic comparison loop, far costlier than
     * letting the downstream pair-level distinct absorb them. */
-  private[graft] def passJoinProbes(
-      sCol: Column, lbCol: Column, d: Int, k: Int, lensCol: Column): Column =
+  private def passJoinProbesG(
+      sCol: Column, lbCol: Column, d: Int, k: Int, lensCol: Column,
+      extract: (Column, Column, Column) => Column): Column =
     flatten(transform(
       filter(sequence(greatest(lit(k.toLong), lbCol - d), lbCol),
         la => array_contains(lensCol, la)), { la =>
@@ -1186,9 +1192,13 @@ object Dedup {
           val lo = greatest(lit(1L), pi + dLo)
           val hi = least(lbCol - leni + 1, pi + dHi)
           transform(filter(sequence(lo, greatest(lo, hi)), p => p <= hi),
-            p => struct(la.as("la"), i.as("i"), substr(sCol, p, leni).as("sub")))
+            p => struct(la.as("la"), i.as("i"), extract(sCol, p, leni).as("sub")))
         }))
       }))
+
+  private[graft] def passJoinProbes(
+      sCol: Column, lbCol: Column, d: Int, k: Int, lensCol: Column): Column =
+    passJoinProbesG(sCol, lbCol, d, k, lensCol, (s, p, l) => substr(s, p, l))
 
   /** Edit-distance similarity self-join: every pair of rows whose
     * strings are within Levenshtein distance `maxDist`, with the exact
@@ -1299,5 +1309,100 @@ object Dedup {
       .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
     (out, strs)
+  }
+
+  /** TOKEN-level edit-distance similarity self-join: every pair of rows
+    * whose token SEQUENCES are within Levenshtein distance `maxDist`
+    * where the unit edit inserts/deletes/substitutes a whole token —
+    * the paraphrase-dedup distance between shingle-Jaccard (order-
+    * blind: a reshuffled sentence scores 1.0) and char edit distance
+    * (a swapped word costs its whole character length): "the quick
+    * brown fox" vs "the fast brown fox" is distance 1 here.
+    *
+    * Same PassJoin partitioning as [[editDistancePairs]] (Li, Deng &
+    * Feng, VLDB 2011), applied to token arrays: the sequence splits
+    * into d+1 disjoint token SEGMENTS (subarrays), pigeonhole puts one
+    * verbatim in any partner within distance d, and candidates come
+    * from an exact equi-join on the `(la, i, subarray)` key — Spark
+    * hashes/compares array<string> keys natively, so the join is as
+    * shuffle-friendly as the char variant's substring key. Sequences
+    * shorter than d+1 tokens route through the same length-banded
+    * pass. Verification is the banded token DP ([[TokenLevenshtein]],
+    * O(d·n) with early exit).
+    *
+    * `toksCol` must be array<string>. Returns (id_a, id_b, dist),
+    * id_a < id_b, one row per verified pair. Scale shape identical to
+    * the char variant: map-side segment/probe explodes (≤ (d+1)²
+    * probes per row per partner length), fine-grained equi-join keys
+    * (AQE skew-splittable, never a cartesian), id-keyed fetch joins,
+    * map-side verify. */
+  def tokenEditDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      maxDist: Int): DataFrame = {
+    val (out, toks) = tokenEditDistancePlan(df, idCol, toksCol, maxDist)
+    try out.localCheckpoint(true) finally toks.unpersist()
+  }
+
+  /** The lazy plan behind [[tokenEditDistancePairs]] plus the persisted
+    * `(vid, s, len)` frame the caller must unpersist. */
+  private[graft] def tokenEditDistancePlan(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      maxDist: Int): (DataFrame, DataFrame) = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val k = maxDist + 1
+    val sliceTok = (s: Column, p: Column, l: Column) =>
+      slice(s, p.cast("int"), l.cast("int"))
+    val toks = df
+      .select(col(idCol).as("vid"), col(toksCol).as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("len", size(col("s")).cast("long"))
+      .repartition(col("vid"))
+      .persist()
+    val longs = toks.where(col("len") >= k)
+    // distinct sequence lengths as a probe-pruning literal — bounded by
+    // the token-count DOMAIN, not the row count (same argument as the
+    // char variant)
+    val lens = longs.select(col("len")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lensLit =
+      if (lens.isEmpty) array().cast("array<bigint>") else lit(lens)
+    val idx = longs
+      .select(col("vid").as("iid"),
+        explode(passJoinSegmentsG(col("s"), col("len"), k, sliceTok)).as("seg"))
+      .select(col("iid"), col("seg.la"), col("seg.i"), col("seg.sub"))
+    val prb = longs
+      .select(col("vid").as("pid"),
+        explode(passJoinProbesG(col("s"), col("len"), maxDist, k, lensLit, sliceTok))
+          .as("pr"))
+      .select(col("pid"), col("pr.la"), col("pr.i"), col("pr.sub"))
+    val candLong = idx.join(prb, Seq("la", "i", "sub"))
+      .where(col("iid") =!= col("pid"))
+      .select(least(col("iid"), col("pid")).as("id_a"),
+        greatest(col("iid"), col("pid")).as("id_b"))
+    val shorts = toks.where(col("len") < k + maxDist)
+      .select(col("vid"), (col("len") / k).cast("long").as("b"))
+    val candShort = shorts
+      .join(shorts.select(col("vid").as("ovid"),
+          explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b")), "b")
+      .where(col("vid") =!= col("ovid"))
+      .select(least(col("vid"), col("ovid")).as("id_a"),
+        greatest(col("vid"), col("ovid")).as("id_b"))
+    val cand = candLong.unionByName(candShort).distinct()
+    val out = cand
+      .join(toks.select(col("vid").as("id_a"), col("s").as("s_a"),
+        col("len").as("len_a")), "id_a")
+      .join(toks.select(col("vid").as("id_b"), col("s").as("s_b"),
+        col("len").as("len_b")), "id_b")
+      .where(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", GraftSqlShim.column(TokenLevenshtein(
+        GraftSqlShim.expression(col("s_a")),
+        GraftSqlShim.expression(col("s_b")), maxDist)).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+    (out, toks)
   }
 }

@@ -1807,3 +1807,87 @@ case class MatVecProject(child: Expression, planes: Seq[Seq[Double]])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Threshold-bounded Levenshtein distance between two TOKEN sequences
+  * (insert/delete/substitute whole tokens) — the paraphrase-dedup
+  * distance between shingle-Jaccard (order-blind) and char edit
+  * distance (a swapped word costs its whole length there; one unit
+  * here). Banded two-row DP confined to the |i−j| ≤ maxDist diagonal
+  * with an early exit once a whole row exceeds the threshold — O(d·n)
+  * per pair, the same discipline as Spark's own bounded `levenshtein`,
+  * whose contract this mirrors: returns −1 when the distance exceeds
+  * `maxDist`. Token equality is byte equality of the UTF8 payloads.
+  * NULL argument or NULL element → NULL (kernel contract). */
+case class TokenLevenshtein(left: Expression, right: Expression, maxDist: Int)
+    extends BinaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any =
+    nullSafeEval(args(0), args(1))
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_levenshtein"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"token_levenshtein expects two array<string> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    if (math.abs(n - m) > maxDist) return -1
+    val xs = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val ys = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      xs(i) = x.getUTF8String(i); i += 1
+    }
+    i = 0
+    while (i < m) {
+      if (y.isNullAt(i)) return null
+      ys(i) = y.getUTF8String(i); i += 1
+    }
+    // `big` marks cells outside the band / past the threshold; any
+    // value > maxDist is equivalent, so saturating at maxDist + 1
+    // keeps the arithmetic overflow-free
+    val big = maxDist + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= maxDist) j else big; j += 1 }
+    i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - maxDist)
+      val hi = math.min(m, i + maxDist)
+      cur(0) = if (i <= maxDist) i else big
+      if (lo > 1) cur(lo - 1) = big // stale cell left of the band
+      var rowMin = if (lo == 1) cur(0) else big
+      j = lo
+      while (j <= hi) {
+        val sub = math.min(big,
+          prev(j - 1) + (if (xs(i - 1).equals(ys(j - 1))) 0 else 1))
+        val del = math.min(big, prev(j) + 1)
+        val ins = math.min(big, cur(j - 1) + 1)
+        val v = math.min(sub, math.min(del, ins))
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (hi < m) cur(hi + 1) = big // stale cell right of the band
+      if (rowMin > maxDist) return -1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) > maxDist) -1 else prev(m)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -485,4 +485,43 @@ class KernelPropertySpec extends AnyFunSuite {
       ok && prevEnd == bytes.length
     })
   }
+
+  test("TokenLevenshtein equals the full quadratic DP; -1 past the threshold") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def fullDp(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1),
+          math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1))
+      dp(a.length)(b.length)
+    }
+    def kernel(a: Seq[String], b: Seq[String], d: Int): Int = {
+      def lit(x: Seq[String]) = Literal(
+        new GenericArrayData(x.map(UTF8String.fromString).toArray),
+        ArrayType(StringType))
+      graft.operators.TokenLevenshtein(lit(a), lit(b), d)
+        .eval(null).asInstanceOf[Int]
+    }
+    // small alphabet forces matches/near-misses; lengths 0..12 cover
+    // band edges (lo>1, hi<m) and both early-exit directions
+    val toks = Vector("a", "b", "c", "ab")
+    check(forAll(
+      org.scalacheck.Gen.listOfN(12, org.scalacheck.Gen.oneOf(0 to 3)),
+      org.scalacheck.Gen.listOfN(12, org.scalacheck.Gen.oneOf(0 to 3)),
+      org.scalacheck.Gen.choose(0, 13),
+      org.scalacheck.Gen.choose(0, 12),
+      org.scalacheck.Gen.choose(0, 5)) { (xi, yi, la, lb, d) =>
+      val a = xi.take(la).map(toks)
+      val b = yi.take(lb).map(toks)
+      val want = fullDp(a, b)
+      val got = kernel(a, b, d)
+      if (want <= d) got == want else got == -1
+    })
+  }
 }

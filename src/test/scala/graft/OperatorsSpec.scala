@@ -1611,6 +1611,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == brute, s"got=$got brute=$brute")
   }
 
+  test("tokenEditDistancePairs: hand-computed distances; a swapped word costs 1") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the fast brown fox jumps"),      // 1 substitution from #1
+      (3L, "the quick brown fox"),           // 1 deletion from #1, 2 edits from #2
+      (4L, "entirely different words here now")).toDF("id", "t")
+      .select(col("id"), split(col("t"), " ").as("toks"))
+    val got = Dedup.tokenEditDistancePairs(rows, "id", "toks", maxDist = 2)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)), got.toString)
+  }
+
+  test("tokenEditDistancePairs: brute-force parity, short sequences through the banded path") {
+    val s = spark
+    import s.implicits._
+    // deterministic mix: sequences shorter than k = d+1 = 3 tokens ride
+    // the banded pass, boundary pairs the union, empties the degenerate
+    // segment; longer near-duplicates the PassJoin path
+    def seq(n: Int, f: Int => String) = (1 to n).map(f).mkString(" ")
+    val base = Seq(
+      "", "a", "a b",
+      seq(8, i => s"t$i"), seq(8, i => if (i == 3) "X" else s"t$i"),
+      seq(10, i => s"t$i"), seq(11, i => s"t$i"),
+      seq(10, i => if (i == 9) "Y" else s"t$i"),
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox leaps over the lazy dog",
+      "completely unrelated words in this row")
+    val rows = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), split(col("t"), " ").as("toks"))
+    val d = 2
+    val got = Dedup.tokenEditDistancePairs(rows, "id", "toks", maxDist = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force through the SAME kernel (candidate-scheme parity; the
+    // kernel itself is pinned against the quadratic DP in
+    // KernelPropertySpec, and the DuckDB oracle is engine-independent)
+    val a = rows.select(col("id").as("id_a"), col("toks").as("s_a"))
+    val b = rows.select(col("id").as("id_b"), col("toks").as("s_b"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("dist", org.apache.spark.sql.graft.GraftSqlShim.column(
+        graft.operators.TokenLevenshtein(
+          org.apache.spark.sql.graft.GraftSqlShim.expression(col("s_a")),
+          org.apache.spark.sql.graft.GraftSqlShim.expression(col("s_b")),
+          d)).cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= d)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "degenerate fixture: brute force found no pairs")
+    assert(got == brute, s"got=$got brute=$brute")
+  }
+
   test("containmentDedup: transitive chains collapse to one keeper per component") {
     val s = spark
     import s.implicits._

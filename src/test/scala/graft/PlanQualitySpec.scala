@@ -276,6 +276,29 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally strs.unpersist()
   }
 
+  test("tokenEditDistancePairs: array-keyed equi-joins only — no cartesian, verify is map-side") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        slice(split(col("text"), " "), 1, 24).as("toks"))
+    val (out, toks) = graft.operators.Dedup.tokenEditDistancePlan(
+      d, "doc_id", "toks", 4)
+    try {
+      val planStr = out.queryExecution.executedPlan.toString
+      // candidates come from equi-joins on the (la, i, token-subarray)
+      // key — Spark hashes array<string> join keys natively, so neither
+      // pass degrades to a cartesian or nested loop
+      assert(!planStr.contains("CartesianProduct"), planStr)
+      assert(!planStr.contains("BroadcastNestedLoopJoin"), planStr)
+      // the token frame persists once, re-read by every pass
+      assert(planStr.contains("InMemoryTableScan"), planStr)
+      // verify is the banded token kernel, a map-side expression
+      assert(planStr.contains("token_levenshtein"), planStr)
+    } finally toks.unpersist()
+  }
+
   test("nearDupScreen: both screens run off ONE shingle pass — no Generate or corpus scan in the live tree") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
