@@ -991,6 +991,29 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // unigram-LM piece vocabulary: every 1..4-char substring of every
+    // word (weighted by occurrence), all single chars + top-40
+    // multi-char pieces, costs = quantized -log2 p via the integer
+    // shift-square log2fp — the float-free fixed-point the oracle
+    // replays bit-for-bit as 10 HUGEINT steps (no MathLn exposure)
+    "q_unigram_vocab" -> ((s, dir) =>
+      operators.TextOps.unigramVocab(
+          table(s, dir, "documents").where(col("text").isNotNull),
+          "doc_id", "text", maxPieceLen = 4, topPieces = 40)
+        .orderBy(col("piece"))),
+
+    // SentencePiece-style Viterbi segmentation over that vocab: per
+    // word the DP minimizes 1024*cost_fp + 1 per piece (lexicographic
+    // (cost, piece count) — BOTH components integer and tie-free, so
+    // the oracle replays them without knowing the backtrack); the
+    // segmentation STRING itself is spec-pinned, not oracle-compared
+    "q_unigram_tokens" -> ((s, dir) =>
+      operators.TextOps.unigramSegment(
+          table(s, dir, "documents").where(col("text").isNotNull),
+          "doc_id", "text", maxPieceLen = 4, topPieces = 40)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"), col("cost_fp"))
+        .orderBy(col("doc_id"))),
+
     // TextRank keyword salience: integer PageRank over the token
     // co-occurrence graph (window 2, lead()-built pairs — one Exchange,
     // no self-join); top-20 corpus topic signature, rounds replayed in
@@ -2998,6 +3021,77 @@ object SparkEntry {
         s"WHERE sec.i IS NULL GROUP BY e.word, e.cnt)"
     }.mkString(", ")
     s"$v0, $stages"
+  }
+
+  /** [[graft.operators.TextOps.log2fp]] replayed as 10 unrolled HUGEINT
+    * shift-square steps over a frame `src` holding integer values named
+    * `f` — pure integer arithmetic (the mantissa square peaks at 2^102,
+    * inside INT128), bit-identical to the kernel by construction.
+    * Emits CTEs lg0..lg10 and `lg(f, lfp)`. */
+  private def log2fpCtes(src: String): String = {
+    val s0 = "lg0 AS (SELECT f, " +
+      "CAST(length(printf('%b', f)) - 1 AS BIGINT) AS e, " +
+      "CAST(f AS HUGEINT) * (CAST(1 AS HUGEINT) << " +
+      "(50 - (length(printf('%b', f)) - 1))) AS m, " +
+      s"CAST(0 AS BIGINT) AS fr FROM $src)"
+    val steps = (1 to 10).map { i =>
+      s"lg$i AS (SELECT f, e, " +
+        "CASE WHEN (m*m)/(CAST(1 AS HUGEINT)<<50) >= (CAST(1 AS HUGEINT)<<51) " +
+        "THEN (m*m)/(CAST(1 AS HUGEINT)<<51) ELSE (m*m)/(CAST(1 AS HUGEINT)<<50) END AS m, " +
+        "CASE WHEN (m*m)/(CAST(1 AS HUGEINT)<<50) >= (CAST(1 AS HUGEINT)<<51) " +
+        s"THEN fr*2+1 ELSE fr*2 END AS fr FROM lg${i - 1})"
+    }.mkString(", ")
+    s"$s0, $steps, lg AS MATERIALIZED (SELECT f, e*1024 + fr AS lfp FROM lg10)"
+  }
+
+  /** The unigram vocab replay shared by q_unigram_vocab and
+    * q_unigram_tokens: word counts over non-empty whitespace words,
+    * all 1..maxPieceLen substrings weighted by word count, vocab = all
+    * single chars UNION top-`topPieces` multi-char by (freq desc,
+    * piece asc), costs = quantized −log2 p through [[log2fpCtes]].
+    * Emits w / pc / multi / vocab / tot / fv / lg / costs. */
+  private def unigramVocabCtes(maxPieceLen: Int = 4, topPieces: Int = 40): String =
+    "w AS MATERIALIZED (SELECT wrd, CAST(count(*) AS BIGINT) AS wc " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS wrd " +
+      "FROM documents WHERE text IS NOT NULL) " +
+      "WHERE wrd <> '' GROUP BY wrd), " +
+    "pc AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq FROM " +
+      "(SELECT substr(wrd, CAST(p AS INT), CAST(l AS INT)) AS piece, wc FROM w, " +
+      "LATERAL (SELECT unnest(generate_series(1, length(wrd))) AS p), " +
+      s"LATERAL (SELECT unnest(generate_series(1, least($maxPieceLen, " +
+      "length(wrd) - p + 1))) AS l)) GROUP BY piece), " +
+    "multi AS (SELECT piece, freq, row_number() OVER " +
+      "(ORDER BY freq DESC, piece) AS rn FROM pc WHERE length(piece) > 1), " +
+    "vocab AS MATERIALIZED (SELECT piece, freq FROM pc WHERE length(piece) = 1 " +
+      s"UNION ALL SELECT piece, freq FROM multi WHERE rn <= $topPieces), " +
+    "tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vocab), " +
+    "fv AS (SELECT DISTINCT freq AS f FROM vocab UNION SELECT total AS f FROM tot), " +
+    log2fpCtes("fv") + ", " +
+    "costs AS MATERIALIZED (SELECT v.piece, v.freq, " +
+      "(SELECT lfp FROM lg JOIN tot ON lg.f = tot.total) - l2.lfp AS cost_fp " +
+      "FROM vocab v JOIN lg l2 ON l2.f = v.freq)"
+
+  /** The word-level Viterbi DP replayed as `maxLen` chained CTE steps
+    * over the DISTINCT-word table (domain-bounded): bj = min over piece
+    * lengths l of b(j−l) + combined(piece), combined = 1024·cost_fp + 1
+    * — so the per-word optimum decomposes into (cost = best div 1024,
+    * pieces = best mod 1024) exactly as the kernel's. Words longer than
+    * `maxLen` would index past the best-list and fail LOUDLY (none
+    * exist on this corpus; raise maxLen if the fixture grows). */
+  private def unigramDpCtes(maxPieceLen: Int = 4, maxLen: Int = 16): String = {
+    val BIG = "1152921504606846976" // 2^60: saturates missing pieces
+    val steps = (1 to maxLen).map { j =>
+      val cands = (1 to math.min(maxPieceLen, j)).map { l =>
+        s"b${j - l} + COALESCE((SELECT cost_fp * 1024 + 1 FROM costs " +
+          s"WHERE piece = substr(wrd, ${j - l + 1}, $l)), $BIG)"
+      }.mkString(", ")
+      s"d$j AS (SELECT *, CASE WHEN wl >= $j THEN least($cands) " +
+        s"ELSE NULL END AS b$j FROM d${j - 1})"
+    }.mkString(", ")
+    val bList = (1 to maxLen).map(j => s"b$j").mkString("[", ",", "]")
+    "d0 AS (SELECT wrd, length(wrd) AS wl, CAST(0 AS BIGINT) AS b0 FROM w), " +
+      steps + ", " +
+      s"wb AS MATERIALIZED (SELECT wrd, $bList[wl] AS best FROM d$maxLen)"
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5471,6 +5565,31 @@ object SparkEntry {
         | SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
         | FROM cand WHERE levenshtein(ta, tb) <= 8
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // unigram vocab replica: substring frequencies + top-K selection +
+    // the 10-step HUGEINT log2fp chain, all exact integers
+    "q_unigram_vocab" ->
+      (s"WITH ${unigramVocabCtes()} " +
+        "SELECT piece, freq, cost_fp FROM costs ORDER BY piece"),
+
+    // Viterbi replica: the per-word DP unrolled as chained CTEs over
+    // the DISTINCT-word domain, then per-doc sums of the decomposed
+    // (cost, piece-count) optimum — deliberately ignorant of the
+    // kernel's backtrack
+    "q_unigram_tokens" ->
+      (s"WITH ${unigramVocabCtes()}, ${unigramDpCtes()}, " +
+        "docw AS (SELECT doc_id, wrd FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS wrd FROM documents " +
+        "WHERE text IS NOT NULL) WHERE wrd <> ''), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(wb.best % 1024) AS BIGINT) AS n_pieces, " +
+        "CAST(sum(wb.best // 1024) AS BIGINT) AS cost_fp " +
+        "FROM docw JOIN wb USING (wrd) GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words, " +
+        "COALESCE(a.n_pieces, 0) AS n_pieces, " +
+        "COALESCE(a.cost_fp, 0) AS cost_fp " +
+        "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id " +
+        "WHERE d.text IS NOT NULL ORDER BY d.doc_id"),
 
     // token-level all-pairs: encode each 24-token prefix INJECTIVELY
     // (one single-byte char per distinct token — 31-token vocab, so

@@ -1471,4 +1471,119 @@ object TextOps {
         size(col("toks")).cast("long").as("n_tokens"),
         stopwordRatioOf(col("toks")).as("stopword_ratio"),
         col("punct_ratio"))
+
+  // ---------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) Viterbi segmentation
+  // ---------------------------------------------------------------
+
+  /** Fixed-point log2 with 10 fractional bits over POSITIVE integers,
+    * computed with the classic integer shift-square recurrence — every
+    * step is exact integer arithmetic (the mantissa squaring peaks at
+    * 2^102, inside int128), so any engine with 128-bit integers replays
+    * it bit-for-bit (the DuckDB oracle does, as 10 unrolled HUGEINT
+    * steps):
+    *   e = floor(log2 f);  M = f << (50 - e)   // in [2^50, 2^51)
+    *   10 times: M = (M*M) >> 50; if M >= 2^51 { M >>= 1; bit 1 } else bit 0
+    *   log2fp(f) = 1024*e + collected bits
+    * This is the quantized-log building block that makes unigram-LM
+    * costs oracle-comparable without touching float ln (the MathLn
+    * last-ulp lesson, avoided entirely). Requires f >= 1 and f < 2^50. */
+  private[graft] def log2fp(f: Long): Long = {
+    require(f >= 1 && f < (1L << 50), s"log2fp domain is [1, 2^50), got $f")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(f)
+    var m = java.math.BigInteger.valueOf(f).shiftLeft(50 - e)
+    val lim = java.math.BigInteger.ONE.shiftLeft(51)
+    var frac = 0L
+    var i = 0
+    while (i < 10) {
+      m = m.multiply(m).shiftRight(50)
+      if (m.compareTo(lim) >= 0) { m = m.shiftRight(1); frac = frac * 2 + 1 }
+      else frac = frac * 2
+      i += 1
+    }
+    e.toLong * 1024L + frac
+  }
+
+  /** The unigram piece vocabulary with quantized-log costs, derived
+    * deterministically from the corpus: every substring of length
+    * 1..`maxPieceLen` of every word (weighted by word occurrence count)
+    * is a candidate; the vocab keeps ALL single characters (so every
+    * word is always segmentable) plus the `topPieces` multi-char pieces
+    * by (freq desc, piece asc). cost_fp(piece) = log2fp(total) −
+    * log2fp(freq) with total = Σ freq over the SELECTED vocab — the
+    * quantized −log2 of the piece's unigram probability.
+    *
+    * Scale shape: one explode of bounded fan-out (≤ maxPieceLen·|word|
+    * pieces per word) over the DISTINCT-word table (domain-bounded, not
+    * corpus-bounded), one partial-agg exchange on the piece key, one
+    * window over the multi-char slice. Returns (piece, freq, cost_fp). */
+  def unigramVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      topPieces: Int = 40): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(topPieces >= 0, s"topPieces must be >= 0, got $topPieces")
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("wrd"))
+      .where(col("wrd").isNotNull && length(col("wrd")) > 0)
+      .groupBy(col("wrd")).agg(count(lit(1)).as("wc"))
+    val piecesReal = words
+      .select(col("wc"), explode(flatten(transform(
+          sequence(lit(1), length(col("wrd"))), p =>
+            transform(
+              sequence(lit(1), least(lit(maxPieceLen),
+                length(col("wrd")) - p + 1)),
+              l => substr(col("wrd"), p, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).cast("long").as("freq"))
+    val multi = piecesReal.where(length(col("piece")) > 1)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("piece"))))
+      .where(col("rn") <= topPieces)
+      .drop("rn")
+    val vocab = piecesReal.where(length(col("piece")) === 1)
+      .unionByName(multi)
+    val totalRow = vocab.agg(sum(col("freq")).cast("long")).head()
+    val total = if (totalRow.isNullAt(0)) 1L else math.max(1L, totalRow.getLong(0))
+    val logTotal = log2fp(total)
+    val logFreq = GraftSqlShim.column(Log2Fp(
+      GraftSqlShim.expression(col("freq"))))
+    vocab.select(col("piece"), col("freq"),
+      (lit(logTotal) - logFreq).as("cost_fp"))
+  }
+
+  /** Unigram-LM Viterbi segmentation over the [[unigramVocab]] pieces:
+    * per word, the DP minimizes the COMBINED integer objective
+    * 1024·cost_fp + 1 per piece — lexicographically (total cost, then
+    * piece count), both components tie-free integers any engine
+    * replays; among objective-equal segmentations the emitted STRING
+    * prefers the longer last piece (spec-pinned, not oracle-compared).
+    * The vocab ships to executors as plan-literal kernel data (bounded:
+    * topPieces + the corpus alphabet), so segmentation is one
+    * zero-shuffle scan. Returns (id, n_words, n_pieces, cost_fp, seg)
+    * where seg joins pieces with U+00B7 inside words, words with ' '. */
+  def unigramSegment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      topPieces: Int = 40): DataFrame = {
+    val vocab = unigramVocab(docs, idCol, textCol, maxPieceLen, topPieces)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      .sortBy(_._1)
+    val segCol = GraftSqlShim.column(UnigramSegmentText(
+      GraftSqlShim.expression(col(textCol)), vocab, maxPieceLen))
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(filter(split(col(textCol), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        segCol.as("u"))
+      .select(col(idCol), col("n_words"),
+        col("u.n_pieces").as("n_pieces"),
+        col("u.cost_fp").as("cost_fp"),
+        col("u.seg").as("seg"))
+  }
 }

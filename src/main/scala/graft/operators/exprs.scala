@@ -1891,3 +1891,140 @@ case class TokenLevenshtein(left: Expression, right: Expression, maxDist: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** [[TextOps.log2fp]] as a kernel expression — quantized log2 with 10
+  * fractional bits, exact integer shift-square arithmetic the DuckDB
+  * oracle replays as 10 unrolled HUGEINT steps. NULL/non-positive →
+  * NULL. */
+case class Log2Fp(child: Expression) extends UnaryExpression with KernelCodegen {
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "log2fp"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"log2fp expects an integer argument, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val f = v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }
+    if (f < 1 || f >= (1L << 50)) null else TextOps.log2fp(f)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SentencePiece-style unigram-LM Viterbi segmentation of whitespace
+  * words over a GIVEN piece vocabulary with integer costs (plan-literal
+  * kernel data, the [[SubstringLcs]] discipline). Per word the DP
+  * minimizes the COMBINED integer objective `1024·cost_fp + 1` per
+  * piece — lexicographically (summed cost, then piece count), and the
+  * per-word optimum decomposes exactly back into those two components
+  * (piece count ≤ word length < 1024 by the guard below): both are
+  * tie-free values an oracle replays without knowing the backtrack.
+  * Among objective-equal segmentations the emitted STRING prefers the
+  * longer last piece at every cut (l scanned descending with strict
+  * improvement), applied recursively — fully deterministic.
+  *
+  * The caller guarantees every single character of the input occurs in
+  * the vocab ([[TextOps.unigramVocab]] constructs it that way); a
+  * missing character raises loudly instead of silently skipping.
+  * Returns struct(seg, n_pieces, cost_fp); NULL in → NULL out. */
+case class UnigramSegmentText(
+    child: Expression,
+    vocab: Seq[(String, Long)],
+    maxPieceLen: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def nullable: Boolean = true
+  override def prettyName: String = "unigram_segment"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("seg", StringType),
+    StructField("n_pieces", LongType),
+    StructField("cost_fp", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unigram_segment expects a string argument, got ${other.sql}")
+  }
+
+  @transient private lazy val combined: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (p, c) => m.put(p, java.lang.Long.valueOf(c * 1024L + 1L)) }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val words = text.split(" ", -1)
+    val seg = new java.lang.StringBuilder(text.length * 2)
+    var nPieces = 0L
+    var costTotal = 0L
+    var w = 0
+    while (w < words.length) {
+      if (w > 0) seg.append(' ')
+      val word = words(w)
+      val n = word.length
+      if (n > 0) {
+        require(n < 1024,
+          s"unigram_segment: word of length $n breaks the 1024-scale " +
+            "piece-count decomposition; split such tokens upstream")
+        val INF = Long.MaxValue / 4
+        val best = new Array[Long](n + 1)
+        val ptr = new Array[Int](n + 1)
+        var j = 1
+        while (j <= n) {
+          best(j) = INF
+          var l = math.min(maxPieceLen, j)
+          while (l >= 1) {
+            if (best(j - l) < INF) {
+              val c = combined.get(word.substring(j - l, j))
+              if (c != null) {
+                val cand = best(j - l) + c.longValue()
+                // strict <: l runs DESCENDING, so the longest minimal
+                // last piece wins ties of the combined objective
+                if (cand < best(j)) { best(j) = cand; ptr(j) = l }
+              }
+            }
+            l -= 1
+          }
+          if (best(j) == INF)
+            throw new IllegalStateException(
+              s"unigram_segment: no vocab piece covers '${word.charAt(j - 1)}' — " +
+                "the vocab must contain every single character " +
+                "(TextOps.unigramVocab constructs it that way)")
+          j += 1
+        }
+        val cuts = new Array[Int](n)
+        var k = 0
+        var p = n
+        while (p > 0) { cuts(k) = p; k += 1; p -= ptr(p) }
+        var q = k - 1
+        var start = 0
+        while (q >= 0) {
+          val end = cuts(q)
+          if (start > 0) seg.append('·')
+          seg.append(word, start, end)
+          start = end
+          q -= 1
+        }
+        nPieces += best(n) % 1024L
+        costTotal += best(n) / 1024L
+      }
+      w += 1
+    }
+    InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(seg.toString),
+      nPieces, costTotal)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

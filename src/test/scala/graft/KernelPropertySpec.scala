@@ -524,4 +524,24 @@ class KernelPropertySpec extends AnyFunSuite {
       if (want <= d) got == want else got == -1
     })
   }
+
+  test("log2fp: known values, powers-of-two exact, monotone, within 2/1024 of log2") {
+    import graft.operators.TextOps.log2fp
+    // values computed independently (Python bit-level prototype)
+    val known = Seq(1L -> 0L, 2L -> 1024L, 3L -> 1623L, 5L -> 2377L,
+      7L -> 2874L, 100L -> 6803L, 12345L -> 13917L, 999983L -> 20409L)
+    known.foreach { case (f, want) => assert(log2fp(f) == want, s"log2fp($f)") }
+    (0 to 49).foreach(k => assert(log2fp(1L << k) == 1024L * k))
+    check(forAll(
+      org.scalacheck.Gen.choose(1L, (1L << 50) - 1),
+      org.scalacheck.Gen.choose(1L, (1L << 50) - 1)) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val mono = log2fp(lo) <= log2fp(hi)
+      val close = math.abs(1024.0 * (math.log(hi.toDouble) / math.log(2.0)) -
+        log2fp(hi).toDouble) <= 2.0
+      mono && close
+    })
+    intercept[IllegalArgumentException](log2fp(0L))
+    intercept[IllegalArgumentException](log2fp(1L << 50))
+  }
 }

@@ -1611,6 +1611,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == brute, s"got=$got brute=$brute")
   }
 
+  test("unigramSegment: optimal cost/pieces vs exhaustive enumeration; seg reconstructs; tie-break longest-last") {
+    val s = spark
+    import s.implicits._
+    // vocabulary dynamics on purpose: 'aa' is a frequent bigram piece,
+    // but two 'a' singles are CHEAPER (a occurs 3x more) — greedy
+    // longest-match would pick 'aa'; the Viterbi optimum must not
+    val docs = Seq(
+      (1L, "aa aa ab"),
+      (2L, "aa b"),
+      (3L, "abab baba"),
+      (4L, "zz")).toDF("doc_id", "text")
+    val vocab = TextOps.unigramVocab(docs, "doc_id", "text",
+        maxPieceLen = 4, topPieces = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // every single char of the corpus is in the vocab by construction
+    assert(Set("a", "b", "z").subsetOf(vocab.keySet))
+    val segd = TextOps.unigramSegment(docs, "doc_id", "text",
+        maxPieceLen = 4, topPieces = 40)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    // exhaustive reference: enumerate EVERY segmentation of each word,
+    // minimize (cost, pieces) lexicographically — algorithm-ignorant
+    def allSegs(word: String): Seq[Seq[String]] =
+      if (word.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, word.length)).flatMap { l =>
+        val (h, t) = word.splitAt(l)
+        if (vocab.contains(h)) allSegs(t).map(h +: _) else Seq.empty
+      }
+    def bestOf(word: String): (Long, Long) =
+      allSegs(word).map(ps => (ps.map(vocab).sum, ps.length.toLong))
+        .minBy { case (c, n) => (c, n) }
+    for ((id, nWords, nPieces, costFp, seg) <- segd) {
+      val text = docs.where(col("doc_id") === id).head().getString(1)
+      val words = text.split(" ", -1).filter(_.nonEmpty)
+      assert(nWords == words.length)
+      val want = words.map(bestOf)
+      assert(costFp == want.map(_._1).sum, s"doc $id cost: got $costFp want ${want.map(_._1).sum}")
+      assert(nPieces == want.map(_._2).sum, s"doc $id pieces: got $nPieces want ${want.map(_._2).sum}")
+      // the seg string reconstructs the text and uses only vocab pieces
+      // whose costs sum to the reported optimum
+      val segWords = seg.split(" ", -1)
+      assert(segWords.map(_.replace("·", "")).mkString(" ") == text)
+      val pieces = segWords.filter(_.nonEmpty).flatMap(_.split('·'))
+      assert(pieces.forall(vocab.contains), pieces.mkString(","))
+      assert(pieces.map(vocab).sum == costFp && pieces.length == nPieces)
+    }
+    // the non-greedy case is real on this fixture: 'aa' splits to a·a
+    val seg1 = segd.find(_._1 == 1L).get._5
+    assert(seg1.startsWith("a·a "), seg1)
+    // tie-break: among (cost, pieces)-equal segmentations the LONGER
+    // last piece wins — craft a vocab where 'ab'+'ab' ties any other
+    // 2-piece split of 'abab' and check the emitted string is the
+    // kernel's documented choice
+    val segAbab = segd.find(_._1 == 3L).get._5.split(" ").head
+    val abOptions = allSegs("abab")
+      .map(ps => (ps.map(vocab).sum, ps.length.toLong, ps))
+      .sortBy { case (c, n, _) => (c, n) }
+    val (bc, bn, _) = abOptions.head
+    val minimal = abOptions.takeWhile { case (c, n, _) => c == bc && n == bn }
+    assert(minimal.exists(_._3.mkString("·") == segAbab),
+      s"emitted '$segAbab' is not among the minimal segmentations $minimal")
+  }
+
   test("tokenEditDistancePairs: hand-computed distances; a swapped word costs 1") {
     val s = spark
     import s.implicits._
