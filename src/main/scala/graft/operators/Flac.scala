@@ -142,13 +142,25 @@ object Flac {
 
   /** Encode planar integer samples (`samples(channel)(frame)`) as a
     * spec-valid FLAC stream. Fixed blocksize (last frame may be short),
-    * independent channels, best-of CONSTANT/VERBATIM/FIXED per
-    * subframe. 4..24 bits per sample, 1..8 channels. */
+    * best-of CONSTANT/VERBATIM/FIXED per subframe. 4..24 bits per
+    * sample, 1..8 channels.
+    *
+    * STEREO DECORRELATION (2-channel input, on by default): per frame
+    * the encoder plans all four channel assignments the spec defines —
+    * independent, left-side, right-side, mid-side (side = L−R at
+    * bits+1; mid = (L+R)>>1, the floor the decoder's `(m<<1)|(s&1)`
+    * reconstruction inverts exactly) — and emits the one with the
+    * smallest EXACT bit cost (the subframe planner returns the true
+    * encoded size, so the choice is measured, not heuristic; ties keep
+    * the earliest candidate in spec order, independent first).
+    * Correlated stereo typically shrinks 5-15%; the decoder side has
+    * supported all four assignments since round 12. */
   def encode(
       samples: Array[Array[Int]],
       sampleRate: Int,
       bitsPerSample: Int = 16,
-      blockSize: Int = 4096): Array[Byte] = {
+      blockSize: Int = 4096,
+      stereoDecorrelation: Boolean = true): Array[Byte] = {
     val ch = samples.length
     require(ch >= 1 && ch <= 8, s"channels must be 1..8, got $ch")
     require(bitsPerSample >= 4 && bitsPerSample <= 24,
@@ -176,20 +188,57 @@ object Flac {
     while (off < total || (total == 0 && frameIdx == 0)) {
       val bl = math.min(blockSize, total - off)
       if (bl <= 0) return w.toArray
+      // stereo: plan all four channel assignments at exact cost
+      var chAssign = ch - 1
+      var stereoPlan: ((Array[Int], Int, Int, SubPlan), (Array[Int], Int, Int, SubPlan)) = null
+      if (ch == 2 && stereoDecorrelation) {
+        val l = samples(0); val r = samples(1)
+        val side = new Array[Int](bl)
+        val mid = new Array[Int](bl)
+        var i2 = 0
+        while (i2 < bl) {
+          val lv = l(off + i2); val rv = r(off + i2)
+          side(i2) = lv - rv
+          mid(i2) = (lv + rv) >> 1
+          i2 += 1
+        }
+        val b = bitsPerSample
+        val pL = planSubframe(l, off, bl, b)
+        val pR = planSubframe(r, off, bl, b)
+        val pS = planSubframe(side, 0, bl, b + 1)
+        val pM = planSubframe(mid, 0, bl, b)
+        // strict < keeps the EARLIEST minimal candidate — independent
+        // wins ties, then left-side, right-side, mid-side (spec order)
+        val cands = Array(
+          (ch - 1, ((l, off, b, pL), (r, off, b, pR)), pL.cost + pR.cost),
+          (8, ((l, off, b, pL), (side, 0, b + 1, pS)), pL.cost + pS.cost),
+          (9, ((side, 0, b + 1, pS), (r, off, b, pR)), pS.cost + pR.cost),
+          (10, ((mid, 0, b, pM), (side, 0, b + 1, pS)), pM.cost + pS.cost))
+        var bestCost = Long.MaxValue
+        cands.foreach { case (code, plan, cost) =>
+          if (cost < bestCost) { bestCost = cost; chAssign = code; stereoPlan = plan }
+        }
+      }
       val hStart = w.position
       // header: sync(14) 0 blocking(0) bs-code 0b0111 (16-bit follows)
-      // sr-code 0 (STREAMINFO), chan = ch-1 independent, size code, 0
+      // sr-code 0 (STREAMINFO), channel assignment, size code, 0
       w.writeBits(0x3FFE, 14); w.writeBits(0, 1); w.writeBits(0, 1)
       w.writeBits(7, 4); w.writeBits(0, 4)
-      w.writeBits(ch - 1, 4)
+      w.writeBits(chAssign, 4)
       w.writeBits(sampleSizeCode(bitsPerSample), 3); w.writeBits(0, 1)
       writeUtf8Number(w, frameIdx)
       w.writeBits(bl - 1, 16)
       w.writeBits(crc8FromWriter(w, hStart), 8)
-      var c = 0
-      while (c < ch) {
-        encodeSubframe(w, samples(c), off, bl, bitsPerSample)
-        c += 1
+      if (stereoPlan != null) {
+        val ((s0, o0, b0, p0), (s1, o1, b1, p1)) = stereoPlan
+        writeSubframe(w, s0, o0, bl, b0, p0)
+        writeSubframe(w, s1, o1, bl, b1, p1)
+      } else {
+        var c = 0
+        while (c < ch) {
+          encodeSubframe(w, samples(c), off, bl, bitsPerSample)
+          c += 1
+        }
       }
       w.alignByte()
       w.writeBits(crc16FromWriter(w, hStart), 16)
@@ -257,17 +306,19 @@ object Flac {
     md.digest()
   }
 
-  private def encodeSubframe(
-      w: BitWriter, s: Array[Int], off: Int, bl: Int, bits: Int): Unit = {
-    // constant?
+  /** A chosen subframe encoding and its EXACT total bit cost (incl. the
+    * 8-bit subframe header) — the unit the stereo-mode chooser sums.
+    * kind: 0 constant, 1 verbatim, 2 fixed(order, rice k). */
+  private final case class SubPlan(kind: Int, order: Int, k: Int, cost: Long)
+
+  /** Select the cheapest of CONSTANT / VERBATIM / FIXED(0..4) for one
+    * subframe at exact rice cost. The returned cost is the true encoded
+    * size: [[writeSubframe]] emits exactly `cost` bits from this plan. */
+  private def planSubframe(s: Array[Int], off: Int, bl: Int, bits: Int): SubPlan = {
     var const = true
     var i = 1
     while (const && i < bl) { const = s(off + i) == s(off); i += 1 }
-    if (const) {
-      w.writeBits(0, 1); w.writeBits(0, 6); w.writeBits(0, 1)
-      w.writeBits(s(off).toLong & ((1L << bits) - 1), bits)
-      return
-    }
+    if (const) return SubPlan(0, 0, 0, 8L + bits)
     // best fixed order 0..min(4, bl-1) by exact rice cost
     var bestOrder = 0
     var bestK = 0
@@ -293,34 +344,49 @@ object Flac {
       order += 1
     }
     val verbatimBits = bl.toLong * bits
-    if (bestBits >= verbatimBits) {
+    if (bestBits >= verbatimBits) SubPlan(1, 0, 0, 8L + verbatimBits)
+    else SubPlan(2, bestOrder, bestK, 8L + bestBits)
+  }
+
+  /** Emit one subframe from its plan — exactly `plan.cost` bits. */
+  private def writeSubframe(
+      w: BitWriter, s: Array[Int], off: Int, bl: Int, bits: Int,
+      plan: SubPlan): Unit = plan.kind match {
+    case 0 =>
+      w.writeBits(0, 1); w.writeBits(0, 6); w.writeBits(0, 1)
+      w.writeBits(s(off).toLong & ((1L << bits) - 1), bits)
+    case 1 =>
       w.writeBits(0, 1); w.writeBits(1, 6); w.writeBits(0, 1)
       var j = 0
       while (j < bl) {
         w.writeBits(s(off + j).toLong & ((1L << bits) - 1), bits)
         j += 1
       }
-      return
-    }
-    w.writeBits(0, 1); w.writeBits(8 + bestOrder, 6); w.writeBits(0, 1)
-    var j = 0
-    while (j < bestOrder) {
-      w.writeBits(s(off + j).toLong & ((1L << bits) - 1), bits)
-      j += 1
-    }
-    residuals(s, off, bl, bestOrder, res)
-    w.writeBits(0, 2) // rice method 0 (4-bit params)
-    w.writeBits(0, 4) // partition order 0
-    w.writeBits(bestK, 4)
-    j = 0
-    val nRes = bl - bestOrder
-    while (j < nRes) {
-      val u = zigzag(res(j))
-      w.writeUnary((u >>> bestK).toInt)
-      if (bestK > 0) w.writeBits(u & ((1L << bestK) - 1), bestK)
-      j += 1
-    }
+    case _ =>
+      w.writeBits(0, 1); w.writeBits(8 + plan.order, 6); w.writeBits(0, 1)
+      var j = 0
+      while (j < plan.order) {
+        w.writeBits(s(off + j).toLong & ((1L << bits) - 1), bits)
+        j += 1
+      }
+      val res = new Array[Long](bl)
+      residuals(s, off, bl, plan.order, res)
+      w.writeBits(0, 2) // rice method 0 (4-bit params)
+      w.writeBits(0, 4) // partition order 0
+      w.writeBits(plan.k, 4)
+      j = 0
+      val nRes = bl - plan.order
+      while (j < nRes) {
+        val u = zigzag(res(j))
+        w.writeUnary((u >>> plan.k).toInt)
+        if (plan.k > 0) w.writeBits(u & ((1L << plan.k) - 1), plan.k)
+        j += 1
+      }
   }
+
+  private def encodeSubframe(
+      w: BitWriter, s: Array[Int], off: Int, bl: Int, bits: Int): Unit =
+    writeSubframe(w, s, off, bl, bits, planSubframe(s, off, bl, bits))
 
   private def zigzag(r: Long): Long = if (r >= 0) r << 1 else ((-r) << 1) - 1
 

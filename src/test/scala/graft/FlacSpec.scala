@@ -37,6 +37,54 @@ class FlacSpec extends AnyFunSuite {
     rt(Array(Array(42)))                                // single sample
   }
 
+  test("stereo decorrelation: exact-cost mode choice, smaller files, exact roundtrip") {
+    // first frame's channel-assignment nibble: stream layout is 4 magic
+    // + 4 metadata header + 34 STREAMINFO = byte 42 starts the frame;
+    // byte 45 = chAssign(4) | sampleSizeCode(3) | 0
+    def firstMode(enc: Array[Byte]): Int = (enc(45) >> 4) & 0xF
+    // identical channels: side is constant zero — a side mode must win
+    // (tie order picks left-side, 8)
+    val l1 = Array.tabulate(600)(i => ((i * 7919 + 13) % 4096) - 2048)
+    val dup = Array(l1, l1.clone())
+    val encDup = Flac.encode(dup, 8000, 16, 192)
+    assert(firstMode(encDup) == 8, s"mode ${firstMode(encDup)}")
+    rtBytes(dup, encDup)
+    // anti-correlated channels: mid is constant — mid-side must win
+    val neg = Array(l1, l1.map(-_))
+    val encNeg = Flac.encode(neg, 8000, 16, 192)
+    assert(firstMode(encNeg) == 10, s"mode ${firstMode(encNeg)}")
+    rtBytes(neg, encNeg)
+    // realistic correlation (R = L + small noise): decorrelated strictly
+    // smaller than the forced-independent encoding, both exact
+    val r2 = Array.tabulate(600)(i => l1(i) + ((i * 31) % 7) - 3)
+    val corr = Array(l1, r2)
+    val on = Flac.encode(corr, 8000, 16, 192)
+    val off = Flac.encode(corr, 8000, 16, 192, stereoDecorrelation = false)
+    assert(on.length < off.length,
+      s"no size win: decorrelated ${on.length} vs independent ${off.length}")
+    assert(firstMode(off) == 1, s"forced-independent wrote mode ${firstMode(off)}")
+    rtBytes(corr, on); rtBytes(corr, off)
+    // uncorrelated channels: independent must remain chosen (the mode
+    // search never pessimizes) and byte size equals the old encoder's
+    val u2 = Array.tabulate(600)(i => ((i * 104729 + 7) % 4096) - 2048)
+    val unc = Array(l1, u2)
+    val encU = Flac.encode(unc, 8000, 16, 192)
+    assert(encU.length == Flac.encode(unc, 8000, 16, 192,
+      stereoDecorrelation = false).length)
+    rtBytes(unc, encU)
+    // mono and >2 channels are untouched by the stereo path
+    rt(Array(l1))
+    rt(Array(l1, u2, l1.map(_ / 2)))
+  }
+
+  private def rtBytes(samples: Array[Array[Int]], enc: Array[Byte]): Unit = {
+    val dec = Flac.decode(enc).getOrElse(fail(s"decode failed (${enc.length} bytes)"))
+    samples.indices.foreach { c =>
+      assert(java.util.Arrays.equals(dec.samples(c), samples(c)),
+        s"channel $c mismatch")
+    }
+  }
+
   test("roundtrip: STREAMINFO MD5 matches an independent digest of the raw PCM") {
     val s = Array(Array.tabulate(200)(i => ((i * 7919) % 4096) - 2048))
     val enc = Flac.encode(s, 8000, 16, 192)
