@@ -92,6 +92,29 @@ object ScaleProbe {
       n
     }
 
+    // token-level edit-distance growth curve: whole 60-token sequences,
+    // d=4 — the planted 1-in-20 partners differ in their 3 trailing
+    // tokens (token distance exactly 3), so segments 1..4 of the 5-way
+    // token partition match verbatim and the pairs must all be found;
+    // candidate volume is token-subarray key collisions, near-linear
+    val tokPairs = time(s"token edit-distance pairs (PassJoin over tokens), $nDocs docs") {
+      val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val n = operators.Dedup.tokenEditDistancePairs(toked, "doc_id", "toks",
+        maxDist = 4).count()
+      n
+    }
+    tokPairs.foreach(n =>
+      println(s"  token edit-distance pairs: $n (planted: ~${nDocs / 20})"))
+
+    // unigram segmentation: vocab derivation runs on the DISTINCT-word
+    // domain (500 words here regardless of nDocs), segmentation is one
+    // narrow scan with the vocab as plan-literal — cost must be
+    // corpus-scan-plus-constant, the bpeTrain contract
+    time(s"unigram vocab+segment, $nDocs docs") {
+      operators.TextOps.unigramSegment(docs, "doc_id", "text")
+        .agg(sum(col("n_pieces")), sum(col("cost_fp"))).collect()
+    }
+
     time(s"single-scan curation, $nDocs docs") {
       operators.Curation.curate(docs, "doc_id", "text").count()
     }
