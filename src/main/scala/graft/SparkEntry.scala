@@ -908,6 +908,36 @@ object SparkEntry {
               lit("@example.com or +1-555 123 4567"))).as("clean"))
         .orderBy(col("doc_id"))),
 
+    // Luhn-validated card scrubbing: each doc gets a deterministic
+    // 16-digit card injected (4x4 space groups; EVEN ids carry a VALID
+    // check digit, odd ids an off-by-one invalid one), and the kernel
+    // must redact exactly the valid half — the oracle replays the card
+    // construction, the maximal-span extraction (regexp_extract_all on
+    // the same RE2∩Java pattern), and the Luhn fold, all ignorant of
+    // the kernel's scanner
+    "q_pii_cards" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      val d15 = array_join(transform(sequence(lit(1L), lit(15L)),
+        ii => pmod(col("doc_id") * 7 + ii * 13, lit(10L)).cast("string")), "")
+      val s15 = aggregate(sequence(lit(1L), lit(15L)), lit(0L), (acc, ii) => {
+        val dd = pmod(col("doc_id") * 7 + ii * 13, lit(10L))
+        val dbl = when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2)
+        acc + when(ii % 2 === 1, dbl).otherwise(dd)
+      })
+      val d16 = concat(d15,
+        pmod(pmod(lit(10L) - pmod(s15, lit(10L)), lit(10L)) +
+          pmod(col("doc_id"), lit(2L)), lit(10L)).cast("string"))
+      val grouped = concat_ws(" ", substring(d16, 1, 4), substring(d16, 5, 4),
+        substring(d16, 9, 4), substring(d16, 13, 4))
+      operators.TextOps.redactCards(
+          d.select(col("doc_id"),
+            concat(col("text"), lit(" "), grouped).as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_spans"), col("n_valid"),
+          col("digits_masked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-distribution entropy: the ⌊10^6·c·ln(c)⌋ fold keeps every
     // term an exact integer (MathLn on integer args = libm), so the sum
     // is order-free and the entropy double a fully-specified IEEE
@@ -1669,6 +1699,14 @@ object SparkEntry {
       streaming.JsonStream.dsirScreenToBatch(s, s"$dir/documents.parquet")
         .select(col("doc_id"), col("n_feats"), col("w_feat"),
           col("n_t"), col("n_s"), col("vocab"))
+        .orderBy(col("doc_id"))),
+
+    // streaming unigram tokenization: batch-derived vocab as plan
+    // literal, stateless kernel scan over the stream — bounded replay
+    // == batch segmentation (q_unigram_tokens' oracle verbatim)
+    "q_stream_unigram" -> ((s, dir) =>
+      streaming.JsonStream.unigramSegmentToBatch(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_words"), col("n_pieces"), col("cost_fp"))
         .orderBy(col("doc_id"))),
 
     // Bloom-filter decontamination screen: same gram contract as
@@ -3116,7 +3154,8 @@ object SparkEntry {
       "q_stream_bloom" -> base("q_bloom_decontam"),
       "q_stream_multipat" -> base("q_decontam_exact"),
       "q_knn_batched" -> base("q_knn_join"),
-      "q_stratified_salted" -> base("q_stratified"))
+      "q_stratified_salted" -> base("q_stratified"),
+      "q_stream_unigram" -> base("q_unigram_tokens"))
   }
 
   /** BM25 oracle text shared by q_bm25 (scan path) and q_bm25_indexed
@@ -5565,6 +5604,51 @@ object SparkEntry {
         | SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
         | FROM cand WHERE levenshtein(ta, tb) <= 8
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // card-scrub replica: the injected card is rebuilt from the same
+    // integer formula, candidate spans re-extracted with
+    // regexp_extract_all on the identical RE2∩Java pattern, and the
+    // Luhn fold re-run digit-by-digit — ignorant of the kernel scanner
+    "q_pii_cards" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        | card AS (SELECT doc_id,
+        |  list_reduce(list_prepend('', list_transform(range(1, 16),
+        |    i -> CAST((doc_id*7 + i*13) % 10 AS VARCHAR))), (a, b) -> a || b) AS d15,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 16), i ->
+        |    CASE WHEN i % 2 = 1 THEN
+        |      CASE WHEN ((doc_id*7 + i*13) % 10) * 2 > 9
+        |           THEN ((doc_id*7 + i*13) % 10) * 2 - 9
+        |           ELSE ((doc_id*7 + i*13) % 10) * 2 END
+        |    ELSE (doc_id*7 + i*13) % 10 END)), (a, b) -> a + b) AS s15
+        |  FROM t),
+        | card2 AS (SELECT doc_id,
+        |  d15 || CAST(((10 - s15 % 10) % 10 + doc_id % 2) % 10 AS VARCHAR) AS d16 FROM card),
+        | txt2 AS (SELECT t.doc_id,
+        |  t.text || ' ' || substr(d16,1,4) || ' ' || substr(d16,5,4) || ' ' ||
+        |  substr(d16,9,4) || ' ' || substr(d16,13,4) AS text2
+        |  FROM t JOIN card2 USING (doc_id)),
+        | flat AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text2, '[0-9]([0-9 -]*[0-9])?')) AS m FROM txt2),
+        | digs AS (SELECT doc_id, regexp_replace(m, '[^0-9]', '', 'g') AS dg FROM flat),
+        | cand AS (SELECT doc_id, dg, CAST(length(dg) AS BIGINT) AS nd FROM digs
+        |  WHERE length(dg) BETWEEN 13 AND 19),
+        | luhn AS (SELECT doc_id, nd,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, CAST(nd + 1 AS INT)), p ->
+        |    CASE WHEN p % 2 = 0 THEN
+        |      CASE WHEN CAST(dg[CAST(nd - p + 1 AS INT)] AS BIGINT) * 2 > 9
+        |           THEN CAST(dg[CAST(nd - p + 1 AS INT)] AS BIGINT) * 2 - 9
+        |           ELSE CAST(dg[CAST(nd - p + 1 AS INT)] AS BIGINT) * 2 END
+        |    ELSE CAST(dg[CAST(nd - p + 1 AS INT)] AS BIGINT) END)), (a, b) -> a + b) AS s
+        |  FROM cand),
+        | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN s % 10 = 0 THEN nd ELSE 0 END) AS BIGINT) AS digits_masked
+        |  FROM luhn GROUP BY doc_id)
+        | SELECT t.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+        |  COALESCE(a.n_valid, 0) AS n_valid,
+        |  COALESCE(a.digits_masked, 0) AS digits_masked
+        | FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        | ORDER BY t.doc_id""".stripMargin.replaceAll("\n", " "),
 
     // unigram vocab replica: substring frequencies + top-K selection +
     // the 10-step HUGEINT log2fp chain, all exact integers

@@ -337,6 +337,23 @@ object TextOps {
       regexp_replace(textCol, EmailPattern, marker),
       PhonePattern, marker)
 
+  /** Credit-card scrubbing with LUHN VALIDATION ([[LuhnRedact]]): digit
+    * runs (optionally space/dash-grouped) of 13-19 digits are redacted
+    * ONLY when the checksum validates — order ids, timestamps, and
+    * phone numbers survive; card numbers don't. One stateless kernel
+    * scan. Returns (id, redacted, n_spans, n_valid, digits_masked). */
+  def redactCards(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      marker: String = "[CARD]"): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), GraftSqlShim.column(LuhnRedact(
+        GraftSqlShim.expression(col(textCol)), marker)).as("r"))
+      .select(col(idCol), col("r.redacted").as("redacted"),
+        col("r.n_spans").as("n_spans"), col("r.n_valid").as("n_valid"),
+        col("r.digits_masked").as("digits_masked"))
+
   /** Okapi BM25 keyword retrieval: the exact top-k corpus documents for a
     * small bag of query terms — the lexical-search complement to the
     * embedding ANN family (quality-targeted corpus selection, eval-set
@@ -1573,6 +1590,19 @@ object TextOps {
     val vocab = unigramVocab(docs, idCol, textCol, maxPieceLen, topPieces)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
       .sortBy(_._1)
+    unigramSegmentWith(docs, idCol, textCol, vocab, maxPieceLen)
+  }
+
+  /** Apply-only half of [[unigramSegment]]: segment with an ALREADY
+    * derived (piece, cost_fp) vocab — one stateless kernel scan, so it
+    * runs unchanged on a STREAMING frame (the dsirScoreFused shape:
+    * train in batch, screen at ingestion). */
+  def unigramSegmentWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 4): DataFrame = {
     val segCol = GraftSqlShim.column(UnigramSegmentText(
       GraftSqlShim.expression(col(textCol)), vocab, maxPieceLen))
     docs

@@ -2028,3 +2028,102 @@ case class UnigramSegmentText(
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Credit-card redaction with LUHN VALIDATION — the compliance-scrub
+  * sharp edge a plain regexp_replace cannot express: a 16-digit run is
+  * only a card number if its checksum validates, and redacting every
+  * digit run would destroy order ids, timestamps, and phone numbers.
+  *
+  * Candidate spans are maximal `[0-9]([0-9 -]*[0-9])?` runs (digits
+  * optionally grouped by spaces/dashes — "4111 1111 1111 1111"),
+  * exactly the leftmost-greedy matches of that pattern in BOTH
+  * java.util.regex and RE2 (no lookaround), so a DuckDB oracle replays
+  * the extraction verbatim with regexp_extract_all. A span whose digit
+  * count is 13..19 is a candidate; a candidate passing the Luhn check
+  * (double every second digit from the right, subtract 9 over 9, sum
+  * divisible by 10) is replaced by the marker, everything else is kept
+  * byte-for-byte.
+  *
+  * Returns struct(redacted, n_spans, n_valid, digits_masked) — the
+  * three counters are the oracle-compared surface; the redacted string
+  * itself is spec-pinned. NULL in → NULL out. */
+case class LuhnRedact(child: Expression, marker: String)
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def nullable: Boolean = true
+  override def prettyName: String = "luhn_redact"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("redacted", StringType),
+    StructField("n_spans", LongType),
+    StructField("n_valid", LongType),
+    StructField("digits_masked", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"luhn_redact expects a string argument, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val out = new java.lang.StringBuilder(text.length)
+    var nSpans = 0L
+    var nValid = 0L
+    var masked = 0L
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c < '0' || c > '9') { out.append(c); i += 1 }
+      else {
+        // maximal [0-9 -] run from the first digit, trimmed back to the
+        // last digit — identical to the pattern's leftmost-greedy match
+        var k = i
+        while (k < n && { val ch = text.charAt(k)
+          (ch >= '0' && ch <= '9') || ch == ' ' || ch == '-' }) k += 1
+        while ({ val ch = text.charAt(k - 1); ch < '0' || ch > '9' }) k -= 1
+        var digits = 0
+        var j = i
+        while (j < k) {
+          val ch = text.charAt(j)
+          if (ch >= '0' && ch <= '9') digits += 1
+          j += 1
+        }
+        val isCandidate = digits >= 13 && digits <= 19
+        var valid = false
+        if (isCandidate) {
+          nSpans += 1L
+          // Luhn: rightmost digit undoubled, every second from there on
+          // doubled (minus 9 over 9)
+          var sum = 0
+          var pos = 0
+          j = k - 1
+          while (j >= i) {
+            val ch = text.charAt(j)
+            if (ch >= '0' && ch <= '9') {
+              var d = ch - '0'
+              if (pos % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+              sum += d
+              pos += 1
+            }
+            j -= 1
+          }
+          valid = sum % 10 == 0
+        }
+        if (valid) {
+          nValid += 1L
+          masked += digits
+          out.append(marker)
+        } else out.append(text, i, k)
+        i = k
+      }
+    }
+    InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(out.toString),
+      nSpans, nValid, masked)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -307,6 +307,26 @@ object JsonStream {
     }
   }
 
+  /** Streaming unigram tokenization: the [[graft.operators.TextOps.unigramVocab]]
+    * cost table (derived in batch over the corpus) rides the plan as
+    * literal kernel data, so the streamed side is ONE stateless
+    * [[graft.operators.UnigramSegmentText]] scan — no state, no
+    * watermark, no shuffle (the [[dsirScreenToBatch]] shape): segment
+    * every incoming document at ingestion time. Bounded replay ==
+    * batch [[graft.operators.TextOps.unigramSegment]] (q_unigram_tokens'
+    * oracle verbatim). */
+  def unigramSegmentToBatch(spark: SparkSession, path: String): DataFrame = {
+    val docs = spark.read.parquet(path).where(col("text").isNotNull)
+    val vocab = graft.operators.TextOps.unigramVocab(
+        docs, "doc_id", "text", maxPieceLen = 4, topPieces = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      .sortBy(_._1)
+    replayFileStream(spark, path, "unigram") { stream =>
+      graft.operators.TextOps.unigramSegmentWith(
+        stream, "doc_id", "text", vocab, maxPieceLen = 4)
+    }
+  }
+
   /** Streaming cardinality monitor: the [[graft.operators.Curation.hllRegisters]]
     * transform runs unchanged on the file stream — narrow hash/bucket
     * projection into a streaming max aggregation whose state is the HLL

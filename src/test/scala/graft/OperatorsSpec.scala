@@ -1611,6 +1611,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == brute, s"got=$got brute=$brute")
   }
 
+  test("redactCards: Luhn decides — valid cards masked, invalid/short/long digit runs survive") {
+    val s = spark
+    import s.implicits._
+    // 4111111111111111 is the canonical Luhn-valid test PAN;
+    // 4111111111111112 fails the checksum by one
+    val rows = Seq(
+      (1L, "pay with 4111111111111111 now"),               // valid, bare
+      (2L, "pay with 4111 1111 1111 1111 now"),            // valid, grouped
+      (3L, "pay with 4111-1111-1111-1112 now"),            // INVALID checksum
+      (4L, "order 123456789012 shipped"),                  // 12 digits: not a candidate
+      (5L, "id 41111111111111110000 tracked"),             // 20 digits: not a candidate
+      (6L, "4111111111111111 and 5500005555555559 twice"), // two valid cards
+      (7L, "no digits at all")).toDF("doc_id", "text")
+    val got = TextOps.redactCards(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got(0) == (1L, "pay with [CARD] now", 1L, 1L, 16L), got(0).toString)
+    assert(got(1) == (2L, "pay with [CARD] now", 1L, 1L, 16L), got(1).toString)
+    assert(got(2) == (3L, "pay with 4111-1111-1111-1112 now", 1L, 0L, 0L), got(2).toString)
+    assert(got(3) == (4L, "order 123456789012 shipped", 0L, 0L, 0L), got(3).toString)
+    assert(got(4) == (5L, "id 41111111111111110000 tracked", 0L, 0L, 0L), got(4).toString)
+    assert(got(5) == (6L, "[CARD] and [CARD] twice", 2L, 2L, 32L), got(5).toString)
+    assert(got(6) == (7L, "no digits at all", 0L, 0L, 0L), got(6).toString)
+  }
+
   test("unigramSegment: optimal cost/pieces vs exhaustive enumeration; seg reconstructs; tie-break longest-last") {
     val s = spark
     import s.implicits._
