@@ -379,6 +379,40 @@ object Examples {
         java.util.Arrays.equals(flacBack.samples(0),
           Array.tabulate(1000)(i => ((i * 7919) % 4096) - 2048))}")
 
+    println("== 26. Round 13: token edit join, unigram tokens, card scrub, stereo FLAC ==")
+    // token-level edit distance: a swapped word costs 1, not its length
+    Dedup.tokenEditDistancePairs(
+        docs.select(col("doc_id"),
+          slice(split(col("text"), " "), 1, 24).as("toks")),
+        "doc_id", "toks", maxDist = 4)
+      .orderBy("id_a", "id_b").show(5)
+    // unigram-LM Viterbi segmentation (quantized-log costs, float-free)
+    TextOps.unigramSegment(docs, "doc_id", "text")
+      .select("doc_id", "n_words", "n_pieces", "cost_fp", "seg")
+      .show(3, truncate = 60)
+    // Luhn-gated card scrubbing: the valid PAN is masked, the
+    // checksum-failing lookalike survives
+    TextOps.redactCards(
+        Seq((1L, "pay 4111 1111 1111 1111 or 4111-1111-1111-1112"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .show(truncate = false)
+    // stereo decorrelation: correlated channels shrink the stream
+    val l = Array.tabulate(2000)(i => ((i * 7919) % 4096) - 2048)
+    val r = Array.tabulate(2000)(i => l(i) + ((i * 31) % 7) - 3)
+    val dec = Flac.encode(Array(l, r), 16000)
+    val ind = Flac.encode(Array(l, r), 16000, stereoDecorrelation = false)
+    println(s"stereo FLAC: decorrelated ${dec.length} B vs independent ${ind.length} B " +
+      s"(${100 - dec.length * 100 / ind.length}% smaller), lossless = ${
+        java.util.Arrays.equals(Flac.decode(dec).get.samples(1), r)}")
+    // multi-record WARC captures: warcinfo/request/response/metadata
+    val metaBlob = docs.limit(2).select(concat(
+      sources.Warc.buildWarcRecord(lit("warcinfo"), lit(null).cast("string"),
+        lit("2026-01-01T00:00:00Z"), lit("application/warc-fields"), lit("software: graft")),
+      sources.Warc.buildWarcResponse(concat(lit("https://example.org/"), col("doc_id")),
+        lit("2026-01-01T00:00:00Z"), col("text"))).as("b"))
+    metaBlob.select(explode(sources.Warc.warcRecords(col("b"))).as("r"))
+      .select("r.warc_type", "r.target_uri", "r.content_type").show(4, truncate = 40)
+
     spark.stop()
   }
 }
