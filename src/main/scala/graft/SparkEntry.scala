@@ -660,6 +660,30 @@ object SparkEntry {
           "doc_id", "title", maxDist = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // cross-corpus edit-distance INGESTION SCREEN: 1-in-10 docs form
+    // the incoming batch (half are 2-char perturbations of corpus
+    // titles — matched; half are reversed text — novel), the other 90%
+    // are the indexed corpus; the corpus x corpus quadrant is never
+    // generated. Oracle = brute-force batch x corpus levenshtein with
+    // the bag-of-chars cut, per-batch min with the same (dist, id)
+    // tiebreak — ignorant of the PassJoin index
+    "q_editdist_screen" -> ((s, dir) => {
+      val titled = table(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("t"))
+      val corpus = titled.where(col("doc_id") % 10 =!= 0)
+      // matched half: batch id 0 mod 20 carries a 2-char perturbation of
+      // CORPUS doc id+1's title (dist <= 2); novel half: reversed titles
+      // of docs that are NOT in the corpus
+      val batch = titled.where(col("doc_id") % 20 === 1)
+        .select((col("doc_id") - 1).as("doc_id"),
+          concat(lit("Xy"), substring(col("t"), 3, 118)).as("t"))
+        .unionByName(titled.where(col("doc_id") % 20 === 10)
+          .select(col("doc_id"), reverse(col("t")).as("t")))
+      operators.Dedup.editDistanceScreen(batch, corpus, "doc_id", "t",
+          maxDist = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKEN-level edit-distance join on 24-token document prefixes:
     // PassJoin over token SEQUENCES (d+1 disjoint token subarrays; the
     // candidate join key is the subarray itself) + banded token-DP
@@ -5674,6 +5698,38 @@ object SparkEntry {
         "COALESCE(a.cost_fp, 0) AS cost_fp " +
         "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id " +
         "WHERE d.text IS NOT NULL ORDER BY d.doc_id"),
+
+    // screen replica: rebuild the batch from the same expressions, then
+    // brute-force batch x corpus levenshtein (bag-of-chars cut), per-
+    // batch argmin with the (dist, id) tiebreak
+    "q_editdist_screen" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 120) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        | corpus AS (SELECT doc_id AS cid, t AS ct FROM t WHERE doc_id % 10 <> 0),
+        | batch AS (
+        |  SELECT doc_id - 1 AS bid, 'Xy' || substr(t, 3, 118) AS bt FROM t WHERE doc_id % 20 = 1
+        |  UNION ALL SELECT doc_id, reverse(t) FROM t WHERE doc_id % 20 = 10),
+        | cs AS (SELECT DISTINCT ch FROM (SELECT unnest(string_split(bt, '')) AS ch FROM batch
+        |  UNION ALL SELECT unnest(string_split(ct, '')) FROM corpus)),
+        | nch AS (SELECT count(*) AS n FROM cs),
+        | bh AS (SELECT bid, bt, list(length(bt) - length(replace(bt, ch, '')) ORDER BY ch) AS h
+        |  FROM batch, cs GROUP BY bid, bt),
+        | chh AS (SELECT cid, ct, list(length(ct) - length(replace(ct, ch, '')) ORDER BY ch) AS h
+        |  FROM corpus, cs GROUP BY cid, ct),
+        | cand AS (SELECT b.bid, c.cid, b.bt, c.ct FROM bh b, chh c, nch
+        |  WHERE abs(length(b.bt) - length(c.ct)) <= 4
+        |   AND list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(range(1, CAST(nch.n + 1 AS INT)),
+        |       i -> CAST(abs(b.h[i] - c.h[i]) AS BIGINT))), (p, q) -> p + q) <= 8),
+        | hits AS (SELECT bid, CAST(levenshtein(bt, ct) AS BIGINT) AS dist, cid
+        |  FROM cand WHERE levenshtein(bt, ct) <= 4),
+        | best AS (SELECT bid, dist AS min_dist, cid AS match_id FROM
+        |  (SELECT bid, dist, cid, row_number() OVER
+        |    (PARTITION BY bid ORDER BY dist, cid) AS rn FROM hits) WHERE rn = 1)
+        | SELECT b.bid AS doc_id, best.min_dist IS NOT NULL AS matched,
+        |  best.min_dist, best.match_id
+        | FROM (SELECT DISTINCT bid FROM batch) b LEFT JOIN best USING (bid)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // token-level all-pairs: encode each 24-token prefix INJECTIVELY
     // (one single-byte char per distinct token — 31-token vocab, so

@@ -1200,6 +1200,37 @@ object Dedup {
       sCol: Column, lbCol: Column, d: Int, k: Int, lensCol: Column): Column =
     passJoinProbesG(sCol, lbCol, d, k, lensCol, (s, p, l) => substr(s, p, l))
 
+  /** CROSS-side probes: partner lengths LONGER than the probing string
+    * are reachable too (`la ∈ [max(k, lb−d), lb+d]`) — the self-join
+    * variant restricts to `la ≤ lb` because the canonical pair
+    * direction makes the other half redundant there; a batch-vs-corpus
+    * screen has no such symmetry. The per-position window formulas are
+    * sign-correct as written: for Δ = lb − la < 0 the shift bound
+    * δ ∈ [−slack, Δ+slack] evaluates to exactly the true
+    * [−(d+|Δ|)/2, (d−|Δ|)/2] interval, and PassJoin's multi-match
+    * bound (Li, Deng & Feng 2011, Lemma 3) is stated for the full
+    * [lb−d, lb+d] partner range. */
+  private def passJoinProbesCross(
+      sCol: Column, lbCol: Column, d: Int, k: Int, lensCol: Column): Column =
+    flatten(transform(
+      filter(sequence(greatest(lit(k.toLong), lbCol - d), lbCol + d),
+        la => array_contains(lensCol, la)), { la =>
+        val amod = la % k
+        val base = floor(la / k).cast("long")
+        val delta = lbCol - la
+        val slack = floor((lit(d.toLong) - delta) / 2).cast("long")
+        flatten(transform(sequence(lit(1L), lit(k.toLong)), { i =>
+          val leni = base + when(i > lit(k.toLong) - amod, 1L).otherwise(0L)
+          val pi = (i - 1) * base + greatest(lit(0L), i - 1 - (lit(k.toLong) - amod)) + 1
+          val dLo = greatest(lit(0L) - slack, lit(1L) - i, delta - (lit(k.toLong) - i))
+          val dHi = least(delta + slack, i - 1, delta + (lit(k.toLong) - i))
+          val lo = greatest(lit(1L), pi + dLo)
+          val hi = least(lbCol - leni + 1, pi + dHi)
+          transform(filter(sequence(lo, greatest(lo, hi)), p => p <= hi),
+            p => struct(la.as("la"), i.as("i"), substr(sCol, p, leni).as("sub")))
+        }))
+      }))
+
   /** Edit-distance similarity self-join: every pair of rows whose
     * strings are within Levenshtein distance `maxDist`, with the exact
     * distance — the string-identity dedup primitive (titles, URLs,
@@ -1309,6 +1340,95 @@ object Dedup {
       .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
     (out, strs)
+  }
+
+  /** Cross-corpus edit-distance INGESTION SCREEN: for each batch row,
+    * is any CORPUS string within Levenshtein distance `maxDist`, and
+    * which is nearest? The shape every incremental dedup pass needs —
+    * the corpus is indexed (segments), the batch probes it, and the
+    * corpus×corpus quadrant is never generated (the
+    * [[incrementalNearDup]] asymmetry, for edit distance).
+    *
+    * Candidates: corpus rows with ≥ k tokens of length donate PassJoin
+    * segments; batch rows probe with substrings for partner lengths
+    * `la ∈ [lb−d, lb+d]` ([[passJoinProbesCross]] — both directions,
+    * unlike the self-join's canonical `la ≤ lb`). Pairs where either
+    * side is shorter than k+d chars ride a length-banded pass (bands of
+    * width k; partners within d differ by ≤ 1 band). Both candidate
+    * sets verify with the threshold-bounded `levenshtein`, then one
+    * groupBy(batch id) keeps the minimum (ties by smallest corpus id).
+    *
+    * Returns one row PER BATCH ROW: `(id, matched, min_dist, match_id)`
+    * — min_dist/match_id NULL when nothing is within range. Scale
+    * shape: segment/probe explodes are map-side; candidates are
+    * `(la, i, sub)`-keyed equi-joins; the min is one partial-agg
+    * exchange on the batch id. The corpus is scanned twice (segments +
+    * verify fetch), never self-joined. */
+  def editDistanceScreen(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val k = maxDist + 1
+    val b = batch
+      .select(col(idCol).as("bid"), col(strCol).cast("string").as("bs"))
+      .where(col("bs").isNotNull)
+      .withColumn("blen", length(col("bs")).cast("long"))
+      .repartition(col("bid"))
+      .persist()
+    val c = corpus
+      .select(col(idCol).as("cid"), col(strCol).cast("string").as("cs"))
+      .where(col("cs").isNotNull)
+      .withColumn("clen", length(col("cs")).cast("long"))
+      .persist()
+    try {
+      val cLong = c.where(col("clen") >= k)
+      val lens = cLong.select(col("clen")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val lensLit =
+        if (lens.isEmpty) array().cast("array<bigint>") else lit(lens)
+      val idx = cLong
+        .select(col("cid"),
+          explode(passJoinSegments(col("cs"), col("clen"), k)).as("seg"))
+        .select(col("cid"), col("seg.la"), col("seg.i"), col("seg.sub"))
+      val prb = b.where(col("blen") >= k)
+        .select(col("bid"),
+          explode(passJoinProbesCross(col("bs"), col("blen"), maxDist, k, lensLit))
+            .as("pr"))
+        .select(col("bid"), col("pr.la"), col("pr.i"), col("pr.sub"))
+      val candSeg = idx.join(prb, Seq("la", "i", "sub"))
+        .select(col("bid"), col("cid"))
+      // banded pass: covers exactly the pairs the segment pass can't —
+      // a side shorter than k donates no segments/probes, and any
+      // within-d partner of a sub-k string is itself < k+d, so both
+      // endpoints land here; bands of width k differ by at most one
+      val bShort = b.where(col("blen") < k + maxDist)
+        .select(col("bid"), (col("blen") / k).cast("long").as("bb"))
+      val cBand = (col("clen") / k).cast("long")
+      val cShort = c.where(col("clen") < k + maxDist)
+        .select(col("cid"),
+          explode(array(cBand - 1, cBand, cBand + 1)).as("bb"))
+      val candBand = bShort.join(cShort, "bb").select(col("bid"), col("cid"))
+      val cand = candSeg.unionByName(candBand).distinct()
+      val verified = cand
+        .join(b.select(col("bid"), col("bs"), col("blen")), "bid")
+        .join(c.select(col("cid"), col("cs"), col("clen")), "cid")
+        .where(abs(col("blen") - col("clen")) <= maxDist)
+        .withColumn("dist",
+          levenshtein(col("bs"), col("cs"), maxDist).cast("long"))
+        .where(col("dist") >= 0 && col("dist") <= maxDist)
+        .groupBy(col("bid"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("bid"), col("m.dist").as("min_dist"),
+          col("m.cid").as("match_id"))
+      b.select(col("bid").as(idCol))
+        .join(verified.withColumnRenamed("bid", idCol), Seq(idCol), "left")
+        .select(col(idCol), col("min_dist").isNotNull.as("matched"),
+          col("min_dist"), col("match_id"))
+        .localCheckpoint(true)
+    } finally { b.unpersist(); c.unpersist() }
   }
 
   /** TOKEN-level edit-distance similarity self-join: every pair of rows

@@ -1755,6 +1755,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == brute, s"got=$got brute=$brute")
   }
 
+  test("editDistanceScreen: brute-force parity incl. batch-shorter-than-match (cross probes) and band edges") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "the quick brown foxes"),  // longer partner for batch probes
+      (102L, "ab"),                     // sub-k corpus string (banded)
+      (103L, "completely different words entirely"),
+      (104L, "x")).toDF("id", "t")
+    val batch = Seq(
+      (1L, "the quick brown fo"),       // SHORTER than both matches: la > lb probes
+      (2L, "the quick brown foxes!!"),  // longer than both
+      (3L, "abc"),                      // banded: near 102
+      (4L, ""),                         // empty: near 102/104 within d=2
+      (5L, "nothing like any of them"),
+      (6L, "x z")).toDF("id", "t")
+    val d = 2
+    val got = Dedup.editDistanceScreen(batch, corpus, "id", "t", maxDist = d)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // brute force: full cross with the SAME builtin + tiebreak
+    val brute = batch.collect().map { br =>
+      val (bid, bt) = (br.getLong(0), br.getString(1))
+      val hits = corpus.collect().map { cr =>
+        val (cid, ct) = (cr.getLong(0), cr.getString(1))
+        val lev = {
+          val a = bt; val b2 = ct
+          val dp = Array.tabulate(a.length + 1, b2.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0
+          }
+          for (i <- 1 to a.length; j <- 1 to b2.length)
+            dp(i)(j) = math.min(
+              dp(i - 1)(j - 1) + (if (a(i - 1) == b2(j - 1)) 0 else 1),
+              math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1))
+          dp(a.length)(b2.length)
+        }
+        (lev.toLong, cid)
+      }.filter(_._1 <= d)
+      if (hits.isEmpty) bid -> ((false, -1L, -1L))
+      else { val m = hits.min; bid -> ((true, m._1, m._2)) }
+    }.toMap
+    assert(got == brute, s"got=$got\nbrute=$brute")
+    // the cross-direction case really fired: batch 1 matched a LONGER string
+    assert(got(1L)._1 && got(2L)._1 && got(3L)._1 && got(4L)._1 && !got(5L)._1)
+  }
+
   test("containmentDedup: transitive chains collapse to one keeper per component") {
     val s = spark
     import s.implicits._
