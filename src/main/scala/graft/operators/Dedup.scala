@@ -1370,6 +1370,19 @@ object Dedup {
       idCol: String,
       strCol: String,
       maxDist: Int): DataFrame = {
+    val (out, b, c) = editDistanceScreenPlan(batch, corpus, idCol, strCol, maxDist)
+    try out.localCheckpoint(true) finally { b.unpersist(); c.unpersist() }
+  }
+
+  /** The lazy plan behind [[editDistanceScreen]] plus the two persisted
+    * frames the caller must unpersist — split out so PlanQualitySpec
+    * can pin the pre-checkpoint plan shape. */
+  private[graft] def editDistanceScreenPlan(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int): (DataFrame, DataFrame, DataFrame) = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val k = maxDist + 1
     val b = batch
@@ -1423,12 +1436,12 @@ object Dedup {
         .agg(min(struct(col("dist"), col("cid"))).as("m"))
         .select(col("bid"), col("m.dist").as("min_dist"),
           col("m.cid").as("match_id"))
-      b.select(col("bid").as(idCol))
+      val out = b.select(col("bid").as(idCol))
         .join(verified.withColumnRenamed("bid", idCol), Seq(idCol), "left")
         .select(col(idCol), col("min_dist").isNotNull.as("matched"),
           col("min_dist"), col("match_id"))
-        .localCheckpoint(true)
-    } finally { b.unpersist(); c.unpersist() }
+      (out, b, c)
+    } catch { case t: Throwable => b.unpersist(); c.unpersist(); throw t }
   }
 
   /** TOKEN-level edit-distance similarity self-join: every pair of rows

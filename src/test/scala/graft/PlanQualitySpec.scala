@@ -276,6 +276,34 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally strs.unpersist()
   }
 
+  test("editDistanceScreen: no corpus self-join — only (la,i,sub)/band equi-joins and the batch-id agg") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val titled = s.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("t"))
+    val corpus = titled.where(col("doc_id") % 10 =!= 0)
+    val batch = titled.where(col("doc_id") % 20 === 1)
+      .select((col("doc_id") - 1).as("doc_id"),
+        concat(lit("Xy"), substring(col("t"), 3, 118)).as("t"))
+    val (out, b, c) = graft.operators.Dedup.editDistanceScreenPlan(
+      batch, corpus, "doc_id", "t", maxDist = 4)
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      // candidates are (la,i,sub)/band equi-joins + id-keyed fetches —
+      // an all-pairs screen would surface as a cartesian/nested loop
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // both inputs persist once; the verify fetches re-read the caches
+      assert(plan.contains("InMemoryTableScan"), plan)
+      // the verify is the threshold-bounded builtin, map-side
+      assert(plan.toLowerCase.contains("levenshtein"), plan)
+      // one row per batch row, even for all-novel batches
+      assert(out.count() == batch.count(),
+        "screen must return exactly one row per batch row")
+    } finally { b.unpersist(); c.unpersist() }
+  }
+
   test("tokenEditDistancePairs: array-keyed equi-joins only — no cartesian, verify is map-side") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
