@@ -684,6 +684,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // token-sequence variant of the ingestion screen: batch rows carry
+    // 2-token substitutions of corpus prefixes (token distance 2) or
+    // token-REVERSED novel sequences; same asymmetry, array-keyed
+    // candidates, banded token DP verify. Oracle = the injective
+    // single-byte token encoding + brute-force byte levenshtein
+    "q_editdist_screen_tokens" -> ((s, dir) => {
+      val toked = table(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          slice(split(col("text"), " "), 1, 24).as("toks"))
+      val corpus = toked.where(col("doc_id") % 10 =!= 0)
+      val batch = toked.where(col("doc_id") % 20 === 1)
+        .select((col("doc_id") - 1).as("doc_id"),
+          transform(col("toks"), (t, i) =>
+            when(i === 0, "Xq").when(i === 2, "Zw").otherwise(t)).as("toks"))
+        .unionByName(toked.where(col("doc_id") % 20 === 10)
+          .select(col("doc_id"), reverse(col("toks")).as("toks")))
+      operators.Dedup.tokenEditDistanceScreen(batch, corpus, "doc_id", "toks",
+          maxDist = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // TOKEN-level edit-distance join on 24-token document prefixes:
     // PassJoin over token SEQUENCES (d+1 disjoint token subarrays; the
     // candidate join key is the subarray itself) + banded token-DP
@@ -5723,6 +5744,52 @@ object SparkEntry {
         |       i -> CAST(abs(b.h[i] - c.h[i]) AS BIGINT))), (p, q) -> p + q) <= 8),
         | hits AS (SELECT bid, CAST(levenshtein(bt, ct) AS BIGINT) AS dist, cid
         |  FROM cand WHERE levenshtein(bt, ct) <= 4),
+        | best AS (SELECT bid, dist AS min_dist, cid AS match_id FROM
+        |  (SELECT bid, dist, cid, row_number() OVER
+        |    (PARTITION BY bid ORDER BY dist, cid) AS rn FROM hits) WHERE rn = 1)
+        | SELECT b.bid AS doc_id, best.min_dist IS NOT NULL AS matched,
+        |  best.min_dist, best.match_id
+        | FROM (SELECT DISTINCT bid FROM batch) b LEFT JOIN best USING (bid)
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // token-screen replica: rebuild the batch (positional substitutions
+    // / list_reverse), encode batch+corpus tokens injectively into
+    // single bytes, brute-force byte levenshtein with the bag cut,
+    // per-batch argmin — ignorant of the array-keyed index
+    "q_editdist_screen_tokens" ->
+      """WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, 24) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        | corpus AS (SELECT doc_id AS cid, toks AS ct FROM t WHERE doc_id % 10 <> 0),
+        | batch AS (
+        |  SELECT doc_id - 1 AS bid, list_transform(range(1, len(toks) + 1),
+        |    i -> CASE WHEN i = 1 THEN 'Xq' WHEN i = 3 THEN 'Zw' ELSE toks[i] END) AS bt
+        |  FROM t WHERE doc_id % 20 = 1
+        |  UNION ALL SELECT doc_id, list_reverse(toks) FROM t WHERE doc_id % 20 = 10),
+        | vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS r FROM
+        |  (SELECT DISTINCT tok FROM (SELECT unnest(bt) AS tok FROM batch
+        |   UNION ALL SELECT unnest(ct) FROM corpus))),
+        | btk AS (SELECT bid, i, bt[i] AS tok FROM batch,
+        |  LATERAL (SELECT unnest(generate_series(1, len(bt))) AS i)),
+        | benc AS (SELECT btk.bid, string_agg(chr(CAST(32 + v.r AS INT)), '' ORDER BY btk.i) AS be
+        |  FROM btk JOIN vocab v ON v.tok = btk.tok GROUP BY btk.bid),
+        | ctk AS (SELECT cid, i, ct[i] AS tok FROM corpus,
+        |  LATERAL (SELECT unnest(generate_series(1, len(ct))) AS i)),
+        | cenc AS (SELECT ctk.cid, string_agg(chr(CAST(32 + v.r AS INT)), '' ORDER BY ctk.i) AS ce
+        |  FROM ctk JOIN vocab v ON v.tok = ctk.tok GROUP BY ctk.cid),
+        | cs AS (SELECT DISTINCT ch FROM (SELECT unnest(string_split(be, '')) AS ch FROM benc
+        |  UNION ALL SELECT unnest(string_split(ce, '')) FROM cenc)),
+        | nch AS (SELECT count(*) AS n FROM cs),
+        | bh AS (SELECT bid, be, list(length(be) - length(replace(be, ch, '')) ORDER BY ch) AS h
+        |  FROM benc, cs GROUP BY bid, be),
+        | chh AS (SELECT cid, ce, list(length(ce) - length(replace(ce, ch, '')) ORDER BY ch) AS h
+        |  FROM cenc, cs GROUP BY cid, ce),
+        | cand AS (SELECT b.bid, c.cid, b.be, c.ce FROM bh b, chh c, nch
+        |  WHERE abs(length(b.be) - length(c.ce)) <= 4
+        |   AND list_reduce(list_prepend(0::BIGINT,
+        |     list_transform(range(1, CAST(nch.n + 1 AS INT)),
+        |       i -> CAST(abs(b.h[i] - c.h[i]) AS BIGINT))), (p, q) -> p + q) <= 8),
+        | hits AS (SELECT bid, CAST(levenshtein(be, ce) AS BIGINT) AS dist, cid
+        |  FROM cand WHERE levenshtein(be, ce) <= 4),
         | best AS (SELECT bid, dist AS min_dist, cid AS match_id FROM
         |  (SELECT bid, dist, cid, row_number() OVER
         |    (PARTITION BY bid ORDER BY dist, cid) AS rn FROM hits) WHERE rn = 1)

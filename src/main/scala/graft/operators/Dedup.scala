@@ -1210,8 +1210,9 @@ object Dedup {
     * [−(d+|Δ|)/2, (d−|Δ|)/2] interval, and PassJoin's multi-match
     * bound (Li, Deng & Feng 2011, Lemma 3) is stated for the full
     * [lb−d, lb+d] partner range. */
-  private def passJoinProbesCross(
-      sCol: Column, lbCol: Column, d: Int, k: Int, lensCol: Column): Column =
+  private def passJoinProbesCrossG(
+      sCol: Column, lbCol: Column, d: Int, k: Int, lensCol: Column,
+      extract: (Column, Column, Column) => Column): Column =
     flatten(transform(
       filter(sequence(greatest(lit(k.toLong), lbCol - d), lbCol + d),
         la => array_contains(lensCol, la)), { la =>
@@ -1227,9 +1228,13 @@ object Dedup {
           val lo = greatest(lit(1L), pi + dLo)
           val hi = least(lbCol - leni + 1, pi + dHi)
           transform(filter(sequence(lo, greatest(lo, hi)), p => p <= hi),
-            p => struct(la.as("la"), i.as("i"), substr(sCol, p, leni).as("sub")))
+            p => struct(la.as("la"), i.as("i"), extract(sCol, p, leni).as("sub")))
         }))
       }))
+
+  private def passJoinProbesCross(
+      sCol: Column, lbCol: Column, d: Int, k: Int, lensCol: Column): Column =
+    passJoinProbesCrossG(sCol, lbCol, d, k, lensCol, (s, p, l) => substr(s, p, l))
 
   /** Edit-distance similarity self-join: every pair of rows whose
     * strings are within Levenshtein distance `maxDist`, with the exact
@@ -1382,19 +1387,66 @@ object Dedup {
       corpus: DataFrame,
       idCol: String,
       strCol: String,
-      maxDist: Int): (DataFrame, DataFrame, DataFrame) = {
+      maxDist: Int): (DataFrame, DataFrame, DataFrame) =
+    screenPlanG(batch, corpus, idCol, strCol, maxDist,
+      seqOf = _.cast("string"),
+      lenOf = s => length(s).cast("long"),
+      extract = (s, p, l) => substr(s, p, l),
+      verify = (a, b) => levenshtein(a, b, maxDist).cast("long"))
+
+  /** Token-sequence variant of [[editDistanceScreen]]: the nearest
+    * corpus TOKEN sequence within whole-token edit distance `maxDist`
+    * per batch row — the ingestion screen for paraphrase-level dedup
+    * (same [[tokenEditDistancePairs]] semantics, same batch-vs-corpus
+    * asymmetry). `toksCol` must be array<string> on both frames. */
+  def tokenEditDistanceScreen(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      toksCol: String,
+      maxDist: Int): DataFrame = {
+    val (out, b, c) = tokenEditDistanceScreenPlan(batch, corpus, idCol, toksCol, maxDist)
+    try out.localCheckpoint(true) finally { b.unpersist(); c.unpersist() }
+  }
+
+  private[graft] def tokenEditDistanceScreenPlan(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      toksCol: String,
+      maxDist: Int): (DataFrame, DataFrame, DataFrame) =
+    screenPlanG(batch, corpus, idCol, toksCol, maxDist,
+      seqOf = identity,
+      lenOf = s => size(s).cast("long"),
+      extract = (s, p, l) => slice(s, p.cast("int"), l.cast("int")),
+      verify = (a, b) => GraftSqlShim.column(TokenLevenshtein(
+        GraftSqlShim.expression(a), GraftSqlShim.expression(b), maxDist)).cast("long"))
+
+  /** The shared batch-vs-corpus screen core — sequence type abstracted
+    * behind (seqOf, lenOf, extract, verify); see [[editDistanceScreen]]
+    * for the candidate/coverage argument, which is type-agnostic. */
+  private def screenPlanG(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int,
+      seqOf: Column => Column,
+      lenOf: Column => Column,
+      extract: (Column, Column, Column) => Column,
+      verify: (Column, Column) => Column): (DataFrame, DataFrame, DataFrame) = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val k = maxDist + 1
     val b = batch
-      .select(col(idCol).as("bid"), col(strCol).cast("string").as("bs"))
+      .select(col(idCol).as("bid"), seqOf(col(strCol)).as("bs"))
       .where(col("bs").isNotNull)
-      .withColumn("blen", length(col("bs")).cast("long"))
+      .withColumn("blen", lenOf(col("bs")))
       .repartition(col("bid"))
       .persist()
     val c = corpus
-      .select(col(idCol).as("cid"), col(strCol).cast("string").as("cs"))
+      .select(col(idCol).as("cid"), seqOf(col(strCol)).as("cs"))
       .where(col("cs").isNotNull)
-      .withColumn("clen", length(col("cs")).cast("long"))
+      .withColumn("clen", lenOf(col("cs")))
       .persist()
     try {
       val cLong = c.where(col("clen") >= k)
@@ -1404,12 +1456,12 @@ object Dedup {
         if (lens.isEmpty) array().cast("array<bigint>") else lit(lens)
       val idx = cLong
         .select(col("cid"),
-          explode(passJoinSegments(col("cs"), col("clen"), k)).as("seg"))
+          explode(passJoinSegmentsG(col("cs"), col("clen"), k, extract)).as("seg"))
         .select(col("cid"), col("seg.la"), col("seg.i"), col("seg.sub"))
       val prb = b.where(col("blen") >= k)
         .select(col("bid"),
-          explode(passJoinProbesCross(col("bs"), col("blen"), maxDist, k, lensLit))
-            .as("pr"))
+          explode(passJoinProbesCrossG(col("bs"), col("blen"), maxDist, k,
+            lensLit, extract)).as("pr"))
         .select(col("bid"), col("pr.la"), col("pr.i"), col("pr.sub"))
       val candSeg = idx.join(prb, Seq("la", "i", "sub"))
         .select(col("bid"), col("cid"))
@@ -1429,8 +1481,7 @@ object Dedup {
         .join(b.select(col("bid"), col("bs"), col("blen")), "bid")
         .join(c.select(col("cid"), col("cs"), col("clen")), "cid")
         .where(abs(col("blen") - col("clen")) <= maxDist)
-        .withColumn("dist",
-          levenshtein(col("bs"), col("cs"), maxDist).cast("long"))
+        .withColumn("dist", verify(col("bs"), col("cs")))
         .where(col("dist") >= 0 && col("dist") <= maxDist)
         .groupBy(col("bid"))
         .agg(min(struct(col("dist"), col("cid"))).as("m"))

@@ -1802,6 +1802,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L)._1 && got(2L)._1 && got(3L)._1 && got(4L)._1 && !got(5L)._1)
   }
 
+  test("tokenEditDistanceScreen: brute-force parity over token sequences, both length directions") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "the quick brown fox jumps over things"), // longer partner
+      (102L, "a b"),                                   // sub-k (banded)
+      (103L, "entirely different content here")).toDF("id", "t")
+      .select(col("id"), split(col("t"), " ").as("toks"))
+    val batch = Seq(
+      (1L, "the quick brown fox"),          // shorter than both matches
+      (2L, "the quick brown fox jumps over things wildly today"), // longer
+      (3L, "a b c"),                        // banded near 102
+      (4L, "totally unrelated words appear in this row")).toDF("id", "t")
+      .select(col("id"), split(col("t"), " ").as("toks"))
+    val d = 2
+    val got = Dedup.tokenEditDistanceScreen(batch, corpus, "id", "toks", maxDist = d)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    def tokLev(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1),
+          math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1))
+      dp(a.length)(b.length).toLong
+    }
+    val cRows = corpus.collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val brute = batch.collect().map { br =>
+      val hits = cRows.map { case (cid, ct) =>
+        (tokLev(br.getSeq[String](1), ct), cid)
+      }.filter(_._1 <= d)
+      if (hits.isEmpty) br.getLong(0) -> ((false, -1L, -1L))
+      else { val m = hits.min; br.getLong(0) -> ((true, m._1, m._2)) }
+    }.toMap
+    assert(got == brute, s"got=$got\nbrute=$brute")
+    assert(got(1L)._1 && got(2L)._1 && got(3L)._1 && !got(4L)._1)
+  }
+
   test("containmentDedup: transitive chains collapse to one keeper per component") {
     val s = spark
     import s.implicits._
