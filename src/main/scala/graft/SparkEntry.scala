@@ -960,6 +960,34 @@ object SparkEntry {
     // construction, the maximal-span extraction (regexp_extract_all on
     // the same RE2∩Java pattern), and the Luhn fold, all ignorant of
     // the kernel's scanner
+    // IBAN scrub with the real mod-97 check: each doc gets a
+    // deterministic DE-format IBAN (check digits COMPUTED per ISO 13616
+    // for even ids; off-by-one for odd), the kernel must redact exactly
+    // the valid half; the oracle rebuilds the IBAN, re-extracts
+    // uppercase-alphanumeric runs, and re-folds the rearranged digit
+    // stream mod 97 — all plain integer arithmetic (the fold keeps
+    // intermediates under 10^4, no big-number type needed)
+    "q_pii_iban" -> ((s, dir) => {
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      val dig = (i: Column) => pmod(col("doc_id") * 11 + i * 17, lit(10L))
+      val bban = array_join(transform(sequence(lit(1L), lit(18L)),
+        i => dig(i).cast("string")), "")
+      val fold18 = aggregate(sequence(lit(1L), lit(18L)), lit(0L),
+        (acc, i) => (acc * 10 + dig(i)) % 97)
+      val rDE00 = ((((fold18 * 100 + 13) % 97) * 100 + 14) % 97 * 10 % 97) * 10 % 97
+      val check = lit(98L) - rDE00
+      val chk = when(pmod(col("doc_id"), lit(2L)) === 0, check)
+        .otherwise((check + 1) % 100)
+      val iban = concat(lit("DE"), lpad(chk.cast("string"), 2, "0"), bban)
+      operators.TextOps.redactIbans(
+          d.select(col("doc_id"),
+            concat(col("text"), lit(" "), iban).as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_spans"), col("n_valid"),
+          col("chars_masked"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_pii_cards" -> ((s, dir) => {
       val d = table(s, dir, "documents").where(col("text").isNotNull)
       val d15 = array_join(transform(sequence(lit(1L), lit(15L)),
@@ -1521,6 +1549,40 @@ object SparkEntry {
             lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
           .repartition(4), "rec", root)
       val sink = s"graft_stream_warc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("warc").load(root)
+        .select(col("warc_type"), col("target_uri"),
+          col("http_status"), col("content_type"), col("body"))
+        .writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { try q.awaitTermination() finally if (q.isActive) q.stop() }
+      finally ()
+      val out = s.table(sink)
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
+          col("warc_type"), col("target_uri"),
+          col("http_status").cast("long").as("http_status"),
+          col("content_type"), col("body").cast("string").as("body"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sink)
+      rmTree(tmp)
+      out
+    }),
+
+    // the STREAMING connector over record-per-member .warc.gz segments
+    // (the gzip writer feeding the micro-batch reader) — bounded replay
+    // == the plain-segment batch answer; shares q_warc_source's oracle
+    "q_stream_warc_gz" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcstmgz")
+      val root = tmp.toString
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      sources.Warc.writeSegments(
+        d.select(sources.Warc.buildWarcResponse(
+            concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
+            lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+          .repartition(4), "rec", root, gzipPerRecord = true)
+      val sink = s"graft_stream_warcgz_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = s.readStream.format("warc").load(root)
         .select(col("warc_type"), col("target_uri"),
           col("http_status"), col("content_type"), col("body"))
@@ -3200,7 +3262,8 @@ object SparkEntry {
       "q_stream_multipat" -> base("q_decontam_exact"),
       "q_knn_batched" -> base("q_knn_join"),
       "q_stratified_salted" -> base("q_stratified"),
-      "q_stream_unigram" -> base("q_unigram_tokens"))
+      "q_stream_unigram" -> base("q_unigram_tokens"),
+      "q_stream_warc_gz" -> base("q_warc_source"))
   }
 
   /** BM25 oracle text shared by q_bm25 (scan path) and q_bm25_indexed
@@ -5649,6 +5712,43 @@ object SparkEntry {
         | SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
         | FROM cand WHERE levenshtein(ta, tb) <= 8
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // IBAN replica: rebuild the IBAN from the integer formula (check
+    // digits via the same mod-97 fold), re-extract uppercase runs,
+    // re-fold rearranged + letter-expanded digits — plain integers only
+    "q_pii_iban" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        | gen AS (SELECT doc_id,
+        |  list_reduce(list_prepend('', list_transform(range(1, 19),
+        |    i -> CAST((doc_id*11 + i*17) % 10 AS VARCHAR))), (a, b) -> a || b) AS bban,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 19),
+        |    i -> (doc_id*11 + i*17) % 10)), (a, d) -> (a*10 + d) % 97) AS f18
+        |  FROM t),
+        | gen2 AS (SELECT doc_id, bban,
+        |  ((((((f18*100 + 13) % 97)*100 + 14) % 97)*10 % 97)*10) % 97 AS r FROM gen),
+        | gen3 AS (SELECT doc_id, bban,
+        |  CASE WHEN doc_id % 2 = 0 THEN 98 - r ELSE (98 - r + 1) % 100 END AS chk FROM gen2),
+        | txt2 AS (SELECT t.doc_id,
+        |  t.text || ' DE' || lpad(CAST(g.chk AS VARCHAR), 2, '0') || g.bban AS text2
+        |  FROM t JOIN gen3 g USING (doc_id)),
+        | flat AS (SELECT doc_id, unnest(regexp_extract_all(text2, '[A-Z0-9]+')) AS run FROM txt2),
+        | cand AS (SELECT doc_id, run, CAST(length(run) AS BIGINT) AS ln FROM flat
+        |  WHERE length(run) BETWEEN 15 AND 34 AND regexp_matches(run, '^[A-Z]{2}[0-9]{2}')),
+        | folded AS (SELECT doc_id, ln,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(
+        |    range(1, CAST(ln + 1 AS INT)),
+        |    p -> CAST(ascii((substr(run, 5) || substr(run, 1, 4))[CAST(p AS INT)]) AS BIGINT))),
+        |   (a, cv) -> CASE WHEN cv >= 48 AND cv <= 57 THEN (a*10 + cv - 48) % 97
+        |              ELSE (a*100 + cv - 55) % 97 END) AS rr FROM cand),
+        | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN rr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN rr = 1 THEN ln ELSE 0 END) AS BIGINT) AS chars_masked
+        |  FROM folded GROUP BY doc_id)
+        | SELECT t.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+        |  COALESCE(a.n_valid, 0) AS n_valid,
+        |  COALESCE(a.chars_masked, 0) AS chars_masked
+        | FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        | ORDER BY t.doc_id""".stripMargin.replaceAll("\n", " "),
 
     // card-scrub replica: the injected card is rebuilt from the same
     // integer formula, candidate spans re-extracted with

@@ -354,6 +354,23 @@ object TextOps {
         col("r.n_spans").as("n_spans"), col("r.n_valid").as("n_valid"),
         col("r.digits_masked").as("digits_masked"))
 
+  /** IBAN scrubbing with ISO-13616 mod-97 validation ([[IbanRedact]]):
+    * uppercase-alphanumeric runs shaped like an IBAN (2 letters,
+    * 2 check digits, 11-30 more) are redacted ONLY when the rearranged
+    * letter-expanded digit stream folds to remainder 1 mod 97 — SKUs
+    * and invoice codes survive. One stateless kernel scan. */
+  def redactIbans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      marker: String = "[IBAN]"): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol), GraftSqlShim.column(IbanRedact(
+        GraftSqlShim.expression(col(textCol)), marker)).as("r"))
+      .select(col(idCol), col("r.redacted").as("redacted"),
+        col("r.n_spans").as("n_spans"), col("r.n_valid").as("n_valid"),
+        col("r.chars_masked").as("chars_masked"))
+
   /** Okapi BM25 keyword retrieval: the exact top-k corpus documents for a
     * small bag of query terms — the lexical-search complement to the
     * embedding ANN family (quality-targeted corpus selection, eval-set

@@ -2127,3 +2127,91 @@ case class LuhnRedact(child: Expression, marker: String)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** IBAN redaction with MOD-97 VALIDATION (ISO 13616) — [[LuhnRedact]]'s
+  * companion for bank account numbers: a candidate is only an IBAN if
+  * the check passes, so invoice codes and uppercase product SKUs
+  * survive.
+  *
+  * Candidate spans are maximal `[A-Z0-9]+` runs (replayable as
+  * regexp_extract_all in RE2 and Java alike) whose shape is
+  * 2 letters + 2 digits + 11..30 alphanumerics (total 15..34).
+  * Validation rearranges (body + first 4 chars), expands letters to
+  * two-digit codes (A=10..Z=35), and folds the digit stream through
+  * `acc = (acc*10 + d) mod 97` (letters: `acc*100 + code`) — valid iff
+  * the remainder is 1. The fold form keeps every intermediate below
+  * 10^4, so the oracle replays it with plain integer arithmetic (no
+  * big-number type needed at any IBAN length).
+  *
+  * Returns struct(redacted, n_spans, n_valid, chars_masked); the
+  * counters are oracle-compared, the string spec-pinned. NULL in →
+  * NULL out. */
+case class IbanRedact(child: Expression, marker: String)
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def nullable: Boolean = true
+  override def prettyName: String = "iban_redact"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("redacted", StringType),
+    StructField("n_spans", LongType),
+    StructField("n_valid", LongType),
+    StructField("chars_masked", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"iban_redact expects a string argument, got ${other.sql}")
+  }
+
+  private def isAlnum(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val out = new java.lang.StringBuilder(text.length)
+    var nSpans = 0L
+    var nValid = 0L
+    var masked = 0L
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (!isAlnum(c)) { out.append(c); i += 1 }
+      else {
+        var k = i
+        while (k < n && isAlnum(text.charAt(k))) k += 1
+        val len = k - i
+        val shapeOk = len >= 15 && len <= 34 &&
+          text.charAt(i).isLetter && text.charAt(i + 1).isLetter &&
+          text.charAt(i + 2).isDigit && text.charAt(i + 3).isDigit
+        var valid = false
+        if (shapeOk) {
+          nSpans += 1L
+          // rearranged = body + first 4; fold mod 97
+          var acc = 0L
+          def feed(ch: Char): Unit =
+            if (ch.isDigit) acc = (acc * 10 + (ch - '0')) % 97
+            else acc = (acc * 100 + (ch - 'A' + 10)) % 97
+          var j = i + 4
+          while (j < k) { feed(text.charAt(j)); j += 1 }
+          j = i
+          while (j < i + 4) { feed(text.charAt(j)); j += 1 }
+          valid = acc == 1L
+        }
+        if (valid) {
+          nValid += 1L
+          masked += len
+          out.append(marker)
+        } else out.append(text, i, k)
+        i = k
+      }
+    }
+    InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(out.toString),
+      nSpans, nValid, masked)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

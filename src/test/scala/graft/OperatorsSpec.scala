@@ -1637,6 +1637,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(6) == (7L, "no digits at all", 0L, 0L, 0L), got(6).toString)
   }
 
+  test("redactIbans: mod-97 decides — valid IBANs masked, SKUs and off-by-one checks survive") {
+    val s = spark
+    import s.implicits._
+    // GB82WEST12345698765432 is the ISO 13616 specification's own
+    // example IBAN; bumping one check digit breaks the mod-97 residue
+    val rows = Seq(
+      (1L, "wire to GB82WEST12345698765432 today"),      // valid
+      (2L, "wire to GB83WEST12345698765432 today"),      // invalid check
+      (3L, "sku AB12XYZ9 restocked"),                    // too short: not a candidate
+      (4L, "DE75512108001245126199 arrived"),            // valid DE example
+      (5L, "ref 1234567890123456789 pending"),           // digits-only: shape fails
+      (6L, "no account here")).toDF("doc_id", "text")
+    val got = TextOps.redactIbans(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got(0) == (1L, "wire to [IBAN] today", 1L, 1L, 22L), got(0).toString)
+    assert(got(1) == (2L, "wire to GB83WEST12345698765432 today", 1L, 0L, 0L), got(1).toString)
+    assert(got(2) == (3L, "sku AB12XYZ9 restocked", 0L, 0L, 0L), got(2).toString)
+    assert(got(3) == (4L, "[IBAN] arrived", 1L, 1L, 22L), got(3).toString)
+    assert(got(4) == (5L, "ref 1234567890123456789 pending", 0L, 0L, 0L), got(4).toString)
+    assert(got(5) == (6L, "no account here", 0L, 0L, 0L), got(5).toString)
+  }
+
   test("unigramSegment: optimal cost/pieces vs exhaustive enumeration; seg reconstructs; tie-break longest-last") {
     val s = spark
     import s.implicits._
