@@ -2163,6 +2163,37 @@ object SparkEntry {
       out
     }),
 
+    // snapshot TAGS: named refs pin versions against expire — v1 gets
+    // tagged, v2 does not, an overwrite lands v3, expire(keepLast=1)
+    // then reclaims ONLY v2; the tag still reads v1's exact contents
+    // and the moved 'stable' ref reads v3's. Every aggregate is
+    // rebuilt from the table by the oracle
+    "q_snapshot_tag" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-snaptag")
+      val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      sources.Snapshots.append(d.where(col("doc_id") % 2 === 0), tmp.toString)
+      sources.Snapshots.tag(s, tmp.toString, "stable", 1L)
+      sources.Snapshots.append(d.where(col("doc_id") % 2 === 1), tmp.toString)
+      sources.Snapshots.overwrite(d.where(col("doc_id") % 4 === 0), tmp.toString)
+      sources.Snapshots.expire(s, tmp.toString, keepLast = 1)
+      val survivors = sources.Snapshots.versions(s, tmp.toString)
+      require(survivors == Seq(1L, 3L),
+        s"expire must keep the tagged v1 + current v3, got $survivors")
+      def agg(df: org.apache.spark.sql.DataFrame, which: String) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(which).as("ref"), col("n_rows"), col("sum_id"),
+            col("sum_chars"))
+      val out = agg(sources.Snapshots.readTag(s, tmp.toString, "stable"), "stable_v1")
+        .unionAll {
+          sources.Snapshots.tag(s, tmp.toString, "stable", 3L) // a moved ref
+          agg(sources.Snapshots.readTag(s, tmp.toString, "stable"), "stable_v3")
+        }
+        .orderBy(col("ref")).localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // streaming ingestion into the snapshot table: one version per
     // micro-batch (3 staged files × maxFilesPerTrigger=1), row counts
     // strictly monotone across versions, final table = the source —
@@ -4643,6 +4674,20 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |  FROM documents WHERE doc_id % 4 = 0
         |) ORDER BY version""".stripMargin.replaceAll("\n", " "),
+
+    // tag replica: the tagged v1 is the even half, the moved ref reads
+    // v3 (the %4 overwrite) — expire/ref plumbing is invisible to the
+    // oracle by construction
+    "q_snapshot_tag" ->
+      """SELECT * FROM (
+        | SELECT 'stable_v1' AS ref, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        | UNION ALL SELECT 'stable_v3', CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 4 = 0
+        |) ORDER BY ref""".stripMargin.replaceAll("\n", " "),
 
     // WARC replica: the expected parse fields rebuilt from the table —
     // the oracle never sees the binary framing the engine must split

@@ -155,13 +155,18 @@ object Snapshots {
   }
 
   /** Vacuum: drop manifests older than the newest `keepLast` and delete
-    * data directories no kept manifest references. Destroys time-travel
-    * history past the horizon — the only destructive operation here. */
+    * data directories no kept manifest references — EXCEPT versions a
+    * [[tag]] points at, which survive any horizon (pinning a milestone
+    * corpus against routine vacuuming is the whole point of a tag).
+    * Destroys time-travel history past the horizon — the only
+    * destructive operation here. */
   def expire(spark: SparkSession, root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val vs = versions(spark, root)
     if (vs.size <= keepLast) return
-    val (drop, keep) = vs.splitAt(vs.size - keepLast)
+    val tagged = tags(spark, root).values.toSet
+    val keepSet = vs.takeRight(keepLast).toSet ++ tagged
+    val (drop, keep) = vs.partition(v => !keepSet.contains(v))
     val referenced = keep.flatMap(v => readManifest(spark, root, v)).toSet
     val f = fs(spark, new Path(root))
     drop.foreach { v =>
@@ -169,5 +174,54 @@ object Snapshots {
       dead.foreach(d => f.delete(new Path(root, d), true))
       f.delete(new Path(root, s"manifests/v$v.txt"), false)
     }
+  }
+
+  // ------------------------------------------------------------- refs
+
+  private def refName(name: String): String = {
+    require(name != null && name.nonEmpty && name.length <= 128 &&
+      name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag names are [A-Za-z0-9._-]{1,128}, got '$name'")
+    name
+  }
+
+  /** Pin a NAME to a committed version (a tag — the named-ref feature
+    * over the immutable version history; re-tagging the same name moves
+    * it, so a name like `stable` doubles as a branch pointer). Tagged
+    * versions survive [[expire]] at any horizon. The write is the same
+    * atomic tmp-then-rename as every pointer here. */
+  def tag(spark: SparkSession, root: String, name: String, version: Long): Unit = {
+    require(versions(spark, root).contains(version),
+      s"cannot tag version $version — not a committed version of $root")
+    writeAtomic(spark, new Path(root, s"refs/${refName(name)}"), version.toString)
+  }
+
+  /** Remove a tag (the versions it pinned become expirable again). */
+  def dropTag(spark: SparkSession, root: String, name: String): Unit = {
+    val p = new Path(root, s"refs/${refName(name)}")
+    fs(spark, p).delete(p, false)
+  }
+
+  /** All tags as name → version; garbled ref files are skipped (the
+    * [[currentVersion]] pointer discipline). */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val dir = new Path(root, "refs")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).iterator.filter(_.isFile).flatMap { st =>
+      val in = f.open(st.getPath)
+      val v =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+        finally in.close()
+      v.map(st.getPath.getName -> _)
+    }.toMap
+  }
+
+  /** Read the table at a tag. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(spark, root).getOrElse(refName(name),
+      throw new IllegalArgumentException(s"no tag '$name' under $root"))
+    read(spark, root, v)
   }
 }

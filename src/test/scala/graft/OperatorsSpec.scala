@@ -1339,6 +1339,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!raw.substring(0, raw.indexOf("request")).contains("WARC-Target-URI"))
   }
 
+  test("snapshot tags: pin versions across expire, move, drop; garbled refs skipped") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snaptagspec")
+    try {
+      val r = root.toString
+      graft.sources.Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), r)
+      graft.sources.Snapshots.append(Seq((3L, "c")).toDF("id", "x"), r)
+      graft.sources.Snapshots.overwrite(Seq((9L, "z")).toDF("id", "x"), r)
+      graft.sources.Snapshots.tag(s, r, "gold", 1L)
+      assert(graft.sources.Snapshots.tags(s, r) == Map("gold" -> 1L))
+      // tagging a non-version or a bad name fails loudly
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.tag(s, r, "oops", 99L)
+      }
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.tag(s, r, "../escape", 1L)
+      }
+      // expire keeps the tagged v1 plus the keepLast horizon
+      graft.sources.Snapshots.expire(s, r, keepLast = 1)
+      assert(graft.sources.Snapshots.versions(s, r) == Seq(1L, 3L))
+      assert(graft.sources.Snapshots.readTag(s, r, "gold")
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // a moved ref reads the new target; readTag resolves at plan time
+      graft.sources.Snapshots.tag(s, r, "gold", 3L)
+      assert(graft.sources.Snapshots.readTag(s, r, "gold")
+        .select("id").collect().map(_.getLong(0)).toSet == Set(9L))
+      // garbled ref files are skipped, not fatal
+      java.nio.file.Files.write(root.resolve("refs/junk"),
+        "not a number".getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(root.resolve("refs/.junk.crc"))
+      assert(graft.sources.Snapshots.tags(s, r) == Map("gold" -> 3L))
+      // dropping the tag makes v1... the tag is gone; reads fail loudly
+      graft.sources.Snapshots.dropTag(s, r, "gold")
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.readTag(s, r, "gold")
+      }
+      // and the untagged old version is now expirable
+      graft.sources.Snapshots.expire(s, r, keepLast = 1)
+      assert(graft.sources.Snapshots.versions(s, r) == Seq(3L))
+    } finally {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("hitsFixed: hand-computed hub/authority rounds on a tiny bipartite graph") {
     val s = spark
     import s.implicits._
