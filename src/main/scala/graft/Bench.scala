@@ -72,10 +72,22 @@ object Bench {
     //     where two are not enough; >5 s queries are relatively stable
     //     and too expensive to resample on spread alone).
     // The reported number is the min — the reproducible floor.
-    val samples = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").flatMap(_.toIntOption).getOrElse(3))
+    val samplesEnv = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").flatMap(_.toIntOption)
+    val samples = math.max(1, samplesEnv.getOrElse(3))
+    // When SPARK_GRAFT_BENCH_SAMPLES is set explicitly it CAPS the adaptive
+    // growth too (SAMPLES=1 means one sample, full stop) — unless the
+    // caller also sets MAX_SAMPLES, which then wins. Unset, the adaptive
+    // rule may grow any query to 6.
     val maxSamples = math.max(samples,
-      sys.env.get("SPARK_GRAFT_BENCH_MAX_SAMPLES").flatMap(_.toIntOption).getOrElse(6))
+      sys.env.get("SPARK_GRAFT_BENCH_MAX_SAMPLES").flatMap(_.toIntOption)
+        .orElse(samplesEnv).getOrElse(6))
+    // Per-query evidence beyond the reported min: (min, max, n) lets a
+    // reader distinguish "noisy" (wide spread across honest samples) from
+    // "slow" (tight spread, high floor) from the committed artifact alone —
+    // the driver's environment and the builder's disagree up to 11x on
+    // sub-second queries, and the min alone can't show which one lied.
+    final case class Stat(min: Double, max: Double, n: Int)
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, Stat]
     def time(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame)], base: Int): Map[String, Double] =
       qs.map { case (name, fn) =>
@@ -93,8 +105,18 @@ object Bench {
         while (!broken && ts.length < maxSamples &&
             (ts.min < 1.0 || (ts.min < 5.0 && ts.max / ts.min > 1.3)))
           broken = !sample()
+        stats(name) =
+          if (broken) Stat(-1.0, -1.0, ts.length)
+          else Stat(ts.min, ts.max, ts.length)
         name -> (if (broken) -1.0 else ts.min)
       }.toMap
+    // Machine-load snapshot: a loadavg far above the core count explains a
+    // slow sample better than any per-query number can.
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
     val results: Map[String, Double] = time(bench, samples)
     // Extended tier starts at min-of-2: regression visibility, not a
     // headline number — the adaptive rule above adds samples exactly
@@ -124,9 +146,13 @@ object Bench {
       m.map { case (k, v) =>
         s"\"" + k + "\":" + (if (v < 0) "-1" else fmt4(v))
       }.mkString("{", ",", "}")
+    val loadAfter = loadAvg()
     val total = results.values.filter(_ >= 0).sum
     val extTotal = extResults.values.filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"extended_total":$extTotal,"extended":${json(extResults)},"sf":"$sfDir"}"""
+    val statsJson = stats.map { case (k, s) =>
+      s"\"" + k + s"\":[${fmt4(s.min)},${fmt4(s.max)},${s.n}]"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"extended_total":$extTotal,"extended":${json(extResults)},"samples":$statsJson,"loadavg_before":${fmt4(loadBefore)},"loadavg_after":${fmt4(loadAfter)},"sf":"$sfDir"}"""
     val compact = s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":${jsonCompact(results)},"extended_total":${fmt4(extTotal)},"sf":"$sfDir"}"""
     // Full detail to a fixed file: survives any stdout decoration or
     // truncation by the build tool / driver capture.

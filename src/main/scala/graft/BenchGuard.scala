@@ -88,6 +88,18 @@ object BenchGuard {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** The `samples` evidence object Bench emits since round 14:
+    * name → (min, max, n_samples). Absent in pre-round-14 payloads →
+    * empty map (the gate still works; the report just lacks spreads). */
+  private[graft] def sampleMap(json: String): Map[String, (Double, Double, Int)] = {
+    val obj = "\"samples\":\\{([^}]*)\\}".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    "\"([^\"]+)\":\\[(-?[0-9.eE+-]+),(-?[0-9.eE+-]+),([0-9]+)\\]".r
+      .findAllMatchIn(obj)
+      .map(m => m.group(1) -> ((m.group(2).toDouble, m.group(3).toDouble,
+        m.group(4).toInt))).toMap
+  }
+
   /** Pure gate logic: (report lines, failure count). Split from main so
     * BenchGuardSpec can prove the gate fails what it must fail. */
   private[graft] def evaluate(
@@ -100,6 +112,14 @@ object BenchGuard {
       subSecSlack: Double = 1.2): (Seq[String], Int) = {
     val newQ = queryMap(latest, "queries") ++ queryMap(latest, "extended")
     val oldQ = queryMap(baseline, "queries") ++ queryMap(baseline, "extended")
+    val spreads = sampleMap(latest)
+    // The spread the gate actually saw: "noisy" (max/min wide) and
+    // "slow" (tight spread, high floor) read differently in a review —
+    // print it on every flagged line so the judgment is possible from
+    // the report alone.
+    def spreadOf(name: String): String = spreads.get(name).map {
+      case (mn, mx, n) => f" [samples n=$n min=${mn}%.3f max=${mx}%.3f]"
+    }.getOrElse("")
     val out = Seq.newBuilder[String]
     var failed = 0
     oldQ.toSeq.sortBy(_._1).foreach { case (name, old) =>
@@ -115,7 +135,8 @@ object BenchGuard {
           out += f"BROKEN  $name (crashed in the latest run)"
           failed += 1
         case Some(v) if old >= 0 && v > ratio * old && v - old > effSlack =>
-          out += f"REGRESS $name ${old}%.3f s -> ${v}%.3f s (${v / old}%.2fx)"
+          out += f"REGRESS $name ${old}%.3f s -> ${v}%.3f s (${v / old}%.2fx)" +
+            spreadOf(name)
           failed += 1
         case _ => ()
       }
@@ -131,7 +152,7 @@ object BenchGuard {
             out += f"ALLOWED $name ${v}%.3f s over the ${newCeiling}%.1f s new-query ceiling: $reason"
           case None =>
             out += f"NEWSLOW $name ${v}%.3f s (new query over the ${newCeiling}%.1f s ceiling " +
-              "— fix it or allowlist it with a justification)"
+              "— fix it or allowlist it with a justification)" + spreadOf(name)
             failed += 1
         }
       } else {
@@ -190,8 +211,14 @@ object BenchGuard {
     lines.foreach(println)
     val guarded = queryMap(baseline, "queries").size +
       queryMap(baseline, "extended").size
+    // machine-load context of the run being gated (round-14 evidence
+    // fields; absent in older payloads)
+    val load = "\"loadavg_before\":(-?[0-9.eE+-]+),\"loadavg_after\":(-?[0-9.eE+-]+)".r
+      .findFirstMatchIn(latest)
+      .map(m => s" loadavg=${m.group(1)}->${m.group(2)}").getOrElse("")
     println(s"BenchGuard: $guarded guarded, $failed failing " +
-      s"(ratio=$ratio slack=${slack}s subSecSlack=${subSecSlack}s newCeiling=${newCeiling}s)")
+      s"(ratio=$ratio slack=${slack}s subSecSlack=${subSecSlack}s newCeiling=${newCeiling}s)" +
+      load)
     if (failed > 0) sys.exit(1)
   }
 }

@@ -3251,8 +3251,10 @@ object SparkEntry {
     * over the DISTINCT-word table (domain-bounded): bj = min over piece
     * lengths l of b(j−l) + combined(piece), combined = 1024·cost_fp + 1
     * — so the per-word optimum decomposes into (cost = best div 1024,
-    * pieces = best mod 1024) exactly as the kernel's. Words longer than
-    * `maxLen` would index past the best-list and fail LOUDLY (none
+    * pieces = best mod 1024) exactly as the kernel's. A word longer
+    * than `maxLen` raises a DuckDB error() — an explicit guard, because
+    * DuckDB's out-of-range list index returns NULL SILENTLY and the
+    * over-long word would otherwise just vanish from the sums (none
     * exist on this corpus; raise maxLen if the fixture grows). */
   private def unigramDpCtes(maxPieceLen: Int = 4, maxLen: Int = 16): String = {
     val BIG = "1152921504606846976" // 2^60: saturates missing pieces
@@ -3267,7 +3269,9 @@ object SparkEntry {
     val bList = (1 to maxLen).map(j => s"b$j").mkString("[", ",", "]")
     "d0 AS (SELECT wrd, length(wrd) AS wl, CAST(0 AS BIGINT) AS b0 FROM w), " +
       steps + ", " +
-      s"wb AS MATERIALIZED (SELECT wrd, $bList[wl] AS best FROM d$maxLen)"
+      s"wb AS MATERIALIZED (SELECT wrd, CASE WHEN wl > $maxLen THEN " +
+      s"CAST(error('word exceeds the DP unroll (maxLen=$maxLen): ' || wrd) " +
+      s"AS BIGINT) ELSE $bList[wl] END AS best FROM d$maxLen)"
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

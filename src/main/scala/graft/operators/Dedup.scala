@@ -1364,7 +1364,9 @@ object Dedup {
     * groupBy(batch id) keeps the minimum (ties by smallest corpus id).
     *
     * Returns one row PER BATCH ROW: `(id, matched, min_dist, match_id)`
-    * — min_dist/match_id NULL when nothing is within range. Scale
+    * — min_dist/match_id NULL when nothing is within range; a batch row
+    * with a NULL string matches nothing (matched=false), it is NOT
+    * dropped. Scale
     * shape: segment/probe explodes are map-side; candidates are
     * `(la, i, sub)`-keyed equi-joins; the min is one partial-agg
     * exchange on the batch id. The corpus is scanned twice (segments +
@@ -1487,7 +1489,10 @@ object Dedup {
         .agg(min(struct(col("dist"), col("cid"))).as("m"))
         .select(col("bid"), col("m.dist").as("min_dist"),
           col("m.cid").as("match_id"))
-      val out = b.select(col("bid").as(idCol))
+      // one row PER BATCH ROW — including rows whose sequence is NULL,
+      // which can match nothing and come back matched=false rather than
+      // silently vanishing from the screen's answer
+      val out = batch.select(col(idCol))
         .join(verified.withColumnRenamed("bid", idCol), Seq(idCol), "left")
         .select(col(idCol), col("min_dist").isNotNull.as("matched"),
           col("min_dist"), col("match_id"))

@@ -179,9 +179,14 @@ object Snapshots {
   // ------------------------------------------------------------- refs
 
   private def refName(name: String): String = {
+    // ASCII-only (isLetterOrDigit would admit Unicode), and at least one
+    // non-dot char — "." / ".." are path navigation, not names, and
+    // refs/.. would escape the refs directory entirely.
+    def ok(c: Char) = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'
     require(name != null && name.nonEmpty && name.length <= 128 &&
-      name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
-      s"tag names are [A-Za-z0-9._-]{1,128}, got '$name'")
+      name.forall(ok) && name.exists(_ != '.'),
+      s"tag names are [A-Za-z0-9._-]{1,128} with at least one non-dot char, got '$name'")
     name
   }
 

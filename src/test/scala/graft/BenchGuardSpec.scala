@@ -77,6 +77,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(failed == 1 && lines.exists(_.contains("q_new")), lines.mkString("\n"))
   }
 
+  test("samples evidence: parsed from the payload and printed on flagged lines") {
+    val latest = payload(Map("q1" -> 2.5, "q2" -> 0.05), Map("q_ext" -> 2.0))
+      .stripSuffix("}") +
+      ""","samples":{"q1":[2.5000,9.1000,6],"q2":[0.0500,0.0600,3]},""" +
+      """"loadavg_before":1.2,"loadavg_after":30.5}"""
+    val sm = BenchGuard.sampleMap(latest)
+    assert(sm == Map("q1" -> ((2.5, 9.1, 6)), "q2" -> ((0.05, 0.06, 3))))
+    val (lines, failed) = BenchGuard.evaluate(latest, baseline, 1.5, 0.3, 5.0)
+    assert(failed == 1, lines.mkString("\n"))
+    // the REGRESS line carries the spread the gate saw — a reviewer can
+    // tell "noisy" (wide max) from "slow" (tight spread) without a rerun
+    val reg = lines.find(_.startsWith("REGRESS q1")).get
+    assert(reg.contains("n=6") && reg.contains("min=2.500") && reg.contains("max=9.100"), reg)
+    // a pre-round-14 payload (no samples object) still gates, spread-less
+    val (lines2, failed2) = BenchGuard.evaluate(
+      payload(Map("q1" -> 2.5, "q2" -> 0.05), Map("q_ext" -> 2.0)),
+      baseline, 1.5, 0.3, 5.0)
+    assert(failed2 == 1 && lines2.exists(l =>
+      l.startsWith("REGRESS q1") && !l.contains("samples")), lines2.mkString("\n"))
+  }
+
   test("queryMap refuses a non-flat payload instead of silently ungating the tail") {
     val nested = """{"queries":{"q1":1.0,"sub":{"q2":2.0}},"extended":{}}"""
     intercept[IllegalArgumentException] {

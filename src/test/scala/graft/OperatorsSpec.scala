@@ -1357,6 +1357,18 @@ class OperatorsSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         graft.sources.Snapshots.tag(s, r, "../escape", 1L)
       }
+      // all-dot names are path navigation, not names: refs/.. would
+      // escape the refs directory (and dropTag("..") would target the
+      // table root); Unicode letters fail the ASCII contract too
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.tag(s, r, "..", 1L)
+      }
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.tag(s, r, ".", 1L)
+      }
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.tag(s, r, "café", 1L)
+      }
       // expire keeps the tagged v1 plus the keepLast horizon
       graft.sources.Snapshots.expire(s, r, keepLast = 1)
       assert(graft.sources.Snapshots.versions(s, r) == Seq(1L, 3L))
@@ -1840,16 +1852,19 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "abc"),                      // banded: near 102
       (4L, ""),                         // empty: near 102/104 within d=2
       (5L, "nothing like any of them"),
-      (6L, "x z")).toDF("id", "t")
+      (6L, "x z"),
+      (7L, null.asInstanceOf[String])).toDF("id", "t") // NULL: one row back, matched=false
     val d = 2
     val got = Dedup.editDistanceScreen(batch, corpus, "id", "t", maxDist = d)
       .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
         if (r.isNullAt(2)) -1L else r.getLong(2),
         if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
-    // brute force: full cross with the SAME builtin + tiebreak
+    // brute force: full cross with the SAME builtin + tiebreak; a NULL
+    // batch string matches nothing but still yields its row
     val brute = batch.collect().map { br =>
       val (bid, bt) = (br.getLong(0), br.getString(1))
-      val hits = corpus.collect().map { cr =>
+      val hits = if (bt == null) Array.empty[(Long, Long)]
+      else corpus.collect().map { cr =>
         val (cid, ct) = (cr.getLong(0), cr.getString(1))
         val lev = {
           val a = bt; val b2 = ct
@@ -1870,6 +1885,8 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == brute, s"got=$got\nbrute=$brute")
     // the cross-direction case really fired: batch 1 matched a LONGER string
     assert(got(1L)._1 && got(2L)._1 && got(3L)._1 && got(4L)._1 && !got(5L)._1)
+    // NULL batch row came back, unmatched — not silently dropped
+    assert(got(7L) == ((false, -1L, -1L)))
   }
 
   test("tokenEditDistanceScreen: brute-force parity over token sequences, both length directions") {
