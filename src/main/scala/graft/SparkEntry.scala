@@ -1117,6 +1117,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_pieces"), col("cost_fp"))
         .orderBy(col("doc_id"))),
 
+    // SentencePiece-style unigram-LM TRAINING: 2 hard-EM rounds over the
+    // seed vocab (Viterbi counts -> add-one smooth -> prune to singles +
+    // top-32 multi -> re-cost in log2fp fixed-point); the oracle replays
+    // BOTH rounds end to end — forward DP, the kernel's largest-l
+    // backtrack tie rule, counts, pruning, and the 10-step HUGEINT log
+    // chain — so the trained vocab is value-verified, not just its shape
+    "q_unigram_em" -> ((s, dir) =>
+      operators.TextOps.unigramTrainEm(
+          table(s, dir, "documents").where(col("text").isNotNull),
+          "doc_id", "text", maxPieceLen = 4, topPieces = 40,
+          emRounds = 2, pruneTo = 32)
+        .orderBy(col("piece"))),
+
     // TextRank keyword salience: integer PageRank over the token
     // co-occurrence graph (window 2, lead()-built pairs — one Exchange,
     // no self-join); top-20 corpus topic signature, rounds replayed in
@@ -3204,20 +3217,20 @@ object SparkEntry {
     * `f` — pure integer arithmetic (the mantissa square peaks at 2^102,
     * inside INT128), bit-identical to the kernel by construction.
     * Emits CTEs lg0..lg10 and `lg(f, lfp)`. */
-  private def log2fpCtes(src: String): String = {
-    val s0 = "lg0 AS (SELECT f, " +
+  private def log2fpCtes(src: String, pfx: String = "lg"): String = {
+    val s0 = s"${pfx}0 AS (SELECT f, " +
       "CAST(length(printf('%b', f)) - 1 AS BIGINT) AS e, " +
       "CAST(f AS HUGEINT) * (CAST(1 AS HUGEINT) << " +
       "(50 - (length(printf('%b', f)) - 1))) AS m, " +
       s"CAST(0 AS BIGINT) AS fr FROM $src)"
     val steps = (1 to 10).map { i =>
-      s"lg$i AS (SELECT f, e, " +
+      s"${pfx}$i AS (SELECT f, e, " +
         "CASE WHEN (m*m)/(CAST(1 AS HUGEINT)<<50) >= (CAST(1 AS HUGEINT)<<51) " +
         "THEN (m*m)/(CAST(1 AS HUGEINT)<<51) ELSE (m*m)/(CAST(1 AS HUGEINT)<<50) END AS m, " +
         "CASE WHEN (m*m)/(CAST(1 AS HUGEINT)<<50) >= (CAST(1 AS HUGEINT)<<51) " +
-        s"THEN fr*2+1 ELSE fr*2 END AS fr FROM lg${i - 1})"
+        s"THEN fr*2+1 ELSE fr*2 END AS fr FROM ${pfx}${i - 1})"
     }.mkString(", ")
-    s"$s0, $steps, lg AS MATERIALIZED (SELECT f, e*1024 + fr AS lfp FROM lg10)"
+    s"$s0, $steps, $pfx AS MATERIALIZED (SELECT f, e*1024 + fr AS lfp FROM ${pfx}10)"
   }
 
   /** The unigram vocab replay shared by q_unigram_vocab and
@@ -3272,6 +3285,88 @@ object SparkEntry {
       s"wb AS MATERIALIZED (SELECT wrd, CASE WHEN wl > $maxLen THEN " +
       s"CAST(error('word exceeds the DP unroll (maxLen=$maxLen): ' || wrd) " +
       s"AS BIGINT) ELSE $bList[wl] END AS best FROM d$maxLen)"
+  }
+
+  /** ONE hard-EM round of unigram-LM training replayed in SQL, reading
+    * the previous round's costs from `$prev(piece, cost_fp)` and the
+    * distinct-word table `w(wrd, wc)`; emits `c$r(piece, em_count,
+    * cost_fp)`. Three mechanical stages, all exact integers:
+    *
+    * 1. FORWARD DP (e${r}d0..e${r}d$maxLen): the [[unigramDpCtes]]
+    *    recurrence against the round's costs, wc carried through.
+    * 2. BACKTRACK (e${r}w0..e${r}w$maxLen): walk ptr(pos) = the LARGEST
+    *    piece length l whose b(pos−l) + (1024·cost_fp + 1) equals
+    *    b(pos) — exactly the kernel's descending-l strict-improvement
+    *    tie rule — emitting one piece per step until pos hits 0. The
+    *    b-list rides as `bl = [b0..b$maxLen]` (1-indexed: b(j) =
+    *    bl[j+1]); a word longer than maxLen raises error() rather than
+    *    silently indexing out of range.
+    * 3. M-STEP: wc-weighted piece counts, add-one smoothing over the
+    *    previous vocab's pieces, keep all single chars + top-`$pruneTo`
+    *    multi-char by (em_count desc, piece asc), re-cost via the
+    *    10-step HUGEINT log2fp chain against the KEPT total.
+    *
+    * Mirrors [[graft.operators.TextOps.unigramEmStepPlan]] + the
+    * driver-local re-cost in unigramTrainEm. */
+  private def unigramEmRoundCtes(
+      r: Int,
+      prev: String,
+      maxPieceLen: Int = 4,
+      maxLen: Int = 16,
+      pruneTo: Int = 32): String = {
+    val BIG = "1152921504606846976" // 2^60: saturates missing pieces
+    def cmb(pieceSql: String) =
+      s"COALESCE((SELECT cost_fp * 1024 + 1 FROM $prev WHERE piece = $pieceSql), $BIG)"
+    val fwd = (1 to maxLen).map { j =>
+      val cands = (1 to math.min(maxPieceLen, j)).map { l =>
+        s"b${j - l} + ${cmb(s"substr(wrd, ${j - l + 1}, $l)")}"
+      }.mkString(", ")
+      s"e${r}d$j AS (SELECT *, CASE WHEN wl >= $j THEN least($cands) " +
+        s"ELSE NULL END AS b$j FROM e${r}d${j - 1})"
+    }.mkString(", ")
+    val bList = (0 to maxLen).map(j => s"b$j").mkString("[", ",", "]")
+    val w0 =
+      s"e${r}w0 AS (SELECT wrd, wc, $bList AS bl, " +
+        s"CASE WHEN wl > $maxLen THEN CAST(error('word exceeds the EM DP " +
+        s"unroll (maxLen=$maxLen): ' || wrd) AS BIGINT) ELSE wl END AS pos " +
+        s"FROM e${r}d$maxLen)"
+    val walk = (1 to maxLen).map { k =>
+      // largest l whose candidate equals the optimum; l=1 always valid
+      // by DP construction when pos > 0 (single chars cover everything)
+      val ptr = "CASE " + (maxPieceLen to 2 by -1).map { l =>
+        s"WHEN pos >= $l AND bl[pos - ${l - 1}] + " +
+          cmb(s"substr(wrd, pos - ${l - 1}, $l)") +
+          " = bl[pos + 1] THEN " + l
+      }.mkString(" ") + " ELSE 1 END"
+      val prior = (1 to k - 1).map(i => s"p$i, ").mkString
+      s"e${r}w$k AS (SELECT wrd, wc, bl, $prior" +
+        s"CASE WHEN pos > 0 THEN substr(wrd, pos - ptr + 1, ptr) END AS p$k, " +
+        s"CASE WHEN pos > 0 THEN pos - ptr ELSE 0 END AS pos " +
+        s"FROM (SELECT *, $ptr AS ptr FROM e${r}w${k - 1}))"
+    }.mkString(", ")
+    val pList = (1 to maxLen).map(k => s"p$k").mkString("[", ",", "]")
+    val mstep =
+      s"e${r}pc AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS vcount FROM " +
+        s"(SELECT wc, unnest($pList) AS piece FROM e${r}w$maxLen) " +
+        s"WHERE piece IS NOT NULL GROUP BY piece), " +
+      s"e${r}sm AS (SELECT v.piece, COALESCE(c.vcount, CAST(0 AS BIGINT)) + 1 " +
+        s"AS em_count FROM (SELECT piece FROM $prev) v " +
+        s"LEFT JOIN e${r}pc c USING (piece)), " +
+      s"e${r}mu AS (SELECT piece, em_count, row_number() OVER " +
+        s"(ORDER BY em_count DESC, piece) AS rn FROM e${r}sm " +
+        s"WHERE length(piece) > 1), " +
+      s"e${r}keep AS MATERIALIZED (SELECT piece, em_count FROM e${r}sm " +
+        s"WHERE length(piece) = 1 " +
+        s"UNION ALL SELECT piece, em_count FROM e${r}mu WHERE rn <= $pruneTo), " +
+      s"e${r}tot AS (SELECT CAST(sum(em_count) AS BIGINT) AS total FROM e${r}keep), " +
+      s"e${r}fv AS (SELECT DISTINCT em_count AS f FROM e${r}keep " +
+        s"UNION SELECT total AS f FROM e${r}tot), " +
+      log2fpCtes(s"e${r}fv", s"e${r}lg") + ", " +
+      s"c$r AS MATERIALIZED (SELECT k.piece, k.em_count, " +
+        s"(SELECT lfp FROM e${r}lg JOIN e${r}tot ON e${r}lg.f = e${r}tot.total) " +
+        s"- l.lfp AS cost_fp FROM e${r}keep k JOIN e${r}lg l ON l.f = k.em_count)"
+    s"e${r}d0 AS (SELECT wrd, wc, length(wrd) AS wl, CAST(0 AS BIGINT) AS b0 FROM w), " +
+      fwd + ", " + w0 + ", " + walk + ", " + mstep
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5868,6 +5963,14 @@ object SparkEntry {
         "COALESCE(a.cost_fp, 0) AS cost_fp " +
         "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id " +
         "WHERE d.text IS NOT NULL ORDER BY d.doc_id"),
+
+    // EM-training replica: seed vocab, then TWO full hard-EM rounds —
+    // forward DP, largest-l backtrack, wc-weighted counts, add-one,
+    // prune, HUGEINT log2fp re-cost — ending at the trained table c2
+    "q_unigram_em" ->
+      (s"WITH ${unigramVocabCtes()}, " +
+        s"${unigramEmRoundCtes(1, "costs")}, ${unigramEmRoundCtes(2, "c1")} " +
+        "SELECT piece, em_count, cost_fp FROM c2 ORDER BY piece"),
 
     // screen replica: rebuild the batch from the same expressions, then
     // brute-force batch x corpus levenshtein (bag-of-chars cut), per-

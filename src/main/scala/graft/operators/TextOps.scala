@@ -1633,4 +1633,105 @@ object TextOps {
         col("u.cost_fp").as("cost_fp"),
         col("u.seg").as("seg"))
   }
+
+  /** ONE hard-EM round over a (wrd, wc) distinct-word frame with the
+    * current (piece, cost_fp) vocab: E-step = Viterbi-segment every
+    * distinct word with the [[UnigramSegmentText]] kernel and count
+    * piece usage weighted by word occurrence count (the segmentation's
+    * tie rule — largest piece length achieving the combined-objective
+    * minimum at every cut — makes the counts fully deterministic);
+    * M-step = add-one smoothing (so pruned-in single chars that the
+    * Viterbi never used keep a valid, tiny probability and [[log2fp]]'s
+    * f ≥ 1 domain holds by construction), prune to all single chars +
+    * the top `pruneTo` multi-char pieces by (em_count desc, piece asc).
+    * The caller re-derives cost_fp = log2fp(total) − log2fp(em_count)
+    * over the KEPT vocab's total (driver-local: ≤ |vocab| values).
+    *
+    * Returns (piece, em_count) as a lazy plan. The E-step is
+    * one distributed kernel scan + one partial-agg Exchange on the
+    * piece key over the DISTINCT-WORD domain (bounded by vocabulary
+    * size, not corpus size); the M-step window orders ≤ |vocab| rows.
+    * Texts must not contain U+00B7 (the piece joiner) — the split
+    * would miscount; [[unigramVocab]]'s whitespace word model shares
+    * the limitation and the oracle replays the identical rule. */
+  private[graft] def unigramEmStepPlan(
+      words: DataFrame,
+      vocab: Seq[(String, Long)],
+      maxPieceLen: Int,
+      pruneTo: Int): DataFrame = {
+    require(pruneTo >= 0, s"pruneTo must be >= 0, got $pruneTo")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val segCol = GraftSqlShim.column(UnigramSegmentText(
+      GraftSqlShim.expression(col("wrd")), vocab, maxPieceLen))
+    val counts = words
+      .select(col("wc"), explode(split(segCol.getField("seg"), "·")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).cast("long").as("vcount"))
+    val candidates = vocab.map(_._1).toDF("piece")
+    val smoothed = candidates.join(counts, Seq("piece"), "left")
+      .select(col("piece"),
+        (coalesce(col("vcount"), lit(0L)) + 1L).as("em_count"))
+    val multi = smoothed.where(length(col("piece")) > 1)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("em_count").desc, col("piece"))))
+      .where(col("rn") <= pruneTo)
+      .drop("rn")
+    val kept = smoothed.where(length(col("piece")) === 1).unionByName(multi)
+    kept
+  }
+
+  /** SentencePiece-style unigram-LM TRAINING: seed vocab from substring
+    * frequencies ([[unigramVocab]]), then `emRounds` hard-EM rounds of
+    * [[unigramEmStepPlan]] (Viterbi counts → smooth → prune → re-cost).
+    * Hard EM (counts from the single best segmentation) instead of the
+    * paper's forward-backward soft EM: the E-step stays exact-integer
+    * end to end, so every iteration — counts, pruning, and the
+    * quantized-log costs — replays value-level in the DuckDB oracle;
+    * soft EM's fractional expected counts would reintroduce the float
+    * folds this whole tier exists to avoid.
+    *
+    * Returns the TRAINED vocab (piece, em_count, cost_fp) as a LOCAL
+    * frame (bounded: alphabet + pruneTo rows — nothing persisted
+    * escapes). Driver coordination is `emRounds` sequential jobs, each
+    * collecting ≤ |vocab| rows + ONE total — unlike BPE's per-merge
+    * loop this does not grow with vocab size (SentencePiece trains in
+    * a handful of EM rounds regardless of vocab), so the shape holds
+    * at production scale. Segment a corpus or a stream with the result
+    * via [[unigramSegmentWith]]. */
+  def unigramTrainEm(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      topPieces: Int = 40,
+      emRounds: Int = 2,
+      pruneTo: Int = 32): DataFrame = {
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("wrd"))
+      .where(col("wrd").isNotNull && length(col("wrd")) > 0)
+      .groupBy(col("wrd")).agg(count(lit(1)).as("wc"))
+      .persist()
+    try {
+      var vocab: Seq[(String, Long)] =
+        unigramVocab(docs, idCol, textCol, maxPieceLen, topPieces)
+          .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+          .sortBy(_._1)
+      var trained: Array[(String, Long, Long)] = Array.empty
+      var r = 0
+      while (r < emRounds) {
+        val kept = unigramEmStepPlan(words, vocab, maxPieceLen, pruneTo)
+          .collect().map(x => (x.getString(0), x.getLong(1)))
+        val total = kept.map(_._2).sum
+        val logTotal = log2fp(total)
+        trained = kept.map { case (p, c) => (p, c, logTotal - log2fp(c)) }
+        vocab = trained.map(t => t._1 -> t._3).toSeq.sortBy(_._1)
+        r += 1
+      }
+      import spark.implicits._
+      trained.toSeq.toDF("piece", "em_count", "cost_fp")
+    } finally words.unpersist()
+  }
 }

@@ -1783,6 +1783,59 @@ class OperatorsSpec extends AnyFunSuite {
       s"emitted '$segAbab' is not among the minimal segmentations $minimal")
   }
 
+  test("unigramTrainEm: counts match the emitted segmentations; pruning keeps singles; trained vocab beats the seed objective") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val seed = TextOps.unigramVocab(docs, "doc_id", "text",
+        maxPieceLen = 4, topPieces = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq.sortBy(_._1)
+    val trainedRows = TextOps.unigramTrainEm(docs, "doc_id", "text",
+        maxPieceLen = 4, topPieces = 40, emRounds = 2, pruneTo = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val trained = trainedRows.map(t => t._1 -> t._3).toSeq.sortBy(_._1)
+    // structural contract: every seed single char survives pruning, at
+    // most 32 multi-char pieces remain, em_count >= 1 (add-one floor)
+    val seedSingles = seed.map(_._1).filter(_.length == 1).toSet
+    val trainedPieces = trainedRows.map(_._1).toSet
+    assert(seedSingles.subsetOf(trainedPieces))
+    assert(trainedRows.count(_._1.length > 1) <= 32)
+    assert(trainedRows.forall(_._2 >= 1L))
+    // E-step counts are EXACTLY what the emitted segmentations use:
+    // segment the distinct-word table with the seed vocab and re-count
+    // (kernel-consistency; the DuckDB oracle separately re-derives the
+    // same counts from an independent SQL backtrack)
+    val words = docs.select(explode(split(col("text"), " ")).as("wrd"))
+      .where(length(col("wrd")) > 0)
+      .groupBy("wrd").agg(count(lit(1)).as("wc"))
+      .withColumn("doc_id", col("wrd"))
+    val round1 = TextOps.unigramSegmentWith(
+        words.select(col("doc_id"), col("wrd").as("text"), col("wc")),
+        "doc_id", "text", seed, maxPieceLen = 4)
+      .join(words.select(col("doc_id"), col("wc")), "doc_id")
+      .select(col("wc"), explode(split(col("seg"), "·")).as("piece"))
+      .groupBy("piece").agg(sum("wc").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val step1 = TextOps.unigramEmStepPlan(words, seed, 4, 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    step1.foreach { case (p, smoothed) =>
+      assert(smoothed == round1.getOrElse(p, 0L) + 1L,
+        s"piece '$p': em_count $smoothed vs segmentation count ${round1.get(p)}")
+    }
+    // the trained vocab BEATS the seed on the corpus-level Viterbi
+    // objective (total quantized -log2 likelihood): EM reweights pieces
+    // by how the segmenter actually uses them, while seed costs
+    // overcount overlapping substring occurrences
+    def objective(vocab: Seq[(String, Long)]): Long =
+      TextOps.unigramSegmentWith(docs, "doc_id", "text", vocab, 4)
+        .agg(sum("cost_fp")).head().getLong(0)
+    val seedObj = objective(seed)
+    val trainedObj = objective(trained)
+    assert(trainedObj < seedObj,
+      s"EM did not improve the objective: seed=$seedObj trained=$trainedObj")
+  }
+
   test("tokenEditDistancePairs: hand-computed distances; a swapped word costs 1") {
     val s = spark
     import s.implicits._
