@@ -2207,6 +2207,40 @@ object SparkEntry {
       out
     }),
 
+    // snapshot BRANCHES: a writable lineage forked from main v1 takes
+    // its own commit while main moves on to an overwrite; expire past
+    // v1 on main must NOT reclaim the dirs the branch still reads
+    // (branch manifests pin them). The three refs' contents are each
+    // recomputed from the source table by the oracle
+    "q_snapshot_branch" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-snapbranch")
+      val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      sources.Snapshots.append(d.where(col("doc_id") % 2 === 0), tmp.toString)
+      sources.Snapshots.append(d.where(col("doc_id") % 2 === 1), tmp.toString)
+      sources.Snapshots.createBranch(s, tmp.toString, "exp", fromVersion = 1L)
+      sources.Snapshots.appendToBranch(
+        d.where(col("doc_id") % 4 === 1), tmp.toString, "exp")
+      sources.Snapshots.overwrite(d.where(col("doc_id") % 4 === 0), tmp.toString)
+      sources.Snapshots.expire(s, tmp.toString, keepLast = 1)
+      val survivors = sources.Snapshots.versions(s, tmp.toString)
+      require(survivors == Seq(3L),
+        s"expire(keepLast=1) must keep only main v3, got $survivors")
+      def agg(df: org.apache.spark.sql.DataFrame, which: String) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(which).as("ref"), col("n_rows"), col("sum_id"),
+            col("sum_chars"))
+      val out =
+        agg(sources.Snapshots.readBranch(s, tmp.toString, "exp"), "branch_head")
+          .unionAll(agg(
+            sources.Snapshots.readBranch(s, tmp.toString, "exp", seq = 1L),
+            "branch_seq1"))
+          .unionAll(agg(sources.Snapshots.read(s, tmp.toString), "main_head"))
+          .orderBy(col("ref")).localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // streaming ingestion into the snapshot table: one version per
     // micro-batch (3 staged files × maxFilesPerTrigger=1), row counts
     // strictly monotone across versions, final table = the source —
@@ -4784,6 +4818,23 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |  FROM documents WHERE doc_id % 2 = 0
         | UNION ALL SELECT 'stable_v3', CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 4 = 0
+        |) ORDER BY ref""".stripMargin.replaceAll("\n", " "),
+
+    // branch replica: branch head = the v1 evens + the %4=1 branch
+    // commit, branch seq1 = the evens alone, main head = the %4
+    // overwrite — the fork/expire plumbing is invisible by construction
+    "q_snapshot_branch" ->
+      """SELECT * FROM (
+        | SELECT 'branch_head' AS ref, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+        | UNION ALL SELECT 'branch_seq1', CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 2 = 0
+        | UNION ALL SELECT 'main_head', CAST(count(*) AS BIGINT),
         |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |  FROM documents WHERE doc_id % 4 = 0
         |) ORDER BY ref""".stripMargin.replaceAll("\n", " "),

@@ -157,9 +157,11 @@ object Snapshots {
   /** Vacuum: drop manifests older than the newest `keepLast` and delete
     * data directories no kept manifest references — EXCEPT versions a
     * [[tag]] points at, which survive any horizon (pinning a milestone
-    * corpus against routine vacuuming is the whole point of a tag).
-    * Destroys time-travel history past the horizon — the only
-    * destructive operation here. */
+    * corpus against routine vacuuming is the whole point of a tag), and
+    * data dirs any BRANCH manifest references ([[branchReferencedDirs]];
+    * vacuuming branch history is [[dropBranch]]'s job). Destroys
+    * time-travel history past the horizon — the only destructive
+    * operation here. */
   def expire(spark: SparkSession, root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val vs = versions(spark, root)
@@ -167,7 +169,8 @@ object Snapshots {
     val tagged = tags(spark, root).values.toSet
     val keepSet = vs.takeRight(keepLast).toSet ++ tagged
     val (drop, keep) = vs.partition(v => !keepSet.contains(v))
-    val referenced = keep.flatMap(v => readManifest(spark, root, v)).toSet
+    val referenced = keep.flatMap(v => readManifest(spark, root, v)).toSet ++
+      branchReferencedDirs(spark, root)
     val f = fs(spark, new Path(root))
     drop.foreach { v =>
       val dead = readManifest(spark, root, v).filterNot(referenced)
@@ -228,5 +231,222 @@ object Snapshots {
     val v = tags(spark, root).getOrElse(refName(name),
       throw new IllegalArgumentException(s"no tag '$name' under $root"))
     read(spark, root, v)
+  }
+
+  // ------------------------------------------------------------ branches
+  //
+  // A branch is a WRITABLE named lineage over the same immutable data
+  // dirs (Iceberg's branch concept, reduced the way the rest of this
+  // module reduces the lakehouse): per-branch manifests live under
+  // manifests/branches/<name>/m_<uuid>.txt (self-contained dir lists,
+  // exactly the main-manifest format), and the branch head is a
+  // sequence of zero-content-critical pointer files
+  // branches/<name>/p%09d whose CONTENT names the manifest uuid.
+  //
+  // CONCURRENT-WRITER CONFLICT DETECTION rides the pointer flip: a
+  // commit (1) resolves the head seq, (2) writes its data dir and its
+  // uniquely-named manifest (tmp-then-rename — complete before anything
+  // references it), then (3) claims pointer seq+1 with CREATE-EXCLUSIVE
+  // (`FileSystem.create(overwrite = false)` — atomic on HDFS; the local
+  // FS's weaker exists-then-create is the same primitive every
+  // object-store-friendly commit protocol leans on). Two racing writers
+  // compute the same seq+1 and collide on the SAME file name: exactly
+  // one create succeeds; the loser gets a retryable
+  // ConcurrentModificationException and its manifest/data stay
+  // unreferenced orphans (never a corrupt manifest — the winner's
+  // manifest was complete before its pointer existed, and no file is
+  // ever rewritten). A writer crashing between create and content-write
+  // leaves a garbled pointer: readers SKIP it (the garbled-VERSION
+  // discipline), and the next writer claims past it (a burned seq, like
+  // a burned transaction id), so the branch never wedges.
+
+  private def branchPtrDir(root: String, name: String) =
+    new Path(root, s"branches/${refName(name)}")
+  private def branchManifestPath(root: String, name: String, uuid: String) =
+    new Path(root, s"manifests/branches/${refName(name)}/m_$uuid.txt")
+
+  /** (max claimed seq — valid or garbled, for slot selection; head =
+    * highest seq whose pointer content names an existing manifest, with
+    * that manifest's uuid). (0, None) for a missing branch.
+    * private[graft]: the two-writer conflict spec resolves a state,
+    * lets another writer commit, then replays the stale state through
+    * [[commitToBranchAt]] — the exact interleaving the CAS exists for. */
+  private[graft] def branchState(
+      spark: SparkSession, root: String, name: String): (Long, Option[(Long, String)]) = {
+    val dir = branchPtrDir(root, name)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return (0L, None)
+    val entries = f.listStatus(dir).iterator.filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("p") => s.stripPrefix("p").toLongOption }
+      .flatten.toSeq.sorted
+    val head = entries.reverse.iterator.flatMap { seq =>
+      val p = new Path(dir, f"p$seq%09d")
+      val uuid =
+        try {
+          val in = f.open(p)
+          try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+      uuid.filter(u => f.exists(branchManifestPath(root, name, u)))
+        .map(u => (seq, u))
+    }.nextOption()
+    (entries.lastOption.getOrElse(0L), head)
+  }
+
+  /** Create a branch at a committed MAIN version (default: current).
+    * The branch's first manifest is a copy of that version's manifest —
+    * data dirs are shared, copy-on-write at the manifest level. Fails
+    * if the branch already exists. */
+  def createBranch(
+      spark: SparkSession, root: String, name: String, fromVersion: Long = -1L): Unit = {
+    val v = if (fromVersion >= 1) fromVersion else currentVersion(spark, root)
+    require(versions(spark, root).contains(v),
+      s"cannot branch from version $v — not a committed version of $root")
+    require(branchState(spark, root, name)._1 == 0L,
+      s"branch '$name' already exists under $root")
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    writeAtomic(spark, branchManifestPath(root, name, uuid),
+      readManifest(spark, root, v).mkString("\n") + "\n")
+    claimPointer(spark, root, name, 1L, uuid)
+  }
+
+  /** The create-exclusive pointer flip — the single point where two
+    * concurrent writers are decided. Throws the retryable conflict
+    * error when the slot is already taken. */
+  private def claimPointer(
+      spark: SparkSession, root: String, name: String, seq: Long, uuid: String): Unit = {
+    val p = new Path(branchPtrDir(root, name), f"p$seq%09d")
+    val f = fs(spark, p)
+    val out =
+      try f.create(p, false)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          throw new java.util.ConcurrentModificationException(
+            s"branch '$name' advanced concurrently (pointer ${p.getName} " +
+              s"already claimed) — re-read the head and retry: ${e.getMessage}")
+      }
+    try out.write(uuid.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def commitToBranch(
+      df: DataFrame, root: String, name: String, replace: Boolean): Long =
+    commitToBranchAt(df, root, name, replace,
+      branchState(df.sparkSession, root, name))
+
+  /** The commit body with the observed branch state injected — the
+    * production path resolves it immediately before; the conflict spec
+    * resolves it, lets a second writer land, and proves this writer's
+    * pointer flip loses with the retryable error and no corruption. */
+  private[graft] def commitToBranchAt(
+      df: DataFrame, root: String, name: String, replace: Boolean,
+      observed: (Long, Option[(Long, String)])): Long = {
+    val spark = df.sparkSession
+    val (maxSeq, headOpt) = observed
+    val head = headOpt.getOrElse(throw new IllegalArgumentException(
+      s"no branch '$name' under $root — createBranch first"))
+    val prior =
+      if (replace) Seq.empty
+      else readBranchManifest(spark, root, name, head._2)
+    val commitDir = s"data/c_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.write.mode("error").parquet(s"${root.stripSuffix("/")}/$commitDir")
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "")
+    writeAtomic(spark, branchManifestPath(root, name, uuid),
+      (prior :+ commitDir).mkString("\n") + "\n")
+    val next = maxSeq + 1
+    claimPointer(spark, root, name, next, uuid)
+    next
+  }
+
+  private def readBranchManifest(
+      spark: SparkSession, root: String, name: String, uuid: String): Seq[String] = {
+    val mf = branchManifestPath(root, name, uuid)
+    val f = fs(spark, mf)
+    require(f.exists(mf), s"no branch manifest $uuid for '$name' under $root")
+    val in = f.open(mf)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
+  /** Append to a branch (the main lineage is untouched). Returns the
+    * new head seq; throws ConcurrentModificationException — retryable —
+    * if another writer advanced the branch between head-read and the
+    * pointer flip. */
+  def appendToBranch(df: DataFrame, root: String, name: String): Long =
+    commitToBranch(df, root, name, replace = false)
+
+  /** Replace the BRANCH contents (main and other branches untouched). */
+  def overwriteBranch(df: DataFrame, root: String, name: String): Long =
+    commitToBranch(df, root, name, replace = true)
+
+  /** Read a branch at its head, or at an earlier seq (per-branch time
+    * travel; a seq whose commit never completed — garbled pointer — is
+    * unreadable and fails loudly). */
+  def readBranch(
+      spark: SparkSession, root: String, name: String, seq: Long = -1L): DataFrame = {
+    val dirs =
+      if (seq < 0) {
+        val (_, headOpt) = branchState(spark, root, name)
+        val head = headOpt.getOrElse(throw new IllegalArgumentException(
+          s"no branch '$name' under $root"))
+        readBranchManifest(spark, root, name, head._2)
+      } else {
+        val p = new Path(branchPtrDir(root, name), f"p$seq%09d")
+        val f = fs(spark, p)
+        require(f.exists(p), s"branch '$name' has no seq $seq under $root")
+        val in = f.open(p)
+        val uuid =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        require(uuid.nonEmpty, s"branch '$name' seq $seq never completed (garbled pointer)")
+        readBranchManifest(spark, root, name, uuid)
+      }
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"${root.stripSuffix("/")}/$d"): _*)
+  }
+
+  /** All branches as name → head seq (branches whose every pointer is
+    * garbled are omitted, like garbled tags). */
+  def branches(spark: SparkSession, root: String): Map[String, Long] = {
+    val dir = new Path(root, "branches")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).iterator.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      branchState(spark, root, name)._2.map(h => name -> h._1)
+    }.toMap
+  }
+
+  /** Delete a branch: its pointers and manifests go away; the data dirs
+    * it referenced become reclaimable by the next [[expire]] (exactly
+    * the dropTag contract). */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val f = fs(spark, new Path(root))
+    f.delete(branchPtrDir(root, name), true)
+    f.delete(new Path(root, s"manifests/branches/${refName(name)}"), true)
+  }
+
+  /** Every data dir any branch manifest references — branch lineages
+    * are pinned against [[expire]] wholesale (vacuuming branch history
+    * is [[dropBranch]]'s job, the tag discipline). */
+  private def branchReferencedDirs(spark: SparkSession, root: String): Set[String] = {
+    val dir = new Path(root, "manifests/branches")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Set.empty
+    f.listStatus(dir).iterator.filter(_.isDirectory).flatMap { bd =>
+      f.listStatus(bd.getPath).iterator.filter(_.isFile).flatMap { mf =>
+        val in = f.open(mf.getPath)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+        finally in.close()
+      }
+    }.toSet
   }
 }

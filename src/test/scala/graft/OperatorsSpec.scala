@@ -1397,6 +1397,92 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot branches: writable lineages, two-writer conflict, expire protection, garbled-pointer skip") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snapbranch")
+    try {
+      val r = root.toString
+      import graft.sources.Snapshots
+      Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), r)
+      Snapshots.append(Seq((3L, "c")).toDF("id", "x"), r)
+      // branch from v1; main keeps moving independently
+      Snapshots.createBranch(s, r, "exp", fromVersion = 1L)
+      intercept[IllegalArgumentException] { Snapshots.createBranch(s, r, "exp") }
+      intercept[IllegalArgumentException] {
+        Snapshots.createBranch(s, r, "bad", fromVersion = 99L)
+      }
+      assert(Snapshots.branches(s, r) == Map("exp" -> 1L))
+      assert(Snapshots.readBranch(s, r, "exp")
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      val s2 = Snapshots.appendToBranch(Seq((10L, "z")).toDF("id", "x"), r, "exp")
+      assert(s2 == 2L)
+      assert(Snapshots.readBranch(s, r, "exp")
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L))
+      // per-branch time travel; main NEVER saw the branch commit
+      assert(Snapshots.readBranch(s, r, "exp", seq = 1L)
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      assert(Snapshots.read(s, r)
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      assert(Snapshots.currentVersion(s, r) == 2L)
+      // TWO-WRITER RACE on the pointer flip: writer A reads the head,
+      // writer B commits (wins seq 3), then A's commit replays with its
+      // STALE observed state — A must get the retryable conflict error,
+      // B's commit must be intact, and A's orphan manifest must never
+      // become readable (no corruption)
+      val staleA = Snapshots.branchState(s, r, "exp")
+      val s3 = Snapshots.appendToBranch(Seq((12L, "B")).toDF("id", "x"), r, "exp")
+      assert(s3 == 3L)
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.commitToBranchAt(Seq((11L, "A")).toDF("id", "x"), r, "exp",
+          replace = false, observed = staleA)
+      }
+      assert(Snapshots.branches(s, r) == Map("exp" -> 3L))
+      assert(Snapshots.readBranch(s, r, "exp")
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L, 12L))
+      // the loser retries through the public path: head re-read, commit
+      // lands at seq 4 ON TOP of B's
+      val s4 = Snapshots.appendToBranch(Seq((11L, "A")).toDF("id", "x"), r, "exp")
+      assert(s4 == 4L)
+      assert(Snapshots.branches(s, r) == Map("exp" -> 4L))
+      assert(Snapshots.readBranch(s, r, "exp")
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L, 11L, 12L))
+      // a garbled pointer (writer crashed between create and content
+      // write — manifest never referenced) is SKIPPED by readers and
+      // the slot burned by the next writer
+      val ptr = root.resolve("branches/exp/p000000005")
+      java.nio.file.Files.write(ptr, "doesnotexist".getBytes("UTF-8"))
+      assert(Snapshots.branches(s, r) == Map("exp" -> 4L))
+      val s6 = Snapshots.appendToBranch(Seq((13L, "c")).toDF("id", "x"), r, "exp")
+      assert(s6 == 6L)
+      assert(Snapshots.readBranch(s, r, "exp")
+        .select("id").collect().map(_.getLong(0)).toSet ==
+          Set(1L, 2L, 10L, 11L, 12L, 13L))
+      // overwriteBranch replaces branch contents only
+      Snapshots.overwriteBranch(Seq((20L, "q")).toDF("id", "x"), r, "exp")
+      assert(Snapshots.readBranch(s, r, "exp")
+        .select("id").collect().map(_.getLong(0)).toSet == Set(20L))
+      assert(Snapshots.read(s, r)
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      // expire protects every data dir a branch manifest references:
+      // v1's dir is branch-referenced even after main expires past it
+      Snapshots.overwrite(Seq((30L, "m")).toDF("id", "x"), r)
+      Snapshots.expire(s, r, keepLast = 1)
+      assert(Snapshots.readBranch(s, r, "exp", seq = 2L)
+        .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L))
+      // dropBranch releases the pins; the dirs become reclaimable
+      Snapshots.dropBranch(s, r, "exp")
+      assert(Snapshots.branches(s, r) == Map.empty)
+      Snapshots.expire(s, r, keepLast = 1)
+      intercept[Exception] {
+        Snapshots.readBranch(s, r, "exp").collect()
+      }
+    } finally {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("hitsFixed: hand-computed hub/authority rounds on a tiny bipartite graph") {
     val s = spark
     import s.implicits._
