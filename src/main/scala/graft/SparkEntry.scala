@@ -1498,6 +1498,41 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rec_idx"))
     }),
 
+    // REVISIT records (ISO 28500 §6.7.2 — the crawl's dedup record):
+    // each doc is captured once as a response and once as a revisit
+    // pointing back at it (identical-payload-digest profile,
+    // WARC-Refers-To = the original's record id), written as segments
+    // and read back through the V2 connector; the oracle rebuilds
+    // every field of both records including the profile and the
+    // refers-to pointer, so a hash match proves the dedup linkage
+    // round-trips
+    "q_warc_revisit" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcrev")
+      val root = tmp.toString
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      val url = concat(lit("https://example.org/doc/"), col("doc_id").cast("string"))
+      val rid = concat(lit("<urn:uuid:00000000-0000-0000-0000-"),
+        lpad(col("doc_id").cast("string"), 12, "0"), lit(">"))
+      val resp = sources.Warc.buildWarcResponse(
+        url, lit("2026-01-01T00:00:00Z"), col("text"))
+      val rev = sources.Warc.buildWarcRevisit(
+        url, lit("2026-02-01T00:00:00Z"), rid,
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"))
+      sources.Warc.writeSegments(
+        d.select(concat(resp, rev).as("rec")).repartition(4), "rec", root)
+      val out = s.read.format("warc").load(root)
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
+          col("warc_type"), col("warc_date"),
+          col("http_status").cast("long").as("http_status"),
+          col("content_type"), col("warc_profile"), col("refers_to"),
+          col("body").cast("string").as("body"))
+        .orderBy(col("doc_id"), col("warc_type"))
+        .localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // the gzip WRITER end to end: records written record-per-gzip-member
     // into .warc.gz segments (Common Crawl's layout), read back through
     // the V2 connector's shared inflate — same oracle as q_warc_source,
@@ -4848,6 +4883,28 @@ object SparkEntry {
         | 'text/html' AS content_type, text AS body
         | FROM documents WHERE text IS NOT NULL
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // revisit replica: both capture records per doc rebuilt from the
+    // table — the revisit row carries the profile URI, the deterministic
+    // refers-to record id, and its verbatim truncated-HTTP body
+    "q_warc_revisit" ->
+      """SELECT * FROM (
+        | SELECT doc_id, 'response' AS warc_type,
+        |  '2026-01-01T00:00:00Z' AS warc_date,
+        |  CAST(200 AS BIGINT) AS http_status, 'text/html' AS content_type,
+        |  CAST(NULL AS VARCHAR) AS warc_profile,
+        |  CAST(NULL AS VARCHAR) AS refers_to, text AS body
+        |  FROM documents WHERE text IS NOT NULL
+        | UNION ALL
+        | SELECT doc_id, 'revisit', '2026-02-01T00:00:00Z',
+        |  CAST(NULL AS BIGINT), 'application/http; msgtype=response',
+        |  'http://netpreserve.org/warc/1.0/revisit/identical-payload-digest',
+        |  '<urn:uuid:00000000-0000-0000-0000-' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>',
+        |  'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |    'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10)
+        |  FROM documents WHERE text IS NOT NULL
+        |) ORDER BY doc_id, warc_type""".stripMargin.replaceAll("\n", " "),
 
     // streaming connector replica: identical — bounded replay == batch
     "q_stream_warc" ->

@@ -94,6 +94,29 @@ object Warc {
       lit("\r\nContent-Length: "), octet_length(bodyCol).cast("string"),
       lit("\r\n\r\n"), bodyCol, lit("\r\n\r\n")), "UTF-8")
 
+  /** Assemble a WARC `revisit` record (ISO 28500 §6.7.2 — the DEDUP
+    * record: a later capture whose payload matched an earlier one, so
+    * the crawl stores a pointer instead of the bytes; Common Crawl
+    * emits these under the identical-payload-digest profile and a
+    * consumer resolves `WARC-Refers-To` to the original `response`).
+    * `refersToCol` is the referred record's id (`<urn:uuid:...>`);
+    * `bodyCol` carries the revisit's truncated HTTP header block
+    * VERBATIM (the parser strips envelopes only on `response` records,
+    * so it round-trips untouched). Byte framing per
+    * [[buildWarcResponse]]. */
+  def buildWarcRevisit(
+      uriCol: Column, dateCol: Column, refersToCol: Column,
+      bodyCol: Column): Column =
+    encode(concat(
+      lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: "), uriCol,
+      lit("\r\nWARC-Date: "), dateCol,
+      lit("\r\nWARC-Profile: " +
+        "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+      lit("\r\nWARC-Refers-To: "), refersToCol,
+      lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+      octet_length(bodyCol).cast("string"),
+      lit("\r\n\r\n"), bodyCol, lit("\r\n\r\n")), "UTF-8")
+
   /** Write a binary record column as WARC segment files, one per task —
     * the crawl's own layout, and the single shared implementation for
     * every writer path (byte-framing or compression fixes land once).
@@ -139,7 +162,11 @@ case class WarcRecords(child: Expression)
     StructField("warc_date", StringType),
     StructField("http_status", IntegerType),
     StructField("content_type", StringType),
-    StructField("body", BinaryType))), containsNull = false)
+    StructField("body", BinaryType),
+    // revisit-record surface (ISO 28500 §6.7.2): the dedup pointers a
+    // Common Crawl consumer resolves; NULL on every other record type
+    StructField("warc_profile", StringType),
+    StructField("refers_to", StringType))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -267,7 +294,9 @@ object WarcRecords {
       hdrs.get("warc-date").map(UTF8String.fromString).orNull,
       status,
       ctype,
-      body)
+      body,
+      hdrs.get("warc-profile").map(UTF8String.fromString).orNull,
+      hdrs.get("warc-refers-to").map(UTF8String.fromString).orNull)
     Some((row, payloadStart + clen))
   }
 }

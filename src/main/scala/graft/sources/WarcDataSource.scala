@@ -46,7 +46,9 @@ object WarcDataSource {
     StructField("warc_date", StringType, nullable = true),
     StructField("http_status", IntegerType, nullable = true),
     StructField("content_type", StringType, nullable = true),
-    StructField("body", BinaryType, nullable = true)))
+    StructField("body", BinaryType, nullable = true),
+    StructField("warc_profile", StringType, nullable = true),
+    StructField("refers_to", StringType, nullable = true)))
 
   /** The ACTIVE session's Hadoop configuration (object-store
     * credentials, endpoints, defaultFS live there — a bare

@@ -1339,6 +1339,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!raw.substring(0, raw.indexOf("request")).contains("WARC-Target-URI"))
   }
 
+  test("buildWarcRevisit: profile + refers-to round-trip through kernel AND connector; NULL on other types") {
+    val s = spark
+    import s.implicits._
+    val hdrBody = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    val profile = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+    val one = Seq(1L).toDF("id")
+    val blob = one.select(concat(
+      graft.sources.Warc.buildWarcResponse(lit("https://h/x"),
+        lit("2026-01-01T00:00:00Z"), lit("payload")),
+      graft.sources.Warc.buildWarcRevisit(lit("https://h/x"),
+        lit("2026-02-01T00:00:00Z"), lit("<urn:uuid:abc>"), lit(hdrBody))).as("b"))
+    // kernel route
+    val got = blob.select(explode(graft.sources.Warc.warcRecords(col("b"))).as("r"))
+      .select(col("r.warc_type"), col("r.warc_date"), col("r.warc_profile"),
+        col("r.refers_to"), col("r.body").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      ("response", "2026-01-01T00:00:00Z", null, null, "payload"),
+      // the revisit body is the truncated HTTP block VERBATIM — the
+      // envelope strip applies only to response records
+      ("revisit", "2026-02-01T00:00:00Z", profile, "<urn:uuid:abc>", hdrBody)),
+      got.toString)
+    // connector route: same fields through format("warc")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcrevspec")
+    try {
+      graft.sources.Warc.writeSegments(blob.withColumnRenamed("b", "rec"),
+        "rec", dir.toString)
+      val viaConn = s.read.format("warc").load(dir.toString)
+        .select(col("warc_type"), col("warc_profile"), col("refers_to"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+        .sortBy(_._1)
+      assert(viaConn == Seq(
+        ("response", null, null),
+        ("revisit", profile, "<urn:uuid:abc>")), viaConn.toString)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("snapshot tags: pin versions across expire, move, drop; garbled refs skipped") {
     val s = spark
     import s.implicits._
