@@ -106,6 +106,41 @@ object ScaleProbe {
     tokPairs.foreach(n =>
       println(s"  token edit-distance pairs: $n (planted: ~${nDocs / 20})"))
 
+    // index-anchored token screen: the corpus segment index is built
+    // ONCE (cost scales with the corpus), then a FIXED 500-row batch
+    // screens against it — the probed claim is that the per-batch cost
+    // is driven by the batch and its pruned index partitions, not by a
+    // corpus re-scan (compare the batch time across 1x/4x/16x corpus
+    // runs: build grows, screen should stay near-flat)
+    time(s"token screen INDEX BUILD, $nDocs docs") {
+      val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      operators.Dedup.buildTokenScreenIndex(toked, "doc_id", "toks",
+        maxDist = 4, "/tmp/graft_probe_tokidx")
+    }
+    val idxScreen = time(s"token screen INDEXED BATCH (500 rows), $nDocs docs") {
+      val batch = docs.where(col("doc_id") < 500)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(split(col("text"), " "),
+            typedlit(Seq("qq", "ww"))).as("toks"))
+      operators.Dedup.tokenEditDistanceScreenIndexed(
+        batch, "doc_id", "toks", "/tmp/graft_probe_tokidx")
+        .where(col("matched")).count()
+    }
+    idxScreen.foreach(n =>
+      println(s"  indexed-screen matches: $n (planted: 500 within d=2 of their source)"))
+    // the trickle case: 10 rows — the (lap, sbk) partition pruning must
+    // keep this near-constant in corpus size
+    val idxTrickle = time(s"token screen INDEXED TRICKLE (10 rows), $nDocs docs") {
+      val batch = docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(split(col("text"), " "),
+            typedlit(Seq("qq", "ww"))).as("toks"))
+      operators.Dedup.tokenEditDistanceScreenIndexed(
+        batch, "doc_id", "toks", "/tmp/graft_probe_tokidx")
+        .where(col("matched")).count()
+    }
+    idxTrickle.foreach(n => println(s"  trickle matches: $n (planted: 10)"))
+
     // unigram segmentation: vocab derivation runs on the DISTINCT-word
     // domain (500 words here regardless of nDocs), segmentation is one
     // narrow scan with the vocab as plan-literal — cost must be

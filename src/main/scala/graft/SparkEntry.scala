@@ -705,6 +705,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the INDEX-ANCHORED token screen: the corpus PassJoin segments are
+    // PERSISTED once (length-partitioned) and the same batch probes the
+    // index with partition-pruned reads — identical rows to
+    // q_editdist_screen_tokens (shared oracle), but repeated ingestion
+    // stops re-deriving the corpus side per batch
+    "q_editdist_indexed" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-edindex")
+      val toked = table(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          slice(split(col("text"), " "), 1, 24).as("toks"))
+      val corpus = toked.where(col("doc_id") % 10 =!= 0)
+      val batch = toked.where(col("doc_id") % 20 === 1)
+        .select((col("doc_id") - 1).as("doc_id"),
+          transform(col("toks"), (t, i) =>
+            when(i === 0, "Xq").when(i === 2, "Zw").otherwise(t)).as("toks"))
+        .unionByName(toked.where(col("doc_id") % 20 === 10)
+          .select(col("doc_id"), reverse(col("toks")).as("toks")))
+      // subBuckets tuned DOWN for the verify scale: at 50k docs the
+      // default 32 content buckets pay more in small-file write overhead
+      // than they save (ScaleProbe runs the production default)
+      operators.Dedup.buildTokenScreenIndex(corpus, "doc_id", "toks",
+        maxDist = 4, tmp.toString, subBuckets = 4)
+      val out = operators.Dedup.tokenEditDistanceScreenIndexed(
+          batch, "doc_id", "toks", tmp.toString)
+        .orderBy(col("doc_id")).localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // TOKEN-level edit-distance join on 24-token document prefixes:
     // PassJoin over token SEQUENCES (d+1 disjoint token subarrays; the
     // candidate join key is the subarray itself) + banded token-DP
@@ -3462,7 +3491,8 @@ object SparkEntry {
       "q_knn_batched" -> base("q_knn_join"),
       "q_stratified_salted" -> base("q_stratified"),
       "q_stream_unigram" -> base("q_unigram_tokens"),
-      "q_stream_warc_gz" -> base("q_warc_source"))
+      "q_stream_warc_gz" -> base("q_warc_source"),
+      "q_editdist_indexed" -> base("q_editdist_screen_tokens"))
   }
 
   /** BM25 oracle text shared by q_bm25 (scan path) and q_bm25_indexed

@@ -1424,6 +1424,161 @@ object Dedup {
       verify = (a, b) => GraftSqlShim.column(TokenLevenshtein(
         GraftSqlShim.expression(a), GraftSqlShim.expression(b), maxDist)).cast("long"))
 
+  private def sliceTok(s: Column, p: Column, l: Column): Column =
+    slice(s, p.cast("int"), l.cast("int"))
+
+  /** Persist the CORPUS side of [[tokenEditDistanceScreen]] once — the
+    * index-anchored form of the ingestion screen: repeated batches stop
+    * paying the corpus segment explode, the distinct-length scan, and
+    * the short-side band derivation on every call (the
+    * [[graft.operators.TextOps.buildInvertedIndex]] discipline applied
+    * to the PassJoin segment index). Four tables under `path`:
+    *
+    *  - `segs`: one row per corpus PassJoin segment
+    *    `(cid, la, i, sub)`, PARTITIONED BY `(lap, sbk)` — `lap` = la
+    *    as int (a batch only probes partner lengths within
+    *    `[blen−d, blen+d]` of its own lengths), `sbk` = a Murmur3
+    *    bucket of the segment content (`pmod(hash(sub), subBuckets)`):
+    *    the probe side computes the same bucket per probe, so a
+    *    TRICKLE batch prunes to the handful of (length, content-bucket)
+    *    directories its probes can possibly collide in — on a
+    *    length-homogeneous corpus (where lap alone prunes nothing)
+    *    this is what keeps a 10-row batch from scanning the index.
+    *  - `bands`: the short-sequence band join side (`clen < k+d`), the
+    *    ±1 band explode baked in.
+    *  - `seqs`: `(cid, cs, clen)` for the id-keyed verify fetch.
+    *  - `lens` / `meta`: the distinct segment lengths (probe pruning
+    *    literal) and `(max_dist)` — the screen re-derives nothing.
+    *
+    * `maxDist` is baked into the segment layout (k = d+1 segments), so
+    * it is fixed at build time; screening at a different d needs its
+    * own index (the IVF-nlist trade). */
+  def buildTokenScreenIndex(
+      corpus: DataFrame,
+      idCol: String,
+      toksCol: String,
+      maxDist: Int,
+      path: String,
+      subBuckets: Int = 32): Unit = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(subBuckets > 0, s"subBuckets must be positive, got $subBuckets")
+    val k = maxDist + 1
+    val spark = corpus.sparkSession
+    val c = corpus
+      .select(col(idCol).as("cid"), col(toksCol).as("cs"))
+      .where(col("cs").isNotNull)
+      .withColumn("clen", size(col("cs")).cast("long"))
+      .persist()
+    try {
+      spark.range(1).select(lit(maxDist).as("max_dist"),
+          lit(subBuckets).as("sub_buckets"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+      c.write.mode("overwrite").parquet(s"$path/seqs")
+      val cLong = c.where(col("clen") >= k)
+      cLong.select(col("clen")).distinct()
+        .write.mode("overwrite").parquet(s"$path/lens")
+      cLong
+        .select(col("cid"),
+          explode(passJoinSegmentsG(col("cs"), col("clen"), k, sliceTok)).as("seg"))
+        .select(col("cid"), col("seg.la"), col("seg.i"), col("seg.sub"),
+          col("seg.la").cast("int").as("lap"),
+          pmod(hash(col("seg.sub")), lit(subBuckets)).as("sbk"))
+        .repartition(col("lap"), col("sbk"))
+        .write.mode("overwrite").partitionBy("lap", "sbk").parquet(s"$path/segs")
+      val cBand = (col("clen") / k).cast("long")
+      c.where(col("clen") < k + maxDist)
+        .select(col("cid"), explode(array(cBand - 1, cBand, cBand + 1)).as("bb"))
+        .write.mode("overwrite").parquet(s"$path/bands")
+    } finally c.unpersist()
+  }
+
+  /** [[tokenEditDistanceScreen]] against a [[buildTokenScreenIndex]]
+    * layout: identical rows (shared verify kernel, same candidate
+    * coverage argument — the persisted tables are exactly the frames
+    * the one-shot plan derives), but the corpus is never re-scanned or
+    * re-exploded. The `segs` read is PARTITION-PRUNED on both levels —
+    * reachable partner lengths AND the probes' content buckets
+    * (collected from the bounded probe set) — so per-batch cost scales
+    * with the batch and its matched index partitions rather than the
+    * corpus; a large batch whose probes cover every bucket degrades
+    * gracefully to one full index-partition join (still cheaper than
+    * the one-shot screen's corpus re-derivation). */
+  def tokenEditDistanceScreenIndexed(
+      batch: DataFrame,
+      idCol: String,
+      toksCol: String,
+      path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val maxDist = meta.getAs[Int]("max_dist")
+    val subBuckets = meta.getAs[Int]("sub_buckets")
+    val k = maxDist + 1
+    val b = batch
+      .select(col(idCol).as("bid"), col(toksCol).as("bs"))
+      .where(col("bs").isNotNull)
+      .withColumn("blen", size(col("bs")).cast("long"))
+      .repartition(col("bid"))
+      .persist()
+    val prb = {
+      val lens = spark.read.parquet(s"$path/lens")
+        .collect().map(_.getLong(0)).sorted
+      val lensLit =
+        if (lens.isEmpty) array().cast("array<bigint>") else lit(lens)
+      b.where(col("blen") >= k)
+        .select(col("bid"),
+          explode(passJoinProbesCrossG(col("bs"), col("blen"), maxDist, k,
+            lensLit, sliceTok)).as("pr"))
+        .select(col("bid"), col("pr.la"), col("pr.i"), col("pr.sub"),
+          col("pr.la").cast("int").as("lap"),
+          pmod(hash(col("pr.sub")), lit(subBuckets)).as("sbk"))
+        .persist()
+    }
+    try {
+      // the probes' reachable (length, content-bucket) partition set —
+      // bounded by the probe count, collected so BOTH partition levels
+      // prune at plan time (a trickle batch touches a handful of dirs
+      // even on a length-homogeneous corpus)
+      val parts = prb.select(col("lap"), col("sbk")).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      val laSet = parts.map(_._1).distinct
+      val sbkSet = parts.map(_._2).distinct
+      val segs = spark.read.parquet(s"$path/segs")
+        .where(
+          if (parts.isEmpty) lit(false)
+          else col("lap").isin(laSet: _*) && col("sbk").isin(sbkSet: _*))
+        .select(col("cid"), col("la"), col("i"), col("sub"),
+          col("lap"), col("sbk"))
+      val candSeg = segs
+        .join(prb, Seq("lap", "sbk", "la", "i", "sub"))
+        .select(col("bid"), col("cid"))
+      val bShort = b.where(col("blen") < k + maxDist)
+        .select(col("bid"), (col("blen") / k).cast("long").as("bb"))
+      val candBand = bShort
+        .join(spark.read.parquet(s"$path/bands"), "bb")
+        .select(col("bid"), col("cid"))
+      val cand = candSeg.unionByName(candBand).distinct()
+      val verified = cand
+        .join(b.select(col("bid"), col("bs"), col("blen")), "bid")
+        .join(spark.read.parquet(s"$path/seqs"), "cid")
+        .where(abs(col("blen") - col("clen")) <= maxDist)
+        .withColumn("dist", GraftSqlShim.column(TokenLevenshtein(
+          GraftSqlShim.expression(col("bs")),
+          GraftSqlShim.expression(col("cs")), maxDist)).cast("long"))
+        .where(col("dist") >= 0 && col("dist") <= maxDist)
+        .groupBy(col("bid"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("bid"), col("m.dist").as("min_dist"),
+          col("m.cid").as("match_id"))
+      // one row PER BATCH ROW including NULL sequences (screenPlanG's
+      // contract, verbatim)
+      batch.select(col(idCol))
+        .join(verified.withColumnRenamed("bid", idCol), Seq(idCol), "left")
+        .select(col(idCol), col("min_dist").isNotNull.as("matched"),
+          col("min_dist"), col("match_id"))
+        .localCheckpoint(true)
+    } finally { prb.unpersist(); b.unpersist() }
+  }
+
   /** The shared batch-vs-corpus screen core — sequence type abstracted
     * behind (seqOf, lenOf, extract, verify); see [[editDistanceScreen]]
     * for the candidate/coverage argument, which is type-agnostic. */

@@ -304,6 +304,66 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally { b.unpersist(); c.unpersist() }
   }
 
+  test("tokenEditDistanceScreenIndexed: partition-pruned index read, no cartesian, rows == one-shot screen") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // VARIED prefix lengths (18..24 by doc id) so the length-partitioned
+    // index has several lap directories and pruning is observable
+    val toked = s.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), slice(split(col("text"), " "), lit(1),
+        (pmod(col("doc_id"), lit(7)) + 18).cast("int")).as("toks"))
+    val corpus = toked.where(col("doc_id") % 10 =!= 0)
+    val batch = toked.where(col("doc_id") % 20 === 1)
+      .select((col("doc_id") - 1).as("doc_id"),
+        transform(col("toks"), (t, i) =>
+          when(i === 0, "Xq").otherwise(t)).as("toks"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-edidxspec")
+    try {
+      graft.operators.Dedup.buildTokenScreenIndex(
+        corpus, "doc_id", "toks", maxDist = 4, dir.toString)
+      val out = graft.operators.Dedup.tokenEditDistanceScreenIndexed(
+        batch, "doc_id", "toks", dir.toString)
+      // IDENTICAL rows to the one-shot screen — the index changes where
+      // the corpus side comes from, never what it says
+      val oneShot = graft.operators.Dedup.tokenEditDistanceScreen(
+        batch, corpus, "doc_id", "toks", maxDist = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(rows(out) == rows(oneShot))
+      // plan pin: a lap IN-list over the index scan must surface as a
+      // PartitionFilters entry (the pruned index read — without it every
+      // batch pays the whole index) and skip the unnamed directories
+      val pruned = s.read.parquet(s"${dir.toString}/segs")
+        .where(col("lap").isin(18, 19))
+        .select(col("cid"), col("la"), col("i"), col("sub"))
+      val planStr = pruned.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters") && planStr.contains("lap"),
+        planStr)
+      // the scan node's own partition listing (post-pruning) vs the
+      // layout's directory count — inputFiles reports the base relation
+      // PRE-pruning and is useless here
+      def scanDirs(df: org.apache.spark.sql.DataFrame): Long = {
+        val scans = df.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+        scans.map(f => f.relation.location
+          .listFiles(f.partitionFilters, f.dataFilters).length.toLong).sum
+      }
+      val prunedCount = scanDirs(pruned)
+      val allCount = scanDirs(
+        s.read.parquet(s"${dir.toString}/segs").select(col("cid")))
+      assert(prunedCount > 0 && prunedCount < allCount,
+        s"partition pruning had no effect: $prunedCount vs $allCount dirs")
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("tokenEditDistancePairs: array-keyed equi-joins only — no cartesian, verify is map-side") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
