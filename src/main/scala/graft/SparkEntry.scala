@@ -2095,6 +2095,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING edit-distance ingestion screen: stateless probe explode
+    // on the stream, stream-static joins against the PERSISTED corpus
+    // segment index, the shared banded-DP verify in the join, per-doc
+    // min(struct) in complete mode — bounded replay must equal the
+    // batch token screen value-for-value (its oracle verbatim)
+    "q_stream_editdist" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.editDistScreenToBatch(s, s"$dir/documents.parquet")
+        .orderBy(col("doc_id"))
+    }),
+
     // range (point-in-interval) join: every order pairs with every
     // priority band whose [min,max] totalprice interval contains it —
     // genuinely many-to-many (bands overlap); binned to a hash equi-join,
@@ -3492,7 +3503,8 @@ object SparkEntry {
       "q_stratified_salted" -> base("q_stratified"),
       "q_stream_unigram" -> base("q_unigram_tokens"),
       "q_stream_warc_gz" -> base("q_warc_source"),
-      "q_editdist_indexed" -> base("q_editdist_screen_tokens"))
+      "q_editdist_indexed" -> base("q_editdist_screen_tokens"),
+      "q_stream_editdist" -> base("q_editdist_screen_tokens"))
   }
 
   /** BM25 oracle text shared by q_bm25 (scan path) and q_bm25_indexed

@@ -1427,6 +1427,13 @@ object Dedup {
   private def sliceTok(s: Column, p: Column, l: Column): Column =
     slice(s, p.cast("int"), l.cast("int"))
 
+  /** The token-sequence cross-probe explode, exposed for the STREAMING
+    * screen ([[graft.streaming.JsonStream.editDistScreenToBatch]]) so
+    * both faces share the PassJoin formulas verbatim. */
+  private[graft] def tokenScreenProbes(
+      bs: Column, blen: Column, maxDist: Int, lensLit: Column): Column =
+    passJoinProbesCrossG(bs, blen, maxDist, maxDist + 1, lensLit, sliceTok)
+
   /** Persist the CORPUS side of [[tokenEditDistanceScreen]] once — the
     * index-anchored form of the ingestion screen: repeated batches stop
     * paying the corpus segment explode, the distinct-length scan, and

@@ -33,6 +33,10 @@ package object operators {
   def math_ln(x: Column): Column =
     GraftSqlShim.column(MathLn(GraftSqlShim.expression(x)))
 
+  def tokenLevenshtein(a: Column, b: Column, maxDist: Int): Column =
+    GraftSqlShim.column(TokenLevenshtein(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b), maxDist))
+
   def dsir_score(tokens: Column, weights: Array[Double]): Column =
     GraftSqlShim.column(DsirScore(GraftSqlShim.expression(tokens), weights))
 

@@ -546,6 +546,95 @@ object JsonStream {
     result
   }
 
+  /** STREAMING edit-distance ingestion screen: incoming docs stream
+    * against a PERSISTED [[graft.operators.Dedup.buildTokenScreenIndex]]
+    * layout — the stream side is stateless per-row work (probe explode
+    * via the shared PassJoin formulas, carried alongside the sequence),
+    * the corpus side is three STATIC parquet reads (segs/bands/seqs:
+    * stream-static joins, no corpus re-derivation ever), the verify is
+    * the shared [[graft.operators.TokenLevenshtein]] kernel inside the
+    * join, and one complete-mode per-doc aggregation picks
+    * min(struct(dist, cid)) — the batch screen's (dist asc, id asc) tie
+    * rule without a window. Candidate duplicates (one pair reached via
+    * several probe positions) collapse in the min instead of the batch
+    * plan's distinct — same answer, idempotent.
+    *
+    * The batch/corpus construction mirrors q_editdist_screen_tokens
+    * exactly, so bounded replay must equal the batch screen value-for-
+    * value (its oracle verbatim) — including batch rows that match
+    * nothing (a NULL-m baseline row per streamed doc keeps them). */
+  def editDistScreenToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val d = 4
+    val k = d + 1
+    val toked = spark.read.parquet(path).where(col("text").isNotNull)
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, 24).as("toks"))
+    val corpus = toked.where(col("doc_id") % 10 =!= 0)
+    val batch = toked.where(col("doc_id") % 20 === 1)
+      .select((col("doc_id") - 1).as("doc_id"),
+        transform(col("toks"), (t, i) =>
+          when(i === 0, "Xq").when(i === 2, "Zw").otherwise(t)).as("toks"))
+      .unionByName(toked.where(col("doc_id") % 20 === 10)
+        .select(col("doc_id"), reverse(col("toks")).as("toks")))
+    val idx = java.nio.file.Files.createTempDirectory("graft-stream-edidx")
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream-edbatch")
+    graft.operators.Dedup.buildTokenScreenIndex(
+      corpus, "doc_id", "toks", d, idx.toString, subBuckets = 4)
+    batch.coalesce(2).write.mode("overwrite").parquet(staged.toString)
+    val segs = spark.read.parquet(s"${idx.toString}/segs")
+      .select(col("cid"), col("la"), col("i"), col("sub"))
+    val bands = spark.read.parquet(s"${idx.toString}/bands")
+    val seqs = spark.read.parquet(s"${idx.toString}/seqs")
+    val lens = spark.read.parquet(s"${idx.toString}/lens")
+      .collect().map(_.getLong(0)).sorted
+    val lensLit =
+      if (lens.isEmpty) array().cast("array<bigint>") else lit(lens)
+    val stream = spark.readStream.schema(batch.schema).parquet(staged.toString)
+    val b = stream.select(col("doc_id").as("bid"), col("toks").as("bs"))
+      .where(col("bs").isNotNull)
+      .withColumn("blen", size(col("bs")).cast("long"))
+    def dist = graft.operators.tokenLevenshtein(col("bs"), col("cs"), d)
+    def verified(cand: DataFrame): DataFrame = cand
+      .join(seqs, "cid")
+      .where(abs(col("blen") - col("clen")) <= d)
+      .withColumn("dist", dist.cast("long"))
+      .where(col("dist") >= 0 && col("dist") <= d)
+      .select(col("bid"), struct(col("dist"), col("cid")).as("m"))
+    val candSeg = verified(
+      b.where(col("blen") >= k)
+        .select(col("bid"), col("bs"), col("blen"),
+          explode(graft.operators.Dedup.tokenScreenProbes(
+            col("bs"), col("blen"), d, lensLit)).as("pr"))
+        .select(col("bid"), col("bs"), col("blen"),
+          col("pr.la"), col("pr.i"), col("pr.sub"))
+        .join(segs, Seq("la", "i", "sub")))
+    val candBand = verified(
+      b.where(col("blen") < k + d)
+        .select(col("bid"), col("bs"), col("blen"),
+          (col("blen") / k).cast("long").as("bb"))
+        .join(bands, "bb"))
+    val baseline = stream.select(col("doc_id").as("bid"),
+      lit(null).cast(candSeg.schema("m").dataType).as("m"))
+    val agg = candSeg.unionByName(candBand).unionByName(baseline)
+      .groupBy(col("bid").as("doc_id"))
+      .agg(min(col("m")).as("best"))
+      .select(col("doc_id"), col("best").isNotNull.as("matched"),
+        col("best.dist").as("min_dist"), col("best.cid").as("match_id"))
+    val sink = s"graft_stream_editdist_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    deleteStagedDir(staged.toString)
+    deleteStagedDir(idx.toString)
+    result
+  }
+
   case class AsofTagged(
       event_id: Long, ts_us: Long, user_id: Long, event_type: String,
       value: Double, is_right: Boolean)

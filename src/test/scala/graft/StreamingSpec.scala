@@ -363,6 +363,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(id + 400000L) == ((true, -1L)), s"novel doc ${id + 400000}")
   }
 
+  test("streaming edit-distance screen equals the batch token screen exactly") {
+    val s = spark
+    val got = JsonStream.editDistScreenToBatch(s, "/root/testdata/sf0.001/documents.parquet")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // the batch operator over the IDENTICAL corpus/batch construction —
+    // value-for-value equality, not shape checks
+    val toked = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, 24).as("toks"))
+    val corpus = toked.where(col("doc_id") % 10 =!= 0)
+    val batch = toked.where(col("doc_id") % 20 === 1)
+      .select((col("doc_id") - 1).as("doc_id"),
+        transform(col("toks"), (t, i) =>
+          when(i === 0, "Xq").when(i === 2, "Zw").otherwise(t)).as("toks"))
+      .unionByName(toked.where(col("doc_id") % 20 === 10)
+        .select(col("doc_id"), reverse(col("toks")).as("toks")))
+    val want = graft.operators.Dedup.tokenEditDistanceScreen(
+        batch, corpus, "doc_id", "toks", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("streaming heavy hitters equal the batch recount exactly") {
     val s = spark
     val path = "/root/testdata/sf0.001/documents.parquet"
