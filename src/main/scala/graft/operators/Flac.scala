@@ -11,8 +11,9 @@ package graft.operators
  * Encoder subset (always spec-valid output): fixed blocksize streams,
  * independent channels, CONSTANT / VERBATIM / FIXED-order-0..4
  * subframes chosen per block by exact cost, Rice residuals (4-bit
- * parameters, partition order 0), CRC-8/CRC-16 framing, STREAMINFO
- * with the raw-PCM MD5.
+ * parameters, partition orders 0..6 with per-partition exact-cost
+ * parameter selection), CRC-8/CRC-16 framing, STREAMINFO with the
+ * raw-PCM MD5.
  *
  * Decoder superset (reads files our encoder never writes): LPC
  * subframes of any order, left/right/mid-side stereo decorrelation,
@@ -160,9 +161,12 @@ object Flac {
       sampleRate: Int,
       bitsPerSample: Int = 16,
       blockSize: Int = 4096,
-      stereoDecorrelation: Boolean = true): Array[Byte] = {
+      stereoDecorrelation: Boolean = true,
+      maxPartitionOrder: Int = 6): Array[Byte] = {
     val ch = samples.length
     require(ch >= 1 && ch <= 8, s"channels must be 1..8, got $ch")
+    require(maxPartitionOrder >= 0 && maxPartitionOrder <= maxPartOrder,
+      s"maxPartitionOrder must be 0..$maxPartOrder, got $maxPartitionOrder")
     require(bitsPerSample >= 4 && bitsPerSample <= 24,
       s"bitsPerSample must be 4..24, got $bitsPerSample")
     require(blockSize >= 16 && blockSize <= 65535,
@@ -203,10 +207,10 @@ object Flac {
           i2 += 1
         }
         val b = bitsPerSample
-        val pL = planSubframe(l, off, bl, b)
-        val pR = planSubframe(r, off, bl, b)
-        val pS = planSubframe(side, 0, bl, b + 1)
-        val pM = planSubframe(mid, 0, bl, b)
+        val pL = planSubframe(l, off, bl, b, maxPartitionOrder)
+        val pR = planSubframe(r, off, bl, b, maxPartitionOrder)
+        val pS = planSubframe(side, 0, bl, b + 1, maxPartitionOrder)
+        val pM = planSubframe(mid, 0, bl, b, maxPartitionOrder)
         // strict < keeps the EARLIEST minimal candidate — independent
         // wins ties, then left-side, right-side, mid-side (spec order)
         val cands = Array(
@@ -236,7 +240,7 @@ object Flac {
       } else {
         var c = 0
         while (c < ch) {
-          encodeSubframe(w, samples(c), off, bl, bitsPerSample)
+          encodeSubframe(w, samples(c), off, bl, bitsPerSample, maxPartitionOrder)
           c += 1
         }
       }
@@ -308,20 +312,37 @@ object Flac {
 
   /** A chosen subframe encoding and its EXACT total bit cost (incl. the
     * 8-bit subframe header) — the unit the stereo-mode chooser sums.
-    * kind: 0 constant, 1 verbatim, 2 fixed(order, rice k). */
-  private final case class SubPlan(kind: Int, order: Int, k: Int, cost: Long)
+    * kind: 0 constant, 1 verbatim, 2 fixed(order, partition order po,
+    * per-partition rice ks). */
+  private final case class SubPlan(
+      kind: Int, order: Int, po: Int, ks: Array[Int], cost: Long)
+
+  private val maxPartOrder = 6
 
   /** Select the cheapest of CONSTANT / VERBATIM / FIXED(0..4) for one
-    * subframe at exact rice cost. The returned cost is the true encoded
-    * size: [[writeSubframe]] emits exactly `cost` bits from this plan. */
-  private def planSubframe(s: Array[Int], off: Int, bl: Int, bits: Int): SubPlan = {
+    * subframe at exact rice cost, now over Rice PARTITION orders 0..6
+    * too: the residual section splits into 2^po partitions (first one
+    * short by the predictor order, per the spec), each with its own
+    * 4-bit parameter — a block whose residual variance shifts (attack
+    * transients, quiet→loud) pays one k per region instead of one
+    * compromise k. Selection is exact-bit greedy per level: per-k
+    * partition costs are computed once at the FINEST feasible level and
+    * merged pairwise upward, so coarser orders reuse the fine sums
+    * (O(15·n + 15·2^po) per predictor order, not O(15·n·po)). Ties keep
+    * spec order — order asc, then po asc, then k asc, all strict
+    * improvement — so a subframe partitioning can't strictly shrink is
+    * emitted byte-identically to the order-0 encoder. The returned cost
+    * is the true encoded size: [[writeSubframe]] emits exactly `cost`
+    * bits from this plan. */
+  private def planSubframe(
+      s: Array[Int], off: Int, bl: Int, bits: Int, maxPo: Int): SubPlan = {
     var const = true
     var i = 1
     while (const && i < bl) { const = s(off + i) == s(off); i += 1 }
-    if (const) return SubPlan(0, 0, 0, 8L + bits)
-    // best fixed order 0..min(4, bl-1) by exact rice cost
+    if (const) return SubPlan(0, 0, 0, Array.empty, 8L + bits)
     var bestOrder = 0
-    var bestK = 0
+    var bestPo = 0
+    var bestKs: Array[Int] = Array(0)
     var bestBits = Long.MaxValue
     val res = new Array[Long](bl)
     var order = 0
@@ -329,23 +350,78 @@ object Flac {
     while (order <= maxOrder) {
       residuals(s, off, bl, order, res)
       val nRes = bl - order
-      var k = 0
-      while (k <= 14) {
-        var cost = order.toLong * bits + 2 + 4 + 4 // warmup + method + part + param
-        var j = 0
-        while (j < nRes && cost < bestBits) {
+      // finest feasible level: bl divisible by 2^po and the first
+      // partition non-empty ((bl >> po) > order)
+      var fpo = 0
+      while (fpo < maxPo && (bl & ((1 << (fpo + 1)) - 1)) == 0 &&
+        (bl >> (fpo + 1)) > order) fpo += 1
+      // per-k bit sums for each finest partition: sums(p)(k) =
+      // Σ ((u >>> k) + 1 + k) over the partition's residuals
+      val nParts = 1 << fpo
+      val sums = Array.ofDim[Long](nParts, 15)
+      val span = bl >> fpo
+      var p = 0
+      while (p < nParts) {
+        val from = if (p == 0) 0 else p * span - order
+        val to = (p + 1) * span - order
+        var j = from
+        while (j < to) {
           val u = zigzag(res(j))
-          cost += (u >>> k) + 1 + k
+          var k = 0
+          while (k <= 14) { sums(p)(k) += (u >>> k) + 1 + k; k += 1 }
           j += 1
         }
-        if (cost < bestBits) { bestBits = cost; bestOrder = order; bestK = k }
-        k += 1
+        p += 1
+      }
+      // walk levels from FINEST to 0, merging pairwise; evaluate each po
+      var level = fpo
+      var cur = sums
+      while (level >= 0) {
+        val parts = 1 << level
+        var total = order.toLong * bits + 2 + 4 // warmup + method + po field
+        val ks = new Array[Int](parts)
+        p = 0
+        while (p < parts) {
+          var bk = 0
+          var bc = Long.MaxValue
+          var k = 0
+          while (k <= 14) {
+            if (cur(p)(k) < bc) { bc = cur(p)(k); bk = k }
+            k += 1
+          }
+          ks(p) = bk
+          total += 4 + bc
+          p += 1
+        }
+        // strict <, levels walked fine→coarse: record coarser (lower po)
+        // plans on TIES so spec order (po asc) wins overall
+        if (total <= bestBits && (total < bestBits || order == bestOrder)) {
+          // same-order tie → lower po replaces; cross-order tie → keep
+          // the earlier (lower) order
+          if (total < bestBits || level < bestPo) {
+            bestBits = total; bestOrder = order; bestPo = level; bestKs = ks
+          }
+        }
+        if (level > 0) {
+          val merged = Array.ofDim[Long](parts >> 1, 15)
+          p = 0
+          while (p < (parts >> 1)) {
+            var k = 0
+            while (k <= 14) {
+              merged(p)(k) = cur(2 * p)(k) + cur(2 * p + 1)(k)
+              k += 1
+            }
+            p += 1
+          }
+          cur = merged
+        }
+        level -= 1
       }
       order += 1
     }
     val verbatimBits = bl.toLong * bits
-    if (bestBits >= verbatimBits) SubPlan(1, 0, 0, 8L + verbatimBits)
-    else SubPlan(2, bestOrder, bestK, 8L + bestBits)
+    if (bestBits >= verbatimBits) SubPlan(1, 0, 0, Array.empty, 8L + verbatimBits)
+    else SubPlan(2, bestOrder, bestPo, bestKs, 8L + bestBits)
   }
 
   /** Emit one subframe from its plan — exactly `plan.cost` bits. */
@@ -372,21 +448,29 @@ object Flac {
       val res = new Array[Long](bl)
       residuals(s, off, bl, plan.order, res)
       w.writeBits(0, 2) // rice method 0 (4-bit params)
-      w.writeBits(0, 4) // partition order 0
-      w.writeBits(plan.k, 4)
-      j = 0
-      val nRes = bl - plan.order
-      while (j < nRes) {
-        val u = zigzag(res(j))
-        w.writeUnary((u >>> plan.k).toInt)
-        if (plan.k > 0) w.writeBits(u & ((1L << plan.k) - 1), plan.k)
-        j += 1
+      w.writeBits(plan.po, 4)
+      val parts = 1 << plan.po
+      val span = bl >> plan.po
+      var p = 0
+      while (p < parts) {
+        val k = plan.ks(p)
+        w.writeBits(k, 4)
+        var j2 = if (p == 0) 0 else p * span - plan.order
+        val to = (p + 1) * span - plan.order
+        while (j2 < to) {
+          val u = zigzag(res(j2))
+          w.writeUnary((u >>> k).toInt)
+          if (k > 0) w.writeBits(u & ((1L << k) - 1), k)
+          j2 += 1
+        }
+        p += 1
       }
   }
 
   private def encodeSubframe(
-      w: BitWriter, s: Array[Int], off: Int, bl: Int, bits: Int): Unit =
-    writeSubframe(w, s, off, bl, bits, planSubframe(s, off, bl, bits))
+      w: BitWriter, s: Array[Int], off: Int, bl: Int, bits: Int,
+      maxPo: Int): Unit =
+    writeSubframe(w, s, off, bl, bits, planSubframe(s, off, bl, bits, maxPo))
 
   private def zigzag(r: Long): Long = if (r >= 0) r << 1 else ((-r) << 1) - 1
 

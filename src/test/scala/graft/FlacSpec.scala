@@ -77,6 +77,36 @@ class FlacSpec extends AnyFunSuite {
     rt(Array(l1, u2, l1.map(_ / 2)))
   }
 
+  test("rice partitions: variance-shifting blocks strictly shrink; stationary blocks byte-identical to order 0; exact roundtrip") {
+    // one block whose residual variance jumps mid-block: quiet dither in
+    // the first half, loud noise in the second — a single compromise k
+    // overpays one half, so per-partition parameters must strictly win
+    val shifting = Array(Array.tabulate(4096)(i =>
+      if (i < 2048) ((i * 7) % 5) - 2
+      else (((i * 7919 + 13) % 4096) - 2048)))
+    val partitioned = Flac.encode(shifting, 8000, 16, 4096)
+    val flat = Flac.encode(shifting, 8000, 16, 4096, maxPartitionOrder = 0)
+    assert(partitioned.length < flat.length,
+      s"no partition win: $partitioned.length vs ${flat.length}")
+    rtBytes(shifting, partitioned); rtBytes(shifting, flat)
+    // stationary noise: one k is already optimal, a partition order > 0
+    // costs 4 extra bits per extra partition with the same k — the tie/
+    // strict-improvement rule must emit the order-0 encoding VERBATIM
+    val stationary = Array(Array.tabulate(4096)(i =>
+      ((i * 7919 + 13) % 4096) - 2048))
+    assert(java.util.Arrays.equals(
+      Flac.encode(stationary, 8000, 16, 4096),
+      Flac.encode(stationary, 8000, 16, 4096, maxPartitionOrder = 0)))
+    // stereo path plans with partitions too (shared planner) and
+    // round-trips; odd block sizes fall back to feasible orders only
+    val l = Array.tabulate(3000)(i =>
+      if (i % 1000 < 500) ((i * 3) % 7) - 3 else ((i * 104729) % 2048) - 1024)
+    val r = Array.tabulate(3000)(i => l(i) + ((i * 31) % 5) - 2)
+    rt(Array(l, r))
+    rt(Array(Array.tabulate(777)(i =>
+      if (i < 388) ((i * 3) % 5) - 2 else ((i * 7919) % 1024) - 512)))
+  }
+
   private def rtBytes(samples: Array[Array[Int]], enc: Array[Byte]): Unit = {
     val dec = Flac.decode(enc).getOrElse(fail(s"decode failed (${enc.length} bytes)"))
     samples.indices.foreach { c =>
