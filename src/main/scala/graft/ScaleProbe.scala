@@ -196,6 +196,23 @@ object ScaleProbe {
         .selectExpr("sum(bpe_tokens)").collect()
     }
 
+    // the PRODUCTION route past the one-job-per-merge wall: ONE
+    // histogram job, then the merge loop runs driver-local over the
+    // pair->words index — ≥1k merges must land in bounded wall
+    // (the distributed learner's 8 merges above already cost ~8 jobs;
+    // 1000 merges through it would be ~1000)
+    // (the shared 500-word corpus exhausts at ~500 merges, so the 1k-
+    // merge probe gets a vocab-rich input: 200k distinct alphanumeric
+    // words — the Heaps-law shape a real corpus histogram has)
+    val bigMerges = time(s"BPE train LOCAL (1000 merges), $nDocs docs") {
+      val rich = spark.range(200000).select(
+        concat(lit("tok"),
+          operators.mix64(col("id"), 7L).cast("string")).as("text"))
+      operators.TextOps.bpeTrainLocal(rich, "text", numMerges = 1000)
+    }
+    bigMerges.foreach(m =>
+      println(s"  local learner merges: ${m.length} of 1000 requested"))
+
     // inter-frame video: every frame decodes (delta carry), every 2nd
     // emits — narrow flatMap, scales with executors
     time(s"AVI RLE8 inter-frame decode, ${nDocs / 10} clips") {

@@ -863,6 +863,24 @@ class OperatorsSpec extends AnyFunSuite {
     // merge learning exhausts gracefully when every word is one symbol
     val tiny = TextOps.bpeTrain(Seq("ab ab").toDF("text"), "text", numMerges = 10)
     assert(tiny.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")))
+    // the PRODUCTION driver-local learner is merge-for-merge identical —
+    // same tie rule, same overlap counting, same greedy applyMerge —
+    // including the exhaustion edge
+    val gotLocal = TextOps.bpeTrainLocal(corpus.toDF("text"), "text", numMerges = 6)
+      .map(m => (m.merge_idx, m.lhs, m.rhs, m.pair_count))
+    assert(gotLocal == ref(6), s"got $gotLocal expected ${ref(6)}")
+    val tinyLocal = TextOps.bpeTrainLocal(Seq("ab ab").toDF("text"), "text", 10)
+    assert(tinyLocal.map(m => (m.lhs, m.rhs)) == Seq(("a", "b")))
+    // and on real corpus text, against the DISTRIBUTED learner
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("text").isNotNull).select(col("text"))
+    val a = TextOps.bpeTrain(docs, "text", numMerges = 12)
+    val b = TextOps.bpeTrainLocal(docs, "text", numMerges = 12)
+    assert(a == b, s"distributed $a\nlocal $b")
+    // the maxVocab guard fails loudly instead of collecting unbounded
+    intercept[IllegalArgumentException] {
+      TextOps.bpeTrainLocal(docs, "text", numMerges = 2, maxVocab = 3)
+    }
   }
 
   test("incrementalNearDup: corpus screen, in-batch keeper, best-match rule") {
