@@ -2311,6 +2311,11 @@ object SparkEntry {
             sources.Snapshots.readBranch(s, tmp.toString, "exp", seq = 1L),
             "branch_seq1"))
           .unionAll(agg(sources.Snapshots.read(s, tmp.toString), "main_head"))
+          .unionAll {
+            // fast-forward publish: main's next version == the branch
+            sources.Snapshots.publishBranch(s, tmp.toString, "exp")
+            agg(sources.Snapshots.read(s, tmp.toString), "published")
+          }
           .orderBy(col("ref")).localCheckpoint(true)
       rmTree(tmp)
       out
@@ -4914,6 +4919,9 @@ object SparkEntry {
         | UNION ALL SELECT 'main_head', CAST(count(*) AS BIGINT),
         |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |  FROM documents WHERE doc_id % 4 = 0
+        | UNION ALL SELECT 'published', CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
         |) ORDER BY ref""".stripMargin.replaceAll("\n", " "),
 
     // WARC replica: the expected parse fields rebuilt from the table —

@@ -1499,6 +1499,58 @@ object Dedup {
     } finally c.unpersist()
   }
 
+  /** Append a NEW document batch to an existing [[buildTokenScreenIndex]]
+    * layout — the ingestion companion ([[graft.operators.TextOps.appendToInvertedIndex]]'s
+    * convention): new segments land in the same (lap, sbk) partition
+    * directories via parquet append, bands and seqs accumulate rows,
+    * and the distinct-lengths table is rewritten with the union through
+    * the crash-safe backup-rename swap (it is the one table an append
+    * cannot extend blindly — probes prune on it, and a missing new
+    * length would silently drop candidates). Batch doc ids MUST be new
+    * (screen + filter with [[tokenEditDistanceScreenIndexed]] first —
+    * the screen-then-ingest loop this exists for). Screens over an
+    * appended index equal a from-scratch build (spec-pinned): every
+    * query-time quantity is per-row (segments, bands, sequences) or a
+    * distinct set (lens). */
+  def appendToTokenScreenIndex(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val maxDist = meta.getAs[Int]("max_dist")
+    val subBuckets = meta.getAs[Int]("sub_buckets")
+    val k = maxDist + 1
+    val c = df
+      .select(col(idCol).as("cid"), col(toksCol).as("cs"))
+      .where(col("cs").isNotNull)
+      .withColumn("clen", size(col("cs")).cast("long"))
+      .persist()
+    try {
+      c.write.mode("append").parquet(s"$path/seqs")
+      val cLong = c.where(col("clen") >= k)
+      cLong
+        .select(col("cid"),
+          explode(passJoinSegmentsG(col("cs"), col("clen"), k, sliceTok)).as("seg"))
+        .select(col("cid"), col("seg.la"), col("seg.i"), col("seg.sub"),
+          col("seg.la").cast("int").as("lap"),
+          pmod(hash(col("seg.sub")), lit(subBuckets)).as("sbk"))
+        .repartition(col("lap"), col("sbk"))
+        .write.mode("append").partitionBy("lap", "sbk").parquet(s"$path/segs")
+      val cBand = (col("clen") / k).cast("long")
+      c.where(col("clen") < k + maxDist)
+        .select(col("cid"), explode(array(cBand - 1, cBand, cBand + 1)).as("bb"))
+        .write.mode("append").parquet(s"$path/bands")
+      val lensTmp = s"$path/lens__append_tmp"
+      spark.read.parquet(s"$path/lens")
+        .unionByName(cLong.select(col("clen")))
+        .distinct()
+        .write.mode("overwrite").parquet(lensTmp)
+      TextOps.swapDirs(spark, lensTmp, s"$path/lens")
+    } finally c.unpersist()
+  }
+
   /** [[tokenEditDistanceScreen]] against a [[buildTokenScreenIndex]]
     * layout: identical rows (shared verify kernel, same candidate
     * coverage argument — the persisted tables are exactly the frames

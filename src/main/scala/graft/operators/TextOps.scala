@@ -1108,10 +1108,11 @@ object TextOps {
     swapDirs(spark, metaTmp, s"$path/meta")
   }
 
-  /** Backup-rename directory swap shared by the index maintenance ops:
+  /** Backup-rename directory swap shared by the index maintenance ops
+    * (here and [[graft.operators.Dedup.appendToTokenScreenIndex]]):
     * dst → dst__bak, tmp → dst, delete backup — the layout is readable at
     * either the canonical or the backup path at every instant. */
-  private def swapDirs(
+  private[graft] def swapDirs(
       spark: org.apache.spark.sql.SparkSession, tmp: String, dst: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)

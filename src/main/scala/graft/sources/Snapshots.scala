@@ -423,6 +423,25 @@ object Snapshots {
     }.toMap
   }
 
+  /** PUBLISH a branch to main: the next MAIN version reads exactly what
+    * the branch head reads — a manifest-level operation (the branch's
+    * manifest contents become main's next manifest; no data moves), the
+    * Iceberg fast-forward/publish shape. Prior main versions still read
+    * their own manifests; the branch itself is untouched (drop it after
+    * publishing, or keep committing to it). Returns the new main
+    * version. */
+  def publishBranch(spark: SparkSession, root: String, name: String): Long = {
+    val (_, headOpt) = branchState(spark, root, name)
+    val head = headOpt.getOrElse(throw new IllegalArgumentException(
+      s"no branch '$name' under $root"))
+    val dirs = readBranchManifest(spark, root, name, head._2)
+    val next = currentVersion(spark, root) + 1
+    writeAtomic(spark, new Path(root, s"manifests/v$next.txt"),
+      dirs.mkString("\n") + "\n")
+    writeAtomic(spark, new Path(root, "VERSION"), s"$next\n")
+    next
+  }
+
   /** Delete a branch: its pointers and manifests go away; the data dirs
     * it referenced become reclaimable by the next [[expire]] (exactly
     * the dropTag contract). */

@@ -1529,10 +1529,19 @@ class OperatorsSpec extends AnyFunSuite {
       Snapshots.expire(s, r, keepLast = 1)
       assert(Snapshots.readBranch(s, r, "exp", seq = 2L)
         .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L))
-      // dropBranch releases the pins; the dirs become reclaimable
+      // PUBLISH: the next MAIN version reads exactly the branch head —
+      // a manifest-level fast-forward, no data moved
+      val pv = Snapshots.publishBranch(s, r, "exp")
+      assert(Snapshots.currentVersion(s, r) == pv)
+      assert(Snapshots.read(s, r)
+        .select("id").collect().map(_.getLong(0)).toSet == Set(20L))
+      // dropBranch releases the pins; the published main version keeps
+      // the branch's dirs alive through its own manifest
       Snapshots.dropBranch(s, r, "exp")
       assert(Snapshots.branches(s, r) == Map.empty)
       Snapshots.expire(s, r, keepLast = 1)
+      assert(Snapshots.read(s, r)
+        .select("id").collect().map(_.getLong(0)).toSet == Set(20L))
       intercept[Exception] {
         Snapshots.readBranch(s, r, "exp").collect()
       }

@@ -358,6 +358,23 @@ class PlanQualitySpec extends AnyFunSuite {
         s.read.parquet(s"${dir.toString}/segs").select(col("cid")))
       assert(prunedCount > 0 && prunedCount < allCount,
         s"partition pruning had no effect: $prunedCount vs $allCount dirs")
+      // INCREMENTAL ingestion: an index built on half the corpus and
+      // appended with the other half answers exactly like the full
+      // build (and therefore like the one-shot screen)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-edidxapp")
+      try {
+        graft.operators.Dedup.buildTokenScreenIndex(
+          corpus.where(col("doc_id") % 2 === 0), "doc_id", "toks",
+          maxDist = 4, dir2.toString)
+        graft.operators.Dedup.appendToTokenScreenIndex(
+          corpus.where(col("doc_id") % 2 =!= 0), "doc_id", "toks", dir2.toString)
+        val appended = graft.operators.Dedup.tokenEditDistanceScreenIndexed(
+          batch, "doc_id", "toks", dir2.toString)
+        assert(rows(appended) == rows(oneShot))
+      } finally {
+        java.nio.file.Files.walk(dir2).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
     } finally {
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
