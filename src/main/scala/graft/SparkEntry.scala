@@ -1096,6 +1096,19 @@ object SparkEntry {
           "doc_id", "source", perStratum = 10, salts = 8)
         .orderBy(col("doc_id"))),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis race,
+    // quantized to the log2fp integer fixed point): 64 docs drawn with
+    // probability growing in n_chars; key_fp exposes the race key so the
+    // oracle value-verifies the draw itself, not just the winner set
+    "q_weighted_sample" -> ((s, dir) =>
+      operators.Curation.weightedSample(
+          table(s, dir, "documents")
+            .select(col("doc_id"),
+              greatest(least(coalesce(col("n_chars").cast("long"), lit(1L)),
+                lit(1L << 20)), lit(1L)).as("w")),
+          "doc_id", "w", k = 64)
+        .orderBy(col("doc_id"))),
+
     // fixed-point integer PageRank over the event interaction graph
     // (user→item edges via the library's own json_get_int, plus reverse
     // edges): 5 Pregel-style join+agg rounds, all-integer arithmetic so
@@ -1769,6 +1782,16 @@ object SparkEntry {
       streaming.JsonStream.heavyMonitorToBatch(
           s, s"$dir/documents.parquet", "text", m = 64)
         .orderBy(col("item"))
+    }),
+
+    // streaming weighted reservoir: the Efraimidis–Spirakis race keys
+    // computed statelessly on the stream, bottom-k maintained as the
+    // ONLY aggregation state; equals the batch q_weighted_sample
+    "q_stream_wsample" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.weightedSampleToBatch(
+          s, s"$dir/documents.parquet", k = 64)
+        .orderBy(col("doc_id"))
     }),
 
     // Count-Min token-frequency sketch (d=4, w=64): heavy hitters read
@@ -3509,7 +3532,8 @@ object SparkEntry {
       "q_stream_unigram" -> base("q_unigram_tokens"),
       "q_stream_warc_gz" -> base("q_warc_source"),
       "q_editdist_indexed" -> base("q_editdist_screen_tokens"),
-      "q_stream_editdist" -> base("q_editdist_screen_tokens"))
+      "q_stream_editdist" -> base("q_editdist_screen_tokens"),
+      "q_stream_wsample" -> base("q_weighted_sample"))
   }
 
   /** BM25 oracle text shared by q_bm25 (scan path) and q_bm25_indexed
@@ -4319,6 +4343,27 @@ object SparkEntry {
         |   ORDER BY ${signedSql("h")}, doc_id) AS rk FROM stx3)
         | SELECT doc_id, source FROM ranked
         | WHERE rk <= 10 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // weighted-sample replica: the Mix64 HUGEINT chain, low-40-bit draw,
+    // the 10-step log2fp chain over the distinct draws, the quantized
+    // race key ((40960 − lfp)·2^20 // w), bottom-64 by (key, id)
+    "q_weighted_sample" ->
+      s"""WITH ws0 AS (SELECT doc_id,
+        |  greatest(least(coalesce(CAST(n_chars AS BIGINT), 1), 1048576), 1) AS w,
+        |  ((CAST(doc_id AS HUGEINT) + 6151) % $M64 + $M64) % $M64 AS h0
+        |  FROM documents),
+        | ${mixStagesSql("ws0", "doc_id, w", "wsx")},
+        | wsf AS (SELECT doc_id, w,
+        |   CAST((h % 1099511627776) + 1 AS BIGINT) AS f FROM wsx3),
+        | wfd AS (SELECT DISTINCT f FROM wsf),
+        | ${log2fpCtes("wfd", "wlg")},
+        | wkey AS (SELECT s.doc_id, s.w,
+        |   CAST(((40960 - l.lfp) * 1048576) // s.w AS BIGINT) AS key_fp
+        |  FROM wsf s JOIN wlg l ON l.f = s.f),
+        | wtop AS (SELECT doc_id, w, key_fp FROM wkey
+        |  ORDER BY key_fp, doc_id LIMIT 64)
+        | SELECT doc_id, w, key_fp FROM wtop ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
 
     // split replica: the Mix64 HUGEINT chain, signed pmod 100 (Spark's
     // pmod over the signed long — DuckDB % truncates like Java), then

@@ -198,6 +198,111 @@ object Curation {
       .drop(rankCol)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis exponential race, 2006), integer-exact: each
+    * row draws u = (v+1)/2^40 ∈ (0,1] from the low 40 bits v of
+    * splitmix64(id + salt) and takes the quantized race key
+    *
+    *   key_fp = ((40·1024 − log2fp(v+1)) · 2^20) div w
+    *
+    * — −log2 u in [[TextOps.log2fp]]'s 10-fractional-bit fixed point,
+    * scaled then integer-divided by the weight. The sample is the k
+    * smallest (key_fp, id) rows: a larger weight shrinks the key exactly
+    * as a smaller Exp(w) draw wins the exponential race, so inclusion
+    * probability grows with weight, and every step is integer arithmetic
+    * on the id — the draw is reproducible across engines, partitionings,
+    * and reruns, and an external engine replays it bit-for-bit.
+    *
+    * Weights must be integers in [1, 2^20]; NULL, non-positive, or
+    * oversized weights RAISE (a broken weight column should fail the
+    * job, not silently skew the sample), and a NULL id raises for the
+    * same reason — the id is the deterministic seed. Clamp upstream
+    * (`least/greatest`) when out-of-range weights are expected.
+    *
+    * Scale shape: keys are one codegen projection over the corpus; the
+    * k winners ride a TakeOrdered (per-partition heaps merged on the
+    * driver — no global sort, no corpus shuffle). The k rows land on the
+    * driver's merge path, so keep k sample-sized, not corpus-sized. */
+  def weightedSample(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: Long = 6151L,
+      keyOut: String = "key_fp"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    weightedKeys(docs, idCol, weightCol, salt, keyOut)
+      .orderBy(col(keyOut), col(idCol))
+      .limit(k)
+  }
+
+  /** [[weightedSample]]'s race-key projection alone — the input frame
+    * plus `keyOut`, no top-k — for callers that rank themselves (the
+    * streaming reservoir aggregates the bottom-k as bounded state
+    * instead of sorting). Same integer chain, same loud rejects. */
+  def weightedKeys(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      salt: Long = 6151L,
+      keyOut: String = "key_fp"): DataFrame = {
+    val maxW = 1L << 20
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val wN = s"graft_w_$sfx"
+    val nlN = s"graft_neglog_$sfx"
+    val idL = expr(
+      s"CASE WHEN `$idCol` IS NULL THEN raise_error(" +
+        "'weightedSample: NULL id — the id is the deterministic seed') " +
+        s"ELSE CAST(`$idCol` AS BIGINT) END")
+    val v = mix64(idL, salt).bitwiseAND(lit((1L << 40) - 1L))
+    val neglog = lit(40L * 1024L) - log2fp(v + lit(1L))
+    docs
+      .withColumn(wN, expr(
+        s"CASE WHEN `$weightCol` IS NULL OR `$weightCol` < 1 " +
+          s"OR `$weightCol` > $maxW THEN raise_error(concat(" +
+          s"'weightedSample: weight must be an integer in [1, $maxW], got ', " +
+          s"coalesce(CAST(`$weightCol` AS STRING), 'NULL'))) " +
+          s"ELSE CAST(`$weightCol` AS BIGINT) END"))
+      .withColumn(nlN, neglog)
+      .withColumn(keyOut, expr(s"($nlN * 1048576) div $wN"))
+      .drop(wN, nlN)
+  }
+
+  /** Bounded buffer for [[BottomKAggregator]]: the current k race
+    * winners, sorted by (key, id). */
+  case class BkBuf(rows: Seq[(Long, Long, Long)])
+
+  /** Bottom-k-by-(key, id) aggregator — the streaming face of
+    * [[weightedSample]]'s TakeOrdered. Reduce inserts into a k-capped
+    * sorted buffer (rejecting rows that lose to the current worst
+    * without re-sorting), merge is a k-capped merge, so the state
+    * carried between micro-batches is exactly the k current winners —
+    * the classic weighted-reservoir state, independent of stream
+    * length. Triples are (key_fp, id, w). */
+  class BottomKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Long), BkBuf, Array[(Long, Long, Long)]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    private val ord = Ordering.Tuple2[Long, Long]
+    private def cap(rows: Seq[(Long, Long, Long)]) =
+      BkBuf(rows.sortBy(t => (t._1, t._2)).take(k))
+    override def zero: BkBuf = BkBuf(Nil)
+    override def reduce(b: BkBuf, item: (Long, Long, Long)): BkBuf = {
+      if (b.rows.size >= k &&
+          ord.gteq((item._1, item._2), (b.rows.last._1, b.rows.last._2))) b
+      else cap(b.rows :+ item)
+    }
+    override def merge(a: BkBuf, b: BkBuf): BkBuf =
+      if (a.rows.isEmpty) b else if (b.rows.isEmpty) a else cap(a.rows ++ b.rows)
+    override def finish(b: BkBuf): Array[(Long, Long, Long)] = b.rows.toArray
+    override def bufferEncoder: org.apache.spark.sql.Encoder[BkBuf] =
+      org.apache.spark.sql.Encoders.product[BkBuf]
+    override def outputEncoder:
+        org.apache.spark.sql.Encoder[Array[(Long, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        Array[(Long, Long, Long)]]()
+  }
+
   /** Deterministic train/val/test split assignment: split =
     * the percent-bucket of splitmix64(id + salt) mod 100 against the
     * cumulative fraction thresholds — reproducible across engines,

@@ -33,6 +33,9 @@ package object operators {
   def math_ln(x: Column): Column =
     GraftSqlShim.column(MathLn(GraftSqlShim.expression(x)))
 
+  def log2fp(f: Column): Column =
+    GraftSqlShim.column(Log2Fp(GraftSqlShim.expression(f)))
+
   def tokenLevenshtein(a: Column, b: Column, maxDist: Int): Column =
     GraftSqlShim.column(TokenLevenshtein(
       GraftSqlShim.expression(a), GraftSqlShim.expression(b), maxDist))

@@ -458,6 +458,35 @@ object JsonStream {
       toks(spark.read.parquet(path)), row.getSeq[String](0), row.getLong(1), m)
   }
 
+  /** Streaming weighted reservoir:
+    * [[graft.operators.Curation.weightedSample]]'s quantized
+    * Efraimidis–Spirakis race over a file stream. The race key is a
+    * stateless per-row projection (splitmix64 + log2fp of the id — no
+    * state, no watermark), and the reservoir is ONE
+    * [[graft.operators.Curation.BottomKAggregator]] whose complete-mode
+    * state is exactly the k current winners — bounded, stream-length
+    * independent: the textbook weighted reservoir, maintained
+    * incrementally as documents arrive. Bounded replay == the batch
+    * sample value-for-value (q_weighted_sample's oracle verbatim). */
+  def weightedSampleToBatch(
+      spark: SparkSession,
+      path: String,
+      k: Int = 64): DataFrame = {
+    val bk = udaf(new graft.operators.Curation.BottomKAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+    val snap = runStreamToSnapshot(spark, path, "wsample", stream => {
+      val keyed = graft.operators.Curation.weightedKeys(
+        stream.select(col("doc_id"),
+          greatest(least(coalesce(col("n_chars").cast("long"), lit(1L)),
+            lit(1L << 20)), lit(1L)).as("w")),
+        "doc_id", "w")
+      keyed.agg(bk(col("key_fp"), col("doc_id"), col("w")).as("sample"))
+    })
+    snap.select(explode(col("sample")).as("t"))
+      .select(col("t._2").as("doc_id"), col("t._3").as("w"),
+        col("t._1").as("key_fp"))
+  }
+
   /** Streaming latest-wins upsert view:
     * [[graft.operators.Curation.upsertLatest]]'s max(struct) reduction
     * as a streaming aggregation — per-key state is ONE packed struct (the

@@ -3460,6 +3460,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Curation.stratifiedSample(tiny, "doc_id", "source", 10).count() == 1L)
   }
 
+  test("weightedSample: quantized Efraimidis–Spirakis race, replayed exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 400L).map(i => (i, (i % 97) + 1L)).toDF("doc_id", "w")
+    val got = Curation.weightedSample(docs, "doc_id", "w", k = 25)
+      .select("doc_id", "key_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // driver model of the exact integer chain the operator promises
+    def key(id: Long, w: Long): Long = {
+      val v = HashKernelsAccess.mix(id + 6151L) & ((1L << 40) - 1L)
+      val neglog = 40L * 1024L - TextOps.log2fp(v + 1L)
+      neglog * 1048576L / w
+    }
+    val want = (0L until 400L).map(i => (i, key(i, (i % 97) + 1L)))
+      .sortBy { case (id, k0) => (k0, id) }.take(25).sortBy(_._1)
+    assert(got == want)
+    // the draw is a pure function of (id, w, salt): partitioning-free
+    val got2 = Curation.weightedSample(docs.repartition(7), "doc_id", "w", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == want.map(_._1).toSet)
+  }
+
+  test("weightedSample: inclusion tracks weight; bad weights and ids raise") {
+    val s = spark
+    import s.implicits._
+    // one heavy doc (w=4096) among 200 light (w=1): in the exponential
+    // race the heavy key is ~4096x smaller, so across 40 salted draws of
+    // k=10 the heavy doc must appear in nearly all of them while any
+    // fixed light doc appears in ~2
+    val docs = (0L until 200L)
+      .map(i => (i, if (i == 123L) 4096L else 1L)).toDF("doc_id", "w")
+    val wins = (0 until 40).map { t =>
+      Curation.weightedSample(docs, "doc_id", "w", 10, salt = 1000L + t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val heavyWins = wins.count(_.contains(123L))
+    assert(heavyWins >= 36, s"heavy doc won only $heavyWins/40 draws")
+    val lightWinsMax = (0L until 200L).filter(_ != 123L)
+      .map(i => wins.count(_.contains(i))).max
+    assert(heavyWins > lightWinsMax,
+      s"heavy $heavyWins <= busiest light $lightWinsMax")
+    // loud rejects: zero, oversized, NULL weight; NULL id
+    def boom(df: org.apache.spark.sql.DataFrame): Unit =
+      intercept[Exception] {
+        Curation.weightedSample(df, "doc_id", "w", 1).collect()
+      }
+    boom(Seq((1L, 0L)).toDF("doc_id", "w"))
+    boom(Seq((1L, (1L << 20) + 1L)).toDF("doc_id", "w"))
+    boom(docs.selectExpr("doc_id", "CAST(NULL AS BIGINT) AS w").limit(1))
+    boom(docs.selectExpr("CAST(NULL AS BIGINT) AS doc_id", "w").limit(1))
+  }
+
   test("corpusStats: exact percentiles over a known distribution") {
     val s = spark
     import s.implicits._

@@ -638,6 +638,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("weightedSample: TakeOrdered heaps, zero Exchange, zero Window") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).as("w"))
+    val df = graft.operators.Curation.weightedSample(d, "doc_id", "w", 64)
+    val plan = df.queryExecution.executedPlan.toString
+    // the race is one codegen projection; the k winners ride per-partition
+    // heaps merged on the driver — the corpus is never sorted or shuffled
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("dedupLines: common-line set broadcasts back against the corpus") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

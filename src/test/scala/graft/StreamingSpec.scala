@@ -407,6 +407,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming weighted reservoir equals the batch sample exactly") {
+    val s = spark
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    val streamed = JsonStream.weightedSampleToBatch(s, path, k = 32)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = s.read.parquet(path).select(col("doc_id"),
+      greatest(least(coalesce(col("n_chars").cast("long"), lit(1L)),
+        lit(1L << 20)), lit(1L)).as("w"))
+    val batch = graft.operators.Curation.weightedSample(docs, "doc_id", "w", 32)
+      .select(col("doc_id"), col("w"), col("key_fp"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.size == 32)
+    assert(streamed == batch)
+  }
+
   test("snapshot sink: each micro-batch commits one version; old versions pinned") {
     val s = spark
     import s.implicits._
