@@ -62,6 +62,24 @@ object ScaleProbe {
       operators.Dedup.duplicateClusters(docs.select(col("doc_id")), p).count()
     }
 
+    // OPH vs k-hash signature scan: the claim is the SIGNATURE pass
+    // shrinks (one hash per shingle instead of 16), and recall on the
+    // planted near-dups survives densification. Both passes are forced
+    // through the same count-over-sig-array so only the kernel differs.
+    val ophPairs = time(s"oph LSH candidate pairs, $nDocs docs") {
+      operators.Dedup.ophCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5).count()
+    }
+    ophPairs.foreach(p => println(s"  oph pairs found: $p (planted: ~${nDocs / 20})"))
+    time(s"minhash signature scan alone (16-hash), $nDocs docs") {
+      docs.select(operators.Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+        .agg(max(element_at(col("sig"), 1))).head()
+    }
+    time(s"oph signature scan alone (1-hash), $nDocs docs") {
+      docs.select(operators.Dedup.ophSignature(col("text"), 3, 16).as("sig"))
+        .agg(max(element_at(col("sig"), 1))).head()
+    }
+
     // containment growth curve: candidate volume is Σ prefix-gram dfs,
     // so wall time should track the corpus near-linearly (run at 1× and
     // 4× docs to see the curve); 1-in-20 planted truncations are the

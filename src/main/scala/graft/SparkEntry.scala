@@ -620,6 +620,15 @@ object SparkEntry {
           shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // one-permutation MinHash (bucket-min + rotation densification):
+    // the same LSH banding from signatures computed with ONE hash per
+    // shingle instead of 16
+    "q_neardup_oph" -> ((s, dir) =>
+      operators.Dedup.ophCandidatePairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ONE-PASS near-dup screen: LSH (Jaccard) + containment (overlap)
     // from a single persisted shingle-postings pass — signatures
     // recovered as per-gram affine components min-aggregated per doc,
@@ -2917,28 +2926,15 @@ object SparkEntry {
     * (MinHashSignature.family), so the estimate values are bit-identical.
     * Yields CTE `mhest(id_a, id_b, est_jaccard)` of DISTINCT candidate
     * pairs (no threshold applied — callers filter). */
-  private def minhashCtes(shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
-      source: String = "documents"): String = {
+  /** Token FNV-1a → rolling shingle fold → splitmix64 chain shared by
+    * the MinHash and OPH replicas: emits tokp/thp/shw/sh2/sh3 + the smx
+    * mix stages; the mixed shingle hash is `smx3(doc_id, i, h)` with h
+    * HUGEINT in [0, 2^64). */
+  private def shingleHashCtes(shingleSize: Int, source: String): String = {
     require(shingleSize == 3, "oracle replica is written for 3-token shingles")
-    val mask = (BigInt(1) << 64) - 1
-    def u(l: Long): BigInt = BigInt(l) & mask
-    val (as, bs) = operators.MinHashSignature.family(k)
-    val famRows = (0 until k).map { j =>
-      val a = u(as(j)); val b = u(bs(j))
-      s"($j, ${a & BigInt("ffffffff", 16)}, ${a >> 32}, $b)"
-    }.mkString(", ")
-    val rowsPerBand = k / bands
     val fnvP = "1099511628211" // 0x100000001b3: shingle-fold AND fnv prime
     def foldStep(h: String, term: String) =
       s"CASE WHEN $term IS NULL THEN $h ELSE (($h) * $fnvP % $M64 + $term) % $M64 END"
-    val sigPivot = (0 until rowsPerBand).map(r =>
-      s"max(CASE WHEN j % $rowsPerBand = $r THEN su END) AS s$r").mkString(", ")
-    val bandFolds = (0 until rowsPerBand).map { r =>
-      val rest = (r + 1 until rowsPerBand).map(x => s"s$x").mkString(", ")
-      val restSel = if (rest.isEmpty) "" else s", $rest"
-      val outName = if (r == rowsPerBand - 1) "h0" else "h" // mix stages read h0
-      s"bh${r + 1} AS (SELECT doc_id, band, ((h * $fnvP % $M64) + s$r) % $M64 AS $outName$restSel FROM bh$r),"
-    }.mkString(" ")
     s"""tokp AS (
        |  SELECT doc_id, unnest(ls) AS tok, generate_subscripts(ls, 1) - 1 AS pos, len(ls) AS n
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM $source)),
@@ -2951,7 +2947,19 @@ object SparkEntry {
        |  WHERE a.pos <= greatest(a.n - $shingleSize, 0)),
        |sh2 AS (SELECT doc_id, i, ${foldStep("th0", "th1")} AS h, th2 FROM shw),
        |sh3 AS (SELECT doc_id, i, ${foldStep("h", "th2")} AS h0 FROM sh2),
-       |${mixStagesSql("sh3", "doc_id, i", "smx")},
+       |${mixStagesSql("sh3", "doc_id, i", "smx")}""".stripMargin
+  }
+
+  private def minhashCtes(shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
+      source: String = "documents"): String = {
+    val mask = (BigInt(1) << 64) - 1
+    def u(l: Long): BigInt = BigInt(l) & mask
+    val (as, bs) = operators.MinHashSignature.family(k)
+    val famRows = (0 until k).map { j =>
+      val a = u(as(j)); val b = u(bs(j))
+      s"($j, ${a & BigInt("ffffffff", 16)}, ${a >> 32}, $b)"
+    }.mkString(", ")
+    s"""${shingleHashCtes(shingleSize, source)},
        |fam(j, f_al, f_ah, f_b) AS (SELECT * FROM (VALUES $famRows)),
        |sigs AS (
        |  SELECT m.doc_id, f.j,
@@ -2959,7 +2967,56 @@ object SparkEntry {
        |  FROM smx3 m CROSS JOIN fam f GROUP BY m.doc_id, f.j),
        |sigu AS (SELECT doc_id, j, CASE WHEN sig < 0 THEN CAST(sig AS HUGEINT) + $M64
        |  ELSE CAST(sig AS HUGEINT) END AS su, sig FROM sigs),
-       |bpiv AS (
+       |${sigBandCtes(k, bands)}""".stripMargin
+  }
+
+  /** OphMinHashSignature replica: the shared shingle-hash chain, bucket
+    * = h % k with the UNSIGNED per-bucket min, rotation densification
+    * (borrow the nearest non-empty bucket rightward, + t·C mod 2^64),
+    * then the shared banding. Yields `mhest(id_a, id_b, est_jaccard)`
+    * like [[minhashCtes]]. */
+  private def ophCtes(shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
+      source: String = "documents"): String = {
+    val cU = (BigInt(operators.OphMinHashSignature.C) & ((BigInt(1) << 64) - 1)).toString
+    val bor = s"(p.su + CAST(b.t AS HUGEINT) * $cU) % $M64"
+    s"""${shingleHashCtes(shingleSize, source)},
+       |ophraw AS (SELECT doc_id, CAST(h % $k AS BIGINT) AS j, min(h) AS su
+       |  FROM smx3 GROUP BY doc_id, h % $k),
+       |ophgrid AS (SELECT d.doc_id, r.j
+       |  FROM (SELECT DISTINCT doc_id FROM ophraw) d
+       |  CROSS JOIN (SELECT CAST(unnest(range($k)) AS BIGINT) AS j) r),
+       |ophneed AS (SELECT g.doc_id, g.j FROM ophgrid g LEFT JOIN ophraw r
+       |  ON r.doc_id = g.doc_id AND r.j = g.j WHERE r.j IS NULL),
+       |ophbor AS (SELECT n.doc_id, n.j, min((p.j - n.j + $k) % $k) AS t
+       |  FROM ophneed n JOIN ophraw p ON p.doc_id = n.doc_id
+       |  GROUP BY n.doc_id, n.j),
+       |sigu AS (
+       |  SELECT doc_id, j, su, ${signedSql("su")} AS sig FROM ophraw
+       |  UNION ALL
+       |  SELECT b.doc_id, b.j, $bor AS su, ${signedSql(bor)} AS sig
+       |  FROM ophbor b JOIN ophraw p ON p.doc_id = b.doc_id
+       |    AND p.j = (b.j + b.t) % $k),
+       |sigs AS (SELECT doc_id, j, sig FROM sigu),
+       |${sigBandCtes(k, bands)}""".stripMargin
+  }
+
+  /** Band-fold + bucket-join + agreement replica over a k-component
+    * signature: reads `sigu(doc_id, j, su, sig)` / `sigs(doc_id, j,
+    * sig)` and emits bpiv, the bh folds, banded, mhcand, and
+    * `mhest(id_a, id_b, est_jaccard)` — DISTINCT candidate pairs, no
+    * threshold applied (callers filter). */
+  private def sigBandCtes(k: Int, bands: Int): String = {
+    val rowsPerBand = k / bands
+    val fnvP = "1099511628211"
+    val sigPivot = (0 until rowsPerBand).map(r =>
+      s"max(CASE WHEN j % $rowsPerBand = $r THEN su END) AS s$r").mkString(", ")
+    val bandFolds = (0 until rowsPerBand).map { r =>
+      val rest = (r + 1 until rowsPerBand).map(x => s"s$x").mkString(", ")
+      val restSel = if (rest.isEmpty) "" else s", $rest"
+      val outName = if (r == rowsPerBand - 1) "h0" else "h" // mix stages read h0
+      s"bh${r + 1} AS (SELECT doc_id, band, ((h * $fnvP % $M64) + s$r) % $M64 AS $outName$restSel FROM bh$r),"
+    }.mkString(" ")
+    s"""bpiv AS (
        |  SELECT doc_id, j // $rowsPerBand AS band, $sigPivot
        |  FROM sigu GROUP BY doc_id, j // $rowsPerBand),
        |bh0 AS (SELECT doc_id, band, CAST(band AS HUGEINT) AS h,
@@ -6520,6 +6577,13 @@ object SparkEntry {
     // banding, and agreement estimates all value-level
     "q_minhash_lsh" ->
       s"""WITH ${minhashCtes()}
+        | SELECT id_a, id_b, est_jaccard FROM mhest
+        | WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // OPH replica: shared shingle-hash chain, h%k bucket unsigned-min,
+    // rotation densification (+t·C), shared banding
+    "q_neardup_oph" ->
+      s"""WITH ${ophCtes()}
         | SELECT id_a, id_b, est_jaccard FROM mhest
         | WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 

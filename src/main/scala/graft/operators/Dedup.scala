@@ -198,6 +198,33 @@ object Dedup {
     minhashCandidatePairsFromSigs(sigs, numHashes, bands, threshold)
   }
 
+  /** One-permutation MinHash signature (array<long> of length k): ONE
+    * hash per shingle instead of [[minhashSignature]]'s k, via the fused
+    * [[OphMinHashSignature]] kernel (bucket-min + rotation
+    * densification). Same estimator family at 1/k the hash cost — the
+    * signature scan is the LSH bottleneck at corpus scale. */
+  def ophSignature(textCol: Column, shingleSize: Int, k: Int): Column =
+    GraftSqlShim.column(
+      OphMinHashSignature(GraftSqlShim.expression(split(textCol, " ")), shingleSize, k))
+
+  /** [[minhashCandidatePairs]] with [[ophSignature]] signatures: the
+    * banding, bucket equi-join, and agreement estimate are shared
+    * verbatim — only the signature pass changes, from k hashes per
+    * shingle to one. */
+  def ophCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      ophSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    minhashCandidatePairsFromSigs(sigs, numHashes, bands, threshold)
+  }
+
   /** Candidate pairs from a precomputed `(id, sig)` frame — for pipelines
     * that already carry signatures (e.g. Curation.curate's single-scan
     * annotate pass) so banding does not recompute them or rescan the

