@@ -2283,6 +2283,29 @@ object SparkEntry {
       out
     }),
 
+    // row-level DELETE (merge-on-read equality delete): v1 = the whole
+    // table, v2 deletes doc_id % 3 = 0 (kilobyte delete file, no data
+    // rewrite), v3 re-appends the % 6 = 0 slice — deletes apply only
+    // BACKWARDS, so the re-appended rows survive; every version's
+    // aggregate is rebuilt from the table by the oracle
+    "q_snapshot_delete" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-snapdel")
+      val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      sources.Snapshots.append(d, tmp.toString)
+      sources.Snapshots.deleteWhere(s, tmp.toString, Seq("doc_id"),
+        col("doc_id") % 3 === 0)
+      sources.Snapshots.append(d.where(col("doc_id") % 6 === 0), tmp.toString)
+      val out = Seq(1L, 2L, 3L).map { v =>
+        sources.Snapshots.read(s, tmp.toString, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_id"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_id"),
+            col("sum_chars"))
+      }.reduce(_.unionAll(_)).orderBy(col("version")).localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // snapshot TAGS: named refs pin versions against expire — v1 gets
     // tagged, v2 does not, an overwrite lands v3, expire(keepLast=1)
     // then reclaims ONLY v2; the tag still reads v1's exact contents
@@ -4990,6 +5013,23 @@ object SparkEntry {
         | UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
         |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |  FROM documents WHERE doc_id % 4 = 0
+        |) ORDER BY version""".stripMargin.replaceAll("\n", " "),
+
+    // delete replica: v1 = everything, v2 = the % 3 <> 0 survivors,
+    // v3 = survivors plus the re-appended % 6 = 0 slice (backwards-only
+    // deletes; merge-on-read plumbing invisible by construction)
+    "q_snapshot_delete" ->
+      """SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents
+        | UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 3 <> 0
+        | UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0
+        |    UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id % 6 = 0)
         |) ORDER BY version""".stripMargin.replaceAll("\n", " "),
 
     // tag replica: the tagged v1 is the even half, the moved ref reads

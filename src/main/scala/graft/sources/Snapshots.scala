@@ -124,9 +124,92 @@ object Snapshots {
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 1) version else currentVersion(spark, root)
     require(v >= 1, s"snapshot table at $root has no committed version")
-    val dirs = readManifest(spark, root, v)
-      .map(d => s"${root.stripSuffix("/")}/$d")
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    resolveEntries(spark, root, readManifest(spark, root, v))
+  }
+
+  // --------------------------------------------------- row-level deletes
+
+  private def isDelete(entry: String): Boolean = entry.startsWith("delete:")
+  private def entryDir(entry: String): String = entry.stripPrefix("delete:")
+
+  /** Turn an ordered manifest entry list into a frame. Plain entries are
+    * data commit dirs; `delete:<dir>` entries are EQUALITY-DELETE files
+    * (parquet of distinct key tuples, schema = the key columns) that
+    * apply to every data dir BEFORE them in the list and none after —
+    * so re-appending a previously deleted key resurrects it, exactly
+    * the Iceberg sequence-number rule. A manifest with no delete
+    * entries takes the original single merged-footer read (identical
+    * plan to pre-delete tables); with deletes, consecutive data dirs
+    * are read as one group and each delete applies as a broadcast
+    * left_anti join on the delete file's own columns — delete files
+    * are key sets (small), the corpus never reshuffles. */
+  private def resolveEntries(
+      spark: SparkSession, root: String, entries: Seq[String]): DataFrame = {
+    val base = root.stripSuffix("/")
+    def readDirs(dirs: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => s"$base/$d"): _*)
+    if (!entries.exists(isDelete)) return readDirs(entries)
+    var cur: DataFrame = null
+    var pend = List.empty[String]
+    def flush(): Unit = if (pend.nonEmpty) {
+      val g = readDirs(pend.reverse)
+      cur = if (cur == null) g
+        else cur.unionByName(g, allowMissingColumns = true)
+      pend = Nil
+    }
+    entries.foreach { e =>
+      if (!isDelete(e)) pend ::= e
+      else {
+        flush()
+        // a delete with no preceding data applies to nothing
+        if (cur != null) {
+          val del = spark.read.parquet(s"$base/${entryDir(e)}")
+          cur = cur.join(org.apache.spark.sql.functions.broadcast(del),
+            del.columns.toSeq, "left_anti")
+        }
+      }
+    }
+    flush()
+    require(cur != null, s"manifest under $root resolves to no data entries")
+    cur
+  }
+
+  /** Row-level DELETE as a merge-on-read equality delete: the distinct
+    * `keyCols` tuples of current rows matching `predicate` are written
+    * as a delete file, and the next version's manifest carries a
+    * `delete:` entry after every existing data dir — readers of that
+    * version (and later, until those dirs are compacted away) anti-join
+    * it; earlier versions still read their own manifests and keep the
+    * rows (time travel across a DELETE works). Rows appended AFTER the
+    * delete are untouched even if they share keys — deletes apply only
+    * backwards, so delete-then-reingest behaves like a real table.
+    *
+    * Merge-on-read is the 100 TB shape: a DELETE touching 0.1% of keys
+    * writes kilobytes instead of rewriting the corpus; the read-side
+    * cost is one broadcast anti-join until [[compact]] materializes the
+    * survivors and drops the delete entries. A predicate matching
+    * nothing is a no-op (no new version — an empty delete file would
+    * add read-side work for zero effect). Returns the new version (or
+    * the current one for the no-op). */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      keyCols: Seq[String],
+      predicate: org.apache.spark.sql.Column): Long = {
+    require(keyCols.nonEmpty, "deleteWhere needs at least one key column")
+    val cur = currentVersion(spark, root)
+    require(cur >= 1, s"snapshot table at $root has no committed version")
+    val keys = read(spark, root, cur).where(predicate)
+      .select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    if (keys.limit(1).count() == 0L) return cur
+    val delDir = s"data/d_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    keys.write.mode("error").parquet(s"${root.stripSuffix("/")}/$delDir")
+    val next = cur + 1
+    writeAtomic(spark, new Path(root, s"manifests/v$next.txt"),
+      (readManifest(spark, root, cur) :+ s"delete:$delDir").mkString("\n") + "\n")
+    writeAtomic(spark, new Path(root, "VERSION"), s"$next\n")
+    next
   }
 
   /** All committed versions, ascending. */
@@ -169,11 +252,12 @@ object Snapshots {
     val tagged = tags(spark, root).values.toSet
     val keepSet = vs.takeRight(keepLast).toSet ++ tagged
     val (drop, keep) = vs.partition(v => !keepSet.contains(v))
-    val referenced = keep.flatMap(v => readManifest(spark, root, v)).toSet ++
-      branchReferencedDirs(spark, root)
+    // delete: entries pin (and reclaim) their files like data dirs
+    val referenced = keep.flatMap(v => readManifest(spark, root, v))
+      .map(entryDir).toSet ++ branchReferencedDirs(spark, root)
     val f = fs(spark, new Path(root))
     drop.foreach { v =>
-      val dead = readManifest(spark, root, v).filterNot(referenced)
+      val dead = readManifest(spark, root, v).map(entryDir).filterNot(referenced)
       dead.foreach(d => f.delete(new Path(root, d), true))
       f.delete(new Path(root, s"manifests/v$v.txt"), false)
     }
@@ -407,8 +491,10 @@ object Snapshots {
         require(uuid.nonEmpty, s"branch '$name' seq $seq never completed (garbled pointer)")
         readBranchManifest(spark, root, name, uuid)
       }
-    spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => s"${root.stripSuffix("/")}/$d"): _*)
+    // branch manifests copy main entries verbatim, so a branch created
+    // after a DELETE carries its delete: entries — resolve them the
+    // same way
+    resolveEntries(spark, root, dirs)
   }
 
   /** All branches as name → head seq (branches whose every pointer is
@@ -463,7 +549,8 @@ object Snapshots {
         val in = f.open(mf.getPath)
         try new String(org.apache.commons.io.IOUtils.toByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+          .map(entryDir).toSeq
         finally in.close()
       }
     }.toSet

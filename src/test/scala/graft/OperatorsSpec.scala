@@ -1287,6 +1287,64 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot row-level deletes: merge-on-read, backwards-only, compact materializes, expire reclaims") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snapdel")
+    try {
+      val r = root.toString
+      def ids(v: Long = -1L): Set[Long] =
+        graft.sources.Snapshots.read(s, r, v).select("id")
+          .collect().map(_.getLong(0)).toSet
+      graft.sources.Snapshots.append(
+        (1L to 6L).map(i => (i, s"x$i")).toDF("id", "x"), r) // v1
+      val v2 = graft.sources.Snapshots.deleteWhere(s, r, Seq("id"),
+        col("id") % 2 === 0) // deletes 2, 4, 6
+      assert(v2 == 2L)
+      assert(ids() == Set(1L, 3L, 5L))
+      assert(ids(1) == (1L to 6L).toSet) // time travel across the DELETE
+      // deletes apply only BACKWARDS: re-appending a deleted key
+      // resurrects it, and the resurrected row is the new one
+      graft.sources.Snapshots.append(Seq((4L, "resurrected")).toDF("id", "x"), r) // v3
+      assert(ids() == Set(1L, 3L, 4L, 5L))
+      val x4 = graft.sources.Snapshots.read(s, r).where(col("id") === 4L)
+        .select("x").collect().map(_.getString(0)).toSeq
+      assert(x4 == Seq("resurrected"))
+      // a second delete hits both the v1 remnant and the v3 append
+      graft.sources.Snapshots.deleteWhere(s, r, Seq("id"), col("id") >= 4L) // v4
+      assert(ids() == Set(1L, 3L))
+      // a branch created after the deletes carries the delete entries
+      graft.sources.Snapshots.createBranch(s, r, "exp")
+      val br = graft.sources.Snapshots.readBranch(s, r, "exp")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(br == Set(1L, 3L))
+      // DELETE matching nothing is a no-op: no version advance
+      val v = graft.sources.Snapshots.currentVersion(s, r)
+      assert(graft.sources.Snapshots.deleteWhere(s, r, Seq("id"),
+        col("id") === 999L) == v)
+      assert(graft.sources.Snapshots.currentVersion(s, r) == v)
+      // compact materializes the survivors (manifest drops its delete
+      // entries); expire then reclaims the delete files alongside the
+      // superseded data dirs — only branch-pinned dirs survive
+      val vc = graft.sources.Snapshots.compact(s, r)
+      assert(ids(vc) == Set(1L, 3L))
+      graft.sources.Snapshots.dropBranch(s, r, "exp")
+      graft.sources.Snapshots.expire(s, r, keepLast = 1)
+      assert(ids() == Set(1L, 3L))
+      val names = {
+        val it = java.nio.file.Files.list(root.resolve("data")).iterator()
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.toSeq
+      }
+      assert(names.size == 1 && names.forall(_.startsWith("c_")),
+        s"expected one compacted commit dir after expire, got $names")
+    } finally {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("warc gzip writer: record-per-member .warc.gz round-trips through both read routes") {
     val s = spark
     import s.implicits._
