@@ -2283,6 +2283,32 @@ object SparkEntry {
       out
     }),
 
+    // ISO 28500 segmented records: payloads split into continuation
+    // chains at write time (64-char chunks), written as real segment
+    // files, read back through the V2 connector, and reassembled — the
+    // oracle proves every chain comes back COMPLETE with its exact text
+    // and the declared segment count
+    "q_warc_segmented" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcseg")
+      val docs = table(s, dir, "documents").where(col("text").isNotNull)
+      val segs = sources.Warc.segmentRecords(docs, col("doc_id"),
+        lit("resource"),
+        concat(lit("https://example.org/doc/"), col("doc_id").cast("string")),
+        lit("2026-01-01T00:00:00Z"), lit("text/plain"), col("text"),
+        chunkChars = 64)
+      sources.Warc.writeSegments(segs, "rec", tmp.toString)
+      val parsed = s.read.format("warc").load(tmp.toString)
+      val out = sources.Warc.reassembleSegmented(parsed)
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("n_segments"), col("complete"),
+          decode(col("body"), "UTF-8").as("body_text"))
+        .orderBy(col("doc_id")).localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // row-level DELETE (merge-on-read equality delete): v1 = the whole
     // table, v2 deletes doc_id % 3 = 0 (kilobyte delete file, no data
     // rewrite), v3 re-appends the % 6 = 0 slice — deletes apply only
@@ -5014,6 +5040,16 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |  FROM documents WHERE doc_id % 4 = 0
         |) ORDER BY version""".stripMargin.replaceAll("\n", " "),
+
+    // segmented replica: chain shape recomputed from the table — the
+    // writer chunks by characters, so ceil(char-length / 64) segments
+    // (min 1), every chain complete, bodies verbatim
+    "q_warc_segmented" ->
+      """SELECT doc_id,
+        | CAST(greatest((length(text) + 63) // 64, 1) AS BIGINT) AS n_segments,
+        | true AS complete, text AS body_text
+        | FROM documents WHERE text IS NOT NULL
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // delete replica: v1 = everything, v2 = the % 3 <> 0 survivors,
     // v3 = survivors plus the re-appended % 6 = 0 slice (backwards-only

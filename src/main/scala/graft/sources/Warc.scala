@@ -117,6 +117,110 @@ object Warc {
       octet_length(bodyCol).cast("string"),
       lit("\r\n\r\n"), bodyCol, lit("\r\n\r\n")), "UTF-8")
 
+  /** Split records into ISO 28500 SEGMENT CHAINS (§5.18-5.20) — the
+    * standard's answer to a record too large for one file: the first
+    * segment keeps the origin record's type/URI/Content-Type and
+    * carries `WARC-Segment-Number: 1` + a `WARC-Record-ID`; each later
+    * chunk is a `continuation` record pointing back through
+    * `WARC-Segment-Origin-ID`, and the LAST one declares
+    * `WARC-Segment-Total-Length` (the byte length of the whole content
+    * block) so a reader can prove the chain complete. Records that fit
+    * one chunk are emitted as plain unsegmented records (ISO requires
+    * ≥ 2 segments in a chain). Chunking is CHARACTER-aligned — a chunk
+    * boundary never splits a code point, and Content-Length stays the
+    * byte length of each chunk — and the explode is one narrow
+    * projection: no shuffle, cardinality grows by ceil(len/chunk).
+    * Returns the input rows exploded to one row per segment with the
+    * framed record bytes in `recOut`, ready for [[writeSegments]]. */
+  def segmentRecords(
+      df: DataFrame,
+      idCol: Column, typeCol: Column, uriCol: Column, dateCol: Column,
+      ctypeCol: Column, bodyCol: Column, chunkChars: Int,
+      recOut: String = "rec"): DataFrame = {
+    require(chunkChars >= 1, s"chunkChars must be >= 1, got $chunkChars")
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val nN = s"graft_nseg_$sfx"
+    val iN = s"graft_iseg_$sfx"
+    val n = greatest(floor(
+      (length(bodyCol).cast("long") + lit(chunkChars - 1)) / lit(chunkChars))
+      .cast("long"), lit(1L))
+    val withI = df.withColumn(nN, n)
+      .withColumn(iN, explode(sequence(lit(1L), col(nN))))
+    val i = col(iN)
+    val chunk = substring(bodyCol,
+      ((i - 1L) * chunkChars + 1L).cast("int"), lit(chunkChars))
+    val rid = concat(lit("<urn:graft:"), idCol.cast("string"), lit(">"))
+    val contId = concat(lit("<urn:graft:"), idCol.cast("string"),
+      lit("."), i.cast("string"), lit(">"))
+    val first = concat(
+      lit("WARC/1.0\r\nWARC-Type: "), typeCol,
+      lit("\r\nWARC-Target-URI: "), uriCol,
+      lit("\r\nWARC-Date: "), dateCol,
+      lit("\r\nWARC-Record-ID: "), rid,
+      when(col(nN) > 1L, lit("\r\nWARC-Segment-Number: 1")).otherwise(lit("")),
+      lit("\r\nContent-Type: "), ctypeCol,
+      lit("\r\nContent-Length: "), octet_length(chunk).cast("string"),
+      lit("\r\n\r\n"), chunk, lit("\r\n\r\n"))
+    val cont = concat(
+      lit("WARC/1.0\r\nWARC-Type: continuation\r\nWARC-Target-URI: "), uriCol,
+      lit("\r\nWARC-Date: "), dateCol,
+      lit("\r\nWARC-Record-ID: "), contId,
+      lit("\r\nWARC-Segment-Origin-ID: "), rid,
+      lit("\r\nWARC-Segment-Number: "), i.cast("string"),
+      when(i === col(nN), concat(lit("\r\nWARC-Segment-Total-Length: "),
+        octet_length(bodyCol).cast("string"))).otherwise(lit("")),
+      lit("\r\nContent-Length: "), octet_length(chunk).cast("string"),
+      lit("\r\n\r\n"), chunk, lit("\r\n\r\n"))
+    withI
+      .withColumn(recOut, encode(when(i === 1L, first).otherwise(cont), "UTF-8"))
+      .drop(nN, iN)
+  }
+
+  /** Reassemble parsed segment chains back into whole records — the
+    * read-side half of [[segmentRecords]], over any frame shaped like
+    * the parser output (the V2 connector or the [[warcRecords]]
+    * kernel). Unsegmented records pass through with n_segments = 1 and
+    * complete = true; each chain groups its continuations on
+    * `segment_origin_id` (ONE exchange on the origin key — chains
+    * reassemble in parallel however records were split across files),
+    * sorts by segment number, and splices bodies back together.
+    * `complete` proves the chain: continuations 2..max all present
+    * (count == max − 1) AND the declared WARC-Segment-Total-Length
+    * equals the reassembled byte length — a chain missing its middle,
+    * its tail, or its declaration reads false, never a silently short
+    * body. First segments with no continuations are incomplete by
+    * definition (ISO chains have ≥ 2 segments); orphan continuations
+    * (no first segment) are dropped. */
+  def reassembleSegmented(records: DataFrame): DataFrame = {
+    val passCols = Seq("warc_type", "target_uri", "warc_date",
+      "http_status", "content_type")
+    val plain = records
+      .where(col("segment_number").isNull && col("warc_type") =!= "continuation")
+      .select(passCols.map(col) ++ Seq(col("body"),
+        lit(1L).as("n_segments"), lit(true).as("complete")): _*)
+    val conts = records.where(col("warc_type") === "continuation")
+      .groupBy(col("segment_origin_id").as("oid"))
+      .agg(
+        array_sort(collect_list(struct(col("segment_number").as("sn"),
+          col("body").as("bd")))).as("parts"),
+        max(col("segment_total_length")).as("graft_total"),
+        max(col("segment_number")).as("graft_max_sn"),
+        count(lit(1)).as("graft_n_conts"))
+    val chains = records.where(col("segment_number") === 1L)
+      .join(conts, col("record_id") === col("oid"), "left")
+      .withColumn("graft_full", when(col("parts").isNull, col("body"))
+        .otherwise(concat(col("body"),
+          expr("aggregate(parts, cast('' as binary), (acc, p) -> concat(acc, p.bd))"))))
+      .select(passCols.map(col) ++ Seq(
+        col("graft_full").as("body"),
+        (coalesce(col("graft_n_conts"), lit(0L)) + 1L).as("n_segments"),
+        (col("parts").isNotNull &&
+          col("graft_n_conts") === col("graft_max_sn") - 1L &&
+          col("graft_total") === length(col("graft_full")).cast("long"))
+          .as("complete")): _*)
+    plain.unionByName(chains)
+  }
+
   /** Write a binary record column as WARC segment files, one per task —
     * the crawl's own layout, and the single shared implementation for
     * every writer path (byte-framing or compression fixes land once).
@@ -166,7 +270,13 @@ case class WarcRecords(child: Expression)
     // revisit-record surface (ISO 28500 §6.7.2): the dedup pointers a
     // Common Crawl consumer resolves; NULL on every other record type
     StructField("warc_profile", StringType),
-    StructField("refers_to", StringType))), containsNull = false)
+    StructField("refers_to", StringType),
+    // segmented-record surface (ISO 28500 §5.18-5.20): the reassembly
+    // keys for continuation chains; NULL on unsegmented records
+    StructField("record_id", StringType),
+    StructField("segment_number", LongType),
+    StructField("segment_origin_id", StringType),
+    StructField("segment_total_length", LongType))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -296,7 +406,13 @@ object WarcRecords {
       ctype,
       body,
       hdrs.get("warc-profile").map(UTF8String.fromString).orNull,
-      hdrs.get("warc-refers-to").map(UTF8String.fromString).orNull)
+      hdrs.get("warc-refers-to").map(UTF8String.fromString).orNull,
+      hdrs.get("warc-record-id").map(UTF8String.fromString).orNull,
+      hdrs.get("warc-segment-number").flatMap(_.toLongOption)
+        .map(java.lang.Long.valueOf).orNull,
+      hdrs.get("warc-segment-origin-id").map(UTF8String.fromString).orNull,
+      hdrs.get("warc-segment-total-length").flatMap(_.toLongOption)
+        .map(java.lang.Long.valueOf).orNull)
     Some((row, payloadStart + clen))
   }
 }

@@ -48,7 +48,11 @@ object WarcDataSource {
     StructField("content_type", StringType, nullable = true),
     StructField("body", BinaryType, nullable = true),
     StructField("warc_profile", StringType, nullable = true),
-    StructField("refers_to", StringType, nullable = true)))
+    StructField("refers_to", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("segment_number", LongType, nullable = true),
+    StructField("segment_origin_id", StringType, nullable = true),
+    StructField("segment_total_length", LongType, nullable = true)))
 
   /** The ACTIVE session's Hadoop configuration (object-store
     * credentials, endpoints, defaultFS live there — a bare

@@ -1345,6 +1345,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("warc segmented records: chains round-trip, incomplete chains flagged, orphans dropped") {
+    val s = spark
+    import s.implicits._
+    // bodies straddling the chunk size in both directions + non-ASCII
+    // (byte framing must hold when chars != bytes) + an exact-multiple
+    val docs = Seq(
+      (1L, "a" * 25),            // 3 segments of chunk 10
+      (2L, "b" * 10),            // exactly one chunk -> unsegmented
+      (3L, "cafeéü " * 4), // multibyte: 28 chars, 3 segments
+      (4L, "short")              // unsegmented
+    ).toDF("doc_id", "text")
+    val segs = graft.sources.Warc.segmentRecords(docs,
+      col("doc_id"), lit("resource"),
+      concat(lit("https://x.org/d/"), col("doc_id")),
+      lit("2026-01-01T00:00:00Z"), lit("text/plain"), col("text"),
+      chunkChars = 10)
+    // parse the concatenated segment stream through the kernel route
+    val blob = segs.orderBy(col("doc_id"), col("rec")).select("rec")
+      .collect().map(_.getAs[Array[Byte]](0)).reduce(_ ++ _)
+    val parsed = s.createDataset(Seq(blob))(org.apache.spark.sql.Encoders.BINARY)
+      .toDF("bytes")
+      .select(inline(graft.sources.Warc.warcRecords(col("bytes"))))
+    assert(parsed.count() == 3 + 1 + 3 + 1)
+    val out = graft.sources.Warc.reassembleSegmented(parsed)
+      .select(col("target_uri"), decode(col("body"), "UTF-8").as("t"),
+        col("n_segments"), col("complete"))
+      .collect().map(r => (r.getString(0), (r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out.size == 4)
+    assert(out("https://x.org/d/1") == (("a" * 25, 3L, true)))
+    assert(out("https://x.org/d/2") == (("b" * 10, 1L, true)))
+    assert(out("https://x.org/d/3") == (("cafeéü " * 4, 3L, true)))
+    assert(out("https://x.org/d/4") == (("short", 1L, true)))
+    // drop doc 1's MIDDLE continuation: chain incomplete, never a
+    // silently short body claimed complete; orphan continuations
+    // (first segment gone entirely) vanish
+    val broken = parsed.where(!(col("segment_origin_id") === "<urn:graft:1>" &&
+        col("segment_number") === 2L) || col("segment_origin_id").isNull)
+      .where(!(col("record_id") === "<urn:graft:3>") || col("record_id").isNull)
+    val out2 = graft.sources.Warc.reassembleSegmented(broken)
+      .select(col("target_uri"), col("complete"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(out2("https://x.org/d/1") == false) // middle segment missing
+    assert(!out2.contains("https://x.org/d/3")) // orphaned continuations dropped
+    assert(out2("https://x.org/d/2") && out2("https://x.org/d/4"))
+  }
+
   test("warc gzip writer: record-per-member .warc.gz round-trips through both read routes") {
     val s = spark
     import s.implicits._
