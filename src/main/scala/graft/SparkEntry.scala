@@ -950,6 +950,17 @@ object SparkEntry {
       operators.Similarity.sqTopK(emb, "vec_id", "embedding", q, 20)
     }),
 
+    // binary quantization (1 bit/dim, 64x smaller): integer Hamming
+    // shortlist over sign codes, exact-cosine re-rank of the 80
+    // survivors — the train-free end of the quantization ladder
+    "q_ann_bq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.bqTopK(emb, "vec_id", "embedding", q, 20,
+        shortlist = 80)
+    }),
+
     // composed IVF+PQ ANN (FAISS IVFPQ shape): coarse cells + residual
     // codebooks from one sample; probe-pruned ADC scan; the oracle
     // replays coarse k-means, residual PQ training, encode, and scoring
@@ -6450,6 +6461,22 @@ object SparkEntry {
         |  CAST(list_sum([a.c[i] * q.c[i] FOR i IN range(1, 65)]) AS BIGINT) AS dot
         | FROM enc a CROSS JOIN qc q
         | ORDER BY dot DESC, a.vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+
+    // BQ replica: the sign test is the code definition, so Hamming is
+    // counted straight from the float signs (no bit ops needed); the
+    // 80-row shortlist then re-ranks by the rounded exact cosine
+    "q_ann_bq" ->
+      s"""WITH bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        | q AS (SELECT e AS qe FROM bv WHERE vec_id = 0),
+        | hm AS (SELECT b.vec_id, b.e,
+        |   CAST(list_sum([CASE WHEN (b.e[i] > 0) <> (q.qe[i] > 0)
+        |     THEN 1 ELSE 0 END FOR i IN range(1, 65)]) AS BIGINT) AS hamming
+        |  FROM bv b CROSS JOIN q),
+        | sl AS (SELECT vec_id, e, hamming FROM hm
+        |  ORDER BY hamming, vec_id LIMIT 80)
+        | SELECT s.vec_id, s.hamming, round(${cosSql("s.e", "q.qe")}, 6) AS cos
+        | FROM sl s CROSS JOIN q
+        | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
 
     // IVF+PQ: coarse k-means + residual-PQ training + probe-pruned ADC
     // replayed in SQL (see ivfPqScoreCtes)

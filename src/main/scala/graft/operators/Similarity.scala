@@ -859,6 +859,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Binary-quantization ANN: corpus vectors encode to ONE long each
+    * (the fused [[BqEncode]] sign-bit kernel — 64× smaller than
+    * float32), the query encodes driver-side with the same rule, and
+    * the shortlist is the `shortlist` smallest (popcount(code XOR
+    * qcode), id) rows — integer Hamming ranking, fully deterministic,
+    * no float order anywhere until the final exact-cosine re-rank of
+    * the shortlist recovers the quantization loss. Train-free (no
+    * codebooks, no sample pass): the index IS the code column.
+    *
+    * Scale shape: one codegen scan computes codes + Hamming, the
+    * shortlist rides a TakeOrdered, and only `shortlist` rows ever
+    * carry their raw vectors to the re-rank — at 100 TB the scan
+    * touches 8 bytes per vector instead of 256, which is the whole
+    * point. Defaults to a 4k shortlist for k. */
+  def bqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      shortlist: Int = -1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(query.length <= 64,
+      s"bqTopK supports at most 64 dims, got ${query.length}")
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl must be >= k $k")
+    val qCode = query.zipWithIndex.foldLeft(0L) { case (c, (v, i)) =>
+      if (v > 0f) c | (1L << i) else c
+    }
+    val enc = GraftSqlShim.column(BqEncode(GraftSqlShim.expression(col(vecCol))))
+    df.select(col(idCol), col(vecCol), enc.as("__bq"))
+      .select(col(idCol), col(vecCol),
+        bit_count(col("__bq").bitwiseXOR(lit(qCode))).cast("long").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(sl)
+      .select(col(idCol), col("hamming"),
+        round(cosine(col(vecCol), typedlit(query.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Train the composed IVF+PQ index (the FAISS IVFPQ shape) from ONE
     * capped id-ordered sample: coarse argmax-cosine centroids via Lloyd
     * iterations, then per-subspace L2 codebooks over the RESIDUALS

@@ -559,6 +559,46 @@ object OphMinHashSignature {
   val C: Long = 0x9e3779b97f4a7c15L
 }
 
+/** Binary (1-bit) quantization code: bit i of the result is set iff
+  * vec[i] > 0, so a 64-dim embedding packs into ONE long — 64× smaller
+  * than float32, the most aggressive memory lever in the quantization
+  * ladder (SQ8 4×, PQ 16-32×, BQ 64×). Hamming distance between codes
+  * ranks like angular distance for roughly mean-centered embeddings
+  * (each bit is the sign-hyperplane test of [Charikar 2002]'s SimHash
+  * with axis-aligned planes); exact-cosine re-ranking of a Hamming
+  * shortlist recovers the quantization loss — the modern BQ recipe.
+  * Inputs longer than 64 dims raise loudly (a silent truncation would
+  * rank on a prefix); NULL elements contribute an unset bit. */
+case class BqEncode(child: Expression) extends UnaryExpression with KernelCodegen {
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bq_encode expects array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n > 64) throw new IllegalArgumentException(
+      s"bq_encode supports at most 64 dimensions, got $n — slice or " +
+        "project the vector first (a silent prefix would mis-rank)")
+    var code = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && arr.getFloat(i) > 0f) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Longest-common-substring length between a text column and a FIXED
   * pattern, via the pattern's suffix automaton [Blumer et al. 1985;
   * the standard online construction] — built once per executor from

@@ -527,6 +527,46 @@ class OperatorsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("bqTopK: sign-bit codes + Hamming shortlist + exact rerank; >64 dims raise") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.bqTopK(emb, "vec_id", "embedding", q, 20, shortlist = 80)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size
+    // 1 bit/dim is the lossiest rung of the ladder; the 4x-k rerank
+    // still recovers most exact neighbors on the real embeddings (a
+    // broken code would score random ≈ 0-2)
+    assert(recall >= 10, s"recall $recall/20 too low — sign codes broken?")
+    // the query is Hamming-0 from itself: always in the shortlist and
+    // cosine-1 at the top
+    assert(approx.contains(0L))
+    // the kernel equals the driver-side sign fold on real vectors
+    val got = emb.limit(50).select(col("vec_id"),
+        org.apache.spark.sql.graft.GraftSqlShim.column(
+          graft.operators.BqEncode(org.apache.spark.sql.graft.GraftSqlShim
+            .expression(col("embedding")))).as("c"),
+        col("embedding"))
+      .collect()
+    got.foreach { r =>
+      val vec = r.getSeq[Float](2)
+      val want = vec.zipWithIndex.foldLeft(0L) { case (c, (v, i)) =>
+        if (v > 0f) c | (1L << i) else c
+      }
+      assert(r.getLong(1) == want, s"vec ${r.getLong(0)} code mismatch")
+    }
+    // 65 dims must raise, not silently rank on a prefix
+    val wide = s.sql("SELECT transform(sequence(1, 65), i -> CAST(i AS FLOAT)) AS v")
+    intercept[Exception] {
+      wide.select(org.apache.spark.sql.graft.GraftSqlShim.column(
+        graft.operators.BqEncode(org.apache.spark.sql.graft.GraftSqlShim
+          .expression(col("v"))))).collect()
+    }
+  }
+
   test("jlTopK: projected-space candidates + exact rerank recover most exact neighbors") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
