@@ -1129,6 +1129,29 @@ object SparkEntry {
           "doc_id", "w", k = 64)
         .orderBy(col("doc_id"))),
 
+    // per-stratum weighted sampling: 12 docs per source drawn by the
+    // same race, the budgeted-mix primitive; key_fp exposed so the
+    // oracle verifies each stratum's draw value-level
+    "q_wsample_stratified" -> ((s, dir) =>
+      operators.Curation.weightedSampleStratified(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              greatest(least(coalesce(col("n_chars").cast("long"), lit(1L)),
+                lit(1L << 20)), lit(1L)).as("w")),
+          "doc_id", "w", "source", perStratum = 12)
+        .orderBy(col("doc_id"))),
+
+    // skew-safe salted variant: identical rows (shared oracle), a hot
+    // source can never serialize into one window task
+    "q_wsample_stratified_salted" -> ((s, dir) =>
+      operators.Curation.weightedSampleStratified(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              greatest(least(coalesce(col("n_chars").cast("long"), lit(1L)),
+                lit(1L << 20)), lit(1L)).as("w")),
+          "doc_id", "w", "source", perStratum = 12, salts = 8)
+        .orderBy(col("doc_id"))),
+
     // fixed-point integer PageRank over the event interaction graph
     // (user→item edges via the library's own json_get_int, plus reverse
     // edges): 5 Pregel-style join+agg rounds, all-integer arithmetic so
@@ -3650,7 +3673,8 @@ object SparkEntry {
       "q_stream_warc_gz" -> base("q_warc_source"),
       "q_editdist_indexed" -> base("q_editdist_screen_tokens"),
       "q_stream_editdist" -> base("q_editdist_screen_tokens"),
-      "q_stream_wsample" -> base("q_weighted_sample"))
+      "q_stream_wsample" -> base("q_weighted_sample"),
+      "q_wsample_stratified_salted" -> base("q_wsample_stratified"))
   }
 
   /** BM25 oracle text shared by q_bm25 (scan path) and q_bm25_indexed
@@ -4481,6 +4505,26 @@ object SparkEntry {
         |  ORDER BY key_fp, doc_id LIMIT 64)
         | SELECT doc_id, w, key_fp FROM wtop ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+
+    // stratified replica: the same key chain ranked per source
+    "q_wsample_stratified" ->
+      s"""WITH ws0 AS (SELECT doc_id, source,
+        |  greatest(least(coalesce(CAST(n_chars AS BIGINT), 1), 1048576), 1) AS w,
+        |  ((CAST(doc_id AS HUGEINT) + 6151) % $M64 + $M64) % $M64 AS h0
+        |  FROM documents),
+        | ${mixStagesSql("ws0", "doc_id, source, w", "wsx")},
+        | wsf AS (SELECT doc_id, source, w,
+        |   CAST((h % 1099511627776) + 1 AS BIGINT) AS f FROM wsx3),
+        | wfd AS (SELECT DISTINCT f FROM wsf),
+        | ${log2fpCtes("wfd", "wlg")},
+        | wkey AS (SELECT s.doc_id, s.source, s.w,
+        |   CAST(((40960 - l.lfp) * 1048576) // s.w AS BIGINT) AS key_fp
+        |  FROM wsf s JOIN wlg l ON l.f = s.f),
+        | ranked AS (SELECT doc_id, source, w, key_fp,
+        |   row_number() OVER (PARTITION BY source ORDER BY key_fp, doc_id) AS rk
+        |  FROM wkey)
+        | SELECT doc_id, source, w, key_fp FROM ranked
+        | WHERE rk <= 12 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // split replica: the Mix64 HUGEINT chain, signed pmod 100 (Spark's
     // pmod over the signed long — DuckDB % truncates like Java), then

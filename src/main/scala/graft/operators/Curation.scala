@@ -268,6 +268,56 @@ object Curation {
       .drop(wN, nlN)
   }
 
+  /** Per-stratum weighted sampling without replacement:
+    * [[weightedSample]]'s quantized Efraimidis–Spirakis race run
+    * independently inside every stratum — the budgeted-mix primitive
+    * ("keep up to `perStratum` docs per source, drawn by quality
+    * weight"). The race key is the same pure function of (id, salt), so
+    * a document's draw does not depend on its stratum's size, and the
+    * whole sample replays externally.
+    *
+    * `salts = 1` ranks with one window on the stratum key. For skewed
+    * strata pass `salts > 1`: phase 1 ranks within (stratum, hash
+    * bucket) and keeps `perStratum` per bucket — any row in a stratum's
+    * true bottom-perStratum is also in its own bucket's bottom-
+    * perStratum, so phase 2's re-rank over ≤ salts·perStratum
+    * survivors returns EXACTLY the unsalted answer while a hot stratum
+    * spreads over `salts` tasks (the [[stratifiedSampleSalted]]
+    * argument, with the race key as the order). */
+  def weightedSampleStratified(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      stratumCol: String,
+      perStratum: Int,
+      salt: Long = 6151L,
+      salts: Int = 1,
+      keyOut: String = "key_fp"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perStratum >= 1, s"perStratum must be >= 1, got $perStratum")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val keyed = weightedKeys(docs, idCol, weightCol, salt, keyOut)
+    val rankCol = s"graft_rank_${java.util.UUID.randomUUID().toString.take(8)}"
+    val phase1 =
+      if (salts == 1) keyed
+      else {
+        // independent hash for the bucket split (the stratifiedSampleSalted
+        // rationale: reusing the race hash would correlate bucket and rank)
+        val bucket = pmod(mix64(col(idCol).cast("long"), salt + 1), lit(salts.toLong))
+        keyed
+          .withColumn(rankCol, row_number().over(
+            Window.partitionBy(col(stratumCol), bucket)
+              .orderBy(col(keyOut), col(idCol))))
+          .where(col(rankCol) <= perStratum)
+          .drop(rankCol)
+      }
+    phase1
+      .withColumn(rankCol, row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col(keyOut), col(idCol))))
+      .where(col(rankCol) <= perStratum)
+      .drop(rankCol)
+  }
+
   /** Bounded buffer for [[BottomKAggregator]]: the current k race
     * winners, sorted by (key, id). */
   case class BkBuf(rows: Seq[(Long, Long, Long)])

@@ -3655,6 +3655,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == want.map(_._1).toSet)
   }
 
+  test("weightedSampleStratified: caps per stratum; salted == plain at any salts") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 600L)
+      .map(i => (i, s"src${i % 5}", (i % 97) + 1L)).toDF("doc_id", "source", "w")
+    val plain = Curation.weightedSampleStratified(
+        docs, "doc_id", "w", "source", perStratum = 9)
+      .select("doc_id", "source", "key_fp")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // every stratum capped exactly (all 5 sources have >= 9 docs)
+    assert(plain.groupBy(_._2).view.mapValues(_.size).toMap.values.toSet == Set(9))
+    // the per-stratum winners are the stratum-local bottom-9 of the SAME
+    // race keys the global sampler draws
+    val keys = Curation.weightedKeys(docs, "doc_id", "w")
+      .select("doc_id", "source", "key_fp")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = keys.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      rows.sortBy(t => (t._3, t._1)).take(9)
+    }.toSet
+    assert(plain == want)
+    // the salted two-phase returns exactly the unsalted answer
+    for (salts <- Seq(2, 8, 32)) {
+      val salted = Curation.weightedSampleStratified(
+          docs, "doc_id", "w", "source", perStratum = 9, salts = salts)
+        .select("doc_id", "source", "key_fp")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(salted == plain, s"salts=$salts diverged")
+    }
+  }
+
   test("weightedSample: inclusion tracks weight; bad weights and ids raise") {
     val s = spark
     import s.implicits._
