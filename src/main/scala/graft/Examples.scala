@@ -413,6 +413,45 @@ object Examples {
     metaBlob.select(explode(sources.Warc.warcRecords(col("b"))).as("r"))
       .select("r.warc_type", "r.target_uri", "r.content_type").show(4, truncate = 40)
 
+    println("== 27. Round 14: weighted sampling, OPH minhash, BQ ANN, deletes, segments ==")
+    // weighted sampling without replacement: longer docs win more often,
+    // and the draw replays bit-for-bit anywhere (integer race keys)
+    val weighted = docs.select(col("doc_id"),
+      greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).as("w"))
+    Curation.weightedSample(weighted, "doc_id", "w", k = 5)
+      .orderBy("key_fp").show(5)
+    // ...and per source with a budget (the mix-construction primitive)
+    Curation.weightedSampleStratified(
+        docs.select(col("doc_id"), col("source"),
+          greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).as("w")),
+        "doc_id", "w", "source", perStratum = 2)
+      .groupBy("source").count().orderBy("source").show(3)
+    // one-permutation minhash: same LSH banding, 1 hash per shingle
+    Dedup.ophCandidatePairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .orderBy("id_a", "id_b").show(3)
+    // binary quantization: 64 dims -> one long; Hamming shortlist +
+    // exact rerank
+    val q26 = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    Similarity.bqTopK(emb, "vec_id", "embedding", q26, 5).show(5)
+    // merge-on-read DELETE: kilobytes written, old versions intact
+    val delRoot = java.nio.file.Files.createTempDirectory("graft-ex-del")
+    sources.Snapshots.append(docs.select("doc_id", "n_chars"), delRoot.toString)
+    sources.Snapshots.deleteWhere(spark, delRoot.toString, Seq("doc_id"),
+      col("doc_id") % 2 === 0)
+    println(s"after DELETE evens: v2 rows = ${
+      sources.Snapshots.read(spark, delRoot.toString).count()} " +
+      s"(v1 still ${sources.Snapshots.read(spark, delRoot.toString, 1L).count()})")
+    // ISO 28500 segmented records: oversized payloads chunked into
+    // continuation chains and provably reassembled
+    val segs26 = sources.Warc.segmentRecords(docs.limit(3), col("doc_id"),
+      lit("resource"), concat(lit("https://example.org/"), col("doc_id")),
+      lit("2026-01-01T00:00:00Z"), lit("text/plain"), col("text"), 48)
+    sources.Warc.reassembleSegmented(
+        segs26.select(explode(sources.Warc.warcRecords(col("rec"))).as("r"))
+          .select("r.*"))
+      .select("target_uri", "n_segments", "complete").show(3, truncate = 40)
+
     spark.stop()
   }
 }
