@@ -87,17 +87,87 @@ object Snapshots {
     }
   }
 
-  private def commit(df: DataFrame, root: String, replace: Boolean): Long = {
+  private def commit(df: DataFrame, root: String, replace: Boolean): Long =
+    commitAt(df, root, replace, currentVersion(df.sparkSession, root))
+
+  /** The commit body with the observed head version injected — the
+    * production path resolves it immediately before; the two-writer
+    * conflict spec resolves it, lets a second writer land, and replays
+    * this writer's commit to prove it loses with the retryable error
+    * and no lost rows (the branch-CAS discipline applied to MAIN). */
+  private[graft] def commitAt(
+      df: DataFrame, root: String, replace: Boolean, observedCur: Long): Long = {
     val spark = df.sparkSession
-    val cur = currentVersion(spark, root)
-    val prior = if (cur == 0 || replace) Seq.empty else readManifest(spark, root, cur)
+    val prior =
+      if (observedCur == 0 || replace) Seq.empty
+      else readManifest(spark, root, observedCur)
     val commitDir = s"data/c_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     df.write.mode("error").parquet(s"${root.stripSuffix("/")}/$commitDir")
-    val next = cur + 1
+    val next = observedCur + 1
+    claimVersion(spark, root, next)
     writeAtomic(spark, new Path(root, s"manifests/v$next.txt"),
       (prior :+ commitDir).mkString("\n") + "\n")
     writeAtomic(spark, new Path(root, "VERSION"), s"$next\n")
     next
+  }
+
+  /** The create-exclusive MAIN version claim — the single point where
+    * two concurrent main writers (appends, overwrites, deletes, branch
+    * publishes) are decided. Without it, both writers compute the same
+    * `next` and the second manifest write silently REPLACES the first:
+    * a LOST commit whose data dir leaks unreferenced — the worst
+    * failure class, because nothing ever reports it. With the claim,
+    * exactly one writer wins the slot; the loser throws the retryable
+    * conflict error and must re-read the head (its just-written data
+    * dir leaks unreferenced — never corrupt state, the losing-branch-
+    * writer contract). The claim is decided BEFORE the manifest write,
+    * so the winner's manifest can never be replaced; a crash in the
+    * milliseconds between claim and manifest leaves a dangling claim
+    * that BLOCKS the slot — detectable via [[abandonedClaims]] and
+    * repairable via [[releaseClaim]] (commits halted until repair beats
+    * commits silently vanishing). */
+  private def claimVersion(spark: SparkSession, root: String, v: Long): Unit = {
+    val p = new Path(root, s"manifests/v$v.claim")
+    val f = fs(spark, p)
+    val out =
+      try f.create(p, false)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          throw new java.util.ConcurrentModificationException(
+            s"version $v of $root was committed concurrently — re-read the " +
+              s"head and retry (if no manifest v$v ever appears, a writer " +
+              s"crashed mid-commit: releaseClaim($v) frees the slot): " +
+              e.getMessage)
+      }
+    out.close()
+  }
+
+  /** Claimed versions whose manifest never materialized — writers that
+    * crashed between claim and manifest. They block their slot (the
+    * next commit at that version keeps failing); inspect and
+    * [[releaseClaim]] to repair. A LIVE writer is in this state for
+    * milliseconds, so only treat a claim as abandoned when it persists
+    * across retries. */
+  def abandonedClaims(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(root, "manifests")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".claim") =>
+        s.stripPrefix("v").stripSuffix(".claim").toLongOption }
+      .flatten.filter(v => !f.exists(new Path(root, s"manifests/v$v.txt")))
+      .toSeq.sorted
+  }
+
+  /** Free a version slot left blocked by a crashed writer (see
+    * [[abandonedClaims]]). Refuses to release a claim whose manifest
+    * exists — that is a COMPLETED commit, not a dangler. */
+  def releaseClaim(spark: SparkSession, root: String, v: Long): Unit = {
+    val f = fs(spark, new Path(root))
+    require(!f.exists(new Path(root, s"manifests/v$v.txt")),
+      s"version $v of $root committed successfully — its claim is not abandoned")
+    f.delete(new Path(root, s"manifests/v$v.claim"), false)
   }
 
   /** Append a commit: version N+1 reads everything version N read plus
@@ -260,6 +330,7 @@ object Snapshots {
       val dead = readManifest(spark, root, v).map(entryDir).filterNot(referenced)
       dead.foreach(d => f.delete(new Path(root, d), true))
       f.delete(new Path(root, s"manifests/v$v.txt"), false)
+      f.delete(new Path(root, s"manifests/v$v.claim"), false)
     }
   }
 
@@ -522,6 +593,7 @@ object Snapshots {
       s"no branch '$name' under $root"))
     val dirs = readBranchManifest(spark, root, name, head._2)
     val next = currentVersion(spark, root) + 1
+    claimVersion(spark, root, next)
     writeAtomic(spark, new Path(root, s"manifests/v$next.txt"),
       dirs.mkString("\n") + "\n")
     writeAtomic(spark, new Path(root, "VERSION"), s"$next\n")

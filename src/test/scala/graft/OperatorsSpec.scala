@@ -1385,6 +1385,51 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("main-lineage two-writer race: loser retryable, nothing lost; abandoned claims repairable") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-snaprace")
+    try {
+      val r = root.toString
+      def ids(v: Long = -1L): Set[Long] =
+        graft.sources.Snapshots.read(s, r, v).select("id")
+          .collect().map(_.getLong(0)).toSet
+      graft.sources.Snapshots.append(Seq((1L, "a")).toDF("id", "x"), r) // v1
+      // writer A observes v1; before A's commit lands, writer B commits v2
+      val observed = graft.sources.Snapshots.currentVersion(s, r)
+      graft.sources.Snapshots.append(Seq((2L, "b")).toDF("id", "x"), r) // B: v2
+      // A replays its commit at the stale observation: exactly one writer
+      // owns v2 — A must lose LOUDLY, never silently replace B's manifest
+      intercept[java.util.ConcurrentModificationException] {
+        graft.sources.Snapshots.commitAt(Seq((3L, "c")).toDF("id", "x"), r,
+          replace = false, observedCur = observed)
+      }
+      assert(ids(2L) == Set(1L, 2L)) // B's commit intact
+      // A retries from fresh state: every writer's rows present
+      graft.sources.Snapshots.append(Seq((3L, "c")).toDF("id", "x"), r) // v3
+      assert(ids() == Set(1L, 2L, 3L))
+      // crash between claim and manifest: the slot blocks (commits fail
+      // loudly instead of commits vanishing), shows up as abandoned, and
+      // releaseClaim repairs it
+      java.nio.file.Files.createFile(root.resolve("manifests/v4.claim"))
+      intercept[java.util.ConcurrentModificationException] {
+        graft.sources.Snapshots.append(Seq((9L, "z")).toDF("id", "x"), r)
+      }
+      assert(graft.sources.Snapshots.abandonedClaims(s, r) == Seq(4L))
+      graft.sources.Snapshots.releaseClaim(s, r, 4L)
+      graft.sources.Snapshots.append(Seq((9L, "z")).toDF("id", "x"), r) // v4
+      assert(ids() == Set(1L, 2L, 3L, 9L))
+      // a completed commit's claim is NOT releasable
+      intercept[IllegalArgumentException] {
+        graft.sources.Snapshots.releaseClaim(s, r, 4L)
+      }
+      assert(graft.sources.Snapshots.abandonedClaims(s, r).isEmpty)
+    } finally {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
   test("warc segmented records: chains round-trip, incomplete chains flagged, orphans dropped") {
     val s = spark
     import s.implicits._
