@@ -950,6 +950,18 @@ object SparkEntry {
       operators.Similarity.sqTopK(emb, "vec_id", "embedding", q, 20)
     }),
 
+    // MMR diversified top-k: greedy λ·rel − (1−λ)·max-sim selection over
+    // a rounded-cosine pool; every argmax step replayed by the oracle
+    "q_mmr" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.mmrTopK(emb, "vec_id", "embedding", q,
+          k = 8, lambdaPct = 70, pool = 64)
+        .withColumnRenamed("rank", "mmr_rank")
+        .orderBy(col("mmr_rank"))
+    }),
+
     // binary quantization (1 bit/dim, 64x smaller): integer Hamming
     // shortlist over sign codes, exact-cosine re-rank of the 80
     // survivors — the train-free end of the quantization ladder
@@ -3165,6 +3177,41 @@ object SparkEntry {
   /** CosineSimilarity replica (element-order double accumulation). */
   private def cosSql(a: String, b: String): String =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  /** MMR replica: rounded-cosine pool (zero-norm vectors excluded, the
+    * kernel's NULL convention), pairwise rounded sims among the pool,
+    * then k unrolled greedy-argmax CTEs — step i excludes the chosen
+    * set ch(i−1), computes ms = coalesce(max sim to chosen, 0), and
+    * picks ONE row by (round6(λ·rel − (100−λ)·ms) DESC, vec_id). */
+  private def mmrOracleSql(k: Int = 8, lambdaPct: Int = 70, pool: Int = 64): String = {
+    val lam = lambdaPct
+    val mu = 100 - lambdaPct
+    val steps = (1 to k).map { i =>
+      s"""sc$i AS (SELECT p.vec_id, p.rel,
+         |  coalesce((SELECT max(s.sim) FROM sims s JOIN ch${i - 1} c ON s.b = c.vec_id
+         |    WHERE s.a = p.vec_id), 0) AS ms
+         |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})),
+         |pk$i AS (SELECT vec_id, CAST($i AS BIGINT) AS mmr_rank,
+         |  round($lam * rel - $mu * ms, 6) AS score
+         |  FROM sc$i ORDER BY round($lam * rel - $mu * ms, 6) DESC, vec_id LIMIT 1),
+         |ch$i AS (SELECT vec_id FROM ch${i - 1} UNION ALL SELECT vec_id FROM pk$i)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to k).map(i => s"SELECT * FROM pk$i").mkString(" UNION ALL ")
+    s"""WITH bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       | q AS (SELECT e AS qe FROM bv WHERE vec_id = 0),
+       | pool AS MATERIALIZED (SELECT b.vec_id, b.e,
+       |  round(${cosSql("b.e", "q.qe")}, 6) AS rel
+       |  FROM bv b CROSS JOIN q
+       |  WHERE list_inner_product(b.e, b.e) <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT $pool),
+       | sims AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
+       |  round(${cosSql("a.e", "b.e")}, 6) AS sim
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       | ch0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0),
+       | $steps
+       | SELECT vec_id, mmr_rank, score FROM ($union)
+       | ORDER BY mmr_rank""".stripMargin.replaceAll("\n", " ")
+  }
 
   /** dot(a,b) over the first n elements as an ORDERED double fold —
     * bit-identical to the Scala kernels' element-order accumulation. */
@@ -6505,6 +6552,12 @@ object SparkEntry {
         |  CAST(list_sum([a.c[i] * q.c[i] FOR i IN range(1, 65)]) AS BIGINT) AS dot
         | FROM enc a CROSS JOIN qc q
         | ORDER BY dot DESC, a.vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+
+    // MMR replica: rounded-cosine pool, pairwise rounded sims, then 8
+    // unrolled greedy-argmax CTEs (the unigram-DP discipline) — each
+    // step excludes the chosen set, takes coalesce(max sim, 0), and
+    // picks by (round6(70·rel − 30·ms) DESC, vec_id)
+    "q_mmr" -> mmrOracleSql(),
 
     // BQ replica: the sign test is the code definition, so Hamming is
     // counted straight from the float signs (no bit ops needed); the

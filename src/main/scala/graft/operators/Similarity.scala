@@ -900,6 +900,95 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k [Carbonell &
+    * Goldstein, SIGIR 1998]: greedily select k results maximizing
+    * λ·rel(c) − (1−λ)·max over selected s of sim(c, s) — retrieval that
+    * COVERS a topic instead of returning k near-duplicates (prompt
+    * context assembly, eval-set retrieval, hard-negative pools).
+    *
+    * Scale shape: the corpus contributes ONE TakeOrdered pool pass
+    * (top-`pool` by rounded exact cosine — the corpus never collects or
+    * shuffles); the greedy selection is inherently sequential in k, so
+    * it runs driver-side on the BOUNDED pool (`pool` ≤ 4096, loud
+    * require — the knnJoin small-side contract). Every compared value
+    * is rounded HALF_UP to 6 decimals and every tie breaks by id, so an
+    * external engine replays the whole argmax chain bit-for-bit; λ is
+    * an integer percent so the score arithmetic is identical
+    * everywhere: score = round6(λ·rel − (100−λ)·maxsim), maxsim = the
+    * running max of rounded pairwise cosines (0 before anything is
+    * selected). Returns (idCol, rank, score), rank = selection order. */
+  def mmrTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      lambdaPct: Int = 70,
+      pool: Int = 64): DataFrame = {
+    require(k >= 1 && k <= pool, s"k=$k must be in [1, pool=$pool]")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be in [0, 100], got $lambdaPct")
+    require(pool <= 4096, s"pool=$pool exceeds the 4096 driver bound")
+    val spark = df.sparkSession
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        round(cosine(col(vecCol), typedlit(query.toSeq)), 6).as("rel"))
+      .where(col("rel").isNotNull)
+      .orderBy(desc("rel"), col("id"))
+      .limit(pool)
+      .collect() // bounded by the pool contract above
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    val rels = rows.map(_.getDouble(2))
+    // the kernel's exact arithmetic: one ordered loop, double accumulators
+    def cosR(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0
+      else r6(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+    val n = ids.length
+    val lam = lambdaPct.toDouble
+    val mu = (100 - lambdaPct).toDouble
+    val maxSim = Array.fill(n)(0.0)
+    val chosen = Array.fill(n)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    var step = 1
+    while (step <= math.min(k, n)) {
+      var best = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!chosen(i)) {
+          val s = r6(lam * rels(i) - mu * maxSim(i))
+          if (best < 0 || s > bestScore ||
+              (s == bestScore && ids(i) < ids(best))) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      out += ((ids(best), step, bestScore))
+      chosen(best) = true
+      var j = 0
+      while (j < n) {
+        if (!chosen(j)) {
+          val sim = cosR(vecs(j), vecs(best))
+          if (sim > maxSim(j)) maxSim(j) = sim
+        }
+        j += 1
+      }
+      step += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF(idCol, "rank", "score")
+  }
+
   /** Train the composed IVF+PQ index (the FAISS IVFPQ shape) from ONE
     * capped id-ordered sample: coarse argmax-cosine centroids via Lloyd
     * iterations, then per-subspace L2 codebooks over the RESIDUALS

@@ -527,6 +527,46 @@ class OperatorsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("mmrTopK: diversifies planted clusters; lambda=100 reduces to plain top-k") {
+    val s = spark
+    import s.implicits._
+    // two near-orthogonal tight clusters; the query leans A but has a
+    // real B component: plain top-4 is all-A (within-A sim ≈ 1 beats
+    // rel_B), while MMR's diversity penalty kills the 2nd/3rd A pick
+    def aVec(j: Float): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == 0) 1f else if (i == 2) j else 0f)
+    def bVec(j: Float): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == 1) 1f else if (i == 3) j else 0f)
+    val rows =
+      (1L to 4L).map(i => (i, aVec(0.01f * i))) ++ // cluster A
+      (11L to 14L).map(i => (i, bVec(0.01f * (i - 10)))) // cluster B
+    val qSeq = Seq.tabulate(8)(i =>
+      if (i == 0) 0.9f else if (i == 1) 0.45f else 0f)
+    val df = (rows :+ ((0L, qSeq))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val q = qSeq.toArray
+    val mmr = Similarity.mmrTopK(df, "vec_id", "embedding", q,
+        k = 4, lambdaPct = 50, pool = 9)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(mmr.head == 0L, s"first pick must be the max-rel item, got $mmr")
+    assert(mmr.exists(id => id >= 11L),
+      s"MMR at lambda=50 must reach cluster B, got $mmr")
+    // lambda=100: no diversity term — exactly the rel-ordered prefix
+    val plain = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 4)
+      .collect().map(_.getLong(0)).toSeq
+    val lam100 = Similarity.mmrTopK(df, "vec_id", "embedding", q,
+        k = 4, lambdaPct = 100, pool = 9)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(lam100 == plain, s"lambda=100 $lam100 != plain top-k $plain")
+    // guards
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(df, "vec_id", "embedding", q, 5, 70, pool = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrTopK(df, "vec_id", "embedding", q, 2, 101)
+    }
+  }
+
   test("bqTopK: sign-bit codes + Hamming shortlist + exact rerank; >64 dims raise") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
