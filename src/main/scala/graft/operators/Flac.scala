@@ -162,11 +162,14 @@ object Flac {
       bitsPerSample: Int = 16,
       blockSize: Int = 4096,
       stereoDecorrelation: Boolean = true,
-      maxPartitionOrder: Int = 6): Array[Byte] = {
+      maxPartitionOrder: Int = 6,
+      maxLpcOrder: Int = 8): Array[Byte] = {
     val ch = samples.length
     require(ch >= 1 && ch <= 8, s"channels must be 1..8, got $ch")
     require(maxPartitionOrder >= 0 && maxPartitionOrder <= maxPartOrder,
       s"maxPartitionOrder must be 0..$maxPartOrder, got $maxPartitionOrder")
+    require(maxLpcOrder >= 0 && maxLpcOrder <= 16,
+      s"maxLpcOrder must be 0..16, got $maxLpcOrder")
     require(bitsPerSample >= 4 && bitsPerSample <= 24,
       s"bitsPerSample must be 4..24, got $bitsPerSample")
     require(blockSize >= 16 && blockSize <= 65535,
@@ -207,10 +210,10 @@ object Flac {
           i2 += 1
         }
         val b = bitsPerSample
-        val pL = planSubframe(l, off, bl, b, maxPartitionOrder)
-        val pR = planSubframe(r, off, bl, b, maxPartitionOrder)
-        val pS = planSubframe(side, 0, bl, b + 1, maxPartitionOrder)
-        val pM = planSubframe(mid, 0, bl, b, maxPartitionOrder)
+        val pL = planSubframe(l, off, bl, b, maxPartitionOrder, maxLpcOrder)
+        val pR = planSubframe(r, off, bl, b, maxPartitionOrder, maxLpcOrder)
+        val pS = planSubframe(side, 0, bl, b + 1, maxPartitionOrder, maxLpcOrder)
+        val pM = planSubframe(mid, 0, bl, b, maxPartitionOrder, maxLpcOrder)
         // strict < keeps the EARLIEST minimal candidate — independent
         // wins ties, then left-side, right-side, mid-side (spec order)
         val cands = Array(
@@ -240,7 +243,7 @@ object Flac {
       } else {
         var c = 0
         while (c < ch) {
-          encodeSubframe(w, samples(c), off, bl, bitsPerSample, maxPartitionOrder)
+          encodeSubframe(w, samples(c), off, bl, bitsPerSample, maxPartitionOrder, maxLpcOrder)
           c += 1
         }
       }
@@ -315,7 +318,8 @@ object Flac {
     * kind: 0 constant, 1 verbatim, 2 fixed(order, partition order po,
     * per-partition rice ks). */
   private final case class SubPlan(
-      kind: Int, order: Int, po: Int, ks: Array[Int], cost: Long)
+      kind: Int, order: Int, po: Int, ks: Array[Int], cost: Long,
+      prec: Int = 0, shift: Int = 0, coefs: Array[Int] = Array.empty)
 
   private val maxPartOrder = 6
 
@@ -335,7 +339,8 @@ object Flac {
     * is the true encoded size: [[writeSubframe]] emits exactly `cost`
     * bits from this plan. */
   private def planSubframe(
-      s: Array[Int], off: Int, bl: Int, bits: Int, maxPo: Int): SubPlan = {
+      s: Array[Int], off: Int, bl: Int, bits: Int, maxPo: Int,
+      maxLpc: Int = 8): SubPlan = {
     var const = true
     var i = 1
     while (const && i < bl) { const = s(off + i) == s(off); i += 1 }
@@ -419,9 +424,190 @@ object Flac {
       }
       order += 1
     }
+    // LPC orders 1..min(maxLpc, bl−1) [Levinson-Durbin on the
+    // rectangular-window autocorrelation; coefficients quantized to 12
+    // bits with an exact-fit shift]: the residual chain r[i] = s[i] −
+    // ((Σ q_j·s[i−1−j]) >> shift) matches the decoder bit-for-bit, so
+    // coefficient quality only affects SIZE, never correctness. Each
+    // order is costed EXACTLY (true integer residuals through the same
+    // Rice partition search) and replaces the fixed-predictor plan only
+    // on STRICT improvement — every pre-LPC output stays byte-identical
+    // unless LPC genuinely shrinks the subframe.
+    var bestKind = 2
+    var bestPrec = 0
+    var bestShift = 0
+    var bestCoefs: Array[Int] = Array.empty
+    val maxL = math.min(maxLpc, bl - 1)
+    if (maxL >= 1) {
+      val prec = 12
+      val ac = new Array[Double](maxL + 1)
+      var lag = 0
+      while (lag <= maxL) {
+        var acc = 0.0
+        var t = lag
+        while (t < bl) {
+          acc += s(off + t).toDouble * s(off + t - lag); t += 1
+        }
+        ac(lag) = acc
+        lag += 1
+      }
+      if (ac(0) > 0.0) {
+        // Levinson-Durbin with per-order coefficient snapshots; the
+        // prediction-error curve then picks ONE candidate order by the
+        // standard bits estimate (header + warmup + ~0.5·log2(residual
+        // variance) per sample) — estimation only PRUNES the order
+        // search; whether LPC replaces the fixed plan stays an EXACT
+        // bit-count comparison, so the cost claim is never estimated.
+        var err = ac(0)
+        val a = new Array[Double](maxL)
+        val snaps = Array.ofDim[Double](maxL + 1, maxL)
+        val errs = new Array[Double](maxL + 1)
+        var m = 1
+        var mMax = 0
+        while (m <= maxL && err > 0.0) {
+          var acc = ac(m)
+          var j = 1
+          while (j < m) { acc -= a(j - 1) * ac(m - j); j += 1 }
+          val k = acc / err
+          val prev = java.util.Arrays.copyOf(a, math.max(m - 1, 0))
+          j = 1
+          while (j < m) { a(j - 1) = prev(j - 1) - k * prev(m - j - 1); j += 1 }
+          a(m - 1) = k
+          err *= 1.0 - k * k
+          System.arraycopy(a, 0, snaps(m), 0, m)
+          errs(m) = err
+          mMax = m
+          m += 1
+        }
+        var mBest = 0
+        var estBest = Double.MaxValue
+        m = 1
+        while (m <= mMax) {
+          val nRes = (bl - m).toDouble
+          val v = math.max(errs(m), 1e-9) / math.max(nRes, 1.0)
+          val est = m.toDouble * (bits + prec) +
+            nRes * math.max(0.5 * math.log(v) / math.log(2.0), 0.0)
+          if (est < estBest) { estBest = est; mBest = m }
+          m += 1
+        }
+        if (mBest >= 1) {
+          val cand = snaps(mBest)
+          var maxAbs = 0.0
+          var j = 0
+          while (j < mBest) { maxAbs = math.max(maxAbs, math.abs(cand(j))); j += 1 }
+          if (maxAbs > 0.0) {
+            var sh = 15
+            while (sh > 0 && maxAbs * (1L << sh).toDouble > 2047.0) sh -= 1
+            val q = new Array[Int](mBest)
+            var anyNonZero = false
+            j = 0
+            while (j < mBest) {
+              q(j) = math.max(-2048L, math.min(2047L,
+                math.round(cand(j) * (1L << sh).toDouble))).toInt
+              anyNonZero ||= q(j) != 0
+              j += 1
+            }
+            if (anyNonZero) {
+              lpcResiduals(s, off, bl, q, sh, res)
+              val (po, ks, sec) = ricePlanFor(res, bl, mBest, maxPo)
+              val total = mBest.toLong * bits + 9L + mBest.toLong * prec + sec
+              if (total < bestBits) {
+                bestBits = total; bestKind = 3; bestOrder = mBest
+                bestPo = po; bestKs = ks
+                bestPrec = prec; bestShift = sh; bestCoefs = q
+              }
+            }
+          }
+        }
+      }
+    }
     val verbatimBits = bl.toLong * bits
     if (bestBits >= verbatimBits) SubPlan(1, 0, 0, Array.empty, 8L + verbatimBits)
-    else SubPlan(2, bestOrder, bestPo, bestKs, 8L + bestBits)
+    else SubPlan(bestKind, bestOrder, bestPo, bestKs, 8L + bestBits,
+      bestPrec, bestShift, bestCoefs)
+  }
+
+  /** LPC residual chain — the decoder's reconstruction inverted exactly:
+    * out(i−order) = s[i] − ((Σ coefs(j)·s[i−1−j]) >> shift). */
+  private def lpcResiduals(s: Array[Int], off: Int, bl: Int,
+      coefs: Array[Int], shift: Int, out: Array[Long]): Unit = {
+    val order = coefs.length
+    var i = order
+    while (i < bl) {
+      var acc = 0L
+      var j = 0
+      while (j < order) { acc += coefs(j).toLong * s(off + i - 1 - j); j += 1 }
+      out(i - order) = s(off + i).toLong - (acc >> shift)
+      i += 1
+    }
+  }
+
+  /** Exact-cost Rice partition plan for one residual set: per-k sums at
+    * the finest feasible level merged pairwise upward (the planSubframe
+    * machinery for a single predictor); ties keep the LOWEST po.
+    * Returns (po, ks, section bits = method + po field + per-partition
+    * params + codes). */
+  private def ricePlanFor(
+      res: Array[Long], bl: Int, order: Int, maxPo: Int): (Int, Array[Int], Long) = {
+    var fpo = 0
+    while (fpo < maxPo && (bl & ((1 << (fpo + 1)) - 1)) == 0 &&
+      (bl >> (fpo + 1)) > order) fpo += 1
+    val nParts = 1 << fpo
+    val sums = Array.ofDim[Long](nParts, 15)
+    val span = bl >> fpo
+    var p = 0
+    while (p < nParts) {
+      val from = if (p == 0) 0 else p * span - order
+      val to = (p + 1) * span - order
+      var j = from
+      while (j < to) {
+        val u = zigzag(res(j))
+        var k = 0
+        while (k <= 14) { sums(p)(k) += (u >>> k) + 1 + k; k += 1 }
+        j += 1
+      }
+      p += 1
+    }
+    var bestPo = 0
+    var bestKs: Array[Int] = null
+    var best = Long.MaxValue
+    var level = fpo
+    var cur = sums
+    while (level >= 0) {
+      val parts = 1 << level
+      var sec = 2L + 4L
+      val ks = new Array[Int](parts)
+      p = 0
+      while (p < parts) {
+        var bk = 0
+        var bc = Long.MaxValue
+        var k = 0
+        while (k <= 14) {
+          if (cur(p)(k) < bc) { bc = cur(p)(k); bk = k }
+          k += 1
+        }
+        ks(p) = bk
+        sec += 4 + bc
+        p += 1
+      }
+      // fine→coarse walk: replacing on == keeps the LOWEST po on ties
+      if (sec <= best) { best = sec; bestPo = level; bestKs = ks }
+      if (level > 0) {
+        val merged = Array.ofDim[Long](parts >> 1, 15)
+        p = 0
+        while (p < (parts >> 1)) {
+          var k = 0
+          while (k <= 14) {
+            merged(p)(k) = cur(2 * p)(k) + cur(2 * p + 1)(k)
+            k += 1
+          }
+          p += 1
+        }
+        cur = merged
+      }
+      level -= 1
+    }
+    (bestPo, bestKs, best)
   }
 
   /** Emit one subframe from its plan — exactly `plan.cost` bits. */
@@ -439,14 +625,26 @@ object Flac {
         j += 1
       }
     case _ =>
-      w.writeBits(0, 1); w.writeBits(8 + plan.order, 6); w.writeBits(0, 1)
+      val lpc = plan.kind == 3
+      w.writeBits(0, 1)
+      w.writeBits(if (lpc) 32 + plan.order - 1 else 8 + plan.order, 6)
+      w.writeBits(0, 1)
       var j = 0
       while (j < plan.order) {
         w.writeBits(s(off + j).toLong & ((1L << bits) - 1), bits)
         j += 1
       }
       val res = new Array[Long](bl)
-      residuals(s, off, bl, plan.order, res)
+      if (lpc) {
+        w.writeBits(plan.prec - 1, 4)
+        w.writeBits(plan.shift.toLong, 5)
+        j = 0
+        while (j < plan.order) {
+          w.writeBits(plan.coefs(j).toLong & ((1L << plan.prec) - 1), plan.prec)
+          j += 1
+        }
+        lpcResiduals(s, off, bl, plan.coefs, plan.shift, res)
+      } else residuals(s, off, bl, plan.order, res)
       w.writeBits(0, 2) // rice method 0 (4-bit params)
       w.writeBits(plan.po, 4)
       val parts = 1 << plan.po
@@ -469,8 +667,9 @@ object Flac {
 
   private def encodeSubframe(
       w: BitWriter, s: Array[Int], off: Int, bl: Int, bits: Int,
-      maxPo: Int): Unit =
-    writeSubframe(w, s, off, bl, bits, planSubframe(s, off, bl, bits, maxPo))
+      maxPo: Int, maxLpc: Int): Unit =
+    writeSubframe(w, s, off, bl, bits,
+      planSubframe(s, off, bl, bits, maxPo, maxLpc))
 
   private def zigzag(r: Long): Long = if (r >= 0) r << 1 else ((-r) << 1) - 1
 

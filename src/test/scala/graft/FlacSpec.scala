@@ -77,6 +77,47 @@ class FlacSpec extends AnyFunSuite {
     rt(Array(l1, u2, l1.map(_ / 2)))
   }
 
+  test("lpc encode: resonant signals strictly shrink vs fixed predictors; exact roundtrip; fixed-friendly signals byte-identical") {
+    // AR(2) resonator: x[i] = 1.9·x[i−1] − 0.95·x[i−2] + dither — a slow
+    // oscillation fixed polynomial predictors (orders 0..4, integer
+    // differences) fit poorly but a quantized 2-tap LPC models almost
+    // exactly. LPC must strictly shrink the stream AND round-trip: the
+    // residual chain inverts the decoder's (acc >> shift) reconstruction
+    // regardless of coefficient quality.
+    val n = 8192
+    val ar = new Array[Int](n)
+    var x1 = 0.0; var x2 = 0.0
+    for (i <- 0 until n) {
+      val x = 1.9 * x1 - 0.95 * x2 + (((i * 7919 + 31) % 17) - 8).toDouble
+      ar(i) = math.max(-30000, math.min(30000, math.round(x).toInt))
+      x2 = x1; x1 = ar(i).toDouble
+    }
+    val withLpc = Flac.encode(Array(ar), 16000, 16, 4096)
+    val noLpc = Flac.encode(Array(ar), 16000, 16, 4096, maxLpcOrder = 0)
+    assert(withLpc.length < noLpc.length,
+      s"LPC did not shrink the resonator: ${withLpc.length} vs ${noLpc.length}")
+    rtBytes(Array(ar), withLpc); rtBytes(Array(ar), noLpc)
+    // signals fixed predictors already encode with zero residuals
+    // (constant, linear ramp): LPC cannot STRICTLY improve, so the
+    // stream is byte-identical with LPC on or off
+    val ramp = Array(Array.tabulate(4096)(i => i - 2048))
+    assert(java.util.Arrays.equals(
+      Flac.encode(ramp, 8000, 16, 4096),
+      Flac.encode(ramp, 8000, 16, 4096, maxLpcOrder = 0)))
+    val const = Array(Array.fill(4096)(137))
+    assert(java.util.Arrays.equals(
+      Flac.encode(const, 8000, 16, 4096),
+      Flac.encode(const, 8000, 16, 4096, maxLpcOrder = 0)))
+    // LPC composes with stereo decorrelation and 8-bit depth: exact
+    // round-trips through the shared planner
+    val l = Array.tabulate(5000)(i =>
+      math.max(-120, math.min(120, (60.0 * math.sin(i / 9.0)).toInt)))
+    val r = Array.tabulate(5000)(i => math.max(-120, math.min(120, l(i) + (i % 3) - 1)))
+    val enc = Flac.encode(Array(l, r), 8000, 8, 4096)
+    val dec = Flac.decode(enc).get
+    assert(dec.samples(0).sameElements(l) && dec.samples(1).sameElements(r))
+  }
+
   test("rice partitions: variance-shifting blocks strictly shrink; stationary blocks byte-identical to order 0; exact roundtrip") {
     // one block whose residual variance jumps mid-block: quiet dither in
     // the first half, loud noise in the second — a single compromise k
