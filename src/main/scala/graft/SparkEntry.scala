@@ -929,6 +929,19 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // IVF x BQ: trained coarse cells prune which rows are read, sign
+    // codes prune which rows carry floats to the rerank — the composed
+    // two-lever scale path, fully replayed (Lloyd loops + sign Hamming)
+    "q_ann_ivfbq" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cents = operators.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", k = 16)
+      operators.Similarity.ivfBqTopK(emb, "vec_id", "embedding", q, 20,
+        nCells = 16, nProbe = 4, shortlist = 80, trainedCentroids = cents)
+    }),
+
     // PQ-compressed ANN: per-subspace trained codebooks, narrow encode,
     // ADC table-lookup scoring; the oracle replays the whole thing in SQL
     "q_ann_pq" -> ((s, dir) => {
@@ -3311,6 +3324,28 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY rawcos DESC, vec_id) AS rn
          |  FROM selm) WHERE rn <= $topK
          |ORDER BY qid, cos DESC, vec_id""".stripMargin
+    s"WITH ${ivfCoarseCtes(iters, k, nProbe, dim, sampleCap)},\n$tail".replaceAll("\n", " ")
+  }
+
+  /** IVF × BQ replica: the shared coarse Lloyd CTEs restrict the
+    * candidate set to the probed cells, Hamming is counted from the
+    * float sign tests (the q_ann_bq convention), the shortlist re-ranks
+    * by rounded exact cosine. */
+  private def ivfBqOracleSql(
+      iters: Int = 5, k: Int = 16, nProbe: Int = 4,
+      dim: Int = 64, topK: Int = 20, shortlist: Int = 80,
+      sampleCap: Int = 2048): String = {
+    val tail =
+      s"""cand AS (SELECT v.vec_id, v.e,
+         |  CAST(list_sum([CASE WHEN (v.e[i] > 0) <> (q.qe[i] > 0)
+         |    THEN 1 ELSE 0 END FOR i IN range(1, ${dim + 1})]) AS BIGINT) AS hamming
+         |  FROM avn v CROSS JOIN qv q
+         |  WHERE v.vec_id IN (SELECT vec_id FROM vcell WHERE cell IN (SELECT cell FROM pr))),
+         |sl AS (SELECT vec_id, e, hamming FROM cand
+         |  ORDER BY hamming, vec_id LIMIT $shortlist)
+         |SELECT s.vec_id, s.hamming, round(${cosSql("s.e", "q.qe")}, 6) AS cos
+         |FROM sl s CROSS JOIN qv q
+         |ORDER BY cos DESC, vec_id LIMIT $topK""".stripMargin
     s"WITH ${ivfCoarseCtes(iters, k, nProbe, dim, sampleCap)},\n$tail".replaceAll("\n", " ")
   }
 
@@ -6523,6 +6558,10 @@ object SparkEntry {
     // trained-IVF: Lloyd iterations + probe + top-k replayed in SQL with
     // ordered float folds (see ivfOracleSql)
     "q_ann_ivf" -> ivfOracleSql(),
+
+    // IVF x BQ: probed-cell candidates -> sign-test Hamming shortlist ->
+    // rounded-cosine rerank, over the same trained-Lloyd CTEs
+    "q_ann_ivfbq" -> ivfBqOracleSql(),
 
     // IVF-pruned kNN join: shared coarse CTEs + per-query probes
     "q_knn_ivf" -> knnIvfOracleSql(),

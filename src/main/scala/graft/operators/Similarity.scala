@@ -900,6 +900,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF × binary quantization — the two pruning levers composed: the
+    * probe filter prunes WHICH rows are read (the cell column is the
+    * partition key at rest, so probes become partition-pruned scans),
+    * and the sign-code Hamming shortlist prunes WHICH rows carry their
+    * float vectors to the exact-cosine re-rank (8 bytes scanned per
+    * probed vector instead of 256). Same contract as [[bqTopK]] with
+    * [[ivfTopK]]'s probing; train-free beyond the coarse centroids. */
+  def ivfBqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      shortlist: Int = -1,
+      trainedCentroids: Array[Array[Float]] = null): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(query.length <= 64,
+      s"ivfBqTopK supports at most 64 dims, got ${query.length}")
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl must be >= k $k")
+    val centroids: Array[(Int, Array[Float])] =
+      if (trainedCentroids != null) trainedCentroids.zipWithIndex.map(_.swap)
+      else df.where(col(idCol) < nCells)
+        .select(col(idCol).cast("int"), col(vecCol))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val probeCells = centroids.sortBy { case (_, c) => -cosArr(query, c) }
+      .take(nProbe).map(_._1)
+    val qCode = query.zipWithIndex.foldLeft(0L) { case (c, (v, i)) =>
+      if (v > 0f) c | (1L << i) else c
+    }
+    val enc = GraftSqlShim.column(BqEncode(GraftSqlShim.expression(col(vecCol))))
+    df.select(col(idCol), col(vecCol),
+        cellAssignment(col(vecCol), centroids).as("cell"))
+      .where(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col(idCol), col(vecCol),
+        bit_count(enc.bitwiseXOR(lit(qCode))).cast("long").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(sl)
+      .select(col(idCol), col("hamming"),
+        round(cosine(col(vecCol), typedlit(query.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Maximal-Marginal-Relevance diversified top-k [Carbonell &
     * Goldstein, SIGIR 1998]: greedily select k results maximizing
     * λ·rel(c) − (1−λ)·max over selected s of sim(c, s) — retrieval that

@@ -527,6 +527,26 @@ class OperatorsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("ivfBqTopK: composed probe + Hamming pruning still recovers neighbors") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 16)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfBqTopK(emb, "vec_id", "embedding", q, 20,
+        nCells = 16, nProbe = 4, shortlist = 80, trainedCentroids = cents)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size
+    // two composed lossy levers (4/16 probes, then 1-bit codes): the
+    // floor is loose but a broken composition scores random ≈ 0-2
+    assert(recall >= 7, s"recall $recall/20 too low — composition broken?")
+    // the query's own cell is its top probe, so it must survive both
+    // levers and re-rank first
+    assert(approx.contains(0L))
+  }
+
   test("mmrTopK: diversifies planted clusters; lambda=100 reduces to plain top-k") {
     val s = spark
     import s.implicits._
