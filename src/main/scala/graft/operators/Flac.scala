@@ -9,18 +9,20 @@ package graft.operators
  * engine can implement completely and verify bit-for-bit.
  *
  * Encoder subset (always spec-valid output): fixed blocksize streams,
- * independent channels, CONSTANT / VERBATIM / FIXED-order-0..4
- * subframes chosen per block by exact cost, Rice residuals (4-bit
- * parameters, partition orders 0..6 with per-partition exact-cost
- * parameter selection), CRC-8/CRC-16 framing, STREAMINFO with the
- * raw-PCM MD5.
+ * CONSTANT / VERBATIM / FIXED-order-0..4 / LPC subframes chosen per
+ * block by exact cost (LPC via Levinson-Durbin with an estimate-pruned
+ * order pick; the LPC-vs-fixed decision is exact and strict-improvement
+ * only), stereo decorrelation over all four channel assignments, Rice
+ * residuals (4-bit parameters, partition orders 0..6 with per-partition
+ * exact-cost parameter selection), CRC-8/CRC-16 framing, STREAMINFO
+ * with the raw-PCM MD5.
  *
  * Decoder superset (reads files our encoder never writes): LPC
- * subframes of any order, left/right/mid-side stereo decorrelation,
- * wasted-bits shifts, both Rice methods (4- and 5-bit parameters) with
- * any partition order plus escape partitions, all blocksize/sample-rate
- * /sample-size header codes, and CRC verification of every frame —
- * failures → None, the error→NULL discipline.
+ * subframes of ANY order up to 32, wasted-bits shifts, both Rice
+ * methods (4- and 5-bit parameters) with any partition order plus
+ * escape partitions, all blocksize/sample-rate/sample-size header
+ * codes, and CRC verification of every frame — failures → None, the
+ * error→NULL discipline.
  *
  * Everything is per-row integer arithmetic (no driver involvement), so
  * decode parallelism is row parallelism, the multimodal-column design
@@ -427,7 +429,7 @@ object Flac {
     // LPC orders 1..min(maxLpc, bl−1) [Levinson-Durbin on the
     // rectangular-window autocorrelation; coefficients quantized to 12
     // bits with an exact-fit shift]: the residual chain r[i] = s[i] −
-    // ((Σ q_j·s[i−1−j]) >> shift) matches the decoder bit-for-bit, so
+    // ((Σ qj·s[i−1−j]) >> shift) matches the decoder bit-for-bit, so
     // coefficient quality only affects SIZE, never correctness. Each
     // order is costed EXACTLY (true integer residuals through the same
     // Rice partition search) and replaces the fixed-predictor plan only
