@@ -2573,6 +2573,33 @@ object SparkEntry {
           col("n_opaque"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("entry_idx"), col("feat_idx"))),
 
+    // image perceptual hashes over REAL-decoded pixels: 8x8 average hash
+    // + 9x8 difference hash, all integer (box-average luma grid, strict
+    // comparisons, floor mean) — the oracle regrows both 64-bit codes
+    // from the pixel formula, so one flipped gradient bit mismatches
+    "q_img_phash" -> ((s, dir) =>
+      operators.Multimodal.perceptualHashes(s,
+          operators.Multimodal.syntheticImageBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("ahash"), col("dhash"))
+        .orderBy(col("doc_id"))),
+
+    // image near-dup join: base corpus vs a perturbed variant corpus
+    // (+8 brightness w/ clamp + a 4x4 patch) joined on banded dHash
+    // chunks (pigeonhole-complete at the radius) — the oracle brute-
+    // forces all cross pairs from both pixel formulas, proving the
+    // banding loses nothing
+    "q_img_dedup" -> ((s, dir) => {
+      def hashes(blobs: DataFrame) =
+        operators.Multimodal.perceptualHashes(s, blobs)
+          .toDF().select(col("doc_id"), col("dhash"))
+      operators.Dedup.hammingNearDupPairsCross(
+          hashes(operators.Multimodal.syntheticImageBlobs(s, table(s, dir, "documents"))),
+          hashes(operators.Multimodal.syntheticVariantBlobs(s, table(s, dir, "documents"))),
+          "doc_id", "dhash", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // real RIFF/WAV parse of synthetic PCM clips: header metadata and
     // sample-stat features, both formula-replayed by the oracle
     "q_audio_meta" -> ((s, dir) =>
@@ -2936,6 +2963,53 @@ object SparkEntry {
       |    / CAST(w * h AS DOUBLE) AS REAL) AS feat
       | FROM sums, (SELECT unnest(range(8)) AS f) fr
       | ORDER BY doc_id, feat_idx""".stripMargin.replaceAll("\n", " ")
+
+  /** Perceptual-hash replica from the synthetic-PNG pixel formula at the
+    * PNG generator's dims: per-pixel integer luma (77r+150g+29b)//256 →
+    * floor box-average grids (9×8 for dHash, 8×8 for aHash) → strict
+    * gradient / above-floor-mean bits → HUGEINT power packing →
+    * signed-64 reinterpret. Yields CTE `<pfx>hash(doc_id, ahash, dhash)`;
+    * rf/gf/bf override the channel formulas (the variant corpus). */
+  private def imgHashCtes(
+      pfx: String,
+      rf: String = "(doc_id * 31 + x * 7 + y * 13) % 256",
+      gf: String = "(doc_id * 17 + x * 11 + y * 3) % 256",
+      bf: String = "(doc_id * 13 + x * 5 + y * 29) % 256"): String = {
+    val powers = (0 until 64).map(b => (BigInt(1) << b).toString).mkString(", ")
+    s"""${pfx}d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h FROM documents),
+      | ${pfx}xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM ${pfx}d),
+      | ${pfx}px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM ${pfx}xs),
+      | ${pfx}lm AS (SELECT doc_id, w, h, x, y,
+      |   (77 * ($rf) + 150 * ($gf) + 29 * ($bf)) // 256 AS lum FROM ${pfx}px),
+      | ${pfx}c9 AS (SELECT doc_id, (y*8)//h AS cy, (x*9)//w AS cx, sum(lum)//count(*) AS cell
+      |   FROM ${pfx}lm GROUP BY doc_id, (y*8)//h, (x*9)//w),
+      | ${pfx}c8 AS (SELECT doc_id, (y*8)//h AS cy, (x*8)//w AS cx, sum(lum)//count(*) AS cell
+      |   FROM ${pfx}lm GROUP BY doc_id, (y*8)//h, (x*8)//w),
+      | ${pfx}pw AS (SELECT generate_subscripts(l, 1) - 1 AS idx, unnest(l) AS p
+      |   FROM (SELECT [$powers] AS l) t),
+      | ${pfx}db AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx
+      |   FROM ${pfx}c9 a JOIN ${pfx}c9 b ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      |   WHERE b.cell > a.cell),
+      | ${pfx}du AS (SELECT d.doc_id, sum(CAST(w.p AS HUGEINT)) AS u
+      |   FROM ${pfx}db d JOIN ${pfx}pw w ON w.idx = d.idx GROUP BY d.doc_id),
+      | ${pfx}mn AS (SELECT doc_id, sum(cell) // 64 AS mean FROM ${pfx}c8 GROUP BY doc_id),
+      | ${pfx}ab AS (SELECT c.doc_id, c.cy * 8 + c.cx AS idx
+      |   FROM ${pfx}c8 c JOIN ${pfx}mn m ON m.doc_id = c.doc_id WHERE c.cell > m.mean),
+      | ${pfx}au AS (SELECT a.doc_id, sum(CAST(w.p AS HUGEINT)) AS u
+      |   FROM ${pfx}ab a JOIN ${pfx}pw w ON w.idx = a.idx GROUP BY a.doc_id),
+      | ${pfx}hash AS (SELECT d.doc_id,
+      |   ${signedSql("coalesce(au.u, 0)")} AS ahash,
+      |   ${signedSql("coalesce(du.u, 0)")} AS dhash
+      |   FROM ${pfx}d d LEFT JOIN ${pfx}au au ON au.doc_id = d.doc_id
+      |   LEFT JOIN ${pfx}du du ON du.doc_id = d.doc_id)""".stripMargin
+  }
+
+  /** The variant corpus' channel formulas: +8 brightness clamped at 255,
+    * 4×4 crimson origin patch — [[operators.Multimodal.syntheticVariantPng]]. */
+  private val imgVariantChannels: (String, String, String) = (
+    "CASE WHEN x < 4 AND y < 4 THEN 230 ELSE least((doc_id * 31 + x * 7 + y * 13) % 256 + 8, 255) END",
+    "CASE WHEN x < 4 AND y < 4 THEN 10 ELSE least((doc_id * 17 + x * 11 + y * 3) % 256 + 8, 255) END",
+    "CASE WHEN x < 4 AND y < 4 THEN 60 ELSE least((doc_id * 13 + x * 5 + y * 29) % 256 + 8, 255) END")
 
   /** 3-token shingle set of a `tk` token-list column — mirror of
     * Dedup.shingles(_, 3). */
@@ -5835,6 +5909,26 @@ object SparkEntry {
         |    / CAST(nop AS DOUBLE) AS REAL) AS feat
         | FROM sums, (SELECT unnest(range(8)) AS f) fr
         | ORDER BY doc_id, entry_idx, feat_idx""".stripMargin.replaceAll("\n", " "),
+
+    // perceptual-hash replica: regrow both 64-bit codes from the pixel
+    // formula (integer luma, floor box averages, strict bits, HUGEINT
+    // packing) — the real PNG decode must reproduce every gradient sign
+    "q_img_phash" ->
+      s"""WITH ${imgHashCtes("ib")}
+        | SELECT doc_id, ahash, dhash FROM ibhash ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // brute-force all cross pairs from BOTH pixel formulas — the banded
+    // chunk join is pigeonhole-complete at radius 8, so it must equal
+    // the exhaustive Hamming filter
+    "q_img_dedup" -> {
+      val (rf, gf, bf) = imgVariantChannels
+      s"""WITH ${imgHashCtes("ib")}, ${imgHashCtes("iv", rf, gf, bf)}
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        | FROM ibhash a JOIN ivhash b ON bit_count(xor(a.dhash, b.dhash)) <= 8
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
+    },
 
     // WAV decode replica WITHOUT parsing WAV: the synthetic clips'
     // header fields are a pure formula of doc_id, and the canonical

@@ -201,6 +201,150 @@ object Multimodal {
     (r << 16) | (g << 8) | b
   }
 
+  /** One perceptual-hash record: 64-bit average hash + difference hash
+    * over the decoded pixels. */
+  case class ImageHashes(doc_id: Long, width: Int, height: Int, ahash: Long, dhash: Long)
+
+  /** Integer box-downsample of row-major 0xRRGGBB pixels to a gw×gh
+    * grid of average lumas. Pixel (x, y) lands in cell
+    * (⌊x·gw/w⌋, ⌊y·gh/h⌋); per-pixel luma is the pure-integer
+    * (77·r + 150·g + 29·b) >> 8 (77+150+29 = 256, so luma ∈ [0, 255]);
+    * each cell is the FLOOR average of its lumas. Everything is exact
+    * integer arithmetic, so a SQL oracle replays the grid bit-for-bit
+    * from a pixel formula. Requires w ≥ gw and h ≥ gh (every cell
+    * non-empty) — callers guard. Returned row-major: cell(cx, cy) =
+    * grid(cy·gw + cx). */
+  private[graft] def lumaGrid(
+      px: Array[Int], w: Int, h: Int, gw: Int, gh: Int): Array[Long] = {
+    val sum = new Array[Long](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cx = x * gw / w
+        val p = px(y * w + x)
+        val lum = (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+          29 * (p & 0xff)) >> 8
+        sum(cy * gw + cx) += lum
+        cnt(cy * gw + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw * gh)(i => sum(i) / cnt(i))
+  }
+
+  /** 64-bit difference hash (dHash): 9×8 luma grid, bit cy·8+cx set iff
+    * cell(cx+1, cy) > cell(cx, cy) — each bit is a horizontal gradient
+    * sign, so the code is invariant under uniform brightness shifts and
+    * approximately invariant under rescaling (the classic near-duplicate
+    * image fingerprint). Requires w ≥ 9, h ≥ 8. */
+  private[graft] def dHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val g = lumaGrid(px, w, h, 9, 8)
+    var bits = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (g(cy * 9 + cx + 1) > g(cy * 9 + cx)) bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
+  /** 64-bit average hash (aHash): 8×8 luma grid, bit cy·8+cx set iff the
+    * cell STRICTLY exceeds the floor mean of the 64 cells. Also
+    * brightness-shift invariant (a uniform +k moves every cell and the
+    * floor mean by exactly k). Requires w ≥ 8, h ≥ 8. */
+  private[graft] def aHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val g = lumaGrid(px, w, h, 8, 8)
+    var s = 0L
+    var i = 0
+    while (i < 64) { s += g(i); i += 1 }
+    val mean = s / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (g(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Perceptual hashes over (doc_id, blob) rows via the JVM's real image
+    * decoders (`ImageIO` — PNG/JPEG/GIF/BMP; compose with the hand
+    * parsers' pixel paths for TGA/QOI/PCX if needed). Narrow
+    * partition-local decode, two 64-bit codes per image — the scan that
+    * turns a 100 TB image corpus into a 16-byte-per-row near-dup index.
+    * Images smaller than the 9×8 grid raise loudly (an empty grid cell
+    * would silently divide by zero). */
+  def perceptualHashes(spark: SparkSession, blobs: DataFrame): Dataset[ImageHashes] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"perceptualHashes: undecodable blob for doc $id")
+          val w = img.getWidth
+          val h = img.getHeight
+          require(w >= 9 && h >= 8,
+            s"perceptualHashes: image ${w}x$h below the 9x8 hash grid (doc $id)")
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          ImageHashes(id, w, h, aHash64(px, w, h), dHash64(px, w, h))
+        }
+      }
+  }
+
+  /** Deterministic NEAR-DUPLICATE variant of [[syntheticPng]]: same
+    * dimensions, every channel brightened by +8 with a 255 clamp
+    * (dHash/aHash are invariant to the shift except where the clamp
+    * bites), plus a 4×4 crimson patch at the origin (x < 4 ∧ y < 4 →
+    * (230, 10, 60)) that flips a handful of gradient bits — so
+    * base↔variant pairs sit at a small but non-zero Hamming distance.
+    * Both perturbations are exact-integer CASE/least formulas the DuckDB
+    * oracle replays per pixel. */
+  def syntheticVariantPng(docId: Long): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(docId, 17L).toInt
+    val h = 16 + java.lang.Math.floorMod(docId * 7, 13L).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb =
+          if (x < 4 && y < 4) (230 << 16) | (10 << 8) | 60
+          else {
+            val p = formulaPixel(docId, x, y)
+            val r = math.min(((p >> 16) & 0xff) + 8, 255)
+            val g = math.min(((p >> 8) & 0xff) + 8, 255)
+            val b = math.min((p & 0xff) + 8, 255)
+            (r << 16) | (g << 8) | b
+          }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (doc_id, blob) table of [[syntheticVariantPng]] images. */
+  def syntheticVariantBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticVariantPng(id))))
+      .toDF("doc_id", "blob")
+  }
+
   /** Deterministic synthetic BMP — the same pixel formula as
     * [[syntheticPng]] at w = 16 + docId mod 19, h = 16 + 5·docId mod 11 —
     * encoded by HAND as a 24-bit uncompressed BI_RGB / BITMAPINFOHEADER

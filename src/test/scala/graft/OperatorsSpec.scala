@@ -5418,4 +5418,82 @@ class OperatorsSpec extends AnyFunSuite {
       .where(col("n_docs") >= 2).select("digest").distinct().count()
     assert(shared >= (d1.intersect(d2).size - 1).toLong, s"shared=$shared")
   }
+
+  // deterministic test image: every channel bounded to [0, 199] so a +8
+  // uniform brightness shift never clamps
+  private def testArgb(seed: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val r = ((seed * 31 + x * 7 + y * 13) % 200).toInt
+      val g = ((seed * 17 + x * 11 + y * 3) % 200).toInt
+      val b = ((seed * 13 + x * 5 + y * 29) % 200).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+  test("perceptual hashes: brightness-shift invariant, kernels match a naive model") {
+    for (seed <- 1L to 8L) {
+      val (w, h) = (16 + (seed % 7).toInt, 16 + (seed % 5).toInt)
+      val base = testArgb(seed, w, h)
+      val bright = base.map { p =>
+        ((((p >> 16) & 0xff) + 8) << 16) | ((((p >> 8) & 0xff) + 8) << 8) | ((p & 0xff) + 8)
+      }
+      // uniform shift moves every cell and the floor mean by exactly +8
+      assert(Multimodal.dHash64(base, w, h) == Multimodal.dHash64(bright, w, h))
+      assert(Multimodal.aHash64(base, w, h) == Multimodal.aHash64(bright, w, h))
+
+      // naive grid model: double-free, straight from the definition
+      def lum(p: Int) =
+        (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) + 29 * (p & 0xff)) >> 8
+      def grid(gw: Int, gh: Int): Array[Long] = {
+        val cells = Array.fill(gw * gh)(Vector.empty[Long])
+        for (y <- 0 until h; x <- 0 until w)
+          cells(y * gh / h * gw + x * gw / w) :+= lum(base(y * w + x)).toLong
+        cells.map(c => c.sum / c.length)
+      }
+      val g9 = grid(9, 8)
+      var dExp = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (g9(cy * 9 + cx + 1) > g9(cy * 9 + cx)) dExp |= 1L << (cy * 8 + cx)
+      assert(Multimodal.dHash64(base, w, h) == dExp)
+      val g8 = grid(8, 8)
+      val mean = g8.sum / 64
+      var aExp = 0L
+      for (i <- 0 until 64) if (g8(i) > mean) aExp |= 1L << i
+      assert(Multimodal.aHash64(base, w, h) == aExp)
+    }
+  }
+
+  test("image near-dup: variant within radius of its base, banding complete vs brute force") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    def hashes(blobs: org.apache.spark.sql.DataFrame) =
+      Multimodal.perceptualHashes(s, blobs).toDF().select(col("doc_id"), col("dhash"))
+    val base = hashes(Multimodal.syntheticImageBlobs(s, ids)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val varr = hashes(Multimodal.syntheticVariantBlobs(s, ids)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the perturbation (+8 clamp + 4x4 patch) stays inside radius 8 for
+    // every fixture id — the near-dup join must pair each base with its
+    // own variant
+    for (id <- 0L until 40L) {
+      val d = java.lang.Long.bitCount(base(id) ^ varr(id))
+      assert(d <= 8, s"doc $id drifted to hamming $d")
+    }
+    val got = Dedup.hammingNearDupPairsCross(
+        hashes(Multimodal.syntheticImageBlobs(s, ids)),
+        hashes(Multimodal.syntheticVariantBlobs(s, ids)),
+        "doc_id", "dhash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force from the collected codes — pigeonhole banding is
+    // complete at the radius, so the sets must be EQUAL
+    val brute = (for {
+      (ia, ca) <- base.toSeq
+      (ib, cb) <- varr.toSeq
+      d = java.lang.Long.bitCount(ca ^ cb)
+      if d <= 8
+    } yield (ia, ib, d)).toSet
+    assert(got == brute)
+    assert((0L until 40L).forall(id => got.exists(p => p._1 == id && p._2 == id)))
+  }
 }
