@@ -519,6 +519,25 @@ object SparkEntry {
         .select(col("doc_id"), operators.TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // winnowing fingerprints (Schleimer-Wilkerson-Aiken / MOSS): window
+    // min over packed (hash, rightmost-pos) keys — the oracle replays
+    // the full chain (FNV per gram, splitmix, 40-bit mask, key pack,
+    // windowed min, consecutive dedup) value-for-value
+    "q_winnow" -> ((s, dir) =>
+      operators.TextOps.winnowFingerprints(
+          table(s, dir, "documents"), "doc_id", "text", k = 8, w = 16)
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // substring-overlap pairs from shared winnowing fingerprints (the
+    // MOSS report): df-capped postings join + shared-count threshold,
+    // fully replayed by the oracle from the same selected fingerprints
+    "q_winnow_pairs" -> ((s, dir) =>
+      operators.TextOps.winnowOverlapPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          k = 16, w = 24, minShared = 3, maxDf = 20)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // 64-bit SimHash over token hashes (native expression)
     "q_simhash" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -3099,6 +3118,27 @@ object SparkEntry {
        |  FROM bitsq GROUP BY doc_id),
        |shv AS (SELECT doc_id, ${signedSql("u")} AS sh FROM shu)""".stripMargin
   }
+
+  /** Winnowing replica — the [[operators.WinnowFingerprints]] chain in
+    * SQL: per-gram FNV-1a → splitmix64 → 40-bit mask → key =
+    * (h40 << 20) | (2^20−1−pos) → ONE windowed min per window end
+    * (ascending key == (hash asc, pos desc), the paper's rightmost-min
+    * tie rule) → DISTINCT decode (consecutive windows re-selecting a
+    * gram collapse). Yields CTE `<pfx>sel(doc_id, pos, fp)`. */
+  private def winnowCtes(k: Int, w: Int, pfx: String = "wf"): String =
+    s"""${pfx}n AS (SELECT doc_id, text, octet_length(encode(text)) - $k + 1 AS cnt
+       |   FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) >= $k),
+       |${pfx}g AS (SELECT doc_id, cnt, unnest(range(cnt)) AS pos, text FROM ${pfx}n),
+       |${pfx}h AS (SELECT doc_id, cnt, pos,
+       |   ${fnvSql(s"substr(text, CAST(pos+1 AS INT), $k)")} AS h0 FROM ${pfx}g),
+       |${mixStagesSql(s"${pfx}h", "doc_id, cnt, pos", s"${pfx}m")},
+       |${pfx}k AS (SELECT doc_id, cnt, pos,
+       |   (h % 1099511627776) * 1048576 + (1048575 - pos) AS key FROM ${pfx}m3),
+       |${pfx}w AS (SELECT doc_id, cnt, pos AS e, min(key) OVER (PARTITION BY doc_id
+       |   ORDER BY pos ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS kmin FROM ${pfx}k),
+       |${pfx}sel AS (SELECT DISTINCT doc_id, CAST(1048575 - (kmin % 1048576) AS INT) AS pos,
+       |   CAST(kmin // 1048576 AS BIGINT) AS fp
+       |   FROM ${pfx}w WHERE e + 1 >= least($w, cnt))""".stripMargin
 
   /** Full MinHashSignature + BandBuckets + SigAgreement replica: token
     * FNV-1a → rolling shingle hash → splitmix64 → 16-component affine
@@ -6368,6 +6408,26 @@ object SparkEntry {
     "q_fingerprint" ->
       s"""SELECT doc_id, ${signedSql(fnvSql("text"))} AS fp
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // full winnowing replica: every selected (pos, fp) regrown from the
+    // gram hashes and one windowed min over the packed keys
+    "q_winnow" ->
+      s"""WITH ${winnowCtes(8, 16)}
+        | SELECT doc_id, pos, fp FROM wfsel ORDER BY doc_id, pos"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // MOSS overlap pairs from the same selected fingerprints: distinct
+    // per-doc fps -> df <= 100 noise-gram drop -> postings self-join ->
+    // shared-count >= 2
+    "q_winnow_pairs" ->
+      s"""WITH ${winnowCtes(16, 24)},
+        | pst0 AS (SELECT DISTINCT doc_id, fp FROM wfsel),
+        | dfc AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM pst0 GROUP BY fp) WHERE df <= 20),
+        | pst AS (SELECT p.doc_id, p.fp FROM pst0 p JOIN dfc USING (fp))
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        | FROM pst a JOIN pst b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING count(*) >= 3
+        | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // full SimHash64 kernel replica (token fnv1a → splitmix64 → sign bits)
     "q_simhash" ->

@@ -423,6 +423,57 @@ object TextOps {
   /** 64-bit FNV-1a content fingerprint (see Fnv1a64). */
   def fingerprint(textCol: Column): Column = fnv1a64(textCol)
 
+  /** Winnowing fingerprint table (see [[WinnowFingerprints]]): one row
+    * per SELECTED k-gram — (id, pos, fp) — ~2/(w+1) of the grams, with
+    * the guarantee that any cross-document substring match of
+    * ≥ w + k − 1 bytes shares at least one fp. Narrow one-pass kernel
+    * scan: the 100 TB shape is "fingerprint once, persist, join many". */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 16): DataFrame = {
+    val fps = GraftSqlShim.column(
+      WinnowFingerprints(GraftSqlShim.expression(col(textCol)), k, w))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(fps).as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
+
+  /** Substring-overlap candidate pairs from shared winnowing
+    * fingerprints (the MOSS report shape): documents are paired when
+    * they share ≥ `minShared` DISTINCT selected fingerprints, counted
+    * over fingerprints whose document frequency is ≤ `maxDf` —
+    * boilerplate grams selected by half the corpus carry no overlap
+    * signal and would otherwise make the fp-join quadratic (the
+    * standard MOSS noise-gram drop; lossy by design, documented).
+    * Returns (id_a, id_b, n_shared), id_a < id_b. One shuffle on fp for
+    * the postings join, one on the pair for the count — both equi-joins
+    * with df-bounded postings, so the pair stage is AQE-splittable. */
+  def winnowOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 16,
+      minShared: Int = 2,
+      maxDf: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 (a df-1 fp can never pair), got $maxDf")
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp")).distinct()
+    val kept = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fp")
+    val posting = fps.join(kept, "fp")
+    val a = posting.as("a")
+    val b = posting.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** PII patterns usable under BOTH java.util.regex and RE2 (the DuckDB
     * oracle): no lookaround, no backreferences, explicit classes. */
   val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1531,6 +1531,97 @@ case class GearCutpoints(child: Expression, maskBits: Int, minLen: Int, maxLen: 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing document fingerprints [Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003, "Winnowing: Local Algorithms for Document
+  * Fingerprinting" — the MOSS algorithm]: hash every k-byte gram
+  * (FNV-1a → splitmix64, masked to 40 bits), slide a window of `w`
+  * consecutive grams, and in each window select the MINIMUM hash,
+  * breaking ties by the RIGHTMOST position; consecutive windows
+  * re-selecting the same gram record it once. Guarantee: two documents
+  * sharing any substring of ≥ w + k − 1 bytes share at least one
+  * selected fingerprint, while only ~2/(w+1) of grams are kept — the
+  * local, position-robust substring-overlap index (exact-duplicate
+  * hashing breaks on any edit; shingle Jaccard loses positions).
+  *
+  * The (min-hash, rightmost-pos) objective is packed into ONE integer
+  * so a SQL oracle replays selection with a single windowed `min`:
+  *   key(pos) = (h40 << 20) | (2^20 − 1 − pos)
+  * — ascending key order == (hash asc, pos desc). Documents with more
+  * than 2^20 grams raise loudly (the position field would wrap).
+  * Documents shorter than k grams-wise yield an empty array; documents
+  * with 1 ≤ #grams < w select over the single full-document window.
+  *
+  * Returns array<struct<pos int, fp long>> in ascending position order
+  * (selection position strictly increases as the window slides: a
+  * selection change either follows the old minimum falling out — every
+  * survivor sits to its right — or a new rightmost minimum entering).
+  * 40-bit fingerprints keep collisions negligible at corpus scale while
+  * leaving 20 bits for the position pack; fp is always non-negative. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with KernelCodegen {
+  require(k >= 1 && k <= 255, s"gram width out of range: $k")
+  require(w >= 1 && w <= (1 << 16), s"window out of range: $w")
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects a string, got ${other.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val nGrams = bytes.length - k + 1
+    if (nGrams <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    require(nGrams <= (1 << 20),
+      s"winnow_fingerprints: $nGrams grams exceed the 2^20 position pack")
+    val keys = new Array[Long](nGrams)
+    var p = 0
+    while (p < nGrams) {
+      var h = HashKernels.FnvBasis
+      var i = 0
+      while (i < k) { h = HashKernels.fnv1aByte(h, bytes(p + i)); i += 1 }
+      val h40 = HashKernels.mix(h) & 0xffffffffffL
+      keys(p) = (h40 << 20) | (0xfffffL - p)
+      p += 1
+    }
+    // monotonic deque sliding minimum: O(nGrams) total
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // [head, tail) holds candidate positions
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastSel = -1
+    val wEff = math.min(w, nGrams)
+    var e = 0
+    while (e < nGrams) {
+      while (tail > head && keys(deque(tail - 1)) >= keys(e)) tail -= 1
+      deque(tail) = e; tail += 1
+      if (deque(head) <= e - wEff) head += 1
+      if (e >= wEff - 1) {
+        val kmin = keys(deque(head))
+        val selPos = (0xfffffL - (kmin & 0xfffffL)).toInt
+        if (selPos != lastSel) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](selPos, kmin >>> 20))
+          lastSel = selPos
+        }
+      }
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Multi-pattern exact-occurrence search: ONE Aho–Corasick automaton
   * [Aho & Corasick, CACM 1975] over ALL fixed patterns, walked once per
   * document — O(bytes + matches) regardless of how many patterns the

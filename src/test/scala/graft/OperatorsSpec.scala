@@ -5463,6 +5463,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // naive winnowing reference: explicit windows, argmin by (hash asc,
+  // pos desc), consecutive re-selections collapse — straight from the
+  // SIGMOD 2003 definition, no key packing
+  private def winnowNaive(text: String, k: Int, w: Int): Seq[(Int, Long)] = {
+    val bytes = text.getBytes("UTF-8")
+    val n = bytes.length - k + 1
+    if (n <= 0) return Nil
+    val h40 = Array.tabulate(n) { p =>
+      var h = 0xcbf29ce484222325L
+      for (i <- 0 until k) h = (h ^ (bytes(p + i) & 0xffL)) * 0x100000001b3L
+      HashKernelsAccess.mix(h) & 0xffffffffffL
+    }
+    val wEff = math.min(w, n)
+    val sels = for (e <- (wEff - 1) until n) yield {
+      val window = (e - wEff + 1) to e
+      window.minBy(p => (h40(p), -p))
+    }
+    sels.distinct.map(p => (p, h40(p)))
+  }
+
+  test("winnowing: kernel equals the naive definition, guarantee holds on planted overlap") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "completely different words appear here nothing shared at all now",
+      "x", "", "short one",
+      (1 to 60).map(i => s"tok$i").mkString(" "))
+    val got = TextOps.winnowFingerprints(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, w = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq.sortBy(_._1)).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val exp = winnowNaive(t, 8, 16)
+      assert(got.getOrElse(i.toLong, Nil) == exp, s"doc $i")
+    }
+    // sub-window doc still yields exactly one fingerprint (global min)
+    assert(got.getOrElse(2L, Nil).isEmpty && got.getOrElse(3L, Nil).isEmpty) // shorter than k
+    assert(got(4L).size == 1)
+
+    // THE guarantee: a shared run of w + k - 1 = 23 chars in otherwise
+    // unrelated documents must share a fingerprint
+    val shared = "abcdefghijklmnopqrstuvw" // 23 chars
+    val docA = "left padding words here " + shared + " and unrelated tail alpha"
+    val docB = "totally other beginning " + shared + " plus a different ending"
+    val pairs = TextOps.winnowOverlapPairs(
+        Seq((1L, docA), (2L, docB),
+          (3L, "no overlap with anything else whatsoever in this row")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, w = 16, minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("image near-dup: variant within radius of its base, banding complete vs brute force") {
     val s = spark
     import s.implicits._
