@@ -2298,6 +2298,27 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // k-core peeling on a deterministic sparse doc-id graph (ring +
+    // sparse chords + a planted i%97 clique — the events graph is too
+    // dense to ever peel): converges in 3 rounds at every SF, the
+    // planted clique is the exact 3-core, chord cascades exercise
+    // multi-round peeling; the oracle unrolls 6 rounds and raises
+    // LOUDLY if the fixpoint needed more
+    "q_kcore" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val n = d.count()
+      val ring = d.select(col("doc_id").as("x"), ((col("doc_id") + 1) % n).as("y"))
+      val chrd = d.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("x"), ((col("doc_id") * 7) % n).as("y"))
+      val cliqueIds = d.where(col("doc_id") % 97 === 0)
+      val clq = cliqueIds.as("l").join(cliqueIds.as("r"),
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("x"), col("r.doc_id").as("y"))
+      operators.Graph.kCoreMembers(ring.union(chrd).union(clq), "x", "y", k = 3)
+        .select(col("node").cast("long").as("node"), col("core_deg"))
+        .orderBy(col("node"))
+    }),
+
     // cohort retention triangle over daily buckets: first-activity
     // cohorts × active-again offsets, all-integer bucket arithmetic
     "q_retention" -> ((s, dir) =>
@@ -5778,6 +5799,37 @@ object SparkEntry {
         "nd AS (SELECT DISTINCT node FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)) " +
         "SELECT nd.node, CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles " +
         "FROM nd LEFT JOIN cnt ON cnt.node = nd.node ORDER BY nd.node"),
+
+    // k-core replica: the same ring+chords+clique fixture regrown from
+    // doc ids, peeling unrolled 6 rounds (the fixture converges in 3 at
+    // every SF) with a LOUD error() if the fixpoint needed more — the
+    // engine iterates to convergence, so an under-unrolled oracle must
+    // fail visibly, never hash-mismatch silently
+    "q_kcore" -> {
+      val rounds = (1 to 6).map { t =>
+        val pe = if (t == 1) "ke" else s"ke${t - 1}"
+        s"""kn$t AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM $pe UNION ALL SELECT b FROM $pe)
+          |   GROUP BY node HAVING count(*) >= 3),
+          | ke$t AS MATERIALIZED (SELECT e.a, e.b FROM $pe e
+          |   JOIN kn$t x ON e.a = x.node JOIN kn$t y ON e.b = y.node)""".stripMargin
+      }.mkString(", ")
+      s"""WITH kN AS (SELECT count(*) AS n FROM documents),
+        | kr AS (SELECT doc_id AS x, (doc_id + 1) % (SELECT n FROM kN) AS y FROM documents),
+        | kc AS (SELECT doc_id AS x, (doc_id * 7) % (SELECT n FROM kN) AS y
+        |   FROM documents WHERE doc_id % 5 = 0),
+        | kq AS (SELECT l.doc_id AS x, r.doc_id AS y FROM documents l JOIN documents r
+        |   ON l.doc_id % 97 = 0 AND r.doc_id % 97 = 0 AND l.doc_id < r.doc_id),
+        | ke AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |   FROM (SELECT x, y FROM kr UNION ALL SELECT x, y FROM kc
+        |     UNION ALL SELECT x, y FROM kq) WHERE x <> y),
+        | $rounds
+        | SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_deg
+        | FROM (SELECT a AS node FROM ke6 UNION ALL SELECT b FROM ke6)
+        | WHERE CASE WHEN (SELECT count(*) FROM ke5) = (SELECT count(*) FROM ke6)
+        |   THEN TRUE ELSE error('kcore oracle: fixpoint not reached in 6 unrolled rounds') END
+        | GROUP BY node HAVING count(*) >= 3
+        | ORDER BY node""".stripMargin.replaceAll("\n", " ")
+    },
 
     // retention replica: identical floor-bucket arithmetic; // is floor
     // division on BIGINT in DuckDB and ts_us is non-negative

@@ -207,6 +207,97 @@ object Graph {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** k-core membership by iterative peeling [Seidman 1983, "Network
+    * structure and minimum degree"; distributed formulation as in
+    * Montresor et al. 2011]: repeatedly delete every node whose degree
+    * in the surviving subgraph is below `k` until none remains. The
+    * k-core is the unique maximal subgraph of minimum degree ≥ k — the
+    * standard density screen for curation graphs (duplicate-cluster
+    * cores, citation/link spam filtering, community scaffolding).
+    * Input edges are canonicalized undirected (least/greatest,
+    * self-loops dropped, string-cast node ids like [[triangleCounts]]);
+    * returns `(node, core_deg)` for every surviving node, where
+    * `core_deg` is its degree INSIDE the core (≥ k by definition).
+    *
+    * Each round is one keyed degree aggregation + two left-semi
+    * equi-joins filtering the edge list — no broadcast of the node set,
+    * so rounds scale to any graph the shuffle can hold. The surviving
+    * edge list is MATERIALIZED per round ([[pageRankFixed]] discipline:
+    * executor-local by default, durable parquet under `checkpointDir`),
+    * since an un-truncated iterative plan re-executes its whole prefix.
+    * Round count is data-dependent — a path graph peels from the ends
+    * inward — so `maxIter` bounds it LOUDLY (the fixpoint is detected
+    * by edge-count stability: peeling only ever removes edges, and an
+    * unchanged edge set fixes every degree). */
+  def kCoreMembers(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIter: Int = 30,
+      checkpointDir: String = null): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val spark = edges.sparkSession
+    val runDir =
+      if (checkpointDir == null) null
+      else checkpointDir.stripSuffix("/") + "/kcore_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      if (runDir == null) df.localCheckpoint()
+      else {
+        val p = s"$runDir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    def drop(name: String): Unit =
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/$name")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    val raw = edges.select(col(srcCol).cast("string").as("x"),
+        col(dstCol).cast("string").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+    var e = materialize(
+      raw.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct(), "e0")
+    var nEdges = e.count()
+    var iter = 0
+    var converged = nEdges == 0L
+    while (!converged) {
+      iter += 1
+      require(iter <= maxIter,
+        s"kCoreMembers: no fixpoint after $maxIter peel rounds (long " +
+          "degree cascades — raise maxIter)")
+      val keep = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select("node")
+      val prev = e
+      e = materialize(
+        prev.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select("a", "b"), s"e$iter")
+      drop(s"e${iter - 1}")
+      graft.operators.releaseLocalCheckpoint(prev)
+      val n = e.count()
+      converged = n == nEdges || n == 0L
+      nEdges = n
+    }
+    val out = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("core_deg"))
+      .where(col("core_deg") >= k) // isolated-after-peel guard: never fires at fixpoint
+      .localCheckpoint() // the result outlives the run dir removal below
+    if (runDir != null) {
+      val p = new org.apache.hadoop.fs.Path(runDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) on a directed
     * graph, in the same fixed-point integer discipline as
     * [[pageRankFixed]]: auth(v) = Σ hub(u) over in-edges, hub(v) =

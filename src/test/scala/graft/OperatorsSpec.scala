@@ -5463,6 +5463,51 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core: peeling equals the naive model, cascades peel fully, loud maxIter") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-2-3 (2-core empty), 4-clique {10,11,12,13},
+    // a tail 20-10 hanging off the clique, and a triangle {30,31,32}
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (20L, 10L),
+      (30L, 31L), (31L, 32L), (32L, 30L)).toDF("x", "y")
+    def run(k: Int) = Graph.kCoreMembers(edges, "x", "y", k)
+      .collect().map(r => (r.getString(0).toLong, r.getLong(1))).toMap
+    // naive reference peel
+    def naive(k: Int): Map[Long, Long] = {
+      var adj = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .flatMap(e => Seq(e, e.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        val dead = adj.collect { case (n, s) if s.size < k => n }.toSet
+        changed = dead.nonEmpty
+        adj = (adj -- dead).view.mapValues(_ -- dead).toMap
+      }
+      adj.map { case (n, s) => (n, s.size.toLong) }
+    }
+    for (k <- 1 to 4) assert(run(k) == naive(k), s"k=$k")
+    // spot-check semantics: 3-core is exactly the 4-clique (tail node 20
+    // peels, which is precisely what a degree filter WITHOUT iteration
+    // would get wrong: node 10 keeps degree 4 but 20 must still go)
+    assert(run(3).keySet == Set(10L, 11L, 12L, 13L))
+    assert(run(3).values.toSet == Set(3L))
+    // 2-core keeps clique + triangle, drops the path and tail
+    assert(run(2).keySet == Set(10L, 11L, 12L, 13L, 30L, 31L, 32L))
+    // 4-core is empty
+    assert(run(4).isEmpty)
+    // a long path peels from the ends inward — maxIter must raise loudly
+    val path = (0L until 20L).map(i => (i, i + 1)).toDF("x", "y")
+    val ex = intercept[Exception] {
+      Graph.kCoreMembers(path, "x", "y", k = 2, maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("no fixpoint"))
+    // ...and enough rounds converge to the empty 2-core
+    assert(Graph.kCoreMembers(path, "x", "y", k = 2, maxIter = 30).count() == 0L)
+  }
+
   // naive winnowing reference: explicit windows, argmin by (hash asc,
   // pos desc), consecutive re-selections collapse — straight from the
   // SIGMOD 2003 definition, no key packing
