@@ -1259,6 +1259,27 @@ object SparkEntry {
           emRounds = 2, pruneTo = 32)
         .orderBy(col("piece"))),
 
+    // WordPiece vocabulary: position-split pieces (word-initial vs ##
+    // continuation are DISTINCT entries), weighted by word occurrence,
+    // capped at top-34 chars + top-40 multi — the char cap is what
+    // creates [UNK]s, exactly like a size-capped production vocab
+    "q_wordpiece_vocab" -> ((s, dir) =>
+      operators.TextOps.wordPieceVocab(
+          table(s, dir, "documents").where(col("text").isNotNull),
+          "doc_id", "text", maxPieceLen = 4, topPieces = 40, topChars = 34)
+        .orderBy(col("piece"), col("form"))),
+
+    // WordPiece greedy MaxMatch segmentation (the BERT tokenizer):
+    // longest-match-first is fully deterministic, so the oracle
+    // value-compares the SEGMENTATION STRING itself (unlike unigram's
+    // tie-ruled seg) by replaying up to 8 greedy steps per distinct
+    // word — [UNK] words included
+    "q_wordpiece" -> ((s, dir) =>
+      operators.TextOps.wordPieceSegment(
+          table(s, dir, "documents").where(col("text").isNotNull),
+          "doc_id", "text", maxPieceLen = 4, topPieces = 40, topChars = 34)
+        .orderBy(col("doc_id"))),
+
     // TextRank keyword salience: integer PageRank over the token
     // co-occurrence graph (window 2, lead()-built pairs — one Exchange,
     // no self-join); top-20 corpus topic signature, rounds replayed in
@@ -3753,6 +3774,73 @@ object SparkEntry {
     "costs AS MATERIALIZED (SELECT v.piece, v.freq, " +
       "(SELECT lfp FROM lg JOIN tot ON lg.f = tot.total) - l2.lfp AS cost_fp " +
       "FROM vocab v JOIN lg l2 ON l2.f = v.freq)"
+
+  /** WordPiece vocab replica ([[operators.TextOps.wordPieceVocab]]):
+    * position-split pieces over the distinct-word table — word-initial
+    * (form 0) vs continuation (form 1) entries — wc-weighted, ranked
+    * (freq desc, form, piece), top `topChars` singles + top `topPieces`
+    * multis. Yields `wpw(wrd, wc)` and `wpv(piece, form, plen, freq)`. */
+  private def wordPieceVocabCtes(
+      maxPieceLen: Int = 4, topPieces: Int = 40, topChars: Int = 34): String =
+    s"""wpw AS MATERIALIZED (SELECT wrd, count(*) AS wc FROM (
+      |   SELECT unnest(string_split(text, ' ')) AS wrd FROM documents
+      |   WHERE text IS NOT NULL) WHERE wrd <> '' GROUP BY wrd),
+      | wpp AS (SELECT substr(wrd, CAST(p AS INT), CAST(l AS INT)) AS piece,
+      |   CASE WHEN p = 1 THEN 0 ELSE 1 END AS form, sum(wc) AS freq
+      |   FROM wpw, (SELECT unnest(range(1, 64)) AS p) ps,
+      |        (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l) ls
+      |   WHERE p <= len(wrd) AND p + l - 1 <= len(wrd)
+      |   GROUP BY 1, 2),
+      | wpv AS MATERIALIZED (SELECT piece, form, len(piece) AS plen, freq FROM (
+      |   SELECT piece, form, freq, row_number() OVER
+      |     (ORDER BY freq DESC, form, piece) AS rn
+      |   FROM wpp WHERE len(piece) = 1) WHERE rn <= $topChars
+      |  UNION ALL
+      |  SELECT piece, form, len(piece) AS plen, freq FROM (
+      |   SELECT piece, form, freq, row_number() OVER
+      |     (ORDER BY freq DESC, form, piece) AS rn
+      |   FROM wpp WHERE len(piece) > 1) WHERE rn <= $topPieces)""".stripMargin
+      .replaceAll("\n", " ")
+
+  /** WordPiece greedy MaxMatch replay: `steps` chained CTE rounds over
+    * the distinct-word table, each taking the LONGEST `wpv` piece
+    * matching at the cursor (form 0 at offset 0, form 1 after), dead
+    * end → [UNK]. Each round is MATERIALIZED (the chain references its
+    * predecessor in two places — inlining would blow up exponentially).
+    * Ends at `wpseg(wrd, wseg, wnp, wunk)`; a word still unfinished
+    * after `steps` rounds raises error() LOUDLY. */
+  private def wordPieceGreedyCtes(steps: Int): String = {
+    val rounds = (1 to steps).map { t =>
+      val pe = if (t == 1) "wst0" else s"wst${t - 1}"
+      s"""wmt$t AS MATERIALIZED (SELECT s.wrd, s.ofs, s.seg, s.np, s.unk,
+        |   max(v.plen) AS best
+        |   FROM $pe s LEFT JOIN wpv v
+        |     ON v.form = (CASE WHEN s.ofs = 0 THEN 0 ELSE 1 END)
+        |    AND s.ofs < len(s.wrd) AND NOT s.unk
+        |    AND v.piece = substr(s.wrd, CAST(s.ofs + 1 AS INT), CAST(v.plen AS INT))
+        |   GROUP BY s.wrd, s.ofs, s.seg, s.np, s.unk),
+        | wst$t AS MATERIALIZED (SELECT wrd,
+        |   CASE WHEN ofs >= len(wrd) OR unk OR best IS NULL THEN ofs
+        |        ELSE ofs + best END AS ofs,
+        |   CASE WHEN ofs >= len(wrd) OR unk OR best IS NULL THEN seg
+        |        WHEN ofs = 0 THEN substr(wrd, 1, CAST(best AS INT))
+        |        ELSE seg || '·##' || substr(wrd, CAST(ofs + 1 AS INT), CAST(best AS INT)) END AS seg,
+        |   CASE WHEN ofs >= len(wrd) OR unk OR best IS NULL THEN np
+        |        ELSE np + 1 END AS np,
+        |   CASE WHEN unk OR (ofs < len(wrd) AND best IS NULL) THEN TRUE
+        |        ELSE FALSE END AS unk
+        |   FROM wmt$t)""".stripMargin
+    }.mkString(", ")
+    s"""wst0 AS (SELECT wrd, 0 AS ofs, '' AS seg, 0 AS np, FALSE AS unk FROM wpw),
+      | $rounds,
+      | wpseg AS (SELECT wrd,
+      |   CASE WHEN NOT unk AND ofs < len(wrd)
+      |     THEN error('wordpiece oracle: word needs more than $steps greedy steps')
+      |     WHEN unk THEN '[UNK]' ELSE seg END AS wseg,
+      |   CASE WHEN unk THEN 1 ELSE np END AS wnp,
+      |   CASE WHEN unk THEN 1 ELSE 0 END AS wunk
+      |   FROM wst$steps)""".stripMargin.replaceAll("\n", " ")
+  }
 
   /** The word-level Viterbi DP replayed as `maxLen` chained CTE steps
     * over the DISTINCT-word table (domain-bounded): bj = min over piece
@@ -6650,6 +6738,33 @@ object SparkEntry {
       (s"WITH ${unigramVocabCtes()}, " +
         s"${unigramEmRoundCtes(1, "costs")}, ${unigramEmRoundCtes(2, "c1")} " +
         "SELECT piece, em_count, cost_fp FROM c2 ORDER BY piece"),
+
+    // WordPiece vocab replica: position-split pieces, two ranked caps
+    "q_wordpiece_vocab" ->
+      (s"WITH ${wordPieceVocabCtes()} " +
+        "SELECT piece, CAST(form AS INT) AS form, CAST(freq AS BIGINT) AS freq " +
+        "FROM wpv ORDER BY piece, form"),
+
+    // greedy MaxMatch replica: per distinct word, 8 unrolled longest-
+    // match steps (max corpus word length; error() if a word needed
+    // more), [UNK] on any dead end, then per-doc reassembly — the
+    // segmentation string, piece and unk counts all value-compared
+    "q_wordpiece" ->
+      (s"WITH ${wordPieceVocabCtes()}, ${wordPieceGreedyCtes(8)}, " +
+        "dw AS (SELECT doc_id, wrd, pos FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS wrd, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos " +
+        "FROM documents WHERE text IS NOT NULL) WHERE wrd <> ''), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(wnp) AS BIGINT) AS n_pieces, " +
+        "CAST(sum(wunk) AS BIGINT) AS n_unk, " +
+        "string_agg(wseg, ' ' ORDER BY pos) AS seg " +
+        "FROM dw JOIN wpseg USING (wrd) GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, " +
+        "coalesce(a.n_pieces, 0) AS n_pieces, coalesce(a.n_unk, 0) AS n_unk, " +
+        "coalesce(a.seg, '') AS seg " +
+        "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id " +
+        "WHERE d.text IS NOT NULL ORDER BY d.doc_id"),
 
     // screen replica: rebuild the batch from the same expressions, then
     // brute-force batch x corpus levenshtein (bag-of-chars cut), per-

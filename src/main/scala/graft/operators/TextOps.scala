@@ -1786,6 +1786,88 @@ object TextOps {
         col("u.seg").as("seg"))
   }
 
+  /** WordPiece vocabulary derivation — position-split by BERT's `##`
+    * convention: a word-INITIAL substring and the same characters
+    * mid-word are DISTINCT vocab entries (form 0 / form 1), since
+    * MaxMatch may only start a word with form 0. Pieces are weighted by
+    * word occurrence; kept are the top `topChars` single-character
+    * entries and top `topPieces` multi-character entries, each ranked
+    * (freq desc, form asc, piece asc). Capping the CHARACTER vocab is
+    * what gives WordPiece its `[UNK]` semantics — a word touching a
+    * dropped (form, char) that no longer multi-char piece covers cannot
+    * be segmented (real WordPiece vocabs are size-capped the same way).
+    * Same scale shape as [[unigramVocab]]: distinct-word domain, one
+    * bounded-fan-out explode, one keyed agg. Returns (piece, form, freq). */
+  def wordPieceVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      topPieces: Int = 40,
+      topChars: Int = 44): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("wrd"))
+      .where(col("wrd").isNotNull && length(col("wrd")) > 0)
+      .groupBy(col("wrd")).agg(count(lit(1)).as("wc"))
+    val pieces = words
+      .select(col("wc"), explode(flatten(transform(
+          sequence(lit(1), length(col("wrd"))), p =>
+            transform(
+              sequence(lit(1), least(lit(maxPieceLen),
+                length(col("wrd")) - p + 1)),
+              l => struct(substr(col("wrd"), p, l).as("piece"),
+                when(p === 1, 0).otherwise(1).as("form")))))).as("pf"))
+      .groupBy(col("pf.piece").as("piece"), col("pf.form").as("form"))
+      .agg(sum(col("wc")).cast("long").as("freq"))
+    def top(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("form"), col("piece"))))
+        .where(col("rn") <= n).drop("rn")
+    top(pieces.where(length(col("piece")) === 1), topChars)
+      .unionByName(top(pieces.where(length(col("piece")) > 1), topPieces))
+  }
+
+  /** Apply-only WordPiece segmentation with an ALREADY derived
+    * (piece, form) vocab — one stateless kernel scan (streaming-safe,
+    * the [[unigramSegmentWith]] shape). Returns
+    * (id, n_words, n_pieces, n_unk, seg). */
+  def wordPieceSegmentWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Seq[(String, Int)]): DataFrame = {
+    val segCol = GraftSqlShim.column(WordPieceSegmentText(
+      GraftSqlShim.expression(col(textCol)), vocab))
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(filter(split(col(textCol), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        segCol.as("u"))
+      .select(col(idCol), col("n_words"),
+        col("u.n_pieces").as("n_pieces"),
+        col("u.n_unk").as("n_unk"),
+        col("u.seg").as("seg"))
+  }
+
+  /** [[wordPieceVocab]] + [[wordPieceSegmentWith]]: derive the vocab
+    * from the corpus (bounded: topChars + topPieces rows, collected to
+    * the driver and shipped as plan-literal kernel data), then MaxMatch
+    * every document in one scan. */
+  def wordPieceSegment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      topPieces: Int = 40,
+      topChars: Int = 44): DataFrame = {
+    val vocab = wordPieceVocab(docs, idCol, textCol, maxPieceLen, topPieces, topChars)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    wordPieceSegmentWith(docs, idCol, textCol, vocab)
+  }
+
   /** ONE hard-EM round over a (wrd, wc) distinct-word frame with the
     * current (piece, cost_fp) vocab: E-step = Viterbi-segment every
     * distinct word with the [[UnigramSegmentText]] kernel and count

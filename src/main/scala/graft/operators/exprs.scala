@@ -2242,6 +2242,103 @@ case class UnigramSegmentText(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** WordPiece greedy longest-match-first segmentation [Wu et al. 2016,
+  * "Google's Neural Machine Translation System"; the BERT tokenizer's
+  * MaxMatch]: per word, repeatedly take the LONGEST vocab piece
+  * matching at the cursor — word-initial pieces and mid-word
+  * continuation pieces are distinct vocab entries (form 0 / form 1,
+  * BERT's `##` convention) — and emit `[UNK]` for the whole word if any
+  * position has no match. Completes the tokenizer trio next to BPE
+  * (merge-rule) and unigram-LM (Viterbi): greedy MaxMatch is fully
+  * deterministic given the vocab, so unlike the unigram segmentation
+  * string (tie-ruled, spec-pinned) the WordPiece OUTPUT STRING itself
+  * is oracle-comparable.
+  *
+  * `vocab` is (piece-characters, form); the rendering adds `##` to
+  * continuation pieces and joins pieces with U+00B7 inside a word,
+  * words with ' ' (the [[UnigramSegmentText]] display convention).
+  * Returns struct(seg, n_pieces long, n_unk long) — an UNK word counts
+  * one piece and one unk. NULL in → NULL out. */
+case class WordPieceSegmentText(child: Expression, vocab: Seq[(String, Int)])
+    extends UnaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any = nullSafeEval(args(0))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wordpiece_segment"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("seg", StringType),
+    StructField("n_pieces", LongType),
+    StructField("n_unk", LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_segment expects a string argument, got ${other.sql}")
+  }
+
+  @transient private lazy val (initSet, contSet, maxLen) = {
+    val init = new java.util.HashSet[String]()
+    val cont = new java.util.HashSet[String]()
+    var ml = 1
+    vocab.foreach { case (p, f) =>
+      require(f == 0 || f == 1, s"wordpiece form must be 0 or 1, got $f")
+      require(p.nonEmpty, "empty wordpiece")
+      (if (f == 0) init else cont).add(p)
+      ml = math.max(ml, p.length)
+    }
+    (init, cont, ml)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val words = text.split(" ", -1)
+    val seg = new java.lang.StringBuilder(text.length * 2)
+    var nPieces = 0L
+    var nUnk = 0L
+    var w = 0
+    while (w < words.length) {
+      if (w > 0) seg.append(' ')
+      val word = words(w)
+      val n = word.length
+      if (n > 0) {
+        val mark = seg.length
+        var pieces = 0L
+        var ofs = 0
+        var unk = false
+        while (ofs < n && !unk) {
+          val set = if (ofs == 0) initSet else contSet
+          var l = math.min(maxLen, n - ofs)
+          var hit = 0
+          while (l >= 1 && hit == 0) {
+            if (set.contains(word.substring(ofs, ofs + l))) hit = l
+            l -= 1
+          }
+          if (hit == 0) unk = true
+          else {
+            if (ofs > 0) { seg.append('·'); seg.append("##") }
+            seg.append(word, ofs, ofs + hit)
+            ofs += hit
+            pieces += 1
+          }
+        }
+        if (unk) {
+          seg.setLength(mark)
+          seg.append("[UNK]")
+          nPieces += 1
+          nUnk += 1
+        } else nPieces += pieces
+      }
+      w += 1
+    }
+    InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(seg.toString),
+      nPieces, nUnk)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Credit-card redaction with LUHN VALIDATION — the compliance-scrub
   * sharp edge a plain regexp_replace cannot express: a 16-digit run is
   * only a card number if its checksum validates, and redacting every

@@ -5463,6 +5463,63 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpiece: greedy MaxMatch semantics, ## forms, UNK, naive-model equality") {
+    val s = spark
+    import s.implicits._
+    // handcrafted vocab: init pieces {a, ab, abc-less}, cont {##b, ##c, ##bcd}
+    val vocab = Seq(("a", 0), ("ab", 0), ("x", 0), ("b", 1), ("c", 1), ("bcd", 1), ("d", 1))
+    def seg(texts: String*): Seq[(String, Long, Long)] =
+      TextOps.wordPieceSegmentWith(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+          "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getString(4), r.getLong(2), r.getLong(3))).toSeq
+    // longest-match-first: "abcd" takes ab (not a), then ##c ##d — NOT
+    // a + ##bcd even though that uses fewer pieces (greedy, not optimal)
+    assert(seg("abcd") == Seq(("ab·##c·##d", 3L, 0L)))
+    // dead end -> whole word is [UNK]: "ba" cannot START (no form-0 b)
+    assert(seg("ba") == Seq(("[UNK]", 1L, 1L)))
+    // mid-word dead end also UNKs: "ax" fails at ##x (x is init-only)
+    assert(seg("ax") == Seq(("[UNK]", 1L, 1L)))
+    // multiple words mix forms and UNKs independently
+    assert(seg("abcd ba x a") == Seq(("ab·##c·##d [UNK] x a", 6L, 1L)))
+
+    // naive reference on real corpus-ish text with a derived vocab
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cats sat on mats"),
+      (3L, "unusual zebra words qqq")).toDF("doc_id", "text")
+    val dv = TextOps.wordPieceVocab(docs, "doc_id", "text",
+        maxPieceLen = 4, topPieces = 10, topChars = 12)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val init = dv.filter(_._2 == 0).map(_._1).toSet
+    val cont = dv.filter(_._2 == 1).map(_._1).toSet
+    def naiveWord(word: String): (String, Long, Long) = {
+      val sb = new StringBuilder
+      var ofs = 0; var np = 0L
+      while (ofs < word.length) {
+        val set = if (ofs == 0) init else cont
+        val hit = (math.min(4, word.length - ofs) to 1 by -1)
+          .find(l => set.contains(word.substring(ofs, ofs + l)))
+        hit match {
+          case None => return ("[UNK]", 1L, 1L)
+          case Some(l) =>
+            if (ofs > 0) sb.append("·##")
+            sb.append(word.substring(ofs, ofs + l)); ofs += l; np += 1
+        }
+      }
+      (sb.toString, np, 0L)
+    }
+    val got = TextOps.wordPieceSegmentWith(docs, "doc_id", "text", dv.sorted)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(2), r.getLong(3)))
+    for ((id, gseg, gnp, gunk) <- got) {
+      val words = docs.where(col("doc_id") === id).head().getString(1).split(" ")
+      val parts = words.map(naiveWord)
+      assert(gseg == parts.map(_._1).mkString(" "), s"doc $id")
+      assert(gnp == parts.map(_._2).sum && gunk == parts.map(_._3).sum, s"doc $id")
+    }
+  }
+
   test("k-core: peeling equals the naive model, cascades peel fully, loud maxIter") {
     val s = spark
     import s.implicits._
