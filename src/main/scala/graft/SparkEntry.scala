@@ -513,6 +513,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // isotonic calibration (PAV) of a quality score against a planted
+    // monotone-Bernoulli label: distinct-score histogram -> driver PAV
+    // with exact rational pools -> gcd-reduced per-score calibrated
+    // fraction; the oracle replays the minimax characterization
+    // max_{j<=i} min_{k>=i} mean(j..k) (== the PAV pool mean) and
+    // reconstructs the same reduced fraction
+    "q_isotonic" -> ((s, dir) => {
+      val qs = least(floor(col("n_chars") / 20), lit(100)).cast("long")
+      operators.Curation.isotonicCalibrate(
+          table(s, dir, "documents").select(
+            qs.as("score"),
+            (pmod(col("doc_id") * 2654435761L, lit(100)) < qs).cast("int").as("label")),
+          "score", "label")
+        .orderBy(col("score"))
+    }),
+
     // FNV-1a 64 content fingerprint (native expression)
     "q_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -6543,6 +6559,35 @@ object SparkEntry {
       """SELECT event_id, event_type,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    // isotonic minimax replica: prefix sums over the score ranks, all
+    // (j,k) segment means as exact fractions (faithfully embedded in
+    // doubles: IEEE division is correctly rounded, so equal rationals
+    // give equal doubles and distinct bounded-den rationals distinct
+    // ones), max-of-min per rank, fraction reconstructed gcd-reduced
+    "q_isotonic" ->
+      """WITH iso0 AS (SELECT least(n_chars // 20, 100) AS score,
+        |   CASE WHEN (doc_id * 2654435761) % 100 < least(n_chars // 20, 100)
+        |     THEN 1 ELSE 0 END AS label FROM documents),
+        | hh AS MATERIALIZED (SELECT score, count(*) AS w, sum(label) AS y FROM iso0 GROUP BY score),
+        | rk AS MATERIALIZED (SELECT score, w, y, row_number() OVER (ORDER BY score) AS i FROM hh),
+        | ps AS (SELECT i, score, w, y, sum(w) OVER (ORDER BY i) AS cw,
+        |   sum(y) OVER (ORDER BY i) AS cy FROM rk),
+        | pv AS MATERIALIZED (SELECT a.i AS j, b.i AS k,
+        |   b.cy - a.cy + a.y AS num, b.cw - a.cw + a.w AS den,
+        |   CAST(b.cy - a.cy + a.y AS DOUBLE) / CAST(b.cw - a.cw + a.w AS DOUBLE) AS val
+        |   FROM ps a JOIN ps b ON a.i <= b.i),
+        | mn AS (SELECT r.i, p.j, min(p.val) AS v FROM rk r
+        |   JOIN pv p ON p.j <= r.i AND p.k >= r.i GROUP BY r.i, p.j),
+        | cal AS MATERIALIZED (SELECT i, max(v) AS cal FROM mn GROUP BY i),
+        | fr AS (SELECT c.i, min(p.num // gcd(p.num, p.den)) AS cal_num,
+        |   min(p.den // gcd(p.num, p.den)) AS cal_den
+        |   FROM cal c JOIN pv p ON p.j <= c.i AND p.k >= c.i AND p.val = c.cal
+        |   GROUP BY c.i)
+        | SELECT r.score, CAST(r.w AS BIGINT) AS n, CAST(r.y AS BIGINT) AS n_pos,
+        |  CAST(f.cal_num AS BIGINT) AS cal_num, CAST(f.cal_den AS BIGINT) AS cal_den
+        | FROM rk r JOIN fr f ON f.i = r.i ORDER BY r.score"""
+        .stripMargin.replaceAll("\n", " "),
 
     // FNV-1a 64 replicated with HUGEINT mod-2^64 arithmetic
     "q_fingerprint" ->

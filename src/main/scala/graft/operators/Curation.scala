@@ -1621,4 +1621,78 @@ object Curation {
 
     (slim, nearDeduped.where(col("quality") >= minQuality).drop("digest", "sig"))
   }
+
+  /** Isotonic regression calibration by pool-adjacent-violators
+    * [Ayer et al. 1955; Barlow et al. 1972] over a DISTINCT-SCORE
+    * histogram: fits the least-squares NON-DECREASING map score →
+    * label rate — how a raw quality-classifier score becomes a
+    * trustworthy acceptance probability (Platt-free, shape-free
+    * calibration; the monotone fit is exactly what a threshold sweep
+    * needs).
+    *
+    * Scale shape — the standard calibration trick: the heavy input is
+    * reduced to ONE keyed aggregation over the (bounded) distinct-score
+    * domain; only the histogram (≤ `maxBins` rows, loudly enforced)
+    * reaches the driver, where PAV runs in O(bins). Continuous scores
+    * must be bucketed upstream (that IS the practice — calibration on
+    * raw floats overfits singleton bins).
+    *
+    * All arithmetic is exact: pools carry (Σlabel, Σcount) longs,
+    * the violation test cross-multiplies (never divides), and each
+    * score's calibrated value is returned as the gcd-REDUCED fraction
+    * (cal_num, cal_den) — so any engine replaying the minimax
+    * characterization max_{j≤i} min_{k≥i} mean(j..k) produces the
+    * identical pair (the PAV pool mean equals that minimax value).
+    * Returns (score, n, n_pos, cal_num, cal_den) ordered by score;
+    * cal_num/cal_den is non-decreasing in score. */
+  def isotonicCalibrate(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      maxBins: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    val hist = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))
+      .orderBy(col("score"))
+      .limit(maxBins + 1)
+      .collect()
+    require(hist.length <= maxBins,
+      s"isotonicCalibrate: more than $maxBins distinct scores — bucket the " +
+        "score upstream (calibration on unbounded domains overfits anyway)")
+    val scores = hist.map(_.getLong(0))
+    val ws = hist.map(_.getLong(1))
+    val ys = hist.map(_.getLong(2))
+    // PAV: stack of pools (sumY, sumW, firstBin); merge while the last
+    // two pools VIOLATE monotonicity (prev mean > next mean, exact
+    // cross-multiplied). Equal means stay unmerged — the reported
+    // reduced fraction is identical either way.
+    val py = new Array[Long](scores.length)
+    val pw = new Array[Long](scores.length)
+    val pfrom = new Array[Int](scores.length)
+    var top = 0
+    for (i <- scores.indices) {
+      var y = ys(i); var w = ws(i); var from = i
+      while (top > 0 && BigInt(py(top - 1)) * w > BigInt(y) * pw(top - 1)) {
+        top -= 1
+        y += py(top); w += pw(top); from = pfrom(top)
+      }
+      py(top) = y; pw(top) = w; pfrom(top) = from
+      top += 1
+    }
+    val calNum = new Array[Long](scores.length)
+    val calDen = new Array[Long](scores.length)
+    for (p <- 0 until top) {
+      val to = if (p + 1 < top) pfrom(p + 1) else scores.length
+      val g = BigInt(py(p)).gcd(BigInt(pw(p))).toLong
+      for (i <- pfrom(p) until to) {
+        calNum(i) = py(p) / g
+        calDen(i) = pw(p) / g
+      }
+    }
+    import spark.implicits._
+    scores.indices.map(i => (scores(i), ws(i), ys(i), calNum(i), calDen(i)))
+      .toDF("score", "n", "n_pos", "cal_num", "cal_den")
+  }
 }

@@ -5463,6 +5463,48 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("isotonic calibration: equals the minimax definition, monotone, exact fractions, loud cap") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-noisy monotone data over 12 score bins
+    val rows = for {
+      b <- 0 until 12
+      r <- 0 until (3 + b % 4)
+    } yield (b.toLong, if ((b * 7 + r * 13) % 12 < b) 1 else 0)
+    val got = Curation.isotonicCalibrate(rows.toDF("score", "label"), "score", "label")
+      .orderBy(col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // brute-force minimax reference: cal(i) = max_{j<=i} min_{k>=i} mean(j..k)
+    val hist = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sc, g) => (sc, g.size.toLong, g.map(_._2).sum.toLong) }
+    def frac(j: Int, k: Int): (Long, Long) =
+      ((j to k).map(hist(_)._3).sum, (j to k).map(hist(_)._2).sum)
+    val m = hist.size
+    for (i <- 0 until m) {
+      val cal = (0 to i).map { j =>
+        (i until m).map(k => frac(j, k)).minBy { case (n, d) => n.toDouble / d }
+      }.maxBy { case (n, d) => n.toDouble / d }
+      val g = BigInt(cal._1).gcd(BigInt(cal._2)).toLong
+      val exp = (hist(i)._1, hist(i)._2, hist(i)._3, cal._1 / g, cal._2 / g)
+      assert(got(i) == exp, s"bin $i")
+    }
+    // non-decreasing calibrated values
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(BigInt(a._4) * b._5 <= BigInt(b._4) * a._5, s"$a -> $b not monotone")
+    case _ => }
+    // decreasing raw rates pool into one flat segment
+    val dec = Seq((0L, 1), (0L, 1), (1L, 1), (1L, 0), (2L, 0), (2L, 0))
+    val pooled = Curation.isotonicCalibrate(dec.toDF("score", "label"), "score", "label")
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+    assert(pooled == Set((1L, 2L))) // global mean 3/6 reduced
+    // bin cap is loud
+    val many = (0L until 50L).map(i => (i, (i % 2).toInt))
+    val ex = intercept[IllegalArgumentException] {
+      Curation.isotonicCalibrate(many.toDF("score", "label"), "score", "label", maxBins = 10)
+    }
+    assert(ex.getMessage.contains("distinct scores"))
+  }
+
   test("wordpiece: greedy MaxMatch semantics, ## forms, UNK, naive-model equality") {
     val s = spark
     import s.implicits._
