@@ -513,6 +513,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // interpolated Kneser-Ney bigram model over the doc_id%7 reference
+    // slice, as an exact-rational table: absolute discount 3/4 +
+    // continuation-count back-off folded over one common denominator,
+    // gcd-reduced per row — the oracle replays counts and arithmetic
+    // and must land on the identical fraction
+    "q_kn_bigrams" -> ((s, dir) =>
+      operators.TextOps.kneserNeyBigrams(
+          table(s, dir, "documents")
+            .where(col("doc_id") % 7 === 0 && col("text").isNotNull),
+          "doc_id", "text")
+        .orderBy(col("w1"), col("w2"))),
+
     // isotonic calibration (PAV) of a quality score against a planted
     // monotone-Bernoulli label: distinct-score histogram -> driver PAV
     // with exact rational pools -> gcd-reduced per-score calibrated
@@ -6559,6 +6571,27 @@ object SparkEntry {
       """SELECT event_id, event_type,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         | FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+
+    // Kneser-Ney replica: bigram/continuation counts from adjacent
+    // positions, the same single-denominator integer fold, gcd-reduced
+    "q_kn_bigrams" ->
+      """WITH knt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |   generate_subscripts(string_split(text, ' '), 1) AS pos
+        |   FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+        | knb AS MATERIALIZED (SELECT a.tok AS w1, b.tok AS w2, count(*) AS c2
+        |   FROM knt a JOIN knt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |   WHERE a.tok <> '' AND b.tok <> '' GROUP BY 1, 2),
+        | knl AS (SELECT w1, sum(c2) AS cv, count(*) AS n1v FROM knb GROUP BY w1),
+        | knr AS (SELECT w2, count(*) AS n1w FROM knb GROUP BY w2),
+        | kna AS (SELECT count(*) AS n1all FROM knb),
+        | knp AS (SELECT b.w1, b.w2, b.c2,
+        |   (4 * b.c2 - 3) * a.n1all + 3 * l.n1v * r.n1w AS num,
+        |   4 * l.cv * a.n1all AS den
+        |   FROM knb b JOIN knl l USING (w1) JOIN knr r USING (w2) CROSS JOIN kna a)
+        | SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+        |  CAST(num // gcd(num, den) AS BIGINT) AS p_num,
+        |  CAST(den // gcd(num, den) AS BIGINT) AS p_den
+        | FROM knp ORDER BY w1, w2""".stripMargin.replaceAll("\n", " "),
 
     // isotonic minimax replica: prefix sums over the score ranks, all
     // (j,k) segment means as exact fractions (faithfully embedded in

@@ -890,6 +890,76 @@ object TextOps {
       .select(outCols: _*)
   }
 
+  /** Interpolated Kneser-Ney bigram model [Kneser & Ney 1995; Chen &
+    * Goodman 1999] as an EXACT-RATIONAL probability table — the
+    * state-of-the-art n-gram smoothing that add-one ([[lmPerplexity]],
+    * CCNet-style) approximates from below: absolute discounting plus a
+    * CONTINUATION-count back-off ("how many distinct contexts does w
+    * follow?" — so "Francisco", frequent but only ever after "San",
+    * gets a tiny back-off weight).
+    *
+    *   P(w|v) = (c(vw) − D)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+    *
+    * with discount D = `discountNum`/`discountDen` (default 3/4, the
+    * Chen-Goodman fixed discount), c(v·) = bigram tokens starting v,
+    * N1+(v·)/N1+(·w) = distinct right/left neighbour types, N1+(··) =
+    * total bigram types. Over one common denominator everything is
+    * integer:
+    *   num = (dd·c(vw) − dn)·N1+(··) + dn·N1+(v·)·N1+(·w)
+    *   den = dd·c(v·)·N1+(··)
+    * and the row is emitted gcd-REDUCED ([[LongGcd]] — distributed, no
+    * collect), so any engine replaying the counts produces the
+    * identical pair; no floats anywhere. Rows cover OBSERVED bigrams
+    * (c ≥ 1 makes the discounted term positive); unseen-pair mass is
+    * λ(v)·Pcont(w) with λ(v) = dn·N1+(v·)/(dd·c(v·)) — the spec proves
+    * total mass sums to exactly 1 in rationals.
+    *
+    * Returns (w1, w2, c2, p_num, p_den). Scale shape: two keyed
+    * aggregations over bigram/type keys (Zipf head collapses map-side),
+    * equi-joins on w1/w2 (AQE-splittable), one broadcast single-row
+    * total; the model rows never leave the cluster. */
+  def kneserNeyBigrams(
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      discountNum: Int = 3,
+      discountDen: Int = 4): DataFrame = {
+    require(discountDen >= 1 && discountNum >= 1 && discountNum < discountDen,
+      s"discount must be a rational in (0, 1), got $discountNum/$discountDen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = ref.select(col(idCol).as("rid"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+    val w = Window.partitionBy("rid").orderBy("pos")
+    val big = toks.withColumn("w1", lag("tok", 1).over(w))
+      .where(col("w1").isNotNull)
+      .groupBy(col("w1"), col("tok").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val left = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("cv"), count(lit(1)).as("n1v"))
+    val right = big.groupBy(col("w2")).agg(count(lit(1)).as("n1w"))
+    val total = big.agg(count(lit(1)).as("n1all"))
+    val dn = lit(discountNum.toLong)
+    val dd = lit(discountDen.toLong)
+    val num = (dd * col("c2") - dn) * col("n1all") + dn * col("n1v") * col("n1w")
+    val den = dd * col("cv") * col("n1all")
+    val g = GraftSqlShim.column(LongGcd(
+      GraftSqlShim.expression(num.cast("long")),
+      GraftSqlShim.expression(den.cast("long"))))
+    big.join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c2").cast("long").as("c2"),
+        num.cast("long").as("__num"), den.cast("long").as("__den"), g.as("__g"))
+      // 64-bit ceiling, loud: dd·c(v·)·N1+(··) must not wrap (corpora
+      // past ~2^31 bigram types need a wider-integer variant)
+      .withColumn("__den", when(col("__den") <= 0L,
+        raise_error(lit("kneserNeyBigrams: 64-bit overflow in the " +
+          "common-denominator product"))).otherwise(col("__den")))
+      .select(col("w1"), col("w2"), col("c2"),
+        expr("__num div __g").as("p_num"),
+        expr("__den div __g").as("p_den"))
+  }
+
   /** Model-based quality filtering, fastText-style [Joulin et al. 2016]:
     * a hashed-n-gram LINEAR classifier over unigram + adjacent-bigram
     * features (see [[graft.operators.HashedLinearScore]]), the shape

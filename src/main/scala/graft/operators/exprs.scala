@@ -1531,6 +1531,39 @@ case class GearCutpoints(child: Expression, maskBits: Int, minLen: Int, maxLen: 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Euclidean gcd of two non-negative longs — the fraction-reduction
+  * primitive for exact-rational model surfaces (Kneser-Ney, isotonic):
+  * Spark ships no gcd function, and reducing driver-side would force a
+  * collect. gcd(0, b) = b, gcd(a, 0) = a, gcd(0, 0) = 0. Negative
+  * input raises (reduced fractions here are always non-negative). */
+case class LongGcd(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCodegen {
+
+  override protected def kernelEval(args: Array[Any]): Any =
+    nullSafeEval(args(0), args(1))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_gcd"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"long_gcd expects (bigint, bigint), got (${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    var a = l.asInstanceOf[Long]
+    var b = r.asInstanceOf[Long]
+    require(a >= 0L && b >= 0L, s"long_gcd expects non-negative inputs, got ($a, $b)")
+    while (b != 0L) { val t = a % b; a = b; b = t }
+    a
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Winnowing document fingerprints [Schleimer, Wilkerson & Aiken,
   * SIGMOD 2003, "Winnowing: Local Algorithms for Document
   * Fingerprinting" — the MOSS algorithm]: hash every k-byte gram

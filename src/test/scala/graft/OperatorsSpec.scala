@@ -5463,6 +5463,65 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kneser-ney: mass sums to exactly 1, continuation beats raw frequency, hand example") {
+    val s = spark
+    import s.implicits._
+    // "francisco" is FREQUENT but only ever follows "san"; "cat" is
+    // rarer overall but follows many contexts
+    val docs = Seq(
+      (1L, "san francisco is big san francisco is far"),
+      (2L, "the cat and a cat saw my cat in san francisco"),
+      (3L, "a dog and the dog met one cat near san francisco")).toDF("doc_id", "text")
+    val rowsDf = TextOps.kneserNeyBigrams(docs, "doc_id", "text")
+    val rows = rowsDf.collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // recompute the count model naively
+    val bigrams = docs.collect().flatMap { r =>
+      val t = r.getString(1).split(" ")
+      t.zip(t.drop(1))
+    }
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cv = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1v = c2.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1w = c2.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1all = c2.size.toLong
+    // every emitted fraction equals the definition, reduced
+    assert(rows.keySet == c2.keySet)
+    for (((v, w), (gc2, num, den)) <- rows) {
+      assert(gc2 == c2((v, w)))
+      val rn = BigInt((4 * c2((v, w)) - 3) * n1all + 3 * n1v(v) * n1w(w))
+      val rd = BigInt(4 * cv(v) * n1all)
+      val g = rn.gcd(rd)
+      assert((BigInt(num), BigInt(den)) == (rn / g, rd / g), s"($v,$w)")
+    }
+    // TOTAL MASS: for every context v, sum over observed w of P(w|v)
+    // plus lambda(v) * (continuation mass of unseen w) == exactly 1
+    case class Frac(n: BigInt, d: BigInt) {
+      def +(o: Frac) = Frac(n * o.d + o.n * d, d * o.d)
+      def *(o: Frac) = Frac(n * o.n, d * o.d)
+      def norm: (BigInt, BigInt) = { val g = n.gcd(d); (n / g, d / g) }
+    }
+    val vocabW = n1w.keySet // words that END at least one bigram
+    for (v <- cv.keys) {
+      val seen = c2.keys.filter(_._1 == v).map(_._2).toSet
+      val observedMass = seen.toSeq.map { w =>
+        val (_, num, den) = rows((v, w)); Frac(BigInt(num), BigInt(den))
+      }.foldLeft(Frac(0, 1))(_ + _)
+      val lambda = Frac(BigInt(3) * n1v(v), BigInt(4) * cv(v))
+      val unseenCont = (vocabW -- seen).toSeq
+        .map(w => Frac(BigInt(n1w(w)), BigInt(n1all)))
+        .foldLeft(Frac(0, 1))(_ + _)
+      assert((observedMass + lambda * unseenCont).norm == (BigInt(1), BigInt(1)),
+        s"context $v mass != 1")
+    }
+    // the KN point: P(francisco | unseen-ish context) back-off weight is
+    // driven by continuation count 1, so despite c(francisco) = 4 its
+    // continuation probability is the MINIMUM 1/n1all — while "cat"
+    // (4 contexts: the/a/my/one) carries 4x that
+    assert(n1w("francisco") == 1L && n1w("cat") == 4L)
+  }
+
   test("isotonic calibration: equals the minimax definition, monotone, exact fractions, loud cap") {
     val s = spark
     import s.implicits._
