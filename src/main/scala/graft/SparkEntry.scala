@@ -2810,6 +2810,17 @@ object SparkEntry {
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // scene-cut detection on the REAL-decoded AVI/MS-RLE8 streams: SAD
+    // between adjacent frames + threshold flag — the oracle regrows
+    // BOTH frames of every transition from the band-update formula and
+    // recomputes the per-pixel absolute diffs
+    "q_video_cuts" -> ((s, dir) =>
+      operators.Multimodal.videoSceneCuts(s,
+          operators.Multimodal.syntheticAviBlobs(s, table(s, dir, "documents")),
+          threshold = 32000L)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // multimodal resize + frame-sample plumbing (deterministic stubs);
     // binary payloads are md5-projected so both engines compare hex digests
     "q_mm_resize" -> ((s, dir) =>
@@ -6542,6 +6553,31 @@ object SparkEntry {
         |  CAST(sum(85 * ((idx // 4) % 4)) AS BIGINT) AS sum_g,
         |  CAST(sum(85 * ((idx // 16) % 4)) AS BIGINT) AS sum_b
         | FROM pc GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+
+    // scene-cut replica: both frames of every transition from the AVI
+    // band-update formula, per-pixel |d r|+|d g|+|d b| sums, threshold
+    "q_video_cuts" ->
+      """WITH vd AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+        | vf AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM vd),
+        | vx AS (SELECT doc_id, f, unnest(range(24)) AS x FROM vf),
+        | vp AS (SELECT doc_id, f, x, unnest(range(16)) AS y FROM vx),
+        | vw AS (SELECT p.doc_id, p.f, p.x, p.y, coalesce(max(w.g), 0) AS g
+        |   FROM vp p LEFT JOIN (SELECT unnest(range(1, 8)) AS g) w
+        |     ON w.g <= p.f AND p.y - ((5 * w.g) % 13) BETWEEN 0 AND 3
+        |   GROUP BY p.doc_id, p.f, p.x, p.y),
+        | vc AS (SELECT doc_id, f, x, y,
+        |   (doc_id * 31 + g * 97
+        |    + (CASE WHEN y % 4 = 3 THEN 0 ELSE x * 7 END) + y * 13) % 64 AS idx FROM vw),
+        | vch AS MATERIALIZED (SELECT doc_id, f, x, y, 85 * (idx % 4) AS r,
+        |   85 * ((idx // 4) % 4) AS gg, 85 * ((idx // 16) % 4) AS b FROM vc),
+        | vdf AS (SELECT a.doc_id, a.f AS frame_idx,
+        |   sum(abs(a.r - b.r) + abs(a.gg - b.gg) + abs(a.b - b.b)) AS diff_sum
+        |  FROM vch a JOIN vch b ON a.doc_id = b.doc_id AND b.f = a.f - 1
+        |    AND a.x = b.x AND a.y = b.y
+        |  GROUP BY 1, 2)
+        | SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(diff_sum AS BIGINT) AS diff_sum, diff_sum > 32000 AS is_cut
+        | FROM vdf ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
 
     // resize stub replica: strided byte selection, md5 over the payload
     "q_mm_resize" ->

@@ -1955,13 +1955,13 @@ object Multimodal {
   /** Palette index at (x, y) as written by frame `g` of doc `docId` —
     * rows with y mod 4 == 3 are constant runs (exercising RLE run mode),
     * other rows vary per pixel (exercising absolute mode). */
-  private def aviIdx(docId: Long, g: Int, x: Int, y: Int): Int =
+  private[graft] def aviIdx(docId: Long, g: Int, x: Int, y: Int): Int =
     java.lang.Math.floorMod(
       docId * 31 + g * 97 + (if (y % 4 == 3) 0 else x * 7) + y * 13, 64L).toInt
 
   /** First visual row of the 4-row band that delta frame f (f >= 1)
     * rewrites; rows outside the band are carried from frame f-1. */
-  private def aviBand(f: Int): Int = (5 * f) % (AviH - 3)
+  private[graft] def aviBand(f: Int): Int = (5 * f) % (AviH - 3)
 
   /** MS-RLE8-encode one visual row `y` holding values `v` into `out`,
     * using the encoding mode cycle that exercises every RLE8 arm:
@@ -2233,6 +2233,60 @@ object Multimodal {
                 }
                 Iterator.single(VideoFrame(id, f, av.width, av.height, sr, sg, sb))
               }
+            }.toVector
+        }
+      }
+  }
+
+  /** One frame-to-frame transition: SAD (sum of absolute per-pixel RGB
+    * differences) and the thresholded cut flag. */
+  case class SceneCut(doc_id: Long, frame_idx: Int, diff_sum: Long, is_cut: Boolean)
+
+  /** Scene-cut detection over REAL-decoded video frames: per adjacent
+    * frame pair, the SAD metric Σ|Δr|+|Δg|+|Δb| over all pixels, with a
+    * transition flagged `is_cut` when it exceeds `threshold` — the
+    * standard shot-boundary screen a video training pipeline runs before
+    * keyframe sampling (sample AROUND cuts, not blindly every Nth
+    * frame). The AVI/MS-RLE8 stream is decoded ONCE sequentially per
+    * blob (delta frames need the running framebuffer anyway); the
+    * previous frame's palette-resolved RGB rows are kept in a single
+    * reused buffer, so memory is two frames regardless of video length.
+    * Partition-local flatMap — the narrow CPU-decode shape, no shuffle.
+    * frame_idx is the LATER frame of the pair (1-based transitions). */
+  def videoSceneCuts(
+      spark: SparkSession,
+      blobs: DataFrame,
+      threshold: Long): Dataset[SceneCut] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (try parseAvi(bytes) catch { case _: Exception => None }) match {
+          case None => Iterator.empty
+          case Some(av) =>
+            val n = av.width * av.height
+            val fb = new Array[Byte](n)
+            val prev = new Array[Int](n) // previous frame, palette-resolved
+            av.frames.iterator.zipWithIndex.flatMap { case (data, f) =>
+              rleDecodeFrame(data, fb, av.width, av.height)
+              val out =
+                if (f == 0) Iterator.empty
+                else {
+                  var diff = 0L
+                  var i = 0
+                  while (i < n) {
+                    val a = av.palette(fb(i) & 0xff)
+                    val b = prev(i)
+                    diff += math.abs(((a >> 16) & 0xff) - ((b >> 16) & 0xff)) +
+                      math.abs(((a >> 8) & 0xff) - ((b >> 8) & 0xff)) +
+                      math.abs((a & 0xff) - (b & 0xff))
+                    i += 1
+                  }
+                  Iterator.single(SceneCut(id, f, diff, diff > threshold))
+                }
+              var i = 0
+              while (i < n) { prev(i) = av.palette(fb(i) & 0xff); i += 1 }
+              out
             }.toVector
         }
       }

@@ -5463,6 +5463,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("video scene cuts: SAD equals the band-formula model, threshold splits") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 12L).toDF("doc_id")
+    val got = Multimodal.videoSceneCuts(s,
+        Multimodal.syntheticAviBlobs(s, ids), threshold = 32000L)
+      .collect().map(c => ((c.doc_id, c.frame_idx), (c.diff_sum, c.is_cut))).toMap
+    // model: palette-resolved frames straight from aviIdx/aviBand
+    def chans(idx: Int) = (85 * (idx % 4), 85 * ((idx / 4) % 4), 85 * ((idx / 16) % 4))
+    for (id <- 0L until 12L) {
+      val nf = (4 + id % 5).toInt
+      def frame(f: Int): Array[Int] = Array.tabulate(24 * 16) { i =>
+        val x = i % 24; val y = i / 24
+        // last generation g <= f whose band covers y (0 = the key frame)
+        val g = (f to 0 by -1).find(gg =>
+          gg == 0 || (y >= Multimodal.aviBand(gg) && y < Multimodal.aviBand(gg) + 4)).get
+        Multimodal.aviIdx(id, g, x, y)
+      }
+      for (f <- 1 until nf) {
+        val (a, b) = (frame(f), frame(f - 1))
+        val sad = a.zip(b).map { case (ia, ib) =>
+          val (r1, g1, b1) = chans(ia); val (r2, g2, b2) = chans(ib)
+          math.abs(r1 - r2) + math.abs(g1 - g2) + math.abs(b1 - b2)
+        }.map(_.toLong).sum
+        assert(got((id, f)) == ((sad, sad > 32000L)), s"doc $id frame $f")
+      }
+      assert(!got.contains((id, 0))) // no transition into the key frame
+    }
+    // the threshold genuinely splits this corpus slice
+    val flags = got.values.map(_._2).toSet
+    assert(flags == Set(true, false))
+  }
+
   test("kneser-ney: mass sums to exactly 1, continuation beats raw frequency, hand example") {
     val s = spark
     import s.implicits._
