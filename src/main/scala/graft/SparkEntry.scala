@@ -2265,6 +2265,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming image near-dup screen: static banded corpus dHashes,
+    // incoming blobs decoded+hashed by the same stateless kernel scan,
+    // stream-static chunk join, Complete-mode best-match state — equal
+    // to the batch screen's answer (shared brute-force oracle)
+    "q_stream_imgdup" -> ((s, dir) =>
+      streaming.JsonStream.imageDupScreenToBatch(s, s"$dir/documents.parquet")
+        .orderBy(col("doc_id"))),
+
     // range (point-in-interval) join: every order pairs with every
     // priority band whose [min,max] totalprice interval contains it —
     // genuinely many-to-many (bands overlap); binned to a hash equi-join,
@@ -6147,6 +6155,26 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
         | FROM ibhash a JOIN ivhash b ON bit_count(xor(a.dhash, b.dhash)) <= 8
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // streaming screen replica: per variant image, min (hamming, oid)
+    // over the brute-force cross pairs — banding + stream-static join
+    // must land on the same best match
+    "q_stream_imgdup" -> {
+      val (rf, gf, bf) = imgVariantChannels
+      s"""WITH ${imgHashCtes("ib")}, ${imgHashCtes("iv", rf, gf, bf)},
+        | sprs AS (SELECT b.doc_id AS vid, a.doc_id AS oid,
+        |   CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hm
+        |   FROM ivhash b JOIN ibhash a ON bit_count(xor(a.dhash, b.dhash)) <= 8),
+        | sbest AS (SELECT vid, min(hm) AS hamming FROM sprs GROUP BY vid),
+        | sbid AS (SELECT p.vid, b.hamming, min(p.oid) AS match_id
+        |   FROM sprs p JOIN sbest b ON b.vid = p.vid AND p.hm = b.hamming
+        |   GROUP BY p.vid, b.hamming)
+        | SELECT v.doc_id, s.vid IS NOT NULL AS matched,
+        |  CAST(coalesce(s.match_id, -1) AS BIGINT) AS match_id,
+        |  CAST(coalesce(s.hamming, -1) AS INT) AS hamming
+        | FROM ivhash v LEFT JOIN sbid s ON s.vid = v.doc_id
+        | ORDER BY v.doc_id""".stripMargin.replaceAll("\n", " ")
     },
 
     // WAV decode replica WITHOUT parsing WAV: the synthetic clips'

@@ -666,26 +666,32 @@ object Dedup {
     * exact `bit_count(xor)` verifies. No `id <` dedup (the corpora are
     * distinct sides); one shuffle on (band, chunk), equi-join (AQE
     * skew-splittable). Inputs are two (idCol, codeCol) frames. */
+  /** (id, code, band, chunk) explode of 64-bit codes into the
+    * `maxHamming + 1` pigeonhole chunks — the shared banding under
+    * [[hammingNearDupPairsCross]] and the streaming image screen. */
+  private[graft] def bandedCodes(
+      df: DataFrame, idCol: String, codeCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in 0..63, got $maxHamming")
+    val nBands = maxHamming + 1
+    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    df.select(col(idCol).as("id"), col(codeCol).cast("long").as("code"))
+      .select(col("id"), col("code"),
+        posexplode(array((0 until nBands).map { b =>
+          val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+          shiftrightunsigned(col("code"), offsets(b)).bitwiseAND(lit(mask))
+        }: _*))
+          .as(Seq("band", "chunk")))
+  }
+
   def hammingNearDupPairsCross(
       left: DataFrame,
       right: DataFrame,
       idCol: String,
       codeCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in 0..63, got $maxHamming")
-    val nBands = maxHamming + 1
-    val widths = Array.tabulate(nBands)(b => 64 / nBands + (if (b < 64 % nBands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    def banded(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), col(codeCol).cast("long").as("code"))
-        .select(col("id"), col("code"),
-          posexplode(array((0 until nBands).map { b =>
-            val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
-            shiftrightunsigned(col("code"), offsets(b)).bitwiseAND(lit(mask))
-          }: _*))
-            .as(Seq("band", "chunk")))
-    val a = banded(left).as("a")
-    val b = banded(right).as("b")
+    val a = bandedCodes(left, idCol, codeCol, maxHamming).as("a")
+    val b = bandedCodes(right, idCol, codeCol, maxHamming).as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.code").bitwiseXOR(col("b.code"))).as("hamming"))

@@ -664,6 +664,63 @@ object JsonStream {
     result
   }
 
+  /** Streaming image near-dup SCREEN — the ingestion twin of
+    * q_img_dedup: the corpus' dHash codes are computed once and sit
+    * STATIC (banded into the pigeonhole chunks); incoming image blobs
+    * (here the perturbed variant corpus, staged through a parquet
+    * stream) are decoded + dHashed by the same stateless kernel scan,
+    * banded, and stream-static equi-joined on (band, chunk); exact
+    * `bit_count(xor)` verifies at radius 8 and a Complete-mode
+    * min(struct(hamming, id)) per stream doc keeps ONE best match —
+    * so the screen's state is one row per streamed image, not the
+    * candidate fan-out. Returns (doc_id, matched, match_id, hamming);
+    * unmatched rows carry (-1, -1). */
+  def imageDupScreenToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val maxHamming = 8
+    val docs = spark.read.parquet(path).select(col("doc_id"))
+    val baseCodes = graft.operators.Multimodal.perceptualHashes(spark,
+        graft.operators.Multimodal.syntheticImageBlobs(spark, docs))
+      .toDF().select(col("doc_id"), col("dhash"))
+    val corB = graft.operators.Dedup
+      .bandedCodes(baseCodes, "doc_id", "dhash", maxHamming)
+      .select(col("id").as("oid"), col("code").as("ocode"),
+        col("band").as("oband"), col("chunk").as("ochunk"))
+    val blobs = graft.operators.Multimodal.syntheticVariantBlobs(spark, docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-imgdup")
+    blobs.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val streamCodes = graft.operators.Multimodal.perceptualHashes(spark,
+        spark.readStream.schema(blobs.schema).parquet(dir.toString))
+      .toDF().select(col("doc_id"), col("dhash"))
+    val hm = bit_count(col("code").bitwiseXOR(col("ocode")))
+    val joined = graft.operators.Dedup
+      .bandedCodes(streamCodes, "doc_id", "dhash", maxHamming)
+      .join(corB,
+        col("band") === col("oband") && col("chunk") === col("ochunk") &&
+          hm <= maxHamming,
+        "left_outer")
+      .select(col("id"),
+        when(col("oid").isNotNull,
+          struct(hm.cast("int").as("hamming"), col("oid"))).as("m"))
+    val agg = joined.groupBy(col("id").as("doc_id"))
+      .agg(min(col("m")).as("best"))
+      .select(col("doc_id"), col("best").isNotNull.as("matched"),
+        coalesce(col("best.oid"), lit(-1L)).as("match_id"),
+        coalesce(col("best.hamming"), lit(-1)).as("hamming"))
+    val sink = s"graft_stream_imgdup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    deleteStagedDir(dir.toString)
+    result
+  }
+
   case class AsofTagged(
       event_id: Long, ts_us: Long, user_id: Long, event_type: String,
       value: Double, is_right: Boolean)

@@ -389,6 +389,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming image screen equals the batch best-match answer") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val got = JsonStream.imageDupScreenToBatch(s, "/root/testdata/sf0.001/documents.parquet")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getInt(3))).toSet
+    // batch reference: brute-force best (hamming, oid) from the SAME
+    // hash codes the stream computes
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    def codes(blobs: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.perceptualHashes(s, blobs)
+        .collect().map(h => (h.doc_id, h.dhash))
+    val base = codes(graft.operators.Multimodal.syntheticImageBlobs(s, docs))
+    val varr = codes(graft.operators.Multimodal.syntheticVariantBlobs(s, docs))
+    val want = varr.map { case (vid, vc) =>
+      val cands = base.map { case (oid, oc) => (java.lang.Long.bitCount(vc ^ oc), oid) }
+        .filter(_._1 <= 8)
+      if (cands.isEmpty) (vid, false, -1L, -1)
+      else { val (hm, oid) = cands.min; (vid, true, oid, hm) }
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_._2)) // the screen actually matches something
+  }
+
   test("streaming heavy hitters equal the batch recount exactly") {
     val s = spark
     val path = "/root/testdata/sf0.001/documents.parquet"
