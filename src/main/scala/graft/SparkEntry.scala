@@ -2697,6 +2697,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // sample-rate conversion (3/4 downsample) by exact-integer linear
+    // interpolation over the REAL-parsed PCM16 corpus: every output
+    // sample is an integer formula of the inputs, so the oracle regrows
+    // the full resampled stream and its position-weighted summary
+    "q_audio_resample" -> ((s, dir) =>
+      operators.Multimodal.audioResample(s,
+          operators.Multimodal.syntheticAudioBlobs(s, table(s, dir, "documents")),
+          upL = 3, downM = 4)
+        .toDF()
+        .orderBy(col("doc_id"), col("channel"))),
+
     // real RIFF/WAV parse of synthetic PCM clips: header metadata and
     // sample-stat features, both formula-replayed by the oracle
     "q_audio_meta" -> ((s, dir) =>
@@ -6156,6 +6167,33 @@ object SparkEntry {
         | FROM ibhash a JOIN ivhash b ON bit_count(xor(a.dhash, b.dhash)) <= 8
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " ")
     },
+
+    // resample replica: the interpolation arithmetic regrown from the
+    // PCM sample formula — (j*4) div/mod 3 positions, TRUNCATING
+    // division interpolation (DuckDB // and Java / both truncate toward
+    // zero, so negative deltas agree), position-weighted sums
+    "q_audio_resample" ->
+      """WITH au0 AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |   8000 + (doc_id % 5) * 2000 AS sr, 256 + (doc_id * 3) % 200 AS nf
+        |  FROM documents),
+        | auj AS (SELECT doc_id, ch, sr, nf,
+        |   unnest(range(((nf - 1) * 3) // 4 + 1)) AS j FROM au0),
+        | auc AS (SELECT doc_id, ch, sr, nf, j, unnest(range(ch)) AS c FROM auj),
+        | aus AS (SELECT doc_id, ch, sr, nf, j, c,
+        |   (j * 4) // 3 AS i, (j * 4) % 3 AS r FROM auc),
+        | auy AS (SELECT doc_id, ch, sr, nf, j, c,
+        |   ((doc_id * 7919 + i * 31 + c * 17) % 2048 - 1024) +
+        |   (CASE WHEN r = 0 THEN 0 ELSE
+        |     ((((doc_id * 7919 + (i + 1) * 31 + c * 17) % 2048 - 1024) -
+        |       ((doc_id * 7919 + i * 31 + c * 17) % 2048 - 1024)) * r) // 3 END) AS y
+        |  FROM aus)
+        | SELECT doc_id, CAST(c AS INT) AS channel, CAST(sr AS INT) AS sr_in,
+        |  CAST(sr * 3 // 4 AS INT) AS sr_out,
+        |  CAST(nf AS BIGINT) AS n_in, CAST(((nf - 1) * 3) // 4 + 1 AS BIGINT) AS n_out,
+        |  CAST(sum((j + 1) * y) AS BIGINT) AS wsum,
+        |  CAST(min(y) AS BIGINT) AS smin, CAST(max(y) AS BIGINT) AS smax
+        | FROM auy GROUP BY doc_id, c, sr, nf
+        | ORDER BY doc_id, channel""".stripMargin.replaceAll("\n", " "),
 
     // streaming screen replica: per variant image, min (hamming, oid)
     // over the brute-force cross pairs — banding + stream-static join

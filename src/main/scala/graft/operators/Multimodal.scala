@@ -2238,6 +2238,115 @@ object Multimodal {
       }
   }
 
+  /** One resampled channel: rates, lengths, and the position-weighted
+    * integer summary of the resampled signal. */
+  case class ResampledAudio(
+      doc_id: Long, channel: Int, sr_in: Int, sr_out: Int,
+      n_in: Long, n_out: Long, wsum: Long, smin: Long, smax: Long)
+
+  /** Sample-rate conversion by EXACT-rational linear interpolation:
+    * output index j reads input position j·downM/upL — integer part
+    * i = (j·downM) div upL, fractional numerator r = (j·downM) mod upL —
+    * and interpolates y = x[i] + ((x[i+1] − x[i])·r) div upL with
+    * TRUNCATING integer division (the SQL `//`/Java `/` convention —
+    * positions are non-negative so only the interpolation delta ever
+    * sees a sign), making every output sample a pure integer function
+    * of the input: an engine-independent resampler, no float phase
+    * accumulator to drift. n_out = (n_in−1)·upL div downM + 1 — the
+    * last output lands exactly on the last input (r = 0 there, proven
+    * by the bound, so x[i+1] is never read out of range). Requires
+    * upL ≤ downM (downsampling; for upsampling swap the reconstruction
+    * filter, not this kernel) and that every input rate·upL is
+    * divisible by downM (integer output rate, loudly checked).
+    *
+    * Input blobs are REAL RIFF/WAVE PCM16 files (chunk-walked: fmt +
+    * data, other chunks skipped); per-channel resampling over the
+    * deinterleaved stream. Narrow partition-local decode+resample —
+    * one flatMap row per (doc, channel), no shuffle. The emitted
+    * summary (wsum = Σ(j+1)·y[j], min, max) pins every sample's value
+    * AND position without dumping the waveform. */
+  def audioResample(
+      spark: SparkSession,
+      blobs: DataFrame,
+      upL: Int = 3,
+      downM: Int = 4): Dataset[ResampledAudio] = {
+    require(upL >= 1 && downM >= 1 && upL <= downM,
+      s"audioResample is a downsampler: need 1 <= upL <= downM, got $upL/$downM")
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        pcm16Samples(bytes) match {
+          case None => Iterator.empty
+          case Some((sr, ch, x)) =>
+            require(sr.toLong * upL % downM == 0,
+              s"audioResample: rate $sr * $upL/$downM is not an integer (doc $id)")
+            val nIn = x.length / ch
+            val nOut = if (nIn == 0) 0L else (nIn - 1).toLong * upL / downM + 1
+            (0 until ch).iterator.map { c =>
+              var wsum = 0L
+              var smin = Long.MaxValue
+              var smax = Long.MinValue
+              var j = 0L
+              while (j < nOut) {
+                val p = j * downM
+                val i = (p / upL).toInt
+                val r = p % upL
+                val x0 = x((i * ch + c).toInt).toLong
+                val y =
+                  if (r == 0L) x0
+                  else x0 + (x((i + 1) * ch + c).toLong - x0) * r / upL
+                wsum += (j + 1) * y
+                if (y < smin) smin = y
+                if (y > smax) smax = y
+                j += 1
+              }
+              ResampledAudio(id, c, sr, sr * upL / downM, nIn.toLong, nOut,
+                wsum, if (nOut == 0) 0L else smin, if (nOut == 0) 0L else smax)
+            }.toVector
+        }
+      }
+  }
+
+  /** RIFF/WAVE chunk walk for PCM16: (sampleRate, channels, interleaved
+    * samples) — None for anything that is not an uncompressed 16-bit
+    * WAV (fmt code 1, 16 bits). */
+  private[graft] def pcm16Samples(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (bytes == null || bytes.length < 44) return None
+    def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var o = 12
+    var sr = -1; var ch = -1; var bits = -1; var fmt = -1
+    var dataOff = -1; var dataLen = -1
+    while (o + 8 <= bytes.length && (sr < 0 || dataOff < 0)) {
+      val ct = tag(o)
+      val cl = u32(o + 4)
+      if (cl < 0 || cl > bytes.length.toLong) return None
+      val len = cl.toInt
+      if (ct == "fmt " && o + 8 + 16 <= bytes.length) {
+        fmt = u16(o + 8); ch = u16(o + 10)
+        sr = u32(o + 12).toInt; bits = u16(o + 22)
+      } else if (ct == "data") {
+        dataOff = o + 8
+        dataLen = math.min(len.toLong, (bytes.length - dataOff).toLong).toInt
+      }
+      o += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || bits != 16 || ch < 1 || sr <= 0 || dataOff < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(dataOff + 2 * i) & 0xff) |
+        ((bytes(dataOff + 2 * i + 1) & 0xff) << 8)).toShort
+      i += 1
+    }
+    Some((sr, ch, out))
+  }
+
   /** One frame-to-frame transition: SAD (sum of absolute per-pixel RGB
     * differences) and the thresholded cut flag. */
   case class SceneCut(doc_id: Long, frame_idx: Int, diff_sum: Long, is_cut: Boolean)

@@ -5463,6 +5463,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio resample: matches the rational-interpolation model, identity at 1/1, stereo") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 10L).toDF("doc_id")
+    val blobs = Multimodal.syntheticAudioBlobs(s, ids)
+    def run(l: Int, m: Int) = Multimodal.audioResample(s, blobs, l, m)
+      .collect().map(r => ((r.doc_id, r.channel), r)).toMap
+    // naive model from the WAV sample formula
+    def sample(id: Long, f: Int, c: Int): Long =
+      java.lang.Math.floorMod(id * 7919 + f * 31 + c * 17, 2048L) - 1024L
+    val got = run(3, 4)
+    for (id <- 0L until 10L; c <- 0 until (1 + id % 2).toInt) {
+      val nf = 256 + (id * 3 % 200).toInt
+      val nOut = (nf - 1) * 3 / 4 + 1
+      var wsum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      for (j <- 0 until nOut) {
+        val p = j * 4; val i = p / 3; val r = p % 3
+        val y = if (r == 0) sample(id, i, c)
+        else sample(id, i, c) + (sample(id, i + 1, c) - sample(id, i, c)) * r / 3
+        wsum += (j + 1) * y; mn = math.min(mn, y); mx = math.max(mx, y)
+      }
+      val g = got((id, c))
+      assert((g.n_in, g.n_out, g.wsum, g.smin, g.smax) ==
+        ((nf.toLong, nOut.toLong, wsum, mn, mx)), s"doc $id ch $c")
+      assert(g.sr_out == g.sr_in * 3 / 4 && g.sr_in * 3 % 4 == 0)
+    }
+    // identity ratio returns the input stream verbatim
+    val id1 = run(1, 1)
+    for (((id, c), g) <- id1) {
+      val nf = 256 + (id * 3 % 200).toInt
+      val wsum = (0 until nf).map(j => (j + 1).toLong * sample(id, j, c)).sum
+      assert(g.n_out == nf.toLong && g.wsum == wsum, s"identity doc $id ch $c")
+    }
+    // stereo docs emit both channels, mono docs one
+    assert(id1.keySet.count(_._1 == 1L) == 2 && id1.keySet.count(_._1 == 0L) == 1)
+  }
+
   test("video scene cuts: SAD equals the band-formula model, threshold splits") {
     val s = spark
     import s.implicits._
