@@ -2488,6 +2488,25 @@ object SparkEntry {
       out
     }),
 
+    // snapshot HISTORY metadata table (the Iceberg `history` surface):
+    // append / append / merge-on-read delete / overwrite, then one row
+    // per version with manifest shape + exact as-of row counts — every
+    // column rebuilt from documents by the oracle (entry counts are
+    // structural constants of the op sequence)
+    "q_snapshot_history" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-snaphist")
+      val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      sources.Snapshots.append(d.where(col("doc_id") % 2 === 0), tmp.toString)
+      sources.Snapshots.append(d.where(col("doc_id") % 2 === 1), tmp.toString)
+      sources.Snapshots.deleteWhere(s, tmp.toString, Seq("doc_id"),
+        col("doc_id") % 10 === 0)
+      sources.Snapshots.overwrite(d.where(col("doc_id") % 4 === 0), tmp.toString)
+      val out = sources.Snapshots.history(s, tmp.toString)
+        .orderBy(col("version")).localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // snapshot TAGS: named refs pin versions against expire — v1 gets
     // tagged, v2 does not, an overwrite lands v3, expire(keepLast=1)
     // then reclaims ONLY v2; the tag still reads v1's exact contents
@@ -6945,6 +6964,26 @@ object SparkEntry {
         "coalesce(a.seg, '') AS seg " +
         "FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id " +
         "WHERE d.text IS NOT NULL ORDER BY d.doc_id"),
+
+    // history replica: entry counts are structural constants of the op
+    // sequence (append=+1 entry, MoR delete=+1 delete entry, overwrite
+    // resets to 1); as-of row counts rebuilt from documents
+    "q_snapshot_history" ->
+      """SELECT CAST(version AS BIGINT) AS version,
+        | CAST(n_entries AS BIGINT) AS n_entries,
+        | CAST(n_data_dirs AS BIGINT) AS n_data_dirs,
+        | CAST(n_deletes AS BIGINT) AS n_deletes,
+        | CAST(n_added_entries AS BIGINT) AS n_added_entries,
+        | CAST(n_rows AS BIGINT) AS n_rows FROM (
+        | SELECT 1 AS version, 1 AS n_entries, 1 AS n_data_dirs, 0 AS n_deletes,
+        |  1 AS n_added_entries,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_rows
+        | UNION ALL SELECT 2, 2, 2, 0, 1, (SELECT count(*) FROM documents)
+        | UNION ALL SELECT 3, 3, 2, 1, 1,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0)
+        | UNION ALL SELECT 4, 1, 1, 0, 1,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 4 = 0)
+        |) ORDER BY version""".stripMargin.replaceAll("\n", " "),
 
     // screen replica: rebuild the batch from the same expressions, then
     // brute-force batch x corpus levenshtein (bag-of-chars cut), per-

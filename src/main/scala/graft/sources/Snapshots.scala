@@ -293,6 +293,39 @@ object Snapshots {
       .flatten.toSeq.sorted
   }
 
+  /** One history row — the Iceberg-style `history`/`snapshots`
+    * metadata-table surface for a versioned table. */
+  case class HistoryRow(
+      version: Long, n_entries: Long, n_data_dirs: Long, n_deletes: Long,
+      n_added_entries: Long, n_rows: Long)
+
+  /** Table history as a DataFrame: one row per committed version with
+    * its manifest shape (total entries, data dirs vs `delete:` entries,
+    * entries ADDED relative to the previous version) and — when
+    * `withRowCounts` — the exact row count that version reads as
+    * (merge-on-read deletes applied). The metadata columns come from
+    * the manifests alone (driver-local, ≤ versions × entries strings);
+    * row counts run one bounded count job per version, so leave
+    * `withRowCounts` off for dashboards over long histories. Expired
+    * versions are absent (their manifests are gone) — history reports
+    * what is still readable, by design. */
+  def history(
+      spark: SparkSession, root: String, withRowCounts: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, root)
+    val rows = vs.foldLeft((Set.empty[String], List.empty[HistoryRow])) {
+      case ((prev, acc), v) =>
+        val entries = readManifest(spark, root, v)
+        val deletes = entries.count(isDelete)
+        val added = entries.count(e => !prev.contains(e))
+        val nRows = if (withRowCounts) read(spark, root, v).count() else -1L
+        (entries.toSet,
+          HistoryRow(v, entries.size.toLong, (entries.size - deletes).toLong,
+            deletes.toLong, added.toLong, nRows) :: acc)
+    }._2.reverse
+    rows.toDF()
+  }
+
   /** Compact: rewrite the CURRENT contents as one fresh commit and
     * point a new version at it — the small-file maintenance op for
     * append-heavy tables (every append adds a commit dir; scans

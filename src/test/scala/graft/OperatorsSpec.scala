@@ -5463,6 +5463,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot history: manifest shape per version, expire drops rows, counts optional") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hist-spec")
+    val d = (1L to 20L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    sources.Snapshots.append(d.where(col("doc_id") <= 10), tmp.toString)
+    sources.Snapshots.append(d.where(col("doc_id") > 10), tmp.toString)
+    sources.Snapshots.deleteWhere(s, tmp.toString, Seq("doc_id"), col("doc_id") % 5 === 0)
+    sources.Snapshots.compact(s, tmp.toString) // v4: one fresh dir
+    val h = sources.Snapshots.history(s, tmp.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(h.toSeq == Seq(
+      (1L, 1L, 1L, 0L, 1L, 10L),
+      (2L, 2L, 2L, 0L, 1L, 20L),
+      (3L, 3L, 2L, 1L, 1L, 16L),
+      (4L, 1L, 1L, 0L, 1L, 16L)))
+    // metadata-only mode skips the count jobs
+    val meta = sources.Snapshots.history(s, tmp.toString, withRowCounts = false)
+      .collect().map(_.getLong(5)).toSet
+    assert(meta == Set(-1L))
+    // expire removes dropped versions from history
+    sources.Snapshots.expire(s, tmp.toString, keepLast = 1)
+    assert(sources.Snapshots.history(s, tmp.toString).collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   test("audio resample: matches the rational-interpolation model, identity at 1/1, stereo") {
     val s = spark
     import s.implicits._
