@@ -1232,6 +1232,23 @@ object SparkEntry {
       operators.Graph.pageRankEvents(table(s, dir, "events"), iterations = 5)
         .orderBy(col("node"))),
 
+    // personalized PageRank: restart mass only on the u0/u10/... seed
+    // users (plan-literal isin — no extra join per round), same integer
+    // fixed point as q_pagerank; every round replayed by the oracle
+    "q_ppr" -> ((s, dir) => {
+      val pairs = table(s, dir, "events").select(
+          concat(lit("u"), col("user_id").cast("long")).as("u"),
+          concat(lit("i"), json_get_int(col("props"), lit("k"))).as("it"))
+        .where(col("u").isNotNull && col("it").isNotNull)
+        .distinct()
+      val edges = pairs.select(col("u").as("src"), col("it").as("dst"))
+        .union(pairs.select(col("it").as("src"), col("u").as("dst")))
+      val seeds = (0L until 100L by 10L).map(i => s"u$i")
+      operators.Graph.personalizedPageRankFixed(edges, "src", "dst", seeds,
+          iterations = 5)
+        .orderBy(col("node"))
+    }),
+
     // HITS hubs & authorities on the directed user→item interaction
     // graph: fixed-point integers with max-rescaled half-steps (the
     // normalization float HITS does with an order-dependent L2 norm
@@ -4748,6 +4765,35 @@ object SparkEntry {
           s"ON s.dst = n.node)"
       }.mkString(", ")
       s"WITH $head, $rounds SELECT node, rank FROM r$iters ORDER BY node"
+    },
+
+    // PPR replica: the q_pagerank rounds with seed-only restart
+    "q_ppr" -> {
+      val iters = 5
+      val seedList = (0L until 100L by 10L).map(i => s"'u$i'").mkString(", ")
+      val head =
+        "pr AS MATERIALIZED (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u, " +
+          "'i' || CAST(json_extract_string(props, '$.k') AS VARCHAR) AS it " +
+          "FROM events WHERE user_id IS NOT NULL " +
+          "AND json_extract_string(props, '$.k') IS NOT NULL), " +
+        "e AS MATERIALIZED (SELECT u AS src, it AS dst FROM pr " +
+          "UNION ALL SELECT it, u FROM pr), " +
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS outdeg " +
+          "FROM e GROUP BY src), " +
+        "n AS MATERIALIZED (SELECT DISTINCT node FROM " +
+          "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+        "p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"
+      val rounds = (1 to iters).map { i =>
+        s"p$i AS MATERIALIZED (SELECT n.node, " +
+          s"CAST((CASE WHEN n.node IN ($seedList) THEN 150000 ELSE 0 END) " +
+          s"+ coalesce(s.s, 0) AS BIGINT) AS rank " +
+          s"FROM n LEFT JOIN (SELECT e.dst, " +
+          s"SUM((r.rank * 85) // (100 * d.outdeg)) AS s " +
+          s"FROM e JOIN deg d ON d.src = e.src " +
+          s"JOIN p${i - 1} r ON r.node = e.src GROUP BY e.dst) s " +
+          s"ON s.dst = n.node)"
+      }.mkString(", ")
+      s"WITH $head, $rounds SELECT node, rank FROM p$iters ORDER BY node"
     },
 
     // TextRank replica: lateral-unnest token positions, windowed

@@ -149,6 +149,107 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank [Haveliwala 2002; the random-walk-with-
+    * restart form]: identical integer fixed point to [[pageRankFixed]]
+    * — rank·85 div (100·outdeg) contributions — except the restart mass
+    * lands ONLY on the `seeds` instead of uniformly: seeded nodes add
+    * 150000 per round, everyone else 0, so rank concentrates around the
+    * seed set's neighbourhood. The curation use: expand a small trusted
+    * domain/document seed list through the link graph and keep the
+    * high-PPR frontier (seed-anchored quality propagation, the
+    * complement to global PageRank's topic-blind authority).
+    *
+    * The seed set ships as a PLAN-LITERAL `isin` predicate — a seed
+    * list is small by nature (that is what "personalized" means), so
+    * burning it into the expression avoids one extra join+shuffle per
+    * iteration; ≤ 10k seeds enforced loudly (a bigger "seed" set is a
+    * node-weight table — join a restart column instead). Same
+    * materialization/checkpoint discipline as [[pageRankFixed]];
+    * node ids compare as strings (the shared node-domain convention).
+    * Unnormalized: scores are comparable WITHIN a run (ranking/
+    * thresholding), not across seed sets. */
+  def personalizedPageRankFixed(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[String],
+      iterations: Int = 5,
+      checkpointDir: String = null,
+      checkpointEvery: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    require(seeds.nonEmpty, "personalizedPageRankFixed: empty seed set")
+    require(seeds.size <= 10000,
+      s"personalizedPageRankFixed: ${seeds.size} seeds — a set this large " +
+        "is a node-weight table, not a personalization vector")
+    val spark = edges.sparkSession
+    val runDir =
+      if (checkpointDir == null) null
+      else checkpointDir.stripSuffix("/") + "/ppr_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      if (runDir == null) df.localCheckpoint()
+      else {
+        val p = s"$runDir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    def drop(name: String): Unit =
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/$name")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outdeg, "src").repartition(col("src")).persist()
+    nodes.persist()
+    val restart = when(col("node").isInCollection(seeds), 150000L).otherwise(0L)
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+    var i = 0
+    var lastCp = -1
+    var lastLocalCp: DataFrame = null
+    while (i < iterations) {
+      val contribs = ew
+        .join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"),
+          expr("(rank * 85) div (100 * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"), (restart + coalesce(col("s"), lit(0L))).as("rank"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iterations) {
+        val cp = materialize(ranks, s"ranks_$i")
+        if (lastCp >= 0) {
+          drop(s"ranks_$lastCp")
+          if (runDir == null && lastLocalCp != null)
+            graft.operators.releaseLocalCheckpoint(lastLocalCp)
+        }
+        if (runDir == null) lastLocalCp = cp
+        ranks = cp
+        lastCp = i
+      }
+    }
+    if (runDir == null) {
+      ranks.persist()
+      ranks.count()
+    } else {
+      ranks = ranks.localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(runDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    ew.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+
   /** The event-log authority graph: one edge user→item per distinct
     * (user, item) interaction — the item key extracted with the
     * library's own `json_get_int` — plus the reverse item→user edge, so

@@ -5463,6 +5463,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("personalized pagerank: matches the integer model, rank concentrates at seeds") {
+    val s = spark
+    import s.implicits._
+    // two disjoint 4-cycles; seed only in the first
+    def cyc(base: Long) = (0L until 4L).map(i => (base + i, base + (i + 1) % 4))
+    val edges = (cyc(0) ++ cyc(100)).toDF("src", "dst")
+    val got = Graph.personalizedPageRankFixed(edges, "src", "dst",
+        seeds = Seq("0"), iterations = 5)
+      .collect().map(r => (r.getString(0).toLong, r.getLong(1))).toMap
+    // naive integer recurrence
+    val adj = (cyc(0) ++ cyc(100)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodesAll = (cyc(0) ++ cyc(100)).flatMap(e => Seq(e._1, e._2)).distinct
+    var r = nodesAll.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, vs) <- adj; v <- vs) contrib(v) += r(u) * 85 / (100 * vs.size)
+      r = nodesAll.map(n => n -> ((if (n == 0L) 150000L else 0L) + contrib(n))).toMap
+    }
+    assert(got == r)
+    // seeded community holds rank; the unseeded cycle decays below every
+    // seeded-community node
+    val seededMin = (0L until 4L).map(got).min
+    val otherMax = (100L until 104L).map(got).max
+    assert(seededMin > otherMax)
+    // loud guards
+    assert(intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankFixed(edges, "src", "dst", Nil)
+    }.getMessage.contains("empty seed set"))
+  }
+
   test("snapshot history: manifest shape per version, expire drops rows, counts optional") {
     val s = spark
     import s.implicits._
