@@ -2282,6 +2282,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming scene-cut monitor: the stateless SAD flatMap on a blob
+    // stream (Append mode, no state store) — equal to the batch answer,
+    // same formula oracle
+    "q_stream_video_cuts" -> ((s, dir) =>
+      streaming.JsonStream.videoCutsToBatch(s, s"$dir/documents.parquet")
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // streaming image near-dup screen: static banded corpus dHashes,
     // incoming blobs decoded+hashed by the same stateless kernel scan,
     // stream-static chunk join, Complete-mode best-match state — equal
@@ -4069,6 +4076,7 @@ object SparkEntry {
       "q_knn_batched" -> base("q_knn_join"),
       "q_stratified_salted" -> base("q_stratified"),
       "q_stream_unigram" -> base("q_unigram_tokens"),
+      "q_stream_video_cuts" -> base("q_video_cuts"),
       "q_stream_warc_gz" -> base("q_warc_source"),
       "q_editdist_indexed" -> base("q_editdist_screen_tokens"),
       "q_stream_editdist" -> base("q_editdist_screen_tokens"),

@@ -721,6 +721,37 @@ object JsonStream {
     result
   }
 
+  /** Streaming scene-cut monitor: AVI blobs staged through a parquet
+    * stream, decoded + SAD-diffed by the SAME stateless
+    * [[graft.operators.Multimodal.videoSceneCuts]] flatMap (per-blob
+    * sequential decode is self-contained, so the scan needs no state
+    * store at all — Append mode, one output row per transition). The
+    * shape a video ingestion pipeline runs at the edge: flag cut-heavy
+    * clips as they land, before any keyframe extraction job. */
+  def videoCutsToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val docs = spark.read.parquet(path).select(col("doc_id"))
+    val blobs = graft.operators.Multimodal.syntheticAviBlobs(spark, docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-vcuts")
+    blobs.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val cuts = graft.operators.Multimodal.videoSceneCuts(spark,
+        spark.readStream.schema(blobs.schema).parquet(dir.toString),
+        threshold = 32000L)
+      .toDF()
+    val sink = s"graft_stream_vcuts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = cuts.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    deleteStagedDir(dir.toString)
+    result
+  }
+
   case class AsofTagged(
       event_id: Long, ts_us: Long, user_id: Long, event_type: String,
       value: Double, is_right: Boolean)

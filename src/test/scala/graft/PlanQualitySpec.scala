@@ -995,4 +995,62 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("hamming cross join: (band, chunk) equi-join only — no cartesian, no NL join") {
+    val s = spark
+    import s.implicits._
+    val a = (0L until 50L).map(i => (i, i * 2654435761L)).toDF("doc_id", "code")
+    val b = (0L until 50L).map(i => (i, i * 40503L)).toDF("doc_id", "code")
+    val plan = operators.Dedup.hammingNearDupPairsCross(a, b, "doc_id", "code", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("winnowing: fingerprint scan is zero-Exchange; overlap pairs are fp equi-joins only") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val fps = operators.TextOps.winnowFingerprints(d, "doc_id", "text")
+    val fplan = fps.queryExecution.executedPlan.toString
+    assert(!fplan.contains("Exchange"), fplan) // one narrow kernel scan + explode
+    val pairs = operators.TextOps.winnowOverlapPairs(d, "doc_id", "text",
+      k = 16, w = 24, minShared = 3, maxDf = 20)
+    val pplan = pairs.queryExecution.executedPlan.toString
+    assert(!pplan.contains("CartesianProduct"), pplan)
+    assert(!pplan.contains("BroadcastNestedLoopJoin"), pplan)
+  }
+
+  test("kneser-ney: count equi-joins + 1-row broadcast totals, no cartesian") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val plan = operators.TextOps.kneserNeyBigrams(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan) // the single-row totals
+  }
+
+  test("multimodal kernels (phash / scene cuts / resample / wordpiece) are zero-Exchange scans") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val ids = d.select(col("doc_id"))
+    val ph = operators.Multimodal.perceptualHashes(s,
+        operators.Multimodal.syntheticImageBlobs(s, ids)).toDF()
+      .queryExecution.executedPlan.toString
+    assert(!ph.contains("Exchange"), ph)
+    val vc = operators.Multimodal.videoSceneCuts(s,
+        operators.Multimodal.syntheticAviBlobs(s, ids), 32000L).toDF()
+      .queryExecution.executedPlan.toString
+    assert(!vc.contains("Exchange"), vc)
+    val ar = operators.Multimodal.audioResample(s,
+        operators.Multimodal.syntheticAudioBlobs(s, ids)).toDF()
+      .queryExecution.executedPlan.toString
+    assert(!ar.contains("Exchange"), ar)
+    val wp = operators.TextOps.wordPieceSegmentWith(d, "doc_id", "text",
+        Seq(("a", 0), ("a", 1)))
+      .queryExecution.executedPlan.toString
+    assert(!wp.contains("Exchange"), wp)
+  }
 }

@@ -412,6 +412,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._2)) // the screen actually matches something
   }
 
+  test("streaming video cuts equal the batch detector exactly") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val got = JsonStream.videoCutsToBatch(s, "/root/testdata/sf0.001/documents.parquet")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    val want = graft.operators.Multimodal.videoSceneCuts(s,
+        graft.operators.Multimodal.syntheticAviBlobs(s, docs), threshold = 32000L)
+      .collect().map(c => (c.doc_id, c.frame_idx, c.diff_sum, c.is_cut)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming heavy hitters equal the batch recount exactly") {
     val s = spark
     val path = "/root/testdata/sf0.001/documents.parquet"
