@@ -452,6 +452,61 @@ object Examples {
           .select("r.*"))
       .select("target_uri", "n_segments", "complete").show(3, truncate = 40)
 
+    println("== 28. Round 14 (cont.): image/video/audio ops, tokenizer trio, calibration ==")
+    // perceptual hashes + cross-corpus near-dup join (16 bytes/image)
+    val ids28 = docs.select(col("doc_id"))
+    val baseH = Multimodal.perceptualHashes(spark,
+      Multimodal.syntheticImageBlobs(spark, ids28)).toDF()
+    val varH = Multimodal.perceptualHashes(spark,
+      Multimodal.syntheticVariantBlobs(spark, ids28)).toDF()
+    Dedup.hammingNearDupPairsCross(
+        baseH.select(col("doc_id"), col("dhash")),
+        varH.select(col("doc_id"), col("dhash")), "doc_id", "dhash", 8)
+      .orderBy("id_a", "id_b").show(3)
+    // winnowing fingerprints -> MOSS overlap pairs
+    TextOps.winnowOverlapPairs(docs, "doc_id", "text",
+      k = 16, w = 24, minShared = 3, maxDf = 20).orderBy("id_a", "id_b").show(3)
+    // video shot boundaries on the decoded AVI streams
+    Multimodal.videoSceneCuts(spark,
+        Multimodal.syntheticAviBlobs(spark, ids28.limit(5)), 32000L)
+      .toDF().orderBy("doc_id", "frame_idx").show(4)
+    // exact-rational 3/4 resample of real PCM16 WAVs
+    Multimodal.audioResample(spark,
+        Multimodal.syntheticAudioBlobs(spark, ids28.limit(4)))
+      .toDF().orderBy("doc_id", "channel").show(4)
+    // WordPiece MaxMatch (the BERT tokenizer) with [UNK] semantics
+    TextOps.wordPieceSegment(docs, "doc_id", "text", topChars = 34)
+      .select("doc_id", "n_pieces", "n_unk", "seg").orderBy("doc_id").show(2, truncate = 60)
+    // Kneser-Ney bigrams as exact reduced fractions
+    TextOps.kneserNeyBigrams(docs.where(col("doc_id") % 7 === 0), "doc_id", "text")
+      .orderBy(col("c2").desc, col("w1"), col("w2")).show(3)
+    // isotonic calibration of a quality score (gcd-reduced pool means)
+    Curation.isotonicCalibrate(
+        docs.select(least(floor(col("n_chars") / 20), lit(100)).as("score"),
+          (col("doc_id") % 3 === 0).cast("int").as("label")),
+        "score", "label").orderBy("score").show(4)
+    // k-core of a sparse synthetic graph (the planted clique survives)
+    val n28 = ids28.count()
+    Graph.kCoreMembers(
+        ids28.select(col("doc_id").as("x"), ((col("doc_id") + 1) % n28).as("y"))
+          .unionAll(ids28.where(col("doc_id") % 97 === 0).as("l")
+            .join(ids28.where(col("doc_id") % 97 === 0).as("r"),
+              col("l.doc_id") < col("r.doc_id"))
+            .select(col("l.doc_id").as("x"), col("r.doc_id").as("y"))),
+        "x", "y", k = 3)
+      .orderBy("node").show(4)
+    // personalized PageRank: seed-anchored authority
+    Graph.personalizedPageRankFixed(
+        ids28.select(col("doc_id").as("src"), ((col("doc_id") * 3 + 1) % n28).as("dst")),
+        "src", "dst", seeds = Seq("0", "1"), iterations = 3)
+      .orderBy(col("rank").desc).show(4)
+    // snapshot history: the table's own audit log
+    val histRoot = java.nio.file.Files.createTempDirectory("graft-ex-hist")
+    sources.Snapshots.append(docs.select("doc_id", "n_chars"), histRoot.toString)
+    sources.Snapshots.overwrite(
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "n_chars"), histRoot.toString)
+    sources.Snapshots.history(spark, histRoot.toString).show()
+
     spark.stop()
   }
 }
