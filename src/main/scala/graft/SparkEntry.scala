@@ -1642,6 +1642,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Hilbert-curve index over the same two dimensions as q_zorder —
+    // the locality-tighter layout key (consecutive codes are unit
+    // Manhattan steps, spec-proven); HilbertIndex kernel (the unrolled
+    // Column form measured 165 s — see Tables.hilbertValue), replayed
+    // level-for-level by the oracle
+    "q_hilbert" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val zu = col("user_id").bitwiseAND(lit(255L))
+      val zb = floor(col("value")).cast("long").bitwiseAND(lit(255L))
+      ev.select(col("event_id"), zu.as("zu"), zb.as("zb"),
+          sources.Tables.hilbertValue(zu, zb, bits = 8).as("hv"))
+        .orderBy(col("event_id"))
+    }),
+
     // WARC ingestion: each doc is framed as a full ISO-28500 response
     // record (WARC headers + embedded HTTP message) and the byte-level
     // splitter parses it back; the oracle computes the expected fields
@@ -5507,6 +5521,30 @@ object SparkEntry {
       s"""SELECT event_id, zu, zb, CAST($terms AS BIGINT) AS zv
         | FROM (SELECT event_id, user_id & 255 AS zu,
         |   CAST(floor(value) AS BIGINT) & 255 AS zb FROM events)
+        | ORDER BY event_id""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // Hilbert replica: the xy2d recurrence unrolled level by level
+    // (quadrant digit + reflect-and-transpose), MATERIALIZED per level
+    "q_hilbert" -> {
+      val levels = (7 to 0 by -1).map { lvl =>
+        val s = 1L << lvl
+        val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+        s"""hl$lvl AS MATERIALIZED (SELECT event_id, zu, zb,
+          |  d + ${s * s} * xor(3 * $rx, $ry) AS d,
+          |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END)
+          |   ELSE x END AS x,
+          |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END)
+          |   ELSE y END AS y
+          | FROM ${if (lvl == 7) "hl8" else s"hl${lvl + 1}"})""".stripMargin
+      }.mkString(", ")
+      s"""WITH hl8 AS (SELECT event_id, user_id & 255 AS zu,
+        |  CAST(floor(value) AS BIGINT) & 255 AS zb,
+        |  user_id & 255 AS x, CAST(floor(value) AS BIGINT) & 255 AS y,
+        |  CAST(0 AS BIGINT) AS d FROM events),
+        | $levels
+        | SELECT event_id, zu, zb, CAST(d AS BIGINT) AS hv FROM hl0
         | ORDER BY event_id""".stripMargin.replaceAll("\n", " ")
     },
 

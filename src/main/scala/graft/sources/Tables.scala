@@ -87,6 +87,45 @@ object Tables {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Hilbert-curve index of a 2-D point — the locality-preserving
+    * alternative to [[zValue]]: consecutive Hilbert codes are ALWAYS
+    * unit Manhattan steps (the curve never jumps), where the Z curve
+    * teleports across seams every power-of-two boundary — so
+    * range-partitioning on the Hilbert code packs each file into a
+    * tighter 2-D box (Delta OPTIMIZE added Hilbert after Z-order for
+    * exactly this). Classic xy2d recurrence [Hilbert 1891; bitwise form
+    * as in Warren, Hacker's Delight §16] via the
+    * [[graft.operators.HilbertIndex]] kernel — the unrolled pure-Column
+    * form was tried first and MEASURED 165 s at sf0.1 (the when-chain
+    * tree triples per level and falls out of codegen; the kernel is
+    * sub-second). Inputs must sit in [0, 2^bits) — callers mask like
+    * the z path; out-of-range raises loudly. */
+  def hilbertValue(xc: Column, yc: Column, bits: Int = 8): Column =
+    org.apache.spark.sql.graft.GraftSqlShim.column(
+      graft.operators.HilbertIndex(
+        org.apache.spark.sql.graft.GraftSqlShim.expression(xc.cast("long")),
+        org.apache.spark.sql.graft.GraftSqlShim.expression(yc.cast("long")),
+        bits))
+
+  /** Hilbert-ordered parquet layout — [[writeZOrdered]] with the
+    * tighter curve: one range partition on the Hilbert code + in-file
+    * sort, so every file's min/max stats box is a near-square 2-D tile
+    * (Z-order tiles bleed across seams). Two dimensions by design —
+    * the Hilbert recurrence is 2-D; for 3+ dims fall back to z-order. */
+  def writeHilbertOrdered(
+      df: DataFrame,
+      path: String,
+      xc: Column,
+      yc: Column,
+      bits: Int = 8,
+      numFiles: Int = 32): Unit = {
+    df.withColumn("__h", hilbertValue(xc, yc, bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** JSON-lines interchange — the lingua franca of LLM data pipelines.
     * Write compressed (prefer "zstd" on clusters with native Hadoop
     * codecs — faster at similar ratios; gzip default here since text

@@ -5463,6 +5463,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert curve: bijection, unit-step adjacency, tighter locality than z-order") {
+    val s = spark
+    import s.implicits._
+    val bits = 4
+    val n = 1 << bits // 16x16 grid
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val rows = grid.select(col("x"), col("y"),
+        sources.Tables.hilbertValue(col("x"), col("y"), bits).as("h"),
+        sources.Tables.zValue(Seq(col("x"), col("y")), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bijection onto 0..n^2-1
+    assert(rows.map(_._3).sorted.toSeq == (0L until (n.toLong * n)).toSeq)
+    // THE Hilbert property: consecutive codes are unit Manhattan steps
+    val byH = rows.sortBy(_._3)
+    byH.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1L,
+        s"jump between h=${a._3} and h=${b._3}")
+    case _ => }
+    // ...which the Z curve violates (its average successive step is
+    // strictly larger — the seam teleports)
+    val byZ = rows.sortBy(_._4)
+    val zJump = byZ.sliding(2).collect { case Array(a, b) =>
+      math.abs(a._1 - b._1) + math.abs(a._2 - b._2) }.sum
+    assert(zJump > (n.toLong * n - 1), s"z total step $zJump")
+    // spot-check the canonical order-1 curve: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+    val h1 = Seq((0, 0), (0, 1), (1, 1), (1, 0)).toDF("x", "y")
+      .select(sources.Tables.hilbertValue(col("x"), col("y"), 1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(h1 == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("personalized pagerank: matches the integer model, rank concentrates at seeds") {
     val s = spark
     import s.implicits._
