@@ -976,6 +976,23 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // ANN recall evaluation: recall@20 of the trained IVF retrieval vs
+    // exact brute force, as one exact-integer row — the oracle replays
+    // BOTH chains (Lloyd coarse training + probe pruning, and the full
+    // scan) and intersects the two top-k sets
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cents = operators.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", k = 16)
+      operators.Similarity.recallAtK(
+        operators.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 20,
+          nCells = 16, nProbe = 4, trainedCentroids = cents),
+        operators.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20),
+        "vec_id", 20)
+    }),
+
     // IVF x BQ: trained coarse cells prune which rows are read, sign
     // codes prune which rows carry floats to the rerank — the composed
     // two-lever scale path, fully replayed (Lloyd loops + sign Hamming)
@@ -3632,6 +3649,28 @@ object SparkEntry {
          |SELECT vec_id, round(rawcos, 6) AS cos FROM (
          |  SELECT vec_id, rawcos FROM sel ORDER BY rawcos DESC, vec_id LIMIT $topK)
          |ORDER BY rawcos DESC, vec_id""".stripMargin
+    s"WITH ${ivfCoarseCtes(iters, k, nProbe, dim, sampleCap)},\n$tail".replaceAll("\n", " ")
+  }
+
+  /** Recall@20 replica: the shared coarse-Lloyd CTEs feed BOTH the
+    * probe-pruned IVF top-k and the unpruned exact top-k; recall is the
+    * intersection size in integer basis points. */
+  private def annRecallOracleSql(
+      iters: Int = 5, k: Int = 16, nProbe: Int = 4,
+      dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048): String = {
+    def zipfold(a: String, b: String): String = foldDot(a, b, dim)
+    val tail =
+      s"""sel AS (SELECT v.vec_id, ${zipfold("v.e", "q.qe")} / (sqrt(v.na) * sqrt(q.qna)) AS rawcos
+         |  FROM avn v CROSS JOIN qv q
+         |  WHERE v.vec_id IN (SELECT vec_id FROM vcell WHERE cell IN (SELECT cell FROM pr))
+         |    AND v.na <> 0 AND q.qna <> 0),
+         |ivfk AS (SELECT vec_id FROM sel ORDER BY rawcos DESC, vec_id LIMIT $topK),
+         |allc AS (SELECT v.vec_id, ${zipfold("v.e", "q.qe")} / (sqrt(v.na) * sqrt(q.qna)) AS rawcos
+         |  FROM avn v CROSS JOIN qv q WHERE v.na <> 0 AND q.qna <> 0),
+         |exk AS (SELECT vec_id FROM allc ORDER BY rawcos DESC, vec_id LIMIT $topK)
+         |SELECT CAST($topK AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hit,
+         | CAST((10000 * count(*)) // $topK AS BIGINT) AS recall_bp
+         |FROM ivfk JOIN exk USING (vec_id)""".stripMargin
     s"WITH ${ivfCoarseCtes(iters, k, nProbe, dim, sampleCap)},\n$tail".replaceAll("\n", " ")
   }
 
@@ -7190,6 +7229,9 @@ object SparkEntry {
     // trained-IVF: Lloyd iterations + probe + top-k replayed in SQL with
     // ordered float folds (see ivfOracleSql)
     "q_ann_ivf" -> ivfOracleSql(),
+
+    // recall@20 of trained IVF vs brute force, both chains replayed
+    "q_ann_recall" -> annRecallOracleSql(),
 
     // IVF x BQ: probed-cell candidates -> sign-test Hamming shortlist ->
     // rounded-cosine rerank, over the same trained-Lloyd CTEs

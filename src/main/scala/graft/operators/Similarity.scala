@@ -72,6 +72,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of an approximate retrieval result against the exact one —
+    * the evaluation harness every ANN deployment needs next to the index
+    * itself (tune nProbe/shortlists by MEASURED recall, not vibes): the
+    * fraction of the exact top-k the approximate top-k recovered.
+    * Pure set semantics over the id column (rank-agnostic, the standard
+    * recall@k definition); returns ONE row (k, n_hit, recall_bp) with
+    * recall in integer basis points, so the result is exactly
+    * cross-engine comparable. One left-semi equi-join over two k-row
+    * frames — negligible at any scale. */
+  def recallAtK(
+      approx: DataFrame,
+      exact: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    approx.select(col(idCol))
+      .join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(k.toLong).as("k"), col("n_hit"),
+        expr(s"(10000 * n_hit) div $k").as("recall_bp"))
+  }
+
   /** Exact k-nearest-neighbor JOIN: for EACH query row, the top-k corpus
     * rows by cosine — the batch-retrieval shape (semantic dedup against a
     * seed set, eval-set retrieval, hard-negative mining) that the
