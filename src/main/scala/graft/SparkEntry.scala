@@ -2782,6 +2782,17 @@ object SparkEntry {
         .toDF()
         .orderBy(col("doc_id"), col("channel"))),
 
+    // leading/trailing silence trim at |x| >= 1000 (frame-level ANY-
+    // channel decision): the oracle recomputes the first/last loud
+    // frame from the PCM formula and the kept region's position-
+    // weighted summary per channel
+    "q_audio_trim" -> ((s, dir) =>
+      operators.Multimodal.audioTrimSilence(s,
+          operators.Multimodal.syntheticAudioBlobs(s, table(s, dir, "documents")),
+          threshold = 1000)
+        .toDF()
+        .orderBy(col("doc_id"), col("channel"))),
+
     // real RIFF/WAV parse of synthetic PCM clips: header metadata and
     // sample-stat features, both formula-replayed by the oracle
     "q_audio_meta" -> ((s, dir) =>
@@ -6344,6 +6355,39 @@ object SparkEntry {
         |  CAST(min(y) AS BIGINT) AS smin, CAST(max(y) AS BIGINT) AS smax
         | FROM auy GROUP BY doc_id, c, sr, nf
         | ORDER BY doc_id, channel""".stripMargin.replaceAll("\n", " "),
+
+    // trim replica: first/last loud frame (ANY channel >= 1000) from
+    // the PCM formula, then the kept region's per-channel summary
+    "q_audio_trim" ->
+      """WITH at0 AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |   256 + (doc_id * 3) % 200 AS nf FROM documents),
+        | atf AS (SELECT doc_id, ch, nf, unnest(range(nf)) AS f FROM at0),
+        | atl AS (SELECT a.doc_id, a.ch, a.nf, a.f,
+        |   max(CASE WHEN abs((a.doc_id * 7919 + a.f * 31 + c.c * 17) % 2048 - 1024) >= 1000
+        |     THEN 1 ELSE 0 END) AS loud
+        |  FROM atf a, (SELECT unnest(range(2)) AS c) c WHERE c.c < a.ch
+        |  GROUP BY a.doc_id, a.ch, a.nf, a.f),
+        | atr AS MATERIALIZED (SELECT doc_id, ch, nf,
+        |   min(CASE WHEN loud = 1 THEN f END) AS fstart,
+        |   max(CASE WHEN loud = 1 THEN f END) AS fend
+        |  FROM atl GROUP BY doc_id, ch, nf),
+        | atc AS (SELECT doc_id, ch, nf, fstart, fend, unnest(range(ch)) AS c FROM atr),
+        | aty AS (SELECT a.doc_id, a.c,
+        |   sum((f.f - a.fstart + 1) *
+        |     ((a.doc_id * 7919 + f.f * 31 + a.c * 17) % 2048 - 1024)) AS wsum,
+        |   min((a.doc_id * 7919 + f.f * 31 + a.c * 17) % 2048 - 1024) AS smin,
+        |   max((a.doc_id * 7919 + f.f * 31 + a.c * 17) % 2048 - 1024) AS smax
+        |  FROM atc a JOIN atf f ON f.doc_id = a.doc_id
+        |    AND f.f BETWEEN a.fstart AND a.fend
+        |  GROUP BY a.doc_id, a.c)
+        | SELECT a.doc_id, CAST(a.c AS INT) AS channel, CAST(a.nf AS BIGINT) AS n_in,
+        |  CAST(coalesce(a.fstart, -1) AS BIGINT) AS trim_start,
+        |  CAST(CASE WHEN a.fstart IS NULL THEN 0 ELSE a.fend - a.fstart + 1 END AS BIGINT) AS n_out,
+        |  CAST(coalesce(y.wsum, 0) AS BIGINT) AS wsum,
+        |  CAST(coalesce(y.smin, 0) AS BIGINT) AS smin,
+        |  CAST(coalesce(y.smax, 0) AS BIGINT) AS smax
+        | FROM atc a LEFT JOIN aty y ON y.doc_id = a.doc_id AND y.c = a.c
+        | ORDER BY a.doc_id, channel""".stripMargin.replaceAll("\n", " "),
 
     // streaming screen replica: per variant image, min (hamming, oid)
     // over the brute-force cross pairs — banding + stream-static join

@@ -2308,6 +2308,68 @@ object Multimodal {
       }
   }
 
+  /** One trimmed channel: where the loud region sits and its summary. */
+  case class TrimmedAudio(
+      doc_id: Long, channel: Int, n_in: Long, trim_start: Long, n_out: Long,
+      wsum: Long, smin: Long, smax: Long)
+
+  /** Leading/trailing silence trim (the VAD-lite preprocessing step
+    * before transcription or feature windows): a FRAME is loud when ANY
+    * channel's |sample| ≥ `threshold`; the kept region spans the first
+    * through last loud frame (interior quiet passages stay — this trims
+    * edges, it does not gate). Frame-level decision so channels stay
+    * aligned. Per channel, emits the kept region's position-weighted
+    * integer summary (wsum = Σ(j+1)·x[start+j], min, max — the
+    * [[audioResample]] discipline: pins every value AND position
+    * without dumping waveforms). All-quiet clips emit n_out = 0 with
+    * trim_start = −1. Narrow partition-local decode, no shuffle. */
+  def audioTrimSilence(
+      spark: SparkSession,
+      blobs: DataFrame,
+      threshold: Int): Dataset[TrimmedAudio] = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        pcm16Samples(bytes) match {
+          case None => Iterator.empty
+          case Some((_, ch, x)) =>
+            val nIn = x.length / ch
+            def loud(f: Int): Boolean = {
+              var c = 0
+              while (c < ch) {
+                if (math.abs(x(f * ch + c).toInt) >= threshold) return true
+                c += 1
+              }
+              false
+            }
+            var start = 0
+            while (start < nIn && !loud(start)) start += 1
+            var end = nIn - 1
+            while (end >= start && !loud(end)) end -= 1
+            val nOut = if (start > end) 0L else (end - start + 1).toLong
+            (0 until ch).iterator.map { c =>
+              if (nOut == 0L) TrimmedAudio(id, c, nIn.toLong, -1L, 0L, 0L, 0L, 0L)
+              else {
+                var wsum = 0L
+                var smin = Long.MaxValue
+                var smax = Long.MinValue
+                var f = start
+                while (f <= end) {
+                  val v = x(f * ch + c).toLong
+                  wsum += (f - start + 1).toLong * v
+                  if (v < smin) smin = v
+                  if (v > smax) smax = v
+                  f += 1
+                }
+                TrimmedAudio(id, c, nIn.toLong, start.toLong, nOut, wsum, smin, smax)
+              }
+            }.toVector
+        }
+      }
+  }
+
   /** RIFF/WAVE chunk walk for PCM16: (sampleRate, channels, interleaved
     * samples) — None for anything that is not an uncompressed 16-bit
     * WAV (fmt code 1, 16 bits). */

@@ -5463,6 +5463,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio silence trim: matches the frame-loudness model, all-quiet path") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 9L).toDF("doc_id")
+    val blobs = Multimodal.syntheticAudioBlobs(s, ids)
+    def sample(id: Long, f: Int, c: Int): Long =
+      java.lang.Math.floorMod(id * 7919 + f * 31 + c * 17, 2048L) - 1024L
+    val got = Multimodal.audioTrimSilence(s, blobs, threshold = 1000)
+      .collect().map(t => ((t.doc_id, t.channel), t)).toMap
+    for (id <- 0L until 9L) {
+      val ch = (1 + id % 2).toInt
+      val nf = 256 + (id * 3 % 200).toInt
+      def loud(f: Int) = (0 until ch).exists(c => math.abs(sample(id, f, c)) >= 1000)
+      val loudF = (0 until nf).filter(loud)
+      for (c <- 0 until ch) {
+        val t = got((id, c))
+        if (loudF.isEmpty) assert((t.trim_start, t.n_out) == ((-1L, 0L)))
+        else {
+          val (st, en) = (loudF.head, loudF.last)
+          val vs = (st to en).map(f => sample(id, f, c))
+          assert(t.trim_start == st.toLong && t.n_out == (en - st + 1).toLong)
+          assert(t.wsum == vs.zipWithIndex.map { case (v, j) => (j + 1) * v }.sum)
+          assert(t.smin == vs.min && t.smax == vs.max)
+          assert(t.n_in == nf.toLong)
+        }
+      }
+    }
+    // max |sample| is 1024, so threshold 2000 makes every clip all-quiet
+    val quiet = Multimodal.audioTrimSilence(s, blobs, threshold = 2000).collect()
+    assert(quiet.nonEmpty &&
+      quiet.forall(t => t.trim_start == -1L && t.n_out == 0L && t.wsum == 0L))
+  }
+
   test("recall@k harness: set semantics, basis points, live IVF measurement") {
     val s = spark
     import s.implicits._

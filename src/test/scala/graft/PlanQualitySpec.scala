@@ -514,6 +514,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // single-column sort: tight on the sort key, useless on the other
     assert(aa <= 40, s"a-sorted span $aa")
     assert(ab >= 240, s"a-sorted layout should span ~all of b, got $ab")
+    // Hilbert: tighter still — the curve never jumps, so 16 files over a
+    // 256x256 grid tile into near-squares whose combined stat-box AREA
+    // beats the z layout's (z seams bleed boxes across quadrants)
+    val hDir = java.nio.file.Files.createTempDirectory("graft-hilb").toString
+    graft.sources.Tables.writeHilbertOrdered(grid, hDir,
+      col("a"), col("b"), bits = 8, numFiles = 16)
+    val (ha, hb) = spans(hDir)
+    assert(ha <= 110 && hb <= 110, s"hilbert spans $ha/$hb")
+    assert(ha * hb < za * zb,
+      s"hilbert box area $ha*$hb should beat z-order $za*$zb")
   }
 
   test("curateWeb: one scan, exactly two Exchanges (domain + url_norm windows), no Join") {
