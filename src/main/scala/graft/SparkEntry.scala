@@ -2313,6 +2313,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming winnowing screen: static df-capped corpus fingerprints,
+    // stateless kernel scan + Append-mode stream-static fp join on the
+    // incoming docs, bounded post-drain scoring — per batch doc the
+    // best partner by shared-fingerprint count, fully oracle-replayed
+    "q_stream_winnow" -> ((s, dir) =>
+      streaming.JsonStream.winnowScreenToBatch(s, s"$dir/documents.parquet")
+        .orderBy(col("doc_id"))),
+
     // streaming scene-cut monitor: the stateless SAD flatMap on a blob
     // stream (Append mode, no state store) — equal to the batch answer,
     // same formula oracle
@@ -3310,9 +3318,10 @@ object SparkEntry {
     * (ascending key == (hash asc, pos desc), the paper's rightmost-min
     * tie rule) → DISTINCT decode (consecutive windows re-selecting a
     * gram collapse). Yields CTE `<pfx>sel(doc_id, pos, fp)`. */
-  private def winnowCtes(k: Int, w: Int, pfx: String = "wf"): String =
+  private def winnowCtes(k: Int, w: Int, pfx: String = "wf",
+      source: String = "documents"): String =
     s"""${pfx}n AS (SELECT doc_id, text, octet_length(encode(text)) - $k + 1 AS cnt
-       |   FROM documents WHERE text IS NOT NULL AND octet_length(encode(text)) >= $k),
+       |   FROM $source WHERE text IS NOT NULL AND octet_length(encode(text)) >= $k),
        |${pfx}g AS (SELECT doc_id, cnt, unnest(range(cnt)) AS pos, text FROM ${pfx}n),
        |${pfx}h AS (SELECT doc_id, cnt, pos,
        |   ${fnvSql(s"substr(text, CAST(pos+1 AS INT), $k)")} AS h0 FROM ${pfx}g),
@@ -6942,6 +6951,35 @@ object SparkEntry {
         | FROM pst a JOIN pst b ON a.fp = b.fp AND a.doc_id < b.doc_id
         | GROUP BY 1, 2 HAVING count(*) >= 3
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // streaming winnow screen replica: corpus + constructed-batch
+    // fingerprint chains, df cap, pair counts, (n_shared desc, oid)
+    // argmax, minShared threshold
+    "q_stream_winnow" ->
+      s"""WITH ${winnowCtes(16, 24)},
+        | wbt AS (SELECT doc_id + 100000 AS doc_id,
+        |   text || ' appended trailer tokens' AS text
+        |   FROM documents WHERE doc_id % 7 = 3 AND text IS NOT NULL
+        |  UNION ALL SELECT doc_id + 400000,
+        |   'novel document ' || CAST(doc_id AS VARCHAR) ||
+        |   ' fresh content alpha beta gamma delta'
+        |   FROM documents WHERE doc_id % 13 = 1),
+        | ${winnowCtes(16, 24, "wb", "wbt")},
+        | cps AS (SELECT DISTINCT doc_id AS oid, fp FROM wfsel),
+        | wdf AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM cps GROUP BY fp)
+        |   WHERE df <= 20),
+        | cpk AS (SELECT c.oid, c.fp FROM cps c JOIN wdf USING (fp)),
+        | bps AS (SELECT DISTINCT doc_id AS bid, fp FROM wbsel),
+        | wprs AS (SELECT b.bid, c.oid, count(*) AS n_shared
+        |   FROM bps b JOIN cpk c ON b.fp = c.fp GROUP BY 1, 2),
+        | wbst AS (SELECT bid, oid, n_shared FROM (SELECT bid, oid, n_shared,
+        |   row_number() OVER (PARTITION BY bid ORDER BY n_shared DESC, oid) AS rn
+        |   FROM wprs) WHERE rn = 1)
+        | SELECT t.doc_id, coalesce(s.n_shared, 0) >= 3 AS matched,
+        |  CAST(CASE WHEN coalesce(s.n_shared, 0) >= 3 THEN s.oid ELSE -1 END AS BIGINT) AS match_id,
+        |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared
+        | FROM (SELECT doc_id FROM wbt) t LEFT JOIN wbst s ON s.bid = t.doc_id
+        | ORDER BY t.doc_id""".stripMargin.replaceAll("\n", " "),
 
     // full SimHash64 kernel replica (token fnv1a → splitmix64 → sign bits)
     "q_simhash" ->

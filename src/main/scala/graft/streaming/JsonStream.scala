@@ -664,6 +664,72 @@ object JsonStream {
     result
   }
 
+  /** Streaming winnowing ingestion screen — substring-overlap flagging
+    * at the door: the corpus' selected fingerprints (df-capped, the
+    * MOSS noise-gram drop) sit STATIC; incoming documents run the
+    * stateless [[graft.operators.WinnowFingerprints]] kernel scan and
+    * stream-static equi-join on fp — a pure APPEND-mode enrichment
+    * (zero streaming state; the per-pair scoring is a bounded batch
+    * pass over only the MATCHED candidate rows once the micro-batches
+    * drain, which at ingestion scale is the tiny side). Returns one row
+    * per batch doc: (doc_id, matched, match_id, n_shared) with the best
+    * partner by (shared-fingerprint count desc, id asc);
+    * matched = n_shared ≥ minShared. */
+  def winnowScreenToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val (k, w, minShared, maxDf) = (16, 24, 3, 20)
+    val corpus = spark.read.parquet(path).select(col("doc_id"), col("text"))
+    // the staged "incoming" batch: near-dup slices (suffix-perturbed
+    // corpus docs — long shared runs survive) + genuinely novel docs
+    val batch = corpus.where(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" appended trailer tokens")).as("text"))
+      .unionAll(corpus.where(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("novel document "), col("doc_id"),
+            lit(" fresh content alpha beta gamma delta")).as("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-winnow")
+    batch.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val corpusFps = graft.operators.TextOps
+      .winnowFingerprints(corpus, "doc_id", "text", k, w)
+      .select(col("id").as("oid"), col("fp")).distinct()
+    val kept = corpusFps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fp")
+    val statFps = corpusFps.join(kept, "fp")
+    val streamMatches = graft.operators.TextOps.winnowFingerprints(
+        spark.readStream.schema(batch.schema).parquet(dir.toString),
+        "doc_id", "text", k, w)
+      .select(col("id").as("bid"), col("fp"))
+      .join(statFps, "fp") // stream-static inner equi-join, stateless
+      .select(col("bid"), col("oid"), col("fp"))
+    val sink = s"graft_stream_winnow_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = streamMatches.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val pairs = spark.table(sink).select("bid", "oid", "fp").distinct()
+      .groupBy(col("bid"), col("oid")).agg(count(lit(1)).as("n_shared"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bid"))
+          .orderBy(col("n_shared").desc, col("oid"))))
+      .where(col("__rn") === 1).drop("__rn")
+    val result = spark.read.parquet(dir.toString).select(col("doc_id"))
+      .join(pairs.select(col("bid").as("doc_id"), col("oid"), col("n_shared")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("matched"),
+        when(coalesce(col("n_shared"), lit(0L)) >= minShared, col("oid"))
+          .otherwise(lit(-1L)).as("match_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    deleteStagedDir(dir.toString)
+    result
+  }
+
   /** Streaming image near-dup SCREEN — the ingestion twin of
     * q_img_dedup: the corpus' dHash codes are computed once and sit
     * STATIC (banded into the pigeonhole chunks); incoming image blobs

@@ -412,6 +412,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists(_._2)) // the screen actually matches something
   }
 
+  test("streaming winnow screen: perturbed docs match their source, novels do not") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val got = JsonStream.winnowScreenToBatch(s, "/root/testdata/sf0.001/documents.parquet")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+    // batch reference: the same corpus/batch constructions through the
+    // batch fingerprint operator, argmax by (n_shared desc, oid)
+    val corpus = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val batch = corpus.where(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" appended trailer tokens")).as("text"))
+      .unionAll(corpus.where(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("novel document "), col("doc_id"),
+            lit(" fresh content alpha beta gamma delta")).as("text")))
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.winnowFingerprints(df, "doc_id", "text", 16, 24)
+        .select(col("id"), col("fp")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cf = fps(corpus)
+    val dfCount = cf.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    val kept = cf.filter { case (_, fp) => dfCount(fp) <= 20 }
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val want = fps(batch).groupBy(_._1).map { case (bid, rows) =>
+      val counts = rows.flatMap { case (_, fp) => kept.getOrElse(fp, Set.empty).map(o => o) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (counts.isEmpty) (bid, false, -1L, 0L)
+      else {
+        val (oid, n) = counts.toSeq.minBy { case (o, n) => (-n, o) }
+        if (n >= 3) (bid, true, oid, n) else (bid, false, -1L, n)
+      }
+    }.toSet ++ batch.select("doc_id").collect().map(_.getLong(0))
+      .filterNot(id => fps(batch).exists(_._1 == id)) // sub-k docs, if any
+      .map(id => (id, false, -1L, 0L))
+    assert(got.toSet == want)
+    // every perturbed doc matches (its source, or a corpus-internal
+    // duplicate of it — the corpus plants duplicate families, so the
+    // argmax can legitimately prefer a twin); most land on the source
+    val perturbed = got.filter(r => r._1 >= 100000L && r._1 < 400000L)
+    perturbed.foreach { case (bid, m, _, _) => assert(m, s"doc $bid unmatched") }
+    val onSource = perturbed.count { case (bid, _, oid, _) => oid == bid - 100000L }
+    assert(onSource * 10 >= perturbed.length * 8,
+      s"only $onSource/${perturbed.length} matched their own source")
+    assert(got.filter(_._1 >= 400000L).forall(!_._2), "novel docs must not match")
+  }
+
   test("streaming video cuts equal the batch detector exactly") {
     val s = spark
     import org.apache.spark.sql.functions._
