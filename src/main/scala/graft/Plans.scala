@@ -113,7 +113,27 @@ object Plans {
     "q_video_frames" ->
       ("real GIF frame sampling: partition-local multi-frame decode " +
         "(flatMap — one blob row fans out to its sampled frames), " +
-        "zero Exchanges before the verification sort"))
+        "zero Exchanges before the verification sort"),
+    "q_img_phash" ->
+      ("image perceptual hashing: narrow decode+hash mapPartitions — " +
+        "two 64-bit codes per image, zero Exchanges before the sort"),
+    "q_img_dedup" ->
+      ("banded Hamming near-dup join: explode to (band,chunk), " +
+        "equi-join on the chunk key — pigeonhole-complete, no cartesian"),
+    "q_winnow_pairs" ->
+      ("winnowing overlap pairs: one kernel fingerprint scan, df-capped " +
+        "postings equi-join on fp, pair-count agg — no cartesian"),
+    "q_kn_bigrams" ->
+      ("Kneser-Ney model table: bigram/type count aggs (map-side " +
+        "partials), w1/w2 equi-joins, 1-row totals broadcast, " +
+        "distributed gcd reduction — no collect"),
+    "q_hilbert" ->
+      ("Hilbert layout key: the HilbertIndex kernel inside one " +
+        "codegen'd projection (the unrolled Column form measured 165 s " +
+        "— see Tables.hilbertValue)"),
+    "q_audio_resample" ->
+      ("exact-rational resampling: narrow parse+resample flatMap per " +
+        "(doc, channel), zero Exchanges before the sort"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
