@@ -87,7 +87,9 @@ object Similarity {
       idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    approx.select(col(idCol))
+    // distinct BEFORE the semi-join count: duplicate ids in the approx
+    // frame would otherwise inflate n_hit past k (recall_bp > 10000)
+    approx.select(col(idCol)).distinct()
       .join(exact.select(col(idCol)), Seq(idCol), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
       .select(lit(k.toLong).as("k"), col("n_hit"),

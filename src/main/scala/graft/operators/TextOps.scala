@@ -941,20 +941,31 @@ object TextOps {
     val total = big.agg(count(lit(1)).as("n1all"))
     val dn = lit(discountNum.toLong)
     val dd = lit(discountDen.toLong)
-    val num = (dd * col("c2") - dn) * col("n1all") + dn * col("n1v") * col("n1w")
-    val den = dd * col("cv") * col("n1all")
-    val g = GraftSqlShim.column(LongGcd(
-      GraftSqlShim.expression(num.cast("long")),
-      GraftSqlShim.expression(den.cast("long"))))
+    // 64-bit ceiling, loud and COMPLETE: the products are computed in
+    // decimal(38,0) — wide enough that no intermediate wraps — and each
+    // result is range-checked BEFORE the long cast. A long-arithmetic
+    // wrap that happens to land positive (or a wrapped numerator with a
+    // healthy denominator) can therefore never emit a silently-wrong
+    // fraction; corpora past ~2^31 bigram types need a wider variant.
+    def dec(c: String) = col(c).cast("decimal(38,0)")
+    val numD = (dd * dec("c2") - dn) * dec("n1all") + dn * dec("n1v") * dec("n1w")
+    val denD = dd * dec("cv") * dec("n1all")
+    val maxLong = lit(Long.MaxValue).cast("decimal(38,0)")
+    def checkedLong(e: Column, what: String): Column =
+      // decimal overflow surfaces as NULL under non-ANSI folding — treat
+      // it identically to an out-of-range value (the inputs are NOT NULL
+      // by construction: counts from groupBy over non-null tokens)
+      when(e.isNull || e <= lit(0) || e > maxLong,
+        raise_error(lit(s"kneserNeyBigrams: 64-bit overflow in the $what " +
+          "product"))).otherwise(e.cast("long"))
     big.join(left, "w1").join(right, "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c2").cast("long").as("c2"),
-        num.cast("long").as("__num"), den.cast("long").as("__den"), g.as("__g"))
-      // 64-bit ceiling, loud: dd·c(v·)·N1+(··) must not wrap (corpora
-      // past ~2^31 bigram types need a wider-integer variant)
-      .withColumn("__den", when(col("__den") <= 0L,
-        raise_error(lit("kneserNeyBigrams: 64-bit overflow in the " +
-          "common-denominator product"))).otherwise(col("__den")))
+        checkedLong(numD, "numerator").as("__num"),
+        checkedLong(denD, "common-denominator").as("__den"))
+      .withColumn("__g", GraftSqlShim.column(LongGcd(
+        GraftSqlShim.expression(col("__num")),
+        GraftSqlShim.expression(col("__den")))))
       .select(col("w1"), col("w2"), col("c2"),
         expr("__num div __g").as("p_num"),
         expr("__den div __g").as("p_den"))

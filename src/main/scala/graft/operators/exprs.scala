@@ -2268,10 +2268,13 @@ case class UnigramSegmentText(
     var costTotal = 0L
     var w = 0
     while (w < words.length) {
-      if (w > 0) seg.append(' ')
       val word = words(w)
       val n = word.length
+      // empty split slots (doubled/leading/trailing spaces) render as
+      // nothing: non-empty word segs join with SINGLE spaces, matching
+      // the oracle convention (DuckDB replicas drop empty words too)
       if (n > 0) {
+        if (seg.length > 0) seg.append(' ')
         require(n < 1024,
           s"unigram_segment: word of length $n breaks the 1024-scale " +
             "piece-count decomposition; split such tokens upstream")
@@ -2383,10 +2386,14 @@ case class WordPieceSegmentText(child: Expression, vocab: Seq[(String, Int)])
     var nUnk = 0L
     var w = 0
     while (w < words.length) {
-      if (w > 0) seg.append(' ')
       val word = words(w)
       val n = word.length
+      // empty split slots (doubled/leading/trailing spaces) render as
+      // nothing: non-empty word segs join with SINGLE spaces, the
+      // convention the q_wordpiece oracle replays (it drops empty
+      // split slots and joins with ' ')
       if (n > 0) {
+        if (seg.length > 0) seg.append(' ')
         val mark = seg.length
         var pieces = 0L
         var ofs = 0

@@ -98,6 +98,31 @@ class BenchGuardSpec extends AnyFunSuite {
       l.startsWith("REGRESS q1") && !l.contains("samples")), lines2.mkString("\n"))
   }
 
+  test("calibration evidence: ratio printed on flagged lines, env-vs-code hint correct") {
+    def withCalib(p: String, before: Double, after: Double): String =
+      p.stripSuffix("}") +
+        s""","calib_ms_before":$before,"calib_ms_after":$after,"procs":32}"""
+    val base = withCalib(payload(Map("q1" -> 1.0), Map.empty), 200.0, 210.0)
+    // probe 2.5x slower on identical work -> ENVIRONMENT hint
+    val envSlow = withCalib(payload(Map("q1" -> 3.0), Map.empty), 500.0, 520.0)
+    val (l1, f1) = BenchGuard.evaluate(envSlow, base, 1.5, 0.3, 5.0)
+    assert(f1 == 1, l1.mkString("\n"))
+    val r1 = l1.find(_.startsWith("REGRESS q1")).get
+    assert(r1.contains("calib 2.50x") && r1.contains("ENVIRONMENT"), r1)
+    // probe flat -> CODE hint
+    val codeSlow = withCalib(payload(Map("q1" -> 3.0), Map.empty), 205.0, 199.0)
+    val (l2, _) = BenchGuard.evaluate(codeSlow, base, 1.5, 0.3, 5.0)
+    val r2 = l2.find(_.startsWith("REGRESS q1")).get
+    assert(r2.contains("suspect CODE"), r2)
+    // calibOf takes the min of the before/after pair
+    assert(BenchGuard.calibOf(envSlow).contains(500.0))
+    // pre-round-15 baseline (no calib) -> flagged line says so, still gates
+    val (l3, f3) = BenchGuard.evaluate(codeSlow,
+      payload(Map("q1" -> 1.0), Map.empty), 1.5, 0.3, 5.0)
+    assert(f3 == 1 && l3.exists(l => l.startsWith("REGRESS q1") &&
+      l.contains("no calib in baseline")), l3.mkString("\n"))
+  }
+
   test("queryMap refuses a non-flat payload instead of silently ungating the tail") {
     val nested = """{"queries":{"q1":1.0,"sub":{"q2":2.0}},"extended":{}}"""
     intercept[IllegalArgumentException] {

@@ -5803,6 +5803,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(seg("ax") == Seq(("[UNK]", 1L, 1L)))
     // multiple words mix forms and UNKs independently
     assert(seg("abcd ba x a") == Seq(("ab·##c·##d [UNK] x a", 6L, 1L)))
+    // doubled/leading/trailing spaces: empty split slots render as
+    // NOTHING — non-empty word segs join with single spaces (the same
+    // convention the DuckDB oracle uses, which drops empty words)
+    assert(seg("  abcd  ba  ") == Seq(("ab·##c·##d [UNK]", 4L, 1L)))
 
     // naive reference on real corpus-ish text with a derived vocab
     val docs = Seq(
