@@ -498,6 +498,17 @@ object ScaleProbe {
       operators.Similarity.ivfPqTopK(emb, "vec_id", "embedding", qv, 20).count()
     }
 
+    // HNSW: per-partition graph build dominates (O(n·ef·M) inserts);
+    // search + rerank are candidate-bounded. More partitions = smaller
+    // graphs built in parallel — the knob a 1000-executor cluster turns.
+    time(s"HNSW build+search+rerank, $nVec synthetic 64-dim vectors, 32 partition graphs") {
+      val r = operators.Similarity.hnswTopK(emb, "vec_id", "embedding", qv, 20,
+        m = 16, efConstruction = 64, efSearch = 96, nParts = 32)
+        .collect()
+      require(r.length == 20 && r.head.getLong(0) == 0L, "self-retrieval failed")
+      r.length
+    }
+
     // batch retrieval at eval-set scale: a query SET of nDocs/5 against
     // the nVec corpus — the regime the driver-capped single-batch shape
     // cannot reach. Batched = ceil(M/batchSize) corpus scans; by-cell =

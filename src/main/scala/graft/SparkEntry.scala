@@ -1057,6 +1057,20 @@ object SparkEntry {
         shortlist = 80)
     }),
 
+    // HNSW graph ANN: deterministic per-partition hierarchical graphs
+    // (id-order insertion, id-hash levels, every tie (cos desc, id asc)),
+    // merged efSearch shortlists, exact-cosine re-rank. The graph WALK
+    // is not SQL-replayable — the oracle is the exact brute-force top-k,
+    // so the gated claim is "the shortlist covers the true top-20"
+    // (recall 10000 bp); HnswSpec measures constrained-budget recall
+    "q_ann_hnsw" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.hnswTopK(emb, "vec_id", "embedding", q, 20,
+        m = 16, efConstruction = 64, efSearch = 96, nParts = 4)
+    }),
+
     // composed IVF+PQ ANN (FAISS IVFPQ shape): coarse cells + residual
     // codebooks from one sample; probe-pruned ADC scan; the oracle
     // replays coarse k-means, residual PQ training, encode, and scoring
@@ -4716,6 +4730,18 @@ object SparkEntry {
          | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        | SELECT e.vec_id,
+        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
+        | FROM embeddings e, q
+        | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+
+    // HNSW's answer must EQUAL exact brute force (shortlist covers the
+    // true top-20 at the default budgets) — the walk itself is not
+    // SQL-replayable, so full coverage IS the oracle-gated claim
+    "q_ann_hnsw" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         | SELECT e.vec_id,
         |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)

@@ -1060,6 +1060,233 @@ object Similarity {
     out.toSeq.toDF(idCol, "rank", "score")
   }
 
+  /** Deterministic in-memory HNSW graph [Malkov & Yashunin 2016,
+    * "Efficient and robust approximate nearest neighbor search using
+    * Hierarchical Navigable Small World graphs"] over ONE partition's
+    * vectors. Every source of randomness in the paper is replaced by a
+    * deterministic rule so two builds over the same rows are identical:
+    *   - node level = geometric draw from splitmix64(id) (the paper's
+    *     `-ln(U)·mL`, U derived from the id hash instead of an RNG),
+    *   - insertion order = ascending id (the caller sorts),
+    *   - every heap/selection tie breaks (cos desc, id asc).
+    * Neighbor selection is the paper's "simple" variant (top-M by
+    * cosine from the efConstruction beam); level-0 lists keep 2M links,
+    * upper levels M (the standard maxM rule). */
+  private final class HnswGraph(m: Int, efConstruction: Int) {
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    private val levels = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // nbrs(node)(level) — adjacency lists, bounded by maxM(level)
+    private val nbrs =
+      scala.collection.mutable.ArrayBuffer.empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var maxLevel = -1
+
+    private def splitmix64(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+
+    private def levelOf(id: Long): Int = {
+      // u in (0, 1]: top 53 hash bits + 1 over 2^53 + 1 — never 0, so
+      // ln is finite; the +1 bias is ~1e-16, far under the draw's grain
+      val u = ((splitmix64(id) >>> 11).toDouble + 1.0) / 9007199254740993.0
+      math.min(30, (-math.log(u) * mL).toInt)
+    }
+
+    private def maxM(level: Int): Int = if (level == 0) 2 * m else m
+
+    /** (cos desc, id asc) — the one ordering every comparison uses. */
+    private def closer(cosA: Double, idA: Long, cosB: Double, idB: Long): Boolean =
+      cosA > cosB || (cosA == cosB && idA < idB)
+
+    /** Greedy hill-climb to the single closest node at `level`. */
+    private def greedyClosest(q: Array[Float], ep0: Int, level: Int): Int = {
+      var ep = ep0
+      var epCos = cosArr(q, vecs(ep))
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = nbrs(ep)(level)
+        var i = 0
+        while (i < ns.length) {
+          val e = ns(i)
+          val c = cosArr(q, vecs(e))
+          if (closer(c, ids(e), epCos, ids(ep))) {
+            ep = e; epCos = c; improved = true
+          }
+          i += 1
+        }
+      }
+      ep
+    }
+
+    /** The paper's SEARCH-LAYER: best-first beam of width `ef` with a
+      * visited set; returns the beam sorted (cos desc, id asc). */
+    private def searchLayer(
+        q: Array[Float], ep: Int, ef: Int, level: Int): Array[(Double, Int)] = {
+      val visited = new java.util.BitSet(ids.length)
+      // exploration frontier: best (closest) on top
+      val cand = new java.util.PriorityQueue[(Double, Int)](16,
+        (a: (Double, Int), b: (Double, Int)) =>
+          if (closer(a._1, ids(a._2), b._1, ids(b._2))) -1 else 1)
+      // current beam: WORST on top (evicted first)
+      val beam = new java.util.PriorityQueue[(Double, Int)](16,
+        (a: (Double, Int), b: (Double, Int)) =>
+          if (closer(a._1, ids(a._2), b._1, ids(b._2))) 1 else -1)
+      val c0 = cosArr(q, vecs(ep))
+      visited.set(ep)
+      cand.add((c0, ep)); beam.add((c0, ep))
+      while (!cand.isEmpty) {
+        val (cCos, c) = cand.poll()
+        val worst = beam.peek()
+        if (beam.size >= ef && !closer(cCos, ids(c), worst._1, ids(worst._2))) {
+          cand.clear() // every remaining candidate is farther — done
+        } else {
+          val ns = nbrs(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val e = ns(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val eCos = cosArr(q, vecs(e))
+              val w = beam.peek()
+              if (beam.size < ef || closer(eCos, ids(e), w._1, ids(w._2))) {
+                cand.add((eCos, e)); beam.add((eCos, e))
+                if (beam.size > ef) beam.poll()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = new Array[(Double, Int)](beam.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = beam.poll(); i -= 1 }
+      out
+    }
+
+    /** Bidirectional link with deterministic overflow pruning: a list
+      * past maxM keeps its top-maxM by (cos to the owner desc, id asc). */
+    private def link(a: Int, b: Int, level: Int): Unit = {
+      def add(from: Int, to: Int): Unit = {
+        val ls = nbrs(from)(level)
+        if (!ls.contains(to)) {
+          ls += to
+          val cap = maxM(level)
+          if (ls.length > cap) {
+            val scored = ls.map(e => (cosArr(vecs(from), vecs(e)), e)).toArray
+            java.util.Arrays.sort(scored,
+              (x: (Double, Int), y: (Double, Int)) =>
+                if (closer(x._1, ids(x._2), y._1, ids(y._2))) -1 else 1)
+            ls.clear()
+            var i = 0
+            while (i < cap) { ls += scored(i)._2; i += 1 }
+          }
+        }
+      }
+      add(a, b); add(b, a)
+    }
+
+    def insert(id: Long, v: Array[Float]): Unit = {
+      val lev = levelOf(id)
+      val idx = ids.length
+      ids += id; vecs += v; levels += lev
+      nbrs += Array.fill(lev + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = idx; maxLevel = lev; return }
+      var ep = entry
+      var l = maxLevel
+      while (l > lev) { ep = greedyClosest(v, ep, l); l -= 1 }
+      l = math.min(maxLevel, lev)
+      while (l >= 0) {
+        val beam = searchLayer(v, ep, efConstruction, l)
+        var i = 0
+        val take = math.min(m, beam.length)
+        while (i < take) { link(idx, beam(i)._2, l); i += 1 }
+        ep = beam(0)._2
+        l -= 1
+      }
+      if (lev > maxLevel) { maxLevel = lev; entry = idx }
+    }
+
+    /** Top-`ef` candidate ids for `q`: greedy descent through the upper
+      * layers, one beam search at layer 0. */
+    def search(q: Array[Float], ef: Int): Array[Long] = {
+      if (entry < 0) return Array.empty
+      var ep = entry
+      var l = maxLevel
+      while (l >= 1) { ep = greedyClosest(q, ep, l); l -= 1 }
+      searchLayer(q, ep, ef, 0).map(e => ids(e._2))
+    }
+  }
+
+  /** HNSW-class graph ANN — the production family the LSH/IVF/PQ/BQ/SQ
+    * lineup lacked: per-PARTITION deterministic HNSW graphs, each
+    * searched independently for an `efSearch` shortlist, merged, and
+    * exact-cosine re-ranked to the final top-k.
+    *
+    * Determinism (the property the correctness gate needs): rows are
+    * grouped by `id mod nParts` (engine-independent, unlike physical
+    * partitioning), inserted in ascending id order, levels drawn from
+    * splitmix64(id), and every tie anywhere breaks (cos desc, id asc)
+    * — so the candidate set, and hence the answer, is a pure function
+    * of the data. With the default budgets the merged shortlist covers
+    * the exact top-k on all test scales, making the output equal to
+    * [[bruteForceTopK]] (which is what the q_ann_hnsw oracle replays —
+    * a graph walk is NOT SQL-replayable; a recall miss would surface
+    * as a value mismatch, which is exactly the claim being gated).
+    * HnswSpec additionally measures recall@20 under a CONSTRAINED
+    * budget through [[recallAtK]].
+    *
+    * Scale shape: the groupByKey is the INDEX BUILD — at 100 TB it
+    * runs once (write the per-partition graphs next to the data, the
+    * IVF cell-partitioning discipline), amortized over every query;
+    * each query then costs nParts independent O(ef·M·log n) walks plus
+    * an exchange of nParts×efSearch (id, cos) candidate rows — never
+    * the corpus. The final re-rank is a broadcast left-semi join of
+    * the bounded candidate id set against the table followed by one
+    * TakeOrdered; raw vectors never shuffle. */
+  def hnswTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      m: Int = 16,
+      efConstruction: Int = 64,
+      efSearch: Int = 96,
+      nParts: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= 2, s"m must be >= 2, got $m")
+    require(efConstruction >= m, s"efConstruction $efConstruction must be >= m $m")
+    require(efSearch >= k, s"efSearch $efSearch must be >= k $k")
+    require(nParts >= 1 && nParts * efSearch <= 65536,
+      s"merged shortlist ${nParts}x$efSearch exceeds the 65536 broadcast bound")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mC = m; val efC = efConstruction; val efS = efSearch
+    val cand = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
+      .as[(Long, Seq[Float])]
+      .groupByKey { case (id, _) => (((id % nParts) + nParts) % nParts).toInt }
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1) // insertion order = id order
+        val g = new HnswGraph(mC, efC)
+        rows.foreach { case (id, v) => g.insert(id, v.toArray) }
+        g.search(query, efS).iterator
+      }
+      .toDF(idCol)
+    df.join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        round(cosine(col(vecCol), typedlit(query.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Train the composed IVF+PQ index (the FAISS IVFPQ shape) from ONE
     * capped id-ordered sample: coarse argmax-cosine centroids via Lloyd
     * iterations, then per-subspace L2 codebooks over the RESIDUALS

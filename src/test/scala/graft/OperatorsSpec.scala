@@ -5522,6 +5522,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hit >= 10L, s"IVF recall collapsed: $hit/20")
   }
 
+  test("hnswTopK: equals exact brute force at default budgets, deterministic, recall under constraint") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the oracle-gated claim: the merged per-partition shortlists cover
+    // the exact top-20, so the re-ranked answer EQUALS brute force —
+    // ids AND values, in order
+    val exact = rows(emb.select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), typedlit(q.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), col("vec_id")).limit(20))
+    val got = rows(Similarity.hnswTopK(emb, "vec_id", "embedding", q, 20))
+    assert(got == exact, s"hnsw diverged from exact:\n$got\n$exact")
+    // deterministic: an independent second build answers identically
+    assert(rows(Similarity.hnswTopK(emb, "vec_id", "embedding", q, 20)) == got)
+    // CONSTRAINED budget (small beam, small degree): recall@20 must
+    // still beat the trained IVF's 85% bar — the graph walk finds the
+    // neighborhood even when it can only keep 24 candidates
+    val (_, hit, bp) = Similarity.recallAtK(
+        Similarity.hnswTopK(emb, "vec_id", "embedding", q, 20,
+          m = 8, efConstruction = 32, efSearch = 24, nParts = 4),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20),
+        "vec_id", 20)
+      .head() match { case r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
+    assert(bp >= 8500L, s"constrained-budget HNSW recall $hit/20 ($bp bp) under the 85% bar")
+    // a query vector present in the corpus retrieves itself first
+    assert(got.head._1 == 0L && got.head._2 == 1.0)
+    // guards
+    intercept[IllegalArgumentException] {
+      Similarity.hnswTopK(emb, "vec_id", "embedding", q, 20, efSearch = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hnswTopK(emb, "vec_id", "embedding", q, 20, m = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hnswTopK(emb, "vec_id", "embedding", q, 20,
+        nParts = 1024, efSearch = 96)
+    }
+  }
+
   test("hilbert curve: bijection, unit-step adjacency, tighter locality than z-order") {
     val s = spark
     import s.implicits._

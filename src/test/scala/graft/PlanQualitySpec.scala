@@ -756,6 +756,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.count() == 50)
   }
 
+  test("hnswTopK: candidate ids broadcast to a left-semi re-rank — no cartesian, bounded exchange") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val df = operators.Similarity.hnswTopK(emb, "vec_id", "embedding", q, 20)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only join is the broadcast LEFT-SEMI of the bounded candidate
+    // id set against the table (raw vectors never shuffle); the graph
+    // walks live inside the per-partition flatMapGroups
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(df.count() == 20)
+  }
+
   test("IVF+PQ code table: cell-partitioned codes, pruned probe, vectors never read") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
