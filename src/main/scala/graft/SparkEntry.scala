@@ -370,6 +370,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BYTE-level BPE (GPT-2/tiktoken shape): regex pre-tokenization
+    // (contractions / space-prefixed letter / digit / punct runs /
+    // whitespace runs — a PARTITION of the text), 256-byte base
+    // alphabet, merges over byte pairs. No UNK is possible; round-trip
+    // decode(encode(x)) == x is spec-pinned. The oracle replays the
+    // merge rounds over the same pre-tokens (ASCII asserted, so char
+    // symbols == byte symbols)
+    "q_bpe_bytes" -> ((s, dir) => {
+      import s.implicits._
+      s.createDataset(operators.TextOps.bpeTrainBytes(
+          table(s, dir, "documents"), "text", numMerges = 6))
+        .toDF()
+        .orderBy(col("merge_idx"))
+    }),
+
+    // byte-BPE corpus segmentation: pre-token + post-merge token counts
+    // per document under the learned byte-merge table
+    "q_bpe_bytes_tokens" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = operators.TextOps.bpeTrainBytes(docs, "text", numMerges = 6)
+      operators.TextOps.bpeSegmentBytes(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // per-doc TF-IDF keyword extraction: top-3 terms per document,
     // integer-ln idf evaluation shared with q_bm25
     "q_tfidf" -> ((s, dir) =>
@@ -3891,6 +3915,22 @@ object SparkEntry {
   /** Merge rounds the BPE verify queries train/replay. */
   private val BpeOracleMerges = 6
 
+  /** [[operators.TextOps.ByteBpePattern]] SQL-escaped for the DuckDB
+    * replicas (the contraction branch carries a literal quote). */
+  private val byteBpePatternSql: String =
+    operators.TextOps.ByteBpePattern.replace("'", "''")
+
+  /** v0 word source for the BYTE-level BPE oracle: regex pre-tokens.
+    * The kernel splits pre-tokens into UTF-8 BYTE symbols while the
+    * oracle's `word[i]` slices CHARACTERS — identical only on ASCII, so
+    * non-ASCII text fails loudly (the winnowCtes discipline). */
+  private val byteBpeWordSource: String =
+    "SELECT unnest(regexp_extract_all(" +
+      "CASE WHEN octet_length(encode(text)) <> len(text) " +
+      "THEN error('byte-BPE oracle assumes ASCII text (byte syms == char syms)') " +
+      s"ELSE text END, '$byteBpePatternSql')) AS word " +
+      "FROM documents WHERE text IS NOT NULL"
+
   /** The BPE oracle's CTE chain: v0 (distinct-word vocab with char
     * symbols) and, per round i, pair counts p{i}, the deterministic
     * argmax t{i}, and the greedily-merged vocab v{i+1}. Greedy
@@ -3899,11 +3939,12 @@ object SparkEntry {
     * referenced more than once is AS MATERIALIZED: DuckDB inlines plain
     * CTEs, and each round reads the previous vocab three times — inlined,
     * the chain would re-expand 3^k times and never finish. */
-  private def bpeOracleCtes(k: Int): String = {
+  private def bpeOracleCtes(k: Int, wordSource: String =
+      "SELECT unnest(string_split(text, ' ')) AS word FROM documents"): String = {
     val v0 =
       "v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt, " +
         "list_transform(range(1, length(word) + 1), i -> word[i]) AS syms " +
-        "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+        s"FROM ($wordSource) " +
         "WHERE word <> '' GROUP BY word)"
     val stages = (0 until k).map { i =>
       s"p$i AS (SELECT syms[i + 1] AS l, syms[i + 2] AS r, " +
@@ -4505,6 +4546,31 @@ object SparkEntry {
         s"SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS bpe_tokens " +
         s"FROM documents d LEFT JOIN cnts c ON c.doc_id = d.doc_id " +
         s"ORDER BY d.doc_id"
+    },
+
+    // byte-BPE replica: the same chained merge-round CTEs over REGEX
+    // pre-tokens instead of whitespace words; char symbols equal byte
+    // symbols because the text is asserted ASCII (error() otherwise)
+    "q_bpe_bytes" -> {
+      val out = (0 until BpeOracleMerges).map(i =>
+        s"SELECT CAST($i AS INT) AS merge_idx, l AS lhs, r AS rhs, " +
+          s"c AS pair_count FROM t$i").mkString(" UNION ALL ")
+      s"WITH ${bpeOracleCtes(BpeOracleMerges, byteBpeWordSource)} $out ORDER BY merge_idx"
+    },
+
+    "q_bpe_bytes_tokens" -> {
+      val k = BpeOracleMerges
+      s"WITH ${bpeOracleCtes(k, byteBpeWordSource)}, " +
+        "bwc AS (SELECT doc_id, word FROM (SELECT doc_id, " +
+        s"unnest(regexp_extract_all(text, '$byteBpePatternSql')) AS word " +
+        "FROM documents WHERE text IS NOT NULL) WHERE word <> ''), " +
+        "bpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS pre FROM bwc GROUP BY doc_id), " +
+        s"bcn AS (SELECT w.doc_id, CAST(sum(len(v.syms)) AS BIGINT) AS n " +
+        s"FROM bwc w JOIN v$k v ON v.word = w.word GROUP BY w.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(p.pre, 0) AS BIGINT) AS pre_tokens, " +
+        "CAST(coalesce(c.n, 0) AS BIGINT) AS bpe_tokens " +
+        "FROM documents d LEFT JOIN bpc p ON p.doc_id = d.doc_id " +
+        "LEFT JOIN bcn c ON c.doc_id = d.doc_id ORDER BY d.doc_id"
     },
 
     // TF-IDF replica: same (doc, term) counts, ln(N)-ln(df) idf with

@@ -259,9 +259,21 @@ object TextOps {
     require(hist.length <= maxVocab,
       s"distinct vocabulary exceeds maxVocab=$maxVocab — raise the bound " +
         "or fall back to the distributed bpeTrain")
-    val words: Array[IndexedSeq[String]] =
-      hist.map(r => r.getString(0).map(_.toString).toIndexedSeq)
-    val wc: Array[Long] = hist.map(_.getLong(1))
+    bpeMergeLoop(
+      hist.map(r => r.getString(0).map(_.toString).toIndexedSeq),
+      hist.map(_.getLong(1)), numMerges)
+  }
+
+  /** The driver-local incremental merge loop shared by [[bpeTrainLocal]]
+    * (char symbols over whitespace words) and [[bpeTrainBytes]] (byte
+    * symbols over regex pre-tokens): exact pair→count bookkeeping with a
+    * pair→words occurrence index, argmax by live-map scan, deterministic
+    * (count desc, lhs asc, rhs asc) tie rule. */
+  private def bpeMergeLoop(
+      words0: Array[IndexedSeq[String]],
+      wc: Array[Long],
+      numMerges: Int): Seq[BpeMerge] = {
+    val words = words0.clone()
     def pairsOf(syms: IndexedSeq[String]): Iterator[(String, String)] =
       if (syms.length < 2) Iterator.empty
       else syms.iterator.zip(syms.iterator.drop(1))
@@ -375,6 +387,128 @@ object TextOps {
         }
       }
       .toDF("doc_id", "bpe_tokens")
+  }
+
+  /** Byte-level BPE pre-tokenizer (the GPT-2/tiktoken shape):
+    * [[BpeTokenPattern]]'s contraction / space-prefixed letter / digit /
+    * punctuation branches PLUS a whitespace-run branch, so the matches
+    * form a PARTITION of the text — every byte lands in exactly one
+    * pre-token, which is what makes decode(encode(x)) == x exact with no
+    * normalization step. GPT-2's published pattern differs only in using
+    * `\s+(?!\S)` to split a multi-space run one space earlier — a
+    * boundary choice, not a coverage one — and that lookahead does not
+    * exist in RE2, so the oracle could never replay it; this variant
+    * behaves identically under java.util.regex and RE2. */
+  val ByteBpePattern: String = BpeTokenPattern + "|[ \\t\\n\\x0B\\f\\r]+"
+
+  /** UTF-8 bytes of a pre-token as one symbol per BYTE (char 0x00–0xFF
+    * carries the byte value — the latin-1 trick GPT-2's byte encoder
+    * plays with a printable alphabet; symbol CONCATENATION is then byte
+    * concatenation, so [[applyMerge]] works unchanged). */
+  private[graft] def byteSyms(w: String): IndexedSeq[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => (b & 0xFF).toChar.toString).toIndexedSeq
+
+  /** Inverse of [[byteSyms]] concatenation: symbols → bytes → UTF-8
+    * string. decode(encode(x)) == x for EVERY x because the pre-token
+    * matches partition the text and merges only ever concatenate. */
+  private[graft] def byteSymsDecode(tokens: Seq[String]): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    tokens.foreach(_.foreach(c => out.write(c.toInt & 0xFF)))
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** BYTE-LEVEL BPE training (the tokenizer family GPT-2/tiktoken-style
+    * LLM pipelines actually run): pre-tokenize with [[ByteBpePattern]],
+    * split each distinct pre-token into 256-alphabet byte symbols, learn
+    * merges over byte pairs with the [[bpeTrainLocal]] production loop.
+    * No UNK is possible by construction — any input byte is a base
+    * symbol. Same scale shape as bpeTrainLocal: ONE distributed
+    * histogram job (regexp_extract_all + groupBy — the corpus never
+    * collects), then driver-local exact merge bookkeeping over the
+    * bounded distinct-pre-token vocabulary. */
+  def bpeTrainBytes(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxVocab: Int = 5000000): Seq[BpeMerge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val hist = df
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(ByteBpePattern), lit(0))).as("__w"))
+      .where(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).cast("long").as("__c"))
+      .limit(maxVocab + 1)
+      .collect()
+    require(hist.length <= maxVocab,
+      s"distinct pre-token vocabulary exceeds maxVocab=$maxVocab")
+    bpeMergeLoop(hist.map(r => byteSyms(r.getString(0))),
+      hist.map(_.getLong(1)), numMerges)
+  }
+
+  /** Encode ONE string with a learned byte-merge table: pre-tokenize,
+    * byte symbols, merges in rank order. The returned tokens concatenate
+    * back to the input ([[byteSymsDecode]]) — spec-pinned. */
+  private[graft] def bpeEncodeBytes(
+      text: String, merges: Seq[BpeMerge]): Seq[String] = {
+    val ordered = merges.sortBy(_.merge_idx).map(m => (m.lhs, m.rhs))
+    val mm = java.util.regex.Pattern.compile(ByteBpePattern).matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (mm.find()) {
+      var syms = byteSyms(mm.group())
+      ordered.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+      out ++= syms
+    }
+    out.toSeq
+  }
+
+  /** Tokenize the corpus with a learned BYTE-merge table: per document,
+    * each [[ByteBpePattern]] pre-token encodes through the rank-ordered
+    * merges; emits `(doc_id, pre_tokens, bpe_tokens)` — the byte-level
+    * budget numbers. Same scale shape as [[bpeSegment]]: broadcast merge
+    * table, narrow mapPartitions with a per-task pre-token memo, no
+    * shuffle. */
+  def bpeSegmentBytes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_.merge_idx).map(m => (m.lhs, m.rhs)).toArray
+    val bc = spark.sparkContext.broadcast(ordered)
+    val pat = ByteBpePattern
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile(pat)
+        val memo = new java.util.HashMap[String, Long]()
+        def tokensOf(w: String): Long = {
+          val hit = memo.get(w)
+          if (hit != 0L) hit
+          else {
+            var syms = byteSyms(w)
+            val ms = bc.value
+            var i = 0
+            while (i < ms.length) {
+              syms = applyMerge(syms, ms(i)._1, ms(i)._2); i += 1
+            }
+            val n = syms.length.toLong
+            memo.put(w, n)
+            n
+          }
+        }
+        it.map { case (id, t) =>
+          var pre = 0L
+          var total = 0L
+          if (t != null) {
+            val m = re.matcher(t)
+            while (m.find()) { pre += 1; total += tokensOf(m.group()) }
+          }
+          (id, pre, total)
+        }
+      }
+      .toDF("doc_id", "pre_tokens", "bpe_tokens")
   }
 
   /** Per-document TF-IDF keyword extraction: the top `k` terms of every

@@ -983,6 +983,64 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level BPE: pre-token partition, round trip, no UNK ever, segment counts") {
+    val s = spark
+    import s.implicits._
+    // the pre-tokenizer PARTITIONS the text: concatenating the matches
+    // reproduces the input byte-for-byte, including multi-space runs,
+    // leading/trailing whitespace, contractions, and punctuation
+    val tricky = Seq(
+      "it's can't we're I'll you've o'clock",
+      "  leading and   multi  spaces\ttab\nnewline trailing  ",
+      "mixed42digits 1234 !@#$ punct-runs... end",
+      "café naïve 中文 emoji 😀 bytes", // non-ASCII: byte fallback
+      "")
+    val re = java.util.regex.Pattern.compile(TextOps.ByteBpePattern)
+    tricky.foreach { t =>
+      val m = re.matcher(t)
+      val sb = new StringBuilder
+      while (m.find()) sb.append(m.group())
+      assert(sb.toString == t, s"pre-tokens do not partition: '$t'")
+    }
+    // train on real corpus text; every learned symbol is a byte string
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("text").isNotNull).select(col("text"))
+    val merges = TextOps.bpeTrainBytes(docs, "text", numMerges = 20)
+    assert(merges.length == 20 && merges.map(_.merge_idx) == (0 until 20))
+    // round trip through encode/decode: EVERY input — ASCII corpus rows
+    // and the non-ASCII fixtures — reconstructs exactly; no UNK exists
+    // because any byte is a base symbol
+    val sampleTexts = docs.limit(20).collect().map(_.getString(0)).toSeq ++ tricky
+    sampleTexts.foreach { t =>
+      val toks = TextOps.bpeEncodeBytes(t, merges)
+      assert(TextOps.byteSymsDecode(toks) == t, s"round trip broke on '${t.take(40)}'")
+    }
+    // byte fallback concretely: a string far outside the training
+    // distribution still encodes (to single bytes) and decodes
+    val alien = "üßç жи ☃"
+    val atoks = TextOps.bpeEncodeBytes(alien, merges)
+    assert(atoks.nonEmpty && TextOps.byteSymsDecode(atoks) == alien)
+    // segment counts agree with a per-doc naive encode
+    val small = Seq((1L, "it's a test it's a test"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val seg = TextOps.bpeSegmentBytes(small, "doc_id", "text", merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def naiveCounts(t: String): (Long, Long) = {
+      val m = re.matcher(t)
+      var pre = 0L; var tot = 0L
+      while (m.find()) { pre += 1; tot += {
+        var sy = m.group().getBytes("UTF-8").map(b => (b & 0xFF).toChar.toString).toIndexedSeq
+        merges.sortBy(_.merge_idx).foreach(mm => sy = TextOps.applyMerge(sy, mm.lhs, mm.rhs))
+        sy.length.toLong } }
+      (pre, tot)
+    }
+    val (p1, t1) = naiveCounts("it's a test it's a test")
+    assert(seg.toSeq == Seq((1L, p1, t1), (2L, 0L, 0L), (3L, 0L, 0L)))
+    // training determinism: a second run learns the identical table
+    assert(TextOps.bpeTrainBytes(docs, "text", numMerges = 20) == merges)
+  }
+
   test("incrementalNearDup: corpus screen, in-batch keeper, best-match rule") {
     val s = spark
     import s.implicits._
