@@ -110,6 +110,23 @@ object SparkEntry {
       | ||'</p><div>tail</div></body></html>' AS html FROM documents"""
       .stripMargin.replaceAll("\n", " ")
 
+  /** The [[operators.Web.htmlExtract]] replica chain (script/style/
+    * comment subtree drop, tag strip, entity decode with &amp; last,
+    * title extraction) from a CTE `h(doc_id, html)` to `d(doc_id, dt,
+    * dtt)` — shared by q_html_extract and the WET sidecar oracle. */
+  private val htmlExtractChainSql: String =
+    """s1 AS (SELECT doc_id, html, regexp_replace(html, '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS t FROM h),
+      | s2 AS (SELECT doc_id, html, regexp_replace(t, '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS t FROM s1),
+      | s3 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+      | s4 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+      | d AS (SELECT doc_id,
+      |  replace(replace(replace(replace(replace(replace(t,
+      |    '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&') AS dt,
+      |  replace(replace(replace(replace(replace(replace(
+      |    regexp_extract(html,'(?is)<title[^>]*>(.*?)</title>',1),
+      |    '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&') AS dtt
+      |  FROM s4)""".stripMargin
+
   /** {"flag":true|false} driven by the value column. */
   private def jbool: Column = concat(
     lit("{\"flag\":"), when(col("value") > 50, "true").otherwise("false"), lit("}"))
@@ -1849,6 +1866,77 @@ object SparkEntry {
           col("warc_type"), col("target_uri"),
           col("http_status").cast("long").as("http_status"),
           col("content_type"), col("body").cast("string").as("body"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
+    // WET sidecar (Common Crawl's *.warc.wet extracted-text format) end
+    // to end: htmlExtract output framed as ISO-28500 `conversion`
+    // records with WARC-Refers-To pointers, written as segments, read
+    // back through the V2 connector; the oracle regrows the extracted
+    // text through the replica chain and rebuilds every header field
+    "q_warc_wet" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcwet")
+      val root = tmp.toString
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      val ext = operators.Web.htmlExtract(
+        d.select(col("doc_id"),
+          operators.Web.syntheticHtml(col("doc_id"), col("text")).as("html")),
+        "doc_id", "html")
+      val url = concat(lit("https://example.org/doc/"), col("doc_id").cast("string"))
+      val rid = concat(lit("<urn:uuid:00000000-0000-0000-0000-"),
+        lpad(col("doc_id").cast("string"), 12, "0"), lit(">"))
+      sources.Warc.writeSegments(
+        ext.select(sources.Warc.buildWetConversion(
+          url, lit("2026-03-01T00:00:00Z"), rid, col("text")).as("rec"))
+          .repartition(4), "rec", root)
+      val out = s.read.format("warc").load(root)
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
+          col("warc_type"), col("warc_date"), col("content_type"),
+          col("refers_to"), col("body").cast("string").as("body"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
+    // WAT sidecar (*.warc.wat capture-metadata format): per response a
+    // `metadata` record whose payload is a concat-built JSON envelope;
+    // read back through the connector and FIELD-EXTRACTED WITH THE
+    // LIBRARY'S OWN json_get functions — the WARC surface and the JSON
+    // engine verifying each other in one query
+    "q_warc_wat" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warcwat")
+      val root = tmp.toString
+      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      val url = concat(lit("https://example.org/doc/"), col("doc_id").cast("string"))
+      val rid = concat(lit("<urn:uuid:00000000-0000-0000-0000-"),
+        lpad(col("doc_id").cast("string"), 12, "0"), lit(">"))
+      val json = concat(
+        lit("{\"Envelope\":{\"WARC-Header-Metadata\":{\"WARC-Target-URI\":\""),
+        url,
+        lit("\",\"WARC-Date\":\"2026-01-01T00:00:00Z\"},\"Payload-Metadata\":" +
+          "{\"Actual-Content-Length\":"),
+        octet_length(col("text")).cast("string"),
+        lit(",\"Languages\":[\""), col("lang"), lit("\"]}}}"))
+      sources.Warc.writeSegments(
+        d.select(sources.Warc.buildWatMetadata(
+          url, lit("2026-03-01T00:00:00Z"), rid, json).as("rec"))
+          .repartition(4), "rec", root)
+      val wat = col("body").cast("string")
+      val out = s.read.format("warc").load(root)
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast("long").as("doc_id"),
+          col("warc_type"), col("content_type"), col("refers_to"),
+          JsonFunctions.json_get_str(wat, lit("Envelope"),
+            lit("WARC-Header-Metadata"), lit("WARC-Target-URI")).as("wat_uri"),
+          JsonFunctions.json_get_int(wat, lit("Envelope"),
+            lit("Payload-Metadata"), lit("Actual-Content-Length")).as("wat_len"),
+          JsonFunctions.json_get_str(wat, lit("Envelope"),
+            lit("Payload-Metadata"), lit("Languages"), lit(0)).as("wat_lang"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
       rmTree(tmp)
@@ -5486,22 +5574,35 @@ object SparkEntry {
     // (&amp; last) + whitespace collapse, title from the raw page
     "q_html_extract" ->
       (s"""WITH h AS ($htmlGenSql),
-        | s1 AS (SELECT doc_id, html, regexp_replace(html, '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g') AS t FROM h),
-        | s2 AS (SELECT doc_id, html, regexp_replace(t, '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g') AS t FROM s1),
-        | s3 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
-        | s4 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
-        | d AS (SELECT doc_id,
-        |  replace(replace(replace(replace(replace(replace(t,
-        |    '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&') AS dt,
-        |  replace(replace(replace(replace(replace(replace(
-        |    regexp_extract(html,'(?is)<title[^>]*>(.*?)</title>',1),
-        |    '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&') AS dtt
-        |  FROM s4)
+        | $htmlExtractChainSql
         | SELECT doc_id,
         |  trim(regexp_replace(dtt,'[ \t\r\n]+',' ','g')) AS title,
         |  trim(regexp_replace(dt,'[ \t\r\n]+',' ','g')) AS text,
         |  CAST(len(trim(regexp_replace(dt,'[ \t\r\n]+',' ','g'))) AS BIGINT) AS n_chars
         | FROM d ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // WET sidecar replica: the SAME extraction chain over non-null docs
+    // feeds the conversion-record fields the connector must read back
+    "q_warc_wet" ->
+      (s"""WITH h AS (SELECT * FROM ($htmlGenSql) WHERE html IS NOT NULL),
+        | $htmlExtractChainSql
+        | SELECT doc_id, 'conversion' AS warc_type, '2026-03-01T00:00:00Z' AS warc_date,
+        |  'text/plain' AS content_type,
+        |  '<urn:uuid:00000000-0000-0000-0000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' AS refers_to,
+        |  trim(regexp_replace(dt,'[ \t\r\n]+',' ','g')) AS body
+        | FROM d ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    // WAT sidecar replica: every field the Spark side reads back out of
+    // the JSON envelope (with the library's own json_get functions) is
+    // rebuilt here directly from the table
+    "q_warc_wat" ->
+      """SELECT doc_id, 'metadata' AS warc_type, 'application/json' AS content_type,
+        | '<urn:uuid:00000000-0000-0000-0000-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' AS refers_to,
+        | 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS wat_uri,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS wat_len,
+        | lang AS wat_lang
+        | FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
 
     // HLL replica: same hash chain in HUGEINT, same bucket/rank integer
     // ops, ordered 2^-rho fold, decimal literals CAST to DOUBLE (DuckDB

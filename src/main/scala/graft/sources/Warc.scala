@@ -117,6 +117,46 @@ object Warc {
       octet_length(bodyCol).cast("string"),
       lit("\r\n\r\n"), bodyCol, lit("\r\n\r\n")), "UTF-8")
 
+  /** Shared frame for the DERIVED sidecar records (ISO 28500 §6.8
+    * `conversion` / §6.9 `metadata` with a WARC-Refers-To pointer) —
+    * the record shapes Common Crawl's WET and WAT files carry. Byte
+    * framing per [[buildWarcResponse]]; the parser passes both types'
+    * payloads through verbatim (envelopes are stripped only on
+    * `response` records). */
+  private def buildDerivedRecord(
+      typeCol: Column, uriCol: Column, dateCol: Column,
+      refersToCol: Column, ctypeCol: Column, bodyCol: Column): Column =
+    encode(concat(
+      lit("WARC/1.0\r\nWARC-Type: "), typeCol,
+      lit("\r\nWARC-Target-URI: "), uriCol,
+      lit("\r\nWARC-Date: "), dateCol,
+      lit("\r\nWARC-Refers-To: "), refersToCol,
+      lit("\r\nContent-Type: "), ctypeCol,
+      lit("\r\nContent-Length: "), octet_length(bodyCol).cast("string"),
+      lit("\r\n\r\n"), bodyCol, lit("\r\n\r\n")), "UTF-8")
+
+  /** WET conversion record (the `*.warc.wet` extracted-text sidecar —
+    * the format Common Crawl consumers actually read far more often
+    * than raw WARC): a `conversion` record whose payload is the page's
+    * extracted PLAIN TEXT, `Content-Type: text/plain`, pointing back at
+    * the originating `response` through WARC-Refers-To. */
+  def buildWetConversion(
+      uriCol: Column, dateCol: Column, refersToCol: Column,
+      textCol: Column): Column =
+    buildDerivedRecord(lit("conversion"), uriCol, dateCol, refersToCol,
+      lit("text/plain"), textCol)
+
+  /** WAT metadata record (the `*.warc.wat` sidecar): a `metadata`
+    * record whose payload is a JSON envelope describing the original
+    * capture, `Content-Type: application/json`. The caller supplies the
+    * JSON column — built with deterministic string concatenation so an
+    * external engine replays it byte-for-byte. */
+  def buildWatMetadata(
+      uriCol: Column, dateCol: Column, refersToCol: Column,
+      jsonCol: Column): Column =
+    buildDerivedRecord(lit("metadata"), uriCol, dateCol, refersToCol,
+      lit("application/json"), jsonCol)
+
   /** Split records into ISO 28500 SEGMENT CHAINS (§5.18-5.20) — the
     * standard's answer to a record too large for one file: the first
     * segment keeps the origin record's type/URI/Content-Type and
