@@ -1087,6 +1087,17 @@ object SparkEntry {
         .orderBy(col("mmr_rank"))
     }),
 
+    // streaming MMR twin: the candidate pool maintained incrementally
+    // (bounded BottomK state keyed by exact integer microrel) over the
+    // embedding stream; bounded post-drain greedy == the batch q_mmr
+    // answer value-for-value (its oracle verbatim)
+    "q_stream_mmr" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.mmrToBatch(s, s"$dir/embeddings.parquet",
+          k = 8, lambdaPct = 70, pool = 64)
+        .orderBy(col("mmr_rank"))
+    }),
+
     // binary quantization (1 bit/dim, 64x smaller): integer Hamming
     // shortlist over sign codes, exact-cosine re-rank of the 80
     // survivors — the train-free end of the quantization ladder
@@ -2569,6 +2580,22 @@ object SparkEntry {
         .select(col("l.doc_id").as("x"), col("r.doc_id").as("y"))
       operators.Graph.kCoreMembers(ring.union(chrd).union(clq), "x", "y", k = 3)
         .select(col("node").cast("long").as("node"), col("core_deg"))
+        .orderBy(col("node"))
+    }),
+
+    // label-propagation communities (min-label-wins HashMin fixed
+    // point): 41 planted hub-and-chain communities on the doc ids; the
+    // fixpoint labels every node with its component's minimum id. The
+    // oracle unrolls the SAME synchronous rounds as materialized CTEs
+    // and error()s if unconverged
+    "q_communities" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val n = d.count()
+      val star = d.where(col("doc_id") >= 41)
+        .select((col("doc_id") % 41).as("x"), col("doc_id").as("y"))
+      val chain = d.where(col("doc_id") + 41 < n)
+        .select(col("doc_id").as("x"), (col("doc_id") + 41).as("y"))
+      operators.Graph.labelPropagation(star.union(chain), "x", "y")
         .orderBy(col("node"))
     }),
 
@@ -6357,6 +6384,36 @@ object SparkEntry {
         | ORDER BY node""".stripMargin.replaceAll("\n", " ")
     },
 
+    // label-propagation replica: the synchronous min-label rounds
+    // unrolled as materialized CTEs over the same planted graph; a
+    // round-3 vs round-4 difference error()s instead of emitting a
+    // non-fixpoint labeling (the q_kcore convergence discipline)
+    "q_communities" -> {
+      val rounds = (1 to 4).map { t =>
+        s"""cl$t AS MATERIALIZED (SELECT l.node,
+          |   least(l.lbl, coalesce(min(p.lbl), l.lbl)) AS lbl
+          |   FROM cl${t - 1} l LEFT JOIN cu u ON u.n2 = l.node
+          |   LEFT JOIN cl${t - 1} p ON p.node = u.m
+          |   GROUP BY l.node, l.lbl)""".stripMargin
+      }.mkString(", ")
+      s"""WITH cN AS (SELECT count(*) AS n FROM documents),
+        | cs AS (SELECT doc_id % 41 AS x, doc_id AS y FROM documents WHERE doc_id >= 41),
+        | cc AS (SELECT doc_id AS x, doc_id + 41 AS y FROM documents
+        |   WHERE doc_id + 41 < (SELECT n FROM cN)),
+        | ce AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |   FROM (SELECT x, y FROM cs UNION ALL SELECT x, y FROM cc) WHERE x <> y),
+        | cu AS MATERIALIZED (SELECT a AS n2, b AS m FROM ce
+        |   UNION ALL SELECT b AS n2, a AS m FROM ce),
+        | cl0 AS MATERIALIZED (SELECT DISTINCT n2 AS node, n2 AS lbl FROM cu),
+        | $rounds
+        | SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+        | FROM cl4
+        | WHERE CASE WHEN (SELECT count(*) FROM cl3 a JOIN cl4 b
+        |     ON a.node = b.node AND a.lbl <> b.lbl) = 0 THEN TRUE
+        |   ELSE error('communities oracle: fixpoint not reached in 4 unrolled rounds') END
+        | ORDER BY node""".stripMargin.replaceAll("\n", " ")
+    },
+
     // retention replica: identical floor-bucket arithmetic; // is floor
     // division on BIGINT in DuckDB and ts_us is non-negative
     "q_retention" ->
@@ -7569,6 +7626,9 @@ object SparkEntry {
     // step excludes the chosen set, takes coalesce(max sim, 0), and
     // picks by (round6(70·rel − 30·ms) DESC, vec_id)
     "q_mmr" -> mmrOracleSql(),
+    // the streaming pool reduction reproduces the batch TakeOrdered pool
+    // exactly, so the twin shares the batch oracle verbatim
+    "q_stream_mmr" -> mmrOracleSql(),
 
     // BQ replica: the sign test is the code definition, so Hamming is
     // counted straight from the float signs (no bit ops needed); the

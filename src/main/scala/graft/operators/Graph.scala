@@ -399,6 +399,98 @@ object Graph {
     out
   }
 
+  /** Deterministic label-propagation community detection (min-label-wins
+    * over an undirected graph — the HashMin fixed point [Kang et al.
+    * 2009, PEGASUS; Raghavan et al. 2007's LPA with the random tie
+    * replaced by min]): every node starts labeled with its own id, and
+    * each SYNCHRONOUS round every node takes the minimum of its own
+    * label and its neighbors' labels. The fixed point labels every node
+    * with the smallest id reachable from it, so communities are the
+    * graph's connected components with a canonical (minimum-member)
+    * representative — fully deterministic, no tie randomness, integer
+    * end to end, hence oracle-replayable round-for-round.
+    *
+    * Scale shape per round: the label frame joins the (undirected)
+    * adjacency on the node key — two co-keyed shuffles — and one
+    * min-aggregation; labels MATERIALIZE per round ([[kCoreMembers]]
+    * discipline) so the iterative plan never re-executes its prefix.
+    * Round count is the maximum distance from any node to its
+    * component's minimum — star/hub-shaped graphs converge in 2-3
+    * rounds; long paths need their length (bound it with `maxIter`,
+    * which fails LOUDLY rather than emitting a non-fixpoint labeling).
+    * Returns `(node, community)` with node/community LONG ids. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 30,
+      checkpointDir: String = null): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val spark = edges.sparkSession
+    val runDir =
+      if (checkpointDir == null) null
+      else checkpointDir.stripSuffix("/") + "/lpa_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      if (runDir == null) df.localCheckpoint()
+      else {
+        val p = s"$runDir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    def drop(name: String): Unit =
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/$name")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    val e = materialize(
+      edges.select(col(srcCol).cast("long").as("x"),
+          col(dstCol).cast("long").as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct(), "e")
+    // both directions once, so each round is a plain equi-join
+    val und = materialize(
+      e.select(col("a").as("n"), col("b").as("m"))
+        .unionAll(e.select(col("b").as("n"), col("a").as("m"))), "und")
+    var lab = materialize(
+      und.select(col("n").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")), "l0")
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      require(iter <= maxIter,
+        s"labelPropagation: no fixpoint after $maxIter rounds (component " +
+          "diameter exceeds the bound — raise maxIter)")
+      val neigh = und.join(lab.withColumnRenamed("node", "m"), Seq("m"))
+        .groupBy(col("n").as("node")).agg(min(col("lbl")).as("nl"))
+      val prev = lab
+      lab = materialize(
+        prev.join(neigh, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")),
+        s"l$iter")
+      // fixpoint = zero labels changed this round (labels only decrease)
+      val changed = lab.join(prev.withColumnRenamed("lbl", "prev_lbl"), Seq("node"))
+        .where(col("lbl") =!= col("prev_lbl")).count()
+      drop(s"l${iter - 1}")
+      graft.operators.releaseLocalCheckpoint(prev)
+      converged = changed == 0L
+    }
+    val out = lab.select(col("node"), col("lbl").as("community"))
+      .localCheckpoint() // outlives the run-dir removal below
+    graft.operators.releaseLocalCheckpoint(lab)
+    graft.operators.releaseLocalCheckpoint(e)
+    graft.operators.releaseLocalCheckpoint(und)
+    if (runDir != null) {
+      val p = new org.apache.hadoop.fs.Path(runDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) on a directed
     * graph, in the same fixed-point integer discipline as
     * [[pageRankFixed]]: auth(v) = Σ hub(u) over in-edges, hub(v) =

@@ -487,6 +487,52 @@ object JsonStream {
         col("t._1").as("key_fp"))
   }
 
+  /** Streaming MMR serving twin — the diversified-retrieval pool
+    * maintained INCREMENTALLY as corpus vectors arrive: the relevance
+    * projection is a stateless per-row kernel scan (rounded cosine vs
+    * the broadcast query, scaled to an exact integer microrel), and the
+    * candidate pool is ONE [[graft.operators.Curation.BottomKAggregator]]
+    * keyed (1e6 − microrel, id) — so the complete-mode state is exactly
+    * the `pool` current best rows by (rel desc, id asc), bounded and
+    * stream-length independent (the weighted-reservoir discipline). The
+    * greedy λ·rel − (1−λ)·maxsim selection is inherently sequential in
+    * k, so it runs once post-drain on the bounded pool via
+    * [[graft.operators.Similarity.mmrTopK]] over the pool-restricted
+    * corpus — whose own TakeOrdered re-derives the identical pool, so
+    * bounded replay equals the batch answer VALUE-FOR-VALUE and shares
+    * q_mmr's oracle verbatim. Integer microrel ordering equals the
+    * rounded-double ordering exactly: round6 values are multiples of
+    * 1e-6 in [−1, 1], distinct multiples map to distinct doubles, and
+    * the map is monotone. */
+  def mmrToBatch(
+      spark: SparkSession,
+      path: String,
+      k: Int = 8,
+      lambdaPct: Int = 70,
+      pool: Int = 64): DataFrame = {
+    val corpus = spark.read.parquet(path)
+    val q = corpus.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val bk = udaf(new graft.operators.Curation.BottomKAggregator(pool),
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+    val snap = runStreamToSnapshot(spark, path, "mmr", stream => {
+      val rel = round(graft.operators.Similarity.cosine(col("embedding"),
+        org.apache.spark.sql.functions.typedlit(q.toSeq)), 6)
+      // exact: round6(rel)·1e6 is within 1e-9 of an integer, so the
+      // outer round-and-cast recovers it precisely
+      val relMicro = round(rel * lit(1000000.0), 0).cast("long")
+      stream.select(col("vec_id"), relMicro.as("rm"))
+        .where(col("rm").isNotNull)
+        .agg(bk(lit(1000000L) - col("rm"), col("vec_id"), col("rm")).as("pool"))
+    })
+    val ids = snap.select(explode(col("pool")).as("t"))
+      .select(col("t._2").as("vec_id"))
+    val restricted = corpus.join(broadcast(ids), Seq("vec_id"), "left_semi")
+    graft.operators.Similarity.mmrTopK(
+        restricted, "vec_id", "embedding", q, k, lambdaPct, pool)
+      .withColumnRenamed("rank", "mmr_rank")
+  }
+
   /** Streaming latest-wins upsert view:
     * [[graft.operators.Curation.upsertLatest]]'s max(struct) reduction
     * as a streaming aggregation — per-key state is ONE packed struct (the

@@ -5989,6 +5989,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation: planted partition recovered, min-label fixpoint, loud maxIter") {
+    val s = spark
+    import s.implicits._
+    // two planted communities — a triangle {1,2,3} and a star {10;11,12,13}
+    // — plus an isolated edge pair {20,21}
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)).toDF("x", "y")
+    def run(df: org.apache.spark.sql.DataFrame, maxIter: Int = 30) =
+      Graph.labelPropagation(df, "x", "y", maxIter)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L), got.toString)
+    // deterministic: a second run is identical
+    assert(run(edges) == got)
+    // direction/duplicates/self-loops are canonicalized away
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (1L, 1L))
+      .toDF("x", "y")
+    assert(run(messy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a long path needs its length in rounds: maxIter fails LOUDLY
+    // instead of emitting a non-fixpoint labeling
+    val path = (0L until 12L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("x", "y")
+    intercept[IllegalArgumentException] { run(path, maxIter = 3) }
+    assert(run(path, maxIter = 15).values.toSet == Set(0L))
+  }
+
   test("k-core: peeling equals the naive model, cascades peel fully, loud maxIter") {
     val s = spark
     import s.implicits._
