@@ -12,6 +12,40 @@ import org.apache.spark.sql.functions._
  * curation memory-cliff probe without the unrelated families).
  */
 object ScaleProbe {
+
+  /** Synthetic probe corpus (shared with [[DecadeProbe]]): ~60-word
+    * docs over a 500-word vocabulary; 1-in-20 documents are
+    * near-duplicates (3 trailing words changed) of the preceding doc —
+    * the planted signal the LSH/PassJoin pipelines must find. */
+  private[graft] def syntheticCorpus(
+      spark: org.apache.spark.sql.SparkSession, nDocs: Int): org.apache.spark.sql.DataFrame = {
+    val words = (0 until 500).map(i => s"w$i")
+    spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 60).map(j =>
+          element_at(typedlit(words),
+            (pmod(operators.mix64(col("id") * 61 + j, 17L), lit(500)) + 1).cast("int"))): _*)
+          .as("text"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(20)) === 1,
+          // near-dup of doc_id-1: same word choices except the last 3 slots
+          concat_ws(" ", (0 until 57).map(j =>
+            element_at(typedlit(words),
+              (pmod(operators.mix64((col("doc_id") - 1) * 61 + j, 17L), lit(500)) + 1).cast("int"))) ++
+            Seq(lit("x"), lit("y"), lit("z")): _*))
+          .otherwise(col("text")))
+  }
+
+  /** Deterministic synthetic 64-dim vectors (shared with
+    * [[DecadeProbe]]): mix64-derived components in [−1, 1). */
+  private[graft] def syntheticVectors(
+      spark: org.apache.spark.sql.SparkSession, nVec: Long): org.apache.spark.sql.DataFrame =
+    spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => (operators.mix64(col("id") * 64 + j, 23L).cast("double") /
+          lit(9.223372036854776e18)).cast("float")).as("embedding"))
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(100000)
     val only = args.lift(1)
@@ -28,26 +62,7 @@ object ScaleProbe {
       }
     }
 
-    // synthetic corpus: 1-in-20 documents are near-duplicates (3 words
-    // changed out of ~60) of the preceding doc — the planted signal the
-    // LSH pipeline must find
-    val words = (0 until 500).map(i => s"w$i")
-    val docs = spark.range(nDocs).select(
-        col("id").as("doc_id"),
-        concat_ws(" ", (0 until 60).map(j =>
-          element_at(typedlit(words),
-            (pmod(operators.mix64(col("id") * 61 + j, 17L), lit(500)) + 1).cast("int"))): _*)
-          .as("text"),
-        concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(20)) === 1,
-          // near-dup of doc_id-1: same word choices except the last 3 slots
-          concat_ws(" ", (0 until 57).map(j =>
-            element_at(typedlit(words),
-              (pmod(operators.mix64((col("doc_id") - 1) * 61 + j, 17L), lit(500)) + 1).cast("int"))) ++
-            Seq(lit("x"), lit("y"), lit("z")): _*))
-          .otherwise(col("text")))
-      .cache()
+    val docs = syntheticCorpus(spark, nDocs).cache()
     println(s"corpus: ${docs.count()} docs")
 
     val pairs = time(s"minhash LSH candidate pairs, $nDocs docs") {
@@ -484,10 +499,7 @@ object ScaleProbe {
     // ANN probes: 10× the doc count in synthetic 64-dim vectors (mix64-
     // derived, deterministic); train + encode + scan end-to-end
     val nVec = nDocs.toLong * 10
-    val emb = spark.range(nVec).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)),
-        j => (operators.mix64(col("id") * 64 + j, 23L).cast("double") /
-          lit(9.223372036854776e18)).cast("float")).as("embedding"))
+    val emb = syntheticVectors(spark, nVec)
     lazy val qv = emb.where(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     time(s"PQ ADC train+encode+scan, $nVec synthetic 64-dim vectors") {
