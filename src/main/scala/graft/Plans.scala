@@ -133,7 +133,20 @@ object Plans {
         "— see Tables.hilbertValue)"),
     "q_audio_resample" ->
       ("exact-rational resampling: narrow parse+resample flatMap per " +
-        "(doc, channel), zero Exchanges before the sort"))
+        "(doc, channel), zero Exchanges before the sort"),
+    "q_ann_hnsw" ->
+      ("HNSW graph ANN: per-partition graph walks inside flatMapGroups; " +
+        "the only join is the BROADCAST LEFT-SEMI of the bounded " +
+        "candidate id set against the table for the exact rerank — " +
+        "no cartesian, raw vectors never shuffle"),
+    "q_bpe_bytes_tokens" ->
+      ("byte-BPE segmentation: broadcast merge table, one narrow " +
+        "mapPartitions with a per-task pre-token memo — no shuffle " +
+        "before the verification sort"),
+    "q_communities" ->
+      ("label propagation (final round's plan): co-keyed label/adjacency " +
+        "equi-join + min aggregation over the MATERIALIZED previous round " +
+        "— the iterative prefix never re-executes"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -1114,7 +1114,8 @@ object SparkEntry {
     // merged efSearch shortlists, exact-cosine re-rank. The graph WALK
     // is not SQL-replayable — the oracle is the exact brute-force top-k,
     // so the gated claim is "the shortlist covers the true top-20"
-    // (recall 10000 bp); HnswSpec measures constrained-budget recall
+    // (recall 10000 bp); the operator spec measures constrained-budget
+    // recall
     "q_ann_hnsw" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)

@@ -1238,8 +1238,8 @@ object Similarity {
     * [[bruteForceTopK]] (which is what the q_ann_hnsw oracle replays —
     * a graph walk is NOT SQL-replayable; a recall miss would surface
     * as a value mismatch, which is exactly the claim being gated).
-    * HnswSpec additionally measures recall@20 under a CONSTRAINED
-    * budget through [[recallAtK]].
+    * The hnswTopK operator spec additionally measures recall@20 under
+    * a CONSTRAINED budget through [[recallAtK]].
     *
     * Scale shape: the groupByKey is the INDEX BUILD — at 100 TB it
     * runs once (write the per-partition graphs next to the data, the
