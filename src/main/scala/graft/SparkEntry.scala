@@ -411,6 +411,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // byte-BPE token-ID encoding: the materialized pre-packing artifact
+    // — ids 0..255 = bytes, 256+i = merge i (first-wins on string
+    // collisions); the oracle rebuilds every document's id sequence
+    // from the final vocab stage + a sym→id map over the merge rounds
+    "q_bpe_byte_ids" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = operators.TextOps.bpeTrainBytes(docs, "text", numMerges = 6)
+      operators.TextOps.bpeEncodeIdsDf(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // streaming byte-BPE monitor: merges trained on the static corpus,
+    // the stream side is ONE stateless memoized mapPartitions (Append
+    // mode, no state store) — equal to the batch segmentation
+    "q_stream_bpe_bytes" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.byteBpeCountsToBatch(s, s"$dir/documents.parquet")
+        .orderBy(col("doc_id"))
+    }),
+
     // per-doc TF-IDF keyword extraction: top-3 terms per document,
     // integer-ln idf evaluation shared with q_bm25
     "q_tfidf" -> ((s, dir) =>
@@ -924,6 +944,17 @@ object SparkEntry {
     "q_knn_join" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       operators.Similarity.knnJoin(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), desc("cos"), col("vec_id"))
+    }),
+
+    // HNSW batch kNN join: per-partition graphs built once, each walked
+    // for every broadcast query; candidates carry knnJoin's exact
+    // rounded cosines, the shared window settles ranks — must EQUAL the
+    // exact scan join (q_knn_join's oracle verbatim)
+    "q_knn_hnsw" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.hnswKnnJoin(emb, "vec_id", "embedding",
           emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy(col("qid"), desc("cos"), col("vec_id"))
     }),
@@ -4031,10 +4062,46 @@ object SparkEntry {
   /** Merge rounds the BPE verify queries train/replay. */
   private val BpeOracleMerges = 6
 
+  /** Exact kNN-join replica (zero-norm guards pin the JVM's
+    * skip-zero-vectors convention) — shared by q_knn_join and the
+    * graph-pruned q_knn_hnsw, whose gated claim is equality with it. */
+  private val knnJoinOracleSql: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      |   WHERE vec_id < 5 AND list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) <> 0),
+      | scored AS (SELECT q.qid, e.vec_id,
+      |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+      |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
+      |  FROM embeddings e, q
+      |  WHERE list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) <> 0)
+      | SELECT qid, vec_id, cos FROM (
+      |  SELECT qid, vec_id, cos,
+      |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored)
+      | WHERE rn <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin.replaceAll("\n", " ")
+
   /** [[operators.TextOps.ByteBpePattern]] SQL-escaped for the DuckDB
     * replicas (the contraction branch carries a literal quote). */
   private val byteBpePatternSql: String =
     operators.TextOps.ByteBpePattern.replace("'", "''")
+
+  /** Byte-BPE per-document token-count replica (pre-token + post-merge
+    * counts via the final vocab stage) — shared by q_bpe_bytes_tokens
+    * and its streaming twin q_stream_bpe_bytes. */
+  private lazy val byteBpeTokensOracleSql: String = {
+    val k = BpeOracleMerges
+    s"WITH ${bpeOracleCtes(k, byteBpeWordSource)}, " +
+      "bwc AS (SELECT doc_id, word FROM (SELECT doc_id, " +
+      s"unnest(regexp_extract_all(text, '$byteBpePatternSql')) AS word " +
+      "FROM documents WHERE text IS NOT NULL) WHERE word <> ''), " +
+      "bpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS pre FROM bwc GROUP BY doc_id), " +
+      s"bcn AS (SELECT w.doc_id, CAST(sum(len(v.syms)) AS BIGINT) AS n " +
+      s"FROM bwc w JOIN v$k v ON v.word = w.word GROUP BY w.doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(p.pre, 0) AS BIGINT) AS pre_tokens, " +
+      "CAST(coalesce(c.n, 0) AS BIGINT) AS bpe_tokens " +
+      "FROM documents d LEFT JOIN bpc p ON p.doc_id = d.doc_id " +
+      "LEFT JOIN bcn c ON c.doc_id = d.doc_id ORDER BY d.doc_id"
+  }
 
   /** v0 word source for the BYTE-level BPE oracle: regex pre-tokens.
     * The kernel splits pre-tokens into UTF-8 BYTE symbols while the
@@ -4674,20 +4741,36 @@ object SparkEntry {
       s"WITH ${bpeOracleCtes(BpeOracleMerges, byteBpeWordSource)} $out ORDER BY merge_idx"
     },
 
-    "q_bpe_bytes_tokens" -> {
+    "q_bpe_bytes_tokens" -> byteBpeTokensOracleSql,
+
+    // byte-BPE id replica: sym→id over the merge rounds (256 + min
+    // merge_idx per fused string — first-wins), per-word id strings
+    // from the final vocab stage, per-doc concatenation in pre-token
+    // order (generate_subscripts carries the order)
+    "q_bpe_byte_ids" -> {
       val k = BpeOracleMerges
+      val union = (0 until k).map(i => s"SELECT l, r, $i AS idx FROM t$i")
+        .mkString(" UNION ALL ")
       s"WITH ${bpeOracleCtes(k, byteBpeWordSource)}, " +
-        "bwc AS (SELECT doc_id, word FROM (SELECT doc_id, " +
-        s"unnest(regexp_extract_all(text, '$byteBpePatternSql')) AS word " +
-        "FROM documents WHERE text IS NOT NULL) WHERE word <> ''), " +
-        "bpc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS pre FROM bwc GROUP BY doc_id), " +
-        s"bcn AS (SELECT w.doc_id, CAST(sum(len(v.syms)) AS BIGINT) AS n " +
-        s"FROM bwc w JOIN v$k v ON v.word = w.word GROUP BY w.doc_id) " +
-        "SELECT d.doc_id, CAST(coalesce(p.pre, 0) AS BIGINT) AS pre_tokens, " +
-        "CAST(coalesce(c.n, 0) AS BIGINT) AS bpe_tokens " +
-        "FROM documents d LEFT JOIN bpc p ON p.doc_id = d.doc_id " +
-        "LEFT JOIN bcn c ON c.doc_id = d.doc_id ORDER BY d.doc_id"
+        s"vid AS (SELECT l || r AS sym, 256 + min(idx) AS tid FROM ($union) GROUP BY l || r), " +
+        s"wsy AS (SELECT v.word, u.j, v.syms[u.j] AS s FROM v$k v, " +
+        "unnest(range(1, len(v.syms) + 1)) AS u(j)), " +
+        "wid AS (SELECT word, string_agg(CASE WHEN length(s) = 1 " +
+        "THEN CAST(ascii(s) AS VARCHAR) ELSE CAST(v.tid AS VARCHAR) END, ' ' ORDER BY j) AS ids, " +
+        "CAST(count(*) AS BIGINT) AS n FROM wsy LEFT JOIN vid v ON v.sym = wsy.s GROUP BY word), " +
+        "dw AS (SELECT doc_id, unnest(arr) AS word, generate_subscripts(arr, 1) AS ord " +
+        s"FROM (SELECT doc_id, regexp_extract_all(text, '$byteBpePatternSql') AS arr " +
+        "FROM documents WHERE text IS NOT NULL)), " +
+        "dn AS (SELECT d.doc_id, string_agg(w.ids, ' ' ORDER BY d.ord) AS ids_str, " +
+        "CAST(sum(w.n) AS BIGINT) AS n_tokens " +
+        "FROM (SELECT * FROM dw WHERE word <> '') d JOIN wid w ON w.word = d.word GROUP BY d.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(n.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "coalesce(n.ids_str, '') AS ids_str " +
+        "FROM documents d LEFT JOIN dn n ON n.doc_id = d.doc_id ORDER BY d.doc_id"
     },
+
+    // the streaming twin equals the batch segmentation — shared oracle
+    "q_stream_bpe_bytes" -> byteBpeTokensOracleSql,
 
     // TF-IDF replica: same (doc, term) counts, ln(N)-ln(df) idf with
     // integer ln arguments, same (score desc, term) tie rule
@@ -4934,20 +5017,10 @@ object SparkEntry {
     // zero-norm guards pin the JVM's skip-zero-vectors convention (cosine
     // undefined there; knnJoin drops them outright) — without them a zero
     // vector in the table would divide by zero here and diverge
-    "q_knn_join" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-        |   WHERE vec_id < 5 AND list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) <> 0),
-        | scored AS (SELECT q.qid, e.vec_id,
-        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
-        |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-        |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
-        |  FROM embeddings e, q
-        |  WHERE list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) <> 0)
-        | SELECT qid, vec_id, cos FROM (
-        |  SELECT qid, vec_id, cos,
-        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-        |  FROM scored)
-        | WHERE rn <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin.replaceAll("\n", " "),
+    "q_knn_join" -> knnJoinOracleSql,
+    // the HNSW batch join must EQUAL the exact kNN join (beams cover
+    // the true top-10 at the default budgets) — shared oracle verbatim
+    "q_knn_hnsw" -> knnJoinOracleSql,
 
     // hard negatives: the q_knn_join replica plus the label-mismatch
     // predicate inside the scored set (before ranking)

@@ -1212,15 +1212,19 @@ object Similarity {
       if (lev > maxLevel) { maxLevel = lev; entry = idx }
     }
 
-    /** Top-`ef` candidate ids for `q`: greedy descent through the upper
-      * layers, one beam search at layer 0. */
-    def search(q: Array[Float], ef: Int): Array[Long] = {
+    /** Top-`ef` candidate (id, vector) pairs for `q`: greedy descent
+      * through the upper layers, one beam search at layer 0. */
+    def searchNodes(q: Array[Float], ef: Int): Array[(Long, Array[Float])] = {
       if (entry < 0) return Array.empty
       var ep = entry
       var l = maxLevel
       while (l >= 1) { ep = greedyClosest(q, ep, l); l -= 1 }
-      searchLayer(q, ep, ef, 0).map(e => ids(e._2))
+      searchLayer(q, ep, ef, 0).map(e => (ids(e._2), vecs(e._2)))
     }
+
+    /** Top-`ef` candidate ids for `q`. */
+    def search(q: Array[Float], ef: Int): Array[Long] =
+      searchNodes(q, ef).map(_._1)
   }
 
   /** HNSW-class graph ANN — the production family the LSH/IVF/PQ/BQ/SQ
@@ -1285,6 +1289,86 @@ object Similarity {
         round(cosine(col(vecCol), typedlit(query.toSeq)), 6).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
+  }
+
+  /** HNSW batch kNN JOIN — the graph-ANN face of the retrieval shape
+    * [[knnJoin]] covers exactly: for EACH query row, the top-k corpus
+    * rows by cosine, but with per-partition graph WALKS pruning the
+    * candidate set instead of a full corpus scan per batch. The same
+    * deterministic per-partition graphs as [[hnswTopK]] are built once
+    * per partition and then searched for EVERY broadcast query (M walks
+    * per partition — each O(ef·M·log n) instead of the scan's O(n)), so
+    * at scale the per-query cost is independent of corpus size once the
+    * graphs are built/persisted. Candidates (nParts × M × efSearch
+    * rows, never M × N) carry exact cosines computed with [[knnJoin]]'s
+    * precise arithmetic (dot in element order, HALF_UP 6-decimal
+    * rounding BEFORE ranking), and the shared [[knnTopK]] window settles
+    * per-query ranks — so when the beams cover the true top-k the
+    * output is IDENTICAL to [[knnJoin]], which is what q_knn_hnsw gates
+    * against the exact oracle. Zero-norm vectors on either side never
+    * match (the knnJoin convention). Output: (qid, idCol, cos). */
+  def hnswKnnJoin(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      m: Int = 16,
+      efConstruction: Int = 64,
+      efSearch: Int = 96,
+      nParts: Int = 4,
+      maxQueries: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= 2 && efConstruction >= m && efSearch >= k,
+      s"bad budgets: m=$m efConstruction=$efConstruction efSearch=$efSearch k=$k")
+    require(maxQueries <= 4096, s"maxQueries=$maxQueries exceeds the 4096 driver bound")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .where(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"query side exceeds maxQueries=$maxQueries rows — hnswKnnJoin " +
+        "broadcasts the queries and walks each per partition graph")
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    val qNorms = qVecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+    val mC = m; val efC = efConstruction; val efS = efSearch
+    val cands = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("id").isNotNull && col("v").isNotNull)
+      .as[(Long, Seq[Float])]
+      .groupByKey { case (id, _) => (((id % nParts) + nParts) % nParts).toInt }
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val g = new HnswGraph(mC, efC)
+        rows.foreach { case (id, v) => g.insert(id, v.toArray) }
+        val (ids, vecs, norms) = bc.value
+        ids.indices.iterator.filter(norms(_) > 0.0).flatMap { qi =>
+          val qv = vecs(qi)
+          g.searchNodes(qv, efS).iterator.flatMap { case (id, v) =>
+            var n = 0.0
+            var i = 0
+            while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+            val norm = math.sqrt(n)
+            if (norm == 0.0) Iterator.empty
+            else {
+              val d = math.min(qv.length, v.length)
+              var dot = 0.0
+              var j = 0
+              while (j < d) { dot += qv(j).toDouble * v(j); j += 1 }
+              val cos = java.math.BigDecimal.valueOf(dot / (norm * norms(qi)))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              Iterator.single((ids(qi), id, cos))
+            }
+          }
+        }
+      }
+    knnTopK(cands, idCol, k)
   }
 
   /** Train the composed IVF+PQ index (the FAISS IVFPQ shape) from ONE

@@ -511,6 +511,69 @@ object TextOps {
       .toDF("doc_id", "pre_tokens", "bpe_tokens")
   }
 
+  /** TOKEN-ID encoding with a learned byte-merge table — the artifact a
+    * training pipeline actually materializes before sequence packing:
+    * ids 0..255 are the byte alphabet, id 256+i is merge i's fused
+    * symbol (first-wins when two merges concat to the same string — the
+    * symbol IS the string post-merge, so the id must be a function of
+    * it). Emits `(doc_id, n_tokens, ids_str)` with ids space-joined in
+    * document order; NULL/empty text → (0, ""). Same scale shape as
+    * [[bpeSegmentBytes]]: broadcast table, narrow memoized
+    * mapPartitions, no shuffle. */
+  def bpeEncodeIdsDf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_.merge_idx).map(m => (m.lhs, m.rhs, m.merge_idx)).toArray
+    val bc = spark.sparkContext.broadcast(ordered)
+    val pat = ByteBpePattern
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile(pat)
+        val ms = bc.value
+        val symId = new java.util.HashMap[String, Integer]()
+        ms.foreach { case (l, r, i) => symId.putIfAbsent(l + r, 256 + i) }
+        val memo = new java.util.HashMap[String, Array[Int]]()
+        def idsOf(w: String): Array[Int] = {
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            var syms = byteSyms(w)
+            var i = 0
+            while (i < ms.length) {
+              syms = applyMerge(syms, ms(i)._1, ms(i)._2); i += 1
+            }
+            val out = syms.map { s =>
+              if (s.length == 1) s.charAt(0).toInt
+              else symId.get(s).intValue() // every multi-char symbol is a merge result
+            }.toArray
+            memo.put(w, out)
+            out
+          }
+        }
+        it.map { case (id, t) =>
+          val sb = new java.lang.StringBuilder()
+          var n = 0L
+          if (t != null) {
+            val m = re.matcher(t)
+            while (m.find()) {
+              idsOf(m.group()).foreach { tid =>
+                if (sb.length > 0) sb.append(' ')
+                sb.append(tid)
+                n += 1
+              }
+            }
+          }
+          (id, n, sb.toString)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "ids_str")
+  }
+
   /** Per-document TF-IDF keyword extraction: the top `k` terms of every
     * document by tf·idf — the classic corpus-keyword / topic-tagging
     * step (and the per-document complement of [[bm25TopK]]'s per-query

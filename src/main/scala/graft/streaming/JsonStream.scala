@@ -353,7 +353,8 @@ object JsonStream {
       spark: SparkSession,
       path: String,
       tag: String,
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame,
+      mode: OutputMode = OutputMode.Complete): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     graft.sources.Tables.prepare(spark)
     val pth = java.nio.file.Paths.get(path)
@@ -369,7 +370,7 @@ object JsonStream {
       val q = transform(spark.readStream.schema(schema).parquet(srcPath))
         .writeStream
         .format("memory").queryName(sink)
-        .outputMode(OutputMode.Complete)
+        .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -485,6 +486,23 @@ object JsonStream {
     snap.select(explode(col("sample")).as("t"))
       .select(col("t._2").as("doc_id"), col("t._3").as("w"),
         col("t._1").as("key_fp"))
+  }
+
+  /** Streaming byte-BPE token counting — the tokenizer-budget monitor
+    * over an ingestion stream: the merge table is trained ONCE on the
+    * static already-ingested corpus (the stream-static discipline) and
+    * broadcast; the stream side is [[graft.operators.TextOps
+    * .bpeSegmentBytes]]'s single stateless memoized mapPartitions
+    * (Append mode — no state store, no watermark). Bounded replay
+    * equals the batch segmentation value-for-value (its oracle
+    * verbatim). */
+  def byteBpeCountsToBatch(spark: SparkSession, path: String): DataFrame = {
+    graft.sources.Tables.prepare(spark)
+    val merges = graft.operators.TextOps.bpeTrainBytes(
+      spark.read.parquet(path), "text", numMerges = 6)
+    runStreamToSnapshot(spark, path, "bpebytes", stream =>
+      graft.operators.TextOps.bpeSegmentBytes(stream, "doc_id", "text", merges),
+      mode = OutputMode.Append)
   }
 
   /** Streaming MMR serving twin — the diversified-retrieval pool

@@ -1039,6 +1039,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(seg.toSeq == Seq((1L, p1, t1), (2L, 0L, 0L), (3L, 0L, 0L)))
     // training determinism: a second run learns the identical table
     assert(TextOps.bpeTrainBytes(docs, "text", numMerges = 20) == merges)
+    // token-ID encoding round-trips: ids < 256 are bytes, 256+i is
+    // merge i's fused string — decoding the id stream reconstructs the
+    // exact input text
+    val withIds = Seq((1L, "it's a test it's a test"), (2L, ""),
+        (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val gotIds = TextOps.bpeEncodeIdsDf(withIds, "doc_id", "text", merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byIdx = merges.sortBy(_.merge_idx).toIndexedSeq
+    def decodeIds(ids: String): String =
+      if (ids.isEmpty) ""
+      else TextOps.byteSymsDecode(ids.split(" ").toSeq.map { s =>
+        val id = s.toInt
+        if (id < 256) id.toChar.toString
+        else byIdx(id - 256).lhs + byIdx(id - 256).rhs
+      })
+    assert(decodeIds(gotIds(0)._3) == "it's a test it's a test")
+    assert(gotIds(0)._2 == gotIds(0)._3.split(" ").length.toLong)
+    assert(gotIds(1) == ((2L, 0L, "")) && gotIds(2) == ((3L, 0L, "")))
   }
 
   test("incrementalNearDup: corpus screen, in-batch keeper, best-match rule") {
@@ -5623,6 +5643,30 @@ class OperatorsSpec extends AnyFunSuite {
       .head() match { case r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
     assert(bp == (10000L * hit) / 20L)
     assert(hit >= 10L, s"IVF recall collapsed: $hit/20")
+  }
+
+  test("hnswKnnJoin: equals the exact kNN join, zero-norm conventions, loud query cap") {
+    val s = spark
+    import s.implicits._
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), desc("cos"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(Similarity.knnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val viaGraph = rows(Similarity.hnswKnnJoin(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    assert(viaGraph == exact, s"graph join diverged from exact scan join")
+    // zero-norm query contributes no rows (the knnJoin convention)
+    val zq = Seq((99L, Array.fill(64)(0f).toSeq)).toDF("vec_id", "embedding")
+    assert(Similarity.hnswKnnJoin(emb, "vec_id", "embedding",
+      zq, "vec_id", "embedding", k = 5).count() == 0)
+    // the query-side driver bound fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.hnswKnnJoin(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, maxQueries = 10)
+    }
   }
 
   test("hnswTopK: equals exact brute force at default budgets, deterministic, recall under constraint") {

@@ -773,6 +773,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 
+  test("hnswKnnJoin: no join operator — graph walks in flatMapGroups, candidates-only window") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = operators.Similarity.hnswKnnJoin(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the M×N pairing happens inside the per-partition graph walks; the
+    // plan has NO join of any kind — one Exchange groups rows into the
+    // partition graphs, one partitions the bounded candidate set for the
+    // per-query rank window
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges (graph grouping + rank window), got $exchanges:\n$plan")
+    assert(df.count() == 50)
+  }
+
   test("IVF+PQ code table: cell-partitioned codes, pruned probe, vectors never read") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
