@@ -1155,6 +1155,24 @@ object SparkEntry {
         m = 16, efConstruction = 64, efSearch = 96, nParts = 4)
     }),
 
+    // PERSISTED HNSW index: build once (serialized per-partition
+    // adjacency), query by loading the stored graphs verbatim — zero
+    // re-insertion; must still equal exact brute force (shared claim
+    // and oracle with q_ann_hnsw)
+    "q_ann_hnsw_indexed" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hnswidx")
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.buildHnswIndex(emb, "vec_id", "embedding",
+        tmp.toString, m = 16, efConstruction = 64, nParts = 4)
+      val out = operators.Similarity.hnswTopKIndexed(s, tmp.toString, q, 20,
+          efSearch = 96, idOut = "vec_id")
+        .localCheckpoint(true)
+      rmTree(tmp)
+      out
+    }),
+
     // composed IVF+PQ ANN (FAISS IVFPQ shape): coarse cells + residual
     // codebooks from one sample; probe-pruned ADC scan; the oracle
     // replays coarse k-means, residual PQ training, encode, and scoring
@@ -5005,7 +5023,17 @@ object SparkEntry {
 
     // HNSW's answer must EQUAL exact brute force (shortlist covers the
     // true top-20 at the default budgets) — the walk itself is not
-    // SQL-replayable, so full coverage IS the oracle-gated claim
+    // SQL-replayable, so full coverage IS the oracle-gated claim; the
+    // PERSISTED-index path makes the identical claim through the
+    // stored adjacency
+    "q_ann_hnsw_indexed" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        | SELECT e.vec_id,
+        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
+        | FROM embeddings e, q
+        | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
     "q_ann_hnsw" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         | SELECT e.vec_id,

@@ -5645,6 +5645,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hit >= 10L, s"IVF recall collapsed: $hit/20")
   }
 
+  test("persisted HNSW index: loaded graphs answer EXACTLY like in-memory builds") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnswidx-spec")
+    try {
+      // CONSTRAINED budgets on purpose: with m=4/efC=8/ef=12 the walk's
+      // answer is a function of the GRAPH, not just of the data (full
+      // coverage would mask a wrong adjacency) — byte-identical results
+      // prove the stored graph loads verbatim
+      Similarity.buildHnswIndex(emb, "vec_id", "embedding", dir.toString,
+        m = 4, efConstruction = 8, nParts = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaIndex = rows(Similarity.hnswTopKIndexed(s, dir.toString, q, 10,
+        efSearch = 12, idOut = "vec_id"))
+      val inMemory = rows(Similarity.hnswTopK(emb, "vec_id", "embedding", q, 10,
+        m = 4, efConstruction = 8, efSearch = 12, nParts = 4))
+      assert(viaIndex == inMemory, s"$viaIndex\n$inMemory")
+      assert(viaIndex.nonEmpty && viaIndex.head._1 == 7L && viaIndex.head._2 == 1.0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("hnswKnnJoin: equals the exact kNN join, zero-norm conventions, loud query cap") {
     val s = spark
     import s.implicits._
