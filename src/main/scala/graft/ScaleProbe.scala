@@ -521,6 +521,30 @@ object ScaleProbe {
       r.length
     }
 
+    // persisted HNSW: the amortization claim measured — one build pays
+    // for arbitrarily many queries that only load + walk the stored
+    // graphs (compare the two numbers: query << build)
+    if (only.forall(s => "HNSW indexed".contains(s))) {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-probe-hnswidx")
+      try {
+        time(s"HNSW indexed BUILD, $nVec vectors, 32 partition graphs") {
+          operators.Similarity.buildHnswIndex(emb, "vec_id", "embedding",
+            idxDir.toString, m = 16, efConstruction = 64, nParts = 32)
+        }
+        time(s"HNSW indexed QUERY (load + walk stored graphs), $nVec vectors") {
+          val r = operators.Similarity.hnswTopKIndexed(spark, idxDir.toString,
+            qv, 20, efSearch = 96, idOut = "vec_id").collect()
+          require(r.length == 20 && r.head.getLong(0) == 0L, "self-retrieval failed")
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(idxDir)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+
     // batch retrieval at eval-set scale: a query SET of nDocs/5 against
     // the nVec corpus — the regime the driver-capped single-batch shape
     // cannot reach. Batched = ceil(M/batchSize) corpus scans; by-cell =
