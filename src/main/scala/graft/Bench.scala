@@ -127,21 +127,24 @@ object Bench {
     // as a mid-run machine stall by a judge-side rerun; with the trace
     // in the artifact, a stall reads AS a stall (one sample's start-to-
     // start gap dwarfing its siblings) from the committed JSON alone.
+    // Each trace entry is [start, dur, ok] — the ok flag (0|1) marks a
+    // crashed sample, so a -1-broken query's trace rows are
+    // distinguishable from real timings in the committed artifact.
     val benchEpoch = System.nanoTime()
     val trace = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Double)]]
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Double, Boolean)]]
     def time(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame)], base: Int): Map[String, Double] =
       qs.map { case (name, fn) =>
         val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
         val tr = trace.getOrElseUpdate(name,
-          scala.collection.mutable.ArrayBuffer.empty[(Double, Double)])
+          scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Boolean)])
         def sample(): Boolean = {
           val t0 = System.nanoTime()
           // a crashed query must read as broken (-1), not as a fast run
           val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
           val dur = (System.nanoTime() - t0) / 1e9
-          tr += (((t0 - benchEpoch) / 1e9, dur))
+          tr += (((t0 - benchEpoch) / 1e9, dur, ok))
           if (ok) ts += dur
           ok
         }
@@ -206,8 +209,8 @@ object Bench {
       s"\"" + k + s"\":[${fmt4(s.min)},${fmt4(s.max)},${s.n}]"
     }.mkString("{", ",", "}")
     val traceJson = trace.map { case (k, samples) =>
-      s"\"" + k + "\":[" + samples.map { case (s0, d) =>
-        s"[${fmt4(s0)},${fmt4(d)}]"
+      s"\"" + k + "\":[" + samples.map { case (s0, d, ok) =>
+        s"[${fmt4(s0)},${fmt4(d)},${if (ok) 1 else 0}]"
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Environment evidence making the artifact SELF-ADJUDICATING (the

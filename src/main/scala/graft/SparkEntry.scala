@@ -31,6 +31,22 @@ object SparkEntry {
     finally walk.close()
   }
 
+  /** Temp layout scoped to one query: deleted on BOTH the success and
+    * the failure path (a crashed query must not leak its index/shard
+    * dir across a 200+-query sweep). The body must materialize its
+    * result (localCheckpoint / collect) before returning — the dir is
+    * gone when this returns. On the failure path the cleanup error, if
+    * any, is swallowed so it cannot mask the query's own exception. */
+  private def withTmpDir[T](prefix: String)(f: java.nio.file.Path => T): T = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    var failed = true
+    try { val r = f(tmp); failed = false; r }
+    finally {
+      if (failed) { try rmTree(tmp) catch { case _: Throwable => () } }
+      else rmTree(tmp)
+    }
+  }
+
   /** Synthesised nested-JSON column over events — gives the flat
     * `props` column ({"k": N}) richer structure (nested object, array,
     * strings) so every function is exercised on real data. Built with the
@@ -478,14 +494,12 @@ object SparkEntry {
     // exact phrase search over the positional postings: pivot the phrase
     // terms' position arrays per doc, fold occ = intersect(occ+1, next);
     // the oracle recomputes positions from the raw tokens
-    "q_phrase" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-invidx-ph")
+    "q_phrase" -> ((s, dir) => withTmpDir("graft-invidx-ph") { tmp =>
       operators.TextOps.buildInvertedIndex(table(s, dir, "documents"),
         "doc_id", "text", tmp.toString, termBuckets = 64)
       val out = operators.TextOps.phraseSearch(s, tmp.toString,
           Seq("table", "hash"))
         .localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -529,14 +543,12 @@ object SparkEntry {
     // the same retrieval through the persisted inverted index: build the
     // term-bucketed postings layout, query it with partition-pruned
     // posting-list reads, reproduce q_bm25 bit-for-bit (shared oracle)
-    "q_bm25_indexed" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-invidx")
+    "q_bm25_indexed" -> ((s, dir) => withTmpDir("graft-invidx") { tmp =>
       operators.TextOps.buildInvertedIndex(table(s, dir, "documents"),
         "doc_id", "text", tmp.toString, termBuckets = 64)
       val out = operators.TextOps.bm25TopKIndexed(s, tmp.toString,
           Seq("spark", "join", "vector", "stream"), k = 25)
         .localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -834,8 +846,7 @@ object SparkEntry {
     // index with partition-pruned reads — identical rows to
     // q_editdist_screen_tokens (shared oracle), but repeated ingestion
     // stops re-deriving the corpus side per batch
-    "q_editdist_indexed" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-edindex")
+    "q_editdist_indexed" -> ((s, dir) => withTmpDir("graft-edindex") { tmp =>
       val toked = table(s, dir, "documents").where(col("text").isNotNull)
         .select(col("doc_id"),
           slice(split(col("text"), " "), 1, 24).as("toks"))
@@ -854,7 +865,6 @@ object SparkEntry {
       val out = operators.Dedup.tokenEditDistanceScreenIndexed(
           batch, "doc_id", "toks", tmp.toString)
         .orderBy(col("doc_id")).localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -957,6 +967,21 @@ object SparkEntry {
       operators.Similarity.hnswKnnJoin(emb, "vec_id", "embedding",
           emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy(col("qid"), desc("cos"), col("vec_id"))
+    }),
+
+    // the UNCAPPED graph join: queries streamed in batches (forced
+    // across batch boundaries, batchSize=2 over 5), each batch walking
+    // the PERSISTED per-partition graphs (indexDir — adjacency loaded,
+    // zero insertion per batch); must still equal the exact scan join
+    "q_knn_hnsw_batched" -> ((s, dir) => withTmpDir("graft-hnswjoin") { tmp =>
+      val emb = table(s, dir, "embeddings")
+      operators.Similarity.buildHnswIndex(emb, "vec_id", "embedding",
+        tmp.toString, m = 16, efConstruction = 64, nParts = 4)
+      operators.Similarity.hnswKnnJoinBatched(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          batchSize = 2, indexDir = tmp.toString)
+        .orderBy(col("qid"), desc("cos"), col("vec_id"))
+        .localCheckpoint(true)
     }),
 
     // hard-negative mining: per query, exact top-5 nearest OPPOSITE-label
@@ -1159,8 +1184,7 @@ object SparkEntry {
     // adjacency), query by loading the stored graphs verbatim — zero
     // re-insertion; must still equal exact brute force (shared claim
     // and oracle with q_ann_hnsw)
-    "q_ann_hnsw_indexed" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-hnswidx")
+    "q_ann_hnsw_indexed" -> ((s, dir) => withTmpDir("graft-hnswidx") { tmp =>
       val emb = table(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -1169,8 +1193,28 @@ object SparkEntry {
       val out = operators.Similarity.hnswTopKIndexed(s, tmp.toString, q, 20,
           efSearch = 96, idOut = "vec_id")
         .localCheckpoint(true)
-      rmTree(tmp)
       out
+    }),
+
+    // INCREMENTAL index maintenance: build the persisted graphs over the
+    // first half of the ids, append the rest (adjacency loaded, only the
+    // arrivals inserted — O(new), not O(corpus)), then query. The
+    // strictly-increasing-id append replays the full rebuild's insertion
+    // sequence, so the graphs — and the answer — equal the rebuild's,
+    // which at these budgets equals exact brute force (shared oracle)
+    "q_ann_hnsw_append" -> ((s, dir) => withTmpDir("graft-hnswapp") { tmp =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      operators.Similarity.buildHnswIndex(emb.where(col("vec_id") <= cut),
+        "vec_id", "embedding", tmp.toString, m = 16, efConstruction = 64,
+        nParts = 4)
+      operators.Similarity.appendToHnswIndex(emb.where(col("vec_id") > cut),
+        "vec_id", "embedding", tmp.toString)
+      operators.Similarity.hnswTopKIndexed(s, tmp.toString, q, 20,
+          efSearch = 96, idOut = "vec_id")
+        .localCheckpoint(true)
     }),
 
     // composed IVF+PQ ANN (FAISS IVFPQ shape): coarse cells + residual
@@ -1855,8 +1899,7 @@ object SparkEntry {
     // every field of both records including the profile and the
     // refers-to pointer, so a hash match proves the dedup linkage
     // round-trips
-    "q_warc_revisit" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warcrev")
+    "q_warc_revisit" -> ((s, dir) => withTmpDir("graft-warcrev") { tmp =>
       val root = tmp.toString
       val d = table(s, dir, "documents").where(col("text").isNotNull)
       val url = concat(lit("https://example.org/doc/"), col("doc_id").cast("string"))
@@ -1878,7 +1921,6 @@ object SparkEntry {
           col("body").cast("string").as("body"))
         .orderBy(col("doc_id"), col("warc_type"))
         .localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -1886,8 +1928,7 @@ object SparkEntry {
     // into .warc.gz segments (Common Crawl's layout), read back through
     // the V2 connector's shared inflate — same oracle as q_warc_source,
     // so a hash match proves the compressed round trip loses nothing
-    "q_warc_gz" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warcgz")
+    "q_warc_gz" -> ((s, dir) => withTmpDir("graft-warcgz") { tmp =>
       val root = tmp.toString
       val d = table(s, dir, "documents").where(col("text").isNotNull)
       sources.Warc.writeSegments(
@@ -1903,7 +1944,6 @@ object SparkEntry {
           col("content_type"), col("body").cast("string").as("body"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -1912,8 +1952,7 @@ object SparkEntry {
     // the upstream crawl's layout), read back via format("warc") with
     // one partition per file, doc ids recovered from the target URIs —
     // same oracle contract as q_warc, but through the connector path
-    "q_warc_source" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warcsrc")
+    "q_warc_source" -> ((s, dir) => withTmpDir("graft-warcsrc") { tmp =>
       val root = tmp.toString
       val d = table(s, dir, "documents").where(col("text").isNotNull)
       sources.Warc.writeSegments(
@@ -1929,7 +1968,6 @@ object SparkEntry {
           col("content_type"), col("body").cast("string").as("body"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -1938,8 +1976,7 @@ object SparkEntry {
     // records with WARC-Refers-To pointers, written as segments, read
     // back through the V2 connector; the oracle regrows the extracted
     // text through the replica chain and rebuilds every header field
-    "q_warc_wet" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warcwet")
+    "q_warc_wet" -> ((s, dir) => withTmpDir("graft-warcwet") { tmp =>
       val root = tmp.toString
       val d = table(s, dir, "documents").where(col("text").isNotNull)
       val ext = operators.Web.htmlExtract(
@@ -1960,7 +1997,6 @@ object SparkEntry {
           col("refers_to"), col("body").cast("string").as("body"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -1969,10 +2005,14 @@ object SparkEntry {
     // read back through the connector and FIELD-EXTRACTED WITH THE
     // LIBRARY'S OWN json_get functions — the WARC surface and the JSON
     // engine verifying each other in one query
-    "q_warc_wat" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warcwat")
+    "q_warc_wat" -> ((s, dir) => withTmpDir("graft-warcwat") { tmp =>
       val root = tmp.toString
-      val d = table(s, dir, "documents").where(col("text").isNotNull)
+      // lang is interpolated RAW into the JSON envelope below: a NULL
+      // would null the whole concat, and a quote/backslash would break
+      // the JSON — filter lang like text (mirrored in the oracle) so
+      // the query is honest beyond the synthetic corpus's guarantees
+      val d = table(s, dir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull)
       val url = concat(lit("https://example.org/doc/"), col("doc_id").cast("string"))
       val rid = concat(lit("<urn:uuid:00000000-0000-0000-0000-"),
         lpad(col("doc_id").cast("string"), 12, "0"), lit(">"))
@@ -2000,15 +2040,13 @@ object SparkEntry {
             lit("Payload-Metadata"), lit("Languages"), lit(0)).as("wat_lang"))
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
     // the STREAMING face of the connector: the same distributed-written
     // segments consumed as a micro-batch stream (file-position offsets),
     // bounded replay == the batch answer — same oracle as q_warc_source
-    "q_stream_warc" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warcstm")
+    "q_stream_warc" -> ((s, dir) => withTmpDir("graft-warcstm") { tmp =>
       val root = tmp.toString
       val d = table(s, dir, "documents").where(col("text").isNotNull)
       sources.Warc.writeSegments(
@@ -2034,15 +2072,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
       s.catalog.dropTempView(sink)
-      rmTree(tmp)
       out
     }),
 
     // the STREAMING connector over record-per-member .warc.gz segments
     // (the gzip writer feeding the micro-batch reader) — bounded replay
     // == the plain-segment batch answer; shares q_warc_source's oracle
-    "q_stream_warc_gz" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warcstmgz")
+    "q_stream_warc_gz" -> ((s, dir) => withTmpDir("graft-warcstmgz") { tmp =>
       val root = tmp.toString
       val d = table(s, dir, "documents").where(col("text").isNotNull)
       sources.Warc.writeSegments(
@@ -2068,7 +2104,6 @@ object SparkEntry {
         .orderBy(col("doc_id"))
         .localCheckpoint(true)
       s.catalog.dropTempView(sink)
-      rmTree(tmp)
       out
     }),
 
@@ -2695,8 +2730,7 @@ object SparkEntry {
     // the oracle computes each version's expected contents from the
     // source table, so a hash match proves commits never disturb what an
     // earlier version reads (the reproducible-training-run contract)
-    "q_snapshot" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-snap")
+    "q_snapshot" -> ((s, dir) => withTmpDir("graft-snap") { tmp =>
       val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       sources.Snapshots.append(d.where(col("doc_id") % 2 === 0), tmp.toString)
       sources.Snapshots.append(d.where(col("doc_id") % 2 === 1), tmp.toString)
@@ -2708,7 +2742,6 @@ object SparkEntry {
           .select(lit(v).as("version"), col("n_rows"), col("sum_id"),
             col("sum_chars"))
       }.reduce(_.unionAll(_)).orderBy(col("version")).localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -2717,8 +2750,7 @@ object SparkEntry {
     // files, read back through the V2 connector, and reassembled — the
     // oracle proves every chain comes back COMPLETE with its exact text
     // and the declared segment count
-    "q_warc_segmented" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-warcseg")
+    "q_warc_segmented" -> ((s, dir) => withTmpDir("graft-warcseg") { tmp =>
       val docs = table(s, dir, "documents").where(col("text").isNotNull)
       val segs = sources.Warc.segmentRecords(docs, col("doc_id"),
         lit("resource"),
@@ -2734,7 +2766,6 @@ object SparkEntry {
           col("n_segments"), col("complete"),
           decode(col("body"), "UTF-8").as("body_text"))
         .orderBy(col("doc_id")).localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -2743,8 +2774,7 @@ object SparkEntry {
     // rewrite), v3 re-appends the % 6 = 0 slice — deletes apply only
     // BACKWARDS, so the re-appended rows survive; every version's
     // aggregate is rebuilt from the table by the oracle
-    "q_snapshot_delete" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-snapdel")
+    "q_snapshot_delete" -> ((s, dir) => withTmpDir("graft-snapdel") { tmp =>
       val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       sources.Snapshots.append(d, tmp.toString)
       sources.Snapshots.deleteWhere(s, tmp.toString, Seq("doc_id"),
@@ -2757,7 +2787,6 @@ object SparkEntry {
           .select(lit(v).as("version"), col("n_rows"), col("sum_id"),
             col("sum_chars"))
       }.reduce(_.unionAll(_)).orderBy(col("version")).localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -2766,8 +2795,7 @@ object SparkEntry {
     // per version with manifest shape + exact as-of row counts — every
     // column rebuilt from documents by the oracle (entry counts are
     // structural constants of the op sequence)
-    "q_snapshot_history" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-snaphist")
+    "q_snapshot_history" -> ((s, dir) => withTmpDir("graft-snaphist") { tmp =>
       val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       sources.Snapshots.append(d.where(col("doc_id") % 2 === 0), tmp.toString)
       sources.Snapshots.append(d.where(col("doc_id") % 2 === 1), tmp.toString)
@@ -2776,7 +2804,6 @@ object SparkEntry {
       sources.Snapshots.overwrite(d.where(col("doc_id") % 4 === 0), tmp.toString)
       val out = sources.Snapshots.history(s, tmp.toString)
         .orderBy(col("version")).localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -2785,8 +2812,7 @@ object SparkEntry {
     // then reclaims ONLY v2; the tag still reads v1's exact contents
     // and the moved 'stable' ref reads v3's. Every aggregate is
     // rebuilt from the table by the oracle
-    "q_snapshot_tag" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-snaptag")
+    "q_snapshot_tag" -> ((s, dir) => withTmpDir("graft-snaptag") { tmp =>
       val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       sources.Snapshots.append(d.where(col("doc_id") % 2 === 0), tmp.toString)
       sources.Snapshots.tag(s, tmp.toString, "stable", 1L)
@@ -2807,7 +2833,6 @@ object SparkEntry {
           agg(sources.Snapshots.readTag(s, tmp.toString, "stable"), "stable_v3")
         }
         .orderBy(col("ref")).localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -2816,8 +2841,7 @@ object SparkEntry {
     // v1 on main must NOT reclaim the dirs the branch still reads
     // (branch manifests pin them). The three refs' contents are each
     // recomputed from the source table by the oracle
-    "q_snapshot_branch" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-snapbranch")
+    "q_snapshot_branch" -> ((s, dir) => withTmpDir("graft-snapbranch") { tmp =>
       val d = table(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       sources.Snapshots.append(d.where(col("doc_id") % 2 === 0), tmp.toString)
       sources.Snapshots.append(d.where(col("doc_id") % 2 === 1), tmp.toString)
@@ -2846,7 +2870,6 @@ object SparkEntry {
             agg(sources.Snapshots.read(s, tmp.toString), "published")
           }
           .orderBy(col("ref")).localCheckpoint(true)
-      rmTree(tmp)
       out
     }),
 
@@ -5034,6 +5057,17 @@ object SparkEntry {
         |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
         | FROM embeddings e, q
         | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    // build-then-append must answer over the WHOLE corpus exactly like a
+    // one-shot build (the rebuild-equality append contract) — the oracle
+    // is the same full-corpus exact top-20
+    "q_ann_hnsw_append" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        | SELECT e.vec_id,
+        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_inner_product(q.qe, q.qe))), 6) AS cos
+        | FROM embeddings e, q
+        | ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin.replaceAll("\n", " "),
     "q_ann_hnsw" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         | SELECT e.vec_id,
@@ -5049,6 +5083,9 @@ object SparkEntry {
     // the HNSW batch join must EQUAL the exact kNN join (beams cover
     // the true top-10 at the default budgets) — shared oracle verbatim
     "q_knn_hnsw" -> knnJoinOracleSql,
+    // batched + persisted-index variant: same claim, same oracle — batch
+    // boundaries and the stored adjacency must change nothing
+    "q_knn_hnsw_batched" -> knnJoinOracleSql,
 
     // hard negatives: the q_knn_join replica plus the label-mismatch
     // predicate inside the scored set (before ranking)
@@ -5730,7 +5767,7 @@ object SparkEntry {
         | 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS wat_uri,
         | CAST(octet_length(encode(text)) AS BIGINT) AS wat_len,
         | lang AS wat_lang
-        | FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""
+        | FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     // HLL replica: same hash chain in HUGEINT, same bucket/rank integer

@@ -457,38 +457,44 @@ object Graph {
     var lab = materialize(
       und.select(col("n").as("node")).distinct()
         .select(col("node"), col("node").as("lbl")), "l0")
-    var iter = 0
-    var converged = false
-    while (!converged) {
-      iter += 1
-      require(iter <= maxIter,
-        s"labelPropagation: no fixpoint after $maxIter rounds (component " +
-          "diameter exceeds the bound — raise maxIter)")
-      val neigh = und.join(lab.withColumnRenamed("node", "m"), Seq("m"))
-        .groupBy(col("n").as("node")).agg(min(col("lbl")).as("nl"))
-      val prev = lab
-      lab = materialize(
-        prev.join(neigh, Seq("node"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")),
-        s"l$iter")
-      // fixpoint = zero labels changed this round (labels only decrease)
-      val changed = lab.join(prev.withColumnRenamed("lbl", "prev_lbl"), Seq("node"))
-        .where(col("lbl") =!= col("prev_lbl")).count()
-      drop(s"l${iter - 1}")
-      graft.operators.releaseLocalCheckpoint(prev)
-      converged = changed == 0L
+    // try/finally: a failed round (or the loud maxIter require) must not
+    // leak the lpa_* run directory under checkpointDir — the finally
+    // deletes runDir on BOTH paths (DecadeProbe/ScaleProbe discipline)
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged) {
+        iter += 1
+        require(iter <= maxIter,
+          s"labelPropagation: no fixpoint after $maxIter rounds (component " +
+            "diameter exceeds the bound — raise maxIter)")
+        val neigh = und.join(lab.withColumnRenamed("node", "m"), Seq("m"))
+          .groupBy(col("n").as("node")).agg(min(col("lbl")).as("nl"))
+        val prev = lab
+        lab = materialize(
+          prev.join(neigh, Seq("node"), "left")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")),
+          s"l$iter")
+        // fixpoint = zero labels changed this round (labels only decrease)
+        val changed = lab.join(prev.withColumnRenamed("lbl", "prev_lbl"), Seq("node"))
+          .where(col("lbl") =!= col("prev_lbl")).count()
+        drop(s"l${iter - 1}")
+        graft.operators.releaseLocalCheckpoint(prev)
+        converged = changed == 0L
+      }
+      val out = lab.select(col("node"), col("lbl").as("community"))
+        .localCheckpoint() // outlives the run-dir removal in the finally
+      graft.operators.releaseLocalCheckpoint(lab)
+      graft.operators.releaseLocalCheckpoint(e)
+      graft.operators.releaseLocalCheckpoint(und)
+      out
+    } finally {
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(runDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }
-    val out = lab.select(col("node"), col("lbl").as("community"))
-      .localCheckpoint() // outlives the run-dir removal below
-    graft.operators.releaseLocalCheckpoint(lab)
-    graft.operators.releaseLocalCheckpoint(e)
-    graft.operators.releaseLocalCheckpoint(und)
-    if (runDir != null) {
-      val p = new org.apache.hadoop.fs.Path(runDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    out
   }
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999) on a directed

@@ -1355,6 +1355,93 @@ object Similarity {
       }
       .toDF("part", "ord", "id", "vec", "level", "nbrs")
       .write.mode("overwrite").partitionBy("part").parquet(dir)
+    // budgets travel with the layout (underscore prefix → invisible to
+    // spark.read.parquet(dir)'s file listing): appendToHnswIndex MUST
+    // insert with the build-time m/efConstruction or the appended graph
+    // diverges from a full rebuild
+    writeHnswMeta(spark, dir, m, efConstruction, nParts)
+  }
+
+  private def writeHnswMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, m: Int, efConstruction: Int, nParts: Int): Unit =
+    spark.range(1).select(
+        lit(m).as("m"), lit(efConstruction).as("ef_construction"),
+        lit(nParts).as("n_parts"))
+      .write.mode("overwrite").parquet(s"${dir.stripSuffix("/")}/_graft_meta")
+
+  /** Append rows to a [[buildHnswIndex]] layout WITHOUT a rebuild — the
+    * [[graft.operators.TextOps.appendToInvertedIndex]] ingestion
+    * discipline applied to the graph index: each partition LOADS its
+    * stored adjacency verbatim (O(n) read, zero re-insertion work) and
+    * inserts only the arriving rows with the build-time budgets (read
+    * from the layout's meta), so ingestion cost is O(new rows), not
+    * O(corpus). The swap is the crash-safe backup-rename ordering of
+    * [[TextOps.swapDirs]] — the index is readable at either the
+    * canonical or the backup path at every instant.
+    *
+    * Equality contract (spec-pinned): arriving ids must be STRICTLY
+    * GREATER than every stored id in their partition — then the
+    * insertion sequence (ascending id) is identical to a full rebuild
+    * over old ∪ new, so the appended graph, and hence every
+    * [[hnswTopKIndexed]] answer, is bit-identical to the rebuild. The
+    * natural ingestion case (new documents get new, larger ids)
+    * satisfies this for free; interleaved ids fail LOUDLY (a rebuild is
+    * the honest answer there — silently diverging graphs are not). */
+  def appendToHnswIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"${dir.stripSuffix("/")}/_graft_meta").collect()(0)
+    val mC = meta.getAs[Int]("m")
+    val efC = meta.getAs[Int]("ef_construction")
+    val nParts = meta.getAs[Int]("n_parts")
+    val existing = spark.read.parquet(dir)
+      .select(col("part").cast("int").as("part"), col("ord"), col("id"),
+        col("vec"), col("level"), col("nbrs"))
+      .as[(Int, Int, Long, Seq[Float], Int, Seq[Seq[Int]])]
+    // incoming rows ride the same 6-tuple with ord = -1 (never a valid
+    // stored ordinal) so ONE grouped pass sees a partition's graph and
+    // its arrivals together
+    val incoming = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("id").isNotNull && col("v").isNotNull)
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        ((((id % nParts) + nParts) % nParts).toInt, -1, id, v, -1,
+          Seq.empty[Seq[Int]])
+      }
+    val tmp = dir.stripSuffix("/") + "__append_tmp"
+    existing.union(incoming)
+      .groupByKey(_._1)
+      .flatMapGroups { (part, it) =>
+        val (old, fresh) = it.toArray.partition(_._2 >= 0)
+        val g = new HnswGraph(mC, efC)
+        g.loadNodes(old.map { case (_, ord, id, v, lev, ns) =>
+          (ord, id, v.toArray, lev, ns.map(_.toArray).toArray)
+        })
+        val maxOld = if (old.isEmpty) Long.MinValue
+          else old.iterator.map(_._3).max
+        val sortedNew = fresh.sortBy(_._3)
+        sortedNew.headOption.foreach { h =>
+          require(h._3 > maxOld,
+            s"appendToHnswIndex: incoming id ${h._3} <= stored max id " +
+              s"$maxOld in partition $part — appends require strictly " +
+              "increasing ids (the rebuild-equality contract); rebuild " +
+              "the index for interleaved ids")
+        }
+        sortedNew.foreach { case (_, _, id, v, _, _) => g.insert(id, v.toArray) }
+        g.exportNodes().map { case (ord, id, v, lev, ns) =>
+          (part, ord, id, v.toSeq, lev, ns.map(_.toSeq).toSeq)
+        }
+      }
+      .toDF("part", "ord", "id", "vec", "level", "nbrs")
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    writeHnswMeta(spark, tmp, mC, efC, nParts)
+    TextOps.swapDirs(spark, tmp, dir)
   }
 
   /** Query a [[buildHnswIndex]] index: each partition's stored graph is
@@ -1386,22 +1473,30 @@ object Similarity {
           (ord, id, v.toArray, lev, ns.map(_.toArray).toArray)
         }.toArray)
         g.searchNodes(query, efS).iterator.map { case (id, v) =>
-          var dot = 0.0; var nv = 0.0; var nq = 0.0
-          var i = 0
-          val d = math.min(v.length, query.length)
-          while (i < d) {
-            dot += v(i).toDouble * query(i)
-            nv += v(i).toDouble * v(i)
-            nq += query(i).toDouble * query(i)
-            i += 1
+          // dimension-ragged rows are DROPPED (NaN → filter), matching
+          // the in-memory path's CosineSimilarity kernel which returns
+          // NULL on a length mismatch — the 'identical answers' claim
+          // must hold on ragged corpora too, not just the fixed-dim
+          // test tables
+          if (v.length != query.length) (id, Double.NaN)
+          else {
+            var dot = 0.0; var nv = 0.0; var nq = 0.0
+            var i = 0
+            while (i < v.length) {
+              dot += v(i).toDouble * query(i)
+              nv += v(i).toDouble * v(i)
+              nq += query(i).toDouble * query(i)
+              i += 1
+            }
+            (id, if (nv == 0.0 || nq == 0.0) Double.NaN
+              else dot / (math.sqrt(nv) * math.sqrt(nq)))
           }
-          (id, if (nv == 0.0 || nq == 0.0) Double.NaN
-            else dot / (math.sqrt(nv) * math.sqrt(nq)))
         }.filter(!_._2.isNaN)
       }
       .toDF("__cand_id", "__cand_cos")
-    // rank on the kernel-identical cosine via the same Column expression
-    // the in-memory path uses: fetch = broadcast left-semi on the ids
+    // rank on an inline cosine that replays the CosineSimilarity
+    // kernel's arithmetic (same drop-on-mismatch, same zero-norm NULL),
+    // then 6-decimal HALF_UP rounding before the (cos desc, id) order
     cand.select(round(col("__cand_cos"), 6).as("cos"), col("__cand_id"))
       .orderBy(desc("cos"), col("__cand_id"))
       .limit(k)
@@ -1465,27 +1560,135 @@ object Similarity {
         val g = new HnswGraph(mC, efC)
         rows.foreach { case (id, v) => g.insert(id, v.toArray) }
         val (ids, vecs, norms) = bc.value
-        ids.indices.iterator.filter(norms(_) > 0.0).flatMap { qi =>
-          val qv = vecs(qi)
-          g.searchNodes(qv, efS).iterator.flatMap { case (id, v) =>
-            var n = 0.0
-            var i = 0
-            while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
-            val norm = math.sqrt(n)
-            if (norm == 0.0) Iterator.empty
-            else {
-              val d = math.min(qv.length, v.length)
-              var dot = 0.0
-              var j = 0
-              while (j < d) { dot += qv(j).toDouble * v(j); j += 1 }
-              val cos = java.math.BigDecimal.valueOf(dot / (norm * norms(qi)))
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-              Iterator.single((ids(qi), id, cos))
-            }
-          }
-        }
+        hnswWalkQueries(g, ids, vecs, norms, efS)
       }
     knnTopK(cands, idCol, k)
+  }
+
+  /** Walk ONE partition graph for every broadcast query — the candidate
+    * arithmetic [[hnswKnnJoin]] and [[hnswKnnJoinBatched]] share, which
+    * is [[knnJoin]]'s exactly (min-length dot in element order, HALF_UP
+    * 6-decimal rounding BEFORE ranking, zero-norm rows on either side
+    * never match). */
+  private def hnswWalkQueries(
+      g: HnswGraph,
+      ids: Array[Long],
+      vecs: Array[Array[Float]],
+      norms: Array[Double],
+      efS: Int): Iterator[(Long, Long, Double)] =
+    ids.indices.iterator.filter(norms(_) > 0.0).flatMap { qi =>
+      val qv = vecs(qi)
+      g.searchNodes(qv, efS).iterator.flatMap { case (id, v) =>
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+        val norm = math.sqrt(n)
+        if (norm == 0.0) Iterator.empty
+        else {
+          val d = math.min(qv.length, v.length)
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += qv(j).toDouble * v(j); j += 1 }
+          val cos = java.math.BigDecimal.valueOf(dot / (norm * norms(qi)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          Iterator.single((ids(qi), id, cos))
+        }
+      }
+    }
+
+  /** [[hnswKnnJoin]] without the driver cap — the [[knnJoinBatched]]
+    * discipline applied to the graph join: the query side is streamed
+    * to the driver ONE PARTITION AT A TIME (`toLocalIterator` — the
+    * full query set is never resident) and broadcast in
+    * `batchSize`-row batches; each batch is one corpus pass of graph
+    * walks, all batches union into ONE plan with a single final
+    * per-qid top-k window. Results are row-identical to
+    * [[hnswKnnJoin]] at any batchSize (OperatorsSpec pins batch-size
+    * invariance at 20k queries — the per-partition graphs are
+    * deterministic, so every batch walks the SAME graphs).
+    *
+    * Cost model: with `indexDir = null` each batch REBUILDS the
+    * per-partition graphs (one groupByKey pass, O(n·ef·M) insertion
+    * work per batch) — fine when ceil(M/batchSize) is small. When
+    * M >> batchSize, pass a [[buildHnswIndex]] layout as `indexDir`:
+    * each batch then only LOADS the stored adjacency (O(n) read,
+    * zero insertion) and the build cost is paid once, ever —
+    * the persisted-index amortization claim extended to the join. */
+  def hnswKnnJoinBatched(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      k: Int,
+      m: Int = 16,
+      efConstruction: Int = 64,
+      efSearch: Int = 96,
+      nParts: Int = 4,
+      batchSize: Int = 4096,
+      indexDir: String = null): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(m >= 2 && efConstruction >= m && efSearch >= k,
+      s"bad budgets: m=$m efConstruction=$efConstruction efSearch=$efSearch k=$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mC = m; val efC = efConstruction; val efS = efSearch
+    val data =
+      if (indexDir != null) null
+      else corpus
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .where(col("id").isNotNull && col("v").isNotNull)
+        .as[(Long, Seq[Float])]
+    val idx =
+      if (indexDir == null) null
+      else spark.read.parquet(indexDir)
+        .select(col("part").cast("int").as("part"), col("ord"), col("id"),
+          col("vec"), col("level"), col("nbrs"))
+        .as[(Int, Int, Long, Seq[Float], Int, Seq[Seq[Int]])]
+    val qIt = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .where(col(qIdCol).isNotNull && col(qVecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .toLocalIterator()
+    var union: org.apache.spark.sql.Dataset[(Long, Long, Double)] = null
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    def flush(): Unit = if (buf.nonEmpty) {
+      val qIds = buf.map(_._1).toArray
+      val qVecs = buf.map(_._2).toArray
+      val qNorms = qVecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+      val bc = spark.sparkContext.broadcast((qIds, qVecs, qNorms))
+      val scan =
+        if (idx != null)
+          idx.groupByKey(_._1).flatMapGroups { (_, it) =>
+            // m/efConstruction only shape INSERTION; loading needs no budgets
+            val g = new HnswGraph(2, 2)
+            g.loadNodes(it.map { case (_, ord, id, v, lev, ns) =>
+              (ord, id, v.toArray, lev, ns.map(_.toArray).toArray)
+            }.toArray)
+            val (ids0, vecs0, norms0) = bc.value
+            hnswWalkQueries(g, ids0, vecs0, norms0, efS)
+          }
+        else
+          data.groupByKey { case (id, _) => (((id % nParts) + nParts) % nParts).toInt }
+            .flatMapGroups { (_, it) =>
+              val rows = it.toArray.sortBy(_._1)
+              val g = new HnswGraph(mC, efC)
+              rows.foreach { case (id, v) => g.insert(id, v.toArray) }
+              val (ids0, vecs0, norms0) = bc.value
+              hnswWalkQueries(g, ids0, vecs0, norms0, efS)
+            }
+      union = if (union == null) scan else union.union(scan)
+      buf.clear()
+    }
+    while (qIt.hasNext) {
+      buf += qIt.next()
+      if (buf.size >= batchSize) flush()
+    }
+    flush()
+    if (union == null) spark.emptyDataset[(Long, Long, Double)].toDF("qid", idCol, "cos")
+    else knnTopK(union, idCol, k)
   }
 
   /** Train the composed IVF+PQ index (the FAISS IVFPQ shape) from ONE

@@ -5699,6 +5699,99 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hnswKnnJoinBatched: batch-size invariant at 20k queries, equals hnswKnnJoin, index path identical") {
+    val s = spark
+    import s.implicits._
+    val dim = 4
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 2654435761L + j * 40503L) % 1000L).toFloat - 500f) / 100f)
+    val corpus = (0L until 500L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = (0L until 20000L).map(i => (i, vec(i + 777L))).toDF("qid0", "qv")
+    def run(q: org.apache.spark.sql.DataFrame, bs: Int, idxDir: String = null) =
+      Similarity.hnswKnnJoinBatched(corpus, "vec_id", "embedding",
+        q, "qid0", "qv", k = 5, m = 8, efConstruction = 16, efSearch = 24,
+        batchSize = bs, indexDir = idxDir)
+    // one 20k-row batch vs 14 batches: the per-partition graphs are
+    // deterministic, so every batch walks the SAME graphs — results
+    // identical including rank tie-breaks
+    val oneBatch = run(queries, 30000).collect().map(_.toSeq).toSet
+    assert(run(queries, 1536).collect().map(_.toSeq).toSet == oneBatch)
+    // batch composition is partitioning-dependent; results must not be
+    assert(run(queries.repartition(7), 1536).collect().map(_.toSeq).toSet == oneBatch)
+    // under the cap, the batched join IS hnswKnnJoin (shared walk kernel)
+    val sub = queries.where(col("qid0") < 100)
+    val capped = Similarity.hnswKnnJoin(corpus, "vec_id", "embedding",
+        sub, "qid0", "qv", k = 5, m = 8, efConstruction = 16, efSearch = 24)
+      .collect().map(_.toSeq).toSet
+    assert(run(sub, 37).collect().map(_.toSeq).toSet == capped)
+    // persisted-index path: batches LOAD the stored adjacency instead of
+    // rebuilding — same graphs, identical rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnswjoin-idx")
+    try {
+      Similarity.buildHnswIndex(corpus, "vec_id", "embedding", dir.toString,
+        m = 8, efConstruction = 16, nParts = 4)
+      assert(run(queries, 1536, dir.toString).collect().map(_.toSeq).toSet == oneBatch)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    // empty query side → empty frame with the contract schema
+    val none = run(queries.where(lit(false)), 100)
+    assert(none.columns.toSeq == Seq("qid", "vec_id", "cos"))
+    assert(none.count() == 0L)
+  }
+
+  test("appendToHnswIndex: append equals full rebuild bit-for-bit; interleaved ids fail loudly") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val base = java.nio.file.Files.createTempDirectory("graft-hnswapp-base")
+    val full = java.nio.file.Files.createTempDirectory("graft-hnswapp-full")
+    try {
+      // CONSTRAINED budgets (the persisted-index spec's reasoning): the
+      // answer is a function of the GRAPH, so bit-identical layouts and
+      // answers prove append replays the rebuild's insertion sequence
+      Similarity.buildHnswIndex(emb.where(col("vec_id") < 400),
+        "vec_id", "embedding", base.toString, m = 4, efConstruction = 8, nParts = 4)
+      Similarity.appendToHnswIndex(emb.where(col("vec_id") >= 400),
+        "vec_id", "embedding", base.toString)
+      Similarity.buildHnswIndex(emb, "vec_id", "embedding", full.toString,
+        m = 4, efConstruction = 8, nParts = 4)
+      val a = s.read.parquet(base.toString)
+      val b = s.read.parquet(full.toString)
+      assert(a.count() == 500L)
+      assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L,
+        "appended layout diverged from the full rebuild")
+      def top(dir: String) = Similarity.hnswTopKIndexed(s, dir, q, 10,
+        efSearch = 12, idOut = "vec_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(top(base.toString) == top(full.toString))
+      // interleaved ids (vec_id < 400 already stored) fail LOUDLY inside
+      // the grouped pass, and the failed append leaves the index intact
+      val ex = intercept[Exception] {
+        Similarity.appendToHnswIndex(emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", base.toString)
+      }
+      def msgChain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + msgChain(t.getCause)
+      assert(msgChain(ex).contains("strictly increasing"), msgChain(ex))
+      assert(top(base.toString) == top(full.toString),
+        "failed append must leave the canonical layout readable and unchanged")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val tmpLeft = java.nio.file.Paths.get(base.toString + "__append_tmp")
+      for (d <- Seq(base, full, tmpLeft)) if (java.nio.file.Files.exists(d)) {
+        val walk = java.nio.file.Files.walk(d)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+  }
+
   test("hnswTopK: equals exact brute force at default budgets, deterministic, recall under constraint") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
