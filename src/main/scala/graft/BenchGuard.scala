@@ -100,6 +100,18 @@ object BenchGuard {
         m.group(4).toInt))).toMap
   }
 
+  /** The per-query calibration probes ([[Bench]]'s `qcalib`, round 16):
+    * for every >= 1 s query the fixed-work probe ran right after its
+    * samples, so the value is the machine's demonstrated speed AT THAT
+    * QUERY'S MOMENT — the evidence the run-bracketing pair cannot give
+    * for a mid-session stall. Absent in older payloads → empty map. */
+  private[graft] def qcalibMap(json: String): Map[String, Double] = {
+    val obj = "\"qcalib\":\\{([^}]*)\\}".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    "\"([^\"]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   /** The single-thread CPU calibration probe value ([[Bench.calibrateMs]])
     * recorded in a bench payload: min of the before/after pair (the
     * machine's best demonstrated speed during the run). None for
@@ -136,12 +148,31 @@ object BenchGuard {
       nc <- calibOf(latest)
       oc <- calibOf(baseline)
     } yield nc / oc
-    def envHint: String = calibRatio.map { r =>
-      if (r > 1.3)
-        f" [calib ${r}%.2fx -> likely ENVIRONMENT: identical probe work ran ${r}%.2fx slower]"
-      else
-        f" [calib ${r}%.2fx -> probe flat: machine speed unchanged, suspect CODE]"
-    }.getOrElse(" [no calib in baseline — pre-round-15 payload]")
+    // Per-query probes beat the run-bracketing pair when present: a
+    // stall that hits ONE query mid-session shows in ITS probe while
+    // the global pair stays flat (the round-15 17x q_bm25 reading that
+    // needed a judge rerun to classify — now each flagged line
+    // self-adjudicates from the probe taken at that query's moment).
+    val qcalLatest = qcalibMap(latest)
+    val qcalBase = qcalibMap(baseline)
+    def envHint(name: String): String = {
+      val perQuery = for {
+        n <- qcalLatest.get(name)
+        o <- qcalBase.get(name).orElse(calibOf(baseline))
+      } yield {
+        val r = n / o
+        if (r > 1.3)
+          f" [qcalib ${r}%.2fx at this query's moment -> likely ENVIRONMENT: identical probe work ran ${r}%.2fx slower]"
+        else
+          f" [qcalib ${r}%.2fx -> probe flat at this query's moment, suspect CODE]"
+      }
+      perQuery.orElse(calibRatio.map { r =>
+        if (r > 1.3)
+          f" [calib ${r}%.2fx -> likely ENVIRONMENT: identical probe work ran ${r}%.2fx slower]"
+        else
+          f" [calib ${r}%.2fx -> probe flat: machine speed unchanged, suspect CODE]"
+      }).getOrElse(" [no calib in baseline — pre-round-15 payload]")
+    }
     // The spread the gate actually saw: "noisy" (max/min wide) and
     // "slow" (tight spread, high floor) read differently in a review —
     // print it on every flagged line so the judgment is possible from
@@ -165,7 +196,7 @@ object BenchGuard {
           failed += 1
         case Some(v) if old >= 0 && v > ratio * old && v - old > effSlack =>
           out += f"REGRESS $name ${old}%.3f s -> ${v}%.3f s (${v / old}%.2fx)" +
-            spreadOf(name) + envHint
+            spreadOf(name) + envHint(name)
           failed += 1
         case _ => ()
       }
@@ -181,7 +212,7 @@ object BenchGuard {
             out += f"ALLOWED $name ${v}%.3f s over the ${newCeiling}%.1f s new-query ceiling: $reason"
           case None =>
             out += f"NEWSLOW $name ${v}%.3f s (new query over the ${newCeiling}%.1f s ceiling " +
-              "— fix it or allowlist it with a justification)" + spreadOf(name) + envHint
+              "— fix it or allowlist it with a justification)" + spreadOf(name) + envHint(name)
             failed += 1
         }
       } else {

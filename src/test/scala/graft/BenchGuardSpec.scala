@@ -123,6 +123,43 @@ class BenchGuardSpec extends AnyFunSuite {
       l.contains("no calib in baseline")), l3.mkString("\n"))
   }
 
+  test("per-query calibration: a flagged line prefers the probe at that query's moment") {
+    def withQcalib(p: String, qc: Map[String, Double],
+        before: Double, after: Double): String =
+      p.stripSuffix("}") +
+        s""","qcalib":${qc.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}""" +
+        s""","calib_ms_before":$before,"calib_ms_after":$after}"""
+    val base = withQcalib(payload(Map("q1" -> 2.0), Map.empty),
+      Map("q1" -> 200.0), 200.0, 210.0)
+    // global pair FLAT (200 -> 205) but q1's own probe 3x slower: the
+    // stall hit q1's moment — the line must say ENVIRONMENT via qcalib,
+    // exactly the round-15 17x case the global pair could not classify
+    val midStall = withQcalib(payload(Map("q1" -> 7.0), Map.empty),
+      Map("q1" -> 600.0), 205.0, 207.0)
+    val (l1, f1) = BenchGuard.evaluate(midStall, base, 1.5, 0.3, 5.0)
+    assert(f1 == 1, l1.mkString("\n"))
+    val r1 = l1.find(_.startsWith("REGRESS q1")).get
+    assert(r1.contains("qcalib 3.00x") && r1.contains("ENVIRONMENT"), r1)
+    // per-query probe flat -> CODE, even if the global pair moved
+    val codeSlow = withQcalib(payload(Map("q1" -> 7.0), Map.empty),
+      Map("q1" -> 205.0), 500.0, 520.0)
+    val (l2, _) = BenchGuard.evaluate(codeSlow, base, 1.5, 0.3, 5.0)
+    val r2 = l2.find(_.startsWith("REGRESS q1")).get
+    assert(r2.contains("qcalib 1.03x") && r2.contains("suspect CODE"), r2)
+    // baseline without a per-query value falls back to its global calib
+    val oldBase = payload(Map("q1" -> 2.0), Map.empty).stripSuffix("}") +
+      ""","calib_ms_before":200.0,"calib_ms_after":210.0}"""
+    val (l3, _) = BenchGuard.evaluate(midStall, oldBase, 1.5, 0.3, 5.0)
+    assert(l3.find(_.startsWith("REGRESS q1")).get.contains("qcalib 3.00x"),
+      l3.mkString("\n"))
+    // no per-query probe on either side -> the run-bracketing hint
+    val plain = payload(Map("q1" -> 7.0), Map.empty).stripSuffix("}") +
+      ""","calib_ms_before":500.0,"calib_ms_after":520.0}"""
+    val (l4, _) = BenchGuard.evaluate(plain, oldBase, 1.5, 0.3, 5.0)
+    val r4 = l4.find(_.startsWith("REGRESS q1")).get
+    assert(r4.contains("calib 2.50x") && r4.contains("ENVIRONMENT"), r4)
+  }
+
   test("queryMap refuses a non-flat payload instead of silently ungating the tail") {
     val nested = """{"queries":{"q1":1.0,"sub":{"q2":2.0}},"extended":{}}"""
     intercept[IllegalArgumentException] {
