@@ -2684,6 +2684,30 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // WEIGHTED label-propagation communities on a planted weighted
+    // partition: consecutive 8-id blocks are near-cliques (weight 10),
+    // chained together by weight-1 bridges — ONE connected component, so
+    // HashMin/min-label would flood it to a single community; the
+    // weighted argmax must keep every block on its own minimum id. The
+    // oracle unrolls 4 synchronous rounds (integer weight sums, ties →
+    // min label) and error()s if round 4 is not a fixpoint
+    "q_communities_weighted" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val n = d.count()
+      val inBlock = d
+        .withColumn("dlt", explode(sequence(lit(1), lit(7))))
+        .where(expr(s"doc_id + dlt < $n AND (doc_id + dlt) div 8 = doc_id div 8"))
+        .select(col("doc_id").as("x"), (col("doc_id") + col("dlt")).as("y"),
+          lit(10L).as("w"))
+      val bridge = d
+        .where(col("doc_id") % 8 === 7 && col("doc_id") + 1 < n)
+        .select(col("doc_id").as("x"), (col("doc_id") + 1).as("y"),
+          lit(1L).as("w"))
+      operators.Graph.labelPropagationWeighted(
+          inBlock.union(bridge), "x", "y", "w", rounds = 4)
+        .orderBy(col("node"))
+    }),
+
     // cohort retention triangle over daily buckets: first-activity
     // cohorts × active-again offsets, all-integer bucket arithmetic
     "q_retention" -> ((s, dir) =>
@@ -6550,6 +6574,41 @@ object SparkEntry {
         | WHERE CASE WHEN (SELECT count(*) FROM cl3 a JOIN cl4 b
         |     ON a.node = b.node AND a.lbl <> b.lbl) = 0 THEN TRUE
         |   ELSE error('communities oracle: fixpoint not reached in 4 unrolled rounds') END
+        | ORDER BY node""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // weighted LPA replica: per round, group neighbor labels per node,
+    // SUM integer weights, keep the (sum DESC, lbl ASC) top-1 — unrolled
+    // 4 synchronous rounds over the planted block-and-bridge fixture,
+    // error() unless round 4 is a fixpoint
+    "q_communities_weighted" -> {
+      val rounds = (1 to 4).map { t =>
+        s"""wl$t AS MATERIALIZED (SELECT node, lbl FROM (
+          |   SELECT u.n2 AS node, p.lbl AS lbl,
+          |     row_number() OVER (PARTITION BY u.n2
+          |       ORDER BY sum(u.w) DESC, p.lbl ASC) AS rk
+          |   FROM cu u JOIN wl${t - 1} p ON p.node = u.m
+          |   GROUP BY u.n2, p.lbl) WHERE rk = 1)""".stripMargin
+      }.mkString(", ")
+      s"""WITH cN AS (SELECT count(*) AS n FROM documents),
+        | ib AS (SELECT doc_id AS x, doc_id + d AS y, 10 AS w
+        |   FROM documents, generate_series(1, 7) AS g(d)
+        |   WHERE doc_id + d < (SELECT n FROM cN) AND (doc_id + d) // 8 = doc_id // 8),
+        | ch AS (SELECT doc_id AS x, doc_id + 1 AS y, 1 AS w FROM documents
+        |   WHERE doc_id % 8 = 7 AND doc_id + 1 < (SELECT n FROM cN)),
+        | ce AS MATERIALIZED (SELECT least(x, y) AS a, greatest(x, y) AS b,
+        |   CAST(sum(w) AS BIGINT) AS w
+        |   FROM (SELECT x, y, w FROM ib UNION ALL SELECT x, y, w FROM ch)
+        |   WHERE x <> y GROUP BY 1, 2),
+        | cu AS MATERIALIZED (SELECT a AS n2, b AS m, w FROM ce
+        |   UNION ALL SELECT b AS n2, a AS m, w FROM ce),
+        | wl0 AS MATERIALIZED (SELECT DISTINCT n2 AS node, n2 AS lbl FROM cu),
+        | $rounds
+        | SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
+        | FROM wl4
+        | WHERE CASE WHEN (SELECT count(*) FROM wl3 a JOIN wl4 b
+        |     ON a.node = b.node AND a.lbl <> b.lbl) = 0 THEN TRUE
+        |   ELSE error('weighted communities oracle: not a fixpoint after 4 rounds') END
         | ORDER BY node""".stripMargin.replaceAll("\n", " ")
     },
 

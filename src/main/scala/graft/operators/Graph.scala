@@ -497,6 +497,124 @@ object Graph {
     }
   }
 
+  /** WEIGHTED label-propagation communities (Raghavan et al. 2007 with
+    * edge weights, every randomness source removed): each SYNCHRONOUS
+    * round every node adopts the label carrying the MAXIMUM total
+    * incident edge weight among its neighbors' current labels, ties →
+    * smallest label. This is the community detector [[labelPropagation]]
+    * (HashMin — connected components) is not: on a CONNECTED graph whose
+    * communities are tied together by weak edges, min-label floods
+    * everything to one id while the weighted argmax keeps each
+    * strongly-coupled block on its own label.
+    *
+    * Determinism and replayability: weights are cast to LONG (exact
+    * integer sums — float argmaxes are summation-order-dependent and
+    * unverifiable across engines; the [[hitsFixed]] discipline) and must
+    * be positive (checked LOUDLY — a zero/negative weight silently
+    * reshapes the argmax). Parallel edges and both orientations of a
+    * pair collapse to one undirected edge with SUMMED weight; self-loops
+    * drop. Every tie anywhere breaks to the smaller label, so the round-t
+    * labeling is a pure function of the data — the q_communities_weighted
+    * oracle replays the rounds as unrolled CTEs value-for-value.
+    *
+    * Synchronous LPA has NO fixpoint guarantee (bipartite structures
+    * oscillate two-cycles forever), so the contract is "the labeling
+    * after exactly `rounds` rounds" — no convergence claim. A round that
+    * changes nothing ends the run early: since each round is a function
+    * of the labeling alone, a fixpoint makes all later rounds identical,
+    * so the early stop returns exactly the round-`rounds` answer.
+    *
+    * Scale shape per round ([[labelPropagation]]'s): one equi-join of
+    * the label frame against the pre-materialized undirected adjacency,
+    * one (node, label) weight-sum aggregation, one per-node top-1 window
+    * — two co-keyed shuffles; labels MATERIALIZE per round so the
+    * iterative plan never re-executes its prefix. Returns
+    * `(node, community)` LONG ids. */
+  def labelPropagationWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      rounds: Int = 4,
+      checkpointDir: String = null): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val runDir =
+      if (checkpointDir == null) null
+      else checkpointDir.stripSuffix("/") + "/lpw_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      if (runDir == null) df.localCheckpoint()
+      else {
+        val p = s"$runDir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    def drop(name: String): Unit =
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/$name")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    val e = materialize(
+      edges.select(col(srcCol).cast("long").as("x"),
+          col(dstCol).cast("long").as("y"),
+          col(weightCol).cast("long").as("w"))
+        .where(col("x").isNotNull && col("y").isNotNull &&
+          col("w").isNotNull && col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"), col("w"))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")), "we")
+    try {
+      // positive-weight contract, checked loudly against the collapsed
+      // edge list (one tiny scan of the already-materialized frame)
+      val minW = e.agg(min(col("w"))).head()
+      require(minW.isNullAt(0) || minW.getLong(0) > 0,
+        s"labelPropagationWeighted: non-positive collapsed edge weight " +
+          s"${minW.getLong(0)} — weights must be positive integers")
+      val und = materialize(
+        e.select(col("a").as("n"), col("b").as("m"), col("w"))
+          .unionAll(e.select(col("b").as("n"), col("a").as("m"), col("w"))),
+        "und")
+      var lab = materialize(
+        und.select(col("n").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl")), "l0")
+      var iter = 0
+      var converged = false
+      while (iter < rounds && !converged) {
+        iter += 1
+        // every node has >= 1 neighbor (nodes are edge endpoints), so the
+        // argmax is total: no keep-own-label fallback branch exists
+        val next = und.join(lab.withColumnRenamed("node", "m"), Seq("m"))
+          .groupBy(col("n").as("node"), col("lbl"))
+          .agg(sum(col("w")).as("s"))
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("node")).orderBy(desc("s"), col("lbl"))))
+          .where(col("__rn") === 1)
+          .select(col("node"), col("lbl"))
+        val prev = lab
+        lab = materialize(next, s"l$iter")
+        val changed = lab.join(prev.withColumnRenamed("lbl", "prev_lbl"),
+            Seq("node"))
+          .where(col("lbl") =!= col("prev_lbl")).count()
+        drop(s"l${iter - 1}")
+        graft.operators.releaseLocalCheckpoint(prev)
+        converged = changed == 0L
+      }
+      val out = lab.select(col("node"), col("lbl").as("community"))
+        .localCheckpoint() // outlives the run-dir removal in the finally
+      graft.operators.releaseLocalCheckpoint(lab)
+      graft.operators.releaseLocalCheckpoint(e)
+      graft.operators.releaseLocalCheckpoint(und)
+      out
+    } finally {
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(runDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) on a directed
     * graph, in the same fixed-point integer discipline as
     * [[pageRankFixed]]: auth(v) = Σ hub(u) over in-edges, hub(v) =

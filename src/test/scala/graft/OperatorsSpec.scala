@@ -6186,6 +6186,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(path, maxIter = 15).values.toSet == Set(0L))
   }
 
+  test("weighted label propagation: weak bridge keeps blocks apart, argmax ties, loud weights") {
+    val s = spark
+    import s.implicits._
+    // two 4-cliques (in-block weight 10) tied by ONE weight-1 bridge:
+    // a single connected component, so min-label LPA floods it to 1 —
+    // the weighted argmax must keep each clique on its own label
+    def clique(ids: Seq[Long], w: Long) =
+      for (i <- ids; j <- ids if i < j) yield (i, j, w)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L), 10L) ++
+      clique(Seq(11L, 12L, 13L, 14L), 10L) :+ ((4L, 11L, 1L)))
+      .toDF("x", "y", "w")
+    def run(df: org.apache.spark.sql.DataFrame, rounds: Int = 4) =
+      Graph.labelPropagationWeighted(df, "x", "y", "w", rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L), got.toString)
+    // ...and HashMin on the same graph floods to one community
+    assert(Graph.labelPropagation(edges, "x", "y")
+      .collect().map(_.getLong(1)).toSet == Set(1L))
+    // deterministic: a second run is identical
+    assert(run(edges) == got)
+    // a DOMINANT bridge (weight 100 vs in-clique 10) rips node 4 out of
+    // clique A on round 1 — the two bridge endpoints then two-cycle
+    // (synchronous LPA's known oscillation; no fixpoint is claimed), but
+    // the round-4 labeling is deterministic and node 4 is no longer in
+    // clique A's community
+    val heavy = (clique(Seq(1L, 2L, 3L, 4L), 10L) ++
+      clique(Seq(11L, 12L, 13L, 14L), 10L) :+ ((4L, 11L, 100L)))
+      .toDF("x", "y", "w")
+    val hv = run(heavy)
+    assert(hv(4L) != hv(1L), hv.toString)
+    assert(run(heavy) == hv)
+    // duplicate pairs and both orientations collapse with SUMMED weight:
+    // (1,2,6)+(2,1,4) == one (1,2,10) edge — same answer as the plain run
+    val dup = (clique(Seq(1L, 2L, 3L, 4L), 10L)
+      .filterNot(e => e._1 == 1L && e._2 == 2L) ++
+      Seq((1L, 2L, 6L), (2L, 1L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L), 10L) :+ ((4L, 11L, 1L)))
+      .toDF("x", "y", "w")
+    assert(run(dup) == got)
+    // non-positive weights fail LOUDLY (they would silently reshape the
+    // argmax), and rounds must be >= 1
+    intercept[IllegalArgumentException] {
+      run(Seq((1L, 2L, 0L)).toDF("x", "y", "w"))
+    }
+    intercept[IllegalArgumentException] { run(edges, rounds = 0) }
+    // synchronous LPA on a bipartite star two-cycles forever — no
+    // fixpoint claim is made, but the round-`rounds` labeling is still
+    // a deterministic function of the data
+    val star = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L)).toDF("x", "y", "w")
+    assert(run(star, rounds = 5) == run(star, rounds = 5))
+  }
+
   test("k-core: peeling equals the naive model, cascades peel fully, loud maxIter") {
     val s = spark
     import s.implicits._
