@@ -3179,6 +3179,19 @@ object SparkEntry {
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // REAL compressed video, intra-only: Motion-JPEG inside the same
+    // AVI/RIFF container — every sampled frame decoded as a standalone
+    // JPEG through javax.imageio. The fixtures are DC-only JPEGs
+    // (constant 8x8 gray blocks at quality 1.0 — bit-exact round trip,
+    // spec-verified over all 256 values), so the oracle formula-checks
+    // the decoded sums per block with no JPEG parsing
+    "q_video_mjpeg" -> ((s, dir) =>
+      operators.Multimodal.sampleMjpegFrames(s,
+          operators.Multimodal.syntheticMjpegBlobs(s, table(s, dir, "documents")),
+          stride = 2)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // scene-cut detection on the REAL-decoded AVI/MS-RLE8 streams: SAD
     // between adjacent frames + threshold flag — the oracle regrows
     // BOTH frames of every transition from the band-update formula and
@@ -3529,6 +3542,29 @@ object SparkEntry {
        |cnd AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM shex a JOIN shex b ON a.g = b.g AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** COUNT-based exact-Jaccard pair CTEs: identical math to the
+    * list_intersect form (the shingle lists are distinct, so the number
+    * of matching grams in the exploded self-join IS |A∩B|, and
+    * |A∪B| = |A|+|B|−|A∩B|) but evaluated as one hash-aggregated gram
+    * join instead of 1M+ per-pair list intersections — the profiler
+    * measured 119 s → 2.1 s at sf0.1 for IDENTICAL rows. Yields
+    * `shl(doc_id, ln)` and `inter(id_a, id_b, i)`; Jaccard =
+    * i / (la.ln + lb.ln − i). Pairs sharing zero grams appear in
+    * neither form (cnd also required a shared gram). */
+  private val shingleCountCtes =
+    s"""toksq AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, $shinglesSql AS s FROM toksq),
+       |shl AS MATERIALIZED (SELECT doc_id, len(s) AS ln FROM sh),
+       |shex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |inter AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  count(*) AS i
+       |  FROM shex a JOIN shex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** i / (la.ln + lb.ln − i) over the [[shingleCountCtes]] frames. */
+  private val countJaccardSql =
+    "CAST(i AS DOUBLE) / CAST(la.ln + lb.ln - i AS DOUBLE)"
+
   /** Re-lined documents (mirror of `relined`): token list `tk` plus the
     * 8-token line list `ls`. */
   private val relinedCtes =
@@ -3774,15 +3810,19 @@ object SparkEntry {
   private def mmrOracleSql(k: Int = 8, lambdaPct: Int = 70, pool: Int = 64): String = {
     val lam = lambdaPct
     val mu = 100 - lambdaPct
+    // every step CTE is MATERIALIZED: the ch/pk chain references its
+    // predecessor in THREE places (max-sim subquery, NOT IN, union), so
+    // un-materialized steps re-inline the whole prefix ~3^k times —
+    // the profiler measured 442 s vs 0.2 s at sf0.1 for IDENTICAL rows
     val steps = (1 to k).map { i =>
-      s"""sc$i AS (SELECT p.vec_id, p.rel,
+      s"""sc$i AS MATERIALIZED (SELECT p.vec_id, p.rel,
          |  coalesce((SELECT max(s.sim) FROM sims s JOIN ch${i - 1} c ON s.b = c.vec_id
          |    WHERE s.a = p.vec_id), 0) AS ms
          |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})),
-         |pk$i AS (SELECT vec_id, CAST($i AS BIGINT) AS mmr_rank,
+         |pk$i AS MATERIALIZED (SELECT vec_id, CAST($i AS BIGINT) AS mmr_rank,
          |  round($lam * rel - $mu * ms, 6) AS score
          |  FROM sc$i ORDER BY round($lam * rel - $mu * ms, 6) DESC, vec_id LIMIT 1),
-         |ch$i AS (SELECT vec_id FROM ch${i - 1} UNION ALL SELECT vec_id FROM pk$i)""".stripMargin
+         |ch$i AS MATERIALIZED (SELECT vec_id FROM ch${i - 1} UNION ALL SELECT vec_id FROM pk$i)""".stripMargin
     }.mkString(", ")
     val union = (1 to k).map(i => s"SELECT * FROM pk$i").mkString(" UNION ALL ")
     s"""WITH bv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -5913,10 +5953,10 @@ object SparkEntry {
     "q_bootstrap" ->
       s"""WITH xs AS (SELECT event_id AS rid, CAST(round(value*100) AS BIGINT) AS xv FROM events
         |   WHERE value IS NOT NULL AND event_id IS NOT NULL),
-        | eb AS (SELECT rid, xv, CAST(unnest(range(64)) AS BIGINT) AS b FROM xs),
-        | hv AS (SELECT rid, xv, b, (CAST(rid AS HUGEINT) + 1717) % $M64 AS h0 FROM eb),
-        | ${mixStagesSql("hv", "rid, xv, b", "b1")},
-        | h2 AS (SELECT xv, b, (xor(h, CAST(b AS HUGEINT)) + 1718) % $M64 AS h0 FROM b13),
+        | hv AS (SELECT rid, xv, (CAST(rid AS HUGEINT) + 1717) % $M64 AS h0 FROM xs),
+        | ${mixStagesSql("hv", "rid, xv", "b1")},
+        | eb AS MATERIALIZED (SELECT xv, h, CAST(unnest(range(64)) AS BIGINT) AS b FROM b13),
+        | h2 AS (SELECT xv, b, (xor(h, CAST(b AS HUGEINT)) + 1718) % $M64 AS h0 FROM eb),
         | ${mixStagesSql("h2", "xv, b", "b2")},
         | uw AS (SELECT xv, b, ((${signedSql("h")} % 1000000) + 1000000) % 1000000 AS u FROM b23),
         | wv AS (SELECT b, xv, CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
@@ -7049,15 +7089,15 @@ object SparkEntry {
     // recursive fold: row j holds output sample j; the step to j+1
     // consumes nibble j. Then the shared exact-integer feature math.
     "q_audio_adpcm" ->
-      """WITH RECURSIVE par AS (SELECT doc_id, 100 + (doc_id % 3) * 32 AS ba,
+      """WITH RECURSIVE par AS MATERIALIZED (SELECT doc_id, 100 + (doc_id % 3) * 32 AS ba,
         |   (doc_id * 2731) % 4096 - 2048 AS p0, (doc_id * 13) % 89 AS i0 FROM documents),
-        | stab AS (SELECT unnest(range(89)) AS i, unnest([7,8,9,10,11,12,13,14,16,17,19,21,
+        | stab AS MATERIALIZED (SELECT unnest(range(89)) AS i, unnest([7,8,9,10,11,12,13,14,16,17,19,21,
         |   23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
         |   230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,
         |   1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
         |   6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,
         |   24623,27086,29794,32767]) AS st),
-        | nb AS (SELECT doc_id, j, (doc_id * 7 + j * 13) % 16 AS dn FROM
+        | nb AS MATERIALIZED (SELECT doc_id, j, (doc_id * 7 + j * 13) % 16 AS dn FROM
         |   (SELECT doc_id, unnest(range((ba - 4) * 2)) AS j FROM par)),
         | dec(doc_id, j, v, ix) AS (
         |  SELECT doc_id, 0, p0, i0 FROM par
@@ -7072,6 +7112,7 @@ object SparkEntry {
         |     + CASE WHEN n.dn % 8 < 4 THEN -1 ELSE 2 * (n.dn % 8 - 3) END))
         |  FROM dec d JOIN nb n ON n.doc_id = d.doc_id AND n.j = d.j
         |   JOIN stab s ON s.i = d.ix),
+        | decm AS MATERIALIZED (SELECT doc_id, j, v FROM dec),
         | nn AS (SELECT doc_id, (ba - 4) * 2 + 1 AS n FROM par),
         | sums AS (SELECT d.doc_id, x.n,
         |   sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS ma, sum(v * v) AS sq,
@@ -7081,10 +7122,10 @@ object SparkEntry {
         |   sum(CASE WHEN (d.j * 3) // x.n = 0 THEN 1 ELSE 0 END) AS n0,
         |   sum(CASE WHEN (d.j * 3) // x.n = 1 THEN 1 ELSE 0 END) AS n1,
         |   sum(CASE WHEN (d.j * 3) // x.n = 2 THEN 1 ELSE 0 END) AS n2
-        |  FROM dec d JOIN nn x ON x.doc_id = d.doc_id GROUP BY d.doc_id, x.n),
+        |  FROM decm d JOIN nn x ON x.doc_id = d.doc_id GROUP BY d.doc_id, x.n),
         | zx AS (SELECT a.doc_id, sum(CASE WHEN (a.v < 0) <> (b.v < 0)
         |    THEN 1 ELSE 0 END) AS zc
-        |  FROM dec a JOIN dec b ON a.doc_id = b.doc_id AND b.j = a.j - 1
+        |  FROM decm a JOIN decm b ON a.doc_id = b.doc_id AND b.j = a.j - 1
         |  WHERE a.j >= 1 GROUP BY a.doc_id)
         | SELECT s.doc_id, CAST(4 AS INT) AS bits_per_sample,
         |  CAST(s.n AS BIGINT) AS n_frames, CAST(ft AS INT) AS feat_idx,
@@ -7107,18 +7148,18 @@ object SparkEntry {
     // jg = 2j + c for the position-dependent sums; zero-crossings count
     // channel-0 frames only (the Scala side's sample(f·ch) convention)
     "q_audio_ima_stereo" ->
-      """WITH RECURSIVE par AS (SELECT doc_id, 8 + 8 * (4 + doc_id % 3) AS ba FROM documents),
+      """WITH RECURSIVE par AS MATERIALIZED (SELECT doc_id, 8 + 8 * (4 + doc_id % 3) AS ba FROM documents),
         | chp AS (SELECT doc_id, ba, c,
         |   (doc_id * 2731 + c * 911) % 4096 - 2048 AS p0,
         |   (doc_id * 13 + c * 7) % 89 AS i0
         |  FROM par, (SELECT unnest([0, 1]) AS c) cs),
-        | stab AS (SELECT unnest(range(89)) AS i, unnest([7,8,9,10,11,12,13,14,16,17,19,21,
+        | stab AS MATERIALIZED (SELECT unnest(range(89)) AS i, unnest([7,8,9,10,11,12,13,14,16,17,19,21,
         |   23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
         |   230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,
         |   1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
         |   6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,
         |   24623,27086,29794,32767]) AS st),
-        | nb AS (SELECT doc_id, c, j, (doc_id * 7 + c * 3 + j * 13) % 16 AS dn FROM
+        | nb AS MATERIALIZED (SELECT doc_id, c, j, (doc_id * 7 + c * 3 + j * 13) % 16 AS dn FROM
         |   (SELECT doc_id, c, unnest(range(ba - 8)) AS j FROM chp)),
         | dec(doc_id, c, j, v, ix) AS (
         |  SELECT doc_id, c, 0, p0, i0 FROM chp
@@ -7133,8 +7174,9 @@ object SparkEntry {
         |     + CASE WHEN n.dn % 8 < 4 THEN -1 ELSE 2 * (n.dn % 8 - 3) END))
         |  FROM dec d JOIN nb n ON n.doc_id = d.doc_id AND n.c = d.c AND n.j = d.j
         |   JOIN stab s ON s.i = d.ix),
+        | decm AS MATERIALIZED (SELECT doc_id, c, j, v FROM dec),
         | nn AS (SELECT doc_id, ba - 7 AS pc, 2 * (ba - 7) AS n FROM par),
-        | smp AS (SELECT doc_id, 2 * j + c AS jg, v FROM dec),
+        | smp AS (SELECT doc_id, 2 * j + c AS jg, v FROM decm),
         | sums AS (SELECT d.doc_id, x.n, x.pc,
         |   sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS ma, sum(v * v) AS sq,
         |   sum(CASE WHEN (d.jg * 3) // x.n = 0 THEN abs(v) ELSE 0 END) AS a0,
@@ -7146,7 +7188,7 @@ object SparkEntry {
         |  FROM smp d JOIN nn x ON x.doc_id = d.doc_id GROUP BY d.doc_id, x.n, x.pc),
         | zx AS (SELECT a.doc_id, sum(CASE WHEN (a.v < 0) <> (b.v < 0)
         |    THEN 1 ELSE 0 END) AS zc
-        |  FROM dec a JOIN dec b ON a.doc_id = b.doc_id AND b.c = 0 AND b.j = a.j - 1
+        |  FROM decm a JOIN decm b ON a.doc_id = b.doc_id AND b.c = 0 AND b.j = a.j - 1
         |  WHERE a.c = 0 AND a.j >= 1 GROUP BY a.doc_id)
         | SELECT s.doc_id, CAST(2 AS INT) AS channels,
         |  CAST(s.pc AS BIGINT) AS n_frames, CAST(ft AS INT) AS feat_idx,
@@ -7174,13 +7216,13 @@ object SparkEntry {
     // 16 under either convention, so shift vs division is immaterial
     // there.
     "q_audio_msadpcm" ->
-      """WITH RECURSIVE par AS (SELECT doc_id, 96 + (doc_id % 4) * 24 AS ba,
+      """WITH RECURSIVE par AS MATERIALIZED (SELECT doc_id, 96 + (doc_id % 4) * 24 AS ba,
         |   [256,512,0,192,240,460,392][CAST(doc_id % 7 AS INT) + 1] AS c1,
         |   [0,-256,0,64,0,-208,-232][CAST(doc_id % 7 AS INT) + 1] AS c2,
         |   16 + (doc_id * 7) % 500 AS d0,
         |   (doc_id * 2731) % 4096 - 2048 AS s1i,
         |   (doc_id * 1013) % 4096 - 2048 AS s2i FROM documents),
-        | nb AS (SELECT doc_id, j, dn,
+        | nb AS MATERIALIZED (SELECT doc_id, j, dn,
         |   CASE WHEN dn >= 8 THEN dn - 16 ELSE dn END AS sdn,
         |   [230,230,230,230,307,409,512,614,768,614,512,409,307,230,230,230][CAST(dn AS INT) + 1] AS ad
         |  FROM (SELECT doc_id, j, (doc_id * 11 + j * 5) % 16 AS dn FROM
@@ -7196,8 +7238,9 @@ object SparkEntry {
         |   d.c1, d.c2, d.nn
         |  FROM dec d JOIN nb n ON n.doc_id = d.doc_id AND n.j = d.j - 1
         |  WHERE d.j <= d.nn),
-        | smp AS (SELECT doc_id, 0 AS j, s2 AS v FROM dec WHERE j = 1
-        |  UNION ALL SELECT doc_id, j, s1 AS v FROM dec),
+        | decm AS MATERIALIZED (SELECT doc_id, j, s1, s2 FROM dec),
+        | smp AS MATERIALIZED (SELECT doc_id, 0 AS j, s2 AS v FROM decm WHERE j = 1
+        |  UNION ALL SELECT doc_id, j, s1 AS v FROM decm),
         | nn AS (SELECT doc_id, (ba - 7) * 2 + 2 AS n FROM par),
         | sums AS (SELECT d.doc_id, x.n,
         |   sum(v) AS sv, sum(abs(v)) AS sa, max(abs(v)) AS ma, sum(v * v) AS sq,
@@ -7263,6 +7306,23 @@ object SparkEntry {
         |  CAST(sum(85 * ((idx // 4) % 4)) AS BIGINT) AS sum_g,
         |  CAST(sum(85 * ((idx // 16) % 4)) AS BIGINT) AS sum_b
         | FROM pc GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+
+    // Motion-JPEG replica WITHOUT decoding JPEG: the fixtures are
+    // DC-only (constant 8x8 blocks, bit-exact round trip), so each
+    // sampled frame's channel sum is 64x the block-formula sum — gray,
+    // hence sum_r = sum_g = sum_b
+    "q_video_mjpeg" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+        | fr AS (SELECT doc_id, unnest(range(0, nf, 2)) AS f FROM d),
+        | bx AS (SELECT doc_id, f, unnest(range(3)) AS bx FROM fr),
+        | bl AS (SELECT doc_id, f, bx, unnest(range(2)) AS by FROM bx),
+        | ps AS (SELECT doc_id, f,
+        |   CAST(sum(64 * ((doc_id * 31 + f * 97 + bx * 7 + by * 13) % 256)) AS BIGINT) AS s
+        |  FROM bl GROUP BY doc_id, f)
+        | SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  s AS sum_r, s AS sum_g, s AS sum_b
+        | FROM ps ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
 
     // inter-frame replica WITHOUT decoding AVI: each pixel of sampled
     // frame f shows the LATEST frame g <= f whose 4-row delta band
@@ -7471,10 +7531,10 @@ object SparkEntry {
     // exhaustive exact-Jaccard (shared-shingle prefilter is lossless) —
     // proves the LSH candidate stage loses nothing at these parameters
     "q_neardup_pairs" ->
-      s"""WITH $shingleCtes
-        | SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
-        | FROM cnd c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
-        | WHERE $jaccardSql >= 0.7
+      s"""WITH $shingleCountCtes
+        | SELECT id_a, id_b, $countJaccardSql AS jaccard
+        | FROM inter JOIN shl la ON la.doc_id = id_a JOIN shl lb ON lb.doc_id = id_b
+        | WHERE $countJaccardSql >= 0.7
         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // all-pairs Levenshtein — deliberately ignorant of the engine's
@@ -8147,16 +8207,24 @@ object SparkEntry {
 
     // connected components over the brute-force pair set via a recursive
     // CTE: label every node with the smallest reachable doc_id
+    // connected components over the brute-force pair set: pairs via the
+    // count-based Jaccard join (identical math, no per-pair list ops),
+    // then a recursive label spread SEEDED FROM EDGE ENDPOINTS only —
+    // every other doc is its own singleton cluster, filled back in by
+    // the final left join (same answer, the recursion never carries the
+    // 10x-larger all-docs frame through its rounds)
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCtes,
-        | prs AS (SELECT c.id_a, c.id_b
-        |   FROM cnd c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
-        |   WHERE $jaccardSql >= 0.7),
-        | edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+      s"""WITH RECURSIVE $shingleCountCtes,
+        | prs AS MATERIALIZED (SELECT id_a, id_b
+        |   FROM inter JOIN shl la ON la.doc_id = id_a JOIN shl lb ON lb.doc_id = id_b
+        |   WHERE $countJaccardSql >= 0.7),
+        | edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM prs
         |   UNION ALL SELECT id_b, id_a FROM prs),
-        | reach AS (SELECT doc_id AS id, doc_id AS label FROM documents
-        |   UNION SELECT e.src AS id, r.label FROM reach r JOIN edges e ON r.id = e.dst)
-        | SELECT id AS doc_id, min(label) AS cluster_id
-        | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        | reach AS (SELECT src AS id, src AS label FROM edges
+        |   UNION SELECT e.src AS id, r.label FROM reach r JOIN edges e ON r.id = e.dst),
+        | comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+        | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -2035,11 +2035,21 @@ object Multimodal {
     buildAvi(frames)
   }
 
-  /** Assemble a minimal standards-shaped AVI RIFF around RLE8 frame
-    * payloads: hdrl (avih + one vids stream with a BI_RLE8
-    * BITMAPINFOHEADER and the 256-entry BGRX palette, entries ≥ 64 black)
-    * and a movi list of `00dc` chunks, each word-aligned. */
-  private def buildAvi(frames: Array[Array[Byte]]): Array[Byte] = {
+  /** 'MJPG' as the little-endian BITMAPINFOHEADER biCompression int. */
+  private[graft] val MjpgFourcc: Int =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Assemble a minimal standards-shaped AVI RIFF around frame payloads:
+    * hdrl (avih + one vids stream whose BITMAPINFOHEADER carries the
+    * given handler/bits/compression — BI_RLE8 with the 256-entry BGRX
+    * palette for the RLE family, 'MJPG'/24-bit with no palette for
+    * Motion-JPEG) and a movi list of `00dc` chunks, each word-aligned. */
+  private def buildAvi(
+      frames: Array[Array[Byte]],
+      handler: String = "MRLE",
+      bits: Short = 8,
+      comp: Int = 1,
+      withPalette: Boolean = true): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     def chunk(fcc: String, body: Array[Byte]): Array[Byte] = {
       val pad = body.length % 2
@@ -2061,17 +2071,18 @@ object Multimodal {
       .putInt(frames.length).putInt(0).putInt(1).putInt(0) // totalFrames, initial, streams, bufSize
       .putInt(AviW).putInt(AviH).putInt(0).putInt(0).putInt(0).putInt(0)
     val strh = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    strh.put("vids".getBytes(ascii)).put("MRLE".getBytes(ascii))
+    strh.put("vids".getBytes(ascii)).put(handler.getBytes(ascii))
       .putInt(0).putShort(0).putShort(0).putInt(0) // flags, priority, language, initialFrames
       .putInt(1).putInt(10).putInt(0).putInt(frames.length) // scale, rate, start, length
       .putInt(0).putInt(0).putInt(0) // bufSize, quality, sampleSize
       .putShort(0).putShort(0).putShort(AviW.toShort).putShort(AviH.toShort)
-    val strf = java.nio.ByteBuffer.allocate(40 + 256 * 4)
+    val strf = java.nio.ByteBuffer.allocate(40 + (if (withPalette) 256 * 4 else 0))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    strf.putInt(40).putInt(AviW).putInt(AviH).putShort(1).putShort(8)
-      .putInt(1).putInt(0).putInt(0).putInt(0).putInt(256).putInt(0) // BI_RLE8
+    strf.putInt(40).putInt(AviW).putInt(AviH).putShort(1).putShort(bits)
+      .putInt(comp).putInt(0).putInt(0).putInt(0)
+      .putInt(if (withPalette) 256 else 0).putInt(0)
     var i = 0
-    while (i < 256) { // RGBQUAD order is B, G, R, reserved
+    while (withPalette && i < 256) { // RGBQUAD order is B, G, R, reserved
       if (i < 64) {
         strf.put((85 * (i / 16 % 4)).toByte).put((85 * (i / 4 % 4)).toByte)
           .put((85 * (i % 4)).toByte).put(0.toByte)
@@ -2093,14 +2104,126 @@ object Multimodal {
   def syntheticAviBlobs(spark: SparkSession, df: DataFrame): DataFrame =
     blobTable(spark, df, syntheticAviRle)
 
-  /** Parsed AVI essentials: dims, BGRX palette, raw frame payloads. */
-  private case class AviStream(width: Int, height: Int,
+  /** Gray value of the 8×8 block (bx, by) in frame f of doc `docId` —
+    * the formula the q_video_mjpeg oracle replays per block. */
+  private[graft] def mjpegBlock(docId: Long, f: Int, bx: Int, by: Int): Int =
+    ((docId * 31 + f * 97 + bx * 7 + by * 13) % 256).toInt
+
+  /** Deterministic synthetic Motion-JPEG AVI: nFrames = 4 + docId mod 5
+    * REAL JPEGs (javax.imageio, grayscale, quality 1.0) of [[AviW]]×
+    * [[AviH]] pixels whose 8×8 blocks are CONSTANT [[mjpegBlock]] values
+    * — a DC-only JPEG: with the quality-1.0 all-ones quantization table
+    * every block round-trips bit-exactly (spec-verified across all 256
+    * gray values), so the decoded sums are formula-checkable by the SQL
+    * oracle even though the codec is a real lossy-format encoder. */
+  def syntheticAviMjpeg(docId: Long): Array[Byte] = {
+    val nf = 4 + (docId % 5).toInt
+    javax.imageio.ImageIO.setUseCache(false)
+    val frames = Array.tabulate(nf) { f =>
+      val img = new java.awt.image.BufferedImage(AviW, AviH,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var x = 0
+      while (x < AviW) {
+        var y = 0
+        while (y < AviH) {
+          img.getRaster.setSample(x, y, 0, mjpegBlock(docId, f, x / 8, y / 8))
+          y += 1
+        }
+        x += 1
+      }
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { ios.close(); w.dispose() }
+      bos.toByteArray
+    }
+    buildAvi(frames, handler = "MJPG", bits = 24, comp = MjpgFourcc,
+      withPalette = false)
+  }
+
+  /** [[syntheticAviMjpeg]] clips for the given ids. */
+  def syntheticMjpegBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticAviMjpeg)
+
+  /** REAL Motion-JPEG video decode: walk the AVI RIFF ([[parseAvi]] —
+    * the same container code the RLE8 family uses), then decode every
+    * `stride`-th `00dc` payload as a standalone JPEG through
+    * `javax.imageio` (the same registered reader `decodeImage` uses)
+    * and emit header-true dims + exact-integer channel sums. MJPEG
+    * frames are INTRA-ONLY, so — unlike [[sampleAviFrames]]'s
+    * decode-all-emit-some inter-frame walk — unsampled frames are never
+    * decoded: sampling cost is proportional to frames EMITTED, the cost
+    * model that makes MJPEG the archival/ingest-friendly codec. For
+    * single-band (grayscale) JPEGs the raster sample IS each channel
+    * (r = g = b); multi-band frames sum bands 0/1/2 directly from the
+    * raster — no color-space round trip that would break exactness.
+    * Narrow flatMap, no shuffle; scales with executors. */
+  def sampleMjpegFrames(
+      spark: SparkSession,
+      blobs: DataFrame,
+      stride: Int = 2): Dataset[VideoFrame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (try parseAvi(bytes) catch { case _: Exception => None }) match {
+          case Some(av) if av.compression == MjpgFourcc =>
+            javax.imageio.ImageIO.setUseCache(false)
+            av.frames.iterator.zipWithIndex
+              .filter { case (_, f) => f % stride == 0 }
+              .flatMap { case (data, f) =>
+                val img =
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(data))
+                  catch { case _: Exception => null }
+                if (img == null) Iterator.empty
+                else {
+                  val raster = img.getRaster
+                  val bands = raster.getNumBands
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      if (bands == 1) {
+                        val v = raster.getSample(x, y, 0).toLong
+                        sr += v; sg += v; sb += v
+                      } else {
+                        sr += raster.getSample(x, y, 0)
+                        sg += raster.getSample(x, y, 1)
+                        sb += raster.getSample(x, y, 2)
+                      }
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  Iterator.single(
+                    VideoFrame(id, f, img.getWidth, img.getHeight, sr, sg, sb))
+                }
+              }.toVector
+          case _ => Iterator.empty
+        }
+      }
+  }
+
+  /** Parsed AVI essentials: dims, compression (1 = BI_RLE8, [[MjpgFourcc]]
+    * = Motion-JPEG), BGRX palette (RLE8 only — null for MJPEG), raw frame
+    * payloads. */
+  private case class AviStream(width: Int, height: Int, compression: Int,
       palette: Array[Int], frames: Vector[Array[Byte]])
 
   /** Walk the RIFF tree of an AVI blob: capture the first video `strf`
-    * (BITMAPINFOHEADER + palette, BI_RLE8 only) and every `##dc`/`##db`
-    * chunk inside `movi` (in file order — AVI frame order). Returns None
-    * for anything malformed rather than throwing. */
+    * (BITMAPINFOHEADER + palette for BI_RLE8; bare header for 'MJPG')
+    * and every `##dc`/`##db` chunk inside `movi` (in file order — AVI
+    * frame order). Returns None for anything malformed rather than
+    * throwing. */
   private def parseAvi(bytes: Array[Byte]): Option[AviStream] = {
     if (bytes == null || bytes.length < 24) return None
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -2109,6 +2232,7 @@ object Multimodal {
       else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
     var width = 0; var height = 0
+    var compression = 0
     var palette: Array[Int] = null
     var frames = Vector.newBuilder[Array[Byte]]
     var nFrames = 0
@@ -2137,7 +2261,7 @@ object Multimodal {
             val comp = bi.getInt()
             if (biSize >= 40 && bits == 8 && comp == 1 && w > 0 && h > 0 &&
               w * h <= (1 << 24)) {
-              width = w; height = h
+              width = w; height = h; compression = 1
               val palBytes = size - biSize
               val nPal = math.min(256, palBytes / 4)
               palette = new Array[Int](256)
@@ -2148,6 +2272,11 @@ object Multimodal {
                   ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
                 i += 1
               }
+            } else if (biSize >= 40 && comp == MjpgFourcc && w > 0 && h > 0 &&
+              w * h <= (1 << 24)) {
+              // Motion-JPEG: frame payloads are standalone JPEGs, no
+              // palette to capture
+              width = w; height = h; compression = MjpgFourcc
             }
           } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
             (id.substring(2) == "dc" || id.substring(2) == "db")) {
@@ -2157,8 +2286,9 @@ object Multimodal {
         }
       }
     }
-    if (width == 0 || palette == null || nFrames == 0) None
-    else Some(AviStream(width, height, palette, frames.result()))
+    if (width == 0 || nFrames == 0) None
+    else if (compression == 1 && palette == null) None
+    else Some(AviStream(width, height, compression, palette, frames.result()))
   }
 
   /** Decode one MS-RLE8 frame INTO `fb` (palette indices, visual row
@@ -2218,6 +2348,7 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         (try parseAvi(bytes) catch { case _: Exception => None }) match {
           case None => Iterator.empty
+          case Some(av) if av.compression != 1 => Iterator.empty // MJPEG -> sampleMjpegFrames
           case Some(av) =>
             val fb = new Array[Byte](av.width * av.height) // index 0 until written
             av.frames.iterator.zipWithIndex.flatMap { case (data, f) =>
@@ -2434,6 +2565,7 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         (try parseAvi(bytes) catch { case _: Exception => None }) match {
           case None => Iterator.empty
+          case Some(av) if av.compression != 1 => Iterator.empty // MJPEG frames are intra-only
           case Some(av) =>
             val n = av.width * av.height
             val fb = new Array[Byte](n)

@@ -3290,6 +3290,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n >= 0L)
   }
 
+  test("MJPEG-in-AVI: real javax.imageio decode matches the block formula exactly") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 20L).toDF("doc_id")
+    val blobs = Multimodal.syntheticMjpegBlobs(s, ids)
+    // the blobs are REAL JPEGs in a REAL AVI container: every sampled
+    // frame decodes through ImageIO and its sums equal 64x the 8x8
+    // block-formula sum — the DC-only bit-exactness claim, per frame
+    val got = Multimodal.sampleMjpegFrames(s, blobs, stride = 2)
+      .collect().map(t => ((t.doc_id, t.frame_idx), t)).toMap
+    var checked = 0
+    for (id <- 0L until 20L; f <- 0 until (4 + (id % 5).toInt) by 2) {
+      val t = got((id, f))
+      assert((t.width, t.height) == ((Multimodal.AviW, Multimodal.AviH)))
+      val sum = (for (bx <- 0 until 3; by <- 0 until 2)
+        yield 64L * Multimodal.mjpegBlock(id, f, bx, by)).sum
+      assert(t.sum_r == sum && t.sum_g == sum && t.sum_b == sum,
+        s"doc $id frame $f: got ${t.sum_r}, formula $sum")
+      checked += 1
+    }
+    assert(checked == got.size, s"extra frames: ${got.size} vs $checked")
+    // stride 1 emits every frame; stride larger than the clip emits
+    // only the keyframe index 0
+    assert(Multimodal.sampleMjpegFrames(s, blobs, stride = 1).count() ==
+      (0L until 20L).map(id => 4 + (id % 5)).sum)
+    assert(Multimodal.sampleMjpegFrames(s, blobs, stride = 100).count() == 20L)
+    // the RLE8 walkers skip MJPEG streams instead of palette-crashing,
+    // and the MJPEG walker skips RLE8 streams
+    assert(Multimodal.sampleAviFrames(s, blobs).count() == 0L)
+    assert(Multimodal.videoSceneCuts(s, blobs, 1L).count() == 0L)
+    assert(Multimodal.sampleMjpegFrames(s,
+      Multimodal.syntheticAviBlobs(s, ids)).count() == 0L)
+    // crash-proof on mutated MJPEG blobs (the executor-survival contract)
+    val rnd = new scala.util.Random(7)
+    val mutated = (0 until 30).map { i =>
+      val b = Multimodal.syntheticAviMjpeg(i.toLong)
+      for (_ <- 0 until 5) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      (500L + i, b)
+    }
+    assert(Multimodal.sampleMjpegFrames(s,
+      mutated.toDF("doc_id", "blob")).count() >= 0L)
+  }
+
   test("real WAV decode: header and features match the generator formula") {
     val s = spark
     import s.implicits._
