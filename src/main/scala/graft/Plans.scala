@@ -146,7 +146,56 @@ object Plans {
     "q_communities" ->
       ("label propagation (final round's plan): co-keyed label/adjacency " +
         "equi-join + min aggregation over the MATERIALIZED previous round " +
-        "— the iterative prefix never re-executes"))
+        "— the iterative prefix never re-executes"),
+    "q_communities_weighted" ->
+      ("weighted label propagation (final round's plan): adjacency/label " +
+        "equi-join, (node, label) integer weight-sum aggregation, per-node " +
+        "top-1 window — two co-keyed shuffles per round over the " +
+        "MATERIALIZED previous round, no cartesian anywhere"),
+    "q_knn_hnsw" ->
+      ("HNSW batch kNN join: per-partition graph walks emit a bounded " +
+        "candidate frame (nParts x efSearch rows per query, never the " +
+        "corpus), one final per-qid rank window — the corpus side carries " +
+        "ZERO Join operators"),
+    "q_knn_hnsw_batched" ->
+      ("uncapped HNSW join: each query batch is one candidate scan over " +
+        "the PERSISTED adjacency (parquet read, no re-insertion), batches " +
+        "union into one plan with a single rank window — same zero-Join " +
+        "corpus shape as q_knn_hnsw at any query count"),
+    "q_ann_hnsw_indexed" ->
+      ("persisted HNSW query: the stored per-partition adjacency is " +
+        "loaded verbatim (one bounded parquet scan), walked per partition, " +
+        "and only nParts x efSearch candidate rows reach the final exact " +
+        "re-rank — no vector ever shuffles"),
+    "q_ann_hnsw_append" ->
+      ("incremental HNSW: query plan identical to q_ann_hnsw_indexed — " +
+        "the append rewrote the stored graphs (O(new) insertion work), " +
+        "the read side cannot tell (the rebuild-equality contract)"),
+    "q_bpe_byte_ids" ->
+      ("byte-BPE token ids: the learned merge ranks broadcast as one " +
+        "literal map into a narrow encode kernel — token-id emission at " +
+        "scan speed, zero shuffles before the per-doc aggregation"),
+    "q_stream_bpe_bytes" ->
+      ("streaming byte-BPE monitor (post-drain batch plan): the bounded " +
+        "memory-sink table feeds the same narrow encode kernel — the " +
+        "incremental path re-uses the batch kernel, no extra exchange"),
+    "q_stream_mmr" ->
+      ("streaming MMR twin (post-drain batch plan): the bounded BottomK " +
+        "pool (exact integer microrel key) restricts the greedy re-rank " +
+        "to pool-sized frames — the corpus-wide scan happened in the " +
+        "stream, not here"),
+    "q_warc_wet" ->
+      ("WET sidecar: distributed segment write then one connector scan — " +
+        "the V2 warc source reads records in file order, narrow " +
+        "projection, no shuffle until the final presentation sort"),
+    "q_warc_wat" ->
+      ("WAT sidecar: the connector scan feeds the library's own json_get " +
+        "kernels as a narrow codegen'd projection over the envelope " +
+        "column — JSON field extraction at scan speed"),
+    "q_video_mjpeg" ->
+      ("Motion-JPEG frame sampling: narrow per-blob flatMap decode " +
+        "(intra-only — unsampled frames never decoded), zero shuffles " +
+        "before the presentation sort"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

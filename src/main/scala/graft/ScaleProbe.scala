@@ -545,6 +545,36 @@ object ScaleProbe {
       }
     }
 
+    // incremental appends: the O(new) ingestion claim measured — build
+    // the index over 90% of the ids, append the top 10%, and compare
+    // against the full rebuild (append should cost FAR less; by the
+    // strictly-increasing-id contract the layouts are bit-identical)
+    if (only.forall(s => "HNSW append".contains(s))) {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-probe-hnswapp")
+      try {
+        val cut = (nVec * 9L) / 10L
+        time(s"HNSW append BASE build, ${cut} vectors, 32 partition graphs") {
+          operators.Similarity.buildHnswIndex(emb.where(col("vec_id") < cut),
+            "vec_id", "embedding", idxDir.toString,
+            m = 16, efConstruction = 64, nParts = 32)
+        }
+        time(s"HNSW append of ${nVec - cut} arrivals (load + insert only the new)") {
+          operators.Similarity.appendToHnswIndex(emb.where(col("vec_id") >= cut),
+            "vec_id", "embedding", idxDir.toString)
+        }
+        time(s"HNSW append baseline: FULL rebuild of all $nVec (the cost avoided)") {
+          operators.Similarity.buildHnswIndex(emb, "vec_id", "embedding",
+            idxDir.toString, m = 16, efConstruction = 64, nParts = 32)
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(idxDir)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+
     // batch retrieval at eval-set scale: a query SET of nDocs/5 against
     // the nVec corpus — the regime the driver-capped single-batch shape
     // cannot reach. Batched = ceil(M/batchSize) corpus scans; by-cell =

@@ -1763,7 +1763,7 @@ object SparkEntry {
       operators.Curation.bootstrapMeanCI(
           table(s, dir, "events").select(col("event_id"),
             round(col("value") * 100).cast("long").as("cents")),
-          "event_id", "cents", b = 64)),
+          "event_id", "cents", b = 32)),
 
     // corpus snapshot diff: v1 drops doc_id%17==3, v2 drops %17==5 and
     // rewrites %11==0 — per-id added/removed/changed/unchanged audit
@@ -2691,21 +2691,22 @@ object SparkEntry {
     // weighted argmax must keep every block on its own minimum id. The
     // oracle unrolls 4 synchronous rounds (integer weight sums, ties →
     // min label) and error()s if round 4 is not a fixpoint
-    "q_communities_weighted" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select(col("doc_id"))
-      val n = d.count()
-      val inBlock = d
-        .withColumn("dlt", explode(sequence(lit(1), lit(7))))
-        .where(expr(s"doc_id + dlt < $n AND (doc_id + dlt) div 8 = doc_id div 8"))
-        .select(col("doc_id").as("x"), (col("doc_id") + col("dlt")).as("y"),
-          lit(10L).as("w"))
-      val bridge = d
-        .where(col("doc_id") % 8 === 7 && col("doc_id") + 1 < n)
-        .select(col("doc_id").as("x"), (col("doc_id") + 1).as("y"),
-          lit(1L).as("w"))
+    "q_communities_weighted" -> ((s, dir) =>
       operators.Graph.labelPropagationWeighted(
-          inBlock.union(bridge), "x", "y", "w", rounds = 4)
-        .orderBy(col("node"))
+          weightedGraphFixture(s, dir), "x", "y", "w", rounds = 4)
+        .orderBy(col("node"))),
+
+    // modularity of the labeling the weighted LPA finds on the same
+    // fixture: exact integer masses per community (in2, tot, two_m) +
+    // the one IEEE contribution division — the quality score that turns
+    // "found communities" into a measurable claim (Q = sum(contrib))
+    "q_modularity" -> ((s, dir) => {
+      val edges = weightedGraphFixture(s, dir)
+      val labels = operators.Graph.labelPropagationWeighted(
+        edges, "x", "y", "w", rounds = 4)
+      operators.Graph.modularity(edges, "x", "y", "w",
+          labels, "node", "community")
+        .orderBy(col("community"))
     }),
 
     // cohort retention triangle over daily buckets: first-activity
@@ -3564,6 +3565,57 @@ object SparkEntry {
   /** i / (la.ln + lb.ln − i) over the [[shingleCountCtes]] frames. */
   private val countJaccardSql =
     "CAST(i AS DOUBLE) / CAST(la.ln + lb.ln - i AS DOUBLE)"
+
+  /** Planted weighted-partition graph over documents ids — consecutive
+    * 8-id blocks as weight-10 near-cliques (every in-block pair), chained
+    * into ONE component by weight-1 bridges; shared by
+    * q_communities_weighted and q_modularity (the oracle replica is
+    * [[weightedLpaCtes]]). */
+  private def weightedGraphFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"))
+    val n = d.count()
+    val inBlock = d
+      .withColumn("dlt", explode(sequence(lit(1), lit(7))))
+      .where(expr(s"doc_id + dlt < $n AND (doc_id + dlt) div 8 = doc_id div 8"))
+      .select(col("doc_id").as("x"), (col("doc_id") + col("dlt")).as("y"),
+        lit(10L).as("w"))
+    val bridge = d
+      .where(col("doc_id") % 8 === 7 && col("doc_id") + 1 < n)
+      .select(col("doc_id").as("x"), (col("doc_id") + 1).as("y"),
+        lit(1L).as("w"))
+    inBlock.union(bridge)
+  }
+
+  /** The weighted-LPA fixture + 4 unrolled synchronous rounds, shared by
+    * the q_communities_weighted and q_modularity replicas: consecutive
+    * 8-id blocks as weight-10 near-cliques chained by weight-1 bridges,
+    * collapsed undirected edges `ce(a, b, w)`, both-direction adjacency
+    * `cu`, and labelings `wl0`..`wl4` (per round: per-node integer
+    * weight-sum argmax over neighbor labels, ties → smaller label). */
+  private val weightedLpaCtes: String = {
+    val rounds = (1 to 4).map { t =>
+      s"""wl$t AS MATERIALIZED (SELECT node, lbl FROM (
+        |   SELECT u.n2 AS node, p.lbl AS lbl,
+        |     row_number() OVER (PARTITION BY u.n2
+        |       ORDER BY sum(u.w) DESC, p.lbl ASC) AS rk
+        |   FROM cu u JOIN wl${t - 1} p ON p.node = u.m
+        |   GROUP BY u.n2, p.lbl) WHERE rk = 1)""".stripMargin
+    }.mkString(", ")
+    s"""cN AS (SELECT count(*) AS n FROM documents),
+      | ib AS (SELECT doc_id AS x, doc_id + d AS y, 10 AS w
+      |   FROM documents, generate_series(1, 7) AS g(d)
+      |   WHERE doc_id + d < (SELECT n FROM cN) AND (doc_id + d) // 8 = doc_id // 8),
+      | ch AS (SELECT doc_id AS x, doc_id + 1 AS y, 1 AS w FROM documents
+      |   WHERE doc_id % 8 = 7 AND doc_id + 1 < (SELECT n FROM cN)),
+      | ce AS MATERIALIZED (SELECT least(x, y) AS a, greatest(x, y) AS b,
+      |   CAST(sum(w) AS BIGINT) AS w
+      |   FROM (SELECT x, y, w FROM ib UNION ALL SELECT x, y, w FROM ch)
+      |   WHERE x <> y GROUP BY 1, 2),
+      | cu AS MATERIALIZED (SELECT a AS n2, b AS m, w FROM ce
+      |   UNION ALL SELECT b AS n2, a AS m, w FROM ce),
+      | wl0 AS MATERIALIZED (SELECT DISTINCT n2 AS node, n2 AS lbl FROM cu),
+      | $rounds""".stripMargin
+  }
 
   /** Re-lined documents (mirror of `relined`): token list `tk` plus the
     * 8-token line list `ls`. */
@@ -5955,7 +6007,7 @@ object SparkEntry {
         |   WHERE value IS NOT NULL AND event_id IS NOT NULL),
         | hv AS (SELECT rid, xv, (CAST(rid AS HUGEINT) + 1717) % $M64 AS h0 FROM xs),
         | ${mixStagesSql("hv", "rid, xv", "b1")},
-        | eb AS MATERIALIZED (SELECT xv, h, CAST(unnest(range(64)) AS BIGINT) AS b FROM b13),
+        | eb AS MATERIALIZED (SELECT xv, h, CAST(unnest(range(32)) AS BIGINT) AS b FROM b13),
         | h2 AS (SELECT xv, b, (xor(h, CAST(b AS HUGEINT)) + 1718) % $M64 AS h0 FROM eb),
         | ${mixStagesSql("h2", "xv, b", "b2")},
         | uw AS (SELECT xv, b, ((${signedSql("h")} % 1000000) + 1000000) % 1000000 AS u FROM b23),
@@ -6621,36 +6673,36 @@ object SparkEntry {
     // SUM integer weights, keep the (sum DESC, lbl ASC) top-1 — unrolled
     // 4 synchronous rounds over the planted block-and-bridge fixture,
     // error() unless round 4 is a fixpoint
-    "q_communities_weighted" -> {
-      val rounds = (1 to 4).map { t =>
-        s"""wl$t AS MATERIALIZED (SELECT node, lbl FROM (
-          |   SELECT u.n2 AS node, p.lbl AS lbl,
-          |     row_number() OVER (PARTITION BY u.n2
-          |       ORDER BY sum(u.w) DESC, p.lbl ASC) AS rk
-          |   FROM cu u JOIN wl${t - 1} p ON p.node = u.m
-          |   GROUP BY u.n2, p.lbl) WHERE rk = 1)""".stripMargin
-      }.mkString(", ")
-      s"""WITH cN AS (SELECT count(*) AS n FROM documents),
-        | ib AS (SELECT doc_id AS x, doc_id + d AS y, 10 AS w
-        |   FROM documents, generate_series(1, 7) AS g(d)
-        |   WHERE doc_id + d < (SELECT n FROM cN) AND (doc_id + d) // 8 = doc_id // 8),
-        | ch AS (SELECT doc_id AS x, doc_id + 1 AS y, 1 AS w FROM documents
-        |   WHERE doc_id % 8 = 7 AND doc_id + 1 < (SELECT n FROM cN)),
-        | ce AS MATERIALIZED (SELECT least(x, y) AS a, greatest(x, y) AS b,
-        |   CAST(sum(w) AS BIGINT) AS w
-        |   FROM (SELECT x, y, w FROM ib UNION ALL SELECT x, y, w FROM ch)
-        |   WHERE x <> y GROUP BY 1, 2),
-        | cu AS MATERIALIZED (SELECT a AS n2, b AS m, w FROM ce
-        |   UNION ALL SELECT b AS n2, a AS m, w FROM ce),
-        | wl0 AS MATERIALIZED (SELECT DISTINCT n2 AS node, n2 AS lbl FROM cu),
-        | $rounds
+    "q_communities_weighted" ->
+      s"""WITH $weightedLpaCtes
         | SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community
         | FROM wl4
         | WHERE CASE WHEN (SELECT count(*) FROM wl3 a JOIN wl4 b
         |     ON a.node = b.node AND a.lbl <> b.lbl) = 0 THEN TRUE
         |   ELSE error('weighted communities oracle: not a fixpoint after 4 rounds') END
-        | ORDER BY node""".stripMargin.replaceAll("\n", " ")
-    },
+        | ORDER BY node""".stripMargin.replaceAll("\n", " "),
+
+    // modularity replica over the SAME fixture and the SAME unrolled
+    // labeling: exact integer masses (in2 counts internal weight twice,
+    // tot is the community degree sum, two_m the graph degree), one
+    // IEEE contribution division at the end
+    "q_modularity" ->
+      s"""WITH $weightedLpaCtes,
+        | lb AS (SELECT node, lbl AS c FROM wl4),
+        | ej AS MATERIALIZED (SELECT la.c AS ca, lbb.c AS cb, ce.w
+        |   FROM ce JOIN lb la ON la.node = ce.a JOIN lb lbb ON lbb.node = ce.b),
+        | tm AS (SELECT CAST(2 * sum(w) AS BIGINT) AS two_m FROM ej),
+        | i2 AS (SELECT ca AS community, CAST(2 * sum(w) AS BIGINT) AS in2
+        |   FROM ej WHERE ca = cb GROUP BY ca),
+        | tt AS (SELECT community, CAST(sum(w) AS BIGINT) AS tot FROM
+        |   (SELECT ca AS community, w FROM ej UNION ALL SELECT cb, w FROM ej)
+        |   GROUP BY community)
+        | SELECT t.community, coalesce(i.in2, 0) AS in2, t.tot, m.two_m,
+        |  round(CAST(coalesce(i.in2, 0) AS DOUBLE) / CAST(m.two_m AS DOUBLE)
+        |    - (CAST(t.tot AS DOUBLE) / CAST(m.two_m AS DOUBLE))
+        |      * (CAST(t.tot AS DOUBLE) / CAST(m.two_m AS DOUBLE)), 6) AS contrib
+        | FROM tt t CROSS JOIN tm m LEFT JOIN i2 i USING (community)
+        | ORDER BY community""".stripMargin.replaceAll("\n", " "),
 
     // retention replica: identical floor-bucket arithmetic; // is floor
     // division on BIGINT in DuckDB and ts_us is non-negative

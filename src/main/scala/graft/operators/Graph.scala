@@ -615,6 +615,85 @@ object Graph {
     }
   }
 
+  /** Newman–Girvan MODULARITY of a labeling [Newman & Girvan 2004;
+    * the Louvain objective, Blondel et al. 2008]: per community c,
+    * Q_c = Σin_c/2m − (Σtot_c/2m)², where Σin_c counts each internal
+    * edge's weight TWICE (both directions), Σtot_c is the community's
+    * total degree, and 2m is the graph's total degree. Q = Σ_c Q_c ∈
+    * [−1/2, 1) scores how much denser the communities are than the
+    * degree-preserving random graph — the quality number that turns
+    * [[labelPropagationWeighted]]'s labeling into a measurable claim.
+    *
+    * All mass terms are EXACT integers (the [[hitsFixed]] discipline):
+    * weights cast to long, edges canonicalized exactly as the weighted
+    * LPA does (self-loops dropped, parallel edges and both orientations
+    * collapsed with summed weight), so `in2` (= Σin_c), `tot` and
+    * `two_m` replay in any engine; only the final contribution division
+    * is floating point (two IEEE divisions, one multiply, one subtract
+    * — identical everywhere, rounded to 6 for display). Unlabeled
+    * endpoints fail LOUDLY (a silent drop would misstate every term
+    * the node touches); `two_m` is bounded so tot² cannot overflow.
+    *
+    * Returns one row per community: `(community, in2, tot, two_m,
+    * contrib)` — Q is `sum(contrib)`. Scale shape: two broadcast-or-
+    * shuffle equi-joins of the edge list against the (node → community)
+    * frame, then one community-keyed aggregation; no iteration. */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      communityCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        col("w").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(communityCol).cast("long").as("c"))
+    val ej = e
+      .join(lab.select(col("node").as("a"), col("c").as("ca")), Seq("a"), "left")
+      .join(lab.select(col("node").as("b"), col("c").as("cb")), Seq("b"), "left")
+      .select(
+        // loud labeling contract: every endpoint must carry a community
+        when(col("ca").isNull || col("cb").isNull,
+          raise_error(concat(lit("modularity: unlabeled endpoint in edge ("),
+            col("a").cast("string"), lit(", "), col("b").cast("string"),
+            lit(")"))))
+          .otherwise(col("ca")).as("ca"),
+        col("cb"), col("w"))
+    val stats = ej.agg(coalesce(sum(col("w") * 2), lit(0L)).as("two_m")).head()
+    val twoM = stats.getLong(0)
+    // tot_c <= two_m, so tot² <= two_m² — keep it inside a long, loudly
+    require(twoM < 3037000499L,
+      s"modularity: total degree $twoM overflows the exact-integer " +
+        "contract (tot² must fit in a long)")
+    if (twoM == 0L)
+      return lab.sparkSession.emptyDataFrame
+        .select(lit(0L).as("community"), lit(0L).as("in2"), lit(0L).as("tot"),
+          lit(0L).as("two_m"), lit(0.0).as("contrib")).where(lit(false))
+    val in2 = ej.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg((sum(col("w")) * 2).as("in2"))
+    val tot = ej.select(col("ca").as("community"), col("w"))
+      .unionAll(ej.select(col("cb").as("community"), col("w")))
+      .groupBy(col("community")).agg(sum(col("w")).as("tot"))
+    tot.join(in2, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("in2"), lit(0L)).as("in2"),
+        col("tot"),
+        lit(twoM).as("two_m"),
+        round(
+          coalesce(col("in2"), lit(0L)).cast("double") / lit(twoM.toDouble) -
+            (col("tot").cast("double") / lit(twoM.toDouble)) *
+            (col("tot").cast("double") / lit(twoM.toDouble)), 6).as("contrib"))
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) on a directed
     * graph, in the same fixed-point integer discipline as
     * [[pageRankFixed]]: auth(v) = Σ hub(u) over in-edges, hub(v) =

@@ -6283,6 +6283,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(star, rounds = 5) == run(star, rounds = 5))
   }
 
+  test("modularity: exact integer masses match the hand calculation, loud contracts") {
+    val s = spark
+    import s.implicits._
+    def clique(ids: Seq[Long], w: Long) =
+      for (i <- ids; j <- ids if i < j) yield (i, j, w)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L), 10L) ++
+      clique(Seq(11L, 12L, 13L, 14L), 10L) :+ ((4L, 11L, 1L)))
+      .toDF("x", "y", "w")
+    def labelsOf(pairs: (Long, Long)*) = pairs.toSeq.toDF("node", "community")
+    val planted = labelsOf((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (11L, 11L), (12L, 11L), (13L, 11L), (14L, 11L))
+    val got = Graph.modularity(edges, "x", "y", "w", planted, "node", "community")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // hand calculation: per clique in2 = 2*60, tot = 121, 2m = 242;
+    // contrib = 120/242 - (121/242)^2 = 0.245868 (6-dp); Q = 0.491736
+    assert(got == Map(
+      1L -> ((120L, 121L, 242L, 0.245868)),
+      11L -> ((120L, 121L, 242L, 0.245868))), got.toString)
+    // the labeling labelPropagationWeighted finds IS the planted one,
+    // so its modularity is the same Q — detection and score compose
+    val lpa = Graph.labelPropagationWeighted(edges, "x", "y", "w", rounds = 4)
+    val qLpa = Graph.modularity(edges, "x", "y", "w", lpa, "node", "community")
+      .agg(org.apache.spark.sql.functions.sum(col("contrib"))).head().getDouble(0)
+    assert(math.abs(qLpa - 0.491736) < 1e-9, qLpa.toString)
+    // everything in one community -> Q = 0 (in2 = tot = 2m)
+    val one = labelsOf((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (11L, 0L), (12L, 0L), (13L, 0L), (14L, 0L))
+    val oneRow = Graph.modularity(edges, "x", "y", "w", one, "node", "community")
+      .collect()
+    assert(oneRow.length == 1 &&
+      oneRow(0).getLong(1) == 242L && oneRow(0).getLong(2) == 242L &&
+      oneRow(0).getDouble(4) == 0.0)
+    // duplicate pairs / reversed orientations collapse before the masses
+    val dup = (Seq((2L, 1L, 6L), (1L, 2L, 4L)) ++
+      clique(Seq(1L, 2L, 3L, 4L), 10L).filterNot(e => e._1 == 1L && e._2 == 2L) ++
+      clique(Seq(11L, 12L, 13L, 14L), 10L) :+ ((4L, 11L, 1L))).toDF("x", "y", "w")
+    assert(Graph.modularity(dup, "x", "y", "w", planted, "node", "community")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(1L -> 120L, 11L -> 120L))
+    // an unlabeled endpoint fails LOUDLY instead of silently dropping
+    val partial = labelsOf((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (11L, 11L), (12L, 11L), (13L, 11L))
+    val ex = intercept[Exception] {
+      Graph.modularity(edges, "x", "y", "w", partial, "node", "community").collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(ex).contains("unlabeled endpoint"), chain(ex))
+    // empty edge set -> empty frame with the contract schema
+    val none = Graph.modularity(edges.where(lit(false)), "x", "y", "w",
+      planted, "node", "community")
+    assert(none.columns.toSeq ==
+      Seq("community", "in2", "tot", "two_m", "contrib"))
+    assert(none.count() == 0L)
+  }
+
   test("k-core: peeling equals the naive model, cascades peel fully, loud maxIter") {
     val s = spark
     import s.implicits._
