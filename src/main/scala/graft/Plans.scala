@@ -195,7 +195,21 @@ object Plans {
     "q_video_mjpeg" ->
       ("Motion-JPEG frame sampling: narrow per-blob flatMap decode " +
         "(intra-only — unsampled frames never decoded), zero shuffles " +
-        "before the presentation sort"))
+        "before the presentation sort"),
+    "q_ann_ivf_indexed" ->
+      ("persisted IVF probe: the cell IN (...) predicate lands on the " +
+        "PARTITION column of the stored layout — PartitionFilters at the " +
+        "scan, a genuinely pruned disk read of nProbe/C of the data (the " +
+        "claim the expression-derived filter in q_ann_ivf cannot make)"),
+    "q_pagerank_weighted" ->
+      ("weighted PageRank (final round's plan): ranks join the " +
+        "pre-partitioned weighted edge list on src + one dst-keyed " +
+        "integer-contribution aggregation — 2 exchanges per round on " +
+        "the rank table only, never the corpus"),
+    "q_video_mjpeg_cuts" ->
+      ("MJPEG scene cuts: narrow per-blob flatMap (sequential pairwise " +
+        "SAD over independently-decoded frames, two-frame memory), zero " +
+        "shuffles before the presentation sort"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

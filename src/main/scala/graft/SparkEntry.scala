@@ -1080,6 +1080,50 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // PERSISTED IVF layout: centroids trained once and serialized with
+    // the cell-partitioned data; the query probes 4 of 16 cells with a
+    // filter on the PARTITION column — a genuinely partition-pruned
+    // disk read, the claim the expression-derived filter cannot make.
+    // Same answers as q_ann_ivf (shared oracle)
+    "q_ann_ivf_indexed" -> ((s, dir) => withTmpDir("graft-ivfidx") { tmp =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cents = operators.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", k = 16)
+      operators.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        tmp.toString, nCells = 16, trainedCentroids = cents)
+      operators.Similarity.ivfTopKIndexed(s, tmp.toString, q, 20,
+          nProbe = 4, idOut = "vec_id")
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+        .localCheckpoint(true)
+    }),
+
+    // INCREMENTAL IVF ingestion — the cheapest append of the index
+    // family: centroids FROZEN at build time, arrivals are one narrow
+    // assignment map + mode(append) into the cell partitions (O(new)
+    // compute AND write, nothing rewritten). Cell contents are sets, so
+    // build(base)+append(rest) answers exactly like indexing everything
+    // at once with the same centroids; the oracle replays training on
+    // the BASE half only, then assigns and probes the whole corpus
+    "q_ann_ivf_append" -> ((s, dir) => withTmpDir("graft-ivfapp") { tmp =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val base = emb.where(col("vec_id") <= cut)
+      val cents = operators.Similarity.trainCentroids(
+        base, "vec_id", "embedding", k = 16)
+      operators.Similarity.buildIvfIndex(base, "vec_id", "embedding",
+        tmp.toString, nCells = 16, trainedCentroids = cents)
+      operators.Similarity.appendToIvfIndex(emb.where(col("vec_id") > cut),
+        "vec_id", "embedding", tmp.toString)
+      operators.Similarity.ivfTopKIndexed(s, tmp.toString, q, 20,
+          nProbe = 4, idOut = "vec_id")
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+        .localCheckpoint(true)
+    }),
+
     // ANN recall evaluation: recall@20 of the trained IVF retrieval vs
     // exact brute force, as one exact-integer row — the oracle replays
     // BOTH chains (Lloyd coarse training + probe pruning, and the full
@@ -1415,6 +1459,23 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       operators.Graph.pageRankEvents(table(s, dir, "events"), iterations = 5)
         .orderBy(col("node"))),
+
+    // WEIGHTED PageRank on the interaction graph with weight = event
+    // count per (user, item) pair: the surfer follows edges in
+    // proportion to engagement VOLUME — integer contributions
+    // (rank·85·w) div (100·outW), every round oracle-replayed
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val pairs = table(s, dir, "events").select(
+          concat(lit("u"), col("user_id").cast("long")).as("u"),
+          concat(lit("i"), json_get_int(col("props"), lit("k"))).as("it"))
+        .where(col("u").isNotNull && col("it").isNotNull)
+        .groupBy(col("u"), col("it")).agg(count(lit(1)).as("w"))
+      val edges = pairs.select(col("u").as("src"), col("it").as("dst"), col("w"))
+        .union(pairs.select(col("it").as("src"), col("u").as("dst"), col("w")))
+      operators.Graph.pageRankWeightedFixed(edges, "src", "dst", "w",
+          iterations = 5)
+        .orderBy(col("node"))
+    }),
 
     // personalized PageRank: restart mass only on the u0/u10/... seed
     // users (plan-literal isin — no extra join per round), same integer
@@ -3193,6 +3254,17 @@ object SparkEntry {
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // scene cuts on the REAL-decoded MJPEG streams: SAD between adjacent
+    // independently-decoded frames (gray x3 = the RGB convention) — the
+    // oracle recomputes every pairwise block delta from the generator
+    // formula, exactness riding on the DC-only bit-exact round trip
+    "q_video_mjpeg_cuts" -> ((s, dir) =>
+      operators.Multimodal.mjpegSceneCuts(s,
+          operators.Multimodal.syntheticMjpegBlobs(s, table(s, dir, "documents")),
+          threshold = 150000L)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // scene-cut detection on the REAL-decoded AVI/MS-RLE8 streams: SAD
     // between adjacent frames + threshold flag — the oracle regrows
     // BOTH frames of every transition from the band-update formula and
@@ -3926,14 +3998,15 @@ object SparkEntry {
     * the stable-sort probe ranking) and `vcell(vec_id, cell)` (full-table
     * assignment via greatest(struct): score desc, tie cell DESC). */
   private def ivfCoarseCtes(
-      iters: Int, k: Int, nProbe: Int, dim: Int, sampleCap: Int): String = {
+      iters: Int, k: Int, nProbe: Int, dim: Int, sampleCap: Int,
+      sampleFilter: String = ""): String = {
     def zipfold(a: String, b: String): String = foldDot(a, b, dim)
     def selffold(a: String): String = zipfold(a, a)
     val toD = "list_transform(cf, v -> CAST(v AS DOUBLE))"
     val head =
       s"""samp AS MATERIALIZED (SELECT vec_id,
          |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e, embedding AS ef
-         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $sampleCap)),
+         |  FROM (SELECT * FROM embeddings $sampleFilter ORDER BY vec_id LIMIT $sampleCap)),
          |sv AS MATERIALIZED (SELECT vec_id, e, ef, ${selffold("e")} AS na FROM samp),
          |cen0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
          |  ef AS cf FROM (SELECT * FROM samp ORDER BY vec_id LIMIT $k))""".stripMargin
@@ -4030,7 +4103,8 @@ object SparkEntry {
 
   private def ivfOracleSql(
       iters: Int = 5, k: Int = 16, nProbe: Int = 4,
-      dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048): String = {
+      dim: Int = 64, topK: Int = 20, sampleCap: Int = 2048,
+      sampleFilter: String = ""): String = {
     def zipfold(a: String, b: String): String = foldDot(a, b, dim)
     val tail =
       s"""sel AS (SELECT v.vec_id, ${zipfold("v.e", "q.qe")} / (sqrt(v.na) * sqrt(q.qna)) AS rawcos
@@ -4040,7 +4114,7 @@ object SparkEntry {
          |SELECT vec_id, round(rawcos, 6) AS cos FROM (
          |  SELECT vec_id, rawcos FROM sel ORDER BY rawcos DESC, vec_id LIMIT $topK)
          |ORDER BY rawcos DESC, vec_id""".stripMargin
-    s"WITH ${ivfCoarseCtes(iters, k, nProbe, dim, sampleCap)},\n$tail".replaceAll("\n", " ")
+    s"WITH ${ivfCoarseCtes(iters, k, nProbe, dim, sampleCap, sampleFilter)},\n$tail".replaceAll("\n", " ")
   }
 
   /** Recall@20 replica: the shared coarse-Lloyd CTEs feed BOTH the
@@ -5335,6 +5409,35 @@ object SparkEntry {
           s"CAST(150000 + coalesce(s.s, 0) AS BIGINT) AS rank " +
           s"FROM n LEFT JOIN (SELECT e.dst, " +
           s"SUM((r.rank * 85) // (100 * d.outdeg)) AS s " +
+          s"FROM e JOIN deg d ON d.src = e.src " +
+          s"JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) s " +
+          s"ON s.dst = n.node)"
+      }.mkString(", ")
+      s"WITH $head, $rounds SELECT node, rank FROM r$iters ORDER BY node"
+    },
+
+    // weighted-PageRank replica: the q_pagerank rounds with count
+    // weights and (rank·85·w) // (100·outW) contributions
+    "q_pagerank_weighted" -> {
+      val iters = 5
+      val head =
+        "pw0 AS MATERIALIZED (SELECT 'u' || CAST(user_id AS VARCHAR) AS u, " +
+          "'i' || CAST(json_extract_string(props, '$.k') AS VARCHAR) AS it, " +
+          "CAST(count(*) AS BIGINT) AS w " +
+          "FROM events WHERE user_id IS NOT NULL " +
+          "AND json_extract_string(props, '$.k') IS NOT NULL GROUP BY 1, 2), " +
+        "e AS MATERIALIZED (SELECT u AS src, it AS dst, w FROM pw0 " +
+          "UNION ALL SELECT it, u, w FROM pw0), " +
+        "deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw " +
+          "FROM e GROUP BY src), " +
+        "n AS MATERIALIZED (SELECT DISTINCT node FROM " +
+          "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"
+      val rounds = (1 to iters).map { i =>
+        s"r$i AS MATERIALIZED (SELECT n.node, " +
+          s"CAST(150000 + coalesce(s.s, 0) AS BIGINT) AS rank " +
+          s"FROM n LEFT JOIN (SELECT e.dst, " +
+          s"SUM((r.rank * 85 * e.w) // (100 * d.outw)) AS s " +
           s"FROM e JOIN deg d ON d.src = e.src " +
           s"JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) s " +
           s"ON s.dst = n.node)"
@@ -7391,6 +7494,21 @@ object SparkEntry {
         |  s AS sum_r, s AS sum_g, s AS sum_b
         | FROM ps ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
 
+    // MJPEG scene-cut replica: pairwise block deltas from the generator
+    // formula, 192 = 3 (gray x3 RGB scale) x 64 (pixels per block)
+    "q_video_mjpeg_cuts" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents),
+        | fr AS (SELECT doc_id, unnest(range(1, nf)) AS f FROM d),
+        | bx AS (SELECT doc_id, f, unnest(range(3)) AS bx FROM fr),
+        | bl AS (SELECT doc_id, f, bx, unnest(range(2)) AS by FROM bx),
+        | df AS (SELECT doc_id, f, CAST(sum(192 * abs(
+        |   (doc_id * 31 + f * 97 + bx * 7 + by * 13) % 256
+        |   - (doc_id * 31 + (f - 1) * 97 + bx * 7 + by * 13) % 256)) AS BIGINT) AS diff_sum
+        |  FROM bl GROUP BY doc_id, f)
+        | SELECT doc_id, CAST(f AS INT) AS frame_idx, diff_sum,
+        |  diff_sum > 150000 AS is_cut
+        | FROM df ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+
     // inter-frame replica WITHOUT decoding AVI: each pixel of sampled
     // frame f shows the LATEST frame g <= f whose 4-row delta band
     // covered its row (the keyframe g=0 if none) — the carry rule the
@@ -7909,6 +8027,14 @@ object SparkEntry {
     // trained-IVF: Lloyd iterations + probe + top-k replayed in SQL with
     // ordered float folds (see ivfOracleSql)
     "q_ann_ivf" -> ivfOracleSql(),
+    // persisted layout: same training, same probes, same answers — the
+    // layout changes WHERE the bytes live, not what the query returns
+    "q_ann_ivf_indexed" -> ivfOracleSql(),
+    // frozen-centroid append: the oracle trains on the BASE half only
+    // (the id-ordered capped sample restricted to vec_id <= max/2),
+    // then assigns and probes the WHOLE corpus with those centroids
+    "q_ann_ivf_append" -> ivfOracleSql(
+      sampleFilter = "WHERE vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)"),
 
     // recall@20 of trained IVF vs brute force, both chains replayed
     "q_ann_recall" -> annRecallOracleSql(),

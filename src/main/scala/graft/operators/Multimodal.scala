@@ -2164,6 +2164,72 @@ object Multimodal {
     * (r = g = b); multi-band frames sum bands 0/1/2 directly from the
     * raster — no color-space round trip that would break exactness.
     * Narrow flatMap, no shuffle; scales with executors. */
+  /** Scene-cut detection over REAL-decoded Motion-JPEG streams — the
+    * [[videoSceneCuts]] SAD metric on the intra-only codec: every frame
+    * decodes independently through `javax.imageio`, adjacent pairs diff
+    * per raster band (single-band grayscale counts ×3, matching the
+    * RGB convention Σ|Δr|+|Δg|+|Δb| so thresholds transfer between the
+    * codecs), memory is two frames regardless of clip length. Unlike
+    * the RLE8 walk nothing forces sequential decode except the pairing
+    * itself. Narrow flatMap, no shuffle. frame_idx is the LATER frame
+    * of the pair (1-based transitions); an undecodable frame drops its
+    * two adjacent transitions rather than fabricating a diff. */
+  def mjpegSceneCuts(
+      spark: SparkSession,
+      blobs: DataFrame,
+      threshold: Long): Dataset[SceneCut] = {
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (try parseAvi(bytes) catch { case _: Exception => None }) match {
+          case Some(av) if av.compression == MjpgFourcc =>
+            javax.imageio.ImageIO.setUseCache(false)
+            var prevPix: Array[Int] = null
+            var prevBands = 0
+            val out = Vector.newBuilder[SceneCut]
+            av.frames.iterator.zipWithIndex.foreach { case (data, f) =>
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(data))
+                catch { case _: Exception => null }
+              if (img == null) { prevPix = null } // drop adjacent pairs
+              else {
+                val raster = img.getRaster
+                val bands = raster.getNumBands
+                val n = img.getWidth * img.getHeight * bands
+                val cur = new Array[Int](n)
+                var idx = 0
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    var b = 0
+                    while (b < bands) {
+                      cur(idx) = raster.getSample(x, y, b); idx += 1; b += 1
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+                if (prevPix != null && prevPix.length == n && prevBands == bands) {
+                  var diff = 0L
+                  var i = 0
+                  while (i < n) {
+                    diff += math.abs(cur(i) - prevPix(i)); i += 1
+                  }
+                  if (bands == 1) diff *= 3 // gray ×3 == the RGB SAD scale
+                  out += SceneCut(id, f, diff, diff > threshold)
+                }
+                prevPix = cur; prevBands = bands
+              }
+            }
+            out.result()
+          case _ => Iterator.empty
+        }
+      }
+  }
+
   def sampleMjpegFrames(
       spark: SparkSession,
       blobs: DataFrame,

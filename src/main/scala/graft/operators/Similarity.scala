@@ -717,6 +717,101 @@ object Similarity {
     else greatest(scored.toIndexedSeq: _*).getField("cell")
   }
 
+  /** BUILD the persisted IVF layout — the [[ivfTopK]] scaladoc's
+    * "partition by cell" recipe as working code, completing the
+    * incremental-index family (inverted, token-screen, HNSW, and now
+    * IVF): Lloyd-trained centroids (or caller-supplied ones), one
+    * narrow assignment map, `partitionBy("cell")` parquet, centroids
+    * serialized in the layout's `_graft_meta` (underscore prefix →
+    * invisible to the data read) so append/query never retrain.
+    * Returns the centroids for callers that also query in-session. */
+  def buildIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nCells: Int = 16,
+      sampleSize: Int = 2048,
+      iters: Int = 5,
+      trainedCentroids: Array[Array[Float]] = null): Array[Array[Float]] = {
+    val cents =
+      if (trainedCentroids != null) trainedCentroids
+      else trainCentroids(df, idCol, vecCol, nCells, sampleSize, iters)
+    val pairs = cents.zipWithIndex.map(_.swap)
+    val spark = df.sparkSession
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        cellAssignment(col(vecCol), pairs).as("cell"))
+      .where(col("id").isNotNull && col("vec").isNotNull)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    import spark.implicits._
+    pairs.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${dir.stripSuffix("/")}/_graft_meta")
+    cents
+  }
+
+  private def readIvfMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"${dir.stripSuffix("/")}/_graft_meta")
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Append rows to a [[buildIvfIndex]] layout — the cheapest append of
+    * the index family, and the reason IVF is the 100 TB ingestion shape:
+    * the centroids are FROZEN at build time (read from `_graft_meta`),
+    * so an append is ONE narrow assignment map + `mode("append")` into
+    * the cell partitions — O(new) compute AND O(new) write, no rewrite
+    * of existing data (vs [[appendToHnswIndex]]'s full layout rewrite).
+    * Cell contents are SETS — assignment is order-independent — so
+    * build(base) + append(rest) is query-identical to building over
+    * base ∪ rest with the same centroids (spec-pinned), with no id-
+    * ordering contract at all. The postings discipline
+    * ([[graft.operators.TextOps.appendToInvertedIndex]]) applies:
+    * appends accumulate one file batch per call; re-layout with a
+    * compaction pass if file counts ever matter. */
+  def appendToIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String): Unit = {
+    val pairs = readIvfMeta(df.sparkSession, dir)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        cellAssignment(col(vecCol), pairs).as("cell"))
+      .where(col("id").isNotNull && col("vec").isNotNull)
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /** Query a [[buildIvfIndex]] layout: probe the `nProbe` stored cells
+    * nearest the query (the [[ivfTopK]] rule exactly — cosine desc,
+    * stable tie → smallest cell) with a filter on the PARTITION column,
+    * so the scan is a genuinely partition-pruned read of nProbe/C of
+    * the data on disk (PlanQualitySpec pins the pruned read) — the
+    * claim [[ivfTopK]]'s expression-derived cell filter cannot make.
+    * Selection is RAW cosine (rounded only by callers for display),
+    * identical answers to [[ivfTopK]] over the same centroids. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      query: Array[Float],
+      k: Int,
+      nProbe: Int = 4,
+      idOut: String = "id"): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"bad budgets: k=$k nProbe=$nProbe")
+    val pairs = readIvfMeta(spark, dir)
+    val probeCells = pairs.sortBy { case (_, c) => -cosArr(query, c) }
+      .take(nProbe).map(_._1)
+    val qLit = typedlit(query)
+    spark.read.parquet(dir)
+      .where(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col("id").as(idOut), cosine(col("vec"), qLit).as("cos"))
+      .orderBy(desc("cos"), col(idOut))
+      .limit(k)
+  }
+
   /** Squared L2 distance, double accumulation in element order. */
   private def l2Arr(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0

@@ -3331,6 +3331,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(Multimodal.sampleMjpegFrames(s,
       mutated.toDF("doc_id", "blob")).count() >= 0L)
+    // scene cuts: SAD between adjacent decoded frames equals the
+    // pairwise block-formula deltas (192 = gray x3 RGB scale x 64 px)
+    val cuts = Multimodal.mjpegSceneCuts(s, blobs, threshold = 150000L)
+      .collect().map(c => ((c.doc_id, c.frame_idx), (c.diff_sum, c.is_cut))).toMap
+    var nCut = 0; var nKeep = 0
+    for (id <- 0L until 20L; f <- 1 until (4 + (id % 5).toInt)) {
+      val want = (for (bx <- 0 until 3; by <- 0 until 2) yield
+        192L * math.abs(Multimodal.mjpegBlock(id, f, bx, by) -
+          Multimodal.mjpegBlock(id, f - 1, bx, by))).sum
+      assert(cuts((id, f)) == ((want, want > 150000L)), s"doc $id pair $f")
+      if (want > 150000L) nCut += 1 else nKeep += 1
+    }
+    assert(nCut > 0 && nKeep > 0, s"threshold must split: $nCut/$nKeep")
+    assert(cuts.size == (0L until 20L).map(id => 3 + (id % 5)).sum)
+    // crash-proof + codec cross-skip for the cuts walker too
+    assert(Multimodal.mjpegSceneCuts(s,
+      mutated.toDF("doc_id", "blob"), 1L).count() >= 0L)
+    assert(Multimodal.mjpegSceneCuts(s,
+      Multimodal.syntheticAviBlobs(s, ids), 1L).count() == 0L)
   }
 
   test("real WAV decode: header and features match the generator formula") {
@@ -5742,6 +5761,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF index: pruned probes equal ivfTopK; appends are order-free and O(new)") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfidx-base")
+    val full = java.nio.file.Files.createTempDirectory("graft-ivfidx-full")
+    try {
+      // frozen centroids trained on the base half, shared everywhere
+      val cents = Similarity.trainCentroids(
+        emb.where(col("vec_id") < 400), "vec_id", "embedding", 16)
+      Similarity.buildIvfIndex(emb.where(col("vec_id") < 400),
+        "vec_id", "embedding", base.toString, trainedCentroids = cents)
+      Similarity.appendToIvfIndex(emb.where(col("vec_id") >= 400),
+        "vec_id", "embedding", base.toString)
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", full.toString,
+        trainedCentroids = cents)
+      // cell contents are SETS: append(base)+rest == build(all) exactly
+      val a = s.read.parquet(base.toString).select("id", "vec", "cell")
+      val b = s.read.parquet(full.toString).select("id", "vec", "cell")
+      assert(a.count() == 500L)
+      assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaAppend = Similarity.ivfTopKIndexed(s, base.toString, q, 10,
+        nProbe = 4, idOut = "vec_id")
+      val viaFull = Similarity.ivfTopKIndexed(s, full.toString, q, 10,
+        nProbe = 4, idOut = "vec_id")
+      // ...and both equal the in-session ivfTopK over the same centroids
+      val inSession = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+        nCells = 16, nProbe = 4, trainedCentroids = cents)
+      assert(rows(viaAppend) == rows(viaFull))
+      assert(rows(viaAppend) == rows(inSession))
+      assert(rows(viaAppend).nonEmpty && rows(viaAppend).head._1 == 7L)
+      // the probe filter lands on the PARTITION column: the scan is a
+      // partition-pruned disk read, not a post-scan filter
+      val plan = viaFull.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        plan.take(2000))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      for (d <- Seq(base, full)) if (java.nio.file.Files.exists(d)) {
+        val walk = java.nio.file.Files.walk(d)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+  }
+
   test("hnswKnnJoinBatched: batch-size invariant at 20k queries, equals hnswKnnJoin, index path identical") {
     val s = spark
     import s.implicits._
@@ -6281,6 +6350,45 @@ class OperatorsSpec extends AnyFunSuite {
     // a deterministic function of the data
     val star = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 3L, 1L)).toDF("x", "y", "w")
     assert(run(star, rounds = 5) == run(star, rounds = 5))
+  }
+
+  test("weighted PageRank: w=1 equals unweighted, volume shifts rank, loud weights, modes agree") {
+    val s = spark
+    import s.implicits._
+    // star with one heavy spoke: a->c carries 9x the weight of b->c'
+    val edges = Seq(
+      ("a", "hub", 1L), ("b", "hub", 1L),
+      ("hub", "heavy", 9L), ("hub", "light", 1L)).toDF("s", "d", "w")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRankWeightedFixed(df, "s", "d", "w", iterations = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = ranks(edges)
+    // the heavy target receives 9x the hub's contribution of the light one
+    assert(got("heavy") > got("light"), got.toString)
+    // w = 1 everywhere IS pageRankFixed (the unweighted special case)
+    val ones = Seq(("a", "hub"), ("b", "hub"), ("hub", "heavy"), ("hub", "light"))
+      .toDF("s", "d")
+    val unweighted = Graph.pageRankFixed(ones, "s", "d", iterations = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ranks(ones.withColumn("w", lit(1L))) == unweighted)
+    // parallel (src, dst) edges collapse with summed weight
+    val par = Seq(("a", "hub", 1L), ("b", "hub", 1L),
+      ("hub", "heavy", 4L), ("hub", "heavy", 5L), ("hub", "light", 1L))
+      .toDF("s", "d", "w")
+    assert(ranks(par) == got)
+    // non-positive weights fail LOUDLY
+    intercept[IllegalArgumentException] {
+      ranks(Seq(("a", "b", 0L)).toDF("s", "d", "w"))
+    }
+    // durable-checkpoint mode is result-identical and leaves no orphans
+    val dir = java.nio.file.Files.createTempDirectory("graft-prw-spec").toString
+    val durable = Graph.pageRankWeightedFixed(edges, "s", "d", "w",
+        iterations = 5, checkpointDir = dir, checkpointEvery = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(durable == got)
+    val leftovers = new java.io.File(dir).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      leftovers.map(_.getName).mkString(", "))
   }
 
   test("modularity: exact integer masses match the hand calculation, loud contracts") {
