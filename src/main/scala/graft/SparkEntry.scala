@@ -1283,6 +1283,45 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // PERSISTED IVF+PQ: residual codes on disk in cell partitions (a
+    // CODE-sized layout, not a vector-sized one), centroids + codebooks
+    // frozen in underscore meta dirs; the probe filter lands on the
+    // PARTITION column. Scores identical to q_ann_ivfpq (shared oracle)
+    "q_ann_ivfpq_indexed" -> ((s, dir) => withTmpDir("graft-ivfpqidx") { tmp =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      operators.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        tmp.toString)
+      operators.Similarity.ivfPqTopKIndexed(s, tmp.toString, q, 20,
+          nProbe = 4, idOut = "vec_id")
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .localCheckpoint(true)
+    }),
+
+    // frozen-codebook append + two-stage re-rank over the persisted
+    // layout: build on the base half, append the rest (one assign+encode
+    // map, O(new)), ADC-shortlist from the pruned code partitions, then
+    // fetch ONLY the shortlist's raw vectors (broadcast semi-join on the
+    // source table) for exact-cosine re-rank — codes on disk, vectors in
+    // the table, the 100 TB separation. The oracle trains coarse AND
+    // residual codebooks on the base half's capped sample, then encodes,
+    // probes, and re-ranks the whole corpus
+    "q_ann_ivfpq_append" -> ((s, dir) => withTmpDir("graft-ivfpqapp") { tmp =>
+      val emb = table(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      operators.Similarity.buildIvfPqIndex(emb.where(col("vec_id") <= cut),
+        "vec_id", "embedding", tmp.toString)
+      operators.Similarity.appendToIvfPqIndex(emb.where(col("vec_id") > cut),
+        "vec_id", "embedding", tmp.toString)
+      operators.Similarity.ivfPqRerankTopKIndexed(s, tmp.toString, emb,
+          "vec_id", "embedding", q, 20)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+        .localCheckpoint(true)
+    }),
+
     // deterministic weighted source mixing (training-data recipe)
     "q_mix_sources" -> ((s, dir) =>
       operators.Curation.mixSources(table(s, dir, "documents"),
@@ -4153,7 +4192,8 @@ object SparkEntry {
   private def ivfPqScoreCtes(
       coarseIters: Int = 5, nCells: Int = 16, nProbe: Int = 4,
       m: Int = 16, k: Int = 16, pqIters: Int = 3,
-      dim: Int = 64, sampleCap: Int = 2048): String = {
+      dim: Int = 64, sampleCap: Int = 2048,
+      sampleFilter: String = ""): String = {
     require(dim % m == 0, "dim must divide into subspaces")
     val sub = dim / m
     def zipfold(a: String, b: String): String = foldDot(a, b, dim)
@@ -4214,7 +4254,7 @@ object SparkEntry {
     val score =
       s"""sc AS (SELECT p.vec_id, cd2.d + ($adcSum) AS rawscore
          |  FROM pv p $eJoins JOIN cdot cd2 ON cd2.cell = p.cell $tJoins)""".stripMargin
-    s"${ivfCoarseCtes(coarseIters, nCells, nProbe, dim, sampleCap)},\n$sampleRes,\n$fullRes,\n$subspaces,\n$score"
+    s"${ivfCoarseCtes(coarseIters, nCells, nProbe, dim, sampleCap, sampleFilter)},\n$sampleRes,\n$fullRes,\n$subspaces,\n$score"
   }
 
   /** Plain IVF+PQ oracle: ADC score → top-k. */
@@ -4227,9 +4267,10 @@ object SparkEntry {
   /** Re-ranked IVF+PQ oracle: top-`shortlist` by ADC score, exact cosine
     * over only those rows, then top-k — mirror of ivfPqRerankTopK. */
   private def ivfPqRerankOracleSql(
-      shortlist: Int = 100, topK: Int = 20, dim: Int = 64): String = {
+      shortlist: Int = 100, topK: Int = 20, dim: Int = 64,
+      sampleFilter: String = ""): String = {
     def zipfold(a: String, b: String): String = foldDot(a, b, dim)
-    s"""WITH ${ivfPqScoreCtes()},
+    s"""WITH ${ivfPqScoreCtes(sampleFilter = sampleFilter)},
        |shortq AS (SELECT vec_id FROM sc ORDER BY rawscore DESC, vec_id LIMIT $shortlist),
        |rr AS (SELECT v.vec_id, ${zipfold("v.e", "q.qe")} / (sqrt(v.na) * sqrt(q.qna)) AS rawcos
        |  FROM avn v CROSS JOIN qv q
@@ -8100,6 +8141,14 @@ object SparkEntry {
     // IVF+PQ: coarse k-means + residual-PQ training + probe-pruned ADC
     // replayed in SQL (see ivfPqScoreCtes)
     "q_ann_ivfpq" -> ivfPqOracleSql(),
+    // persisted layout: same training, same ADC scores — the layout
+    // changes where the codes live, not what the query returns
+    "q_ann_ivfpq_indexed" -> ivfPqOracleSql(),
+    // frozen-codebook append + re-rank: coarse AND residual training
+    // restricted to the base half's capped sample; encode/probe/re-rank
+    // run over the whole corpus
+    "q_ann_ivfpq_append" -> ivfPqRerankOracleSql(
+      sampleFilter = "WHERE vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)"),
 
     // two-stage: ADC shortlist → exact-cosine re-rank, same CTE chain
     "q_ann_ivfpq_rerank" -> ivfPqRerankOracleSql(),

@@ -1855,12 +1855,36 @@ object Similarity {
       if (trained != null) trained
       else trainIvfPq(df, idCol, vecCol, nCells, m, codesPerSub, sampleSize,
         coarseIters, pqIters)
+    val (probeCells, score) = ivfPqProbeScore(cents, cb, query, nProbe)
+    val centPairs = cents.zipWithIndex.map(_.swap)
+    val centSeq: Seq[Seq[Float]] = cents.toIndexedSeq.map(_.toIndexedSeq)
+    val cbSeq: Seq[Seq[Seq[Float]]] = cb.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))
+    df.select(col(idCol), col(vecCol),
+        cellAssignment(col(vecCol), centPairs).as("cell"))
+      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col(idCol), col("cell"),
+        ivf_pq_encode(col(vecCol), col("cell"), centSeq, cbSeq).as("pq_codes"))
+      .select(col(idCol), score.as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Probe ranking + fused ADC score column shared by [[ivfPqTopK]] and
+    * [[ivfPqTopKIndexed]]: cos(query, centroid) desc with stable
+    * ascending-cell ties picks the probed cells (the [[ivfTopK]] rule);
+    * each probed row then scores dot(query, centroid) + ADC over its
+    * residual codes, with the query-side residual kept in full double —
+    * only the stored data-side residual is rounded to float. Expects the
+    * input frame to expose `cell` and `pq_codes` columns. */
+  private def ivfPqProbeScore(
+      cents: Array[Array[Float]],
+      cb: Array[Array[Array[Float]]],
+      query: Array[Float],
+      nProbe: Int): (Seq[Int], Column) = {
     val dim = query.length
-    require(dim == cb.length * (dim / cb.length) && dim % cb.length == 0,
+    require(cb.nonEmpty && dim % cb.length == 0,
       "query dim must divide into subspaces")
     val sub = dim / cb.length
-    // probe ranking: cos(query, centroid) desc, ties keep ascending cell
-    // order (stable sortBy — same rule as ivfTopK)
     val probeCells: Seq[Int] = cents.zipWithIndex
       .sortBy { case (c, _) => -cosArr(query, c) }
       .take(nProbe).map(_._2).toIndexedSeq
@@ -1871,8 +1895,6 @@ object Similarity {
       while (i < dim) { d += query(i).toDouble * cent(i).toDouble; i += 1 }
       d
     }
-    // per-cell ADC table over the QUERY residual (kept in full double —
-    // only the stored data-side residual is rounded to float)
     def adcTable(c: Int): Seq[Seq[Double]] = {
       val cent = cents(c)
       val qr = Array.tabulate(dim)(i => query(i).toDouble - cent(i).toDouble)
@@ -1885,21 +1907,11 @@ object Similarity {
         }
       }
     }
-    val centPairs = cents.zipWithIndex.map(_.swap)
-    val centSeq: Seq[Seq[Float]] = cents.toIndexedSeq.map(_.toIndexedSeq)
-    val cbSeq: Seq[Seq[Seq[Float]]] = cb.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))
     val score = probeCells.foldLeft(lit(null).cast("double")) { (acc, c) =>
       when(col("cell") === c,
         lit(coarseDot(c)) + pq_adc_score(col("pq_codes"), adcTable(c))).otherwise(acc)
     }
-    df.select(col(idCol), col(vecCol),
-        cellAssignment(col(vecCol), centPairs).as("cell"))
-      .where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
-      .select(col(idCol), col("cell"),
-        ivf_pq_encode(col(vecCol), col("cell"), centSeq, cbSeq).as("pq_codes"))
-      .select(col(idCol), score.as("score"))
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
+    (probeCells, score)
   }
 
   /** Two-stage IVF+PQ search with exact re-rank — the production
@@ -1938,6 +1950,156 @@ object Similarity {
       nCells, nProbe, m, codesPerSub, sampleSize, coarseIters, pqIters, tr)
     val qLit = typedlit(query)
     df.join(broadcast(short.select(col(idCol))), Seq(idCol))
+      .select(col(idCol), cosine(col(vecCol), qLit).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** BUILD the persisted IVF+PQ layout — [[buildIvfIndex]]'s pruned
+    * cell partitioning plus PQ's compression: what lands on disk per row
+    * is the id and m byte-sized residual codes, NOT the vector, so a
+    * probe reads nProbe/C of a CODE-sized corpus — the disk-ANN shape a
+    * 100 TB embedding store actually wants (raw vectors stay in the
+    * source table and are touched only by a re-rank shortlist's
+    * broadcast semi-join). Coarse centroids AND residual codebooks are
+    * frozen at build time in the layout's underscore-prefixed meta dirs
+    * (invisible to the data read), so [[appendToIvfPqIndex]] never
+    * retrains: an append is one narrow assign+encode map +
+    * mode(append) into the cell partitions — O(new) compute and write,
+    * no id-ordering contract (cell contents are sets; build+append ==
+    * build-all spec-pinned). Returns the trained pair for callers that
+    * also query in-session. */
+  def buildIvfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nCells: Int = 16,
+      m: Int = 16,
+      codesPerSub: Int = 16,
+      sampleSize: Int = 2048,
+      coarseIters: Int = 5,
+      pqIters: Int = 3,
+      trained: (Array[Array[Float]], Array[Array[Array[Float]]]) = null)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val tr =
+      if (trained != null) trained
+      else trainIvfPq(df, idCol, vecCol, nCells, m, codesPerSub, sampleSize,
+        coarseIters, pqIters)
+    writeIvfPqRows(df, idCol, vecCol, dir, tr, overwrite = true)
+    val spark = df.sparkSession
+    import spark.implicits._
+    tr._1.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"${dir.stripSuffix("/")}/_graft_meta")
+    (for ((codes, s) <- tr._2.zipWithIndex.toSeq; (e, c) <- codes.zipWithIndex)
+      yield (s, c, e.toSeq))
+      .toDF("sub", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"${dir.stripSuffix("/")}/_graft_pq")
+    tr
+  }
+
+  /** The narrow assign+encode map shared by build and append: id, cell
+    * (frozen-centroid assignment), and the residual PQ codes — the only
+    * way corpus rows ever reach the layout. */
+  private def writeIvfPqRows(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      tr: (Array[Array[Float]], Array[Array[Array[Float]]]),
+      overwrite: Boolean): Unit = {
+    val (cents, cb) = tr
+    val centPairs = cents.zipWithIndex.map(_.swap)
+    val centSeq: Seq[Seq[Float]] = cents.toIndexedSeq.map(_.toIndexedSeq)
+    val cbSeq: Seq[Seq[Seq[Float]]] =
+      cb.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        cellAssignment(col(vecCol), centPairs).as("cell"))
+      .where(col("id").isNotNull && col("vec").isNotNull)
+      .select(col("id"),
+        ivf_pq_encode(col("vec"), col("cell"), centSeq, cbSeq).as("pq_codes"),
+        col("cell"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cell").parquet(dir)
+  }
+
+  private def readIvfPqMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val cents = spark.read.parquet(s"${dir.stripSuffix("/")}/_graft_meta")
+      .select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val cb = spark.read.parquet(s"${dir.stripSuffix("/")}/_graft_pq")
+      .select(col("sub").cast("int"), col("code").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+    (cents, cb)
+  }
+
+  /** Append rows to a [[buildIvfPqIndex]] layout: centroids and
+    * codebooks load frozen from the meta dirs, arrivals take the same
+    * assign+encode map with `mode("append")` — O(new), order-free,
+    * query-identical to building over the union (spec-pinned). The
+    * postings compaction discipline applies if file counts ever
+    * matter. */
+  def appendToIvfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String): Unit =
+    writeIvfPqRows(df, idCol, vecCol, dir,
+      readIvfPqMeta(df.sparkSession, dir), overwrite = false)
+
+  /** Query a [[buildIvfPqIndex]] layout: the [[ivfPqTopK]] ADC scan with
+    * the probe filter landing on the PARTITION column — a partition-
+    * pruned read of nProbe/C of the code-sized layout (PlanQualitySpec
+    * pins the pruned read). Scores are identical to [[ivfPqTopK]] over
+    * the same trained pair: assignment and encoding are deterministic,
+    * so where they run (build time vs query time) cannot change them. */
+  def ivfPqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      query: Array[Float],
+      k: Int,
+      nProbe: Int = 4,
+      idOut: String = "id"): DataFrame = {
+    require(k >= 1 && nProbe >= 1, s"bad budgets: k=$k nProbe=$nProbe")
+    val (cents, cb) = readIvfPqMeta(spark, dir)
+    val (probeCells, score) = ivfPqProbeScore(cents, cb, query, nProbe)
+    spark.read.parquet(dir)
+      .where(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
+      .select(col("id").as(idOut), score.as("score"))
+      .orderBy(desc("score"), col(idOut))
+      .limit(k)
+  }
+
+  /** Two-stage search over the persisted layout — codes on disk,
+    * vectors in the source table, the separation [[ivfPqRerankTopK]]'s
+    * scaladoc promises at 100 TB: stage 1 reads only the pruned code
+    * partitions for a `shortlist`, stage 2 fetches exactly those rows'
+    * raw vectors (broadcast semi-join on the tiny id list) and re-scores
+    * with exact cosine. Same answers as [[ivfPqRerankTopK]] over the
+    * same trained pair. */
+  def ivfPqRerankTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Float],
+      k: Int,
+      shortlist: Int = 100,
+      nProbe: Int = 4): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = ivfPqTopKIndexed(spark, dir, query, shortlist, nProbe,
+      idOut = idCol)
+    val qLit = typedlit(query)
+    vectors.join(broadcast(short.select(col(idCol))), Seq(idCol))
       .select(col(idCol), cosine(col(vecCol), qLit).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)

@@ -5811,6 +5811,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF+PQ index: pruned ADC probes equal ivfPqTopK; appends order-free; rerank matches") {
+    val s = spark
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfpq-base")
+    val full = java.nio.file.Files.createTempDirectory("graft-ivfpq-full")
+    try {
+      // coarse + residual codebooks trained once, frozen everywhere
+      val tr = Similarity.trainIvfPq(
+        emb.where(col("vec_id") < 400), "vec_id", "embedding")
+      Similarity.buildIvfPqIndex(emb.where(col("vec_id") < 400),
+        "vec_id", "embedding", base.toString, trained = tr)
+      Similarity.appendToIvfPqIndex(emb.where(col("vec_id") >= 400),
+        "vec_id", "embedding", base.toString)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", full.toString,
+        trained = tr)
+      // cell contents are SETS: build(base)+append(rest) == build(all)
+      val a = s.read.parquet(base.toString).select("id", "pq_codes", "cell")
+      val b = s.read.parquet(full.toString).select("id", "pq_codes", "cell")
+      assert(a.count() == 500L)
+      assert(a.exceptAll(b).count() == 0L && b.exceptAll(a).count() == 0L)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaAppend = Similarity.ivfPqTopKIndexed(s, base.toString, q, 10,
+        idOut = "vec_id")
+      val viaFull = Similarity.ivfPqTopKIndexed(s, full.toString, q, 10,
+        idOut = "vec_id")
+      // ...and both equal the in-session ADC scan over the same training
+      val inSession = Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, 10,
+        trained = tr)
+      assert(rows(viaAppend) == rows(viaFull))
+      assert(rows(viaAppend) == rows(inSession))
+      // the probe filter lands on the PARTITION column of the code layout
+      val plan = viaFull.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        plan.take(2000))
+      // two-stage re-rank over the layout == the in-session re-rank
+      val rrIdx = Similarity.ivfPqRerankTopKIndexed(s, full.toString, emb,
+        "vec_id", "embedding", q, 10, shortlist = 50)
+      val rrMem = Similarity.ivfPqRerankTopK(emb, "vec_id", "embedding", q, 10,
+        shortlist = 50, trained = tr)
+      assert(rows(rrIdx) == rows(rrMem))
+      assert(rows(rrIdx).nonEmpty && rows(rrIdx).head._1 == 7L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      for (d <- Seq(base, full)) if (java.nio.file.Files.exists(d)) {
+        val walk = java.nio.file.Files.walk(d)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+  }
+
   test("hnswKnnJoinBatched: batch-size invariant at 20k queries, equals hnswKnnJoin, index path identical") {
     val s = spark
     import s.implicits._
