@@ -2747,6 +2747,25 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // local clustering coefficient on the same co-interaction graph:
+    // 2·T(v) / (deg·(deg−1)) from exact integer triangle counts and
+    // degrees — both replayed by the oracle, the ratio value-checked
+    "q_clustering" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), json_get_int(col("props"), lit("k")).as("item"))
+        .where(col("item").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val edges = ev.withColumn("prev", lag(col("item"), 1).over(w))
+        .where(col("prev").isNotNull && col("prev") =!= col("item"))
+      operators.Graph.clusteringCoefficients(edges, "prev", "item")
+        .select(col("node"), col("degree"), col("n_triangles"),
+          round(col("lcc"), 6).as("lcc"))
+        .orderBy(col("node"))
+    }),
+
     // k-core peeling on a deterministic sparse doc-id graph (ring +
     // sparse chords + a planted i%97 clique — the events graph is too
     // dense to ever peel): converges in 3 rounds at every SF, the
@@ -6766,6 +6785,28 @@ object SparkEntry {
         "nd AS (SELECT DISTINCT node FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)) " +
         "SELECT nd.node, CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles " +
         "FROM nd LEFT JOIN cnt ON cnt.node = nd.node ORDER BY nd.node"),
+
+    // clustering-coefficient replica: the triangle CTEs plus one degree
+    // aggregation; the ratio forced to DOUBLE (a bare 2.0 would be
+    // DECIMAL in the oracle engine) in the kernel's op order
+    "q_clustering" ->
+      ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        "lg AS (SELECT item, lag(item) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM ev), " +
+        "ed0 AS (SELECT CAST(prev AS VARCHAR) AS x, CAST(item AS VARCHAR) AS y FROM lg " +
+        "WHERE prev IS NOT NULL AND prev <> item), " +
+        "e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM ed0), " +
+        "tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM e e1 " +
+        "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "crn AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri), " +
+        "cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM crn GROUP BY node), " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM " +
+        "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node) " +
+        "SELECT d.node, d.degree, CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles, " +
+        "round(CASE WHEN d.degree >= 2 THEN CAST(2 AS DOUBLE) * coalesce(cnt.n_triangles, 0) " +
+        "/ (d.degree * (d.degree - 1)) ELSE CAST(0 AS DOUBLE) END, 6) AS lcc " +
+        "FROM deg d LEFT JOIN cnt ON cnt.node = d.node ORDER BY d.node"),
 
     // k-core replica: the same ring+chords+clique fixture regrown from
     // doc ids, peeling unrolled 6 rounds (the fixture converges in 3 at

@@ -401,25 +401,73 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    nodes.join(triangleCorners(e), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Canonical undirected simple edges: string-cast, self-loops dropped,
+    * low/high oriented, multi-edges collapsed — the representation
+    * [[triangleCounts]], [[clusteringCoefficients]], and
+    * [[kCoreMembers]] all count on. */
+  private def canonicalUndirected(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val raw = edges.select(col(srcCol).cast("string").as("x"),
         col(dstCol).cast("string").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-    val e = raw.select(least(col("x"), col("y")).as("a"),
+    raw.select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
+  }
+
+  /** Per-node triangle counts over canonical edges — each triangle
+    * a<b<c found exactly once by the wedge + closing-edge join, all
+    * three corners credited. Nodes with no triangles are absent. */
+  private def triangleCorners(e: DataFrame): DataFrame = {
     val e2 = e.select(col("a").as("wa"), col("b").as("wb"))
     val e3 = e.select(col("a").as("ca"), col("b").as("cb"))
     val wedges = e.join(e2, col("b") === col("wa"))
       .select(col("a"), col("b"), col("wb").as("c"))
     val tris = wedges.join(e3,
       col("a") === col("ca") && col("c") === col("cb"))
-    val corners = tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("n_triangles"))
-    val nodes = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node"))).distinct()
-    nodes.join(corners, Seq("node"), "left")
-      .select(col("node"),
+  }
+
+  /** Local clustering coefficient [Watts & Strogatz 1998]: for each node,
+    * the fraction of its neighbor pairs that are themselves connected —
+    * lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), with T(v) the node's
+    * triangle count and deg(v) its degree in the undirected simple
+    * graph; degree-<2 nodes get 0 (no neighbor pair exists). The
+    * standard local-density score on interaction/near-dup graphs: high
+    * lcc marks template families and tight communities, low lcc marks
+    * bridges and hubs of unrelated traffic.
+    *
+    * Both ingredients are exact integers from the same canonical edge
+    * set ([[triangleCounts]]'s wedge join + one degree aggregation), so
+    * the ratio is deterministic and the oracle replays it value-level.
+    * Returns `(node, degree, n_triangles, lcc)` for every node.
+    * Scale shape: the wedge join (bounded by high-neighbor degree) +
+    * two keyed aggregations — no new shuffle beyond [[triangleCounts]]. */
+  def clusteringCoefficients(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("degree"))
+    deg.join(triangleCorners(e), Seq("node"), "left")
+      .select(col("node"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          lit(2.0) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)))
   }
 
   /** k-core membership by iterative peeling [Seidman 1983, "Network

@@ -3037,6 +3037,25 @@ class OperatorsSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("clusteringCoefficients: hand graph, degree-1 convention, triangleCounts consistency") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 with pendant 4 on 1 (noise: dup + reversed edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 1L), (1L, 2L))
+      .toDF("s", "d")
+    val got = Graph.clusteringCoefficients(edges, "s", "d")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // lcc(1) = 2·1/(3·2) = 1/3; 2 and 3 close their only pair; 4 has none
+    assert(got == Map(
+      "1" -> ((3L, 1L, 1.0 / 3.0)), "2" -> ((2L, 1L, 1.0)),
+      "3" -> ((2L, 1L, 1.0)), "4" -> ((1L, 0L, 0.0))), got.toString)
+    // same node set and triangle numerators as triangleCounts
+    val tc = Graph.triangleCounts(edges, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._2).toMap == tc)
+  }
+
   test("retention: cohort by first bucket, distinct activity, offset cap") {
     val s = spark
     import s.implicits._
