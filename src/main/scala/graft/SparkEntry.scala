@@ -3211,6 +3211,20 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .orderBy(col("doc_id"), col("feat_idx"))),
 
+    // windowed DFT bin powers on the real-decoded PCM16 corpus: the
+    // direct-form spectral kernel (strict sample-order folds, one
+    // driver-built trig table); the oracle regrows every window from
+    // the generator formula and folds the SAME trig constants
+    // (shortest-round-trip literals) in sample order, so the doubles
+    // replay bit-level before the display round
+    "q_audio_spectral" -> ((s, dir) =>
+      operators.Multimodal.audioSpectral(s,
+          operators.Multimodal.syntheticAudioBlobs(s, table(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("channel"), col("window"), col("bin"),
+          round(col("power"), 6).as("power"))
+        .orderBy(col("doc_id"), col("channel"), col("window"), col("bin"))),
+
     // G.711 μ-law/A-law decode (format 7 even ids / 6 odd): the stored
     // code bytes are a formula of doc_id and the ITU expansion is pure
     // integer arithmetic, so the oracle regenerates the decoded samples
@@ -4045,6 +4059,39 @@ object SparkEntry {
   private def foldL2(a: String, b: String, n: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(range(1, ${n + 1}), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))), (p,q) -> p+q)"
+
+  /** Spectral replica: every full 64-frame window regrown from the WAV
+    * generator formula, then per bin the audioSpectral kernel's exact
+    * float chain — normalized samples (exact ÷2^15), sample-order
+    * cos/sin folds against the SAME trig table (computed here with the
+    * identical math.cos/sin calls and embedded as shortest-round-trip
+    * literals, which the oracle engine parses back to the identical
+    * doubles), re² + im². One UNION ALL branch per bin — the trig
+    * literals differ per bin, so each branch folds its own table. */
+  private def audioSpectralOracleSql(
+      windowSize: Int = 64, nBins: Int = 4): String = {
+    val cosT = Array.tabulate(nBins, windowSize)((k, i) =>
+      math.cos(2.0 * math.Pi * (k + 1) * i / windowSize))
+    val sinT = Array.tabulate(nBins, windowSize)((k, i) =>
+      math.sin(2.0 * math.Pi * (k + 1) * i / windowSize))
+    def litList(a: Array[Double]): String =
+      a.mkString("CAST([", ", ", "] AS DOUBLE[])")
+    val bins = (0 until nBins).map { k =>
+      val re = foldDot("xs", litList(cosT(k)), windowSize)
+      val im = foldDot("xs", litList(sinT(k)), windowSize)
+      s"SELECT doc_id, c AS channel, w AS \"window\", CAST(${k + 1} AS INT) AS bin, " +
+        s"round(($re) * ($re) + ($im) * ($im), 6) AS power FROM sx"
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 256 + (doc_id * 3) % 200 AS nf FROM documents),
+       | wn AS (SELECT doc_id, ch, unnest(range(nf // $windowSize)) AS w FROM d),
+       | wc AS (SELECT doc_id, ch, w, unnest(range(ch)) AS c FROM wn),
+       | sx AS MATERIALIZED (SELECT doc_id, CAST(c AS INT) AS c, CAST(w AS INT) AS w,
+       |  list_transform(range($windowSize), i ->
+       |   CAST(((doc_id * 7919 + (w * $windowSize + i) * 31 + c * 17) % 2048) - 1024 AS DOUBLE) / 32768) AS xs
+       |  FROM wc)
+       | SELECT * FROM ($bins) ORDER BY doc_id, channel, "window", bin""".stripMargin
+      .replaceAll("\n", " ")
+  }
 
   /** Coarse-IVF Lloyd replica shared by the q_ann_ivf and q_ann_ivfpq
     * oracles: trainCentroids' exact arithmetic (capped id-ordered sample,
@@ -7249,6 +7296,10 @@ object SparkEntry {
         | FROM sums s JOIN zx z ON s.doc_id = z.doc_id,
         |  (SELECT unnest(range(8)) AS ft) fs
         | ORDER BY s.doc_id, feat_idx""".stripMargin.replaceAll("\n", " "),
+
+    // spectral replica: windows regrown from the generator formula,
+    // same trig table folded in sample order (see audioSpectralOracleSql)
+    "q_audio_spectral" -> audioSpectralOracleSql(),
 
     // G.711 replica: regenerate each stored code byte from the formula,
     // expand it with the ITU integer arithmetic (μ-law even ids, A-law

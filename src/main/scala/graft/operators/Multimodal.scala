@@ -2567,6 +2567,66 @@ object Multimodal {
       }
   }
 
+  /** One DFT bin of one analysis window: `power` = |X_k|² of the
+    * normalized (÷32768) samples. */
+  case class SpectralBin(
+      doc_id: Long, channel: Int, window: Int, bin: Int, power: Double)
+
+  /** Windowed DFT bin powers — the spectral front-end a speech/music
+    * curation pass runs before any model (tone detection, bandwidth
+    * checks, energy-band fingerprints): per channel, consecutive
+    * rectangular windows of `windowSize` frames (trailing partial
+    * window dropped), and for bins k = 1..nBins the direct DFT power
+    * |X_k|² = (Σ x_i·cos(2πki/N))² + (Σ x_i·sin(2πki/N))² over samples
+    * normalized to ÷32768. No FFT: the direct form keeps the float
+    * accumulation a strict sample-order left fold (one multiply-add
+    * per term, trig from one driver-built table), so every power is
+    * oracle-replayable bit-level; at N = 64 the direct cost is 2N per
+    * bin — the kernel is scan-bound, not flop-bound. DC (k = 0) is
+    * excluded: it is the mean the feature family already reports.
+    * Narrow partition-local decode, no shuffle; non-PCM16 blobs skip. */
+  def audioSpectral(
+      spark: SparkSession,
+      blobs: DataFrame,
+      windowSize: Int = 64,
+      nBins: Int = 4): Dataset[SpectralBin] = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    require(nBins >= 1 && nBins <= windowSize / 2,
+      s"need 1 <= nBins <= windowSize/2, got $nBins")
+    import spark.implicits._
+    val cosT = Array.tabulate(nBins, windowSize)((k, i) =>
+      math.cos(2.0 * math.Pi * (k + 1) * i / windowSize))
+    val sinT = Array.tabulate(nBins, windowSize)((k, i) =>
+      math.sin(2.0 * math.Pi * (k + 1) * i / windowSize))
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        pcm16Samples(bytes) match {
+          case None => Iterator.empty
+          case Some((_, ch, x)) =>
+            val nWin = (x.length / ch) / windowSize
+            for {
+              c <- (0 until ch).iterator
+              w <- (0 until nWin).iterator
+              k <- (0 until nBins).iterator
+            } yield {
+              val ct = cosT(k)
+              val st = sinT(k)
+              var re = 0.0
+              var im = 0.0
+              var i = 0
+              while (i < windowSize) {
+                val v = x((w * windowSize + i) * ch + c).toDouble / 32768.0
+                re += v * ct(i)
+                im += v * st(i)
+                i += 1
+              }
+              SpectralBin(id, c, w, k + 1, re * re + im * im)
+            }
+        }
+      }
+  }
+
   /** RIFF/WAVE chunk walk for PCM16: (sampleRate, channels, interleaved
     * samples) — None for anything that is not an uncompressed 16-bit
     * WAV (fmt code 1, 16 bits). */

@@ -3371,6 +3371,45 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.syntheticAviBlobs(s, ids), 1L).count() == 0L)
   }
 
+  test("audioSpectral: pure tone lands in its bin, silence is zero, window/channel indexing") {
+    val s = spark
+    import s.implicits._
+    // hand-built stereo PCM16 WAV: ch0 = bin-2 cosine, ch1 = silence;
+    // 100 frames -> exactly ONE full 64-frame window (trailing dropped)
+    val nf = 100
+    val ch = 2
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val data = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    for (f <- 0 until nf; c <- 0 until ch) {
+      val v = if (c == 0)
+        math.round(8192.0 * math.cos(2.0 * math.Pi * 2 * f / 64)).toInt
+      else 0
+      data ++= le16(v)
+    }
+    val bytes = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(8000) ++
+      le32(8000 * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data.toArray
+    val got = Multimodal.audioSpectral(s, Seq((5L, bytes)).toDF("doc_id", "blob"))
+      .collect().map(b => (b.channel, b.window, b.bin) -> b.power).toMap
+    assert(got.keySet ==
+      (for (c <- 0 until 2; k <- 1 to 4) yield (c, 0, k)).toSet, got.keySet)
+    // the tone concentrates in bin 2, orders beyond the rounding leakage
+    assert(got((0, 0, 2)) > 100 * (got((0, 0, 1))
+      .max(got((0, 0, 3))).max(got((0, 0, 4)))), got.toString)
+    // |X_2|^2 ~= (N/2 * A)^2 with A = 8192/32768
+    val expect = math.pow(32 * 8192.0 / 32768.0, 2)
+    assert(math.abs(got((0, 0, 2)) - expect) / expect < 0.01,
+      s"${got((0, 0, 2))} vs $expect")
+    // silence channel: folds of exact zeros are exactly zero
+    for (k <- 1 to 4) assert(got((1, 0, k)) == 0.0)
+    // non-PCM16 input skips, never throws
+    assert(Multimodal.audioSpectral(s,
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "blob")).count() == 0L)
+  }
+
   test("real WAV decode: header and features match the generator formula") {
     val s = spark
     import s.implicits._
