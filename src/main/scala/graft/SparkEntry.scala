@@ -1187,6 +1187,15 @@ object SparkEntry {
         .orderBy(col("mmr_rank"))
     }),
 
+    // k-center greedy coreset (Gonzalez maximin): 8 rounds of
+    // farthest-point selection over the embedding corpus — cosine
+    // distance with round-6 compares, ties -> smallest id; every
+    // greedy round unrolled by the oracle
+    "q_coreset" -> ((s, dir) =>
+      operators.Similarity.kCenterCoreset(table(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8)
+        .orderBy(col("center_rank"))),
+
     // streaming MMR twin: the candidate pool maintained incrementally
     // (bounded BottomK state keyed by exact integer microrel) over the
     // embedding stream; bounded post-drain greedy == the batch q_mmr
@@ -4091,6 +4100,39 @@ object SparkEntry {
        |  FROM wc)
        | SELECT * FROM ($bins) ORDER BY doc_id, channel, "window", bin""".stripMargin
       .replaceAll("\n", " ")
+  }
+
+  /** k-center replica: kCenterCoreset's greedy unrolled — seed = the
+    * smallest id, then per round the farthest-from-selected point
+    * (maximin over 1 − round-6 cosine, ties → smallest id), the running
+    * min-distance carried with least() exactly as the kernel folds it.
+    * Zero-norm vectors drop with the family's na <> 0 filter. */
+  private def kCenterOracleSql(k: Int = 8, dim: Int = 64): String = {
+    def zf(a: String, b: String): String = foldDot(a, b, dim)
+    val head =
+      s"""kv AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |kn AS MATERIALIZED (SELECT * FROM (SELECT vec_id, e, ${zf("e", "e")} AS na FROM kv) WHERE na <> 0),
+         |c1 AS (SELECT vec_id, e, na FROM kn ORDER BY vec_id LIMIT 1),
+         |d1 AS MATERIALIZED (SELECT n.vec_id, n.e, n.na,
+         |  1 - round(${zf("n.e", "c.e")} / (sqrt(n.na) * sqrt(c.na)), 6) AS dist
+         |  FROM kn n CROSS JOIN c1 c WHERE n.vec_id <> c.vec_id)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val sel =
+        s"c$i AS (SELECT vec_id, e, na, dist FROM d${i - 1} ORDER BY dist DESC, vec_id LIMIT 1)"
+      val next =
+        if (i == k) ""
+        else
+          s""", d$i AS MATERIALIZED (SELECT d.vec_id, d.e, d.na,
+             |  least(d.dist, 1 - round(${zf("d.e", "c.e")} / (sqrt(d.na) * sqrt(c.na)), 6)) AS dist
+             |  FROM d${i - 1} d CROSS JOIN c$i c WHERE d.vec_id <> c.vec_id)""".stripMargin
+      sel + next
+    }.mkString(", ")
+    val sels =
+      (s"SELECT vec_id, 1 AS center_rank, CAST(2 AS DOUBLE) AS dist FROM c1" +:
+        (2 to k).map(i => s"SELECT vec_id, $i AS center_rank, dist FROM c$i"))
+        .mkString(" UNION ALL ")
+    (s"WITH $head, $steps SELECT vec_id, CAST(center_rank AS INT) AS center_rank, " +
+      s"dist FROM ($sels) ORDER BY center_rank").replaceAll("\n", " ")
   }
 
   /** Coarse-IVF Lloyd replica shared by the q_ann_ivf and q_ann_ivfpq
@@ -8210,6 +8252,8 @@ object SparkEntry {
     // step excludes the chosen set, takes coalesce(max sim, 0), and
     // picks by (round6(70·rel − 30·ms) DESC, vec_id)
     "q_mmr" -> mmrOracleSql(),
+    // k-center greedy coreset: every maximin round unrolled
+    "q_coreset" -> kCenterOracleSql(),
     // the streaming pool reduction reproduces the batch TakeOrdered pool
     // exactly, so the twin shares the batch oracle verbatim
     "q_stream_mmr" -> mmrOracleSql(),

@@ -1155,6 +1155,67 @@ object Similarity {
     out.toSeq.toDF(idCol, "rank", "score")
   }
 
+  /** k-center greedy coreset selection [Gonzalez 1985, "Clustering to
+    * minimize the maximum intercluster distance"; the coreset screen of
+    * Sener & Savarese 2018]: start from the smallest id, then k−1 times
+    * add the point FARTHEST from the selected set (maximin over cosine
+    * distance 1 − cos, ties → smallest id) — the classic 2-approximation
+    * whose selections cover the embedding space's extremes, the
+    * diversity-first complement to [[semDedup]]'s redundancy pruning.
+    *
+    * Distributed shape: the selected set is tiny (k ids + vectors on
+    * the driver), so each round is ONE narrow scan of the persisted
+    * pool — per row a least-fold of cosines against the selected
+    * centers (plan literals, no join) — ending in TakeOrdered(1). No
+    * shuffle anywhere; k rounds = k scans of a cached projection.
+    * Determinism: cosines round to 6 decimals before the maximin
+    * compare (the [[mmrTopK]] discipline), so the oracle replays every
+    * round; zero-norm vectors drop (cosine undefined — the family
+    * convention). Returns `(id, center_rank, dist)` with dist = the
+    * selection-time distance to the then-selected set (the seed
+    * reports 2.0, the cosine-distance diameter bound). */
+  def kCenterCoreset(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 256,
+      s"k=$k out of [1, 256] — centers are broadcast plan literals")
+    val spark = df.sparkSession
+    val pool = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .where(col("id").isNotNull && cosine(col(vecCol), col(vecCol)).isNotNull)
+      .persist()
+    try {
+      val seedRow = pool.orderBy(col("id")).limit(1).head()
+      val centers = scala.collection.mutable.ArrayBuffer(
+        (seedRow.getLong(0), seedRow.getSeq[Float](1).toArray))
+      val out = scala.collection.mutable.ArrayBuffer(
+        (centers(0)._1, 1, 2.0))
+      var step = 2
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val dist = centers.map { case (_, cv) =>
+          lit(1.0) - round(cosine(col("v"), typedlit(cv.toSeq)), 6)
+        }.reduceLeft(least(_, _))
+        val cand = pool
+          .where(!col("id").isin(centers.map(c => java.lang.Long.valueOf(c._1)).toIndexedSeq: _*))
+          .select(col("id"), col("v"), dist.as("dist"))
+          .orderBy(desc("dist"), col("id"))
+          .limit(1)
+          .collect()
+        if (cand.isEmpty) exhausted = true
+        else {
+          val r = cand(0)
+          centers += ((r.getLong(0), r.getSeq[Float](1).toArray))
+          out += ((r.getLong(0), step, r.getDouble(2)))
+          step += 1
+        }
+      }
+      import spark.implicits._
+      out.toSeq.toDF(idCol, "center_rank", "dist")
+    } finally pool.unpersist()
+  }
+
   /** Deterministic in-memory HNSW graph [Malkov & Yashunin 2016,
     * "Efficient and robust approximate nearest neighbor search using
     * Hierarchical Navigable Small World graphs"] over ONE partition's

@@ -5869,6 +5869,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCenterCoreset: maximin hand geometry, zero-norm drop, early exhaustion") {
+    val s = spark
+    import s.implicits._
+    // unit-circle fixture: 0 = east (seed), 2 = west (farthest), 3 =
+    // north (maximin winner over near-east 1); 9 = zero vector (drops)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.1f)),
+      (2L, Seq(-1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)),
+      (9L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      .sortBy(_._2)
+    assert(got.map(_._1) == Seq(0L, 2L, 3L), got.toString)
+    assert(got(0)._3 == 2.0 && got(1)._3 == 2.0 && got(2)._3 == 1.0,
+      got.toString)
+    // k beyond the (non-zero-norm) pool stops at the pool, no throw
+    val all = Similarity.kCenterCoreset(vecs, "vec_id", "embedding", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(0L, 1L, 2L, 3L), all.toString)
+  }
+
   test("persisted IVF+PQ index: pruned ADC probes equal ivfPqTopK; appends order-free; rerank matches") {
     val s = spark
     val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
