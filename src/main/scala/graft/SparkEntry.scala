@@ -3234,6 +3234,17 @@ object SparkEntry {
           round(col("power"), 6).as("power"))
         .orderBy(col("doc_id"), col("channel"), col("window"), col("bin"))),
 
+    // streaming spectral twin: the stateless per-blob kernel replayed
+    // over a file stream emits exactly the batch rows (q_audio_spectral's
+    // oracle verbatim)
+    "q_stream_spectral" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.audioSpectralToBatch(s, s"$dir/documents.parquet")
+        .select(col("doc_id"), col("channel"), col("window"), col("bin"),
+          round(col("power"), 6).as("power"))
+        .orderBy(col("doc_id"), col("channel"), col("window"), col("bin"))
+    }),
+
     // G.711 μ-law/A-law decode (format 7 even ids / 6 odd): the stored
     // code bytes are a formula of doc_id and the ITU expansion is pure
     // integer arithmetic, so the oracle regenerates the decoded samples
@@ -7342,6 +7353,8 @@ object SparkEntry {
     // spectral replica: windows regrown from the generator formula,
     // same trig table folded in sample order (see audioSpectralOracleSql)
     "q_audio_spectral" -> audioSpectralOracleSql(),
+    // the streaming twin must equal the batch kernel value-for-value
+    "q_stream_spectral" -> audioSpectralOracleSql(),
 
     // G.711 replica: regenerate each stored code byte from the formula,
     // expand it with the ITU integer arithmetic (μ-law even ids, A-law

@@ -882,6 +882,34 @@ object JsonStream {
     result
   }
 
+  /** Streaming twin of [[graft.operators.Multimodal.audioSpectral]]:
+    * the spectral kernel is a stateless per-blob narrow flatMap, so the
+    * stream emits exactly the batch rows — append mode, no state, no
+    * watermark; a mid-stream failure re-emits only unprocessed files.
+    * Gated value-level against q_audio_spectral's oracle verbatim. */
+  def audioSpectralToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val docs = spark.read.parquet(path).select(col("doc_id"))
+    val blobs = graft.operators.Multimodal.syntheticAudioBlobs(spark, docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-spectral")
+    blobs.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val bins = graft.operators.Multimodal.audioSpectral(spark,
+        spark.readStream.schema(blobs.schema).parquet(dir.toString))
+      .toDF()
+    val sink = s"graft_stream_spectral_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = bins.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    deleteStagedDir(dir.toString)
+    result
+  }
+
   case class AsofTagged(
       event_id: Long, ts_us: Long, user_id: Long, event_type: String,
       value: Double, is_right: Boolean)

@@ -471,6 +471,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming spectral bins equal the batch kernel exactly") {
+    val s = spark
+    val got = JsonStream.audioSpectralToBatch(s, "/root/testdata/sf0.001/documents.parquet")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .toSet
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    val want = graft.operators.Multimodal.audioSpectral(s,
+        graft.operators.Multimodal.syntheticAudioBlobs(s, docs))
+      .collect().map(b => (b.doc_id, b.channel, b.window, b.bin, b.power)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming heavy hitters equal the batch recount exactly") {
     val s = spark
     val path = "/root/testdata/sf0.001/documents.parquet"
