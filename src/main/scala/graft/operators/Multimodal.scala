@@ -151,6 +151,66 @@ object Multimodal {
       }
   }
 
+  /** One histogram cell: pixel count of `channel` (0=r 1=g 2=b) whose
+    * intensity falls in `bin`. */
+  case class ChannelHistogram(doc_id: Long, channel: Int, bin: Int, n: Long)
+
+  /** Per-channel intensity histograms over decoded images — the
+    * color-distribution screen an image-curation pass runs before
+    * training (flat-histogram synthetic screenshots, blown-highlight
+    * detection, palette fingerprints for near-dup blocking). `nBins`
+    * equal-width bins per channel (256 must divide evenly — loud),
+    * DENSE output: every (channel, bin) row emitted, zero counts
+    * included, so downstream L1/χ² distances never misalign sparse
+    * rows. Single-band (grayscale) rasters replicate into all three
+    * channels (r = g = b — the [[decodeImage]] convention); undecodable
+    * blobs skip. Exact integer counts from a narrow partition-local
+    * decode — no shuffle, oracle-replayable value-level. */
+  def imageHistogram(
+      spark: SparkSession,
+      blobs: DataFrame,
+      nBins: Int = 16): Dataset[ChannelHistogram] = {
+    require(nBins >= 1 && 256 % nBins == 0,
+      s"nBins must divide 256 evenly, got $nBins")
+    val width = 256 / nBins
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: Exception => null }
+        if (img == null) Iterator.empty
+        else {
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val counts = Array.ofDim[Long](3, nBins)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              var c = 0
+              while (c < 3) {
+                val v = raster.getSample(x, y, if (bands >= 3) c else 0)
+                counts(c)(v / width) += 1
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          for {
+            c <- (0 until 3).iterator
+            b <- (0 until nBins).iterator
+          } yield ChannelHistogram(id, c, b, counts(c)(b))
+        }
+      }
+  }
+
   /** Deterministic synthetic PNG: dimensions and every pixel are a pure
     * integer formula of `docId`, encoded losslessly — so a decoder-side
     * oracle can recompute the decoded pixels WITHOUT decoding PNG:

@@ -3371,6 +3371,44 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.syntheticAviBlobs(s, ids), 1L).count() == 0L)
   }
 
+  test("imageHistogram: formula recount, dense zeros, grayscale replication, junk skip") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 5L, 123L)
+    val got = Multimodal.imageHistogram(s,
+        Multimodal.syntheticImageBlobs(s, ids.toDF("doc_id")))
+      .collect().map(h => (h.doc_id, h.channel, h.bin) -> h.n).toMap
+    for (id <- ids) {
+      val w = 16 + (id % 17).toInt
+      val h = 16 + ((id * 7) % 13).toInt
+      val want = Array.ofDim[Long](3, 16)
+      for (y <- 0 until h; x <- 0 until w) {
+        want(0)(((id * 31 + x * 7 + y * 13) % 256).toInt / 16) += 1
+        want(1)(((id * 17 + x * 11 + y * 3) % 256).toInt / 16) += 1
+        want(2)(((id * 13 + x * 5 + y * 29) % 256).toInt / 16) += 1
+      }
+      for (c <- 0 until 3; b <- 0 until 16)
+        assert(got((id, c, b)) == want(c)(b), s"id=$id c=$c b=$b")
+    }
+    // DENSE: all 48 cells per doc present, zero bins included
+    assert(got.size == ids.size * 48, got.size.toString)
+    // single-band grayscale replicates into all three channels
+    val g = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 2; x <- 0 until 4) g.getRaster.setSample(x, y, 0, 16 * x + y)
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(g, "png", bos)
+    val gh = Multimodal.imageHistogram(s,
+        Seq((7L, bos.toByteArray)).toDF("doc_id", "blob"))
+      .collect().map(h => (h.channel, h.bin) -> h.n).toMap
+    for (b <- 0 until 16)
+      assert(gh((0, b)) == gh((1, b)) && gh((1, b)) == gh((2, b)))
+    assert((0 until 16).map(b => gh((0, b))).sum == 8L)
+    // undecodable blobs skip, never throw
+    assert(Multimodal.imageHistogram(s,
+      Seq((1L, Array[Byte](9, 9))).toDF("doc_id", "blob")).count() == 0L)
+  }
+
   test("audioSpectral: pure tone lands in its bin, silence is zero, window/channel indexing") {
     val s = spark
     import s.implicits._
