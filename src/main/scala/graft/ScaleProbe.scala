@@ -575,6 +575,41 @@ object ScaleProbe {
       }
     }
 
+    // persisted IVF+PQ: the cheapest-append claim measured — frozen
+    // centroids + codebooks make an append ONE assign+encode map with
+    // mode(append), so append cost should track arrivals, not the
+    // corpus (compare against the full re-encode), and the pruned
+    // ADC query reads nProbe/nCells of a CODE-sized layout
+    if (only.forall(s => "IVFPQ append".contains(s))) {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-probe-ivfpqapp")
+      try {
+        val cut = (nVec * 9L) / 10L
+        val tr = time(s"IVFPQ append BASE build+encode, ${cut} vectors") {
+          operators.Similarity.buildIvfPqIndex(emb.where(col("vec_id") < cut),
+            "vec_id", "embedding", idxDir.toString)
+        }
+        time(s"IVFPQ append of ${nVec - cut} arrivals (one assign+encode map)") {
+          operators.Similarity.appendToIvfPqIndex(emb.where(col("vec_id") >= cut),
+            "vec_id", "embedding", idxDir.toString)
+        }
+        time(s"IVFPQ appended-index QUERY (pruned ADC scan of the code layout)") {
+          val r = operators.Similarity.ivfPqTopKIndexed(spark, idxDir.toString,
+            qv, 20, idOut = "vec_id").collect()
+          require(r.length == 20, s"expected 20 rows, got ${r.length}")
+        }
+        time(s"IVFPQ append baseline: FULL re-encode of all $nVec (the cost avoided)") {
+          operators.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+            idxDir.toString, trained = tr.orNull)
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(idxDir)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+
     // batch retrieval at eval-set scale: a query SET of nDocs/5 against
     // the nVec corpus — the regime the driver-capped single-batch shape
     // cannot reach. Batched = ceil(M/batchSize) corpus scans; by-cell =

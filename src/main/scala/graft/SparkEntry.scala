@@ -2756,6 +2756,22 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // degree assortativity of the co-interaction graph: Newman's r from
+    // four exact integer sums (the oracle recomputes all four and the
+    // HUGEINT-safe ratio)
+    "q_assortativity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), json_get_int(col("props"), lit("k")).as("item"))
+        .where(col("item").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val edges = ev.withColumn("prev", lag(col("item"), 1).over(w))
+        .where(col("prev").isNotNull && col("prev") =!= col("item"))
+      operators.Graph.degreeAssortativity(edges, "prev", "item")
+    }),
+
     // local clustering coefficient on the same co-interaction graph:
     // 2·T(v) / (deg·(deg−1)) from exact integer triangle counts and
     // degrees — both replayed by the oracle, the ratio value-checked
@@ -6894,6 +6910,31 @@ object SparkEntry {
         "nd AS (SELECT DISTINCT node FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)) " +
         "SELECT nd.node, CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles " +
         "FROM nd LEFT JOIN cnt ON cnt.node = nd.node ORDER BY nd.node"),
+
+    // assortativity replica: same canonical edges and degrees, the four
+    // integer sums, and Newman's ratio in overflow-proof HUGEINT before
+    // the double division
+    "q_assortativity" ->
+      ("WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        "lg AS (SELECT item, lag(item) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM ev), " +
+        "ed0 AS (SELECT CAST(prev AS VARCHAR) AS x, CAST(item AS VARCHAR) AS y FROM lg " +
+        "WHERE prev IS NOT NULL AND prev <> item), " +
+        "e AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM ed0), " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node), " +
+        "j AS (SELECT da.d AS da, db.d AS db FROM e " +
+        "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS m_edges, " +
+        "CAST(coalesce(sum(da * db), 0) AS BIGINT) AS s_ab, " +
+        "CAST(coalesce(sum(da + db), 0) AS BIGINT) AS s_sum, " +
+        "CAST(coalesce(sum(da * da + db * db), 0) AS BIGINT) AS s_sq FROM j) " +
+        "SELECT m_edges, s_ab, s_sum, s_sq, " +
+        "CASE WHEN 2 * CAST(m_edges AS HUGEINT) * s_sq - CAST(s_sum AS HUGEINT) * s_sum = 0 THEN NULL " +
+        "ELSE round(CAST(4 * CAST(m_edges AS HUGEINT) * s_ab - CAST(s_sum AS HUGEINT) * s_sum AS DOUBLE) " +
+        "/ CAST(2 * CAST(m_edges AS HUGEINT) * s_sq - CAST(s_sum AS HUGEINT) * s_sum AS DOUBLE), 6) END AS r " +
+        "FROM s"),
 
     // clustering-coefficient replica: the triangle CTEs plus one degree
     // aggregation; the ratio forced to DOUBLE (a bare 2.0 would be

@@ -437,6 +437,62 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).cast("long").as("n_triangles"))
   }
 
+  /** Degree assortativity [Newman 2002, "Assortative mixing in
+    * networks"]: the Pearson correlation of degrees across edges —
+    * positive when hubs link to hubs (social-style graphs), negative
+    * when hubs link to leaves (web/interaction stars). Over the
+    * canonical undirected simple graph with M edges and endpoint
+    * degrees (a, b) per edge, the stub-doubled form reduces to FOUR
+    * exact integer sums — Σab, Σ(a+b), Σ(a²+b²), M — and
+    *
+    *   r = (4M·Σab − (Σ(a+b))²) / (2M·Σ(a²+b²) − (Σ(a+b))²)
+    *
+    * Numerator/denominator are computed on the driver in BigInteger
+    * (no overflow at any scale), divided as doubles, rounded to 6.
+    * Degenerate graphs (every edge joining equal-degree nodes, e.g. a
+    * clique — denominator 0) return NULL r with the sums intact.
+    * Returns ONE row `(m_edges, s_ab, s_sum, s_sq, r)`.
+    * Scale shape: one degree aggregation + one src- and one dst-keyed
+    * join of edges to degrees + a global sum — two shuffles of the
+    * edge list, nothing quadratic. */
+  def degreeAssortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("d"))
+    val da = deg.select(col("node").as("a"), col("d").as("da"))
+    val db = deg.select(col("node").as("b"), col("d").as("db"))
+    val sums = e.join(da, "a").join(db, "b")
+      .agg(count(lit(1)).cast("long").as("m_edges"),
+        sum(col("da") * col("db")).as("s_ab"),
+        sum(col("da") + col("db")).as("s_sum"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("s_sq"))
+      .head()
+    import spark.implicits._
+    if (sums.isNullAt(1)) // empty graph: no edges, r undefined
+      return Seq((0L, 0L, 0L, 0L, Option.empty[Double]))
+        .toDF("m_edges", "s_ab", "s_sum", "s_sq", "r")
+    val m = BigInt(sums.getLong(0))
+    val sAb = BigInt(sums.getLong(1))
+    val sSum = BigInt(sums.getLong(2))
+    val sSq = BigInt(sums.getLong(3))
+    val num = 4 * m * sAb - sSum * sSum
+    val den = 2 * m * sSq - sSum * sSum
+    val r =
+      if (den == 0) Option.empty[Double]
+      else {
+        val raw = num.bigInteger.doubleValue() / den.bigInteger.doubleValue()
+        Some(java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+    Seq((sums.getLong(0), sums.getLong(1), sums.getLong(2), sums.getLong(3), r))
+      .toDF("m_edges", "s_ab", "s_sum", "s_sq", "r")
+  }
+
   /** Local clustering coefficient [Watts & Strogatz 1998]: for each node,
     * the fraction of its neighbor pairs that are themselves connected —
     * lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), with T(v) the node's

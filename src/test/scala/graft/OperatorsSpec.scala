@@ -3056,6 +3056,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.view.mapValues(_._2).toMap == tc)
   }
 
+  test("degreeAssortativity: hand values, degenerate NULL, disassortative star") {
+    val s = spark
+    import s.implicits._
+    def run(pairs: Seq[(Long, Long)]) = {
+      val r = Graph.degreeAssortativity(pairs.toDF("s", "d"), "s", "d").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    // triangle 1-2-3 + pendant 4 on 1: r = -20/28 (hand-computed sums)
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))) ==
+      ((4L, 19L, 18L, 44L, Some(-0.714286))))
+    // a clique has equal degrees everywhere: denominator 0 -> NULL r
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 1L)))._5.isEmpty)
+    // a star is perfectly disassortative
+    assert(run(Seq((0L, 1L), (0L, 2L), (0L, 3L)))._5 == Some(-1.0))
+  }
+
   test("retention: cohort by first bucket, distinct activity, offset cap") {
     val s = spark
     import s.implicits._
