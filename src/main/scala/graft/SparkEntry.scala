@@ -3102,6 +3102,14 @@ object SparkEntry {
         .toDF()
         .orderBy(col("doc_id"), col("channel"), col("bin"))),
 
+    // streaming histogram twin: the stateless per-blob kernel over a
+    // file stream emits exactly the batch rows (q_img_hist's oracle)
+    "q_stream_imghist" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      streaming.JsonStream.imageHistogramToBatch(s, s"$dir/documents.parquet")
+        .orderBy(col("doc_id"), col("channel"), col("bin"))
+    }),
+
     // REAL BMP decode: hand-encoded 24-bit BI_RGB files (bottom-up rows,
     // row padding, BGR order — encoder independent of javax.imageio)
     // decoded by the JVM's actual BMP reader; dims + pixel features
@@ -3614,6 +3622,29 @@ object SparkEntry {
     * channel/quadrant/luma sums, and apply decodeImage's IEEE divisions
     * and float32 rounding. Shared by the PNG, BMP, and TGA replicas —
     * all three generators draw the same pixels at different dims. */
+  /** Histogram replica shared by the batch and streaming queries. */
+  private val imgHistOracleSql: String =
+    """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h FROM documents),
+      | xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
+      | px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
+      | pc AS (SELECT doc_id,
+      |   (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+      |   (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
+      |   (doc_id * 13 + x * 5 + y * 29) % 256 AS b FROM px),
+      | chv AS (SELECT doc_id, 0 AS channel, r // 16 AS bin FROM pc
+      |   UNION ALL SELECT doc_id, 1, g // 16 FROM pc
+      |   UNION ALL SELECT doc_id, 2, b // 16 FROM pc),
+      | cnt AS (SELECT doc_id, channel, bin, CAST(count(*) AS BIGINT) AS n
+      |   FROM chv GROUP BY doc_id, channel, bin),
+      | dense AS (SELECT d.doc_id, c.channel, bn.bin FROM d,
+      |   (SELECT unnest(range(3)) AS channel) c,
+      |   (SELECT unnest(range(16)) AS bin) bn)
+      | SELECT dn.doc_id, CAST(dn.channel AS INT) AS channel,
+      |  CAST(dn.bin AS INT) AS bin, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+      | FROM dense dn LEFT JOIN cnt ON cnt.doc_id = dn.doc_id
+      |  AND cnt.channel = dn.channel AND cnt.bin = dn.bin
+      | ORDER BY dn.doc_id, dn.channel, dn.bin""".stripMargin.replaceAll("\n", " ")
+
   private def imgPixelReplicaSql(
       wf: String,
       hf: String,
@@ -7161,27 +7192,9 @@ object SparkEntry {
 
     // histogram replica: per-channel bin recount from the pixel formula,
     // dense (channel, bin) grid with zero counts coalesced in
-    "q_img_hist" ->
-      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 7) % 13 AS h FROM documents),
-        | xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
-        | px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
-        | pc AS (SELECT doc_id,
-        |   (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
-        |   (doc_id * 17 + x * 11 + y * 3) % 256 AS g,
-        |   (doc_id * 13 + x * 5 + y * 29) % 256 AS b FROM px),
-        | chv AS (SELECT doc_id, 0 AS channel, r // 16 AS bin FROM pc
-        |   UNION ALL SELECT doc_id, 1, g // 16 FROM pc
-        |   UNION ALL SELECT doc_id, 2, b // 16 FROM pc),
-        | cnt AS (SELECT doc_id, channel, bin, CAST(count(*) AS BIGINT) AS n
-        |   FROM chv GROUP BY doc_id, channel, bin),
-        | dense AS (SELECT d.doc_id, c.channel, bn.bin FROM d,
-        |   (SELECT unnest(range(3)) AS channel) c,
-        |   (SELECT unnest(range(16)) AS bin) bn)
-        | SELECT dn.doc_id, CAST(dn.channel AS INT) AS channel,
-        |  CAST(dn.bin AS INT) AS bin, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
-        | FROM dense dn LEFT JOIN cnt ON cnt.doc_id = dn.doc_id
-        |  AND cnt.channel = dn.channel AND cnt.bin = dn.bin
-        | ORDER BY dn.doc_id, dn.channel, dn.bin""".stripMargin.replaceAll("\n", " "),
+    "q_img_hist" -> imgHistOracleSql,
+    // the streaming twin must equal the batch kernel value-for-value
+    "q_stream_imghist" -> imgHistOracleSql,
 
     // BMP replica: same pixel formula at the BMP generator's dims — the
     // JVM BMP reader must hand back exactly the encoder's pixels

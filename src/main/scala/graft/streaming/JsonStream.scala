@@ -910,6 +910,32 @@ object JsonStream {
     result
   }
 
+  /** Streaming twin of [[graft.operators.Multimodal.imageHistogram]]:
+    * stateless per-blob narrow flatMap — the stream emits exactly the
+    * batch rows, gated against q_img_hist's oracle verbatim. */
+  def imageHistogramToBatch(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.Tables.prepare(spark)
+    val docs = spark.read.parquet(path).select(col("doc_id"))
+    val blobs = graft.operators.Multimodal.syntheticImageBlobs(spark, docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-imghist")
+    blobs.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val hist = graft.operators.Multimodal.imageHistogram(spark,
+        spark.readStream.schema(blobs.schema).parquet(dir.toString))
+      .toDF()
+    val sink = s"graft_stream_imghist_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = hist.writeStream
+      .format("memory").queryName(sink)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(sink).localCheckpoint(true)
+    spark.catalog.dropTempView(sink)
+    deleteStagedDir(dir.toString)
+    result
+  }
+
   case class AsofTagged(
       event_id: Long, ts_us: Long, user_id: Long, event_type: String,
       value: Double, is_right: Boolean)
