@@ -2791,6 +2791,32 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // 4-truss peeling on a planted graph: a 30-clique (every edge in 28
+    // triangles — the surviving truss), a diamond (two triangles
+    // sharing an edge: the shared edge's support collapses when its
+    // neighbors peel — a genuine 2-round cascade), and a triangle-free
+    // ring; the oracle unrolls 4 rounds and error()s short of fixpoint
+    "q_ktruss" -> ((s, dir) => {
+      import s.implicits._
+      val d = table(s, dir, "documents").select(col("doc_id"))
+      val n = d.count()
+      val ring = d.select(col("doc_id").as("x"), ((col("doc_id") + 1) % n).as("y"))
+      val cl = d.where(col("doc_id") < 30)
+      val clique = cl.as("l").join(cl.as("r"), col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("x"), col("r.doc_id").as("y"))
+      val dia = Seq((40L, 41L), (40L, 42L), (41L, 42L), (41L, 43L), (42L, 43L))
+        .toDF("x", "y")
+      // the kernel canonicalizes by STRING order (its node-type-agnostic
+      // contract); re-canonicalize the surviving pairs numerically so
+      // the edge keys match the BIGINT oracle ("21" < "3" lexically)
+      operators.Graph.kTrussEdges(ring.union(clique).union(dia), "x", "y", k = 4)
+        .select(
+          least(col("a").cast("long"), col("b").cast("long")).as("a"),
+          greatest(col("a").cast("long"), col("b").cast("long")).as("b"),
+          col("support"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // k-core peeling on a deterministic sparse doc-id graph (ring +
     // sparse chords + a planted i%97 clique — the events graph is too
     // dense to ever peel): converges in 3 rounds at every SF, the
@@ -6988,6 +7014,40 @@ object SparkEntry {
         "round(CASE WHEN d.degree >= 2 THEN CAST(2 AS DOUBLE) * coalesce(cnt.n_triangles, 0) " +
         "/ (d.degree * (d.degree - 1)) ELSE CAST(0 AS DOUBLE) END, 6) AS lcc " +
         "FROM deg d LEFT JOIN cnt ON cnt.node = d.node ORDER BY d.node"),
+
+    // k-truss replica: the same planted fixture regrown from doc ids,
+    // 4 peel rounds unrolled (the fixture converges in <= 3 at every
+    // SF: round 1 kills ring + diamond wings, round 2 the orphaned
+    // shared edge, round 3 confirms) with the q_kcore loud-error
+    // convergence discipline
+    "q_ktruss" -> {
+      val rounds = (1 to 4).map { t =>
+        val pe = s"te${t - 1}"
+        s"""tt$t AS (SELECT e1.a, e1.b, e2.b AS c FROM $pe e1
+          |   JOIN $pe e2 ON e2.a = e1.b JOIN $pe e3 ON e3.a = e1.a AND e3.b = e2.b),
+          | ts$t AS (SELECT ea, eb, CAST(count(*) AS BIGINT) AS support FROM
+          |   (SELECT a AS ea, b AS eb FROM tt$t UNION ALL SELECT b, c FROM tt$t
+          |    UNION ALL SELECT a, c FROM tt$t) GROUP BY ea, eb),
+          | te$t AS MATERIALIZED (SELECT e.a, e.b, coalesce(s.support, 0) AS support
+          |   FROM $pe e LEFT JOIN ts$t s ON s.ea = e.a AND s.eb = e.b
+          |   WHERE coalesce(s.support, 0) >= 2)""".stripMargin
+      }.mkString(", ")
+      s"""WITH tN AS (SELECT count(*) AS n FROM documents),
+        | tr AS (SELECT doc_id AS x, (doc_id + 1) % (SELECT n FROM tN) AS y FROM documents),
+        | tq AS (SELECT l.doc_id AS x, r.doc_id AS y FROM documents l JOIN documents r
+        |   ON l.doc_id < 30 AND r.doc_id < 30 AND l.doc_id < r.doc_id),
+        | td AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM
+        |   (VALUES (40, 41), (40, 42), (41, 42), (41, 43), (42, 43)) t(x, y)),
+        | te0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b,
+        |   CAST(0 AS BIGINT) AS support FROM
+        |   (SELECT x, y FROM tr UNION ALL SELECT x, y FROM tq UNION ALL SELECT x, y FROM td)
+        |   WHERE x <> y),
+        | $rounds
+        | SELECT a, b, support FROM te4
+        | WHERE CASE WHEN (SELECT count(*) FROM te3) = (SELECT count(*) FROM te4)
+        |   THEN TRUE ELSE error('ktruss oracle: fixpoint not reached in 4 unrolled rounds') END
+        | ORDER BY a, b""".stripMargin.replaceAll("\n", " ")
+    },
 
     // k-core replica: the same ring+chords+clique fixture regrown from
     // doc ids, peeling unrolled 6 rounds (the fixture converges in 3 at

@@ -617,6 +617,94 @@ object Graph {
     out
   }
 
+  /** k-truss [Cohen 2008, "Trusses: cohesive subgraphs for social
+    * network analysis"]: the maximal subgraph in which every EDGE sits
+    * in ≥ k−2 triangles — a strictly stronger cohesion filter than the
+    * k-core (every k-truss is inside the (k−1)-core, but a star
+    * survives coring and dies trussing), the standard screen for
+    * template families and tight communities where node-degree
+    * filters pass hub noise. Iterative peeling: compute per-edge
+    * triangle support ([[triangleCounts]]'s oriented wedge join, each
+    * triangle credited to its three edges), delete edges below k−2,
+    * repeat — removals cascade, so rounds run to the fixpoint
+    * (edge-count stability; removals-only makes that sound) under a
+    * LOUD `maxIter` bound. Returns the surviving edges
+    * `(a, b, support)` with support measured INSIDE the truss.
+    *
+    * Scale shape per round: one wedge equi-join bounded by high-
+    * neighbor degree + one keyed count + one left join back — the
+    * [[triangleCounts]] shuffle plan iterated; the surviving edge list
+    * is MATERIALIZED each round ([[kCoreMembers]] discipline:
+    * executor-local, or durable parquet under `checkpointDir`). */
+  def kTrussEdges(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIter: Int = 30,
+      checkpointDir: String = null): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val spark = edges.sparkSession
+    val runDir =
+      if (checkpointDir == null) null
+      else checkpointDir.stripSuffix("/") + "/ktruss_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      if (runDir == null) df.localCheckpoint()
+      else {
+        val p = s"$runDir/$name"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    def drop(name: String): Unit =
+      if (runDir != null) {
+        val p = new org.apache.hadoop.fs.Path(s"$runDir/$name")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    var e = materialize(
+      canonicalUndirected(edges, srcCol, dstCol)
+        .withColumn("support", lit(0L)), "e0")
+    var nEdges = e.count()
+    var iter = 0
+    var converged = nEdges == 0L
+    while (!converged) {
+      iter += 1
+      require(iter <= maxIter,
+        s"kTrussEdges: no fixpoint after $maxIter peel rounds (long " +
+          "support cascades — raise maxIter)")
+      val e2 = e.select(col("a").as("wa"), col("b").as("wb"))
+      val e3 = e.select(col("a").as("ca"), col("b").as("cb"))
+      val tris = e.join(e2, col("b") === col("wa"))
+        .select(col("a"), col("b"), col("wb").as("c"))
+        .join(e3, col("a") === col("ca") && col("c") === col("cb"))
+        .select(col("a"), col("b"), col("c"))
+      val sup = tris.select(col("a").as("ea"), col("b").as("eb"))
+        .unionAll(tris.select(col("b").as("ea"), col("c").as("eb")))
+        .unionAll(tris.select(col("a").as("ea"), col("c").as("eb")))
+        .groupBy(col("ea"), col("eb"))
+        .agg(count(lit(1)).cast("long").as("sup"))
+      val prev = e
+      e = materialize(
+        prev.join(sup,
+            prev("a") === sup("ea") && prev("b") === sup("eb"), "left")
+          .select(prev("a"), prev("b"),
+            coalesce(col("sup"), lit(0L)).as("support"))
+          .where(col("support") >= k - 2), s"e$iter")
+      drop(s"e${iter - 1}")
+      graft.operators.releaseLocalCheckpoint(prev)
+      val n = e.count()
+      converged = n == nEdges || n == 0L
+      nEdges = n
+    }
+    val out = e.localCheckpoint() // outlives the run dir removal below
+    if (runDir != null) {
+      val p = new org.apache.hadoop.fs.Path(runDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    out
+  }
+
   /** Deterministic label-propagation community detection (min-label-wins
     * over an undirected graph — the HashMin fixed point [Kang et al.
     * 2009, PEGASUS; Raghavan et al. 2007's LPA with the random tie

@@ -3056,6 +3056,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.view.mapValues(_._2).toMap == tc)
   }
 
+  test("kTrussEdges: clique survives, star dies, diamond cascades, durable mode, loud maxIter") {
+    val s = spark
+    import s.implicits._
+    // 5-clique (support 3 everywhere) + diamond (two triangles sharing
+    // an edge) + a star (triangle-free hub noise)
+    val clique = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val diamond = Seq((10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val star = (30 to 35).map(l => (20L, l.toLong))
+    val edges = (clique ++ diamond ++ star).toDF("s", "d")
+    def run(k: Int, dir: String = null) =
+      Graph.kTrussEdges(edges, "s", "d", k, checkpointDir = dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // 4-truss: only the clique survives (the diamond's shared edge has
+    // support 2 in round 1, then its wings peel and it cascades out)
+    val got = run(4)
+    assert(got == clique.map { case (a, b) => (a.toString, b.toString, 3L) }.toSet,
+      got.toString)
+    // 3-truss: clique + the whole diamond (every edge in >= 1 triangle)
+    assert(run(3).map(e => (e._1, e._2)) ==
+      (clique ++ diamond).map { case (a, b) => (a.toString, b.toString) }.toSet)
+    // durable-checkpoint mode is result-identical and leaves no orphans
+    val dir = java.nio.file.Files.createTempDirectory("graft-ktruss-spec").toString
+    assert(run(4, dir) == got)
+    val leftovers = new java.io.File(dir).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      leftovers.map(_.getName).mkString(", "))
+    // an under-sized maxIter fails LOUDLY, never returns a non-fixpoint
+    intercept[IllegalArgumentException] {
+      Graph.kTrussEdges(edges, "s", "d", k = 4, maxIter = 1).collect()
+    }
+  }
+
   test("degreeAssortativity: hand values, degenerate NULL, disassortative star") {
     val s = spark
     import s.implicits._
