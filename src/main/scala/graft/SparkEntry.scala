@@ -3293,6 +3293,16 @@ object SparkEntry {
           round(col("power"), 6).as("power"))
         .orderBy(col("doc_id"), col("channel"), col("window"), col("bin"))),
 
+    // VAD-lite loud segments on the real-decoded PCM16 corpus: maximal
+    // runs of consecutive loud frames via gaps-and-islands; the oracle
+    // regrows the loud set from the generator formula and closes the
+    // same islands
+    "q_audio_segments" -> ((s, dir) =>
+      operators.Multimodal.audioLoudSegments(s,
+          operators.Multimodal.syntheticAudioBlobs(s, table(s, dir, "documents")),
+          threshold = 900)
+        .orderBy(col("doc_id"), col("seg_idx"))),
+
     // streaming spectral twin: the stateless per-blob kernel replayed
     // over a file stream emits exactly the batch rows (q_audio_spectral's
     // oracle verbatim)
@@ -7502,6 +7512,22 @@ object SparkEntry {
     "q_audio_spectral" -> audioSpectralOracleSql(),
     // the streaming twin must equal the batch kernel value-for-value
     "q_stream_spectral" -> audioSpectralOracleSql(),
+
+    // loud-segment replica: loud frames from the sample formula (any
+    // channel |v| >= 900), then the same gaps-and-islands closure
+    "q_audio_segments" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 256 + (doc_id * 3) % 200 AS nf FROM documents),
+        | fr AS (SELECT doc_id, ch, unnest(range(nf)) AS f FROM d),
+        | sm AS (SELECT doc_id, f, unnest(range(ch)) AS c FROM fr),
+        | ld AS (SELECT doc_id, f FROM sm
+        |   GROUP BY doc_id, f
+        |   HAVING max(abs(((doc_id * 7919 + f * 31 + c * 17) % 2048) - 1024)) >= 900),
+        | il AS (SELECT doc_id, f, f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g FROM ld),
+        | sg AS (SELECT doc_id, g, min(f) AS start_f, max(f) AS end_f,
+        |   CAST(count(*) AS BIGINT) AS n_frames FROM il GROUP BY doc_id, g)
+        | SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_f) AS INT) AS seg_idx,
+        |  start_f, end_f, n_frames FROM sg
+        | ORDER BY doc_id, seg_idx""".stripMargin.replaceAll("\n", " "),
 
     // G.711 replica: regenerate each stored code byte from the formula,
     // expand it with the ITU integer arithmetic (μ-law even ids, A-law

@@ -2627,6 +2627,56 @@ object Multimodal {
       }
   }
 
+  /** VAD-lite segmentation — the islands the trim step
+    * ([[audioTrimSilence]]) deliberately keeps interior: every maximal
+    * run of consecutive LOUD frames (any channel |sample| ≥ threshold,
+    * the frame-level rule that keeps channels aligned) becomes one
+    * segment row `(doc_id, seg_idx, start_f, end_f, n_frames)` —
+    * the speech/music spans a transcription or windowed-feature pass
+    * would process, with the silence between them skipped. Decode is a
+    * narrow per-blob flatMap emitting only the loud frames; the runs
+    * are the classic gaps-and-islands: frame − row_number() is
+    * constant within a run, so one window + one keyed aggregation
+    * (both on the doc key — a single exchange) close the segments.
+    * All integers, oracle-replayable value-level. */
+  def audioLoudSegments(
+      spark: SparkSession,
+      blobs: DataFrame,
+      threshold: Int): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val loud = blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        pcm16Samples(bytes) match {
+          case None => Iterator.empty
+          case Some((_, ch, x)) =>
+            val nIn = x.length / ch
+            (0 until nIn).iterator.filter { f =>
+              var c = 0
+              var isLoud = false
+              while (c < ch && !isLoud) {
+                if (math.abs(x(f * ch + c).toInt) >= threshold) isLoud = true
+                c += 1
+              }
+              isLoud
+            }.map(f => (id, f.toLong))
+        }
+      }
+      .toDF("doc_id", "f")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+    loud
+      .withColumn("g", col("f") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("f")).as("start_f"), max(col("f")).as("end_f"),
+        count(lit(1)).cast("long").as("n_frames"))
+      .withColumn("seg_idx",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("start_f"))))
+      .select(col("doc_id"), col("seg_idx"), col("start_f"), col("end_f"),
+        col("n_frames"))
+  }
+
   /** One DFT bin of one analysis window: `power` = |X_k|² of the
     * normalized (÷32768) samples. */
   case class SpectralBin(

@@ -3458,6 +3458,34 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, Array[Byte](9, 9))).toDF("doc_id", "blob")).count() == 0L)
   }
 
+  test("audioLoudSegments: islands close right, any-channel rule, junk skip") {
+    val s = spark
+    import s.implicits._
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wav(ch: Int, samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(le16).toArray
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(8000) ++
+        le32(8000 * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    }
+    // mono: runs at frames 2-4, 6, 9 (negatives count via abs)
+    val mono = wav(1, Seq(0, 0, 1000, -1000, 1000, 0, 950, 0, 0, 1000))
+    // stereo: only ch1 is loud at frames 1-2 — the ANY-channel rule
+    val stereo = wav(2, Seq(0, 0, /*f1*/ 0, 999, /*f2*/ 0, -999, /*f3*/ 0, 0))
+    val got = Multimodal.audioLoudSegments(s,
+        Seq((1L, mono), (2L, stereo), (3L, Array[Byte](1))).toDF("doc_id", "blob"),
+        threshold = 900)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 1, 2L, 4L, 3L), (1L, 2, 6L, 6L, 1L), (1L, 3, 9L, 9L, 1L),
+      (2L, 1, 1L, 2L, 2L)), got.toString)
+  }
+
   test("audioSpectral: pure tone lands in its bin, silence is zero, window/channel indexing") {
     val s = spark
     import s.implicits._
