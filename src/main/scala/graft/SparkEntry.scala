@@ -1340,6 +1340,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // Flesch reading ease over the corpus: three one-pass regexp_counts
+    // + the fixed-order double formula, value-replayed by the oracle
+    "q_readability" -> ((s, dir) =>
+      operators.TextOps.readability(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_vowel_runs"), round(col("flesch"), 6).as("flesch"))
+        .orderBy(col("doc_id"))),
+
     // PII scrubbing: the corpus has no real PII, so the verify query
     // injects a deterministic email+phone per doc and scrubs it back out
     "q_redact" -> ((s, dir) =>
@@ -7512,6 +7520,22 @@ object SparkEntry {
     "q_audio_spectral" -> audioSpectralOracleSql(),
     // the streaming twin must equal the batch kernel value-for-value
     "q_stream_spectral" -> audioSpectralOracleSql(),
+
+    // readability replica: the same three regex counts and the same
+    // fixed-order double formula (decimal literals cast to DOUBLE)
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id,
+        |   CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_words,
+        |   greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+        |   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_vowel_runs
+        |  FROM t)
+        | SELECT doc_id, n_words, n_sentences, n_vowel_runs,
+        |  CASE WHEN n_words > 0 THEN round(CAST(206.835 AS DOUBLE)
+        |   - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |   - CAST(84.6 AS DOUBLE) * (CAST(n_vowel_runs AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+        |  ELSE NULL END AS flesch
+        | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // loud-segment replica: loud frames from the sample formula (any
     // channel |v| >= 900), then the same gaps-and-islands closure

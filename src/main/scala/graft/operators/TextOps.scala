@@ -140,6 +140,39 @@ object TextOps {
   def bpeTokenCount(textCol: Column): Column =
     regexp_count(textCol, lit(BpeTokenPattern)).cast("long")
 
+  /** Flesch reading-ease scoring [Flesch 1948; Kincaid et al. 1975 for
+    * the grade form] — the readability screen an edu-quality curation
+    * pass runs (textbook-style corpora select HIGH ease at fixed topic).
+    * Every ingredient is a deterministic one-pass regexp_count over the
+    * raw text (no NLP model, replayable in any regex engine on the
+    * ASCII corpus): words = non-space runs, sentences = [.!?] runs
+    * (floored at 1 so fragments score instead of dividing by zero),
+    * syllables ≈ [aeiouy]+ vowel GROUPS — the standard counting proxy,
+    * documented as such; no per-word 1-clamp, so the count is a pure
+    * corpus statistic. Score = 206.835 − 1.015·(W/S) − 84.6·(V/W) in
+    * fixed double op order, NULL for wordless rows. Returns
+    * `(idCol, n_words, n_sentences, n_vowel_runs, flesch)` — one
+    * narrow codegen scan, no shuffle. */
+  def readability(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val w = regexp_count(col(textCol), lit("[^ ]+")).cast("long")
+    val sRaw = regexp_count(col(textCol), lit("[.!?]+")).cast("long")
+    val v = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), w.as("n_words"),
+        greatest(sRaw, lit(1L)).as("n_sentences"), v.as("n_vowel_runs"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_vowel_runs").cast("double") /
+              col("n_words").cast("double")))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** One learned BPE merge: rank, the fused pair, and its corpus-weighted
     * adjacency count at the time it was chosen. */
   case class BpeMerge(merge_idx: Int, lhs: String, rhs: String, pair_count: Long)

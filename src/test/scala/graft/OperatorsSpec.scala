@@ -3458,6 +3458,26 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((1L, Array[Byte](9, 9))).toDF("doc_id", "blob")).count() == 0L)
   }
 
+  test("readability: hand counts, sentence floor, wordless NULL") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Hello world."),          // 2 words, 1 sentence, 3 vowel runs
+      (2L, "no markers here"),       // sentence count floors at 1
+      (3L, "A?! B.. C"),             // two [.!?] runs
+      (4L, ""))                      // wordless -> NULL score
+      .toDF("doc_id", "text")
+    val got = TextOps.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1L && got(1L)._3 == 3L)
+    assert(math.abs(got(1L)._4.get - (206.835 - 1.015 * 2.0 - 84.6 * 1.5)) < 1e-12)
+    assert(got(2L)._2 == 1L, got(2L).toString)
+    assert(got(3L) == ((3L, 2L, 1L, got(3L)._4)) && got(3L)._4.isDefined)
+    assert(got(4L)._1 == 0L && got(4L)._4.isEmpty)
+  }
+
   test("audioLoudSegments: islands close right, any-channel rule, junk skip") {
     val s = spark
     import s.implicits._
