@@ -209,7 +209,43 @@ object Plans {
     "q_video_mjpeg_cuts" ->
       ("MJPEG scene cuts: narrow per-blob flatMap (sequential pairwise " +
         "SAD over independently-decoded frames, two-frame memory), zero " +
-        "shuffles before the presentation sort"))
+        "shuffles before the presentation sort"),
+    "q_ann_ivfpq_indexed" ->
+      ("persisted IVF+PQ probe: the same PartitionFilters pruning as " +
+        "q_ann_ivf_indexed but over a CODE-sized layout — the scan " +
+        "reads nProbe/C of residual-code rows, never a float vector; " +
+        "the fused ADC score is one projection over the pruned read"),
+    "q_clustering" ->
+      ("clustering coefficient: ONE wedge equi-join bounded by " +
+        "high-neighbor degree (the q_triangles plan) + a degree " +
+        "aggregation — no new shuffle beyond the triangle count"),
+    "q_ktruss" ->
+      ("k-truss final round's plan: wedge join + per-edge support count " +
+        "+ left join back, each round on the MATERIALIZED surviving " +
+        "edges (lineage truncated, the k-core discipline)"),
+    "q_coreset" ->
+      ("k-center greedy (one round's plan): the selected centers are " +
+        "plan literals folded with least() over ONE narrow scan of the " +
+        "persisted pool, ending in TakeOrderedAndProject(1) — no join, " +
+        "no shuffle, k rounds = k scans"),
+    "q_assortativity" ->
+      ("degree assortativity: one degree aggregation + two keyed joins " +
+        "of edges to degrees + a single global-sum row — nothing " +
+        "quadratic, two exchanges of the edge list"),
+    "q_audio_spectral" ->
+      ("windowed DFT bins: narrow per-blob flatMap (sample-order folds " +
+        "against a driver-built trig table), zero shuffles before the " +
+        "presentation sort"),
+    "q_audio_segments" ->
+      ("VAD islands: narrow decode flatMap emitting loud frames, then " +
+        "window + aggregation BOTH keyed by doc_id — a single exchange " +
+        "closes the segments"),
+    "q_img_hist" ->
+      ("image histograms: narrow per-blob raster recount (48 dense " +
+        "rows per doc), zero shuffles before the presentation sort"),
+    "q_readability" ->
+      ("Flesch scoring: three regexp_counts + the double formula in ONE " +
+        "WholeStageCodegen scan — no shuffle, no UDF"))
 
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
