@@ -1316,8 +1316,31 @@ object Curation {
     * the totals row and the weight join, but the subplans are
     * canonically identical so the runtime computes the count Exchange
     * once and reuses it (the cooccurrencePmi ReusedExchange shape) —
-    * two corpus scans total: one for counts, one for scoring. */
+    * two corpus scans total: one for counts, one for scoring.
+    *
+    * OPTIMIZATION r16: delegates to [[dsirTrain]] + [[dsirScoreFused]] —
+    * the production fused-kernel route that was already spec-pinned
+    * BIT-IDENTICAL to the aggregation path. The corpus-side explode +
+    * broadcast join + per-doc collect_list/sort_array groupBy (the wide
+    * stage) is replaced by ONE narrow codegen'd scan with the ≤ buckets
+    * weight table riding the plan as literal data; the two training
+    * count aggregates are unchanged. Inherits dsirTrain's
+    * buckets ≤ 2^20 bound (the collected-table cap). The old
+    * aggregation path stays as [[dsirWeightsAgg]] so the bit-identity
+    * spec keeps comparing two INDEPENDENT implementations. */
   def dsirWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1 << 16): DataFrame =
+    dsirScoreFused(corpus, idCol, textCol,
+      dsirTrain(corpus, target, idCol, textCol, buckets))
+
+  /** The pre-r16 aggregation implementation of [[dsirWeights]] —
+    * retained verbatim as the independent reference the
+    * fused-vs-aggregation bit-identity spec compares against. */
+  private[graft] def dsirWeightsAgg(
       corpus: DataFrame,
       target: DataFrame,
       idCol: String,

@@ -889,23 +889,33 @@ object Graph {
       while (iter < rounds && !converged) {
         iter += 1
         // every node has >= 1 neighbor (nodes are edge endpoints), so the
-        // argmax is total: no keep-own-label fallback branch exists
+        // argmax is total: no keep-own-label fallback branch exists.
+        // OPTIMIZATION r16 (guide §2.4): the per-node top-1 was a
+        // row_number window over the (node, lbl) aggregate — an extra
+        // partition-by-node SORT per round. max_by over the exact
+        // integer key (s, −lbl) is the same argmax (max weight, ties →
+        // smaller label; labels are non-negative node ids so the
+        // negation is overflow-safe and order-reversing) as one
+        // partial-agg-friendly aggregation — round-for-round identical
+        // (spec-pinned vs the planted fixture and the unrolled oracle).
         val next = und.join(lab.withColumnRenamed("node", "m"), Seq("m"))
           .groupBy(col("n").as("node"), col("lbl"))
           .agg(sum(col("w")).as("s"))
-          .withColumn("__rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("node")).orderBy(desc("s"), col("lbl"))))
-          .where(col("__rn") === 1)
-          .select(col("node"), col("lbl"))
+          .groupBy(col("node"))
+          .agg(max_by(col("lbl"), struct(col("s"), (-col("lbl")).as("nl")))
+            .as("lbl"))
         val prev = lab
         lab = materialize(next, s"l$iter")
-        val changed = lab.join(prev.withColumnRenamed("lbl", "prev_lbl"),
-            Seq("node"))
-          .where(col("lbl") =!= col("prev_lbl")).count()
+        // the last round's labeling is returned whether or not it is a
+        // fixpoint, so its changed-count job is pure overhead — skip it
+        if (iter < rounds) {
+          val changed = lab.join(prev.withColumnRenamed("lbl", "prev_lbl"),
+              Seq("node"))
+            .where(col("lbl") =!= col("prev_lbl")).count()
+          converged = changed == 0L
+        }
         drop(s"l${iter - 1}")
         graft.operators.releaseLocalCheckpoint(prev)
-        converged = changed == 0L
       }
       val out = lab.select(col("node"), col("lbl").as("community"))
         .localCheckpoint() // outlives the run-dir removal in the finally
@@ -962,6 +972,17 @@ object Graph {
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
     val lab = labels.select(col(nodeCol).cast("long").as("node"),
       col(communityCol).cast("long").as("c"))
+    // OPTIMIZATION r16 (guide §2.4 / §5): the labeled-edge frame used to
+    // be re-executed FOUR times (the two_m driver agg, the in2 agg, and
+    // twice via the tot unionAll) — each re-execution replaying the edge
+    // canonicalization groupBy and both label joins. It is small
+    // (collapsed edges), so materialize it ONCE (eager localCheckpoint —
+    // this also fires the loud unlabeled-endpoint raise_error exactly
+    // once), then derive every mass from it: per-community in2/tot fold
+    // in ONE pass by exploding each edge into its two endpoint rows (an
+    // internal edge contributes its weight at BOTH rows of the same
+    // community, which is exactly the ×2 in Σin). All sums are exact
+    // integer masses — order-free, so values are unchanged.
     val ej = e
       .join(lab.select(col("node").as("a"), col("c").as("ca")), Seq("a"), "left")
       .join(lab.select(col("node").as("b"), col("c").as("cb")), Seq("b"), "left")
@@ -973,6 +994,7 @@ object Graph {
             lit(")"))))
           .otherwise(col("ca")).as("ca"),
         col("cb"), col("w"))
+      .localCheckpoint(true)
     val stats = ej.agg(coalesce(sum(col("w") * 2), lit(0L)).as("two_m")).head()
     val twoM = stats.getLong(0)
     // tot_c <= two_m, so tot² <= two_m² — keep it inside a long, loudly
@@ -983,21 +1005,27 @@ object Graph {
       return lab.sparkSession.emptyDataFrame
         .select(lit(0L).as("community"), lit(0L).as("in2"), lit(0L).as("tot"),
           lit(0L).as("two_m"), lit(0.0).as("contrib")).where(lit(false))
-    val in2 = ej.where(col("ca") === col("cb"))
-      .groupBy(col("ca").as("community"))
-      .agg((sum(col("w")) * 2).as("in2"))
-    val tot = ej.select(col("ca").as("community"), col("w"))
-      .unionAll(ej.select(col("cb").as("community"), col("w")))
-      .groupBy(col("community")).agg(sum(col("w")).as("tot"))
-    tot.join(in2, Seq("community"), "left")
+    val internal = (col("ca") === col("cb")).as("int")
+    val out = ej.select(explode(array(
+        struct(col("ca").as("community"), col("w"), internal),
+        struct(col("cb").as("community"), col("w"), internal))).as("t"))
+      .select(col("t.community").as("community"), col("t.w").as("w"),
+        col("t.int").as("int"))
+      .groupBy(col("community"))
+      .agg(sum(when(col("int"), col("w")).otherwise(0L)).as("in2"),
+        sum(col("w")).as("tot"))
       .select(col("community"),
-        coalesce(col("in2"), lit(0L)).as("in2"),
+        col("in2"),
         col("tot"),
         lit(twoM).as("two_m"),
         round(
-          coalesce(col("in2"), lit(0L)).cast("double") / lit(twoM.toDouble) -
+          col("in2").cast("double") / lit(twoM.toDouble) -
             (col("tot").cast("double") / lit(twoM.toDouble)) *
             (col("tot").cast("double") / lit(twoM.toDouble)), 6).as("contrib"))
+      // one tiny row per community — materialize so ej can be released
+      .localCheckpoint(true)
+    graft.operators.releaseLocalCheckpoint(ej)
+    out
   }
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999) on a directed

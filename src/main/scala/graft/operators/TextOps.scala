@@ -1274,12 +1274,74 @@ object TextOps {
     * order (sort_array + sequential `aggregate` — the q_lm_ppl
     * convention), and the reported score rounds to 4 decimals.
     *
-    * Scale shape: training counts are one bucket-keyed partial-agg
-    * groupBy over the (small) reference; the weight table is ≤ B rows
-    * and BROADCASTS to the corpus-side feature join (AQE would pick it
-    * anyway; pinned explicitly); the only wide operation over the
-    * corpus is the per-document groupBy, AQE-splittable. */
+    * Scale shape (OPTIMIZATION r16 — the [[graft.operators.Curation.dsirScoreFused]]
+    * discipline): training counts are one bucket-keyed partial-agg
+    * groupBy over the (small) reference, COLLECTED into a dense
+    * ≤ 2^20-entry weight array (bounded by `buckets` — same cap as
+    * dsirTrain); scoring is then ONE narrow codegen'd
+    * [[graft.operators.DsirScore]] kernel scan with the weights as
+    * plan-literal data — zero Exchange, zero Join, no per-doc groupBy
+    * over the corpus. The kernel folds w in featureBuckets' position
+    * order and every per-bucket weight is computed with the identical
+    * Math.log expression tree, so values are BIT-IDENTICAL to the
+    * pre-r16 aggregation path (retained as [[nbClassifyAgg]];
+    * spec-pinned). */
   def nbClassify(
+      corpus: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int = 1 << 16): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20) &&
+      (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two in [2, 2^20], got $buckets")
+    val labels = ref.select(col(idCol).as("id"), col(labelCol).cast("boolean").as("y"))
+    // training: the same (pc, nc) bucket counts as the aggregation path,
+    // collected (≤ buckets rows of 24 B — the dsirTrain contract)
+    val cntRows = featureBuckets(ref, idCol, textCol, buckets)
+      .join(labels, "id")
+      .groupBy("b")
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("pc"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("nc"))
+      .collect()
+    var pn = 0L
+    var nn = 0L
+    cntRows.foreach { r => pn += r.getLong(1); nn += r.getLong(2) }
+    val vocab = cntRows.length + 1L
+    // per-bucket weights, replicating the aggregation path's expression
+    // tree op-for-op (math_ln == Math.log; unseen buckets get the
+    // pc = nc = 0 value — exactly what the LEFT join + coalesce yields)
+    val lnPnV = Math.log((pn + vocab).toDouble)
+    val lnNnV = Math.log((nn + vocab).toDouble)
+    val wDefault = (Math.log(1.0) - lnPnV) - (Math.log(1.0) - lnNnV)
+    val wArr = Array.fill(buckets)(wDefault)
+    cntRows.foreach { r =>
+      wArr(r.getLong(0).toInt) =
+        (Math.log((r.getLong(1) + 1L).toDouble) - lnPnV) -
+          (Math.log((r.getLong(2) + 1L).toDouble) - lnNnV)
+    }
+    // prior from the exact label counts (same ln args as the agg path)
+    val lc = labels.agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("nn")).head()
+    val prior =
+      Math.log(((if (lc.isNullAt(0)) 0L else lc.getLong(0)) + 1L).toDouble) -
+        Math.log(((if (lc.isNullAt(1)) 0L else lc.getLong(1)) + 1L).toDouble)
+    val st = graft.operators.dsir_score(
+      tokens(coalesce(col(textCol), lit(""))), wArr)
+    val score = col("st.wsum") + lit(prior)
+    corpus.select(col(idCol), st.as("st"))
+      .select(col(idCol), col("st.n_feats").as("n_feats"),
+        round(score, 4).as("score"),
+        (round(score, 4) > lit(0.0)).as("keep"))
+  }
+
+  /** The pre-r16 aggregation implementation of [[nbClassify]] —
+    * retained verbatim as the independent reference the fused-vs-
+    * aggregation bit-identity spec compares against. */
+  private[graft] def nbClassifyAgg(
       corpus: DataFrame,
       ref: DataFrame,
       idCol: String,

@@ -4348,6 +4348,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2) == ((12L, 1L, 0.0, false)))
   }
 
+  test("nbClassify (r16 fused): bit-identical to the aggregation path") {
+    val s = spark
+    val d = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = d.where(col("doc_id") % 2 =!= 0)
+    val ref = d.where(col("doc_id") % 2 === 0)
+      .withColumn("y", TextOps.stopwordRatio(col("text")) >= 0.06)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)),
+          r.getBoolean(3)))).toMap
+    val fused = rowsOf(TextOps.nbClassify(corpus, ref, "doc_id", "text", "y"))
+    val agg = rowsOf(TextOps.nbClassifyAgg(corpus, ref, "doc_id", "text", "y"))
+    assert(fused.keySet == agg.keySet)
+    val bad = fused.keySet.filter(k => fused(k) != agg(k))
+    assert(bad.isEmpty, s"diverging docs: ${bad.take(5).map(k =>
+      s"$k fused=${fused(k)} agg=${agg(k)}")}")
+  }
+
   test("lmPerplexity matches hand-computed add-one bigram probabilities") {
     val s = spark
     import s.implicits._
@@ -4479,7 +4498,10 @@ class OperatorsSpec extends AnyFunSuite {
         ((r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2)),
           r.getLong(3), r.getLong(4), r.getLong(5),
           java.lang.Double.doubleToLongBits(r.getDouble(6))))).toMap
-    val agg = rowsOf(operators.Curation.dsirWeights(corpus, target, "doc_id", "text"))
+    // dsirWeightsAgg = the retained aggregation path, so this spec keeps
+    // comparing two INDEPENDENT implementations (dsirWeights itself now
+    // delegates to the fused route)
+    val agg = rowsOf(operators.Curation.dsirWeightsAgg(corpus, target, "doc_id", "text"))
     val model = operators.Curation.dsirTrain(corpus, target, "doc_id", "text")
     val fusedDf = operators.Curation.dsirScoreFused(corpus, "doc_id", "text", model)
     val fused = rowsOf(fusedDf)

@@ -552,11 +552,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
   }
 
-  test("nbClassify: weight table broadcasts to the corpus feature join") {
+  test("nbClassifyAgg: weight table broadcasts to the corpus feature join") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val d = s.read.parquet(s"$sfDir/documents.parquet")
-    val out = graft.operators.TextOps.nbClassify(
+    val out = graft.operators.TextOps.nbClassifyAgg(
       d.where(col("doc_id") % 2 =!= 0),
       d.where(col("doc_id") % 2 === 0)
         .withColumn("y", graft.operators.TextOps.stopwordRatio(col("text")) >= 0.06),
@@ -566,6 +566,23 @@ class PlanQualitySpec extends AnyFunSuite {
     // (never a sort-merge shuffle of the exploded corpus side)
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("nbClassify (r16 fused): scoring scan has zero Exchange / Join / Window") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val out = graft.operators.TextOps.nbClassify(
+      d.where(col("doc_id") % 2 =!= 0),
+      d.where(col("doc_id") % 2 === 0)
+        .withColumn("y", graft.operators.TextOps.stopwordRatio(col("text")) >= 0.06),
+      "doc_id", "text", "y")
+    val plan = out.queryExecution.executedPlan.toString
+    // after the (bounded, eager) training collect, scoring is ONE narrow
+    // codegen'd dsir_score kernel scan — the dsirScoreFused shape
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("PQ ADC scan: narrow encode+score, top-k merge, no vector shuffle") {
@@ -1022,11 +1039,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pmiPlan.contains("CartesianProduct"), pmiPlan)
   }
 
-  test("dsirWeights: broadcast weight table, reused count Exchange, no cartesian blowup") {
+  test("dsirWeightsAgg: broadcast weight table, reused count Exchange, no cartesian blowup") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val d = s.read.parquet(s"$sfDir/documents.parquet")
-    val df = operators.Curation.dsirWeights(
+    val df = operators.Curation.dsirWeightsAgg(
       d.where(col("doc_id") % 20 =!= 0),
       d.where(col("doc_id") % 20 === 0), "doc_id", "text")
     assert(df.collect().nonEmpty) // materialize THIS plan so AQE finalizes
@@ -1038,6 +1055,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("ReusedExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dsirWeights (r16 fused): scoring scan has zero Exchange / Join / Window") {
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+    val df = operators.Curation.dsirWeights(
+      d.where(col("doc_id") % 20 =!= 0),
+      d.where(col("doc_id") % 20 === 0), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    // after the (bounded, eager) training collect, the scoring plan is
+    // ONE narrow codegen'd scan — the dsirScoreFused production shape
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("hamming cross join: (band, chunk) equi-join only — no cartesian, no NL join") {
