@@ -21,6 +21,23 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     sources.Tables.readTable(spark, s"$dir/$name.parquet")
 
+  /** OPTIMIZATION r16: materialize a synthetic fixture frame before it
+    * feeds an operator. The generator-expression chains are verify
+    * plumbing a production pipeline never has (it reads real rows from
+    * storage); fusing them into the consuming operator's whole-stage-
+    * codegen pipeline pushed q_link_graph / q_domain_cap_salted past
+    * janino's 64 KB method limit — the stage silently fell back to
+    * INTERPRETED evaluation, and multi-subtree consumers re-derived the
+    * whole chain per subtree. The compact id scan is spread across the
+    * session's default parallelism first (the single-row-group verify
+    * files pin the scan to one task), then the generated rows are
+    * checkpointed so every downstream stage starts from plain columns. */
+  private def materializeFixture(base: DataFrame, cols: Column*): DataFrame =
+    base.repartition(base.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(cols: _*)
+      .localCheckpoint(true)
+
   /** Recursive delete for the temp layouts some queries build (inverted
     * index, shard dirs) — children before parents. */
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -1643,9 +1660,20 @@ object SparkEntry {
 
     // the crawl authority pipeline: anchor extraction (regex replayed
     // verbatim) → registered-domain edges → fixed-point integer PageRank
-    // — link-graph domain ranking for source weighting, end to end
+    // — link-graph domain ranking for source weighting, end to end.
+    // OPTIMIZATION r16: the synthetic url/html fixture is MATERIALIZED
+    // before domainEdges — fused into the operator's stage, the
+    // generator expressions pushed the distinct-aggregate method past
+    // janino's 64 KB limit and the WHOLE edge derivation silently fell
+    // back to interpreted evaluation (verify log: "Code grows beyond
+    // 64 KB" → "Whole-stage codegen disabled"). A production caller
+    // reads real pages from storage, so the operator never sees the
+    // fixture chain; materializing mirrors that shape and restores
+    // codegen for both halves. Values unchanged (same fixture rows).
     "q_link_graph" -> ((s, dir) => {
-      val pages = table(s, dir, "documents").select(col("doc_id"),
+      val pages = materializeFixture(
+        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"),
         operators.Web.syntheticUrl(col("doc_id"), col("lang")).as("url"),
         operators.Web.syntheticLinkPage(col("doc_id"), col("lang")).as("html"))
       operators.Graph.pageRankFixed(
@@ -1750,10 +1778,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // skew-safe salted variant: identical keeps, bounded tasks at any
-    // domain skew; domain_rank is NULL past the cap by contract
+    // domain skew; domain_rank is NULL past the cap by contract.
+    // OPTIMIZATION r16: fixture materialized — the salted two-phase
+    // plan re-derives its input in three subtrees, and with the
+    // synthetic url chain inlined each copy blew the 64 KB codegen
+    // method limit (interpreted fallback, the q_link_graph failure)
     "q_domain_cap_salted" -> ((s, dir) =>
       operators.Web.domainCapSalted(
-          table(s, dir, "documents").select(col("doc_id"),
+          materializeFixture(
+            table(s, dir, "documents").select(col("doc_id"), col("lang")),
+            col("doc_id"),
             operators.Web.syntheticUrl(col("doc_id"), col("lang")).as("url")),
           "doc_id", "url", maxPerDomain = 300L, blocklist = Seq("bad-ads.com"))
         .select(col("doc_id"), col("domain"),

@@ -245,12 +245,8 @@ object Multimodal {
   /** (doc_id, blob) table of [[syntheticPng]] images for the given ids —
     * the deterministic image corpus the img queries decode. Narrow
     * mapPartitions; blob generation is partition-local CPU. */
-  def syntheticImageBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticPng(id))))
-      .toDF("doc_id", "blob")
-  }
+  def syntheticImageBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticPng)
 
   /** The shared synthetic pixel formula ([[syntheticPng]]'s scaladoc):
     * 0xRRGGBB at (x, y) for a given doc id. */
@@ -398,12 +394,8 @@ object Multimodal {
   }
 
   /** (doc_id, blob) table of [[syntheticVariantPng]] images. */
-  def syntheticVariantBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticVariantPng(id))))
-      .toDF("doc_id", "blob")
-  }
+  def syntheticVariantBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticVariantPng)
 
   /** Deterministic synthetic BMP — the same pixel formula as
     * [[syntheticPng]] at w = 16 + docId mod 19, h = 16 + 5·docId mod 11 —
@@ -444,12 +436,8 @@ object Multimodal {
   }
 
   /** (doc_id, blob) table of [[syntheticBmp]] images. */
-  def syntheticBmpBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticBmp(id))))
-      .toDF("doc_id", "blob")
-  }
+  def syntheticBmpBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticBmp)
 
   // 18-byte TGA 2.0 footer tail: "TRUEVISION-XFILE" + '.' + NUL
   private val TgaFooterSig: Array[Byte] =
@@ -513,12 +501,8 @@ object Multimodal {
   }
 
   /** (doc_id, blob) table of [[syntheticTga]] images. */
-  def syntheticTgaBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticTga(id))))
-      .toDF("doc_id", "blob")
-  }
+  def syntheticTgaBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticTga)
 
   /** REAL TGA decode — `javax.imageio` ships no TGA reader, so this is a
     * hand-written parser for the two truecolor encodings (type 2
@@ -676,12 +660,8 @@ object Multimodal {
   }
 
   /** (doc_id, blob) table of [[syntheticQoi]] images. */
-  def syntheticQoiBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticQoi(id))))
-      .toDF("doc_id", "blob")
-  }
+  def syntheticQoiBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticQoi)
 
   /** QOI decoder (full v1.0 spec: both channel counts, all six chunk
     * ops, the 64-slot running index updated after every decoded chunk,
@@ -829,12 +809,8 @@ object Multimodal {
       8 + java.lang.Math.floorMod(docId * 7, 5L).toInt))
 
   /** (doc_id, blob) table of [[syntheticIco]] containers. */
-  def syntheticIcoBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticIco(id))))
-      .toDF("doc_id", "blob")
-  }
+  def syntheticIcoBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticIco)
 
   /** REAL ICO parse (no JVM reader exists for .ico): ICONDIR walk, then
     * per entry a 32-bpp BITMAPINFOHEADER icon — double-height header
@@ -1413,11 +1389,25 @@ object Multimodal {
     buf
   }
 
-  /** (doc_id, blob) table of one generated clip per id. */
+  /** (doc_id, blob) table of one generated clip per id.
+    *
+    * OPTIMIZATION r16 (guide §2.5 input skew / §8 "decide with small
+    * rows, move big rows once"): the verify corpora are single-row-group
+    * parquet files, so the id scan is ONE task and blob synthesis plus
+    * every downstream narrow decode kernel ran single-threaded on a
+    * 32-core box. Hash-repartitioning the 8-byte id column across the
+    * session's default parallelism costs a trivial shuffle of bare ids
+    * and parallelizes synthesis AND decode; the heavy blob bytes
+    * themselves still never shuffle. Scale-adaptive by construction —
+    * `defaultParallelism` = total executor cores, no local constant;
+    * on a real many-file corpus the exchange is the same one a
+    * skew-evening `repartition(n)` would be. */
   private def blobTable(spark: SparkSession, df: DataFrame,
       gen: Long => Array[Byte]): DataFrame = {
     import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
+    df.select(col("doc_id").cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(it => it.map(id => (id, gen(id))))
       .toDF("doc_id", "blob")
   }
@@ -1614,12 +1604,8 @@ object Multimodal {
   }
 
   /** (doc_id, blob) table of [[syntheticPcx]] images. */
-  def syntheticPcxBlobs(spark: SparkSession, df: DataFrame): DataFrame = {
-    import spark.implicits._
-    df.select(col("doc_id").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticPcx(id))))
-      .toDF("doc_id", "blob")
-  }
+  def syntheticPcxBlobs(spark: SparkSession, df: DataFrame): DataFrame =
+    blobTable(spark, df, syntheticPcx)
 
   /** REAL PCX decode (javax.imageio ships no PCX reader): version-5
     * 8-bit 3-plane RLE truecolor — the dominant surviving variant.

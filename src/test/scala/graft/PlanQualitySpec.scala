@@ -1107,23 +1107,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"), plan) // the single-row totals
   }
 
-  test("multimodal kernels (phash / scene cuts / resample / wordpiece) are zero-Exchange scans") {
+  test("multimodal kernels (phash / scene cuts / resample / wordpiece) shuffle ids only") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val d = s.read.parquet(s"$sfDir/documents.parquet")
     val ids = d.select(col("doc_id"))
+    // r16: blob generation spreads the BARE ID column across cores with
+    // exactly one hash exchange (the single-row-group inputs otherwise
+    // pin synthesis + decode to one task); the generated blobs and the
+    // decode itself must still never shuffle — one Exchange, of ids only
+    def idOnlyExchange(plan: String, tag: String): Unit = {
+      assert("Exchange ".r.findAllIn(plan).size == 1, s"$tag: $plan")
+      assert(plan.contains("Exchange hashpartitioning(doc_id"), s"$tag: $plan")
+    }
     val ph = operators.Multimodal.perceptualHashes(s,
         operators.Multimodal.syntheticImageBlobs(s, ids)).toDF()
       .queryExecution.executedPlan.toString
-    assert(!ph.contains("Exchange"), ph)
+    idOnlyExchange(ph, "phash")
     val vc = operators.Multimodal.videoSceneCuts(s,
         operators.Multimodal.syntheticAviBlobs(s, ids), 32000L).toDF()
       .queryExecution.executedPlan.toString
-    assert(!vc.contains("Exchange"), vc)
+    idOnlyExchange(vc, "scenecuts")
     val ar = operators.Multimodal.audioResample(s,
         operators.Multimodal.syntheticAudioBlobs(s, ids)).toDF()
       .queryExecution.executedPlan.toString
-    assert(!ar.contains("Exchange"), ar)
+    idOnlyExchange(ar, "resample")
     val wp = operators.TextOps.wordPieceSegmentWith(d, "doc_id", "text",
         Seq(("a", 0), ("a", 1)))
       .queryExecution.executedPlan.toString
