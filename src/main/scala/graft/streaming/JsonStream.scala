@@ -17,6 +17,48 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object JsonStream {
 
+  /** OPTIMIZATION r16 — scale-adaptive state partitioning (guide §2:
+    * "make partitioning scale-adaptive / derive from input size"): a
+    * stateful micro-batch pays a fixed per-partition state-store cost
+    * every batch (open, delta file, commit — ~20 ms each), so the
+    * stream's shuffle-partition count should track the REPLAY'S DATA
+    * SIZE, not the session's batch setting sized for the whole corpus.
+    * One partition per 256 KB of source input (sized so the fixed
+    * per-store cost stays well under the per-partition compute at the
+    * verify scales; A/B-measured — 1 serialized the windowed agg, 32
+    * paid 0.6 s of empty stores), clamped to
+    * [1, session setting] — big inputs keep the session value
+    * unchanged, the bounded verify replays stop paying for 32 near-empty
+    * state stores per operator per batch. The session value is restored
+    * after the query drains; results are partitioning-independent
+    * (every ToBatch is oracle-gated equal to its batch twin).
+    *
+    * Builds the writer INSIDE the conf window: Structured Streaming
+    * captures `spark.sql.shuffle.partitions` into the offset-log
+    * metadata when the query starts, so the value must be in place
+    * before `start()`. */
+  private def drainAdaptive(
+      spark: SparkSession,
+      srcPath: String,
+      writer: => org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val bytes =
+      try {
+        val f = new java.io.File(srcPath)
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(_.length).sum
+      } catch { case _: Throwable => Long.MaxValue }
+    val n = math.max(1L, math.min(prev.toLong, bytes >> 18))
+    spark.conf.set(key, n.toString)
+    try {
+      val q = writer.start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally spark.conf.set(key, prev)
+  }
+
   /** events-shaped streaming source over a parquet path (ts normalized
     * to epoch-nanos long whichever physical timestamp type the file
     * carries — see [[graft.sources.Tables]]). */
@@ -101,12 +143,11 @@ object JsonStream {
     val agg = windowedJsonAgg(readEvents(spark, srcPath))
       .select(col("window.start").cast("long").as("w_start"),
         col("event_type"), col("n"), col("sum_k"))
-    val q = agg.writeStream
+    drainAdaptive(spark, path,
+      agg.writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     // detach the result from the memory sink so the temp view and staged
     // dir can be cleaned up immediately — repeated calls would otherwise
     // accumulate sink tables (each holding the full result on the driver)
@@ -135,12 +176,11 @@ object JsonStream {
     val deduped = dedupStream(readEvents(spark, dir.toString), Seq("event_id"))
       .select(col("event_id"), col("event_type"),
         json_get_int(col("props"), lit("k")).as("k"))
-    val q = deduped.writeStream
+    drainAdaptive(spark, path,
+      deduped.writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
     deleteStagedDir(dir.toString)
@@ -184,12 +224,11 @@ object JsonStream {
       rightIdCol = "click_id", rightValueCols = Seq("click_value"),
       maxRightRows = 1000000)
     val sink = s"graft_stream_asof_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = enriched.writeStream
+    drainAdaptive(spark, path,
+      enriched.writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
     if (srcPath != path) deleteStagedDir(srcPath)
@@ -233,15 +272,13 @@ object JsonStream {
       val schema = spark.read.parquet(path).schema
       val out = transform(spark.readStream.schema(schema).parquet(srcPath))
       val sink = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = out.writeStream
-        .format("memory").queryName(sink)
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try {
-        try q.awaitTermination() finally if (q.isActive) q.stop()
-        spark.table(sink).localCheckpoint(true)
-      } finally spark.catalog.dropTempView(sink)
+      drainAdaptive(spark, path,
+        out.writeStream
+          .format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow()))
+      try spark.table(sink).localCheckpoint(true)
+      finally spark.catalog.dropTempView(sink)
     } finally if (srcPath != path) deleteStagedDir(srcPath)
   }
 
@@ -367,13 +404,12 @@ object JsonStream {
     val sink = s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     try {
       val schema = spark.read.parquet(path).schema
-      val q = transform(spark.readStream.schema(schema).parquet(srcPath))
+      drainAdaptive(spark, path,
+        transform(spark.readStream.schema(schema).parquet(srcPath))
         .writeStream
         .format("memory").queryName(sink)
         .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()))
       val snapshot = spark.table(sink).localCheckpoint(true)
       spark.catalog.dropTempView(sink)
       snapshot
@@ -627,12 +663,11 @@ object JsonStream {
         coalesce(-col("best.noid"), lit(-1L)).as("match_id"),
         coalesce(col("best.jac"), lit(0.0)).as("match_jaccard"))
     val sink = s"graft_stream_neardup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .format("memory").queryName(sink)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    drainAdaptive(spark, path,
+      agg.writeStream
+        .format("memory").queryName(sink)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow()))
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
     deleteStagedDir(dir.toString)
@@ -715,12 +750,11 @@ object JsonStream {
       .select(col("doc_id"), col("best").isNotNull.as("matched"),
         col("best.dist").as("min_dist"), col("best.cid").as("match_id"))
     val sink = s"graft_stream_editdist_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
+    drainAdaptive(spark, path,
+      agg.writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
     deleteStagedDir(staged.toString)
@@ -768,12 +802,11 @@ object JsonStream {
       .join(statFps, "fp") // stream-static inner equi-join, stateless
       .select(col("bid"), col("oid"), col("fp"))
     val sink = s"graft_stream_winnow_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = streamMatches.writeStream
+    drainAdaptive(spark, path,
+      streamMatches.writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val pairs = spark.table(sink).select("bid", "oid", "fp").distinct()
       .groupBy(col("bid"), col("oid")).agg(count(lit(1)).as("n_shared"))
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
@@ -839,12 +872,11 @@ object JsonStream {
         coalesce(col("best.oid"), lit(-1L)).as("match_id"),
         coalesce(col("best.hamming"), lit(-1)).as("hamming"))
     val sink = s"graft_stream_imgdup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
+    drainAdaptive(spark, path,
+      agg.writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
     deleteStagedDir(dir.toString)
@@ -870,12 +902,11 @@ object JsonStream {
         threshold = 32000L)
       .toDF()
     val sink = s"graft_stream_vcuts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = cuts.writeStream
+    drainAdaptive(spark, path,
+      cuts.writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
     deleteStagedDir(dir.toString)
@@ -898,12 +929,11 @@ object JsonStream {
         spark.readStream.schema(blobs.schema).parquet(dir.toString))
       .toDF()
     val sink = s"graft_stream_spectral_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = bins.writeStream
+    drainAdaptive(spark, path,
+      bins.writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
     deleteStagedDir(dir.toString)
@@ -924,12 +954,11 @@ object JsonStream {
         spark.readStream.schema(blobs.schema).parquet(dir.toString))
       .toDF()
     val sink = s"graft_stream_imghist_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = hist.writeStream
+    drainAdaptive(spark, path,
+      hist.writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
     deleteStagedDir(dir.toString)
@@ -1165,12 +1194,11 @@ object JsonStream {
       } else path
     val out = asofStateful(spark, readEvents(spark, srcPath).drop("event_ts"))
     val sink = s"graft_stream_asofstate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = out.toDF().writeStream
+    drainAdaptive(spark, path,
+      out.toDF().writeStream
       .format("memory").queryName(sink)
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
     val result = spark.table(sink).localCheckpoint(true)
     spark.catalog.dropTempView(sink)
     if (srcPath != path) deleteStagedDir(srcPath)
@@ -1218,12 +1246,11 @@ object JsonStream {
       val out = asofStatefulEventTime(spark,
         readEvents(spark, dir.toString).drop("event_ts"), delay = "1 second")
       val sink = s"graft_stream_asofet_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = out.toDF().writeStream
+      drainAdaptive(spark, path,
+        out.toDF().writeStream
         .format("memory").queryName(sink)
         .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()))
       val result = spark.table(sink).localCheckpoint(true)
       spark.catalog.dropTempView(sink)
       result
@@ -1352,12 +1379,11 @@ object JsonStream {
       val out = sessionizeEventTime(spark,
         readEvents(spark, dir.toString).drop("event_ts"), gap, delay = "1 second")
       val sink = s"graft_stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = out.toDF().writeStream
+      drainAdaptive(spark, path,
+        out.toDF().writeStream
         .format("memory").queryName(sink)
         .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()))
       val result = spark.table(sink).where(col("event_id") >= 0)
         .localCheckpoint(true)
       spark.catalog.dropTempView(sink)
@@ -1501,12 +1527,11 @@ object JsonStream {
         readEvents(spark, dir.toString).drop("event_ts"), steps,
         delay = "1 second")
       val sink = s"graft_stream_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = out.toDF().writeStream
+      drainAdaptive(spark, path,
+        out.toDF().writeStream
         .format("memory").queryName(sink)
         .outputMode(OutputMode.Append)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()))
       val snaps = spark.table(sink)
       val latest = snaps
         .withColumn("__rn", row_number().over(
@@ -1578,16 +1603,15 @@ object JsonStream {
         .write.mode("overwrite").parquet(staged.toString)
       val schema = spark.read.parquet(staged.toString).schema
       val root = table.toString
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged.toString)
-        .writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          if (!df.isEmpty) { graft.sources.Snapshots.append(df, root); () }
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      drainAdaptive(spark, path,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged.toString)
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            if (!df.isEmpty) { graft.sources.Snapshots.append(df, root); () }
+          }
+          .trigger(Trigger.AvailableNow()))
       val vs = graft.sources.Snapshots.versions(spark, root)
       val counts = vs.map(v =>
         graft.sources.Snapshots.read(spark, root, v).count())
