@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r16: default heap raised 8g -> 32g. local[32] runs 32 concurrent
+  // tasks in ONE JVM (spark.memory.fraction 0.6 of 8g left ~150 MB of
+  // execution memory per task) and the verify/bench session holds
+  // per-query localCheckpoint blocks on top — GC churn showed up as
+  // 2-3x run-to-run swings on the checkpoint-heavy queries. The box is
+  // 128 GiB; still env-overridable for smaller machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

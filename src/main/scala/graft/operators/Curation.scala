@@ -1428,9 +1428,14 @@ object Curation {
     require(buckets >= 2 && buckets <= (1 << 20) &&
       (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two in [2, 2^20], got $buckets")
-    val tCnt = TextOps.featureBuckets(target, idCol, textCol, buckets)
+    // r16: the training explode + partial agg runs inside the input's
+    // scan stage — spread under-partitioned inputs first (guide §2.5;
+    // no-op on well-partitioned corpora). A/B at sf0.1: 2.0 -> 0.8 s.
+    val tCnt = TextOps.featureBuckets(
+        graft.operators.spreadIfNarrow(target, idCol), idCol, textCol, buckets)
       .groupBy("b").agg(count(lit(1)).as("tc"))
-    val sCnt = TextOps.featureBuckets(corpus, idCol, textCol, buckets)
+    val sCnt = TextOps.featureBuckets(
+        graft.operators.spreadIfNarrow(corpus, idCol), idCol, textCol, buckets)
       .groupBy("b").agg(count(lit(1)).as("sc"))
     val rows = tCnt.join(sCnt, Seq("b"), "full_outer")
       .select(col("b"),

@@ -1145,6 +1145,12 @@ object Graph {
         if (runDir == null) retired += hubs
       }
     }
+    // r16: materialize the final auth half-step too — the last round's
+    // materialize(hubs) already executed its subtree once, and the
+    // result join below would re-execute it a second time over the
+    // persisted edge list (auth is the one un-checkpointed frame here)
+    auth = materialize(auth, "auth_final")
+    if (runDir == null) retired += auth
     val res = nodes
       .join(hubs, Seq("node"), "left")
       .join(auth, Seq("node"), "left")

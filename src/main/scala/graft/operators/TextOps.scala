@@ -1298,8 +1298,10 @@ object TextOps {
       s"buckets must be a power of two in [2, 2^20], got $buckets")
     val labels = ref.select(col(idCol).as("id"), col(labelCol).cast("boolean").as("y"))
     // training: the same (pc, nc) bucket counts as the aggregation path,
-    // collected (≤ buckets rows of 24 B — the dsirTrain contract)
-    val cntRows = featureBuckets(ref, idCol, textCol, buckets)
+    // collected (≤ buckets rows of 24 B — the dsirTrain contract); the
+    // ref side spreads first if under-partitioned (guide §2.5)
+    val cntRows = featureBuckets(
+        graft.operators.spreadIfNarrow(ref, idCol), idCol, textCol, buckets)
       .join(labels, "id")
       .groupBy("b")
       .agg(

@@ -54,6 +54,20 @@ package object operators {
     GraftSqlShim.column(IvfPqEncode(
       GraftSqlShim.expression(vec), GraftSqlShim.expression(cell), centroids, codebooks))
 
+  /** OPTIMIZATION r16 — unsplittable-input skew fix (guide §2.5): if a
+    * frame is planned with fewer partitions than half the session's
+    * default parallelism (the single-row-group verify parquet files
+    * scan as ONE task), hash-repartition it on `key` so a CPU-heavy
+    * per-row stage downstream (token explode, training counts) can use
+    * every core; otherwise return it unchanged, so well-partitioned
+    * production scans never pay the extra exchange. */
+  private[graft] def spreadIfNarrow(
+      df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= n) df
+    else df.repartition(n, org.apache.spark.sql.functions.col(key))
+  }
+
   /** Release the executor blocks behind a `localCheckpoint()`'d frame.
     * A local checkpoint pins its RDD at MEMORY_AND_DISK and the cache
     * manager never sees it, so superseded iteration checkpoints in the
