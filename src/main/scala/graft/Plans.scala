@@ -112,11 +112,13 @@ object Plans {
       "token entropy: two map-side-partial hash aggregations, zero joins",
     "q_video_frames" ->
       ("real GIF frame sampling: partition-local multi-frame decode " +
-        "(flatMap — one blob row fans out to its sampled frames), " +
-        "zero Exchanges before the verification sort"),
+        "(flatMap — one blob row fans out to its sampled frames); the " +
+        "one pre-decode Exchange spreads the BARE ID column (r16 — the " +
+        "single-row-group input scans as one task), blobs never shuffle"),
     "q_img_phash" ->
       ("image perceptual hashing: narrow decode+hash mapPartitions — " +
-        "two 64-bit codes per image, zero Exchanges before the sort"),
+        "two 64-bit codes per image; the one pre-synthesis Exchange " +
+        "spreads the bare id column (r16), blobs never shuffle"),
     "q_img_dedup" ->
       ("banded Hamming near-dup join: explode to (band,chunk), " +
         "equi-join on the chunk key — pigeonhole-complete, no cartesian"),
@@ -133,7 +135,8 @@ object Plans {
         "— see Tables.hilbertValue)"),
     "q_audio_resample" ->
       ("exact-rational resampling: narrow parse+resample flatMap per " +
-        "(doc, channel), zero Exchanges before the sort"),
+        "(doc, channel); the one pre-synthesis Exchange spreads the " +
+        "bare id column (r16), blobs never shuffle"),
     "q_ann_hnsw" ->
       ("HNSW graph ANN: per-partition graph walks inside flatMapGroups; " +
         "the only join is the BROADCAST LEFT-SEMI of the bounded " +
@@ -150,8 +153,9 @@ object Plans {
     "q_communities_weighted" ->
       ("weighted label propagation (final round's plan): adjacency/label " +
         "equi-join, (node, label) integer weight-sum aggregation, per-node " +
-        "top-1 window — two co-keyed shuffles per round over the " +
-        "MATERIALIZED previous round, no cartesian anywhere"),
+        "argmax as a max_by AGGREGATION over the exact (s, -lbl) key " +
+        "(r16 — no per-round partition sort) over the MATERIALIZED " +
+        "previous round, no cartesian anywhere"),
     "q_knn_hnsw" ->
       ("HNSW batch kNN join: per-partition graph walks emit a bounded " +
         "candidate frame (nParts x efSearch rows per query, never the " +
@@ -208,8 +212,8 @@ object Plans {
         "the rank table only, never the corpus"),
     "q_video_mjpeg_cuts" ->
       ("MJPEG scene cuts: narrow per-blob flatMap (sequential pairwise " +
-        "SAD over independently-decoded frames, two-frame memory), zero " +
-        "shuffles before the presentation sort"),
+        "SAD over independently-decoded frames, two-frame memory); the " +
+        "one pre-synthesis Exchange spreads the bare id column (r16)"),
     "q_ann_ivfpq_indexed" ->
       ("persisted IVF+PQ probe: the same PartitionFilters pruning as " +
         "q_ann_ivf_indexed but over a CODE-sized layout — the scan " +
@@ -234,15 +238,16 @@ object Plans {
         "quadratic, two exchanges of the edge list"),
     "q_audio_spectral" ->
       ("windowed DFT bins: narrow per-blob flatMap (sample-order folds " +
-        "against a driver-built trig table), zero shuffles before the " +
-        "presentation sort"),
+        "against a driver-built trig table); the one pre-synthesis " +
+        "Exchange spreads the bare id column (r16)"),
     "q_audio_segments" ->
       ("VAD islands: narrow decode flatMap emitting loud frames, then " +
-        "window + aggregation BOTH keyed by doc_id — a single exchange " +
-        "closes the segments"),
+        "window + aggregation BOTH keyed by doc_id — one exchange " +
+        "closes the segments (plus the r16 id-spread before synthesis)"),
     "q_img_hist" ->
       ("image histograms: narrow per-blob raster recount (48 dense " +
-        "rows per doc), zero shuffles before the presentation sort"),
+        "rows per doc); the one pre-synthesis Exchange spreads the " +
+        "bare id column (r16)"),
     "q_readability" ->
       ("Flesch scoring: three regexp_counts + the double formula in ONE " +
         "WholeStageCodegen scan — no shuffle, no UDF"))
