@@ -50,13 +50,15 @@ object Dedup {
       seen: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val inc = incoming.select(col(idCol),
       md5(col(textCol).cast("binary")).as("digest"))
+    // keep-one-per-digest via hash aggregation: the kept row is exactly
+    // (min id, digest), so a partial-agg groupBy replaces the digest
+    // window (full sort per partition) — map-side combine shuffles one
+    // row per (partition, digest) instead of every batch row (§2.3/§2.4)
     val batchKeep = inc
-      .withColumn("__min_id", min(col(idCol)).over(Window.partitionBy("digest")))
-      .where(col(idCol) === col("__min_id"))
-      .drop("__min_id")
+      .groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("digest"))
     batchKeep.join(
       seen.select(md5(col(textCol).cast("binary")).as("digest")),
       Seq("digest"), "left_anti")
@@ -103,7 +105,6 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(bands > 0 && numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
@@ -136,10 +137,16 @@ object Dedup {
       .select(col("bid"), col("src"), col("oid"),
         jaccard(col("bsh"), col("osh")).as("jac"))
       .where(col("jac") >= threshold)
+    // best-evidence argmax as one partial-aggregable min over the exact
+    // (−jac, src, oid) key — the (jac desc, src asc, oid asc) tie rule
+    // without the per-bid window sort. jac ≥ threshold > 0, so negation
+    // is an exact order reversal (no −0.0/NaN edge).
     val best = matches
-      .withColumn("__rn", row_number().over(Window.partitionBy(col("bid"))
-        .orderBy(col("jac").desc, col("src"), col("oid"))))
-      .where(col("__rn") === 1)
+      .groupBy(col("bid"))
+      .agg(min(struct(negate(col("jac")), col("src"), col("oid"),
+        col("jac"))).as("__b"))
+      .select(col("bid"), col("__b.src").as("src"),
+        col("__b.oid").as("oid"), col("__b.jac").as("jac"))
     // sentinel instead of NULL for kept docs: keeps the columns
     // non-nullable end to end (nullable ints degrade to floats in
     // arrow/pandas round-trips, which breaks value-level comparison)
@@ -363,7 +370,6 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
     // distinct grams per doc (shingles() is array_distinct, so the
     // posting count IS the set size)
     val sizes = ex.groupBy(col("vid")).agg(count(lit(1)).as("n"))
@@ -371,13 +377,20 @@ object Dedup {
     // per-doc prefix: the p rarest grams in the GLOBAL (df, g) order,
     // p = ⌊(1−t)·n⌋ + 2 (see the recall argument above). Ties cannot
     // occur within a doc — shingles() is array_distinct, so g is unique
-    // per vid and the row_number is deterministic.
+    // per vid, making the (df, g) order total — so the selection is one
+    // per-doc aggregate (collect + array_sort + slice) instead of a
+    // global-sort row_number window: the same rows, no partition sort,
+    // and the doc-size join folds into the same aggregate (the count IS
+    // the collected list's length). Per-doc state is bounded by the
+    // doc's distinct-gram count — exactly the window's partition buffer.
     val pref = ex.join(dfs, "g")
-      .join(sizes, "vid")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vid")).orderBy(col("df"), col("g"))))
-      .where(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
-      .select(col("vid").as("pid"), col("n").as("np"), col("g"))
+      .groupBy(col("vid"))
+      .agg(count(lit(1)).as("n"),
+        collect_list(struct(col("df"), col("g"))).as("gs"))
+      .select(col("vid").as("pid"), col("n").as("np"),
+        explode(slice(array_sort(col("gs")), 1,
+          (floor(lit(1.0 - threshold) * col("n")) + 2).cast("int"))).as("dg"))
+      .select(col("pid"), col("np"), col("dg.g").as("g"))
     // probe only small→large: the recall argument needs the SMALLER
     // doc's prefix to hit the container, so a probe row with
     // n_probe > n_other is redundant (the pair re-arises from the other
@@ -454,7 +467,6 @@ object Dedup {
       threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
     def postings(df: DataFrame, src: String): DataFrame =
       df.select(col(idCol).as("vid"),
           explode(shingles(col(textCol), shingleSize)).as("g"))
@@ -464,13 +476,18 @@ object Dedup {
     locally {
       val sizes = ex.groupBy(col("src"), col("vid")).agg(count(lit(1)).as("n"))
       val dfs = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      // same sort-free per-doc prefix selection as
+      // [[containmentFromPostings]] — (df, g) is total per vid, so the
+      // aggregate replays the window's row_number ≤ p rule exactly
       val prefB = ex.where(col("src") === "batch")
         .join(dfs, "g")
-        .join(sizes.where(col("src") === "batch").select(col("vid"), col("n")), "vid")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vid")).orderBy(col("df"), col("g"))))
-        .where(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
-        .select(col("vid").as("bid"), col("n").as("nb"), col("g"))
+        .groupBy(col("vid"))
+        .agg(count(lit(1)).as("n"),
+          collect_list(struct(col("df"), col("g"))).as("gs"))
+        .select(col("vid").as("bid"), col("n").as("nb"),
+          explode(slice(array_sort(col("gs")), 1,
+            (floor(lit(1.0 - threshold) * col("n")) + 2).cast("int"))).as("dg"))
+        .select(col("bid"), col("nb"), col("dg.g").as("g"))
       val cand = prefB
         .join(ex.select(col("src").as("osrc"), col("vid").as("oid"), col("g")), "g")
         .join(sizes.select(col("src").as("osrc"), col("vid").as("oid"),
@@ -497,10 +514,16 @@ object Dedup {
           (col("n_inter").cast("double") /
             least(col("nb"), col("no")).cast("double")).as("ov"))
         .where(col("ov") >= threshold)
+      // best-evidence argmax via min over the exact (−ov, osrc, oid)
+      // key — ov ≥ threshold > 0, so negation reverses the order
+      // exactly; replaces the per-bid window sort with a partial-agg
+      // groupBy (§2.4)
       val best = scored
-        .withColumn("__rn", row_number().over(Window.partitionBy(col("bid"))
-          .orderBy(col("ov").desc, col("osrc"), col("oid"))))
-        .where(col("__rn") === 1)
+        .groupBy(col("bid"))
+        .agg(min(struct(negate(col("ov")), col("osrc"), col("oid"),
+          col("ov"))).as("__b"))
+        .select(col("bid"), col("__b.osrc").as("osrc"),
+          col("__b.oid").as("oid"), col("__b.ov").as("ov"))
       val out = incoming.select(col(idCol).as("doc_id"))
         .join(best, col("doc_id") === col("bid"), "left")
         .select(col("doc_id"), col("bid").isNull.as("keep"),

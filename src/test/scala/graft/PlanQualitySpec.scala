@@ -147,7 +147,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("windowspecdefinition(gram"), plan)
   }
 
-  test("containment: prefix-filter plan — equi-joins only, one persisted postings pass, per-doc window") {
+  test("containment: prefix-filter plan — equi-joins only, one persisted postings pass, sort-free per-doc prefix") {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = s.read.parquet(s"$sfDir/documents.parquet")
@@ -160,20 +160,25 @@ class PlanQualitySpec extends AnyFunSuite {
       // joins. The pinned shape: every join an equi-join, the gram
       // postings computed ONCE into the persisted table every branch
       // reuses (the shingle kernel never re-runs), and prefix selection
-      // as a per-doc window — no cross product anywhere
+      // as a sort-free per-doc aggregate — no cross product anywhere
       assert(!plan.contains("CartesianProduct"), plan)
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
       assert(plan.contains("InMemoryTableScan"), plan)
       // the shingle kernel runs only INSIDE the persisted postings
-      // relation: the live (non-cached) plan tree has no Generate at
-      // all — every branch reads the cache (sparkPlan, not
-      // executedPlan: AQE's collect does not descend)
+      // relation: the live (non-cached) plan tree's only Generate is the
+      // bounded prefix-slice explode — never a re-shingling of the
+      // corpus (sparkPlan, not executedPlan: AQE's collect does not
+      // descend)
       val gens = out.queryExecution.sparkPlan.collect {
         case g: org.apache.spark.sql.execution.GenerateExec => g
       }
-      assert(gens.isEmpty,
+      assert(gens.forall(!_.generator.toString.toLowerCase.contains("shingle")),
         s"shingling re-ran outside the persisted postings: $gens")
-      assert(plan.toLowerCase.contains("windowspecdefinition(vid"), plan)
+      // r17: prefix selection is collect_list + array_sort + slice in a
+      // per-doc aggregate — same rows as the old (df, g) row_number
+      // window ((df, g) is total per vid), with NO Window sort anywhere
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("collect_list"), plan)
       // no full-array carry: no shingle ARRAY column survives past the
       // explode (array_intersect was the round-11 per-pair rescan)
       assert(!plan.contains("array_intersect"), plan)
@@ -197,12 +202,14 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!planStr.contains("BroadcastNestedLoopJoin"), planStr)
       assert(planStr.contains("InMemoryTableScan"), planStr)
       // the shingle kernel runs only inside the persisted union
-      // postings: the live tree has NO Generate — every branch (df
-      // count, sizes, prefixes, probe, intersection) reads the cache
+      // postings: the live tree's only Generate is the bounded
+      // prefix-slice explode — every branch (df count, sizes, prefixes,
+      // probe, intersection) reads the cache
       val gens = plan.collect {
         case g: org.apache.spark.sql.execution.GenerateExec => g
       }
-      assert(gens.isEmpty, s"shingling re-ran outside the postings: $gens")
+      assert(gens.forall(!_.generator.toString.toLowerCase.contains("shingle")),
+        s"shingling re-ran outside the postings: $gens")
       // the only corpus re-scan is the final audit-row attach (id
       // column alone — ReadSchema must not drag text back in)
       val scans = plan.collect {
@@ -210,10 +217,12 @@ class PlanQualitySpec extends AnyFunSuite {
       }
       assert(scans.forall(!_.schema.fieldNames.contains("text")),
         s"audit attach read more than the id: ${scans.map(_.schema.fieldNames.toSeq)}")
-      // prefix selection is a bounded per-doc window, best-match a
-      // per-incoming-doc window — no global sort anywhere
-      assert(planStr.toLowerCase.contains("windowspecdefinition(vid"), planStr)
-      assert(planStr.toLowerCase.contains("windowspecdefinition(bid"), planStr)
+      // r17: prefix selection and the best-match argmax are both
+      // sort-free aggregates (collect_list+array_sort+slice; min over
+      // the exact (−ov, osrc, oid) key) — no Window, hence no per-key
+      // partition sort, anywhere in the plan
+      assert(!planStr.contains("Window"), planStr)
+      assert(planStr.contains("collect_list"), planStr)
     } finally ex.unpersist()
   }
 
@@ -415,12 +424,15 @@ class PlanQualitySpec extends AnyFunSuite {
       val planStr = plan.toString
       // the ONLY shingle pass is inside the persisted postings relation:
       // the live tree reads the cache everywhere — its only Generates
-      // are the LSH band posexplodes over the tiny sig table, never a
-      // shingle explode; and zero parquet scans of the corpus
+      // are the LSH band posexplodes over the tiny sig table and the
+      // bounded containment prefix-slice explode (r17: the sort-free
+      // prefix aggregate), never a shingle explode; and zero parquet
+      // scans of the corpus
       val gens = plan.collect {
         case g: org.apache.spark.sql.execution.GenerateExec => g.generator.toString
       }
-      assert(gens.forall(_.contains("band_buckets")),
+      assert(gens.forall(g =>
+          g.contains("band_buckets") || g.contains("array_sort")),
         s"a branch re-ran the shingle explode: $gens")
       assert(plan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
